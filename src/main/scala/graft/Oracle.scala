@@ -1,0 +1,556 @@
+package graft
+
+/** DuckDB oracle SQL for every entry in SparkEntry.queries — the
+  * validated Appendix A suite of SURVEY.md, with cross-engine type
+  * normalizations discovered by probing DuckDB 1.0.0 directly:
+  *
+  *  - avg(DECIMAL) rewritten as cast(sum(DECIMAL) AS DOUBLE)/count(*)
+  *    so both engines perform the identical IEEE division (Spark's
+  *    avg(DECIMAL) rounds to scale+4 internally);
+  *  - sum(BIGINT) wrapped in cast(... AS BIGINT) — DuckDB yields
+  *    HUGEINT (int128) which parquet/arrow cannot hash-match;
+  *  - ceil/floor outputs cast to BIGINT (DuckDB returns DOUBLE, Spark
+  *    LONG — normalize to the integer the value actually is);
+  *  - float array elements cast to DOUBLE before round() — DuckDB's
+  *    round(FLOAT) stays FLOAT and carries float noise;
+  *  - list_cosine_similarity computed on DOUBLE[] — the FLOAT[]
+  *    overload accumulates in float (~1e-7 error, flips 4dp rounding);
+  *  - sliding-window start built with make_timestamp (session-timezone
+  *    independent) instead of to_timestamp (TIMESTAMPTZ).
+  */
+object Oracle {
+
+  /** DuckDB table ref for a testdata table. */
+  private def t(dir: String, name: String): String =
+    s"read_parquet('$dir/$name.parquet')"
+
+  /** Shared EDGES prefix for graph queries (SURVEY §2.8). */
+  private def edgesWith(dir: String, recursive: Boolean = false): String = {
+    val kw = if (recursive) "WITH RECURSIVE" else "WITH"
+    s"""$kw raw_e AS (
+    SELECT a.l_partkey AS s, b.l_partkey AS t, count(*) AS w
+    FROM ${t(dir, "lineitem")} a JOIN ${t(dir, "lineitem")} b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2),
+  e AS (SELECT s, t, w FROM raw_e WHERE w >= 2),
+  ud AS (SELECT s, t FROM e UNION ALL SELECT t, s FROM e)"""
+  }
+
+  def forDir(dir: String): Map[String, String] = {
+    def T(name: String) = t(dir, name)
+    val E = edgesWith(dir)
+    val ER = edgesWith(dir, recursive = true)
+
+    scala.collection.immutable.ListMap(
+      // ---- scans ----
+      "scan_project" ->
+        s"""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+FROM ${T("lineitem")} WHERE l_quantity > 45.0
+ORDER BY l_orderkey, l_linenumber""",
+
+      "filter_complex" ->
+        s"""SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+FROM ${T("orders")}
+WHERE o_orderstatus IN ('F','O')
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+  AND o_orderpriority LIKE '%URGENT%' AND o_totalprice IS NOT NULL
+ORDER BY o_orderkey""",
+
+      "scan_prune_minmax" ->
+        s"""SELECT count(*) AS n, min(l_shipdate) AS lo, max(l_shipdate) AS hi,
+       round(cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_qty
+FROM ${T("lineitem")}""",
+
+      // ---- joins ----
+      "join_inner_multi" ->
+        s"""SELECT r.r_name, n.n_name,
+       count(*) AS n_orders,
+       round(cast(sum(cast(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM ${T("orders")} o
+JOIN ${T("customer")} c ON o.o_custkey = c.c_custkey
+JOIN ${T("nation")} n ON c.c_nationkey = n.n_nationkey
+JOIN ${T("region")} r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+ORDER BY r.r_name, n.n_name""",
+
+      "join_broadcast_dim" ->
+        s"""SELECT p.p_brand, count(*) AS n_lines,
+       round(cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS ext_sum
+FROM ${T("lineitem")} l JOIN ${T("part")} p ON l.l_partkey = p.p_partkey
+WHERE p.p_size >= 25
+GROUP BY p.p_brand ORDER BY p.p_brand""",
+
+      "join_left_outer" ->
+        s"""SELECT n.n_nationkey, n.n_name, count(s.s_suppkey) AS n_suppliers,
+       round(cast(coalesce(sum(cast(s.s_acctbal AS DECIMAL(18,2))), 0) AS DOUBLE), 2) AS bal
+FROM ${T("nation")} n LEFT JOIN ${T("supplier")} s ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_nationkey, n.n_name
+ORDER BY n.n_nationkey""",
+
+      "join_full_outer" ->
+        s"""WITH cn AS (SELECT c_nationkey AS k, count(*) AS n_cust FROM ${T("customer")} GROUP BY 1),
+     sn AS (SELECT s_nationkey AS k, count(*) AS n_supp FROM ${T("supplier")} GROUP BY 1)
+SELECT coalesce(cn.k, sn.k) AS nationkey,
+       coalesce(cn.n_cust, 0) AS n_cust, coalesce(sn.n_supp, 0) AS n_supp
+FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
+ORDER BY nationkey""",
+
+      "join_semi" ->
+        s"""SELECT c.c_custkey, c.c_name
+FROM ${T("customer")} c
+WHERE EXISTS (SELECT 1 FROM ${T("orders")} o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+ORDER BY c.c_custkey""",
+
+      "join_anti" ->
+        s"""SELECT c.c_custkey, c.c_mktsegment
+FROM ${T("customer")} c
+WHERE NOT EXISTS (SELECT 1 FROM ${T("orders")} o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+ORDER BY c.c_custkey""",
+
+      "join_range_theta" ->
+        s"""SELECT e1.user_id, count(*) AS pairs_within_5min
+FROM ${T("events")} e1 JOIN ${T("events")} e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+GROUP BY e1.user_id
+ORDER BY e1.user_id""",
+
+      "join_asof" ->
+        s"""WITH purchases AS (SELECT event_id, user_id, ts, value FROM ${T("events")} WHERE event_type = 'purchase'),
+     clicks    AS (SELECT user_id, ts, value FROM ${T("events")} WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       max(c.ts) AS last_click_ts
+FROM purchases p JOIN clicks c
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+GROUP BY p.event_id, p.user_id
+ORDER BY p.event_id""",
+
+      // ---- aggregations ----
+      "agg_hash_q1" ->
+        s"""SELECT l_returnflag, l_linestatus,
+       round(cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+       round(cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base,
+       round(cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_disc,
+       round(cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2))) * (1 + cast(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_charge,
+       round(cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+       count(*) AS n
+FROM ${T("lineitem")}
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+
+      "agg_count_distinct" ->
+        s"""SELECT c_mktsegment,
+       count(DISTINCT c_nationkey) AS n_nations,
+       count(DISTINCT c_custkey) AS n_cust,
+       count(*) AS n
+FROM ${T("customer")} GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+      "agg_rollup" ->
+        s"""SELECT grouping(r.r_name) AS g_region, grouping(n.n_name) AS g_nation,
+       coalesce(r.r_name, 'ALL') AS region, coalesce(n.n_name, 'ALL') AS nation,
+       count(*) AS n_cust
+FROM ${T("customer")} c
+JOIN ${T("nation")} n ON c.c_nationkey = n.n_nationkey
+JOIN ${T("region")} r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+ORDER BY g_region, g_nation, region, nation""",
+
+      "agg_cube" ->
+        s"""SELECT grouping(o_orderstatus) AS g_s, grouping(o_orderpriority) AS g_p,
+       coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n,
+       round(cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM ${T("orders")}
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY g_s, g_p, status, priority""",
+
+      "agg_grouping_sets" ->
+        s"""SELECT grouping(lang) AS g_l, grouping(source) AS g_s,
+       coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       count(*) AS docs, cast(sum(n_chars) AS BIGINT) AS chars
+FROM ${T("documents")}
+GROUP BY GROUPING SETS ((lang, source), (lang), ())
+ORDER BY g_l, g_s, lang, source""",
+
+      "agg_stats" ->
+        s"""SELECT event_type, count(*) AS n,
+       round(min(value), 2) AS vmin, round(max(value), 2) AS vmax,
+       round(cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS vavg,
+       round(stddev_samp(value), 4) AS vstd
+FROM ${T("events")} GROUP BY event_type ORDER BY event_type""",
+
+      "agg_having" ->
+        s"""SELECT l_suppkey, round(cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
+FROM ${T("lineitem")} GROUP BY l_suppkey
+HAVING sum(cast(l_quantity AS DECIMAL(18,2))) > 1000
+ORDER BY l_suppkey""",
+
+      // ---- windows ----
+      "win_rank_topn" ->
+        s"""SELECT * FROM (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+  FROM ${T("orders")}
+  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE rn <= 20
+ORDER BY o_orderstatus, rn""",
+
+      "win_lag_lead" ->
+        s"""SELECT user_id, event_id, round(value, 2) AS v,
+       round(lag(value) OVER w, 2) AS prev_v,
+       round(lead(value) OVER w, 2) AS next_v,
+       round(value - coalesce(lag(value) OVER w, 0), 2) AS delta
+FROM ${T("events")}
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id""",
+
+      "win_moving_frame" ->
+        s"""SELECT user_id, event_id,
+       round(cast(sum(cast(value AS DECIMAL(18,2)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS mov_sum4
+FROM ${T("events")}
+ORDER BY user_id, event_id""",
+
+      "win_running_total" ->
+        s"""SELECT o_custkey, o_orderkey,
+       round(cast(sum(cast(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS run_total
+FROM ${T("orders")}
+ORDER BY o_custkey, o_orderkey""",
+
+      "win_ntile_dist" ->
+        s"""SELECT c_custkey, c_acctbal,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM ${T("customer")}
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey""",
+
+      "topk_per_group" ->
+        s"""SELECT * FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+  FROM ${T("part")}
+) WHERE rk <= 3
+ORDER BY p_brand, rk, p_partkey""",
+
+      // ---- sorts / sets ----
+      "sort_multi_limit" ->
+        s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+FROM ${T("lineitem")}
+ORDER BY l_returnflag ASC, l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 100""",
+
+      "set_union" ->
+        s"""SELECT c_custkey AS k FROM ${T("customer")} WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT o_custkey AS k FROM ${T("orders")} WHERE o_totalprice > 450000.0
+ORDER BY k""",
+
+      "set_intersect" ->
+        s"""SELECT o_custkey AS k FROM ${T("orders")} WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey AS k FROM ${T("orders")} WHERE o_orderstatus = 'O'
+ORDER BY k""",
+
+      "set_except" ->
+        s"""SELECT o_custkey AS k FROM ${T("orders")} WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey AS k FROM ${T("orders")} WHERE o_orderstatus = 'P'
+ORDER BY k""",
+
+      // ---- scalar function families ----
+      "fn_string" ->
+        s"""SELECT p_partkey,
+       upper(p_brand) AS u, lower(p_type) AS lo,
+       substr(p_name, 1, 10) AS pfx, length(p_name) AS len,
+       replace(p_brand, '#', '-') AS rep,
+       concat(p_brand, ':', p_type) AS cat,
+       trim(concat('  ', p_name, '  ')) AS trimmed,
+       contains(p_type, 'ECO') AS has_eco,
+       regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num
+FROM ${T("part")} ORDER BY p_partkey""",
+
+      "fn_date" ->
+        s"""SELECT o_orderkey,
+       year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+       date_trunc('month', o_orderdate) AS mstart,
+       o_orderdate + INTERVAL 30 DAY AS plus30
+FROM ${T("orders")} WHERE o_orderkey <= 500 ORDER BY o_orderkey""",
+
+      "fn_datediff_join" ->
+        s"""SELECT l.l_orderkey, l.l_linenumber,
+       date_diff('day', o.o_orderdate, l.l_shipdate) AS ship_delay_days
+FROM ${T("lineitem")} l JOIN ${T("orders")} o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_orderkey <= 1000
+ORDER BY l.l_orderkey, l.l_linenumber""",
+
+      "fn_math" ->
+        s"""SELECT l_orderkey, l_linenumber,
+       round(abs(l_extendedprice - 30000.0), 2) AS a,
+       cast(ceil(l_quantity) AS BIGINT) AS c, cast(floor(l_discount * 100) AS BIGINT) AS f,
+       round(sqrt(l_extendedprice), 4) AS sq,
+       round(ln(l_extendedprice + 1), 6) AS lg,
+       round(pow(l_quantity, 2), 2) AS p2,
+       mod(l_orderkey, 7) AS m7
+FROM ${T("lineitem")} WHERE l_orderkey <= 1000
+ORDER BY l_orderkey, l_linenumber""",
+
+      "fn_conditional" ->
+        s"""SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000.0 THEN 'big'
+            WHEN o_totalprice > 100000.0 THEN 'mid' ELSE 'small' END AS bucket,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status2,
+       greatest(o_totalprice, 50000.0) AS g, least(o_totalprice, 50000.0) AS l
+FROM ${T("orders")} WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
+
+      "fn_array" ->
+        s"""SELECT vec_id, label,
+       len(embedding) AS dim,
+       round(cast(embedding[1] AS DOUBLE), 6) AS first_elem,
+       round(list_aggregate(embedding[1:8], 'sum'), 6) AS head8_sum
+FROM ${T("embeddings")} ORDER BY vec_id""",
+
+      "fn_explode_unnest" ->
+        s"""SELECT vec_id, count(*) AS n_elems,
+       round(sum(abs(cast(v AS DOUBLE))), 4) AS abs_sum
+FROM (SELECT vec_id, unnest(embedding) AS v FROM ${T("embeddings")})
+GROUP BY vec_id ORDER BY vec_id""",
+
+      "fn_json" ->
+        s"""SELECT event_type,
+       count(*) AS n_high,
+       cast(sum(cast(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS k_sum
+FROM ${T("events")}
+WHERE cast(json_extract_string(props, '$$.k') AS BIGINT) > 50
+GROUP BY event_type ORDER BY event_type""",
+
+      // ---- text / LLM pipeline ----
+      "text_wordcount" ->
+        s"""SELECT w, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM ${T("documents")})
+WHERE w <> ''
+GROUP BY w ORDER BY cnt DESC, w LIMIT 20""",
+
+      "text_stats" ->
+        s"""SELECT lang, count(*) AS docs,
+       round(cast(sum(cast(n_chars AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_chars,
+       cast(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM ${T("documents")} GROUP BY lang ORDER BY lang""",
+
+      "text_bigrams" ->
+        s"""WITH toks AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM ${T("documents")})
+SELECT a.w AS w1, b.w AS w2, count(*) AS cnt
+FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY a.w, b.w ORDER BY cnt DESC, w1, w2 LIMIT 20""",
+
+      "dedup_exact" ->
+        s"""SELECT md5(lower(trim(text))) AS h, min(doc_id) AS canonical_id, count(*) AS copies
+FROM ${T("documents")}
+GROUP BY md5(lower(trim(text)))
+ORDER BY h LIMIT 200""",
+
+      "dedup_near_jaccard" ->
+        s"""WITH sample_docs AS (
+  SELECT doc_id, lang, n_chars, text FROM ${T("documents")} WHERE doc_id % 10 = 0),
+toks AS (
+  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM sample_docs),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM toks a JOIN toks b ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT d1, d2, round(cast(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard
+FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+WHERE cast(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.8
+ORDER BY d1, d2""",
+
+      "sim_cosine_topk" ->
+        s"""WITH probes AS (SELECT vec_id AS pid, embedding AS pe FROM ${T("embeddings")} WHERE vec_id < 10),
+scored AS (
+  SELECT p.pid, e.vec_id AS cand, e.label,
+         round(list_cosine_similarity(cast(p.pe AS DOUBLE[]), cast(e.embedding AS DOUBLE[])), 4) AS sim
+  FROM probes p CROSS JOIN ${T("embeddings")} e
+  WHERE e.vec_id <> p.pid),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cand) AS rk
+  FROM scored)
+SELECT pid, rk, cand, label, sim FROM ranked WHERE rk <= 5
+ORDER BY pid, rk""",
+
+      "sim_knn_label" ->
+        s"""WITH probes AS (SELECT vec_id AS pid, embedding AS pe FROM ${T("embeddings")} WHERE vec_id < 10),
+scored AS (
+  SELECT p.pid, e.vec_id AS cand, e.label,
+         round(list_cosine_similarity(cast(p.pe AS DOUBLE[]), cast(e.embedding AS DOUBLE[])), 4) AS sim
+  FROM probes p CROSS JOIN ${T("embeddings")} e
+  WHERE e.vec_id <> p.pid),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cand) AS rk
+  FROM scored),
+votes AS (
+  SELECT pid, label, count(*) AS votes
+  FROM ranked WHERE rk <= 5 GROUP BY pid, label)
+SELECT pid, label AS predicted, votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY pid ORDER BY votes DESC, label) AS vr
+  FROM votes) WHERE vr = 1
+ORDER BY pid""",
+
+      "multimodal_join" ->
+        s"""SELECT e.label, count(*) AS n,
+       round(cast(sum(cast(d.n_chars AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_chars,
+       round(cast(sum(cast(round(list_aggregate(e.embedding, 'sum'), 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS vec_mass
+FROM ${T("documents")} d JOIN ${T("embeddings")} e ON d.doc_id = e.vec_id
+GROUP BY e.label ORDER BY e.label""",
+
+      // ---- graph ----
+      "graph_degree" ->
+        s"""$E
+SELECT s AS node, count(*) AS degree, cast(sum(0) AS BIGINT) AS pad
+FROM ud GROUP BY s ORDER BY degree DESC, node LIMIT 50""",
+
+      "graph_2hop" ->
+        s"""$E
+, start_node AS (SELECT s AS v FROM ud GROUP BY s ORDER BY count(*) DESC, s LIMIT 1),
+h1 AS (SELECT DISTINCT t AS v FROM ud, start_node WHERE s = start_node.v),
+h2 AS (
+  SELECT DISTINCT ud.t AS v FROM ud JOIN h1 ON ud.s = h1.v, start_node
+  WHERE ud.t <> start_node.v AND ud.t NOT IN (SELECT v FROM h1))
+SELECT 1 AS hop, v FROM h1 UNION ALL SELECT 2 AS hop, v FROM h2
+ORDER BY hop, v""",
+
+      "graph_triangles" ->
+        s"""$E
+SELECT count(*) AS triangles FROM e e1
+JOIN e e2 ON e2.s = e1.t
+JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t""",
+
+      "graph_cc_labelprop" ->
+        s"""$E
+, n0 AS (SELECT s AS v FROM ud UNION SELECT t FROM ud),
+ud2 AS (SELECT s, t FROM ud UNION ALL SELECT v, v FROM n0),
+l0 AS (SELECT v, v AS lbl FROM n0),
+l1 AS (SELECT ud2.s AS v, min(l0.lbl) AS lbl FROM ud2 JOIN l0 ON l0.v = ud2.t GROUP BY ud2.s),
+l2 AS (SELECT ud2.s AS v, min(l1.lbl) AS lbl FROM ud2 JOIN l1 ON l1.v = ud2.t GROUP BY ud2.s),
+l3 AS (SELECT ud2.s AS v, min(l2.lbl) AS lbl FROM ud2 JOIN l2 ON l2.v = ud2.t GROUP BY ud2.s),
+l4 AS (SELECT ud2.s AS v, min(l3.lbl) AS lbl FROM ud2 JOIN l3 ON l3.v = ud2.t GROUP BY ud2.s)
+SELECT lbl AS component_label, count(*) AS size
+FROM l4 GROUP BY lbl ORDER BY size DESC, component_label LIMIT 50""",
+
+      "graph_bfs_3hop" ->
+        s"""$ER
+, start_node AS (SELECT s AS v FROM ud GROUP BY s ORDER BY count(*) DESC, s LIMIT 1),
+reach AS (
+  SELECT v, 0 AS depth FROM start_node
+  UNION ALL
+  SELECT DISTINCT ud.t AS v, r.depth + 1
+  FROM reach r JOIN ud ON ud.s = r.v WHERE r.depth < 3)
+SELECT v, min(depth) AS depth FROM reach GROUP BY v ORDER BY depth, v""",
+
+      "graph_pagerank3" ->
+        s"""$E
+, n0 AS (SELECT s AS v FROM ud UNION SELECT t FROM ud),
+deg AS (SELECT s AS v, count(*) AS d FROM ud GROUP BY s),
+nn AS (SELECT count(*) AS cnt FROM n0),
+p0 AS (SELECT v, cast(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS pr FROM n0),
+p1 AS (SELECT n0.v,
+         0.15 / (SELECT cnt FROM nn)
+         + 0.85 * cast(coalesce(sum(cast(p0.pr / deg.d AS DECIMAL(28,15))), 0) AS DOUBLE) AS pr
+       FROM n0 LEFT JOIN ud ON ud.t = n0.v
+       LEFT JOIN p0 ON p0.v = ud.s LEFT JOIN deg ON deg.v = ud.s
+       GROUP BY n0.v),
+p2 AS (SELECT n0.v,
+         0.15 / (SELECT cnt FROM nn)
+         + 0.85 * cast(coalesce(sum(cast(p1.pr / deg.d AS DECIMAL(28,15))), 0) AS DOUBLE) AS pr
+       FROM n0 LEFT JOIN ud ON ud.t = n0.v
+       LEFT JOIN p1 ON p1.v = ud.s LEFT JOIN deg ON deg.v = ud.s
+       GROUP BY n0.v),
+p3 AS (SELECT n0.v,
+         0.15 / (SELECT cnt FROM nn)
+         + 0.85 * cast(coalesce(sum(cast(p2.pr / deg.d AS DECIMAL(28,15))), 0) AS DOUBLE) AS pr
+       FROM n0 LEFT JOIN ud ON ud.t = n0.v
+       LEFT JOIN p2 ON p2.v = ud.s LEFT JOIN deg ON deg.v = ud.s
+       GROUP BY n0.v)
+SELECT v AS node, round(pr, 8) AS pagerank
+FROM p3 ORDER BY pagerank DESC, node LIMIT 30""",
+
+      // ---- streaming-on-batch ----
+      "stream_tumbling_1h" ->
+        s"""SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n,
+       round(cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS v_sum
+FROM ${T("events")}
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY w_start, event_type""",
+
+      "stream_sliding_1h_30m" ->
+        s"""WITH slid AS (
+  SELECT make_timestamp((cast(floor((epoch(ts) - off) / 3600) AS BIGINT) * 3600 + off) * 1000000) AS w_start, value
+  FROM ${T("events")}, (SELECT unnest([0, 1800]) AS off))
+SELECT w_start, count(*) AS n,
+       round(cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS v_sum
+FROM slid GROUP BY w_start ORDER BY w_start""",
+
+      "stream_sessionize" ->
+        s"""WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM ${T("events")}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM flagged)
+SELECT user_id, count(DISTINCT sess_id) AS n_sessions, count(*) AS n_events,
+       max(cnt) AS max_session_events
+FROM (SELECT user_id, sess_id, count(*) AS cnt
+      FROM sess GROUP BY user_id, sess_id)
+GROUP BY user_id ORDER BY user_id""",
+
+      // ---- subqueries / CTE / pivot ----
+      "subq_correlated" ->
+        s"""SELECT c.c_custkey, round(c.c_acctbal, 2) AS bal
+FROM ${T("customer")} c
+WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM ${T("customer")} c2
+                     WHERE c2.c_nationkey = c.c_nationkey)
+ORDER BY c.c_custkey""",
+
+      "subq_scalar_uncorrelated" ->
+        s"""SELECT o_orderkey, o_totalprice
+FROM ${T("orders")}
+WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM ${T("orders")})
+ORDER BY o_orderkey""",
+
+      "cte_chain_top_supplier" ->
+        s"""WITH rev AS (
+  SELECT l_suppkey,
+         sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS r
+  FROM ${T("lineitem")} GROUP BY l_suppkey),
+mx AS (SELECT max(r) AS m FROM rev)
+SELECT s.s_suppkey, s.s_name, round(cast(rev.r AS DOUBLE), 2) AS revenue
+FROM rev JOIN mx ON rev.r = mx.m
+JOIN ${T("supplier")} s ON s.s_suppkey = rev.l_suppkey
+ORDER BY s.s_suppkey""",
+
+      "pivot_manual" ->
+        s"""SELECT cast(date_trunc('day', ts) AS DATE) AS day,
+       count(*) FILTER (WHERE event_type = 'click') AS clicks,
+       count(*) FILTER (WHERE event_type = 'view') AS views,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+       count(*) FILTER (WHERE event_type = 'signup') AS signups,
+       count(*) FILTER (WHERE event_type = 'error') AS errors
+FROM ${T("events")} GROUP BY 1 ORDER BY day"""
+    )
+  }
+}

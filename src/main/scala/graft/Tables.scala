@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import scala.collection.mutable
+
+/** Per-sfDir table catalog with optional caching.
+  *
+  * Caching rationale (SURVEY.md §4.2, BASELINE.md): the bench suite runs
+  * ~60 queries in one JVM; re-reading parquet footers 60x and rebuilding
+  * the co-purchase EDGES graph 6x would blow the 52 s budget. At bench
+  * scale (sf0.1, ≤ 11 MB/table) caching is free. At 100 TB cluster scale
+  * you would NOT cache base fact tables — disable with
+  * spark.graft.cacheTables=false; every operator in graft.ops is
+  * cache-agnostic (they only see the DataFrames returned here, whose
+  * plans remain plain parquet scans with full predicate pushdown when
+  * caching is off).
+  */
+object Tables {
+  private val tableCache = mutable.Map[(String, String), DataFrame]()
+  private val edgeCache = mutable.Map[String, (DataFrame, DataFrame)]()
+
+  private def cachingEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.cacheTables").forall(_.toBoolean)
+
+  /** Base table by name, e.g. Tables(spark, sfDir, "lineitem"). */
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    synchronized {
+      tableCache.getOrElseUpdate((sfDir, name), {
+        val df = read(spark, s"$sfDir/$name.parquet")
+        if (cachingEnabled(spark)) df.persist(StorageLevel.MEMORY_AND_DISK)
+        else df
+      })
+    }
+
+  /** Parquet read that tolerates TIMESTAMP(NANOS) columns, which Spark 4
+    * rejects natively: nanos are read as LongType and truncated to
+    * microsecond TimestampType — exactly DuckDB's ns->us conversion
+    * (floor; values are post-1970 so integer `div` == floor).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosFields = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+      import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+        else p
+      val footer = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try footer.getFileMetaData.getSchema.getFields.asScala.collect {
+        case f if f.isPrimitive && (f.getLogicalTypeAnnotation match {
+              case t: TimestampLogicalTypeAnnotation => t.getUnit == TimeUnit.NANOS
+              case _ => false
+            }) => f.getName
+      }.toSeq
+      finally footer.close()
+    }
+    val raw = spark.read.parquet(path)
+    nanosFields.foldLeft(raw) { (df, f) =>
+      df.withColumn(f, timestamp_micros(expr(s"`$f` div 1000")))
+    }
+  }
+
+  /** Strong co-purchase graph (SURVEY.md §2.8): part pairs co-occurring
+    * in >= 2 orders. Returns (e, ud): e = directed s<t edges with weight,
+    * ud = symmetrized undirected view. Built once per sfDir and persisted
+    * — the single biggest bench lever (6.3 s/build at sf0.1).
+    *
+    * Scale note: the lineitem self-join on l_orderkey shuffles both
+    * sides by orderkey; per-order line counts are bounded (max 17 ->
+    * <= 136 pairs/order) so there is no skew blowup. The >= 2 filter is
+    * applied immediately after the pair aggregation so only the sparse
+    * strong graph (~4k edges) is ever persisted or traversed.
+    */
+  def edges(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    synchronized {
+      edgeCache.getOrElseUpdate(sfDir, {
+        val li = apply(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val a = li.toDF("o", "s")
+        val b = li.toDF("o", "t")
+        val e = a
+          .join(b, a("o") === b("o") && a("s") < b("t"))
+          .groupBy(a("s"), b("t"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+        val ePersisted = e.persist(StorageLevel.MEMORY_AND_DISK)
+        val ud = ePersisted
+          .select(col("s"), col("t"))
+          .union(ePersisted.select(col("t").as("s"), col("s").as("t")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // materialize once so all six graph queries reuse it
+        ud.count()
+        (ePersisted, ud)
+      })
+    }
+
+  /** Undirected edge view only. */
+  def ud(spark: SparkSession, sfDir: String): DataFrame =
+    edges(spark, sfDir)._2
+
+  /** Test hook: drop all cached state (e.g. between suites). */
+  def clear(): Unit = synchronized {
+    tableCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    edgeCache.values.foreach { case (e, u) =>
+      try { e.unpersist(); u.unpersist() } catch { case _: Throwable => () }
+    }
+    tableCache.clear()
+    edgeCache.clear()
+  }
+}

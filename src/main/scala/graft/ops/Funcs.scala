@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar function families (SURVEY.md §2.6). Spark INT-returning
+  * functions (year, length, size, datediff, ...) are cast to BIGINT to
+  * match DuckDB; float array elements are cast to DOUBLE before
+  * arithmetic (FIXTURES.md type-mapping table). */
+object Funcs {
+
+  val fnString: Q = (s, d) =>
+    table(s, d, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("u"),
+        lower(col("p_type")).as("lo"),
+        substring(col("p_name"), 1, 10).as("pfx"),
+        asLong(length(col("p_name"))).as("len"),
+        regexp_replace(col("p_brand"), "#", "-").as("rep"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("cat"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+        col("p_type").contains("ECO").as("has_eco"),
+        regexp_extract(col("p_brand"), "#([0-9]+)", 1).as("brand_num"))
+      .orderBy("p_partkey")
+
+  val fnDate: Q = (s, d) =>
+    table(s, d, "orders")
+      .filter(col("o_orderkey") <= 500)
+      .select(
+        col("o_orderkey"),
+        asLong(year(col("o_orderdate"))).as("y"),
+        asLong(month(col("o_orderdate"))).as("m"),
+        asLong(dayofmonth(col("o_orderdate"))).as("d"),
+        date_trunc("month", col("o_orderdate")).as("mstart"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"))
+      .orderBy("o_orderkey")
+
+  val fnDatediffJoin: Q = (s, d) => {
+    val l = table(s, d, "lineitem").filter(col("l_orderkey") <= 1000)
+    val o = table(s, d, "orders")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(
+        l("l_orderkey"), l("l_linenumber"),
+        asLong(datediff(col("l_shipdate"), col("o_orderdate"))).as("ship_delay_days"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val fnMath: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .filter(col("l_orderkey") <= 1000)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(col("l_extendedprice") - 30000.0), 2).as("a"),
+        ceil(col("l_quantity")).as("c"),
+        floor(col("l_discount") * 100).as("f"),
+        round(sqrt(col("l_extendedprice")), 4).as("sq"),
+        round(log(col("l_extendedprice") + 1), 6).as("lg"),
+        round(pow(col("l_quantity"), 2), 2).as("p2"),
+        (col("l_orderkey") % 7).as("m7"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val fnConditional: Q = (s, d) =>
+    table(s, d, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000.0, "big")
+          .when(col("o_totalprice") > 100000.0, "mid")
+          .otherwise("small").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status2"),
+        greatest(col("o_totalprice"), lit(50000.0)).as("g"),
+        least(col("o_totalprice"), lit(50000.0)).as("l"))
+      .orderBy("o_orderkey")
+
+  val fnArray: Q = (s, d) =>
+    table(s, d, "embeddings")
+      .select(
+        col("vec_id"), col("label"),
+        asLong(size(col("embedding"))).as("dim"),
+        round(element_at(col("embedding"), 1).cast(DoubleType), 6).as("first_elem"),
+        round(
+          aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+            (acc, x) => acc + x.cast(DoubleType)), 6).as("head8_sum"))
+      .orderBy("vec_id")
+
+  /** Per-element round(x,6) is deliberately avoided here: DuckDB rounds
+    * via scaled-double std::round while Spark rounds the exact decimal
+    * expansion — they diverge ~2e-5/value, enough to flip a downstream
+    * 4dp rounding. A single double sum is order-stable (each vector's
+    * 64 elements aggregate in array order in one partition on both
+    * engines). */
+  val fnExplodeUnnest: Q = (s, d) =>
+    table(s, d, "embeddings")
+      .select(col("vec_id"), explode(col("embedding")).as("v"))
+      .groupBy(col("vec_id"))
+      .agg(
+        count(lit(1)).as("n_elems"),
+        round(sum(abs(col("v").cast(DoubleType))), 4).as("abs_sum"))
+      .orderBy("vec_id")
+
+  val fnJson: Q = (s, d) => {
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    table(s, d, "events")
+      .filter(k > 50)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_high"), sum(k).as("k_sum"))
+      .orderBy("event_type")
+  }
+}

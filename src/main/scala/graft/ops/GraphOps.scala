@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Graph operators over the strong co-purchase graph (SURVEY.md §2.8)
+  * — naqed's arbitrary-depth relation traversal re-expressed as
+  * DataFrame join iteration with FIXED iteration counts so both engines
+  * compute the identical partial fixpoint.
+  *
+  * The graph (Tables.edges) is built once per sfDir and persisted; all
+  * six queries share it. Iterations are plain Scala loops over
+  * DataFrames (Pregel-unrolled); at 100 TB these would add
+  * localCheckpoint() per round to cut lineage, and GraphX Pregel is the
+  * drop-in alternative — kept out of the oracle set because its float
+  * summation order is not bit-stable cross-engine (SURVEY §2.8).
+  */
+object GraphOps {
+
+  private def maxDegreeNode(ud: DataFrame): Long =
+    ud.groupBy(col("s")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("s"))
+      .limit(1).collect()(0).getLong(0)
+
+  val graphDegree: Q = (s, d) =>
+    Tables.ud(s, d)
+      .groupBy(col("s").as("node"))
+      .agg(count(lit(1)).as("degree"), sum(lit(0)).as("pad"))
+      .orderBy(col("degree").desc, col("node"))
+      .limit(50)
+
+  val graph2hop: Q = (s, d) => {
+    val ud = Tables.ud(s, d)
+    val start = maxDegreeNode(ud)
+    val h1 = ud.filter(col("s") === start).select(col("t").as("v")).distinct()
+    val h2 = ud.as("u").join(h1.as("h"), col("u.s") === col("h.v"))
+      .select(col("u.t").as("v")).distinct()
+      .filter(col("v") =!= start)
+      .join(h1, Seq("v"), "left_anti")
+    h1.select(lit(1).as("hop"), col("v"))
+      .unionAll(h2.select(lit(2).as("hop"), col("v")))
+      .orderBy("hop", "v")
+  }
+
+  val graphTriangles: Q = (s, d) => {
+    val e = Tables.edges(s, d)._1
+    e.as("e1")
+      .join(e.as("e2"), col("e2.s") === col("e1.t"))
+      .join(e.as("e3"), col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
+      .agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Min-label propagation, exactly 4 unrolled rounds with the
+    * self-loop trick (so a node keeps its own label in the min). */
+  val graphCcLabelprop: Q = (s, d) => {
+    val ud = Tables.ud(s, d)
+    val n0 = ud.select(col("s").as("v")).union(ud.select(col("t").as("v"))).distinct()
+    val ud2 = ud.select(col("s"), col("t"))
+      .unionAll(n0.select(col("v").as("s"), col("v").as("t")))
+    var l = n0.select(col("v"), col("v").as("lbl"))
+    for (_ <- 1 to 4) {
+      l = ud2.as("e").join(l.as("l"), col("l.v") === col("e.t"))
+        .groupBy(col("e.s").as("v"))
+        .agg(min(col("l.lbl")).as("lbl"))
+    }
+    l.groupBy(col("lbl").as("component_label"))
+      .agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("component_label"))
+      .limit(50)
+  }
+
+  /** BFS min-depth <= 3: per-level distinct frontiers unioned, then
+    * min(depth) — identical to the oracle's WITH RECURSIVE partial
+    * fixpoint. */
+  val graphBfs3hop: Q = (s, d) => {
+    val spark = s
+    val ud = Tables.ud(s, d)
+    val start = maxDegreeNode(ud)
+    val l0 = spark.range(1).select(lit(start).as("v"), lit(0).as("depth"))
+    var frontier = l0.select(col("v"))
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](l0)
+    for (depth <- 1 to 3) {
+      frontier = ud.as("u").join(frontier.as("f"), col("u.s") === col("f.v"))
+        .select(col("u.t").as("v")).distinct()
+      levels += frontier.withColumn("depth", lit(depth))
+    }
+    levels.reduce(_ unionAll _)
+      .groupBy(col("v")).agg(min(col("depth")).as("depth"))
+      .orderBy("depth", "v")
+  }
+
+  /** PageRank, damping 0.85, exactly 3 iterations. Per-edge
+    * contributions are cast to DECIMAL(28,15) before summing
+    * ("decimal-stabilized float aggregation", SURVEY §5.3) so the
+    * summation order cannot diverge between engines. */
+  val graphPagerank3: Q = (s, d) => {
+    val ud = Tables.ud(s, d)
+    val n0 = ud.select(col("s").as("v")).union(ud.select(col("t").as("v"))).distinct()
+    val deg = ud.groupBy(col("s").as("v")).agg(count(lit(1)).as("deg"))
+    val nCount = n0.count()
+    val base = 0.15 / nCount
+    var p = n0.select(col("v"), lit(1.0 / nCount).as("pr"))
+    for (_ <- 1 to 3) {
+      p = n0.as("n")
+        .join(ud.as("u"), col("u.t") === col("n.v"), "left")
+        .join(p.as("p"), col("p.v") === col("u.s"), "left")
+        .join(deg.as("g"), col("g.v") === col("u.s"), "left")
+        .groupBy(col("n.v").as("v"))
+        .agg((lit(base) + lit(0.85) *
+          coalesce(sum((col("p.pr") / col("g.deg")).cast(D28_15)), lit(0))
+            .cast(DoubleType)).as("pr"))
+    }
+    p.select(col("v").as("node"), round(col("pr"), 8).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("node"))
+      .limit(30)
+  }
+}

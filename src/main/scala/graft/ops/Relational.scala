@@ -1,0 +1,318 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational core: scans, joins, aggregations, sorts/sets, subqueries
+  * (SURVEY.md §2.1–2.3, §2.5, §2.10). Every query mirrors its DuckDB
+  * oracle in graft.Oracle exactly (decimal discipline, total-order
+  * ORDER BY, BIGINT-normalized integer outputs).
+  *
+  * Scale notes: all fact-side plans keep filters/projections at the
+  * scan (Parquet pushdown), dimension joins stay under the broadcast
+  * threshold (region/nation/customer/supplier), and fact-fact joins
+  * shuffle on their equi-keys only.
+  */
+object Relational {
+
+  // ---- §2.1 scans ----
+
+  val scanProject: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .filter(col("l_quantity") > 45.0)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val filterComplex: Q = (s, d) =>
+    table(s, d, "orders")
+      .filter(
+        col("o_orderstatus").isin("F", "O") &&
+          col("o_orderdate").between(
+            to_timestamp(lit("1996-01-01")), to_timestamp(lit("1998-12-31"))) &&
+          col("o_orderpriority").like("%URGENT%") &&
+          col("o_totalprice").isNotNull)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  val scanPruneMinmax: Q = (s, d) =>
+    table(s, d, "lineitem").agg(
+      count(lit(1)).as("n"),
+      min(col("l_shipdate")).as("lo"),
+      max(col("l_shipdate")).as("hi"),
+      moneySum2(col("l_quantity")).as("total_qty"))
+
+  // ---- §2.2 joins ----
+
+  val joinInnerMulti: Q = (s, d) => {
+    val o = table(s, d, "orders")
+    val c = table(s, d, "customer")
+    val n = table(s, d, "nation")
+    val r = table(s, d, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name"), n("n_name"))
+      .agg(count(lit(1)).as("n_orders"), moneySum2(col("o_totalprice")).as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val joinBroadcastDim: Q = (s, d) => {
+    val l = table(s, d, "lineitem")
+    val p = table(s, d, "part").filter(col("p_size") >= 25)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"), moneySum2(col("l_extendedprice")).as("ext_sum"))
+      .orderBy("p_brand")
+  }
+
+  val joinLeftOuter: Q = (s, d) => {
+    val n = table(s, d, "nation")
+    val sp = table(s, d, "supplier")
+    n.join(sp, sp("s_nationkey") === n("n_nationkey"), "left")
+      .groupBy(n("n_nationkey"), n("n_name"))
+      .agg(
+        count(col("s_suppkey")).as("n_suppliers"),
+        round(coalesce(sum(dec2(col("s_acctbal"))), lit(0)).cast(DoubleType), 2).as("bal"))
+      .orderBy("n_nationkey")
+  }
+
+  val joinFullOuter: Q = (s, d) => {
+    val cn = table(s, d, "customer")
+      .groupBy(col("c_nationkey").as("k")).agg(count(lit(1)).as("n_cust"))
+    val sn = table(s, d, "supplier")
+      .groupBy(col("s_nationkey").as("k")).agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, cn("k") === sn("k"), "full_outer")
+      .select(
+        coalesce(cn("k"), sn("k")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  val joinSemi: Q = (s, d) => {
+    val c = table(s, d, "customer")
+    val o = table(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val joinAnti: Q = (s, d) => {
+    val c = table(s, d, "customer")
+    val o = table(s, d, "orders").filter(col("o_totalprice") > 300000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Band self-join: equi-prefix on user_id keeps this a hash join with
+    * a residual range filter — no nested-loop blowup at scale. */
+  val joinRangeTheta: Q = (s, d) => {
+    val e1 = table(s, d, "events").as("e1")
+    val e2 = table(s, d, "events").as("e2")
+    e1.join(e2,
+        col("e1.user_id") === col("e2.user_id") &&
+          col("e2.ts") > col("e1.ts") &&
+          col("e2.ts") <= col("e1.ts") + expr("INTERVAL 5 MINUTES"))
+      .groupBy(col("e1.user_id").as("user_id"))
+      .agg(count(lit(1)).as("pairs_within_5min"))
+      .orderBy("user_id")
+  }
+
+  /** As-of via the portable groupBy-max formulation (SURVEY §2.2). */
+  val joinAsof: Q = (s, d) => {
+    val ev = table(s, d, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts")).as("p")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c, col("c_user") === col("p.user_id") && col("c_ts") <= col("p.ts"))
+      .groupBy(col("p.event_id").as("event_id"), col("p.user_id").as("user_id"))
+      .agg(max(col("c_ts")).as("last_click_ts"))
+      .orderBy("event_id")
+  }
+
+  // ---- §2.3 aggregations ----
+
+  val aggHashQ1: Q = (s, d) => {
+    val one = lit(1)
+    val ep = dec2(col("l_extendedprice"))
+    val disc = dec2(col("l_discount"))
+    val tax = dec2(col("l_tax"))
+    table(s, d, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-01")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum2(col("l_quantity")).as("sum_qty"),
+        moneySum2(col("l_extendedprice")).as("sum_base"),
+        round(sum(ep * (one - disc)).cast(DoubleType), 2).as("sum_disc"),
+        round(sum(ep * (one - disc) * (one + tax)).cast(DoubleType), 2).as("sum_charge"),
+        decAvg(col("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val aggCountDistinct: Q = (s, d) =>
+    table(s, d, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        countDistinct(col("c_custkey")).as("n_cust"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  val aggRollup: Q = (s, d) => {
+    val c = table(s, d, "customer")
+    val n = table(s, d, "nation")
+    val r = table(s, d, "region")
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .select(r("r_name").as("r_name"), n("n_name").as("n_name"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        asLong(grouping(col("r_name"))).as("g_region"),
+        asLong(grouping(col("n_name"))).as("g_nation"),
+        count(lit(1)).as("n_cust"))
+      .select(
+        col("g_region"), col("g_nation"),
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_cust"))
+      .orderBy("g_region", "g_nation", "region", "nation")
+  }
+
+  val aggCube: Q = (s, d) =>
+    table(s, d, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        asLong(grouping(col("o_orderstatus"))).as("g_s"),
+        asLong(grouping(col("o_orderpriority"))).as("g_p"),
+        count(lit(1)).as("n"),
+        moneySum2(col("o_totalprice")).as("total"))
+      .select(
+        col("g_s"), col("g_p"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("g_s", "g_p", "status", "priority")
+
+  val aggGroupingSets: Q = (s, d) =>
+    table(s, d, "documents")
+      .groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("lang")), Seq()),
+        col("lang"), col("source"))
+      .agg(
+        asLong(grouping(col("lang"))).as("g_l"),
+        asLong(grouping(col("source"))).as("g_s"),
+        count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("chars"))
+      .select(
+        col("g_l"), col("g_s"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("docs"), col("chars"))
+      .orderBy("g_l", "g_s", "lang", "source")
+
+  val aggStats: Q = (s, d) =>
+    table(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("value")), 2).as("vmin"),
+        round(max(col("value")), 2).as("vmax"),
+        decAvg(col("value"), 4).as("vavg"),
+        round(stddev_samp(col("value")), 4).as("vstd"))
+      .orderBy("event_type")
+
+  val aggHaving: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("_s"))
+      .filter(col("_s") > 1000)
+      .select(col("l_suppkey"), round(col("_s").cast(DoubleType), 2).as("qty"))
+      .orderBy("l_suppkey")
+
+  // ---- §2.5 sorts / sets ----
+
+  val sortMultiLimit: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+      .orderBy(
+        col("l_returnflag").asc, col("l_extendedprice").desc,
+        col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(100)
+
+  val setUnion: Q = (s, d) =>
+    table(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+      .union(
+        table(s, d, "orders").filter(col("o_totalprice") > 450000.0)
+          .select(col("o_custkey").as("k")))
+      .distinct()
+      .orderBy("k")
+
+  val setIntersect: Q = (s, d) =>
+    table(s, d, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+      .intersect(
+        table(s, d, "orders").filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("k")))
+      .orderBy("k")
+
+  val setExcept: Q = (s, d) =>
+    table(s, d, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+      .except(
+        table(s, d, "orders").filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").as("k")))
+      .orderBy("k")
+
+  // ---- §2.10 subqueries / CTE / pivot ----
+
+  /** Correlated scalar subquery, decorrelated by hand: per-nation avg
+    * joined back (identical to Catalyst's decorrelation of the SQL). */
+  val subqCorrelated: Q = (s, d) => {
+    val c = table(s, d, "customer")
+    val avgs = c.groupBy(col("c_nationkey").as("nk"))
+      .agg(avg(col("c_acctbal")).as("a"))
+    c.join(avgs, c("c_nationkey") === avgs("nk"))
+      .filter(c("c_acctbal") > col("a"))
+      .select(c("c_custkey"), round(c("c_acctbal"), 2).as("bal"))
+      .orderBy("c_custkey")
+  }
+
+  val subqScalarUncorrelated: Q = (s, d) => {
+    val o = table(s, d, "orders")
+    val thr = o.agg(avg(col("o_totalprice")).as("a"))
+    o.join(broadcast(thr))
+      .filter(col("o_totalprice") > lit(1.5) * col("a"))
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val cteChainTopSupplier: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+    val sup = table(s, d, "supplier")
+    val rev = li.groupBy(col("l_suppkey"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).as("r"))
+    val mx = rev.agg(max(col("r")).as("m"))
+    rev.join(broadcast(mx), col("r") === col("m"))
+      .join(sup, sup("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), round(col("r").cast(DoubleType), 2).as("revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Pivot via explicit conditional aggregation (SURVEY R6: column-order
+    * safe, exactly mirrors the oracle's FILTER columns). */
+  val pivotManual: Q = (s, d) => {
+    def cnt(t: String) = sum(when(col("event_type") === t, 1).otherwise(0))
+    table(s, d, "events")
+      .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(
+        cnt("click").as("clicks"), cnt("view").as("views"),
+        cnt("purchase").as("purchases"), cnt("signup").as("signups"),
+        cnt("error").as("errors"))
+      .orderBy("day")
+  }
+}

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Text / LLM-pipeline operators (SURVEY.md §2.7): tokenization, exact
+  * and near dedup, vector similarity, multimodal join. */
+object TextSim {
+
+  /** Cosine similarity of two float-array columns in DOUBLE precision:
+    * (Σab)/√(Σa²·Σb²). Codegen'd higher-order functions — no UDF. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast(DoubleType))
+    val bd = transform(b, x => x.cast(DoubleType))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    val na = aggregate(ad, lit(0.0), (s, x) => s + x * x)
+    val nb = aggregate(bd, lit(0.0), (s, x) => s + x * x)
+    dot / sqrt(na * nb)
+  }
+
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+
+  val textWordcount: Q = (s, d) =>
+    tokens(table(s, d, "documents"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(20)
+
+  val textStats: Q = (s, d) =>
+    table(s, d, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        decAvg(col("n_chars"), 2).as("avg_chars"),
+        sum(asLong(size(split(col("text"), " ")))).as("total_tokens"))
+      .orderBy("lang")
+
+  /** Positional bigrams: posexplode + self-join on (doc, pos+1). The
+    * pos join is 0-based here vs 1-based in the oracle — offsets are
+    * consistent so the pair set is identical. */
+  val textBigrams: Q = (s, d) => {
+    val t = table(s, d, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val a = t.as("a")
+    val b = t.as("b")
+    a.join(b, col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  /** Exact dedup: canonical row per content hash (md5 of normalized
+    * text). Hash-groupBy — the scalable exact-dedup shape. */
+  val dedupExact: Q = (s, d) =>
+    table(s, d, "documents")
+      .groupBy(md5(lower(trim(col("text")))).as("h"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("copies"))
+      .orderBy("h")
+      .limit(200)
+
+  /** Near-dup pairs via exact token-set Jaccard with language blocking
+    * and a 10% doc sample (SURVEY §2.7). The token equi-join is the
+    * blocked candidate generation step of MinHash-style pipelines. */
+  val dedupNearJaccard: Q = (s, d) => {
+    val sample = table(s, d, "documents").filter(col("doc_id") % 10 === 0)
+    val toks = sample
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val sizes = toks.groupBy(col("doc_id").as("sz_id")).agg(count(lit(1)).as("sz"))
+    val a = toks.as("a")
+    val b = toks.as("b")
+    val inter = a.join(b,
+        col("a.w") === col("b.w") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    val s1 = sizes.toDF("s1_id", "s1")
+    val s2 = sizes.toDF("s2_id", "s2")
+    val jac = col("i").cast(DoubleType) / (col("s1") + col("s2") - col("i"))
+    inter
+      .join(s1, col("d1") === col("s1_id"))
+      .join(s2, col("d2") === col("s2_id"))
+      .filter(jac >= 0.8)
+      .select(col("d1"), col("d2"), round(jac, 4).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  private def rankedTopk(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val emb = table(s, d, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val scored = probes.crossJoin(emb)
+      .filter(col("vec_id") =!= col("pid"))
+      .select(
+        col("pid"), col("vec_id").as("cand"), col("label"),
+        round(cosine(col("pe"), col("embedding")), 4).as("sim"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cand"))
+    scored.withColumn("rk", asLong(row_number().over(w))).filter(col("rk") <= 5)
+  }
+
+  /** Brute-force cosine top-k: probes × candidates. The probe side is
+    * tiny so Spark broadcasts it — at scale this is the exact-rescoring
+    * baseline; Pipelines.annIvfTopk is the bucketed scale path. */
+  val simCosineTopk: Q = (s, d) =>
+    rankedTopk(s, d)
+      .select("pid", "rk", "cand", "label", "sim")
+      .orderBy("pid", "rk")
+
+  val simKnnLabel: Q = (s, d) => {
+    val votes = rankedTopk(s, d)
+      .groupBy(col("pid"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("votes").desc, col("label"))
+    votes.withColumn("vr", row_number().over(w))
+      .filter(col("vr") === 1)
+      .select(col("pid"), col("label").as("predicted"), col("votes"))
+      .orderBy("pid")
+  }
+
+  val multimodalJoin: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    val emb = table(s, d, "embeddings")
+    val vecSum = aggregate(col("embedding"), lit(0.0), (s0, x) => s0 + x.cast(DoubleType))
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        decAvg(col("n_chars"), 2).as("avg_chars"),
+        round(sum(round(vecSum, 6).cast(D18_6)).cast(DoubleType), 4).as("vec_mass"))
+      .orderBy("label")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Window functions (SURVEY.md §2.4). Rank-family outputs are cast to
+  * BIGINT to match DuckDB result types. */
+object Windows {
+
+  val winRankTopn: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    table(s, d, "orders")
+      .select(
+        col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        asLong(row_number().over(w)).as("rn"),
+        asLong(rank().over(w)).as("rk"),
+        asLong(dense_rank().over(w)).as("drk"))
+      .filter(col("rn") <= 20)
+      .orderBy("o_orderstatus", "rn")
+  }
+
+  val winLagLead: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(s, d, "events")
+      .select(
+        col("user_id"), col("event_id"),
+        round(col("value"), 2).as("v"),
+        round(lag(col("value"), 1).over(w), 2).as("prev_v"),
+        round(lead(col("value"), 1).over(w), 2).as("next_v"),
+        round(col("value") - coalesce(lag(col("value"), 1).over(w), lit(0.0)), 2).as("delta"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val winMovingFrame: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    table(s, d, "events")
+      .select(
+        col("user_id"), col("event_id"),
+        round(sum(dec2(col("value"))).over(w).cast(DoubleType), 2).as("mov_sum4"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val winRunningTotal: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, d, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(dec2(col("o_totalprice"))).over(w).cast(DoubleType), 2).as("run_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Global (unpartitioned) window — single-partition sort; fine at this
+    * cardinality, would need a range-partitioned two-pass at 100 TB. */
+  val winNtileDist: Q = (s, d) => {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    table(s, d, "customer")
+      .select(
+        col("c_custkey"), col("c_acctbal"),
+        asLong(ntile(4).over(w)).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("c_custkey")
+  }
+
+  val topkPerGroup: Q = (s, d) => {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    table(s, d, "part")
+      .select(
+        col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        asLong(rank().over(w)).as("rk"))
+      .filter(col("rk") <= 3)
+      .orderBy("p_brand", "rk", "p_partkey")
+  }
+}
