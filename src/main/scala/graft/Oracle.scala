@@ -413,6 +413,131 @@ ORDER BY pid""",
 FROM ${T("documents")} d JOIN ${T("embeddings")} e ON d.doc_id = e.vec_id
 GROUP BY e.label ORDER BY e.label""",
 
+      // ---- training-data pipeline extensions (SURVEY §2.11) ----
+      "pipeline_token_count" ->
+        s"""SELECT doc_id, lang,
+       cast(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+       n_chars
+FROM ${T("documents")} WHERE doc_id % 7 = 0 ORDER BY doc_id""",
+
+      "pipeline_quality_score" ->
+        s"""WITH s AS (
+  SELECT doc_id, lang, text, n_chars, string_split(text, ' ') AS toks FROM ${T("documents")}
+  WHERE doc_id % 7 = 0)
+SELECT doc_id, lang,
+  cast(len(toks) AS BIGINT) AS n_tokens,
+  round(cast(n_chars AS DOUBLE) / len(toks), 4) AS avg_tok_len,
+  round(cast(len(list_filter(toks, w -> w IN ('the','a','table','value','query'))) AS DOUBLE) / len(toks), 4) AS stop_ratio,
+  round(least(1.0, ln(1 + len(toks)) / 5) * (1.0 - cast(len(list_filter(toks, w -> w IN ('the','a','table','value','query'))) AS DOUBLE) / len(toks)), 4) AS quality,
+  CASE WHEN len(toks) >= 40 THEN 'long' WHEN len(toks) >= 15 THEN 'mid' ELSE 'short' END AS bucket
+FROM s ORDER BY doc_id""",
+
+      "pipeline_lang_id" ->
+        s"""WITH toks AS (SELECT DISTINCT doc_id, lang, unnest(string_split(text,' ')) AS w FROM ${T("documents")}),
+tk AS (SELECT * FROM toks WHERE w <> ''),
+freq AS (SELECT lang, w, count(*) AS df FROM tk GROUP BY 1, 2),
+markers AS (SELECT lang AS mlang, w FROM (
+  SELECT lang, w, row_number() OVER (PARTITION BY lang ORDER BY df DESC, w) AS rn FROM freq) WHERE rn <= 5),
+votes AS (SELECT t.doc_id, m.mlang, count(*) AS hits
+  FROM tk t JOIN markers m ON t.w = m.w GROUP BY 1, 2),
+pred AS (SELECT doc_id, mlang AS predicted FROM (
+  SELECT doc_id, mlang, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, mlang) AS rn FROM votes) WHERE rn = 1)
+SELECT d.lang AS actual, coalesce(p.predicted, 'unknown') AS predicted, count(*) AS docs
+FROM ${T("documents")} d LEFT JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      "pipeline_fingerprint" ->
+        s"""WITH t AS (
+  SELECT doc_id, generate_subscripts(string_split(text,' '), 1) AS pos,
+         unnest(string_split(text,' ')) AS w
+  FROM ${T("documents")} WHERE doc_id % 5 = 0),
+sh AS (SELECT DISTINCT a.doc_id, md5(concat(a.w, ' ', b.w, ' ', c.w)) AS h
+  FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+           JOIN t c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2)
+SELECT doc_id, count(*) AS n_shingles, min(h) AS fp_min, max(h) AS fp_max
+FROM sh GROUP BY doc_id ORDER BY doc_id""",
+
+      "dedup_simhash" ->
+        s"""WITH sp AS (SELECT doc_id, lang, generate_subscripts(string_split(text,' '),1) AS pos,
+         unnest(string_split(text,' ')) AS w FROM ${T("documents")}),
+sh AS (SELECT DISTINCT a.doc_id, a.lang, concat(a.w,' ',b.w,' ',c.w) AS g
+  FROM sp a JOIN sp b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+            JOIN sp c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
+bits AS (SELECT doc_id, lang, bitpos,
+    CASE WHEN substr(md5(g), bitpos, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS delta
+  FROM sh, (SELECT unnest(range(1, 33)) AS bitpos)),
+fp AS (SELECT doc_id, lang,
+    cast(sum(CASE WHEN sd > 0 THEN (cast(1 AS BIGINT) << (bitpos - 1)) ELSE 0 END) AS BIGINT) AS fp
+  FROM (SELECT doc_id, lang, bitpos, sum(delta) AS sd FROM bits GROUP BY 1,2,3)
+  GROUP BY 1, 2)
+SELECT a.doc_id AS d1, b.doc_id AS d2, cast(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 4
+ORDER BY d1, d2""",
+
+      "dedup_minhash_lsh" -> {
+        val m0_7 = (0 until 8).map(i => s"m$i").mkString(", ',', ")
+        val m8_15 = (8 until 16).map(i => s"m$i").mkString(", ',', ")
+        val minCols = (0 until 16)
+          .map(i => s"min(CASE WHEN seed = $i THEN mh END) AS m$i").mkString(",\n    ")
+        s"""WITH sp AS (SELECT doc_id, lang, generate_subscripts(string_split(text,' '),1) AS pos,
+         unnest(string_split(text,' ')) AS w FROM ${T("documents")}),
+sh AS (SELECT DISTINCT a.doc_id, a.lang, concat(a.w,' ',b.w,' ',c.w) AS g
+  FROM sp a JOIN sp b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+            JOIN sp c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
+mh AS (SELECT doc_id, lang, seed, min(md5(concat(cast(seed AS VARCHAR), '|', g))) AS mh
+  FROM sh, (SELECT unnest(range(0, 16)) AS seed) GROUP BY 1, 2, 3),
+wide AS (SELECT doc_id, lang,
+    $minCols
+  FROM mh GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, lang, 0 AS band, md5(concat($m0_7)) AS bkey FROM wide
+  UNION ALL
+  SELECT doc_id, lang, 1 AS band, md5(concat($m8_15)) AS bkey FROM wide),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.band = b.band
+    AND a.lang = b.lang AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (SELECT c.d1, c.d2, count(*) AS i
+  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.g = a.g
+  GROUP BY 1, 2)
+SELECT d1, d2, round(cast(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard
+FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+WHERE cast(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5
+ORDER BY d1, d2"""
+      },
+
+      "sim_cosine_neardup" ->
+        s"""WITH e AS (SELECT vec_id, label, embedding FROM ${T("embeddings")} WHERE vec_id % 2 = 0)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+  round(list_cosine_similarity(cast(a.embedding AS DOUBLE[]), cast(b.embedding AS DOUBLE[])), 4) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(cast(a.embedding AS DOUBLE[]), cast(b.embedding AS DOUBLE[])) >= 0.35
+ORDER BY v1, v2""",
+
+      "ann_ivf_topk" ->
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM ${T("embeddings")} WHERE vec_id < 8),
+asg AS (SELECT vec_id, cid FROM (
+  SELECT e.vec_id, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      round(list_cosine_similarity(cast(e.embedding AS DOUBLE[]), cast(c.ce AS DOUBLE[])), 6) DESC, c.cid) AS rn
+  FROM ${T("embeddings")} e CROSS JOIN cent c) WHERE rn = 1),
+probes AS (SELECT vec_id AS pid, embedding AS pe FROM ${T("embeddings")} WHERE vec_id >= 10 AND vec_id < 20),
+pb AS (SELECT pid, cid FROM (
+  SELECT p.pid, c.cid,
+    row_number() OVER (PARTITION BY p.pid ORDER BY
+      round(list_cosine_similarity(cast(p.pe AS DOUBLE[]), cast(c.ce AS DOUBLE[])), 6) DESC, c.cid) AS rn
+  FROM probes p CROSS JOIN cent c) WHERE rn <= 2),
+cand AS (SELECT DISTINCT pb.pid, a.vec_id AS cand FROM pb JOIN asg a ON a.cid = pb.cid),
+scored AS (SELECT c.pid, c.cand, e.label,
+    round(list_cosine_similarity(cast(p.pe AS DOUBLE[]), cast(e.embedding AS DOUBLE[])), 4) AS sim
+  FROM cand c JOIN probes p ON p.pid = c.pid JOIN ${T("embeddings")} e ON e.vec_id = c.cand
+  WHERE c.cand <> c.pid)
+SELECT pid, rk, cand, label, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cand) AS rk FROM scored)
+WHERE rk <= 5 ORDER BY pid, rk""",
+
       // ---- graph ----
       "graph_degree" ->
         s"""$E

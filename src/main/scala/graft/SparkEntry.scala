@@ -68,6 +68,15 @@ object SparkEntry {
     "sim_cosine_topk" -> TextSim.simCosineTopk,
     "sim_knn_label" -> TextSim.simKnnLabel,
     "multimodal_join" -> TextSim.multimodalJoin,
+    // §2.11 training-data pipeline extensions
+    "pipeline_token_count" -> Pipelines.pipelineTokenCount,
+    "pipeline_quality_score" -> Pipelines.pipelineQualityScore,
+    "pipeline_lang_id" -> Pipelines.pipelineLangId,
+    "pipeline_fingerprint" -> Pipelines.pipelineFingerprint,
+    "dedup_simhash" -> Pipelines.dedupSimhash,
+    "dedup_minhash_lsh" -> Pipelines.dedupMinhashLsh,
+    "sim_cosine_neardup" -> Pipelines.simCosineNeardup,
+    "ann_ivf_topk" -> Pipelines.annIvfTopk,
     // §2.8 graph
     "graph_degree" -> GraphOps.graphDegree,
     "graph_2hop" -> GraphOps.graph2hop,

@@ -1,0 +1,231 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.functions.CosineSimilarity.cosineSim
+
+/** Training-data pipeline operators beyond the reference surface
+  * (build brief: dedup at scale, similarity search, text analysis) —
+  * SURVEY.md §2.11. All deterministic (md5-based hashing, fixed
+  * seeds/bands, rounded doubles) so each has a DuckDB oracle.
+  *
+  * Scale shapes: MinHash-LSH is the linear-candidate near-dedup path
+  * (band-key equi-join, no all-pairs); SimHash joins 8-byte
+  * fingerprints only; ANN-IVF probes only nprobe buckets instead of
+  * the full corpus. The token-set Jaccard variants in TextSim are the
+  * exact-arithmetic stand-ins; these are what survives 100 TB.
+  */
+object Pipelines {
+
+  private val shingleCache = scala.collection.mutable.Map[String, DataFrame]()
+
+  /** 3-gram shingles per doc (distinct), shared by fingerprint, simhash
+    * and minhash-LSH — built once per sfDir and persisted (same
+    * engine-level materialization policy as Tables.edges). Token-set
+    * similarity degenerates on small vocabularies; shingling is the
+    * standard fix. Built shuffle-free: a single projection slides a
+    * 3-token window over each doc's token array (transform over
+    * 0..n-3), then one explode — no positional self-joins. */
+  private def shingles(s: SparkSession, d: String): DataFrame = synchronized {
+    shingleCache.getOrElseUpdate(d, {
+      val toks = split(col("text"), " ")
+      val grams = transform(
+        sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3)))
+      table(s, d, "documents")
+        .filter(size(toks) >= 3)
+        .select(col("doc_id"), col("lang"), explode(grams).as("g"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
+  // ---- text analysis ----
+
+  val pipelineTokenCount: Q = (s, d) =>
+    table(s, d, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .select(
+        col("doc_id"), col("lang"),
+        asLong(size(split(col("text"), " "))).as("ws_tokens"),
+        asLong(size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))).as("bpe_tokens"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  val pipelineQualityScore: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val stop = (w: Column) => w.isin("the", "a", "table", "value", "query")
+    val nTok = size(toks)
+    val stopRatio = size(filter(toks, stop)).cast(DoubleType) / nTok
+    table(s, d, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .select(
+        col("doc_id"), col("lang"),
+        asLong(nTok).as("n_tokens"),
+        round(col("n_chars").cast(DoubleType) / nTok, 4).as("avg_tok_len"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(least(lit(1.0), log(lit(1) + nTok) / 5) * (lit(1.0) - stopRatio), 4)
+          .as("quality"),
+        when(nTok >= 40, "long").when(nTok >= 15, "mid").otherwise("short").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-trained language ID: top-5 distinguishing tokens per lang by
+    * document frequency become markers; each doc votes by marker
+    * overlap. Output is the confusion matrix. */
+  val pipelineLangId: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    val tk = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .filter(col("w") =!= "")
+    val freq = tk.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("df"))
+    val wm = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("w"))
+    val markers = freq.withColumn("rn", row_number().over(wm))
+      .filter(col("rn") <= 5)
+      .select(col("lang").as("mlang"), col("w"))
+    val votes = tk.join(markers, Seq("w"))
+      .groupBy(col("doc_id"), col("mlang"))
+      .agg(count(lit(1)).as("hits"))
+    val wv = Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("mlang"))
+    val pred = votes.withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .select(col("doc_id").as("p_id"), col("mlang").as("predicted"))
+    docs.join(pred, docs("doc_id") === col("p_id"), "left")
+      .groupBy(col("lang").as("actual"), coalesce(col("predicted"), lit("unknown")).as("predicted"))
+      .agg(count(lit(1)).as("docs"))
+      .orderBy("actual", "predicted")
+  }
+
+  /** Shingle-sketch document fingerprint (min/max of shingle md5s — a
+    * 1-permutation MinHash). */
+  val pipelineFingerprint: Q = (s, d) =>
+    shingles(s, d)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), md5(col("g")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), min(col("h")).as("fp_min"), max(col("h")).as("fp_max"))
+      .orderBy("doc_id")
+
+  // ---- near-dedup at scale ----
+
+  /** SimHash over 3-gram shingles: 32-bit fingerprint from md5-nibble
+    * MSBs, pairs within hamming <= 4 (language-blocked). The pair join
+    * touches only 8-byte fingerprints. The 32 bit-sums are computed as
+    * 32 aggregate columns in ONE pass over the shingle set — no 32x
+    * row explosion (the oracle's unnest(range) formulation computes the
+    * identical sums). */
+  val dedupSimhash: Q = (s, d) => {
+    val sh = shingles(s, d).select(col("doc_id"), col("lang"), md5(col("g")).as("h"))
+    val sums = (1 to 32).map { j =>
+      sum(when(substring(col("h"), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"sd$j")
+    }
+    val fpExpr = (1 to 32).map { j =>
+      when(col(s"sd$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val fp = sh.groupBy(col("doc_id"), col("lang"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), col("lang"), fpExpr.as("fp"))
+    val a = fp.toDF("d1", "lang", "fp1")
+    val b = fp.toDF("d2", "lang2", "fp2")
+    a.join(b, col("lang") === col("lang2") && col("d1") < col("d2"))
+      .withColumn("hamming", asLong(expr("bit_count(fp1 ^ fp2)")))
+      .filter(col("hamming") <= 4)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy("d1", "d2")
+  }
+
+  /** MinHash + LSH near-dedup over 3-gram shingles: 16 md5-seeded
+    * min-hashes, 2 bands x 8 rows; candidates = band-key equi-join
+    * (linear in near-duplicates, never all-pairs); candidates verified
+    * with exact shingle Jaccard >= 0.5. The 16 signatures are 16
+    * min-aggregate columns in one pass. */
+  val dedupMinhashLsh: Q = (s, d) => {
+    val sh = shingles(s, d)
+    val mins = (0 until 16).map { seed =>
+      min(md5(concat(lit(s"$seed|"), col("g")))).as(s"m$seed")
+    }
+    val wide = sh.groupBy(col("doc_id"), col("lang")).agg(mins.head, mins.tail: _*)
+    def bandKey(seeds: Range): Column =
+      md5(concat_ws(",", seeds.map(i => col(s"m$i")): _*))
+    val bands = wide.select(col("doc_id"), col("lang"), lit(0).as("band"),
+        bandKey(0 until 8).as("bkey"))
+      .unionAll(wide.select(col("doc_id"), col("lang"), lit(1).as("band"),
+        bandKey(8 until 16).as("bkey")))
+    val cand = bands.toDF("d1", "lang", "band", "bkey")
+      .join(bands.toDF("d2", "lang2", "band2", "bkey2"),
+        col("bkey") === col("bkey2") && col("band") === col("band2") &&
+          col("lang") === col("lang2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sa = sh.select(col("doc_id").as("ia"), col("g"))
+    val sb = sh.select(col("doc_id").as("ib"), col("g").as("gb"))
+    val inter = cand
+      .join(sa, col("ia") === col("d1"))
+      .join(sb, col("ib") === col("d2") && col("gb") === col("g"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+    val s1 = sizes.toDF("i1", "sz1")
+    val s2 = sizes.toDF("i2", "sz2")
+    val jac = col("i").cast(DoubleType) / (col("sz1") + col("sz2") - col("i"))
+    inter.join(s1, col("i1") === col("d1")).join(s2, col("i2") === col("d2"))
+      .filter(jac >= 0.5)
+      .select(col("d1"), col("d2"), round(jac, 4).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  // ---- vector similarity at scale ----
+
+  /** Embedding near-dup pairs: brute-force cosine >= 0.35 on a 1/2
+    * sample via the codegen'd CosineSimilarity expression. */
+  val simCosineNeardup: Q = (s, d) => {
+    val e = table(s, d, "embeddings").filter(col("vec_id") % 2 === 0)
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    val sim = cosineSim(s, col("e1"), col("e2"))
+    a.join(b, col("v1") < col("v2"))
+      .filter(sim >= 0.35)
+      .select(col("v1"), col("v2"), round(sim, 4).as("sim"))
+      .orderBy("v1", "v2")
+  }
+
+  /** ANN via a deterministic IVF index: 8 centroids (vec_id < 8), each
+    * vector assigned to its nearest centroid; probes search only their
+    * top-2 centroid buckets (nprobe=2) then rescore exactly. At scale
+    * the assignment is one linear pass and each probe touches ~2/8 of
+    * the corpus. */
+  val annIvfTopk: Q = (s, d) => {
+    val emb = table(s, d, "embeddings")
+    val cent = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    def nearest(src: DataFrame, vecCol: String, idCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(round(cosineSim(s, col(vecCol), col("ce")), 6).desc, col("cid"))
+      src.crossJoin(broadcast(cent))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= keep)
+    }
+    val asg = nearest(emb, "embedding", "vec_id", 1)
+      .select(col("vec_id").as("member"), col("cid"))
+    val probes = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val pb = nearest(probes, "pe", "pid", 2).select(col("pid"), col("cid"))
+    val cand = pb.join(asg, Seq("cid")).select(col("pid"), col("member")).distinct()
+    val scored = cand
+      .join(probes, Seq("pid"))
+      .join(emb.select(col("vec_id").as("member"), col("label"),
+        col("embedding").as("me")), Seq("member"))
+      .filter(col("member") =!= col("pid"))
+      .select(col("pid"), col("member").as("cand"), col("label"),
+        round(cosineSim(s, col("pe"), col("me")), 4).as("sim"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cand"))
+    scored.withColumn("rk", asLong(row_number().over(w)))
+      .filter(col("rk") <= 5)
+      .select("pid", "rk", "cand", "label", "sim")
+      .orderBy("pid", "rk")
+  }
+}

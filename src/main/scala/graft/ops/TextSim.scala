@@ -101,25 +101,15 @@ object TextSim {
   private def rankedTopk(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     synchronized {
       rankedCache.getOrElseUpdate(d, {
-        val norm = (c: org.apache.spark.sql.Column) =>
-          aggregate(c, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
         val emb = table(s, d, "embeddings")
-          .select(col("vec_id"), col("label"), col("embedding"),
-            norm(col("embedding")).as("cnorm"))
         val probes = emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("pid"), col("embedding").as("pe"),
-            col("cnorm").as("pnorm"))
-        val dot = aggregate(
-          zip_with(
-            transform(col("pe"), _.cast(DoubleType)),
-            transform(col("embedding"), _.cast(DoubleType)),
-            (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v)
+          .select(col("vec_id").as("pid"), col("embedding").as("pe"))
         val scored = broadcast(probes).crossJoin(emb)
           .filter(col("vec_id") =!= col("pid"))
           .select(
             col("pid"), col("vec_id").as("cand"), col("label"),
-            round(dot / sqrt(col("pnorm") * col("cnorm")), 4).as("sim"))
+            round(graft.functions.CosineSimilarity.cosineSim(s, col("pe"), col("embedding")), 4)
+              .as("sim"))
         val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cand"))
         scored.withColumn("rk", asLong(row_number().over(w))).filter(col("rk") <= 5)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
