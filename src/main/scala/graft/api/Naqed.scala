@@ -1,0 +1,135 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** naqed-style nested-object query API (the reference's signature
+  * surface, SURVEY.md §1/§3.2 EP2) compiled to DataFrame join programs.
+  *
+  * Shape, mirroring the reference's plain-object queries:
+  * {{{
+  * new Naqed(spark, sfDir).request("customer", Map(
+  *   "$c_mktsegment" -> "BUILDING",      // $key   = argument filter
+  *   "c_name"        -> true,            // truthy = select field
+  *   "balance_tier"  -> true,            // resolver-backed field
+  *   "nation" -> Map(                    // nested  = FK traversal
+  *     "n_name" -> true,
+  *     "region" -> Map("r_name" -> true)),
+  *   "orders" -> Map(                    // reverse FK = array of rows
+  *     "$min_o_totalprice" -> 300000.0,
+  *     "o_orderkey" -> true)))
+  * }}}
+  *
+  * Many-to-one relations become struct columns; one-to-many relations
+  * become sorted arrays of structs (naqed's `[Type]` fields). Resolvers
+  * are named column programs with optional arguments — the Spark-native
+  * re-expression of naqed's `(args, context) => value` functions.
+  * Unknown fields fail analysis with a naqed-style error listing valid
+  * fields (the reference type-checks queries against the spec).
+  */
+class Naqed(spark: SparkSession, sfDir: String) {
+  import Naqed._
+
+  def table(name: String): DataFrame = Tables(spark, sfDir, name)
+
+  /** Execute a nested query rooted at `root`. */
+  def request(root: String, q: Map[String, Any]): DataFrame = compile(root, q)
+
+  private def compile(tname: String, q: Map[String, Any]): DataFrame = {
+    var df = table(tname)
+    val cols = df.columns.toSet
+    val selected = scala.collection.mutable.ArrayBuffer[Column]()
+
+    q.foreach {
+      case (k, v) if k.startsWith("$") =>
+        val (colName, op) = argTarget(k.drop(1))
+        if (!cols.contains(colName))
+          throw new IllegalArgumentException(
+            s"unknown argument field '$colName' on '$tname'; fields: ${cols.toSeq.sorted.mkString(", ")}")
+        df = df.filter(op(col(colName), v))
+
+      case (k, true) if cols.contains(k) =>
+        selected += col(k)
+
+      case (k, true) if resolvers.contains((tname, k)) =>
+        selected += resolvers((tname, k))(df).as(k)
+
+      case (k, sub: Map[_, _]) if forward.contains((tname, k)) =>
+        val (fk, pk) = forward((tname, k))
+        val child = compile(k, sub.asInstanceOf[Map[String, Any]])
+        val alias = s"__c_$k"
+        val childCols = child.columns.map(c => col(s"$alias.$c"))
+        df = df.join(child.as(alias), col(fk) === col(s"$alias.$pk"), "left")
+        selected += struct(childCols.toSeq: _*).as(k)
+
+      case (k, sub: Map[_, _]) if reverse.contains((tname, k)) =>
+        val (pk, fk) = reverse((tname, k))
+        val child = compile(k, sub.asInstanceOf[Map[String, Any]])
+          .withColumnRenamed(fk, s"__fk_$fk")
+        val grouped = child
+          .groupBy(col(s"__fk_$fk"))
+          .agg(sort_array(collect_list(struct(child.columns.filterNot(_ == s"__fk_$fk")
+            .map(col).toSeq: _*))).as(k))
+        df = df.join(grouped, col(pk) === col(s"__fk_$fk"), "left")
+        selected += col(k)
+
+      case (k, _) =>
+        throw new IllegalArgumentException(
+          s"unknown field '$k' on '$tname'; fields: ${cols.toSeq.sorted.mkString(", ")}, " +
+            s"relations: ${(forward.keys ++ reverse.keys).collect { case (t, r) if t == tname => r }.mkString(", ")}")
+    }
+
+    // keep join/sort keys resolvable for parent levels
+    val keep = keyColumns(tname).filterNot(k => selected.exists(_.toString == col(k).toString))
+      .map(col)
+    df.select((selected ++ keep).distinct.toSeq: _*)
+  }
+}
+
+object Naqed {
+  /** FK edges: (table, relationName) -> (localKey, remoteKey). */
+  val forward: Map[(String, String), (String, String)] = Map(
+    ("customer", "nation") -> ("c_nationkey", "n_nationkey"),
+    ("supplier", "nation") -> ("s_nationkey", "n_nationkey"),
+    ("nation", "region") -> ("n_regionkey", "r_regionkey"),
+    ("orders", "customer") -> ("o_custkey", "c_custkey"),
+    ("lineitem", "orders") -> ("l_orderkey", "o_orderkey"),
+    ("lineitem", "part") -> ("l_partkey", "p_partkey"),
+    ("lineitem", "supplier") -> ("l_suppkey", "s_suppkey"),
+    ("documents", "embeddings") -> ("doc_id", "vec_id"),
+    ("embeddings", "documents") -> ("vec_id", "doc_id"))
+
+  /** Reverse (one-to-many) edges: (table, relationName) -> (localPk, childFk). */
+  val reverse: Map[(String, String), (String, String)] = Map(
+    ("customer", "orders") -> ("c_custkey", "o_custkey"),
+    ("orders", "lineitem") -> ("o_orderkey", "l_orderkey"),
+    ("nation", "customer") -> ("n_nationkey", "c_nationkey"),
+    ("part", "lineitem") -> ("p_partkey", "l_partkey"))
+
+  /** Argument operators: "$min_x" -> x >= v, "$max_x" -> x <= v,
+    * "$like_x" -> LIKE, plain "$x" -> equality (naqed resolver args). */
+  private def argTarget(arg: String): (String, (Column, Any) => Column) =
+    if (arg.startsWith("min_")) (arg.drop(4), (c, v) => c >= lit(v))
+    else if (arg.startsWith("max_")) (arg.drop(4), (c, v) => c <= lit(v))
+    else if (arg.startsWith("like_")) (arg.drop(5), (c, v) => c.like(v.toString))
+    else (arg, (c, v) => c === lit(v))
+
+  /** Resolver-backed derived fields (naqed resolver functions as column
+    * programs). */
+  val resolvers: Map[(String, String), DataFrame => Column] = Map(
+    ("customer", "balance_tier") -> (_ =>
+      when(col("c_acctbal") >= 5000, "high")
+        .when(col("c_acctbal") >= 0, "mid").otherwise("negative")),
+    ("orders", "order_year") -> (_ => year(col("o_orderdate"))),
+    ("documents", "n_tokens") -> (_ => size(split(col("text"), " "))))
+
+  /** Primary keys kept through projection so parents can join/group. */
+  private val keyColumns: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"),
+    "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id"), "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id")).withDefaultValue(Seq())
+}

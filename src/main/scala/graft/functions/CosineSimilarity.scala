@@ -24,7 +24,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+      case (ArrayType(FloatType, _) | NullType, ArrayType(FloatType, _) | NullType) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"cosine_sim requires two array<float> arguments, got $l, $r")

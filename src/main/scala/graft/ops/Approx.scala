@@ -1,0 +1,29 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate aggregates (SURVEY.md §2 "declared but non-oracle"):
+  * sketch outputs are engine-specific so they cannot hash-match DuckDB;
+  * the test suite bounds them against exact results instead. These are
+  * the sub-linear-memory paths for 100 TB cardinality/quantile work.
+  */
+object Approx {
+
+  /** HLL++ distinct parts/suppliers per return flag vs exact. */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
+  /** approximate quantiles of order totals vs exact percentiles. */
+  def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders")
+      .agg(
+        percentile_approx(col("o_totalprice"), array(lit(0.5), lit(0.95)), lit(10000))
+          .as("approx_p"),
+        expr("percentile(o_totalprice, array(0.5D, 0.95D))").as("exact_p"))
+}

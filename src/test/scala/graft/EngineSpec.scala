@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-level invariants: ns-timestamp ingestion parity, EDGES graph
+  * shape, cross-engine rounding semantics (SURVEY §7 risk register),
+  * and the custom cosine expression. */
+class EngineSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("R5: events ns->us truncation matches DuckDB (min ts parity)") {
+    val minTs = Tables(spark, sf0001, "events")
+      .agg(min(col("ts"))).collect()(0).getTimestamp(0)
+    assert(minTs.toInstant.toString == "2024-01-01T00:09:58.778549Z")
+  }
+
+  test("events ts is microsecond TimestampType after ingestion") {
+    val f = Tables(spark, sf0001, "events").schema("ts")
+    assert(f.dataType == TimestampType)
+  }
+
+  test("EDGES: strong co-purchase graph is sparse and symmetric") {
+    val (e, ud) = Tables.edges(spark, sf0001)
+    val n = e.count()
+    assert(ud.count() == 2 * n)
+    assert(e.filter(col("w") < 2).count() == 0)
+    assert(e.filter(col("s") >= col("t")).count() == 0)
+  }
+
+  test("R3: round is half-away-from-zero on doubles (DuckDB parity)") {
+    val r = spark.range(1)
+      .select(round(lit(2.5), 0).as("a"), round(lit(-2.5), 0).as("b"),
+        round(lit(0.125), 2).as("c"))
+      .collect()(0)
+    assert(r.getDouble(0) == 3.0 && r.getDouble(1) == -3.0 && r.getDouble(2) == 0.13)
+  }
+
+  test("cosine_sim expression matches reference computation and HOF form") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(0.5f, -0.5f), Array(0.5f, -0.5f))
+    ).toDF("a", "b")
+    val out = df.select(
+      graft.functions.CosineSimilarity.cosineSim(spark, col("a"), col("b")).as("e"),
+      graft.ops.TextSim.cosine(col("a"), col("b")).as("h")).collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    def ref(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / math.sqrt(a.map(x => x.toDouble * x.toDouble).sum *
+        b.map(x => x.toDouble * x.toDouble).sum)
+    }
+    assert(math.abs(out(0).getDouble(0) - ref(Array(1f, 2f, 3f), Array(4f, 5f, 6f))) < 1e-12)
+    assert(out(1).getDouble(0) == 0.0)
+    assert(math.abs(out(2).getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("cosine_sim is registered for SQL and null-safe") {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.cosineSim(spark, lit(null), lit(null)) // force registration
+    Seq((Array(1.0f), Array(1.0f))).toDF("a", "b").createOrReplaceTempView("cv")
+    assert(spark.sql("SELECT cosine_sim(a, b) FROM cv").collect()(0).getDouble(0) == 1.0)
+    val n = spark.sql("SELECT cosine_sim(a, NULL) FROM cv").collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("approx aggregates bounded against exact") {
+    val r = ops.Approx.approxDistinct(spark, sf0001).collect()
+    r.foreach { row =>
+      val (approx, exact) = (row.getLong(1), row.getLong(2))
+      assert(math.abs(approx - exact).toDouble / exact < 0.1)
+    }
+    val q = ops.Approx.approxQuantiles(spark, sf0001).collect()(0)
+    val (ap, ex) = (q.getSeq[Double](0), q.getSeq[Double](1))
+    ap.zip(ex).foreach { case (a, e) => assert(math.abs(a - e) / e < 0.05) }
+  }
+
+  test("filter pushdown reaches the parquet scan when caching is off") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.cacheTables", "false")
+    // sf0.01 path: never touched by other specs, so the shared-session
+    // CacheManager cannot substitute an InMemoryRelation for the scan
+    val plan = s2.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .filter(col("l_quantity") > 45.0)
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"pushdown missing in plan:\n$plan")
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.Naqed
+
+/** The naqed-style nested-object query API (reference's signature
+  * surface) compiled to join programs. */
+class NaqedSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  lazy val naqed = new Naqed(spark, sf0001)
+
+  test("argument filter + field selection") {
+    val df = naqed.request("customer", Map(
+      "$c_mktsegment" -> "BUILDING", "c_name" -> true))
+    val want = Tables(spark, sf0001, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").count()
+    assert(df.count() == want && df.columns.contains("c_name"))
+  }
+
+  test("nested many-to-one traversal: customer -> nation -> region") {
+    val df = naqed.request("customer", Map(
+      "c_name" -> true,
+      "nation" -> Map("n_name" -> true, "region" -> Map("r_name" -> true))))
+    val row = df.orderBy("c_custkey").limit(1)
+      .select(col("nation.n_name"), col("nation.region.r_name")).collect()(0)
+    val direct = Tables(spark, sf0001, "customer")
+      .join(Tables(spark, sf0001, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables(spark, sf0001, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .orderBy("c_custkey").limit(1)
+      .select("n_name", "r_name").collect()(0)
+    assert(row.getString(0) == direct.getString(0))
+    assert(row.getString(1) == direct.getString(1))
+    assert(df.count() == Tables(spark, sf0001, "customer").count())
+  }
+
+  test("reverse one-to-many traversal yields arrays ([Type] fields)") {
+    val df = naqed.request("customer", Map(
+      "c_name" -> true,
+      "orders" -> Map("$min_o_totalprice" -> 300000.0, "o_orderkey" -> true)))
+    assert(df.count() == Tables(spark, sf0001, "customer").count())
+    val totalOrders = df.select(explode(col("orders"))).count()
+    val want = Tables(spark, sf0001, "orders")
+      .filter(col("o_totalprice") >= 300000.0).count()
+    assert(totalOrders == want)
+  }
+
+  test("resolver-backed derived field") {
+    val df = naqed.request("customer", Map("balance_tier" -> true, "c_acctbal" -> true))
+    val bad = df.filter(
+      (col("c_acctbal") >= 5000 && col("balance_tier") =!= "high") ||
+        (col("c_acctbal") >= 0 && col("c_acctbal") < 5000 && col("balance_tier") =!= "mid") ||
+        (col("c_acctbal") < 0 && col("balance_tier") =!= "negative")).count()
+    assert(bad == 0)
+  }
+
+  test("range and like argument operators") {
+    val n = naqed.request("orders", Map(
+      "$min_o_totalprice" -> 100000.0, "$max_o_totalprice" -> 200000.0,
+      "o_orderkey" -> true)).count()
+    val want = Tables(spark, sf0001, "orders")
+      .filter(col("o_totalprice").between(100000.0, 200000.0)).count()
+    assert(n == want)
+    val lk = naqed.request("orders", Map(
+      "$like_o_orderpriority" -> "%URGENT%", "o_orderkey" -> true)).count()
+    assert(lk == Tables(spark, sf0001, "orders")
+      .filter(col("o_orderpriority").like("%URGENT%")).count())
+  }
+
+  test("unknown fields fail analysis naqed-style (type-checked queries)") {
+    val e = intercept[IllegalArgumentException] {
+      naqed.request("customer", Map("no_such_field" -> true))
+    }
+    assert(e.getMessage.contains("no_such_field") && e.getMessage.contains("c_custkey"))
+  }
+
+  test("multimodal traversal: documents -> embeddings") {
+    val df = naqed.request("documents", Map(
+      "text" -> true, "n_tokens" -> true,
+      "embeddings" -> Map("label" -> true)))
+    assert(df.count() == Tables(spark, sf0001, "documents").count())
+    assert(df.select(col("embeddings.label")).filter(col("label").isNotNull).count() > 0)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One check per declared operator: row count at sf0.001 equals the
+  * DuckDB-oracle-measured golden value (the full value-level diff runs
+  * via Verify + scripts/diff_oracle.py, driver t2, and did ALL PASS at
+  * sf0.001/0.01/0.1 — this spec pins each operator against regression
+  * in-repo). */
+class QuerySuiteSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  val golden: Map[String, Long] = Map(
+    "scan_project" -> 590L, "filter_complex" -> 83L, "scan_prune_minmax" -> 1L,
+    "join_inner_multi" -> 25L, "join_broadcast_dim" -> 25L, "join_left_outer" -> 25L,
+    "join_full_outer" -> 25L, "join_semi" -> 130L, "join_anti" -> 3L,
+    "join_range_theta" -> 5L, "join_asof" -> 178L, "agg_hash_q1" -> 6L,
+    "agg_count_distinct" -> 5L, "agg_rollup" -> 31L, "agg_cube" -> 24L,
+    "agg_grouping_sets" -> 105L, "agg_stats" -> 5L, "agg_having" -> 10L,
+    "win_rank_topn" -> 60L, "win_lag_lead" -> 1000L, "win_moving_frame" -> 1000L,
+    "win_running_total" -> 1500L, "win_ntile_dist" -> 150L, "topk_per_group" -> 75L,
+    "sort_multi_limit" -> 100L, "set_union" -> 107L, "set_intersect" -> 143L,
+    "set_except" -> 7L, "fn_string" -> 200L, "fn_date" -> 501L,
+    "fn_datediff_join" -> 4015L, "fn_math" -> 4015L, "fn_conditional" -> 1500L,
+    "fn_array" -> 500L, "fn_explode_unnest" -> 500L, "fn_json" -> 5L,
+    "text_wordcount" -> 20L, "text_stats" -> 5L, "text_bigrams" -> 20L,
+    "dedup_exact" -> 200L, "dedup_near_jaccard" -> 69L, "sim_cosine_topk" -> 50L,
+    "sim_knn_label" -> 10L, "multimodal_join" -> 10L,
+    "pipeline_token_count" -> 72L, "pipeline_quality_score" -> 72L,
+    "pipeline_lang_id" -> 25L, "pipeline_fingerprint" -> 100L,
+    "dedup_simhash" -> 7L, "dedup_minhash_lsh" -> 8L, "sim_cosine_neardup" -> 61L,
+    "ann_ivf_topk" -> 50L, "graph_degree" -> 50L, "graph_2hop" -> 199L,
+    "graph_triangles" -> 1L, "graph_cc_labelprop" -> 1L, "graph_bfs_3hop" -> 200L,
+    "graph_pagerank3" -> 30L, "stream_tumbling_1h" -> 868L,
+    "stream_sliding_1h_30m" -> 1065L, "stream_sessionize" -> 15L,
+    "subq_correlated" -> 75L, "subq_scalar_uncorrelated" -> 380L,
+    "cte_chain_top_supplier" -> 1L, "pivot_manual" -> 30L)
+
+  test("queries and oracleSql cover the same operator set") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+    assert(SparkEntry.queries.keySet == golden.keySet)
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name row count @ sf0.001") {
+      assert(fn(spark, sf0001).count() == golden(name))
+    }
+  }
+}
