@@ -36,6 +36,35 @@ class Naqed(spark: SparkSession, sfDir: String) {
   /** Execute a nested query rooted at `root`. */
   def request(root: String, q: Map[String, Any]): DataFrame = compile(root, q)
 
+  /** Mutation surface (naqed's `~`-prefixed keys): batch write-back.
+    * `q` maps "~<table>" to the rows to append (each a field->value
+    * map, schema-checked against the table). Writes parquet under
+    * `outDir` — OLTP-style in-place mutation is out of scope
+    * (BASELINE.json: analytical engine), so mutations are append-only
+    * batch writes, the Spark-native re-expression of naqed's mutating
+    * resolvers. Returns the written row count per table.
+    */
+  def mutate(q: Map[String, Seq[Map[String, Any]]], outDir: String): Map[String, Long] =
+    q.map {
+      case (key, rows) if key.startsWith("~") =>
+        val tname = key.drop(1)
+        val schema = table(tname).schema
+        val unknown = rows.flatMap(_.keys).distinct.filterNot(schema.fieldNames.contains)
+        if (unknown.nonEmpty)
+          throw new IllegalArgumentException(
+            s"unknown fields ${unknown.mkString(", ")} on '$tname'")
+        val data = rows.map { r =>
+          org.apache.spark.sql.Row.fromSeq(schema.fields.map(f => r.get(f.name).orNull).toSeq)
+        }
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(data.toList), schema)
+        df.write.mode("append").parquet(s"$outDir/$tname.parquet")
+        key -> data.length.toLong
+      case (key, _) =>
+        throw new IllegalArgumentException(
+          s"mutation keys must be '~'-prefixed table names, got '$key'")
+    }
+
   private def compile(tname: String, q: Map[String, Any]): DataFrame = {
     var df = table(tname)
     val cols = df.columns.toSet

@@ -77,6 +77,21 @@ class NaqedSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no_such_field") && e.getMessage.contains("c_custkey"))
   }
 
+  test("mutations (~ keys) append rows through the write path") {
+    val out = java.nio.file.Files.createTempDirectory("naqed_mut").toString
+    val written = naqed.mutate(Map("~region" -> Seq(
+      Map("r_regionkey" -> 90, "r_name" -> "ATLANTIS"),
+      Map("r_regionkey" -> 91, "r_name" -> "LEMURIA"))), out)
+    assert(written == Map("~region" -> 2L))
+    val back = spark.read.parquet(s"$out/region.parquet")
+    assert(back.count() == 2)
+    assert(back.filter(col("r_name") === "ATLANTIS").count() == 1)
+    val e = intercept[IllegalArgumentException] {
+      naqed.mutate(Map("~region" -> Seq(Map("bogus" -> 1))), out)
+    }
+    assert(e.getMessage.contains("bogus"))
+  }
+
   test("multimodal traversal: documents -> embeddings") {
     val df = naqed.request("documents", Map(
       "text" -> true, "n_tokens" -> true,
