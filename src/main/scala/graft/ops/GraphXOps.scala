@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** GraphX/Pregel implementations of the graph analytics
+  * (BASELINE.json "spark_approach": GraphX/Pregel for analytics).
+  *
+  * The oracle-checked §2.8 queries use fixed-iteration DataFrame loops
+  * because DuckDB must compute the *identical* partial fixpoint; these
+  * GraphX twins are the cluster-scale execution path (vertex-cut
+  * partitioning, Pregel message combining) and are asserted equivalent
+  * to the DataFrame results in GraphXSpec. Same co-purchase graph
+  * (Tables.edges), built once and shared.
+  */
+object GraphXOps {
+
+  /** Undirected co-purchase graph as a GraphX Graph (both edge
+    * directions materialized, matching the symmetrized `ud` view). */
+  def graph(spark: SparkSession, sfDir: String): Graph[Long, Long] = {
+    val ud = Tables.ud(spark, sfDir)
+    val edges: RDD[Edge[Long]] = ud.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1L))
+    Graph.fromEdges(edges, defaultValue = 0L)
+  }
+
+  /** Degree per node (out-degree of the symmetrized graph == undirected
+    * degree) — GraphX twin of graph_degree. */
+  def degrees(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    graph(spark, sfDir).outDegrees
+      .toDF("node", "degree")
+      .select(col("node"), col("degree").cast("long").as("degree"))
+  }
+
+  /** Connected components via GraphX's Pregel implementation (run to
+    * convergence — unlike the oracle's 4-round partial fixpoint, this
+    * is the true component structure). */
+  def connectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    graph(spark, sfDir).connectedComponents()
+      .vertices.toDF("node", "component")
+  }
+
+  /** Triangle count per vertex; global count = sum/3 (each triangle
+    * counted at its 3 vertices). GraphX twin of graph_triangles. */
+  def triangleTotal(spark: SparkSession, sfDir: String): Long = {
+    // canonical orientation requires srcId < dstId and partitioning
+    val g = graph(spark, sfDir)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+    g.triangleCount().vertices.map(_._2.toLong).reduce(_ + _) / 3
+  }
+
+  /** Static PageRank, damping 0.85 — GraphX twin of graph_pagerank3.
+    * Float summation order differs from the decimal-stabilized oracle
+    * form, so equivalence is asserted on ranking/value tolerance, not
+    * hashes. */
+  def pagerank(spark: SparkSession, sfDir: String, iters: Int): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    graph(spark, sfDir).staticPageRank(iters, resetProb = 0.15)
+      .vertices.toDF("node", "rank")
+  }
+
+  /** Single-source shortest hop-distance via Pregel — the
+    * message-passing twin of graph_bfs_3hop. */
+  def bfsDepths(spark: SparkSession, sfDir: String, source: Long, maxDepth: Int): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val g = graph(spark, sfDir).mapVertices((id, _) =>
+      if (id == source) 0L else Long.MaxValue)
+    val res = g.pregel(Long.MaxValue, maxIterations = maxDepth)(
+      (_, dist, msg) => math.min(dist, msg),
+      triplet =>
+        if (triplet.srcAttr != Long.MaxValue && triplet.srcAttr + 1 < triplet.dstAttr)
+          Iterator((triplet.dstId, triplet.srcAttr + 1))
+        else Iterator.empty,
+      (a, b) => math.min(a, b))
+    res.vertices.filter(_._2 != Long.MaxValue).toDF("v", "depth")
+      .select(col("v"), col("depth").cast("int").as("depth"))
+  }
+}

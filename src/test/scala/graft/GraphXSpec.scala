@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{GraphOps, GraphXOps}
+
+/** GraphX/Pregel twins agree with the oracle-checked DataFrame graph
+  * queries (BASELINE.json spark_approach). */
+class GraphXSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("GraphX degrees equal DataFrame graph_degree") {
+    val dfTop = GraphOps.graphDegree(spark, sf0001).select("node", "degree")
+    val gxTop = GraphXOps.degrees(spark, sf0001)
+      .orderBy(col("degree").desc, col("node")).limit(50)
+    assert(gxTop.exceptAll(dfTop).count() == 0)
+    assert(dfTop.exceptAll(gxTop).count() == 0)
+  }
+
+  test("GraphX connected components: consistent with label-prop partial fixpoint") {
+    val gx = GraphXOps.connectedComponents(spark, sf0001)
+    val nComponents = gx.select("component").distinct().count()
+    // 4-round min-label-prop yields >= the true component count
+    // (labels may not have fully propagated in large components)
+    val lp = GraphOps.graphCcLabelprop(spark, sf0001)
+    val lpComponents = lp.count()
+    assert(nComponents <= lpComponents)
+    // node partition sizes must cover every vertex exactly once
+    val ud = Tables.ud(spark, sf0001)
+    val nNodes = ud.select(col("s")).union(ud.select(col("t"))).distinct().count()
+    assert(gx.count() == nNodes)
+  }
+
+  test("GraphX triangle count equals DataFrame graph_triangles") {
+    val df = GraphOps.graphTriangles(spark, sf0001).collect()(0).getLong(0)
+    assert(GraphXOps.triangleTotal(spark, sf0001) == df)
+  }
+
+  test("GraphX Pregel BFS depths equal DataFrame graph_bfs_3hop") {
+    val dfBfs = GraphOps.graphBfs3hop(spark, sf0001)
+    val start = dfBfs.filter(col("depth") === 0).collect()(0).getLong(0)
+    val gxBfs = GraphXOps.bfsDepths(spark, sf0001, start, maxDepth = 3)
+      .filter(col("depth") <= 3)
+    assert(gxBfs.count() == dfBfs.count())
+    assert(gxBfs.exceptAll(dfBfs.select(col("v"), col("depth"))).count() == 0)
+  }
+
+  test("GraphX static PageRank ranks the same top node") {
+    val dfTop = GraphOps.graphPagerank3(spark, sf0001).collect()(0).getLong(0)
+    val gxTop = GraphXOps.pagerank(spark, sf0001, iters = 20)
+      .orderBy(col("rank").desc, col("node")).collect()(0).getLong(0)
+    assert(gxTop == dfTop)
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Sinks
+
+/** Physical-layout levers: partition pruning and shuffle-free bucketed
+  * joins, asserted on the executed plans. */
+class SinksSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("partitioned write enables partition pruning on read") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Sinks.writePartitioned(
+      Tables(spark, sf0001, "events").select("event_id", "event_type", "value"),
+      out, "event_type")
+    val q = spark.read.parquet(out).filter(col("event_type") === "purchase")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    assert(q.count() ==
+      Tables(spark, sf0001, "events").filter(col("event_type") === "purchase").count())
+  }
+
+  test("bucketed tables join without any Exchange (co-located join)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val o = s2.read.parquet(s"$sf0001/orders.parquet")
+    val c = s2.read.parquet(s"$sf0001/customer.parquet")
+    Sinks.writeBucketed(o, "orders_b", 4, "o_custkey", Some("o_custkey"))
+    Sinks.writeBucketed(c, "customer_b", 4, "c_custkey", Some("c_custkey"))
+    val j = s2.table("orders_b")
+      .join(s2.table("customer_b"), col("o_custkey") === col("c_custkey"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in bucketed join:\n$plan")
+    assert(j.count() ==
+      o.join(c, col("o_custkey") === col("c_custkey")).count())
+  }
+}
