@@ -94,7 +94,8 @@ class Naqed(spark: SparkSession, sfDir: String) {
 
       case (k, sub: Map[_, _]) if reverse.contains((tname, k)) =>
         val (pk, fk) = reverse((tname, k))
-        val child = compile(k, sub.asInstanceOf[Map[String, Any]])
+        // the child must carry its FK back up for the group-join
+        val child = compile(k, sub.asInstanceOf[Map[String, Any]] + (fk -> true))
           .withColumnRenamed(fk, s"__fk_$fk")
         val grouped = child
           .groupBy(col(s"__fk_$fk"))
@@ -152,6 +153,51 @@ object Naqed {
         .when(col("c_acctbal") >= 0, "mid").otherwise("negative")),
     ("orders", "order_year") -> (_ => year(col("o_orderdate"))),
     ("documents", "n_tokens") -> (_ => size(split(col("text"), " "))))
+
+  /** naqed scalar types (§1.1: BOOL / INT / FLOAT / STRING / ID, plus
+    * [T] arrays and TS timestamps for the extension tables) and which
+    * Spark types satisfy them — the analysis-time type checking the
+    * reference performs on results. */
+  import org.apache.spark.sql.types._
+  private val typeOk: Map[String, DataType => Boolean] = Map(
+    "BOOL" -> (_ == BooleanType),
+    "INT" -> (t => t == IntegerType || t == LongType),
+    "FLOAT" -> (t => t == FloatType || t == DoubleType),
+    "STRING" -> (_ == StringType),
+    "ID" -> (t => t == IntegerType || t == LongType),
+    "TS" -> (t => t == TimestampType || t == TimestampNTZType),
+    "[FLOAT]" -> {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+
+  /** Declared table specs (the naqed `$TypeName` schema objects). */
+  val specs: Map[String, Map[String, String]] = Map(
+    "region" -> Map("r_regionkey" -> "ID", "r_name" -> "STRING"),
+    "nation" -> Map("n_nationkey" -> "ID", "n_name" -> "STRING", "n_regionkey" -> "ID"),
+    "customer" -> Map("c_custkey" -> "ID", "c_name" -> "STRING",
+      "c_nationkey" -> "ID", "c_acctbal" -> "FLOAT", "c_mktsegment" -> "STRING"),
+    "orders" -> Map("o_orderkey" -> "ID", "o_custkey" -> "ID", "o_orderstatus" -> "STRING",
+      "o_totalprice" -> "FLOAT", "o_orderdate" -> "TS", "o_orderpriority" -> "STRING"),
+    "events" -> Map("event_id" -> "ID", "ts" -> "TS", "user_id" -> "ID",
+      "event_type" -> "STRING", "value" -> "FLOAT", "props" -> "STRING"),
+    "documents" -> Map("doc_id" -> "ID", "text" -> "STRING", "lang" -> "STRING",
+      "source" -> "STRING", "n_chars" -> "INT"),
+    "embeddings" -> Map("vec_id" -> "ID", "embedding" -> "[FLOAT]", "label" -> "INT"))
+
+  /** Validate a table against its declared spec; returns violations
+    * (empty = type-checks, naqed-style). */
+  def validateSpec(df: org.apache.spark.sql.DataFrame, tname: String): Seq[String] =
+    specs.get(tname).toSeq.flatMap { spec =>
+      spec.flatMap { case (field, declared) =>
+        df.schema.fields.find(_.name == field) match {
+          case None => Some(s"$tname.$field: declared $declared but missing")
+          case Some(f) if !typeOk(declared)(f.dataType) =>
+            Some(s"$tname.$field: declared $declared but is ${f.dataType.simpleString}")
+          case _ => None
+        }
+      }
+    }
 
   /** Primary keys kept through projection so parents can join/group. */
   private val keyColumns: Map[String, Seq[String]] = Map(

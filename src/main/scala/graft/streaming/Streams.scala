@@ -61,6 +61,60 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("n_events"))
 
+  /** Custom sessionization state kept per user across micro-batches. */
+  case class SessionState(sessionCount: Long, lastTs: Long, currentLen: Long, maxLen: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, max_session_events: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * arbitrary-state path (SURVEY §7.4 hard item 3) for semantics
+    * session_window can't express. Gap rule identical to the batch
+    * gap-and-island query: a new session starts when the gap EXCEEDS
+    * 30 minutes (strictly greater). Emits the running per-user summary
+    * each micro-batch; with a bounded replay the final emission equals
+    * the batch stream_sessionize result (asserted in StreamingSpec).
+    *
+    * Events within a micro-batch are sorted per group; correctness
+    * across batches relies on the file source replaying in order (for
+    * production out-of-order data this would buffer by watermark —
+    * deliberately kept minimal here).
+    */
+  def sessionizeStateful(events: DataFrame): org.apache.spark.sql.Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val byUser = events
+      .select(col("user_id").as("u"), unix_micros(col("ts")).as("tsUs"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+    byUser.flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+        val sorted = rows.map(_._2).toSeq.sorted
+        var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+        sorted.foreach { ts =>
+          st =
+            if (st.sessionCount == 0L || ts - st.lastTs > 1800L * 1000000L)
+              SessionState(st.sessionCount + 1, ts, 1L, math.max(st.maxLen, 1L))
+            else
+              SessionState(st.sessionCount, ts, st.currentLen + 1,
+                math.max(st.maxLen, st.currentLen + 1))
+        }
+        state.update(st)
+        Iterator(UserSessions(user, st.sessionCount, st.maxLen))
+    }
+  }
+
+  /** Append-mode runner for arbitrary-state operators. */
+  def runToBatchAppend(spark: SparkSession, stream: org.apache.spark.sql.Dataset[_],
+      name: String): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Run a streaming DataFrame to completion against the bounded file
     * source (AvailableNow) and return the final result from the memory
     * sink. outputMode complete for full-state comparison. */

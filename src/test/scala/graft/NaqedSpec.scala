@@ -77,6 +77,30 @@ class NaqedSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no_such_field") && e.getMessage.contains("c_custkey"))
   }
 
+  test("typed specs validate against the live schemas (type-checked results)") {
+    Naqed.specs.keys.foreach { t =>
+      assert(Naqed.validateSpec(Tables(spark, sf0001, t), t).isEmpty, s"spec violation in $t")
+    }
+    // a wrong schema is reported naqed-style
+    val bad = Tables(spark, sf0001, "customer").withColumn("c_acctbal", lit("oops"))
+    val v = Naqed.validateSpec(bad, "customer")
+    assert(v.exists(_.contains("c_acctbal")) && v.exists(_.contains("FLOAT")))
+  }
+
+  test("deep circular traversal: customer -> nation -> customer array") {
+    val df = naqed.request("customer", Map(
+      "$c_custkey" -> 1L,
+      "nation" -> Map(
+        "n_name" -> true,
+        "customer" -> Map("c_name" -> true))))
+    val peers = df.select(explode(col("nation.customer"))).count()
+    val nk = Tables(spark, sf0001, "customer")
+      .filter(col("c_custkey") === 1L).collect()(0).getAs[Int]("c_nationkey")
+    val want = Tables(spark, sf0001, "customer")
+      .filter(col("c_nationkey") === nk).count()
+    assert(peers == want)
+  }
+
   test("mutations (~ keys) append rows through the write path") {
     val out = java.nio.file.Files.createTempDirectory("naqed_mut").toString
     val written = naqed.mutate(Map("~region" -> Seq(

@@ -25,6 +25,18 @@ class SinksSpec extends AnyFunSuite {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s2.conf.set("spark.sql.adaptive.enabled", "false")
+    // a previous JVM's managed-table location survives the (fresh,
+    // in-memory) catalog — clear it so saveAsTable can create
+    Seq("orders_b", "customer_b").foreach { t =>
+      s2.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
     val o = s2.read.parquet(s"$sf0001/orders.parquet")
     val c = s2.read.parquet(s"$sf0001/customer.parquet")
     Sinks.writeBucketed(o, "orders_b", 4, "o_custkey", Some("o_custkey"))

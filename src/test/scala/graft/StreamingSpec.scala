@@ -28,6 +28,19 @@ class StreamingSpec extends AnyFunSuite {
       .exceptAll(want.select("w_start", "n", "v_sum")).count() == 0)
   }
 
+  test("flatMapGroupsWithState custom sessionization equals batch sessionize") {
+    val stream = Streams.sessionizeStateful(Streams.eventsStream(spark, sf0001))
+    // bounded replay in one AvailableNow batch: final emission per user
+    val got = Streams.runToBatchAppend(spark, stream, "t_state_sessions")
+      .groupBy("user_id")
+      .agg(max(col("n_sessions")).as("n_sessions"),
+        max(col("max_session_events")).as("max_session_events"))
+    val want = ops.StreamOps.streamSessionize(spark, sf0001)
+      .select("user_id", "n_sessions", "max_session_events")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+  }
+
   test("streaming session_window session counts match batch sessionize") {
     val stream = Streams.sessions30m(Streams.eventsStream(spark, sf0001))
     val got = Streams.runToBatch(spark, stream, "t_sessions")
