@@ -21,6 +21,10 @@ object Tables {
   private val tableCache = mutable.Map[(String, String), DataFrame]()
   private val edgeCache = mutable.Map[String, (DataFrame, DataFrame)]()
 
+  /** The ten testdata base tables (TESTDATA.md / FIXTURES.md). */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   private def cachingEnabled(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.cacheTables").forall(_.toBoolean)
 
@@ -107,6 +111,17 @@ object Tables {
   /** Undirected edge view only. */
   def ud(spark: SparkSession, sfDir: String): DataFrame =
     edges(spark, sfDir)._2
+
+  /** Register every base table as a temp view (plus the EDGES views
+    * `edges`/`ud`) so the whole surface is reachable from spark.sql —
+    * the SQL entry point alongside the DataFrame programs and the
+    * naqed object API. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+    val (e, u) = edges(spark, sfDir)
+    e.createOrReplaceTempView("edges")
+    u.createOrReplaceTempView("ud")
+  }
 
   /** Test hook: drop all cached state (e.g. between suites). */
   def clear(): Unit = synchronized {

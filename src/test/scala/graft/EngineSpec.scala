@@ -67,6 +67,17 @@ class EngineSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("registerViews exposes the whole catalog to spark.sql") {
+    Tables.registerViews(spark, sf0001)
+    val r = spark.sql(
+      """SELECT n_name, count(*) AS n FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n DESC, n_name LIMIT 1""".stripMargin).collect()(0)
+    assert(r.getLong(1) > 0)
+    assert(spark.sql("SELECT count(*) FROM ud").collect()(0).getLong(0) ==
+      Tables.ud(spark, sf0001).count())
+  }
+
   test("approx aggregates bounded against exact") {
     val r = ops.Approx.approxDistinct(spark, sf0001).collect()
     r.foreach { row =>
