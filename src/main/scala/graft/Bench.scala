@@ -18,16 +18,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Untimed JIT/codegen warmup on sf0.001 (BASELINE.md measures a warm
-    // process: DuckDB numbers are from a warm session and Spark's 10 s
-    // startup is excluded by design). Warms the parquet reader, join,
-    // aggregate, window, higher-order-function and explode codegen paths
-    // without touching the benchmarked sfDir's data.
+    // Untimed JIT/codegen warmup: run the whole suite once on sf0.001
+    // (BASELINE.md measures a warm process: DuckDB numbers are from a
+    // warm session and Spark's 10 s startup is excluded by design).
+    // This JIT-compiles every query's generated code without touching
+    // the benchmarked sfDir's data or caches.
     val warm = "/root/testdata/sf0.001"
-    Seq("join_inner_multi", "win_rank_topn", "fn_array", "text_wordcount",
-        "dedup_exact", "stream_sessionize")
-      .foreach(q => try SparkEntry.queries(q)(spark, warm).count()
-        catch { case _: Throwable => () })
+    SparkEntry.queries.values
+      .foreach(fn => try fn(spark, warm).count() catch { case _: Throwable => () })
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
