@@ -480,17 +480,16 @@ ORDER BY d1, d2""",
         val m0_7 = (0 until 8).map(i => s"m$i").mkString(", ',', ")
         val m8_15 = (8 until 16).map(i => s"m$i").mkString(", ',', ")
         val minCols = (0 until 16)
-          .map(i => s"min(CASE WHEN seed = $i THEN mh END) AS m$i").mkString(",\n    ")
+          .map(i => s"min(substr(md5(concat('${i / 4}|', g)), ${1 + 8 * (i % 4)}, 8)) AS m$i")
+          .mkString(",\n    ")
         s"""WITH sp AS (SELECT doc_id, lang, generate_subscripts(string_split(text,' '),1) AS pos,
          unnest(string_split(text,' ')) AS w FROM ${T("documents")}),
 sh AS (SELECT DISTINCT a.doc_id, a.lang, concat(a.w,' ',b.w,' ',c.w) AS g
   FROM sp a JOIN sp b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
             JOIN sp c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
-mh AS (SELECT doc_id, lang, seed, min(md5(concat(cast(seed AS VARCHAR), '|', g))) AS mh
-  FROM sh, (SELECT unnest(range(0, 16)) AS seed) GROUP BY 1, 2, 3),
 wide AS (SELECT doc_id, lang,
     $minCols
-  FROM mh GROUP BY 1, 2),
+  FROM sh GROUP BY 1, 2),
 bands AS (
   SELECT doc_id, lang, 0 AS band, md5(concat($m0_7)) AS bkey FROM wide
   UNION ALL

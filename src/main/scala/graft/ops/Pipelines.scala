@@ -21,23 +21,32 @@ object Pipelines {
 
   private val shingleCache = scala.collection.mutable.Map[String, DataFrame]()
 
+  /** Drop cached shingle sets (bench warmup hygiene). */
+  def clearCache(): Unit = synchronized {
+    shingleCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    shingleCache.clear()
+  }
+
   /** 3-gram shingles per doc (distinct), shared by fingerprint, simhash
     * and minhash-LSH — built once per sfDir and persisted (same
     * engine-level materialization policy as Tables.edges). Token-set
     * similarity degenerates on small vocabularies; shingling is the
-    * standard fix. Built shuffle-free: a single projection slides a
-    * 3-token window over each doc's token array (transform over
-    * 0..n-3), then one explode — no positional self-joins. */
+    * standard fix. Built with posexplode + window lead() — fully
+    * codegen'd, one shuffle on doc_id, no per-row array-of-strings
+    * allocation (a higher-order `transform` here was the suite's
+    * dominant GC source). */
   private def shingles(s: SparkSession, d: String): DataFrame = synchronized {
     shingleCache.getOrElseUpdate(d, {
-      val toks = split(col("text"), " ")
-      val grams = transform(
-        sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-          element_at(toks, i + 3)))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       table(s, d, "documents")
-        .filter(size(toks) >= 3)
-        .select(col("doc_id"), col("lang"), explode(grams).as("g"))
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .select(col("doc_id"), col("lang"),
+          concat_ws(" ", col("w"), lead(col("w"), 1).over(w), lead(col("w"), 2).over(w))
+            .as("g"),
+          lead(col("w"), 2).over(w).isNotNull.as("full"))
+        .filter(col("full"))
+        .select(col("doc_id"), col("lang"), col("g"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
@@ -140,15 +149,18 @@ object Pipelines {
       .orderBy("d1", "d2")
   }
 
-  /** MinHash + LSH near-dedup over 3-gram shingles: 16 md5-seeded
-    * min-hashes, 2 bands x 8 rows; candidates = band-key equi-join
-    * (linear in near-duplicates, never all-pairs); candidates verified
-    * with exact shingle Jaccard >= 0.5. The 16 signatures are 16
-    * min-aggregate columns in one pass. */
+  /** MinHash + LSH near-dedup over 3-gram shingles: 16 min-hashes,
+    * 2 bands x 8 rows; candidates = band-key equi-join (linear in
+    * near-duplicates, never all-pairs); candidates verified with exact
+    * shingle Jaccard >= 0.5. The 16 signatures are 16 min-aggregate
+    * columns in one pass, and each md5 yields FOUR independent 32-bit
+    * hash values (8-hex-char substrings), so a row costs 4 md5 calls,
+    * not 16. */
   val dedupMinhashLsh: Q = (s, d) => {
     val sh = shingles(s, d)
     val mins = (0 until 16).map { seed =>
-      min(md5(concat(lit(s"$seed|"), col("g")))).as(s"m$seed")
+      val h = md5(concat(lit(s"${seed / 4}|"), col("g")))
+      min(substring(h, 1 + 8 * (seed % 4), 8)).as(s"m$seed")
     }
     val wide = sh.groupBy(col("doc_id"), col("lang")).agg(mins.head, mins.tail: _*)
     def bandKey(seeds: Range): Column =

@@ -93,6 +93,12 @@ object TextSim {
 
   private val rankedCache = scala.collection.mutable.Map[String, DataFrame]()
 
+  /** Drop cached similarity rankings (bench warmup hygiene). */
+  def clearCache(): Unit = synchronized {
+    rankedCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    rankedCache.clear()
+  }
+
   /** Probe×candidate cosine top-5, shared by sim_cosine_topk and
     * sim_knn_label (persisted per sfDir — engine-level common-subplan
     * materialization). Norms are precomputed per vector once instead of

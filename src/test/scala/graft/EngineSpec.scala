@@ -89,6 +89,17 @@ class EngineSpec extends AnyFunSuite {
     ap.zip(ex).foreach { case (a, e) => assert(math.abs(a - e) / e < 0.05) }
   }
 
+  test("MapType surface: from_json over the events props column") {
+    // SURVEY §2.6: map-typed data enters only via from_json
+    val m = Tables(spark, sf0001, "events")
+      .select(from_json(col("props"), MapType(StringType, LongType)).as("p"))
+      .select(map_keys(col("p")).as("ks"), element_at(col("p"), "k").as("k"))
+    assert(m.filter(col("k").isNotNull).count() ==
+      Tables(spark, sf0001, "events")
+        .filter(get_json_object(col("props"), "$.k").isNotNull).count())
+    assert(m.select(explode(col("ks"))).distinct().collect().map(_.getString(0)).contains("k"))
+  }
+
   test("filter pushdown reaches the parquet scan when caching is off") {
     val s2 = spark.newSession()
     s2.conf.set("spark.graft.cacheTables", "false")
