@@ -36,6 +36,36 @@ object Oracle {
   ud AS (SELECT s, t FROM e UNION ALL SELECT t, s FROM e)"""
   }
 
+  /** Shared CTE chain for the MinHash-LSH queries: shingles -> 16-chunk
+    * signatures -> 2x8 band keys -> candidate pairs -> exact-Jaccard
+    * inputs (`inter`, `sizes`). */
+  private def minhashCtes(dir: String): String = {
+    val m0_7 = (0 until 8).map(i => s"m$i").mkString(", ',', ")
+    val m8_15 = (8 until 16).map(i => s"m$i").mkString(", ',', ")
+    val minCols = (0 until 16)
+      .map(i => s"min(substr(md5(concat('${i / 4}|', g)), ${1 + 8 * (i % 4)}, 8)) AS m$i")
+      .mkString(",\n    ")
+    s"""sp AS (SELECT doc_id, lang, generate_subscripts(string_split(text,' '),1) AS pos,
+         unnest(string_split(text,' ')) AS w FROM ${t(dir, "documents")}),
+sh AS (SELECT DISTINCT a.doc_id, a.lang, concat(a.w,' ',b.w,' ',c.w) AS g
+  FROM sp a JOIN sp b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+            JOIN sp c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
+wide AS (SELECT doc_id, lang,
+    $minCols
+  FROM sh GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, lang, 0 AS band, md5(concat($m0_7)) AS bkey FROM wide
+  UNION ALL
+  SELECT doc_id, lang, 1 AS band, md5(concat($m8_15)) AS bkey FROM wide),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.band = b.band
+    AND a.lang = b.lang AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (SELECT c.d1, c.d2, count(*) AS i
+  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.g = a.g
+  GROUP BY 1, 2)"""
+  }
+
   def forDir(dir: String): Map[String, String] = {
     def T(name: String) = t(dir, name)
     val E = edgesWith(dir)
@@ -476,36 +506,28 @@ FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.fp, b.fp)) <= 4
 ORDER BY d1, d2""",
 
-      "dedup_minhash_lsh" -> {
-        val m0_7 = (0 until 8).map(i => s"m$i").mkString(", ',', ")
-        val m8_15 = (8 until 16).map(i => s"m$i").mkString(", ',', ")
-        val minCols = (0 until 16)
-          .map(i => s"min(substr(md5(concat('${i / 4}|', g)), ${1 + 8 * (i % 4)}, 8)) AS m$i")
-          .mkString(",\n    ")
-        s"""WITH sp AS (SELECT doc_id, lang, generate_subscripts(string_split(text,' '),1) AS pos,
-         unnest(string_split(text,' ')) AS w FROM ${T("documents")}),
-sh AS (SELECT DISTINCT a.doc_id, a.lang, concat(a.w,' ',b.w,' ',c.w) AS g
-  FROM sp a JOIN sp b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
-            JOIN sp c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
-wide AS (SELECT doc_id, lang,
-    $minCols
-  FROM sh GROUP BY 1, 2),
-bands AS (
-  SELECT doc_id, lang, 0 AS band, md5(concat($m0_7)) AS bkey FROM wide
-  UNION ALL
-  SELECT doc_id, lang, 1 AS band, md5(concat($m8_15)) AS bkey FROM wide),
-cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.band = b.band
-    AND a.lang = b.lang AND a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-inter AS (SELECT c.d1, c.d2, count(*) AS i
-  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.g = a.g
-  GROUP BY 1, 2)
+      "dedup_minhash_lsh" ->
+        s"""WITH ${minhashCtes(dir)}
 SELECT d1, d2, round(cast(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard
 FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
 WHERE cast(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5
-ORDER BY d1, d2"""
-      },
+ORDER BY d1, d2""",
+
+      "dedup_clusters" ->
+        s"""WITH ${minhashCtes(dir)},
+pairs AS (SELECT d1, d2
+  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+  WHERE cast(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5),
+pud AS (SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+pn0 AS (SELECT DISTINCT s AS v FROM pud),
+pud2 AS (SELECT s, t FROM pud UNION ALL SELECT v, v FROM pn0),
+pl0 AS (SELECT v, v AS lbl FROM pn0),
+pl1 AS (SELECT pud2.s AS v, min(pl0.lbl) AS lbl FROM pud2 JOIN pl0 ON pl0.v = pud2.t GROUP BY pud2.s),
+pl2 AS (SELECT pud2.s AS v, min(pl1.lbl) AS lbl FROM pud2 JOIN pl1 ON pl1.v = pud2.t GROUP BY pud2.s),
+pl3 AS (SELECT pud2.s AS v, min(pl2.lbl) AS lbl FROM pud2 JOIN pl2 ON pl2.v = pud2.t GROUP BY pud2.s),
+pl4 AS (SELECT pud2.s AS v, min(pl3.lbl) AS lbl FROM pud2 JOIN pl3 ON pl3.v = pud2.t GROUP BY pud2.s)
+SELECT lbl AS canonical_id, count(*) AS cluster_size
+FROM pl4 GROUP BY lbl ORDER BY canonical_id""",
 
       "sim_cosine_neardup" ->
         s"""WITH e AS (SELECT vec_id, label, embedding FROM ${T("embeddings")} WHERE vec_id % 2 = 0)

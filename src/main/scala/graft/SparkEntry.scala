@@ -75,6 +75,7 @@ object SparkEntry {
     "pipeline_fingerprint" -> Pipelines.pipelineFingerprint,
     "dedup_simhash" -> Pipelines.dedupSimhash,
     "dedup_minhash_lsh" -> Pipelines.dedupMinhashLsh,
+    "dedup_clusters" -> Pipelines.dedupClusters,
     "sim_cosine_neardup" -> Pipelines.simCosineNeardup,
     "ann_ivf_topk" -> Pipelines.annIvfTopk,
     // §2.8 graph

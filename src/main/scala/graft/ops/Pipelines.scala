@@ -21,10 +21,12 @@ object Pipelines {
 
   private val shingleCache = scala.collection.mutable.Map[String, DataFrame]()
 
-  /** Drop cached shingle sets (bench warmup hygiene). */
+  /** Drop cached shingle/pair sets (bench warmup hygiene). */
   def clearCache(): Unit = synchronized {
-    shingleCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    (shingleCache.values ++ pairCache.values)
+      .foreach(df => try df.unpersist() catch { case _: Throwable => () })
     shingleCache.clear()
+    pairCache.clear()
   }
 
   /** 3-gram shingles per doc (distinct), shared by fingerprint, simhash
@@ -188,6 +190,42 @@ object Pipelines {
       .filter(jac >= 0.5)
       .select(col("d1"), col("d2"), round(jac, 4).as("jaccard"))
       .orderBy("d1", "d2")
+  }
+
+  /** Pairs -> clusters: the keep-list a dedup pipeline actually ships.
+    * Near-dup pairs from the MinHash-LSH stage become an undirected
+    * graph; 4 rounds of min-label propagation (self-loop trick, same
+    * fixed-fixpoint discipline as graph_cc_labelprop) assign cluster
+    * labels; output one row per cluster with its canonical (minimum)
+    * doc and size. Docs not in any pair are singleton clusters and are
+    * excluded here (size >= 2). */
+  private val pairCache = scala.collection.mutable.Map[String, DataFrame]()
+
+  val dedupClusters: Q = (s, d) => {
+    // materialize the LSH pair set before iterating: the label-prop
+    // loop references it ~8x, which would otherwise re-execute the
+    // whole MinHash pipeline each time (SURVEY §4.2 lineage rule)
+    val pairs = synchronized {
+      pairCache.getOrElseUpdate(d, {
+        val p = dedupMinhashLsh(s, d).select(col("d1"), col("d2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      })
+    }
+    val ud = pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    val n0 = ud.select(col("d1").as("v")).distinct()
+    val ud2 = ud.select(col("d1").as("s"), col("d2").as("t"))
+      .unionAll(n0.select(col("v").as("s"), col("v").as("t")))
+    var l = n0.select(col("v"), col("v").as("lbl"))
+    for (_ <- 1 to 4) {
+      l = ud2.as("e").join(l.as("l"), col("l.v") === col("e.t"))
+        .groupBy(col("e.s").as("v"))
+        .agg(min(col("l.lbl")).as("lbl"))
+    }
+    l.groupBy(col("lbl").as("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy("canonical_id")
   }
 
   // ---- vector similarity at scale ----

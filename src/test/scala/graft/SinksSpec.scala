@@ -21,6 +21,19 @@ class SinksSpec extends AnyFunSuite {
       Tables(spark, sf0001, "events").filter(col("event_type") === "purchase").count())
   }
 
+  test("csv and json round-trip with enforced schemas") {
+    val docs = Tables(spark, sf0001, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft_src").toString
+    docs.write.mode("overwrite").option("header", "true").csv(s"$out/csv")
+    docs.write.mode("overwrite").json(s"$out/json")
+    val viaCsv = graft.sources.Sources.readCsv(spark, s"$out/csv", docs.schema)
+    val viaJson = graft.sources.Sources.readJson(spark, s"$out/json", docs.schema)
+    assert(viaCsv.count() == docs.count() && viaJson.count() == docs.count())
+    assert(viaCsv.exceptAll(docs).count() == 0)
+    assert(viaJson.exceptAll(docs).count() == 0)
+    assert(viaCsv.schema == docs.schema)
+  }
+
   test("bucketed tables join without any Exchange (co-located join)") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
