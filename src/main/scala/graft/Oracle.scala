@@ -262,6 +262,25 @@ FROM ${T("customer")}
 WINDOW w AS (ORDER BY c_acctbal, c_custkey)
 ORDER BY c_custkey""",
 
+      "win_first_last" ->
+        s"""SELECT o_custkey, o_orderkey,
+  first_value(o_totalprice) OVER w AS first_price,
+  last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+  nth_value(o_totalprice, 2) OVER w AS second_price
+FROM ${T("orders")}
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey""",
+
+      "win_range_1h" ->
+        s"""SELECT event_id, user_id,
+  count(*) OVER (PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour,
+  round(cast(sum(cast(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS v_last_hour
+FROM ${T("events")}
+ORDER BY event_id""",
+
       "topk_per_group" ->
         s"""SELECT * FROM (
   SELECT p_brand, p_partkey, p_retailprice,
@@ -295,7 +314,36 @@ EXCEPT
 SELECT o_custkey AS k FROM ${T("orders")} WHERE o_orderstatus = 'P'
 ORDER BY k""",
 
+      "set_ops_all" ->
+        s"""WITH a AS (SELECT l_suppkey AS k FROM ${T("lineitem")} WHERE l_quantity > 40),
+     b AS (SELECT l_suppkey AS k FROM ${T("lineitem")} WHERE l_discount > 0.05)
+SELECT 'union_all' AS op, count(*) AS n FROM (SELECT k FROM a UNION ALL SELECT k FROM b)
+UNION ALL
+SELECT 'intersect_all', count(*) FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+UNION ALL
+SELECT 'except_all', count(*) FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+ORDER BY op""",
+
+      "agg_median_quantile" ->
+        s"""SELECT o_orderstatus,
+  round(median(o_totalprice), 2) AS med,
+  round(quantile_cont(o_totalprice, 0.25), 2) AS q25,
+  round(quantile_cont(o_totalprice, 0.90), 2) AS q90,
+  count(*) AS n
+FROM ${T("orders")} GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
       // ---- scalar function families ----
+      "fn_string2" ->
+        s"""SELECT p_partkey,
+  left(p_name, 4) AS l4, right(p_name, 4) AS r4,
+  lpad(p_brand, 12, '*') AS lp, rpad(p_brand, 12, '*') AS rp,
+  split_part(p_type, ' ', 1) AS first_word,
+  reverse(p_name) AS rev,
+  repeat(p_brand, 2) AS rep2,
+  strpos(p_name, 'a') AS pos_a,
+  starts_with(p_name, 'small') AS is_small
+FROM ${T("part")} ORDER BY p_partkey""",
+
       "fn_string" ->
         s"""SELECT p_partkey,
        upper(p_brand) AS u, lower(p_type) AS lo,

@@ -38,20 +38,25 @@ object SparkEntry {
     "agg_grouping_sets" -> Relational.aggGroupingSets,
     "agg_stats" -> Relational.aggStats,
     "agg_having" -> Relational.aggHaving,
+    "agg_median_quantile" -> Relational.aggMedianQuantile,
     // §2.4 windows
     "win_rank_topn" -> Windows.winRankTopn,
     "win_lag_lead" -> Windows.winLagLead,
     "win_moving_frame" -> Windows.winMovingFrame,
     "win_running_total" -> Windows.winRunningTotal,
     "win_ntile_dist" -> Windows.winNtileDist,
+    "win_first_last" -> Windows.winFirstLast,
+    "win_range_1h" -> Windows.winRange1h,
     "topk_per_group" -> Windows.topkPerGroup,
     // §2.5 sorts / sets
     "sort_multi_limit" -> Relational.sortMultiLimit,
     "set_union" -> Relational.setUnion,
     "set_intersect" -> Relational.setIntersect,
     "set_except" -> Relational.setExcept,
+    "set_ops_all" -> Relational.setOpsAll,
     // §2.6 scalar families
     "fn_string" -> Funcs.fnString,
+    "fn_string2" -> Funcs.fnString2,
     "fn_date" -> Funcs.fnDate,
     "fn_datediff_join" -> Funcs.fnDatediffJoin,
     "fn_math" -> Funcs.fnMath,

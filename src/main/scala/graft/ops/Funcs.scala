@@ -24,6 +24,21 @@ object Funcs {
         regexp_extract(col("p_brand"), "#([0-9]+)", 1).as("brand_num"))
       .orderBy("p_partkey")
 
+  val fnString2: Q = (s, d) =>
+    table(s, d, "part")
+      .select(
+        col("p_partkey"),
+        substring(col("p_name"), 1, 4).as("l4"),
+        expr("right(p_name, 4)").as("r4"),
+        lpad(col("p_brand"), 12, "*").as("lp"),
+        rpad(col("p_brand"), 12, "*").as("rp"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("first_word"),
+        reverse(col("p_name")).as("rev"),
+        repeat(col("p_brand"), 2).as("rep2"),
+        asLong(instr(col("p_name"), "a")).as("pos_a"),
+        col("p_name").startsWith("small").as("is_small"))
+      .orderBy("p_partkey")
+
   val fnDate: Q = (s, d) =>
     table(s, d, "orders")
       .filter(col("o_orderkey") <= 500)

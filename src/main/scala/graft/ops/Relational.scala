@@ -268,6 +268,32 @@ object Relational {
           .select(col("o_custkey").as("k")))
       .orderBy("k")
 
+  /** Multiset (ALL) set operations — bag semantics UNION/INTERSECT/
+    * EXCEPT, complementing the distinct variants above. */
+  val setOpsAll: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+    val a = li.filter(col("l_quantity") > 40).select(col("l_suppkey").as("k"))
+    val b = li.filter(col("l_discount") > 0.05).select(col("l_suppkey").as("k"))
+    val rows = Seq(
+      ("union_all", a.unionAll(b)),
+      ("intersect_all", a.intersectAll(b)),
+      ("except_all", a.exceptAll(b)))
+    rows.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
+    }.reduce(_ unionAll _).orderBy("op")
+  }
+
+  /** Interpolated median + continuous quantiles per group. */
+  val aggMedianQuantile: Q = (s, d) =>
+    table(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(median(col("o_totalprice")), 2).as("med"),
+        round(expr("percentile(o_totalprice, 0.25D)"), 2).as("q25"),
+        round(expr("percentile(o_totalprice, 0.90D)"), 2).as("q90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   // ---- §2.10 subqueries / CTE / pivot ----
 
   /** Correlated scalar subquery, decorrelated by hand: per-nation avg

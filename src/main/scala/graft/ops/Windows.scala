@@ -66,6 +66,34 @@ object Windows {
       .orderBy("c_custkey")
   }
 
+  /** first/last/nth value family; last_value needs the full-partition
+    * frame (default frame stops at CURRENT ROW in both engines). */
+  val winFirstLast: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    table(s, d, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(wFull).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Time-based RANGE frame (1 hour preceding) — the event-time window
+    * family ROWS frames can't express; via SQL window expressions since
+    * the Scala rangeBetween API is numeric-only. */
+  val winRange1h: Q = (s, d) =>
+    table(s, d, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        expr("""count(*) OVER (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""").as("n_last_hour"),
+        round(expr("""sum(cast(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""").cast(DoubleType), 2)
+          .as("v_last_hour"))
+      .orderBy("event_id")
+
   val topkPerGroup: Q = (s, d) => {
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("p_retailprice").desc, col("p_partkey"))
