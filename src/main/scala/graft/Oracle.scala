@@ -212,6 +212,29 @@ ORDER BY g_l, g_s, lang, source""",
        round(stddev_samp(value), 4) AS vstd
 FROM ${T("events")} GROUP BY event_type ORDER BY event_type""",
 
+      "agg_string_agg" ->
+        s"""SELECT c_nationkey, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs,
+  count(*) AS n
+FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM ${T("customer")})
+GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+      "funnel_click_purchase" ->
+        s"""WITH purchases AS (SELECT event_id, user_id, ts FROM ${T("events")} WHERE event_type = 'purchase'),
+clicks AS (SELECT user_id, ts FROM ${T("events")} WHERE event_type = 'click'),
+last_click AS (
+  SELECT p.event_id, p.user_id, p.ts, max(c.ts) AS c_ts
+  FROM purchases p JOIN clicks c ON c.user_id = p.user_id AND c.ts <= p.ts
+  GROUP BY 1, 2, 3)
+SELECT u.user_id,
+  count(p.event_id) AS n_purchases,
+  count(lc.event_id) FILTER (WHERE epoch(lc.ts) - epoch(lc.c_ts) <= 3600) AS n_converted,
+  round(cast(count(lc.event_id) FILTER (WHERE epoch(lc.ts) - epoch(lc.c_ts) <= 3600) AS DOUBLE)
+        / greatest(count(p.event_id), 1), 4) AS conv_rate
+FROM (SELECT DISTINCT user_id FROM ${T("events")}) u
+LEFT JOIN purchases p ON p.user_id = u.user_id
+LEFT JOIN last_click lc ON lc.event_id = p.event_id
+GROUP BY u.user_id ORDER BY u.user_id""",
+
       "agg_having" ->
         s"""SELECT l_suppkey, round(cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
 FROM ${T("lineitem")} GROUP BY l_suppkey
@@ -361,6 +384,17 @@ FROM ${T("part")} ORDER BY p_partkey""",
        date_trunc('month', o_orderdate) AS mstart,
        o_orderdate + INTERVAL 30 DAY AS plus30
 FROM ${T("orders")} WHERE o_orderkey <= 500 ORDER BY o_orderkey""",
+
+      "fn_date2" ->
+        s"""SELECT o_orderkey,
+  cast(date_part('hour', o_orderdate) AS BIGINT) AS h,
+  cast(date_part('minute', o_orderdate) AS BIGINT) AS mi,
+  cast(dayofweek(o_orderdate) AS BIGINT) AS dow,
+  cast(last_day(o_orderdate) AS DATE) AS ld,
+  cast(date_part('quarter', o_orderdate) AS BIGINT) AS q,
+  cast(date_part('doy', o_orderdate) AS BIGINT) AS doy,
+  cast(o_orderdate AS DATE) AS d_only
+FROM ${T("orders")} WHERE o_orderkey <= 300 ORDER BY o_orderkey""",
 
       "fn_datediff_join" ->
         s"""SELECT l.l_orderkey, l.l_linenumber,

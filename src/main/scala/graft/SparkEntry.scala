@@ -39,6 +39,8 @@ object SparkEntry {
     "agg_stats" -> Relational.aggStats,
     "agg_having" -> Relational.aggHaving,
     "agg_median_quantile" -> Relational.aggMedianQuantile,
+    "agg_string_agg" -> Relational.aggStringAgg,
+    "funnel_click_purchase" -> Relational.funnelClickPurchase,
     // §2.4 windows
     "win_rank_topn" -> Windows.winRankTopn,
     "win_lag_lead" -> Windows.winLagLead,
@@ -58,6 +60,7 @@ object SparkEntry {
     "fn_string" -> Funcs.fnString,
     "fn_string2" -> Funcs.fnString2,
     "fn_date" -> Funcs.fnDate,
+    "fn_date2" -> Funcs.fnDate2,
     "fn_datediff_join" -> Funcs.fnDatediffJoin,
     "fn_math" -> Funcs.fnMath,
     "fn_conditional" -> Funcs.fnConditional,

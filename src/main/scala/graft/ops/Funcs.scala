@@ -51,6 +51,22 @@ object Funcs {
         (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"))
       .orderBy("o_orderkey")
 
+  /** Extended date-part family. Spark's dayofweek is 1=Sunday while
+    * DuckDB's is 0=Sunday — normalized to DuckDB's here. */
+  val fnDate2: Q = (s, d) =>
+    table(s, d, "orders")
+      .filter(col("o_orderkey") <= 300)
+      .select(
+        col("o_orderkey"),
+        asLong(hour(col("o_orderdate"))).as("h"),
+        asLong(minute(col("o_orderdate"))).as("mi"),
+        asLong(dayofweek(col("o_orderdate")) - 1).as("dow"),
+        last_day(col("o_orderdate")).as("ld"),
+        asLong(quarter(col("o_orderdate"))).as("q"),
+        asLong(dayofyear(col("o_orderdate"))).as("doy"),
+        col("o_orderdate").cast(DateType).as("d_only"))
+      .orderBy("o_orderkey")
+
   val fnDatediffJoin: Q = (s, d) => {
     val l = table(s, d, "lineitem").filter(col("l_orderkey") <= 1000)
     val o = table(s, d, "orders")

@@ -294,6 +294,44 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** Ordered string aggregation (deterministic collect): distinct
+    * segments per nation, sorted then joined. */
+  val aggStringAgg: Q = (s, d) =>
+    table(s, d, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment")).distinct()
+      .groupBy(col("c_nationkey"))
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("c_mktsegment")))).as("segs"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+
+  /** Conversion funnel: per user, purchases converted by a click within
+    * the previous hour (event-analytics shape built on the as-of
+    * pattern). */
+  val funnelClickPurchase: Q = (s, d) => {
+    val ev = table(s, d, "events")
+    val users = ev.select(col("user_id")).distinct()
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val lastClick = purchases
+      .join(clicks, col("c_user") === col("p_user") && col("c_ts") <= col("p_ts"))
+      .groupBy(col("p_id").as("lc_id")).agg(max(col("c_ts")).as("lc_ts"))
+    val within1h = col("p_ts").cast(DoubleType) - col("lc_ts").cast(DoubleType) <= 3600
+    val nConv = count(when(within1h, col("lc_id")))
+    users
+      .join(purchases, col("p_user") === col("user_id"), "left")
+      .join(lastClick, col("lc_id") === col("p_id"), "left")
+      .groupBy(col("user_id"))
+      .agg(
+        count(col("p_id")).as("n_purchases"),
+        nConv.as("n_converted"),
+        round(nConv.cast(DoubleType) / greatest(count(col("p_id")), lit(1L)), 4)
+          .as("conv_rate"))
+      .orderBy("user_id")
+  }
+
   // ---- §2.10 subqueries / CTE / pivot ----
 
   /** Correlated scalar subquery, decorrelated by hand: per-nation avg
