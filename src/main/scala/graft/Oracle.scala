@@ -212,6 +212,29 @@ ORDER BY g_l, g_s, lang, source""",
        round(stddev_samp(value), 4) AS vstd
 FROM ${T("events")} GROUP BY event_type ORDER BY event_type""",
 
+      "agg_stats2" ->
+        s"""SELECT l_returnflag,
+  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+  round(covar_samp(l_quantity, l_discount), 6) AS cov_qd,
+  round(var_samp(l_quantity), 4) AS var_q,
+  bool_and(l_quantity > 0) AS all_pos,
+  bool_or(l_discount > 0.09) AS any_big_disc,
+  count(*) AS n
+FROM ${T("lineitem")} GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+      "latest_per_key" ->
+        s"""SELECT user_id, event_id, event_type, round(value, 2) AS v
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ${T("events")})
+WHERE rn = 1 ORDER BY user_id""",
+
+      "retention_daily" ->
+        s"""WITH activity AS (SELECT DISTINCT user_id, cast(date_trunc('day', ts) AS DATE) AS day FROM ${T("events")})
+SELECT a.day, count(*) AS active, count(b.user_id) AS retained,
+  round(cast(count(b.user_id) AS DOUBLE) / count(*), 4) AS retention
+FROM activity a LEFT JOIN activity b ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+GROUP BY a.day ORDER BY a.day""",
+
       "agg_string_agg" ->
         s"""SELECT c_nationkey, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs,
   count(*) AS n
@@ -384,6 +407,15 @@ FROM ${T("part")} ORDER BY p_partkey""",
        date_trunc('month', o_orderdate) AS mstart,
        o_orderdate + INTERVAL 30 DAY AS plus30
 FROM ${T("orders")} WHERE o_orderkey <= 500 ORDER BY o_orderkey""",
+
+      "fn_format" ->
+        s"""SELECT o_orderkey,
+  strftime(o_orderdate, '%Y-%m') AS ym,
+  strftime(o_orderdate, '%Y/%m/%d') AS ymd,
+  printf('%.2f', o_totalprice) AS price_s,
+  printf('%08d', o_orderkey) AS key_pad,
+  concat(o_orderstatus, '/', cast(year(o_orderdate) AS VARCHAR)) AS tag
+FROM ${T("orders")} WHERE o_orderkey <= 400 ORDER BY o_orderkey""",
 
       "fn_date2" ->
         s"""SELECT o_orderkey,

@@ -40,7 +40,10 @@ object SparkEntry {
     "agg_having" -> Relational.aggHaving,
     "agg_median_quantile" -> Relational.aggMedianQuantile,
     "agg_string_agg" -> Relational.aggStringAgg,
+    "agg_stats2" -> Relational.aggStats2,
     "funnel_click_purchase" -> Relational.funnelClickPurchase,
+    "latest_per_key" -> Relational.latestPerKey,
+    "retention_daily" -> Relational.retentionDaily,
     // §2.4 windows
     "win_rank_topn" -> Windows.winRankTopn,
     "win_lag_lead" -> Windows.winLagLead,
@@ -61,6 +64,7 @@ object SparkEntry {
     "fn_string2" -> Funcs.fnString2,
     "fn_date" -> Funcs.fnDate,
     "fn_date2" -> Funcs.fnDate2,
+    "fn_format" -> Funcs.fnFormat,
     "fn_datediff_join" -> Funcs.fnDatediffJoin,
     "fn_math" -> Funcs.fnMath,
     "fn_conditional" -> Funcs.fnConditional,

@@ -67,6 +67,20 @@ object Funcs {
         col("o_orderdate").cast(DateType).as("d_only"))
       .orderBy("o_orderkey")
 
+  /** Formatting family (printf-style and date patterns). */
+  val fnFormat: Q = (s, d) =>
+    table(s, d, "orders")
+      .filter(col("o_orderkey") <= 400)
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        date_format(col("o_orderdate"), "yyyy/MM/dd").as("ymd"),
+        format_string("%.2f", col("o_totalprice")).as("price_s"),
+        format_string("%08d", col("o_orderkey")).as("key_pad"),
+        concat(col("o_orderstatus"), lit("/"),
+          year(col("o_orderdate")).cast("string")).as("tag"))
+      .orderBy("o_orderkey")
+
   val fnDatediffJoin: Q = (s, d) => {
     val l = table(s, d, "lineitem").filter(col("l_orderkey") <= 1000)
     val o = table(s, d, "orders")

@@ -294,6 +294,47 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** Bivariate statistics + boolean aggregates. */
+  val aggStats2: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"),
+        round(var_samp(col("l_quantity")), 4).as("var_q"),
+        bool_and(col("l_quantity") > 0).as("all_pos"),
+        bool_or(col("l_discount") > 0.09).as("any_big_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Latest record per key (CDC/upsert compaction shape). */
+  val latestPerKey: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    table(s, d, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("v"))
+      .orderBy("user_id")
+  }
+
+  /** Day-over-day retention: users active on day d who return on d+1. */
+  val retentionDaily: Q = (s, d) => {
+    val activity = table(s, d, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .distinct()
+    val a = activity.toDF("a_user", "a_day")
+    val b = activity.toDF("b_user", "b_day")
+    a.join(b, col("b_user") === col("a_user") && col("b_day") === date_add(col("a_day"), 1),
+        "left")
+      .groupBy(col("a_day").as("day"))
+      .agg(count(lit(1)).as("active"), count(col("b_user")).as("retained"))
+      .select(col("day"), col("active"), col("retained"),
+        round(col("retained").cast(DoubleType) / col("active"), 4).as("retention"))
+      .orderBy("day")
+  }
+
   /** Ordered string aggregation (deterministic collect): distinct
     * segments per nation, sorted then joined. */
   val aggStringAgg: Q = (s, d) =>

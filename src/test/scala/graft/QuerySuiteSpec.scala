@@ -21,7 +21,8 @@ class QuerySuiteSpec extends AnyFunSuite {
     "win_running_total" -> 1500L, "win_ntile_dist" -> 150L, "topk_per_group" -> 75L,
     "win_first_last" -> 1500L, "win_range_1h" -> 1000L, "set_ops_all" -> 3L,
     "fn_string2" -> 200L, "agg_median_quantile" -> 3L, "agg_string_agg" -> 25L,
-    "funnel_click_purchase" -> 15L, "fn_date2" -> 301L,
+    "funnel_click_purchase" -> 15L, "fn_date2" -> 301L, "agg_stats2" -> 3L,
+    "latest_per_key" -> 15L, "retention_daily" -> 30L, "fn_format" -> 401L,
     "sort_multi_limit" -> 100L, "set_union" -> 107L, "set_intersect" -> 143L,
     "set_except" -> 7L, "fn_string" -> 200L, "fn_date" -> 501L,
     "fn_datediff_join" -> 4015L, "fn_math" -> 4015L, "fn_conditional" -> 1500L,
