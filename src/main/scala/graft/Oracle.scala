@@ -467,6 +467,23 @@ FROM ${T("embeddings")} ORDER BY vec_id""",
 FROM (SELECT vec_id, unnest(embedding) AS v FROM ${T("embeddings")})
 GROUP BY vec_id ORDER BY vec_id""",
 
+      "fn_regex" ->
+        s"""SELECT p_partkey,
+  regexp_replace(p_brand, '[0-9]+', 'N', 'g') AS brand_n,
+  regexp_matches(p_name, '^[a-z]+ [a-z]+$$') AS two_words,
+  regexp_extract(p_type, '([A-Z]+)', 1) AS first_caps,
+  cast(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels
+FROM ${T("part")} ORDER BY p_partkey""",
+
+      "fn_array2" ->
+        s"""SELECT vec_id,
+  list_contains(embedding, embedding[1]) AS has_first,
+  cast(list_position(embedding, embedding[3]) AS BIGINT) AS pos3,
+  cast(len(list_distinct(embedding)) AS BIGINT) AS n_distinct,
+  round(cast(list_aggregate(list_transform(embedding, x -> abs(cast(x AS DOUBLE))), 'max') AS DOUBLE), 6) AS max_abs,
+  cast(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+FROM ${T("embeddings")} WHERE vec_id < 300 ORDER BY vec_id""",
+
       "fn_json" ->
         s"""SELECT event_type,
        count(*) AS n_high,
@@ -802,6 +819,25 @@ SELECT s.s_suppkey, s.s_name, round(cast(rev.r AS DOUBLE), 2) AS revenue
 FROM rev JOIN mx ON rev.r = mx.m
 JOIN ${T("supplier")} s ON s.s_suppkey = rev.l_suppkey
 ORDER BY s.s_suppkey""",
+
+      "pivot_dynamic" ->
+        s"""SELECT lang,
+  cast(coalesce(sum(CASE WHEN source='src0' THEN 1 END), 0) AS BIGINT) AS src0,
+  cast(coalesce(sum(CASE WHEN source='src1' THEN 1 END), 0) AS BIGINT) AS src1,
+  cast(coalesce(sum(CASE WHEN source='src2' THEN 1 END), 0) AS BIGINT) AS src2,
+  cast(coalesce(sum(CASE WHEN source='src3' THEN 1 END), 0) AS BIGINT) AS src3
+FROM ${T("documents")} GROUP BY lang ORDER BY lang""",
+
+      "unpivot_long" ->
+        s"""WITH wide AS (
+  SELECT l_returnflag,
+    round(cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty,
+    round(cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS price,
+    round(cast(sum(cast(l_tax AS DECIMAL(18,2))) AS DOUBLE), 2) AS tax
+  FROM ${T("lineitem")} GROUP BY l_returnflag)
+SELECT l_returnflag, metric, val
+FROM wide UNPIVOT (val FOR metric IN (qty, price, tax))
+ORDER BY l_returnflag, metric""",
 
       "pivot_manual" ->
         s"""SELECT cast(date_trunc('day', ts) AS DATE) AS day,

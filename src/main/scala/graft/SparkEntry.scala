@@ -71,6 +71,8 @@ object SparkEntry {
     "fn_array" -> Funcs.fnArray,
     "fn_explode_unnest" -> Funcs.fnExplodeUnnest,
     "fn_json" -> Funcs.fnJson,
+    "fn_regex" -> Funcs.fnRegex,
+    "fn_array2" -> Funcs.fnArray2,
     // §2.7 text / LLM pipeline
     "text_wordcount" -> TextSim.textWordcount,
     "text_stats" -> TextSim.textStats,
@@ -105,7 +107,9 @@ object SparkEntry {
     "subq_correlated" -> Relational.subqCorrelated,
     "subq_scalar_uncorrelated" -> Relational.subqScalarUncorrelated,
     "cte_chain_top_supplier" -> Relational.cteChainTopSupplier,
-    "pivot_manual" -> Relational.pivotManual
+    "pivot_manual" -> Relational.pivotManual,
+    "pivot_dynamic" -> Relational.pivotDynamic,
+    "unpivot_long" -> Relational.unpivotLong
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

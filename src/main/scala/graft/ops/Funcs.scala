@@ -144,6 +144,33 @@ object Funcs {
         round(sum(abs(col("v").cast(DoubleType))), 4).as("abs_sum"))
       .orderBy("vec_id")
 
+  /** Regex family. DuckDB regexp_matches is contains-semantics like
+    * Spark rlike; the pattern is anchored so both match whole names. */
+  val fnRegex: Q = (s, d) =>
+    table(s, d, "part")
+      .select(
+        col("p_partkey"),
+        regexp_replace(col("p_brand"), "[0-9]+", "N").as("brand_n"),
+        col("p_name").rlike("^[a-z]+ [a-z]+$").as("two_words"),
+        regexp_extract(col("p_type"), "([A-Z]+)", 1).as("first_caps"),
+        asLong(size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0))))
+          .as("n_vowels"))
+      .orderBy("p_partkey")
+
+  /** Array function family over the embedding vectors. */
+  val fnArray2: Q = (s, d) =>
+    table(s, d, "embeddings")
+      .filter(col("vec_id") < 300)
+      .select(
+        col("vec_id"),
+        array_contains(col("embedding"), element_at(col("embedding"), 1)).as("has_first"),
+        array_position(col("embedding"), element_at(col("embedding"), 3)).as("pos3"),
+        asLong(size(array_distinct(col("embedding")))).as("n_distinct"),
+        round(array_max(transform(col("embedding"), x => abs(x.cast(DoubleType)))), 6)
+          .as("max_abs"),
+        asLong(size(filter(col("embedding"), x => x > 0))).as("n_pos"))
+      .orderBy("vec_id")
+
   val fnJson: Q = (s, d) => {
     val k = get_json_object(col("props"), "$.k").cast(LongType)
     table(s, d, "events")

@@ -408,6 +408,33 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** Native pivot() with an explicit value list — the column order is
+    * pinned by the list, defusing SURVEY risk R6. */
+  val pivotDynamic: Q = (s, d) => {
+    val srcs = Seq("src0", "src1", "src2", "src3")
+    table(s, d, "documents")
+      .groupBy(col("lang"))
+      .pivot("source", srcs)
+      .agg(count(lit(1)))
+      .select(col("lang") +: srcs.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      .orderBy("lang")
+  }
+
+  /** Wide->long via native unpivot/melt (Dataset.unpivot). */
+  val unpivotLong: Q = (s, d) => {
+    val wide = table(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        moneySum2(col("l_quantity")).as("qty"),
+        moneySum2(col("l_extendedprice")).as("price"),
+        moneySum2(col("l_tax")).as("tax"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("tax")),
+        "metric", "val")
+      .orderBy("l_returnflag", "metric")
+  }
+
   /** Pivot via explicit conditional aggregation (SURVEY R6: column-order
     * safe, exactly mirrors the oracle's FILTER columns). */
   val pivotManual: Q = (s, d) => {
