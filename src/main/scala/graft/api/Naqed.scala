@@ -36,6 +36,31 @@ class Naqed(spark: SparkSession, sfDir: String) {
   /** Execute a nested query rooted at `root`. */
   def request(root: String, q: Map[String, Any]): DataFrame = compile(root, q)
 
+  /** Wire-compatible entry point: naqed queries are plain JSON objects,
+    * so accept them as JSON text — `{"customer": {"$c_mktsegment":
+    * "BUILDING", "c_name": true, "nation": {"n_name": true}}}`.
+    * Exactly one root key; the nested object is the selection tree. */
+  def requestJson(json: String): DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    require(root.isObject && root.size() == 1,
+      s"naqed query must be a single-rooted object, got: $json")
+    val name = root.fieldNames().next()
+    def toScala(n: com.fasterxml.jackson.databind.JsonNode): Any =
+      if (n.isObject) {
+        val it = n.fields()
+        val b = Map.newBuilder[String, Any]
+        while (it.hasNext) { val e = it.next(); b += (e.getKey -> toScala(e.getValue)) }
+        b.result()
+      } else if (n.isBoolean) n.asBoolean()
+      else if (n.isIntegralNumber) n.asLong()
+      else if (n.isNumber) n.asDouble()
+      else if (n.isTextual) n.asText()
+      else if (n.isNull) null
+      else throw new IllegalArgumentException(s"unsupported query node: $n")
+    request(name, toScala(root.get(name)).asInstanceOf[Map[String, Any]])
+  }
+
   /** Mutation surface (naqed's `~`-prefixed keys): batch write-back.
     * `q` maps "~<table>" to the rows to append (each a field->value
     * map, schema-checked against the table). Writes parquet under

@@ -77,6 +77,22 @@ class NaqedSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no_such_field") && e.getMessage.contains("c_custkey"))
   }
 
+  test("JSON wire queries equal the Map API (reference-compatible input)") {
+    val viaJson = naqed.requestJson(
+      """{"customer": {"$c_mktsegment": "BUILDING", "c_name": true,
+        |  "nation": {"n_name": true, "region": {"r_name": true}}}}""".stripMargin)
+    val viaMap = naqed.request("customer", Map(
+      "$c_mktsegment" -> "BUILDING", "c_name" -> true,
+      "nation" -> Map("n_name" -> true, "region" -> Map("r_name" -> true))))
+    assert(viaJson.count() == viaMap.count())
+    assert(viaJson.select("c_name", "nation.n_name")
+      .exceptAll(viaMap.select("c_name", "nation.n_name")).count() == 0)
+    val e = intercept[IllegalArgumentException] {
+      naqed.requestJson("""{"customer": {"nope": true}}""")
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("typed specs validate against the live schemas (type-checked results)") {
     Naqed.specs.keys.foreach { t =>
       assert(Naqed.validateSpec(Tables(spark, sf0001, t), t).isEmpty, s"spec violation in $t")
