@@ -19,6 +19,17 @@ object Approx {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Heavy hitters: frequent part keys among high-quantity lines via
+    * the stat-functions frequent-items sketch (Karp et al.) vs the
+    * exact top by count — the sub-linear-memory "top sellers" path. */
+  def frequentItems(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val hot = table(spark, sfDir, "lineitem").filter(col("l_quantity") > 45)
+    val approx = hot.stat.freqItems(Array("l_suppkey"), 0.01)
+    val exact = hot.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l_suppkey"))
+    (approx, exact)
+  }
+
   /** approximate quantiles of order totals vs exact percentiles. */
   def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "orders")

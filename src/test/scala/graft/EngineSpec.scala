@@ -89,6 +89,15 @@ class EngineSpec extends AnyFunSuite {
     ap.zip(ex).foreach { case (a, e) => assert(math.abs(a - e) / e < 0.05) }
   }
 
+  test("frequent-items sketch contains every true heavy hitter") {
+    val (approxDf, exactDf) = ops.Approx.frequentItems(spark, sf0001)
+    val sketch = approxDf.collect()(0).getSeq[Long](0).toSet
+    val total = exactDf.agg(sum(col("n"))).collect()(0).getLong(0)
+    // guarantee: any item with frequency > support*total is in the sketch
+    val mustHave = exactDf.filter(col("n") > total / 100).collect().map(_.getLong(0))
+    mustHave.foreach(k => assert(sketch.contains(k), s"missing heavy hitter $k"))
+  }
+
   test("MapType surface: from_json over the events props column") {
     // SURVEY §2.6: map-typed data enters only via from_json
     val m = Tables(spark, sf0001, "events")
