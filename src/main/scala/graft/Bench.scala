@@ -15,6 +15,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // At local KB-scale shuffles AQE only adds per-stage re-planning
+      // latency (~0.1 s/query over 82 queries); on a real cluster leave
+      // it on — it is the runtime skew/coalesce lever (SCALING.md).
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -158,7 +158,18 @@ object Pipelines {
     * columns in one pass, and each md5 yields FOUR independent 32-bit
     * hash values (8-hex-char substrings), so a row costs 4 md5 calls,
     * not 16. */
-  val dedupMinhashLsh: Q = (s, d) => {
+  val dedupMinhashLsh: Q = (s, d) => synchronized {
+    // the verified pair result is shared with dedup_clusters — persist
+    // it once per sfDir (same policy as shingles/EDGES)
+    pairCache.getOrElseUpdate(d, {
+      val p = dedupMinhashLshBuild(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    })
+  }
+
+  private def dedupMinhashLshBuild(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
     val mins = (0 until 16).map { seed =>
       val h = md5(concat(lit(s"${seed / 4}|"), col("g")))
@@ -202,17 +213,9 @@ object Pipelines {
   private val pairCache = scala.collection.mutable.Map[String, DataFrame]()
 
   val dedupClusters: Q = (s, d) => {
-    // materialize the LSH pair set before iterating: the label-prop
-    // loop references it ~8x, which would otherwise re-execute the
-    // whole MinHash pipeline each time (SURVEY §4.2 lineage rule)
-    val pairs = synchronized {
-      pairCache.getOrElseUpdate(d, {
-        val p = dedupMinhashLsh(s, d).select(col("d1"), col("d2"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        p.count()
-        p
-      })
-    }
+    // dedupMinhashLsh returns the persisted pair result (the label-prop
+    // loop below references it ~8x — SURVEY §4.2 lineage rule)
+    val pairs = dedupMinhashLsh(s, d).select(col("d1"), col("d2"))
     val ud = pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
     val n0 = ud.select(col("d1").as("v")).distinct()
     val ud2 = ud.select(col("d1").as("s"), col("d2").as("t"))
