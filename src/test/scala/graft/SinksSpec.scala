@@ -32,6 +32,9 @@ class SinksSpec extends AnyFunSuite {
     assert(viaCsv.exceptAll(docs).count() == 0)
     assert(viaJson.exceptAll(docs).count() == 0)
     assert(viaCsv.schema == docs.schema)
+    docs.write.mode("overwrite").orc(s"$out/orc")
+    val viaOrc = spark.read.schema(docs.schema).orc(s"$out/orc")
+    assert(viaOrc.exceptAll(docs).count() == 0)
   }
 
   test("bucketed tables join without any Exchange (co-located join)") {
