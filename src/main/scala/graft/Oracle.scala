@@ -327,6 +327,13 @@ ORDER BY o_custkey, o_orderkey""",
 FROM ${T("events")}
 ORDER BY event_id""",
 
+      "win_ratio" ->
+        s"""SELECT user_id, event_id,
+  round(cast(value AS DOUBLE) /
+    cast(sum(cast(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id) AS DOUBLE), 6) AS share
+FROM ${T("events")}
+ORDER BY user_id, event_id""",
+
       "topk_per_group" ->
         s"""SELECT * FROM (
   SELECT p_brand, p_partkey, p_retailprice,
@@ -483,6 +490,15 @@ FROM ${T("part")} ORDER BY p_partkey""",
   round(cast(list_aggregate(list_transform(embedding, x -> abs(cast(x AS DOUBLE))), 'max') AS DOUBLE), 6) AS max_abs,
   cast(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
 FROM ${T("embeddings")} WHERE vec_id < 300 ORDER BY vec_id""",
+
+      "fn_nulls" ->
+        s"""SELECT o_orderkey,
+  nullif(o_orderstatus, 'O') IS NULL AS was_open,
+  nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F' AS is_f_nullsafe,
+  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS st2,
+  CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN o_totalprice ELSE 0.0 END AS open_price,
+  cast(CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS non_null_flag
+FROM ${T("orders")} WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
 
       "fn_json" ->
         s"""SELECT event_type,

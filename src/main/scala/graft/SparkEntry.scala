@@ -52,6 +52,7 @@ object SparkEntry {
     "win_ntile_dist" -> Windows.winNtileDist,
     "win_first_last" -> Windows.winFirstLast,
     "win_range_1h" -> Windows.winRange1h,
+    "win_ratio" -> Windows.winRatio,
     "topk_per_group" -> Windows.topkPerGroup,
     // §2.5 sorts / sets
     "sort_multi_limit" -> Relational.sortMultiLimit,
@@ -72,6 +73,7 @@ object SparkEntry {
     "fn_explode_unnest" -> Funcs.fnExplodeUnnest,
     "fn_json" -> Funcs.fnJson,
     "fn_regex" -> Funcs.fnRegex,
+    "fn_nulls" -> Funcs.fnNulls,
     "fn_array2" -> Funcs.fnArray2,
     // §2.7 text / LLM pipeline
     "text_wordcount" -> TextSim.textWordcount,

@@ -171,6 +171,23 @@ object Funcs {
         asLong(size(filter(col("embedding"), x => x > 0))).as("n_pos"))
       .orderBy("vec_id")
 
+  /** NULL-semantics family: null-safe equality, nullif/ifnull chains,
+    * null-aware counts (the testdata is null-free, so nulls are
+    * manufactured with nullif to exercise the paths). */
+  val fnNulls: Q = (s, d) => {
+    val st = nullif(col("o_orderstatus"), lit("O"))
+    table(s, d, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        st.isNull.as("was_open"),
+        (st <=> lit("F")).as("is_f_nullsafe"),
+        coalesce(st, lit("OPEN")).as("st2"),
+        when(st.isNull, col("o_totalprice")).otherwise(lit(0.0)).as("open_price"),
+        st.isNotNull.cast("int").cast("long").as("non_null_flag"))
+      .orderBy("o_orderkey")
+  }
+
   val fnJson: Q = (s, d) => {
     val k = get_json_object(col("props"), "$.k").cast(LongType)
     table(s, d, "events")

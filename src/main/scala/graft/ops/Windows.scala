@@ -94,6 +94,17 @@ object Windows {
           .as("v_last_hour"))
       .orderBy("event_id")
 
+  /** Ratio-to-report: each event's share of its user's total. */
+  val winRatio: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+    table(s, d, "events")
+      .select(
+        col("user_id"), col("event_id"),
+        round(col("value").cast(DoubleType) /
+          sum(dec2(col("value"))).over(w).cast(DoubleType), 6).as("share"))
+      .orderBy("user_id", "event_id")
+  }
+
   val topkPerGroup: Q = (s, d) => {
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("p_retailprice").desc, col("p_partkey"))
