@@ -157,6 +157,38 @@ FROM purchases p JOIN clicks c
 GROUP BY p.event_id, p.user_id
 ORDER BY p.event_id""",
 
+      "join_lateral_topn" ->
+        s"""SELECT n.n_nationkey, n.n_name, c.c_custkey, round(c.c_acctbal, 2) AS bal
+FROM ${T("nation")} n,
+LATERAL (SELECT c_custkey, c_acctbal FROM ${T("customer")}
+         WHERE c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+ORDER BY n.n_nationkey, bal DESC, c.c_custkey""",
+
+      "tpch_q3_shape" ->
+        s"""SELECT l.l_orderkey,
+  round(cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
+  o.o_orderdate, o.o_orderpriority
+FROM ${T("customer")} c JOIN ${T("orders")} o ON c.c_custkey = o.o_custkey
+JOIN ${T("lineitem")} l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey LIMIT 20""",
+
+      "tpch_q5_shape" ->
+        s"""SELECT n.n_name,
+  round(cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+FROM ${T("customer")} c
+JOIN ${T("orders")} o ON c.c_custkey = o.o_custkey
+JOIN ${T("lineitem")} l ON l.l_orderkey = o.o_orderkey
+JOIN ${T("supplier")} s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN ${T("nation")} n ON c.c_nationkey = n.n_nationkey
+JOIN ${T("region")} r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""",
+
       // ---- aggregations ----
       "agg_hash_q1" ->
         s"""SELECT l_returnflag, l_linestatus,

@@ -30,6 +30,9 @@ object SparkEntry {
     "join_anti" -> Relational.joinAnti,
     "join_range_theta" -> Relational.joinRangeTheta,
     "join_asof" -> Relational.joinAsof,
+    "join_lateral_topn" -> Relational.joinLateralTopn,
+    "tpch_q3_shape" -> Relational.tpchQ3Shape,
+    "tpch_q5_shape" -> Relational.tpchQ5Shape,
     // §2.3 aggregations
     "agg_hash_q1" -> Relational.aggHashQ1,
     "agg_count_distinct" -> Relational.aggCountDistinct,

@@ -268,6 +268,60 @@ object Relational {
           .select(col("o_custkey").as("k")))
       .orderBy("k")
 
+  /** Correlated LATERAL (dependent) join — per-nation top-2 customers,
+    * via Spark's lateral subquery support (SQL entry; the views are
+    * registered without triggering the EDGES build). */
+  val joinLateralTopn: Q = (s, d) => {
+    table(s, d, "nation").createOrReplaceTempView("nation")
+    table(s, d, "customer").createOrReplaceTempView("customer")
+    s.sql("""SELECT n.n_nationkey, n.n_name, c.c_custkey, round(c.c_acctbal, 2) AS bal
+      FROM nation n,
+      LATERAL (SELECT c_custkey, c_acctbal FROM customer
+               WHERE c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+      ORDER BY n.n_nationkey, bal DESC, c.c_custkey""")
+  }
+
+  /** TPC-H Q3 shape: segment-filtered 3-way join, revenue per order. */
+  val tpchQ3Shape: Q = (s, d) => {
+    val c = table(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = table(s, d, "orders")
+      .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+    val l = table(s, d, "lineitem")
+      .filter(col("l_shipdate") > to_timestamp(lit("1997-01-01")))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(l("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
+      .agg(round(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast(DoubleType), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q5 shape: region-filtered 6-way join with the local-supplier
+    * condition, revenue per nation. */
+  val tpchQ5Shape: Q = (s, d) => {
+    val c = table(s, d, "customer")
+    val o = table(s, d, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+    val l = table(s, d, "lineitem")
+    val sup = table(s, d, "supplier")
+    val n = table(s, d, "nation")
+    val r = table(s, d, "region").filter(col("r_name") === "ASIA")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, l("l_orderkey") === o("o_orderkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+        c("c_nationkey") === sup("s_nationkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(n("n_name"))
+      .agg(round(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast(DoubleType), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Multiset (ALL) set operations — bag semantics UNION/INTERSECT/
     * EXCEPT, complementing the distinct variants above. */
   val setOpsAll: Q = (s, d) => {

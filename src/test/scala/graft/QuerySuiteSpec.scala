@@ -25,6 +25,7 @@ class QuerySuiteSpec extends AnyFunSuite {
     "latest_per_key" -> 15L, "retention_daily" -> 30L, "fn_format" -> 401L,
     "pivot_dynamic" -> 5L, "unpivot_long" -> 9L, "fn_regex" -> 200L,
     "fn_array2" -> 300L, "win_ratio" -> 1000L, "fn_nulls" -> 1500L,
+    "join_lateral_topn" -> 50L, "tpch_q3_shape" -> 20L, "tpch_q5_shape" -> 1L,
     "sort_multi_limit" -> 100L, "set_union" -> 107L, "set_intersect" -> 143L,
     "set_except" -> 7L, "fn_string" -> 200L, "fn_date" -> 501L,
     "fn_datediff_join" -> 4015L, "fn_math" -> 4015L, "fn_conditional" -> 1500L,
