@@ -43,13 +43,19 @@ object Bench {
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }.toSeq
+    val failed = results.collect { case (n, _, false) => n }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Detail line first, short total-only line LAST: the driver
+    // tail-captures stdout, so the parseable summary must be the final
+    // line (round 1's total was lost to truncation of one giant line).
+    println(s"""{"metric":"detail","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

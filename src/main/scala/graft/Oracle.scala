@@ -837,7 +837,7 @@ sess AS (
          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
   FROM flagged)
-SELECT user_id, count(DISTINCT sess_id) AS n_sessions, count(*) AS n_events,
+SELECT user_id, count(DISTINCT sess_id) AS n_sessions, cast(sum(cnt) AS BIGINT) AS n_events,
        max(cnt) AS max_session_events
 FROM (SELECT user_id, sess_id, count(*) AS cnt
       FROM sess GROUP BY user_id, sess_id)

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -120,18 +121,33 @@ object Relational {
       .orderBy("user_id")
   }
 
-  /** As-of via the portable groupBy-max formulation (SURVEY §2.2). */
-  val joinAsof: Q = (s, d) => {
-    val ev = table(s, d, "events")
-    val p = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts")).as("p")
-    val c = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-    p.join(c, col("c_user") === col("p.user_id") && col("c_ts") <= col("p.ts"))
-      .groupBy(col("p.event_id").as("event_id"), col("p.user_id").as("user_id"))
-      .agg(max(col("c_ts")).as("last_click_ts"))
-      .orderBy("event_id")
+  /** Linear as-of core: per purchase, the latest click ts at-or-before
+    * it, via union + running-max window — ONE shuffle on user_id and
+    * row counts linear in |events|. (The range-join + re-aggregate
+    * formulation the oracle uses materializes purchases × prior-clicks
+    * per user — quadratic per hot user at scale; both compute the same
+    * result.) Clicks sort before purchases at equal ts (boolean asc) so
+    * the inclusive `click_ts <= purchase_ts` bound holds. */
+  private def lastClickPerPurchase(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_p"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, d, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("event_type") === "purchase").as("is_p"))
+      .withColumn("lc_ts", max(when(!col("is_p"), col("ts"))).over(w))
+      .filter(col("is_p"))
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"), col("lc_ts"))
   }
+
+  /** As-of join, linear formulation (SURVEY §2.2); inner semantics —
+    * purchases with no prior click are dropped. */
+  val joinAsof: Q = (s, d) =>
+    lastClickPerPurchase(s, d)
+      .filter(col("lc_ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("lc_ts").as("last_click_ts"))
+      .orderBy("event_id")
 
   // ---- §2.3 aggregations ----
 
@@ -404,20 +420,15 @@ object Relational {
     * the previous hour (event-analytics shape built on the as-of
     * pattern). */
   val funnelClickPurchase: Q = (s, d) => {
-    val ev = table(s, d, "events")
-    val users = ev.select(col("user_id")).distinct()
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-    val lastClick = purchases
-      .join(clicks, col("c_user") === col("p_user") && col("c_ts") <= col("p_ts"))
-      .groupBy(col("p_id").as("lc_id")).agg(max(col("c_ts")).as("lc_ts"))
+    val users = table(s, d, "events").select(col("user_id")).distinct()
+    // per-purchase last prior click from the shared linear as-of core
+    val purchases = lastClickPerPurchase(s, d)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("p_ts"), col("lc_ts"))
     val within1h = col("p_ts").cast(DoubleType) - col("lc_ts").cast(DoubleType) <= 3600
-    val nConv = count(when(within1h, col("lc_id")))
+    val nConv = count(when(within1h, col("p_id")))
     users
       .join(purchases, col("p_user") === col("user_id"), "left")
-      .join(lastClick, col("lc_id") === col("p_id"), "left")
       .groupBy(col("user_id"))
       .agg(
         count(col("p_id")).as("n_purchases"),

@@ -50,7 +50,7 @@ object StreamOps {
     perSession.groupBy(col("user_id"))
       .agg(
         countDistinct(col("sess_id")).as("n_sessions"),
-        count(lit(1)).as("n_events"),
+        sum(col("cnt")).as("n_events"),
         max(col("cnt")).as("max_session_events"))
       .orderBy("user_id")
   }

@@ -11,22 +11,32 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Semantics: for each left row, attach the single right row with the
   * same key and the greatest `rightTs <= leftTs` (latest-prior match);
   * left rows with no prior right row are dropped (inner as-of).
+  * Payload columns are atomic — they all come from ONE right row (ties
+  * on rightTs resolve arbitrarily but consistently across columns).
+  * Duplicate left rows are preserved, one output row each.
   *
   * Spark has no *public* ASOF operator for the Scala API (catalyst
   * carries an internal logical.AsOfJoin reachable only from the pandas
   * layer); rather than a bespoke physical exec, `RewriteAsOfJoin`
-  * LOWERS this node to built-in operators during analysis:
+  * LOWERS this node to built-in operators during analysis — the LINEAR
+  * formulation:
   *
-  *   left JOIN right ON key AND rightTs <= leftTs
-  *        (equi-prefix hash join + residual range filter — never a
-  *         nested loop; skew on hot keys is AQE-splittable)
-  *   GROUP BY left.* -> max_by(right.*, rightTs)
+  *   UNION(left tagged isL=true, right tagged isL=false)
+  *   WINDOW last(struct(payload), ignoreNulls)
+  *          OVER (PARTITION BY key ORDER BY ts, isL
+  *                ROWS UNBOUNDED PRECEDING..CURRENT)
+  *   FILTER isL AND last IS NOT NULL; PROJECT left.* ++ struct fields
   *
-  * so Catalyst keeps full visibility (pushdown through both sides,
-  * broadcast/SMJ choice, AQE) — the payoff of lowering to relational
-  * algebra instead of hand-writing an exec node. The declared
-  * `join_asof` oracle query uses the identical formulation, so the
-  * operator inherits its cross-engine verification.
+  * One shuffle on the key, O(|left|+|right|) rows end-to-end. The
+  * naive `JOIN ON key AND rightTs <= leftTs` + max_by materializes
+  * (left × all-prior-right) per key — quadratic per hot key — which is
+  * why the lowering does NOT use it. Right rows sort before left rows
+  * at equal ts (boolean ascending) so the inclusive bound holds.
+  * Catalyst keeps full visibility (pushdown through both sides, AQE)
+  * — the payoff of lowering to relational algebra instead of
+  * hand-writing an exec node. The declared `join_asof` oracle query
+  * computes the identical result via the portable groupBy-max SQL, so
+  * the operator inherits its cross-engine verification.
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -46,29 +56,58 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Lowers AsOfJoin to join + aggregate (runs in the resolution batch
-  * injected by GraftExtensions). */
+/** Lowers AsOfJoin to union + running-last window (runs in the
+  * resolution batch injected by GraftExtensions). */
 object RewriteAsOfJoin extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.dsl.plans._
   import org.apache.spark.sql.catalyst.expressions._
-  import org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy
-  import org.apache.spark.sql.catalyst.plans.Inner
+  import org.apache.spark.sql.catalyst.expressions.aggregate.Last
   import org.apache.spark.sql.catalyst.plans.logical._
+  import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
 
   // note: catalyst has its own logical.AsOfJoin (pandas API) pulled in
   // by the wildcard import — qualify ours
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case a: graft.plans.AsOfJoin if a.childrenResolved =>
-      val cond = And(
-        EqualTo(a.leftKey, a.rightKey),
-        LessThanOrEqual(a.rightTs, a.leftTs))
-      val joined = Join(a.left, a.right, Inner, Some(cond), JoinHint.NONE)
-      val aggs = a.payload.map { p =>
+      val payloadAttrs = a.payload.map(_.asInstanceOf[NamedExpression])
+      val payType = StructType(payloadAttrs.map(p =>
+        StructField(p.name, p.dataType, nullable = true)))
+      // pad both sides to: left.* ++ [__pay struct, __key, __ts, __isL]
+      val leftSide = Project(
+        a.left.output ++ Seq(
+          Alias(Literal(null, payType), "__pay")(),
+          Alias(a.leftKey, "__key")(),
+          Alias(a.leftTs, "__ts")(),
+          Alias(Literal(true, BooleanType), "__isL")()),
+        a.left)
+      val rightSide = Project(
+        a.left.output.map(o =>
+          Alias(Literal(null, o.dataType), o.name)()) ++ Seq(
+          Alias(CreateStruct(payloadAttrs), "__pay")(),
+          Alias(a.rightKey, "__key")(),
+          Alias(a.rightTs, "__ts")(),
+          Alias(Literal(false, BooleanType), "__isL")()),
+        a.right)
+      val union = Union(leftSide, rightSide)
+      // union.output carries leftSide's exprIds (nullability merged)
+      val n = a.left.output.size
+      val leftAttrs = union.output.take(n)
+      val Seq(payA, keyA, tsA, isLA) = union.output.drop(n)
+      val frame =
+        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+      val order = Seq(SortOrder(tsA, Ascending), SortOrder(isLA, Ascending))
+      val spec = WindowSpecDefinition(Seq(keyA), order, frame)
+      val lastPay = Alias(
+        WindowExpression(
+          Last(payA, ignoreNulls = true).toAggregateExpression(), spec),
+        "__last_pay")()
+      val win = Window(Seq(lastPay), Seq(keyA), order, union)
+      val matched = Filter(
+        And(isLA, IsNotNull(lastPay.toAttribute)), win)
+      val outPayload = payloadAttrs.zipWithIndex.map { case (p, i) =>
         Alias(
-          MaxBy(p, a.rightTs).toAggregateExpression(),
-          p.asInstanceOf[NamedExpression].name)(
-          exprId = p.asInstanceOf[NamedExpression].exprId)
+          GetStructField(lastPay.toAttribute, i, Some(p.name)),
+          p.name)(exprId = p.exprId)
       }
-      Aggregate(a.left.output, a.left.output ++ aggs, joined)
+      Project(leftAttrs ++ outPayload, matched)
   }
 }
