@@ -10,9 +10,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle parallelism is decoupled from executor threads: at sf0.1
+    // every shuffle is KB-scale, so 32 tasks/stage is pure scheduling
+    // overhead (measured ~15% of suite total); 8 keeps sorts/joins
+    // parallel enough while map-side outputs stay contiguous. On a real
+    // cluster this knob is workload-sized (SCALING.md) — AQE coalesces
+    // from a high initial value instead.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // At local KB-scale shuffles AQE only adds per-stage re-planning

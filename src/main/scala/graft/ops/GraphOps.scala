@@ -52,23 +52,44 @@ object GraphOps {
       .agg(count(lit(1)).as("triangles"))
   }
 
-  /** Min-label propagation, exactly 4 unrolled rounds with the
-    * self-loop trick (so a node keeps its own label in the min). */
-  val graphCcLabelprop: Q = (s, d) => {
+  /** One min-label-propagation round over the self-looped edge set. */
+  private def ccStep(ud2: DataFrame)(l: DataFrame): DataFrame =
+    ud2.as("e").join(l.as("l"), col("l.v") === col("e.t"))
+      .groupBy(col("e.s").as("v"))
+      .agg(min(col("l.lbl")).as("lbl"))
+
+  /** Self-looped undirected edges + persisted node set (the self-loop
+    * keeps a node's own label in the min). n0 is a distinct shuffle
+    * referenced every round — persisting it is what keeps k-round
+    * label-prop at k shuffles instead of 2k. */
+  private def ccInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val ud = Tables.ud(s, d)
-    val n0 = ud.select(col("s").as("v")).union(ud.select(col("t").as("v"))).distinct()
+    val n0 = ud.select(col("s").as("v")).union(ud.select(col("t").as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ud2 = ud.select(col("s"), col("t"))
       .unionAll(n0.select(col("v").as("s"), col("v").as("t")))
-    var l = n0.select(col("v"), col("v").as("lbl"))
-    for (_ <- 1 to 4) {
-      l = ud2.as("e").join(l.as("l"), col("l.v") === col("e.t"))
-        .groupBy(col("e.s").as("v"))
-        .agg(min(col("l.lbl")).as("lbl"))
-    }
-    l.groupBy(col("lbl").as("component_label"))
+    (n0, ud2)
+  }
+
+  /** Min-label propagation, exactly 4 rounds (oracle-fixed partial
+    * fixpoint) through Iterate.fixed; Iterate.converge is the
+    * run-to-fixpoint path (asserted equal to GraphX CC in the suite).
+    */
+  val graphCcLabelprop: Q = (s, d) => {
+    val (n0, ud2) = ccInputs(s, d)
+    Iterate.fixed(n0.select(col("v"), col("v").as("lbl")), 4)(ccStep(ud2))
+      .groupBy(col("lbl").as("component_label"))
       .agg(count(lit(1)).as("size"))
       .orderBy(col("size").desc, col("component_label"))
       .limit(50)
+  }
+
+  /** Label-prop to the true fixpoint (non-oracle API; GraphX twin
+    * asserted equivalent in GraphXSpec). */
+  def ccConverged(s: SparkSession, d: String, maxRounds: Int = 50): DataFrame = {
+    val (n0, ud2) = ccInputs(s, d)
+    Iterate.converge(n0.select(col("v"), col("v").as("lbl")), maxRounds)(ccStep(ud2))
   }
 
   /** BFS min-depth <= 3: per-level distinct frontiers unioned, then
@@ -97,13 +118,18 @@ object GraphOps {
     * summation order cannot diverge between engines. */
   val graphPagerank3: Q = (s, d) => {
     val ud = Tables.ud(s, d)
-    val n0 = ud.select(col("s").as("v")).union(ud.select(col("t").as("v"))).distinct()
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // n0 (distinct) and deg (groupBy) are each referenced every
+    // iteration — persist both so 3 rounds cost 3 shuffles, not 9
+    val n0 = ud.select(col("s").as("v")).union(ud.select(col("t").as("v")))
+      .distinct().persist(lvl)
     val deg = ud.groupBy(col("s").as("v")).agg(count(lit(1)).as("deg"))
+      .persist(lvl)
     val nCount = n0.count()
     val base = 0.15 / nCount
-    var p = n0.select(col("v"), lit(1.0 / nCount).as("pr"))
-    for (_ <- 1 to 3) {
-      p = n0.as("n")
+    val init = n0.select(col("v"), lit(1.0 / nCount).as("pr"))
+    Iterate.fixed(init, 3) { p =>
+      n0.as("n")
         .join(ud.as("u"), col("u.t") === col("n.v"), "left")
         .join(p.as("p"), col("p.v") === col("u.s"), "left")
         .join(deg.as("g"), col("g.v") === col("u.s"), "left")
@@ -112,7 +138,7 @@ object GraphOps {
           coalesce(sum((col("p.pr") / col("g.deg")).cast(D28_15)), lit(0))
             .cast(DoubleType)).as("pr"))
     }
-    p.select(col("v").as("node"), round(col("pr"), 8).as("pagerank"))
+      .select(col("v").as("node"), round(col("pr"), 8).as("pagerank"))
       .orderBy(col("pagerank").desc, col("node"))
       .limit(30)
   }

@@ -125,11 +125,18 @@ object Pipelines {
   // ---- near-dedup at scale ----
 
   /** SimHash over 3-gram shingles: 32-bit fingerprint from md5-nibble
-    * MSBs, pairs within hamming <= 4 (language-blocked). The pair join
-    * touches only 8-byte fingerprints. The 32 bit-sums are computed as
-    * 32 aggregate columns in ONE pass over the shingle set — no 32x
-    * row explosion (the oracle's unnest(range) formulation computes the
-    * identical sums). */
+    * MSBs, pairs within hamming <= 4 (language-blocked). The 32
+    * bit-sums are computed as 32 aggregate columns in ONE pass over the
+    * shingle set — no 32x row explosion (the oracle's unnest(range)
+    * formulation computes the identical sums).
+    *
+    * Candidates via hamming-LSH pigeonhole banding: the fingerprint
+    * splits into 5 chunks (7+7+6+6+6 bits); hamming <= 4 differing
+    * bits can damage at most 4 chunks, so every qualifying pair shares
+    * >= 1 chunk verbatim — the (chunk_id, chunk_value, lang) equi-join
+    * is recall-COMPLETE, never all-pairs, and the exact bit_count
+    * verify keeps the result identical to the quadratic formulation
+    * (which the independent DuckDB oracle still uses). */
   val dedupSimhash: Q = (s, d) => {
     val sh = shingles(s, d).select(col("doc_id"), col("lang"), md5(col("g")).as("h"))
     val sums = (1 to 32).map { j =>
@@ -142,9 +149,17 @@ object Pipelines {
     val fp = sh.groupBy(col("doc_id"), col("lang"))
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), col("lang"), fpExpr.as("fp"))
-    val a = fp.toDF("d1", "lang", "fp1")
-    val b = fp.toDF("d2", "lang2", "fp2")
-    a.join(b, col("lang") === col("lang2") && col("d1") < col("d2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunks = Seq((0, 127L), (7, 127L), (14, 63L), (20, 63L), (26, 63L))
+    val banded = chunks.zipWithIndex.map { case ((off, mask), i) =>
+      fp.select(col("doc_id"), col("lang"), col("fp"), lit(i).as("chunk"),
+        expr(s"shiftright(fp, $off)").bitwiseAND(lit(mask)).as("ckey"))
+    }.reduce(_ unionAll _)
+    val a = banded.toDF("d1", "lang", "fp1", "chunk", "ckey")
+    val b = banded.toDF("d2", "lang2", "fp2", "chunk2", "ckey2")
+    a.join(b, col("lang") === col("lang2") && col("chunk") === col("chunk2") &&
+        col("ckey") === col("ckey2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("fp1"), col("fp2")).distinct()
       .withColumn("hamming", asLong(expr("bit_count(fp1 ^ fp2)")))
       .filter(col("hamming") <= 4)
       .select(col("d1"), col("d2"), col("hamming"))
@@ -218,29 +233,51 @@ object Pipelines {
     val pairs = dedupMinhashLsh(s, d).select(col("d1"), col("d2"))
     val ud = pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
     val n0 = ud.select(col("d1").as("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ud2 = ud.select(col("d1").as("s"), col("d2").as("t"))
       .unionAll(n0.select(col("v").as("s"), col("v").as("t")))
-    var l = n0.select(col("v"), col("v").as("lbl"))
-    for (_ <- 1 to 4) {
-      l = ud2.as("e").join(l.as("l"), col("l.v") === col("e.t"))
+    Iterate.fixed(n0.select(col("v"), col("v").as("lbl")), 4) { l =>
+      ud2.as("e").join(l.as("l"), col("l.v") === col("e.t"))
         .groupBy(col("e.s").as("v"))
         .agg(min(col("l.lbl")).as("lbl"))
     }
-    l.groupBy(col("lbl").as("canonical_id"))
+      .groupBy(col("lbl").as("canonical_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .orderBy("canonical_id")
   }
 
   // ---- vector similarity at scale ----
 
-  /** Embedding near-dup pairs: brute-force cosine >= 0.35 on a 1/2
-    * sample via the codegen'd CosineSimilarity expression. */
+  /** Embedding near-dup pairs: exact cosine >= 0.35 on a 1/2 sample via
+    * the codegen'd CosineSimilarity expression, computed as a BLOCK-GRID
+    * equi-join instead of a cartesian: each vector lands in B grid
+    * cells (its block crossed with every block), cells equi-join on
+    * (ci, cj), and the canonical-cell predicate keeps each pair exactly
+    * once. Same O(n²/2) cosine evals — exactness at this threshold
+    * cannot be pruned: measured on this corpus, sign-bit LSH at
+    * sim>=0.35 (pairs sit at 0.35–0.51, barely above random) misses
+    * 6–58% of true pairs at any sub-all-pairs banding (SCALING.md) —
+    * but the plan is a shuffle-partitionable hash join with bounded
+    * per-task memory, not a broadcast-nested-loop cartesian; B scales
+    * with the cluster. The DuckDB oracle keeps the independent
+    * all-pairs formulation. */
   val simCosineNeardup: Q = (s, d) => {
+    val nBlocks = 8
     val e = table(s, d, "embeddings").filter(col("vec_id") % 2 === 0)
-    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
-    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+      .select(col("vec_id"), col("embedding"),
+        expr(s"cast((vec_id div 2) % $nBlocks AS INT)").as("blk"))
+    val cells = e
+      .select(col("vec_id"), col("embedding"), col("blk"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("p"))
+      .select(col("vec_id"), col("embedding"), col("blk"),
+        least(col("blk"), col("p")).as("ci"), greatest(col("blk"), col("p")).as("cj"))
+    val a = cells.toDF("v1", "e1", "b1", "ci", "cj")
+    val b = cells.toDF("v2", "e2", "b2", "ci2", "cj2")
     val sim = cosineSim(s, col("e1"), col("e2"))
-    a.join(b, col("v1") < col("v2"))
+    a.join(b, col("ci") === col("ci2") && col("cj") === col("cj2") &&
+        col("v1") < col("v2") &&
+        col("ci") === least(col("b1"), col("b2")) &&
+        col("cj") === greatest(col("b1"), col("b2")))
       .filter(sim >= 0.35)
       .select(col("v1"), col("v2"), round(sim, 4).as("sim"))
       .orderBy("v1", "v2")

@@ -31,6 +31,17 @@ class GraphXSpec extends AnyFunSuite {
     assert(gx.count() == nNodes)
   }
 
+  test("Iterate.converge label-prop reaches the GraphX CC fixpoint") {
+    // run-to-convergence DataFrame label-prop must induce the identical
+    // node partition as GraphX connectedComponents (labels are both
+    // min-ids, so they agree exactly)
+    val lp = GraphOps.ccConverged(spark, sf0001)
+      .select(col("v").as("node"), col("lbl").as("component"))
+    val gx = GraphXOps.connectedComponents(spark, sf0001)
+    assert(lp.exceptAll(gx).count() == 0)
+    assert(gx.exceptAll(lp).count() == 0)
+  }
+
   test("GraphX triangle count equals DataFrame graph_triangles") {
     val df = GraphOps.graphTriangles(spark, sf0001).collect()(0).getLong(0)
     assert(GraphXOps.triangleTotal(spark, sf0001) == df)
