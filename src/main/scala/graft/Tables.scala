@@ -18,8 +18,11 @@ import scala.collection.mutable
   * caching is off).
   */
 object Tables {
-  private val tableCache = mutable.Map[(String, String), DataFrame]()
-  private val edgeCache = mutable.Map[String, (DataFrame, DataFrame)]()
+  // keyed by (session, dir[, name]): a restarted SparkSession must
+  // never be handed DataFrames bound to its stopped predecessor
+  // (SparkSession uses identity equality, which is exactly right here)
+  private val tableCache = mutable.Map[(SparkSession, String, String), DataFrame]()
+  private val edgeCache = mutable.Map[(SparkSession, String), (DataFrame, DataFrame)]()
 
   /** The ten testdata base tables (TESTDATA.md / FIXTURES.md). */
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
@@ -31,12 +34,20 @@ object Tables {
   /** Base table by name, e.g. Tables(spark, sfDir, "lineitem"). */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     synchronized {
-      tableCache.getOrElseUpdate((sfDir, name), {
+      tableCache.getOrElseUpdate((spark, sfDir, name), {
         val df = read(spark, s"$sfDir/$name.parquet")
         if (cachingEnabled(spark)) df.persist(StorageLevel.MEMORY_AND_DISK)
         else df
       })
     }
+
+  /** Mount an arbitrary source DataFrame as table `name` under a
+    * (possibly virtual) `sfDir` for this session: every declared query
+    * then runs against it unchanged — this is how the parquet-native
+    * suite executes over CSV/JSON/JDBC-backed tables (Sources.readCsv
+    * + mount + any Q). */
+  def mount(spark: SparkSession, sfDir: String, name: String, df: DataFrame): Unit =
+    synchronized { tableCache((spark, sfDir, name)) = df }
 
   /** Parquet read that tolerates TIMESTAMP(NANOS) columns, which Spark 4
     * rejects natively: nanos are read as LongType and truncated to
@@ -87,7 +98,7 @@ object Tables {
     */
   def edges(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
     synchronized {
-      edgeCache.getOrElseUpdate(sfDir, {
+      edgeCache.getOrElseUpdate((spark, sfDir), {
         val li = apply(spark, sfDir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"))
         val a = li.toDF("o", "s")

@@ -78,8 +78,19 @@ class Naqed(spark: SparkSession, sfDir: String) {
         if (unknown.nonEmpty)
           throw new IllegalArgumentException(
             s"unknown fields ${unknown.mkString(", ")} on '$tname'")
-        val data = rows.map { r =>
-          org.apache.spark.sql.Row.fromSeq(schema.fields.map(f => r.get(f.name).orNull).toSeq)
+        // schema check up-front, per row: absent fields are only legal
+        // when nullable, and every present value must fit the declared
+        // Spark type (with numeric widening) — a bad row fails HERE
+        // with a naqed-style message, not opaquely at execution
+        val data = rows.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(schema.fields.map { f =>
+            r.get(f.name) match {
+              case None | Some(null) if f.nullable => null
+              case None | Some(null) => throw new IllegalArgumentException(
+                s"row $i: missing required field '$tname.${f.name}' (${f.dataType.simpleString})")
+              case Some(v) => Naqed.coerce(v, f, tname, i)
+            }
+          }.toSeq)
         }
         val df = spark.createDataFrame(
           spark.sparkContext.parallelize(data.toList), schema)
@@ -93,7 +104,10 @@ class Naqed(spark: SparkSession, sfDir: String) {
   private def compile(tname: String, q: Map[String, Any]): DataFrame = {
     var df = table(tname)
     val cols = df.columns.toSet
-    val selected = scala.collection.mutable.ArrayBuffer[Column]()
+    // output columns tracked BY NAME (every selection is named `k`
+    // below) — projection dedup must not depend on Column.toString
+    // rendering, which is not a semantic identity
+    val selected = scala.collection.mutable.LinkedHashMap[String, Column]()
 
     q.foreach {
       case (k, v) if k.startsWith("$") =>
@@ -104,10 +118,10 @@ class Naqed(spark: SparkSession, sfDir: String) {
         df = df.filter(op(col(colName), v))
 
       case (k, true) if cols.contains(k) =>
-        selected += col(k)
+        selected(k) = col(k)
 
       case (k, true) if resolvers.contains((tname, k)) =>
-        selected += resolvers((tname, k))(df).as(k)
+        selected(k) = resolvers((tname, k))(df).as(k)
 
       case (k, sub: Map[_, _]) if forward.contains((tname, k)) =>
         val (fk, pk) = forward((tname, k))
@@ -115,7 +129,7 @@ class Naqed(spark: SparkSession, sfDir: String) {
         val alias = s"__c_$k"
         val childCols = child.columns.map(c => col(s"$alias.$c"))
         df = df.join(child.as(alias), col(fk) === col(s"$alias.$pk"), "left")
-        selected += struct(childCols.toSeq: _*).as(k)
+        selected(k) = struct(childCols.toSeq: _*).as(k)
 
       case (k, sub: Map[_, _]) if reverse.contains((tname, k)) =>
         val (pk, fk) = reverse((tname, k))
@@ -127,7 +141,7 @@ class Naqed(spark: SparkSession, sfDir: String) {
           .agg(sort_array(collect_list(struct(child.columns.filterNot(_ == s"__fk_$fk")
             .map(col).toSeq: _*))).as(k))
         df = df.join(grouped, col(pk) === col(s"__fk_$fk"), "left")
-        selected += col(k)
+        selected(k) = col(k)
 
       case (k, _) =>
         throw new IllegalArgumentException(
@@ -136,9 +150,9 @@ class Naqed(spark: SparkSession, sfDir: String) {
     }
 
     // keep join/sort keys resolvable for parent levels
-    val keep = keyColumns(tname).filterNot(k => selected.exists(_.toString == col(k).toString))
-      .map(col)
-    df.select((selected ++ keep).distinct.toSeq: _*)
+    keyColumns(tname).filterNot(selected.contains)
+      .foreach(k => selected(k) = col(k))
+    df.select(selected.values.toSeq: _*)
   }
 }
 
@@ -209,6 +223,28 @@ object Naqed {
     "documents" -> Map("doc_id" -> "ID", "text" -> "STRING", "lang" -> "STRING",
       "source" -> "STRING", "n_chars" -> "INT"),
     "embeddings" -> Map("vec_id" -> "ID", "embedding" -> "[FLOAT]", "label" -> "INT"))
+
+  /** Coerce one mutation value to its declared Spark type (numeric
+    * widening allowed; anything else is a typed error naming the
+    * field). */
+  private[api] def coerce(v: Any, f: StructField, tname: String, rowIdx: Int): Any =
+    (f.dataType, v) match {
+      case (LongType, x: Long) => x
+      case (LongType, x: Int) => x.toLong
+      case (IntegerType, x: Int) => x
+      case (IntegerType, x: Long) if x.isValidInt => x.toInt
+      case (DoubleType, x: java.lang.Number) => x.doubleValue
+      case (FloatType, x: java.lang.Number) => x.floatValue
+      case (StringType, x: String) => x
+      case (BooleanType, x: Boolean) => x
+      case (TimestampType, x: java.sql.Timestamp) => x
+      case (ArrayType(FloatType, _), x: Seq[_])
+          if x.forall(_.isInstanceOf[java.lang.Number]) =>
+        x.map(_.asInstanceOf[java.lang.Number].floatValue)
+      case (t, x) => throw new IllegalArgumentException(
+        s"row $rowIdx: '$tname.${f.name}' expects ${t.simpleString}, " +
+          s"got ${x.getClass.getSimpleName} ($x)")
+    }
 
   /** Validate a table against its declared spec; returns violations
     * (empty = type-checks, naqed-style). */

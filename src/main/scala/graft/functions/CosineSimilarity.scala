@@ -73,14 +73,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
-  private val registered = java.util.Collections.synchronizedSet(
-    new java.util.HashSet[String]())
+  // weak keys: sessions are tracked by identity and dropped on GC, so
+  // a stopped session can never block registration in its successor
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Column API: cosine_sim(a, b). Registers the expression in the
     * session's function registry on first use (also making it available
     * to spark.sql as `cosine_sim`). */
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
-    if (registered.add(System.identityHashCode(spark).toString)) {
+    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
     }

@@ -19,7 +19,10 @@ import graft.functions.CosineSimilarity.cosineSim
   */
 object Pipelines {
 
-  private val shingleCache = scala.collection.mutable.Map[String, DataFrame]()
+  // keyed by (session, dir): see Tables — never hand a restarted
+  // session a DataFrame bound to its stopped predecessor
+  private val shingleCache =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
 
   /** Drop cached shingle/pair sets (bench warmup hygiene). */
   def clearCache(): Unit = synchronized {
@@ -38,7 +41,7 @@ object Pipelines {
     * allocation (a higher-order `transform` here was the suite's
     * dominant GC source). */
   private def shingles(s: SparkSession, d: String): DataFrame = synchronized {
-    shingleCache.getOrElseUpdate(d, {
+    shingleCache.getOrElseUpdate((s, d), {
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       table(s, d, "documents")
         .select(col("doc_id"), col("lang"),
@@ -176,7 +179,7 @@ object Pipelines {
   val dedupMinhashLsh: Q = (s, d) => synchronized {
     // the verified pair result is shared with dedup_clusters — persist
     // it once per sfDir (same policy as shingles/EDGES)
-    pairCache.getOrElseUpdate(d, {
+    pairCache.getOrElseUpdate((s, d), {
       val p = dedupMinhashLshBuild(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       p.count()
@@ -225,7 +228,8 @@ object Pipelines {
     * labels; output one row per cluster with its canonical (minimum)
     * doc and size. Docs not in any pair are singleton clusters and are
     * excluded here (size >= 2). */
-  private val pairCache = scala.collection.mutable.Map[String, DataFrame]()
+  private val pairCache =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
 
   val dedupClusters: Q = (s, d) => {
     // dedupMinhashLsh returns the persisted pair result (the label-prop

@@ -121,4 +121,31 @@ class EngineSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
       s"pushdown missing in plan:\n$plan")
   }
+
+  test("sessionize: n_events counts events, not sessions") {
+    val r = ops.StreamOps.streamSessionize(spark, sf0001)
+      .filter(col("n_events") < col("n_sessions"))
+    assert(r.count() == 0)
+    // and at least one user has a multi-event session
+    assert(ops.StreamOps.streamSessionize(spark, sf0001)
+      .filter(col("n_events") > col("n_sessions")).count() > 0)
+  }
+
+  test("declared queries run oracle-identically over a CSV-backed source") {
+    // write documents as CSV, mount it under a virtual dir, and run an
+    // oracle-checked aggregate query through the normal Q path — the
+    // non-parquet source feeds the exact same declared-query surface
+    val docs = Tables(spark, sf0001, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft_csvq").toString
+    docs.write.mode("overwrite").option("header", "true").csv(s"$out/documents")
+    val viaCsv = sources.Sources.readCsv(spark, s"$out/documents", docs.schema)
+    val mnt = s"$out/mnt"
+    Tables.mount(spark, mnt, "documents", viaCsv)
+    val fromCsv = ops.TextSim.textStats(spark, mnt).collect().toSeq
+    val fromParquet = ops.TextSim.textStats(spark, sf0001).collect().toSeq
+    assert(fromCsv == fromParquet)
+    // a second declared query over the same mount (dedup path)
+    assert(ops.TextSim.dedupExact(spark, mnt).collect().toSeq ==
+      ops.TextSim.dedupExact(spark, sf0001).collect().toSeq)
+  }
 }

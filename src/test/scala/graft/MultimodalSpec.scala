@@ -4,12 +4,48 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Multimodal
 
-/** Binary-payload pipeline plumbing (decode step stubbed by design —
-  * build brief: "make the Spark-side plumbing real and tested"). */
+/** Binary-payload pipeline: REAL javax.imageio decode for image
+  * payloads, byte-histogram fallback for codec-absent modalities. */
 class MultimodalSpec extends AnyFunSuite {
   import SharedSpark._
 
   lazy val media = Multimodal.mediaFromDocuments(spark, sf0001)
+
+  /** Synthesize a solid-color PNG in memory. */
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("image payloads decode through javax.imageio to pixel features") {
+    import spark.implicits._
+    val assets = Seq(
+      Multimodal.Media(1L, "image", png(8, 4, 0xff0000), Map("fmt" -> "png")),
+      Multimodal.Media(2L, "image", png(3, 3, 0x00ff00), Map("fmt" -> "png")),
+      Multimodal.Media(3L, "image", png(2, 2, 0x1020ff), Map("fmt" -> "png")),
+      // corrupt image bytes must fall back, not crash or drop the row
+      Multimodal.Media(4L, "image", Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 1), Map()))
+    val feats = Multimodal.extractFeatures(assets.toDS())
+      .collect().map(f => f.id -> f).toMap
+    // solid red 8x4: w=8 h=4, meanR=255, meanG=0, meanB=0
+    assert(feats(1L).features.take(5).toSeq == Seq(8.0, 4.0, 255.0, 0.0, 0.0))
+    // luminance of pure red = 0.299 -> bin floor(0.299*11)=3, all pixels
+    assert(feats(1L).features(5 + 3) == 1.0)
+    assert(feats(2L).features.take(5).toSeq == Seq(3.0, 3.0, 0.0, 255.0, 0.0))
+    assert(feats(3L).features.take(5).toSeq == Seq(2.0, 2.0, 16.0, 32.0, 255.0))
+    // corrupt row survived via the fallback (16-dim byte histogram)
+    assert(feats(4L).features.length == 16 && feats(4L).n_bytes == 6)
+  }
+
+  test("magic-byte sniffing routes only real images to the decoder") {
+    assert(Multimodal.isImage(png(1, 1, 0)))
+    assert(!Multimodal.isImage("just text bytes".getBytes))
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+  }
 
   test("media table: binary payloads with typed metadata") {
     val m = media.head()

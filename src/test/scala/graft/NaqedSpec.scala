@@ -130,6 +130,16 @@ class NaqedSpec extends AnyFunSuite {
       naqed.mutate(Map("~region" -> Seq(Map("bogus" -> 1))), out)
     }
     assert(e.getMessage.contains("bogus"))
+    // wrongly-typed value fails up-front with the field named, not
+    // opaquely at execution
+    val badType = intercept[IllegalArgumentException] {
+      naqed.mutate(Map("~region" -> Seq(
+        Map("r_regionkey" -> "not-a-number", "r_name" -> "X"))), out)
+    }
+    assert(badType.getMessage.contains("r_regionkey"))
+    // numeric widening is accepted (Int -> declared long)
+    assert(naqed.mutate(Map("~region" -> Seq(
+      Map("r_regionkey" -> 92, "r_name" -> "MU"))), out) == Map("~region" -> 1L))
   }
 
   test("multimodal traversal: documents -> embeddings") {
