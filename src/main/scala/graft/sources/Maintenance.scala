@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table maintenance for raw-parquet directories — the operational
+  * layer a long-lived 100 TB dataset needs between full table-format
+  * adoption (Delta/Iceberg) and nothing:
+  *
+  *  - `compact`: bin-pack a directory of small files into
+  *    ~targetBytes outputs. Streaming sinks and fine-grained appends
+  *    produce thousands of KB-scale files; at scale every query then
+  *    pays one task + one footer-read per file. Compaction rewrites to
+  *    sized files and swaps the directory. NOT transactional — a
+  *    concurrent reader can observe the swap window; that isolation
+  *    (plus schema enforcement on write and time travel) is exactly
+  *    what a table format adds (SCALING.md §Table formats), and this
+  *    API is the migration seam.
+  *  - `readEvolved`: schema-evolution read across appended
+  *    generations (mergeSchema) — older files surface added columns
+  *    as nulls.
+  */
+object Maintenance {
+
+  /** Rewrite `dir` (a parquet directory) into ceil(totalBytes /
+    * targetBytes) files. Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long): (Int, Int) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new Path(dir)
+    val fs = path.getFileSystem(conf)
+    val parts = fs.listStatus(path).filter(_.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    val tmp = new Path(dir + "__compacting")
+    fs.delete(tmp, true)
+    // coalesce (not repartition): pure bin-packing, no shuffle
+    df.coalesce(nOut).write.mode("overwrite").parquet(tmp.toString)
+    // swap: drop old data files + markers, move the compacted ones in
+    fs.listStatus(path)
+      .filter { s =>
+        val n = s.getPath.getName
+        n.endsWith(".parquet") || n.startsWith("_")
+      }
+      .foreach(s => fs.delete(s.getPath, false))
+    fs.listStatus(tmp).foreach(s =>
+      fs.rename(s.getPath, new Path(path, s.getPath.getName)))
+    fs.delete(tmp, true)
+    (parts.length, nOut)
+  }
+
+  /** Read a parquet directory whose files span schema generations:
+    * union of all fields, missing columns null. */
+  def readEvolved(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+}

@@ -32,6 +32,31 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Unbounded non-file source wiring: Spark's built-in deterministic
+    * `rate-micro-batch` source shaped into the events schema. Batch k
+    * carries values [k·rowsPerBatch, (k+1)·rowsPerBatch) with event
+    * time advancing one minute per batch — so every downstream
+    * windowed aggregate is exactly predictable from the number of rows
+    * processed (asserted in StreamingSpec). A Kafka deployment swaps
+    * `.format("kafka").option("subscribe", …)` + a from_json projection
+    * in front of the SAME transforms — no broker ships in this
+    * container, so the rate source is the live unbounded path. */
+  def rateEvents(spark: SparkSession, rowsPerBatch: Int): DataFrame =
+    spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch.toLong)
+      .option("startTimestamp", 0L)
+      .option("advanceMillisPerBatch", 60000L)
+      .load() // (timestamp, value)
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        pmod(col("value"), lit(50)).as("user_id"),
+        element_at(
+          array(lit("click"), lit("view"), lit("purchase")),
+          (pmod(col("value"), lit(3)) + 1).cast("int")).as("event_type"),
+        (pmod(col("value") * 7, lit(100)).cast(DoubleType) / 10).as("value"))
+
   /** Tumbling 1h counts/sums per event_type — streaming twin of
     * StreamOps.streamTumbling1h. */
   def tumbling1h(events: DataFrame): DataFrame =

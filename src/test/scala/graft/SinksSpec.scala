@@ -37,6 +37,32 @@ class SinksSpec extends AnyFunSuite {
     assert(viaOrc.exceptAll(docs).count() == 0)
   }
 
+  test("compaction bin-packs small files without changing the data") {
+    val docs = Tables(spark, sf0001, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    // simulate a fine-grained append history: 20 tiny files
+    docs.repartition(20).write.mode("overwrite").parquet(out)
+    val before = docs.orderBy("doc_id").collect().toSeq
+    val (nBefore, nAfter) = sources.Maintenance.compact(spark, out, targetBytes = 64L * 1024 * 1024)
+    assert(nBefore == 20 && nAfter == 1, s"$nBefore -> $nAfter")
+    val files = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1)
+    assert(spark.read.parquet(out).orderBy("doc_id").collect().toSeq == before)
+  }
+
+  test("schema-evolution read spans appended generations") {
+    val out = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(out)
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.mode("append").parquet(out)
+    val evolved = sources.Maintenance.readEvolved(spark, out)
+    assert(evolved.columns.sorted.toSeq == Seq("id", "score", "v"))
+    assert(evolved.count() == 2)
+    assert(evolved.filter(col("id") === 1L).select("score").collect()(0).isNullAt(0))
+    assert(evolved.filter(col("id") === 2L).select("score").collect()(0).getDouble(0) == 9.5)
+  }
+
   test("bucketed tables join without any Exchange (co-located join)") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

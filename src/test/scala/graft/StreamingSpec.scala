@@ -41,6 +41,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0)
   }
 
+  test("rate source: unbounded non-file stream with predictable windows") {
+    val rpb = 10
+    // tumbling agg without watermark in complete mode so the exact
+    // per-window state is observable at any stop point
+    val stream = Streams.rateEvents(spark, rpb)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+    val q = stream.writeStream.format("memory").queryName("t_rate")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // let a handful of micro-batches through
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (q.recentProgress.length < 3 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+    } finally q.stop()
+    val rows = spark.table("t_rate")
+      .orderBy("w_start").collect()
+      .map(r => (r.getTimestamp(0).toInstant.toEpochMilli, r.getLong(1)))
+    assert(rows.nonEmpty)
+    // batch k carries rpb rows at minute k: with T total rows processed,
+    // hour-window k must hold exactly min(max(T - k*60*rpb, 0), 60*rpb)
+    val total = rows.map(_._2).sum
+    rows.zipWithIndex.foreach { case ((startMs, n), k) =>
+      assert(startMs == k.toLong * 3600000L, s"window $k starts at $startMs")
+      val expect = math.min(math.max(total - k.toLong * 60 * rpb, 0L), 60L * rpb)
+      assert(n == expect, s"window $k: got $n, expected $expect of total $total")
+    }
+  }
+
   test("streaming session_window session counts match batch sessionize") {
     val stream = Streams.sessions30m(Streams.eventsStream(spark, sf0001))
     val got = Streams.runToBatch(spark, stream, "t_sessions")
