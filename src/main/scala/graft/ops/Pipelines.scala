@@ -93,10 +93,13 @@ object Pipelines {
     * overlap. Output is the confusion matrix. */
   val pipelineLangId: Q = (s, d) => {
     val docs = table(s, d, "documents")
+    // tk feeds both marker training and voting — persist the one
+    // explode+distinct shuffle instead of running it twice
     val tk = docs
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
       .distinct()
       .filter(col("w") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = tk.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("df"))
     val wm = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("w"))
     val markers = freq.withColumn("rn", row_number().over(wm))

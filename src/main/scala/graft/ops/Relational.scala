@@ -464,8 +464,11 @@ object Relational {
   val cteChainTopSupplier: Q = (s, d) => {
     val li = table(s, d, "lineitem")
     val sup = table(s, d, "supplier")
+    // rev feeds both the scalar max and the final join — persist so
+    // the lineitem aggregation shuffle runs once
     val rev = li.groupBy(col("l_suppkey"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mx = rev.agg(max(col("r")).as("m"))
     rev.join(broadcast(mx), col("r") === col("m"))
       .join(sup, sup("s_suppkey") === col("l_suppkey"))
