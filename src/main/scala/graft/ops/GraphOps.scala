@@ -112,6 +112,22 @@ object GraphOps {
       .orderBy("depth", "v")
   }
 
+  /** Arbitrary-depth reachability (naqed's unbounded traversal as a
+    * first-class API): min-hop depths from `start`, run to the true
+    * fixpoint (or `maxRounds`) through Iterate.converge — per-round
+    * localCheckpoint, row-delta stop. graph_bfs_3hop is the oracle's
+    * fixed-depth prefix of this (asserted in GraphXSpec). */
+  def reachable(s: SparkSession, d: String, start: Long, maxRounds: Int = 50): DataFrame = {
+    val ud = Tables.ud(s, d)
+    val init = s.range(1).select(lit(start).as("v"), lit(0).as("depth"))
+    Iterate.converge(init, maxRounds) { vis =>
+      vis.unionAll(
+        ud.as("u").join(vis.as("f"), col("u.s") === col("f.v"))
+          .select(col("u.t").as("v"), (col("f.depth") + 1).as("depth")))
+        .groupBy(col("v")).agg(min(col("depth")).as("depth"))
+    }
+  }
+
   /** PageRank, damping 0.85, exactly 3 iterations. Per-edge
     * contributions are cast to DECIMAL(28,15) before summing
     * ("decimal-stabilized float aggregation", SURVEY §5.3) so the

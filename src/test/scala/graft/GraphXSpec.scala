@@ -42,6 +42,20 @@ class GraphXSpec extends AnyFunSuite {
     assert(gx.exceptAll(lp).count() == 0)
   }
 
+  test("reachable (unbounded traversal) covers the component; bfs_3hop is its prefix") {
+    val dfBfs = GraphOps.graphBfs3hop(spark, sf0001)
+    val start = dfBfs.filter(col("depth") === 0).collect()(0).getLong(0)
+    val all = GraphOps.reachable(spark, sf0001, start)
+    // full reach = exactly the GraphX component of start
+    val gx = GraphXOps.connectedComponents(spark, sf0001)
+    val comp = gx.filter(col("node") === start).collect()(0).getLong(1)
+    assert(all.count() == gx.filter(col("component") === comp).count())
+    // the oracle-checked 3-hop query is the depth<=3 prefix
+    val prefix = all.filter(col("depth") <= 3).select(col("v"), col("depth"))
+    assert(prefix.exceptAll(dfBfs.select(col("v"), col("depth"))).count() == 0)
+    assert(dfBfs.select(col("v"), col("depth")).exceptAll(prefix).count() == 0)
+  }
+
   test("GraphX triangle count equals DataFrame graph_triangles") {
     val df = GraphOps.graphTriangles(spark, sf0001).collect()(0).getLong(0)
     assert(GraphXOps.triangleTotal(spark, sf0001) == df)
