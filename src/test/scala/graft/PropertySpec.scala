@@ -51,4 +51,73 @@ class PropertySpec extends AnyFunSuite {
     val d = ops.Pipelines.dedupSimhash(spark, sf0001)
     assert(d.filter(col("hamming") < 0 || col("hamming") > 32).count() == 0)
   }
+
+  test("pigeonhole banding is recall-complete on random fingerprints") {
+    // property behind the dedup_simhash candidate join: ANY pair with
+    // hamming <= 4 over 32 bits shares at least one of the 5 chunks
+    // (7+7+6+6+6) verbatim — checked on seeded random fingerprints +
+    // adversarial <=4-bit corruptions
+    val rnd = new scala.util.Random(42)
+    val chunks = Seq((0, 127L), (7, 127L), (14, 63L), (20, 63L), (26, 63L))
+    def shareChunk(a: Long, b: Long): Boolean =
+      chunks.exists { case (off, mask) => ((a >> off) & mask) == ((b >> off) & mask) }
+    (1 to 2000).foreach { _ =>
+      val fp = rnd.nextLong() & 0xffffffffL
+      val nFlips = rnd.nextInt(5) // 0..4
+      val flipped = (1 to nFlips).foldLeft(fp)((v, _) => v ^ (1L << rnd.nextInt(32)))
+      assert(java.lang.Long.bitCount(fp ^ flipped) <= 4)
+      assert(shareChunk(fp, flipped), f"missed pair $fp%08x / $flipped%08x")
+    }
+  }
+
+  test("prefix filtering is recall-complete on random token sets") {
+    // property behind the dedup_near_jaccard candidates: under any
+    // shared global token order, sets with J >= 0.8 intersect within
+    // their floor(0.2|d|)+1 smallest-ranked tokens
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 60).map(i => s"w$i")
+    val order = rnd.shuffle(vocab).zipWithIndex.toMap // global rank
+    def prefix(s: Set[String]): Set[String] =
+      s.toSeq.sortBy(order).take((0.2 * s.size).toInt + 1).toSet
+    var tested = 0
+    (1 to 3000).foreach { _ =>
+      val base = rnd.shuffle(vocab).take(10 + rnd.nextInt(20)).toSet
+      // derive a near-duplicate by small edits
+      val b = base -- rnd.shuffle(base.toSeq).take(rnd.nextInt(3)) ++
+        rnd.shuffle(vocab).take(rnd.nextInt(3))
+      val j = base.intersect(b).size.toDouble / base.union(b).size
+      if (j >= 0.8) {
+        tested += 1
+        assert(prefix(base).intersect(prefix(b)).nonEmpty,
+          s"missed pair with J=$j:\n$base\n$b")
+      }
+    }
+    assert(tested > 100) // the generator actually produced near-dups
+  }
+
+  test("as-of window form equals naive groupBy-max on random event streams") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // random interleavings incl. equal-ts click/purchase collisions
+    val rows = (1 to 400).map { i =>
+      (i.toLong, rnd.nextInt(12).toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(500) * 1000L),
+        if (rnd.nextBoolean()) "click" else "purchase")
+    }
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type")
+    val out = java.nio.file.Files.createTempDirectory("graft_asof_prop").toString
+    ev.write.mode("overwrite").parquet(s"$out/events.parquet")
+    val got = ops.Relational.joinAsof(spark, out)
+    // independent naive recomputation (the oracle's shape)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val want = p.join(c, col("cu") === col("user_id") && col("cts") <= col("ts"))
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(max(col("cts")).as("last_click_ts"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want.select("event_id", "user_id", "last_click_ts")).count() == 0)
+  }
 }
