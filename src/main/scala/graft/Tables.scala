@@ -18,11 +18,11 @@ import scala.collection.mutable
   * caching is off).
   */
 object Tables {
-  // keyed by (session, dir[, name]): a restarted SparkSession must
-  // never be handed DataFrames bound to its stopped predecessor
-  // (SparkSession uses identity equality, which is exactly right here)
-  private val tableCache = mutable.Map[(SparkSession, String, String), DataFrame]()
-  private val edgeCache = mutable.Map[(SparkSession, String), (DataFrame, DataFrame)]()
+  // weakly session-keyed (SessionCache): a restarted SparkSession is
+  // never handed DataFrames bound to its stopped predecessor, and a
+  // dropped session's entries become collectable
+  private val tableCache = new SessionCache[(String, String), DataFrame]
+  private val edgeCache = new SessionCache[String, (DataFrame, DataFrame)]
 
   /** The ten testdata base tables (TESTDATA.md / FIXTURES.md). */
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
@@ -33,12 +33,10 @@ object Tables {
 
   /** Base table by name, e.g. Tables(spark, sfDir, "lineitem"). */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    synchronized {
-      tableCache.getOrElseUpdate((spark, sfDir, name), {
-        val df = read(spark, s"$sfDir/$name.parquet")
-        if (cachingEnabled(spark)) df.persist(StorageLevel.MEMORY_AND_DISK)
-        else df
-      })
+    tableCache.getOrElseUpdate(spark, (sfDir, name)) {
+      val df = read(spark, s"$sfDir/$name.parquet")
+      if (cachingEnabled(spark)) df.persist(StorageLevel.MEMORY_AND_DISK)
+      else df
     }
 
   /** Mount an arbitrary source DataFrame as table `name` under a
@@ -47,7 +45,7 @@ object Tables {
     * suite executes over CSV/JSON/JDBC-backed tables (Sources.readCsv
     * + mount + any Q). */
   def mount(spark: SparkSession, sfDir: String, name: String, df: DataFrame): Unit =
-    synchronized { tableCache((spark, sfDir, name)) = df }
+    tableCache.put(spark, (sfDir, name), df)
 
   /** Parquet read that tolerates TIMESTAMP(NANOS) columns, which Spark 4
     * rejects natively: nanos are read as LongType and truncated to
@@ -97,8 +95,8 @@ object Tables {
     * strong graph (~4k edges) is ever persisted or traversed.
     */
   def edges(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
-    synchronized {
-      edgeCache.getOrElseUpdate((spark, sfDir), {
+    {
+      edgeCache.getOrElseUpdate(spark, sfDir) {
         val li = apply(spark, sfDir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"))
         val a = li.toDF("o", "s")
@@ -116,7 +114,7 @@ object Tables {
         // materialize once so all six graph queries reuse it
         ud.count()
         (ePersisted, ud)
-      })
+      }
     }
 
   /** Undirected edge view only. */
@@ -135,7 +133,7 @@ object Tables {
   }
 
   /** Test hook: drop all cached state (e.g. between suites). */
-  def clear(): Unit = synchronized {
+  def clear(): Unit = {
     tableCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
     edgeCache.values.foreach { case (e, u) =>
       try { e.unpersist(); u.unpersist() } catch { case _: Throwable => () }

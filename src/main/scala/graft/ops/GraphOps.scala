@@ -52,8 +52,10 @@ object GraphOps {
       .agg(count(lit(1)).as("triangles"))
   }
 
-  /** One min-label-propagation round over the self-looped edge set. */
-  private def ccStep(ud2: DataFrame)(l: DataFrame): DataFrame =
+  /** One min-label-propagation round over the self-looped edge set
+    * (shared with Pipelines.dedupClusters — one implementation of the
+    * step, two label-prop users). */
+  private[ops] def ccStep(ud2: DataFrame)(l: DataFrame): DataFrame =
     ud2.as("e").join(l.as("l"), col("l.v") === col("e.t"))
       .groupBy(col("e.s").as("v"))
       .agg(min(col("l.lbl")).as("lbl"))

@@ -16,8 +16,10 @@ import org.apache.spark.storage.StorageLevel
   *    round is `localCheckpoint`ed — lineage is truncated to the
   *    materialized blocks, which is what keeps 100+-round jobs from
   *    re-shuffling the whole history every round (the classic iterative
-  *    DataFrame trap). Previous rounds are unpersisted as soon as they
-  *    are no longer referenced.
+  *    DataFrame trap). A superseded round's checkpoint blocks belong to
+  *    its checkpoint RDD, not the plan cache (`unpersist` would be a
+  *    no-op) — dropping the reference here lets Spark's ContextCleaner
+  *    reclaim them asynchronously once the RDD is collected.
   *
   * graph_cc_labelprop and dedup_clusters run their oracle-fixed 4
   * rounds through `fixed`; the test suite runs `converge` label-prop to
@@ -37,8 +39,7 @@ object Iterate {
   /** Iterate `step` until a fixpoint (no row added or removed vs the
     * previous round, multiset semantics) or `maxRounds`. Eager: each
     * round materializes via localCheckpoint (lineage truncation).
-    * Returns the converged round (checkpointed; caller may unpersist).
-    */
+    * Returns the converged round (checkpointed). */
   def converge(init: DataFrame, maxRounds: Int)(step: DataFrame => DataFrame): DataFrame = {
     var prev = init.localCheckpoint(true)
     var rounds = 0
@@ -50,7 +51,8 @@ object Iterate {
       // identical multiset is the fixpoint (both directions covered —
       // equal cardinality is not assumed)
       done = next.exceptAll(prev).isEmpty && prev.exceptAll(next).isEmpty
-      prev.unpersist(blocking = false)
+      // superseded round: blocks are freed by ContextCleaner once the
+      // checkpoint RDD is unreferenced (see scaladoc)
       prev = next
     }
     prev

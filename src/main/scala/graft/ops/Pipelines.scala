@@ -19,13 +19,11 @@ import graft.functions.CosineSimilarity.cosineSim
   */
 object Pipelines {
 
-  // keyed by (session, dir): see Tables — never hand a restarted
-  // session a DataFrame bound to its stopped predecessor
-  private val shingleCache =
-    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+  // weakly session-keyed (graft.SessionCache): see Tables
+  private val shingleCache = new graft.SessionCache[String, DataFrame]
 
   /** Drop cached shingle/pair sets (bench warmup hygiene). */
-  def clearCache(): Unit = synchronized {
+  def clearCache(): Unit = {
     (shingleCache.values ++ pairCache.values)
       .foreach(df => try df.unpersist() catch { case _: Throwable => () })
     shingleCache.clear()
@@ -40,8 +38,8 @@ object Pipelines {
     * codegen'd, one shuffle on doc_id, no per-row array-of-strings
     * allocation (a higher-order `transform` here was the suite's
     * dominant GC source). */
-  private def shingles(s: SparkSession, d: String): DataFrame = synchronized {
-    shingleCache.getOrElseUpdate((s, d), {
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    shingleCache.getOrElseUpdate(s, d) {
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       table(s, d, "documents")
         .select(col("doc_id"), col("lang"),
@@ -54,7 +52,7 @@ object Pipelines {
         .select(col("doc_id"), col("lang"), col("g"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
   }
 
   // ---- text analysis ----
@@ -179,15 +177,15 @@ object Pipelines {
     * columns in one pass, and each md5 yields FOUR independent 32-bit
     * hash values (8-hex-char substrings), so a row costs 4 md5 calls,
     * not 16. */
-  val dedupMinhashLsh: Q = (s, d) => synchronized {
+  val dedupMinhashLsh: Q = (s, d) => {
     // the verified pair result is shared with dedup_clusters — persist
     // it once per sfDir (same policy as shingles/EDGES)
-    pairCache.getOrElseUpdate((s, d), {
+    pairCache.getOrElseUpdate(s, d) {
       val p = dedupMinhashLshBuild(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       p.count()
       p
-    })
+    }
   }
 
   private def dedupMinhashLshBuild(s: SparkSession, d: String): DataFrame = {
@@ -231,8 +229,7 @@ object Pipelines {
     * labels; output one row per cluster with its canonical (minimum)
     * doc and size. Docs not in any pair are singleton clusters and are
     * excluded here (size >= 2). */
-  private val pairCache =
-    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+  private val pairCache = new graft.SessionCache[String, DataFrame]
 
   val dedupClusters: Q = (s, d) => {
     // dedupMinhashLsh returns the persisted pair result (the label-prop
@@ -243,11 +240,7 @@ object Pipelines {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ud2 = ud.select(col("d1").as("s"), col("d2").as("t"))
       .unionAll(n0.select(col("v").as("s"), col("v").as("t")))
-    Iterate.fixed(n0.select(col("v"), col("v").as("lbl")), 4) { l =>
-      ud2.as("e").join(l.as("l"), col("l.v") === col("e.t"))
-        .groupBy(col("e.s").as("v"))
-        .agg(min(col("l.lbl")).as("lbl"))
-    }
+    Iterate.fixed(n0.select(col("v"), col("v").as("lbl")), 4)(GraphOps.ccStep(ud2))
       .groupBy(col("lbl").as("canonical_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .orderBy("canonical_id")

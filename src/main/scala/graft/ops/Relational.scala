@@ -132,8 +132,13 @@ object Relational {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("is_p"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NULL discipline matching the oracle's equi-join: NULL user_id
+    // matches nothing (the window would group NULLs together — drop
+    // them); NULL-ts clicks are already ignored by max(); NULL-ts
+    // purchases sort nulls-first so no click precedes them (lc_ts
+    // null), same as `c_ts <= NULL` never holding.
     table(s, d, "events")
-      .filter(col("event_type").isin("click", "purchase"))
+      .filter(col("event_type").isin("click", "purchase") && col("user_id").isNotNull)
       .select(col("event_id"), col("user_id"), col("ts"),
         (col("event_type") === "purchase").as("is_p"))
       .withColumn("lc_ts", max(when(!col("is_p"), col("ts"))).over(w))

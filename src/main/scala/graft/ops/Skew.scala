@@ -25,9 +25,12 @@ object Skew {
       salts: Int, joinType: String = "inner"): DataFrame = {
     // right/full outer would surface each unmatched dim row once per
     // salt replica (`salts` duplicates) — only fact-preserving types
-    // are equivalent to the plain join
-    require(Set("inner", "left", "left_outer", "leftouter")(joinType.toLowerCase),
-      s"saltedJoin supports inner/left joins only (dim side is replicated $salts×); got '$joinType'")
+    // (inner/left/semi/anti: a fact row's single salt always finds its
+    // dim replica iff the key exists) are equivalent to the plain join
+    require(Set("inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")(
+        joinType.toLowerCase),
+      s"saltedJoin supports fact-preserving joins only (dim side is replicated $salts×); got '$joinType'")
     val saltedFact = fact.withColumn("__salt",
       pmod(xxhash64(fact.columns.map(col).toSeq: _*), lit(salts)).cast("int"))
     val saltedDim = dim.withColumn("__salt",

@@ -71,6 +71,13 @@ object RewriteAsOfJoin extends Rule[LogicalPlan] {
       val payloadAttrs = a.payload.map(_.asInstanceOf[NamedExpression])
       val payType = StructType(payloadAttrs.map(p =>
         StructField(p.name, p.dataType, nullable = true)))
+      // NULL discipline, matching the join contract exactly: a NULL
+      // key matches nothing (so NULL-key rows are dropped up front on
+      // both sides — the window would otherwise group NULLs together),
+      // and a NULL rightTs can never satisfy `rightTs <= leftTs` (so
+      // those right rows are dropped too; a NULL leftTs left row keeps
+      // flowing and is eliminated by the IS NOT NULL match filter,
+      // because no right row can sort at-or-before it).
       // pad both sides to: left.* ++ [__pay struct, __key, __ts, __isL]
       val leftSide = Project(
         a.left.output ++ Seq(
@@ -78,7 +85,7 @@ object RewriteAsOfJoin extends Rule[LogicalPlan] {
           Alias(a.leftKey, "__key")(),
           Alias(a.leftTs, "__ts")(),
           Alias(Literal(true, BooleanType), "__isL")()),
-        a.left)
+        Filter(IsNotNull(a.leftKey), a.left))
       val rightSide = Project(
         a.left.output.map(o =>
           Alias(Literal(null, o.dataType), o.name)()) ++ Seq(
@@ -86,7 +93,7 @@ object RewriteAsOfJoin extends Rule[LogicalPlan] {
           Alias(a.rightKey, "__key")(),
           Alias(a.rightTs, "__ts")(),
           Alias(Literal(false, BooleanType), "__isL")()),
-        a.right)
+        Filter(And(IsNotNull(a.rightKey), IsNotNull(a.rightTs)), a.right))
       val union = Union(leftSide, rightSide)
       // union.output carries leftSide's exprIds (nullability merged)
       val n = a.left.output.size

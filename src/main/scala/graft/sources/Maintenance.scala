@@ -22,31 +22,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Maintenance {
 
-  /** Rewrite `dir` (a parquet directory) into ceil(totalBytes /
-    * targetBytes) files. Returns (filesBefore, filesAfter). */
+  /** Rewrite `dir` (a parquet directory) into ~ceil(totalBytes /
+    * targetBytes) files. Returns (filesBefore, filesAfter), counted on
+    * disk. Only plain FILES are touched — metadata directories a
+    * streaming sink maintains (`_spark_metadata`) are left in place. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long): (Int, Int) = {
     val conf = spark.sessionState.newHadoopConf()
     val path = new Path(dir)
     val fs = path.getFileSystem(conf)
-    val parts = fs.listStatus(path).filter(_.getPath.getName.endsWith(".parquet"))
-    val totalBytes = parts.map(_.getLen).sum
+    def dataFiles = fs.listStatus(path)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles
+    val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = spark.read.option("mergeSchema", "true").parquet(dir)
     val tmp = new Path(dir + "__compacting")
     fs.delete(tmp, true)
-    // coalesce (not repartition): pure bin-packing, no shuffle
-    df.coalesce(nOut).write.mode("overwrite").parquet(tmp.toString)
-    // swap: drop old data files + markers, move the compacted ones in
+    // coalesce when shrinking below the scan's partitioning (pure
+    // bin-packing, no shuffle); repartition when the target needs MORE
+    // files than the scan plans (coalesce cannot split partitions and
+    // would silently blow past targetBytes)
+    val scanParts = df.rdd.getNumPartitions
+    val sized = if (nOut <= scanParts) df.coalesce(nOut) else df.repartition(nOut)
+    sized.write.mode("overwrite").parquet(tmp.toString)
+    // swap: drop old data files + marker FILES, move the compacted
+    // ones in (not transactional — a table format is; see scaladoc)
     fs.listStatus(path)
       .filter { s =>
         val n = s.getPath.getName
-        n.endsWith(".parquet") || n.startsWith("_")
+        s.isFile && (n.endsWith(".parquet") || n.startsWith("_"))
       }
       .foreach(s => fs.delete(s.getPath, false))
-    fs.listStatus(tmp).foreach(s =>
-      fs.rename(s.getPath, new Path(path, s.getPath.getName)))
+    fs.listStatus(tmp)
+      .filter(_.isFile)
+      .foreach(s => fs.rename(s.getPath, new Path(path, s.getPath.getName)))
     fs.delete(tmp, true)
-    (parts.length, nOut)
+    (before.length, dataFiles.length)
   }
 
   /** Read a parquet directory whose files span schema generations:

@@ -42,6 +42,27 @@ class AsOfJoinSpec extends AnyFunSuite {
       .exceptAll(want.select("event_id", "c_ts", "c_value")).count() == 0)
   }
 
+  test("NULL keys and NULL right timestamps never match (join contract)") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val left = Seq(
+      (1L, Option(10L), Option(ts(100))),  // normal: matches click at 50
+      (2L, None: Option[Long], Option(ts(100))), // NULL key: must drop
+      (3L, Option(30L), None: Option[java.sql.Timestamp]) // NULL leftTs: must drop
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Option(10L), Option(ts(50)), 1.0),
+      (None: Option[Long], Option(ts(50)), 2.0),  // NULL key: never matches row 2
+      (Option(30L), None: Option[java.sql.Timestamp], 3.0) // NULL ts: never matches row 3
+    ).toDF("c_user", "c_ts", "c_value")
+    val got = plans.AsOf.asofJoin(left, right,
+      "user_id", "c_user", "ts", "c_ts", payload = Seq("c_ts", "c_value"))
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 1L && got(0).getDouble(4) == 1.0)
+  }
+
   test("GraftExtensions lowers the raw node through the analyzer") {
     val node = AsOf.node(purchases, clicks, "user_id", "c_user", "ts", "c_ts", Seq("c_ts"))
     // a session carrying the extension, sharing the context
