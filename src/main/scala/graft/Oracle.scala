@@ -738,6 +738,34 @@ SELECT pid, rk, cand, label, sim FROM (
   SELECT *, row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cand) AS rk FROM scored)
 WHERE rk <= 5 ORDER BY pid, rk""",
 
+      // ---- deterministic sampling / splits (md5 16-bit buckets;
+      // ('0x'||hex)::BIGINT is DuckDB's hex parse, Spark uses conv) ----
+      "sample_deterministic" ->
+        s"""SELECT doc_id, lang, n_chars
+FROM ${T("documents")}
+WHERE ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 4))::BIGINT < 19660
+ORDER BY doc_id""",
+
+      "sample_stratified" ->
+        s"""WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 4))::BIGINT AS bk
+  FROM ${T("documents")})
+SELECT lang, count(*) AS kept, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM b
+WHERE (lang = 'en' AND bk < 16384) OR (lang = 'de' AND bk < 65536)
+   OR (lang = 'zh' AND bk < 32768)
+GROUP BY lang ORDER BY lang""",
+
+      "sample_hash_split" ->
+        s"""WITH b AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 4))::BIGINT < 13107
+              THEN 'test' ELSE 'train' END AS side
+  FROM ${T("documents")})
+SELECT side, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM b GROUP BY side ORDER BY side""",
+
       // ---- graph ----
       "graph_degree" ->
         s"""$E

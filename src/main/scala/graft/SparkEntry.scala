@@ -97,6 +97,9 @@ object SparkEntry {
     "dedup_clusters" -> Pipelines.dedupClusters,
     "sim_cosine_neardup" -> Pipelines.simCosineNeardup,
     "ann_ivf_topk" -> Pipelines.annIvfTopk,
+    "sample_deterministic" -> Sampling.sampleDeterministic,
+    "sample_stratified" -> Sampling.sampleStratified,
+    "sample_hash_split" -> Sampling.sampleHashSplit,
     // §2.8 graph
     "graph_degree" -> GraphOps.graphDegree,
     "graph_2hop" -> GraphOps.graph2hop,

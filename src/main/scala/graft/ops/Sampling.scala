@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dataset-shaping operators a training-data pipeline needs around the
+  * query engine (build brief §2.11 adjuncts): deterministic sampling,
+  * reproducible train/test splits, and column profiling. All
+  * hash-deterministic — no RNG state, so results are identical across
+  * runs, partitionings and clusters (the property that matters when a
+  * 100 TB split must be reproducible months later).
+  */
+object Sampling {
+
+  /** Deterministic row sample: keep ~fraction of rows, decided by
+    * md5(key) — stable under repartitioning, unlike rand(). */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
+    val bucket = bucket16(col(keyCol))
+    df.filter(bucket < (fraction * 65536).toLong)
+  }
+
+  /** Stratified sample with per-stratum fractions (class balancing):
+    * e.g. Map("en" -> 0.1, "de" -> 1.0) keeps 10% of English docs and
+    * every German one. Strata absent from the map are dropped. */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+      keyCol: String, fractions: Map[String, Double]): DataFrame = {
+    val bucket = bucket16(col(keyCol))
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
+      acc || (col(stratumCol) === stratum && bucket < (f * 65536).toLong)
+    }
+    df.filter(keep)
+  }
+
+  /** Reproducible train/test split by key hash: rows with the same key
+    * always land on the same side (no leakage of a key across the
+    * split), ~testFraction of the key space goes to test. Returns
+    * (train, test). */
+  def hashSplit(df: DataFrame, keyCol: String, testFraction: Double): (DataFrame, DataFrame) = {
+    require(testFraction > 0 && testFraction < 1, s"testFraction in (0,1): $testFraction")
+    val isTest = bucket16(col(keyCol)) < (testFraction * 65536).toLong
+    (df.filter(!isTest), df.filter(isTest))
+  }
+
+  /** Uniform 16-bit bucket from a key column via md5 — deterministic,
+    * engine-portable (DuckDB computes the identical md5 hex). */
+  private def bucket16(key: Column): Column =
+    conv(substring(md5(key.cast(StringType)), 1, 4), 16, 10).cast(LongType)
+
+  // ---- oracle-checked query forms (SURVEY §2.11 additions) ----
+
+  /** Deterministic 30% document sample (md5-bucketed). */
+  val sampleDeterministic: Q = (s, d) =>
+    deterministicSample(table(s, d, "documents"), "doc_id", 0.3)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Stratified per-language sample (class rebalancing): keep 25% of
+    * 'en', all of 'de', half of 'zh'; other strata dropped. */
+  val sampleStratified: Q = (s, d) =>
+    stratifiedSample(table(s, d, "documents"), "lang", "doc_id",
+      Map("en" -> 0.25, "de" -> 1.0, "zh" -> 0.5))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("kept"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang")
+
+  /** Reproducible 80/20 train/test split summary (key-hash split — the
+    * same doc can never appear on both sides). */
+  val sampleHashSplit: Q = (s, d) => {
+    val (train, test) = hashSplit(table(s, d, "documents"), "doc_id", 0.2)
+    train.select(lit("train").as("side"), col("doc_id"))
+      .unionAll(test.select(lit("test").as("side"), col("doc_id")))
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("side")
+  }
+
+  /** Per-column profile of a DataFrame: rows, nulls, distinct
+    * (approx), min/max rendered as strings. One aggregation pass over
+    * the data per metric family (no per-column jobs). */
+  def profile(df: DataFrame): DataFrame = {
+    val total = count(lit(1))
+    val aggs = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        approx_count_distinct(c).as(s"${f.name}__distinct"),
+        min(c).cast(StringType).as(s"${f.name}__min"),
+        max(c).cast(StringType).as(s"${f.name}__max"))
+    }
+    val row = df.agg(total.as("__rows"), aggs.toSeq: _*).collect()(0)
+    val spark = df.sparkSession
+    val rows = row.getLong(0)
+    val out = df.schema.fields.map { f =>
+      def s(metric: String) = {
+        val v = row.get(row.fieldIndex(s"${f.name}__$metric"))
+        if (v == null) null else v.toString
+      }
+      (f.name, f.dataType.simpleString, rows,
+        s("nulls").toLong, s("distinct").toLong, s("min"), s("max"))
+    }
+    import spark.implicits._
+    out.toSeq.toDF("column", "type", "rows", "nulls", "approx_distinct", "min", "max")
+  }
+}
