@@ -122,6 +122,27 @@ class EngineSpec extends AnyFunSuite {
       s"pushdown missing in plan:\n$plan")
   }
 
+  test("engine caches are thread-safe under concurrent query execution") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // hit every cache family (tables, EDGES, shingles, rankings) from
+    // parallel threads; results must equal the serial run
+    val serial = Map(
+      "deg" -> ops.GraphOps.graphDegree(spark, sf0001).count(),
+      "fp" -> ops.Pipelines.pipelineFingerprint(spark, sf0001).count(),
+      "topk" -> ops.TextSim.simCosineTopk(spark, sf0001).count(),
+      "agg" -> ops.Relational.aggHashQ1(spark, sf0001).count())
+    val futures = (1 to 3).flatMap { _ =>
+      Seq(
+        Future(ops.GraphOps.graphDegree(spark, sf0001).count() == serial("deg")),
+        Future(ops.Pipelines.pipelineFingerprint(spark, sf0001).count() == serial("fp")),
+        Future(ops.TextSim.simCosineTopk(spark, sf0001).count() == serial("topk")),
+        Future(ops.Relational.aggHashQ1(spark, sf0001).count() == serial("agg")))
+    }
+    assert(Await.result(Future.sequence(futures), 120.seconds).forall(identity))
+  }
+
   test("sessionize: n_events counts events, not sessions") {
     val r = ops.StreamOps.streamSessionize(spark, sf0001)
       .filter(col("n_events") < col("n_sessions"))
