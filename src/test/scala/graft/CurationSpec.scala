@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Curation
+
+/** The composed curation pipeline: stage monotonicity, dedup
+  * correctness, split disjointness, determinism. */
+class CurationSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  lazy val result = Curation.curate(spark, sf0001,
+    minTokens = 5, maxStopRatio = 0.9,
+    fractions = Map("en" -> 1.0, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 0.5),
+    testFraction = 0.2)
+
+  test("stages only ever shrink the corpus, and nothing is lost to the split") {
+    val (_, _, r) = result
+    assert(r.input >= r.afterQuality)
+    assert(r.afterQuality >= r.afterExactDedup)
+    assert(r.afterExactDedup >= r.afterNearDedup)
+    assert(r.train + r.test <= r.afterNearDedup) // zh downsampled
+    assert(r.train > 0 && r.test > 0)
+  }
+
+  test("exact dedup output has unique normalized content") {
+    val (train, test, _) = result
+    val all = train.unionAll(test)
+    val dupes = all.groupBy(md5(lower(trim(col("text"))))).count()
+      .filter(col("count") > 1)
+    assert(dupes.count() == 0)
+  }
+
+  test("no surviving doc is the greater side of a verified near-dup pair") {
+    val (train, test, _) = result
+    val all = train.unionAll(test)
+    val pairs = ops.Pipelines.dedupMinhashLsh(spark, sf0001)
+    assert(all.join(pairs, all("doc_id") === pairs("d2"), "inner").count() == 0)
+  }
+
+  test("train and test are disjoint and the pipeline is deterministic") {
+    val (train, test, r1) = result
+    assert(train.join(test, Seq("doc_id"), "inner").count() == 0)
+    val (_, _, r2) = Curation.curate(spark, sf0001,
+      minTokens = 5, maxStopRatio = 0.9,
+      fractions = Map("en" -> 1.0, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 0.5),
+      testFraction = 0.2)
+    assert(r1 == r2)
+  }
+}
