@@ -51,6 +51,9 @@ object Pipelines {
         .filter(col("full"))
         .select(col("doc_id"), col("lang"), col("g"))
         .distinct()
+        // persist (columnar cache), NOT localCheckpoint: five
+        // consumers scan this relation and the columnar batches beat
+        // row-block checkpoint scans ~4x (measured on dedup_simhash)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
   }
@@ -181,10 +184,10 @@ object Pipelines {
     // the verified pair result is shared with dedup_clusters — persist
     // it once per sfDir (same policy as shingles/EDGES)
     pairCache.getOrElseUpdate(s, d) {
-      val p = dedupMinhashLshBuild(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count()
-      p
+      // localCheckpoint (eager): materializes like persist+count AND
+      // truncates the 30-operator minhash lineage, so dedup_clusters'
+      // label-prop rounds plan against a leaf, not the full build
+      dedupMinhashLshBuild(s, d).localCheckpoint(true)
     }
   }
 
