@@ -31,16 +31,11 @@ object Curation {
       test: Long)
 
   /** Quality gate: token-count and stopword-ratio thresholds — the
-    * pipeline_quality_score heuristics as a filter. Row-local, fuses
-    * into the scan. */
-  def qualityFilter(docs: DataFrame, minTokens: Int, maxStopRatio: Double): DataFrame = {
-    val toks = split(col("text"), " ")
-    val stop = (w: org.apache.spark.sql.Column) =>
-      w.isin("the", "a", "table", "value", "query")
-    val nTok = size(toks)
-    val stopRatio = size(filter(toks, stop)).cast(DoubleType) / nTok
-    docs.filter(nTok >= minTokens && stopRatio <= maxStopRatio)
-  }
+    * SAME expressions as the oracle-checked pipeline_quality_score
+    * (shared via Pipelines, so the score and the gate can't drift).
+    * Row-local, fuses into the scan. */
+  def qualityFilter(docs: DataFrame, minTokens: Int, maxStopRatio: Double): DataFrame =
+    docs.filter(Pipelines.tokenCount >= minTokens && Pipelines.stopRatio <= maxStopRatio)
 
   /** Exact dedup: keep the minimum doc_id per normalized-content hash
     * (one hash shuffle; the dedup_exact shape as a keep-list join). */
@@ -57,14 +52,16 @@ object Curation {
     * dedup_clusters keep-list applied as an anti-join). */
   def nearDedup(spark: SparkSession, sfDir: String, docs: DataFrame): DataFrame = {
     val pairs = Pipelines.dedupMinhashLsh(spark, sfDir)
-    // a doc is dropped iff it appears as the GREATER side of a verified
-    // near-dup pair whose lesser side survives transitively — for the
-    // keep-list we use the simple, standard rule: keep d iff d is not
-    // the greater element of any pair (canonical = min of its cluster
-    // under the pair relation's transitive closure, conservatively
-    // approximated by the direct-pair rule; exact cluster canonicals
-    // come from dedup_clusters when label-prop rounds are budgeted)
-    docs.join(pairs.select(col("d2")), col("doc_id") === col("d2"), "left_anti")
+    // a doc is dropped iff it is the GREATER side of a verified
+    // near-dup pair whose LESSER side is still in the input — the
+    // semi-join guard matters: if upstream stages (quality, exact
+    // dedup) already removed the canonical, its near-dups must
+    // survive, or the content would vanish from the corpus entirely.
+    // (Direct-pair rule; exact transitive cluster canonicals come from
+    // dedup_clusters when label-prop rounds are budgeted.)
+    val activePairs = pairs
+      .join(docs.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+    docs.join(activePairs.select(col("d2")), col("doc_id") === col("d2"), "left_anti")
   }
 
   /** Full pipeline: quality -> exact dedup -> near dedup -> stratified
@@ -76,7 +73,11 @@ object Curation {
     val docs = table(spark, sfDir, "documents")
     val q = qualityFilter(docs, minTokens, maxStopRatio)
     val e = exactDedup(q)
+    // persist the dedup output: the report's n/train/test counts and
+    // the returned splits all re-read it — one execution of the
+    // quality+dedup lineage instead of four
     val n = nearDedup(spark, sfDir, e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val balanced =
       if (fractions.isEmpty) n
       else Sampling.stratifiedSample(n, "lang", "doc_id", fractions)

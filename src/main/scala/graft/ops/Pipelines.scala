@@ -22,9 +22,13 @@ object Pipelines {
   // weakly session-keyed (graft.SessionCache): see Tables
   private val shingleCache = new graft.SessionCache[String, DataFrame]
 
-  /** Drop cached shingle/pair sets (bench warmup hygiene). */
+  /** Drop cached shingle/pair sets (bench warmup hygiene). The
+    * persisted shingle sets are unpersisted synchronously; the
+    * checkpointed pair sets (KB-scale) free via ContextCleaner once
+    * the reference drop + the caller's System.gc() collects their
+    * RDDs — unpersist() cannot release checkpoint blocks. */
   def clearCache(): Unit = {
-    (shingleCache.values ++ pairCache.values)
+    shingleCache.values
       .foreach(df => try df.unpersist() catch { case _: Throwable => () })
     shingleCache.clear()
     pairCache.clear()
@@ -71,11 +75,19 @@ object Pipelines {
         col("n_chars"))
       .orderBy("doc_id")
 
-  val pipelineQualityScore: Q = (s, d) => {
+  /** Shared quality heuristics (also the Curation quality gate — one
+    * definition, no drift between the oracle-checked score and the
+    * curation filter). */
+  private[ops] val stopWords = Seq("the", "a", "table", "value", "query")
+  private[ops] def tokenCount: Column = size(split(col("text"), " "))
+  private[ops] def stopRatio: Column = {
     val toks = split(col("text"), " ")
-    val stop = (w: Column) => w.isin("the", "a", "table", "value", "query")
-    val nTok = size(toks)
-    val stopRatio = size(filter(toks, stop)).cast(DoubleType) / nTok
+    size(filter(toks, w => w.isin(stopWords: _*))).cast(DoubleType) / size(toks)
+  }
+
+  val pipelineQualityScore: Q = (s, d) => {
+    val nTok = tokenCount
+    val stopRatio = this.stopRatio
     table(s, d, "documents")
       .filter(col("doc_id") % 7 === 0)
       .select(

@@ -26,6 +26,9 @@ object Sampling {
     * every German one. Strata absent from the map are dropped. */
   def stratifiedSample(df: DataFrame, stratumCol: String,
       keyCol: String, fractions: Map[String, Double]): DataFrame = {
+    fractions.foreach { case (stratum, f) =>
+      require(f >= 0 && f <= 1, s"fraction for stratum '$stratum' must be in [0,1]: $f")
+    }
     val bucket = bucket16(col(keyCol))
     val keep = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
       acc || (col(stratumCol) === stratum && bucket < (f * 65536).toLong)
@@ -44,9 +47,13 @@ object Sampling {
   }
 
   /** Uniform 16-bit bucket from a key column via md5 — deterministic,
-    * engine-portable (DuckDB computes the identical md5 hex). */
+    * engine-portable (DuckDB computes the identical md5 hex). NULL
+    * keys hash like the sentinel string "__null__" so they are
+    * sampled/split deterministically instead of silently vanishing
+    * from both sides of every filter. */
   private def bucket16(key: Column): Column =
-    conv(substring(md5(key.cast(StringType)), 1, 4), 16, 10).cast(LongType)
+    conv(substring(md5(coalesce(key.cast(StringType), lit("__null__"))), 1, 4), 16, 10)
+      .cast(LongType)
 
   // ---- oracle-checked query forms (SURVEY §2.11 additions) ----
 
@@ -86,7 +93,9 @@ object Sampling {
     val aggs = df.schema.fields.flatMap { f =>
       val c = col(f.name)
       Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        // coalesce: sum over ZERO rows is null — an empty frame must
+        // profile as 0 nulls, not NPE
+        coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L)).as(s"${f.name}__nulls"),
         approx_count_distinct(c).as(s"${f.name}__distinct"),
         min(c).cast(StringType).as(s"${f.name}__min"),
         max(c).cast(StringType).as(s"${f.name}__max"))

@@ -122,25 +122,31 @@ class EngineSpec extends AnyFunSuite {
       s"pushdown missing in plan:\n$plan")
   }
 
-  test("engine caches are thread-safe under concurrent query execution") {
+  test("engine caches are thread-safe under concurrent COLD initialization") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    // hit every cache family (tables, EDGES, shingles, rankings) from
-    // parallel threads; results must equal the serial run
-    val serial = Map(
-      "deg" -> ops.GraphOps.graphDegree(spark, sf0001).count(),
-      "fp" -> ops.Pipelines.pipelineFingerprint(spark, sf0001).count(),
-      "topk" -> ops.TextSim.simCosineTopk(spark, sf0001).count(),
-      "agg" -> ops.Relational.aggHashQ1(spark, sf0001).count())
+    // drop every cache family first so the parallel burst actually
+    // races getOrElseUpdate builds (a warm-cache run would test
+    // nothing); unpersist is correctness-neutral for any other suite
+    Tables.clear()
+    ops.Pipelines.clearCache()
+    ops.TextSim.clearCache()
     val futures = (1 to 3).flatMap { _ =>
       Seq(
-        Future(ops.GraphOps.graphDegree(spark, sf0001).count() == serial("deg")),
-        Future(ops.Pipelines.pipelineFingerprint(spark, sf0001).count() == serial("fp")),
-        Future(ops.TextSim.simCosineTopk(spark, sf0001).count() == serial("topk")),
-        Future(ops.Relational.aggHashQ1(spark, sf0001).count() == serial("agg")))
+        Future(ops.GraphOps.graphDegree(spark, sf0001).count()),
+        Future(ops.Pipelines.pipelineFingerprint(spark, sf0001).count()),
+        Future(ops.TextSim.simCosineTopk(spark, sf0001).count()),
+        Future(ops.Relational.aggHashQ1(spark, sf0001).count()))
     }
-    assert(Await.result(Future.sequence(futures), 120.seconds).forall(identity))
+    val results = Await.result(Future.sequence(futures), 180.seconds)
+    // compare the racing runs against the (now warm) serial answers
+    val serial = Seq(
+      ops.GraphOps.graphDegree(spark, sf0001).count(),
+      ops.Pipelines.pipelineFingerprint(spark, sf0001).count(),
+      ops.TextSim.simCosineTopk(spark, sf0001).count(),
+      ops.Relational.aggHashQ1(spark, sf0001).count())
+    assert(results == (1 to 3).flatMap(_ => serial))
   }
 
   test("sessionize: n_events counts events, not sessions") {
