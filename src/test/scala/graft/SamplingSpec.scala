@@ -44,6 +44,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(test.select("doc_id").collect().toSeq == test2.select("doc_id").collect().toSeq)
   }
 
+  test("null keys are split deterministically, never dropped") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Option(1L), Option(2L), None, None).toDF("k")
+    val (train, test) = Sampling.hashSplit(df, "k", 0.5)
+    assert(train.count() + test.count() == 4) // nulls land on exactly one side
+    assert(Sampling.deterministicSample(df, "k", 1.0).count() == 4)
+  }
+
+  test("profile handles an empty frame and stratifiedSample validates fractions") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    val p = Sampling.profile(empty).collect().map(r => r.getString(0) -> r).toMap
+    assert(p("id").getLong(2) == 0 && p("id").getLong(3) == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(docs, "lang", "doc_id", Map("en" -> 1.5))
+    }
+  }
+
   test("profile reports nulls/distinct/min/max per column in one pass") {
     val s = spark
     import s.implicits._
