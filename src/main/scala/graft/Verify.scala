@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // SPARK_GRAFT_CACHE=false runs the whole oracle suite with base
+      // tables streaming straight from parquet (pushdown intact) —
+      // proves the operators are cache-agnostic, not cache-dependent
+      .config("spark.graft.cacheTables",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

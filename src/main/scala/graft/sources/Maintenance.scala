@@ -24,8 +24,11 @@ object Maintenance {
 
   /** Rewrite `dir` (a parquet directory) into ~ceil(totalBytes /
     * targetBytes) files. Returns (filesBefore, filesAfter), counted on
-    * disk. Only plain FILES are touched — metadata directories a
-    * streaming sink maintains (`_spark_metadata`) are left in place. */
+    * disk. A streaming sink's `_spark_metadata` log is DELETED by the
+    * rewrite: it enumerates the pre-compaction files (readers prefer
+    * it over a directory listing, so leaving it would break every
+    * read), and deleting it converts the sink directory into a plain
+    * parquet table — which is what a compacted history is. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long): (Int, Int) = {
     val conf = spark.sessionState.newHadoopConf()
     val path = new Path(dir)
@@ -45,14 +48,16 @@ object Maintenance {
     val scanParts = df.rdd.getNumPartitions
     val sized = if (nOut <= scanParts) df.coalesce(nOut) else df.repartition(nOut)
     sized.write.mode("overwrite").parquet(tmp.toString)
-    // swap: drop old data files + marker FILES, move the compacted
-    // ones in (not transactional — a table format is; see scaladoc)
+    // swap: drop old data files + marker files + the (now stale)
+    // streaming metadata log, move the compacted files in (not
+    // transactional — a table format is; see scaladoc)
     fs.listStatus(path)
       .filter { s =>
         val n = s.getPath.getName
-        s.isFile && (n.endsWith(".parquet") || n.startsWith("_"))
+        (s.isFile && (n.endsWith(".parquet") || n.startsWith("_"))) ||
+          (s.isDirectory && n == "_spark_metadata")
       }
-      .foreach(s => fs.delete(s.getPath, false))
+      .foreach(s => fs.delete(s.getPath, s.isDirectory))
     fs.listStatus(tmp)
       .filter(_.isFile)
       .foreach(s => fs.rename(s.getPath, new Path(path, s.getPath.getName)))

@@ -50,6 +50,30 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).orderBy("doc_id").collect().toSeq == before)
   }
 
+  test("compaction converts a streaming-sink directory into a plain table") {
+    // a real streaming sink: rate source -> parquet files + _spark_metadata
+    val out = java.nio.file.Files.createTempDirectory("graft_sinkcompact").toString
+    val q = graft.streaming.Streams.rateEvents(spark, rowsPerBatch = 50)
+      .writeStream.format("parquet")
+      .option("path", s"$out/t")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (q.recentProgress.length < 4 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+    } finally { q.stop(); q.awaitTermination() }
+    val committed = spark.read.parquet(s"$out/t").collect().sortBy(_.getLong(0)).toSeq
+    assert(committed.nonEmpty)
+    assert(new java.io.File(s"$out/t/_spark_metadata").isDirectory)
+    val (nBefore, nAfter) = sources.Maintenance.compact(spark, s"$out/t", 64L * 1024 * 1024)
+    assert(nBefore > nAfter)
+    // stale streaming log removed; the plain-table read sees the data
+    assert(!new java.io.File(s"$out/t/_spark_metadata").exists())
+    assert(spark.read.parquet(s"$out/t").collect().sortBy(_.getLong(0)).toSeq == committed)
+  }
+
   test("schema-evolution read spans appended generations") {
     val out = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
     val s = spark
