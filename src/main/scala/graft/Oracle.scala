@@ -766,6 +766,29 @@ GROUP BY lang ORDER BY lang""",
 SELECT side, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
 FROM b GROUP BY side ORDER BY side""",
 
+      // ---- time series ----
+      "ts_resample_gapfill" ->
+        s"""WITH ev AS (
+  SELECT user_id, date_trunc('day', ts) AS day, event_id, value
+  FROM ${T("events")} WHERE user_id < 5),
+daily AS (
+  SELECT user_id, day, arg_max(value, event_id) AS v
+  FROM ev GROUP BY user_id, day),
+bounds AS (
+  SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+  FROM ${T("events")}),
+days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds),
+users AS (SELECT DISTINCT user_id FROM ev),
+grid AS (SELECT u.user_id, dy.day FROM users u CROSS JOIN days dy),
+j AS (SELECT g.user_id, g.day, daily.v
+      FROM grid g LEFT JOIN daily ON daily.user_id = g.user_id AND daily.day = g.day)
+SELECT user_id, day,
+       round(cast(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS value_ff,
+       v IS NOT NULL AS observed
+FROM j ORDER BY user_id, day""",
+
       // ---- graph ----
       "graph_degree" ->
         s"""$E

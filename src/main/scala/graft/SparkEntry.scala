@@ -100,6 +100,7 @@ object SparkEntry {
     "sample_deterministic" -> Sampling.sampleDeterministic,
     "sample_stratified" -> Sampling.sampleStratified,
     "sample_hash_split" -> Sampling.sampleHashSplit,
+    "ts_resample_gapfill" -> TimeSeries.tsResampleGapfill,
     // §2.8 graph
     "graph_degree" -> GraphOps.graphDegree,
     "graph_2hop" -> GraphOps.graph2hop,

@@ -69,4 +69,37 @@ object Maintenance {
     * union of all fields, missing columns null. */
   def readEvolved(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(dir)
+
+  /** Upsert (MERGE): rows in `updates` replace same-key rows in the
+    * table at `dir`; unmatched update rows are inserted. One anti-join
+    * + union + directory swap — the Delta MERGE shape on raw parquet,
+    * with the same non-transactionality caveat as `compact` (a table
+    * format makes the swap atomic; this is the migration seam).
+    * Returns the post-merge row count. */
+  def merge(spark: SparkSession, dir: String, updates: DataFrame,
+      keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "merge requires at least one key column")
+    val current = spark.read.parquet(dir)
+    require(current.columns.sameElements(updates.columns),
+      s"merge schema mismatch: table ${current.columns.mkString(",")} vs " +
+        s"updates ${updates.columns.mkString(",")}")
+    val kept = current.join(updates.select(keyCols.map(
+      c => updates(c)): _*), keyCols, "left_anti")
+    val merged = kept.unionByName(updates)
+    val tmp = dir + "__merging"
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new Path(dir)
+    val fs = path.getFileSystem(conf)
+    fs.delete(new Path(tmp), true)
+    merged.write.mode("overwrite").parquet(tmp)
+    val n = spark.read.parquet(tmp).count()
+    fs.listStatus(path)
+      .filter(s => s.isFile &&
+        (s.getPath.getName.endsWith(".parquet") || s.getPath.getName.startsWith("_")))
+      .foreach(s => fs.delete(s.getPath, false))
+    fs.listStatus(new Path(tmp)).filter(_.isFile)
+      .foreach(s => fs.rename(s.getPath, new Path(path, s.getPath.getName)))
+    fs.delete(new Path(tmp), true)
+    n
+  }
 }

@@ -86,6 +86,24 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("n_events"))
 
+  /** Stream-stream interval join: each purchase joined to the clicks
+    * of the same user in the preceding hour. Both sides carry
+    * watermarks and the join has a two-sided time bound, so Spark can
+    * evict state (the unbounded-state trap of stream-stream joins);
+    * asserted batch-equivalent in StreamingSpec. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+  }
+
   /** Custom sessionization state kept per user across micro-batches. */
   case class SessionState(sessionCount: Long, lastTs: Long, currentLen: Long, maxLen: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, max_session_events: Long)

@@ -38,7 +38,7 @@ class QuerySuiteSpec extends AnyFunSuite {
     "dedup_simhash" -> 7L, "dedup_minhash_lsh" -> 8L, "dedup_clusters" -> 8L,
     "sim_cosine_neardup" -> 61L,
     "sample_deterministic" -> 161L, "sample_stratified" -> 3L,
-    "sample_hash_split" -> 2L,
+    "sample_hash_split" -> 2L, "ts_resample_gapfill" -> 150L,
     "ann_ivf_topk" -> 50L, "graph_degree" -> 50L, "graph_2hop" -> 199L,
     "graph_triangles" -> 1L, "graph_cc_labelprop" -> 1L, "graph_bfs_3hop" -> 200L,
     "graph_pagerank3" -> 30L, "stream_tumbling_1h" -> 868L,

@@ -87,6 +87,20 @@ class SinksSpec extends AnyFunSuite {
     assert(evolved.filter(col("id") === 2L).select("score").collect()(0).getDouble(0) == 9.5)
   }
 
+  test("merge upserts by key: updates replace, inserts append") {
+    val s = spark
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "name", "v").write.mode("overwrite").parquet(out)
+    val updates = Seq((2L, "b2", 20.0), (4L, "d", 4.0)).toDF("id", "name", "v")
+    val n = sources.Maintenance.merge(spark, out, updates, Seq("id"))
+    assert(n == 4)
+    val back = spark.read.parquet(out).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(back == Seq((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+  }
+
   test("bucketed tables join without any Exchange (co-located join)") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -41,6 +41,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0)
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val stream = Streams.clickPurchaseJoin(Streams.eventsStream(spark, sf0001))
+    val got = Streams.runToBatchAppend(spark, stream, "t_ssjoin")
+    // batch twin on the same data
+    val ev = Tables(spark, sf0001, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val want = purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+    assert(got.count() == want.count())
+    assert(got.select("p_id", "c_ts").exceptAll(want.select("p_id", "c_ts")).count() == 0)
+  }
+
   test("rate source: unbounded non-file stream with predictable windows") {
     val rpb = 10
     // tumbling agg without watermark in complete mode so the exact
