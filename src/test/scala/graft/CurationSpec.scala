@@ -38,6 +38,21 @@ class CurationSpec extends AnyFunSuite {
     assert(all.join(pairs, all("doc_id") === pairs("d2"), "inner").count() == 0)
   }
 
+  test("near-dups survive when their canonical was removed upstream") {
+    val pairs = ops.Pipelines.dedupMinhashLsh(spark, sf0001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val (c, dup) = pairs.head
+    val docs = Tables(spark, sf0001, "documents")
+    // canonical present -> duplicate dropped
+    val withCanonical = Curation.nearDedup(spark, sf0001, docs)
+    assert(withCanonical.filter(col("doc_id") === dup).count() == 0)
+    // canonical already filtered out upstream -> duplicate must survive
+    val withoutCanonical =
+      Curation.nearDedup(spark, sf0001, docs.filter(col("doc_id") =!= c))
+    assert(withoutCanonical.filter(col("doc_id") === dup).count() == 1)
+  }
+
   test("train and test are disjoint and the pipeline is deterministic") {
     val (train, test, r1) = result
     assert(train.join(test, Seq("doc_id"), "inner").count() == 0)
