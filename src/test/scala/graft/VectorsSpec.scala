@@ -23,6 +23,30 @@ class VectorsSpec extends AnyFunSuite {
       schema.isInstanceOf[org.apache.spark.sql.types.ArrayType])
   }
 
+  test("top-k search over quantized vectors preserves the exact ranking") {
+    // the storage path in use: rank candidates by cosine on DEQUANTIZED
+    // vectors and compare against the exact float top-5 per probe
+    val emb = Tables(spark, sf0001, "embeddings")
+    val deq = Vectors.quantize(emb, "embedding")
+      .withColumn("rec", Vectors.dequantize(col("codes"), col("scale")))
+      .select(col("vec_id"), col("rec"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    def top5(candVec: org.apache.spark.sql.DataFrame, vecCol: String) = {
+      val sim = graft.functions.CosineSimilarity.cosineSim(spark, col("pe"), col(vecCol))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pid")).orderBy(sim.desc, col("vec_id"))
+      broadcast(probes).crossJoin(candVec)
+        .filter(col("vec_id") =!= col("pid"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select("pid", "vec_id")
+    }
+    val exact = top5(emb.select(col("vec_id"), col("embedding")), "embedding")
+    val quant = top5(deq, "rec")
+    val overlap = exact.join(quant, Seq("pid", "vec_id")).count()
+    assert(overlap >= (50 * 0.8).toLong, s"quantized top-5 overlap $overlap/50")
+  }
+
   test("zero vectors quantize to zero codes with zero scale") {
     val s = spark
     import s.implicits._
