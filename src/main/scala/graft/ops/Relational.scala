@@ -107,17 +107,23 @@ object Relational {
       .orderBy("c_custkey")
   }
 
-  /** Band self-join: equi-prefix on user_id keeps this a hash join with
-    * a residual range filter — no nested-loop blowup at scale. */
+  /** Within-5-minutes pair counts per user, computed LINEARLY: a
+    * range-frame window counts each event's successors inside the
+    * band ((ts, ts+5m], strict lower bound via subtracting the
+    * equal-ts frame) — one shuffle on user_id, O(|events|) rows. The
+    * band self-join formulation (which the DuckDB oracle still runs)
+    * materializes every qualifying pair: a hot user with 10⁶ events
+    * in a burst is a 10¹²-row intermediate there, and a count here. */
   val joinRangeTheta: Q = (s, d) => {
-    val e1 = table(s, d, "events").as("e1")
-    val e2 = table(s, d, "events").as("e2")
-    e1.join(e2,
-        col("e1.user_id") === col("e2.user_id") &&
-          col("e2.ts") > col("e1.ts") &&
-          col("e2.ts") <= col("e1.ts") + expr("INTERVAL 5 MINUTES"))
-      .groupBy(col("e1.user_id").as("user_id"))
-      .agg(count(lit(1)).as("pairs_within_5min"))
+    val base = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val band = base.rangeBetween(0L, 300L * 1000000L)
+    val ties = base.rangeBetween(0L, 0L)
+    table(s, d, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("cnt", count(lit(1)).over(band) - count(lit(1)).over(ties))
+      .groupBy(col("user_id"))
+      .agg(sum(col("cnt")).as("pairs_within_5min"))
+      .filter(col("pairs_within_5min") > 0)
       .orderBy("user_id")
   }
 
