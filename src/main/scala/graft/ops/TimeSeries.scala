@@ -20,8 +20,12 @@ object TimeSeries {
   val tsResampleGapfill: Q = (s, d) => {
     val ev = table(s, d, "events").filter(col("user_id") < 5)
     // last observation per (user, day) = value at the day's highest
-    // event_id (unique, so the pick is total-ordered cross-engine)
+    // event_id (unique, so the pick is total-ordered cross-engine).
+    // null values are excluded BEFORE the pick — DuckDB's arg_max
+    // ignores null args, and struct-max would otherwise return a null
+    // value sitting at the max event_id
     val daily = ev
+      .filter(col("value").isNotNull)
       .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
         struct(col("event_id"), col("value")).as("obs"))
       .groupBy(col("user_id"), col("day"))

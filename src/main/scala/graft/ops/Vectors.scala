@@ -8,9 +8,10 @@ import org.apache.spark.sql.types._
   * (4x smaller than float32 — at 100 TB of embeddings this is the
   * difference between 25 TB and 100 TB of vector storage, and
   * proportionally less shuffle/scan). Pure codegen'd higher-order
-  * functions — no UDF. Quantized vectors feed the exact-rescore
-  * stages (ann_ivf_topk, sim_cosine_topk) after dequantize, with
-  * bounded cosine error (asserted in VectorsSpec). */
+  * functions — no UDF. A standalone storage operator: VectorsSpec
+  * demonstrates the rescore shape (dequantize → cosine top-k) and
+  * asserts bounded round-trip error; the declared ann/sim queries
+  * rescore on original floats for oracle exactness. */
 object Vectors {
 
   /** max|x| / 127 — the symmetric quantization scale (0-vectors get

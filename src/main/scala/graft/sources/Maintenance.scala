@@ -48,9 +48,16 @@ object Maintenance {
     val scanParts = df.rdd.getNumPartitions
     val sized = if (nOut <= scanParts) df.coalesce(nOut) else df.repartition(nOut)
     sized.write.mode("overwrite").parquet(tmp.toString)
-    // swap: drop old data files + marker files + the (now stale)
-    // streaming metadata log, move the compacted files in (not
-    // transactional — a table format is; see scaladoc)
+    swapInto(fs, path, tmp)
+    (before.length, dataFiles.length)
+  }
+
+  /** Directory swap shared by compact/merge: drop old data files +
+    * marker files + a streaming sink's (now stale) `_spark_metadata`
+    * log, move the rewritten files in, remove the tmp dir. Not
+    * transactional — a table format is; see the class scaladoc. */
+  private def swapInto(fs: org.apache.hadoop.fs.FileSystem,
+      path: Path, tmp: Path): Unit = {
     fs.listStatus(path)
       .filter { s =>
         val n = s.getPath.getName
@@ -62,7 +69,6 @@ object Maintenance {
       .filter(_.isFile)
       .foreach(s => fs.rename(s.getPath, new Path(path, s.getPath.getName)))
     fs.delete(tmp, true)
-    (before.length, dataFiles.length)
   }
 
   /** Read a parquet directory whose files span schema generations:
@@ -83,23 +89,23 @@ object Maintenance {
     require(current.columns.sameElements(updates.columns),
       s"merge schema mismatch: table ${current.columns.mkString(",")} vs " +
         s"updates ${updates.columns.mkString(",")}")
+    // Delta MERGE fails on multiple source matches; mirror that —
+    // duplicate update keys would otherwise corrupt the key invariant
+    val dupKeys = updates.groupBy(keyCols.map(updates(_)): _*)
+      .count().filter(org.apache.spark.sql.functions.col("count") > 1).count()
+    require(dupKeys == 0, s"updates contain $dupKeys duplicate key(s) — " +
+      "dedupe (e.g. keep latest) before merging")
     val kept = current.join(updates.select(keyCols.map(
       c => updates(c)): _*), keyCols, "left_anti")
     val merged = kept.unionByName(updates)
-    val tmp = dir + "__merging"
+    val tmp = new Path(dir + "__merging")
     val conf = spark.sessionState.newHadoopConf()
     val path = new Path(dir)
     val fs = path.getFileSystem(conf)
-    fs.delete(new Path(tmp), true)
-    merged.write.mode("overwrite").parquet(tmp)
-    val n = spark.read.parquet(tmp).count()
-    fs.listStatus(path)
-      .filter(s => s.isFile &&
-        (s.getPath.getName.endsWith(".parquet") || s.getPath.getName.startsWith("_")))
-      .foreach(s => fs.delete(s.getPath, false))
-    fs.listStatus(new Path(tmp)).filter(_.isFile)
-      .foreach(s => fs.rename(s.getPath, new Path(path, s.getPath.getName)))
-    fs.delete(new Path(tmp), true)
+    fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    swapInto(fs, path, tmp)
     n
   }
 }

@@ -41,8 +41,12 @@ class CurationSpec extends AnyFunSuite {
   test("near-dups survive when their canonical was removed upstream") {
     val pairs = ops.Pipelines.dedupMinhashLsh(spark, sf0001)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(pairs.nonEmpty)
-    val (c, dup) = pairs.head
+    // pick a duplicate with exactly ONE canonical: nearDedup drops d2
+    // iff ANY pair's d1 survives, so a multi-pair d2 wouldn't isolate
+    // the removed-canonical behavior
+    val singles = pairs.groupBy(_._2).filter(_._2.size == 1).values.map(_.head)
+    assert(singles.nonEmpty)
+    val (c, dup) = singles.head
     val docs = Tables(spark, sf0001, "documents")
     // canonical present -> duplicate dropped
     val withCanonical = Curation.nearDedup(spark, sf0001, docs)

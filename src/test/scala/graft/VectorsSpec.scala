@@ -16,11 +16,10 @@ class VectorsSpec extends AnyFunSuite {
     val sim = graft.functions.CosineSimilarity.cosineSim(spark, col("embedding"), col("rec"))
     val worst = q.agg(min(sim)).collect()(0).getDouble(0)
     assert(worst > 0.999, s"worst round-trip cosine $worst")
-    // codes really are int8
+    // codes really are int8 (the 4x storage claim)
     val schema = q.schema("codes").dataType
-    assert(schema == org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.ByteType, containsNull = false) ||
-      schema.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    assert(schema.elementType == org.apache.spark.sql.types.ByteType, schema)
   }
 
   test("top-k search over quantized vectors preserves the exact ranking") {
