@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-captures `sbt runMain` stdout and JSON-parses the last
+// line. sbt's default LoggedOutput prefixes every forked-process line
+// with "[info] " and appends a "[success] Total time: …" line — both
+// broke the parse in rounds 1 and 2 (BENCH_r0{1,2}.json: "parsed":
+// null). StdoutOutput passes the child's stdout through verbatim and
+// showSuccess drops the trailer, so Bench's final total line is the
+// last line of output.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,6 +34,16 @@ object Pipelines {
     pairCache.clear()
   }
 
+  /** Materialize the shared shingle + verified-LSH-pair sets for `d`.
+    * Bench priming: charges the engine-level materializations to an
+    * explicit prime step instead of whichever query touches them first
+    * (under concurrent submission the first toucher would otherwise be
+    * billed the whole build while the rest block on the cache lock). */
+  def prime(s: SparkSession, d: String): Unit = {
+    shingles(s, d).count()
+    dedupMinhashLsh(s, d) // localCheckpoint(eager) — materialized on return
+  }
+
   /** 3-gram shingles per doc (distinct), shared by fingerprint, simhash
     * and minhash-LSH — built once per sfDir and persisted (same
     * engine-level materialization policy as Tables.edges). Token-set
