@@ -1,0 +1,169 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+import java.nio.file.Files
+
+/** Snapshot-table-format contract: commits, isolation, time travel,
+  * schema evolution, merge, concurrency, data skipping, vacuum,
+  * compaction, and interop with the declared query suite via
+  * Tables.mount. */
+class VersionedTableSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("vt").toString + "/tbl"
+
+  test("create + read round-trips and is version 1") {
+    val root = tmpRoot()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(VersionedTable.create(spark, root, df) == 1L)
+    val back = VersionedTable.read(spark, root)
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a"), (2L, "b")))
+    assert(VersionedTable.versions(spark, root) == Seq(1L))
+    intercept[IllegalArgumentException] { VersionedTable.create(spark, root, df) }
+  }
+
+  test("append accumulates; time travel sees the old snapshot") {
+    val root = tmpRoot()
+    VersionedTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    VersionedTable.append(spark, root, Seq((2L, "b")).toDF("id", "v"))
+    assert(VersionedTable.read(spark, root).count() == 2)
+    assert(VersionedTable.read(spark, root, asOf = Some(1L)).count() == 1)
+    // strict-schema append rejects a different shape
+    intercept[IllegalArgumentException] {
+      VersionedTable.append(spark, root, Seq((3L, "c", 1)).toDF("id", "v", "extra"))
+    }
+  }
+
+  test("overwrite replaces contents and schema in one snapshot") {
+    val root = tmpRoot()
+    VersionedTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    VersionedTable.overwrite(spark, root, Seq((9L, 3.5)).toDF("id", "score"))
+    val back = VersionedTable.read(spark, root)
+    assert(back.columns.toSeq == Seq("id", "score"))
+    assert(back.count() == 1)
+    // the pre-overwrite snapshot is still fully readable
+    assert(VersionedTable.read(spark, root, asOf = Some(1L)).columns.toSeq == Seq("id", "v"))
+  }
+
+  test("mergeSchema append widens; old files read the new column as null") {
+    val root = tmpRoot()
+    VersionedTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    VersionedTable.append(spark, root,
+      Seq((2L, "b", 0.9)).toDF("id", "v", "score"), mergeSchema = true)
+    val back = VersionedTable.read(spark, root).orderBy("id").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(back(0).isNullAt(2) && back(1).getDouble(2) == 0.9)
+    // type change is refused even with mergeSchema
+    intercept[IllegalArgumentException] {
+      VersionedTable.append(spark, root,
+        Seq((3, "c", 0.1)).toDF("id", "v", "score"), mergeSchema = true)
+    }
+  }
+
+  test("merge upserts: matched keys replaced, new keys inserted") {
+    val root = tmpRoot()
+    VersionedTable.create(spark, root,
+      Seq((1L, "old"), (2L, "keep")).toDF("id", "v"))
+    VersionedTable.merge(spark, root,
+      Seq((1L, "new"), (3L, "ins")).toDF("id", "v"), Seq("id"))
+    val m = VersionedTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "new", 2L -> "keep", 3L -> "ins"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, root,
+        Seq((1L, "x"), (1L, "y")).toDF("id", "v"), Seq("id"))
+    }
+  }
+
+  test("concurrent appends both land via CAS retry") {
+    val root = tmpRoot()
+    VersionedTable.create(spark, root, Seq((0L, "seed")).toDF("id", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val futures = (1 to 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = VersionedTable.append(spark, root,
+          Seq((i.toLong, s"w$i")).toDF("id", "v"))
+      })
+    }
+    val got = futures.map(_.get())
+    pool.shutdown()
+    // four distinct committed versions, no lost update
+    assert(got.toSet.size == 4)
+    assert(VersionedTable.versions(spark, root).size == 5)
+    assert(VersionedTable.read(spark, root).count() == 5)
+  }
+
+  test("scan prunes files by min/max stats and matches the full filter") {
+    val root = tmpRoot()
+    val docs = Tables(spark, SharedSpark.sf0001, "documents")
+    // range-partitioned write -> disjoint per-file doc_id ranges
+    VersionedTable.create(spark, root,
+      docs.repartitionByRange(4, col("doc_id")))
+    val (pruned, scanned, total) =
+      VersionedTable.scan(spark, root, "doc_id < 10")
+    assert(total == 4 && scanned < total,
+      s"expected pruning, scanned $scanned of $total")
+    val expected = docs.filter(col("doc_id") < 10).count()
+    assert(pruned.count() == expected)
+    // a contradiction prunes everything but still returns the schema
+    val (none, s0, _) = VersionedTable.scan(spark, root, "doc_id < -1")
+    assert(s0 == 0 && none.count() == 0)
+    // string + IN + null predicates stay correct (conservative where unknown)
+    val (langEn, _, _) = VersionedTable.scan(spark, root, "lang IN ('en')")
+    assert(langEn.count() == docs.filter($"lang" === "en").count())
+    val (nn, _, _) = VersionedTable.scan(spark, root, "text IS NOT NULL")
+    assert(nn.count() == docs.filter($"text".isNotNull).count())
+  }
+
+  test("timestamp stats prune in the micros domain") {
+    val root = tmpRoot()
+    val ev = Tables(spark, SharedSpark.sf0001, "events")
+      .select("event_id", "user_id", "ts")
+    VersionedTable.create(spark, root, ev.repartitionByRange(4, col("ts")))
+    val cut = ev.selectExpr("cast(percentile(cast(ts as double), 0.1) as timestamp) as c")
+      .collect()(0).getAs[java.sql.Timestamp](0)
+    val pred = s"ts < timestamp'$cut'"
+    val (pruned, scanned, total) = VersionedTable.scan(spark, root, pred)
+    assert(scanned < total, s"expected timestamp pruning, scanned $scanned of $total")
+    assert(pruned.count() == ev.where(pred).count())
+  }
+
+  test("vacuum drops unreferenced files; head stays readable") {
+    val root = tmpRoot()
+    VersionedTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    VersionedTable.overwrite(spark, root, Seq((2L, "b")).toDF("id", "v"))
+    val deleted = VersionedTable.vacuum(spark, root, retainVersions = 1)
+    assert(deleted >= 1)
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    intercept[Exception] { VersionedTable.read(spark, root, asOf = Some(1L)).collect() }
+  }
+
+  test("compact bin-packs into fewer files as a new version") {
+    val root = tmpRoot()
+    val df = spark.range(0, 1000).toDF("id").repartition(8)
+    VersionedTable.create(spark, root, df)
+    val v = VersionedTable.compact(spark, root, targetBytes = 1L << 30)
+    assert(v == 2L)
+    val hist = VersionedTable.history(spark, root).orderBy("version").collect()
+    assert(hist.map(_.getString(1)).toSeq == Seq("create", "compact"))
+    assert(hist(1).getLong(2) < hist(0).getLong(2)) // fewer files
+    assert(VersionedTable.read(spark, root).count() == 1000)
+  }
+
+  test("a mounted snapshot serves the declared query suite identically") {
+    val root = tmpRoot()
+    val d = SharedSpark.sf0001
+    VersionedTable.create(spark, root, Tables(spark, d, "documents"))
+    val virt = Files.createTempDirectory("vtmount").toString
+    Tables.names.foreach(n => Tables.mount(spark, virt, n, Tables(spark, d, n)))
+    Tables.mount(spark, virt, "documents", VersionedTable.read(spark, root))
+    val viaVt = SparkEntry.queries("pipeline_quality_score")(spark, virt).collect()
+    val direct = SparkEntry.queries("pipeline_quality_score")(spark, d).collect()
+    assert(viaVt.sameElements(direct))
+  }
+}
