@@ -945,7 +945,77 @@ ORDER BY l_returnflag, metric""",
        count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
        count(*) FILTER (WHERE event_type = 'signup') AS signups,
        count(*) FILTER (WHERE event_type = 'error') AS errors
-FROM ${T("events")} GROUP BY 1 ORDER BY day"""
+FROM ${T("events")} GROUP BY 1 ORDER BY day""",
+
+      // ---- round-3 additions ----
+
+      "agg_mode" ->
+        s"""WITH c AS (SELECT o_orderstatus, o_orderpriority,
+    cast(count(*) AS BIGINT) AS cnt
+  FROM ${T("orders")} GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (
+    PARTITION BY o_orderstatus ORDER BY cnt DESC, o_orderpriority) AS rk
+  FROM c)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+FROM r WHERE rk = 1 ORDER BY o_orderstatus""",
+
+      "agg_histogram" ->
+        s"""SELECT cast(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+  cast(count(*) AS BIGINT) AS n,
+  round(cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+FROM ${T("orders")} GROUP BY 1 ORDER BY 1""",
+
+      "join_salted" ->
+        s"""SELECT o_orderstatus, cast(count(*) AS BIGINT) AS n,
+  round(cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
+FROM ${T("lineitem")} l JOIN ${T("orders")} o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1""",
+
+      "win_percent_rank_cume" ->
+        s"""SELECT c_custkey, c_mktsegment, c_acctbal,
+  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+FROM ${T("customer")}
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey""",
+
+      "fn_bitwise" ->
+        s"""SELECT l_orderkey, cast(l_linenumber AS BIGINT) AS ln,
+  l_orderkey & l_partkey AS b_and,
+  l_orderkey | l_partkey AS b_or,
+  xor(l_orderkey, l_partkey) AS b_xor,
+  l_partkey << 3 AS b_shl,
+  l_partkey >> 2 AS b_shr,
+  cast(bit_count(l_partkey) AS BIGINT) AS b_pop
+FROM ${T("lineitem")} WHERE l_orderkey % 50 = 0
+ORDER BY l_orderkey, ln""",
+
+      "fn_hash" ->
+        s"""SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+FROM ${T("documents")} WHERE doc_id % 11 = 0 ORDER BY doc_id""",
+
+      "cdc_scd2" ->
+        s"""WITH ev AS (SELECT user_id, ts, event_id, event_type
+  FROM ${T("events")} WHERE user_id IS NOT NULL AND user_id % 20 = 0),
+ch AS (SELECT *, lag(event_type) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM ev),
+f AS (SELECT user_id, ts, event_id, event_type FROM ch
+  WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type, ts AS valid_from,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM f ORDER BY user_id, valid_from""",
+
+      "graph_jaccard_neighbors" ->
+        s"""$E,
+deg AS (SELECT s AS node, cast(count(*) AS BIGINT) AS deg FROM ud GROUP BY 1),
+com AS (SELECT a.s AS a, b.s AS b, cast(count(*) AS BIGINT) AS common
+  FROM ud a JOIN ud b ON a.t = b.t AND a.s < b.s
+  GROUP BY 1, 2)
+SELECT com.a, com.b, com.common,
+  round(com.common / (da.deg + db.deg - com.common), 4) AS jac
+FROM com JOIN deg da ON da.node = com.a JOIN deg db ON db.node = com.b
+WHERE com.common / (da.deg + db.deg - com.common) >= 0.2
+ORDER BY 1, 2"""
     )
   }
 }

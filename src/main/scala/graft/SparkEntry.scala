@@ -33,6 +33,7 @@ object SparkEntry {
     "join_lateral_topn" -> Relational.joinLateralTopn,
     "tpch_q3_shape" -> Relational.tpchQ3Shape,
     "tpch_q5_shape" -> Relational.tpchQ5Shape,
+    "join_salted" -> Relational.joinSalted,
     // §2.3 aggregations
     "agg_hash_q1" -> Relational.aggHashQ1,
     "agg_count_distinct" -> Relational.aggCountDistinct,
@@ -44,6 +45,8 @@ object SparkEntry {
     "agg_median_quantile" -> Relational.aggMedianQuantile,
     "agg_string_agg" -> Relational.aggStringAgg,
     "agg_stats2" -> Relational.aggStats2,
+    "agg_mode" -> Relational.aggMode,
+    "agg_histogram" -> Relational.aggHistogram,
     "funnel_click_purchase" -> Relational.funnelClickPurchase,
     "latest_per_key" -> Relational.latestPerKey,
     "retention_daily" -> Relational.retentionDaily,
@@ -56,6 +59,7 @@ object SparkEntry {
     "win_first_last" -> Windows.winFirstLast,
     "win_range_1h" -> Windows.winRange1h,
     "win_ratio" -> Windows.winRatio,
+    "win_percent_rank_cume" -> Windows.winPercentRankCume,
     "topk_per_group" -> Windows.topkPerGroup,
     // §2.5 sorts / sets
     "sort_multi_limit" -> Relational.sortMultiLimit,
@@ -78,6 +82,8 @@ object SparkEntry {
     "fn_regex" -> Funcs.fnRegex,
     "fn_nulls" -> Funcs.fnNulls,
     "fn_array2" -> Funcs.fnArray2,
+    "fn_bitwise" -> Funcs.fnBitwise,
+    "fn_hash" -> Funcs.fnHash,
     // §2.7 text / LLM pipeline
     "text_wordcount" -> TextSim.textWordcount,
     "text_stats" -> TextSim.textStats,
@@ -101,6 +107,7 @@ object SparkEntry {
     "sample_stratified" -> Sampling.sampleStratified,
     "sample_hash_split" -> Sampling.sampleHashSplit,
     "ts_resample_gapfill" -> TimeSeries.tsResampleGapfill,
+    "cdc_scd2" -> TimeSeries.cdcScd2,
     // §2.8 graph
     "graph_degree" -> GraphOps.graphDegree,
     "graph_2hop" -> GraphOps.graph2hop,
@@ -108,6 +115,7 @@ object SparkEntry {
     "graph_cc_labelprop" -> GraphOps.graphCcLabelprop,
     "graph_bfs_3hop" -> GraphOps.graphBfs3hop,
     "graph_pagerank3" -> GraphOps.graphPagerank3,
+    "graph_jaccard_neighbors" -> GraphOps.graphJaccardNeighbors,
     // §2.9 streaming-on-batch
     "stream_tumbling_1h" -> StreamOps.streamTumbling1h,
     "stream_sliding_1h_30m" -> StreamOps.streamSliding1h30m,

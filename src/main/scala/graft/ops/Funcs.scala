@@ -196,4 +196,29 @@ object Funcs {
       .agg(count(lit(1)).as("n_high"), sum(k).as("k_sum"))
       .orderBy("event_type")
   }
+
+  /** Bitwise family (round 3): and/or/xor, shifts, popcount — all
+    * BIGINT-exact, no float hazard. bit_count is INT in Spark, cast to
+    * match DuckDB's integer-widened result. */
+  val fnBitwise: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), asLong(col("l_linenumber")).as("ln"),
+        col("l_orderkey").bitwiseAND(col("l_partkey")).as("b_and"),
+        col("l_orderkey").bitwiseOR(col("l_partkey")).as("b_or"),
+        col("l_orderkey").bitwiseXOR(col("l_partkey")).as("b_xor"),
+        shiftleft(col("l_partkey"), 3).as("b_shl"),
+        shiftright(col("l_partkey"), 2).as("b_shr"),
+        asLong(bit_count(col("l_partkey"))).as("b_pop"))
+      .orderBy("l_orderkey", "ln")
+
+  /** Cryptographic digest family (round 3): md5 + sha-256 hex digests —
+    * the content-addressing primitives behind dedup_exact and the
+    * sampling bucketing, surfaced as first-class scalars. */
+  val fnHash: Q = (s, d) =>
+    table(s, d, "documents")
+      .filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), md5(col("text")).as("h_md5"),
+        sha2(col("text"), 256).as("h_sha256"))
+      .orderBy("doc_id")
 }

@@ -160,4 +160,29 @@ object GraphOps {
       .orderBy(col("pagerank").desc, col("node"))
       .limit(30)
   }
+
+  /** Structural node similarity (round 3): neighbor-set Jaccard over
+    * the strong graph. Common-neighbor counts come from ONE 2-path
+    * equi-join on the shared-neighbor key (the wedge join — linear in
+    * wedges, the standard formulation; no node×node cartesian), then
+    * two broadcast-size degree joins. jaccard >= 0.2 keeps the output
+    * the sparse similar-pair set at every SF (a raw common-count floor
+    * degenerates to empty on the sparser sf0.1 strong graph). */
+  val graphJaccardNeighbors: Q = (s, d) => {
+    val ud = Tables.ud(s, d)
+    val deg = ud.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
+    val common = ud.select(col("s").as("a"), col("t").as("x"))
+      .join(ud.select(col("s").as("b"), col("t").as("x")), Seq("x"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .withColumn("jac_raw",
+        col("common") / (col("da") + col("db") - col("common")))
+      .filter(col("jac_raw") >= 0.2)
+      .select(col("a"), col("b"), col("common"),
+        round(col("jac_raw"), 4).as("jac"))
+      .orderBy("a", "b")
+  }
 }

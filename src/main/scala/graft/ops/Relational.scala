@@ -526,4 +526,51 @@ object Relational {
         cnt("error").as("errors"))
       .orderBy("day")
   }
+
+  // ---- §2.3 additions (round 3) ----
+
+  /** Deterministic mode: most frequent o_orderpriority per status.
+    * `mode()` itself is tie-nondeterministic in both engines, so the
+    * contract pins the tiebreak (count desc, value asc) via a
+    * row_number — the portable formulation of "the" mode. */
+  val aggMode: Q = (s, d) => {
+    val counts = table(s, d, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+    counts.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("cnt"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Fixed-width histogram of order totals: bucket = floor(price/50k).
+    * Bucketing on the raw double is cross-engine exact (identical IEEE
+    * division + floor); the per-bucket money sum goes through the
+    * DECIMAL(18,2) discipline like every money aggregate. */
+  val aggHistogram: Q = (s, d) =>
+    table(s, d, "orders")
+      .groupBy(floor(col("o_totalprice") / 50000.0).cast(LongType).as("bucket"))
+      .agg(asLong(count(lit(1))).as("n"),
+        moneySum2(col("o_totalprice")).as("sum_price"))
+      .orderBy("bucket")
+
+  /** §2.2 addendum: the skew-salted join inside the declared contract.
+    * Skew.saltedJoin splits each hot l_orderkey across 8 shuffle keys
+    * (deterministic xxhash salt, dim side replicated 8x); the oracle is
+    * the PLAIN equi-join — result equality with the unsalted plan is
+    * exactly the property the operator promises (SkewSpec asserts it
+    * row-level; this asserts it hash-level against DuckDB). */
+  val joinSalted: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val ord = table(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey", 8)
+      .groupBy(col("o_orderstatus"))
+      .agg(asLong(count(lit(1))).as("n"),
+        moneySum2(col("l_extendedprice")).as("rev"))
+      .orderBy("o_orderstatus")
+  }
 }

@@ -48,4 +48,24 @@ object TimeSeries {
         col("v").isNotNull.as("observed"))
       .orderBy("user_id", "day")
   }
+
+  /** SCD type-2 build from a change stream (round 3): collapse each
+    * user's event_type runs into validity intervals
+    * [valid_from, valid_to) with an is_current flag — the CDC pattern
+    * behind dimension history tables. One window shuffle on user_id;
+    * ties on ts are totally ordered by the unique event_id so both
+    * engines pick identical run boundaries. */
+  val cdcScd2: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(s, d, "events")
+      .filter(col("user_id").isNotNull && col("user_id") % 20 === 0)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
 }

@@ -115,4 +115,20 @@ object Windows {
       .filter(col("rk") <= 3)
       .orderBy("p_brand", "rk", "p_partkey")
   }
+
+  /** percent_rank / cume_dist over account balance per market segment
+    * (round 3). Outputs stay UNROUNDED doubles: both engines compute
+    * (rank-1)/(n-1) and frac-of-rows as one IEEE division over the
+    * same integers, so the bits match exactly — rounding would only
+    * add a half-even-vs-half-up hazard. Order key includes c_custkey
+    * so tied balances rank identically cross-engine. */
+  val winPercentRankCume: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    table(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("c_custkey")
+  }
 }

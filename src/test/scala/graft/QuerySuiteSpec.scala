@@ -44,7 +44,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     "graph_pagerank3" -> 30L, "stream_tumbling_1h" -> 868L,
     "stream_sliding_1h_30m" -> 1065L, "stream_sessionize" -> 15L,
     "subq_correlated" -> 75L, "subq_scalar_uncorrelated" -> 380L,
-    "cte_chain_top_supplier" -> 1L, "pivot_manual" -> 30L)
+    "cte_chain_top_supplier" -> 1L, "pivot_manual" -> 30L,
+    // round-3 additions (§2.12)
+    "agg_mode" -> 3L, "agg_histogram" -> 10L, "join_salted" -> 3L,
+    "win_percent_rank_cume" -> 150L, "fn_bitwise" -> 116L, "fn_hash" -> 46L,
+    "cdc_scd2" -> 53L, "graph_jaccard_neighbors" -> 71L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
