@@ -101,6 +101,44 @@ class Naqed(spark: SparkSession, sfDir: String) {
           s"mutation keys must be '~'-prefixed table names, got '$key'")
     }
 
+  /** Curation directive (naqed resolver-with-args style): the corpus
+    * pipeline (ops.Curation: quality -> exact dedup -> near dedup ->
+    * rebalance -> split) driven through the same `$`-argument
+    * convention as queries. Returns (train, test, report) — report as
+    * a single-row DataFrame so the whole surface stays DataFrame-
+    * valued. Unknown arguments fail analysis naqed-style. */
+  def curate(q: Map[String, Any] = Map.empty): (DataFrame, DataFrame, DataFrame) = {
+    val known = Set("$min_tokens", "$max_stop_ratio", "$fractions", "$test_fraction")
+    val unknown = q.keys.filterNot(known.contains)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown curation arguments ${unknown.mkString(", ")}; " +
+          s"valid: ${known.toSeq.sorted.mkString(", ")}")
+    def num(k: String, dflt: Double): Double = q.get(k) match {
+      case Some(n: Number) => n.doubleValue()
+      case Some(other) => throw new IllegalArgumentException(
+        s"$k expects a number, got $other")
+      case None => dflt
+    }
+    val fractions = q.get("$fractions") match {
+      case Some(m: Map[_, _]) => m.map {
+        case (k: String, v: Number) => k -> v.doubleValue()
+        case (k, v) => throw new IllegalArgumentException(
+          s"$$fractions entries must be lang -> fraction, got $k -> $v")
+      }
+      case Some(other) => throw new IllegalArgumentException(
+        s"$$fractions expects an object, got $other")
+      case None => Map.empty[String, Double]
+    }
+    val (train, test, rep) = graft.ops.Curation.curate(spark, sfDir,
+      minTokens = num("$min_tokens", 5).toInt,
+      maxStopRatio = num("$max_stop_ratio", 0.9),
+      fractions = fractions,
+      testFraction = num("$test_fraction", 0.1))
+    import spark.implicits._
+    (train, test, Seq(rep).toDS().toDF())
+  }
+
   private def compile(tname: String, q: Map[String, Any]): DataFrame = {
     var df = table(tname)
     val cols = df.columns.toSet

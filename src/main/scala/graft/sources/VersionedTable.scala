@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, floor, input_file_name, lit, max, min, shiftleft, shiftright, sum, when}
 import org.apache.spark.sql.types._
 import scala.jdk.CollectionConverters._
 
@@ -190,10 +190,12 @@ object VersionedTable {
   }
 
   private def buildManifest(op: String, schema: StructType,
-      files: Seq[(String, java.util.Map[String, Object])]): java.util.Map[String, Object] = {
+      files: Seq[(String, java.util.Map[String, Object])],
+      extra: Map[String, Object] = Map.empty): java.util.Map[String, Object] = {
     val m = new java.util.LinkedHashMap[String, Object]()
     m.put("op", op)
     m.put("schemaJson", schema.json)
+    extra.foreach { case (k, v) => m.put(k, v) }
     val fl = new java.util.ArrayList[Object]()
     files.foreach { case (p, st) =>
       val fm = new java.util.LinkedHashMap[String, Object]()
@@ -214,8 +216,10 @@ object VersionedTable {
     DataType.fromJson(man.get("schemaJson").asInstanceOf[String]).asInstanceOf[StructType]
 
   /** Commit loop: recompute the snapshot against the current head until
-    * the CAS wins. `nextFiles(head)` returns (op, schema, files). */
-  private def commit(spark: SparkSession, root: String)(
+    * the CAS wins. `nextFiles(head)` returns (op, schema, files) and
+    * optionally extra manifest fields (e.g. the streaming batch id). */
+  private def commit(spark: SparkSession, root: String,
+      extra: Map[String, Object] = Map.empty)(
       nextFiles: Option[(Long, java.util.Map[String, Object])] =>
         (String, StructType, Seq[(String, java.util.Map[String, Object])])): Long = {
     var attempts = 0
@@ -223,11 +227,19 @@ object VersionedTable {
       val head = loadHead(spark, root)
       val (op, schema, files) = nextFiles(head)
       val v = head.map(_._1).getOrElse(0L) + 1
-      if (publish(spark, root, v, buildManifest(op, schema, files))) return v
+      // carry the high-water streaming batch id forward through
+      // non-streaming commits so sink idempotence survives them
+      val carried = head.flatMap(h => Option(h._2.get(BatchIdKey)))
+        .filterNot(_ => extra.contains(BatchIdKey))
+        .map(v0 => Map(BatchIdKey -> v0)).getOrElse(Map.empty)
+      if (publish(spark, root, v, buildManifest(op, schema, files, carried ++ extra)))
+        return v
       attempts += 1
     }
     throw new IllegalStateException(s"commit to $root lost 20 CAS races; aborting")
   }
+
+  private val BatchIdKey = "streamBatchId"
 
   // ---- public write API ----
 
@@ -483,6 +495,113 @@ object VersionedTable {
     doomed.foreach(s => f.delete(s.getPath, false))
     doomed.length.toLong
   }
+
+  // ---- Z-order clustering ----
+
+  private def zable(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | _: DecimalType |
+         _: DateType | _: TimestampType => true
+    case _ => false
+  }
+
+  /** Rewrite the current snapshot Z-ordered on `zCols` into `numFiles`
+    * files. Why: min/max skipping works on ONE sort column; a linear
+    * sort on (a, b) leaves b's per-file ranges full-width. Interleaving
+    * the bit patterns of the normalized columns (Morton order) gives
+    * every z-range — hence every file — a bounded range in EVERY
+    * clustered dimension, so `scan` prunes on any of them (the
+    * multi-dimensional layout behind Delta/Databricks ZORDER BY and
+    * z-curve literature). Normalization is linear min-max into 16-bit
+    * ranks (one agg pass, no extra shuffle — vs. a rank() window, which
+    * would be a second global sort); skewed columns degrade bucket
+    * balance but never pruning CORRECTNESS, since stats are harvested
+    * from the actual file contents. Clustered columns must be
+    * numeric/date/timestamp; nulls sort to rank 0. */
+  def cluster(spark: SparkSession, root: String, zCols: Seq[String],
+      numFiles: Int): Long = {
+    require(zCols.size >= 2, "z-ordering needs >= 2 columns (use compact for 1)")
+    val df = read(spark, root)
+    val schema = df.schema
+    zCols.foreach { c =>
+      require(schema.fieldNames.contains(c), s"no column $c")
+      require(zable(schema(c).dataType), s"$c: ${schema(c).dataType} not z-orderable")
+    }
+    def asD(c: String): Column = schema(c).dataType match {
+      case _: DateType => col(c).cast(TimestampType).cast(DoubleType)
+      case _ => col(c).cast(DoubleType)
+    }
+    val bounds = df.agg(
+      zCols.flatMap(c => Seq(min(asD(c)), max(asD(c)))).head,
+      zCols.flatMap(c => Seq(min(asD(c)), max(asD(c)))).tail: _*).collect()(0)
+    val Bits = 16
+    val ranks = zCols.zipWithIndex.map { case (c, j) =>
+      if (bounds.isNullAt(2 * j) || bounds.isNullAt(2 * j + 1)) lit(0L)
+      else {
+      val (lo, hi) = (bounds.getDouble(2 * j), bounds.getDouble(2 * j + 1))
+      if (hi <= lo) lit(0L)
+      else coalesce(
+        floor((asD(c) - lit(lo)) / lit(hi - lo) * ((1 << Bits) - 1)).cast(LongType),
+        lit(0L))
+      }
+    }
+    // Morton interleave: z bit (i*k + j) = bit i of column j's rank
+    val z = (0 until Bits).foldLeft(lit(0L)) { (acc, i) =>
+      ranks.zipWithIndex.foldLeft(acc) { case (a, (r, j)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(r, i).bitwiseAND(lit(1L)), i * zCols.size + j))
+      }
+    }
+    val laid = df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val files = writeData(spark, root, laid)
+    commit(spark, root) { _ => ("cluster", df.schema, files) }
+  }
+
+  // ---- streaming sink ----
+
+  /** Commit one micro-batch as a table version iff `batchId` is beyond
+    * the table's recorded streaming high-water mark. Returns true when
+    * committed, false when skipped as a replay — the foreachBatch body
+    * of `appendStream`, exposed for direct testing. */
+  def appendBatch(spark: SparkSession, root: String, batch: DataFrame,
+      batchId: Long): Boolean = {
+    val seen = loadHead(spark, root)
+      .flatMap(h => Option(h._2.get(BatchIdKey)))
+      .collect { case n: java.lang.Number => n.longValue() }
+    if (seen.exists(_ >= batchId)) return false
+    val files = writeData(spark, root, batch)
+    val extra = Map[String, Object](BatchIdKey -> Long.box(batchId))
+    commit(spark, root, extra) { headOpt =>
+      val op = if (headOpt.isEmpty) "create" else "append"
+      val allFiles = headOpt.map(h => manifestFiles(h._2).map(fm =>
+        (fm.get("path").asInstanceOf[String], fm))).getOrElse(Seq.empty) ++ files
+      (op, batch.schema, allFiles)
+    }
+    true
+  }
+
+  /** Exactly-once streaming append: every micro-batch becomes one
+    * committed version carrying its batch id; a replayed batch (sink
+    * restart behind the checkpoint) is skipped, so writes are
+    * idempotent — the parquet file sink's `_spark_metadata` story,
+    * provided by the table format instead (and thus compatible with
+    * compaction/vacuum, which that sink's log is not; see
+    * Maintenance.compact's scaladoc). Use ONE sink checkpoint per
+    * table: the high-water mark is per-table, not per-query. */
+  def appendStream(stream: DataFrame, root: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendBatch(batch.sparkSession, root, batch, id); ()
+      }
+      .start()
 
   /** Rewrite the current snapshot into ~ceil(bytes/targetBytes) files
     * as a new committed version (transactional Maintenance.compact).

@@ -149,4 +149,21 @@ class NaqedSpec extends AnyFunSuite {
     assert(df.count() == Tables(spark, sf0001, "documents").count())
     assert(df.select(col("embeddings.label")).filter(col("label").isNotNull).count() > 0)
   }
+
+  test("curation directive: $-args drive the pipeline; report is consistent") {
+    val (train, test, report) = naqed.curate(Map(
+      "$min_tokens" -> 5, "$test_fraction" -> 0.2))
+    val r = report.collect()(0)
+    assert(r.getAs[Long]("train") == train.count())
+    assert(r.getAs[Long]("test") == test.count())
+    assert(r.getAs[Long]("input") >= r.getAs[Long]("afterQuality"))
+    assert(r.getAs[Long]("afterQuality") >= r.getAs[Long]("afterExactDedup"))
+    assert(r.getAs[Long]("afterExactDedup") >= r.getAs[Long]("afterNearDedup"))
+    assert(r.getAs[Long]("afterNearDedup") == r.getAs[Long]("train") + r.getAs[Long]("test"))
+    // unknown argument fails analysis naqed-style, naming the valid set
+    val e = intercept[IllegalArgumentException] {
+      naqed.curate(Map("$bogus" -> 1))
+    }
+    assert(e.getMessage.contains("$bogus") && e.getMessage.contains("$min_tokens"))
+  }
 }

@@ -155,6 +155,55 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, root).count() == 1000)
   }
 
+  test("z-order clustering prunes on EVERY clustered dimension") {
+    val root = tmpRoot()
+    // two independent uniform dimensions — a linear sort on either one
+    // leaves the other spread full-range in every file
+    val df = spark.range(0, 4096).toDF("id")
+      .withColumn("a", col("id") % 64)
+      .withColumn("b", floor(col("id") / lit(64)))
+      .repartition(8) // random layout: no dimension prunes before clustering
+    VersionedTable.create(spark, root, df)
+    val (_, sA0, t0) = VersionedTable.scan(spark, root, "a < 8")
+    val (_, sB0, _) = VersionedTable.scan(spark, root, "b < 8")
+    assert(sA0 == t0 && sB0 == t0, "random layout should not prune")
+    VersionedTable.cluster(spark, root, Seq("a", "b"), numFiles = 16)
+    val (ra, sA, tA) = VersionedTable.scan(spark, root, "a < 8")
+    val (rb, sB, tB) = VersionedTable.scan(spark, root, "b < 8")
+    assert(sA < tA, s"a-predicate should prune after z-order ($sA/$tA)")
+    assert(sB < tB, s"b-predicate should prune after z-order ($sB/$tB)")
+    assert(ra.count() == 8 * 64 && rb.count() == 8 * 64)
+  }
+
+  test("appendBatch is idempotent on the streaming batch id") {
+    val root = tmpRoot()
+    assert(VersionedTable.appendBatch(spark, root, Seq((1L, "a")).toDF("id", "v"), 0L))
+    assert(!VersionedTable.appendBatch(spark, root, Seq((1L, "dup")).toDF("id", "v"), 0L))
+    assert(VersionedTable.appendBatch(spark, root, Seq((2L, "b")).toDF("id", "v"), 1L))
+    assert(VersionedTable.read(spark, root).count() == 2)
+    // a non-streaming commit in between must not reset the high-water mark
+    VersionedTable.compact(spark, root, 1L << 30)
+    assert(!VersionedTable.appendBatch(spark, root, Seq((9L, "re")).toDF("id", "v"), 1L))
+    assert(VersionedTable.appendBatch(spark, root, Seq((3L, "c")).toDF("id", "v"), 2L))
+    assert(VersionedTable.read(spark, root).count() == 3)
+  }
+
+  test("appendStream lands a bounded stream exactly once") {
+    val root = tmpRoot()
+    val ckpt = Files.createTempDirectory("vtckpt").toString
+    val ev = graft.streaming.Streams.eventsStream(spark, SharedSpark.sf0001)
+    val q = VersionedTable.appendStream(ev, root, ckpt)
+    q.awaitTermination()
+    val expected = Tables(spark, SharedSpark.sf0001, "events").count()
+    assert(VersionedTable.read(spark, root).count() == expected)
+    // restart against the same checkpoint: no new data, no new version
+    val vBefore = VersionedTable.versions(spark, root).last
+    val q2 = VersionedTable.appendStream(ev, root, ckpt)
+    q2.awaitTermination()
+    assert(VersionedTable.versions(spark, root).last == vBefore)
+    assert(VersionedTable.read(spark, root).count() == expected)
+  }
+
   test("a mounted snapshot serves the declared query suite identically") {
     val root = tmpRoot()
     val d = SharedSpark.sf0001
