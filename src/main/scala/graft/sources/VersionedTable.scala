@@ -183,10 +183,34 @@ object VersionedTable {
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(manifest))
     finally out.close()
     val dest = manifestPath(root, v)
-    // rename-onto-existing fails on Hadoop filesystems -> our CAS
-    val won = !f.exists(dest) && f.rename(tmp, dest)
-    if (!won) f.delete(tmp, false)
+    val won = atomicPublish(f, tmp, dest)
+    if (f.exists(tmp)) f.delete(tmp, false)
     won
+  }
+
+  /** The commit point must be an ATOMIC create-if-absent. POSIX rename
+    * overwrites silently, so exists+rename has a lost-update window —
+    * on local filesystems we use hard-link creation instead (O_EXCL
+    * semantics: fails with FileAlreadyExistsException if the target
+    * exists, atomically). On HDFS-like filesystems rename-without-
+    * overwrite IS atomic by the FileSystem contract, so the fallback
+    * is correct there; an object store (S3) would need a coordinating
+    * LogStore, exactly as Delta documents. */
+  private def atomicPublish(f: FileSystem, tmp: Path, dest: Path): Boolean = {
+    val scheme = f.getUri.getScheme
+    if (scheme == null || scheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dest.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try !f.exists(dest) && f.rename(tmp, dest)
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    }
   }
 
   private def buildManifest(op: String, schema: StructType,
@@ -568,20 +592,29 @@ object VersionedTable {
     * of `appendStream`, exposed for direct testing. */
   def appendBatch(spark: SparkSession, root: String, batch: DataFrame,
       batchId: Long): Boolean = {
-    val seen = loadHead(spark, root)
-      .flatMap(h => Option(h._2.get(BatchIdKey)))
-      .collect { case n: java.lang.Number => n.longValue() }
-    if (seen.exists(_ >= batchId)) return false
+    def replayed(man: java.util.Map[String, Object]): Boolean =
+      Option(man.get(BatchIdKey))
+        .collect { case n: java.lang.Number => n.longValue() }
+        .exists(_ >= batchId)
+    if (loadHead(spark, root).exists(h => replayed(h._2))) return false
     val files = writeData(spark, root, batch)
     val extra = Map[String, Object](BatchIdKey -> Long.box(batchId))
-    commit(spark, root, extra) { headOpt =>
-      val op = if (headOpt.isEmpty) "create" else "append"
-      val allFiles = headOpt.map(h => manifestFiles(h._2).map(fm =>
-        (fm.get("path").asInstanceOf[String], fm))).getOrElse(Seq.empty) ++ files
-      (op, batch.schema, allFiles)
-    }
-    true
+    try {
+      // the mark is rechecked against the head INSIDE the commit loop,
+      // so a same-id race cannot double-commit; the loser's staged
+      // files are unreferenced and reaped by the next vacuum
+      commit(spark, root, extra) { headOpt =>
+        if (headOpt.exists(h => replayed(h._2))) throw ReplaySkip
+        val op = if (headOpt.isEmpty) "create" else "append"
+        val allFiles = headOpt.map(h => manifestFiles(h._2).map(fm =>
+          (fm.get("path").asInstanceOf[String], fm))).getOrElse(Seq.empty) ++ files
+        (op, batch.schema, allFiles)
+      }
+      true
+    } catch { case ReplaySkip => false }
   }
+
+  private object ReplaySkip extends RuntimeException with scala.util.control.NoStackTrace
 
   /** Exactly-once streaming append: every micro-batch becomes one
     * committed version carrying its batch id; a replayed batch (sink
