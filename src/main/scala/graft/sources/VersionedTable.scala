@@ -499,6 +499,17 @@ object VersionedTable {
     }.toDF("version", "op", "n_files", "n_rows")
   }
 
+  /** Roll the table back to `version`'s snapshot AS A NEW COMMIT (the
+    * history stays linear and auditable — Delta RESTORE semantics; no
+    * manifest is ever mutated or deleted here). */
+  def restore(spark: SparkSession, root: String, version: Long): Long = {
+    val man = readManifest(spark, root, version)
+    commit(spark, root) { _ =>
+      ("restore", manifestSchema(man), manifestFiles(man).map(fm =>
+        (fm.get("path").asInstanceOf[String], fm)))
+    }
+  }
+
   /** Drop manifests older than the last `retainVersions` and delete
     * data files no surviving manifest references. Returns the number
     * of data files deleted. Time travel older than the horizon is
