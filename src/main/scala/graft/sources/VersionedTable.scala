@@ -242,13 +242,26 @@ object VersionedTable {
   /** Commit loop: recompute the snapshot against the current head until
     * the CAS wins. `nextFiles(head)` returns (op, schema, files) and
     * optionally extra manifest fields (e.g. the streaming batch id). */
+  /** When `requireBase` is set, the commit only succeeds if the head is
+    * still that version — write-conflict detection for snapshot-
+    * REPLACING ops (merge/compact/cluster/restore compute their output
+    * from a specific snapshot; publishing it over a moved head would
+    * silently drop the interleaved commit's rows). Additive appends
+    * don't set it: they re-list the current head's files per retry. */
   private def commit(spark: SparkSession, root: String,
-      extra: Map[String, Object] = Map.empty)(
+      extra: Map[String, Object] = Map.empty,
+      requireBase: Option[Long] = None)(
       nextFiles: Option[(Long, java.util.Map[String, Object])] =>
         (String, StructType, Seq[(String, java.util.Map[String, Object])])): Long = {
     var attempts = 0
     while (attempts < 20) {
       val head = loadHead(spark, root)
+      requireBase.foreach { base =>
+        val at = head.map(_._1).getOrElse(0L)
+        if (at != base) throw new java.util.ConcurrentModificationException(
+          s"$root moved v$base -> v$at since this operation read its " +
+            "snapshot; re-run it against the new head")
+      }
       val (op, schema, files) = nextFiles(head)
       val v = head.map(_._1).getOrElse(0L) + 1
       // carry the high-water streaming batch id forward through
@@ -324,13 +337,15 @@ object VersionedTable {
     val dupKeys = updates.groupBy(keyCols.map(updates(_)): _*)
       .count().filter(col("count") > 1).count()
     require(dupKeys == 0, s"updates contain $dupKeys duplicate key(s)")
-    val current = read(spark, root)
+    val base = versions(spark, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no table at $root"))
+    val current = read(spark, root, Some(base))
     require(current.columns.sameElements(updates.columns),
       s"merge schema mismatch: ${current.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
     val kept = current.join(
       updates.select(keyCols.map(updates(_)): _*), keyCols, "left_anti")
     val files = writeData(spark, root, kept.unionByName(updates))
-    commit(spark, root) { _ => ("merge", updates.schema, files) }
+    commit(spark, root, requireBase = Some(base)) { _ => ("merge", updates.schema, files) }
   }
 
   // ---- public read API ----
@@ -346,6 +361,13 @@ object VersionedTable {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(files: _*)
   }
+
+  /** Register a snapshot as a temp view so the whole table-format
+    * surface is reachable from spark.sql (time travel via `asOf` —
+    * `registerView(s, "docs_v3", root, Some(3))`). */
+  def registerView(spark: SparkSession, name: String, root: String,
+      asOf: Option[Long] = None): Unit =
+    read(spark, root, asOf).createOrReplaceTempView(name)
 
   /** Predicate-pruned snapshot scan: parse `predicate` with Catalyst,
     * drop every file whose min/max/null stats refute it, then apply the
@@ -503,8 +525,10 @@ object VersionedTable {
     * history stays linear and auditable — Delta RESTORE semantics; no
     * manifest is ever mutated or deleted here). */
   def restore(spark: SparkSession, root: String, version: Long): Long = {
+    val base = versions(spark, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no table at $root"))
     val man = readManifest(spark, root, version)
-    commit(spark, root) { _ =>
+    commit(spark, root, requireBase = Some(base)) { _ =>
       ("restore", manifestSchema(man), manifestFiles(man).map(fm =>
         (fm.get("path").asInstanceOf[String], fm)))
     }
@@ -556,7 +580,9 @@ object VersionedTable {
   def cluster(spark: SparkSession, root: String, zCols: Seq[String],
       numFiles: Int): Long = {
     require(zCols.size >= 2, "z-ordering needs >= 2 columns (use compact for 1)")
-    val df = read(spark, root)
+    val base = versions(spark, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no table at $root"))
+    val df = read(spark, root, Some(base))
     val schema = df.schema
     zCols.foreach { c =>
       require(schema.fieldNames.contains(c), s"no column $c")
@@ -592,7 +618,7 @@ object VersionedTable {
       .sortWithinPartitions("__z")
       .drop("__z")
     val files = writeData(spark, root, laid)
-    commit(spark, root) { _ => ("cluster", df.schema, files) }
+    commit(spark, root, requireBase = Some(base)) { _ => ("cluster", df.schema, files) }
   }
 
   // ---- streaming sink ----
@@ -652,15 +678,15 @@ object VersionedTable {
     * Old versions remain time-travelable until vacuum. */
   def compact(spark: SparkSession, root: String, targetBytes: Long): Long = {
     val f = fs(spark, root)
-    val head = loadHead(spark, root).getOrElse(
-      throw new IllegalArgumentException(s"no table at $root"))._2
+    val (base, head) = loadHead(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no table at $root"))
     val paths = manifestFiles(head).map(_.get("path").asInstanceOf[String])
     val totalBytes = paths.map(p => f.getFileStatus(new Path(p)).getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val df = read(spark, root)
+    val df = read(spark, root, Some(base))
     val scanParts = df.rdd.getNumPartitions
     val sized = if (nOut <= scanParts) df.coalesce(nOut) else df.repartition(nOut)
     val files = writeData(spark, root, sized)
-    commit(spark, root) { _ => ("compact", df.schema, files) }
+    commit(spark, root, requireBase = Some(base)) { _ => ("compact", df.schema, files) }
   }
 }
