@@ -81,7 +81,7 @@ object VersionedTable {
   private def manifestPath(root: String, v: Long): Path =
     new Path(new Path(root, LogDir), f"v$v%08d.json")
 
-  private def readManifest(spark: SparkSession, root: String, v: Long)
+  private[sources] def readManifest(spark: SparkSession, root: String, v: Long)
       : java.util.Map[String, Object] = {
     val f = fs(spark, root)
     val in = f.open(manifestPath(root, v))
@@ -89,7 +89,7 @@ object VersionedTable {
     finally in.close()
   }
 
-  private def loadHead(spark: SparkSession, root: String)
+  private[sources] def loadHead(spark: SparkSession, root: String)
       : Option[(Long, java.util.Map[String, Object])] =
     versions(spark, root).lastOption.map(v => (v, readManifest(spark, root, v)))
 
@@ -97,7 +97,7 @@ object VersionedTable {
 
   /** One aggregation pass over freshly written files: per file, row
     * count + min/max/nullCount for every statable column. */
-  private def harvestStats(spark: SparkSession, schema: StructType,
+  private[sources] def harvestStats(spark: SparkSession, schema: StructType,
       filePaths: Seq[String]): Map[String, java.util.Map[String, Object]] = {
     if (filePaths.isEmpty) return Map.empty
     val cols = schema.fields.filter(f => statable(f.dataType))
@@ -152,7 +152,7 @@ object VersionedTable {
   /** Write `df` as new immutable data files under root/data and return
     * their (path -> per-file stats) map plus the file list in commit
     * order. */
-  private def writeData(spark: SparkSession, root: String, df: DataFrame)
+  private[sources] def writeData(spark: SparkSession, root: String, df: DataFrame)
       : Seq[(String, java.util.Map[String, Object])] = {
     val f = fs(spark, root)
     val stage = new Path(root, s".stage-${java.util.UUID.randomUUID()}")
@@ -213,7 +213,7 @@ object VersionedTable {
     }
   }
 
-  private def buildManifest(op: String, schema: StructType,
+  private[sources] def buildManifest(op: String, schema: StructType,
       files: Seq[(String, java.util.Map[String, Object])],
       extra: Map[String, Object] = Map.empty): java.util.Map[String, Object] = {
     val m = new java.util.LinkedHashMap[String, Object]()
@@ -231,12 +231,12 @@ object VersionedTable {
     m
   }
 
-  private def manifestFiles(man: java.util.Map[String, Object])
+  private[sources] def manifestFiles(man: java.util.Map[String, Object])
       : Seq[java.util.Map[String, Object]] =
     man.get("files").asInstanceOf[java.util.List[Object]].asScala.toSeq
       .map(_.asInstanceOf[java.util.Map[String, Object]])
 
-  private def manifestSchema(man: java.util.Map[String, Object]): StructType =
+  private[sources] def manifestSchema(man: java.util.Map[String, Object]): StructType =
     DataType.fromJson(man.get("schemaJson").asInstanceOf[String]).asInstanceOf[StructType]
 
   /** Commit loop: recompute the snapshot against the current head until
@@ -248,7 +248,7 @@ object VersionedTable {
     * from a specific snapshot; publishing it over a moved head would
     * silently drop the interleaved commit's rows). Additive appends
     * don't set it: they re-list the current head's files per retry. */
-  private def commit(spark: SparkSession, root: String,
+  private[sources] def commit(spark: SparkSession, root: String,
       extra: Map[String, Object] = Map.empty,
       requireBase: Option[Long] = None)(
       nextFiles: Option[(Long, java.util.Map[String, Object])] =>
@@ -276,7 +276,7 @@ object VersionedTable {
     throw new IllegalStateException(s"commit to $root lost 20 CAS races; aborting")
   }
 
-  private val BatchIdKey = "streamBatchId"
+  private[sources] val BatchIdKey = "streamBatchId"
 
   // ---- public write API ----
 
@@ -519,6 +519,40 @@ object VersionedTable {
       (v, man.get("op").asInstanceOf[String], files.size.toLong,
         files.flatMap(fm => numOf(fm.get("rows"))).sum)
     }.toDF("version", "op", "n_files", "n_rows")
+  }
+
+  /** Delete rows matching `predicate` as a new committed snapshot —
+    * and here file-level stats pay off on the WRITE side: files whose
+    * stats refute the predicate provably contain no matching row and
+    * are carried into the new version untouched (no read, no rewrite);
+    * only the possibly-matching files are rewritten with the negated
+    * predicate (the Delta DELETE shape). At 100 TB a delete touching
+    * one day of data rewrites that day's files, not the table.
+    * Returns (newVersion, filesRewritten, filesKept). */
+  def deleteWhere(spark: SparkSession, root: String, predicate: String)
+      : (Long, Int, Int) = {
+    val base = versions(spark, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no table at $root"))
+    val man = readManifest(spark, root, base)
+    val schema = manifestSchema(man)
+    val expr = spark.sessionState.sqlParser.parseExpression(predicate)
+    val (touched, untouched) = manifestFiles(man)
+      .partition(fm => mayMatch(expr, fm, schema))
+    val rewritten =
+      if (touched.isEmpty) Seq.empty
+      else {
+        val survivors = spark.read.schema(schema)
+          .parquet(touched.map(_.get("path").asInstanceOf[String]): _*)
+          // NOT with null-extension: rows where the predicate is NULL
+          // are NOT deleted (SQL DELETE semantics)
+          .where(s"NOT coalesce(($predicate), false)")
+        writeData(spark, root, survivors)
+      }
+    val v = commit(spark, root, requireBase = Some(base)) { _ =>
+      ("delete", schema, untouched.map(fm =>
+        (fm.get("path").asInstanceOf[String], fm)) ++ rewritten)
+    }
+    (v, touched.size, untouched.size)
   }
 
   /** Roll the table back to `version`'s snapshot AS A NEW COMMIT (the

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{MaterializedView, VersionedTable}
+import graft.sources.MaterializedView.AggSpec
+import java.nio.file.Files
+
+/** Incremental view maintenance: the folded state must equal the full
+  * recompute after every base change, and an append-only refresh must
+  * read only the appended files. */
+class MaterializedViewSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("mv").toString
+
+  private val aggs = Seq(
+    AggSpec("count", "*", "n"),
+    AggSpec("sum", "n_chars", "chars"),
+    AggSpec("min", "doc_id", "lo"),
+    AggSpec("max", "doc_id", "hi"))
+
+  private def expected(base: String): Map[String, (Long, Long, Long, Long)] =
+    VersionedTable.read(spark, base)
+      .groupBy("lang")
+      .agg(count(lit(1)), sum("n_chars"), min("doc_id"), max("doc_id"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+
+  private def got(view: String): Map[String, (Long, Long, Long, Long)] =
+    MaterializedView.read(spark, view).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("chars"),
+        r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .toMap
+
+  test("create materializes; append-only refresh folds just the delta") {
+    val base = tmp() + "/base"; val view = tmp() + "/view"
+    VersionedTable.create(spark, base,
+      Tables(spark, SharedSpark.sf0001, "documents"))
+    MaterializedView.create(spark, view, base, Seq("lang"), aggs)
+    assert(got(view) == expected(base))
+
+    // idempotent when the base hasn't moved
+    val (_, n0, mode0) = MaterializedView.refresh(spark, view)
+    assert(mode0 == "noop" && n0 == 0)
+
+    // append two commits, refresh: incremental, reads only the 2 new
+    // files, state equals the recompute
+    VersionedTable.append(spark, base,
+      Seq((9001L, "a b c", "xx", "s9", 5L)).toDF(
+        "doc_id", "text", "lang", "source", "n_chars").coalesce(1))
+    VersionedTable.append(spark, base,
+      Seq((9002L, "d e", "en", "s9", 3L)).toDF(
+        "doc_id", "text", "lang", "source", "n_chars").coalesce(1))
+    val (_, nInc, modeInc) = MaterializedView.refresh(spark, view)
+    assert(modeInc == "incremental", s"expected incremental, got $modeInc")
+    assert(nInc == 2, s"expected 2 delta files, read $nInc")
+    assert(got(view) == expected(base))
+    assert(got(view)("xx") == ((1L, 5L, 9001L, 9001L)))
+  }
+
+  test("non-append base change forces a correct full recompute") {
+    val base = tmp() + "/base"; val view = tmp() + "/view"
+    VersionedTable.create(spark, base,
+      Tables(spark, SharedSpark.sf0001, "documents"))
+    MaterializedView.create(spark, view, base, Seq("lang"), aggs)
+    // delete rewrites files -> not append-only
+    VersionedTable.deleteWhere(spark, base, "doc_id % 2 = 0")
+    val (_, _, mode) = MaterializedView.refresh(spark, view)
+    assert(mode == "full")
+    assert(got(view) == expected(base))
+  }
+
+  test("deleteWhere rewrites only non-refuted files") {
+    val root = tmp() + "/t"
+    VersionedTable.create(spark, root,
+      Tables(spark, SharedSpark.sf0001, "documents")
+        .repartitionByRange(4, col("doc_id")))
+    val before = VersionedTable.read(spark, root).count()
+    val matching = VersionedTable.read(spark, root)
+      .where("doc_id < 10").count()
+    val (_, rewritten, kept) = VersionedTable.deleteWhere(spark, root, "doc_id < 10")
+    assert(rewritten < rewritten + kept && kept >= 1,
+      s"stats should spare some files (rewrote $rewritten, kept $kept)")
+    assert(VersionedTable.read(spark, root).count() == before - matching)
+    assert(VersionedTable.read(spark, root).where("doc_id < 10").count() == 0)
+    // null-predicate rows are NOT deleted (SQL DELETE semantics)
+    val r2 = tmp() + "/t2"
+    import spark.implicits._
+    VersionedTable.create(spark, r2, Seq(
+      (Some(1L), "a"), (None, "b"), (Some(5L), "c")).toDF("k", "v"))
+    VersionedTable.deleteWhere(spark, r2, "k < 3")
+    assert(VersionedTable.read(spark, r2).collect().map(_.getString(1)).sorted
+      .toSeq == Seq("b", "c"))
+  }
+}
