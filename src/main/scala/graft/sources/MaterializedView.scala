@@ -132,10 +132,13 @@ object MaterializedView {
     def filesAt(v: Long): Seq[String] =
       VersionedTable.manifestFiles(VersionedTable.readManifest(spark, baseRoot, v))
         .map(_.get("path").asInstanceOf[String])
-    val oldFiles = filesAt(lastBaseV)
+    // the reflected base manifest may have been vacuumed away — the
+    // diff is then unknowable, which is just the full-recompute case
+    val oldFiles = try filesAt(lastBaseV) catch { case _: java.io.IOException => null }
     val newFiles = filesAt(baseV)
-    val appended = newFiles.filterNot(oldFiles.toSet)
-    val appendOnly = oldFiles.toSet.subsetOf(newFiles.toSet)
+    val appended =
+      if (oldFiles == null) newFiles else newFiles.filterNot(oldFiles.toSet)
+    val appendOnly = oldFiles != null && oldFiles.toSet.subsetOf(newFiles.toSet)
     val baseSchema = VersionedTable.manifestSchema(
       VersionedTable.readManifest(spark, baseRoot, baseV))
     if (appendOnly) {

@@ -240,14 +240,14 @@ object VersionedTable {
     DataType.fromJson(man.get("schemaJson").asInstanceOf[String]).asInstanceOf[StructType]
 
   /** Commit loop: recompute the snapshot against the current head until
-    * the CAS wins. `nextFiles(head)` returns (op, schema, files) and
-    * optionally extra manifest fields (e.g. the streaming batch id). */
-  /** When `requireBase` is set, the commit only succeeds if the head is
+    * the CAS wins. `nextFiles(head)` returns (op, schema, files);
+    * `extra` adds manifest fields (e.g. the streaming batch id). When
+    * `requireBase` is set, the commit only succeeds if the head is
     * still that version — write-conflict detection for snapshot-
-    * REPLACING ops (merge/compact/cluster/restore compute their output
-    * from a specific snapshot; publishing it over a moved head would
-    * silently drop the interleaved commit's rows). Additive appends
-    * don't set it: they re-list the current head's files per retry. */
+    * REPLACING ops (merge/compact/cluster/restore/delete compute their
+    * output from a specific snapshot; publishing it over a moved head
+    * would silently drop the interleaved commit's rows). Additive
+    * appends don't set it: they re-list the head's files per retry. */
   private[sources] def commit(spark: SparkSession, root: String,
       extra: Map[String, Object] = Map.empty,
       requireBase: Option[Long] = None)(
