@@ -362,6 +362,36 @@ object VersionedTable {
     else spark.read.schema(schema).parquet(files: _*)
   }
 
+  /** Rows ADDED between two versions (CDC-lite). Fast path: for an
+    * append-only range the added files are read directly — O(delta),
+    * the same manifest diff MaterializedView folds on, and the pattern
+    * a downstream incremental consumer polls (commit version = the
+    * resume cursor). Fallback when files were rewritten: multiset row
+    * diff of the two snapshots (`exceptAll`) — O(both snapshots),
+    * correct but expensive; a production format answers this from a
+    * row-level change log instead (Delta CDF). Deletions are not
+    * surfaced — consumers needing them diff the other direction. */
+  def changes(spark: SparkSession, root: String, fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"changes range must be ascending: $fromV > $toV")
+    val newMan = readManifest(spark, root, toV)
+    val schema = manifestSchema(newMan)
+    val newFiles = manifestFiles(newMan).map(_.get("path").asInstanceOf[String])
+    val oldFiles = manifestFiles(readManifest(spark, root, fromV))
+      .map(_.get("path").asInstanceOf[String])
+    if (oldFiles.toSet.subsetOf(newFiles.toSet)) {
+      val added = newFiles.filterNot(oldFiles.toSet)
+      if (added.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(added: _*)
+    } else {
+      // read BOTH sides under toV's schema so an evolved column
+      // diffs as null rather than failing resolution
+      val newDf = spark.read.schema(schema).parquet(newFiles: _*)
+      val oldDf = spark.read.schema(schema).parquet(oldFiles: _*)
+      newDf.exceptAll(oldDf)
+    }
+  }
+
   /** Register a snapshot as a temp view so the whole table-format
     * surface is reachable from spark.sql (time travel via `asOf` —
     * `registerView(s, "docs_v3", root, Some(3))`). */

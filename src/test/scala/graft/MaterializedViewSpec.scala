@@ -73,6 +73,46 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(got(view) == expected(base))
   }
 
+  test("changes: O(delta) on append-only ranges, row diff on rewrites") {
+    val root = tmp() + "/t"
+    VersionedTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    VersionedTable.append(spark, root, Seq((2L, "b")).toDF("id", "v"))
+    VersionedTable.append(spark, root, Seq((3L, "c")).toDF("id", "v"))
+    val delta = VersionedTable.changes(spark, root, 1L, 3L)
+    assert(delta.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(VersionedTable.changes(spark, root, 2L, 2L).count() == 0)
+    // rewrite (delete) -> fallback diff; delete adds no rows
+    VersionedTable.deleteWhere(spark, root, "id = 2")
+    assert(VersionedTable.changes(spark, root, 3L, 4L).count() == 0)
+    // merge rewrites: the updated + inserted rows surface as changes
+    VersionedTable.merge(spark, root,
+      Seq((1L, "a2"), (9L, "i")).toDF("id", "v"), Seq("id"))
+    val ch = VersionedTable.changes(spark, root, 4L, 5L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ch == Set((1L, "a2"), (9L, "i")))
+  }
+
+  test("streaming sink -> incremental view refresh, end to end") {
+    val base = tmp() + "/base"; val view = tmp() + "/view"
+    // micro-batch 0 lands via the streaming sink path
+    VersionedTable.appendBatch(spark, base,
+      Seq((1L, "click"), (2L, "view")).toDF("id", "event_type"), 0L)
+    MaterializedView.create(spark, view, base, Seq("event_type"),
+      Seq(AggSpec("count", "*", "n")))
+    // micro-batches 1-2 arrive; one replay is dropped by the sink
+    VersionedTable.appendBatch(spark, base,
+      Seq((3L, "click")).toDF("id", "event_type"), 1L)
+    VersionedTable.appendBatch(spark, base,
+      Seq((3L, "dup")).toDF("id", "event_type"), 1L) // replay: skipped
+    VersionedTable.appendBatch(spark, base,
+      Seq((4L, "click"), (5L, "purchase")).toDF("id", "event_type"), 2L)
+    val (_, nFiles, mode) = MaterializedView.refresh(spark, view)
+    assert(mode == "incremental" && nFiles >= 2)
+    val counts = MaterializedView.read(spark, view).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(counts == Map("click" -> 3L, "view" -> 1L, "purchase" -> 1L))
+  }
+
   test("deleteWhere rewrites only non-refuted files") {
     val root = tmp() + "/t"
     VersionedTable.create(spark, root,
