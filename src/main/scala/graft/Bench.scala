@@ -39,8 +39,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // FAIR keeps the many small queries flowing around the few
-      // multi-stage ones when jobs are submitted concurrently.
+      // FAIR arbitrates BETWEEN pools (each worker thread below names
+      // its own pool via spark.scheduler.pool); with a single pool the
+      // mode is a no-op since the auto-created default pool schedules
+      // its own jobs FIFO. Per-thread pools keep the many small
+      // queries flowing around the few multi-stage ones.
       .config("spark.scheduler.mode", "FAIR")
       // At local KB-scale shuffles AQE only adds per-stage re-planning
       // latency (~0.1 s/query over 91 queries); on a real cluster leave
@@ -84,6 +87,10 @@ object Bench {
       val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
         name -> pool.submit(new java.util.concurrent.Callable[(Double, Boolean)] {
           def call(): (Double, Boolean) = {
+            // one scheduler pool per worker thread (thread-local,
+            // idempotent) — this is what makes FAIR mode real
+            spark.sparkContext.setLocalProperty(
+              "spark.scheduler.pool", Thread.currentThread().getName)
             val q0 = System.nanoTime()
             val ok = try { fn(spark, dir).count(); true }
                      catch { case _: Throwable => false }

@@ -1003,7 +1003,8 @@ f AS (SELECT user_id, ts, event_id, event_type FROM ch
 SELECT user_id, event_type, ts AS valid_from,
   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
-FROM f ORDER BY user_id, valid_from""",
+FROM f ORDER BY user_id, valid_from,
+  event_type NULLS FIRST, valid_to NULLS FIRST""",
 
       "graph_jaccard_neighbors" ->
         s"""$E,

@@ -66,6 +66,11 @@ object TimeSeries {
       .withColumn("valid_to", lead(col("ts"), 1).over(w))
       .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
         col("valid_to"), col("valid_to").isNull.as("is_current"))
-      .orderBy("user_id", "valid_from")
+      // total order over ALL output columns (house rule §5.3): equal-ts
+      // change rows would otherwise interleave engine-dependently; any
+      // remaining ties are fully identical rows. NULLS FIRST explicit —
+      // Spark defaults nulls-first, DuckDB nulls-last.
+      .orderBy(col("user_id"), col("valid_from"),
+        col("event_type").asc_nulls_first, col("valid_to").asc_nulls_first)
   }
 }

@@ -90,13 +90,20 @@ object MaterializedView {
       aggs)
   }
 
+  /** Commit new view state. `requireViewBase` pins the view version the
+    * state was computed FROM — a refresh is a snapshot-replacing op, so
+    * two concurrent refreshes folding the same delta must conflict
+    * (the loser gets ConcurrentModificationException and simply
+    * re-runs; without the pin it would fold the delta a second time
+    * into a state that already contains it — silent double counting). */
   private def writeState(spark: SparkSession, viewRoot: String, state: DataFrame,
       baseRoot: String, baseVersion: Long, groupCols: Seq[String],
-      aggs: Seq[AggSpec], op: String): Long = {
+      aggs: Seq[AggSpec], op: String, requireViewBase: Option[Long]): Long = {
     val files = VersionedTable.writeData(spark, viewRoot, state)
     val extra = Map[String, Object](
       DefKey -> defJson(baseRoot, baseVersion, groupCols, aggs))
-    VersionedTable.commit(spark, viewRoot, extra) { _ => (op, state.schema, files) }
+    VersionedTable.commit(spark, viewRoot, extra, requireViewBase) { _ =>
+      (op, state.schema, files) }
   }
 
   /** Materialize `aggs` grouped by `groupCols` over the base table's
@@ -110,7 +117,7 @@ object MaterializedView {
       throw new IllegalArgumentException(s"no base table at $baseRoot"))
     val state = aggregate(
       VersionedTable.read(spark, baseRoot, Some(baseV)), groupCols, aggs)
-    writeState(spark, viewRoot, state, baseRoot, baseV, groupCols, aggs, "create")
+    writeState(spark, viewRoot, state, baseRoot, baseV, groupCols, aggs, "create", None)
   }
 
   /** The view's current state (a plain snapshot read). */
@@ -142,9 +149,16 @@ object MaterializedView {
     val baseSchema = VersionedTable.manifestSchema(
       VersionedTable.readManifest(spark, baseRoot, baseV))
     if (appendOnly) {
-      if (appended.isEmpty) { // e.g. a metadata-only commit
-        val v = writeState(spark, viewRoot, read(spark, viewRoot),
-          baseRoot, baseV, groupCols, aggs, "refresh_noop")
+      if (appended.isEmpty) {
+        // metadata-only base commit: advance the cursor by carrying the
+        // view's existing file entries forward — O(1), no state rewrite
+        val v = VersionedTable.commit(spark, viewRoot,
+          Map[String, Object](DefKey -> defJson(baseRoot, baseV, groupCols, aggs)),
+          Some(viewV)) { _ =>
+          ("refresh_cursor", VersionedTable.manifestSchema(viewMan),
+            VersionedTable.manifestFiles(viewMan).map(fm =>
+              (fm.get("path").asInstanceOf[String], fm)))
+        }
         return (v, 0, "incremental")
       }
       val delta = aggregate(
@@ -154,13 +168,13 @@ object MaterializedView {
       // files still exist (commits never delete data files — vacuum
       // does), so the lazy self-read is safe
       val v = writeState(spark, viewRoot, folded,
-        baseRoot, baseV, groupCols, aggs, "refresh_incremental")
+        baseRoot, baseV, groupCols, aggs, "refresh_incremental", Some(viewV))
       (v, appended.size, "incremental")
     } else {
       val state = aggregate(
         VersionedTable.read(spark, baseRoot, Some(baseV)), groupCols, aggs)
       val v = writeState(spark, viewRoot, state,
-        baseRoot, baseV, groupCols, aggs, "refresh_full")
+        baseRoot, baseV, groupCols, aggs, "refresh_full", Some(viewV))
       (v, newFiles.size, "full")
     }
   }

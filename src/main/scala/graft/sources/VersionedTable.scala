@@ -446,23 +446,27 @@ object VersionedTable {
         }
       case None => true
     }
-    case EqualTo(a, Literal(v, dt)) => rangeCheck(fm, a, schema) { (lo, hi, ord) =>
-      ord.lteq(lo, internal(v, dt)) && ord.lteq(internal(v, dt), hi) }
-    case EqualTo(Literal(v, dt), a) => mayMatch(EqualTo(a, Literal(v, dt)), fm, schema)
-    case LessThan(a, Literal(v, dt)) => rangeCheck(fm, a, schema) { (lo, _, ord) =>
-      ord.lt(lo, internal(v, dt)) }
-    case LessThanOrEqual(a, Literal(v, dt)) => rangeCheck(fm, a, schema) { (lo, _, ord) =>
-      ord.lteq(lo, internal(v, dt)) }
-    case GreaterThan(a, Literal(v, dt)) => rangeCheck(fm, a, schema) { (_, hi, ord) =>
-      ord.gt(hi, internal(v, dt)) }
-    case GreaterThanOrEqual(a, Literal(v, dt)) => rangeCheck(fm, a, schema) { (_, hi, ord) =>
-      ord.gteq(hi, internal(v, dt)) }
-    case LessThan(Literal(v, dt), a) => mayMatch(GreaterThan(a, Literal(v, dt)), fm, schema)
-    case LessThanOrEqual(Literal(v, dt), a) => mayMatch(GreaterThanOrEqual(a, Literal(v, dt)), fm, schema)
-    case GreaterThan(Literal(v, dt), a) => mayMatch(LessThan(a, Literal(v, dt)), fm, schema)
-    case GreaterThanOrEqual(Literal(v, dt), a) => mayMatch(LessThanOrEqual(a, Literal(v, dt)), fm, schema)
+    case EqualTo(a, l: Literal) => cmpCheck(fm, a, l, schema) { (lo, hi, v, ord) =>
+      ord.lteq(lo, v) && ord.lteq(v, hi) }
+    case EqualTo(l: Literal, a) => mayMatch(EqualTo(a, l), fm, schema)
+    case EqualNullSafe(a, l: Literal) =>
+      if (l.value == null) mayMatch(IsNull(a), fm, schema)
+      else mayMatch(EqualTo(a, l), fm, schema)
+    case EqualNullSafe(l: Literal, a) => mayMatch(EqualNullSafe(a, l), fm, schema)
+    case LessThan(a, l: Literal) => cmpCheck(fm, a, l, schema) { (lo, _, v, ord) =>
+      ord.lt(lo, v) }
+    case LessThanOrEqual(a, l: Literal) => cmpCheck(fm, a, l, schema) { (lo, _, v, ord) =>
+      ord.lteq(lo, v) }
+    case GreaterThan(a, l: Literal) => cmpCheck(fm, a, l, schema) { (_, hi, v, ord) =>
+      ord.gt(hi, v) }
+    case GreaterThanOrEqual(a, l: Literal) => cmpCheck(fm, a, l, schema) { (_, hi, v, ord) =>
+      ord.gteq(hi, v) }
+    case LessThan(l: Literal, a) => mayMatch(GreaterThan(a, l), fm, schema)
+    case LessThanOrEqual(l: Literal, a) => mayMatch(GreaterThanOrEqual(a, l), fm, schema)
+    case GreaterThan(l: Literal, a) => mayMatch(LessThan(a, l), fm, schema)
+    case GreaterThanOrEqual(l: Literal, a) => mayMatch(LessThanOrEqual(a, l), fm, schema)
     case In(a, lits) if lits.forall(_.isInstanceOf[Literal]) =>
-      lits.exists { case Literal(v, dt) => mayMatch(EqualTo(a, Literal(v, dt)), fm, schema) }
+      lits.exists(l => mayMatch(EqualTo(a, l.asInstanceOf[Literal]), fm, schema))
     case _ => true
   }
 
@@ -483,59 +487,97 @@ object VersionedTable {
     case _ => None
   }
 
-  /** Apply `check(min, max, ordering)` for attribute `a`; missing stats
-    * or incomparable domains stay conservative (true). A file whose
-    * column is entirely null cannot satisfy a null-rejecting
-    * comparison -> false. */
-  private def rangeCheck(fm: java.util.Map[String, Object], a: Expression,
-      schema: StructType)(check: (Any, Any, Ordering[Any]) => Boolean): Boolean =
+  /** Both sides of a stats comparison are normalized into the COLUMN's
+    * comparison domain before ordering:
+    *  - every numeric-ish column (ints, floats, decimal, date as epoch
+    *    days, timestamp as epoch micros) compares as exact BigDecimal,
+    *    so an int literal against a double column — which Spark's
+    *    analyzer would coerce — never class-casts and never loses
+    *    precision;
+    *  - string columns compare in UTF8String BINARY order, because
+    *    that is the order Spark's min/max computed the stats in (Java
+    *    UTF-16 ordering diverges for supplementary-plane characters
+    *    and would wrongly prune);
+    *  - a literal that cannot be normalized into the column's domain
+    *    (cross-domain, e.g. a string literal against a timestamp
+    *    column, or NULL) keeps the file conservatively.
+    * A file whose column is entirely null (min/max absent) cannot
+    * satisfy a null-rejecting comparison -> false. */
+  private def cmpCheck(fm: java.util.Map[String, Object], a: Expression,
+      l: Literal, schema: StructType)(
+      check: (Any, Any, Any, Ordering[Any]) => Boolean): Boolean =
     attrName(a).flatMap { n =>
       schema.fields.find(_.name == n).flatMap { field =>
         colStat(fm, n).map { s =>
-          val (lo, hi) = (fromJson(s.get("min"), field.dataType),
-            fromJson(s.get("max"), field.dataType))
-          if (lo == null || hi == null) false // all-null column refutes comparisons
-          else orderingFor(field.dataType) match {
-            case Some(ord) => check(lo, hi, ord)
-            case None => true
+          val (loJ, hiJ) = (s.get("min"), s.get("max"))
+          if (loJ == null || hiJ == null) false // all-null column refutes comparisons
+          else (statToDomain(loJ, field.dataType), statToDomain(hiJ, field.dataType),
+              litToDomain(l.value, l.dataType, field.dataType)) match {
+            case (Some(lo), Some(hi), Some(v)) =>
+              check(lo, hi, v, domainOrdering(field.dataType))
+            case _ => true
           }
         }
       }
     }.getOrElse(true)
 
-  /** Decode a manifest stat back into the comparison domain. */
-  private def fromJson(o: Object, dt: DataType): Any = (o, dt) match {
-    case (null, _) => null
-    case (n: java.lang.Number, _: TimestampType) => n.longValue()
-    case (n: java.lang.Number, _: DateType) => n.intValue()
-    case (n: java.lang.Number, _: DecimalType) => BigDecimal(n.toString)
-    case (s: String, _: DecimalType) => BigDecimal(s)
-    case (n: java.lang.Number, _: FloatType | _: DoubleType) => n.doubleValue()
-    case (n: java.lang.Number, _) => n.longValue()
-    case (s: String, _) => s
-    case (other, _) => other
-  }
-
-  /** Catalyst literal value -> same comparison domain as fromJson. */
-  private def internal(v: Any, dt: DataType): Any = (v, dt) match {
-    case (null, _) => null
-    case (n: java.lang.Number, _: TimestampType) => n.longValue()
-    case (n: java.lang.Number, _: DateType) => n.intValue()
-    case (d: Decimal, _) => d.toBigDecimal
-    case (n: java.lang.Number, _: FloatType | _: DoubleType) => n.doubleValue()
-    case (n: java.lang.Number, _) => n.longValue()
-    case (s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
-    case (other, _) => other
-  }
-
-  private def orderingFor(dt: DataType): Option[Ordering[Any]] = dt match {
-    case _: StringType => Some(Ordering.String.asInstanceOf[Ordering[Any]])
-    case _: FloatType | _: DoubleType => Some(Ordering.Double.TotalOrdering.asInstanceOf[Ordering[Any]])
-    case _: DecimalType => Some(Ordering[BigDecimal].asInstanceOf[Ordering[Any]])
+  private def numericish(dt: DataType): Boolean = dt match {
     case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
-         _: DateType | _: TimestampType =>
-      Some(Ordering.Long.asInstanceOf[Ordering[Any]])
+         _: FloatType | _: DoubleType | _: DecimalType |
+         _: DateType | _: TimestampType => true
+    case _ => false
+  }
+
+  /** Exact BigDecimal in the COLUMN's width: float/double values go
+    * through the column's own floating width first (so the exact
+    * binary expansion matches on both the stats side — which
+    * round-tripped through JSON shortest-representation text — and the
+    * literal side), integrals/date-days/ts-micros convert exactly. */
+  private def numToDomain(n: java.lang.Number, colDt: DataType): BigDecimal =
+    colDt match {
+      case _: FloatType => BigDecimal(n.floatValue().toDouble)
+      case _: DoubleType => BigDecimal(n.doubleValue())
+      case _ => n match {
+        case bd: java.math.BigDecimal => BigDecimal(bd)
+        case bi: java.math.BigInteger => BigDecimal(new java.math.BigDecimal(bi))
+        case other => BigDecimal(other.longValue())
+      }
+    }
+
+  /** Manifest stat value -> the column's comparison domain. */
+  private def statToDomain(o: Object, colDt: DataType): Option[Any] = (o, colDt) match {
+    case (s: String, _: DecimalType) => Some(BigDecimal(s))
+    case (n: java.lang.Number, d) if numericish(d) => Some(numToDomain(n, d))
+    case (s: String, _: StringType) => Some(s)
     case _ => None
+  }
+
+  /** Catalyst literal -> the column's comparison domain (None = can't
+    * normalize; stay conservative). */
+  private def litToDomain(v: Any, litDt: DataType, colDt: DataType): Option[Any] =
+    (v, colDt) match {
+      case (null, _) => None
+      case (d: Decimal, c) if numericish(c) => Some(d.toBigDecimal)
+      // a float literal against a DECIMAL column has no exact shared
+      // domain -> conservative
+      case (n: java.lang.Number, _: DecimalType) if (litDt match {
+        case _: FloatType | _: DoubleType => true; case _ => false }) => None
+      case (n: java.lang.Number, c) if numericish(c) && numericish(litDt) =>
+        Some(numToDomain(n, c))
+      case (s: org.apache.spark.unsafe.types.UTF8String, _: StringType) => Some(s.toString)
+      case (s: String, _: StringType) => Some(s)
+      case _ => None
+    }
+
+  private val utf8BinaryOrdering: Ordering[Any] = new Ordering[Any] {
+    def compare(a: Any, b: Any): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))
+  }
+
+  private def domainOrdering(colDt: DataType): Ordering[Any] = colDt match {
+    case _: StringType => utf8BinaryOrdering
+    case _ => Ordering[BigDecimal].asInstanceOf[Ordering[Any]]
   }
 
   // ---- maintenance / introspection ----
@@ -601,8 +643,15 @@ object VersionedTable {
   /** Drop manifests older than the last `retainVersions` and delete
     * data files no surviving manifest references. Returns the number
     * of data files deleted. Time travel older than the horizon is
-    * gone after this — same contract as Delta VACUUM. */
-  def vacuum(spark: SparkSession, root: String, retainVersions: Int = 1): Long = {
+    * gone after this — same contract as Delta VACUUM, including the
+    * age guard: an unreferenced file younger than `minAgeMs` may
+    * belong to an IN-FLIGHT write (staged + stats-harvested but not
+    * yet committed), and deleting it would let that writer commit a
+    * manifest pointing at nothing — permanent corruption. Only files
+    * older than every plausible write duration are reaped (pass 0
+    * only when no concurrent writers can exist, e.g. tests). */
+  def vacuum(spark: SparkSession, root: String, retainVersions: Int = 1,
+      minAgeMs: Long = 3600 * 1000L): Long = {
     require(retainVersions >= 1, "must retain at least the current version")
     val f = fs(spark, root)
     val vs = versions(spark, root)
@@ -613,8 +662,10 @@ object VersionedTable {
     vs.dropRight(retainVersions).foreach(v => f.delete(manifestPath(root, v), false))
     val dataDir = new Path(root, DataDir)
     if (!f.exists(dataDir)) return 0L
+    val horizon = System.currentTimeMillis() - minAgeMs
     val doomed = f.listStatus(dataDir)
-      .filter(s => s.isFile && !referenced.contains(s.getPath.toUri.getPath))
+      .filter(s => s.isFile && !referenced.contains(s.getPath.toUri.getPath) &&
+        s.getModificationTime <= horizon)
     doomed.foreach(s => f.delete(s.getPath, false))
     doomed.length.toLong
   }
@@ -659,7 +710,11 @@ object VersionedTable {
     val bounds = df.agg(
       zCols.flatMap(c => Seq(min(asD(c)), max(asD(c)))).head,
       zCols.flatMap(c => Seq(min(asD(c)), max(asD(c)))).tail: _*).collect()(0)
-    val Bits = 16
+    // the z-key is one signed long: budget the per-column rank width so
+    // bit positions never exceed 62 (Java shifts wrap mod 64, which
+    // would silently fold high-order bits onto low positions and
+    // defeat the clustering for 5+ columns)
+    val Bits = math.min(16, 62 / zCols.size)
     val ranks = zCols.zipWithIndex.map { case (c, j) =>
       if (bounds.isNullAt(2 * j) || bounds.isNullAt(2 * j + 1)) lit(0L)
       else {
@@ -707,9 +762,20 @@ object VersionedTable {
       commit(spark, root, extra) { headOpt =>
         if (headOpt.exists(h => replayed(h._2))) throw ReplaySkip
         val op = if (headOpt.isEmpty) "create" else "append"
+        // same schema discipline as append(): never let a malformed
+        // batch silently replace the table schema for historical files
+        val schema = headOpt.map { h =>
+          val tableSchema = manifestSchema(h._2)
+          require(tableSchema.fieldNames.sameElements(batch.schema.fieldNames) &&
+            tableSchema.fields.zip(batch.schema.fields).forall {
+              case (a, b) => a.dataType == b.dataType },
+            s"streaming batch $batchId schema ${batch.schema.simpleString} does not " +
+              s"match table schema ${tableSchema.simpleString}")
+          tableSchema
+        }.getOrElse(batch.schema)
         val allFiles = headOpt.map(h => manifestFiles(h._2).map(fm =>
           (fm.get("path").asInstanceOf[String], fm))).getOrElse(Seq.empty) ++ files
-        (op, batch.schema, allFiles)
+        (op, schema, allFiles)
       }
       true
     } catch { case ReplaySkip => false }

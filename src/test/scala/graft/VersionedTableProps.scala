@@ -31,7 +31,11 @@ class VersionedTableProps extends AnyFunSuite {
   private val numAtom: Gen[String] = for {
     c <- numCol
     op <- cmpOp
-    v <- Gen.chooseNum(-10L, 1200L)
+    // integer AND decimal literals against the long columns — the
+    // analyzer coerces these, so pruning must too (not crash)
+    v <- Gen.oneOf(
+      Gen.chooseNum(-10L, 1200L).map(_.toString),
+      Gen.chooseNum(-10.0, 1200.0).map(d => f"$d%.2f"))
     flip <- Gen.oneOf(true, false) // literal-on-the-left shapes too
   } yield if (flip) s"$v $op $c" else s"$c $op $v"
 
@@ -74,6 +78,16 @@ class VersionedTableProps extends AnyFunSuite {
       val expected = full.where(pred).count()
       assert(pruned.count() == expected,
         s"pruning changed the result for: $pred (scanned $scanned/$total)")
+    }
+  }
+
+  test("type-mixed literals neither crash nor misprune") {
+    val full = VersionedTable.read(spark, root)
+    Seq("doc_id < 10.5", "n_chars >= 100.0", "10.5 > doc_id", "doc_id = 3.0",
+        "doc_id <=> 3", "lang = 'en' AND n_chars > 49.9",
+        "doc_id IN (1, 2.5, 3)").foreach { pred =>
+      val (pruned, _, _) = VersionedTable.scan(spark, root, pred)
+      assert(pruned.count() == full.where(pred).count(), s"for: $pred")
     }
   }
 

@@ -137,7 +137,9 @@ class VersionedTableSpec extends AnyFunSuite {
     val root = tmpRoot()
     VersionedTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
     VersionedTable.overwrite(spark, root, Seq((2L, "b")).toDF("id", "v"))
-    val deleted = VersionedTable.vacuum(spark, root, retainVersions = 1)
+    // minAgeMs=0: no concurrent writers in this test (the default 1h
+    // age guard protects in-flight writes' staged files)
+    val deleted = VersionedTable.vacuum(spark, root, retainVersions = 1, minAgeMs = 0L)
     assert(deleted >= 1)
     assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(2L))
     intercept[Exception] { VersionedTable.read(spark, root, asOf = Some(1L)).collect() }
