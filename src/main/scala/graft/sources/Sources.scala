@@ -28,4 +28,17 @@ object Sources {
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     graft.Tables.read(spark, path) // ns-timestamp tolerant
+
+  /** ORC: the other columnar warehouse format (predicate pushdown and
+    * column pruning work the same as parquet — Spark ships the reader).
+    * Schema supplied for uniformity with the other readers; ORC files
+    * carry their own types, so this acts as a fail-fast contract check
+    * rather than inference avoidance. */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** Line-oriented text (one string column `value`) — the raw-corpus
+    * entry point before any parsing. */
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
 }

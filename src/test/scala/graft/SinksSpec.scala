@@ -33,8 +33,12 @@ class SinksSpec extends AnyFunSuite {
     assert(viaJson.exceptAll(docs).count() == 0)
     assert(viaCsv.schema == docs.schema)
     docs.write.mode("overwrite").orc(s"$out/orc")
-    val viaOrc = spark.read.schema(docs.schema).orc(s"$out/orc")
+    val viaOrc = graft.sources.Sources.readOrc(spark, s"$out/orc", docs.schema)
     assert(viaOrc.exceptAll(docs).count() == 0)
+    docs.select("text").write.mode("overwrite").text(s"$out/txt")
+    val viaText = graft.sources.Sources.readText(spark, s"$out/txt")
+    assert(viaText.columns.toSeq == Seq("value"))
+    assert(viaText.count() == docs.filter(col("text").isNotNull).count())
   }
 
   test("compaction bin-packs small files without changing the data") {
