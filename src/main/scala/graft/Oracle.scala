@@ -189,6 +189,36 @@ WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01'
   AND o.o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""",
 
+      // TPC-H Q2 shape: correlated scalar-min subquery — the Spark twin
+      // runs the decorrelated (aggregate + join-back) form of the same
+      // plan. Price equality compares stored doubles, no arithmetic.
+      "tpch_q2_shape" ->
+        s"""SELECT DISTINCT p.p_partkey, p.p_brand, s.s_name,
+       round(l.l_extendedprice, 2) AS best_price
+FROM ${T("part")} p
+JOIN ${T("lineitem")} l ON l.l_partkey = p.p_partkey
+JOIN ${T("supplier")} s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_size <= 3
+  AND l.l_extendedprice =
+      (SELECT min(l2.l_extendedprice) FROM ${T("lineitem")} l2
+       WHERE l2.l_partkey = p.p_partkey)
+ORDER BY p.p_partkey, s.s_name""",
+
+      // TPC-H Q18 shape: HAVING-sum IN-subquery; the threshold compares
+      // exact DECIMAL sums so both engines agree at the boundary.
+      "tpch_q18_shape" ->
+        s"""SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       round(cast(sum(cast(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_qty
+FROM ${T("customer")} c
+JOIN ${T("orders")} o ON c.c_custkey = o.o_custkey
+JOIN ${T("lineitem")} l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN
+      (SELECT l_orderkey FROM ${T("lineitem")} GROUP BY 1
+       HAVING sum(cast(l_quantity AS DECIMAL(18,2))) > 250)
+GROUP BY 1, 2, 3
+ORDER BY total_qty DESC, o.o_orderkey
+LIMIT 20""",
+
       // ---- aggregations ----
       "agg_hash_q1" ->
         s"""SELECT l_returnflag, l_linestatus,
@@ -992,6 +1022,57 @@ ORDER BY l_orderkey, ln""",
       "fn_hash" ->
         s"""SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
 FROM ${T("documents")} WHERE doc_id % 11 = 0 ORDER BY doc_id""",
+
+      // arg-extreme aggregates; the ordering value is an exact BIGINT
+      // composite (decimal cents * 10^7 + orderkey) so price ties are
+      // broken identically in both engines.
+      "agg_argminmax" ->
+        s"""SELECT o_orderstatus,
+  arg_max(o_orderkey,
+    cast(cast(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000
+      + o_orderkey) AS top_order,
+  round(max(o_totalprice), 2) AS top_price,
+  arg_min(o_orderkey,
+    cast(cast(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000
+      + o_orderkey) AS bottom_order,
+  round(min(o_totalprice), 2) AS bottom_price,
+  count(*) AS n
+FROM ${T("orders")} GROUP BY 1 ORDER BY 1""",
+
+      // trailing-window z-score: n/Σx/Σx² are exact DECIMAL window sums
+      // (daily total re-anchored to DECIMAL(18,4) so its square stays in
+      // precision); only the final z math runs in DOUBLE — identical
+      // IEEE operations in both engines.
+      "ts_anomaly_zscore" ->
+        s"""WITH daily AS (
+  SELECT event_type, cast(date_trunc('day', ts) AS DATE) AS d,
+         cast(sum(cast(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v
+  FROM ${T("events")} GROUP BY 1, 2),
+win AS (
+  SELECT event_type, d, v,
+    count(*) OVER w AS n,
+    sum(v) OVER w AS sx,
+    sum(v * v) OVER w AS ss
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT event_type, d, round(cast(v AS DOUBLE), 2) AS v,
+  round((cast(v AS DOUBLE) - cast(sx AS DOUBLE) / n) /
+        sqrt((cast(ss AS DOUBLE) - cast(sx AS DOUBLE) * cast(sx AS DOUBLE) / n)
+             / (n - 1)), 3) AS z
+FROM win WHERE n >= 4
+ORDER BY event_type, d""",
+
+      // try_cast ingestion hygiene: malformed → NULL in both engines.
+      "fn_try_cast" ->
+        s"""SELECT c_custkey,
+  try_cast(substr(c_name, 10) AS BIGINT) AS id_digits,
+  try_cast(c_mktsegment AS BIGINT) AS seg_num,
+  try_cast(concat(cast(c_custkey AS VARCHAR), '.5') AS DOUBLE) AS with_half,
+  try_cast(CASE WHEN c_custkey % 3 = 0 THEN '2024-01-15'
+           ELSE 'not a date' END AS DATE) AS maybe_date,
+  try_cast(cast(c_acctbal AS VARCHAR) AS DECIMAL(18,2)) AS bal_dec
+FROM ${T("customer")} ORDER BY c_custkey""",
 
       "cdc_scd2" ->
         s"""WITH ev AS (SELECT user_id, ts, event_id, event_type

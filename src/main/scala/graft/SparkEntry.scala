@@ -33,6 +33,8 @@ object SparkEntry {
     "join_lateral_topn" -> Relational.joinLateralTopn,
     "tpch_q3_shape" -> Relational.tpchQ3Shape,
     "tpch_q5_shape" -> Relational.tpchQ5Shape,
+    "tpch_q2_shape" -> Relational.tpchQ2Shape,
+    "tpch_q18_shape" -> Relational.tpchQ18Shape,
     "join_salted" -> Relational.joinSalted,
     // §2.3 aggregations
     "agg_hash_q1" -> Relational.aggHashQ1,
@@ -47,6 +49,7 @@ object SparkEntry {
     "agg_stats2" -> Relational.aggStats2,
     "agg_mode" -> Relational.aggMode,
     "agg_histogram" -> Relational.aggHistogram,
+    "agg_argminmax" -> Relational.aggArgminmax,
     "funnel_click_purchase" -> Relational.funnelClickPurchase,
     "latest_per_key" -> Relational.latestPerKey,
     "retention_daily" -> Relational.retentionDaily,
@@ -84,6 +87,7 @@ object SparkEntry {
     "fn_array2" -> Funcs.fnArray2,
     "fn_bitwise" -> Funcs.fnBitwise,
     "fn_hash" -> Funcs.fnHash,
+    "fn_try_cast" -> Funcs.fnTryCast,
     // §2.7 text / LLM pipeline
     "text_wordcount" -> TextSim.textWordcount,
     "text_stats" -> TextSim.textStats,
@@ -108,6 +112,7 @@ object SparkEntry {
     "sample_hash_split" -> Sampling.sampleHashSplit,
     "ts_resample_gapfill" -> TimeSeries.tsResampleGapfill,
     "cdc_scd2" -> TimeSeries.cdcScd2,
+    "ts_anomaly_zscore" -> TimeSeries.tsAnomalyZscore,
     // §2.8 graph
     "graph_degree" -> GraphOps.graphDegree,
     "graph_2hop" -> GraphOps.graph2hop,

@@ -221,4 +221,22 @@ object Funcs {
       .select(col("doc_id"), md5(col("text")).as("h_md5"),
         sha2(col("text"), 256).as("h_sha256"))
       .orderBy("doc_id")
+
+  /** try_cast ingestion hygiene (round 3): malformed values become NULL
+    * instead of failing the job — the safe-parse family every raw-data
+    * ingest needs (id extraction from composite strings, opportunistic
+    * date parsing, string→decimal round-trips). ANSI-safe in both
+    * engines: Spark TRY_CAST == DuckDB TRY_CAST on these inputs. */
+  val fnTryCast: Q = (s, d) =>
+    table(s, d, "customer")
+      .select(
+        col("c_custkey"),
+        expr("try_cast(substr(c_name, 10) AS BIGINT)").as("id_digits"),
+        expr("try_cast(c_mktsegment AS BIGINT)").as("seg_num"),
+        expr("try_cast(concat(cast(c_custkey AS STRING), '.5') AS DOUBLE)")
+          .as("with_half"),
+        expr("try_cast(CASE WHEN c_custkey % 3 = 0 THEN '2024-01-15' " +
+          "ELSE 'not a date' END AS DATE)").as("maybe_date"),
+        expr("try_cast(cast(c_acctbal AS STRING) AS DECIMAL(18,2))").as("bal_dec"))
+      .orderBy("c_custkey")
 }

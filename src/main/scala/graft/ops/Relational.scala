@@ -349,6 +349,73 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q2 shape (round 3): cheapest supplier per small part. The
+    * oracle states it as a correlated scalar-min subquery; the Spark
+    * form is the decorrelated plan Catalyst would produce anyway — a
+    * per-part min aggregate joined back on (part key, exact price).
+    * Scale: the min-aggregate is a map-side-combinable shuffle on
+    * l_partkey; the price-equality join back is an equi-join on the
+    * same key (one shared shuffle under AQE), supplier broadcasts. */
+  val tpchQ2Shape: Q = (s, d) => {
+    val p = table(s, d, "part").filter(col("p_size") <= 3)
+    val l = table(s, d, "lineitem")
+    val sup = table(s, d, "supplier")
+    val minPrice = l.groupBy(col("l_partkey").as("mp_partkey"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    p.join(l, p("p_partkey") === l("l_partkey"))
+      .join(minPrice, p("p_partkey") === col("mp_partkey") &&
+        l("l_extendedprice") === col("min_price"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .select(p("p_partkey"), p("p_brand"), sup("s_name"),
+        round(l("l_extendedprice"), 2).as("best_price"))
+      .distinct()
+      .orderBy("p_partkey", "s_name")
+  }
+
+  /** TPC-H Q18 shape (round 3): large-quantity orders — the HAVING-sum
+    * IN-subquery becomes a semi join against the aggregated keep-list.
+    * The quantity threshold compares exact DECIMAL sums so both engines
+    * make the identical keep/drop decision at the boundary. Scale: two
+    * shuffles on l_orderkey (aggregate + semi join share partitioning),
+    * customer joins on the already-reduced order set. */
+  val tpchQ18Shape: Q = (s, d) => {
+    val big = table(s, d, "lineitem")
+      .groupBy(col("l_orderkey").as("big_okey"))
+      .agg(sum(dec2(col("l_quantity"))).as("q"))
+      .filter(col("q") > 250)
+      .select(col("big_okey"))
+    val c = table(s, d, "customer")
+    val o = table(s, d, "orders")
+    val l = table(s, d, "lineitem")
+    o.join(big, o("o_orderkey") === col("big_okey"), "left_semi")
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(l, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(c("c_name"), o("o_orderkey"), o("o_orderdate"))
+      .agg(moneySum2(col("l_quantity")).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** arg-max/arg-min aggregates (round 3): the row-attribute-at-the-
+    * extreme family (max_by/min_by — DuckDB arg_max/arg_min). Price
+    * ties exist in the data, so the ordering value is an exact BIGINT
+    * composite (cents * 10^7 + orderkey) built identically in both
+    * engines — decimal cents are exact, so no float comparison decides
+    * a tie. Scale: single hash aggregate, map-side combinable. */
+  val aggArgminmax: Q = (s, d) => {
+    val tie = (dec2(col("o_totalprice")) * 100).cast(LongType) * 10000000L +
+      col("o_orderkey")
+    table(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderkey"), tie).as("top_order"),
+        round(max(col("o_totalprice")), 2).as("top_price"),
+        min_by(col("o_orderkey"), tie).as("bottom_order"),
+        round(min(col("o_totalprice")), 2).as("bottom_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Multiset (ALL) set operations — bag semantics UNION/INTERSECT/
     * EXCEPT, complementing the distinct variants above. */
   val setOpsAll: Q = (s, d) => {

@@ -73,4 +73,36 @@ object TimeSeries {
       .orderBy(col("user_id"), col("valid_from"),
         col("event_type").asc_nulls_first, col("valid_to").asc_nulls_first)
   }
+
+  /** Trailing-window z-score anomaly detection (round 3): each daily
+    * total is scored against the mean/stddev of its own trailing 7 days
+    * (frame EXCLUDES the current row — the score must not see itself).
+    * Cross-engine discipline: the window pieces (n, Σx, Σx²) are exact
+    * DECIMAL sums — the daily total is re-anchored to DECIMAL(18,4) so
+    * its square stays inside precision 38 in both engines — and only
+    * the final z is computed in DOUBLE, where both engines perform the
+    * identical IEEE divisions and sqrt. Scale: one shuffle on the
+    * series key; the frame is bounded (8 rows) so state is O(1)/row. */
+  val tsAnomalyZscore: Q = (s, d) => {
+    val D18_4 = DecimalType(18, 4)
+    val daily = table(s, d, "events")
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast(DateType).as("d"))
+      .agg(sum(col("value").cast(D18_4)).cast(D18_4).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("d")).rowsBetween(-7, -1)
+    val vd = col("v").cast(DoubleType)
+    val sd = col("sx").cast(DoubleType)
+    val ssd = col("ss").cast(DoubleType)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("v")).over(w))
+      .withColumn("ss", sum(col("v") * col("v")).over(w))
+      .filter(col("n") >= 4)
+      .select(col("event_type"), col("d"),
+        round(vd, 2).as("v"),
+        round((vd - sd / col("n")) /
+          sqrt((ssd - sd * sd / col("n")) / (col("n") - 1)), 3).as("z"))
+      .orderBy("event_type", "d")
+  }
 }

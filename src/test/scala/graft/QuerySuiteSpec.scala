@@ -48,7 +48,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     // round-3 additions (§2.12)
     "agg_mode" -> 3L, "agg_histogram" -> 10L, "join_salted" -> 3L,
     "win_percent_rank_cume" -> 150L, "fn_bitwise" -> 116L, "fn_hash" -> 46L,
-    "cdc_scd2" -> 53L, "graph_jaccard_neighbors" -> 71L)
+    "cdc_scd2" -> 53L, "graph_jaccard_neighbors" -> 71L,
+    // round-3 widening: TPC-H Q2/Q18 shapes, arg-extremes, trailing
+    // z-score anomaly, try_cast hygiene
+    "tpch_q2_shape" -> 18L, "tpch_q18_shape" -> 20L, "agg_argminmax" -> 3L,
+    "ts_anomaly_zscore" -> 130L, "fn_try_cast" -> 150L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
