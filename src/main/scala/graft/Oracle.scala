@@ -1071,7 +1071,7 @@ ORDER BY event_type, d""",
   try_cast(concat(cast(c_custkey AS VARCHAR), '.5') AS DOUBLE) AS with_half,
   try_cast(CASE WHEN c_custkey % 3 = 0 THEN '2024-01-15'
            ELSE 'not a date' END AS DATE) AS maybe_date,
-  try_cast(cast(c_acctbal AS VARCHAR) AS DECIMAL(18,2)) AS bal_dec
+  cast(try_cast(cast(c_acctbal AS VARCHAR) AS DECIMAL(18,2)) AS DOUBLE) AS bal_dec
 FROM ${T("customer")} ORDER BY c_custkey""",
 
       "cdc_scd2" ->

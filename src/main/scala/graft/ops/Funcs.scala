@@ -237,6 +237,10 @@ object Funcs {
           .as("with_half"),
         expr("try_cast(CASE WHEN c_custkey % 3 = 0 THEN '2024-01-15' " +
           "ELSE 'not a date' END AS DATE)").as("maybe_date"),
-        expr("try_cast(cast(c_acctbal AS STRING) AS DECIMAL(18,2))").as("bal_dec"))
+        // try_cast→DECIMAL is the exercise; output as DOUBLE because a
+        // decimal column is hash-fragile in cross-engine compares
+        // (Decimal("8500.10") vs float 8500.1 stringify differently).
+        expr("cast(try_cast(cast(c_acctbal AS STRING) AS DECIMAL(18,2)) AS DOUBLE)")
+          .as("bal_dec"))
       .orderBy("c_custkey")
 }

@@ -14,7 +14,9 @@ import scala.jdk.CollectionConverters._
   * files and folds the partial into the stored state — classic
   * incremental view maintenance restricted to the re-aggregable
   * (commutative-monoid) fragment: count / sum / min / max, which is
-  * what makes the fold correct (avg = sum/count at read time). Any
+  * what makes the fold correct (avg = sum/count at read time; sum is
+  * accepted over integral/decimal only — FP addition is not
+  * associative, see [[validateIncremental]]). Any
   * non-append base change (overwrite, delete, compact rewrote files)
   * falls back to a full recompute — detected structurally, because
   * manifests name every live file.
@@ -43,9 +45,15 @@ object MaterializedView {
   }
 
   /** The fold of two partial states: counts and sums add, min/max
-    * re-minimize — the monoid op per aggregate. */
-  private def combineColumn(a: AggSpec): Column = a.fn match {
-    case "count" | "sum" => sum(col(a.as)).as(a.as)
+    * re-minimize — the monoid op per aggregate. Additive results are
+    * cast back to the stored state's column type (the "anchor"):
+    * Spark's sum over DECIMAL(p,s) widens to DECIMAL(p+10,s), so an
+    * un-anchored incremental refresh would widen the view schema on
+    * every fold while a full recompute widens once — the two paths
+    * must produce the SAME schema. */
+  private def combineColumn(a: AggSpec, anchor: org.apache.spark.sql.types.StructType)
+      : Column = a.fn match {
+    case "count" | "sum" => sum(col(a.as)).cast(anchor(a.as).dataType).as(a.as)
     case "min" => min(col(a.as)).as(a.as)
     case "max" => max(col(a.as)).as(a.as)
   }
@@ -58,9 +66,27 @@ object MaterializedView {
 
   private def combine(parts: DataFrame, groupCols: Seq[String],
       aggs: Seq[AggSpec]): DataFrame = {
-    val cols = aggs.map(combineColumn)
+    val cols = aggs.map(combineColumn(_, parts.schema))
     parts.groupBy(groupCols.map(col): _*).agg(cols.head, cols.tail: _*)
   }
+
+  /** The fold re-associates additions, so `sum` is only exact where
+    * addition IS associative: integral and decimal inputs. A
+    * float/double sum would drift from the promised full-recompute
+    * equality — rejected up front rather than silently approximated;
+    * cast the base column to DECIMAL for an exact incremental view. */
+  private def validateIncremental(state: DataFrame, aggs: Seq[AggSpec]): Unit =
+    aggs.filter(_.fn == "sum").foreach { a =>
+      state.schema(a.as).dataType match {
+        case _: org.apache.spark.sql.types.FloatType |
+             _: org.apache.spark.sql.types.DoubleType =>
+          throw new IllegalArgumentException(
+            s"sum(${a.col}) over a float/double column is not incrementally " +
+            "maintainable (FP addition is non-associative); cast to DECIMAL " +
+            "in the base table for an exact view")
+        case _ =>
+      }
+    }
 
   private def defJson(baseRoot: String, baseVersion: Long,
       groupCols: Seq[String], aggs: Seq[AggSpec]): String = {
@@ -117,6 +143,7 @@ object MaterializedView {
       throw new IllegalArgumentException(s"no base table at $baseRoot"))
     val state = aggregate(
       VersionedTable.read(spark, baseRoot, Some(baseV)), groupCols, aggs)
+    validateIncremental(state, aggs)
     writeState(spark, viewRoot, state, baseRoot, baseV, groupCols, aggs, "create", None)
   }
 

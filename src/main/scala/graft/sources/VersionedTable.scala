@@ -54,12 +54,20 @@ object VersionedTable {
   private def statable(dt: DataType): Boolean = dt match {
     case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
          _: FloatType | _: DoubleType | _: DecimalType |
-         _: StringType | _: DateType | _: TimestampType => true
+         _: StringType | _: DateType | _: TimestampType |
+         _: TimestampNTZType => true
     case _ => false
   }
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The timezone Spark will use when the pruned predicate actually
+    * executes — date->LTZ-timestamp coercions must prune in the SAME
+    * zone or files containing matching rows get refuted. */
+  private def sessionZone(spark: SparkSession): java.time.ZoneId =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+      spark.sessionState.conf.sessionLocalTimeZone)
 
   // ---- manifest IO ----
 
@@ -140,6 +148,8 @@ object VersionedTable {
     case d: java.sql.Date => Int.box(
       org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d))
     case d: java.time.LocalDate => Int.box(d.toEpochDay.toInt)
+    case dt: java.time.LocalDateTime => Long.box(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(dt))
     case d: java.math.BigDecimal => d.toPlainString
     case d: BigDecimal => d.underlying.toPlainString
     case s: String => s
@@ -410,6 +420,7 @@ object VersionedTable {
     val man = readManifest(spark, root, v)
     val schema = manifestSchema(man)
     val expr = spark.sessionState.sqlParser.parseExpression(predicate)
+    implicit val zone: java.time.ZoneId = sessionZone(spark)
     val all = manifestFiles(man)
     val kept = all.filter(fm => mayMatch(expr, fm, schema))
     val paths = kept.map(_.get("path").asInstanceOf[String])
@@ -425,7 +436,7 @@ object VersionedTable {
   /** Conservative three-valued check: false ONLY when the stats prove no
     * row of the file can satisfy `e`. Unknown shapes return true. */
   private def mayMatch(e: Expression, fm: java.util.Map[String, Object],
-      schema: StructType): Boolean = e match {
+      schema: StructType)(implicit zone: java.time.ZoneId): Boolean = e match {
     case And(l, r) => mayMatch(l, fm, schema) && mayMatch(r, fm, schema)
     case Or(l, r) => mayMatch(l, fm, schema) || mayMatch(r, fm, schema)
     case Not(IsNull(a)) => mayMatch(IsNotNull(a), fm, schema)
@@ -487,36 +498,31 @@ object VersionedTable {
     case _ => None
   }
 
-  /** Both sides of a stats comparison are normalized into the COLUMN's
-    * comparison domain before ordering:
-    *  - every numeric-ish column (ints, floats, decimal, date as epoch
-    *    days, timestamp as epoch micros) compares as exact BigDecimal,
-    *    so an int literal against a double column — which Spark's
-    *    analyzer would coerce — never class-casts and never loses
-    *    precision;
-    *  - string columns compare in UTF8String BINARY order, because
-    *    that is the order Spark's min/max computed the stats in (Java
-    *    UTF-16 ordering diverges for supplementary-plane characters
-    *    and would wrongly prune);
-    *  - a literal that cannot be normalized into the column's domain
-    *    (cross-domain, e.g. a string literal against a timestamp
-    *    column, or NULL) keeps the file conservatively.
-    * A file whose column is entirely null (min/max absent) cannot
-    * satisfy a null-rejecting comparison -> false. */
+  /** Both sides of a stats comparison are normalized into a SHARED
+    * comparison domain chosen from (column type, literal type) —
+    * see [[domainFor]]. A literal/column pair with no shared domain
+    * (string vs timestamp, NULL, temporal vs plain number) keeps the
+    * file conservatively. A file whose column is entirely null
+    * (min/max absent) cannot satisfy a null-rejecting comparison ->
+    * false. */
   private def cmpCheck(fm: java.util.Map[String, Object], a: Expression,
       l: Literal, schema: StructType)(
-      check: (Any, Any, Any, Ordering[Any]) => Boolean): Boolean =
+      check: (Any, Any, Any, Ordering[Any]) => Boolean)(
+      implicit zone: java.time.ZoneId): Boolean =
     attrName(a).flatMap { n =>
       schema.fields.find(_.name == n).flatMap { field =>
         colStat(fm, n).map { s =>
           val (loJ, hiJ) = (s.get("min"), s.get("max"))
           if (loJ == null || hiJ == null) false // all-null column refutes comparisons
-          else (statToDomain(loJ, field.dataType), statToDomain(hiJ, field.dataType),
-              litToDomain(l.value, l.dataType, field.dataType)) match {
-            case (Some(lo), Some(hi), Some(v)) =>
-              check(lo, hi, v, domainOrdering(field.dataType))
-            case _ => true
-          }
+          else domainFor(field.dataType, l.dataType).flatMap { dom =>
+            (statToDomain(loJ, field.dataType, dom, zone),
+              statToDomain(hiJ, field.dataType, dom, zone),
+              litToDomain(l.value, l.dataType, dom, zone)) match {
+              case (Some(lo), Some(hi), Some(v)) =>
+                Some(check(lo, hi, v, domainOrdering(dom)))
+              case _ => None
+            }
+          }.getOrElse(true)
         }
       }
     }.getOrElse(true)
@@ -524,48 +530,131 @@ object VersionedTable {
   private def numericish(dt: DataType): Boolean = dt match {
     case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
          _: FloatType | _: DoubleType | _: DecimalType |
-         _: DateType | _: TimestampType => true
+         _: DateType | _: TimestampType | _: TimestampNTZType => true
     case _ => false
   }
 
-  /** Exact BigDecimal in the COLUMN's width: float/double values go
-    * through the column's own floating width first (so the exact
-    * binary expansion matches on both the stats side — which
-    * round-tripped through JSON shortest-representation text — and the
-    * literal side), integrals/date-days/ts-micros convert exactly. */
-  private def numToDomain(n: java.lang.Number, colDt: DataType): BigDecimal =
-    colDt match {
-      case _: FloatType => BigDecimal(n.floatValue().toDouble)
-      case _: DoubleType => BigDecimal(n.doubleValue())
-      case _ => n match {
-        case bd: java.math.BigDecimal => BigDecimal(bd)
-        case bi: java.math.BigInteger => BigDecimal(new java.math.BigDecimal(bi))
-        case other => BigDecimal(other.longValue())
-      }
-    }
+  private val MicrosPerDay = 86400000000L
 
-  /** Manifest stat value -> the column's comparison domain. */
-  private def statToDomain(o: Object, colDt: DataType): Option[Any] = (o, colDt) match {
-    case (s: String, _: DecimalType) => Some(BigDecimal(s))
-    case (n: java.lang.Number, d) if numericish(d) => Some(numToDomain(n, d))
-    case (s: String, _: StringType) => Some(s)
-    case _ => None
+  private def temporal(dt: DataType): Boolean = dt match {
+    case _: DateType | _: TimestampType | _: TimestampNTZType => true
+    case _ => false
   }
 
-  /** Catalyst literal -> the column's comparison domain (None = can't
-    * normalize; stay conservative). */
-  private def litToDomain(v: Any, litDt: DataType, colDt: DataType): Option[Any] =
-    (v, colDt) match {
+  private def floating(dt: DataType): Boolean = dt match {
+    case _: FloatType | _: DoubleType => true
+    case _ => false
+  }
+
+  /** The shared comparison domain for a (column, literal) type pair.
+    *
+    *  - `TemporalDom` — both temporal. Compared as micros-since-epoch:
+    *    date days lift exactly, each side scaled by its OWN type.
+    *    Without this, `date_col > timestamp'...'` compared epoch-DAYS
+    *    stats against an epoch-MICROS literal and wrongly pruned files
+    *    containing matching rows (the reverse micros->days direction
+    *    is lossy, hence lifting both UP). When the partner side is a
+    *    session-zoned timestamp, Spark casts the date to MIDNIGHT IN
+    *    THE SESSION TIMEZONE, so the lift goes through
+    *    `daysToMicros(days, zone)`; against dates and NTZ timestamps
+    *    the lift is the plain x 86_400_000_000. An NTZ/LTZ mix has no
+    *    zone-independent shared domain -> conservative.
+    *  - `DoubleDom` — either side is float/double (both numeric).
+    *    Spark's analyzer coerces such comparisons to DOUBLE at
+    *    runtime, so BOTH sides pass through double rounding here too;
+    *    x -> double(x) is monotone non-decreasing, so double(min) /
+    *    double(max) still bound double(column value) and pruning
+    *    mirrors the runtime comparison exactly. (Comparing an exact
+    *    decimal literal against rounded stats — the old behavior —
+    *    could refute a file whose rows match after coercion.)
+    *  - `ExactDom` — both integral/decimal: exact BigDecimal, no
+    *    rounding anywhere (runtime widens exactly too).
+    *  - `StringDom` — both strings, in UTF8 BINARY order, because that
+    *    is the order Spark's min/max computed the stats in (Java
+    *    UTF-16 ordering diverges for supplementary-plane characters
+    *    and would wrongly prune).
+    *  - `None` — anything else (temporal vs number, string vs number,
+    *    ...): no shared domain, keep the file conservatively. */
+  private sealed trait Dom
+  private case class TemporalDom(ltzPartner: Boolean) extends Dom
+  private case object DoubleDom extends Dom
+  private case object ExactDom extends Dom
+  private case object StringDom extends Dom
+
+  private def domainFor(colDt: DataType, litDt: DataType): Option[Dom] =
+    (colDt, litDt) match {
+      case (c, l) if temporal(c) && temporal(l) =>
+        val ntz = c.isInstanceOf[TimestampNTZType] || l.isInstanceOf[TimestampNTZType]
+        val ltz = c.isInstanceOf[TimestampType] || l.isInstanceOf[TimestampType]
+        if (ntz && ltz) None else Some(TemporalDom(ltz))
+      case (c, l) if temporal(c) || temporal(l) => None
+      case (_: StringType, _: StringType) => Some(StringDom)
+      case (c, l) if numericish(c) && numericish(l) =>
+        Some(if (floating(c) || floating(l)) DoubleDom else ExactDom)
+      case _ => None
+    }
+
+  /** Lift a temporal internal value (date days / timestamp micros)
+    * into the shared micros domain, scaled by its own type. */
+  private def temporalToMicros(n: java.lang.Number, dt: DataType,
+      dom: TemporalDom, zone: java.time.ZoneId): BigDecimal = dt match {
+    case _: DateType if dom.ltzPartner => BigDecimal(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .daysToMicros(n.intValue(), zone))
+    case _: DateType => BigDecimal(n.longValue()) * MicrosPerDay
+    case _ => BigDecimal(n.longValue())
+  }
+
+  /** Finite double -> BigDecimal; NaN/Inf have no BigDecimal and keep
+    * the file conservatively (NaN stats sort above every real value in
+    * Spark, so refuting on them would be wrong anyway). */
+  private def finiteBD(d: Double): Option[BigDecimal] =
+    if (java.lang.Double.isFinite(d)) Some(BigDecimal(d)) else None
+
+  /** Exact BigDecimal of an integral/decimal JSON number. */
+  private def exactBD(n: java.lang.Number): BigDecimal = n match {
+    case bd: java.math.BigDecimal => BigDecimal(bd)
+    case bi: java.math.BigInteger => BigDecimal(new java.math.BigDecimal(bi))
+    case other => BigDecimal(other.longValue())
+  }
+
+  /** Manifest stat value -> the shared domain. Stats are serialized as
+    * JSON numbers (decimal columns as exact strings); a float column's
+    * stat re-narrows through floatValue so the binary value round-trips
+    * shortest-repr text exactly before widening to double. */
+  private def statToDomain(o: Object, colDt: DataType, dom: Dom,
+      zone: java.time.ZoneId): Option[Any] =
+    (o, dom) match {
+      case (n: java.lang.Number, t: TemporalDom) =>
+        Some(temporalToMicros(n, colDt, t, zone))
+      case (n: java.lang.Number, DoubleDom) => colDt match {
+        case _: FloatType => finiteBD(n.floatValue().toDouble)
+        case _ => finiteBD(n.doubleValue())
+      }
+      case (s: String, DoubleDom) if colDt.isInstanceOf[DecimalType] =>
+        finiteBD(BigDecimal(s).doubleValue)
+      case (s: String, ExactDom) if colDt.isInstanceOf[DecimalType] =>
+        Some(BigDecimal(s))
+      case (n: java.lang.Number, ExactDom) => Some(exactBD(n))
+      case (s: String, StringDom) => Some(s)
+      case _ => None
+    }
+
+  /** Catalyst literal -> the shared domain (None = can't normalize;
+    * stay conservative). Literal internal reprs: date = Int days,
+    * timestamp = Long micros, string = UTF8String, decimal = Decimal. */
+  private def litToDomain(v: Any, litDt: DataType, dom: Dom,
+      zone: java.time.ZoneId): Option[Any] =
+    (v, dom) match {
       case (null, _) => None
-      case (d: Decimal, c) if numericish(c) => Some(d.toBigDecimal)
-      // a float literal against a DECIMAL column has no exact shared
-      // domain -> conservative
-      case (n: java.lang.Number, _: DecimalType) if (litDt match {
-        case _: FloatType | _: DoubleType => true; case _ => false }) => None
-      case (n: java.lang.Number, c) if numericish(c) && numericish(litDt) =>
-        Some(numToDomain(n, c))
-      case (s: org.apache.spark.unsafe.types.UTF8String, _: StringType) => Some(s.toString)
-      case (s: String, _: StringType) => Some(s)
+      case (n: java.lang.Number, t: TemporalDom) =>
+        Some(temporalToMicros(n, litDt, t, zone))
+      case (d: Decimal, DoubleDom) => finiteBD(d.toBigDecimal.doubleValue)
+      case (n: java.lang.Number, DoubleDom) => finiteBD(n.doubleValue())
+      case (d: Decimal, ExactDom) => Some(d.toBigDecimal)
+      case (n: java.lang.Number, ExactDom) => Some(exactBD(n))
+      case (s: org.apache.spark.unsafe.types.UTF8String, StringDom) => Some(s.toString)
+      case (s: String, StringDom) => Some(s)
       case _ => None
     }
 
@@ -575,8 +664,8 @@ object VersionedTable {
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))
   }
 
-  private def domainOrdering(colDt: DataType): Ordering[Any] = colDt match {
-    case _: StringType => utf8BinaryOrdering
+  private def domainOrdering(dom: Dom): Ordering[Any] = dom match {
+    case StringDom => utf8BinaryOrdering
     case _ => Ordering[BigDecimal].asInstanceOf[Ordering[Any]]
   }
 
@@ -608,6 +697,7 @@ object VersionedTable {
     val man = readManifest(spark, root, base)
     val schema = manifestSchema(man)
     val expr = spark.sessionState.sqlParser.parseExpression(predicate)
+    implicit val zone: java.time.ZoneId = sessionZone(spark)
     val (touched, untouched) = manifestFiles(man)
       .partition(fm => mayMatch(expr, fm, schema))
     val rewritten =
@@ -628,16 +718,38 @@ object VersionedTable {
   }
 
   /** Roll the table back to `version`'s snapshot AS A NEW COMMIT (the
-    * history stays linear and auditable — Delta RESTORE semantics; no
-    * manifest is ever mutated or deleted here). */
+    * history stays linear and auditable — Delta RESTORE semantics).
+    *
+    * Race with [[vacuum]]: restore re-references OLD files, which are
+    * exactly what a concurrent vacuum deletes (the min-age guard only
+    * protects in-flight writes, not historical files — they are old by
+    * definition), and the head CAS cannot see the deletion. So after
+    * the commit lands, every referenced file is re-checked; if any is
+    * gone the just-written manifest is removed again (best-effort — a
+    * concurrent append landing in the same instant could still have
+    * copied the dead entries) and the restore fails loudly instead of
+    * silently leaving a head that points at nothing. The operational
+    * contract stays: do NOT run vacuum concurrently with restore. */
   def restore(spark: SparkSession, root: String, version: Long): Long = {
     val base = versions(spark, root).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no table at $root"))
     val man = readManifest(spark, root, version)
-    commit(spark, root, requireBase = Some(base)) { _ =>
-      ("restore", manifestSchema(man), manifestFiles(man).map(fm =>
+    val files = manifestFiles(man)
+    val v = commit(spark, root, requireBase = Some(base)) { _ =>
+      ("restore", manifestSchema(man), files.map(fm =>
         (fm.get("path").asInstanceOf[String], fm)))
     }
+    val f = fs(spark, root)
+    val missing = files.map(_.get("path").asInstanceOf[String])
+      .filterNot(p => f.exists(new Path(p)))
+    if (missing.nonEmpty) {
+      f.delete(manifestPath(root, v), false)
+      throw new IllegalStateException(
+        s"restore($version) lost a race with vacuum: ${missing.size} " +
+        s"referenced data file(s) no longer exist (e.g. ${missing.head}); " +
+        "the restore commit was rolled back")
+    }
+    v
   }
 
   /** Drop manifests older than the last `retainVersions` and delete
@@ -667,6 +779,25 @@ object VersionedTable {
       .filter(s => s.isFile && !referenced.contains(s.getPath.toUri.getPath) &&
         s.getModificationTime <= horizon)
     doomed.foreach(s => f.delete(s.getPath, false))
+    // Detect the restore race from THIS side too: a restore that
+    // committed while we were deleting re-references historical files
+    // (which the min-age guard cannot protect — they are old by
+    // definition). Re-read the log; if any manifest newer than our
+    // snapshot references a file we just deleted, fail loudly so the
+    // corruption is surfaced at the operation that caused it rather
+    // than at some future read. (restore() independently rolls its own
+    // commit back when it detects the same race.)
+    val deleted = doomed.map(_.getPath.toUri.getPath).toSet
+    if (deleted.nonEmpty) {
+      val after = versions(spark, root).filter(_ > keep.last)
+      val broken = after.filter(v => manifestFiles(readManifest(spark, root, v))
+        .exists(fm => deleted.contains(fm.get("path").asInstanceOf[String])))
+      if (broken.nonEmpty)
+        throw new IllegalStateException(
+          s"vacuum raced a concurrent restore: version(s) ${broken.mkString(",")} " +
+          "reference data files vacuum just deleted; restore+vacuum must not " +
+          "run concurrently")
+    }
     doomed.length.toLong
   }
 

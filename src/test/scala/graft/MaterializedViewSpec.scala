@@ -122,7 +122,7 @@ class MaterializedViewSpec extends AnyFunSuite {
     val matching = VersionedTable.read(spark, root)
       .where("doc_id < 10").count()
     val (_, rewritten, kept) = VersionedTable.deleteWhere(spark, root, "doc_id < 10")
-    assert(rewritten < rewritten + kept && kept >= 1,
+    assert(rewritten >= 1 && kept >= 1,
       s"stats should spare some files (rewrote $rewritten, kept $kept)")
     assert(VersionedTable.read(spark, root).count() == before - matching)
     assert(VersionedTable.read(spark, root).where("doc_id < 10").count() == 0)
@@ -134,5 +134,40 @@ class MaterializedViewSpec extends AnyFunSuite {
     VersionedTable.deleteWhere(spark, r2, "k < 3")
     assert(VersionedTable.read(spark, r2).collect().map(_.getString(1)).sorted
       .toSeq == Seq("b", "c"))
+  }
+
+  test("decimal sums keep a stable schema across incremental refreshes") {
+    val base = tmp() + "/base"; val view = tmp() + "/view"
+    def rows(xs: (String, String)*) = xs.toSeq.toDF("k", "amt")
+      .withColumn("amt", col("amt").cast("decimal(10,2)"))
+    VersionedTable.create(spark, base, rows("a" -> "1.10", "b" -> "2.20"))
+    MaterializedView.create(spark, view, base, Seq("k"),
+      Seq(AggSpec("sum", "amt", "total")))
+    val schema0 = MaterializedView.read(spark, view).schema("total").dataType
+    // two incremental folds: un-anchored, each would widen decimal by 10
+    VersionedTable.append(spark, base, rows("a" -> "3.30"))
+    assert(MaterializedView.refresh(spark, view)._3 == "incremental")
+    VersionedTable.append(spark, base, rows("b" -> "0.40"))
+    assert(MaterializedView.refresh(spark, view)._3 == "incremental")
+    assert(MaterializedView.read(spark, view).schema("total").dataType == schema0,
+      "incremental refresh must not widen the view schema")
+    val got = MaterializedView.read(spark, view).collect()
+      .map(r => r.getString(0) -> r.getDecimal(1).toPlainString).toMap
+    assert(got == Map("a" -> "4.40", "b" -> "2.60"))
+  }
+
+  test("float/double sums are rejected as not incrementally exact") {
+    val base = tmp() + "/base"; val view = tmp() + "/view"
+    VersionedTable.create(spark, base,
+      Seq(("a", 1.5), ("b", 2.5)).toDF("k", "x"))
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, view, base, Seq("k"),
+        Seq(AggSpec("sum", "x", "sx")))
+    }
+    assert(e.getMessage.contains("not incrementally maintainable"))
+    // min/max/count over doubles stay fine
+    MaterializedView.create(spark, view, base, Seq("k"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("max", "x", "hi")))
+    assert(MaterializedView.read(spark, view).count() == 2)
   }
 }
