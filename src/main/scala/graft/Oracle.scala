@@ -219,6 +219,62 @@ GROUP BY 1, 2, 3
 ORDER BY total_qty DESC, o.o_orderkey
 LIMIT 20""",
 
+      // TPC-H Q7 shape: bilateral region-pair shipping volume by year
+      // (regions, not nations: non-empty even at sf0.001).
+      "tpch_q7_shape" ->
+        s"""SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+       cast(year(l.l_shipdate) AS BIGINT) AS l_year,
+       round(cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+FROM ${T("lineitem")} l
+JOIN ${T("orders")} o ON l.l_orderkey = o.o_orderkey
+JOIN ${T("customer")} c ON o.o_custkey = c.c_custkey
+JOIN ${T("supplier")} s ON l.l_suppkey = s.s_suppkey
+JOIN ${T("nation")} n1 ON s.s_nationkey = n1.n_nationkey
+JOIN ${T("region")} r1 ON n1.n_regionkey = r1.r_regionkey
+JOIN ${T("nation")} n2 ON c.c_nationkey = n2.n_nationkey
+JOIN ${T("region")} r2 ON n2.n_regionkey = r2.r_regionkey
+WHERE (r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+   OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')
+GROUP BY 1, 2, 3
+ORDER BY supp_region, cust_region, l_year""",
+
+      // TPC-H Q8 shape: one nation's market share of ASIA revenue by
+      // year. Both sums stay exact DECIMAL; only the final division is
+      // double (identical IEEE operands both engines).
+      "tpch_q8_shape" ->
+        s"""SELECT cast(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(cast(sum(CASE WHEN n1.n_name = 'NATION_3'
+                  THEN cast(l.l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l.l_discount AS DECIMAL(18,2)))
+                  ELSE cast(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS mkt_share,
+       round(cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS total_volume
+FROM ${T("lineitem")} l
+JOIN ${T("orders")} o ON l.l_orderkey = o.o_orderkey
+JOIN ${T("supplier")} s ON l.l_suppkey = s.s_suppkey
+JOIN ${T("nation")} n1 ON s.s_nationkey = n1.n_nationkey
+WHERE o.o_custkey IN
+      (SELECT c.c_custkey FROM ${T("customer")} c
+       JOIN ${T("nation")} n ON c.c_nationkey = n.n_nationkey
+       JOIN ${T("region")} r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name = 'ASIA')
+GROUP BY 1 ORDER BY o_year""",
+
+      // TPC-H Q10 shape: returned-item revenue per customer, 1996Q4.
+      "tpch_q10_shape" ->
+        s"""SELECT c.c_custkey, c.c_name, n.n_name,
+       round(cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
+       round(max(c.c_acctbal), 2) AS c_acctbal
+FROM ${T("customer")} c
+JOIN ${T("orders")} o ON c.c_custkey = o.o_custkey
+JOIN ${T("lineitem")} l ON l.l_orderkey = o.o_orderkey
+JOIN ${T("nation")} n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20""",
+
       // ---- aggregations ----
       "agg_hash_q1" ->
         s"""SELECT l_returnflag, l_linestatus,

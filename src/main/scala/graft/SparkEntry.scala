@@ -35,6 +35,9 @@ object SparkEntry {
     "tpch_q5_shape" -> Relational.tpchQ5Shape,
     "tpch_q2_shape" -> Relational.tpchQ2Shape,
     "tpch_q18_shape" -> Relational.tpchQ18Shape,
+    "tpch_q7_shape" -> Relational.tpchQ7Shape,
+    "tpch_q8_shape" -> Relational.tpchQ8Shape,
+    "tpch_q10_shape" -> Relational.tpchQ10Shape,
     "join_salted" -> Relational.joinSalted,
     // §2.3 aggregations
     "agg_hash_q1" -> Relational.aggHashQ1,

@@ -396,6 +396,96 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q7 shape (round 4): bilateral shipping volume between two
+    * REGIONS by year (regions, not single nations, so the query is
+    * non-empty even at sf0.001 — a zero-hit query would be a sham
+    * test). Both region lookups broadcast via nation (25 rows); the
+    * symmetric pair filter runs inside the dimension joins so it
+    * prunes before the expensive lineitem x orders grouping. Scale:
+    * one shuffle for the fact join (orderkey), one for the 3-key
+    * aggregate; everything dimensional is broadcast. */
+  val tpchQ7Shape: Q = (s, d) => {
+    def regionOf(alias: String) = table(s, d, "nation")
+      .join(table(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as(s"${alias}_nkey"), col("r_name").as(alias))
+    // nation x region (25 rows) is forced-broadcast; customer/supplier
+    // are NOT — they grow with SF, so their joins stay shuffle-planned
+    // and AQE may still elect broadcast when the side is actually small
+    val supRegion = table(s, d, "supplier")
+      .join(broadcast(regionOf("supp_region")),
+        col("s_nationkey") === col("supp_region_nkey"))
+      .select(col("s_suppkey"), col("supp_region"))
+    val custRegion = table(s, d, "customer")
+      .join(broadcast(regionOf("cust_region")),
+        col("c_nationkey") === col("cust_region_nkey"))
+      .select(col("c_custkey"), col("cust_region"))
+    table(s, d, "lineitem")
+      .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"))
+      .join(supRegion, col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_region") === "ASIA" && col("cust_region") === "EUROPE") ||
+        (col("supp_region") === "EUROPE" && col("cust_region") === "ASIA"))
+      .groupBy(col("supp_region"), col("cust_region"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"))
+      .agg(round(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast(DoubleType), 2).as("revenue"))
+      .orderBy("supp_region", "cust_region", "l_year")
+  }
+
+  /** TPC-H Q8 shape (round 4): one nation's market share of a region's
+    * yearly revenue. The share is a conditional-sum / total-sum ratio:
+    * both sums stay exact DECIMAL through the aggregate and only the
+    * final division runs in double (identical IEEE operands -> identical
+    * quotient in both engines). */
+  val tpchQ8Shape: Q = (s, d) => {
+    val custRegion = table(s, d, "customer")
+      .join(broadcast(table(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(s, d, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val supNation = table(s, d, "supplier")
+      .join(broadcast(table(s, d, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val vol = dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+    table(s, d, "lineitem")
+      .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+      // supplier grows with SF — leave broadcast election to AQE
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(
+        round((sum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(dec2(lit(0)))).cast(DoubleType) /
+          sum(vol).cast(DoubleType)), 6).as("mkt_share"),
+        round(sum(vol).cast(DoubleType), 2).as("total_volume"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q10 shape (round 4): returned-item revenue per customer in
+    * one quarter, top 20. Orders pre-filtered to the window BEFORE the
+    * lineitem join (predicate pushdown keeps the fact shuffle small);
+    * deterministic tiebreak on custkey. */
+  val tpchQ10Shape: Q = (s, d) => {
+    val o = table(s, d, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-10-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+    val l = table(s, d, "lineitem").filter(col("l_returnflag") === "R")
+    val c = table(s, d, "customer")
+    val n = table(s, d, "nation")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(n), c("c_nationkey") === col("n_nationkey"))
+      .groupBy(c("c_custkey"), c("c_name"), col("n_name"))
+      .agg(round(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast(DoubleType), 2).as("revenue"),
+        round(max(col("c_acctbal")), 2).as("c_acctbal"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** arg-max/arg-min aggregates (round 3): the row-attribute-at-the-
     * extreme family (max_by/min_by — DuckDB arg_max/arg_min). Price
     * ties exist in the data, so the ordering value is an exact BIGINT

@@ -52,7 +52,10 @@ class QuerySuiteSpec extends AnyFunSuite {
     // round-3 widening: TPC-H Q2/Q18 shapes, arg-extremes, trailing
     // z-score anomaly, try_cast hygiene
     "tpch_q2_shape" -> 18L, "tpch_q18_shape" -> 20L, "agg_argminmax" -> 3L,
-    "ts_anomaly_zscore" -> 130L, "fn_try_cast" -> 150L)
+    "ts_anomaly_zscore" -> 130L, "fn_try_cast" -> 150L,
+    // round-4 widening: bilateral region volume, market share,
+    // returned-item revenue
+    "tpch_q7_shape" -> 14L, "tpch_q8_shape" -> 7L, "tpch_q10_shape" -> 20L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
