@@ -69,6 +69,34 @@ class Naqed(spark: SparkSession, sfDir: String) {
     * batch writes, the Spark-native re-expression of naqed's mutating
     * resolvers. Returns the written row count per table.
     */
+  /** naqed-style subscription: the SAME query tree as `request`,
+    * compiled against an unbounded source bound to `root`. Filters
+    * (`$`-args), field selections, resolvers and many-to-one
+    * traversals all lower to stream-compatible plans — the traversal
+    * becomes a stream-static dimension join, which Structured
+    * Streaming executes per micro-batch. One-to-many traversals AT THE
+    * ROOT are rejected with a naqed-style error (they would need
+    * unbounded state; deeper levels are static-static and fine).
+    * Returns a streaming DataFrame ready for `writeStream`. The
+    * root's batch binding is restored after compilation, so
+    * subscriptions never leak into subsequent `request` calls. */
+  def subscribe(root: String, q: Map[String, Any], source: DataFrame): DataFrame = {
+    require(source.isStreaming,
+      s"subscribe('$root') needs a readStream source; use request() for batch queries")
+    q.keys.filter(k => reverse.contains((root, k))).toSeq.sorted.headOption.foreach { k =>
+      throw new IllegalArgumentException(
+        s"subscription field '$k' on '$root' is one-to-many (unbounded state); " +
+          "subscriptions support arg filters, fields, resolvers and many-to-one traversals")
+    }
+    val prior = Tables.peek(spark, sfDir, root)
+    Tables.mount(spark, sfDir, root, source)
+    try compile(root, q)
+    finally prior match {
+      case Some(df) => Tables.mount(spark, sfDir, root, df)
+      case None => Tables.unmount(spark, sfDir, root)
+    }
+  }
+
   def mutate(q: Map[String, Seq[Map[String, Any]]], outDir: String): Map[String, Long] =
     q.map {
       case (key, rows) if key.startsWith("~") =>
@@ -205,7 +233,10 @@ object Naqed {
     ("lineitem", "part") -> ("l_partkey", "p_partkey"),
     ("lineitem", "supplier") -> ("l_suppkey", "s_suppkey"),
     ("documents", "embeddings") -> ("doc_id", "vec_id"),
-    ("embeddings", "documents") -> ("vec_id", "doc_id"))
+    ("embeddings", "documents") -> ("vec_id", "doc_id"),
+    // events.user_id is a customer key (TESTDATA: user ids are drawn
+    // from the custkey domain) — gives subscriptions a dimension hop
+    ("events", "customer") -> ("user_id", "c_custkey"))
 
   /** Reverse (one-to-many) edges: (table, relationName) -> (localPk, childFk). */
   val reverse: Map[(String, String), (String, String)] = Map(

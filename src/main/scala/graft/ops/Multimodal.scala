@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * as opaque binary columns with typed metadata, plus partition-aware
   * decode / feature-extract / frame-sample operators.
   *
-  * The decode step is REAL for images: payloads whose magic bytes
-  * identify a JDK-decodable format (PNG/BMP/GIF/JPEG) go through
+  * The decode step is REAL for images AND audio: payloads whose magic
+  * bytes identify a JDK-decodable image (PNG/BMP/GIF/JPEG) go through
   * `javax.imageio` and yield pixel-level features (dimensions, channel
-  * means, luminance histogram). Non-image payloads (audio/video — no
-  * codecs in the JDK) fall back to a deterministic byte-histogram
-  * extractor, clearly marked as the codec-absent path: a real
-  * deployment plugs its codec into `decodeOther`. Either way the
+  * means, luminance histogram); RIFF/WAVE PCM payloads are hand-parsed
+  * (`decodeWav`) into signal-level features (rate, duration, RMS,
+  * zero-crossing rate, amplitude histogram). Remaining modalities
+  * (video — no codecs in the JDK) fall back to a deterministic
+  * byte-histogram extractor, clearly marked as the codec-absent path:
+  * a real deployment plugs its codec into `decodeOther`. Either way the
   * Spark-side plumbing is identical and tested end-to-end: the typed
   * schema, the mapPartitions batching shape (one decoder init per
   * partition, streamed rows), and the downstream join/agg compatibility
@@ -83,7 +85,87 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
-  /** Codec-absent fallback for non-image modalities (audio/video — no
+  /** True iff the payload is a RIFF/WAVE container. */
+  private[graft] def isWav(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  private def u16(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+  private def u32(p: Array[Byte], i: Int): Long =
+    (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+      ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+
+  /** REAL audio decode: hand-parsed RIFF/WAVE PCM (8-bit unsigned /
+    * 16-bit signed little-endian — the dominant uncompressed layouts;
+    * no codec library needed, the container is just framed bytes).
+    * 16 deterministic signal-level features:
+    * [sampleRate, channels, bitsPerSample, durationSec, rms,
+    *  zeroCrossingRate, peak, 9-bin |amplitude| histogram
+    *  (L1-normalized)] — same vector length as the image path, so
+    * downstream feature joins are modality-agnostic.
+    * Returns None when the container/encoding doesn't parse (caller
+    * falls back; the row is never lost). */
+  private[graft] def decodeWav(p: Array[Byte]): Option[Array[Double]] =
+    try {
+      if (!isWav(p)) return None
+      // walk the chunk list for fmt + data (other chunks — LIST, fact,
+      // cue — are skipped; chunks are word-aligned)
+      var off = 12
+      var fmtOff = -1
+      var dataOff = -1
+      var dataLen = 0
+      while (off + 8 <= p.length && (fmtOff < 0 || dataOff < 0)) {
+        val id = new String(p, off, 4, "US-ASCII")
+        val sz = u32(p, off + 4).toInt
+        if (id == "fmt ") fmtOff = off + 8
+        else if (id == "data") { dataOff = off + 8; dataLen = math.min(sz, p.length - dataOff) }
+        off += 8 + sz + (sz & 1)
+      }
+      if (fmtOff < 0 || dataOff < 0) return None
+      val audioFormat = u16(p, fmtOff)
+      val channels = u16(p, fmtOff + 2)
+      val sampleRate = u32(p, fmtOff + 4).toDouble
+      val bits = u16(p, fmtOff + 14)
+      if (audioFormat != 1 || channels < 1 || sampleRate <= 0 ||
+          (bits != 8 && bits != 16)) return None
+      val bytesPerSample = bits / 8
+      val frameBytes = bytesPerSample * channels
+      val nFrames = dataLen / frameBytes
+      if (nFrames == 0) return None
+      // mono mixdown, normalized to [-1, 1]
+      val hist = new Array[Double](9)
+      var (sumSq, peak) = (0.0, 0.0)
+      var crossings = 0
+      var prevSign = 0
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0.0
+        var c = 0
+        while (c < channels) {
+          val i = dataOff + f * frameBytes + c * bytesPerSample
+          acc += (if (bits == 16) ((p(i) & 0xff) | (p(i + 1) << 8)) / 32768.0
+                  else ((p(i) & 0xff) - 128) / 128.0)
+          c += 1
+        }
+        val s = acc / channels
+        sumSq += s * s
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        hist(math.min(8, (a * 9).toInt)) += 1.0
+        val sign = if (s > 0) 1 else if (s < 0) -1 else prevSign
+        if (prevSign != 0 && sign != 0 && sign != prevSign) crossings += 1
+        if (sign != 0) prevSign = sign
+        f += 1
+      }
+      var j = 0
+      while (j < 9) { hist(j) /= nFrames; j += 1 }
+      Some(Array(sampleRate, channels.toDouble, bits.toDouble,
+        nFrames / sampleRate, math.sqrt(sumSq / nFrames),
+        crossings.toDouble / nFrames, peak) ++ hist)
+    } catch { case _: Exception => None }
+
+  /** Codec-absent fallback for the remaining modalities (video — no
     * codecs ship with the JDK): deterministic 16-bin byte histogram,
     * L1-normalized. A real deployment plugs its decoder here;
     * everything around this call stays unchanged. */
@@ -108,6 +190,7 @@ object Multimodal {
       rows.map { m =>
         val features =
           if (isImage(m.payload)) decodeImage(m.payload).getOrElse(decodeOther(m.payload))
+          else if (isWav(m.payload)) decodeWav(m.payload).getOrElse(decodeOther(m.payload))
           else decodeOther(m.payload)
         MediaFeatures(m.id, m.modality, m.payload.length.toLong, features)
       }

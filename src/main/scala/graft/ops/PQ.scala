@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization for embedding columns (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+  * method): split each D-dim vector into M subvectors, k-means each
+  * subspace to K centroids, store each vector as M byte codes.
+  *
+  * Why this matters at 100 TB: a 64-dim float32 embedding is 256
+  * bytes; with M=8, K=16 it becomes 8 bytes — a 32x scan/shuffle
+  * reduction — and ADC (asymmetric distance computation) scores
+  * candidates from an M x K lookup table without touching the original
+  * floats. The scale recipe is: train codebooks on a bounded sample
+  * (driver-side — codebook size is M*K*D/M floats, kilobytes),
+  * broadcast them, encode in one linear pass, ADC-scan codes, and
+  * exact-rescore only the top `rerank` survivors. Composes with the
+  * IVF partitioner in `Pipelines.annIvfTopk` (IVF-PQ: coarse cells +
+  * in-cell PQ codes) — the standard billion-scale layout.
+  *
+  * Determinism: sample = first `sampleSize` rows ordered by the id
+  * column; k-means init = first K distinct subvectors of that sample;
+  * Lloyd iterations are sequential driver arithmetic — bit-stable
+  * run to run, so codes and search results are reproducible (the
+  * repo-wide oracle discipline).
+  */
+object PQ {
+
+  /** Trained codebooks: `codebooks(j)(c)` is centroid c of subspace j
+    * (length dim/m). */
+  case class PQModel(m: Int, k: Int, dim: Int,
+      codebooks: Array[Array[Array[Float]]]) {
+    def dsub: Int = dim / m
+  }
+
+  private def sq(x: Float): Float = x * x
+
+  private def l2(a: Array[Float], b: Array[Float]): Float = {
+    var s = 0.0f; var i = 0
+    while (i < a.length) { s += sq(a(i) - b(i)); i += 1 }
+    s
+  }
+
+  /** Train M codebooks of K centroids each on a deterministic sample.
+    * The sample is tiny by design (codebook quality saturates fast);
+    * at scale this is the one driver-side step and it is O(sample). */
+  def train(df: DataFrame, vecCol: String, idCol: String, m: Int = 8,
+      k: Int = 16, iters: Int = 8, sampleSize: Int = 256): PQModel = {
+    val sample: Array[Array[Float]] = df
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val codebooks = Array.tabulate(m) { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      // deterministic init: first K distinct subvectors (pad by cycling)
+      val distinct = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      var i = 0
+      while (i < sub.length && distinct.length < k) {
+        if (!distinct.exists(c => java.util.Arrays.equals(c, sub(i))))
+          distinct += sub(i)
+        i += 1
+      }
+      while (distinct.length < k) distinct += distinct(distinct.length % math.max(1, distinct.length))
+      var cents = distinct.toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Int](k)
+        sub.foreach { v =>
+          var best = 0; var bd = Float.MaxValue; var c = 0
+          while (c < k) { val d = l2(v, cents(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+          counts(best) += 1
+          var t = 0
+          while (t < dsub) { sums(best)(t) += v(t); t += 1 }
+        }
+        cents = Array.tabulate(k) { c =>
+          if (counts(c) == 0) cents(c) // empty cluster keeps its centroid
+          else Array.tabulate(dsub)(t => (sums(c)(t) / counts(c)).toFloat)
+        }
+        it += 1
+      }
+      cents
+    }
+    PQModel(m, k, dim, codebooks)
+  }
+
+  /** One linear encode pass: (id, codes array<tinyint>). The model
+    * travels in the task closure (kilobytes — effectively a broadcast
+    * of the codebook). */
+  def encode(df: DataFrame, vecCol: String, idCol: String,
+      model: PQModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Float])] = df
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+    ds.mapPartitions { rows =>
+      val dsub = model.dsub
+      rows.map { case (id, v) =>
+        val codes = new Array[Byte](model.m)
+        var j = 0
+        while (j < model.m) {
+          val cb = model.codebooks(j)
+          var best = 0; var bd = Float.MaxValue; var c = 0
+          while (c < cb.length) {
+            var s = 0.0f; var t = 0
+            while (t < dsub) { s += sq(v(j * dsub + t) - cb(c)(t)); t += 1 }
+            if (s < bd) { bd = s; best = c }
+            c += 1
+          }
+          codes(j) = best.toByte
+          j += 1
+        }
+        (id, codes)
+      }
+    }.toDF(idCol, "codes")
+  }
+
+  /** ADC scan: approximate squared-L2 of every encoded vector against
+    * `probe` via the M x K distance table — codes only, originals
+    * untouched. Returns (id, adc_dist). */
+  def adcScores(encoded: DataFrame, idCol: String, probe: Array[Float],
+      model: PQModel): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    require(probe.length == model.dim, "probe dimension mismatch")
+    val dsub = model.dsub
+    // the per-query lookup table: distance from the probe's j-th
+    // subvector to every centroid of subspace j
+    val table: Array[Array[Float]] = Array.tabulate(model.m) { j =>
+      model.codebooks(j).map { cent =>
+        var s = 0.0f; var t = 0
+        while (t < dsub) { s += sq(probe(j * dsub + t) - cent(t)); t += 1 }
+        s
+      }
+    }
+    encoded.select(col(idCol).cast("long"), col("codes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, codes) =>
+          var s = 0.0f; var j = 0
+          while (j < codes.length) { s += table(j)(codes(j) & 0xff); j += 1 }
+          (id, s)
+        }
+      }.toDF(idCol, "adc_dist")
+  }
+
+  /** Full search: ADC-rank everything, exact-rescore the top `rerank`
+    * candidates on the original floats, return exact top-k. The only
+    * data shuffled is the rerank-sized candidate set. */
+  def searchTopK(df: DataFrame, encoded: DataFrame, vecCol: String,
+      idCol: String, probe: Array[Float], model: PQModel, k: Int,
+      rerank: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cand = adcScores(encoded, idCol, probe, model)
+      .orderBy(col("adc_dist"), col(idCol)).limit(rerank)
+    val exact = df.select(col(idCol).cast("long"), col(vecCol))
+      .join(cand, idCol).as[(Long, Array[Float], Float)]
+      .map { case (id, v, _) => (id, math.sqrt(l2(v, probe).toDouble)) }
+      .toDF(idCol, "dist")
+    exact.orderBy(col("dist"), col(idCol)).limit(k)
+  }
+}

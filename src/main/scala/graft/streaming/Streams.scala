@@ -57,6 +57,20 @@ object Streams {
           (pmod(col("value"), lit(3)) + 1).cast("int")).as("event_type"),
         (pmod(col("value") * 7, lit(100)).cast(DoubleType) / 10).as("value"))
 
+  /** Streaming exact deduplication — the unbounded twin of
+    * TextSim.dedupExact. `dropDuplicatesWithinWatermark` keeps one row
+    * per key and EXPIRES key state once the watermark passes it, so
+    * state is bounded by (keys per watermark window), not by the whole
+    * stream's key cardinality — the property that makes exact dedup
+    * viable on an infinite stream. Duplicates farther apart than the
+    * watermark are the documented residue (re-dedup downstream in
+    * batch if required). */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Tumbling 1h counts/sums per event_type — streaming twin of
     * StreamOps.streamTumbling1h. */
   def tumbling1h(events: DataFrame): DataFrame =

@@ -41,6 +41,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(4L).features.length == 16 && feats(4L).n_bytes == 6)
   }
 
+  /** Synthesize a mono 16-bit PCM WAV of a sine wave in memory (RIFF
+    * written by hand so the test is independent of the parser). */
+  private def wav(sampleRate: Int, freq: Double, seconds: Double,
+      amp: Double): Array[Byte] = {
+    val n = (sampleRate * seconds).toInt
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + 2 * n); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2)
+    bb.putShort(2); bb.putShort(16) // block align, bits
+    bb.put("data".getBytes); bb.putInt(2 * n)
+    for (i <- 0 until n)
+      bb.putShort((amp * 32767.0 *
+        math.sin(2 * math.Pi * freq * i / sampleRate)).toShort)
+    bb.array()
+  }
+
+  test("WAV payloads decode to real signal features") {
+    import spark.implicits._
+    val a440 = wav(8000, 440.0, 0.5, 0.8)
+    val assets = Seq(
+      Multimodal.Media(10L, "audio", a440, Map("fmt" -> "wav")),
+      // truncated header falls back, row survives
+      Multimodal.Media(11L, "audio", a440.take(20), Map()))
+    val feats = Multimodal.extractFeatures(assets.toDS())
+      .collect().map(f => f.id -> f).toMap
+    val f = feats(10L).features
+    assert(f(0) == 8000.0 && f(1) == 1.0 && f(2) == 16.0) // rate/ch/bits
+    assert(math.abs(f(3) - 0.5) < 1e-3)                   // duration
+    assert(math.abs(f(4) - 0.8 / math.sqrt(2)) < 0.01)    // sine RMS = A/sqrt(2)
+    // a 440 Hz tone crosses zero ~2*440 times/sec -> rate 2*440/8000
+    assert(math.abs(f(5) - 2 * 440.0 / 8000.0) < 0.01)
+    assert(math.abs(f(6) - 0.8) < 0.01)                   // peak
+    assert(math.abs(f.drop(7).sum - 1.0) < 1e-9)          // histogram L1
+    assert(feats(11L).features.length == 16)              // fallback
+    // same 16-dim shape as the image path: modality-agnostic joins
+    assert(f.length == 16)
+  }
+
   test("magic-byte sniffing routes only real images to the decoder") {
     assert(Multimodal.isImage(png(1, 1, 0)))
     assert(!Multimodal.isImage("just text bytes".getBytes))

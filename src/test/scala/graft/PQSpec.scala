@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.PQ
+
+/** Product quantization: deterministic training/encoding, real
+  * compression, and ADC-rerank search that recovers the exact top-k
+  * with high recall. */
+class PQSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private lazy val emb = Tables(spark, sf0001, "embeddings")
+  private lazy val model = PQ.train(emb, "embedding", "vec_id", m = 8, k = 16)
+  private lazy val codes = PQ.encode(emb, "embedding", "vec_id", model).cache()
+
+  private def probeVec(id: Long): Array[Float] =
+    emb.filter(col("vec_id") === id).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+
+  private def exactTopK(probe: Array[Float], k: Int): Seq[Long] = {
+    import spark.implicits._
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { val d = v(i) - probe(i); s += d * d; i += 1 }
+        (id, math.sqrt(s))
+      }
+      .toDF("vec_id", "dist").orderBy(col("dist"), col("vec_id")).limit(k)
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  test("training and encoding are deterministic") {
+    val m2 = PQ.train(emb, "embedding", "vec_id", m = 8, k = 16)
+    assert(model.codebooks.flatten.flatten.toSeq == m2.codebooks.flatten.flatten.toSeq)
+    val c1 = codes.orderBy("vec_id").collect()
+      .map(_.getAs[Array[Byte]]("codes").toSeq).toSeq
+    val c2 = PQ.encode(emb, "embedding", "vec_id", m2)
+      .orderBy("vec_id").collect().map(_.getAs[Array[Byte]]("codes").toSeq).toSeq
+    assert(c1 == c2)
+  }
+
+  test("codes are 8 bytes per 64-dim float vector (32x compression)") {
+    val row = codes.limit(1).collect()(0)
+    assert(row.getAs[Array[Byte]]("codes").length == 8)
+    assert(codes.count() == emb.count())
+  }
+
+  test("ADC distances track exact distances (top candidates rank early)") {
+    val probe = probeVec(7L)
+    val exact10 = exactTopK(probe, 10).toSet
+    // the true top-10's mean ADC rank must sit far inside the front of
+    // the 500-row ADC ranking — i.e. ADC is informative, not noise
+    val adcRanked = PQ.adcScores(codes, "vec_id", probe, model)
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val ranks = exact10.map(id => adcRanked.indexOf(id)).toSeq
+    assert(ranks.max < adcRanked.length, "every id present")
+    assert(ranks.sum.toDouble / ranks.size < adcRanked.length / 4.0,
+      s"mean ADC rank of true top-10 was ${ranks.sum / ranks.size} of ${adcRanked.length}")
+  }
+
+  test("searchTopK: exact-rescored results, measured recall floor") {
+    val ks = Seq(3L, 7L, 101L, 250L)
+    val recalls = ks.map { q =>
+      val probe = probeVec(q)
+      val exact10 = exactTopK(probe, 10).toSet
+      val got = PQ.searchTopK(emb, codes, "embedding", "vec_id", probe,
+        model, k = 10, rerank = 50).collect().map(_.getLong(0)).toSet
+      assert(got.size == 10)
+      (exact10 intersect got).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"recall@10 (rerank=50) per probe: $recalls, mean $mean")
+    assert(mean >= 0.5, s"mean recall@10 $mean below floor")
+    // the probe itself (distance 0) must always survive the pipeline
+    val self = PQ.searchTopK(emb, codes, "embedding", "vec_id",
+      probeVec(3L), model, k = 1, rerank = 50).collect()(0)
+    assert(self.getLong(0) == 3L && self.getDouble(1) == 0.0)
+  }
+}

@@ -90,6 +90,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup removes injected duplicates, equals batch distinct") {
+    // duplicate every event inside the stream, then dedup by event_id
+    val doubled = Streams.eventsStream(spark, sf0001)
+      .withColumn("__copy", explode(array(lit(1), lit(2))))
+      .drop("__copy")
+    val got = Streams.runToBatchAppend(spark,
+      Streams.dedupWithinWatermark(doubled, Seq("event_id")), "t_dedup")
+    val want = Tables(spark, sf0001, "events")
+    assert(got.count() == want.count())
+    assert(got.select("event_id").exceptAll(want.select("event_id")).count() == 0)
+  }
+
+  test("naqed subscription: filters + dimension traversal on a stream") {
+    val nq = new graft.api.Naqed(spark, sf0001)
+    val sub = nq.subscribe("events",
+      Map("$event_type" -> "purchase", "event_id" -> true, "user_id" -> true,
+        "customer" -> Map("c_name" -> true, "c_mktsegment" -> true)),
+      Streams.eventsStream(spark, sf0001))
+    assert(sub.isStreaming)
+    val got = Streams.runToBatchAppend(spark, sub, "t_naqed_sub")
+    // batch twin through the SAME api (root binding restored after
+    // subscribe, so this request sees the parquet table again)
+    val want = nq.request("events",
+      Map("$event_type" -> "purchase", "event_id" -> true, "user_id" -> true,
+        "customer" -> Map("c_name" -> true, "c_mktsegment" -> true)))
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.select(col("event_id"), col("customer.c_name"))
+      .exceptAll(want.select(col("event_id"), col("customer.c_name"))).count() == 0)
+    // one-to-many at the root is rejected naqed-style
+    val e = intercept[IllegalArgumentException] {
+      nq.subscribe("customer", Map("orders" -> Map("o_orderkey" -> true)),
+        Streams.eventsStream(spark, sf0001))
+    }
+    assert(e.getMessage.contains("one-to-many"))
+  }
+
   test("streaming session_window session counts match batch sessionize") {
     val stream = Streams.sessions30m(Streams.eventsStream(spark, sf0001))
     val got = Streams.runToBatch(spark, stream, "t_sessions")
