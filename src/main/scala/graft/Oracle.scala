@@ -919,6 +919,34 @@ reach AS (
   FROM reach r JOIN ud ON ud.s = r.v WHERE r.depth < 3)
 SELECT v, min(depth) AS depth FROM reach GROUP BY v ORDER BY depth, v""",
 
+      // TRUE recursive CTE twin (round 4): both engines run WITH
+      // RECURSIVE — Spark lowers it to a UnionLoop fixpoint, nothing
+      // is unrolled by hand on either side.
+      "graph_reach_rcte" ->
+        s"""$ER
+, reach AS (
+  SELECT v, 0 AS depth FROM (
+    SELECT s AS v FROM ud GROUP BY s ORDER BY count(*) DESC, s LIMIT 1)
+  UNION ALL
+  SELECT DISTINCT ud.t AS v, r.depth + 1 AS depth
+  FROM reach r JOIN ud ON ud.s = r.v WHERE r.depth < 6)
+SELECT v, min(depth) AS depth FROM reach GROUP BY v ORDER BY depth, v""",
+
+      // Recursive month spine left-joined to order aggregates: months
+      // with zero orders must appear (calendar-dimension generation).
+      "rcte_month_spine" ->
+        s"""WITH RECURSIVE months(m) AS (
+  SELECT TIMESTAMP '1995-01-01 00:00:00' AS m
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months
+  WHERE m < TIMESTAMP '2001-12-01 00:00:00')
+SELECT cast(m AS DATE) AS month,
+       count(o_orderkey) AS n_orders,
+       round(cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+FROM months LEFT JOIN ${T("orders")}
+  ON date_trunc('month', o_orderdate) = m
+GROUP BY m ORDER BY month""",
+
       "graph_pagerank3" ->
         s"""$E
 , n0 AS (SELECT s AS v FROM ud UNION SELECT t FROM ud),

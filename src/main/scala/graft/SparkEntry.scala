@@ -38,6 +38,8 @@ object SparkEntry {
     "tpch_q7_shape" -> Relational.tpchQ7Shape,
     "tpch_q8_shape" -> Relational.tpchQ8Shape,
     "tpch_q10_shape" -> Relational.tpchQ10Shape,
+    "graph_reach_rcte" -> Recursive.graphReachRcte,
+    "rcte_month_spine" -> Recursive.rcteMonthSpine,
     "join_salted" -> Relational.joinSalted,
     // §2.3 aggregations
     "agg_hash_q1" -> Relational.aggHashQ1,

@@ -55,7 +55,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     "ts_anomaly_zscore" -> 130L, "fn_try_cast" -> 150L,
     // round-4 widening: bilateral region volume, market share,
     // returned-item revenue
-    "tpch_q7_shape" -> 14L, "tpch_q8_shape" -> 7L, "tpch_q10_shape" -> 20L)
+    "tpch_q7_shape" -> 14L, "tpch_q8_shape" -> 7L, "tpch_q10_shape" -> 20L,
+    // true recursive CTEs (WITH RECURSIVE on BOTH engines)
+    "graph_reach_rcte" -> 200L, "rcte_month_spine" -> 84L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
