@@ -1092,6 +1092,41 @@ FROM ${T("customer")}
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 ORDER BY c_custkey""",
 
+      // running COUNT(DISTINCT) composed from a first-occurrence flag
+      // (neither engine supports distinct aggregates over windows).
+      "win_distinct_running" ->
+        s"""WITH f AS (
+  SELECT event_id, event_type, ts,
+    CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
+                                 ORDER BY ts, event_id) = 1
+         THEN 1 ELSE 0 END AS flag
+  FROM ${T("events")})
+SELECT event_id, event_type,
+  cast(sum(flag) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_users
+FROM f ORDER BY event_id""",
+
+      // corr/regression from EXACT moments: the five sums are
+      // order-insensitive decimals, the formulas run once per group on
+      // identical IEEE operands (built-in corr()/regr_slope() would
+      // accumulate doubles in engine-dependent order).
+      "agg_corr_regr" ->
+        s"""WITH m AS (
+  SELECT l_returnflag,
+    cast(count(*) AS DOUBLE) AS n,
+    cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+    cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+    cast(sum(cast(l_quantity AS DECIMAL(18,2)) * cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+    cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+    cast(sum(cast(l_quantity AS DECIMAL(18,2)) * cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM ${T("lineitem")} GROUP BY 1)
+SELECT l_returnflag, cast(n AS BIGINT) AS n,
+  round((n * sxy - sx * sy) /
+        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_xy,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4) AS intercept
+FROM m ORDER BY l_returnflag""",
+
       "fn_bitwise" ->
         s"""SELECT l_orderkey, cast(l_linenumber AS BIGINT) AS ln,
   l_orderkey & l_partkey AS b_and,

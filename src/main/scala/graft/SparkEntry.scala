@@ -40,6 +40,8 @@ object SparkEntry {
     "tpch_q10_shape" -> Relational.tpchQ10Shape,
     "graph_reach_rcte" -> Recursive.graphReachRcte,
     "rcte_month_spine" -> Recursive.rcteMonthSpine,
+    "win_distinct_running" -> Windows.winDistinctRunning,
+    "agg_corr_regr" -> Relational.aggCorrRegr,
     "join_salted" -> Relational.joinSalted,
     // §2.3 aggregations
     "agg_hash_q1" -> Relational.aggHashQ1,

@@ -506,6 +506,42 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Pearson correlation + regression slope/intercept per group
+    * (round 4) — NOT the built-in corr()/regr_slope(), whose double
+    * accumulation order differs across engines and partitionings.
+    * Instead the five moments (n, Sx, Sy, Sxx, Syy, Sxy) are EXACT
+    * (decimal/bigint) aggregates — order-insensitive — and the
+    * textbook formulas run once per group on identical IEEE operands,
+    * so both engines produce bit-identical statistics. Scale: one
+    * map-side-combinable hash aggregate, formulas on the tiny result. */
+  val aggCorrRegr: Q = (s, d) => {
+    val x = dec2(col("l_quantity"))
+    val y = dec2(col("l_extendedprice"))
+    val moments = table(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+      .select(col("l_returnflag"), col("n").cast(DoubleType).as("n"),
+        col("sx").cast(DoubleType).as("sx"), col("sy").cast(DoubleType).as("sy"),
+        col("sxx").cast(DoubleType).as("sxx"), col("syy").cast(DoubleType).as("syy"),
+        col("sxy").cast(DoubleType).as("sxy"))
+    moments.select(
+        col("l_returnflag"),
+        col("n").cast(LongType).as("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+               (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_xy"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 4)
+          .as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
   /** Multiset (ALL) set operations — bag semantics UNION/INTERSECT/
     * EXCEPT, complementing the distinct variants above. */
   val setOpsAll: Q = (s, d) => {

@@ -131,4 +131,26 @@ object Windows {
         cume_dist().over(w).as("cd"))
       .orderBy("c_custkey")
   }
+
+  /** Running COUNT(DISTINCT) over a window (round 4) — not natively
+    * supported by either engine's window functions, so it is composed:
+    * a row is a "first occurrence" iff row_number over (key, value)
+    * is 1, and the running distinct count is the running SUM of that
+    * flag. Two window passes sharing one event_type shuffle; exact
+    * integers, tiebroken on event_id, cross-engine deterministic.
+    * Scale: both windows partition by event_type — per-partition
+    * streaming aggregation, no whole-table sort. */
+  val winDistinctRunning: Q = (s, d) => {
+    val firstSeen = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val running = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, d, "events")
+      .select(col("event_id"), col("event_type"), col("ts"),
+        when(row_number().over(firstSeen) === 1, 1L).otherwise(0L).as("flag"))
+      .select(col("event_id"), col("event_type"),
+        sum(col("flag")).over(running).as("distinct_users"))
+      .orderBy("event_id")
+  }
 }
