@@ -33,8 +33,45 @@ class Naqed(spark: SparkSession, sfDir: String) {
 
   def table(name: String): DataFrame = Tables(spark, sfDir, name)
 
-  /** Execute a nested query rooted at `root`. */
-  def request(root: String, q: Map[String, Any]): DataFrame = compile(root, q)
+  /** Execute a nested query rooted at `root`. Pagination args at the
+    * root: `$sort -> "field"` (or `"-field"` for descending; ties
+    * broken by the table's key columns so pages are stable) and
+    * `$limit -> n`. Inside a one-to-many child, `$limit -> n` keeps
+    * the first n collected children per parent (the arrays are
+    * deterministically sorted). */
+  def request(root: String, q: Map[String, Any]): DataFrame = {
+    val (sortKey, limitN, rest) = pageArgs(q)
+    applyPage(compile(root, rest), root, sortKey, limitN)
+  }
+
+  private def intOf(v: Any): Int = v match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case n: java.lang.Number => n.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$$limit must be an integer, got: $other")
+  }
+
+  private def pageArgs(q: Map[String, Any])
+      : (Option[String], Option[Int], Map[String, Any]) =
+    (q.get("$sort").map(_.toString), q.get("$limit").map(intOf),
+      q - "$sort" - "$limit")
+
+  private def applyPage(df: DataFrame, tname: String,
+      sortKey: Option[String], limitN: Option[Int]): DataFrame = {
+    val sorted = sortKey match {
+      case Some(s) =>
+        val (field, desc) = if (s.startsWith("-")) (s.drop(1), true) else (s, false)
+        if (!df.columns.contains(field))
+          throw new IllegalArgumentException(
+            s"unknown sort field '$field' on '$tname'; fields: ${df.columns.sorted.mkString(", ")}")
+        val key = if (desc) col(field).desc else col(field).asc
+        val ties = keyColumns(tname).filter(df.columns.contains).map(col)
+        df.orderBy(key +: ties: _*)
+      case None => df
+    }
+    limitN.fold(sorted)(sorted.limit)
+  }
 
   /** Wire-compatible entry point: naqed queries are plain JSON objects,
     * so accept them as JSON text — `{"customer": {"$c_mktsegment":
@@ -83,6 +120,10 @@ class Naqed(spark: SparkSession, sfDir: String) {
   def subscribe(root: String, q: Map[String, Any], source: DataFrame): DataFrame = {
     require(source.isStreaming,
       s"subscribe('$root') needs a readStream source; use request() for batch queries")
+    if (q.contains("$sort") || q.contains("$limit"))
+      throw new IllegalArgumentException(
+        "$sort/$limit are batch pagination args; a subscription is unbounded " +
+          "and append-ordered — page the sink, not the stream")
     q.keys.filter(k => reverse.contains((root, k))).toSeq.sorted.headOption.foreach { k =>
       throw new IllegalArgumentException(
         s"subscription field '$k' on '$root' is one-to-many (unbounded state); " +
@@ -199,15 +240,20 @@ class Naqed(spark: SparkSession, sfDir: String) {
 
       case (k, sub: Map[_, _]) if reverse.contains((tname, k)) =>
         val (pk, fk) = reverse((tname, k))
+        val subMap = sub.asInstanceOf[Map[String, Any]]
+        // per-parent pagination: the collected array is sorted, so
+        // `$limit` is a slice of the first n children ($sort is a
+        // root-level arg — child arrays already sort deterministically)
+        val childLimit = subMap.get("$limit").map(intOf)
         // the child must carry its FK back up for the group-join
-        val child = compile(k, sub.asInstanceOf[Map[String, Any]] + (fk -> true))
+        val child = compile(k, (subMap - "$limit") + (fk -> true))
           .withColumnRenamed(fk, s"__fk_$fk")
         val grouped = child
           .groupBy(col(s"__fk_$fk"))
           .agg(sort_array(collect_list(struct(child.columns.filterNot(_ == s"__fk_$fk")
             .map(col).toSeq: _*))).as(k))
         df = df.join(grouped, col(pk) === col(s"__fk_$fk"), "left")
-        selected(k) = col(k)
+        selected(k) = childLimit.fold(col(k))(n => slice(col(k), 1, n).as(k))
 
       case (k, _) =>
         throw new IllegalArgumentException(

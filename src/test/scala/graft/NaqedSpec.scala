@@ -77,6 +77,43 @@ class NaqedSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no_such_field") && e.getMessage.contains("c_custkey"))
   }
 
+  test("pagination args: $sort/-field ordering and $limit at the root") {
+    val df = naqed.request("customer", Map(
+      "c_name" -> true, "c_acctbal" -> true,
+      "$sort" -> "-c_acctbal", "$limit" -> 5))
+    val got = df.collect().map(_.getAs[Double]("c_acctbal")).toSeq
+    val want = Tables(spark, sf0001, "customer")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(5).collect().map(_.getAs[Double]("c_acctbal")).toSeq
+    assert(got == want && got.size == 5)
+    // ascending form + JSON wire path carry the same args
+    val asc = naqed.requestJson(
+      """{"customer": {"c_name": true, "$sort": "c_custkey", "$limit": 3}}""")
+      .collect().map(_.getAs[Long]("c_custkey")).toSeq
+    assert(asc == asc.sorted && asc.size == 3)
+    val e = intercept[IllegalArgumentException] {
+      naqed.request("customer", Map("c_name" -> true, "$sort" -> "nope"))
+    }
+    assert(e.getMessage.contains("unknown sort field"))
+  }
+
+  test("pagination args: child $limit keeps first n per parent") {
+    val df = naqed.request("customer", Map(
+      "c_name" -> true,
+      "orders" -> Map("o_orderkey" -> true, "$limit" -> 2)))
+    val sizes = df.filter(size(col("orders")) >= 0)
+      .select(size(col("orders")).as("n")).collect().map(_.getInt(0))
+    assert(sizes.nonEmpty && sizes.forall(_ <= 2))
+    // sliced arrays keep the FIRST children of the sorted collection
+    val full = naqed.request("customer", Map(
+      "c_name" -> true, "orders" -> Map("o_orderkey" -> true)))
+    val gotFirst = df.orderBy("c_custkey").limit(3)
+      .select(col("orders")(0).getField("o_orderkey")).collect().map(_.get(0))
+    val wantFirst = full.orderBy("c_custkey").limit(3)
+      .select(col("orders")(0).getField("o_orderkey")).collect().map(_.get(0))
+    assert(gotFirst.toSeq == wantFirst.toSeq)
+  }
+
   test("JSON wire queries equal the Map API (reference-compatible input)") {
     val viaJson = naqed.requestJson(
       """{"customer": {"$c_mktsegment": "BUILDING", "c_name": true,
