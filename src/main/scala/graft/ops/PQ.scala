@@ -148,6 +148,59 @@ object PQ {
       }.toDF(idCol, "adc_dist")
   }
 
+  /** IVF coarse quantizer = PQ with one subspace spanning the whole
+    * vector: `codebooks(0)` are the cell centroids. */
+  def trainIvf(df: DataFrame, vecCol: String, idCol: String,
+      nCells: Int = 16, iters: Int = 8, sampleSize: Int = 256): PQModel =
+    train(df, vecCol, idCol, m = 1, k = nCells, iters = iters,
+      sampleSize = sampleSize)
+
+  /** Nearest-coarse-centroid cell per vector: (id, cell). */
+  def assignCells(df: DataFrame, vecCol: String, idCol: String,
+      coarse: PQModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = coarse.codebooks(0)
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        rows.map { case (id, v) =>
+          var best = 0; var bd = Float.MaxValue; var c = 0
+          while (c < cents.length) {
+            val dd = l2(v, cents(c)); if (dd < bd) { bd = dd; best = c }; c += 1
+          }
+          (id, best)
+        }
+      }.toDF(idCol, "cell")
+  }
+
+  /** One pass producing the IVF-PQ layout: (id, cell, codes) — the
+    * standard billion-scale ANN table. At scale this is also the
+    * partitioning column: write `partitionBy(cell)` and a probe scans
+    * nprobe directories, never the corpus. */
+  def encodeIvfPq(df: DataFrame, vecCol: String, idCol: String,
+      coarse: PQModel, pq: PQModel): DataFrame =
+    encode(df, vecCol, idCol, pq)
+      .join(assignCells(df, vecCol, idCol, coarse), idCol)
+      .select(col(idCol), col("cell"), col("codes"))
+
+  /** IVF-PQ search: rank cells by centroid distance (driver-side,
+    * nCells floats), ADC-scan codes ONLY inside the nprobe nearest
+    * cells, exact-rescore the top `rerank`. Scan fraction ~ nprobe /
+    * nCells of an already-32x-compressed table. (Classic refinement —
+    * PQ over cell RESIDUALS — is noted, not implemented: raw-vector
+    * codes keep one codebook for all cells.) */
+  def searchIvfPq(df: DataFrame, encoded: DataFrame, vecCol: String,
+      idCol: String, probe: Array[Float], coarse: PQModel, pq: PQModel,
+      nprobe: Int, k: Int, rerank: Int): DataFrame = {
+    val nearCells = coarse.codebooks(0).zipWithIndex
+      .map { case (c, i) => (i, l2(probe, c)) }
+      .sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1)
+    val cand = encoded.filter(col("cell").isin(nearCells.toSeq: _*))
+      .select(col(idCol), col("codes"))
+    searchTopK(df, cand, vecCol, idCol, probe, pq, k, rerank)
+  }
+
   /** Full search: ADC-rank everything, exact-rescore the top `rerank`
     * candidates on the original floats, return exact top-k. The only
     * data shuffled is the rerank-sized candidate set. */

@@ -934,6 +934,64 @@ object VersionedTable {
       }
       .start()
 
+  /** Idempotent per-micro-batch MERGE: upsert `batch` by `keyCols` as
+    * one committed version carrying `batchId`; a replayed batch (sink
+    * restart behind the checkpoint) is skipped — the upsert analogue
+    * of [[appendBatch]]. The first batch creates the table. `batch`
+    * must be key-unique (collapse multi-update micro-batches to the
+    * last write per key BEFORE the sink — only the caller knows the
+    * stream's ordering column). Single-writer discipline: the merge
+    * pins its base version, so a concurrent non-stream commit fails it
+    * with ConcurrentModificationException rather than losing rows. */
+  def mergeBatch(spark: SparkSession, root: String, batch: DataFrame,
+      keyCols: Seq[String], batchId: Long): Boolean = {
+    require(keyCols.nonEmpty, "merge requires at least one key column")
+    def replayed(man: java.util.Map[String, Object]): Boolean =
+      Option(man.get(BatchIdKey))
+        .collect { case n: java.lang.Number => n.longValue() }
+        .exists(_ >= batchId)
+    loadHead(spark, root) match {
+      case None => appendBatch(spark, root, batch, batchId)
+      case Some((base, man)) =>
+        if (replayed(man)) return false
+        val dupKeys = batch.groupBy(keyCols.map(batch(_)): _*)
+          .count().filter(col("count") > 1).count()
+        require(dupKeys == 0, s"streaming merge batch $batchId has $dupKeys " +
+          "duplicate key(s); collapse to last-write-per-key before the sink")
+        val current = read(spark, root, Some(base))
+        require(current.columns.sameElements(batch.columns),
+          s"merge schema mismatch: ${current.columns.mkString(",")} vs " +
+            batch.columns.mkString(","))
+        val kept = current.join(
+          batch.select(keyCols.map(batch(_)): _*), keyCols, "left_anti")
+        val files = writeData(spark, root, kept.unionByName(batch))
+        try {
+          commit(spark, root, Map[String, Object](BatchIdKey -> Long.box(batchId)),
+            requireBase = Some(base)) { headOpt =>
+            if (headOpt.exists(h => replayed(h._2))) throw ReplaySkip
+            ("merge", manifestSchema(man), files)
+          }
+          true
+        } catch { case ReplaySkip => false }
+    }
+  }
+
+  /** Exactly-once streaming upsert: every micro-batch MERGEs by key —
+    * the Delta `foreachBatch` + MERGE pattern as one call. Same
+    * one-checkpoint-per-table contract as [[appendStream]]. */
+  def mergeStream(stream: DataFrame, root: String, keyCols: Seq[String],
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeBatch(batch.sparkSession, root, batch, keyCols, id); ()
+      }
+      .start()
+
   /** Rewrite the current snapshot into ~ceil(bytes/targetBytes) files
     * as a new committed version (transactional Maintenance.compact).
     * Old versions remain time-travelable until vacuum. */

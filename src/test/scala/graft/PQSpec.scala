@@ -61,6 +61,31 @@ class PQSpec extends AnyFunSuite {
       s"mean ADC rank of true top-10 was ${ranks.sum / ranks.size} of ${adcRanked.length}")
   }
 
+  test("IVF-PQ: nprobe cells bound the scan, recall holds, self found") {
+    val coarse = PQ.trainIvf(emb, "embedding", "vec_id", nCells = 16)
+    val layout = PQ.encodeIvfPq(emb, "embedding", "vec_id", coarse, model).cache()
+    val n = emb.count()
+    assert(layout.count() == n)
+    // cells partition the corpus non-degenerately
+    val cellSizes = layout.groupBy("cell").count().collect().map(_.getLong(1))
+    assert(cellSizes.length > 4 && cellSizes.max < n)
+    val recalls = Seq(3L, 7L, 101L).map { q =>
+      val probe = probeVec(q)
+      val exact10 = exactTopK(probe, 10).toSet
+      val got = PQ.searchIvfPq(emb, layout, "embedding", "vec_id", probe,
+        coarse, model, nprobe = 8, k = 10, rerank = 50)
+        .collect().map(_.getLong(0)).toSet
+      assert(got.size == 10)
+      (exact10 intersect got).size / 10.0
+    }
+    info(s"IVF-PQ recall@10 (nprobe=8/16, rerank=50): $recalls")
+    assert(recalls.sum / recalls.size >= 0.4)
+    // the probe's own vector lives in the nearest cell -> always found
+    val self = PQ.searchIvfPq(emb, layout, "embedding", "vec_id",
+      probeVec(7L), coarse, model, nprobe = 1, k = 1, rerank = 10).collect()(0)
+    assert(self.getLong(0) == 7L && self.getDouble(1) == 0.0)
+  }
+
   test("searchTopK: exact-rescored results, measured recall floor") {
     val ks = Seq(3L, 7L, 101L, 250L)
     val recalls = ks.map { q =>

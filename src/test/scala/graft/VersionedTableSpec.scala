@@ -249,6 +249,40 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, root).count() == expected)
   }
 
+  test("mergeBatch upserts idempotently on the streaming batch id") {
+    val root = tmpRoot()
+    def df(rows: (Long, String)*) = rows.toSeq.toDF("k", "v")
+    assert(VersionedTable.mergeBatch(spark, root, df(1L -> "a", 2L -> "b"), Seq("k"), 0L))
+    assert(VersionedTable.mergeBatch(spark, root, df(2L -> "B", 3L -> "c"), Seq("k"), 1L))
+    // a replay of batch 1 must change nothing and report skipped
+    assert(!VersionedTable.mergeBatch(spark, root, df(2L -> "WRONG"), Seq("k"), 1L))
+    val got = VersionedTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // key-duplicate batches are rejected loudly (caller collapses)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.mergeBatch(spark, root, df(5L -> "x", 5L -> "y"), Seq("k"), 2L)
+    }
+    assert(e.getMessage.contains("duplicate key"))
+  }
+
+  test("mergeStream lands a bounded stream exactly once, replay-safe") {
+    val root = tmpRoot()
+    val ev = graft.streaming.Streams.eventsStream(spark, SharedSpark.sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val q = VersionedTable.mergeStream(ev, root, Seq("event_id"),
+      Files.createTempDirectory("vtmck").toString)
+    q.awaitTermination()
+    val expected = Tables(spark, SharedSpark.sf0001, "events").count()
+    assert(VersionedTable.read(spark, root).count() == expected)
+    // a FRESH checkpoint replays batch 0 with the same id: the
+    // high-water mark skips it, the table does not double
+    val q2 = VersionedTable.mergeStream(ev, root, Seq("event_id"),
+      Files.createTempDirectory("vtmck2").toString)
+    q2.awaitTermination()
+    assert(VersionedTable.read(spark, root).count() == expected)
+  }
+
   test("a mounted snapshot serves the declared query suite identically") {
     val root = tmpRoot()
     val d = SharedSpark.sf0001
