@@ -31,7 +31,19 @@ import graft.Tables
 class Naqed(spark: SparkSession, sfDir: String) {
   import Naqed._
 
-  def table(name: String): DataFrame = Tables(spark, sfDir, name)
+  /** Per-thread table override used by [[subscribe]] — a
+    * DynamicVariable, NOT a session-global mount, so a concurrent
+    * `request` on another thread never observes the streaming binding
+    * (a batch query resolving a streaming source fails at action
+    * time). */
+  private val boundSource =
+    new scala.util.DynamicVariable[Option[(String, DataFrame)]](None)
+
+  def table(name: String): DataFrame =
+    boundSource.value match {
+      case Some((n, df)) if n == name => df
+      case _ => Tables(spark, sfDir, name)
+    }
 
   /** Execute a nested query rooted at `root`. Pagination args at the
     * root: `$sort -> "field"` (or `"-field"` for descending; ties
@@ -41,13 +53,24 @@ class Naqed(spark: SparkSession, sfDir: String) {
     * deterministically sorted). */
   def request(root: String, q: Map[String, Any]): DataFrame = {
     val (sortKey, limitN, rest) = pageArgs(q)
-    applyPage(compile(root, rest), root, sortKey, limitN)
+    // sorting by a legal-but-unselected table field: co-select it for
+    // the orderBy, drop it from the output afterwards
+    val field = sortKey.map(s => if (s.startsWith("-")) s.drop(1) else s)
+    val extra = field.filter(f =>
+      !rest.contains(f) && table(root).columns.contains(f))
+    val compiled = compile(root, rest ++ extra.map(_ -> true))
+    val paged = applyPage(compiled, root, sortKey, limitN)
+    extra.filterNot(f => keyColumns(root).contains(f))
+      .fold(paged)(paged.drop(_))
   }
 
   private def intOf(v: Any): Int = v match {
     case i: Int => i
     case l: Long => l.toInt
-    case n: java.lang.Number => n.intValue()
+    // JSON numbers arrive as Double — accept integral values only,
+    // a fractional $limit is a caller bug, not something to truncate
+    case n: java.lang.Number if n.doubleValue() == math.floor(n.doubleValue()) &&
+      !n.doubleValue().isInfinite => n.intValue()
     case other => throw new IllegalArgumentException(
       s"$$limit must be an integer, got: $other")
   }
@@ -115,8 +138,9 @@ class Naqed(spark: SparkSession, sfDir: String) {
     * ROOT are rejected with a naqed-style error (they would need
     * unbounded state; deeper levels are static-static and fine).
     * Returns a streaming DataFrame ready for `writeStream`. The
-    * root's batch binding is restored after compilation, so
-    * subscriptions never leak into subsequent `request` calls. */
+    * streaming binding is a per-thread DynamicVariable scoped to this
+    * compilation, so it never leaks into `request` calls — including
+    * concurrent ones on other threads. */
   def subscribe(root: String, q: Map[String, Any], source: DataFrame): DataFrame = {
     require(source.isStreaming,
       s"subscribe('$root') needs a readStream source; use request() for batch queries")
@@ -129,13 +153,7 @@ class Naqed(spark: SparkSession, sfDir: String) {
         s"subscription field '$k' on '$root' is one-to-many (unbounded state); " +
           "subscriptions support arg filters, fields, resolvers and many-to-one traversals")
     }
-    val prior = Tables.peek(spark, sfDir, root)
-    Tables.mount(spark, sfDir, root, source)
-    try compile(root, q)
-    finally prior match {
-      case Some(df) => Tables.mount(spark, sfDir, root, df)
-      case None => Tables.unmount(spark, sfDir, root)
-    }
+    boundSource.withValue(Some((root, source)))(compile(root, q))
   }
 
   def mutate(q: Map[String, Seq[Map[String, Any]]], outDir: String): Map[String, Long] =

@@ -118,6 +118,10 @@ object Multimodal {
       while (off + 8 <= p.length && (fmtOff < 0 || dataOff < 0)) {
         val id = new String(p, off, 4, "US-ASCII")
         val sz = u32(p, off + 4).toInt
+        // corrupt size fields (negative after toInt, i.e. > 2 GiB
+        // claims) would make the step non-positive and spin this walk
+        // forever — bail to the caller's fallback instead
+        if (sz < 0) return None
         if (id == "fmt ") fmtOff = off + 8
         else if (id == "data") { dataOff = off + 8; dataLen = math.min(sz, p.length - dataOff) }
         off += 8 + sz + (sz & 1)

@@ -64,7 +64,10 @@ object PQ {
           distinct += sub(i)
         i += 1
       }
-      while (distinct.length < k) distinct += distinct(distinct.length % math.max(1, distinct.length))
+      // pad by cycling over the ORIGINAL seeds (modulus must be the
+      // pre-padding count, or every pad lands on seed 0)
+      val nSeeds = distinct.length
+      while (distinct.length < k) distinct += distinct(distinct.length % nSeeds)
       var cents = distinct.toArray
       var it = 0
       while (it < iters) {
@@ -174,15 +177,44 @@ object PQ {
       }.toDF(idCol, "cell")
   }
 
-  /** One pass producing the IVF-PQ layout: (id, cell, codes) — the
-    * standard billion-scale ANN table. At scale this is also the
-    * partitioning column: write `partitionBy(cell)` and a probe scans
-    * nprobe directories, never the corpus. */
+  /** ONE pass producing the IVF-PQ layout: (id, cell, codes) — cell
+    * assignment and code computation are both per-row functions of the
+    * same vector, so they are emitted together (no second scan, no
+    * by-id shuffle). At scale `cell` is also the partitioning column:
+    * write `partitionBy(cell)` and a probe scans nprobe directories,
+    * never the corpus. */
   def encodeIvfPq(df: DataFrame, vecCol: String, idCol: String,
-      coarse: PQModel, pq: PQModel): DataFrame =
-    encode(df, vecCol, idCol, pq)
-      .join(assignCells(df, vecCol, idCol, coarse), idCol)
-      .select(col(idCol), col("cell"), col("codes"))
+      coarse: PQModel, pq: PQModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = coarse.codebooks(0)
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val dsub = pq.dsub
+        rows.map { case (id, v) =>
+          var cell = 0; var bd = Float.MaxValue; var c = 0
+          while (c < cents.length) {
+            val dd = l2(v, cents(c)); if (dd < bd) { bd = dd; cell = c }; c += 1
+          }
+          val codes = new Array[Byte](pq.m)
+          var j = 0
+          while (j < pq.m) {
+            val cb = pq.codebooks(j)
+            var best = 0; var bj = Float.MaxValue; var cc = 0
+            while (cc < cb.length) {
+              var s = 0.0f; var t = 0
+              while (t < dsub) { s += sq(v(j * dsub + t) - cb(cc)(t)); t += 1 }
+              if (s < bj) { bj = s; best = cc }
+              cc += 1
+            }
+            codes(j) = best.toByte
+            j += 1
+          }
+          (id, cell, codes)
+        }
+      }.toDF(idCol, "cell", "codes")
+  }
 
   /** IVF-PQ search: rank cells by centroid distance (driver-side,
     * nCells floats), ADC-scan codes ONLY inside the nprobe nearest

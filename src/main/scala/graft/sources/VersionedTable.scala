@@ -950,14 +950,21 @@ object VersionedTable {
       Option(man.get(BatchIdKey))
         .collect { case n: java.lang.Number => n.longValue() }
         .exists(_ >= batchId)
+    // key-uniqueness holds from the FIRST batch — the table-creating
+    // path must not smuggle duplicates past the guard
+    def requireUniqueKeys(): Unit = {
+      val dupKeys = batch.groupBy(keyCols.map(batch(_)): _*)
+        .count().filter(col("count") > 1).count()
+      require(dupKeys == 0, s"streaming merge batch $batchId has $dupKeys " +
+        "duplicate key(s); collapse to last-write-per-key before the sink")
+    }
     loadHead(spark, root) match {
-      case None => appendBatch(spark, root, batch, batchId)
+      case None =>
+        requireUniqueKeys()
+        appendBatch(spark, root, batch, batchId)
       case Some((base, man)) =>
         if (replayed(man)) return false
-        val dupKeys = batch.groupBy(keyCols.map(batch(_)): _*)
-          .count().filter(col("count") > 1).count()
-        require(dupKeys == 0, s"streaming merge batch $batchId has $dupKeys " +
-          "duplicate key(s); collapse to last-write-per-key before the sink")
+        requireUniqueKeys()
         val current = read(spark, root, Some(base))
         require(current.columns.sameElements(batch.columns),
           s"merge schema mismatch: ${current.columns.mkString(",")} vs " +

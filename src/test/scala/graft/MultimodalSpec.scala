@@ -80,6 +80,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(11L).features.length == 16)              // fallback
     // same 16-dim shape as the image path: modality-agnostic joins
     assert(f.length == 16)
+    // corrupt chunk size (> 2 GiB claim -> negative toInt) must fall
+    // back, not spin the chunk walk forever
+    val evil = a440.clone()
+    evil(16) = 0xf8.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xff.toByte
+    assert(Multimodal.decodeWav(evil).isEmpty)
   }
 
   test("magic-byte sniffing routes only real images to the decoder") {

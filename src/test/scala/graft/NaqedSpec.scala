@@ -95,6 +95,20 @@ class NaqedSpec extends AnyFunSuite {
       naqed.request("customer", Map("c_name" -> true, "$sort" -> "nope"))
     }
     assert(e.getMessage.contains("unknown sort field"))
+    // sorting by a legal-but-unselected field co-selects it for the
+    // orderBy and drops it from the output
+    val byBal = naqed.request("customer", Map(
+      "c_name" -> true, "$sort" -> "-c_acctbal", "$limit" -> 5))
+    assert(!byBal.columns.contains("c_acctbal"))
+    val wantNames = Tables(spark, sf0001, "customer")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(5).collect().map(_.getAs[String]("c_name")).toSeq
+    assert(byBal.collect().map(_.getAs[String]("c_name")).toSeq == wantNames)
+    // fractional $limit is a caller bug, not a truncation
+    val e2 = intercept[IllegalArgumentException] {
+      naqed.requestJson("""{"customer": {"c_name": true, "$limit": 2.9}}""")
+    }
+    assert(e2.getMessage.contains("must be an integer"))
   }
 
   test("pagination args: child $limit keeps first n per parent") {

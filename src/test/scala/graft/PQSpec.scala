@@ -61,6 +61,31 @@ class PQSpec extends AnyFunSuite {
       s"mean ADC rank of true top-10 was ${ranks.sum / ranks.size} of ${adcRanked.length}")
   }
 
+  test("codebook padding cycles ALL seeds when distinct subvectors < k") {
+    import spark.implicits._
+    val pts = Seq(
+      Array(0.0f, 0.0f), Array(1.0f, 1.0f), Array(2.0f, 2.0f),
+      Array(0.0f, 0.0f), Array(1.0f, 1.0f), Array(2.0f, 2.0f))
+    val df = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val m = PQ.train(df, "v", "id", m = 1, k = 6, iters = 2)
+    // 3 distinct seeds, k=6: each must appear exactly twice (the
+    // pre-fix modulus always padded seed 0 -> counts 4/1/1)
+    val counts = m.codebooks(0).map(_.toSeq).groupBy(identity).map(_._2.length).toSeq
+    assert(counts.sorted == Seq(2, 2, 2), s"centroid multiplicity: $counts")
+  }
+
+  test("encodeIvfPq single pass equals encode + assignCells") {
+    val coarse = PQ.trainIvf(emb, "embedding", "vec_id", nCells = 16)
+    val onePass = PQ.encodeIvfPq(emb, "embedding", "vec_id", coarse, model)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq))
+    val twoPass = PQ.encode(emb, "embedding", "vec_id", model)
+      .join(PQ.assignCells(emb, "embedding", "vec_id", coarse), "vec_id")
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("cell"), r.getAs[Array[Byte]]("codes").toSeq))
+    assert(onePass.toSeq == twoPass.toSeq)
+  }
+
   test("IVF-PQ: nprobe cells bound the scan, recall holds, self found") {
     val coarse = PQ.trainIvf(emb, "embedding", "vec_id", nCells = 16)
     val layout = PQ.encodeIvfPq(emb, "embedding", "vec_id", coarse, model).cache()

@@ -264,6 +264,13 @@ class VersionedTableSpec extends AnyFunSuite {
       VersionedTable.mergeBatch(spark, root, df(5L -> "x", 5L -> "y"), Seq("k"), 2L)
     }
     assert(e.getMessage.contains("duplicate key"))
+    // ...including on the TABLE-CREATING first batch (the append
+    // delegation must not smuggle duplicates past the guard)
+    val fresh = tmpRoot()
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.mergeBatch(spark, fresh, df(5L -> "x", 5L -> "y"), Seq("k"), 0L)
+    }
+    assert(e2.getMessage.contains("duplicate key"))
   }
 
   test("mergeStream lands a bounded stream exactly once, replay-safe") {
