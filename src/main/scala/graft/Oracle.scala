@@ -1127,6 +1127,18 @@ SELECT l_returnflag, cast(n AS BIGINT) AS n,
   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4) AS intercept
 FROM m ORDER BY l_returnflag""",
 
+      // bitmap-exact distinct: ids bucket into 64-bit words, bit_or
+      // accumulates, popcounts sum — all-integer, cross-engine exact.
+      "agg_bitmap_distinct" ->
+        s"""WITH words AS (
+  SELECT event_type, user_id // 63 AS word_idx,
+    bit_or(cast(1 AS BIGINT) << cast(user_id % 63 AS INT)) AS word
+  FROM ${T("events")} GROUP BY 1, 2)
+SELECT event_type,
+  cast(sum(bit_count(word)) AS BIGINT) AS distinct_users,
+  count(*) AS n_words
+FROM words GROUP BY 1 ORDER BY event_type""",
+
       "fn_bitwise" ->
         s"""SELECT l_orderkey, cast(l_linenumber AS BIGINT) AS ln,
   l_orderkey & l_partkey AS b_and,

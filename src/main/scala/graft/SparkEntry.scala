@@ -42,6 +42,7 @@ object SparkEntry {
     "rcte_month_spine" -> Recursive.rcteMonthSpine,
     "win_distinct_running" -> Windows.winDistinctRunning,
     "agg_corr_regr" -> Relational.aggCorrRegr,
+    "agg_bitmap_distinct" -> Relational.aggBitmapDistinct,
     "join_salted" -> Relational.joinSalted,
     // §2.3 aggregations
     "agg_hash_q1" -> Relational.aggHashQ1,

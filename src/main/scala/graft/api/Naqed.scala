@@ -226,7 +226,72 @@ class Naqed(spark: SparkSession, sfDir: String) {
     (train, test, Seq(rep).toDS().toDF())
   }
 
+  /** Aggregation directive: `$groupBy -> field | Seq(fields)` plus
+    * `$agg -> Map(outName -> "count" | "fn:field")` with fn in
+    * {count, sum, min, max, avg, count_distinct}. `$`-arg filters at
+    * the same level apply BEFORE grouping; plain field selections and
+    * relation traversals don't mix with aggregation (naqed-style
+    * error). The naqed analytics surface alongside selection queries. */
+  private def compileAggregate(tname: String, q: Map[String, Any]): DataFrame = {
+    var df = table(tname)
+    val cols = df.columns.toSet
+    val keys = q("$groupBy") match {
+      case s: String => Seq(s)
+      case xs: Seq[_] => xs.map(_.toString)
+      case other => throw new IllegalArgumentException(
+        s"$$groupBy must be a field or list of fields, got: $other")
+    }
+    keys.filterNot(cols.contains).foreach(k =>
+      throw new IllegalArgumentException(
+        s"unknown group field '$k' on '$tname'; fields: ${cols.toSeq.sorted.mkString(", ")}"))
+    val aggSpec = q.getOrElse("$agg", Map("n" -> "count")) match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].view.mapValues(_.toString).toMap
+      case other => throw new IllegalArgumentException(
+        s"$$agg must be a map of outputName -> aggregate, got: $other")
+    }
+    require(aggSpec.nonEmpty, "$agg must name at least one aggregate")
+    q.keys.filterNot(k => k == "$groupBy" || k == "$agg" || k.startsWith("$")).toSeq.sorted
+      .headOption.foreach { k =>
+        throw new IllegalArgumentException(
+          s"field '$k' cannot mix with $$groupBy on '$tname'; an aggregation " +
+            "level takes only arg filters, $groupBy and $agg")
+      }
+    q.foreach {
+      case (k, v) if k.startsWith("$") && k != "$groupBy" && k != "$agg" =>
+        val (colName, op) = argTarget(k.drop(1))
+        if (!cols.contains(colName))
+          throw new IllegalArgumentException(
+            s"unknown argument field '$colName' on '$tname'; fields: ${cols.toSeq.sorted.mkString(", ")}")
+        df = df.filter(op(col(colName), v))
+      case _ =>
+    }
+    def aggCol(out: String, spec: String): Column = {
+      val (fn, fieldOpt) = spec.split(":", 2) match {
+        case Array(f) => (f, None)
+        case Array(f, c) => (f, Some(c))
+      }
+      fieldOpt.filterNot(cols.contains).foreach(c =>
+        throw new IllegalArgumentException(
+          s"unknown aggregate field '$c' on '$tname'; fields: ${cols.toSeq.sorted.mkString(", ")}"))
+      (fn, fieldOpt) match {
+        case ("count", None) => count(lit(1)).as(out)
+        case ("count", Some(c)) => count(col(c)).as(out)
+        case ("count_distinct", Some(c)) => count_distinct(col(c)).as(out)
+        case ("sum", Some(c)) => sum(col(c)).as(out)
+        case ("min", Some(c)) => min(col(c)).as(out)
+        case ("max", Some(c)) => max(col(c)).as(out)
+        case ("avg", Some(c)) => avg(col(c)).as(out)
+        case _ => throw new IllegalArgumentException(
+          s"unknown aggregate '$spec' for '$out'; use count, count_distinct:f, " +
+            "sum:f, min:f, max:f, avg:f")
+      }
+    }
+    val aggs = aggSpec.toSeq.sortBy(_._1).map { case (out, spec) => aggCol(out, spec) }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   private def compile(tname: String, q: Map[String, Any]): DataFrame = {
+    if (q.contains("$groupBy")) return compileAggregate(tname, q)
     var df = table(tname)
     val cols = df.columns.toSet
     // output columns tracked BY NAME (every selection is named `k`

@@ -542,6 +542,26 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Bitmap-exact COUNT(DISTINCT) (round 4): user ids bucket into
+    * 64-bit words (id div 64), each word OR-accumulates its members'
+    * bits, popcounts sum back to the exact distinct count — the
+    * roaring-bitmap pattern in two map-side-combinable aggregates.
+    * Why it matters at 100 TB: the shuffle carries (group, word_idx,
+    * word) — bounded by the ID SPACE / 64 per group, not by row count
+    * — where count_distinct's expand/two-phase carries every distinct
+    * (group, id) pair. All-integer arithmetic: cross-engine exact. */
+  val aggBitmapDistinct: Q = (s, d) => {
+    // 63-bit words: bit 63 would be 1<<63, which DuckDB rejects as a
+    // signed-overflow shift — one bit of density costs portability
+    table(s, d, "events")
+      .groupBy(col("event_type"), expr("user_id div 63").as("word_idx"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pmod(user_id, 63) AS INT)))").as("word"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bit_count(word)")).cast(LongType).as("distinct_users"),
+        count(lit(1)).as("n_words"))
+      .orderBy("event_type")
+  }
+
   /** Multiset (ALL) set operations — bag semantics UNION/INTERSECT/
     * EXCEPT, complementing the distinct variants above. */
   val setOpsAll: Q = (s, d) => {

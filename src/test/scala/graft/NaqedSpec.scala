@@ -128,6 +128,38 @@ class NaqedSpec extends AnyFunSuite {
     assert(gotFirst.toSeq == wantFirst.toSeq)
   }
 
+  test("aggregation directive: $groupBy/$agg with pre-filters and paging") {
+    val got = naqed.request("orders", Map(
+      "$min_o_totalprice" -> 1000.0,
+      "$groupBy" -> "o_orderstatus",
+      "$agg" -> Map("n" -> "count", "hi" -> "max:o_totalprice",
+        "buyers" -> "count_distinct:o_custkey")))
+    val want = Tables(spark, sf0001, "orders")
+      .filter(col("o_totalprice") >= 1000.0)
+      .groupBy("o_orderstatus")
+      .agg(count_distinct(col("o_custkey")).as("buyers"),
+        max(col("o_totalprice")).as("hi"), count(lit(1)).as("n"))
+    assert(got.count() == want.count())
+    assert(got.select("o_orderstatus", "n", "hi", "buyers")
+      .exceptAll(want.select("o_orderstatus", "n", "hi", "buyers")).count() == 0)
+    // pagination composes on aggregate output columns
+    val top = naqed.request("orders", Map(
+      "$groupBy" -> "o_orderstatus",
+      "$agg" -> Map("n" -> "count"), "$sort" -> "-n", "$limit" -> 1))
+    assert(top.count() == 1)
+    // mixing plain selections with $groupBy is a type error
+    val e = intercept[IllegalArgumentException] {
+      naqed.request("orders", Map("o_orderkey" -> true,
+        "$groupBy" -> "o_orderstatus", "$agg" -> Map("n" -> "count")))
+    }
+    assert(e.getMessage.contains("cannot mix"))
+    val e2 = intercept[IllegalArgumentException] {
+      naqed.request("orders", Map("$groupBy" -> "o_orderstatus",
+        "$agg" -> Map("n" -> "median:o_totalprice")))
+    }
+    assert(e2.getMessage.contains("unknown aggregate"))
+  }
+
   test("JSON wire queries equal the Map API (reference-compatible input)") {
     val viaJson = naqed.requestJson(
       """{"customer": {"$c_mktsegment": "BUILDING", "c_name": true,

@@ -58,8 +58,10 @@ class QuerySuiteSpec extends AnyFunSuite {
     "tpch_q7_shape" -> 14L, "tpch_q8_shape" -> 7L, "tpch_q10_shape" -> 20L,
     // true recursive CTEs (WITH RECURSIVE on BOTH engines)
     "graph_reach_rcte" -> 200L, "rcte_month_spine" -> 84L,
-    // running count-distinct window, exact-moment corr/regression
-    "win_distinct_running" -> 1000L, "agg_corr_regr" -> 3L)
+    // running count-distinct window, exact-moment corr/regression,
+    // bitmap-exact distinct
+    "win_distinct_running" -> 1000L, "agg_corr_regr" -> 3L,
+    "agg_bitmap_distinct" -> 5L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
