@@ -1127,6 +1127,25 @@ SELECT l_returnflag, cast(n AS BIGINT) AS n,
   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4) AS intercept
 FROM m ORDER BY l_returnflag""",
 
+      // Non-parquet source round-trips: the oracle reads the ORIGINAL
+      // parquet; the Spark side went through csv/json/orc.
+      "src_csv_roundtrip" ->
+        s"""SELECT s_nationkey, count(*) AS n,
+  round(cast(sum(cast(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS bal
+FROM ${T("supplier")} GROUP BY 1 ORDER BY s_nationkey""",
+
+      "src_json_roundtrip" ->
+        s"""SELECT c_mktsegment, count(*) AS n,
+  round(cast(sum(cast(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS bal,
+  max(c_custkey) AS hi_key
+FROM ${T("customer")} GROUP BY 1 ORDER BY c_mktsegment""",
+
+      "src_orc_roundtrip" ->
+        s"""SELECT o_orderstatus, count(*) AS n,
+  min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
+  round(cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM ${T("orders")} GROUP BY 1 ORDER BY o_orderstatus""",
+
       // bitmap-exact distinct: ids bucket into 64-bit words, bit_or
       // accumulates, popcounts sum — all-integer, cross-engine exact.
       "agg_bitmap_distinct" ->

@@ -43,6 +43,9 @@ object SparkEntry {
     "win_distinct_running" -> Windows.winDistinctRunning,
     "agg_corr_regr" -> Relational.aggCorrRegr,
     "agg_bitmap_distinct" -> Relational.aggBitmapDistinct,
+    "src_csv_roundtrip" -> Relational.srcCsvRoundtrip,
+    "src_json_roundtrip" -> Relational.srcJsonRoundtrip,
+    "src_orc_roundtrip" -> Relational.srcOrcRoundtrip,
     "join_salted" -> Relational.joinSalted,
     // §2.3 aggregations
     "agg_hash_q1" -> Relational.aggHashQ1,

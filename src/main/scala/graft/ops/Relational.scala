@@ -542,6 +542,39 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Non-parquet sources, proven end-to-end (round 4): the Spark side
+    * reads the base table THROUGH csv/json/orc (written once per
+    * session by Sources.via), while the oracle aggregates the original
+    * parquet — the hash gate fails if the round-trip damages one
+    * value. Tables chosen per format's precision caveats (CSV/JSON
+    * timestamps are millis; ORC is exact). */
+  val srcCsvRoundtrip: Q = (s, d) => {
+    graft.sources.Sources.via(s, d, "supplier", "csv")
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec2(col("s_acctbal"))).cast(DoubleType), 2).as("bal"))
+      .orderBy("s_nationkey")
+  }
+
+  val srcJsonRoundtrip: Q = (s, d) => {
+    graft.sources.Sources.via(s, d, "customer", "json")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec2(col("c_acctbal"))).cast(DoubleType), 2).as("bal"),
+        max(col("c_custkey")).as("hi_key"))
+      .orderBy("c_mktsegment")
+  }
+
+  val srcOrcRoundtrip: Q = (s, d) => {
+    graft.sources.Sources.via(s, d, "orders", "orc")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"),
+        round(sum(dec2(col("o_totalprice"))).cast(DoubleType), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Bitmap-exact COUNT(DISTINCT) (round 4): user ids bucket into
     * 64-bit words (id div 64), each word OR-accumulates its members'
     * bits, popcounts sum back to the exact distinct count — the

@@ -41,4 +41,38 @@ object Sources {
     * entry point before any parsing. */
   def readText(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
+
+  private val convCache = new graft.SessionCache[(String, String, String), DataFrame]
+
+  /** A base table served THROUGH a non-parquet format: written once per
+    * (session, sfDir, table, format) to a temp dir, then read back via
+    * the schema-enforced reader above. This is how the oracle suite
+    * proves the csv/json/orc readers end-to-end — the DuckDB oracle
+    * aggregates the ORIGINAL parquet, so any value the round-trip
+    * damages fails the hash gate. Caveats encoded by the caller's
+    * choice of table: CSV/JSON serialize timestamps at millisecond
+    * precision (fine for the midnight-valued orderdate, wrong for
+    * events.ts — use ORC for exact micros) and doubles as
+    * shortest-repr text (reads back bit-exact). */
+  def via(spark: SparkSession, sfDir: String, name: String,
+      format: String): DataFrame =
+    convCache.getOrElseUpdate(spark, (sfDir, name, format)) {
+      val base = graft.Tables(spark, sfDir, name)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-$format-$name").toString
+      val path = s"$dir/$name"
+      format match {
+        case "csv" =>
+          base.write.mode("overwrite").option("header", "true").csv(path)
+          readCsv(spark, path, base.schema)
+        case "json" =>
+          base.write.mode("overwrite").json(path)
+          readJson(spark, path, base.schema)
+        case "orc" =>
+          base.write.mode("overwrite").orc(path)
+          readOrc(spark, path, base.schema)
+        case other => throw new IllegalArgumentException(
+          s"unsupported via-format '$other' (csv, json, orc)")
+      }
+    }
 }

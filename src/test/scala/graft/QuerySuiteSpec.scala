@@ -61,7 +61,10 @@ class QuerySuiteSpec extends AnyFunSuite {
     // running count-distinct window, exact-moment corr/regression,
     // bitmap-exact distinct
     "win_distinct_running" -> 1000L, "agg_corr_regr" -> 3L,
-    "agg_bitmap_distinct" -> 5L)
+    "agg_bitmap_distinct" -> 5L,
+    // non-parquet sources proven end-to-end (oracle reads the parquet)
+    "src_csv_roundtrip" -> 10L, "src_json_roundtrip" -> 5L,
+    "src_orc_roundtrip" -> 3L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
