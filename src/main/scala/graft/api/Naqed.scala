@@ -53,23 +53,33 @@ class Naqed(spark: SparkSession, sfDir: String) {
     * deterministically sorted). */
   def request(root: String, q: Map[String, Any]): DataFrame = {
     val (sortKey, limitN, rest) = pageArgs(q)
+    val grouped = rest.contains("$groupBy")
     // sorting by a legal-but-unselected table field: co-select it for
-    // the orderBy, drop it from the output afterwards
+    // the orderBy, drop it from the output afterwards. NOT under
+    // $groupBy — there the sortable columns ARE the output (group
+    // keys + aggregate names), and injecting a selection would trip
+    // the no-mixing rule.
     val field = sortKey.map(s => if (s.startsWith("-")) s.drop(1) else s)
     val extra = field.filter(f =>
-      !rest.contains(f) && table(root).columns.contains(f))
+      !grouped && !rest.contains(f) && table(root).columns.contains(f))
     val compiled = compile(root, rest ++ extra.map(_ -> true))
-    val paged = applyPage(compiled, root, sortKey, limitN)
+    // stable pages need deterministic ties: group keys for an
+    // aggregation, the table's key columns otherwise
+    val ties =
+      if (grouped) groupKeysOf(rest("$groupBy")) else keyColumns(root)
+    val paged = applyPage(compiled, root, sortKey, limitN, ties)
     extra.filterNot(f => keyColumns(root).contains(f))
       .fold(paged)(paged.drop(_))
   }
 
   private def intOf(v: Any): Int = v match {
     case i: Int => i
-    case l: Long => l.toInt
-    // JSON numbers arrive as Double — accept integral values only,
-    // a fractional $limit is a caller bug, not something to truncate
-    case n: java.lang.Number if n.doubleValue() == math.floor(n.doubleValue()) &&
+    // JSON integrals arrive as Long (see requestJson.toScala) — wrap
+    // is a caller bug, not a page size
+    case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+    // non-integral doubles are rejected, not truncated
+    case n: java.lang.Number if !n.isInstanceOf[java.lang.Long] &&
+      n.doubleValue() == math.floor(n.doubleValue()) &&
       !n.doubleValue().isInfinite => n.intValue()
     case other => throw new IllegalArgumentException(
       s"$$limit must be an integer, got: $other")
@@ -80,8 +90,17 @@ class Naqed(spark: SparkSession, sfDir: String) {
     (q.get("$sort").map(_.toString), q.get("$limit").map(intOf),
       q - "$sort" - "$limit")
 
+  /** Group-key list of a `$groupBy` value (field or list of fields). */
+  private def groupKeysOf(v: Any): Seq[String] = v match {
+    case s: String => Seq(s)
+    case xs: Seq[_] => xs.map(_.toString)
+    case other => throw new IllegalArgumentException(
+      s"$$groupBy must be a field or list of fields, got: $other")
+  }
+
   private def applyPage(df: DataFrame, tname: String,
-      sortKey: Option[String], limitN: Option[Int]): DataFrame = {
+      sortKey: Option[String], limitN: Option[Int],
+      tieCols: Seq[String]): DataFrame = {
     val sorted = sortKey match {
       case Some(s) =>
         val (field, desc) = if (s.startsWith("-")) (s.drop(1), true) else (s, false)
@@ -89,7 +108,7 @@ class Naqed(spark: SparkSession, sfDir: String) {
           throw new IllegalArgumentException(
             s"unknown sort field '$field' on '$tname'; fields: ${df.columns.sorted.mkString(", ")}")
         val key = if (desc) col(field).desc else col(field).asc
-        val ties = keyColumns(tname).filter(df.columns.contains).map(col)
+        val ties = tieCols.filter(c => c != field && df.columns.contains(c)).map(col)
         df.orderBy(key +: ties: _*)
       case None => df
     }
@@ -111,6 +130,10 @@ class Naqed(spark: SparkSession, sfDir: String) {
         val it = n.fields()
         val b = Map.newBuilder[String, Any]
         while (it.hasNext) { val e = it.next(); b += (e.getKey -> toScala(e.getValue)) }
+        b.result()
+      } else if (n.isArray) {
+        val b = Seq.newBuilder[Any]
+        n.elements().forEachRemaining(e => b += toScala(e))
         b.result()
       } else if (n.isBoolean) n.asBoolean()
       else if (n.isIntegralNumber) n.asLong()
@@ -235,12 +258,7 @@ class Naqed(spark: SparkSession, sfDir: String) {
   private def compileAggregate(tname: String, q: Map[String, Any]): DataFrame = {
     var df = table(tname)
     val cols = df.columns.toSet
-    val keys = q("$groupBy") match {
-      case s: String => Seq(s)
-      case xs: Seq[_] => xs.map(_.toString)
-      case other => throw new IllegalArgumentException(
-        s"$$groupBy must be a field or list of fields, got: $other")
-    }
+    val keys = groupKeysOf(q("$groupBy"))
     keys.filterNot(cols.contains).foreach(k =>
       throw new IllegalArgumentException(
         s"unknown group field '$k' on '$tname'; fields: ${cols.toSeq.sorted.mkString(", ")}"))
@@ -312,6 +330,16 @@ class Naqed(spark: SparkSession, sfDir: String) {
 
       case (k, true) if resolvers.contains((tname, k)) =>
         selected(k) = resolvers((tname, k))(df).as(k)
+
+      case (k, sub: Map[_, _]) if (forward.contains((tname, k)) ||
+          reverse.contains((tname, k))) &&
+          sub.asInstanceOf[Map[String, Any]].contains("$groupBy") =>
+        // a grouped child would lose the join key (forward) or trip
+        // the no-mixing rule on the injected FK (reverse) — reject
+        // with guidance instead of an opaque downstream error
+        throw new IllegalArgumentException(
+          s"$$groupBy inside traversal '$k' is not supported; aggregate at " +
+            s"the root (request(\"$k\", ...)) and join results yourself")
 
       case (k, sub: Map[_, _]) if forward.contains((tname, k)) =>
         val (fk, pk) = forward((tname, k))

@@ -551,16 +551,14 @@ object Relational {
   val srcCsvRoundtrip: Q = (s, d) => {
     graft.sources.Sources.via(s, d, "supplier", "csv")
       .groupBy(col("s_nationkey"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(dec2(col("s_acctbal"))).cast(DoubleType), 2).as("bal"))
+      .agg(count(lit(1)).as("n"), moneySum2(col("s_acctbal")).as("bal"))
       .orderBy("s_nationkey")
   }
 
   val srcJsonRoundtrip: Q = (s, d) => {
     graft.sources.Sources.via(s, d, "customer", "json")
       .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(dec2(col("c_acctbal"))).cast(DoubleType), 2).as("bal"),
+      .agg(count(lit(1)).as("n"), moneySum2(col("c_acctbal")).as("bal"),
         max(col("c_custkey")).as("hi_key"))
       .orderBy("c_mktsegment")
   }
@@ -571,16 +569,16 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         min(col("o_orderdate")).as("first_order"),
         max(col("o_orderdate")).as("last_order"),
-        round(sum(dec2(col("o_totalprice"))).cast(DoubleType), 2).as("total"))
+        moneySum2(col("o_totalprice")).as("total"))
       .orderBy("o_orderstatus")
   }
 
   /** Bitmap-exact COUNT(DISTINCT) (round 4): user ids bucket into
-    * 64-bit words (id div 64), each word OR-accumulates its members'
+    * 63-bit words (id div 63), each word OR-accumulates its members'
     * bits, popcounts sum back to the exact distinct count — the
     * roaring-bitmap pattern in two map-side-combinable aggregates.
     * Why it matters at 100 TB: the shuffle carries (group, word_idx,
-    * word) — bounded by the ID SPACE / 64 per group, not by row count
+    * word) — bounded by the ID SPACE / 63 per group, not by row count
     * — where count_distinct's expand/two-phase carries every distinct
     * (group, id) pair. All-integer arithmetic: cross-engine exact. */
   val aggBitmapDistinct: Q = (s, d) => {

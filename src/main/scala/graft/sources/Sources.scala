@@ -44,6 +44,20 @@ object Sources {
 
   private val convCache = new graft.SessionCache[(String, String, String), DataFrame]
 
+  // conversion dirs hold full table copies — reap them at JVM exit so
+  // repeated bench/test runs don't accumulate unbounded /tmp data
+  private val convDirs = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[java.nio.file.Path]())
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    convDirs.forEach { root =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }
+    }))
+
   /** A base table served THROUGH a non-parquet format: written once per
     * (session, sfDir, table, format) to a temp dir, then read back via
     * the schema-enforced reader above. This is how the oracle suite
@@ -58,9 +72,10 @@ object Sources {
       format: String): DataFrame =
     convCache.getOrElseUpdate(spark, (sfDir, name, format)) {
       val base = graft.Tables(spark, sfDir, name)
-      val dir = java.nio.file.Files
-        .createTempDirectory(s"graft-$format-$name").toString
-      val path = s"$dir/$name"
+      val dirPath = java.nio.file.Files
+        .createTempDirectory(s"graft-$format-$name")
+      convDirs.add(dirPath)
+      val path = s"${dirPath.toString}/$name"
       format match {
         case "csv" =>
           base.write.mode("overwrite").option("header", "true").csv(path)

@@ -158,6 +158,29 @@ class NaqedSpec extends AnyFunSuite {
         "$agg" -> Map("n" -> "median:o_totalprice")))
     }
     assert(e2.getMessage.contains("unknown aggregate"))
+    // sorting an aggregation by its own group key (a table column)
+    // must page, not trip the no-mixing rule
+    val byKey = naqed.request("orders", Map(
+      "$groupBy" -> "o_orderstatus", "$agg" -> Map("n" -> "count"),
+      "$sort" -> "o_orderstatus", "$limit" -> 2))
+      .collect().map(_.getString(0)).toSeq
+    assert(byKey == byKey.sorted && byKey.size == 2)
+    // multi-field $groupBy reaches through the JSON wire (arrays)
+    val wire = naqed.requestJson(
+      """{"orders": {"$groupBy": ["o_orderstatus", "o_orderpriority"],
+        |"$agg": {"n": "count"}}}""".stripMargin)
+    assert(wire.columns.toSeq == Seq("o_orderstatus", "o_orderpriority", "n"))
+    // a grouped child inside a traversal is rejected with guidance
+    val e3 = intercept[IllegalArgumentException] {
+      naqed.request("customer", Map("c_name" -> true,
+        "orders" -> Map("$groupBy" -> "o_orderstatus", "$agg" -> Map("n" -> "count"))))
+    }
+    assert(e3.getMessage.contains("aggregate at the root"))
+    // out-of-Int-range $limit is an error, not a wrapped page size
+    val e4 = intercept[IllegalArgumentException] {
+      naqed.requestJson("""{"customer": {"c_name": true, "$limit": 4294967298}}""")
+    }
+    assert(e4.getMessage.contains("must be an integer"))
   }
 
   test("JSON wire queries equal the Map API (reference-compatible input)") {
