@@ -1106,6 +1106,20 @@ SELECT event_id, event_type,
                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_users
 FROM f ORDER BY event_id""",
 
+      // gaps-and-islands: day minus row_number is constant within a
+      // consecutive run (all integer/date arithmetic, exact).
+      "win_gaps_islands" ->
+        s"""WITH days AS (
+  SELECT DISTINCT user_id, cast(ts AS DATE) AS day
+  FROM ${T("events")} WHERE user_id IS NOT NULL),
+g AS (SELECT user_id, day,
+  day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+  FROM days),
+st AS (SELECT user_id, anchor, count(*) AS len FROM g GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_streaks, max(len) AS longest,
+  cast(sum(len) AS BIGINT) AS active_days
+FROM st GROUP BY 1 ORDER BY user_id""",
+
       // corr/regression from EXACT moments: the five sums are
       // order-insensitive decimals, the formulas run once per group on
       // identical IEEE operands (built-in corr()/regr_slope() would

@@ -41,6 +41,7 @@ object SparkEntry {
     "graph_reach_rcte" -> Recursive.graphReachRcte,
     "rcte_month_spine" -> Recursive.rcteMonthSpine,
     "win_distinct_running" -> Windows.winDistinctRunning,
+    "win_gaps_islands" -> Windows.winGapsIslands,
     "agg_corr_regr" -> Relational.aggCorrRegr,
     "agg_bitmap_distinct" -> Relational.aggBitmapDistinct,
     "src_csv_roundtrip" -> Relational.srcCsvRoundtrip,

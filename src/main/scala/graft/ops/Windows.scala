@@ -132,6 +132,28 @@ object Windows {
       .orderBy("c_custkey")
   }
 
+  /** Gaps-and-islands (round 4): consecutive-day activity streaks per
+    * user via the classic anchor-date trick — day minus its
+    * row_number is constant exactly within a consecutive run, so one
+    * window + two hash aggregates find every streak. All date/integer
+    * arithmetic: cross-engine exact. Scale: the window and both
+    * aggregates share the user_id partitioning; rows after the
+    * distinct are bounded by users x active days. */
+  val winGapsIslands: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts").cast(DateType).as("day")).distinct()
+      .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest"),
+        sum(col("len")).cast(LongType).as("active_days"))
+      .orderBy("user_id")
+  }
+
   /** Running COUNT(DISTINCT) over a window (round 4) — not natively
     * supported by either engine's window functions, so it is composed:
     * a row is a "first occurrence" iff row_number over (key, value)
