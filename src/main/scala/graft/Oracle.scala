@@ -1106,6 +1106,13 @@ SELECT event_id, event_type,
                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_users
 FROM f ORDER BY event_id""",
 
+      // moving exact median over a 7-row frame (aggregate-in-frame).
+      "win_moving_median" ->
+        s"""SELECT event_id, event_type,
+  round(median(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+FROM ${T("events")} ORDER BY event_id""",
+
       // gaps-and-islands: day minus row_number is constant within a
       // consecutive run (all integer/date arithmetic, exact).
       "win_gaps_islands" ->

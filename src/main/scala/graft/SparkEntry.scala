@@ -42,6 +42,7 @@ object SparkEntry {
     "rcte_month_spine" -> Recursive.rcteMonthSpine,
     "win_distinct_running" -> Windows.winDistinctRunning,
     "win_gaps_islands" -> Windows.winGapsIslands,
+    "win_moving_median" -> Windows.winMovingMedian,
     "agg_corr_regr" -> Relational.aggCorrRegr,
     "agg_bitmap_distinct" -> Relational.aggBitmapDistinct,
     "src_csv_roundtrip" -> Relational.srcCsvRoundtrip,

@@ -132,6 +132,22 @@ object Windows {
       .orderBy("c_custkey")
   }
 
+  /** Moving exact median (round 4): a true aggregate (not a ranking
+    * function) evaluated over a sliding row frame — the window-frame
+    * aggregate family. Exact sort-based median; even frames
+    * interpolate (a+b)/2 on identical IEEE operands in both engines.
+    * Scale: per-event_type partitioning, 7-row frames re-sort locally
+    * per row — O(rows x frame log frame) within each partition. */
+  val winMovingMedian: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    table(s, d, "events")
+      .select(col("event_id"), col("event_type"),
+        round(expr("percentile(value, 0.5)").over(w), 4).as("med7"))
+      .orderBy("event_id")
+  }
+
   /** Gaps-and-islands (round 4): consecutive-day activity streaks per
     * user via the classic anchor-date trick — day minus its
     * row_number is constant exactly within a consecutive run, so one

@@ -65,8 +65,8 @@ class QuerySuiteSpec extends AnyFunSuite {
     // non-parquet sources proven end-to-end (oracle reads the parquet)
     "src_csv_roundtrip" -> 10L, "src_json_roundtrip" -> 5L,
     "src_orc_roundtrip" -> 3L,
-    // gaps-and-islands consecutive-day streaks
-    "win_gaps_islands" -> 15L)
+    // gaps-and-islands consecutive-day streaks, moving exact median
+    "win_gaps_islands" -> 15L, "win_moving_median" -> 1000L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
