@@ -753,6 +753,30 @@ sh AS (SELECT DISTINCT a.doc_id, md5(concat(a.w, ' ', b.w, ' ', c.w)) AS h
 SELECT doc_id, count(*) AS n_shingles, min(h) AS fp_min, max(h) AS fp_max
 FROM sh GROUP BY doc_id ORDER BY doc_id""",
 
+      "pipeline_contamination" ->
+        s"""WITH sp AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+         unnest(string_split(text,' ')) AS w FROM ${T("documents")}),
+sh AS (SELECT DISTINCT a.doc_id, concat(a.w,' ',b.w,' ',c.w) AS g
+  FROM sp a JOIN sp b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+            JOIN sp c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
+ev AS (SELECT doc_id AS e_id, g FROM sh WHERE doc_id % 10 = 0),
+tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 10 <> 0),
+ov AS (SELECT tr.doc_id, ev.e_id, count(*) AS o
+  FROM tr JOIN ev USING (g) GROUP BY 1, 2)
+SELECT doc_id, count(*) AS n_eval_hits, max(o) AS max_overlap
+FROM ov WHERE o >= 3 GROUP BY doc_id ORDER BY doc_id""",
+
+      "pipeline_domain_mix" ->
+        s"""WITH bysrc AS (
+  SELECT source, count(*) AS n_docs,
+         cast(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+  FROM ${T("documents")} GROUP BY source)
+SELECT source, n_docs, n_tokens,
+  round(cast(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS share,
+  round((1.0 / count(*) OVER ()) /
+        (cast(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()), 4) AS weight
+FROM bysrc ORDER BY source""",
+
       "dedup_simhash" ->
         s"""WITH sp AS (SELECT doc_id, lang, generate_subscripts(string_split(text,' '),1) AS pos,
          unnest(string_split(text,' ')) AS w FROM ${T("documents")}),

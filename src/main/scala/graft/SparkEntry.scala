@@ -115,6 +115,8 @@ object SparkEntry {
     "pipeline_quality_score" -> Pipelines.pipelineQualityScore,
     "pipeline_lang_id" -> Pipelines.pipelineLangId,
     "pipeline_fingerprint" -> Pipelines.pipelineFingerprint,
+    "pipeline_contamination" -> Pipelines.pipelineContamination,
+    "pipeline_domain_mix" -> Pipelines.pipelineDomainMix,
     "dedup_simhash" -> Pipelines.dedupSimhash,
     "dedup_minhash_lsh" -> Pipelines.dedupMinhashLsh,
     "dedup_clusters" -> Pipelines.dedupClusters,

@@ -343,4 +343,49 @@ object Pipelines {
       .select("pid", "rk", "cand", "label", "sim")
       .orderBy("pid", "rk")
   }
+
+  /** Benchmark decontamination: flag training documents that share
+    * >= 3 distinct 3-gram shingles with any held-out eval document
+    * (eval set = doc_id % 10 == 0). The shape is the production one —
+    * shingle both sides once (shared persisted shingle set), equi-join
+    * train shingles against the eval shingle set, count per
+    * (train, eval) pair, threshold. At 100 TB the eval set is tiny and
+    * fixed (a benchmark suite), so its shingle set broadcasts and the
+    * train side streams through map-side hash lookups — no shuffle of
+    * the corpus; here the eval fraction is 10 % so the equi-join
+    * shuffles normally and AQE picks the strategy. */
+  val pipelineContamination: Q = (s, d) => {
+    val sh = shingles(s, d)
+    val ev = sh.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("e_id"), col("g"))
+    val tr = sh.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("g"))
+    tr.join(ev, Seq("g"))
+      .groupBy(col("doc_id"), col("e_id"))
+      .agg(count(lit(1)).as("o"))
+      .filter(col("o") >= 3)
+      .groupBy(col("doc_id"))
+      .agg(asLong(count(lit(1))).as("n_eval_hits"), asLong(max(col("o"))).as("max_overlap"))
+      .orderBy("doc_id")
+  }
+
+  /** Domain-mixture reweighting: per-source token counts -> corpus
+    * share -> the resampling weight that flattens the mixture to the
+    * uniform target (weight = target_share / actual_share). One
+    * map-side-combined aggregation over the corpus plus a broadcast
+    * scalar total — linear, no wide shuffle, the exact shape of a
+    * data-mixing pass before training. */
+  val pipelineDomainMix: Q = (s, d) => {
+    val bySrc = table(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(sum(size(split(col("text"), " ")))).as("n_tokens"))
+    val total = bySrc.agg(sum(col("n_tokens")).as("tot"), count(lit(1)).as("n_src"))
+    bySrc.join(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast(DoubleType) / col("tot"), 6).as("share"),
+        round((lit(1.0) / col("n_src")) /
+          (col("n_tokens").cast(DoubleType) / col("tot")), 4).as("weight"))
+      .orderBy("source")
+  }
 }

@@ -66,7 +66,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     "src_csv_roundtrip" -> 10L, "src_json_roundtrip" -> 5L,
     "src_orc_roundtrip" -> 3L,
     // gaps-and-islands consecutive-day streaks, moving exact median
-    "win_gaps_islands" -> 15L, "win_moving_median" -> 1000L)
+    "win_gaps_islands" -> 15L, "win_moving_median" -> 1000L,
+    // benchmark decontamination + domain-mixture reweighting
+    "pipeline_contamination" -> 22L, "pipeline_domain_mix" -> 20L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
