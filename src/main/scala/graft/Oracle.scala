@@ -147,6 +147,15 @@ FROM ${T("events")} e1 JOIN ${T("events")} e2
 GROUP BY e1.user_id
 ORDER BY e1.user_id""",
 
+      "join_interval_overlap" ->
+        s"""WITH e AS (SELECT event_id, user_id, ts
+  FROM ${T("events")} WHERE user_id % 10 = 0)
+SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+  round((300000000 - abs(epoch_us(a.ts) - epoch_us(b.ts))) / 1e6, 3) AS overlap_sec
+FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+WHERE abs(epoch_us(a.ts) - epoch_us(b.ts)) < 300000000
+ORDER BY a.user_id, e1, e2""",
+
       "join_asof" ->
         s"""WITH purchases AS (SELECT event_id, user_id, ts, value FROM ${T("events")} WHERE event_type = 'purchase'),
      clicks    AS (SELECT user_id, ts, value FROM ${T("events")} WHERE event_type = 'click')
@@ -776,6 +785,22 @@ SELECT source, n_docs, n_tokens,
   round((1.0 / count(*) OVER ()) /
         (cast(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()), 4) AS weight
 FROM bysrc ORDER BY source""",
+
+      "pipeline_tfidf_topterms" ->
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+  FROM ${T("documents")}),
+tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+df AS (SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tok2) GROUP BY w),
+n AS (SELECT count(*) AS n FROM ${T("documents")}),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tok2 WHERE doc_id % 11 = 0 GROUP BY 1, 2),
+scored AS (SELECT doc_id, w,
+  round(cast(tf AS DOUBLE) * ln(cast(n AS DOUBLE) / cast(df AS DOUBLE)), 4) AS tfidf
+  FROM tf JOIN df USING (w) CROSS JOIN n)
+SELECT doc_id, rk, w, tfidf FROM (
+  SELECT doc_id, w, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rk
+  FROM scored)
+WHERE rk <= 3 ORDER BY doc_id, rk""",
 
       "dedup_simhash" ->
         s"""WITH sp AS (SELECT doc_id, lang, generate_subscripts(string_split(text,' '),1) AS pos,

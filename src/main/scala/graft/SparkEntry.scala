@@ -30,6 +30,7 @@ object SparkEntry {
     "join_anti" -> Relational.joinAnti,
     "join_range_theta" -> Relational.joinRangeTheta,
     "join_asof" -> Relational.joinAsof,
+    "join_interval_overlap" -> Relational.joinIntervalOverlap,
     "join_lateral_topn" -> Relational.joinLateralTopn,
     "tpch_q3_shape" -> Relational.tpchQ3Shape,
     "tpch_q5_shape" -> Relational.tpchQ5Shape,
@@ -117,6 +118,7 @@ object SparkEntry {
     "pipeline_fingerprint" -> Pipelines.pipelineFingerprint,
     "pipeline_contamination" -> Pipelines.pipelineContamination,
     "pipeline_domain_mix" -> Pipelines.pipelineDomainMix,
+    "pipeline_tfidf_topterms" -> Pipelines.pipelineTfidfTopterms,
     "dedup_simhash" -> Pipelines.dedupSimhash,
     "dedup_minhash_lsh" -> Pipelines.dedupMinhashLsh,
     "dedup_clusters" -> Pipelines.dedupClusters,

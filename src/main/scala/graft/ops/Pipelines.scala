@@ -369,6 +369,32 @@ object Pipelines {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top terms: document frequency trained over the WHOLE
+    * corpus (one explode + two map-combined aggs), term frequency only
+    * for the scored sample (doc_id % 11 == 0), top-3 terms per doc by
+    * rounded tf*ln(N/df) with a lexicographic tiebreak. Ranking uses
+    * the ROUNDED score so the cross-engine contract never depends on
+    * sub-ulp ln() agreement. df is a broadcast-sized relation (vocab),
+    * so at scale the scoring join is map-side. */
+  val pipelineTfidfTopterms: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val df = tok.distinct().groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val tf = tok.filter(col("doc_id") % 11 === 0)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val scored = tf.join(broadcast(df), Seq("w")).join(broadcast(n))
+      .select(col("doc_id"), col("w"),
+        round(col("tf").cast(DoubleType) *
+          log(col("n").cast(DoubleType) / col("df").cast(DoubleType)), 4).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("w"))
+    scored.withColumn("rk", asLong(row_number().over(w)))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "w", "tfidf")
+      .orderBy("doc_id", "rk")
+  }
+
   /** Domain-mixture reweighting: per-source token counts -> corpus
     * share -> the resampling weight that flattens the mixture to the
     * uniform target (weight = target_share / actual_share). One

@@ -127,6 +127,33 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Interval-overlap self-join, pairs enumerated (the Flink/Trino
+    * "interval join" shape): events of the same user whose 5-minute
+    * activity intervals overlap. Candidates come from a 5-minute
+    * time-bin equi-join — each event lands in its own bin and the next
+    * (an interval can only overlap neighbors within one bin width), so
+    * candidate volume is linear in events-per-bin, never the per-user
+    * cartesian the raw theta join runs (and the oracle still runs).
+    * Exact overlap predicate + distinct reconcile the double-emit. */
+  val joinIntervalOverlap: Q = (s, d) => {
+    val ev = table(s, d, "events")
+      .filter(col("user_id") % 10 === 0)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val spanUs = 300L * 1000000L
+    val binned = ev.select(col("user_id"), col("event_id"), col("us"),
+        explode(array((col("us") / spanUs).cast(LongType),
+          (col("us") / spanUs).cast(LongType) + 1)).as("bin"))
+    val a = binned.toDF("user_id", "e1", "us1", "bin")
+    val b = binned.toDF("u2", "e2", "us2", "bin2")
+    a.join(b, col("user_id") === col("u2") && col("bin") === col("bin2") &&
+        col("e1") < col("e2"))
+      .filter(abs(col("us1") - col("us2")) < spanUs)
+      .select(col("user_id"), col("e1"), col("e2"),
+        round((lit(spanUs) - abs(col("us1") - col("us2"))) / 1e6, 3).as("overlap_sec"))
+      .distinct()
+      .orderBy("user_id", "e1", "e2")
+  }
+
   /** Linear as-of core: per purchase, the latest click ts at-or-before
     * it, via union + running-max window — ONE shuffle on user_id and
     * row counts linear in |events|. (The range-join + re-aggregate

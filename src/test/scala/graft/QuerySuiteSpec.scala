@@ -68,7 +68,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     // gaps-and-islands consecutive-day streaks, moving exact median
     "win_gaps_islands" -> 15L, "win_moving_median" -> 1000L,
     // benchmark decontamination + domain-mixture reweighting
-    "pipeline_contamination" -> 22L, "pipeline_domain_mix" -> 20L)
+    "pipeline_contamination" -> 22L, "pipeline_domain_mix" -> 20L,
+    // tf-idf top terms, binned interval-overlap join
+    "pipeline_tfidf_topterms" -> 138L, "join_interval_overlap" -> 2L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
