@@ -284,6 +284,26 @@ GROUP BY 1, 2, 3
 ORDER BY revenue DESC, c.c_custkey
 LIMIT 20""",
 
+      "tpch_q14_shape" ->
+        s"""SELECT cast(date_trunc('month', l_shipdate) AS DATE) AS month,
+  round(100.0 *
+    cast(sum(CASE WHEN p_type = 'PROMO'
+      THEN cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))
+      ELSE cast(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+    cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS promo_pct,
+  round(cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+FROM ${T("lineitem")} l JOIN ${T("part")} p ON l.l_partkey = p.p_partkey
+GROUP BY 1 ORDER BY 1""",
+
+      "tpch_q19_shape" ->
+        s"""SELECT
+  round(cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
+  count(*) AS n_items
+FROM ${T("lineitem")} l JOIN ${T("part")} p ON l.l_partkey = p.p_partkey
+ AND ((p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30))""",
+
       // ---- aggregations ----
       "agg_hash_q1" ->
         s"""SELECT l_returnflag, l_linestatus,

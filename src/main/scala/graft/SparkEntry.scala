@@ -39,6 +39,8 @@ object SparkEntry {
     "tpch_q7_shape" -> Relational.tpchQ7Shape,
     "tpch_q8_shape" -> Relational.tpchQ8Shape,
     "tpch_q10_shape" -> Relational.tpchQ10Shape,
+    "tpch_q14_shape" -> Relational.tpchQ14Shape,
+    "tpch_q19_shape" -> Relational.tpchQ19Shape,
     "graph_reach_rcte" -> Recursive.graphReachRcte,
     "rcte_month_spine" -> Recursive.rcteMonthSpine,
     "win_distinct_running" -> Windows.winDistinctRunning,

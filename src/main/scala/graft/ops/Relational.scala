@@ -513,6 +513,41 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q14 shape: monthly promo revenue share. Conditional
+    * aggregation over a fact->dim join; part is broadcast-sized, the
+    * two sums stay exact decimal until the final double division. */
+  val tpchQ14Shape: Q = (s, d) => {
+    val l = table(s, d, "lineitem")
+    val p = table(s, d, "part").select(col("p_partkey"), col("p_type"))
+    val rev = dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).cast(DateType).as("month"))
+      .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(dec2(lit(0)))).cast(DoubleType) /
+          sum(rev).cast(DoubleType), 4).as("promo_pct"),
+        round(sum(rev).cast(DoubleType), 2).as("revenue"))
+      .orderBy("month")
+  }
+
+  /** TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    * bands across the part join. The OR-of-ANDs sits ON the join so
+    * each branch's part predicates reach the broadcast build side and
+    * the common `p_size >= 1` / quantity bounds push into both scans
+    * — the classic predicate-pushdown-through-disjunction showcase. */
+  val tpchQ19Shape: Q = (s, d) => {
+    val l = table(s, d, "lineitem")
+    val p = table(s, d, "part").select(col("p_partkey"), col("p_brand"), col("p_size"))
+    def band(brand: String, szHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand && col("p_size").between(1, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey") &&
+        (band("Brand#12", 5, 1, 11) || band("Brand#23", 10, 10, 20) ||
+         band("Brand#34", 15, 20, 30)))
+      .agg(round(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast(DoubleType), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** arg-max/arg-min aggregates (round 3): the row-attribute-at-the-
     * extreme family (max_by/min_by — DuckDB arg_max/arg_min). Price
     * ties exist in the data, so the ordering value is an exact BIGINT

@@ -70,7 +70,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     // benchmark decontamination + domain-mixture reweighting
     "pipeline_contamination" -> 22L, "pipeline_domain_mix" -> 20L,
     // tf-idf top terms, binned interval-overlap join
-    "pipeline_tfidf_topterms" -> 138L, "join_interval_overlap" -> 2L)
+    "pipeline_tfidf_topterms" -> 138L, "join_interval_overlap" -> 2L,
+    // promo revenue share, OR-of-ANDs pushdown
+    "tpch_q14_shape" -> 83L, "tpch_q19_shape" -> 1L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
