@@ -126,6 +126,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("one-to-many"))
   }
 
+  test("RocksDB state store: tumbling agg equals batch (the 100 TB state backend)") {
+    // SCALING.md claims the scale path runs stateful queries on the
+    // RocksDB provider (state off-heap + spillable, vs the default
+    // HDFS-backed in-memory map). Prove the claim: same query, same
+    // result, RocksDB provider actually engaged.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = Streams.tumbling1h(Streams.eventsStream(spark, sf0001))
+      val got = Streams.runToBatch(spark, stream, "t_tumbling_rocks")
+        .select("w_start", "event_type", "n", "v_sum")
+      val want = ops.StreamOps.streamTumbling1h(spark, sf0001)
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want.select("w_start", "event_type", "n", "v_sum")).count() == 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming session_window session counts match batch sessionize") {
     val stream = Streams.sessions30m(Streams.eventsStream(spark, sf0001))
     val got = Streams.runToBatch(spark, stream, "t_sessions")
