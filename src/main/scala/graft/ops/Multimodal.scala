@@ -201,6 +201,56 @@ object Multimodal {
     }
   }
 
+  case class DecodedFrame(id: Long, frame_no: Int, n_frames: Int,
+      width: Int, height: Int, mean_luma: Double)
+
+  /** REAL multi-frame decode + frame sampling: any container the JDK's
+    * ImageReader sequence API handles (animated GIF ships with the
+    * JDK) is opened ONCE, its frame count read, and `k` evenly spaced
+    * frames decoded — never the whole sequence, which is the point of
+    * frame sampling at 100 TB (a 10-minute clip decodes 8 frames, not
+    * 18 000). Non-sequence images degrade to their single frame;
+    * undecodable payloads yield no rows (the byte-window
+    * [[frameSample]] remains the codec-absent fallback path). */
+  def sampleDecodedFrames(ds: Dataset[Media], k: Int): Dataset[DecodedFrame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // heavier video codecs would initialize here, once per partition
+      rows.flatMap { m =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); Iterator.empty }
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            val picks = (0 until math.min(k, n)).map(f => n.toLong * f / math.min(k, n))
+            picks.distinct.iterator.map { idx =>
+              val img = reader.read(idx.toInt)
+              val (w, h) = (img.getWidth, img.getHeight)
+              var s = 0.0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                    0.114 * (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              DecodedFrame(m.id, idx.toInt, n, w, h, s / (w.toLong * h) / 255.0)
+            }.toList.iterator
+          } catch { case _: Exception => Iterator.empty }
+          finally { reader.dispose(); iis.close() }
+        }
+      }
+    }
+  }
+
   /** Deterministic frame sampling: split the payload into `k` evenly
     * spaced byte windows (the video-frame-sampling plumbing shape). */
   def frameSample(ds: Dataset[Media], k: Int, frameLen: Int): Dataset[Frame] = {

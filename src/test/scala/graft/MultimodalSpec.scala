@@ -109,6 +109,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.features.sameElements(again.features))
   }
 
+  /** Synthesize an animated GIF: `n` solid-gray frames of increasing
+    * brightness, written through the JDK's writeToSequence API. */
+  private def animatedGif(w: Int, h: Int, n: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until n).foreach { f =>
+      val g = (f * 255) / math.max(1, n - 1)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  test("multi-frame decode: animated GIF frames sampled evenly, never all") {
+    import spark.implicits._
+    val assets = Seq(
+      Multimodal.Media(1L, "video", animatedGif(6, 4, 10), Map("fmt" -> "gif")),
+      Multimodal.Media(2L, "image", png(3, 3, 0x000000), Map("fmt" -> "png")),
+      Multimodal.Media(3L, "video", Array[Byte]('G', 'I', 'F', '8', 0), Map()))
+    val frames = Multimodal.sampleDecodedFrames(assets.toDS(), 4)
+      .collect().groupBy(_.id)
+    // 10-frame GIF, k=4: frames 0,2,5,7 — evenly spaced, count k, not n
+    val gif = frames(1L).sortBy(_.frame_no)
+    assert(gif.length == 4)
+    assert(gif.map(_.frame_no).toSeq == Seq(0, 2, 5, 7))
+    assert(gif.forall(f => f.n_frames == 10 && f.width == 6 && f.height == 4))
+    // brightness grows with frame index (frames are solid gray ramps)
+    assert(gif.map(_.mean_luma).toSeq == gif.map(_.mean_luma).sorted.toSeq)
+    assert(gif.last.mean_luma > gif.head.mean_luma + 0.5)
+    // single-frame PNG degrades to its one frame; luma of black = 0
+    assert(frames(2L).toSeq.map(f => (f.frame_no, f.n_frames, f.mean_luma)) == Seq((0, 1, 0.0)))
+    // undecodable payload yields no rows instead of crashing
+    assert(!frames.contains(3L))
+  }
+
   test("frame sampling splits payloads deterministically") {
     val frames = Multimodal.frameSample(media, k = 4, frameLen = 16)
     assert(frames.count() == media.count() * 4)
