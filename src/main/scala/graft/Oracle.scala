@@ -304,6 +304,19 @@ FROM ${T("lineitem")} l JOIN ${T("part")} p ON l.l_partkey = p.p_partkey
    OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
    OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30))""",
 
+      "agg_weighted_median" ->
+        s"""WITH t AS (SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+  cast(l_quantity AS DECIMAL(18,2)) AS qd FROM ${T("lineitem")}),
+c AS (SELECT l_returnflag, l_extendedprice,
+  sum(qd) OVER (PARTITION BY l_returnflag
+    ORDER BY l_extendedprice, l_orderkey, l_linenumber
+    ROWS UNBOUNDED PRECEDING) AS cum,
+  sum(qd) OVER (PARTITION BY l_returnflag) AS total
+  FROM t)
+SELECT l_returnflag, round(min(l_extendedprice), 2) AS weighted_median,
+  round(cast(max(total) AS DOUBLE), 2) AS total_weight
+FROM c WHERE cum * 2 >= total GROUP BY 1 ORDER BY 1""",
+
       // ---- aggregations ----
       "agg_hash_q1" ->
         s"""SELECT l_returnflag, l_linestatus,
@@ -805,6 +818,23 @@ SELECT source, n_docs, n_tokens,
   round((1.0 / count(*) OVER ()) /
         (cast(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()), 4) AS weight
 FROM bysrc ORDER BY source""",
+
+      "pipeline_repetition_score" ->
+        s"""WITH sp AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+       unnest(string_split(text,' ')) AS w FROM ${T("documents")} WHERE doc_id % 3 = 0),
+bg AS (SELECT a.doc_id, concat(a.w,' ',b.w) AS g
+  FROM sp a JOIN sp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+per AS (SELECT doc_id, sum(c) AS total, max(c) AS top FROM cnt GROUP BY 1),
+tok AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT w) AS n_distinct
+  FROM sp GROUP BY 1)
+SELECT doc_id, n_tok,
+  round(cast(top AS DOUBLE) / total, 4) AS top_bigram_share,
+  round(cast(n_distinct AS DOUBLE) / n_tok, 4) AS ttr,
+  CASE WHEN round(cast(top AS DOUBLE) / total, 4) >= 0.05
+         OR round(cast(n_distinct AS DOUBLE) / n_tok, 4) <= 0.35
+       THEN 'repetitive' ELSE 'ok' END AS verdict
+FROM per JOIN tok USING (doc_id) ORDER BY doc_id""",
 
       "pipeline_tfidf_topterms" ->
         s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w

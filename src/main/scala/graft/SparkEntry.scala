@@ -47,6 +47,7 @@ object SparkEntry {
     "win_gaps_islands" -> Windows.winGapsIslands,
     "win_moving_median" -> Windows.winMovingMedian,
     "agg_corr_regr" -> Relational.aggCorrRegr,
+    "agg_weighted_median" -> Relational.aggWeightedMedian,
     "agg_bitmap_distinct" -> Relational.aggBitmapDistinct,
     "src_csv_roundtrip" -> Relational.srcCsvRoundtrip,
     "src_json_roundtrip" -> Relational.srcJsonRoundtrip,
@@ -120,6 +121,7 @@ object SparkEntry {
     "pipeline_fingerprint" -> Pipelines.pipelineFingerprint,
     "pipeline_contamination" -> Pipelines.pipelineContamination,
     "pipeline_domain_mix" -> Pipelines.pipelineDomainMix,
+    "pipeline_repetition_score" -> Pipelines.pipelineRepetitionScore,
     "pipeline_tfidf_topterms" -> Pipelines.pipelineTfidfTopterms,
     "dedup_simhash" -> Pipelines.dedupSimhash,
     "dedup_minhash_lsh" -> Pipelines.dedupMinhashLsh,

@@ -395,6 +395,39 @@ object Pipelines {
       .orderBy("doc_id", "rk")
   }
 
+  /** Gopher-style repetition quality signals (doc_id % 3 sample):
+    * top-bigram share (what fraction of a doc is its most repeated
+    * bigram) and type-token ratio, with the repetitive verdict taken
+    * on the ROUNDED scores so the cross-engine contract is exact.
+    * One posexplode + lead window (same codegen'd shape as the
+    * shingle builder), then two per-doc aggregates — linear, one
+    * shuffle on doc_id. */
+  val pipelineRepetitionScore: Q = (s, d) => {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tk = table(s, d, "documents")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bigrams = tk
+      .select(col("doc_id"),
+        concat_ws(" ", col("w"), lead(col("w"), 1).over(w)).as("g"),
+        lead(col("w"), 1).over(w).isNotNull.as("full"))
+      .filter(col("full"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("total"), max(col("c")).as("top"))
+    val ttr = tk.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("w")).as("n_distinct"))
+    bigrams.join(ttr, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("top").cast(DoubleType) / col("total"), 4).as("top_bigram_share"),
+        round(col("n_distinct").cast(DoubleType) / col("n_tok"), 4).as("ttr"))
+      .withColumn("verdict",
+        when(col("top_bigram_share") >= 0.05 || col("ttr") <= 0.35, "repetitive")
+          .otherwise("ok"))
+      .orderBy("doc_id")
+  }
+
   /** Domain-mixture reweighting: per-source token counts -> corpus
     * share -> the resampling weight that flattens the mixture to the
     * uniform target (weight = target_share / actual_share). One

@@ -568,6 +568,29 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Exact weighted median (lower): smallest price whose running
+    * weight reaches half the group's total, weights and cumulative
+    * sums kept in exact DECIMAL and the half-total test written as
+    * `2*cum >= total` so no division ever happens — fully
+    * deterministic across engines and partitionings. One shuffle on
+    * the group key; the running sum is a single window pass. */
+  val aggWeightedMedian: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+    val wq = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("l_returnflag"))
+    li.select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"), dec2(col("l_quantity")).as("qd"))
+      .withColumn("cum", sum(col("qd")).over(wq))
+      .withColumn("total", sum(col("qd")).over(tot))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy(col("l_returnflag"))
+      .agg(round(min(col("l_extendedprice")), 2).as("weighted_median"),
+        round(max(col("total")).cast(DoubleType), 2).as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
   /** Pearson correlation + regression slope/intercept per group
     * (round 4) — NOT the built-in corr()/regr_slope(), whose double
     * accumulation order differs across engines and partitionings.

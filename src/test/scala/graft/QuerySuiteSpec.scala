@@ -72,7 +72,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     // tf-idf top terms, binned interval-overlap join
     "pipeline_tfidf_topterms" -> 138L, "join_interval_overlap" -> 2L,
     // promo revenue share, OR-of-ANDs pushdown
-    "tpch_q14_shape" -> 83L, "tpch_q19_shape" -> 1L)
+    "tpch_q14_shape" -> 83L, "tpch_q19_shape" -> 1L,
+    // repetition quality signals, exact weighted median
+    "pipeline_repetition_score" -> 167L, "agg_weighted_median" -> 3L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
