@@ -30,6 +30,25 @@ object Approx {
     (approx, exact)
   }
 
+  /** Mergeable-sketch rollup — THE 100 TB cardinality pattern: build
+    * one datasketches HLL per partition-sized slice (here per source),
+    * persist the binary sketches, then answer any union of slices by
+    * MERGING sketches (`hll_union_agg`) without touching the raw data
+    * again. A 100 TB corpus pre-aggregates daily/per-partition
+    * sketches once; every dashboard query after that is a merge over
+    * kilobytes. Returns (per-slice sketches, merged whole-corpus
+    * estimate). */
+  def sketchRollup(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val perSource = table(spark, sfDir, "documents")
+      .groupBy(col("source"))
+      .agg(hll_sketch_agg(col("text"), lit(12)).as("sketch"),
+        countDistinct(col("text")).as("exact_distinct"))
+    val merged = perSource
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as("approx_distinct_total"))
+    (perSource, merged)
+  }
+
   /** approximate quantiles of order totals vs exact percentiles. */
   def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "orders")

@@ -98,6 +98,27 @@ class EngineSpec extends AnyFunSuite {
     mustHave.foreach(k => assert(sketch.contains(k), s"missing heavy hitter $k"))
   }
 
+  test("mergeable HLL sketch rollup: merged slices equal the whole-corpus estimate") {
+    val (perSource, merged) = ops.Approx.sketchRollup(spark, sf0001)
+    val slices = perSource.collect()
+    assert(slices.length == 20)
+    // every per-slice sketch is within HLL error of its exact count
+    slices.foreach { row =>
+      val est = spark.range(1).select(
+        hll_sketch_estimate(lit(row.getAs[Array[Byte]]("sketch")))).collect()(0).getLong(0)
+      val exact = row.getAs[Long]("exact_distinct")
+      assert(math.abs(est - exact).toDouble / exact < 0.1,
+        s"slice ${row.getString(0)}: est=$est exact=$exact")
+    }
+    // the union-of-sketches answer matches the corpus-wide exact count
+    // without rescanning the corpus — the pre-aggregation contract
+    val approxTotal = merged.collect()(0).getLong(0)
+    val exactTotal = Tables(spark, sf0001, "documents")
+      .agg(countDistinct(col("text"))).collect()(0).getLong(0)
+    assert(math.abs(approxTotal - exactTotal).toDouble / exactTotal < 0.1,
+      s"merged=$approxTotal exact=$exactTotal")
+  }
+
   test("MapType surface: from_json over the events props column") {
     // SURVEY §2.6: map-typed data enters only via from_json
     val m = Tables(spark, sf0001, "events")
