@@ -34,14 +34,6 @@ final class SessionCache[K, V] {
     inner(key) = value
   }
 
-  def get(spark: SparkSession, key: K): Option[V] = synchronized {
-    Option(bySession.get(spark)).flatMap(_.get(key))
-  }
-
-  def remove(spark: SparkSession, key: K): Unit = synchronized {
-    Option(bySession.get(spark)).foreach(_.remove(key))
-  }
-
   /** All live values (for cleanup sweeps). */
   def values: Seq[V] = synchronized {
     bySession.values.asScala.flatMap(_.values).toList

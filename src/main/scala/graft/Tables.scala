@@ -47,14 +47,6 @@ object Tables {
   def mount(spark: SparkSession, sfDir: String, name: String, df: DataFrame): Unit =
     tableCache.put(spark, (sfDir, name), df)
 
-  /** The current binding for `name`, if any (mounted or cached). */
-  def peek(spark: SparkSession, sfDir: String, name: String): Option[DataFrame] =
-    tableCache.get(spark, (sfDir, name))
-
-  /** Drop `name`'s binding so the next access re-reads the parquet. */
-  def unmount(spark: SparkSession, sfDir: String, name: String): Unit =
-    tableCache.remove(spark, (sfDir, name))
-
   /** Parquet read that tolerates TIMESTAMP(NANOS) columns, which Spark 4
     * rejects natively: nanos are read as LongType and truncated to
     * microsecond TimestampType — exactly DuckDB's ns->us conversion

@@ -85,9 +85,20 @@ class Naqed(spark: SparkSession, sfDir: String) {
       s"$$limit must be an integer, got: $other")
   }
 
+  /** intOf + naqed-style validation: limits are page sizes, so they
+    * must be non-negative — catching it here yields a request-time
+    * error instead of an opaque planner/executor failure (child
+    * `slice(col, 1, -n)` would only fail per-row mid-job). */
+  private def limitOf(v: Any): Int = {
+    val n = intOf(v)
+    if (n < 0) throw new IllegalArgumentException(
+      s"$$limit must be >= 0, got: $n")
+    n
+  }
+
   private def pageArgs(q: Map[String, Any])
       : (Option[String], Option[Int], Map[String, Any]) =
-    (q.get("$sort").map(_.toString), q.get("$limit").map(intOf),
+    (q.get("$sort").map(_.toString), q.get("$limit").map(limitOf),
       q - "$sort" - "$limit")
 
   /** Group-key list of a `$groupBy` value (field or list of fields). */
@@ -171,6 +182,11 @@ class Naqed(spark: SparkSession, sfDir: String) {
       throw new IllegalArgumentException(
         "$sort/$limit are batch pagination args; a subscription is unbounded " +
           "and append-ordered — page the sink, not the stream")
+    if (q.contains("$groupBy") || q.contains("$agg"))
+      throw new IllegalArgumentException(
+        "$groupBy/$agg aggregate the whole table — unbounded state on a " +
+          "subscription (same contract as one-to-many traversals); aggregate " +
+          "in the sink with a watermark, or use request() for batch aggregation")
     q.keys.filter(k => reverse.contains((root, k))).toSeq.sorted.headOption.foreach { k =>
       throw new IllegalArgumentException(
         s"subscription field '$k' on '$root' is one-to-many (unbounded state); " +
@@ -341,6 +357,24 @@ class Naqed(spark: SparkSession, sfDir: String) {
           s"$$groupBy inside traversal '$k' is not supported; aggregate at " +
             s"the root (request(\"$k\", ...)) and join results yourself")
 
+      case (k, sub: Map[_, _]) if (forward.contains((tname, k)) &&
+          (sub.asInstanceOf[Map[String, Any]].contains("$limit") ||
+            sub.asInstanceOf[Map[String, Any]].contains("$sort"))) ||
+          (reverse.contains((tname, k)) &&
+            sub.asInstanceOf[Map[String, Any]].contains("$sort")) =>
+        // without this guard the $-key falls through to argTarget and
+        // surfaces as "unknown argument field 'limit'" — misleading
+        // for what is a misplaced pagination arg
+        throw new IllegalArgumentException(
+          if (forward.contains((tname, k)))
+            s"$$sort/$$limit inside many-to-one traversal '$k' have nothing " +
+              "to page (one row per parent); pagination args apply at the " +
+              "root and, as $limit, inside one-to-many children"
+          else
+            s"$$sort inside one-to-many traversal '$k' is implicit (child " +
+              "arrays are deterministically sorted); only $limit pages a " +
+              "child array")
+
       case (k, sub: Map[_, _]) if forward.contains((tname, k)) =>
         val (fk, pk) = forward((tname, k))
         val child = compile(k, sub.asInstanceOf[Map[String, Any]])
@@ -355,7 +389,7 @@ class Naqed(spark: SparkSession, sfDir: String) {
         // per-parent pagination: the collected array is sorted, so
         // `$limit` is a slice of the first n children ($sort is a
         // root-level arg — child arrays already sort deterministically)
-        val childLimit = subMap.get("$limit").map(intOf)
+        val childLimit = subMap.get("$limit").map(limitOf)
         // the child must carry its FK back up for the group-join
         val child = compile(k, (subMap - "$limit") + (fk -> true))
           .withColumnRenamed(fk, s"__fk_$fk")

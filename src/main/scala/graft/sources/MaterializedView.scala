@@ -50,7 +50,11 @@ object MaterializedView {
     * Spark's sum over DECIMAL(p,s) widens to DECIMAL(p+10,s), so an
     * un-anchored incremental refresh would widen the view schema on
     * every fold while a full recompute widens once — the two paths
-    * must produce the SAME schema. */
+    * must produce the SAME schema. Overflow parity holds too: the
+    * anchor cast overflows iff the true total needs more than p+10
+    * digits, which is exactly when a full recompute's sum (whose
+    * analyzer-fixed result type is the same DECIMAL(p+10, s))
+    * overflows — incremental never fails where full would succeed. */
   private def combineColumn(a: AggSpec, anchor: org.apache.spark.sql.types.StructType)
       : Column = a.fn match {
     case "count" | "sum" => sum(col(a.as)).cast(anchor(a.as).dataType).as(a.as)

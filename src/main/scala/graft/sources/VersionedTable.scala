@@ -347,16 +347,37 @@ object VersionedTable {
     val dupKeys = updates.groupBy(keyCols.map(updates(_)): _*)
       .count().filter(col("count") > 1).count()
     require(dupKeys == 0, s"updates contain $dupKeys duplicate key(s)")
-    val base = versions(spark, root).lastOption.getOrElse(
+    val (base, man) = loadHead(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no table at $root"))
     val current = read(spark, root, Some(base))
-    require(current.columns.sameElements(updates.columns),
-      s"merge schema mismatch: ${current.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
+    // names AND types: with only a name check, a narrower updates
+    // schema (table long / updates int) would be committed as the new
+    // table schema while the union wrote the WIDER physical type —
+    // every read of the new head would then fail on type conversion
+    val tableSchema = manifestSchema(man)
+    requireSameSchema(tableSchema, updates.schema, "merge updates")
+    val files = upsertFiles(spark, root, current, updates, keyCols)
+    commit(spark, root, requireBase = Some(base)) { _ => ("merge", tableSchema, files) }
+  }
+
+  /** The keyed-upsert write shared by [[merge]] and [[mergeBatch]]:
+    * current rows whose key is NOT updated survive via anti-join, the
+    * union is rewritten as the new file set. The callers differ only
+    * in commit policy (plain pin vs batch-id replay handling). */
+  private def upsertFiles(spark: SparkSession, root: String, current: DataFrame,
+      updates: DataFrame, keyCols: Seq[String]): Seq[(String, java.util.Map[String, Object])] = {
     val kept = current.join(
       updates.select(keyCols.map(updates(_)): _*), keyCols, "left_anti")
-    val files = writeData(spark, root, kept.unionByName(updates))
-    commit(spark, root, requireBase = Some(base)) { _ => ("merge", updates.schema, files) }
+    writeData(spark, root, kept.unionByName(updates))
   }
+
+  private def requireSameSchema(tableSchema: StructType, dfSchema: StructType,
+      what: String): Unit =
+    require(tableSchema.fieldNames.sameElements(dfSchema.fieldNames) &&
+      tableSchema.fields.zip(dfSchema.fields).forall {
+        case (a, b) => a.dataType == b.dataType },
+      s"$what schema ${dfSchema.simpleString} does not match " +
+        s"table schema ${tableSchema.simpleString}")
 
   // ---- public read API ----
 
@@ -481,9 +502,19 @@ object VersionedTable {
     case _ => true
   }
 
+  /** Only BARE column references participate in stats pruning. An
+    * explicit cast in the predicate (`cast(ts AS date) = date'D'`)
+    * must NOT be unwrapped to the bare column: a truncating cast maps
+    * a stats interval [08:00, 16:00] of day D onto the single point D,
+    * so comparing the RAW min/max against the cast-output literal
+    * falsely refutes files whose rows all match. Implicit engine
+    * coercions never appear here (the predicate tree is unresolved),
+    * and typed-literal-vs-column pairs are handled soundly by
+    * [[domainFor]]'s shared domains — so skipping casts costs no
+    * pruning on the supported surface, it only keeps cast-wrapped
+    * predicates conservatively. */
   private def attrName(e: Expression): Option[String] = e match {
     case u: UnresolvedAttribute => Some(u.name)
-    case Cast(u: UnresolvedAttribute, _, _, _) => Some(u.name)
     case _ => None
   }
 
@@ -897,11 +928,7 @@ object VersionedTable {
         // batch silently replace the table schema for historical files
         val schema = headOpt.map { h =>
           val tableSchema = manifestSchema(h._2)
-          require(tableSchema.fieldNames.sameElements(batch.schema.fieldNames) &&
-            tableSchema.fields.zip(batch.schema.fields).forall {
-              case (a, b) => a.dataType == b.dataType },
-            s"streaming batch $batchId schema ${batch.schema.simpleString} does not " +
-              s"match table schema ${tableSchema.simpleString}")
+          requireSameSchema(tableSchema, batch.schema, s"streaming batch $batchId")
           tableSchema
         }.getOrElse(batch.schema)
         val allFiles = headOpt.map(h => manifestFiles(h._2).map(fm =>
@@ -966,12 +993,13 @@ object VersionedTable {
         if (replayed(man)) return false
         requireUniqueKeys()
         val current = read(spark, root, Some(base))
-        require(current.columns.sameElements(batch.columns),
-          s"merge schema mismatch: ${current.columns.mkString(",")} vs " +
-            batch.columns.mkString(","))
-        val kept = current.join(
-          batch.select(keyCols.map(batch(_)): _*), keyCols, "left_anti")
-        val files = writeData(spark, root, kept.unionByName(batch))
+        // names AND types (same discipline as appendBatch): a
+        // same-name/other-type batch would write files whose physical
+        // types contradict the committed manifest schema, failing
+        // every subsequent read of the head version
+        requireSameSchema(manifestSchema(man), batch.schema,
+          s"streaming merge batch $batchId")
+        val files = upsertFiles(spark, root, current, batch, keyCols)
         try {
           commit(spark, root, Map[String, Object](BatchIdKey -> Long.box(batchId)),
             requireBase = Some(base)) { headOpt =>

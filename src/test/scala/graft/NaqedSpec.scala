@@ -111,6 +111,33 @@ class NaqedSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("must be an integer"))
   }
 
+  test("pagination args: misplacements get pagination guidance, not field errors") {
+    // negative limit is a validation error at request time, not an
+    // opaque planner/executor failure
+    val e0 = intercept[IllegalArgumentException] {
+      naqed.request("customer", Map("c_name" -> true, "$limit" -> -1))
+    }
+    assert(e0.getMessage.contains("must be >= 0"))
+    val e0c = intercept[IllegalArgumentException] {
+      naqed.request("customer", Map("c_name" -> true,
+        "orders" -> Map("o_orderkey" -> true, "$limit" -> -2)))
+    }
+    assert(e0c.getMessage.contains("must be >= 0"))
+    // $limit inside a many-to-one child: pagination guidance, not
+    // "unknown argument field 'limit'"
+    val e1 = intercept[IllegalArgumentException] {
+      naqed.request("customer", Map("c_name" -> true,
+        "nation" -> Map("n_name" -> true, "$limit" -> 1)))
+    }
+    assert(e1.getMessage.contains("many-to-one") && !e1.getMessage.contains("unknown"))
+    // $sort inside a one-to-many child: the arrays sort implicitly
+    val e2 = intercept[IllegalArgumentException] {
+      naqed.request("customer", Map("c_name" -> true,
+        "orders" -> Map("o_orderkey" -> true, "$sort" -> "o_orderkey")))
+    }
+    assert(e2.getMessage.contains("implicit") && !e2.getMessage.contains("unknown"))
+  }
+
   test("pagination args: child $limit keeps first n per parent") {
     val df = naqed.request("customer", Map(
       "c_name" -> true,

@@ -124,6 +124,14 @@ class StreamingSpec extends AnyFunSuite {
         Streams.eventsStream(spark, sf0001))
     }
     assert(e.getMessage.contains("one-to-many"))
+    // whole-table aggregation is the same unbounded-state contract —
+    // rejected at subscribe time, not as an opaque stream-start error
+    val eAgg = intercept[IllegalArgumentException] {
+      nq.subscribe("events",
+        Map("$groupBy" -> "event_type", "$agg" -> Map("n" -> "count")),
+        Streams.eventsStream(spark, sf0001))
+    }
+    assert(eAgg.getMessage.contains("unbounded state"))
   }
 
   test("RocksDB state store: tumbling agg equals batch (the 100 TB state backend)") {

@@ -133,6 +133,43 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(pruned.count() == ev.where(pred).count())
   }
 
+  test("cast-wrapped predicates never prune (truncating casts are unsound to unwrap)") {
+    val root = tmpRoot()
+    val ev = Tables(spark, SharedSpark.sf0001, "events")
+      .select("event_id", "user_id", "ts")
+    VersionedTable.create(spark, root, ev.repartitionByRange(4, col("ts")))
+    // a day whose rows sit mid-file: comparing the file's RAW micros
+    // stats against the date literal would falsely refute it
+    val day = ev.selectExpr("cast(cast(ts as date) as string) as d")
+      .distinct().orderBy("d").collect()(1).getString(0)
+    val pred = s"cast(ts as date) = date'$day'"
+    val (got, scanned, total) = VersionedTable.scan(spark, root, pred)
+    assert(got.count() == ev.where(pred).count(), s"cast predicate lost rows")
+    assert(scanned == total, "cast-wrapped column must be conservative (no pruning)")
+    // and deleteWhere with the same shape deletes every matching row
+    val before = VersionedTable.read(spark, root).count()
+    val (_, _, _) = VersionedTable.deleteWhere(spark, root, pred)
+    assert(VersionedTable.read(spark, root).count() ==
+      before - ev.where(pred).count())
+  }
+
+  test("merge and mergeBatch reject same-name different-type schemas") {
+    val root = tmpRoot()
+    VersionedTable.create(spark, root,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    val narrower = Seq((1, 11), (3, 31)).toDF("k", "v") // int, not long
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, root, narrower, Seq("k"))
+    }
+    assert(e1.getMessage.contains("does not match table schema"))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.mergeBatch(spark, root, narrower, Seq("k"), batchId = 0L)
+    }
+    assert(e2.getMessage.contains("does not match table schema"))
+    // the head is still the created version and still readable
+    assert(VersionedTable.read(spark, root).count() == 2)
+  }
+
   test("vacuum drops unreferenced files; head stays readable") {
     val root = tmpRoot()
     VersionedTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
