@@ -304,6 +304,30 @@ FROM ${T("lineitem")} l JOIN ${T("part")} p ON l.l_partkey = p.p_partkey
    OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
    OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30))""",
 
+      "funnel_three_step" ->
+        s"""WITH v AS (SELECT user_id, min(ts) AS t_view FROM ${T("events")}
+  WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t_click FROM ${T("events")} e
+  JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM ${T("events")} e
+  JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+  CASE WHEN p.t_purchase IS NOT NULL THEN 3
+       WHEN c.t_click IS NOT NULL THEN 2 ELSE 1 END AS stage
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN p ON p.user_id = v.user_id
+ORDER BY v.user_id""",
+
+      "agg_entropy" ->
+        s"""WITH c AS (SELECT user_id, event_type, count(*) AS n
+  FROM ${T("events")} GROUP BY 1, 2)
+SELECT user_id, cast(sum(n) AS BIGINT) AS n_events, count(*) AS n_types,
+  round(ln(cast(sum(n) AS DOUBLE)) -
+    sum(cast(n AS DOUBLE) * ln(cast(n AS DOUBLE))) / sum(n), 4) AS entropy
+FROM c GROUP BY 1 ORDER BY 1""",
+
       "agg_weighted_median" ->
         s"""WITH t AS (SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
   cast(l_quantity AS DECIMAL(18,2)) AS qd FROM ${T("lineitem")}),

@@ -68,6 +68,8 @@ object SparkEntry {
     "agg_histogram" -> Relational.aggHistogram,
     "agg_argminmax" -> Relational.aggArgminmax,
     "funnel_click_purchase" -> Relational.funnelClickPurchase,
+    "funnel_three_step" -> Relational.funnelThreeStep,
+    "agg_entropy" -> Relational.aggEntropy,
     "latest_per_key" -> Relational.latestPerKey,
     "retention_daily" -> Relational.retentionDaily,
     // §2.4 windows

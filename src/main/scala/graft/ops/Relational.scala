@@ -759,6 +759,48 @@ object Relational {
   /** Conversion funnel: per user, purchases converted by a click within
     * the previous hour (event-analytics shape built on the as-of
     * pattern). */
+  /** 3-step strict-order funnel (view -> click -> purchase): per user,
+    * the first view, the first click AFTER it, the first purchase
+    * after THAT. Three window aggregates over the SAME partitioning —
+    * Catalyst plans one Exchange on user_id and chains the Window
+    * nodes, so the whole funnel is one shuffle and linear, where the
+    * textbook three-way self-join (which the oracle runs) touches the
+    * events table three times. */
+  val funnelThreeStep: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+    val ev = table(s, d, "events").select(col("user_id"), col("ts"), col("event_type"))
+    ev.withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ts") > col("t1"), col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("t2"), col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t_view"), min(col("t2")).as("t_click"),
+        min(col("t3")).as("t_purchase"))
+      .filter(col("t_view").isNotNull)
+      .withColumn("stage",
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2).otherwise(1))
+      .orderBy("user_id")
+  }
+
+  /** Shannon entropy of each user's event-type mix, from EXACT counts:
+    * H = ln(total) - sum(n*ln(n))/total, doubles entering only in the
+    * final rounded expression. Two map-combined aggregations, one
+    * shuffle. The canonical behavioral-diversity feature. */
+  val aggEntropy: Q = (s, d) => {
+    val counts = table(s, d, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("user_id"))
+      .agg(sum(col("n")).as("tot"), asLong(count(lit(1))).as("n_types"),
+        sum(col("n").cast(DoubleType) * log(col("n").cast(DoubleType))).as("snln"))
+      .select(col("user_id"), col("tot").as("n_events"), col("n_types"),
+        round(log(col("tot").cast(DoubleType)) - col("snln") / col("tot"), 4)
+          .as("entropy"))
+      .orderBy("user_id")
+  }
+
   val funnelClickPurchase: Q = (s, d) => {
     val users = table(s, d, "events").select(col("user_id")).distinct()
     // per-purchase last prior click from the shared linear as-of core

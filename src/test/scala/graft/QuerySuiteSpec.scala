@@ -74,7 +74,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     // promo revenue share, OR-of-ANDs pushdown
     "tpch_q14_shape" -> 83L, "tpch_q19_shape" -> 1L,
     // repetition quality signals, exact weighted median
-    "pipeline_repetition_score" -> 167L, "agg_weighted_median" -> 3L)
+    "pipeline_repetition_score" -> 167L, "agg_weighted_median" -> 3L,
+    // one-shuffle 3-step funnel, per-user event-type entropy
+    "funnel_three_step" -> 15L, "agg_entropy" -> 15L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
