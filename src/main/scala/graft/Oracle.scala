@@ -843,6 +843,14 @@ SELECT source, n_docs, n_tokens,
         (cast(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()), 4) AS weight
 FROM bysrc ORDER BY source""",
 
+      "sample_k_per_group" ->
+        s"""SELECT lang, rk, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+    row_number() OVER (PARTITION BY lang
+      ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM ${T("documents")})
+WHERE rk <= 5 ORDER BY lang, rk""",
+
       "pipeline_repetition_score" ->
         s"""WITH sp AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
        unnest(string_split(text,' ')) AS w FROM ${T("documents")} WHERE doc_id % 3 = 0),

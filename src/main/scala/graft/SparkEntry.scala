@@ -133,6 +133,7 @@ object SparkEntry {
     "sample_deterministic" -> Sampling.sampleDeterministic,
     "sample_stratified" -> Sampling.sampleStratified,
     "sample_hash_split" -> Sampling.sampleHashSplit,
+    "sample_k_per_group" -> Sampling.sampleKPerGroup,
     "ts_resample_gapfill" -> TimeSeries.tsResampleGapfill,
     "cdc_scd2" -> TimeSeries.cdcScd2,
     "ts_anomaly_zscore" -> TimeSeries.tsAnomalyZscore,

@@ -73,6 +73,22 @@ object Sampling {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
       .orderBy("lang")
 
+  /** Fixed-size per-stratum sample ("k examples per class"): the 5
+    * docs per language with the smallest md5(doc_id) — deterministic
+    * reservoir sampling's batch twin. A rank window per stratum, one
+    * shuffle on the stratum key; at 100 TB the same shape holds (the
+    * window's top-k needs only k rows of state per stratum under
+    * partial aggregation via the rank filter pushdown). */
+  val sampleKPerGroup: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+    table(s, d, "documents")
+      .withColumn("rk", asLong(row_number().over(w)))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "rk")
+  }
+
   /** Reproducible 80/20 train/test split summary (key-hash split — the
     * same doc can never appear on both sides). */
   val sampleHashSplit: Q = (s, d) => {

@@ -76,7 +76,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     // repetition quality signals, exact weighted median
     "pipeline_repetition_score" -> 167L, "agg_weighted_median" -> 3L,
     // one-shuffle 3-step funnel, per-user event-type entropy
-    "funnel_three_step" -> 15L, "agg_entropy" -> 15L)
+    "funnel_three_step" -> 15L, "agg_entropy" -> 15L,
+    // fixed-size per-stratum sample
+    "sample_k_per_group" -> 25L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
