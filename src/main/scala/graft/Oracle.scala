@@ -843,6 +843,15 @@ SELECT source, n_docs, n_tokens,
         (cast(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()), 4) AS weight
 FROM bysrc ORDER BY source""",
 
+      "fn_fuzzy_match" ->
+        s"""WITH p AS (SELECT p_partkey, p_name, string_split(p_name,' ')[2] AS noun
+  FROM ${T("part")} WHERE p_partkey % 20 = 0)
+SELECT a.noun, a.p_partkey AS p1, b.p_partkey AS p2,
+  cast(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM p a JOIN p b ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY a.noun, p1, p2""",
+
       "sample_k_per_group" ->
         s"""SELECT lang, rk, doc_id, n_chars FROM (
   SELECT lang, doc_id, n_chars,

@@ -107,6 +107,7 @@ object SparkEntry {
     "fn_bitwise" -> Funcs.fnBitwise,
     "fn_hash" -> Funcs.fnHash,
     "fn_try_cast" -> Funcs.fnTryCast,
+    "fn_fuzzy_match" -> Funcs.fnFuzzyMatch,
     // §2.7 text / LLM pipeline
     "text_wordcount" -> TextSim.textWordcount,
     "text_stats" -> TextSim.textStats,

@@ -243,4 +243,24 @@ object Funcs {
         expr("cast(try_cast(cast(c_acctbal AS STRING) AS DECIMAL(18,2)) AS DOUBLE)")
           .as("bal_dec"))
       .orderBy("c_custkey")
+
+  /** Blocked fuzzy match (round 4): part-name pairs within Levenshtein
+    * distance 2, BLOCKED on the name's noun so the quadratic edit-
+    * distance evaluation runs only inside small equi-join buckets —
+    * the canonical scale shape for fuzzy joins (block, then verify);
+    * an unblocked fuzzy join is an all-pairs cartesian. Both engines
+    * share the same unit-cost Levenshtein definition. */
+  val fnFuzzyMatch: Q = (s, d) => {
+    val p = table(s, d, "part")
+      .filter(col("p_partkey") % 20 === 0)
+      .select(col("p_partkey"), col("p_name"),
+        element_at(split(col("p_name"), " "), 2).as("noun"))
+    val a = p.toDF("p1", "n1", "noun")
+    val b = p.toDF("p2", "n2", "noun2")
+    a.join(b, col("noun") === col("noun2") && col("p1") < col("p2"))
+      .withColumn("dist", asLong(levenshtein(col("n1"), col("n2"))))
+      .filter(col("dist") <= 2)
+      .select(col("noun"), col("p1"), col("p2"), col("dist"))
+      .orderBy("noun", "p1", "p2")
+  }
 }

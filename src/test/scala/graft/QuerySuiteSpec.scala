@@ -78,7 +78,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     // one-shuffle 3-step funnel, per-user event-type entropy
     "funnel_three_step" -> 15L, "agg_entropy" -> 15L,
     // fixed-size per-stratum sample
-    "sample_k_per_group" -> 25L)
+    "sample_k_per_group" -> 25L,
+    // blocked Levenshtein fuzzy match
+    "fn_fuzzy_match" -> 2L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
