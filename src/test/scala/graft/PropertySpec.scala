@@ -120,4 +120,63 @@ class PropertySpec extends AnyFunSuite {
     assert(got.count() == want.count())
     assert(got.exceptAll(want.select("event_id", "user_id", "last_click_ts")).count() == 0)
   }
+
+  test("3-step funnel: stage times strictly ordered, stage matches nulls") {
+    val rows = ops.Relational.funnelThreeStep(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t1, t2, t3) = (r.getAs[java.sql.Timestamp]("t_view"),
+        r.getAs[java.sql.Timestamp]("t_click"), r.getAs[java.sql.Timestamp]("t_purchase"))
+      assert(t1 != null)
+      if (t2 != null) assert(t1.before(t2))
+      if (t3 != null) { assert(t2 != null); assert(t2.before(t3)) }
+      val stage = r.getAs[Int]("stage")
+      assert(stage == (if (t3 != null) 3 else if (t2 != null) 2 else 1))
+    }
+  }
+
+  test("interval overlap: bounds, key order, uniqueness") {
+    val rows = ops.Relational.joinIntervalOverlap(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("e1") < r.getAs[Long]("e2"))
+      val o = r.getAs[Double]("overlap_sec")
+      assert(o > 0 && o <= 300.0)
+    }
+    assert(rows.map(r => (r.getLong(1), r.getLong(2))).distinct.length == rows.length)
+  }
+
+  test("weighted median: bounded by group extremes, covers half the weight") {
+    val li = Tables(spark, sf0001, "lineitem")
+    val got = ops.Relational.aggWeightedMedian(spark, sf0001).collect()
+    got.foreach { r =>
+      val flag = r.getString(0)
+      val m = r.getAs[Double]("weighted_median")
+      val g = li.filter(col("l_returnflag") === flag)
+      val Array(lo, hi) = g.agg(min("l_extendedprice"), max("l_extendedprice"))
+        .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+      assert(m >= lo && m <= hi)
+      // the defining property: weight at or below the median >= half
+      val (below, total) = (
+        g.filter(col("l_extendedprice") <= m).agg(sum("l_quantity")).collect()(0).getDouble(0),
+        g.agg(sum("l_quantity")).collect()(0).getDouble(0))
+      assert(below * 2 >= total)
+    }
+  }
+
+  test("k-per-group sample: at most k rows per stratum, drawn from the stratum") {
+    val got = ops.Sampling.sampleKPerGroup(spark, sf0001)
+    val sizes = got.groupBy("lang").count().collect()
+    assert(sizes.forall(_.getLong(1) <= 5))
+    val docs = Tables(spark, sf0001, "documents").select("doc_id", "lang")
+    assert(got.select("doc_id", "lang").exceptAll(docs).count() == 0)
+  }
+
+  test("fuzzy match: blocked pairs share the noun and respect the distance bound") {
+    val rows = ops.Funcs.fnFuzzyMatch(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p1") < r.getAs[Long]("p2"))
+      assert(r.getAs[Long]("dist") <= 2)
+    }
+  }
 }
