@@ -253,8 +253,10 @@ object Funcs {
   val fnFuzzyMatch: Q = (s, d) => {
     val p = table(s, d, "part")
       .filter(col("p_partkey") % 20 === 0)
+      // try_element_at: a one-word name yields NULL noun (joined away)
+      // like DuckDB's list index, instead of an ANSI INVALID_ARRAY_INDEX
       .select(col("p_partkey"), col("p_name"),
-        element_at(split(col("p_name"), " "), 2).as("noun"))
+        try_element_at(split(col("p_name"), " "), lit(2)).as("noun"))
     val a = p.toDF("p1", "n1", "noun")
     val b = p.toDF("p2", "n2", "noun2")
     a.join(b, col("noun") === col("noun2") && col("p1") < col("p2"))

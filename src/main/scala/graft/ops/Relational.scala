@@ -756,9 +756,6 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("c_nationkey")
 
-  /** Conversion funnel: per user, purchases converted by a click within
-    * the previous hour (event-analytics shape built on the as-of
-    * pattern). */
   /** 3-step strict-order funnel (view -> click -> purchase): per user,
     * the first view, the first click AFTER it, the first purchase
     * after THAT. Three window aggregates over the SAME partitioning —
@@ -768,7 +765,12 @@ object Relational {
     * events table three times. */
   val funnelThreeStep: Q = (s, d) => {
     val w = Window.partitionBy(col("user_id"))
-    val ev = table(s, d, "events").select(col("user_id"), col("ts"), col("event_type"))
+    // NULL user_id matches nothing in the oracle's equi-joins, but
+    // Window.partitionBy groups the NULLs together — drop them (same
+    // discipline as lastClickPerPurchase)
+    val ev = table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_type"))
     ev.withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
       .withColumn("t2", min(when(col("event_type") === "click" &&
         col("ts") > col("t1"), col("ts"))).over(w))
@@ -786,8 +788,10 @@ object Relational {
 
   /** Shannon entropy of each user's event-type mix, from EXACT counts:
     * H = ln(total) - sum(n*ln(n))/total, doubles entering only in the
-    * final rounded expression. Two map-combined aggregations, one
-    * shuffle. The canonical behavioral-diversity feature. */
+    * final rounded expression. Two map-combined aggregations — the
+    * second exchange re-keys (user, type) partials to user and is
+    * rows-per-user-sized. The canonical behavioral-diversity
+    * feature. */
   val aggEntropy: Q = (s, d) => {
     val counts = table(s, d, "events")
       .groupBy(col("user_id"), col("event_type"))
@@ -801,6 +805,9 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Conversion funnel: per user, purchases converted by a click within
+    * the previous hour (event-analytics shape built on the as-of
+    * pattern). */
   val funnelClickPurchase: Q = (s, d) => {
     val users = table(s, d, "events").select(col("user_id")).distinct()
     // per-purchase last prior click from the shared linear as-of core
