@@ -328,6 +328,17 @@ SELECT user_id, cast(sum(n) AS BIGINT) AS n_events, count(*) AS n_types,
     sum(cast(n AS DOUBLE) * ln(cast(n AS DOUBLE))) / sum(n), 4) AS entropy
 FROM c GROUP BY 1 ORDER BY 1""",
 
+      "agg_gini" ->
+        s"""WITH r AS (SELECT o_orderstatus,
+  cast(o_totalprice AS DECIMAL(18,2)) AS x,
+  cast(row_number() OVER (PARTITION BY o_orderstatus
+    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS i
+  FROM ${T("orders")})
+SELECT o_orderstatus, count(*) AS n,
+  round(cast(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE) /
+        cast(count(*) * sum(x) AS DOUBLE), 4) AS gini
+FROM r GROUP BY 1 ORDER BY 1""",
+
       "agg_weighted_median" ->
         s"""WITH t AS (SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
   cast(l_quantity AS DECIMAL(18,2)) AS qd FROM ${T("lineitem")}),
@@ -1086,6 +1097,16 @@ SELECT cast(m AS DATE) AS month,
 FROM months LEFT JOIN ${T("orders")}
   ON date_trunc('month', o_orderdate) = m
 GROUP BY m ORDER BY month""",
+
+      "graph_kcore3" ->
+        s"""$E,
+k1 AS (SELECT s FROM ud GROUP BY s HAVING count(*) >= 3),
+u1 AS (SELECT ud.s, ud.t FROM ud JOIN k1 a ON ud.s = a.s JOIN k1 b ON ud.t = b.s),
+k2 AS (SELECT s FROM u1 GROUP BY s HAVING count(*) >= 3),
+u2 AS (SELECT u1.s, u1.t FROM u1 JOIN k2 a ON u1.s = a.s JOIN k2 b ON u1.t = b.s),
+k3 AS (SELECT s FROM u2 GROUP BY s HAVING count(*) >= 3),
+u3 AS (SELECT u2.s, u2.t FROM u2 JOIN k3 a ON u2.s = a.s JOIN k3 b ON u2.t = b.s)
+SELECT s AS node, count(*) AS degree FROM u3 GROUP BY 1 ORDER BY 1""",
 
       "graph_pagerank3" ->
         s"""$E

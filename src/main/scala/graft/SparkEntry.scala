@@ -48,6 +48,7 @@ object SparkEntry {
     "win_moving_median" -> Windows.winMovingMedian,
     "agg_corr_regr" -> Relational.aggCorrRegr,
     "agg_weighted_median" -> Relational.aggWeightedMedian,
+    "agg_gini" -> Relational.aggGini,
     "agg_bitmap_distinct" -> Relational.aggBitmapDistinct,
     "src_csv_roundtrip" -> Relational.srcCsvRoundtrip,
     "src_json_roundtrip" -> Relational.srcJsonRoundtrip,
@@ -146,6 +147,7 @@ object SparkEntry {
     "graph_bfs_3hop" -> GraphOps.graphBfs3hop,
     "graph_pagerank3" -> GraphOps.graphPagerank3,
     "graph_jaccard_neighbors" -> GraphOps.graphJaccardNeighbors,
+    "graph_kcore3" -> GraphOps.graphKcore3,
     // §2.9 streaming-on-batch
     "stream_tumbling_1h" -> StreamOps.streamTumbling1h,
     "stream_sliding_1h_30m" -> StreamOps.streamSliding1h30m,

@@ -185,4 +185,23 @@ object GraphOps {
         round(col("jac_raw"), 4).as("jac"))
       .orderBy("a", "b")
   }
+
+  /** 3 rounds of 3-core pruning (iterative deletion — the OTHER
+    * iterative graph shape: state shrinks instead of propagating):
+    * each round drops nodes with degree < 3 and every edge touching
+    * them, through Iterate.fixed so rounds persist and the plan stays
+    * lazy/oracle-composable. True k-core runs the same step to
+    * convergence (Iterate.converge); 3 rounds is the oracle-fixed
+    * partial fixpoint, like graph_cc_labelprop's 4. One shuffle per
+    * round on the node key. */
+  val graphKcore3: Q = (s, d) =>
+    Iterate.fixed(Tables.ud(s, d), 3) { ud =>
+      val keep = ud.groupBy(col("s")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= 3).select(col("s").as("k"))
+      ud.join(keep, col("s") === col("k"), "left_semi")
+        .join(keep, col("t") === col("k"), "left_semi")
+    }
+      .groupBy(col("s").as("node"))
+      .agg(asLong(count(lit(1))).as("degree"))
+      .orderBy("node")
 }

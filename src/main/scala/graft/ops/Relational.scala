@@ -568,6 +568,27 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Gini coefficient of order totals per status, from the exact
+    * rank-sum formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
+    * over ascending x — ranks are bigint, x is exact decimal, and
+    * doubles appear only in the final division of two exactly-computed
+    * operands, so both engines round the same exact values. One rank
+    * window + one aggregate, one shuffle on the group key. */
+  val aggGini: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    table(s, d, "orders")
+      .select(col("o_orderstatus"), dec2(col("o_totalprice")).as("x"),
+        row_number().over(w).cast(LongType).as("i"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("o_orderstatus"), col("n"),
+        round((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast(DoubleType) /
+          (col("n") * col("sx")).cast(DoubleType), 4).as("gini"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Exact weighted median (lower): smallest price whose running
     * weight reaches half the group's total, weights and cumulative
     * sums kept in exact DECIMAL and the half-total test written as

@@ -80,7 +80,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     // fixed-size per-stratum sample
     "sample_k_per_group" -> 25L,
     // blocked Levenshtein fuzzy match
-    "fn_fuzzy_match" -> 2L)
+    "fn_fuzzy_match" -> 2L,
+    // iterative-deletion 3-core, exact rank-formula Gini
+    "graph_kcore3" -> 200L, "agg_gini" -> 3L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
