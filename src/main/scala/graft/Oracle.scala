@@ -328,6 +328,19 @@ SELECT user_id, cast(sum(n) AS BIGINT) AS n_events, count(*) AS n_types,
     sum(cast(n AS DOUBLE) * ln(cast(n AS DOUBLE))) / sum(n), 4) AS entropy
 FROM c GROUP BY 1 ORDER BY 1""",
 
+      "ts_ohlc" ->
+        s"""WITH r AS (SELECT date_trunc('hour', ts) AS h, value,
+  row_number() OVER (PARTITION BY date_trunc('hour', ts)
+    ORDER BY ts, event_id) AS ra,
+  row_number() OVER (PARTITION BY date_trunc('hour', ts)
+    ORDER BY ts DESC, event_id DESC) AS rd
+  FROM ${T("events")})
+SELECT h, round(max(CASE WHEN ra = 1 THEN value END), 2) AS open,
+  round(max(value), 2) AS high, round(min(value), 2) AS low,
+  round(max(CASE WHEN rd = 1 THEN value END), 2) AS close,
+  count(*) AS n
+FROM r GROUP BY h ORDER BY h""",
+
       "agg_gini" ->
         s"""WITH r AS (SELECT o_orderstatus,
   cast(o_totalprice AS DECIMAL(18,2)) AS x,

@@ -139,6 +139,7 @@ object SparkEntry {
     "ts_resample_gapfill" -> TimeSeries.tsResampleGapfill,
     "cdc_scd2" -> TimeSeries.cdcScd2,
     "ts_anomaly_zscore" -> TimeSeries.tsAnomalyZscore,
+    "ts_ohlc" -> TimeSeries.tsOhlc,
     // §2.8 graph
     "graph_degree" -> GraphOps.graphDegree,
     "graph_2hop" -> GraphOps.graph2hop,

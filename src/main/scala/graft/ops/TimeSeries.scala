@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -104,5 +105,27 @@ object TimeSeries {
         round((vd - sd / col("n")) /
           sqrt((ssd - sd * sd / col("n")) / (col("n") - 1)), 3).as("z"))
       .orderBy("event_type", "d")
+  }
+
+  /** Hourly OHLC candles (downsampling with positional endpoints):
+    * open/close are the FIRST/LAST value in the hour under the total
+    * (ts, event_id) order — selected by rank flags so both engines pin
+    * identical rows — plus high/low/count. One window + one aggregate
+    * over the same hour key: a single shuffle. */
+  val tsOhlc: Q = (s, d) => {
+    val hour = date_trunc("hour", col("ts"))
+    val wA = Window.partitionBy(hour).orderBy(col("ts"), col("event_id"))
+    val wD = Window.partitionBy(hour).orderBy(col("ts").desc, col("event_id").desc)
+    table(s, d, "events")
+      .select(hour.as("h"), col("ts"), col("event_id"), col("value"),
+        row_number().over(wA).as("ra"), row_number().over(wD).as("rd"))
+      .groupBy(col("h"))
+      .agg(
+        round(max(when(col("ra") === 1, col("value"))), 2).as("open"),
+        round(max(col("value")), 2).as("high"),
+        round(min(col("value")), 2).as("low"),
+        round(max(when(col("rd") === 1, col("value"))), 2).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy("h")
   }
 }

@@ -82,7 +82,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     // blocked Levenshtein fuzzy match
     "fn_fuzzy_match" -> 2L,
     // iterative-deletion 3-core, exact rank-formula Gini
-    "graph_kcore3" -> 200L, "agg_gini" -> 3L)
+    "graph_kcore3" -> 200L, "agg_gini" -> 3L,
+    // hourly OHLC downsampling
+    "ts_ohlc" -> 531L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
