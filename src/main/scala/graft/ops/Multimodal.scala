@@ -44,6 +44,25 @@ object Multimodal {
       .as[Media]
   }
 
+  /** Asset-directory ingest via Spark's binaryFile source — the real
+    * 100 TB entry point for media (one row per file: path,
+    * modificationTime, length, content). `pathGlobFilter` prunes at
+    * the listing, so a "*.png" ingest never reads other bytes; ids are
+    * assigned by a hash of the path (stable across listings and
+    * clusters, unlike monotonically_increasing_id). */
+  def mediaFromBinaryFiles(spark: SparkSession, dir: String, glob: String,
+      modality: String): Dataset[Media] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(xxhash64(col("path")).as("id"), lit(modality).as("modality"),
+        col("content").as("payload"),
+        map(lit("path"), col("path"),
+          lit("bytes"), col("length").cast("string")).as("meta"))
+      .as[Media]
+  }
+
   /** True iff the payload's magic bytes identify a JDK-decodable image
     * container (PNG / BMP / GIF / JPEG). */
   private[graft] def isImage(p: Array[Byte]): Boolean =

@@ -151,6 +151,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!frames.contains(3L))
   }
 
+  test("binaryFile ingest: asset directory -> Media -> real decode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_assets")
+    java.nio.file.Files.write(dir.resolve("red.png"), png(4, 2, 0xff0000))
+    java.nio.file.Files.write(dir.resolve("green.png"), png(2, 2, 0x00ff00))
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "not an image".getBytes)
+    val media = Multimodal.mediaFromBinaryFiles(
+      spark, dir.toString, "*.png", "image")
+    val rows = media.collect()
+    // the glob prunes at the listing: the txt file is never read
+    assert(rows.length == 2)
+    assert(rows.map(_.id).distinct.length == 2) // path-hash ids are distinct
+    assert(rows.forall(m => m.meta("bytes").toLong == m.payload.length))
+    val byPath = Multimodal.extractFeatures(media).collect()
+    // both decode through the REAL imageio path: (w, h, meanR, ...)
+    assert(byPath.map(_.features.take(2).toSeq).toSet ==
+      Set(Seq(4.0, 2.0), Seq(2.0, 2.0)))
+  }
+
   test("frame sampling splits payloads deterministically") {
     val frames = Multimodal.frameSample(media, k = 4, frameLen = 16)
     assert(frames.count() == media.count() * 4)
