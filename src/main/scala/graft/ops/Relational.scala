@@ -568,6 +568,36 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Pareto concentration per order status: how few customers carry
+    * 80 % of the revenue. Revenue ranks and cumulative sums are exact
+    * decimal under a total (revenue desc, custkey) order; the 80 %
+    * test is `5*cum >= 4*total` — integer-scaled decimals, no
+    * division until the final reported ratio. Windows partition by
+    * status (no global sort); the per-status customer aggregate runs
+    * first so the window input is customers, not orders. */
+  val paretoRevenue: Q = (s, d) => {
+    val byCust = table(s, d, "orders")
+      .groupBy(col("o_orderstatus"), col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("rev").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("o_orderstatus"))
+    byCust
+      .withColumn("cum", sum(col("rev")).over(w))
+      .withColumn("total", sum(col("rev")).over(tot))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("rev").desc, col("o_custkey"))))
+      .groupBy(col("o_orderstatus"))
+      .agg(asLong(count(lit(1))).as("n_cust"),
+        asLong(min(when(col("cum") * 5 >= col("total") * 4, col("rk"))))
+          .as("n_top80"),
+        round(min(when(col("cum") * 5 >= col("total") * 4, col("rk")))
+          .cast(DoubleType) / count(lit(1)), 4).as("frac_top80"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Gini coefficient of order totals per status, from the exact
     * rank-sum formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
     * over ascending x — ranks are bigint, x is exact decimal, and

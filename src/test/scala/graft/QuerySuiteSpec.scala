@@ -84,7 +84,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     // iterative-deletion 3-core, exact rank-formula Gini
     "graph_kcore3" -> 200L, "agg_gini" -> 3L,
     // hourly OHLC downsampling
-    "ts_ohlc" -> 531L)
+    "ts_ohlc" -> 531L,
+    // Pareto concentration, containment near-dup
+    "pareto_revenue" -> 3L, "dedup_containment" -> 8L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
