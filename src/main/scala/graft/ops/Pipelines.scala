@@ -370,7 +370,7 @@ object Pipelines {
   }
 
   /** Containment near-dup (asymmetric): pairs where the SMALLER doc's
-    * shingles are >= 80 % contained in the pair's intersection —
+    * shingles are >= 50 % contained in the pair's intersection —
     * catches quote-inclusion and excerpt duplication that symmetric
     * Jaccard misses (a 10-line quote inside a 500-line doc has tiny
     * Jaccard but full containment). Shares the persisted shingle set;

@@ -579,16 +579,15 @@ object Relational {
     val byCust = table(s, d, "orders")
       .groupBy(col("o_orderstatus"), col("o_custkey"))
       .agg(sum(dec2(col("o_totalprice"))).as("rev"))
-    val w = Window.partitionBy(col("o_orderstatus"))
+    // cum and rk MUST share one ordering — derive both from `ord`
+    val ord = Window.partitionBy(col("o_orderstatus"))
       .orderBy(col("rev").desc, col("o_custkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy(col("o_orderstatus"))
     byCust
-      .withColumn("cum", sum(col("rev")).over(w))
+      .withColumn("cum", sum(col("rev")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("total", sum(col("rev")).over(tot))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("o_orderstatus"))
-          .orderBy(col("rev").desc, col("o_custkey"))))
+      .withColumn("rk", row_number().over(ord))
       .groupBy(col("o_orderstatus"))
       .agg(asLong(count(lit(1))).as("n_cust"),
         asLong(min(when(col("cum") * 5 >= col("total") * 4, col("rk"))))

@@ -174,6 +174,23 @@ class PropertySpec extends AnyFunSuite {
     assert(got.select("doc_id", "lang").exceptAll(docs).count() == 0)
   }
 
+  test("3-core pruning actually deletes (sf0.01 — the golden SF is a no-op there)") {
+    // at sf0.001 every node has degree >= 6, so the sf0.001 golden pin
+    // cannot distinguish the pruning loop from the identity; sf0.01 is
+    // the scale where deletion semantics are actually exercised
+    val sf001 = "/root/testdata/sf0.01"
+    val before = Tables.ud(spark, sf001).select("s").distinct().count()
+    val core = ops.GraphOps.graphKcore3(spark, sf001)
+    val after = core.count()
+    assert(after == 1104, s"3-core node count moved: $after")
+    assert(after < before, s"pruning removed nothing ($before -> $after)")
+    // a 3-round PARTIAL fixpoint legitimately leaves sub-3 degrees
+    // (the last deletion lowers survivors' degrees — convergence would
+    // take more rounds); pin the observed floor so a silent extra or
+    // missing round shows up
+    assert(core.agg(min(col("degree"))).collect()(0).getLong(0) == 2L)
+  }
+
   test("fuzzy match: blocked pairs share the noun and respect the distance bound") {
     val rows = ops.Funcs.fnFuzzyMatch(spark, sf0001).collect()
     rows.foreach { r =>
