@@ -27,6 +27,7 @@ object Curation {
       afterQuality: Long,
       afterExactDedup: Long,
       afterNearDedup: Long,
+      afterDecontam: Long,
       train: Long,
       test: Long)
 
@@ -64,8 +65,19 @@ object Curation {
     docs.join(activePairs.select(col("d2")), col("doc_id") === col("d2"), "left_anti")
   }
 
-  /** Full pipeline: quality -> exact dedup -> near dedup -> stratified
-    * rebalance -> reproducible split. Returns (train, test, report). */
+  /** Decontamination: drop training docs sharing >= 3 distinct
+    * shingles with the held-out eval slice — pipeline_contamination's
+    * flag set applied as an anti-join over the shared shingle
+    * materialization. At 100 TB the eval shingles broadcast, so this
+    * stage adds no corpus shuffle. */
+  def decontaminate(spark: SparkSession, sfDir: String, docs: DataFrame): DataFrame = {
+    val flagged = Pipelines.pipelineContamination(spark, sfDir).select(col("doc_id"))
+    docs.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
+  /** Full pipeline: quality -> exact dedup -> near dedup ->
+    * decontaminate -> stratified rebalance -> reproducible split.
+    * Returns (train, test, report). */
   def curate(spark: SparkSession, sfDir: String,
       minTokens: Int = 5, maxStopRatio: Double = 0.9,
       fractions: Map[String, Double] = Map.empty,
@@ -73,20 +85,21 @@ object Curation {
     val docs = table(spark, sfDir, "documents")
     val q = qualityFilter(docs, minTokens, maxStopRatio)
     val e = exactDedup(q)
-    // persist the dedup output: the report's n/train/test counts and
-    // the returned splits all re-read it — one execution of the
-    // quality+dedup lineage instead of four
     val n = nearDedup(spark, sfDir, e)
+    // persist the dedup+decontam output: the report's counts and the
+    // returned splits all re-read it
+    val dc = decontaminate(spark, sfDir, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val balanced =
-      if (fractions.isEmpty) n
-      else Sampling.stratifiedSample(n, "lang", "doc_id", fractions)
+      if (fractions.isEmpty) dc
+      else Sampling.stratifiedSample(dc, "lang", "doc_id", fractions)
     val (train, test) = Sampling.hashSplit(balanced, "doc_id", testFraction)
     val report = CurationReport(
       input = docs.count(),
       afterQuality = q.count(),
       afterExactDedup = e.count(),
       afterNearDedup = n.count(),
+      afterDecontam = dc.count(),
       train = train.count(),
       test = test.count())
     (train, test, report)

@@ -19,8 +19,11 @@ class CurationSpec extends AnyFunSuite {
     assert(r.input >= r.afterQuality)
     assert(r.afterQuality >= r.afterExactDedup)
     assert(r.afterExactDedup >= r.afterNearDedup)
-    assert(r.train + r.test <= r.afterNearDedup) // zh downsampled
+    assert(r.afterNearDedup >= r.afterDecontam)
+    assert(r.train + r.test <= r.afterDecontam) // zh downsampled
     assert(r.train > 0 && r.test > 0)
+    // decontamination really fired: the corpus HAS contaminated docs
+    assert(ops.Pipelines.pipelineContamination(spark, sf0001).count() > 0)
   }
 
   test("exact dedup output has unique normalized content") {

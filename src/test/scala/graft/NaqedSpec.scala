@@ -292,7 +292,7 @@ class NaqedSpec extends AnyFunSuite {
     assert(r.getAs[Long]("input") >= r.getAs[Long]("afterQuality"))
     assert(r.getAs[Long]("afterQuality") >= r.getAs[Long]("afterExactDedup"))
     assert(r.getAs[Long]("afterExactDedup") >= r.getAs[Long]("afterNearDedup"))
-    assert(r.getAs[Long]("afterNearDedup") == r.getAs[Long]("train") + r.getAs[Long]("test"))
+    assert(r.getAs[Long]("afterDecontam") == r.getAs[Long]("train") + r.getAs[Long]("test"))
     // unknown argument fails analysis naqed-style, naming the valid set
     val e = intercept[IllegalArgumentException] {
       naqed.curate(Map("$bogus" -> 1))
