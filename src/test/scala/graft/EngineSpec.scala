@@ -133,8 +133,11 @@ class EngineSpec extends AnyFunSuite {
   test("filter pushdown reaches the parquet scan when caching is off") {
     val s2 = spark.newSession()
     s2.conf.set("spark.graft.cacheTables", "false")
-    // sf0.01 path: never touched by other specs, so the shared-session
-    // CacheManager cannot substitute an InMemoryRelation for the scan
+    // other specs may have cached sf0.01 tables (e.g. the kcore
+    // pruning test) — the SparkContext-wide CacheManager would then
+    // substitute an InMemoryRelation for this scan; drop the table
+    // caches first (correctness-neutral, they rebuild on demand)
+    Tables.clear()
     val plan = s2.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
       .filter(col("l_quantity") > 45.0)
       .select("l_orderkey", "l_quantity")
