@@ -147,6 +147,25 @@ FROM ${T("events")} e1 JOIN ${T("events")} e2
 GROUP BY e1.user_id
 ORDER BY e1.user_id""",
 
+      "join_null_safe" ->
+        s"""WITH c AS (SELECT CASE WHEN user_id % 97 = 0 THEN NULL ELSE user_id END AS k,
+    count(*) AS n_clicks
+  FROM ${T("events")} WHERE event_type = 'click' GROUP BY 1),
+p AS (SELECT CASE WHEN user_id % 97 = 0 THEN NULL ELSE user_id END AS k2,
+    count(*) AS n_purchases
+  FROM ${T("events")} WHERE event_type = 'purchase' GROUP BY 1)
+SELECT c.k AS user_key, c.n_clicks, p.n_purchases
+FROM c JOIN p ON c.k IS NOT DISTINCT FROM p.k2
+ORDER BY user_key NULLS FIRST""",
+
+      "set_symmetric_diff" ->
+        s"""WITH a AS (SELECT DISTINCT l_partkey AS k FROM ${T("lineitem")} WHERE l_quantity > 48),
+b AS (SELECT DISTINCT l_partkey AS k FROM ${T("lineitem")} WHERE l_discount > 0.09)
+SELECT k, 'only_hi_qty' AS side FROM a WHERE k NOT IN (SELECT k FROM b)
+UNION ALL
+SELECT k, 'only_discounted' AS side FROM b WHERE k NOT IN (SELECT k FROM a)
+ORDER BY k""",
+
       "join_interval_overlap" ->
         s"""WITH e AS (SELECT event_id, user_id, ts
   FROM ${T("events")} WHERE user_id % 10 = 0)

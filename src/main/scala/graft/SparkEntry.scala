@@ -31,6 +31,7 @@ object SparkEntry {
     "join_range_theta" -> Relational.joinRangeTheta,
     "join_asof" -> Relational.joinAsof,
     "join_interval_overlap" -> Relational.joinIntervalOverlap,
+    "join_null_safe" -> Relational.joinNullSafe,
     "join_lateral_topn" -> Relational.joinLateralTopn,
     "tpch_q3_shape" -> Relational.tpchQ3Shape,
     "tpch_q5_shape" -> Relational.tpchQ5Shape,
@@ -91,6 +92,7 @@ object SparkEntry {
     "set_intersect" -> Relational.setIntersect,
     "set_except" -> Relational.setExcept,
     "set_ops_all" -> Relational.setOpsAll,
+    "set_symmetric_diff" -> Relational.setSymmetricDiff,
     // §2.6 scalar families
     "fn_string" -> Funcs.fnString,
     "fn_string2" -> Funcs.fnString2,

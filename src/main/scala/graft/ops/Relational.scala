@@ -127,6 +127,25 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match EACH OTHER instead of nothing — the semantics ingestion
+    * pipelines need when a sentinel bucket must join (late events
+    * with unresolved user). Nulls are injected deterministically
+    * (user_id % 97 == 0) so both engines build the identical keyed
+    * sets; the join stays a hash join on the null-safe key. */
+  val joinNullSafe: Q = (s, d) => {
+    def keyed(df: DataFrame) = df.select(
+      when(col("user_id") % 97 === 0, lit(null)).otherwise(col("user_id")).as("k"),
+      col("value"))
+    val clicks = keyed(table(s, d, "events").filter(col("event_type") === "click"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_clicks"))
+    val purchases = keyed(table(s, d, "events").filter(col("event_type") === "purchase"))
+      .groupBy(col("k").as("k2")).agg(count(lit(1)).as("n_purchases"))
+    clicks.join(purchases, col("k") <=> col("k2"))
+      .select(col("k").as("user_key"), col("n_clicks"), col("n_purchases"))
+      .orderBy(col("user_key").asc_nulls_first)
+  }
+
   /** Interval-overlap self-join, pairs enumerated (the Flink/Trino
     * "interval join" shape): events of the same user whose 5-minute
     * activity intervals overlap. Candidates come from a 5-minute
@@ -741,6 +760,19 @@ object Relational {
     rows.map { case (name, df) =>
       df.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
     }.reduce(_ unionAll _).orderBy("op")
+  }
+
+  /** Symmetric difference (distinct keys in exactly one side) —
+    * completes the set family: two anti-joins unioned, each a hash
+    * shuffle on the key. */
+  val setSymmetricDiff: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+    val a = li.filter(col("l_quantity") > 48).select(col("l_partkey").as("k")).distinct()
+    val b = li.filter(col("l_discount") > 0.09).select(col("l_partkey").as("k")).distinct()
+    a.join(b, Seq("k"), "left_anti").select(col("k"), lit("only_hi_qty").as("side"))
+      .unionAll(
+        b.join(a, Seq("k"), "left_anti").select(col("k"), lit("only_discounted").as("side")))
+      .orderBy("k")
   }
 
   /** Interpolated median + continuous quantiles per group. */

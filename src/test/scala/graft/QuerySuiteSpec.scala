@@ -86,7 +86,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     // hourly OHLC downsampling
     "ts_ohlc" -> 531L,
     // Pareto concentration, containment near-dup
-    "pareto_revenue" -> 3L, "dedup_containment" -> 8L)
+    "pareto_revenue" -> 3L, "dedup_containment" -> 8L,
+    // null-safe equi-join, symmetric difference
+    "join_null_safe" -> 15L, "set_symmetric_diff" -> 58L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
