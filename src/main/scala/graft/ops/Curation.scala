@@ -14,11 +14,13 @@ import org.apache.spark.sql.types._
   * Stage order is the cost-aware one: cheap row-local filters first
   * (quality — pure expressions, no shuffle), then exact dedup (one
   * hash shuffle), then near-dedup (MinHash-LSH candidates + verified
-  * pairs -> keep canonical doc per cluster), then stratified
-  * rebalancing and the reproducible train/test split (md5-bucketed,
-  * repartition-stable). At 100 TB every stage is linear except
-  * near-dedup, which is linear in near-duplicate candidates by the
-  * LSH banding argument (SCALING.md).
+  * pairs -> keep canonical doc per cluster), then benchmark
+  * decontamination (the eval slice AND everything overlapping it
+  * leave the training corpus), then stratified rebalancing and the
+  * reproducible train/test split (md5-bucketed, repartition-stable).
+  * At 100 TB every stage is linear except near-dedup, which is linear
+  * in near-duplicate candidates by the LSH banding argument
+  * (SCALING.md).
   */
 object Curation {
 
@@ -65,14 +67,16 @@ object Curation {
     docs.join(activePairs.select(col("d2")), col("doc_id") === col("d2"), "left_anti")
   }
 
-  /** Decontamination: drop training docs sharing >= 3 distinct
-    * shingles with the held-out eval slice — pipeline_contamination's
-    * flag set applied as an anti-join over the shared shingle
+  /** Decontamination: the held-out eval slice itself (doc_id%10 == 0
+    * — verbatim benchmark content must never train) AND every training
+    * doc sharing >= 3 distinct shingles with it (pipeline_contamination's
+    * flag set) leave the corpus, as anti-joins over the shared shingle
     * materialization. At 100 TB the eval shingles broadcast, so this
     * stage adds no corpus shuffle. */
   def decontaminate(spark: SparkSession, sfDir: String, docs: DataFrame): DataFrame = {
     val flagged = Pipelines.pipelineContamination(spark, sfDir).select(col("doc_id"))
-    docs.join(flagged, Seq("doc_id"), "left_anti")
+    docs.filter(col("doc_id") % 10 =!= 0)
+      .join(flagged, Seq("doc_id"), "left_anti")
   }
 
   /** Full pipeline: quality -> exact dedup -> near dedup ->
@@ -85,9 +89,11 @@ object Curation {
     val docs = table(spark, sfDir, "documents")
     val q = qualityFilter(docs, minTokens, maxStopRatio)
     val e = exactDedup(q)
+    // persist BOTH checkpoints: afterNearDedup's count re-reads n, and
+    // the splits + remaining counts re-read dc — without the n persist
+    // the whole quality->dedup lineage would execute twice
     val n = nearDedup(spark, sfDir, e)
-    // persist the dedup+decontam output: the report's counts and the
-    // returned splits all re-read it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dc = decontaminate(spark, sfDir, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val balanced =

@@ -135,8 +135,7 @@ object Relational {
     * sets; the join stays a hash join on the null-safe key. */
   val joinNullSafe: Q = (s, d) => {
     def keyed(df: DataFrame) = df.select(
-      when(col("user_id") % 97 === 0, lit(null)).otherwise(col("user_id")).as("k"),
-      col("value"))
+      when(col("user_id") % 97 === 0, lit(null)).otherwise(col("user_id")).as("k"))
     val clicks = keyed(table(s, d, "events").filter(col("event_type") === "click"))
       .groupBy(col("k")).agg(count(lit(1)).as("n_clicks"))
     val purchases = keyed(table(s, d, "events").filter(col("event_type") === "purchase"))

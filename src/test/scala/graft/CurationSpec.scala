@@ -22,8 +22,17 @@ class CurationSpec extends AnyFunSuite {
     assert(r.afterNearDedup >= r.afterDecontam)
     assert(r.train + r.test <= r.afterDecontam) // zh downsampled
     assert(r.train > 0 && r.test > 0)
-    // decontamination really fired: the corpus HAS contaminated docs
-    assert(ops.Pipelines.pipelineContamination(spark, sf0001).count() > 0)
+    // decontamination really fired: no eval-slice doc and no flagged
+    // doc survives into the splits
+    val (train, test, _) = result
+    val out = train.unionAll(test)
+    assert(out.filter(col("doc_id") % 10 === 0).count() == 0,
+      "eval-slice docs leaked into the curated corpus")
+    val flagged = ops.Pipelines.pipelineContamination(spark, sf0001)
+      .select(col("doc_id"))
+    assert(flagged.count() > 0, "fixture corpus lost its contaminated docs")
+    assert(out.join(flagged, Seq("doc_id"), "left_semi").count() == 0,
+      "contaminated docs leaked into the curated corpus")
   }
 
   test("exact dedup output has unique normalized content") {
