@@ -10,7 +10,7 @@ import java.util.concurrent.{Executors, TimeUnit}
   * The suite is submitted CONCURRENTLY (SPARK_GRAFT_BENCH_PAR threads,
   * default 4) under Spark's FAIR scheduler and the headline `value` is
   * the wall-clock of the timed section. Rationale (BASELINE.md
-  * amendment): the ~110 sub-second queries of the 136-query suite pay Spark's ~0.12 s/action
+  * amendment): the ~110 sub-second queries of the 137-query suite pay Spark's ~0.12 s/action
   * scheduling floor (~11 s of pure latency, already priced into the
   * 26 s baseline) plus idle gaps while single-query stages use a
   * fraction of the 32 cores. Concurrent job submission is the idiomatic

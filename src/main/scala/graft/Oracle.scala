@@ -1483,6 +1483,23 @@ SELECT user_id, event_type, ts AS valid_from,
 FROM f ORDER BY user_id, valid_from,
   event_type NULLS FIRST, valid_to NULLS FIRST""",
 
+      "join_point_in_time" ->
+        s"""WITH ev AS (SELECT user_id, ts, event_id, event_type
+  FROM ${T("events")} WHERE user_id IS NOT NULL AND user_id % 20 = 0),
+ch AS (SELECT *, lag(event_type) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM ev),
+f AS (SELECT user_id, ts, event_id, event_type FROM ch
+  WHERE prev IS NULL OR prev <> event_type),
+dim AS (SELECT user_id AS d_user, event_type AS state, ts AS valid_from,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM f),
+p AS (SELECT event_id, user_id, ts FROM ${T("events")}
+  WHERE user_id IS NOT NULL AND user_id % 20 = 0 AND event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, dim.state
+FROM p JOIN dim ON p.user_id = dim.d_user AND p.ts >= dim.valid_from
+  AND (dim.valid_to IS NULL OR p.ts < dim.valid_to)
+ORDER BY p.event_id""",
+
       "graph_jaccard_neighbors" ->
         s"""$E,
 deg AS (SELECT s AS node, cast(count(*) AS BIGINT) AS deg FROM ud GROUP BY 1),

@@ -142,6 +142,7 @@ object SparkEntry {
     "sample_k_per_group" -> Sampling.sampleKPerGroup,
     "ts_resample_gapfill" -> TimeSeries.tsResampleGapfill,
     "cdc_scd2" -> TimeSeries.cdcScd2,
+    "join_point_in_time" -> TimeSeries.joinPointInTime,
     "ts_anomaly_zscore" -> TimeSeries.tsAnomalyZscore,
     "ts_ohlc" -> TimeSeries.tsOhlc,
     // §2.8 graph

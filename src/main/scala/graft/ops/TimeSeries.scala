@@ -75,6 +75,27 @@ object TimeSeries {
         col("event_type").asc_nulls_first, col("valid_to").asc_nulls_first)
   }
 
+  /** Point-in-time (AS OF) dimension lookup — the most common
+    * warehouse join: each purchase of the tracked users joined to the
+    * SCD2 state interval valid at its timestamp
+    * (valid_from <= ts < valid_to, open current row included). Equi
+    * prefix on user_id keeps it a hash/sort-merge join with a range
+    * residual; per-key interval counts are bounded by the dimension's
+    * change rate, so the residual never goes quadratic. */
+  val joinPointInTime: Q = (s, d) => {
+    val dim = cdcScd2(s, d).select(col("user_id").as("d_user"),
+      col("event_type").as("state"), col("valid_from"), col("valid_to"))
+    val purchases = table(s, d, "events")
+      .filter(col("user_id").isNotNull && col("user_id") % 20 === 0 &&
+        col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    purchases.join(dim,
+        col("user_id") === col("d_user") && col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("state"))
+      .orderBy("event_id")
+  }
+
   /** Trailing-window z-score anomaly detection (round 3): each daily
     * total is scored against the mean/stddev of its own trailing 7 days
     * (frame EXCLUDES the current row — the score must not see itself).

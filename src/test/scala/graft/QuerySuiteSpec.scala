@@ -88,7 +88,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     // Pareto concentration, containment near-dup
     "pareto_revenue" -> 3L, "dedup_containment" -> 8L,
     // null-safe equi-join, symmetric difference
-    "join_null_safe" -> 15L, "set_symmetric_diff" -> 58L)
+    "join_null_safe" -> 15L, "set_symmetric_diff" -> 58L,
+    // point-in-time (AS OF) dimension lookup against the SCD2 build
+    "join_point_in_time" -> 9L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
