@@ -21,12 +21,28 @@ import java.util.concurrent.{Executors, TimeUnit}
   * their sum (`sum_query_sec`, = the old sequential metric when PAR=1)
   * are reported alongside; set SPARK_GRAFT_BENCH_PAR=1 for the strict
   * per-query-latency methodology.
+  *
+  * Contention robustness (round-4 lesson): the driver's recorded r4
+  * value was 83 s while the identical config measured 17.7 s
+  * uncontended — per-query times inflated ~uniformly 4.7x by external
+  * host load, and nothing in the single-run artifact distinguished
+  * "plans regressed" from "host was busy". Two defenses now:
+  *   1. The timed sfDir section runs SPARK_GRAFT_BENCH_RUNS times
+  *      (default 3) in the same JVM, with all sfDir caches dropped
+  *      between runs so every run performs identical work; `value` is
+  *      the BEST wall (min over runs) and all runs are reported in
+  *      `runs_wall_sec`. Contention in one window can inflate one run;
+  *      it cannot inflate the minimum of three spread-out runs.
+  *   2. Each run also reports process CPU-time (`runs_cpu_sec`).
+  *      Wall >> CPU with unchanged CPU across rounds = host
+  *      contention, self-evident from the artifact alone.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val par = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PAR", "4").toInt)
+    val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     // shuffle parallelism is decoupled from executor threads: at sf0.1
     // every shuffle is KB-scale, so 32 tasks/stage is pure scheduling
     // overhead (measured ~15% of suite total); 8 keeps sorts/joins
@@ -53,6 +69,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    /** JVM-wide process CPU seconds (all threads). Delta across a run
+      * window is the run's compute cost, immune to other processes on
+      * the host — the contention tell-tale next to wall time. */
+    def processCpuSec(): Double = {
+      import java.lang.management.ManagementFactory
+      ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime / 1e9
+        case _ => Double.NaN
+      }
+    }
+
     /** Materialize the per-sfDir shared state (base-table caches, EDGES,
       * shingles, LSH pairs, similarity ranking) as four independent
       * dependency chains run concurrently. Inside the timed wall window,
@@ -74,9 +102,29 @@ object Bench {
                 sources.Sources.via(spark, dir, "customer", "json").count()
                 sources.Sources.via(spark, dir, "orders", "orc").count(); () }
       )
-      chains.map(c => pool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = try c() catch { case _: Throwable => () }
-      })).foreach(_.get())
+      chains.zipWithIndex.map { case (c, i) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          // A failed prime chain must be LOUD: its cost would otherwise
+          // silently shift into whichever query first touches the cache,
+          // corrupting per-query attribution (round-4 ADVICE).
+          def call(): Unit = try c() catch {
+            case t: Throwable =>
+              System.err.println(s"[bench] prime chain $i FAILED: $t")
+          }
+        })
+      }.foreach(_.get())
+    }
+
+    /** Drop every cache tied to a previously-run sfDir so the next run
+      * starts from parquet: table/edge caches, pipeline + similarity
+      * shared builds, any persisted RDD remnants. */
+    def clearAll(): Unit = {
+      Tables.clear()
+      ops.Pipelines.clearCache()
+      ops.TextSim.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(
+        rdd => try rdd.unpersist(blocking = false) catch { case _: Throwable => () })
+      System.gc()
     }
 
     /** Run every query through a `par`-thread pool; returns
@@ -119,22 +167,33 @@ object Bench {
     // the benchmarked sfDir's data or caches.
     runSuite("/root/testdata/sf0.001")
     // drop warmup caches (sf0.001 tables/EDGES/shingles/rankings) so the
-    // timed run starts with a clean heap — the sf0.1 caches it builds
-    // are part of the measured work, exactly as before
-    Tables.clear()
-    ops.Pipelines.clearCache()
-    ops.TextSim.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(
-      rdd => try rdd.unpersist(blocking = false) catch { case _: Throwable => () })
-    System.gc()
+    // timed run starts with a clean heap — the sf0.1 caches each timed
+    // run builds are part of that run's measured work, exactly as before
+    clearAll()
 
-    val (results, wall, primeSec) = runSuite(sfDir)
-    val failed = results.collect { case (n, _, false) => n }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+    // nRuns identical timed runs; caches dropped between runs so each
+    // run rebuilds from parquet (same work => min is a fair pick).
+    case class Run(results: Seq[(String, Double, Boolean)], wall: Double,
+                   primeSec: Double, cpuSec: Double)
+    val runs = (1 to nRuns).map { i =>
+      if (i > 1) clearAll()
+      val cpu0 = processCpuSec()
+      val (results, wall, primeSec) = runSuite(sfDir)
+      Run(results, wall, primeSec, processCpuSec() - cpu0)
+    }
+    val best = runs.minBy(_.wall)
+    // a query failing in ANY run is a failure — don't let best-of-N
+    // hide flakiness
+    val failed = runs.flatMap(_.results).collect { case (n, _, false) => n }.distinct
+
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val qs = best.results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val sumQ = results.map(_._2).sum
-    val total = if (par == 1) sumQ else wall
+    val sumQ = best.results.map(_._2).sum
+    val total = if (par == 1) sumQ else best.wall
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val runsWall = runs.map(r => r3(r.wall)).mkString("[", ",", "]")
+    val runsCpu = runs.map(r => r3(r.cpuSec)).mkString("[", ",", "]")
     // Stop Spark (at ERROR log level) BEFORE printing so no stray
     // shutdown log line can land after the summary. Detail line first,
     // short total-only line LAST: the driver tail-captures stdout and
@@ -143,8 +202,8 @@ object Bench {
     // prefix + "[success]" trailer — see build.sbt outputStrategy).
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(s"""{"metric":"detail","queries":$qs,"failed":$failedJson,"par":$par,"prime_sec":${math.round(primeSec * 1000) / 1000.0},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${failed.size},"par":$par,"sum_query_sec":${math.round(sumQ * 1000) / 1000.0},"wall_sec":${math.round(wall * 1000) / 1000.0},"sf":"$sfDir"}""")
+    println(s"""{"metric":"detail","queries":$qs,"failed":$failedJson,"par":$par,"prime_sec":${r3(best.primeSec)},"runs_wall_sec":$runsWall,"runs_cpu_sec":$runsCpu,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${best.results.size},"failed":${failed.size},"par":$par,"runs":$nRuns,"sum_query_sec":${r3(sumQ)},"wall_sec":${r3(best.wall)},"runs_wall_sec":$runsWall,"runs_cpu_sec":$runsCpu,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
