@@ -285,7 +285,10 @@ object Pipelines {
     * but the plan is a shuffle-partitionable hash join with bounded
     * per-task memory, not a broadcast-nested-loop cartesian; B scales
     * with the cluster. The DuckDB oracle keeps the independent
-    * all-pairs formulation. */
+    * all-pairs formulation. When exactness can be traded for a
+    * sub-quadratic pass, `simCosineNeardupAnn` below is the
+    * documented 100 TB default (IVF candidates + exact rescore,
+    * precision 1.0, measured recall in SCALING.md). */
   val simCosineNeardup: Q = (s, d) => {
     val nBlocks = 8
     val e = table(s, d, "embeddings").filter(col("vec_id") % 2 === 0)
@@ -308,11 +311,66 @@ object Pipelines {
       .orderBy("v1", "v2")
   }
 
+  /** ANN near-dup pairs — the 100 TB default for the all-pairs
+    * similarity problem `simCosineNeardup` solves exactly. IVF
+    * candidate generation: Lloyd-trained coarse centroids
+    * (PQ.trainIvf — deterministic farthest-point init + fixed
+    * iterations on a bounded driver-side sample), every vector
+    * multi-assigned to its `nprobe` nearest cells (L2, the training
+    * metric), candidates = pairs sharing a cell, then EXACT cosine
+    * rescore at the same threshold — so precision is 1.0 by
+    * construction (output ⊆ the exact result) and only recall is
+    * approximate. Cost: candidates ~ Σ_cell |cell|² with cells
+    * O(n/nCells); pick nCells ~ √n and the pass is O(n^1.5) instead
+    * of O(n²/2). Measured recall vs the exact pair set is in
+    * SCALING.md (AnnNeardupSpec re-measures at every SF); at this
+    * corpus's barely-above-random threshold (0.35) recall < 1 is
+    * intrinsic — SCALING.md's sign-LSH table shows why — which is
+    * why the oracle-checked entry stays `simCosineNeardup` (exact)
+    * and this is the opt-in scale path. */
+  def simCosineNeardupAnn(s: SparkSession, d: String,
+      nCells: Int = 16, nprobe: Int = 2): DataFrame = {
+    import s.implicits._
+    val emb = table(s, d, "embeddings").filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val coarse = PQ.trainIvf(emb, "embedding", "vec_id", nCells = nCells)
+    val cents = coarse.codebooks(0).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "ce")
+    // squared L2 to each broadcast centroid; top-nprobe cells per vector
+    val d2 = aggregate(
+      zip_with(col("embedding"), col("ce"),
+        (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) *
+          (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0), (acc, v) => acc + v)
+    val wn = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val asg = emb.crossJoin(broadcast(cents))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(wn))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("cid"))
+    val cand = asg.toDF("v1", "cid")
+      .join(asg.toDF("v2", "cid2"),
+        col("cid") === col("cid2") && col("v1") < col("v2"))
+      .select(col("v1"), col("v2")).distinct()
+    val e1 = emb.toDF("v1", "e1")
+    val e2 = emb.toDF("v2", "e2")
+    val sim = cosineSim(s, col("e1"), col("e2"))
+    cand.join(e1, Seq("v1")).join(e2, Seq("v2"))
+      .filter(sim >= 0.35)
+      .select(col("v1"), col("v2"), round(sim, 4).as("sim"))
+      .orderBy("v1", "v2")
+  }
+
   /** ANN via a deterministic IVF index: 8 centroids (vec_id < 8), each
     * vector assigned to its nearest centroid; probes search only their
-    * top-2 centroid buckets (nprobe=2) then rescore exactly. At scale
-    * the assignment is one linear pass and each probe touches ~2/8 of
-    * the corpus. */
+    * top-2 centroid buckets (nprobe=2) then rescore exactly. This
+    * entry keeps the closed-form centroid pick so its DuckDB oracle
+    * can reproduce the assignment; `simCosineNeardupAnn` above and
+    * `PQ.trainIvf/searchIvfPq` are the Lloyd-TRAINED variants
+    * (spec-tested with measured recall) a real corpus would use. At
+    * scale the assignment is one linear pass and each probe touches
+    * ~2/8 of the corpus. */
   val annIvfTopk: Q = (s, d) => {
     val emb = table(s, d, "embeddings")
     val cent = emb.filter(col("vec_id") < 8)
@@ -373,20 +431,39 @@ object Pipelines {
     * shingles are >= 50 % contained in the pair's intersection —
     * catches quote-inclusion and excerpt duplication that symmetric
     * Jaccard misses (a 10-line quote inside a 500-line doc has tiny
-    * Jaccard but full containment). Shares the persisted shingle set;
-    * candidates come from the lang-blocked shingle equi-join verified
-    * with exact counts. At 100 TB the candidate step swaps to the
-    * one-sided variant of the LSH banding (band only the SMALLER
-    * side's signature — containment is preserved under min-hashing of
-    * the contained set); the exact-count verify is unchanged. */
+    * Jaccard but full containment). Shares the persisted shingle set.
+    *
+    * Candidates are ONE-SIDED and recall-COMPLETE: each doc posts only
+    * a bounded sketch — its floor(0.50005·|d|)+1 (= floor(|d|/2)+1 for
+    * any realistic doc; see containmentCandidates for the rounding
+    * margin) rarest shingles under the global (df asc, shingle) order — and the sketch joins the OTHER
+    * side's full shingle set with the size predicate sz_sketch <=
+    * sz_full, so only the smaller doc of a pair is reduced to a
+    * sketch. Pigeonhole proof of completeness at threshold t = 0.5:
+    * for a qualifying pair with |A| <= |B|, i >= ceil(|A|/2), so A has
+    * at most floor(|A|/2) shingles missing from B; A's sketch holds
+    * floor(|A|/2)+1 shingles, hence at least one lands in B and the
+    * lang-blocked equi-join surfaces the pair. Result is therefore
+    * IDENTICAL to the raw shingle x shingle join (`ContainmentSpec`
+    * property-checks sketch-candidates ⊇ qualifying pairs), but the
+    * hot-shingle blowup is gone: rarity ordering keeps boilerplate
+    * shingles (high df) out of every sketch, so the candidate join
+    * cost is Σ_g sketch_df(g)·df(g) with sketch_df ≈ 0 exactly where
+    * df explodes — the same PPJoin-style fix dedup_near_jaccard uses,
+    * here in its asymmetric containment form (deterministic, so
+    * strictly stronger than probabilistic one-sided MinHash banding).
+    * The exact-count verify below runs only over candidate pairs;
+    * the DuckDB oracle keeps the independent quadratic formulation. */
   val dedupContainment: Q = (s, d) => {
     val sh = shingles(s, d)
-    val a = sh.toDF("d1", "lang", "g")
-    val b = sh.toDF("d2", "lang2", "g2")
-    val inter = a.join(b, col("g") === col("g2") && col("lang") === col("lang2") &&
-        col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val cand = containmentCandidates(sh, sizes)
+    val a = sh.select(col("doc_id").as("ia"), col("g"))
+    val b = sh.select(col("doc_id").as("ib"), col("g").as("gb"))
+    val inter = cand
+      .join(a, col("ia") === col("d1"))
+      .join(b, col("ib") === col("d2") && col("gb") === col("g"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
     inter
       .join(sizes.toDF("s1_id", "s1"), col("d1") === col("s1_id"))
       .join(sizes.toDF("s2_id", "s2"), col("d2") === col("s2_id"))
@@ -395,6 +472,36 @@ object Pipelines {
       .filter(col("containment") >= 0.5)
       .select(col("d1"), col("d2"), col("containment"))
       .orderBy("d1", "d2")
+  }
+
+  /** Candidate pairs (d1 < d2, distinct) for containment >= 0.5 via the
+    * one-sided rarest-shingle sketch — see dedupContainment's scaladoc
+    * for the completeness proof. Exposed package-private so the spec
+    * can property-check sketch-candidates ⊇ qualifying pairs. */
+  private[graft] def containmentCandidates(sh: DataFrame, sizes: DataFrame): DataFrame = {
+    val gdf = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val wr = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    // sketch length covers the ROUNDED verify threshold: the verify
+    // admits round(i/|A|, 4) >= 0.5, i.e. i >= 0.49995·|A|, so up to
+    // floor(0.50005·|A|) shingles of A may be missing from B — one
+    // more than floor(|A|/2) once |A| >= 10^4. floor(0.50005·sz)+1
+    // equals floor(sz/2)+1 for every realistic doc and stays
+    // pigeonhole-complete for mega-docs.
+    val sketch = sh
+      .join(gdf, Seq("g"))
+      .join(sizes, Seq("doc_id"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= floor(col("sz") * 0.50005) + 1)
+      .select(col("doc_id"), col("lang"), col("g"), col("sz"))
+    val full = sh.join(sizes, Seq("doc_id"))
+      .select(col("doc_id").as("fd"), col("lang").as("flang"),
+        col("g").as("fg"), col("sz").as("fsz"))
+    sketch.join(full,
+        col("g") === col("fg") && col("lang") === col("flang") &&
+          col("doc_id") =!= col("fd") && col("sz") <= col("fsz"))
+      .select(least(col("doc_id"), col("fd")).as("d1"),
+        greatest(col("doc_id"), col("fd")).as("d2"))
+      .distinct()
   }
 
   /** TF-IDF top terms: document frequency trained over the WHOLE

@@ -11,7 +11,7 @@ class PQSpec extends AnyFunSuite {
   import SharedSpark._
 
   private lazy val emb = Tables(spark, sf0001, "embeddings")
-  private lazy val model = PQ.train(emb, "embedding", "vec_id", m = 8, k = 16)
+  private lazy val model = PQ.train(emb, "embedding", "vec_id", m = 8)
   private lazy val codes = PQ.encode(emb, "embedding", "vec_id", model).cache()
 
   private def probeVec(id: Long): Array[Float] =
@@ -32,7 +32,7 @@ class PQSpec extends AnyFunSuite {
   }
 
   test("training and encoding are deterministic") {
-    val m2 = PQ.train(emb, "embedding", "vec_id", m = 8, k = 16)
+    val m2 = PQ.train(emb, "embedding", "vec_id", m = 8)
     assert(model.codebooks.flatten.flatten.toSeq == m2.codebooks.flatten.flatten.toSeq)
     val c1 = codes.orderBy("vec_id").collect()
       .map(_.getAs[Array[Byte]]("codes").toSeq).toSeq
@@ -123,7 +123,10 @@ class PQSpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     info(s"recall@10 (rerank=50) per probe: $recalls, mean $mean")
-    assert(mean >= 0.5, s"mean recall@10 $mean below floor")
+    // r4 baseline was 0.75 (first-K-distinct init, K=16, 256-row
+    // sample); farthest-point init + full-sample Lloyd + K=256 byte
+    // codes must beat it at the same 8-byte code size
+    assert(mean > 0.75, s"mean recall@10 $mean not above the 0.75 r4 baseline")
     // the probe itself (distance 0) must always survive the pipeline
     val self = PQ.searchTopK(emb, codes, "embedding", "vec_id",
       probeVec(3L), model, k = 1, rerank = 50).collect()(0)
