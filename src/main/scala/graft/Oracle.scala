@@ -842,6 +842,18 @@ GROUP BY e.label ORDER BY e.label""",
        n_chars
 FROM ${T("documents")} WHERE doc_id % 7 = 0 ORDER BY doc_id""",
 
+      // the pattern is the SAME generated alternation the Spark side
+      // compiles from the frozen vocab (length-desc order = greedy
+      // longest-match under both Java and RE2 alternation semantics)
+      "pipeline_subword_count" ->
+        s"""SELECT doc_id, lang, ws_tokens, subword_tokens,
+       round(cast(subword_tokens AS DOUBLE) / ws_tokens, 4) AS fertility
+FROM (SELECT doc_id, lang,
+        cast(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        cast(len(regexp_extract_all(text, '${graft.ops.Pipelines.subwordPattern}')) AS BIGINT) AS subword_tokens
+      FROM ${T("documents")} WHERE doc_id % 13 = 0)
+ORDER BY doc_id""",
+
       "pipeline_quality_score" ->
         s"""WITH s AS (
   SELECT doc_id, lang, text, n_chars, string_split(text, ' ') AS toks FROM ${T("documents")}

@@ -123,6 +123,7 @@ object SparkEntry {
     "multimodal_join" -> TextSim.multimodalJoin,
     // §2.11 training-data pipeline extensions
     "pipeline_token_count" -> Pipelines.pipelineTokenCount,
+    "pipeline_subword_count" -> Pipelines.pipelineSubwordCount,
     "pipeline_quality_score" -> Pipelines.pipelineQualityScore,
     "pipeline_lang_id" -> Pipelines.pipelineLangId,
     "pipeline_fingerprint" -> Pipelines.pipelineFingerprint,

@@ -85,6 +85,47 @@ object Pipelines {
         col("n_chars"))
       .orderBy("doc_id")
 
+  /** Frozen subword vocabulary — a BPE-style merge-table snapshot, the
+    * way production tokenizers ship a fixed vocab. High-frequency
+    * corpus words are whole tokens; the rest segment greedily into the
+    * listed pieces, any residual character is its own token (the
+    * `[^ ]` fallback). At 100 TB the vocab is a broadcast lookup
+    * (kilobytes); here it compiles into ONE codegen'd
+    * `regexp_extract_all` pattern — alternatives sorted by (length
+    * desc, lex), which makes Java's leftmost-FIRST alternation and
+    * RE2/DuckDB's matching both implement greedy longest-match, so the
+    * token stream is engine-independent (verified: the DuckDB oracle
+    * runs the identical pattern). */
+  private[graft] val subwordVocab: Seq[String] = Seq(
+    // whole-word tokens (top corpus frequency)
+    "the", "a", "scan", "sort", "key", "row", "agg", "fast", "data", "big",
+    // merge pieces — everything else segments through these
+    "ta", "ble", "val", "ue", "qu", "er", "y", "win", "dow", "str", "eam",
+    "ba", "tch", "fil", "ter", "gr", "oup", "or", "der", "lin", "e",
+    "col", "umn", "cust", "om", "mer", "ge", "jo", "in", "sl", "ow",
+    "sm", "all", "sp", "ark", "ha", "sh", "vec", "tor", "part", "que",
+    "ry", "st", "an", "lu", "ind", "ex")
+
+  /** The vocab as a greedy longest-match pattern (see subwordVocab). */
+  private[graft] def subwordPattern: String =
+    (subwordVocab.distinct.sortBy(t => (-t.length, t)) :+ "[^ ]").mkString("|")
+
+  /** Subword token counts per doc: whitespace tokens vs vocab-driven
+    * subword tokens, plus fertility (subwords per word — THE tokenizer
+    * quality metric an LLM-data pipeline tracks). Linear single pass,
+    * no shuffle before the ORDER BY; the pattern is a literal so the
+    * whole projection stays inside WholeStageCodegen. */
+  val pipelineSubwordCount: Q = (s, d) =>
+    table(s, d, "documents")
+      .filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), col("lang"),
+        asLong(size(split(col("text"), " "))).as("ws_tokens"),
+        asLong(size(regexp_extract_all(col("text"),
+          lit(subwordPattern), lit(0)))).as("subword_tokens"))
+      .withColumn("fertility",
+        round(col("subword_tokens").cast(DoubleType) / col("ws_tokens"), 4))
+      .orderBy("doc_id")
+
   /** Shared quality heuristics (also the Curation quality gate — one
     * definition, no drift between the oracle-checked score and the
     * curation filter). */

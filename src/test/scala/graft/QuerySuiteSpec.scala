@@ -90,7 +90,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     // null-safe equi-join, symmetric difference
     "join_null_safe" -> 15L, "set_symmetric_diff" -> 58L,
     // point-in-time (AS OF) dimension lookup against the SCD2 build
-    "join_point_in_time" -> 9L)
+    "join_point_in_time" -> 9L,
+    // vocab-driven subword tokenization (1/13 doc sample)
+    "pipeline_subword_count" -> 39L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
