@@ -199,33 +199,174 @@ class Naqed(spark: SparkSession, sfDir: String) {
     q.map {
       case (key, rows) if key.startsWith("~") =>
         val tname = key.drop(1)
-        val schema = table(tname).schema
-        val unknown = rows.flatMap(_.keys).distinct.filterNot(schema.fieldNames.contains)
-        if (unknown.nonEmpty)
-          throw new IllegalArgumentException(
-            s"unknown fields ${unknown.mkString(", ")} on '$tname'")
-        // schema check up-front, per row: absent fields are only legal
-        // when nullable, and every present value must fit the declared
-        // Spark type (with numeric widening) — a bad row fails HERE
-        // with a naqed-style message, not opaquely at execution
-        val data = rows.zipWithIndex.map { case (r, i) =>
-          org.apache.spark.sql.Row.fromSeq(schema.fields.map { f =>
-            r.get(f.name) match {
-              case None | Some(null) if f.nullable => null
-              case None | Some(null) => throw new IllegalArgumentException(
-                s"row $i: missing required field '$tname.${f.name}' (${f.dataType.simpleString})")
-              case Some(v) => Naqed.coerce(v, f, tname, i)
-            }
-          }.toSeq)
-        }
-        val df = spark.createDataFrame(
-          spark.sparkContext.parallelize(data.toList), schema)
+        val df = rowsToDf(tname, table(tname).schema, rows)
         df.write.mode("append").parquet(s"$outDir/$tname.parquet")
-        key -> data.length.toLong
+        key -> rows.length.toLong
       case (key, _) =>
         throw new IllegalArgumentException(
           s"mutation keys must be '~'-prefixed table names, got '$key'")
     }
+
+  /** Validate + coerce naqed mutation rows into a typed DataFrame.
+    * Schema check up-front, per row: unknown fields are errors, absent
+    * fields are only legal when nullable, and every present value must
+    * fit the declared Spark type (with numeric widening) — a bad row
+    * fails HERE with a naqed-style message, not opaquely at execution. */
+  private def rowsToDf(tname: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[Map[String, Any]]): DataFrame = {
+    val unknown = rows.flatMap(_.keys).distinct.filterNot(schema.fieldNames.contains)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown fields ${unknown.mkString(", ")} on '$tname'")
+    val data = rows.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(schema.fields.map { f =>
+        r.get(f.name) match {
+          case None | Some(null) if f.nullable => null
+          case None | Some(null) => throw new IllegalArgumentException(
+            s"row $i: missing required field '$tname.${f.name}' (${f.dataType.simpleString})")
+          case Some(v) => Naqed.coerce(v, f, tname, i)
+        }
+      }.toSeq)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data.toList), schema)
+  }
+
+  /** Full naqed mutation parity over VERSIONED tables (naqed mutations
+    * are arbitrary resolvers, not just inserts). Each "~<table>" key
+    * maps to ONE of:
+    *
+    *   - `Seq(row, ...)` — INSERT (as [[mutate]], but transactional:
+    *     `VersionedTable.append`);
+    *   - `Map("$set" -> Map(field -> value), <arg filters>)` — UPDATE:
+    *     the same `$`-argument convention as queries selects the rows
+    *     (`$min_x`, `$max_x`, `$like_x`, `$x`), `$set` assigns typed
+    *     values via the declared-schema coercion used for inserts;
+    *     lowered to `VersionedTable.merge` keyed by the table's keys,
+    *     so readers see old or new snapshot, never a torn write;
+    *   - `Map("$delete" -> true, <arg filters>)` — DELETE: lowered to
+    *     `VersionedTable.deleteWhere` (min/max-pruned file rewrite).
+    *     A filter is REQUIRED — an unfiltered delete needs an explicit
+    *     `"$where" -> "true"`. `$where` accepts a raw SQL predicate
+    *     AND-ed with the arg filters in both update and delete.
+    *
+    * The versioned table lives at `rootDir/<table>` and is seeded from
+    * the source table on first mutation (the read-only testdata dir is
+    * never written). Returns rows inserted/updated/deleted per key.
+    * Unknown fields/args and type mismatches fail naqed-style, naming
+    * the field and the valid alternatives. */
+  def mutateVersioned(q: Map[String, Any], rootDir: String): Map[String, Long] = {
+    import graft.sources.VersionedTable
+    q.map {
+      case (key, body) if key.startsWith("~") =>
+        val tname = key.drop(1)
+        val root = s"$rootDir/$tname"
+        if (VersionedTable.versions(spark, root).isEmpty)
+          VersionedTable.create(spark, root, table(tname))
+        val current = VersionedTable.read(spark, root)
+        val schema = current.schema
+        val cols = schema.fieldNames.toSet
+
+        def argFilters(m: Map[String, Any]): Seq[(String, (Column, Any) => Column, Any, String)] =
+          m.collect {
+            case (k, v) if k.startsWith("$") &&
+                k != "$set" && k != "$delete" && k != "$where" =>
+              val (colName, op) = argTarget(k.drop(1))
+              if (!cols.contains(colName))
+                throw new IllegalArgumentException(
+                  s"unknown argument field '$colName' on '$tname'; " +
+                    s"fields: ${cols.toSeq.sorted.mkString(", ")}")
+              (colName, op, v, k.drop(1))
+          }.toSeq
+
+        /** The same filter as SQL text, for deleteWhere's predicate
+          * pruning path. */
+        def sqlLit(v: Any): String = v match {
+          case s: String => "'" + s.replace("'", "''") + "'"
+          case b: Boolean => b.toString
+          case n: java.lang.Number => n.toString
+          case other => throw new IllegalArgumentException(
+            s"unsupported literal in delete filter: $other (${other.getClass.getSimpleName})")
+        }
+        def sqlPred(filters: Seq[(String, (Column, Any) => Column, Any, String)],
+            where: Option[String]): String = {
+          val parts = filters.map { case (c, _, v, raw) =>
+            if (raw.startsWith("min_")) s"$c >= ${sqlLit(v)}"
+            else if (raw.startsWith("max_")) s"$c <= ${sqlLit(v)}"
+            else if (raw.startsWith("like_")) s"$c LIKE ${sqlLit(v)}"
+            else s"$c = ${sqlLit(v)}"
+          } ++ where.map(w => s"($w)")
+          if (parts.isEmpty) throw new IllegalArgumentException(
+            s"'~$tname' delete needs a filter ($$-args or $$where); " +
+              "pass \"$where\" -> \"true\" to delete every row")
+          parts.mkString(" AND ")
+        }
+
+        key -> (body match {
+          case rows: Seq[_] =>
+            val df = rowsToDf(tname, schema,
+              rows.map(_.asInstanceOf[Map[String, Any]]))
+            VersionedTable.append(spark, root, df)
+            rows.length.toLong
+
+          case m: Map[_, _] if m.asInstanceOf[Map[String, Any]].contains("$set") =>
+            val mm = m.asInstanceOf[Map[String, Any]]
+            val sets = mm("$set") match {
+              case sm: Map[_, _] if sm.nonEmpty => sm.asInstanceOf[Map[String, Any]]
+              case _ => throw new IllegalArgumentException(
+                s"'~$tname' $$set must be a non-empty map of field -> value")
+            }
+            sets.keys.filterNot(cols.contains).toSeq.sorted.headOption.foreach(f =>
+              throw new IllegalArgumentException(
+                s"unknown field '$f' in $$set on '$tname'; " +
+                  s"fields: ${cols.toSeq.sorted.mkString(", ")}"))
+            val keyCols = Naqed.keyColumns(tname)
+            require(keyCols.nonEmpty, s"no declared keys for '$tname' — cannot update")
+            sets.keys.find(keyCols.contains).foreach(f =>
+              throw new IllegalArgumentException(
+                s"$$set cannot assign key field '$f' on '$tname' (delete + insert instead)"))
+            val filters = argFilters(mm)
+            val where = mm.get("$where").map(_.toString)
+            if (filters.isEmpty && where.isEmpty)
+              throw new IllegalArgumentException(
+                s"'~$tname' update needs a filter ($$-args or $$where); " +
+                  "pass \"$where\" -> \"true\" to update every row")
+            val matchedPred = (filters.map { case (c, op, v, _) => op(col(c), v) } ++
+              where.map(expr)).reduce(_ && _)
+            val matched = current.filter(matchedPred)
+            val updates = sets.foldLeft(matched) { case (df, (f, v)) =>
+              val field = schema(f)
+              if (field.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+                throw new IllegalArgumentException(
+                  s"$$set on array field '$tname.$f' is not supported; " +
+                    "delete + insert the row instead")
+              val coerced = Naqed.coerce(v, field, tname, 0)
+              df.withColumn(f, lit(coerced).cast(field.dataType))
+            }.select(schema.fieldNames.map(col).toSeq: _*)
+            val n = matched.count()
+            if (n > 0) VersionedTable.merge(spark, root, updates, keyCols)
+            n
+
+          case m: Map[_, _] if m.asInstanceOf[Map[String, Any]].get("$delete").contains(true) =>
+            val mm = m.asInstanceOf[Map[String, Any]]
+            val pred = sqlPred(argFilters(mm), mm.get("$where").map(_.toString))
+            val before = current.count()
+            VersionedTable.deleteWhere(spark, root, pred)
+            before - VersionedTable.read(spark, root).count()
+
+          case m: Map[_, _] =>
+            throw new IllegalArgumentException(
+              s"'~$tname' mutation map must contain $$set (update) or " +
+                s"$$delete -> true; got keys: ${m.keys.mkString(", ")}")
+          case other =>
+            throw new IllegalArgumentException(
+              s"'~$tname' expects rows (insert) or a $$set/$$delete map, got: $other")
+        })
+      case (key, _) =>
+        throw new IllegalArgumentException(
+          s"mutation keys must be '~'-prefixed table names, got '$key'")
+    }
+  }
 
   /** Curation directive (naqed resolver-with-args style): the corpus
     * pipeline (ops.Curation: quality -> exact dedup -> near dedup ->

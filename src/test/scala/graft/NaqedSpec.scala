@@ -299,4 +299,68 @@ class NaqedSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("$bogus") && e.getMessage.contains("$min_tokens"))
   }
+
+  test("versioned mutations: ~update rewrites matched rows transactionally") {
+    import graft.sources.VersionedTable
+    val out = java.nio.file.Files.createTempDirectory("naqed_vmut").toString
+    // update: zero out negative balances in BUILDING segment
+    val n = naqed.mutateVersioned(Map("~customer" -> Map(
+      "$c_mktsegment" -> "BUILDING", "$max_c_acctbal" -> 0.0,
+      "$set" -> Map("c_acctbal" -> 0.0))), out)("~customer")
+    val src = Tables(spark, sf0001, "customer")
+    val want = src.filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") <= 0.0).count()
+    assert(n == want && n > 0)
+    val head = VersionedTable.read(spark, s"$out/customer")
+    assert(head.count() == src.count()) // update, not insert/delete
+    assert(head.filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") < 0.0).count() == 0)
+    // untouched segments keep their negatives
+    assert(head.filter(col("c_mktsegment") =!= "BUILDING" && col("c_acctbal") < 0.0).count() ==
+      src.filter(col("c_mktsegment") =!= "BUILDING" && col("c_acctbal") < 0.0).count())
+    // naqed-style errors: unknown $set field, unknown arg field, bad type, key assignment
+    val e1 = intercept[IllegalArgumentException] { naqed.mutateVersioned(Map(
+      "~customer" -> Map("$c_custkey" -> 1L, "$set" -> Map("bogus" -> 1))), out) }
+    assert(e1.getMessage.contains("bogus") && e1.getMessage.contains("fields:"))
+    val e2 = intercept[IllegalArgumentException] { naqed.mutateVersioned(Map(
+      "~customer" -> Map("$bogus" -> 1, "$set" -> Map("c_acctbal" -> 0.0))), out) }
+    assert(e2.getMessage.contains("unknown argument field 'bogus'"))
+    val e3 = intercept[IllegalArgumentException] { naqed.mutateVersioned(Map(
+      "~customer" -> Map("$c_custkey" -> 1L, "$set" -> Map("c_acctbal" -> "rich"))), out) }
+    assert(e3.getMessage.contains("c_acctbal"))
+    val e4 = intercept[IllegalArgumentException] { naqed.mutateVersioned(Map(
+      "~customer" -> Map("$c_custkey" -> 1L, "$set" -> Map("c_custkey" -> 2L))), out) }
+    assert(e4.getMessage.contains("key field 'c_custkey'"))
+    // an unfiltered update must be explicit
+    val e5 = intercept[IllegalArgumentException] { naqed.mutateVersioned(Map(
+      "~customer" -> Map("$set" -> Map("c_acctbal" -> 0.0))), out) }
+    assert(e5.getMessage.contains("needs a filter"))
+  }
+
+  test("versioned mutations: ~delete removes matched rows, ~insert appends") {
+    import graft.sources.VersionedTable
+    val out = java.nio.file.Files.createTempDirectory("naqed_vdel").toString
+    val src = Tables(spark, sf0001, "region")
+    // seed + insert two rows
+    val ins = naqed.mutateVersioned(Map("~region" -> Seq(
+      Map("r_regionkey" -> 90, "r_name" -> "ATLANTIS"),
+      Map("r_regionkey" -> 91, "r_name" -> "LEMURIA"))), out)("~region")
+    assert(ins == 2L)
+    assert(VersionedTable.read(spark, s"$out/region").count() == src.count() + 2)
+    // delete one by equality arg
+    val del = naqed.mutateVersioned(Map("~region" -> Map(
+      "$delete" -> true, "$r_name" -> "ATLANTIS")), out)("~region")
+    assert(del == 1L)
+    val head = VersionedTable.read(spark, s"$out/region")
+    assert(head.filter(col("r_name") === "ATLANTIS").count() == 0)
+    assert(head.filter(col("r_name") === "LEMURIA").count() == 1)
+    // $where raw predicate composes; string literals are quoted/escaped
+    val del2 = naqed.mutateVersioned(Map("~region" -> Map(
+      "$delete" -> true, "$min_r_regionkey" -> 91, "$where" -> "r_name LIKE 'LEM%'")), out)("~region")
+    assert(del2 == 1L)
+    // an unfiltered delete must be explicit
+    val e = intercept[IllegalArgumentException] { naqed.mutateVersioned(Map(
+      "~region" -> Map("$delete" -> true)), out) }
+    assert(e.getMessage.contains("needs a filter"))
+    // history is versioned: create + append + 2 deletes = 4 commits
+    assert(VersionedTable.versions(spark, s"$out/region").size == 4)
+  }
 }
