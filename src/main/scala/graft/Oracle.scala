@@ -325,7 +325,7 @@ FROM ${T("lineitem")} l JOIN ${T("part")} p ON l.l_partkey = p.p_partkey
 
       "funnel_three_step" ->
         s"""WITH v AS (SELECT user_id, min(ts) AS t_view FROM ${T("events")}
-  WHERE event_type = 'view' GROUP BY 1),
+  WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
 c AS (SELECT e.user_id, min(e.ts) AS t_click FROM ${T("events")} e
   JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
   WHERE e.event_type = 'click' GROUP BY 1),

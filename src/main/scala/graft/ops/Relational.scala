@@ -846,9 +846,11 @@ object Relational {
     * events table three times. */
   val funnelThreeStep: Q = (s, d) => {
     val w = Window.partitionBy(col("user_id"))
-    // NULL user_id matches nothing in the oracle's equi-joins, but
-    // Window.partitionBy groups the NULLs together — drop them (same
-    // discipline as lastClickPerPurchase)
+    // NULL user_id is dropped EXPLICITLY on both sides of the
+    // contract: here, and in the oracle's v CTE (GROUP BY would keep
+    // a NULL group there — the deeper c/p CTEs equi-join it away, but
+    // a NULL-user view event would still surface as a stage-1 row).
+    // Same discipline as lastClickPerPurchase.
     val ev = table(s, d, "events")
       .filter(col("user_id").isNotNull)
       .select(col("user_id"), col("ts"), col("event_type"))

@@ -371,6 +371,13 @@ object VersionedTable {
     writeData(spark, root, kept.unionByName(updates))
   }
 
+  /** Field names AND dataTypes must match; NULLABILITY is intentionally
+    * ignored. Rationale: every read path of this table goes through
+    * `spark.read.schema(...)` on parquet files, and Spark file-source
+    * reads force every field nullable regardless of the declared flag —
+    * so a nullability mismatch here can never produce a row the reader
+    * rejects, while enforcing it would spuriously refuse merges of
+    * DataFrames that only differ in the (unenforced) flag. */
   private def requireSameSchema(tableSchema: StructType, dfSchema: StructType,
       what: String): Unit =
     require(tableSchema.fieldNames.sameElements(dfSchema.fieldNames) &&

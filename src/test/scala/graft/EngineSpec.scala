@@ -133,12 +133,17 @@ class EngineSpec extends AnyFunSuite {
   test("filter pushdown reaches the parquet scan when caching is off") {
     val s2 = spark.newSession()
     s2.conf.set("spark.graft.cacheTables", "false")
-    // other specs may have cached sf0.01 tables (e.g. the kcore
-    // pruning test) — the SparkContext-wide CacheManager would then
-    // substitute an InMemoryRelation for this scan; drop the table
-    // caches first (correctness-neutral, they rebuild on demand)
-    Tables.clear()
-    val plan = s2.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    // scan a PRIVATE copy of the file: the SparkContext-wide
+    // CacheManager substitutes InMemoryRelation by canonical plan (=
+    // path), so reading the shared sf0.01 path would either hit
+    // another suite's cache or require Tables.clear() — which
+    // unpersists EVERY suite's table caches mid-run (the cross-suite
+    // interference class commit 54c3684 fixed)
+    val dir = java.nio.file.Files.createTempDirectory("pushdown_probe")
+    val copy = dir.resolve("lineitem.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.01/lineitem.parquet"), copy)
+    val plan = s2.read.parquet(copy.toString)
       .filter(col("l_quantity") > 45.0)
       .select("l_orderkey", "l_quantity")
       .queryExecution.executedPlan.toString
