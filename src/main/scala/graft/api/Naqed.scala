@@ -24,9 +24,20 @@ import graft.Tables
   * Many-to-one relations become struct columns; one-to-many relations
   * become sorted arrays of structs (naqed's `[Type]` fields). Resolvers
   * are named column programs with optional arguments — the Spark-native
-  * re-expression of naqed's `(args, context) => value` functions.
-  * Unknown fields fail analysis with a naqed-style error listing valid
-  * fields (the reference type-checks queries against the spec).
+  * re-expression of naqed's `(args, context) => value` functions — and
+  * are REGISTERED PER INSTANCE (naqed's core extensibility: the spec
+  * author supplies them):
+  * {{{
+  * naqed.resolver("customer", "debt_flag", Some("BOOL"))(_ => col("c_acctbal") < 0)
+  * naqed.resolverWithArgs("orders", "is_big", Set("cutoff"), Some("BOOL"))(
+  *   (args, _) => col("o_totalprice") >= lit(args.getOrElse("cutoff", 1e5)))
+  * naqed.request("orders", Map("is_big" -> Map("$cutoff" -> 2e5), ...))
+  * }}}
+  * Registration is validated naqed-style (unknown table, field/relation
+  * collision, program must analyze, declared result type must match);
+  * unknown fields and unknown resolver arguments fail analysis with
+  * errors listing the valid set (the reference type-checks queries
+  * against the spec).
   */
 class Naqed(spark: SparkSession, sfDir: String) {
   import Naqed._
@@ -44,6 +55,99 @@ class Naqed(spark: SparkSession, sfDir: String) {
       case Some((n, df)) if n == name => df
       case _ => Tables(spark, sfDir, name)
     }
+
+  // ---- per-instance resolver registration (naqed's extensibility
+  // surface: the spec author supplies arbitrary resolver functions) ----
+
+  /** A registered field resolver: the column program, its declared
+    * `$`-argument names (empty = plain), and an optional declared naqed
+    * result type checked against what the program actually resolves. */
+  private case class Resolver(fn: (Map[String, Any], DataFrame) => Column,
+      args: Set[String], returns: Option[String])
+
+  private val instanceResolvers =
+    scala.collection.concurrent.TrieMap[(String, String), Resolver]()
+
+  /** Register a plain resolver: `field` on `table` computed by `fn`
+    * over the table's columns (naqed's `(context) => value` function as
+    * a column program). Validated at registration, naqed-style: the
+    * table must exist, the name must not shadow a declared field or
+    * relation, the program must analyze against the table, and — when
+    * `returns` declares a naqed scalar type — the resolved Spark type
+    * must satisfy it. Returns `this` for chained registration. */
+  def resolver(table: String, field: String, returns: Option[String] = None)
+      (fn: DataFrame => Column): this.type =
+    resolverWithArgs(table, field, Set.empty, returns)((_, df) => fn(df))
+
+  /** Register a `$`-args-aware resolver (naqed's `(args, context) =>
+    * value`). `args` declares the accepted argument names (without the
+    * `$`); a query invokes it as `field -> Map("$arg" -> v, ...)` and
+    * unknown arguments fail analysis listing the declared set. The
+    * result-type check runs per query (the args shape the column). */
+  def resolverWithArgs(table: String, field: String, args: Set[String],
+      returns: Option[String] = None)
+      (fn: (Map[String, Any], DataFrame) => Column): this.type = {
+    if (!Naqed.specs.contains(table))
+      throw new IllegalArgumentException(
+        s"unknown table '$table'; tables: ${Naqed.specs.keys.toSeq.sorted.mkString(", ")}")
+    if (Naqed.specs(table).contains(field))
+      throw new IllegalArgumentException(
+        s"resolver '$field' collides with a declared field on '$table'; " +
+          s"fields: ${Naqed.specs(table).keys.toSeq.sorted.mkString(", ")}")
+    val rels = (Naqed.forward.keys ++ Naqed.reverse.keys)
+      .collect { case (t, r) if t == table => r }.toSet
+    if (rels.contains(field))
+      throw new IllegalArgumentException(
+        s"resolver '$field' collides with relation '$field' on '$table'")
+    returns.filterNot(Naqed.knownTypes.contains).foreach(r =>
+      throw new IllegalArgumentException(
+        s"unknown result type '$r' for resolver '$field'; " +
+          s"types: ${Naqed.knownTypes.toSeq.sorted.mkString(", ")}"))
+    // plain resolvers type-check NOW (analysis only, no job): naqed
+    // rejects a bad spec at registration, not first use
+    if (args.isEmpty) resolvedType(table, field, fn(Map.empty, this.table(table)))
+      .foreach(dt => checkReturns(table, field, returns, dt))
+    instanceResolvers((table, field)) = Resolver(fn, args, returns)
+    this
+  }
+
+  /** Analysis-time type of `c` selected over `table`, as a naqed-style
+    * error if the program doesn't analyze. */
+  private def resolvedType(table: String, field: String, c: Column) = {
+    try Some(this.table(table).select(c.as(field)).schema.head.dataType)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"resolver '$field' on '$table' does not analyze: ${e.getSimpleMessage}")
+    }
+  }
+
+  private def checkReturns(table: String, field: String,
+      returns: Option[String], dt: org.apache.spark.sql.types.DataType): Unit =
+    returns.filterNot(Naqed.typeCheck(_, dt)).foreach(declared =>
+      throw new IllegalArgumentException(
+        s"resolver '$field' on '$table' declared $declared but resolved " +
+          dt.simpleString))
+
+  /** Resolve a registered field for a query, validating `$`-args and
+    * the declared result type. */
+  private def resolved(tname: String, k: String, rawArgs: Map[String, Any],
+      df: DataFrame): Column = {
+    val r = instanceResolvers((tname, k))
+    val args = rawArgs.map { case (a, v) => a.drop(1) -> v }
+    args.keys.filterNot(r.args.contains).toSeq.sorted.headOption.foreach(a =>
+      throw new IllegalArgumentException(
+        s"unknown argument '$$$a' for resolver '$k' on '$tname'; " +
+          (if (r.args.isEmpty) "this resolver takes no arguments"
+           else s"arguments: ${r.args.toSeq.sorted.map("$" + _).mkString(", ")}")))
+    val c = r.fn(args, df).as(k)
+    resolvedType(tname, k, c).foreach(dt => checkReturns(tname, k, r.returns, dt))
+    c
+  }
+
+  // the compiled-in registry ports onto the instance API: same
+  // validated registration path as user resolvers
+  Naqed.resolvers.foreach { case ((t, f), fn) => resolver(t, f)(fn) }
 
   /** Execute a nested query rooted at `root`. Pagination args at the
     * root: `$sort -> "field"` (or `"-field"` for descending; ties
@@ -285,6 +389,10 @@ class Naqed(spark: SparkSession, sfDir: String) {
           case s: String => "'" + s.replace("'", "''") + "'"
           case b: Boolean => b.toString
           case n: java.lang.Number => n.toString
+          // temporal filters must work symmetrically for $set and
+          // $delete (round-5 advice): serialize to ANSI literals
+          case t: java.sql.Timestamp => s"TIMESTAMP '${t.toString}'"
+          case d: java.sql.Date => s"DATE '${d.toString}'"
           case other => throw new IllegalArgumentException(
             s"unsupported literal in delete filter: $other (${other.getClass.getSimpleName})")
         }
@@ -340,8 +448,16 @@ class Naqed(spark: SparkSession, sfDir: String) {
                 throw new IllegalArgumentException(
                   s"$$set on array field '$tname.$f' is not supported; " +
                     "delete + insert the row instead")
-              val coerced = Naqed.coerce(v, field, tname, 0)
-              df.withColumn(f, lit(coerced).cast(field.dataType))
+              if (v == null) {
+                // coerce's fallthrough would NPE; null is legal exactly
+                // when the schema says the field is nullable
+                if (!field.nullable) throw new IllegalArgumentException(
+                  s"$$set cannot assign NULL to non-nullable field '$tname.$f'")
+                df.withColumn(f, lit(null).cast(field.dataType))
+              } else {
+                val coerced = Naqed.coerce(v, field, tname, 0)
+                df.withColumn(f, lit(coerced).cast(field.dataType))
+              }
             }.select(schema.fieldNames.map(col).toSeq: _*)
             val n = matched.count()
             if (n > 0) VersionedTable.merge(spark, root, updates, keyCols)
@@ -485,8 +601,14 @@ class Naqed(spark: SparkSession, sfDir: String) {
       case (k, true) if cols.contains(k) =>
         selected(k) = col(k)
 
-      case (k, true) if resolvers.contains((tname, k)) =>
-        selected(k) = resolvers((tname, k))(df).as(k)
+      case (k, true) if instanceResolvers.contains((tname, k)) =>
+        selected(k) = resolved(tname, k, Map.empty, df)
+
+      // args-aware resolver invocation: a sub-map of only $-keys on a
+      // registered resolver name is an argument list, not a traversal
+      case (k, sub: Map[_, _]) if instanceResolvers.contains((tname, k)) &&
+          sub.asInstanceOf[Map[String, Any]].keys.forall(_.startsWith("$")) =>
+        selected(k) = resolved(tname, k, sub.asInstanceOf[Map[String, Any]], df)
 
       case (k, sub: Map[_, _]) if (forward.contains((tname, k)) ||
           reverse.contains((tname, k))) &&
@@ -585,8 +707,10 @@ object Naqed {
     else if (arg.startsWith("like_")) (arg.drop(5), (c, v) => c.like(v.toString))
     else (arg, (c, v) => c === lit(v))
 
-  /** Resolver-backed derived fields (naqed resolver functions as column
-    * programs). */
+  /** Built-in resolver-backed derived fields (naqed resolver functions
+    * as column programs). These SEED every instance's registry through
+    * the same validated `resolver(...)` registration path users call —
+    * see the instance methods `resolver` / `resolverWithArgs`. */
   val resolvers: Map[(String, String), DataFrame => Column] = Map(
     ("customer", "balance_tier") -> (_ =>
       when(col("c_acctbal") >= 5000, "high")
@@ -599,6 +723,12 @@ object Naqed {
     * Spark types satisfy them — the analysis-time type checking the
     * reference performs on results. */
   import org.apache.spark.sql.types._
+  /** Declared-type names accepted by resolver registration. */
+  private[api] def knownTypes: Set[String] = typeOk.keySet
+  /** Does Spark type `t` satisfy declared naqed type `declared`? */
+  private[api] def typeCheck(declared: String, t: DataType): Boolean =
+    typeOk(declared)(t)
+
   private val typeOk: Map[String, DataType => Boolean] = Map(
     "BOOL" -> (_ == BooleanType),
     "INT" -> (t => t == IntegerType || t == LongType),

@@ -141,14 +141,21 @@ class EngineSpec extends AnyFunSuite {
     // interference class commit 54c3684 fixed)
     val dir = java.nio.file.Files.createTempDirectory("pushdown_probe")
     val copy = dir.resolve("lineitem.parquet")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.01/lineitem.parquet"), copy)
-    val plan = s2.read.parquet(copy.toString)
-      .filter(col("l_quantity") > 45.0)
-      .select("l_orderkey", "l_quantity")
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
-      s"pushdown missing in plan:\n$plan")
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.01/lineitem.parquet"), copy)
+      val plan = s2.read.parquet(copy.toString)
+        .filter(col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_quantity")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+        s"pushdown missing in plan:\n$plan")
+    } finally {
+      // the ~1MB copy would otherwise accumulate in the system temp
+      // dir on every run (round-5 advice)
+      java.nio.file.Files.deleteIfExists(copy)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
   }
 
   test("engine caches are thread-safe under concurrent COLD initialization") {

@@ -363,4 +363,78 @@ class NaqedSpec extends AnyFunSuite {
     // history is versioned: create + append + 2 deletes = 4 commits
     assert(VersionedTable.versions(spark, s"$out/region").size == 4)
   }
+
+  test("per-instance resolver registration: plain, args-aware, and naqed-style errors") {
+    val nq = new Naqed(spark, sf0001)
+    // plain resolver with a declared result type
+    nq.resolver("customer", "debt_flag", Some("BOOL"))(_ => col("c_acctbal") < 0)
+    val df = nq.request("customer", Map("debt_flag" -> true, "c_acctbal" -> true))
+    assert(df.filter((col("c_acctbal") < 0) =!= col("debt_flag")).count() == 0)
+    // args-aware resolver invoked with $-args
+    nq.resolverWithArgs("orders", "is_big", Set("cutoff"), Some("BOOL"))((args, _) =>
+      col("o_totalprice") >= lit(args.getOrElse("cutoff", 100000.0)))
+    val big = nq.request("orders",
+      Map("is_big" -> Map("$cutoff" -> 200000.0), "o_totalprice" -> true))
+    assert(big.count() > 0)
+    assert(big.filter((col("o_totalprice") >= 200000.0) =!= col("is_big")).count() == 0)
+    // unknown resolver argument lists the declared set
+    val eArg = intercept[IllegalArgumentException] {
+      nq.request("orders", Map("is_big" -> Map("$bogus" -> 1)))
+    }
+    assert(eArg.getMessage.contains("$bogus") && eArg.getMessage.contains("$cutoff"))
+    // result-type error at registration (plain resolvers type-check eagerly)
+    val eTy = intercept[IllegalArgumentException] {
+      nq.resolver("customer", "bad_tier", Some("INT"))(_ => lit("not an int"))
+    }
+    assert(eTy.getMessage.contains("declared INT"))
+    // unknown table / field collision / relation collision / unknown type
+    assert(intercept[IllegalArgumentException] {
+      nq.resolver("nope", "x")(_ => lit(1)) }.getMessage.contains("unknown table"))
+    assert(intercept[IllegalArgumentException] {
+      nq.resolver("customer", "c_name")(_ => lit(1)) }.getMessage.contains("collides"))
+    assert(intercept[IllegalArgumentException] {
+      nq.resolver("customer", "orders")(_ => lit(1)) }.getMessage.contains("collides"))
+    assert(intercept[IllegalArgumentException] {
+      nq.resolver("customer", "x", Some("WAT"))(_ => lit(1))
+    }.getMessage.contains("unknown result type"))
+    // a program that doesn't analyze fails at registration, naqed-style
+    val eAn = intercept[IllegalArgumentException] {
+      nq.resolver("customer", "ghost")(_ => col("no_such_col"))
+    }
+    assert(eAn.getMessage.contains("does not analyze"))
+    // built-ins ported onto the instance registry still resolve
+    assert(nq.request("customer", Map("balance_tier" -> true))
+      .columns.contains("balance_tier"))
+    // args-aware resolvers type-check per query (the args shape the column)
+    nq.resolverWithArgs("customer", "seg_match", Set("seg"), Some("BOOL"))((args, _) =>
+      if (args.contains("seg")) col("c_mktsegment") === lit(args("seg")) else lit("oops"))
+    val eQ = intercept[IllegalArgumentException] {
+      nq.request("customer", Map("seg_match" -> true))
+    }
+    assert(eQ.getMessage.contains("declared BOOL"))
+  }
+
+  test("versioned mutations: NULL $set values and temporal delete filters") {
+    import graft.sources.VersionedTable
+    val out = java.nio.file.Files.createTempDirectory("naqed_vnt").toString
+    // $set field -> null is legal for a nullable field (previously NPE'd
+    // in coerce's fallthrough)
+    val src = Tables(spark, sf0001, "customer")
+    val n = naqed.mutateVersioned(Map("~customer" -> Map(
+      "$c_mktsegment" -> "AUTOMOBILE",
+      "$set" -> Map("c_name" -> null))), out)("~customer")
+    assert(n == src.filter(col("c_mktsegment") === "AUTOMOBILE").count() && n > 0)
+    val head = VersionedTable.read(spark, s"$out/customer")
+    assert(head.filter(col("c_mktsegment") === "AUTOMOBILE" &&
+      col("c_name").isNotNull).count() == 0)
+    // the same temporal filter value works for $delete as for $set:
+    // sqlLit serializes java.sql.Date/Timestamp to ANSI literals
+    val o = Tables(spark, sf0001, "orders")
+    val cut = java.sql.Date.valueOf("1997-06-01")
+    val wantGone = o.filter(col("o_orderdate") >= lit(cut)).count()
+    val del = naqed.mutateVersioned(Map("~orders" -> Map(
+      "$delete" -> true, "$min_o_orderdate" -> cut)), out)("~orders")
+    assert(del == wantGone && del > 0)
+    assert(VersionedTable.read(spark, s"$out/orders").count() == o.count() - wantGone)
+  }
 }
