@@ -74,9 +74,10 @@ class PQSpec extends AnyFunSuite {
     assert(counts.sorted == Seq(2, 2, 2), s"centroid multiplicity: $counts")
   }
 
-  test("encodeIvfPq single pass equals encode + assignCells") {
+  test("encodeIvfPq single pass equals encode + assignCells (raw-code layout)") {
     val coarse = PQ.trainIvf(emb, "embedding", "vec_id", nCells = 16)
-    val onePass = PQ.encodeIvfPq(emb, "embedding", "vec_id", coarse, model)
+    val onePass = PQ.encodeIvfPq(emb, "embedding", "vec_id", coarse, model,
+      residual = false)
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq))
     val twoPass = PQ.encode(emb, "embedding", "vec_id", model)
@@ -86,11 +87,22 @@ class PQSpec extends AnyFunSuite {
     assert(onePass.toSeq == twoPass.toSeq)
   }
 
-  test("IVF-PQ: nprobe cells bound the scan, recall holds, self found") {
+  test("IVF-PQ with residual codes + multi-assign: recall@10 >= 0.9 per probe") {
     val coarse = PQ.trainIvf(emb, "embedding", "vec_id", nCells = 16)
-    val layout = PQ.encodeIvfPq(emb, "embedding", "vec_id", coarse, model).cache()
+    // the standard formulation: PQ codebooks trained on cell residuals,
+    // codes quantize v - centroid(cell), ADC table built per probed
+    // cell from the probe's residual. assign=3 stores each vector in
+    // its 3 nearest cells: measured (r6), the r5 recall loss at
+    // nprobe=8/16 was ENTIRELY coverage — 10/6/7 of each probe's true
+    // top-10 lay inside the probed cells, exactly the observed
+    // 1.0/0.6/0.7 recall, with ADC+rerank recovering every covered
+    // neighbor — so the fix is assignment width, not code fidelity.
+    val rmodel = PQ.trainResidual(emb, "embedding", "vec_id", coarse, m = 8)
+    val layout = PQ.encodeIvfPq(emb, "embedding", "vec_id", coarse, rmodel,
+      assign = 3).cache()
     val n = emb.count()
-    assert(layout.count() == n)
+    assert(layout.count() == 3 * n) // one row per (vector, stored cell)
+    assert(layout.select("vec_id").distinct().count() == n)
     // cells partition the corpus non-degenerately
     val cellSizes = layout.groupBy("cell").count().collect().map(_.getLong(1))
     assert(cellSizes.length > 4 && cellSizes.max < n)
@@ -98,17 +110,24 @@ class PQSpec extends AnyFunSuite {
       val probe = probeVec(q)
       val exact10 = exactTopK(probe, 10).toSet
       val got = PQ.searchIvfPq(emb, layout, "embedding", "vec_id", probe,
-        coarse, model, nprobe = 8, k = 10, rerank = 50)
+        coarse, rmodel, nprobe = 8, k = 10, rerank = 50)
         .collect().map(_.getLong(0)).toSet
       assert(got.size == 10)
       (exact10 intersect got).size / 10.0
     }
-    info(s"IVF-PQ recall@10 (nprobe=8/16, rerank=50): $recalls")
-    assert(recalls.sum / recalls.size >= 0.4)
-    // the probe's own vector lives in the nearest cell -> always found
+    info(s"residual IVF-PQ recall@10 (nprobe=8/16, rerank=50): $recalls")
+    // r5's raw-code combined recall was 1.0/0.6/0.7 on these probes
+    // (VERDICT r5 item 3); residual codes restore in-cell fidelity and
+    // multi-assignment restores coverage — both were needed
+    recalls.foreach(r => assert(r >= 0.9, s"per-probe recall $r below 0.9: $recalls"))
+    // the probe's own vector lives in the nearest cell (residual 0) ->
+    // always found
     val self = PQ.searchIvfPq(emb, layout, "embedding", "vec_id",
-      probeVec(7L), coarse, model, nprobe = 1, k = 1, rerank = 10).collect()(0)
+      probeVec(7L), coarse, rmodel, nprobe = 1, k = 1, rerank = 10).collect()(0)
     assert(self.getLong(0) == 7L && self.getDouble(1) == 0.0)
+    // residual training is deterministic like everything else here
+    val r2 = PQ.trainResidual(emb, "embedding", "vec_id", coarse, m = 8)
+    assert(rmodel.codebooks.flatten.flatten.toSeq == r2.codebooks.flatten.flatten.toSeq)
   }
 
   test("searchTopK: exact-rescored results, measured recall floor") {
