@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-curve measurement for the dedup/ANN family (SCALING.md's
+  * evidence): runs each operator on a list of document/embedding tiers
+  * (default sf0.01 -> sf0.1 -> the generated 10x fixtures/sf1_docs,
+  * i.e. 500 -> 5,000 -> 50,000 docs) and prints one JSON line per tier
+  * with per-op best-of-N wall seconds. `scripts/fit_scaling.py` fits
+  * the per-op growth exponent alpha (t ~ n^alpha) from consecutive
+  * tiers — the measured check on SCALING.md's analytical claims
+  * (sub-quadratic candidates for every sketch-based dedup; O(n^1.5)
+  * for IVF ANN).
+  *
+  * Methodology matches Bench: caches dropped between runs so every run
+  * does identical work from parquet; min over SPARK_GRAFT_SCALE_RUNS
+  * (default 2) defends transient contention; the shared shingle build
+  * is timed as its own "shingle_prime" entry so per-op numbers are
+  * marginal costs, comparable across tiers. */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val dirs: Seq[String] = if (args.nonEmpty) args.toSeq else Seq(
+      "/root/testdata/sf0.01", "/root/testdata/sf0.1",
+      new java.io.File("fixtures/sf1_docs").getAbsolutePath)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      // 10x the bench tier's data: keep shuffles parallel but not
+      // scheduling-dominated (SCALING.md's knob discussion)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "16"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // per-op executor CPU: the contention-immune cost measure the
+    // exponents are fitted against when walls are host-noisy
+    val cpuListener = new QueryCpuListener
+    spark.sparkContext.addSparkListener(cpuListener)
+
+    def clearAll(): Unit = {
+      Tables.clear()
+      ops.Pipelines.clearCache()
+      ops.TextSim.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(
+        rdd => try rdd.unpersist(blocking = false) catch { case _: Throwable => () })
+      System.gc()
+    }
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+
+    for (dir <- dirs) {
+      val nDocs = Tables(spark, dir, "documents").count()
+      val nVecs = Tables(spark, dir, "embeddings").count()
+      // nCells ~ sqrt(active vectors): the O(n^1.5) contract
+      val nCells = math.max(16, math.sqrt(nVecs / 2.0).toInt)
+      val opsList: Seq[(String, () => Unit)] = Seq(
+        "dedup_exact" -> (() => ops.TextSim.dedupExact(spark, dir).count()),
+        "dedup_near_jaccard" -> (() => ops.TextSim.dedupNearJaccard(spark, dir).count()),
+        "dedup_simhash" -> (() => ops.Pipelines.dedupSimhash(spark, dir).count()),
+        "dedup_minhash_lsh" -> (() => { ops.Pipelines.dedupMinhashLsh(spark, dir).count(); () }),
+        "dedup_containment" -> (() => ops.Pipelines.dedupContainment(spark, dir).count()),
+        "sim_cosine_neardup_exact" -> (() =>
+          ops.Pipelines.simCosineNeardup(spark, dir).count()),
+        "sim_cosine_neardup_ann" -> (() =>
+          ops.Pipelines.simCosineNeardupAnn(spark, dir, nCells = nCells).count()))
+      // run r: clear -> timed shingle build -> each op timed under its
+      // own job group; keep min wall and min CPU per op (a cost
+      // measure is a floor — contention only ever inflates it)
+      val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val bestCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
+      var primeBest = Double.MaxValue
+      var primeCpuBest = Double.MaxValue
+      for (_ <- 1 to nRuns) {
+        clearAll()
+        cpuListener.reset()
+        Tables(spark, dir, "documents").count() // table cache outside the curve
+        Tables(spark, dir, "embeddings").count()
+        spark.sparkContext.setJobGroup("shingle_prime", "shingle_prime")
+        primeBest = math.min(primeBest, timed(ops.Pipelines.primeShingles(spark, dir)))
+        for ((name, f) <- opsList) {
+          spark.sparkContext.setJobGroup(name, name)
+          val t = timed(f())
+          best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+        }
+        spark.sparkContext.clearJobGroup()
+        Thread.sleep(300) // async listener bus drain
+        val cpu = cpuListener.snapshot()
+        primeCpuBest = math.min(primeCpuBest, cpu.getOrElse("shingle_prime", 0.0))
+        for ((name, _) <- opsList)
+          bestCpu(name) = math.min(bestCpu.getOrElse(name, Double.MaxValue),
+            cpu.getOrElse(name, 0.0))
+      }
+      val opsJson = best.map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+      val cpuJson = bestCpu.map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+      println(s"""{"dir":"$dir","n_docs":$nDocs,"n_vecs":$nVecs,"n_cells":$nCells,"runs":$nRuns,"shingle_prime":${r3(primeBest)},"shingle_prime_cpu":${r3(primeCpuBest)},"ops":$opsJson,"ops_cpu":$cpuJson}""")
+      System.out.flush()
+    }
+    spark.stop()
+  }
+}

@@ -44,6 +44,11 @@ object Pipelines {
     dedupMinhashLsh(s, d) // localCheckpoint(eager) — materialized on return
   }
 
+  /** Shingle build only (ScalingBench: bills the LSH pair build to
+    * dedup_minhash_lsh itself, so per-op curves stay marginal). */
+  private[graft] def primeShingles(s: SparkSession, d: String): Unit =
+    shingles(s, d).count()
+
   /** 3-gram shingles per doc (distinct), shared by fingerprint, simhash
     * and minhash-LSH — built once per sfDir and persisted (same
     * engine-level materialization policy as Tables.edges). Token-set
@@ -51,7 +56,20 @@ object Pipelines {
     * standard fix. Built with posexplode + window lead() — fully
     * codegen'd, one shuffle on doc_id, no per-row array-of-strings
     * allocation (a higher-order `transform` here was the suite's
-    * dominant GC source). */
+    * dominant GC source).
+    *
+    * Deliberately does NOT precompute the dedup family's md5 columns
+    * (h = md5(g), h0..h3 = md5("k|" ++ g)) into the cached relation,
+    * although fingerprint/simhash re-hash g once per scan and minhash
+    * 4x/row. MEASURED (r6 A/B, ScalingBench CPU at sf0.1 / the 10x
+    * fixture tier): caching the five 32-char hash columns doubles the
+    * shingle-build CPU (22.5 -> 47.0 s at 10x) and makes every hash
+    * consumer SLIGHTLY SLOWER (simhash 27.6 -> 30.9 s, minhash-LSH
+    * 76.8 -> 83.6 s CPU) — md5 over a ~20-char shingle inside
+    * WholeStageCodegen is cheaper than deserializing a 32-char string
+    * column from the columnar cache, and the +160 bytes/row pushes the
+    * MEMORY_AND_DISK cache toward spill. Full numbers in SCALING.md
+    * ("md5 precompute A/B"). */
   private def shingles(s: SparkSession, d: String): DataFrame = {
     shingleCache.getOrElseUpdate(s, d) {
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -475,16 +493,19 @@ object Pipelines {
     * Jaccard but full containment). Shares the persisted shingle set.
     *
     * Candidates are ONE-SIDED and recall-COMPLETE: each doc posts only
-    * a bounded sketch — its floor(0.50005·|d|)+1 (= floor(|d|/2)+1 for
-    * any realistic doc; see containmentCandidates for the rounding
-    * margin) rarest shingles under the global (df asc, shingle) order — and the sketch joins the OTHER
+    * a bounded sketch — its min(floor(0.7·|d|)+1, |d|) rarest shingles
+    * under the global (df asc, shingle) order (longer than the
+    * floor(0.50005·|d|)+1 coverage minimum so the sketch ALSO supports
+    * an exact shared-count lower bound; see containmentCandidates for
+    * the two-bound derivation) — and the sketch joins the OTHER
     * side's full shingle set with the size predicate sz_sketch <=
     * sz_full, so only the smaller doc of a pair is reduced to a
     * sketch. Pigeonhole proof of completeness at threshold t = 0.5:
-    * for a qualifying pair with |A| <= |B|, i >= ceil(|A|/2), so A has
-    * at most floor(|A|/2) shingles missing from B; A's sketch holds
-    * floor(|A|/2)+1 shingles, hence at least one lands in B and the
-    * lang-blocked equi-join surfaces the pair. Result is therefore
+    * for a qualifying pair with |A| <= |B|, at most floor(0.50005·|A|)
+    * shingles of A are missing from B (the verify admits
+    * round(i/|A|,4) >= 0.5); A's sketch holds strictly more shingles
+    * than that, hence at least one lands in B and the lang-blocked
+    * equi-join surfaces the pair. Result is therefore
     * IDENTICAL to the raw shingle x shingle join (`ContainmentSpec`
     * property-checks sketch-candidates ⊇ qualifying pairs), but the
     * hot-shingle blowup is gone: rarity ordering keeps boilerplate
