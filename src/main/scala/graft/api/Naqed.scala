@@ -269,16 +269,22 @@ class Naqed(spark: SparkSession, sfDir: String) {
     */
   /** naqed-style subscription: the SAME query tree as `request`,
     * compiled against an unbounded source bound to `root`. Filters
-    * (`$`-args), field selections, resolvers and many-to-one
-    * traversals all lower to stream-compatible plans — the traversal
-    * becomes a stream-static dimension join, which Structured
-    * Streaming executes per micro-batch. One-to-many traversals AT THE
-    * ROOT are rejected with a naqed-style error (they would need
-    * unbounded state; deeper levels are static-static and fine).
-    * Returns a streaming DataFrame ready for `writeStream`. The
-    * streaming binding is a per-thread DynamicVariable scoped to this
-    * compilation, so it never leaks into `request` calls — including
-    * concurrent ones on other threads. */
+    * (`$`-args), field selections, resolvers and traversals all lower
+    * to stream-compatible plans: a many-to-one traversal becomes a
+    * stream-static dimension join, and a one-to-many traversal (r6)
+    * becomes a STATIC-side pre-aggregation — the child table is never
+    * the streamed source (only the root binds to the stream), so its
+    * sorted struct arrays are built as a batch subplan and joined
+    * stream-static per micro-batch, with ZERO streaming state. (That
+    * is why the pre-r6 "unbounded state" rejection was wrong: state
+    * would only be unbounded if the CHILD were the stream.)
+    * `$groupBy`/`$agg` over the streamed root itself do aggregate
+    * unbounded input and stay rejected — aggregate in the sink with a
+    * watermark instead. Returns a streaming DataFrame ready for
+    * `writeStream`. The streaming binding is a per-thread
+    * DynamicVariable scoped to this compilation, so it never leaks
+    * into `request` calls — including concurrent ones on other
+    * threads. */
   def subscribe(root: String, q: Map[String, Any], source: DataFrame): DataFrame = {
     require(source.isStreaming,
       s"subscribe('$root') needs a readStream source; use request() for batch queries")
@@ -289,13 +295,8 @@ class Naqed(spark: SparkSession, sfDir: String) {
     if (q.contains("$groupBy") || q.contains("$agg"))
       throw new IllegalArgumentException(
         "$groupBy/$agg aggregate the whole table — unbounded state on a " +
-          "subscription (same contract as one-to-many traversals); aggregate " +
-          "in the sink with a watermark, or use request() for batch aggregation")
-    q.keys.filter(k => reverse.contains((root, k))).toSeq.sorted.headOption.foreach { k =>
-      throw new IllegalArgumentException(
-        s"subscription field '$k' on '$root' is one-to-many (unbounded state); " +
-          "subscriptions support arg filters, fields, resolvers and many-to-one traversals")
-    }
+          "subscription; aggregate in the sink with a watermark, or use " +
+          "request() for batch aggregation")
     boundSource.withValue(Some((root, source)))(compile(root, q))
   }
 

@@ -32,6 +32,17 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** readStream over any single-table parquet (file-source replay) —
+    * the generic subscription source. The events table needs the
+    * ns->us timestamp conversion; use [[eventsStream]] for it. */
+  def tableStream(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    spark.readStream
+      .schema(raw.schema)
+      .option("pathGlobFilter", s"$name.parquet")
+      .parquet(sfDir)
+  }
+
   /** Unbounded non-file source wiring: Spark's built-in deterministic
     * `rate-micro-batch` source shaped into the events schema. Batch k
     * carries values [k·rowsPerBatch, (k+1)·rowsPerBatch) with event

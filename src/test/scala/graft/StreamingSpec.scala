@@ -118,20 +118,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == want.count() && got.count() > 0)
     assert(got.select(col("event_id"), col("customer.c_name"))
       .exceptAll(want.select(col("event_id"), col("customer.c_name"))).count() == 0)
-    // one-to-many at the root is rejected naqed-style
-    val e = intercept[IllegalArgumentException] {
-      nq.subscribe("customer", Map("orders" -> Map("o_orderkey" -> true)),
-        Streams.eventsStream(spark, sf0001))
-    }
-    assert(e.getMessage.contains("one-to-many"))
-    // whole-table aggregation is the same unbounded-state contract —
-    // rejected at subscribe time, not as an opaque stream-start error
+    // whole-table aggregation over the streamed root is rejected at
+    // subscribe time, not as an opaque stream-start error
     val eAgg = intercept[IllegalArgumentException] {
       nq.subscribe("events",
         Map("$groupBy" -> "event_type", "$agg" -> Map("n" -> "count")),
         Streams.eventsStream(spark, sf0001))
     }
     assert(eAgg.getMessage.contains("unbounded state"))
+  }
+
+  test("naqed subscription: one-to-many root traversal (static child arrays)") {
+    // customer streams; orders is static, so the child arrays are a
+    // batch subplan joined stream-static per micro-batch — zero
+    // streaming state (see Naqed.subscribe scaladoc, r6)
+    val nq = new graft.api.Naqed(spark, sf0001)
+    val q = Map("c_name" -> true,
+      "orders" -> Map("$min_o_totalprice" -> 300000.0, "o_orderkey" -> true))
+    val sub = nq.subscribe("customer", q,
+      Streams.tableStream(spark, sf0001, "customer"))
+    assert(sub.isStreaming)
+    val got = Streams.runToBatchAppend(spark, sub, "t_naqed_sub_o2m")
+    val want = nq.request("customer", q)
+    assert(got.count() == want.count() && got.count() > 0)
+    // identical per-customer child arrays (explode_outer keeps
+    // customers whose array is empty/null symmetric on both sides)
+    def flat(df: org.apache.spark.sql.DataFrame) = df.select(col("c_custkey"),
+      explode_outer(col("orders.o_orderkey")).as("ok"))
+    assert(flat(got).exceptAll(flat(want)).count() == 0)
+    assert(flat(want).exceptAll(flat(got)).count() == 0)
   }
 
   test("RocksDB state store: tumbling agg equals batch (the 100 TB state backend)") {
