@@ -180,6 +180,40 @@ object PQ {
     }.toDF(idCol, "codes")
   }
 
+  /** One-pass PQ RECONSTRUCTION: (id, recon) where recon is the
+    * codebook centroid concatenation the vector's 8-byte code decodes
+    * to — the approximate vector an ADC comparison "sees". Lets a
+    * candidate PAIR be scored code-vs-code (symmetric distance) with
+    * any vector expression over `recon`, e.g. the codegen'd
+    * `cosine_sim`, at 1/32 the storage of the originals. */
+  def reconstruct(df: DataFrame, vecCol: String, idCol: String,
+      model: PQModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dsub = model.dsub
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        rows.map { case (id, v) =>
+          val recon = new Array[Float](model.dim)
+          var j = 0
+          while (j < model.m) {
+            val cb = model.codebooks(j)
+            var best = 0; var bd = Float.MaxValue; var c = 0
+            while (c < cb.length) {
+              var s = 0.0f; var t = 0
+              while (t < dsub) { s += sq(v(j * dsub + t) - cb(c)(t)); t += 1 }
+              if (s < bd) { bd = s; best = c }
+              c += 1
+            }
+            System.arraycopy(cb(best), 0, recon, j * dsub, dsub)
+            j += 1
+          }
+          (id, recon)
+        }
+      }.toDF(idCol, "recon")
+  }
+
   /** ADC scan: approximate squared-L2 of every encoded vector against
     * `probe` via the M x K distance table — codes only, originals
     * untouched. Returns (id, adc_dist). */

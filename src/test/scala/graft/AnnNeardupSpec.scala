@@ -47,4 +47,38 @@ class AnnNeardupSpec extends AnyFunSuite {
     // nprobe = nCells/2 covers most cell combinations
     assert(r8 >= 0.9, s"recall at nprobe=8/16 was $r8")
   }
+
+  test("adaptive probing + code prefilter: >= 0.95 recall, exact rescore under half of nprobe=8") {
+    val exact = ops.Pipelines.simCosineNeardup(spark, sf0001)
+      .select("v1", "v2").persist()
+    val adaptive = ops.Pipelines.simCosineNeardupAnnAdaptive(spark, sf0001)
+      .select("v1", "v2").persist()
+    try {
+      // precision 1.0 by construction, same as the fixed variant
+      assert(adaptive.except(exact).count() == 0)
+      val recall = adaptive.count().toDouble / exact.count()
+      // cost accounting, honestly split by stage: nprobe=8 sends its
+      // whole candidate set to the full-float rescore; the adaptive
+      // pipeline touches candCode pairs with 8-byte-code arithmetic
+      // (~8x cheaper each) and only candExact with full floats
+      val candFixed8 = ops.Pipelines.annCandidates(
+        ops.Pipelines.annAssignmentsFixed(spark, sf0001, 16, 8)).count()
+      val emb = Tables(spark, sf0001, "embeddings")
+        .filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"))
+      val candAsym = ops.Pipelines.annCandidatesAsym(
+        ops.Pipelines.annAssignmentsAdaptive(spark, sf0001, 16, 8.0),
+        ops.Pipelines.annAssignmentsFixed(spark, sf0001, 16, 1)).persist()
+      val candCode = candAsym.count()
+      val candExact = ops.Pipelines.annCodePrefilter(spark, emb, candAsym, 0.05).count()
+      candAsym.unpersist()
+      info(f"adaptive massFactor=8 + prefilter: recall=$recall%.4f " +
+        f"codeCompared=$candCode exactRescored=$candExact " +
+        f"vs nprobe=8 exactRescored=$candFixed8 (${candFixed8.toDouble / candExact}%.1fx fewer full-float)")
+      assert(recall >= 0.95, s"adaptive recall $recall below 0.95")
+      assert(candExact * 2 < candFixed8,
+        s"exact-rescored $candExact not under half of nprobe=8's $candFixed8")
+    } finally { exact.unpersist(); adaptive.unpersist() }
+  }
 }
