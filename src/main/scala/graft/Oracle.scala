@@ -1522,7 +1522,88 @@ SELECT com.a, com.b, com.common,
   round(com.common / (da.deg + db.deg - com.common), 4) AS jac
 FROM com JOIN deg da ON da.node = com.a JOIN deg db ON db.node = com.b
 WHERE com.common / (da.deg + db.deg - com.common) >= 0.2
-ORDER BY 1, 2"""
+ORDER BY 1, 2""",
+
+      // ---- round-6 contract additions (SURVEY §2.14) ----
+      // Skew/kurtosis via raw power sums: l_quantity is integral, so
+      // s1..s4 are exact doubles in ANY summation order; the moment
+      // arithmetic mirrors the Spark expression tree op for op
+      // (sqrt(m2*m2*m2), never pow — libm pow is not correctly
+      // rounded, sqrt is).
+      "agg_higher_moments" ->
+        s"""WITH sums AS (
+  SELECT l_returnflag, count(*) AS n,
+    sum(l_quantity) AS s1,
+    sum(l_quantity * l_quantity) AS s2,
+    sum(l_quantity * l_quantity * l_quantity) AS s3,
+    sum(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+  FROM ${T("lineitem")} GROUP BY l_returnflag),
+m AS (
+  SELECT l_returnflag, n, s1 / n AS mean,
+    s2 / n - (s1 / n) * (s1 / n) AS m2,
+    s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+    s4 / n - 4.0 * (s1 / n) * (s3 / n) + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM sums)
+SELECT l_returnflag, n, round(mean, 4) AS mean_qty,
+  round(m3 / sqrt(m2 * m2 * m2), 4) AS skewness,
+  round(m4 / (m2 * m2) - 3.0, 4) AS kurtosis
+FROM m ORDER BY l_returnflag""",
+
+      // Resetting running total: DECIMAL(18,2) window sum is exact, so
+      // the frame-order accumulation matches Spark bit for bit.
+      "win_reset_running_total" ->
+        s"""WITH e AS (
+  SELECT event_id, user_id, ts, event_type, CAST(value AS DECIMAL(18,2)) AS v
+  FROM ${T("events")} WHERE user_id % 25 = 0),
+g AS (
+  SELECT event_id, user_id, ts, v,
+    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+  FROM e)
+SELECT event_id, user_id, CAST(grp AS BIGINT) AS grp,
+  round(CAST(sum(v) OVER (PARTITION BY user_id, grp ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS run_total
+FROM g ORDER BY user_id, event_id""",
+
+      // Local clustering coefficient over the shared EDGES graph.
+      "graph_clustering_coeff" ->
+        s"""$E,
+deg AS (SELECT s AS v, count(*) AS deg FROM ud GROUP BY 1),
+closed AS (
+  SELECT u1.s AS v, count(*) AS wedges_closed
+  FROM ud u1 JOIN ud u2 ON u1.s = u2.s AND u1.t < u2.t
+  JOIN ud e3 ON e3.s = u1.t AND e3.t = u2.t
+  GROUP BY 1)
+SELECT d.v AS node, CAST(d.deg AS BIGINT) AS degree,
+  CAST(coalesce(c.wedges_closed, 0) AS BIGINT) AS wedges_closed,
+  round(coalesce(c.wedges_closed, 0) * 2.0 / (d.deg * (d.deg - 1)), 4) AS clustering
+FROM deg d LEFT JOIN closed c ON c.v = d.v
+WHERE d.deg >= 2
+ORDER BY node""",
+
+      // Stopword-insensitive exact dedup: hash the stopword-stripped
+      // token stream.
+      "dedup_exact_normalized" ->
+        s"""SELECT md5(array_to_string(list_filter(string_split(text, ' '),
+    w -> w NOT IN ('the', 'a')), ' ')) AS h,
+  min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS copies
+FROM ${T("documents")}
+GROUP BY 1
+ORDER BY h LIMIT 200""",
+
+      // Corpus length histogram: integer 64-char buckets per language.
+      "pipeline_len_histogram" ->
+        s"""SELECT lang, n_chars // 64 AS bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(min(n_chars) AS BIGINT) AS min_chars,
+  CAST(max(n_chars) AS BIGINT) AS max_chars,
+  round(CAST(CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE)
+    / count(*), 4) AS avg_tokens
+FROM ${T("documents")}
+GROUP BY 1, 2
+ORDER BY lang, bucket"""
     )
   }
 }

@@ -165,7 +165,13 @@ object SparkEntry {
     "cte_chain_top_supplier" -> Relational.cteChainTopSupplier,
     "pivot_manual" -> Relational.pivotManual,
     "pivot_dynamic" -> Relational.pivotDynamic,
-    "unpivot_long" -> Relational.unpivotLong
+    "unpivot_long" -> Relational.unpivotLong,
+    // round-6 contract additions (§2.14)
+    "agg_higher_moments" -> Relational.aggHigherMoments,
+    "win_reset_running_total" -> Windows.winResetRunningTotal,
+    "graph_clustering_coeff" -> GraphOps.graphClusteringCoeff,
+    "dedup_exact_normalized" -> TextSim.dedupExactNormalized,
+    "pipeline_len_histogram" -> Pipelines.pipelineLenHistogram
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -204,4 +204,27 @@ object GraphOps {
       .groupBy(col("s").as("node"))
       .agg(asLong(count(lit(1))).as("degree"))
       .orderBy("node")
+
+  /** Local clustering coefficient (§2.8, r6): for each node with
+    * degree >= 2, the fraction of its neighbor pairs that are
+    * themselves connected — closed wedges / possible wedges. The
+    * neighbor-pair join keys on the node (uniform, no hot key) and
+    * the closing edge is an equi-join against the undirected edge
+    * set; all-integer counts, one double division at the end. */
+  val graphClusteringCoeff: Q = (s, d) => {
+    val ud = Tables.ud(s, d).select(col("s"), col("t"))
+    val deg = ud.groupBy(col("s").as("v")).agg(count(lit(1)).as("deg"))
+    val closed = ud.toDF("v", "a")
+      .join(ud.toDF("v2", "b"), col("v") === col("v2") && col("a") < col("b"))
+      .join(ud.toDF("ea", "eb"), col("ea") === col("a") && col("eb") === col("b"))
+      .groupBy(col("v")).agg(count(lit(1)).as("wedges_closed"))
+    deg.join(closed, Seq("v"), "left").na.fill(0L, Seq("wedges_closed"))
+      .filter(col("deg") >= 2)
+      .select(col("v").as("node"), asLong(col("deg")).as("degree"),
+        asLong(col("wedges_closed")).as("wedges_closed"),
+        round(col("wedges_closed") * lit(2.0) / (col("deg") * (col("deg") - lit(1))), 4)
+          .as("clustering"))
+      .orderBy("node")
+  }
+
 }

@@ -765,4 +765,21 @@ object Pipelines {
           (col("n_tokens").cast(DoubleType) / col("tot")), 4).as("weight"))
       .orderBy("source")
   }
+
+  /** Corpus length histogram (§2.11, r6): fixed-width (64-char)
+    * length buckets per language with doc counts, char ranges and the
+    * mean whitespace-token count — the corpus-shape profile a
+    * training-data pipeline tracks per ingest. Single aggregation
+    * pass; integer bucket arithmetic (`div`) so both engines bucket
+    * identically. */
+  val pipelineLenHistogram: Q = (s, d) =>
+    table(s, d, "documents")
+      .groupBy(col("lang"), expr("n_chars div 64").as("bucket"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(min(col("n_chars"))).as("min_chars"),
+        asLong(max(col("n_chars"))).as("max_chars"),
+        round(sum(size(split(col("text"), " "))).cast(DoubleType) / count(lit(1)), 4)
+          .as("avg_tokens"))
+      .orderBy("lang", "bucket")
+
 }

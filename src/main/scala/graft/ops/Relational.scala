@@ -1034,4 +1034,34 @@ object Relational {
         moneySum2(col("l_extendedprice")).as("rev"))
       .orderBy("o_orderstatus")
   }
+
+  /** Higher central moments per group (§2.3, r6): skewness + excess
+    * kurtosis of l_quantity per returnflag via RAW POWER SUMS.
+    * Cross-engine exact by construction: l_quantity is integral, so
+    * s1..s4 are exactly representable doubles regardless of summation
+    * order; the moment arithmetic is the identical IEEE expression
+    * tree in both engines (sqrt(m2^3) instead of pow(m2,1.5) — sqrt
+    * is correctly rounded, libm pow is not). One aggregation pass. */
+  val aggHigherMoments: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        asLong(count(lit(1))).as("n"),
+        sum(col("l_quantity")).as("s1"),
+        sum(col("l_quantity") * col("l_quantity")).as("s2"),
+        sum(col("l_quantity") * col("l_quantity") * col("l_quantity")).as("s3"),
+        sum(col("l_quantity") * col("l_quantity") * col("l_quantity") * col("l_quantity")).as("s4"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("m2", col("s2") / col("n") - col("mean") * col("mean"))
+      .withColumn("m3", col("s3") / col("n") - lit(3.0) * col("mean") * (col("s2") / col("n"))
+        + lit(2.0) * col("mean") * col("mean") * col("mean"))
+      .withColumn("m4", col("s4") / col("n") - lit(4.0) * col("mean") * (col("s3") / col("n"))
+        + lit(6.0) * col("mean") * col("mean") * (col("s2") / col("n"))
+        - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("mean"), 4).as("mean_qty"),
+        round(col("m3") / sqrt(col("m2") * col("m2") * col("m2")), 4).as("skewness"),
+        round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 4).as("kurtosis"))
+      .orderBy("l_returnflag")
+
 }

@@ -191,4 +191,28 @@ object Windows {
         sum(col("flag")).over(running).as("distinct_users"))
       .orderBy("event_id")
   }
+
+  /** Resetting running total (§2.4, r6): per-user cumulative value
+    * that restarts after every purchase — the sessionized-accumulator
+    * window shape (gaps-and-islands composed with a frame sum).
+    * `grp` = purchases strictly BEFORE the row (so a purchase closes
+    * its own segment); value summed as DECIMAL(18,2) so the running
+    * sum is exact and engine-order-independent, cast to double only
+    * for the rounded output. */
+  val winResetRunningTotal: Q = (s, d) => {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(s, d, "events")
+      .filter(col("user_id") % 25 === 0)
+      .withColumn("grp", coalesce(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("run", sum(dec2(col("value"))).over(
+        Window.partitionBy(col("user_id"), col("grp"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), asLong(col("grp")).as("grp"),
+        round(col("run").cast(DoubleType), 2).as("run_total"))
+      .orderBy("user_id", "event_id")
+  }
+
 }

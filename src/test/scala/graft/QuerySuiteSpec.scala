@@ -92,7 +92,12 @@ class QuerySuiteSpec extends AnyFunSuite {
     // point-in-time (AS OF) dimension lookup against the SCD2 build
     "join_point_in_time" -> 9L,
     // vocab-driven subword tokenization (1/13 doc sample)
-    "pipeline_subword_count" -> 39L)
+    "pipeline_subword_count" -> 39L,
+    // round-6 additions: higher moments, resetting running total,
+    // clustering coefficient, normalized dedup, length histogram
+    "agg_higher_moments" -> 3L, "win_reset_running_total" -> 60L,
+    "graph_clustering_coeff" -> 200L, "dedup_exact_normalized" -> 200L,
+    "pipeline_len_histogram" -> 44L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
