@@ -10,7 +10,7 @@ import java.util.concurrent.{Executors, TimeUnit}
   * The suite is submitted CONCURRENTLY (SPARK_GRAFT_BENCH_PAR threads,
   * default 4) under Spark's FAIR scheduler and the headline `value` is
   * the wall-clock of the timed section. Rationale (BASELINE.md
-  * amendment): the ~110 sub-second queries of the 137-query suite pay Spark's ~0.12 s/action
+  * amendment): most sub-second queries of the suite (143 as of round 6) pay Spark's ~0.12 s/action
   * scheduling floor (~11 s of pure latency, already priced into the
   * 26 s baseline) plus idle gaps while single-query stages use a
   * fraction of the 32 cores. Concurrent job submission is the idiomatic
@@ -85,7 +85,7 @@ object Bench {
       // queries flowing around the few multi-stage ones.
       .config("spark.scheduler.mode", "FAIR")
       // At local KB-scale shuffles AQE only adds per-stage re-planning
-      // latency (~0.1 s/query over 91 queries); on a real cluster leave
+      // latency (~0.1 s/query across the suite); on a real cluster leave
       // it on — it is the runtime skew/coalesce lever (SCALING.md).
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
