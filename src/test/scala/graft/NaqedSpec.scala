@@ -405,6 +405,12 @@ class NaqedSpec extends AnyFunSuite {
     // built-ins ported onto the instance registry still resolve
     assert(nq.request("customer", Map("balance_tier" -> true))
       .columns.contains("balance_tier"))
+    // resolver args flow through the JSON wire path unchanged
+    val viaJson = nq.requestJson(
+      """{"orders": {"is_big": {"$cutoff": 200000.0}, "o_orderkey": true}}""")
+    assert(viaJson.columns.contains("is_big"))
+    assert(viaJson.filter(col("is_big")).count() ==
+      Tables(spark, sf0001, "orders").filter(col("o_totalprice") >= 200000.0).count())
     // args-aware resolvers type-check per query (the args shape the column)
     nq.resolverWithArgs("customer", "seg_match", Set("seg"), Some("BOOL"))((args, _) =>
       if (args.contains("seg")) col("c_mktsegment") === lit(args("seg")) else lit("oops"))
