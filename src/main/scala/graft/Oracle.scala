@@ -1603,7 +1603,53 @@ ORDER BY h LIMIT 200""",
     / count(*), 4) AS avg_tokens
 FROM ${T("documents")}
 GROUP BY 1, 2
-ORDER BY lang, bucket"""
+ORDER BY lang, bucket""",
+
+      // FILTER-clause aggregates: several differently-filtered
+      // aggregates of one scan in one pass.
+      "agg_filtered" ->
+        s"""SELECT o_orderstatus,
+  CAST(count(*) AS BIGINT) AS n_all,
+  CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+    FILTER (WHERE o_totalprice > 200000.0) AS DOUBLE), 2) AS big_rev,
+  CAST(count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00') AS BIGINT) AS n_recent
+FROM ${T("orders")}
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus""",
+
+      // As-of with tolerance: independent range-join formulation (the
+      // Spark side is the linear union + running-last window).
+      "join_asof_tolerance" ->
+        s"""WITH p AS (
+  SELECT event_id AS p_id, user_id, ts FROM ${T("events")} WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM ${T("events")} WHERE event_type = 'click')
+SELECT p.p_id, p.user_id, p.ts, max(c.ts) AS click_ts
+FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+  AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+GROUP BY 1, 2, 3
+ORDER BY p_id""",
+
+      // Calendar heatmap: DuckDB dow is 0-based Sunday; +1 matches
+      // Spark's 1-7 Sunday-based dayofweek.
+      "ts_calendar_heatmap" ->
+        s"""SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+  CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum
+FROM ${T("events")}
+GROUP BY 1, 2
+ORDER BY dow, hour""",
+
+      // base64 roundtrip: both engines emit unwrapped RFC-4648.
+      "fn_base64_roundtrip" ->
+        s"""SELECT s_suppkey,
+  to_base64(encode(s_name)) AS b64,
+  decode(from_base64(to_base64(encode(s_name)))) = s_name AS roundtrip_ok,
+  CAST(length(to_base64(encode(s_name))) AS BIGINT) AS b64_len
+FROM ${T("supplier")}
+ORDER BY s_suppkey"""
     )
   }
 }

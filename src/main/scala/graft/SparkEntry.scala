@@ -171,7 +171,11 @@ object SparkEntry {
     "win_reset_running_total" -> Windows.winResetRunningTotal,
     "graph_clustering_coeff" -> GraphOps.graphClusteringCoeff,
     "dedup_exact_normalized" -> TextSim.dedupExactNormalized,
-    "pipeline_len_histogram" -> Pipelines.pipelineLenHistogram
+    "pipeline_len_histogram" -> Pipelines.pipelineLenHistogram,
+    "agg_filtered" -> Relational.aggFiltered,
+    "join_asof_tolerance" -> Relational.joinAsofTolerance,
+    "ts_calendar_heatmap" -> TimeSeries.tsCalendarHeatmap,
+    "fn_base64_roundtrip" -> Funcs.fnBase64Roundtrip
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

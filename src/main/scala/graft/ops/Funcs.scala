@@ -265,4 +265,18 @@ object Funcs {
       .select(col("noun"), col("p1"), col("p2"), col("dist"))
       .orderBy("noun", "p1", "p2")
   }
+
+  /** Binary/base64 function family (§2.6, r6): UTF-8 encode ->
+    * base64 -> decode roundtrip plus encoded lengths — the
+    * binary-payload plumbing multimodal columns ride on (both
+    * engines emit unwrapped RFC-4648 base64). */
+  val fnBase64Roundtrip: Q = (s, d) =>
+    table(s, d, "supplier")
+      .select(col("s_suppkey"),
+        base64(encode(col("s_name"), "UTF-8")).as("b64"),
+        (decode(unbase64(base64(encode(col("s_name"), "UTF-8"))), "UTF-8")
+          === col("s_name")).as("roundtrip_ok"),
+        asLong(length(base64(encode(col("s_name"), "UTF-8")))).as("b64_len"))
+      .orderBy("s_suppkey")
+
 }

@@ -1064,4 +1064,52 @@ object Relational {
         round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 4).as("kurtosis"))
       .orderBy("l_returnflag")
 
+
+  /** FILTER-clause aggregates (§2.3, r6): several differently-filtered
+    * aggregates of the same scan in ONE pass — the conditional-
+    * aggregation shape (SQL FILTER, Spark when()). The null-skipping
+    * `sum(when(cond, x))` matches FILTER semantics exactly (no
+    * otherwise-0 row inflation); money through DECIMAL. */
+  val aggFiltered: Q = (s, d) =>
+    table(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        asLong(count(lit(1))).as("n_all"),
+        asLong(count(when(col("o_orderpriority") === "1-URGENT", 1))).as("n_urgent"),
+        round(sum(when(col("o_totalprice") > 200000.0, dec2(col("o_totalprice"))))
+          .cast(DoubleType), 2).as("big_rev"),
+        asLong(count(when(col("o_orderdate") >= to_timestamp(lit("1997-01-01")), 1)))
+          .as("n_recent"))
+      .orderBy("o_orderstatus")
+
+  /** As-of join with TOLERANCE (§2.2, r6): each purchase picks its
+    * latest prior click within 30 minutes, else NULL — the bounded-
+    * staleness lookup (market data, attribution) that plain as-of
+    * lacks. Same LINEAR union + running-last shape as joinAsof (one
+    * shuffle, O(|left|+|right|) rows); the tolerance is a post-window
+    * null-out, which is equivalent to the range-join max because the
+    * running last click IS the max prior click. The DuckDB oracle
+    * keeps the independent range-join formulation. */
+  val joinAsofTolerance: Q = (s, d) => {
+    val ev = table(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        lit(null).cast(LongType).as("p_id"), lit(0).as("is_p"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"), lit(1).as("is_p"))
+    // clicks sort before a same-ts purchase => a simultaneous click counts
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_p"), col("p_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionAll(purchases)
+      .withColumn("last_click_ts",
+        last(when(col("is_p") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .withColumn("click_ts", when(
+        unix_micros(col("ts")) - unix_micros(col("last_click_ts")) <= 1800000000L,
+        col("last_click_ts")))
+      .select(col("p_id"), col("user_id"), col("ts"), col("click_ts"))
+      .orderBy("p_id")
+  }
+
 }

@@ -149,4 +149,19 @@ object TimeSeries {
         count(lit(1)).as("n"))
       .orderBy("h")
   }
+
+  /** Calendar heatmap (§2.12, r6): event counts, distinct users and
+    * exact value sums per (day-of-week, hour) cell — the seasonality
+    * profile behind capacity planning. One aggregation pass; Spark's
+    * Sunday-based dayofweek and DuckDB's 0-based dow are normalized
+    * to the same 1-7 convention in the oracle. */
+  val tsCalendarHeatmap: Q = (s, d) =>
+    table(s, d, "events")
+      .groupBy(asLong(dayofweek(col("ts"))).as("dow"),
+        asLong(hour(col("ts"))).as("hour"))
+      .agg(asLong(count(lit(1))).as("n_events"),
+        asLong(count_distinct(col("user_id"))).as("n_users"),
+        round(sum(dec2(col("value"))).cast(DoubleType), 2).as("value_sum"))
+      .orderBy("dow", "hour")
+
 }

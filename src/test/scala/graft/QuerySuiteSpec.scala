@@ -97,7 +97,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     // clustering coefficient, normalized dedup, length histogram
     "agg_higher_moments" -> 3L, "win_reset_running_total" -> 60L,
     "graph_clustering_coeff" -> 200L, "dedup_exact_normalized" -> 200L,
-    "pipeline_len_histogram" -> 44L)
+    "pipeline_len_histogram" -> 44L,
+    // round-6 widening: FILTER-clause aggregates, tolerance as-of,
+    // calendar heatmap, base64 roundtrip
+    "agg_filtered" -> 3L, "join_asof_tolerance" -> 202L,
+    "ts_calendar_heatmap" -> 167L, "fn_base64_roundtrip" -> 10L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
