@@ -1642,6 +1642,135 @@ FROM ${T("events")}
 GROUP BY 1, 2
 ORDER BY dow, hour""",
 
+      // TPC-H completion (round 6): the 11 remaining query shapes over
+      // the reduced schema. "Late" (shipdate > orderdate + N days)
+      // stands in for the missing commit/receipt dates; region names
+      // stand in for shipmode / phone country codes; lineitem-derived
+      // supplier-part volumes stand in for partsupp. Threshold
+      // comparisons that would knife-edge in float are cross-multiplied
+      // in DECIMAL (q11, q22) so both engines decide identically.
+      "tpch_q4_shape" ->
+        s"""SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM ${T("orders")} o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM ${T("lineitem")} l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1 ORDER BY 1""",
+
+      "tpch_q6_shape" ->
+        s"""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM ${T("lineitem")}
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+      "tpch_q9_shape" ->
+        s"""SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+  round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+    - CAST(0.6 AS DECIMAL(18,2)) * CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS profit
+FROM ${T("lineitem")} l
+JOIN ${T("part")} p ON l.l_partkey = p.p_partkey
+JOIN ${T("supplier")} s ON l.l_suppkey = s.s_suppkey
+JOIN ${T("nation")} n ON s.s_nationkey = n.n_nationkey
+JOIN ${T("orders")} o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2 ORDER BY n_name, o_year""",
+
+      "tpch_q11_shape" ->
+        s"""WITH val AS (
+  SELECT l.l_partkey, sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS v
+  FROM ${T("lineitem")} l
+  JOIN ${T("supplier")} s ON l.l_suppkey = s.s_suppkey
+  JOIN ${T("nation")} n ON s.s_nationkey = n.n_nationkey
+  JOIN ${T("region")} r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE' GROUP BY 1)
+SELECT l_partkey, round(CAST(v AS DOUBLE), 2) AS value
+FROM val WHERE v * (SELECT count(*) * 2 FROM val) > (SELECT sum(v) * 3 FROM val)
+ORDER BY value DESC, l_partkey""",
+
+      "tpch_q12_shape" ->
+        s"""SELECT l.l_returnflag,
+  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM ${T("lineitem")} l JOIN ${T("orders")} o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1""",
+
+      "tpch_q13_shape" ->
+        s"""WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS cc
+  FROM ${T("customer")} c
+  LEFT JOIN ${T("orders")} o ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY 1)
+SELECT CAST(cc AS BIGINT) AS c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+
+      "tpch_q16_shape" ->
+        s"""SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ${T("lineitem")} l JOIN ${T("part")} p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1,2,3,4,5,10,15,20)
+  AND l.l_suppkey NOT IN (
+    SELECT s.s_suppkey FROM ${T("supplier")} s
+    JOIN ${T("nation")} n ON s.s_nationkey = n.n_nationkey
+    JOIN ${T("region")} r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'AFRICA')
+GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+      "tpch_q17_shape" ->
+        s"""SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM ${T("lineitem")} l
+JOIN ${T("part")} p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM ${T("lineitem")} l2
+                      WHERE l2.l_partkey = l.l_partkey)""",
+
+      "tpch_q20_shape" ->
+        s"""SELECT s.s_name, n.n_name
+FROM ${T("supplier")} s JOIN ${T("nation")} n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey FROM ${T("lineitem")} l
+  JOIN ${T("part")} p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE '%widget%'
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING sum(l.l_quantity) > 75)
+ORDER BY s_name""",
+
+      "tpch_q21_shape" ->
+        s"""SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM ${T("supplier")} s
+JOIN ${T("lineitem")} l1 ON s.s_suppkey = l1.l_suppkey
+JOIN ${T("orders")} o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM ${T("lineitem")} l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM ${T("lineitem")} l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1 ORDER BY numwait DESC, s_name""",
+
+      "tpch_q22_shape" ->
+        s"""WITH pos AS (
+  SELECT CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM ${T("customer")} WHERE c_acctbal > 0),
+rich AS (
+  SELECT r.r_name AS cntrygrp, c.c_custkey, c.c_acctbal
+  FROM ${T("customer")} c
+  JOIN ${T("nation")} n ON c.c_nationkey = n.n_nationkey
+  JOIN ${T("region")} r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name IN ('ASIA','EUROPE','AFRICA')
+    AND CAST(c.c_acctbal AS DECIMAL(18,2)) * (SELECT count(*) FROM pos) > (SELECT sum(bal) FROM pos))
+SELECT cntrygrp, CAST(count(*) AS BIGINT) AS numcust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal
+FROM rich
+WHERE NOT EXISTS (SELECT 1 FROM ${T("orders")} o
+                  WHERE o.o_custkey = rich.c_custkey AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1 ORDER BY cntrygrp""",
+
       // base64 roundtrip: both engines emit unwrapped RFC-4648.
       "fn_base64_roundtrip" ->
         s"""SELECT s_suppkey,

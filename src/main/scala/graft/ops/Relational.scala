@@ -1112,4 +1112,250 @@ object Relational {
       .orderBy("p_id")
   }
 
+  // ---- round-6 TPC-H completion: the 11 remaining query shapes ----
+  // (q15 is covered by cte_chain_top_supplier; q1 by agg_hash_q1.)
+  // The schema here is reduced TPC-H (no partsupp, no commit/receipt
+  // dates, no shipmode/comment), so the partsupp- and date-dependent
+  // queries keep their OPERATOR SHAPE (EXISTS chains, scalar
+  // subqueries, NOT IN, nested HAVING semi-joins) over adapted
+  // predicates; each scaladoc names the adaptation.
+
+  /** TPC-H Q4 shape: order-priority checking — orders in a half-year
+    * window with at least one line shipped >60 days after the order
+    * date ("late", standing in for commitdate<receiptdate). The EXISTS
+    * becomes a conditional left-semi join carrying the date predicate
+    * in the join condition. Scale: one shuffle on l_orderkey against
+    * the date-pruned orders side; the count agg is 5 groups. */
+  val tpchQ4Shape: Q = (s, d) => {
+    val o = table(s, d, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-07-01")))
+    val l = table(s, d, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(asLong(count(lit(1))).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6 shape: forecast-revenue filter-and-sum — one scan, all
+    * three predicates pushed to parquet, zero joins, single-row
+    * output (partial aggregation makes the shuffle one row/task).
+    * Discount band compares the same stored doubles to the same
+    * literals in both engines; revenue in DECIMAL(18,2). */
+  val tpchQ6Shape: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+        .cast(DoubleType), 2).as("revenue"),
+        asLong(count(lit(1))).as("n_lines"))
+
+  /** TPC-H Q9 shape: product-type profit by supplier nation and year.
+    * No partsupp ⇒ supply cost is proxied as 0.6·p_retailprice·qty
+    * (exact DECIMAL both engines, so the subtraction is exact). Scale:
+    * part filter prunes at the scan and keys the first fact join;
+    * supplier+nation broadcast; orders joins on l_orderkey. Two fact
+    * shuffles (partkey, orderkey) then a 175-group agg. */
+  val tpchQ9Shape: Q = (s, d) => {
+    val p = table(s, d, "part").filter(col("p_name").like("%widget%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sn = table(s, d, "supplier")
+      .join(table(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    table(s, d, "lineitem")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), asLong(year(col("o_orderdate"))).as("o_year"))
+      .agg(round(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+          - dec2(lit(0.6)) * dec2(col("p_retailprice")) * dec2(col("l_quantity")))
+        .cast(DoubleType), 2).as("profit"))
+      .orderBy("n_name", "o_year")
+  }
+
+  /** TPC-H Q11 shape: important stock — per-part value from one
+    * region's suppliers, kept when above 1.5× the average part value.
+    * The scalar-subquery threshold is decided EXACTLY both engines by
+    * cross-multiplying (v·n·2 > total·3 ⟺ v > 1.5·total/n) in
+    * DECIMAL, so no float knife-edge; the classic fixed-fraction
+    * threshold is avoided because it empties as SF grows. Scale: one
+    * shuffle on l_partkey; the 2-column threshold row broadcasts. */
+  val tpchQ11Shape: Q = (s, d) => {
+    val supEur = table(s, d, "supplier")
+      .join(table(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(table(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE").select(col("s_suppkey"))
+    val value = table(s, d, "lineitem")
+      .join(broadcast(supEur), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).as("v"))
+    val thr = value.agg(sum(col("v")).as("total"), count(lit(1)).as("n"))
+    value.crossJoin(broadcast(thr))
+      .filter(col("v") * col("n") * 2 > col("total") * 3)
+      .select(col("l_partkey"), round(col("v").cast(DoubleType), 2).as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q12 shape: late-shipment priority mix per returnflag
+    * (standing in for shipmode; "late" = shipped >45 days after the
+    * order date, standing in for receipt>commit). The CASE-sum pair
+    * is one aggregation pass. Scale: the shipdate window prunes at the
+    * scan; one shuffle on l_orderkey, 3-group agg. */
+  val tpchQ12Shape: Q = (s, d) => {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    table(s, d, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(asLong(sum(when(hi, 1).otherwise(0))).as("high_line_count"),
+        asLong(sum(when(!hi, 1).otherwise(0))).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q13 shape: customer order-count distribution — LEFT join
+    * keeping order-less customers (the priority filter rides in the
+    * join condition, standing in for the comment NOT LIKE), count per
+    * customer, then the distribution of those counts. Scale: one
+    * shuffle on custkey, second agg over ≤ a few dozen distinct
+    * counts. */
+  val tpchQ13Shape: Q = (s, d) => {
+    val c = table(s, d, "customer")
+    val o = table(s, d, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey") &&
+        o("o_orderpriority") =!= "4-NOT SPECIFIED", "left")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("cc"))
+      .groupBy(asLong(col("cc")).as("c_count"))
+      .agg(asLong(count(lit(1))).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q16 shape: supplier count per (brand, type, size) for a
+    * size IN-list, excluding one brand and excluding suppliers from
+    * one region (standing in for the complaints NOT IN). The NOT IN
+    * is a broadcast left-anti join (its subquery is dimension-sized
+    * and null-free). Scale: distinct-suppliers agg shuffles on the
+    * 3-part group key; part side prunes at the scan. */
+  val tpchQ16Shape: Q = (s, d) => {
+    val excl = table(s, d, "supplier")
+      .join(table(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(table(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "AFRICA").select(col("s_suppkey"))
+    val p = table(s, d, "part")
+      .filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 2, 3, 4, 5, 10, 15, 20))
+    table(s, d, "lineitem")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), asLong(col("p_size")).as("p_size"))
+      .agg(asLong(count_distinct(col("l_suppkey"))).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q17 shape: small-quantity-order revenue for one brand —
+    * the correlated per-part avg-quantity subquery decorrelates into
+    * a per-part aggregate joined back on partkey. The threshold
+    * replicates the oracle's float tree verbatim (0.2·(sum/count),
+    * sums of integral doubles are exact, so the IEEE result is
+    * identical). Scale: per-part agg and join-back share the partkey
+    * shuffle; the brand filter prunes the probe side at the scan. */
+  val tpchQ17Shape: Q = (s, d) => {
+    val avgQ = table(s, d, "lineitem")
+      .groupBy(col("l_partkey").as("aq_partkey"))
+      .agg((lit(0.2) * (sum(col("l_quantity")) / count(lit(1)))).as("q_thr"))
+    table(s, d, "lineitem")
+      .join(table(s, d, "part").filter(col("p_brand") === "Brand#13"),
+        col("l_partkey") === col("p_partkey"))
+      .join(avgQ, col("l_partkey") === col("aq_partkey"))
+      .filter(col("l_quantity") < col("q_thr"))
+      .agg(round(sum(dec2(col("l_extendedprice"))).cast(DoubleType) / 7.0, 2)
+        .as("avg_yearly"), asLong(count(lit(1))).as("n_lines"))
+  }
+
+  /** TPC-H Q20 shape: part-promotion suppliers — the nested IN
+    * (suppliers that moved >75 units of some widget part in 1997)
+    * becomes HAVING on a (suppkey, partkey) aggregate, projected to
+    * suppkeys, left-semi joined to supplier. Scale: the inner agg
+    * shuffles on the pre-filtered fact; the semi join and nation
+    * lookup are dimension-sized broadcasts. */
+  val tpchQ20Shape: Q = (s, d) => {
+    val keep = table(s, d, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .join(table(s, d, "part").filter(col("p_name").like("%widget%")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("sq"))
+      .filter(col("sq") > 75)
+      .select(col("l_suppkey")).distinct()
+    table(s, d, "supplier")
+      .join(broadcast(keep), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(table(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"))
+      .orderBy("s_name")
+  }
+
+  /** TPC-H Q21 shape: suppliers who kept orders waiting — late lines
+    * (shipped >60 days after order) in multi-supplier 'F' orders where
+    * this supplier was the ONLY late one. The EXISTS/NOT EXISTS pair
+    * decorrelates into ONE per-order aggregate (distinct suppliers,
+    * distinct LATE suppliers) joined back: n_supp>1 ∧ n_late_supp=1
+    * ⇔ some other supplier exists ∧ no other late supplier exists
+    * (the late line itself guarantees its supplier is the late one).
+    * The DuckDB oracle keeps the classic correlated formulation, so
+    * the two engines cross-check independent plans. Scale: both the
+    * aggregate and the join-back shuffle on l_orderkey (shared
+    * partitioning); supplier names broadcast. */
+  val tpchQ21Shape: Q = (s, d) => {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    val lo = table(s, d, "lineitem")
+      .join(table(s, d, "orders").filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), late.as("is_late"))
+    val perOrder = lo.groupBy(col("l_orderkey").as("po_okey"))
+      .agg(count_distinct(col("l_suppkey")).as("n_supp"),
+        count_distinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"))
+    lo.filter(col("is_late"))
+      .join(perOrder, col("l_orderkey") === col("po_okey"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .join(broadcast(table(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(asLong(count(lit(1))).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  /** TPC-H Q22 shape: global sales opportunity — above-average-balance
+    * customers of three regions (region name standing in for the phone
+    * country code) with no order since 1999 ("dormant", because this
+    * dataset has no order-less customers). The avg threshold is
+    * decided exactly via cross-multiplication in DECIMAL (bal·n >
+    * total), the anti join carries the date filter on its build side.
+    * Scale: threshold row broadcasts; anti join shuffles on custkey
+    * against date-pruned orders; final agg is 3 groups. */
+  val tpchQ22Shape: Q = (s, d) => {
+    val c = table(s, d, "customer")
+    val thr = c.filter(col("c_acctbal") > 0)
+      .agg(sum(dec2(col("c_acctbal"))).as("total"), count(lit(1)).as("n"))
+    val geo = table(s, d, "nation")
+      .join(table(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin("ASIA", "EUROPE", "AFRICA"))
+      .select(col("n_nationkey"), col("r_name"))
+    val recent = table(s, d, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01")))
+      .select(col("o_custkey"))
+    c.join(broadcast(geo), col("c_nationkey") === col("n_nationkey"))
+      .crossJoin(broadcast(thr))
+      .filter(dec2(col("c_acctbal")) * col("n") > col("total"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("r_name").as("cntrygrp"))
+      .agg(asLong(count(lit(1))).as("numcust"),
+        moneySum2(col("c_acctbal")).as("totacctbal"))
+      .orderBy("cntrygrp")
+  }
+
 }

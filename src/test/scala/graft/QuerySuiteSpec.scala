@@ -101,7 +101,13 @@ class QuerySuiteSpec extends AnyFunSuite {
     // round-6 widening: FILTER-clause aggregates, tolerance as-of,
     // calendar heatmap, base64 roundtrip
     "agg_filtered" -> 3L, "join_asof_tolerance" -> 202L,
-    "ts_calendar_heatmap" -> 167L, "fn_base64_roundtrip" -> 10L)
+    "ts_calendar_heatmap" -> 167L, "fn_base64_roundtrip" -> 10L,
+    // round-6 TPC-H completion: all 22 query shapes now present
+    // (q1 = agg_hash_q1, q15 = cte_chain_top_supplier)
+    "tpch_q4_shape" -> 5L, "tpch_q6_shape" -> 1L, "tpch_q9_shape" -> 70L,
+    "tpch_q11_shape" -> 14L, "tpch_q12_shape" -> 3L, "tpch_q13_shape" -> 14L,
+    "tpch_q16_shape" -> 34L, "tpch_q17_shape" -> 1L, "tpch_q20_shape" -> 5L,
+    "tpch_q21_shape" -> 10L, "tpch_q22_shape" -> 1L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
