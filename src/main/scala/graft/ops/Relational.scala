@@ -1188,10 +1188,14 @@ object Relational {
       .join(table(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
       .join(table(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "EUROPE").select(col("s_suppkey"))
+    // both the kept rows and the threshold derive from this per-part
+    // aggregate; localCheckpoint (house lineage rule, SURVEY §4.2)
+    // materializes it ONCE so the fact scan+shuffle isn't run twice
     val value = table(s, d, "lineitem")
       .join(broadcast(supEur), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).as("v"))
+      .localCheckpoint(true)
     val thr = value.agg(sum(col("v")).as("total"), count(lit(1)).as("n"))
     value.crossJoin(broadcast(thr))
       .filter(col("v") * col("n") * 2 > col("total") * 3)
@@ -1265,12 +1269,18 @@ object Relational {
     * identical). Scale: per-part agg and join-back share the partkey
     * shuffle; the brand filter prunes the probe side at the scan. */
   val tpchQ17Shape: Q = (s, d) => {
+    // prune BOTH sides to the brand's parts before aggregating: the
+    // per-part avg is only consulted for Brand#13 partkeys, so
+    // aggregating the other ~99% of lineitem would be wasted work and
+    // an unbroadcastable avg side at scale
+    val brandParts = table(s, d, "part")
+      .filter(col("p_brand") === "Brand#13").select(col("p_partkey"))
     val avgQ = table(s, d, "lineitem")
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey").as("aq_partkey"))
       .agg((lit(0.2) * (sum(col("l_quantity")) / count(lit(1)))).as("q_thr"))
     table(s, d, "lineitem")
-      .join(table(s, d, "part").filter(col("p_brand") === "Brand#13"),
-        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
       .join(avgQ, col("l_partkey") === col("aq_partkey"))
       .filter(col("l_quantity") < col("q_thr"))
       .agg(round(sum(dec2(col("l_extendedprice"))).cast(DoubleType) / 7.0, 2)
@@ -1308,24 +1318,29 @@ object Relational {
     * ⇔ some other supplier exists ∧ no other late supplier exists
     * (the late line itself guarantees its supplier is the late one).
     * The DuckDB oracle keeps the classic correlated formulation, so
-    * the two engines cross-check independent plans. Scale: both the
-    * aggregate and the join-back shuffle on l_orderkey (shared
-    * partitioning); supplier names broadcast. */
+    * the two engines cross-check independent plans. Scale: ONE
+    * shuffle on l_orderkey total — the sole late supplier's identity
+    * (max of late suppkeys) and its late-line count ride in the same
+    * aggregate, so there is no join-back; supplier names broadcast. */
   val tpchQ21Shape: Q = (s, d) => {
     val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
     val lo = table(s, d, "lineitem")
       .join(table(s, d, "orders").filter(col("o_orderstatus") === "F"),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"), late.as("is_late"))
-    val perOrder = lo.groupBy(col("l_orderkey").as("po_okey"))
+    // n_late_supp = 1 means every late line in the order belongs to
+    // ONE supplier — so max(late suppkey) names it and the late-line
+    // count can ride in the SAME aggregate. No join-back, no second
+    // fact scan: the whole query is one shuffle on l_orderkey.
+    lo.groupBy(col("l_orderkey"))
       .agg(count_distinct(col("l_suppkey")).as("n_supp"),
-        count_distinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"))
-    lo.filter(col("is_late"))
-      .join(perOrder, col("l_orderkey") === col("po_okey"))
+        count_distinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"),
+        max(when(col("is_late"), col("l_suppkey"))).as("late_supp"),
+        sum(when(col("is_late"), 1).otherwise(0)).as("n_late_lines"))
       .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
-      .join(broadcast(table(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(table(s, d, "supplier")), col("late_supp") === col("s_suppkey"))
       .groupBy(col("s_name"))
-      .agg(asLong(count(lit(1))).as("numwait"))
+      .agg(asLong(sum(col("n_late_lines"))).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
