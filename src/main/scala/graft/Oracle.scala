@@ -1642,6 +1642,73 @@ FROM ${T("events")}
 GROUP BY 1, 2
 ORDER BY dow, hour""",
 
+      // Trailing-24h rolling correlation from exact power sums: every
+      // product is kept <= DECIMAL(38,_) wide in both engines (n as
+      // INT, window sums re-narrowed) so the corr formula's operands
+      // are bit-identical doubles.
+      "ts_rolling_corr" ->
+        s"""WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+    CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS x,
+    count(*) FILTER (WHERE event_type = 'click') AS y,
+    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hs
+  FROM ${T("events")} GROUP BY 1),
+win AS (
+  SELECT h,
+    CAST(count(*) OVER w AS INTEGER) AS n,
+    CAST(sum(x) OVER w AS DECIMAL(18,2)) AS sx,
+    sum(y) OVER w AS sy,
+    CAST(sum(CAST(x * y AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS sxy,
+    CAST(sum(CAST(x * x AS DECIMAL(20,4))) OVER w AS DECIMAL(20,4)) AS sx2,
+    sum(y * y) OVER w AS sy2
+  FROM hourly
+  WINDOW w AS (ORDER BY hs RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW))
+SELECT h, CAST(n AS BIGINT) AS n_hours,
+  CASE WHEN n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+    THEN round(CAST(n * sxy - sx * CAST(sy AS DECIMAL(12,0)) AS DOUBLE) /
+      (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))), 4)
+  END AS corr_xy
+FROM win ORDER BY h""",
+
+      // Inter-arrival quantiles: gaps in exact integral microseconds;
+      // lag order totalized by (ts, event_id).
+      "ts_interarrival_quantiles" ->
+        s"""WITH g AS (
+  SELECT user_id,
+    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM ${T("events")} WHERE user_id IS NOT NULL)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+  CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+  round(quantile_cont(gap_us, 0.5), 2) AS p50_gap_us,
+  round(quantile_cont(gap_us, 0.9), 2) AS p90_gap_us
+FROM g WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY user_id""",
+
+      // Cohort retention: window-min first activity at DAY grain (the
+      // corpus spans one month), exact integer day difference.
+      "ts_cohort_retention" ->
+        s"""WITH e AS (
+  SELECT user_id,
+    CAST(min(ts) OVER (PARTITION BY user_id) AS DATE) AS cohort,
+    CAST(ts AS DATE) AS d_act
+  FROM ${T("events")} WHERE user_id IS NOT NULL)
+SELECT cohort AS cohort_day,
+  CAST(date_diff('day', cohort, d_act) AS BIGINT) AS days_since,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM e GROUP BY 1, 2 ORDER BY cohort_day, days_since""",
+
+      "pipeline_dedup_rate_by_source" ->
+        s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_uniq,
+  round(1 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+FROM ${T("documents")} GROUP BY 1 ORDER BY source""",
+
+      "pipeline_vocab_growth" ->
+        s"""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM ${T("documents")})
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+  round(CAST(count(DISTINCT w) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS ttr
+FROM t WHERE w <> '' GROUP BY 1 ORDER BY source""",
+
       // TPC-H completion (round 6): the 11 remaining query shapes over
       // the reduced schema. "Late" (shipdate > orderdate + N days)
       // stands in for the missing commit/receipt dates; region names

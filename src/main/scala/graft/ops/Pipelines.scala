@@ -782,4 +782,34 @@ object Pipelines {
           .as("avg_tokens"))
       .orderBy("lang", "bucket")
 
+  /** Dedup-rate telemetry per source (§2.13, r6): doc count, distinct
+    * content hashes, and the duplicate rate — the per-ingest health
+    * metric a dedup pipeline reports before/after each stage. One
+    * aggregation pass; the rate divides two exact integers so both
+    * engines emit the identical double. */
+  val pipelineDedupRateBySource: Q = (s, d) =>
+    table(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(count_distinct(md5(col("text")))).as("n_uniq"))
+      .withColumn("dup_rate",
+        round(lit(1) - col("n_uniq").cast(DoubleType) / col("n_docs").cast(DoubleType), 6))
+      .orderBy("source")
+
+  /** Vocabulary growth per source (§2.13, r6): token count, distinct
+    * types, and the type-token ratio — the Heaps-law telemetry that
+    * flags template/boilerplate-heavy sources (low TTR) during corpus
+    * curation. One explode + one aggregation pass on the source key;
+    * the whitespace split matches the oracle's string_split exactly. */
+  val pipelineVocabGrowth: Q = (s, d) =>
+    table(s, d, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"))
+      .agg(asLong(count(lit(1))).as("n_tokens"),
+        asLong(count_distinct(col("w"))).as("n_types"))
+      .withColumn("ttr",
+        round(col("n_types").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6))
+      .orderBy("source")
+
 }

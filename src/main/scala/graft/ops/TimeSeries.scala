@@ -155,6 +155,89 @@ object TimeSeries {
     * profile behind capacity planning. One aggregation pass; Spark's
     * Sunday-based dayofweek and DuckDB's 0-based dow are normalized
     * to the same 1-7 convention in the oracle. */
+  /** Trailing-24h rolling correlation (§2.12, r6) between hourly
+    * purchase revenue and hourly click count — the cross-signal
+    * health metric behind anomaly dashboards. Spark-first shape:
+    * pre-aggregate to the series grain (hourly — bounded rows), then
+    * ONE range window over the tiny series; the fact scan is a single
+    * aggregation pass. The correlation is assembled from exact
+    * DECIMAL/BIGINT power sums (Σx, Σy, Σxy, Σx², Σy², n) so both
+    * engines feed the identical IEEE division/sqrt tree; scales stay
+    * unshrunk through every product, so no decimal rounding occurs.
+    * The global window is NOT a scale concern: it runs over hours,
+    * not events (24·365·years rows regardless of SF). */
+  val tsRollingCorr: Q = (s, d) => {
+    val hourly = table(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(
+        coalesce(sum(when(col("event_type") === "purchase", dec2(col("value")))),
+          dec2(lit(0))).cast(DecimalType(18, 2)).as("x"),
+        count(when(col("event_type") === "click", 1)).as("y"))
+      .withColumn("hs", unix_timestamp(col("h")))
+    val w = Window.orderBy(col("hs")).rangeBetween(-23 * 3600L, 0L)
+    // widths are chosen so every product stays <= DECIMAL(38,_) in
+    // BOTH engines (a >38-wide product silently goes double in one
+    // engine and stays decimal in the other): n as INT (<=24),
+    // sums re-narrowed after the window
+    val corr = hourly
+      .withColumn("n", count(lit(1)).over(w).cast(IntegerType))
+      .withColumn("sx", sum(col("x")).over(w).cast(DecimalType(18, 2)))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum((col("x") * col("y")).cast(DecimalType(18, 2))).over(w)
+        .cast(DecimalType(18, 2)))
+      .withColumn("sx2", sum((col("x") * col("x")).cast(DecimalType(20, 4))).over(w)
+        .cast(DecimalType(20, 4)))
+      .withColumn("sy2", sum(col("y") * col("y")).over(w))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy").cast(DecimalType(12, 0)))
+      .withColumn("d1", col("n") * col("sx2") - col("sx") * col("sx"))
+      .withColumn("d2", col("n") * col("sy2") - col("sy") * col("sy"))
+    corr.select(col("h"), asLong(col("n")).as("n_hours"),
+        when(col("d1") > 0 && col("d2") > 0,
+          round(col("num").cast(DoubleType) /
+            (sqrt(col("d1").cast(DoubleType)) * sqrt(col("d2").cast(DoubleType))), 4))
+          .as("corr_xy"))
+      .orderBy("h")
+  }
+
+  /** Inter-arrival-time quantiles per user (§2.12, r6): the activity-
+    * cadence profile (bot detection, engagement scoring). One lag
+    * window and one aggregation, both on the user_id shuffle; gaps in
+    * exact integral microseconds so the quantile interpolation's
+    * operands are identical in both engines (ties broken by event_id
+    * for a total lag order). */
+  val tsInterarrivalQuantiles: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(asLong(count(lit(1))).as("n_gaps"),
+        asLong(min(col("gap_us"))).as("min_gap_us"),
+        round(expr("percentile(gap_us, 0.5D)"), 2).as("p50_gap_us"),
+        round(expr("percentile(gap_us, 0.9D)"), 2).as("p90_gap_us"))
+      .orderBy("user_id")
+  }
+
+  /** Cohort retention matrix (§2.12, r6): users bucketed by first-
+    * activity DAY (the corpus spans one month, so a monthly grain
+    * would be a degenerate 1-cell sham), distinct actives per
+    * (cohort, days-since) cell — the canonical growth-analytics
+    * operator. The first-event lookup is a window min over the SAME
+    * user_id shuffle the events already need (no self-join, no second
+    * scan); the day difference is exact integer arithmetic. */
+  val tsCohortRetention: Q = (s, d) => {
+    val wu = Window.partitionBy(col("user_id"))
+    table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .withColumn("cohort", min(col("ts")).over(wu).cast(DateType))
+      .withColumn("d_act", col("ts").cast(DateType))
+      .groupBy(col("cohort").as("cohort_day"),
+        asLong(datediff(col("d_act"), col("cohort"))).as("days_since"))
+      .agg(asLong(count_distinct(col("user_id"))).as("n_users"))
+      .orderBy("cohort_day", "days_since")
+  }
+
   val tsCalendarHeatmap: Q = (s, d) =>
     table(s, d, "events")
       .groupBy(asLong(dayofweek(col("ts"))).as("dow"),

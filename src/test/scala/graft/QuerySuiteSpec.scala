@@ -107,7 +107,12 @@ class QuerySuiteSpec extends AnyFunSuite {
     "tpch_q4_shape" -> 5L, "tpch_q6_shape" -> 1L, "tpch_q9_shape" -> 70L,
     "tpch_q11_shape" -> 14L, "tpch_q12_shape" -> 3L, "tpch_q13_shape" -> 14L,
     "tpch_q16_shape" -> 34L, "tpch_q17_shape" -> 1L, "tpch_q20_shape" -> 5L,
-    "tpch_q21_shape" -> 10L, "tpch_q22_shape" -> 1L)
+    "tpch_q21_shape" -> 10L, "tpch_q22_shape" -> 1L,
+    // round-6 widening: rolling correlation, inter-arrival quantiles,
+    // daily cohort retention, dedup-rate + vocab-growth telemetry
+    "ts_rolling_corr" -> 531L, "ts_interarrival_quantiles" -> 15L,
+    "ts_cohort_retention" -> 30L, "pipeline_dedup_rate_by_source" -> 20L,
+    "pipeline_vocab_growth" -> 20L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
