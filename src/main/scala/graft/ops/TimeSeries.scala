@@ -178,16 +178,23 @@ object TimeSeries {
     // widths are chosen so every product stays <= DECIMAL(38,_) in
     // BOTH engines (a >38-wide product silently goes double in one
     // engine and stays decimal in the other): n as INT (<=24),
-    // sums re-narrowed after the window
+    // sums re-narrowed after the window. All six sums share one
+    // select so CollapseWindow plans a SINGLE Window operator (casts
+    // interleaved between .over calls would wedge Projects in and
+    // split it into four).
     val corr = hourly
-      .withColumn("n", count(lit(1)).over(w).cast(IntegerType))
-      .withColumn("sx", sum(col("x")).over(w).cast(DecimalType(18, 2)))
-      .withColumn("sy", sum(col("y")).over(w))
-      .withColumn("sxy", sum((col("x") * col("y")).cast(DecimalType(18, 2))).over(w)
-        .cast(DecimalType(18, 2)))
-      .withColumn("sx2", sum((col("x") * col("x")).cast(DecimalType(20, 4))).over(w)
-        .cast(DecimalType(20, 4)))
-      .withColumn("sy2", sum(col("y") * col("y")).over(w))
+      .select(col("h"),
+        count(lit(1)).over(w).as("n_raw"),
+        sum(col("x")).over(w).as("sx_raw"),
+        sum(col("y")).over(w).as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(18, 2))).over(w).as("sxy_raw"),
+        sum((col("x") * col("x")).cast(DecimalType(20, 4))).over(w).as("sx2_raw"),
+        sum(col("y") * col("y")).over(w).as("sy2"))
+      .select(col("h"),
+        col("n_raw").cast(IntegerType).as("n"),
+        col("sx_raw").cast(DecimalType(18, 2)).as("sx"), col("sy"),
+        col("sxy_raw").cast(DecimalType(18, 2)).as("sxy"),
+        col("sx2_raw").cast(DecimalType(20, 4)).as("sx2"), col("sy2"))
       .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy").cast(DecimalType(12, 0)))
       .withColumn("d1", col("n") * col("sx2") - col("sx") * col("sx"))
       .withColumn("d2", col("n") * col("sy2") - col("sy") * col("sy"))
