@@ -1583,6 +1583,42 @@ FROM deg d LEFT JOIN closed c ON c.v = d.v
 WHERE d.deg >= 2
 ORDER BY node""",
 
+      // Degree assortativity from exact integer power sums (Spark's
+      // LONG sums equal DuckDB's HUGEINTs at these magnitudes, so the
+      // corr tree's double operands are identical).
+      "graph_assortativity" ->
+        s"""$E,
+deg AS (SELECT s AS v, count(*) AS deg FROM ud GROUP BY 1),
+p AS (SELECT d1.deg AS dx, d2.deg AS dy
+  FROM ud JOIN deg d1 ON ud.s = d1.v JOIN deg d2 ON ud.t = d2.v),
+sums AS (SELECT count(*) AS n, sum(dx) AS sx, sum(dy) AS sy,
+  sum(dx * dy) AS sxy, sum(dx * dx) AS sx2, sum(dy * dy) AS sy2 FROM p)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+  CASE WHEN n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+    THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))), 6)
+  END AS assortativity
+FROM sums""",
+
+      // Per-label cohesion to the label's min-vec_id anchor: per-pair
+      // sims rounded to 4 digits then summed as DECIMAL, so the avg
+      // divides identical operands in both engines.
+      "sim_label_cohesion" ->
+        s"""WITH anchors AS (
+  SELECT label AS a_label, min(vec_id) AS a_id FROM ${T("embeddings")} GROUP BY 1),
+aemb AS (SELECT a_label, a_id, e.embedding AS a_emb
+  FROM anchors JOIN ${T("embeddings")} e ON e.vec_id = a_id),
+sims AS (
+  SELECT e.label,
+    CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(a.a_emb AS DOUBLE[])), 4)
+      AS DECIMAL(10,4)) AS sim
+  FROM ${T("embeddings")} e JOIN aemb a ON e.label = a.a_label AND e.vec_id <> a.a_id)
+SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_members,
+  round(CAST(sum(sim) AS DOUBLE) / count(*), 6) AS avg_cos,
+  round(CAST(min(sim) AS DOUBLE), 4) AS min_cos,
+  round(CAST(max(sim) AS DOUBLE), 4) AS max_cos
+FROM sims GROUP BY 1 ORDER BY label""",
+
       // Stopword-insensitive exact dedup: hash the stopword-stripped
       // token stream.
       "dedup_exact_normalized" ->

@@ -227,4 +227,32 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** Degree assortativity (§2.8, r6): Pearson correlation of endpoint
+    * degrees over every directed edge occurrence — the one-number
+    * summary of hub-hub vs hub-leaf wiring. All power sums (n, Σdx,
+    * Σdy, Σdxdy, Σdx², Σdy²) are exact BIGINTs, so the final corr is
+    * an identical IEEE tree in both engines (DuckDB's HUGEINT sums
+    * equal Spark's LONGs at these magnitudes). Scale: one degree
+    * aggregate + two equi-joins on the edge endpoints, then a
+    * single-row global agg; no per-node iteration. */
+  val graphAssortativity: Q = (s, d) => {
+    val ud = Tables.ud(s, d)
+    val deg = ud.groupBy(col("s").as("v")).agg(count(lit(1)).as("deg"))
+    val pairs = ud
+      .join(deg.select(col("v").as("s"), col("deg").as("dx")), "s")
+      .join(deg.select(col("v").as("t"), col("deg").as("dy")), "t")
+    pairs.agg(count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sx2"),
+        sum(col("dy") * col("dy")).as("sy2"))
+      .select(asLong(col("n")).as("n_pairs"),
+        when(col("n") * col("sx2") - col("sx") * col("sx") > 0 &&
+             col("n") * col("sy2") - col("sy") * col("sy") > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+            (sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast(DoubleType)) *
+             sqrt((col("n") * col("sy2") - col("sy") * col("sy")).cast(DoubleType))), 6))
+          .as("assortativity"))
+  }
+
 }

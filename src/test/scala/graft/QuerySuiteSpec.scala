@@ -112,7 +112,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     // daily cohort retention, dedup-rate + vocab-growth telemetry
     "ts_rolling_corr" -> 531L, "ts_interarrival_quantiles" -> 15L,
     "ts_cohort_retention" -> 30L, "pipeline_dedup_rate_by_source" -> 20L,
-    "pipeline_vocab_growth" -> 20L)
+    "pipeline_vocab_growth" -> 20L,
+    // round-6 widening: degree assortativity, per-label embedding cohesion
+    "graph_assortativity" -> 1L, "sim_label_cohesion" -> 10L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
