@@ -629,6 +629,17 @@ ORDER BY op""",
   count(*) AS n
 FROM ${T("orders")} GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+      // Robust dispersion: median absolute deviation around the group
+      // median (both medians interpolate on identical doubles).
+      "agg_mad" ->
+        s"""WITH m AS (
+  SELECT o_orderstatus, median(o_totalprice) AS m
+  FROM ${T("orders")} GROUP BY 1)
+SELECT o.o_orderstatus, round(max(m.m), 2) AS med,
+  round(median(abs(o.o_totalprice - m.m)), 2) AS mad, count(*) AS n
+FROM ${T("orders")} o JOIN m USING (o_orderstatus)
+GROUP BY o.o_orderstatus ORDER BY o_orderstatus""",
+
       // ---- scalar function families ----
       "fn_string2" ->
         s"""SELECT p_partkey,
@@ -1618,6 +1629,39 @@ SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_members,
   round(CAST(min(sim) AS DOUBLE), 4) AS min_cos,
   round(CAST(max(sim) AS DOUBLE), 4) AS max_cos
 FROM sims GROUP BY 1 ORDER BY label""",
+
+      // Okapi BM25 (k1=1.2, b=0.75) against the fixed 3-term query
+      // {spark, join, stream}: tf/df/dl/N all exact integers, the
+      // float tree written term-by-term identically to the Spark side.
+      "text_bm25_score" ->
+        s"""WITH dt AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM ${T("documents")}),
+t AS (SELECT doc_id, len(toks) AS dl,
+  len(list_filter(toks, w -> w = 'spark')) AS tf1,
+  len(list_filter(toks, w -> w = 'join')) AS tf2,
+  len(list_filter(toks, w -> w = 'stream')) AS tf3 FROM dt),
+g AS (SELECT count(*) AS n, sum(dl) AS tot,
+  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+  sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3 FROM t)
+SELECT doc_id, round(
+  ln((n - df1 + 0.5)/(df1 + 0.5) + 1.0) * (tf1 * 2.2)/(tf1 + 1.2*(0.25 + 0.75*dl/(CAST(tot AS DOUBLE)/n))) +
+  ln((n - df2 + 0.5)/(df2 + 0.5) + 1.0) * (tf2 * 2.2)/(tf2 + 1.2*(0.25 + 0.75*dl/(CAST(tot AS DOUBLE)/n))) +
+  ln((n - df3 + 0.5)/(df3 + 0.5) + 1.0) * (tf3 * 2.2)/(tf3 + 1.2*(0.25 + 0.75*dl/(CAST(tot AS DOUBLE)/n))), 4) AS bm25
+FROM t, g WHERE tf1 + tf2 + tf3 > 0 ORDER BY doc_id""",
+
+      // Boilerplate detection: top-20 3-gram shingles by document
+      // frequency (distinct per doc), tie-broken by the shingle text.
+      "pipeline_boilerplate_ngrams" ->
+        s"""WITH sp AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+  unnest(string_split(text,' ')) AS w FROM ${T("documents")}),
+sh AS (SELECT DISTINCT a.doc_id, concat(a.w,' ',b.w,' ',c.w) AS g
+  FROM sp a JOIN sp b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+            JOIN sp c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
+n AS (SELECT count(*) AS n_docs FROM ${T("documents")})
+SELECT g, count(*) AS df,
+  round(CAST(count(*) AS DOUBLE)/n_docs, 6) AS doc_share
+FROM sh, n GROUP BY g, n_docs ORDER BY df DESC, g LIMIT 20""",
 
       // Stopword-insensitive exact dedup: hash the stopword-stripped
       // token stream.

@@ -812,4 +812,24 @@ object Pipelines {
         round(col("n_types").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6))
       .orderBy("source")
 
+  /** Boilerplate n-gram detection (§2.13, r6): the 20 highest
+    * document-frequency 3-gram shingles — the template/banner content
+    * a curation pipeline strips before training (C4/RefinedWeb-style
+    * line dedup, at shingle granularity since this corpus has no line
+    * structure). Reuses the SHARED persisted shingle relation (one
+    * build serves six dedup-family queries); doc-share divides two
+    * exact integers. Top-20 is a total order (df desc, then shingle),
+    * so the limit is deterministic in both engines. */
+  val pipelineBoilerplateNgrams: Q = (s, d) => {
+    val n = table(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+    shingles(s, d)
+      .groupBy(col("g"))
+      .agg(asLong(count(lit(1))).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("g"), col("df"),
+        round(col("df").cast(DoubleType) / col("n_docs"), 6).as("doc_share"))
+      .orderBy(col("df").desc, col("g"))
+      .limit(20)
+  }
+
 }

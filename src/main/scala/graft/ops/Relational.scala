@@ -785,6 +785,25 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** Median absolute deviation per group (§2.3, r6): the robust
+    * dispersion companion to agg_median_quantile — median(|x − m|)
+    * where m is the group median. Two aggregations over the same
+    * grouping key; the per-group medians (3 rows) broadcast back, so
+    * the second pass adds no extra shuffle of the fact table beyond
+    * its own group-by. Both medians interpolate on identical double
+    * operands in both engines. */
+  val aggMad: Q = (s, d) => {
+    val o = table(s, d, "orders")
+    val med = o.groupBy(col("o_orderstatus"))
+      .agg(median(col("o_totalprice")).as("m"))
+    o.join(broadcast(med), "o_orderstatus")
+      .groupBy(col("o_orderstatus"))
+      .agg(round(max(col("m")), 2).as("med"),
+        round(median(abs(col("o_totalprice") - col("m"))), 2).as("mad"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Bivariate statistics + boolean aggregates. */
   val aggStats2: Q = (s, d) =>
     table(s, d, "lineitem")

@@ -114,7 +114,10 @@ class QuerySuiteSpec extends AnyFunSuite {
     "ts_cohort_retention" -> 30L, "pipeline_dedup_rate_by_source" -> 20L,
     "pipeline_vocab_growth" -> 20L,
     // round-6 widening: degree assortativity, per-label embedding cohesion
-    "graph_assortativity" -> 1L, "sim_label_cohesion" -> 10L)
+    "graph_assortativity" -> 1L, "sim_label_cohesion" -> 10L,
+    // round-6 widening: BM25 retrieval, boilerplate n-grams, robust MAD
+    "text_bm25_score" -> 483L, "pipeline_boilerplate_ngrams" -> 20L,
+    "agg_mad" -> 3L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
