@@ -10,7 +10,7 @@ import java.util.concurrent.{Executors, TimeUnit}
   * The suite is submitted CONCURRENTLY (SPARK_GRAFT_BENCH_PAR threads,
   * default 4) under Spark's FAIR scheduler and the headline `value` is
   * the wall-clock of the timed section. Rationale (BASELINE.md
-  * amendment): most sub-second queries of the suite (143 as of round 6) pay Spark's ~0.12 s/action
+  * amendment): most sub-second queries of the suite (168 as of round 6) pay Spark's ~0.12 s/action
   * scheduling floor (~11 s of pure latency, already priced into the
   * 26 s baseline) plus idle gaps while single-query stages use a
   * fraction of the 32 cores. Concurrent job submission is the idiomatic

@@ -314,6 +314,21 @@ LIMIT 20""",
 FROM ${T("lineitem")} l JOIN ${T("part")} p ON l.l_partkey = p.p_partkey
 GROUP BY 1 ORDER BY 1""",
 
+      // Q15: top supplier by quarterly revenue (view + scalar max
+      // subquery); the "achieves the maximum" test is exact DECIMAL
+      // equality in both engines.
+      "tpch_q15_shape" ->
+        s"""WITH revenue AS (
+  SELECT l_suppkey,
+    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM ${T("lineitem")}
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 2) AS total_rev
+FROM ${T("supplier")} JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+ORDER BY s_suppkey""",
+
       "tpch_q19_shape" ->
         s"""SELECT
   round(cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
@@ -1650,6 +1665,41 @@ SELECT doc_id, round(
   ln((n - df3 + 0.5)/(df3 + 0.5) + 1.0) * (tf3 * 2.2)/(tf3 + 1.2*(0.25 + 0.75*dl/(CAST(tot AS DOUBLE)/n))), 4) AS bm25
 FROM t, g WHERE tf1 + tf2 + tf3 > 0 ORDER BY doc_id""",
 
+      // Unigram-LM quality scoring: mean token log-prob under the
+      // corpus unigram distribution; ln computed once per vocab row,
+      // rounded at 6, DECIMAL-summed per doc (identical operands).
+      "pipeline_unigram_logprob" ->
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM ${T("documents")}),
+freq AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+n AS (SELECT sum(cnt) AS n_tok FROM freq),
+lp AS (SELECT w, CAST(round(ln(CAST(cnt AS DOUBLE) / n_tok), 6) AS DECIMAL(18,6)) AS lp
+  FROM freq, n)
+SELECT doc_id, count(*) AS n_tokens,
+  round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logprob
+FROM tok JOIN lp USING (w)
+GROUP BY doc_id ORDER BY doc_id""",
+
+      // Zipf rank-frequency OLS over the vocab relation: power sums
+      // exact decimals of rounded lns, closed form in one double tree.
+      "pipeline_zipf_fit" ->
+        s"""WITH freq AS (SELECT w, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM ${T("documents")})
+  GROUP BY 1),
+ranked AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS r FROM freq),
+xy AS (SELECT CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+  CAST(round(ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y FROM ranked),
+sums AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+  sum(x*y) AS sxy, sum(x*x) AS sxx FROM xy)
+SELECT CAST(n AS BIGINT) AS n_words,
+  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS slope,
+  round((CAST(sy AS DOUBLE) -
+         ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+         CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept
+FROM sums""",
+
       // Boilerplate detection: top-20 3-gram shingles by document
       // frequency (distinct per doc), tie-broken by the shingle text.
       "pipeline_boilerplate_ngrams" ->
@@ -1721,6 +1771,30 @@ ORDER BY p_id""",
 FROM ${T("events")}
 GROUP BY 1, 2
 ORDER BY dow, hour""",
+
+      // Trailing-5 renormalized EWMA (alpha=0.5): 4 lags over the
+      // (ts, event_id)-totalized per-user frame; weights are powers of
+      // two (exact in double AND decimal) and the num/den trees are
+      // written in one fixed chain in both engines.
+      "ts_ewma" ->
+        s"""WITH f AS (SELECT event_id, user_id, ts, value FROM ${T("events")}
+  WHERE user_id < 20 AND value IS NOT NULL),
+l AS (SELECT event_id, user_id, value,
+  lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+  lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4
+  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id, round(value, 2) AS value,
+  round((value
+    + CASE WHEN l1 IS NOT NULL THEN l1 * CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+    + CASE WHEN l2 IS NOT NULL THEN l2 * CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+    + CASE WHEN l3 IS NOT NULL THEN l3 * CAST(0.125 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+    + CASE WHEN l4 IS NOT NULL THEN l4 * CAST(0.0625 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) /
+  (CAST(1.0 AS DOUBLE)
+    + CASE WHEN l1 IS NOT NULL THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+    + CASE WHEN l2 IS NOT NULL THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+    + CASE WHEN l3 IS NOT NULL THEN CAST(0.125 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+    + CASE WHEN l4 IS NOT NULL THEN CAST(0.0625 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 4) AS ewma
+FROM l ORDER BY event_id""",
 
       // Trailing-24h rolling correlation from exact power sums: every
       // product is kept <= DECIMAL(38,_) wide in both engines (n as

@@ -812,6 +812,69 @@ object Pipelines {
         round(col("n_types").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6))
       .orderBy("source")
 
+  /** Unigram language-model scoring (§2.13, r6): each document's mean
+    * token log-probability under the corpus's own unigram distribution
+    * — the CCNet/Gopher-style "perplexity filter" quality signal
+    * (docs far below the corpus mean are boilerplate or noise; far
+    * above are repetitive). Counts are exact BIGINTs; ln(cnt/N) is
+    * computed once per VOCAB ROW (not per token), rounded at 6 and
+    * DECIMAL-summed per doc so the per-doc mean divides identical
+    * operands in both engines (the sim_label_cohesion discipline).
+    * Scale: vocab is corpus-bounded (kilobytes at 100 TB) so the freq
+    * relation broadcasts; the token explode never shuffles token-grain
+    * rows — partial aggregation collapses each doc's tokens map-side
+    * and the doc_id shuffle carries ~1 row per doc. */
+  val pipelineUnigramLogprob: Q = (s, d) => {
+    val tok = table(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val n = freq.agg(sum(col("cnt")).as("n_tok"))
+    val lp = freq.crossJoin(broadcast(n))
+      .select(col("w"),
+        round(log(col("cnt").cast(DoubleType) / col("n_tok")), 6)
+          .cast(DecimalType(18, 6)).as("lp"))
+    tok.join(broadcast(lp), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(asLong(count(lit(1))).as("n_tokens"),
+        round(sum(col("lp")).cast(DoubleType) / count(lit(1)), 4)
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** Zipf rank-frequency fit (§2.13, r6): log-log OLS of token
+    * frequency against rank — the one-number corpus-health telemetry
+    * (natural text sits near slope −1; template spam flattens it).
+    * Rank is total-ordered (count desc, token asc); ln(rank)/ln(cnt)
+    * are rounded at 6 and DECIMAL-summed so all four OLS power sums
+    * are exact and the closed-form slope/intercept evaluate one
+    * identical IEEE tree per engine. Scale: runs entirely on the
+    * vocab relation — corpus-bounded kilobytes regardless of SF. */
+  val pipelineZipfFit: Q = (s, d) => {
+    val freq = table(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val ranked = freq.select(col("cnt"),
+      row_number().over(Window.orderBy(col("cnt").desc, col("w"))).as("r"))
+    val xy = ranked.select(
+      round(log(col("r").cast(DoubleType)), 6).cast(DecimalType(18, 6)).as("x"),
+      round(log(col("cnt").cast(DoubleType)), 6).cast(DecimalType(18, 6)).as("y"))
+    // the four power sums are exact decimals; cast each ONCE to double
+    // (exact-to-identical operands) and run the OLS closed form in a
+    // fixed double tree — decimal×bigint promotion above precision 38
+    // rounds differently across engines, doubles do not
+    val nD = col("n").cast(DoubleType)
+    def D(c: String) = col(c).cast(DoubleType)
+    val slope = (nD * D("sxy") - D("sx") * D("sy")) /
+      (nD * D("sxx") - D("sx") * D("sx"))
+    xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(asLong(col("n")).as("n_words"),
+        round(slope, 4).as("slope"),
+        round((D("sy") - slope * D("sx")) / nD, 4).as("intercept"))
+  }
+
   /** Boilerplate n-gram detection (§2.13, r6): the 20 highest
     * document-frequency 3-gram shingles — the template/banner content
     * a curation pipeline strips before training (C4/RefinedWeb-style

@@ -547,6 +547,35 @@ object Relational {
       .orderBy("month")
   }
 
+  /** TPC-H Q15 shape (r6 — completes the Q2–Q22 shape set): top
+    * supplier by quarterly revenue, i.e. the CREATE VIEW + scalar
+    * max-subquery pattern. The revenue view is ONE per-supplier hash
+    * aggregate over the date-pruned fact scan, materialized once
+    * (localCheckpoint, house lineage rule SURVEY §4.2) because both
+    * the max threshold and the kept rows derive from it; the 1-row max
+    * broadcasts back, and the supplier dim broadcasts onto the
+    * (usually single) surviving row. Equality on the exact DECIMAL
+    * revenue — no float knife-edge in the "achieves the maximum"
+    * test. Scale: one shuffle on l_suppkey, everything after is
+    * broadcast-sized. */
+  val tpchQ15Shape: Q = (s, d) => {
+    val rev = table(s, d, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .as("total_rev"))
+      .localCheckpoint(true)
+    val mx = rev.agg(max(col("total_rev")).as("mr"))
+    rev.join(broadcast(mx), col("total_rev") === col("mr"))
+      .join(broadcast(table(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("total_rev").cast(DoubleType), 2).as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
   /** TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
     * bands across the part join. The OR-of-ANDs sits ON the join so
     * each branch's part predicates reach the broadcast build side and
@@ -640,18 +669,56 @@ object Relational {
     * weight reaches half the group's total, weights and cumulative
     * sums kept in exact DECIMAL and the half-total test written as
     * `2*cum >= total` so no division ever happens — fully
-    * deterministic across engines and partitionings. One shuffle on
-    * the group key; the running sum is a single window pass. */
+    * deterministic across engines and partitionings.
+    *
+    * Scale shape (r6 rework): a naive
+    * `Window.partitionBy(l_returnflag)` running sum caps parallelism
+    * at the 3 distinct flags and sorts EACH WHOLE GROUP in one task —
+    * the worst window skew possible (at 100 TB, one task sorting
+    * ~33 TB). Instead the approxQuantile-style two-pass: pass 1 is a
+    * map-side-combinable bucket histogram (price div 1024 → ~100
+    * buckets/group) whose ~300-row result is prefix-scanned on the
+    * driver in exact BigDecimal to find each group's crossing bucket
+    * and the exact weight below it; pass 2 runs the windowed running
+    * sum ONLY over the crossing bucket's rows (~1% of the group,
+    * offset by the exact below-bucket weight). No full-group sort
+    * anywhere; both passes are hash aggregates + a ~1%-selectivity
+    * sorted window, and the result is bit-identical to the one-window
+    * form because every weight stays DECIMAL end to end. */
   val aggWeightedMedian: Q = (s, d) => {
     val li = table(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"),
+        dec2(col("l_quantity")).as("qd"),
+        floor(col("l_extendedprice") / 1024).cast(IntegerType).as("bkt"))
+    val hist = li.groupBy(col("l_returnflag"), col("bkt"))
+      .agg(sum(col("qd")).as("w")).collect()
+    val marks = hist.groupBy(_.getString(0)).toSeq.map { case (flag, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      val total = sorted.map(_.getDecimal(2)).reduce(_ add _)
+      var cum = java.math.BigDecimal.ZERO
+      var bstar = sorted.head.getInt(1)
+      var offset = java.math.BigDecimal.ZERO
+      var found = false
+      for (r <- sorted if !found) {
+        val next = cum.add(r.getDecimal(2))
+        if (next.add(next).compareTo(total) >= 0) {
+          bstar = r.getInt(1); offset = cum; found = true
+        } else cum = next
+      }
+      (flag, bstar, offset.toString, total.toString)
+    }
+    val small = s.createDataFrame(marks)
+      .toDF("l_returnflag", "bstar", "off_s", "tot_s")
+      .select(col("l_returnflag"), col("bstar"),
+        col("off_s").cast(DecimalType(38, 2)).as("off"),
+        col("tot_s").cast(DecimalType(38, 2)).as("total"))
     val wq = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy(col("l_returnflag"))
-    li.select(col("l_returnflag"), col("l_extendedprice"),
-        col("l_orderkey"), col("l_linenumber"), dec2(col("l_quantity")).as("qd"))
-      .withColumn("cum", sum(col("qd")).over(wq))
-      .withColumn("total", sum(col("qd")).over(tot))
+    li.join(broadcast(small), Seq("l_returnflag"))
+      .filter(col("bkt") === col("bstar"))
+      .withColumn("cum", col("off") + sum(col("qd")).over(wq))
       .filter(col("cum") * 2 >= col("total"))
       .groupBy(col("l_returnflag"))
       .agg(round(min(col("l_extendedprice")), 2).as("weighted_median"),

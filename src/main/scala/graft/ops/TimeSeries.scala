@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -253,5 +254,37 @@ object TimeSeries {
         asLong(count_distinct(col("user_id"))).as("n_users"),
         round(sum(dec2(col("value"))).cast(DoubleType), 2).as("value_sum"))
       .orderBy("dow", "hour")
+
+  /** Trailing exponentially-weighted moving average (§2.12, r6):
+    * EWMA(α=0.5) over each user's last 5 observed values, renormalized
+    * over the weights actually present so the series starts unbiased
+    * (the standard finite-history EWMA). True recursive EWMA is a
+    * sequential fold — unbounded lookback, hostile to both engines and
+    * to distribution; the trailing-k form is the windowed equivalent
+    * every metrics store ships and is ONE window pass: 4 lag()s over
+    * the same (ts, event_id)-totalized frame, then a single arithmetic
+    * tree evaluated identically in both engines (no aggregation-order
+    * float risk — additions are written in one fixed chain). Scale:
+    * one shuffle on user_id; frames are bounded (5 rows). */
+  val tsEwma: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    def lg(i: Int) = lag(col("value"), i).over(w)
+    def term(c: Column, wt: Double) =
+      when(c.isNotNull, c * wt).otherwise(lit(0.0))
+    def wt(c: Column, wtv: Double) =
+      when(c.isNotNull, lit(wtv)).otherwise(lit(0.0))
+    val num = col("value") + term(lg(1), 0.5) + term(lg(2), 0.25) +
+      term(lg(3), 0.125) + term(lg(4), 0.0625)
+    val den = lit(1.0) + wt(lg(1), 0.5) + wt(lg(2), 0.25) +
+      wt(lg(3), 0.125) + wt(lg(4), 0.0625)
+    table(s, d, "events")
+      .filter(col("user_id") < 20 && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("ewma", round(num / den, 4))
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("value"), col("ewma"))
+      .orderBy("event_id")
+  }
 
 }

@@ -117,7 +117,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     "graph_assortativity" -> 1L, "sim_label_cohesion" -> 10L,
     // round-6 widening: BM25 retrieval, boilerplate n-grams, robust MAD
     "text_bm25_score" -> 483L, "pipeline_boilerplate_ngrams" -> 20L,
-    "agg_mad" -> 3L)
+    "agg_mad" -> 3L,
+    // round-6 widening: Q15 top supplier, unigram-LM scoring, Zipf
+    // fit, trailing EWMA
+    "tpch_q15_shape" -> 1L, "pipeline_unigram_logprob" -> 500L,
+    "pipeline_zipf_fit" -> 1L, "ts_ewma" -> 1000L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
