@@ -1550,6 +1550,20 @@ FROM com JOIN deg da ON da.node = com.a JOIN deg db ON db.node = com.b
 WHERE com.common / (da.deg + db.deg - com.common) >= 0.2
 ORDER BY 1, 2""",
 
+      // Adamic-Adar: wedge join + per-center 1/ln(deg) score, rounded
+      // then DECIMAL-summed per pair; total-ordered top-100.
+      "graph_adamic_adar" ->
+        s"""$E,
+deg AS (SELECT s AS x, count(*) AS dx FROM ud GROUP BY 1),
+sc AS (SELECT x, CAST(round(CAST(1.0 AS DOUBLE) / ln(CAST(dx AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sc FROM deg),
+w AS (SELECT a.s AS a, b.s AS b, a.t AS x
+  FROM ud a JOIN ud b ON a.t = b.t AND a.s < b.s)
+SELECT a, b, CAST(count(*) AS BIGINT) AS common,
+  round(CAST(sum(sc.sc) AS DOUBLE), 4) AS adamic_adar
+FROM w JOIN sc USING (x)
+GROUP BY a, b
+ORDER BY adamic_adar DESC, a, b LIMIT 100""",
+
       // ---- round-6 contract additions (SURVEY §2.14) ----
       // Skew/kurtosis via raw power sums: l_quantity is integral, so
       // s1..s4 are exact doubles in ANY summation order; the moment
@@ -1771,6 +1785,33 @@ ORDER BY p_id""",
 FROM ${T("events")}
 GROUP BY 1, 2
 ORDER BY dow, hour""",
+
+      // Last-touch attribution: purchases credited to the most recent
+      // prior click's k-bucket via an IGNORE NULLS carry-forward
+      // window (frame ends at 1 PRECEDING so clicks never self-credit).
+      "ts_attribution_last_touch" ->
+        s"""WITH l AS (SELECT event_type, value,
+  last_value(CASE WHEN event_type = 'click'
+      THEN CAST(json_extract_string(props, '$$.k') AS BIGINT) END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_k
+  FROM ${T("events")} WHERE user_id IS NOT NULL)
+SELECT attr_k, CAST(count(*) AS BIGINT) AS n_purchases,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM l WHERE event_type = 'purchase' AND value IS NOT NULL
+GROUP BY attr_k ORDER BY attr_k NULLS FIRST""",
+
+      // First-order Markov transition matrix over each user's event
+      // stream; probabilities divide two exact BIGINTs.
+      "ts_markov_transitions" ->
+        s"""WITH p AS (SELECT event_type AS from_type,
+  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM ${T("events")} WHERE user_id IS NOT NULL),
+c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
+FROM c ORDER BY 1, 2""",
 
       // Trailing-5 renormalized EWMA (alpha=0.5): 4 lags over the
       // (ts, event_id)-totalized per-user frame; weights are powers of

@@ -186,6 +186,39 @@ object GraphOps {
       .orderBy("a", "b")
   }
 
+  /** Adamic-Adar node similarity (r6): Σ 1/ln(deg(z)) over the
+    * common neighbors z of each pair — the link-prediction companion
+    * to neighbor Jaccard that discounts promiscuous hubs. Same wedge
+    * join (linear in wedges, never node×node); the per-CENTER score
+    * 1/ln(deg) is computed once per node on the degree relation,
+    * rounded at 6 and DECIMAL-summed per pair so both engines add
+    * identical operands (a wedge center always has deg ≥ 2, so ln is
+    * never 0). Top-100 is total-ordered (score desc, a, b); no
+    * common-count floor — the sparse sf0.1 strong graph has almost no
+    * multi-wedge pairs (the degenerate-to-empty trap jaccard's 0.2
+    * ratio threshold dodges). */
+  val graphAdamicAdar: Q = (s, d) => {
+    val ud = Tables.ud(s, d)
+    val sc = ud.groupBy(col("s").as("x")).agg(count(lit(1)).as("dx"))
+      // a wedge center always has deg >= 2, but deg-1 nodes exist in
+      // the RELATION and ANSI mode evaluates 1/ln(1) before the join
+      // would drop them — filter first (no semantic change)
+      .filter(col("dx") >= 2)
+      .select(col("x"),
+        round(lit(1.0) / log(col("dx").cast(DoubleType)), 6)
+          .cast(DecimalType(18, 6)).as("sc"))
+    ud.select(col("s").as("a"), col("t").as("x"))
+      .join(ud.select(col("s").as("b"), col("t").as("x")), Seq("x"))
+      .filter(col("a") < col("b"))
+      .join(sc, Seq("x"))
+      .groupBy(col("a"), col("b"))
+      .agg(asLong(count(lit(1))).as("common"), sum(col("sc")).as("aa"))
+      .select(col("a"), col("b"), col("common"),
+        round(col("aa").cast(DoubleType), 4).as("adamic_adar"))
+      .orderBy(col("adamic_adar").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
   /** 3 rounds of 3-core pruning (iterative deletion — the OTHER
     * iterative graph shape: state shrinks instead of propagating):
     * each round drops nodes with degree < 3 and every edge touching

@@ -255,6 +255,55 @@ object TimeSeries {
         round(sum(dec2(col("value"))).cast(DoubleType), 2).as("value_sum"))
       .orderBy("dow", "hour")
 
+  /** Last-touch attribution (§2.12, r6): every purchase is credited
+    * to the user's most recent PRIOR click's campaign bucket (the
+    * `k` property) — the standard marketing-attribution join, done
+    * without a self-join: one `last(..., ignoreNulls)` carry-forward
+    * window over the user's event stream (frame ends at -1 so a
+    * click never attributes itself), then a tiny group-by on the
+    * bucket. Purchases with no prior click land in the NULL bucket
+    * (reported, not dropped — unattributed revenue is the number
+    * marketers actually argue about). Scale: ONE shuffle on user_id;
+    * no event-to-event join, no skew (frames are per-user). */
+  val tsAttributionLastTouch: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val clickK = when(col("event_type") === "click",
+      get_json_object(col("props"), "$.k").cast(LongType))
+    table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .withColumn("attr_k", last(clickK, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy(col("attr_k"))
+      .agg(asLong(count(lit(1))).as("n_purchases"),
+        round(sum(dec2(col("value"))).cast(DoubleType), 2).as("revenue"))
+      .orderBy(asc_nulls_first("attr_k"))
+  }
+
+  /** Event-type transition matrix (§2.12, r6): first-order Markov
+    * transition counts and probabilities over each user's event
+    * stream — the session-flow telemetry behind "what happens after
+    * an error?". One lead() per event, then the matrix aggregate;
+    * probabilities divide two exact BIGINTs (row-normalized by a
+    * window over the 25-cell matrix). Scale: one user_id shuffle for
+    * the lead; the matrix itself is event-type², constant at any SF. */
+  val tsMarkovTransitions: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(asLong(count(lit(1))).as("n"))
+      .withColumn("prob", round(col("n").cast(DoubleType) /
+        sum(col("n")).over(Window.partitionBy(col("from_type")))
+          .cast(DoubleType), 6))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Trailing exponentially-weighted moving average (§2.12, r6):
     * EWMA(α=0.5) over each user's last 5 observed values, renormalized
     * over the weights actually present so the series starts unbiased

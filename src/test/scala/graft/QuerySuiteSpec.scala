@@ -121,7 +121,10 @@ class QuerySuiteSpec extends AnyFunSuite {
     // round-6 widening: Q15 top supplier, unigram-LM scoring, Zipf
     // fit, trailing EWMA
     "tpch_q15_shape" -> 1L, "pipeline_unigram_logprob" -> 500L,
-    "pipeline_zipf_fit" -> 1L, "ts_ewma" -> 1000L)
+    "pipeline_zipf_fit" -> 1L, "ts_ewma" -> 1000L,
+    // round-6 widening: attribution, Markov transitions, Adamic-Adar
+    "ts_attribution_last_touch" -> 66L, "ts_markov_transitions" -> 25L,
+    "graph_adamic_adar" -> 100L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
