@@ -655,6 +655,21 @@ SELECT o.o_orderstatus, round(max(m.m), 2) AS med,
 FROM ${T("orders")} o JOIN m USING (o_orderstatus)
 GROUP BY o.o_orderstatus ORDER BY o_orderstatus""",
 
+      // Theil T inequality: μ from the exact DECIMAL group sum; each
+      // row's (x/μ)ln(x/μ) term rounded at 8 and DECIMAL-summed.
+      "agg_theil_index" ->
+        s"""WITH g AS (SELECT o_orderstatus,
+  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sx, count(*) AS n
+  FROM ${T("orders")} GROUP BY 1),
+t AS (SELECT o.o_orderstatus, g.n,
+  CAST(round((o.o_totalprice / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) *
+    ln(o.o_totalprice / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 8) AS DECIMAL(18,8)) AS term
+  FROM ${T("orders")} o JOIN g USING (o_orderstatus))
+SELECT o_orderstatus,
+  round(CAST(sum(term) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6) AS theil,
+  CAST(max(n) AS BIGINT) AS n
+FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
       // ---- scalar function families ----
       "fn_string2" ->
         s"""SELECT p_partkey,
@@ -1726,6 +1741,41 @@ n AS (SELECT count(*) AS n_docs FROM ${T("documents")})
 SELECT g, count(*) AS df,
   round(CAST(count(*) AS DOUBLE)/n_docs, 6) AS doc_share
 FROM sh, n GROUP BY g, n_docs ORDER BY df DESC, g LIMIT 20""",
+
+      // N-gram novelty: per-doc share of corpus-unique 3-gram
+      // shingles; same shingle construction as the dedup family.
+      "pipeline_ngram_novelty" ->
+        s"""WITH sp AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+  unnest(string_split(text,' ')) AS w FROM ${T("documents")}),
+sh AS (SELECT DISTINCT a.doc_id, concat(a.w,' ',b.w,' ',c.w) AS g
+  FROM sp a JOIN sp b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+            JOIN sp c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
+df AS (SELECT g, count(*) AS df FROM sh GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+    CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM sh JOIN df USING (g)
+GROUP BY doc_id ORDER BY doc_id""",
+
+      // Split-half centroid drift: cosine of the even/odd-half
+      // component-SUM vectors (cosine is scale-invariant, so no mean
+      // division); components rounded at 7 then DECIMAL-summed.
+      "sim_label_centroid_drift" ->
+        s"""WITH c AS (SELECT label, vec_id % 2 AS half,
+  generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+  FROM ${T("embeddings")}),
+s AS (SELECT label, half, pos,
+  CAST(sum(CAST(round(CAST(v AS DOUBLE), 7) AS DECIMAL(18,7))) AS DECIMAL(12,7)) AS sv
+  FROM c GROUP BY 1, 2, 3),
+p AS (SELECT e.label, e.sv AS se, o.sv AS so
+  FROM s e JOIN s o ON o.label = e.label AND o.pos = e.pos
+    AND e.half = 0 AND o.half = 1),
+d AS (SELECT label, sum(se*so) AS dot, sum(se*se) AS ne, sum(so*so) AS no
+  FROM p GROUP BY 1)
+SELECT CAST(label AS BIGINT) AS label,
+  round(CAST(dot AS DOUBLE) / (sqrt(CAST(ne AS DOUBLE)) * sqrt(CAST(no AS DOUBLE))), 4) AS centroid_cos
+FROM d ORDER BY label""",
 
       // Stopword-insensitive exact dedup: hash the stopword-stripped
       // token stream.

@@ -875,6 +875,28 @@ object Pipelines {
         round((D("sy") - slope * D("sx")) / nD, 4).as("intercept"))
   }
 
+  /** N-gram novelty (§2.13, r6): per-document share of 3-gram
+    * shingles that appear in NO other document — the memorization-risk
+    * / contribution-value telemetry curation pipelines rank sources by
+    * (a doc whose shingles all recur elsewhere adds nothing; one full
+    * of singletons is novel). Reuses the SHARED persisted shingle
+    * relation and its df aggregate; novelty divides two exact
+    * integers. Scale: df is one map-combinable group-by over the
+    * shared relation; the join back is shingle-grain but carries two
+    * small columns and collapses map-side to one row per doc. */
+  val pipelineNgramNovelty: Q = (s, d) => {
+    val sh = shingles(s, d).select(col("doc_id"), col("g"))
+    val df = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(asLong(count(lit(1))).as("n_shingles"),
+        asLong(sum(when(col("df") === 1, 1L).otherwise(0L))).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        round(col("n_unique").cast(DoubleType) /
+          col("n_shingles").cast(DoubleType), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Boilerplate n-gram detection (§2.13, r6): the 20 highest
     * document-frequency 3-gram shingles — the template/banner content
     * a curation pipeline strips before training (C4/RefinedWeb-style

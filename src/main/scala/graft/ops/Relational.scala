@@ -871,6 +871,32 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Theil T inequality index per group (§2.3, r6): (1/n)·Σ(x/μ)·ln(x/μ)
+    * — the decomposable companion to agg_gini (Theil splits into
+    * within/between-group terms; Gini does not). μ is derived from the
+    * exact DECIMAL group sum (one double division, identical operands
+    * both engines); each row's term is computed in one double tree,
+    * rounded at 8 and DECIMAL-summed so the per-group mean divides
+    * identical operands. Same two-aggregation shape as agg_mad: the
+    * 3-row group-stats relation broadcasts back; the fact table
+    * shuffles only for its own group-bys. */
+  val aggTheilIndex: Q = (s, d) => {
+    val o = table(s, d, "orders")
+    val stats = o.groupBy(col("o_orderstatus"))
+      .agg(sum(dec2(col("o_totalprice"))).as("sx"), count(lit(1)).as("n"))
+    val mu = col("sx").cast(DoubleType) / col("n").cast(DoubleType)
+    val r = col("o_totalprice") / col("mu")
+    o.join(broadcast(stats), "o_orderstatus")
+      .withColumn("mu", mu)
+      .select(col("o_orderstatus"), col("n"),
+        round(r * log(r), 8).cast(DecimalType(18, 8)).as("term"))
+      .groupBy(col("o_orderstatus"))
+      .agg(round(sum(col("term")).cast(DoubleType) /
+          max(col("n")).cast(DoubleType), 6).as("theil"),
+        asLong(max(col("n"))).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Bivariate statistics + boolean aggregates. */
   val aggStats2: Q = (s, d) =>
     table(s, d, "lineitem")

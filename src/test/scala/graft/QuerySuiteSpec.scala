@@ -124,7 +124,10 @@ class QuerySuiteSpec extends AnyFunSuite {
     "pipeline_zipf_fit" -> 1L, "ts_ewma" -> 1000L,
     // round-6 widening: attribution, Markov transitions, Adamic-Adar
     "ts_attribution_last_touch" -> 66L, "ts_markov_transitions" -> 25L,
-    "graph_adamic_adar" -> 100L)
+    "graph_adamic_adar" -> 100L,
+    // round-6 widening: n-gram novelty, centroid drift, Theil index
+    "pipeline_ngram_novelty" -> 500L, "sim_label_centroid_drift" -> 10L,
+    "agg_theil_index" -> 3L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
