@@ -1339,6 +1339,19 @@ ORDER BY l_returnflag, metric""",
        count(*) FILTER (WHERE event_type = 'error') AS errors
 FROM ${T("events")} GROUP BY 1 ORDER BY day""",
 
+      // Multi-measure pivot: count + revenue per pivoted type in one
+      // pass; the CASE mirrors Spark's otherwise(0) exactly (a FILTER
+      // clause would sum NULL-only groups to NULL, not 0).
+      "pivot_multi_measure" ->
+        s"""SELECT cast(date_trunc('day', ts) AS DATE) AS day,
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_n,
+  round(CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2))
+    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS click_value,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_n,
+  round(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS purchase_value
+FROM ${T("events")} GROUP BY 1 ORDER BY day""",
+
       // ---- round-3 additions ----
 
       "agg_mode" ->
@@ -1862,6 +1875,30 @@ c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
 SELECT from_type, to_type, n,
   round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
 FROM c ORDER BY 1, 2""",
+
+      // Per-user OLS trend slope: x re-anchored to the user's first
+      // event-µs so all power sums stay exact decimals within width
+      // 38; closed form on double casts, scaled to value/hour. The
+      // variance filter runs on the DOUBLE numerator — exact, since
+      // the numerator is an integer (>= 1 whenever positive).
+      "ts_trend_slope" ->
+        s"""WITH f AS (SELECT user_id, epoch_us(ts) AS us,
+  CAST(value AS DECIMAL(18,2)) AS y
+  FROM ${T("events")} WHERE user_id < 50 AND value IS NOT NULL),
+b AS (SELECT user_id,
+  -- 19 digits forces int128 decimal storage; 14 would square in int64
+  -- and overflow (values are identical exact integers either way)
+  CAST(us - min(us) OVER (PARTITION BY user_id) AS DECIMAL(19,0)) AS x, y
+  FROM f),
+sums AS (SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+  sum(x*y) AS sxy, sum(x*x) AS sxx FROM b GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        CAST(3600000000 AS DOUBLE), 6) AS slope_per_hour
+FROM sums
+WHERE n >= 2 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+ORDER BY user_id""",
 
       // Trailing-5 renormalized EWMA (alpha=0.5): 4 lags over the
       // (ts, event_id)-totalized per-user frame; weights are powers of

@@ -1100,6 +1100,23 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Multi-measure pivot (§2.10, r6): two measures (count + revenue)
+    * per pivoted event type in ONE aggregation pass — the shape
+    * `pivot()` with multiple aggs produces, written as explicit
+    * conditional aggregates so column names and order are pinned
+    * cross-engine (house rule R6). Revenue stays DECIMAL until the
+    * final rounding. */
+  val pivotMultiMeasure: Q = (s, d) => {
+    def cnt(t: String) = asLong(sum(when(col("event_type") === t, 1L).otherwise(0L)))
+    def rev(t: String) = round(sum(when(col("event_type") === t,
+      dec2(col("value"))).otherwise(dec2(lit(0)))).cast(DoubleType), 2)
+    table(s, d, "events")
+      .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(cnt("click").as("click_n"), rev("click").as("click_value"),
+        cnt("purchase").as("purchase_n"), rev("purchase").as("purchase_value"))
+      .orderBy("day")
+  }
+
   // ---- §2.3 additions (round 3) ----
 
   /** Deterministic mode: most frequent o_orderpriority per status.

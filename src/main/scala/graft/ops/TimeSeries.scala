@@ -255,6 +255,43 @@ object TimeSeries {
         round(sum(dec2(col("value"))).cast(DoubleType), 2).as("value_sum"))
       .orderBy("dow", "hour")
 
+  /** Per-user OLS trend slope (§2.12, r6): the regression slope of
+    * event value against time — trend detection, the agg_corr_regr
+    * discipline applied per entity. x is microseconds since the
+    * user's FIRST event (a window min, no collect): re-anchoring
+    * keeps x small enough that every power sum stays an exact
+    * DECIMAL within width 38 in both engines (raw epoch-µs squares
+    * would not); the closed form then runs once per user on
+    * identical double casts, scaled to value/hour. Zero-variance
+    * users (all events in one microsecond) are filtered on the
+    * DOUBLE variance numerator — exact anyway, because the numerator
+    * is an integer (scale-0 decimals): any positive value is ≥ 1 and
+    * survives the double cast, so the test cannot flip at the
+    * boundary (a DECIMAL filter would overflow DuckDB's width-38
+    * multiply). Scale: the window min and the aggregation share one
+    * user_id shuffle. */
+  val tsTrendSlope: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+    val base = table(s, d, "events")
+      .filter(col("user_id") < 50 && col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        dec2(col("value")).as("y"))
+      .withColumn("x",
+        (col("us") - min(col("us")).over(w)).cast(DecimalType(14, 0)))
+    def D(c: String) = col(c).cast(DoubleType)
+    val nD = D("n")
+    val den = nD * D("sxx") - D("sx") * D("sx")
+    base.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") >= 2 && den > 0)
+      .select(col("user_id"), asLong(col("n")).as("n"),
+        round((nD * D("sxy") - D("sx") * D("sy")) / den *
+          lit(3600000000d), 6).as("slope_per_hour"))
+      .orderBy("user_id")
+  }
+
   /** Last-touch attribution (§2.12, r6): every purchase is credited
     * to the user's most recent PRIOR click's campaign bucket (the
     * `k` property) — the standard marketing-attribution join, done

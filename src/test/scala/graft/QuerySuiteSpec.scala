@@ -127,7 +127,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     "graph_adamic_adar" -> 100L,
     // round-6 widening: n-gram novelty, centroid drift, Theil index
     "pipeline_ngram_novelty" -> 500L, "sim_label_centroid_drift" -> 10L,
-    "agg_theil_index" -> 3L)
+    "agg_theil_index" -> 3L,
+    // round-6 widening: multi-measure pivot, per-user trend slope
+    "pivot_multi_measure" -> 30L, "ts_trend_slope" -> 15L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
