@@ -54,6 +54,15 @@ object Tables {
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // µs/ms parquet timestamps without isAdjustedToUTC would otherwise
+    // surface as TIMESTAMP_NTZ (Spark 4 infers NTZ by default), which
+    // rejects unix_micros()/double casts and diverges from the ns path
+    // below. Under the suite's pinned UTC session timezone the NTZ
+    // wallclock and the LTZ instant are the same value, so reading
+    // everything as TimestampType is lossless and keeps every operator
+    // timestamp-annotation-agnostic (the driver has regenerated the
+    // fixtures with different annotations across rounds).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val nanosFields = {
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
