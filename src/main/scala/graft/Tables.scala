@@ -47,46 +47,71 @@ object Tables {
   def mount(spark: SparkSession, sfDir: String, name: String, df: DataFrame): Unit =
     tableCache.put(spark, (sfDir, name), df)
 
+  /** Names of TIMESTAMP(NANOS) primitive fields in the parquet footer at
+    * `path` (file or directory of .parquet parts). Spark 4 rejects nanos
+    * natively; callers that see a non-empty result read under
+    * `nanosAsLong` and truncate to µs. Shared by the batch reader below
+    * and the streaming source (Streams.eventsStream) so both sides adapt
+    * to whatever physical unit the fixtures carry — the driver has
+    * regenerated them with different units across rounds (ns through
+    * round 5, µs since round 6).
+    */
+  def nanosTimestampFields(spark: SparkSession, path: String): Seq[String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      else p
+    val footer = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try footer.getFileMetaData.getSchema.getFields.asScala.collect {
+      case f if f.isPrimitive && (f.getLogicalTypeAnnotation match {
+            case t: TimestampLogicalTypeAnnotation => t.getUnit == TimeUnit.NANOS
+            case _ => false
+          }) => f.getName
+    }.toSeq
+    finally footer.close()
+  }
+
   /** Parquet read that tolerates TIMESTAMP(NANOS) columns, which Spark 4
     * rejects natively: nanos are read as LongType and truncated to
     * microsecond TimestampType — exactly DuckDB's ns->us conversion
-    * (floor; values are post-1970 so integer `div` == floor).
+    * (floor; values are post-1970 so integer `div` == floor). The
+    * `nanosAsLong` conf is only set when the footer actually carries
+    * nanos fields (it stays session-set afterwards: execution-time
+    * schema conversion consults it again, so it cannot be restored
+    * until the DataFrame is fully consumed — and it is a no-op for
+    * non-nanos files).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosFields = nanosTimestampFields(spark, path)
+    if (nanosFields.nonEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // µs/ms parquet timestamps without isAdjustedToUTC would otherwise
     // surface as TIMESTAMP_NTZ (Spark 4 infers NTZ by default), which
     // rejects unix_micros()/double casts and diverges from the ns path
     // below. Under the suite's pinned UTC session timezone the NTZ
     // wallclock and the LTZ instant are the same value, so reading
     // everything as TimestampType is lossless and keeps every operator
-    // timestamp-annotation-agnostic (the driver has regenerated the
-    // fixtures with different annotations across rounds).
+    // timestamp-annotation-agnostic. Saved/restored around the eager
+    // schema inference so the fixture workaround doesn't leak into
+    // unrelated schema-less reads (round-6 ADVICE).
+    val prevNtz = spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val nanosFields = {
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
-      import org.apache.hadoop.fs.Path
-      import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
-      import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
-      import scala.jdk.CollectionConverters._
-      val conf = spark.sessionState.newHadoopConf()
-      val p = new Path(path)
-      val fs = p.getFileSystem(conf)
-      val file =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-        else p
-      val footer = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-      try footer.getFileMetaData.getSchema.getFields.asScala.collect {
-        case f if f.isPrimitive && (f.getLogicalTypeAnnotation match {
-              case t: TimestampLogicalTypeAnnotation => t.getUnit == TimeUnit.NANOS
-              case _ => false
-            }) => f.getName
-      }.toSeq
-      finally footer.close()
-    }
-    val raw = spark.read.parquet(path)
+    val raw =
+      try spark.read.parquet(path)
+      finally prevNtz match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", v)
+        case None => spark.conf.unset("spark.sql.parquet.inferTimestampNTZ.enabled")
+      }
+    raw.schema // force analysis before the conf could change again
     nanosFields.foldLeft(raw) { (df, f) =>
       df.withColumn(f, timestamp_micros(expr(s"`$f` div 1000")))
     }

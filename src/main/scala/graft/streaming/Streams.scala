@@ -17,19 +17,35 @@ import graft.Tables
   */
 object Streams {
 
-  /** readStream over the events table, with the same ns->us timestamp
-    * conversion Tables.read applies on the batch side. */
+  /** readStream over the events table, with the same footer-driven
+    * TIMESTAMP(NANOS) handling Tables.read applies on the batch side:
+    * fields physically stored as nanos are read as long (nanosAsLong)
+    * and truncated to µs; fields already µs (the fixtures since round
+    * 6) pass through untouched. Round-6 lesson: hard-coding the ns->µs
+    * conversion broke every events-based streaming spec when the
+    * testdata was regenerated with timestamp[us]. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // schema as Spark parses it under nanosAsLong (ts: long nanos);
-    // the file stream source needs a directory, so scope the sfDir
-    // with a glob on the events file
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    spark.readStream
-      .schema(raw.schema)
+    val path = s"$sfDir/events.parquet"
+    val nanosFields = Tables.nanosTimestampFields(spark, path)
+    if (nanosFields.nonEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // schema as the batch reader parses it, with TIMESTAMP_NTZ coerced
+    // to TimestampType — the µs fixtures carry no isAdjustedToUTC flag
+    // so inference yields NTZ, which watermarks reject; under the
+    // pinned UTC session TZ the LTZ reading is value-identical (same
+    // policy as Tables.read). The file stream source needs a
+    // directory, so scope the sfDir with a glob on the events file.
+    val rawSchema = StructType(spark.read.parquet(path).schema.map {
+      case f if f.dataType == TimestampNTZType => f.copy(dataType = TimestampType)
+      case f => f
+    })
+    val base = spark.readStream
+      .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    nanosFields.foldLeft(base) { (df, f) =>
+      df.withColumn(f, timestamp_micros(expr(s"`$f` div 1000")))
+    }
   }
 
   /** readStream over any single-table parquet (file-source replay) —
