@@ -523,6 +523,41 @@ class Naqed(spark: SparkSession, sfDir: String) {
     (train, test, Seq(rep).toDS().toDF())
   }
 
+  /** Embedding near-dedup directive (naqed resolver-with-args style):
+    * the curation stage for embedding-carrying corpora
+    * (ops.Curation.annNearDedup), driven through the `$`-argument
+    * convention. Default path is the density-adaptive ANN pipeline
+    * (`$mass_factor` widens probing, `$margin` widens the PQ-code
+    * prefilter band, `$n_cells` sizes the IVF grid); `$exact -> true`
+    * opts into the all-pairs exact pair set instead. Returns the kept
+    * corpus. Unknown arguments fail analysis naqed-style. */
+  def nearDedupEmbeddings(q: Map[String, Any] = Map.empty): DataFrame = {
+    val known = Set("$n_cells", "$mass_factor", "$margin", "$exact")
+    val unknown = q.keys.filterNot(known.contains)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown near-dedup arguments ${unknown.mkString(", ")}; " +
+          s"valid: ${known.toSeq.sorted.mkString(", ")}")
+    def num(k: String, dflt: Double): Double = q.get(k) match {
+      case Some(n: Number) => n.doubleValue()
+      case Some(other) => throw new IllegalArgumentException(
+        s"$k expects a number, got $other")
+      case None => dflt
+    }
+    val exact = q.get("$exact") match {
+      case Some(b: Boolean) => b
+      case Some(other) => throw new IllegalArgumentException(
+        s"$$exact expects a boolean, got $other")
+      case None => false
+    }
+    graft.ops.Curation.annNearDedup(spark, sfDir, table("embeddings"),
+      idCol = "vec_id",
+      nCells = num("$n_cells", 16).toInt,
+      massFactor = num("$mass_factor", 8.0),
+      margin = num("$margin", 0.05),
+      exact = exact)
+  }
+
   /** Aggregation directive: `$groupBy -> field | Seq(fields)` plus
     * `$agg -> Map(outName -> "count" | "fn:field")` with fn in
     * {count, sum, min, max, avg, count_distinct}. `$`-arg filters at

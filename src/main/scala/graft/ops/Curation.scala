@@ -67,6 +67,32 @@ object Curation {
     docs.join(activePairs.select(col("d2")), col("doc_id") === col("d2"), "left_anti")
   }
 
+  /** Embedding-space near-dedup — the curation stage for corpora whose
+    * items carry embeddings (the embeddings table here; at scale, any
+    * corpus joined to its embedding column). Pairs come from the
+    * density-adaptive ANN path (`Pipelines.simCosineNeardupAnnAdaptive`
+    * — IVF candidates, mass-driven probing, PQ-code prefilter, exact
+    * cosine rescore: precision 1.0 by construction, measured recall in
+    * SCALING.md/AnnNeardupSpec, full-float rescores ~138x fewer than
+    * fixed nprobe=8). Same keep-the-lesser-id semantics and
+    * removed-canonical guard as the text `nearDedup` stage: an item is
+    * dropped iff it is the GREATER side of a pair whose LESSER side is
+    * still in the input. `exact = true` swaps in the all-pairs exact
+    * pair set (`simCosineNeardup`) for corpora small enough to afford
+    * it — the knob that makes the ANN path the default and the exact
+    * path the opt-in, not the reverse. */
+  def annNearDedup(spark: SparkSession, sfDir: String, items: DataFrame,
+      idCol: String = "vec_id", nCells: Int = 16, massFactor: Double = 8.0,
+      margin: Double = 0.05, exact: Boolean = false): DataFrame = {
+    val pairs =
+      if (exact) Pipelines.simCosineNeardup(spark, sfDir)
+      else Pipelines.simCosineNeardupAnnAdaptive(spark, sfDir, nCells,
+        massFactor, margin)
+    val activePairs = pairs
+      .join(items.select(col(idCol).as("v1")), Seq("v1"), "left_semi")
+    items.join(activePairs.select(col("v2")), col(idCol) === col("v2"), "left_anti")
+  }
+
   /** Decontamination: the held-out eval slice itself (doc_id%10 == 0
     * — verbatim benchmark content must never train) AND every training
     * doc sharing >= 3 distinct shingles with it (pipeline_contamination's

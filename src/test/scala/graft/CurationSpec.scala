@@ -69,6 +69,44 @@ class CurationSpec extends AnyFunSuite {
     assert(withoutCanonical.filter(col("doc_id") === dup).count() == 1)
   }
 
+  test("adaptive ANN near-dedup stage: end-to-end with measured recall vs the exact pair set") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    // the two pair universes over the same corpus slice
+    val exactPairs = ops.Pipelines.simCosineNeardup(spark, sf0001)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annPairs = ops.Pipelines.simCosineNeardupAnnAdaptive(spark, sf0001)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty)
+    // precision 1.0 by construction (exact rescore at the same
+    // threshold), recall the measured quantity the stage's docs claim
+    assert(annPairs.subsetOf(exactPairs), "ANN pair not in the exact set")
+    val recall = annPairs.size.toDouble / exactPairs.size
+    info(s"adaptive ANN pair recall vs exact: $recall (${annPairs.size}/${exactPairs.size})")
+    assert(recall >= 0.9, s"adaptive ANN recall $recall below 0.9")
+    // the curation stage end-to-end: drops exactly the greater sides
+    // of active pairs, keeps everything else
+    val kept = ops.Curation.annNearDedup(spark, sf0001, emb)
+    val expectedDrops = annPairs.map(_._2)
+    val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == allIds -- expectedDrops)
+    // removed-canonical guard: dropping a pair's lesser side upstream
+    // lets the greater side survive (content never vanishes entirely)
+    val (c, dup) = annPairs.groupBy(_._2).filter(_._2.size == 1)
+      .values.map(_.head).head
+    val without = ops.Curation.annNearDedup(spark, sf0001,
+      emb.filter(col("vec_id") =!= c))
+    assert(without.filter(col("vec_id") === dup).count() == 1)
+    // the naqed API surface reaches the same stage (massFactor knob)
+    val apiKept = new graft.api.Naqed(spark, sf0001)
+      .nearDedupEmbeddings(Map("$mass_factor" -> 8.0))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(apiKept == keptIds)
+    intercept[IllegalArgumentException] {
+      new graft.api.Naqed(spark, sf0001).nearDedupEmbeddings(Map("$bogus" -> 1))
+    }
+  }
+
   test("train and test are disjoint and the pipeline is deterministic") {
     val (train, test, r1) = result
     assert(train.join(test, Seq("doc_id"), "inner").count() == 0)
