@@ -2127,7 +2127,99 @@ GROUP BY 1 ORDER BY cntrygrp""",
   decode(from_base64(to_base64(encode(s_name)))) = s_name AS roundtrip_ok,
   CAST(length(to_base64(encode(s_name))) AS BIGINT) AS b64_len
 FROM ${T("supplier")}
-ORDER BY s_suppkey"""
+ORDER BY s_suppkey""",
+
+      // ---- round 7 ----
+
+      // Benford: digit extracted in EXACT arithmetic (DECIMAL*100 ->
+      // BIGINT -> first char); float log10-of-value or double->BIGINT
+      // casts would diverge between engines (round vs truncate).
+      "agg_benford_first_digit" ->
+        s"""WITH li AS (
+  SELECT CAST(substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM ${T("lineitem")} WHERE l_extendedprice > 0),
+tot AS (SELECT count(*) AS n_tot FROM li)
+SELECT digit, CAST(count(*) AS BIGINT) AS n,
+  round(CAST(count(*) AS DOUBLE) / n_tot, 6) AS share,
+  round(log10(1.0 + 1.0 / digit), 6) AS benford_expect
+FROM li, tot GROUP BY digit, n_tot ORDER BY digit""",
+
+      // Degree octaves via pure integer CASE thresholds (no float
+      // log2 whose exact-power boundaries could round differently).
+      "graph_degree_distribution" ->
+        s"""$E,
+deg AS (SELECT s AS v, count(*) AS deg FROM ud GROUP BY 1),
+oct AS (SELECT v, deg,
+  (CASE ${(20 to 1 by -1).map(b => s"WHEN deg >= ${1L << b} THEN $b").mkString(" ")} ELSE 0 END) AS octave
+  FROM deg)
+SELECT octave, CAST(count(*) AS BIGINT) AS n_nodes,
+  CAST(min(deg) AS BIGINT) AS min_deg, CAST(max(deg) AS BIGINT) AS max_deg
+FROM oct GROUP BY 1 ORDER BY octave""",
+
+      // Sweep-line session concurrency: starts before ends at the
+      // same instant; tie order inside an equal (t, kind) group is
+      // irrelevant (same-sign deltas -> group extremum is order-free).
+      "ts_peak_concurrency" ->
+        s"""WITH ev AS (SELECT user_id, ts, event_id FROM ${T("events")} WHERE user_id IS NOT NULL),
+m AS (SELECT user_id, ts, event_id,
+  CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+       THEN 1 ELSE 0 END AS new_s
+  FROM ev),
+sid AS (SELECT user_id, ts,
+  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m),
+sess AS (SELECT user_id, sid, min(ts) AS s_ts, max(ts) AS e_ts FROM sid GROUP BY 1, 2),
+points AS (
+  SELECT s_ts AS t, 0 AS kind, 1 AS delta FROM sess
+  UNION ALL
+  SELECT e_ts AS t, 1 AS kind, -1 AS delta FROM sess),
+sweep AS (SELECT t, kind,
+  sum(delta) OVER (ORDER BY t, kind ROWS UNBOUNDED PRECEDING) AS running
+  FROM points)
+SELECT CAST(t AS DATE) AS day,
+  CAST(max(running) AS BIGINT) AS peak_concurrency,
+  CAST(sum(CASE WHEN kind = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sessions_started
+FROM sweep GROUP BY 1 ORDER BY day""",
+
+      // Trailing 10-min RANGE frame on epoch micros (peers at the
+      // boundary included identically), reduced to the per-user max.
+      "ts_burst_10min" ->
+        s"""WITH ev AS (SELECT user_id, ts FROM ${T("events")} WHERE user_id IS NOT NULL),
+b AS (SELECT user_id,
+  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS burst
+  FROM ev)
+SELECT user_id, CAST(max(burst) AS BIGINT) AS peak_burst_10min,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM b GROUP BY 1 ORDER BY user_id""",
+
+      // Bigram MLE LM: c12/c1 both exact counts over the same bigram
+      // relation; per-bigram logprobs rounded to DECIMAL(18,6) before
+      // the order-insensitive per-doc sum (unigram discipline).
+      "pipeline_bigram_logprob" ->
+        s"""WITH pos AS (
+  SELECT doc_id, l, generate_subscripts(l, 1) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM ${T("documents")})),
+big AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2 FROM pos WHERE i < len(l)),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+lp AS (SELECT w1, w2,
+  CAST(round(ln(CAST(c12 AS DOUBLE) / c1), 6) AS DECIMAL(18,6)) AS lp
+  FROM c12 JOIN c1 USING (w1))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logprob
+FROM big JOIN lp USING (w1, w2)
+GROUP BY doc_id ORDER BY doc_id""",
+
+      // Adjacent-pair embedding QA: bucket from the EXACT decimal of
+      // the 4-rounded cosine (double x10 could straddle a boundary).
+      "sim_adjacent_cosine" ->
+        s"""WITH pairs AS (
+  SELECT CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS DECIMAL(6,4)) AS sim
+  FROM ${T("embeddings")} a JOIN ${T("embeddings")} b ON b.vec_id = a.vec_id + 1)
+SELECT CAST(floor(sim * 10) AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+  round(CAST(sum(sim) AS DOUBLE) / count(*), 6) AS avg_sim
+FROM pairs GROUP BY 1 ORDER BY bucket"""
     )
   }
 }

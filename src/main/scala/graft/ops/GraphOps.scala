@@ -288,4 +288,27 @@ object GraphOps {
           .as("assortativity"))
   }
 
+  /** Degree distribution in power-of-two buckets (§2.8, r7): node
+    * counts per degree octave — the one-glance scale-free-ness /
+    * hub-structure telemetry read before choosing a partitioning or
+    * skew strategy for any traversal. Buckets are pure integer CASE
+    * comparisons (no floating log2 whose exact-power boundary could
+    * round differently across engines). Scale: runs on the degree
+    * aggregate — one map-combined group-by over EDGES, output bounded
+    * by ~64 buckets at any conceivable SF. */
+  val graphDegreeDistribution: Q = (s, d) => {
+    val deg = Tables.ud(s, d).groupBy(col("s").as("v"))
+      .agg(count(lit(1)).as("deg"))
+    // octave index = floor(log2(deg)) via integer thresholds
+    val bucket = (1 to 20).foldLeft(lit(0)) { (acc, b) =>
+      when(col("deg") >= math.pow(2, b).toLong, b).otherwise(acc)
+    }
+    deg.select(col("v"), col("deg"), bucket.as("octave"))
+      .groupBy(col("octave"))
+      .agg(asLong(count(lit(1))).as("n_nodes"),
+        asLong(min(col("deg"))).as("min_deg"),
+        asLong(max(col("deg"))).as("max_deg"))
+      .orderBy("octave")
+  }
+
 }

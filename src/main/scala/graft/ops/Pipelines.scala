@@ -842,6 +842,42 @@ object Pipelines {
       .orderBy("doc_id")
   }
 
+  /** Bigram LM scoring (§2.13, r7): per-document average conditional
+    * log-probability ln p(w2|w1) under the corpus's own MLE bigram
+    * model — the sequence-aware upgrade of pipeline_unigram_logprob
+    * (a doc of common words in an improbable ORDER now scores low;
+    * unigram scoring can't see order at all). p(w2|w1) = c(w1,w2) /
+    * c(w1 as context), both exact counts over the same bigram
+    * relation so the model is trivially consistent. Bigrams are built
+    * IN-ROW by an indexed transform over the token array (codegen'd
+    * HOF — no positional self-join, no extra shuffle); per-bigram
+    * log-probs are rounded to DECIMAL(18,6) before the per-doc sum,
+    * the repo's standard order-insensitive float discipline. Scale:
+    * the bigram-type relation is vocab², corpus-bounded kilobytes
+    * that broadcast; everything else is one map-combined group-by
+    * plus a broadcast join — linear, like unigram. */
+  val pipelineBigramLogprob: Q = (s, d) => {
+    val big = table(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(l, 1, size(l) - 1), (x, i) -> " +
+          "struct(x AS w1, element_at(l, i + 2) AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val lp = c12.join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        round(log(col("c12").cast(DoubleType) / col("c1")), 6)
+          .cast(DecimalType(18, 6)).as("lp"))
+    big.join(broadcast(lp), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(asLong(count(lit(1))).as("n_bigrams"),
+        round(sum(col("lp")).cast(DoubleType) / count(lit(1)), 4)
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Zipf rank-frequency fit (§2.13, r6): log-log OLS of token
     * frequency against rank — the one-number corpus-health telemetry
     * (natural text sits near slope −1; template spam flattens it).

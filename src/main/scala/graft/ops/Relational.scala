@@ -1502,4 +1502,30 @@ object Relational {
       .orderBy("cntrygrp")
   }
 
+  /** Benford first-digit audit (§2.3, r7): leading-digit distribution
+    * of l_extendedprice against Benford's log10(1+1/d) expectation —
+    * the classic anomaly/fabrication screen over any money column.
+    * The digit is extracted in EXACT arithmetic (DECIMAL(18,2)·100 →
+    * BIGINT → first character): a float log10-of-value route would
+    * disagree between engines at exact powers of ten, and
+    * double→BIGINT casts round in DuckDB but truncate in Spark — the
+    * decimal path has neither hazard. share and the expectation are
+    * each one rounded double division. Scale: map-combined count per
+    * 9 digit groups; nothing else. */
+  val aggBenfordFirstDigit: Q = (s, d) => {
+    val cents = dec2(col("l_extendedprice")) * lit(100)
+    val digit = substring(cents.cast(LongType).cast(StringType), 1, 1).cast(IntegerType)
+    val li = table(s, d, "lineitem")
+      .filter(col("l_extendedprice") > 0)
+      .select(digit.as("digit"))
+    val tot = li.agg(count(lit(1)).as("n_tot"))
+    li.groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), asLong(col("n")).as("n"),
+        round(col("n").cast(DoubleType) / col("n_tot"), 6).as("share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("benford_expect"))
+      .orderBy("digit")
+  }
+
 }

@@ -373,4 +373,68 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** Peak session concurrency per day (§2.12, r7): sessionize each
+    * user's events (new session when the gap exceeds 30 min — the
+    * stream_sessionize rule), then sweep-line the session intervals:
+    * +1 at each start, −1 at each end, starts ordered before ends at
+    * the same instant (touching sessions count as concurrent), and
+    * report the maximum running count observed at any sweep point of
+    * each day — capacity-planning telemetry no plain groupBy
+    * expresses. Tie order among equal (ts, kind) points is
+    * engine-dependent but provably irrelevant: within a tie group all
+    * deltas share a sign, so the group's running extremum is reached
+    * after the whole group regardless of internal order. Scale: one
+    * user_id shuffle for sessionization; the sweep is a global-order
+    * window over ~2 rows/session — at 100 TB it range-partitions by
+    * time with per-boundary offsets (documented, not needed at bench
+    * scale). */
+  val tsPeakConcurrency: Q = (s, d) => {
+    // (ts, event_id) totalizes the per-user order and the running sum
+    // uses an explicit ROWS frame — Spark's default window frame is
+    // RANGE (peers collapse) while the oracle's is written ROWS; under
+    // a (user_id, ts) tie the two disagree about which session a tied
+    // row joins unless the order is total
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wuSum = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_s",
+        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wu))
+          > 1800L * 1000000L, 1L).otherwise(lit(0L)))
+      .withColumn("sid", sum(col("new_s")).over(wuSum))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("s_ts"), max(col("ts")).as("e_ts"))
+    val points = sessions.select(col("s_ts").as("t"), lit(0).as("kind"), lit(1L).as("delta"))
+      .unionAll(sessions.select(col("e_ts").as("t"), lit(1).as("kind"), lit(-1L).as("delta")))
+    val sweep = Window.orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    points
+      .withColumn("running", sum(col("delta")).over(sweep))
+      .groupBy(to_date(col("t")).as("day"))
+      .agg(asLong(max(col("running"))).as("peak_concurrency"),
+        asLong(sum(when(col("kind") === 0, 1L).otherwise(0L))).as("sessions_started"))
+      .orderBy("day")
+  }
+
+  /** Peak 10-minute event burst per user (§2.12, r7): for every event
+    * the count of the same user's events in the trailing 10-minute
+    * RANGE frame (peers at the boundary included identically in both
+    * engines), reduced to each user's maximum — rate-limit / abuse
+    * telemetry. Same range-frame shape as win_range_1h, reduced per
+    * key. Scale: one user_id shuffle, frames bounded by per-user
+    * 10-minute density. */
+  val tsBurst10min: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-600L * 1000000L, 0L)
+    table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(asLong(max(col("burst"))).as("peak_burst_10min"),
+        asLong(count(lit(1))).as("n_events"))
+      .orderBy("user_id")
+  }
+
 }

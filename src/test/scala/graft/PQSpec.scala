@@ -87,21 +87,21 @@ class PQSpec extends AnyFunSuite {
     assert(onePass.toSeq == twoPass.toSeq)
   }
 
-  test("IVF-PQ with residual codes + multi-assign: recall@10 >= 0.9 per probe") {
+  test("IVF-PQ with residual codes + multi-assign: recall@10 >= 0.95 per probe") {
     val coarse = PQ.trainIvf(emb, "embedding", "vec_id", nCells = 16)
     // the standard formulation: PQ codebooks trained on cell residuals,
     // codes quantize v - centroid(cell), ADC table built per probed
-    // cell from the probe's residual. assign=3 stores each vector in
-    // its 3 nearest cells: measured (r6), the r5 recall loss at
+    // cell from the probe's residual. assign=4 stores each vector in
+    // its 4 nearest cells: measured (r6), the r5 recall loss at
     // nprobe=8/16 was ENTIRELY coverage — 10/6/7 of each probe's true
     // top-10 lay inside the probed cells, exactly the observed
     // 1.0/0.6/0.7 recall, with ADC+rerank recovering every covered
     // neighbor — so the fix is assignment width, not code fidelity.
     val rmodel = PQ.trainResidual(emb, "embedding", "vec_id", coarse, m = 8)
     val layout = PQ.encodeIvfPq(emb, "embedding", "vec_id", coarse, rmodel,
-      assign = 3).cache()
+      assign = 4).cache()
     val n = emb.count()
-    assert(layout.count() == 3 * n) // one row per (vector, stored cell)
+    assert(layout.count() == 4 * n) // one row per (vector, stored cell)
     assert(layout.select("vec_id").distinct().count() == n)
     // cells partition the corpus non-degenerately
     val cellSizes = layout.groupBy("cell").count().collect().map(_.getLong(1))
@@ -115,11 +115,17 @@ class PQSpec extends AnyFunSuite {
       assert(got.size == 10)
       (exact10 intersect got).size / 10.0
     }
-    info(s"residual IVF-PQ recall@10 (nprobe=8/16, rerank=50): $recalls")
+    info(s"residual IVF-PQ recall@10 (nprobe=8, rerank=50, assign=4): $recalls")
     // r5's raw-code combined recall was 1.0/0.6/0.7 on these probes
     // (VERDICT r5 item 3); residual codes restore in-cell fidelity and
-    // multi-assignment restores coverage — both were needed
-    recalls.foreach(r => assert(r >= 0.9, s"per-probe recall $r below 0.9: $recalls"))
+    // multi-assignment restores coverage — both were needed. r6's
+    // remaining loss (0.9 on the third probe at assign=3) was measured
+    // to be coverage too: rerank=100 at assign=3 left it at 0.9, while
+    // assign=4 at the ORIGINAL rerank=50 recovers 1.0/1.0/1.0 — the
+    // missing neighbor's stored cells simply weren't probed, one more
+    // assignment puts it in reach. Storage cost: 4x8 B codes/vector,
+    // still 8x smaller than one raw vector.
+    recalls.foreach(r => assert(r >= 0.95, s"per-probe recall $r below 0.95: $recalls"))
     // the probe's own vector lives in the nearest cell (residual 0) ->
     // always found
     val self = PQ.searchIvfPq(emb, layout, "embedding", "vec_id",

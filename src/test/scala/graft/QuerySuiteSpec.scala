@@ -129,7 +129,12 @@ class QuerySuiteSpec extends AnyFunSuite {
     "pipeline_ngram_novelty" -> 500L, "sim_label_centroid_drift" -> 10L,
     "agg_theil_index" -> 3L,
     // round-6 widening: multi-measure pivot, per-user trend slope
-    "pivot_multi_measure" -> 30L, "ts_trend_slope" -> 15L)
+    "pivot_multi_measure" -> 30L, "ts_trend_slope" -> 15L,
+    // round-7 widening: Benford audit, degree octaves, sweep-line
+    // concurrency, 10-min bursts, bigram LM, adjacent-cosine QA
+    "agg_benford_first_digit" -> 9L, "graph_degree_distribution" -> 4L,
+    "ts_peak_concurrency" -> 30L, "ts_burst_10min" -> 15L,
+    "pipeline_bigram_logprob" -> 500L, "sim_adjacent_cosine" -> 10L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)

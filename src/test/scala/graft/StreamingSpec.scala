@@ -149,6 +149,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(flat(want).exceptAll(flat(got)).count() == 0)
   }
 
+  test("one-to-many subscription on an unbounded rate source: zero streaming state") {
+    // r6 pinned the zero-streaming-state claim (child arrays are a
+    // STATIC subplan joined stream-static) under file replay; r7 pins
+    // it under a source that NEVER ends — if the child side held
+    // per-key state, an unbounded root would grow it without bound,
+    // so the state-store row count is the load-bearing assertion.
+    val nq = new graft.api.Naqed(spark, sf0001)
+    val cust = Tables(spark, sf0001, "customer")
+    val nCust = cust.count()
+    // customer-shaped unbounded root: each rate tick selects a
+    // customer row (stream-static join BEFORE the subscription)
+    val src = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 5L).option("startTimestamp", 0L).load()
+      .select(pmod(col("value"), lit(nCust)).as("c_custkey"))
+      .join(cust, Seq("c_custkey"))
+    val q = Map("c_name" -> true,
+      "orders" -> Map("$min_o_totalprice" -> 300000.0, "o_orderkey" -> true))
+    val sub = nq.subscribe("customer", q, src)
+    assert(sub.isStreaming)
+    val query = sub.writeStream.format("memory").queryName("t_rate_o2m")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (query.recentProgress.length < 3 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+    } finally query.stop()
+    val progs = query.recentProgress
+    assert(progs.length >= 3, s"only ${progs.length} micro-batches ran")
+    // THE claim: no stateful operator, zero state rows, ever
+    assert(progs.flatMap(_.stateOperators).map(_.numRowsTotal).sum == 0,
+      "one-to-many subscription accumulated streaming state")
+    // batch equivalence on the emitted keys: every emitted customer
+    // carries exactly the child array request() builds for it
+    val got = spark.table("t_rate_o2m")
+    assert(got.count() > 0)
+    val want = nq.request("customer", q)
+    def flat(df: org.apache.spark.sql.DataFrame) = df.select(col("c_custkey"),
+      explode_outer(col("orders.o_orderkey")).as("ok"))
+    val gotFlat = flat(got).distinct() // rate ticks cycle over customers
+    assert(gotFlat.exceptAll(flat(want)).count() == 0)
+    val emitted = got.select("c_custkey").distinct()
+    assert(flat(want).join(emitted, Seq("c_custkey"), "left_semi")
+      .exceptAll(gotFlat).count() == 0)
+  }
+
   test("RocksDB state store: tumbling agg equals batch (the 100 TB state backend)") {
     // SCALING.md claims the scale path runs stateful queries on the
     // RocksDB provider (state off-heap + spillable, vs the default
