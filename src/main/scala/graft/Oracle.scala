@@ -2219,7 +2219,106 @@ GROUP BY doc_id ORDER BY doc_id""",
   FROM ${T("embeddings")} a JOIN ${T("embeddings")} b ON b.vec_id = a.vec_id + 1)
 SELECT CAST(floor(sim * 10) AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n,
   round(CAST(sum(sim) AS DOUBLE) / count(*), 6) AS avg_sim
-FROM pairs GROUP BY 1 ORDER BY bucket"""
+FROM pairs GROUP BY 1 ORDER BY bucket""",
+
+      // HHI = sum(n_i^2)/N^2 — both terms exact BIGINTs, ONE double
+      // division on identical operands (no per-share rounding).
+      "agg_hhi" ->
+        s"""WITH seg AS (
+  SELECT n.n_name, c.c_mktsegment, count(*) AS n
+  FROM ${T("customer")} c JOIN ${T("nation")} n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2)
+SELECT n_name, CAST(sum(n) AS BIGINT) AS n_customers,
+  CAST(count(*) AS BIGINT) AS n_segments,
+  round(CAST(sum(n * n) AS DOUBLE) / CAST(sum(n) * sum(n) AS DOUBLE), 6) AS hhi
+FROM seg GROUP BY 1 ORDER BY n_name""",
+
+      // Char-level Shannon entropy: exact per-char counts; each
+      // c*ln(c) term rounded to DECIMAL(18,6) before the
+      // order-insensitive sum (alphabets are larger than
+      // agg_entropy's 5 groups, so raw double sums are not trusted).
+      "text_char_entropy" ->
+        s"""WITH c AS (
+  SELECT doc_id, ch, count(*) AS n
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        FROM ${T("documents")} WHERE doc_id % 11 = 0)
+  GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+  round(ln(CAST(sum(n) AS DOUBLE)) -
+    CAST(sum(CAST(round(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE) /
+      CAST(sum(n) AS DOUBLE), 4) AS char_entropy
+FROM c GROUP BY 1 ORDER BY doc_id""",
+
+      // Same marker/vote construction as pipeline_lang_id; margin is a
+      // BIGINT subtraction of the top-2 hit counts.
+      "pipeline_lang_margin" ->
+        s"""WITH tok AS (
+  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM ${T("documents")}),
+tk AS (SELECT doc_id, lang, w FROM tok WHERE w <> ''),
+freq AS (SELECT lang, w, count(*) AS df FROM tk GROUP BY 1, 2),
+markers AS (
+  SELECT lang AS mlang, w FROM (
+    SELECT lang, w, row_number() OVER (PARTITION BY lang ORDER BY df DESC, w) AS rn
+    FROM freq) WHERE rn <= 5),
+votes AS (
+  SELECT tk.doc_id, m.mlang, count(*) AS hits
+  FROM tk JOIN markers m ON tk.w = m.w
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT doc_id, hits,
+    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, mlang) AS rn
+  FROM votes)
+SELECT doc_id,
+  CAST(max(CASE WHEN rn = 1 THEN hits END) AS BIGINT) AS best_hits,
+  CAST(coalesce(max(CASE WHEN rn = 2 THEN hits END), 0) AS BIGINT) AS second_hits,
+  CAST(max(CASE WHEN rn = 1 THEN hits END) -
+       coalesce(max(CASE WHEN rn = 2 THEN hits END), 0) AS BIGINT) AS margin
+FROM ranked WHERE rn <= 2 AND doc_id % 3 = 0
+GROUP BY doc_id ORDER BY doc_id""",
+
+      // DAU / trailing-7d WAU / stickiness: WAU is a DISTINCT over the
+      // window (computed via a day-grid range join at day grain), not
+      // a sum of dailies.
+      "ts_active_users_rolling" ->
+        s"""WITH pairs AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+  FROM ${T("events")} WHERE user_id IS NOT NULL),
+dau AS (SELECT day, count(*) AS dau FROM pairs GROUP BY 1),
+wau AS (
+  SELECT g.day AS g_day, count(DISTINCT p.user_id) AS wau
+  FROM (SELECT day FROM dau) g JOIN pairs p
+    ON p.day <= g.day AND p.day >= g.day - 6
+  GROUP BY 1)
+SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+  round(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 4) AS stickiness
+FROM dau d JOIN wau w ON d.day = w.g_day
+ORDER BY d.day""",
+
+      // Daily purchase revenue + day-over-day percent change; revenue
+      // is an exact DECIMAL sum cast once, growth runs on those
+      // identical operands (first day NULL).
+      "ts_daily_revenue_growth" ->
+        s"""WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+    sum(CAST(value AS DECIMAL(18,2))) AS rev_d, count(*) AS n
+  FROM ${T("events")}
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1)
+SELECT day, CAST(n AS BIGINT) AS n_purchases,
+  round(CAST(rev_d AS DOUBLE), 2) AS revenue,
+  round((CAST(rev_d AS DOUBLE) - CAST(lag(rev_d) OVER (ORDER BY day) AS DOUBLE)) /
+    CAST(lag(rev_d) OVER (ORDER BY day) AS DOUBLE) * 100, 4) AS growth_pct
+FROM daily ORDER BY day""",
+
+      // Strong-edge multiplicity histogram; share divides exact counts.
+      "graph_edge_weight_distribution" ->
+        s"""$E,
+tot AS (SELECT count(*) AS tot_edges FROM e)
+SELECT CAST(w AS BIGINT) AS weight, CAST(count(*) AS BIGINT) AS n_edges,
+  round(CAST(count(*) AS DOUBLE) / tot_edges, 6) AS share
+FROM e, tot GROUP BY w, tot_edges ORDER BY weight"""
     )
   }
 }

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-pair-encoding tokenizer: TRAINED on the corpus, not just the
+  * frozen-vocab snapshot `Pipelines.subwordVocab` ships (Sennrich et
+  * al., "Neural Machine Translation of Rare Words with Subword Units",
+  * ACL 2016 — public method). The missing half of the tokenizer story
+  * for a training-data engine: produce the merge table itself, then
+  * apply it corpus-wide.
+  *
+  * Scale recipe, same shape as PQ: TRAIN on a bounded deterministic
+  * sample driver-side (merge learning is inherently sequential — each
+  * merge changes the pair statistics the next merge ranks on; the
+  * standard practice at 100 TB is a word-frequency sample, and the
+  * merge table is kilobytes), then ENCODE distributed — merge ranks
+  * broadcast in the task closure, one linear mapPartitions pass (the
+  * per-word merge loop is imperative byte-juggling, the legitimate
+  * mapPartitions case, like the multimodal codecs).
+  *
+  * Determinism (repo oracle discipline): the training sample is the
+  * first `sampleDocs` docs by doc_id; pair ranking breaks count ties
+  * lexicographically on (left, right); encoding applies merges by
+  * rank. Bit-stable run to run — asserted in BpeSpec.
+  */
+object Bpe {
+
+  /** A learned merge table: pairs in rank order (earlier = higher
+    * priority), e.g. Seq(("t","h"), ("th","e")). */
+  case class BpeModel(merges: Seq[(String, String)]) {
+    /** rank lookup used by the encoder */
+    lazy val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    def vocab: Set[String] =
+      merges.flatMap { case (a, b) => Seq(a, b, a + b) }.toSet
+  }
+
+  /** Learn `numMerges` merges from the word-frequency table of a
+    * deterministic sample. Word boundaries are whitespace (matching
+    * every other text operator in the engine); words start as
+    * character sequences with an end-of-word marker "</w>" on the last
+    * symbol — the standard formulation, so merges can capture suffix
+    * units without crossing word boundaries. */
+  def train(docs: DataFrame, textCol: String, idCol: String,
+      numMerges: Int = 64, sampleDocs: Int = 512): BpeModel = {
+    val sample = docs.orderBy(col(idCol)).limit(sampleDocs)
+      .select(col(textCol)).collect().map(_.getString(0))
+    // word -> frequency over the sample
+    val wordFreq = scala.collection.mutable.HashMap.empty[String, Long]
+    sample.foreach(_.split(" ").foreach { w =>
+      if (w.nonEmpty) wordFreq(w) = wordFreq.getOrElse(w, 0L) + 1L
+    })
+    // each word as its current symbol sequence
+    var words: Array[(Array[String], Long)] = wordFreq.toArray
+      .sortBy(_._1) // deterministic iteration order
+      .map { case (w, f) =>
+        val chars = w.map(_.toString).toArray
+        chars(chars.length - 1) = chars(chars.length - 1) + "</w>"
+        (chars, f)
+      }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var it = 0
+    while (it < numMerges) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) it = numMerges
+      else {
+        // max count, ties broken lexicographically — deterministic
+        val best = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        val joined = best._1 + best._2
+        words = words.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              out += joined; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, f)
+        }
+        it += 1
+      }
+    }
+    BpeModel(merges.toSeq)
+  }
+
+  /** Encode one word (no spaces) with the model: repeatedly apply the
+    * HIGHEST-RANKED merge present until none applies — the canonical
+    * BPE inference loop. */
+  def encodeWord(word: String, model: BpeModel): Seq[String] = {
+    if (word.isEmpty) return Seq.empty
+    var syms = word.map(_.toString).toArray
+    syms(syms.length - 1) = syms(syms.length - 1) + "</w>"
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue; var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        model.rank.get((syms(i), syms(i + 1))).foreach { r =>
+          if (r < bestRank) { bestRank = r; bestAt = i }
+        }
+        i += 1
+      }
+      if (bestAt < 0) done = true
+      else {
+        val merged = syms(bestAt) + syms(bestAt + 1)
+        syms = (syms.take(bestAt) :+ merged) ++ syms.drop(bestAt + 2)
+      }
+    }
+    syms.toSeq
+  }
+
+  /** Distributed encode: (id, tokens array, n_tokens, fertility). The
+    * model travels in the task closure — kilobytes, effectively a
+    * broadcast; one linear pass, no shuffle. */
+  def encode(docs: DataFrame, textCol: String, idCol: String,
+      model: BpeModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val words = text.split(" ").filter(_.nonEmpty)
+          val toks = words.flatMap(w => encodeWord(w, model))
+          val fert = if (words.isEmpty) 0.0
+                     else math.round(toks.length.toDouble / words.length * 10000) / 10000.0
+          (id, toks.toSeq, toks.length.toLong, fert)
+        }
+      }.toDF(idCol, "tokens", "n_tokens", "fertility")
+  }
+}

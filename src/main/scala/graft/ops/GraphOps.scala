@@ -288,6 +288,24 @@ object GraphOps {
           .as("assortativity"))
   }
 
+  /** Edge-weight distribution (§2.8, r7): how many strong edges exist
+    * at each co-purchase multiplicity — the companion telemetry to the
+    * degree octaves (degree says how connected nodes are; weight says
+    * how REPEATED the relationships are, which decides whether the
+    * w>=2 strong-graph threshold is load-bearing at a given SF).
+    * share divides exact BIGINTs. Scale: one map-combined group-by
+    * over EDGES; output bounded by max multiplicity (~tens). */
+  val graphEdgeWeightDistribution: Q = (s, d) => {
+    val e = Tables.edges(s, d)._1
+    val tot = e.agg(count(lit(1)).as("tot_edges"))
+    e.groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(asLong(col("w")).as("weight"), asLong(col("n")).as("n_edges"),
+        round(col("n").cast(DoubleType) / col("tot_edges"), 6).as("share"))
+      .orderBy("weight")
+  }
+
   /** Degree distribution in power-of-two buckets (§2.8, r7): node
     * counts per degree octave — the one-glance scale-free-ness /
     * hub-structure telemetry read before choosing a partitioning or

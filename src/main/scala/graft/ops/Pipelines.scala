@@ -200,6 +200,43 @@ object Pipelines {
       .orderBy("actual", "predicted")
   }
 
+  /** Language-ID ambiguity margin (§2.11, r7): per doc, the marker-hit
+    * gap between the best and second-best language — the confidence
+    * telemetry that decides which docs get routed to a heavier
+    * classifier (margin 0 = pure tie, unroutable by markers alone).
+    * Shares pipeline_lang_id's exact marker/vote construction (same
+    * per-lang top-5 df markers, same distinct-token votes), so the two
+    * queries cannot drift; hits are exact BIGINTs, margin is a
+    * subtraction. Scale: identical to lang_id — one explode+distinct
+    * shuffle feeding a broadcast-sized marker table. */
+  val pipelineLangMargin: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    val tk = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .filter(col("w") =!= "")
+    val freq = tk.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("df"))
+    val wm = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("w"))
+    val markers = freq.withColumn("rn", row_number().over(wm))
+      .filter(col("rn") <= 5)
+      .select(col("lang").as("mlang"), col("w"))
+    val votes = tk.join(markers, Seq("w"))
+      .groupBy(col("doc_id"), col("mlang"))
+      .agg(count(lit(1)).as("hits"))
+    val wv = Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("mlang"))
+    votes.withColumn("rn", row_number().over(wv))
+      .filter(col("rn") <= 2)
+      .groupBy(col("doc_id"))
+      .agg(
+        asLong(max(when(col("rn") === 1, col("hits")))).as("best_hits"),
+        asLong(coalesce(max(when(col("rn") === 2, col("hits"))), lit(0L)))
+          .as("second_hits"))
+      .select(col("doc_id"), col("best_hits"), col("second_hits"),
+        (col("best_hits") - col("second_hits")).as("margin"))
+      .filter(col("doc_id") % 3 === 0)
+      .orderBy("doc_id")
+  }
+
   /** Shingle-sketch document fingerprint (min/max of shingle md5s — a
     * 1-permutation MinHash). */
   val pipelineFingerprint: Q = (s, d) =>

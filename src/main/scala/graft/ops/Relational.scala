@@ -1502,6 +1502,28 @@ object Relational {
       .orderBy("cntrygrp")
   }
 
+  /** Herfindahl-Hirschman concentration index per nation (§2.3, r7):
+    * how concentrated each nation's customer base is across market
+    * segments — the standard market-concentration statistic next to
+    * gini/theil in the inequality family. HHI = Σ(nᵢ/N)² is computed
+    * as Σnᵢ² / N² — BOTH terms exact BIGINTs, so the single double
+    * division is the only float op and it runs on identical operands
+    * in both engines (no per-share rounding to accumulate). Scale:
+    * one map-combined (nation, segment) count; nation dim broadcasts. */
+  val aggHhi: Q = (s, d) => {
+    val seg = table(s, d, "customer")
+      .join(broadcast(table(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    seg.groupBy(col("n_name"))
+      .agg(asLong(sum(col("n"))).as("n_customers"),
+        asLong(count(lit(1))).as("n_segments"),
+        round(sum(col("n") * col("n")).cast(DoubleType) /
+          (sum(col("n")) * sum(col("n"))).cast(DoubleType), 6).as("hhi"))
+      .orderBy("n_name")
+  }
+
   /** Benford first-digit audit (§2.3, r7): leading-digit distribution
     * of l_extendedprice against Benford's log10(1+1/d) expectation —
     * the classic anomaly/fabrication screen over any money column.

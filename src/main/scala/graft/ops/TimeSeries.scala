@@ -417,6 +417,53 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Rolling active-user telemetry (§2.12, r7): per day, DAU, trailing
+    * 7-day WAU, and the DAU/WAU stickiness ratio — the product-health
+    * triple every analytics engine ships. WAU is a DISTINCT over the
+    * trailing window, not a sum of dailies (a user active twice in the
+    * week counts once), so it is computed as a day-grid × (day, user)
+    * range join at DAY grain — the grid is ≤ tens of rows at any SF
+    * and broadcasts; the distinct-pair relation is the only shuffle.
+    * stickiness divides two exact BIGINTs. */
+  val tsActiveUsersRolling: Q = (s, d) => {
+    val pairs = table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = pairs.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val grid = dau.select(col("day").as("g_day"))
+    val wau = grid.join(pairs,
+        col("day") <= col("g_day") && col("day") >= date_sub(col("g_day"), 6))
+      .groupBy(col("g_day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("g_day"))
+      .select(col("day"), asLong(col("dau")).as("dau"),
+        asLong(col("wau")).as("wau"),
+        round(col("dau").cast(DoubleType) / col("wau").cast(DoubleType), 4)
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
+  /** Daily revenue growth (§2.12, r7): purchase revenue per day and
+    * its day-over-day percent change — the lag-based growth idiom.
+    * Revenue is an exact DECIMAL sum cast once to double; the growth
+    * division runs on those identical operands (first day NULL).
+    * Scale: one date-grain aggregation, then a window over DAYS. */
+  val tsDailyRevenueGrowth: Q = (s, d) => {
+    val daily = table(s, d, "events")
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(dec2(col("value"))).as("rev_d"), count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day"))
+    daily
+      .withColumn("prev", lag(col("rev_d"), 1).over(w))
+      .select(col("day"), asLong(col("n")).as("n_purchases"),
+        round(col("rev_d").cast(DoubleType), 2).as("revenue"),
+        round((col("rev_d").cast(DoubleType) - col("prev").cast(DoubleType)) /
+          col("prev").cast(DoubleType) * 100, 4).as("growth_pct"))
+      .orderBy("day")
+  }
+
   /** Peak 10-minute event burst per user (§2.12, r7): for every event
     * the count of the same user's events in the trailing 10-minute
     * RANGE frame (peers at the boundary included identically in both

@@ -134,7 +134,13 @@ class QuerySuiteSpec extends AnyFunSuite {
     // concurrency, 10-min bursts, bigram LM, adjacent-cosine QA
     "agg_benford_first_digit" -> 9L, "graph_degree_distribution" -> 4L,
     "ts_peak_concurrency" -> 30L, "ts_burst_10min" -> 15L,
-    "pipeline_bigram_logprob" -> 500L, "sim_adjacent_cosine" -> 10L)
+    "pipeline_bigram_logprob" -> 500L, "sim_adjacent_cosine" -> 10L,
+    // round-7 widening: HHI concentration, char entropy, lang margin
+    "agg_hhi" -> 25L, "text_char_entropy" -> 46L,
+    "pipeline_lang_margin" -> 167L,
+    // round-7 widening: DAU/WAU stickiness, revenue growth, edge weights
+    "ts_active_users_rolling" -> 30L, "ts_daily_revenue_growth" -> 30L,
+    "graph_edge_weight_distribution" -> 4L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
