@@ -122,7 +122,9 @@ object ScalingBench {
         "graph_pagerank3" -> (() => { ops.GraphOps.graphPagerank3(spark, dir).count(); () }),
         "graph_kcore3" -> (() => { ops.GraphOps.graphKcore3(spark, dir).count(); () }),
         "join_asof" -> (() => { ops.Relational.joinAsof(spark, dir).count(); () }),
-        "funnel_three_step" -> (() => { ops.Relational.funnelThreeStep(spark, dir).count(); () }))
+        "funnel_three_step" -> (() => { ops.Relational.funnelThreeStep(spark, dir).count(); () }),
+        "ts_peak_concurrency" -> (() => { ops.TimeSeries.tsPeakConcurrency(spark, dir).count(); () }),
+        "ts_active_users_rolling" -> (() => { ops.TimeSeries.tsActiveUsersRolling(spark, dir).count(); () }))
       val best = scala.collection.mutable.LinkedHashMap[String, Double]()
       val bestCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
       var primeBest = Double.MaxValue

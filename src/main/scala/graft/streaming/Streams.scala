@@ -186,6 +186,55 @@ object Streams {
     }
   }
 
+  /** The transformWithState twin of [[sessionizeStateful]] — Spark 4's
+    * successor API for arbitrary streaming state (SPARK-40434 /
+    * "state-v2"): typed named state handles (`ValueState`/`ListState`/
+    * `MapState`) with per-state TTL, timers, and schema evolution,
+    * instead of flatMapGroupsWithState's single opaque state object.
+    * Same gap rule, same emission; requires the RocksDB state store
+    * provider (enforced by Spark), which is also SCALING.md's 100 TB
+    * state backend — so the modern path and the scale path are the
+    * same path. Batch-equivalence asserted in StreamingSpec alongside
+    * the legacy API's. */
+  class SessionizeProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), UserSessions] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[SessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("sess",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        tv: TimerValues): Iterator[UserSessions] = {
+      val sorted = rows.map(_._2).toSeq.sorted
+      var s =
+        if (st.exists()) st.get()
+        else SessionState(0L, Long.MinValue, 0L, 0L)
+      sorted.foreach { ts =>
+        s =
+          if (s.sessionCount == 0L || ts - s.lastTs > 1800L * 1000000L)
+            SessionState(s.sessionCount + 1, ts, 1L, math.max(s.maxLen, 1L))
+          else
+            SessionState(s.sessionCount, ts, s.currentLen + 1,
+              math.max(s.maxLen, s.currentLen + 1))
+      }
+      st.update(s)
+      Iterator(UserSessions(user, s.sessionCount, s.maxLen))
+    }
+  }
+
+  /** Sessionization via transformWithState (see [[SessionizeProcessor]]). */
+  def sessionizeTws(events: DataFrame): org.apache.spark.sql.Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id").as("u"), unix_micros(col("ts")).as("tsUs"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionizeProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Append-mode runner for arbitrary-state operators. */
   def runToBatchAppend(spark: SparkSession, stream: org.apache.spark.sql.Dataset[_],
       name: String): DataFrame = {

@@ -41,6 +41,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0)
   }
 
+  test("transformWithState sessionization equals batch (state-v2 on RocksDB)") {
+    // the modern arbitrary-state API refuses the default HDFS-backed
+    // provider — RocksDB (SCALING.md's 100 TB backend) is mandatory
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = Streams.sessionizeTws(Streams.eventsStream(spark, sf0001))
+      val got = Streams.runToBatchAppend(spark, stream, "t_tws_sessions")
+        .groupBy("user_id")
+        .agg(max(col("n_sessions")).as("n_sessions"),
+          max(col("max_session_events")).as("max_session_events"))
+      val want = ops.StreamOps.streamSessionize(spark, sf0001)
+        .select("user_id", "n_sessions", "max_session_events")
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join equals the batch join") {
     val stream = Streams.clickPurchaseJoin(Streams.eventsStream(spark, sf0001))
     val got = Streams.runToBatchAppend(spark, stream, "t_ssjoin")
