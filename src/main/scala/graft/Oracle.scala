@@ -2318,7 +2318,71 @@ FROM daily ORDER BY day""",
 tot AS (SELECT count(*) AS tot_edges FROM e)
 SELECT CAST(w AS BIGINT) AS weight, CAST(count(*) AS BIGINT) AS n_edges,
   round(CAST(count(*) AS DOUBLE) / tot_edges, 6) AS share
-FROM e, tot GROUP BY w, tot_edges ORDER BY weight"""
+FROM e, tot GROUP BY w, tot_edges ORDER BY weight""",
+
+      // Tukey fences rounded at 2 BEFORE comparison (2-dp prices vs
+      // 2-dp bounds — no interpolated-ulp knife edge).
+      "agg_iqr_outliers" ->
+        s"""WITH f AS (
+  SELECT o_orderstatus AS f_status,
+    round(quantile_cont(o_totalprice, 0.25), 2) AS q1,
+    round(quantile_cont(o_totalprice, 0.75), 2) AS q3
+  FROM ${T("orders")} GROUP BY 1),
+f2 AS (SELECT f_status, q1, q3, round(q3 - q1, 2) AS iqr,
+  round(q1 - (q3 - q1) * 1.5, 2) AS lo,
+  round(q3 + (q3 - q1) * 1.5, 2) AS hi FROM f)
+SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN o.o_totalprice < f2.lo OR o.o_totalprice > f2.hi
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  round(min(f2.q1), 2) AS q1, round(min(f2.q3), 2) AS q3,
+  round(min(f2.iqr), 2) AS iqr
+FROM ${T("orders")} o JOIN f2 ON o.o_orderstatus = f2.f_status
+GROUP BY 1 ORDER BY 1""",
+
+      // Per-source length percentiles: exact int counts, interpolated
+      // identically (quantile_cont == percentile).
+      "pipeline_length_percentiles" ->
+        s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  round(quantile_cont(len, 0.5), 2) AS p50_tokens,
+  round(quantile_cont(len, 0.95), 2) AS p95_tokens,
+  CAST(min(len) AS BIGINT) AS min_tokens,
+  CAST(max(len) AS BIGINT) AS max_tokens
+FROM (SELECT source, len(string_split(text, ' ')) AS len FROM ${T("documents")})
+GROUP BY source ORDER BY source""",
+
+      // L2-norm audit: per-row sequential fold over the same 64 floats
+      // in both engines, rounded at 6 before the decimal average and
+      // the unit-band comparison.
+      "sim_norm_audit" ->
+        s"""WITH nrm AS (
+  SELECT round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))), 6) AS nrm
+  FROM ${T("embeddings")})
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+  round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm,
+  round(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_norm,
+  CAST(sum(CASE WHEN abs(nrm - 1.0) > 0.001 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonunit
+FROM nrm""",
+
+      // Same sessionization CTE as ts_peak_concurrency; durations are
+      // exact integral µs.
+      "ts_session_duration_stats" ->
+        s"""WITH ev AS (SELECT user_id, ts, event_id FROM ${T("events")} WHERE user_id IS NOT NULL),
+m AS (SELECT user_id, ts, event_id,
+  CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+       THEN 1 ELSE 0 END AS new_s
+  FROM ev),
+sid AS (SELECT user_id, ts,
+  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m),
+sess AS (SELECT user_id, sid, min(ts) AS s_ts,
+  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+  FROM sid GROUP BY 1, 2)
+SELECT CAST(s_ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_sessions,
+  round(CAST(sum(dur_us) AS DOUBLE) / count(*) / 1e6, 3) AS avg_duration_sec,
+  round(CAST(max(dur_us) AS DOUBLE) / 1e6, 3) AS max_duration_sec,
+  round(CAST(sum(CASE WHEN dur_us = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS singleton_share
+FROM sess GROUP BY 1 ORDER BY day"""
     )
   }
 }

@@ -200,6 +200,24 @@ object Pipelines {
       .orderBy("actual", "predicted")
   }
 
+  /** Per-source length percentiles (§2.11, r7): p50/p95 of whitespace
+    * token counts per source — the data-mix telemetry that catches a
+    * source drifting short (truncation bug) or long (concatenation
+    * bug) before it skews a training mix. Counts are exact ints;
+    * percentiles interpolate identical doubles (the
+    * agg_median_quantile contract). One map-combined pass to
+    * (source, len), then a tiny per-source aggregate. */
+  val pipelineLengthPercentiles: Q = (s, d) =>
+    table(s, d, "documents")
+      .select(col("source"), size(split(col("text"), " ")).as("len"))
+      .groupBy(col("source"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        round(expr("percentile(len, 0.5D)"), 2).as("p50_tokens"),
+        round(expr("percentile(len, 0.95D)"), 2).as("p95_tokens"),
+        asLong(min(col("len"))).as("min_tokens"),
+        asLong(max(col("len"))).as("max_tokens"))
+      .orderBy("source")
+
   /** Language-ID ambiguity margin (§2.11, r7): per doc, the marker-hit
     * gap between the best and second-best language — the confidence
     * telemetry that decides which docs get routed to a heavier

@@ -1502,6 +1502,37 @@ object Relational {
       .orderBy("cntrygrp")
   }
 
+  /** Tukey-fence outlier census per group (§2.3, r7): quartiles, IQR,
+    * and the count of rows outside [q1−1.5·IQR, q3+1.5·IQR] — the
+    * boxplot screen run before trusting any mean-based metric.
+    * Quartiles interpolate on identical doubles in both engines
+    * (percentile ≡ quantile_cont, the agg_median_quantile contract);
+    * fences are ROUNDED at 2 before comparison so both engines compare
+    * 2-dp prices against identical 2-dp bounds (an unrounded
+    * interpolated fence could land within an ulp of a price). Same
+    * two-pass shape as agg_mad: 3 fence rows broadcast back, the fact
+    * table shuffles only for its own group-bys. */
+  val aggIqrOutliers: Q = (s, d) => {
+    val fences = table(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25D)"), 2).as("q1"),
+        round(expr("percentile(o_totalprice, 0.75D)"), 2).as("q3"))
+      .select(col("o_orderstatus").as("f_status"), col("q1"), col("q3"),
+        round(col("q3") - col("q1"), 2).as("iqr"),
+        round(col("q1") - (col("q3") - col("q1")) * 1.5, 2).as("lo"),
+        round(col("q3") + (col("q3") - col("q1")) * 1.5, 2).as("hi"))
+    table(s, d, "orders")
+      .join(broadcast(fences), col("o_orderstatus") === col("f_status"))
+      .groupBy(col("o_orderstatus"))
+      .agg(asLong(count(lit(1))).as("n"),
+        asLong(sum(when(col("o_totalprice") < col("lo") ||
+          col("o_totalprice") > col("hi"), 1L).otherwise(0L))).as("n_outliers"),
+        round(first(col("q1")), 2).as("q1"), round(first(col("q3")), 2).as("q3"),
+        round(first(col("iqr")), 2).as("iqr"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Herfindahl-Hirschman concentration index per nation (§2.3, r7):
     * how concentrated each nation's customer base is across market
     * segments — the standard market-concentration statistic next to

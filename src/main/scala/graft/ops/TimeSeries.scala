@@ -417,6 +417,37 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Session duration stats per day (§2.12, r7): how long the 30-min-
+    * gap sessions started each day actually run — count, average and
+    * max duration in seconds, and the share of single-event sessions
+    * (duration 0) — the engagement-depth companion to
+    * ts_peak_concurrency, over the SAME sessionization CTE so the two
+    * can't disagree about what a session is. Durations are exact
+    * integral µs; the average divides an exact sum and rounds once.
+    * Scale: one user_id shuffle, then a date-grain aggregate. */
+  val tsSessionDurationStats: Q = (s, d) => {
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wuSum = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_s",
+        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wu))
+          > 1800L * 1000000L, 1L).otherwise(lit(0L)))
+      .withColumn("sid", sum(col("new_s")).over(wuSum))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("s_ts"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"))
+      .groupBy(to_date(col("s_ts")).as("day"))
+      .agg(asLong(count(lit(1))).as("n_sessions"),
+        round(sum(col("dur_us")).cast(DoubleType) / count(lit(1)) / 1e6, 3)
+          .as("avg_duration_sec"),
+        round(max(col("dur_us")).cast(DoubleType) / 1e6, 3).as("max_duration_sec"),
+        round(sum(when(col("dur_us") === 0L, 1L).otherwise(0L)).cast(DoubleType) /
+          count(lit(1)), 4).as("singleton_share"))
+      .orderBy("day")
+  }
+
   /** Rolling active-user telemetry (§2.12, r7): per day, DAU, trailing
     * 7-day WAU, and the DAU/WAU stickiness ratio — the product-health
     * triple every analytics engine ships. WAU is a DISTINCT over the

@@ -140,7 +140,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     "pipeline_lang_margin" -> 167L,
     // round-7 widening: DAU/WAU stickiness, revenue growth, edge weights
     "ts_active_users_rolling" -> 30L, "ts_daily_revenue_growth" -> 30L,
-    "graph_edge_weight_distribution" -> 4L)
+    "graph_edge_weight_distribution" -> 4L,
+    // round-7 widening: IQR outliers, length percentiles, norm audit,
+    // session durations
+    "agg_iqr_outliers" -> 3L, "pipeline_length_percentiles" -> 20L,
+    "sim_norm_audit" -> 1L, "ts_session_duration_stats" -> 30L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
