@@ -1715,10 +1715,10 @@ FROM t, g WHERE tf1 + tf2 + tf3 > 0 ORDER BY doc_id""",
   FROM ${T("documents")}),
 freq AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
 n AS (SELECT sum(cnt) AS n_tok FROM freq),
-lp AS (SELECT w, CAST(round(ln(CAST(cnt AS DOUBLE) / n_tok), 6) AS DECIMAL(18,6)) AS lp
+lp AS (SELECT w, CAST(floor(ln(CAST(cnt AS DOUBLE) / n_tok) * 1e6) AS BIGINT) AS lp6
   FROM freq, n)
 SELECT doc_id, count(*) AS n_tokens,
-  round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logprob
+  round(CAST(sum(lp6) AS BIGINT) / CAST(count(*) AS DOUBLE) / 1e6, 4) AS avg_logprob
 FROM tok JOIN lp USING (w)
 GROUP BY doc_id ORDER BY doc_id""",
 
@@ -2204,10 +2204,10 @@ big AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2 FROM pos WHERE i < len(l)),
 c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
 c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
 lp AS (SELECT w1, w2,
-  CAST(round(ln(CAST(c12 AS DOUBLE) / c1), 6) AS DECIMAL(18,6)) AS lp
+  CAST(floor(ln(CAST(c12 AS DOUBLE) / c1) * 1e6) AS BIGINT) AS lp6
   FROM c12 JOIN c1 USING (w1))
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-  round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logprob
+  round(CAST(sum(lp6) AS BIGINT) / CAST(count(*) AS DOUBLE) / 1e6, 4) AS avg_logprob
 FROM big JOIN lp USING (w1, w2)
 GROUP BY doc_id ORDER BY doc_id""",
 

@@ -885,14 +885,17 @@ object Pipelines {
     val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
     val n = freq.agg(sum(col("cnt")).as("n_tok"))
+    // floor(x*1e6) quantization, not round(x, 6) — same rationale as
+    // pipeline_bigram_logprob (round-of-double diverges cross-engine;
+    // floor of the same double cannot)
     val lp = freq.crossJoin(broadcast(n))
       .select(col("w"),
-        round(log(col("cnt").cast(DoubleType) / col("n_tok")), 6)
-          .cast(DecimalType(18, 6)).as("lp"))
+        floor(log(col("cnt").cast(DoubleType) / col("n_tok")) * 1e6)
+          .cast(LongType).as("lp6"))
     tok.join(broadcast(lp), Seq("w"))
       .groupBy(col("doc_id"))
       .agg(asLong(count(lit(1))).as("n_tokens"),
-        round(sum(col("lp")).cast(DoubleType) / count(lit(1)), 4)
+        round(sum(col("lp6")).cast(DoubleType) / count(lit(1)) / 1e6, 4)
           .as("avg_logprob"))
       .orderBy("doc_id")
   }
@@ -921,14 +924,20 @@ object Pipelines {
     val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .localCheckpoint(true)
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    // lp quantized by floor(x*1e6) -> BIGINT, NOT round(x, 6): round
+    // diverges between engines (Spark rounds the decimal expansion,
+    // DuckDB the scaled double — SURVEY §5.3's ~2e-5 hazard), and with
+    // vocab² distinct lp values one knife-edge hit is near-certain at
+    // sf0.1 (it happened: round-6 lp hash-matched at sf0.01 and missed
+    // at sf0.1). floor of the SAME double is engine-independent.
     val lp = c12.join(c1, Seq("w1"))
       .select(col("w1"), col("w2"),
-        round(log(col("c12").cast(DoubleType) / col("c1")), 6)
-          .cast(DecimalType(18, 6)).as("lp"))
+        floor(log(col("c12").cast(DoubleType) / col("c1")) * 1e6)
+          .cast(LongType).as("lp6"))
     big.join(broadcast(lp), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(asLong(count(lit(1))).as("n_bigrams"),
-        round(sum(col("lp")).cast(DoubleType) / count(lit(1)), 4)
+        round(sum(col("lp6")).cast(DoubleType) / count(lit(1)) / 1e6, 4)
           .as("avg_logprob"))
       .orderBy("doc_id")
   }
