@@ -154,9 +154,20 @@ class Naqed(spark: SparkSession, sfDir: String) {
     * broken by the table's key columns so pages are stable) and
     * `$limit -> n`. Inside a one-to-many child, `$limit -> n` keeps
     * the first n collected children per parent (the arrays are
-    * deterministically sorted). */
+    * deterministically sorted).
+    *
+    * KEYSET cursor (round 7): `$after` resumes after the last row of
+    * the previous page — `$after -> v` restarts strictly after sort
+    * value v (skips boundary ties; fine for unique sort keys), and
+    * `$after -> Map(sortField -> v, tieKey -> k, ...)` is the exact
+    * lexicographic cursor (strictly after THAT row, ties included).
+    * This is the only pagination that survives scale: OFFSET page n
+    * scans and discards O(n · page) rows on every request, while the
+    * keyset predicate is an indexable/min-max-prunable filter — the
+    * scan skips straight to the page at any depth. Requires `$sort`
+    * (naqed-style error otherwise). */
   def request(root: String, q: Map[String, Any]): DataFrame = {
-    val (sortKey, limitN, rest) = pageArgs(q)
+    val (sortKey, limitN, afterV, rest) = pageArgs(q)
     val grouped = rest.contains("$groupBy")
     // sorting by a legal-but-unselected table field: co-select it for
     // the orderBy, drop it from the output afterwards. NOT under
@@ -171,7 +182,7 @@ class Naqed(spark: SparkSession, sfDir: String) {
     // aggregation, the table's key columns otherwise
     val ties =
       if (grouped) groupKeysOf(rest("$groupBy")) else keyColumns(root)
-    val paged = applyPage(compiled, root, sortKey, limitN, ties)
+    val paged = applyPage(compiled, root, sortKey, limitN, afterV, ties)
     extra.filterNot(f => keyColumns(root).contains(f))
       .fold(paged)(paged.drop(_))
   }
@@ -201,9 +212,9 @@ class Naqed(spark: SparkSession, sfDir: String) {
   }
 
   private def pageArgs(q: Map[String, Any])
-      : (Option[String], Option[Int], Map[String, Any]) =
+      : (Option[String], Option[Int], Option[Any], Map[String, Any]) =
     (q.get("$sort").map(_.toString), q.get("$limit").map(limitOf),
-      q - "$sort" - "$limit")
+      q.get("$after"), q - "$sort" - "$limit" - "$after")
 
   /** Group-key list of a `$groupBy` value (field or list of fields). */
   private def groupKeysOf(v: Any): Seq[String] = v match {
@@ -215,17 +226,52 @@ class Naqed(spark: SparkSession, sfDir: String) {
 
   private def applyPage(df: DataFrame, tname: String,
       sortKey: Option[String], limitN: Option[Int],
-      tieCols: Seq[String]): DataFrame = {
-    val sorted = sortKey match {
-      case Some(s) =>
+      afterV: Option[Any], tieCols: Seq[String]): DataFrame = {
+    val cursored = afterV match {
+      case None => df
+      case Some(av) =>
+        val s = sortKey.getOrElse(throw new IllegalArgumentException(
+          "$after is a keyset cursor over the $sort order — add $sort"))
         val (field, desc) = if (s.startsWith("-")) (s.drop(1), true) else (s, false)
         if (!df.columns.contains(field))
           throw new IllegalArgumentException(
             s"unknown sort field '$field' on '$tname'; fields: ${df.columns.sorted.mkString(", ")}")
+        def strictAfter(c: String, v: Any): org.apache.spark.sql.Column =
+          if (desc && c == field) col(c) < lit(v)
+          else if (c == field) col(c) > lit(v)
+          else col(c) > lit(v) // tie keys always page ascending
+        av match {
+          case m: Map[_, _] =>
+            val cur = m.asInstanceOf[Map[String, Any]]
+            if (!cur.contains(field))
+              throw new IllegalArgumentException(
+                s"$$after cursor must carry the sort field '$field'; got keys ${cur.keys.mkString(", ")}")
+            cur.keys.filterNot(k => k == field || tieCols.contains(k)).foreach(k =>
+              throw new IllegalArgumentException(
+                s"$$after cursor key '$k' is neither the sort field nor a tie key (${tieCols.mkString(", ")})"))
+            // lexicographic "strictly after the cursor row": for keys
+            // k0=field, k1.., row qualifies iff it differs strictly at
+            // the FIRST key where it departs from the cursor
+            val keys = field +: tieCols.filter(cur.contains)
+            val preds = keys.zipWithIndex.map { case (k, i) =>
+              keys.take(i).map(p => col(p) === lit(cur(p)))
+                .foldLeft(strictAfter(k, cur(k)))((acc, eq) => acc && eq)
+            }
+            df.filter(preds.reduce(_ || _))
+          case v =>
+            df.filter(strictAfter(field, v))
+        }
+    }
+    val sorted = sortKey match {
+      case Some(s) =>
+        val (field, desc) = if (s.startsWith("-")) (s.drop(1), true) else (s, false)
+        if (!cursored.columns.contains(field))
+          throw new IllegalArgumentException(
+            s"unknown sort field '$field' on '$tname'; fields: ${cursored.columns.sorted.mkString(", ")}")
         val key = if (desc) col(field).desc else col(field).asc
-        val ties = tieCols.filter(c => c != field && df.columns.contains(c)).map(col)
-        df.orderBy(key +: ties: _*)
-      case None => df
+        val ties = tieCols.filter(c => c != field && cursored.columns.contains(c)).map(col)
+        cursored.orderBy(key +: ties: _*)
+      case None => cursored
     }
     limitN.fold(sorted)(sorted.limit)
   }
@@ -288,10 +334,10 @@ class Naqed(spark: SparkSession, sfDir: String) {
   def subscribe(root: String, q: Map[String, Any], source: DataFrame): DataFrame = {
     require(source.isStreaming,
       s"subscribe('$root') needs a readStream source; use request() for batch queries")
-    if (q.contains("$sort") || q.contains("$limit"))
+    if (q.contains("$sort") || q.contains("$limit") || q.contains("$after"))
       throw new IllegalArgumentException(
-        "$sort/$limit are batch pagination args; a subscription is unbounded " +
-          "and append-ordered — page the sink, not the stream")
+        "$sort/$limit/$after are batch pagination args; a subscription is " +
+          "unbounded and append-ordered — page the sink, not the stream")
     if (q.contains("$groupBy") || q.contains("$agg"))
       throw new IllegalArgumentException(
         "$groupBy/$agg aggregate the whole table — unbounded state on a " +

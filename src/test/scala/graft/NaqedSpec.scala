@@ -111,6 +111,54 @@ class NaqedSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("must be an integer"))
   }
 
+  test("keyset cursor $after: pages concatenate exactly, no gaps or dupes") {
+    // walk the whole customer table in pages of 7 by (-c_acctbal,
+    // c_custkey) using the exact map cursor; the concatenation must
+    // equal the one-shot sorted result row for row
+    val q0 = Map("c_custkey" -> true, "c_acctbal" -> true,
+      "$sort" -> "-c_acctbal", "$limit" -> 7)
+    val all = naqed.request("customer",
+        Map("c_custkey" -> true, "c_acctbal" -> true, "$sort" -> "-c_acctbal"))
+      .collect().map(r => (r.getAs[Long]("c_custkey"), r.getAs[Double]("c_acctbal"))).toSeq
+    var pages = Vector.empty[(Long, Double)]
+    var cursor: Option[Map[String, Any]] = None
+    var done = false
+    while (!done) {
+      val q = cursor.fold(q0)(c => q0 + ("$after" -> c))
+      val page = naqed.request("customer", q)
+        .collect().map(r => (r.getAs[Long]("c_custkey"), r.getAs[Double]("c_acctbal"))).toSeq
+      pages ++= page
+      if (page.size < 7) done = true
+      else cursor = Some(Map("c_acctbal" -> page.last._2, "c_custkey" -> page.last._1))
+    }
+    assert(pages == all, "keyset pages do not reconstruct the sorted table")
+    assert(pages.map(_._1).distinct.size == pages.size, "duplicate rows across pages")
+    // scalar cursor: strictly after the value (unique-key sort)
+    val p1 = naqed.request("customer", Map("c_custkey" -> true,
+      "$sort" -> "c_custkey", "$limit" -> 3))
+      .collect().map(_.getAs[Long]("c_custkey")).toSeq
+    val p2 = naqed.request("customer", Map("c_custkey" -> true,
+      "$sort" -> "c_custkey", "$limit" -> 3, "$after" -> p1.last))
+      .collect().map(_.getAs[Long]("c_custkey")).toSeq
+    assert((p1 ++ p2) == (p1 ++ p2).sorted && p2.head > p1.last)
+    // naqed-style errors: cursor without sort; stray cursor key
+    val e1 = intercept[IllegalArgumentException] {
+      naqed.request("customer", Map("c_name" -> true, "$after" -> 5))
+    }
+    assert(e1.getMessage.contains("add $sort"))
+    val e2 = intercept[IllegalArgumentException] {
+      naqed.request("customer", Map("c_name" -> true, "$sort" -> "c_custkey",
+        "$after" -> Map("c_custkey" -> 5L, "bogus" -> 1)))
+    }
+    assert(e2.getMessage.contains("neither the sort field nor a tie key"))
+    // subscriptions reject the cursor with pagination guidance
+    val e3 = intercept[IllegalArgumentException] {
+      naqed.subscribe("events", Map("event_id" -> true, "$after" -> 5),
+        graft.streaming.Streams.eventsStream(spark, sf0001))
+    }
+    assert(e3.getMessage.contains("page the sink"))
+  }
+
   test("pagination args: misplacements get pagination guidance, not field errors") {
     // negative limit is a validation error at request time, not an
     // opaque planner/executor failure
