@@ -2382,7 +2382,60 @@ SELECT CAST(s_ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_sessions,
   round(CAST(sum(dur_us) AS DOUBLE) / count(*) / 1e6, 3) AS avg_duration_sec,
   round(CAST(max(dur_us) AS DOUBLE) / 1e6, 3) AS max_duration_sec,
   round(CAST(sum(CASE WHEN dur_us = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS singleton_share
-FROM sess GROUP BY 1 ORDER BY day"""
+FROM sess GROUP BY 1 ORDER BY day""",
+
+      // Roundtrip contract: oracle computes from the ORIGINAL table
+      // (like the csv/json/orc roundtrips) — the engine's partitioned
+      // write+read must be an identity.
+      "src_partitioned_roundtrip" ->
+        s"""SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+  round(cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM ${T("events")} WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY day""",
+
+      // Burn alert decided by exact integer cross-multiplication — no
+      // float enters the boolean.
+      "ts_error_rate_hourly" ->
+        s"""WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n_all,
+    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+  FROM ${T("events")} GROUP BY 1),
+tot AS (SELECT sum(n_all) AS t_all, sum(n_err) AS t_err FROM hourly)
+SELECT h, CAST(n_all AS BIGINT) AS n_all, CAST(n_err AS BIGINT) AS n_err,
+  round(CAST(n_err AS DOUBLE) / n_all, 6) AS err_rate,
+  (n_err * t_all > n_all * t_err * 2) AS burn_alert
+FROM hourly, tot ORDER BY h""",
+
+      // Forward-looking conditional min over the FOLLOWING frame:
+      // seconds from each click to the user's next purchase.
+      "ts_time_to_purchase" ->
+        s"""WITH f AS (
+  SELECT event_id, user_id, ts, event_type,
+    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p_us
+  FROM ${T("events")} WHERE user_id < 20 AND user_id IS NOT NULL)
+SELECT event_id, user_id,
+  round(CAST(next_p_us - epoch_us(ts) AS DOUBLE) / 1e6, 3) AS sec_to_purchase
+FROM f WHERE event_type = 'click' ORDER BY event_id""",
+
+      // Vocab Jaccard per language pair: ONE self-join of the distinct
+      // (lang, token) relation; unions by inclusion-exclusion of exact
+      // counts.
+      "pipeline_vocab_overlap" ->
+        s"""WITH lw AS (
+  SELECT DISTINCT lang, w FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS w FROM ${T("documents")})
+  WHERE w <> ''),
+sizes AS (SELECT lang, count(*) AS sz FROM lw GROUP BY 1),
+inter AS (
+  SELECT a.lang AS l1, b.lang AS l2, count(*) AS inter
+  FROM lw a JOIN lw b ON a.w = b.w AND a.lang < b.lang
+  GROUP BY 1, 2)
+SELECT l1, l2, CAST(inter AS BIGINT) AS common_tokens,
+  round(CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE), 6) AS vocab_jaccard
+FROM inter JOIN sizes s1 ON s1.lang = inter.l1 JOIN sizes s2 ON s2.lang = inter.l2
+ORDER BY l1, l2"""
     )
   }
 }

@@ -200,6 +200,35 @@ object Pipelines {
       .orderBy("actual", "predicted")
   }
 
+  /** Cross-language vocabulary overlap (§2.11, r7): Jaccard of the
+    * distinct-token vocabularies of every language pair — the
+    * cross-lingual contamination telemetry (mislabeled docs pull two
+    * languages' vocabularies together; healthy corpora keep them
+    * apart). Intersections come from ONE self-join of the (lang, w)
+    * relation on w; unions by inclusion-exclusion from exact counts —
+    * jaccard divides exact BIGINTs. Scale: vocab relations are
+    * corpus-bounded (they grow with distinct tokens, not documents),
+    * so both sides of the join broadcast at any SF. */
+  val pipelineVocabOverlap: Q = (s, d) => {
+    val lw = table(s, d, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = lw.groupBy(col("lang")).agg(count(lit(1)).as("sz"))
+    val inter = lw.toDF("l1", "w")
+      .join(lw.toDF("l2", "w2"), col("w") === col("w2") && col("l1") < col("l2"))
+      .groupBy(col("l1"), col("l2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("l1", "sz1"), Seq("l1"))
+      .join(sizes.toDF("l2", "sz2"), Seq("l2"))
+      .select(col("l1"), col("l2"), asLong(col("inter")).as("common_tokens"),
+        round(col("inter").cast(DoubleType) /
+          (col("sz1") + col("sz2") - col("inter")).cast(DoubleType), 6)
+          .as("vocab_jaccard"))
+      .orderBy("l1", "l2")
+  }
+
   /** Per-source length percentiles (§2.11, r7): p50/p95 of whitespace
     * token counts per source — the data-mix telemetry that catches a
     * source drifting short (truncation bug) or long (concatenation

@@ -775,6 +775,23 @@ object Relational {
       .orderBy("s_nationkey")
   }
 
+  /** Partitioned-parquet roundtrip (§2.1, r7): events written
+    * hive-partitioned by event_type, read back, and queried with a
+    * partition-column predicate — the declared-query proof that the
+    * write-side layout lever actually prunes (the filter resolves to
+    * PartitionFilters: only the purchase/ directory is listed or
+    * scanned; SinksSpec asserts the same mechanism plan-level). Same
+    * oracle-is-the-original-table contract as the csv/json/orc
+    * roundtrips. */
+  val srcPartitionedRoundtrip: Q = (s, d) => {
+    graft.sources.Sources.via(s, d, "events", "parquet_partitioned")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(asLong(count(lit(1))).as("n"),
+        moneySum2(col("value")).as("revenue"))
+      .orderBy("day")
+  }
+
   val srcJsonRoundtrip: Q = (s, d) => {
     graft.sources.Sources.via(s, d, "customer", "json")
       .groupBy(col("c_mktsegment"))

@@ -417,6 +417,51 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Hourly error-rate monitor (§2.12, r7): per hour, the error-event
+    * share and an alert flag when it exceeds 2x the corpus-wide rate —
+    * the SLO burn-rate view every operations dashboard ships. The
+    * threshold decision is EXACT integer cross-multiplication
+    * (n_err · total_all > 2 · n_all · total_err — no float enters the
+    * boolean), shares are one rounded division each. Scale: one
+    * hour-grain map-combined aggregate + a 1-row broadcast. */
+  val tsErrorRateHourly: Q = (s, d) => {
+    val hourly = table(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+    val tot = hourly.agg(sum(col("n_all")).as("t_all"), sum(col("n_err")).as("t_err"))
+    hourly.crossJoin(broadcast(tot))
+      .select(col("h"), asLong(col("n_all")).as("n_all"),
+        asLong(col("n_err")).as("n_err"),
+        round(col("n_err").cast(DoubleType) / col("n_all"), 6).as("err_rate"),
+        (col("n_err") * col("t_all") > col("n_all") * col("t_err") * 2)
+          .as("burn_alert"))
+      .orderBy("h")
+  }
+
+  /** Time-to-conversion (§2.12, r7): for each click, seconds until the
+    * same user's NEXT purchase — the forward-looking conditional
+    * window (min over the FOLLOWING frame) behind every conversion-lag
+    * metric; NULL = never converted, reported. Exact integral µs
+    * difference, one rounded division to seconds. Scale: one user_id
+    * shuffle; the frame is unbounded-following but the aggregate is a
+    * running min computed in one backward pass. */
+  val tsTimeToPurchase: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    table(s, d, "events")
+      .filter(col("user_id") < 20 && col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("next_p_us",
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        round((col("next_p_us") - unix_micros(col("ts"))).cast(DoubleType) / 1e6, 3)
+          .as("sec_to_purchase"))
+      .orderBy("event_id")
+  }
+
   /** Session duration stats per day (§2.12, r7): how long the 30-min-
     * gap sessions started each day actually run — count, average and
     * max duration in seconds, and the share of single-event sessions

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Schema-enforced ingestion for the formats a pipeline meets besides
@@ -86,8 +87,19 @@ object Sources {
         case "orc" =>
           base.write.mode("overwrite").orc(path)
           readOrc(spark, path, base.schema)
+        case "parquet_partitioned" =>
+          // hive-style directory partitioning on the table's first
+          // string column — the layout a predicate on that column
+          // prunes to matching directories (PartitionFilters)
+          val pcol = base.schema.fields
+            .collectFirst { case f if f.dataType == org.apache.spark.sql.types.StringType => f.name }
+            .getOrElse(throw new IllegalArgumentException(
+              s"'$name' has no string column to partition by"))
+          base.write.mode("overwrite").partitionBy(pcol).parquet(path)
+          // partition columns come back last — restore declared order
+          spark.read.parquet(path).select(base.columns.map(col): _*)
         case other => throw new IllegalArgumentException(
-          s"unsupported via-format '$other' (csv, json, orc)")
+          s"unsupported via-format '$other' (csv, json, orc, parquet_partitioned)")
       }
     }
 }

@@ -144,7 +144,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     // round-7 widening: IQR outliers, length percentiles, norm audit,
     // session durations
     "agg_iqr_outliers" -> 3L, "pipeline_length_percentiles" -> 20L,
-    "sim_norm_audit" -> 1L, "ts_session_duration_stats" -> 30L)
+    "sim_norm_audit" -> 1L, "ts_session_duration_stats" -> 30L,
+    // round-7 widening: partitioned roundtrip, error-rate monitor,
+    // time-to-purchase, vocab overlap — contract lands on 200
+    "src_partitioned_roundtrip" -> 30L, "ts_error_rate_hourly" -> 531L,
+    "ts_time_to_purchase" -> 210L, "pipeline_vocab_overlap" -> 10L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
