@@ -47,6 +47,53 @@ class PropertySpec extends AnyFunSuite {
     assert(s.join(ev, "user_id").filter(col("n_sessions") > col("count")).count() == 0)
   }
 
+  test("round-7 telemetry invariants: bounded indices, consistent censuses") {
+    val d = sf0001
+    // HHI of k segments lies in [1/k, 1]; sums reconcile
+    ops.Relational.aggHhi(spark, d).collect().foreach { r =>
+      val k = r.getAs[Long]("n_segments").toDouble
+      val h = r.getAs[Double]("hhi")
+      assert(h >= 1.0 / k - 1e-9 && h <= 1.0 + 1e-9, s"hhi $h outside [1/$k, 1]")
+    }
+    // char entropy is within [0, ln(distinct chars)]
+    ops.TextSim.textCharEntropy(spark, d).collect().foreach { r =>
+      val h = r.getAs[Double]("char_entropy")
+      val kk = r.getAs[Long]("n_distinct_chars").toDouble
+      assert(h >= -1e-9 && h <= math.log(kk) + 1e-4, s"entropy $h vs ln($kk)")
+    }
+    // vocab jaccard in [0,1]; stickiness in (0,1]; shares sum to 1
+    ops.Pipelines.pipelineVocabOverlap(spark, d).collect().foreach { r =>
+      val j = r.getAs[Double]("vocab_jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+    ops.TimeSeries.tsActiveUsersRolling(spark, d).collect().foreach { r =>
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0.0 && st <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("wau"))
+    }
+    val shares = ops.Relational.aggBenfordFirstDigit(spark, d)
+      .agg(sum(col("share"))).collect()(0).getDouble(0)
+    assert(math.abs(shares - 1.0) < 1e-3, s"benford shares sum $shares")
+    // degree octaves: bucket bounds consistent, node total = node count
+    val oct = ops.GraphOps.graphDegreeDistribution(spark, d).collect()
+    oct.foreach { r =>
+      val o = r.getAs[Int]("octave")
+      val lo = r.getAs[Long]("min_deg"); val hi = r.getAs[Long]("max_deg")
+      assert(lo >= (1L << o) || o == 0, s"octave $o min $lo")
+      assert(hi < (1L << (o + 1)), s"octave $o max $hi")
+    }
+    val nNodes = Tables.ud(spark, d).select("s").distinct().count()
+    assert(oct.map(_.getAs[Long]("n_nodes")).sum == nNodes)
+    // sweep-line concurrency: per-day peak cannot exceed that day's
+    // started sessions plus everything carried in (bounded by users)
+    val users = Tables(spark, d, "events")
+      .filter(col("user_id").isNotNull).select("user_id").distinct().count()
+    ops.TimeSeries.tsPeakConcurrency(spark, d).collect().foreach { r =>
+      val pk = r.getAs[Long]("peak_concurrency")
+      assert(pk >= 1 && pk <= users, s"peak $pk vs $users users")
+    }
+  }
+
   test("simhash hamming distances are within [0, 32]") {
     val d = ops.Pipelines.dedupSimhash(spark, sf0001)
     assert(d.filter(col("hamming") < 0 || col("hamming") > 32).count() == 0)

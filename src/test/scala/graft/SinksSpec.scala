@@ -21,6 +21,18 @@ class SinksSpec extends AnyFunSuite {
       Tables(spark, sf0001, "events").filter(col("event_type") === "purchase").count())
   }
 
+  test("declared src_partitioned_roundtrip actually prunes to one directory") {
+    // the declared query's own plan (not just the Sinks mechanism):
+    // the event_type predicate must resolve to PartitionFilters on the
+    // written layout — i.e. only the purchase/ directory is scanned
+    val q = graft.sources.Sources.via(spark, sf0001, "events", "parquet_partitioned")
+      .filter(col("event_type") === "purchase")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    assert(!plan.toLowerCase.contains("pushedfilters: [isnotnull(event_type"),
+      "event_type should be a partition filter, not a data filter")
+  }
+
   test("csv and json round-trip with enforced schemas") {
     val docs = Tables(spark, sf0001, "documents")
     val out = java.nio.file.Files.createTempDirectory("graft_src").toString
