@@ -2435,7 +2435,34 @@ inter AS (
 SELECT l1, l2, CAST(inter AS BIGINT) AS common_tokens,
   round(CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE), 6) AS vocab_jaccard
 FROM inter JOIN sizes s1 ON s1.lang = inter.l1 JOIN sizes s2 ON s2.lang = inter.l2
-ORDER BY l1, l2"""
+ORDER BY l1, l2""",
+
+      // ntile order totalized by the key; money through DECIMAL.
+      "agg_decile_table" ->
+        s"""WITH t AS (
+  SELECT c_custkey, c_acctbal,
+    ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+  FROM ${T("customer")})
+SELECT decile, CAST(count(*) AS BIGINT) AS n,
+  round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi,
+  round(cast(sum(cast(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS balance
+FROM t GROUP BY decile ORDER BY decile""",
+
+      // The verified LSH pair set grouped by (source, source) endpoints.
+      "pipeline_dedup_cross_source" ->
+        s"""WITH ${minhashCtes(dir)},
+vp AS (SELECT d1, d2
+  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+  WHERE cast(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5),
+lab AS (
+  SELECT least(a.source, b.source) AS src_a, greatest(a.source, b.source) AS src_b
+  FROM vp JOIN ${T("documents")} a ON a.doc_id = vp.d1
+         JOIN ${T("documents")} b ON b.doc_id = vp.d2),
+tot AS (SELECT count(*) AS tot_pairs FROM lab)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+  (src_a <> src_b) AS cross_source,
+  round(CAST(count(*) AS DOUBLE) / tot_pairs, 4) AS share
+FROM lab, tot GROUP BY src_a, src_b, tot_pairs ORDER BY src_a, src_b"""
     )
   }
 }

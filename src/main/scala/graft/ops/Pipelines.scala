@@ -200,6 +200,33 @@ object Pipelines {
       .orderBy("actual", "predicted")
   }
 
+  /** Cross-source near-dup flow (§2.11, r7): verified MinHash-LSH
+    * near-dup pairs grouped by their (source, source) endpoints — the
+    * "who is mirroring whom" telemetry that decides which feeds to
+    * dedup against each other first (within-source duplication is
+    * re-crawl noise; CROSS-source duplication is syndication or
+    * scraping and shifts the mix). Reuses the engine's persisted LSH
+    * pair set verbatim; the two source lookups are broadcast joins of
+    * a pair relation that is near-dup-sparse by construction. share
+    * divides exact BIGINTs. */
+  val pipelineDedupCrossSource: Q = (s, d) => {
+    val pairs = dedupMinhashLsh(s, d).select(col("d1"), col("d2"))
+    val src = table(s, d, "documents").select(col("doc_id"), col("source"))
+    val tot = pairs.agg(count(lit(1)).as("tot_pairs"))
+    pairs
+      .join(src.toDF("d1", "s1"), Seq("d1"))
+      .join(src.toDF("d2", "s2"), Seq("d2"))
+      .select(least(col("s1"), col("s2")).as("src_a"),
+        greatest(col("s1"), col("s2")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .select(col("src_a"), col("src_b"), asLong(col("n_pairs")).as("n_pairs"),
+        (col("src_a") =!= col("src_b")).as("cross_source"),
+        round(col("n_pairs").cast(DoubleType) / col("tot_pairs"), 4).as("share"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Cross-language vocabulary overlap (§2.11, r7): Jaccard of the
     * distinct-token vocabularies of every language pair — the
     * cross-lingual contamination telemetry (mislabeled docs pull two

@@ -1519,6 +1519,26 @@ object Relational {
       .orderBy("cntrygrp")
   }
 
+  /** Decile report (§2.3, r7): customers ntile(10)-bucketed by account
+    * balance with per-decile population, bounds, and balance mass —
+    * the standard concentration REPORT next to the pareto curve (gini
+    * summarizes to one number; this is the table an analyst reads).
+    * ntile order is totalized by the key column; money through the
+    * DECIMAL sum. Scale: one global-order window (range-partitioned
+    * sort at cluster scale) then a 10-group aggregate. */
+  val aggDecileTable: Q = (s, d) => {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    table(s, d, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(asLong(count(lit(1))).as("n"),
+        round(min(col("c_acctbal")), 2).as("lo"),
+        round(max(col("c_acctbal")), 2).as("hi"),
+        moneySum2(col("c_acctbal")).as("balance"))
+      .orderBy("decile")
+  }
+
   /** Tukey-fence outlier census per group (§2.3, r7): quartiles, IQR,
     * and the count of rows outside [q1−1.5·IQR, q3+1.5·IQR] — the
     * boxplot screen run before trusting any mean-based metric.

@@ -148,7 +148,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     // round-7 widening: partitioned roundtrip, error-rate monitor,
     // time-to-purchase, vocab overlap — contract lands on 200
     "src_partitioned_roundtrip" -> 30L, "ts_error_rate_hourly" -> 531L,
-    "ts_time_to_purchase" -> 210L, "pipeline_vocab_overlap" -> 10L)
+    "ts_time_to_purchase" -> 210L, "pipeline_vocab_overlap" -> 10L,
+    // round-7 widening: decile report, cross-source dup flow
+    "agg_decile_table" -> 10L, "pipeline_dedup_cross_source" -> 8L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
