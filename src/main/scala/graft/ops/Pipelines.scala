@@ -1004,14 +1004,18 @@ object Pipelines {
     * Rank is total-ordered (count desc, token asc); ln(rank)/ln(cnt)
     * are rounded at 6 and DECIMAL-summed so all four OLS power sums
     * are exact and the closed-form slope/intercept evaluate one
-    * identical IEEE tree per engine. Scale: runs entirely on the
-    * vocab relation — corpus-bounded kilobytes regardless of SF. */
+    * identical IEEE tree per engine. Scale: runs on the vocab
+    * relation (sub-linear in corpus by Heaps' law but still ~100M
+    * tokens at 100 TB), so the global rank goes through
+    * GlobalRank.ranked (range shuffle + broadcast offsets) rather
+    * than a single-task window — round 8. */
   val pipelineZipfFit: Q = (s, d) => {
     val freq = table(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    val ranked = freq.select(col("cnt"),
-      row_number().over(Window.orderBy(col("cnt").desc, col("w"))).as("r"))
+    val ranked = GlobalRank.ranked(
+      freq, Seq(col("cnt").desc, col("w")), "r")._1
+      .select(col("cnt"), col("r"))
     val xy = ranked.select(
       round(log(col("r").cast(DoubleType)), 6).cast(DecimalType(18, 6)).as("x"),
       round(log(col("cnt").cast(DoubleType)), 6).cast(DecimalType(18, 6)).as("y"))

@@ -1524,13 +1524,18 @@ object Relational {
     * the standard concentration REPORT next to the pareto curve (gini
     * summarizes to one number; this is the table an analyst reads).
     * ntile order is totalized by the key column; money through the
-    * DECIMAL sum. Scale: one global-order window (range-partitioned
-    * sort at cluster scale) then a 10-group aggregate. */
+    * DECIMAL sum. Scale: the global order runs through
+    * GlobalRank.ranked (range shuffle + broadcast prefix offsets —
+    * never a single-task WindowExec) and the decile is per-row
+    * arithmetic in the global N; then a 10-group aggregate. The
+    * bucket id is BIGINT end to end (exact schema parity with the
+    * oracle's int64). */
   val aggDecileTable: Q = (s, d) => {
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    table(s, d, "customer")
-      .select(col("c_custkey"), col("c_acctbal"))
-      .withColumn("decile", ntile(10).over(w))
+    val (ranked, n) = GlobalRank.ranked(
+      table(s, d, "customer").select(col("c_custkey"), col("c_acctbal")),
+      Seq(col("c_acctbal"), col("c_custkey")), "__rn")
+    ranked
+      .withColumn("decile", GlobalRank.ntileOf(col("__rn"), n, 10))
       .groupBy(col("decile"))
       .agg(asLong(count(lit(1))).as("n"),
         round(min(col("c_acctbal")), 2).as("lo"),

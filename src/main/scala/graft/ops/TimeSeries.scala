@@ -384,10 +384,10 @@ object TimeSeries {
     * engine-dependent but provably irrelevant: within a tie group all
     * deltas share a sign, so the group's running extremum is reached
     * after the whole group regardless of internal order. Scale: one
-    * user_id shuffle for sessionization; the sweep is a global-order
-    * window over ~2 rows/session — at 100 TB it range-partitions by
-    * time with per-boundary offsets (documented, not needed at bench
-    * scale). */
+    * user_id shuffle for sessionization; the sweep (2 rows/session)
+    * range-partitions by time with broadcast per-slice offsets
+    * (GlobalRank.withRunningSum) — no single-task window anywhere in
+    * the plan. */
   val tsPeakConcurrency: Q = (s, d) => {
     // (ts, event_id) totalizes the per-user order and the running sum
     // uses an explicit ROWS frame — Spark's default window frame is
@@ -407,10 +407,15 @@ object TimeSeries {
       .agg(min(col("ts")).as("s_ts"), max(col("ts")).as("e_ts"))
     val points = sessions.select(col("s_ts").as("t"), lit(0).as("kind"), lit(1L).as("delta"))
       .unionAll(sessions.select(col("e_ts").as("t"), lit(1).as("kind"), lit(-1L).as("delta")))
-    val sweep = Window.orderBy(col("t"), col("kind"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    points
-      .withColumn("running", sum(col("delta")).over(sweep))
+    // round-8: the sweep no longer runs an unpartitioned window —
+    // GlobalRank.withRunningSum range-partitions on (t, kind) and adds
+    // broadcast per-slice prefix offsets to partition-LOCAL running
+    // sums. (t, kind) tie groups may straddle slice boundaries, which
+    // is safe here by the same argument as the single-window tie
+    // order: all deltas in a tie group share a sign, so the group's
+    // running extremum — all the day-grain max() sees — is reached
+    // after the whole group regardless of internal order or split.
+    GlobalRank.withRunningSum(points, Seq(col("t"), col("kind")), "delta", "running")
       .groupBy(to_date(col("t")).as("day"))
       .agg(asLong(max(col("running"))).as("peak_concurrency"),
         asLong(sum(when(col("kind") === 0, 1L).otherwise(0L))).as("sessions_started"))

@@ -53,16 +53,24 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  /** Global (unpartitioned) window — single-partition sort; fine at this
-    * cardinality, would need a range-partitioned two-pass at 100 TB. */
+  /** Global rank family (ntile / percent_rank / cume_dist) over a
+    * totalized order — routed through GlobalRank.ranked (range
+    * shuffle + broadcast prefix offsets) instead of an unpartitioned
+    * window, so no single task ever holds the full table. With a
+    * total order rank == row_number, so all three are pure per-row
+    * arithmetic in (rn, N): ntile the standard bucket formula,
+    * pr = (rn-1)/(N-1), cd = rn/N — bit-identical to the window
+    * functions (GlobalRankSpec proves equivalence). */
   val winNtileDist: Q = (s, d) => {
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    table(s, d, "customer")
+    val (ranked, n) = GlobalRank.ranked(
+      table(s, d, "customer").select(col("c_custkey"), col("c_acctbal")),
+      Seq(col("c_acctbal"), col("c_custkey")), "__rn")
+    ranked
       .select(
         col("c_custkey"), col("c_acctbal"),
-        asLong(ntile(4).over(w)).as("quartile"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"))
+        GlobalRank.ntileOf(col("__rn"), n, 4).as("quartile"),
+        round(GlobalRank.percentRankOf(col("__rn"), n), 6).as("pr"),
+        round(GlobalRank.cumeDistOf(col("__rn"), n), 6).as("cd"))
       .orderBy("c_custkey")
   }
 
