@@ -35,6 +35,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // fixture parquet carries µs timestamps without isAdjustedToUTC;
+  // pinned at construction (next to the UTC pin) so Tables.read never
+  // has to mutate shared session conf mid-flight (round-7 ADVICE)
+  "-Dspark.sql.parquet.inferTimestampNTZ.enabled=false",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 Global / excludeLintKeys += showSuccess

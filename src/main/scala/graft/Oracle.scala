@@ -2194,8 +2194,10 @@ SELECT user_id, CAST(max(burst) AS BIGINT) AS peak_burst_10min,
 FROM b GROUP BY 1 ORDER BY user_id""",
 
       // Bigram MLE LM: c12/c1 both exact counts over the same bigram
-      // relation; per-bigram logprobs rounded to DECIMAL(18,6) before
-      // the order-insensitive per-doc sum (unigram discipline).
+      // relation; per-bigram logprobs quantized by floor(lp*1e6) to
+      // BIGINT before the per-doc sum — exact integer arithmetic,
+      // order-insensitive and engine-independent (round(x,6) diverged
+      // at the sf0.1 knife edge in round 6; see Pipelines scaladoc).
       "pipeline_bigram_logprob" ->
         s"""WITH pos AS (
   SELECT doc_id, l, generate_subscripts(l, 1) AS i

@@ -100,16 +100,24 @@ object Tables {
     // below. Under the suite's pinned UTC session timezone the NTZ
     // wallclock and the LTZ instant are the same value, so reading
     // everything as TimestampType is lossless and keeps every operator
-    // timestamp-annotation-agnostic. Saved/restored around the eager
-    // schema inference so the fixture workaround doesn't leak into
-    // unrelated schema-less reads (round-6 ADVICE).
-    val prevNtz = spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // timestamp-annotation-agnostic. All of this suite's sessions pin
+    // the conf to false at CONSTRUCTION (build.sbt javaOptions + every
+    // builder), so the branch below is normally a no-op; the
+    // save/restore fallback only fires under a foreign session (e.g.
+    // the driver's own) and exists so reads still work there — the
+    // round-7 ADVICE race (concurrent mutate of shared conf) cannot
+    // occur once the conf is construction-pinned.
+    val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
     val raw =
-      try spark.read.parquet(path)
-      finally prevNtz match {
-        case Some(v) => spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", v)
-        case None => spark.conf.unset("spark.sql.parquet.inferTimestampNTZ.enabled")
+      if (spark.conf.getOption(ntzKey).contains("false")) spark.read.parquet(path)
+      else {
+        val prevNtz = spark.conf.getOption(ntzKey)
+        spark.conf.set(ntzKey, "false")
+        try spark.read.parquet(path)
+        finally prevNtz match {
+          case Some(v) => spark.conf.set(ntzKey, v)
+          case None => spark.conf.unset(ntzKey)
+        }
       }
     raw.schema // force analysis before the conf could change again
     nanosFields.foldLeft(raw) { (df, f) =>

@@ -15,6 +15,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       // SPARK_GRAFT_CACHE=false runs the whole oracle suite with base
       // tables streaming straight from parquet (pushdown intact) —

@@ -965,8 +965,9 @@ object Pipelines {
     * relation so the model is trivially consistent. Bigrams are built
     * IN-ROW by an indexed transform over the token array (codegen'd
     * HOF — no positional self-join, no extra shuffle); per-bigram
-    * log-probs are rounded to DECIMAL(18,6) before the per-doc sum,
-    * the repo's standard order-insensitive float discipline. Scale:
+    * log-probs are quantized by floor(lp·1e6) to BIGINT before the
+    * per-doc sum — exact integer arithmetic, order-insensitive and
+    * engine-independent (see the inline note below). Scale:
     * the bigram-type relation is vocab², corpus-bounded kilobytes
     * that broadcast; everything else is one map-combined group-by
     * plus a broadcast join — linear, like unigram. */
