@@ -236,10 +236,25 @@ class Naqed(spark: SparkSession, sfDir: String) {
         if (!df.columns.contains(field))
           throw new IllegalArgumentException(
             s"unknown sort field '$field' on '$tname'; fields: ${df.columns.sorted.mkString(", ")}")
+        // Strictly-after under the ACTUAL sort order including its
+        // null placement (round-7 ADVICE): Spark sorts desc NULLS
+        // LAST / asc NULLS FIRST, and a bare col < lit(v) evaluates
+        // to NULL on null rows — a desc cursor walk would silently
+        // drop every null-keyed row a one-shot $sort query returns.
         def strictAfter(c: String, v: Any): org.apache.spark.sql.Column =
-          if (desc && c == field) col(c) < lit(v)
-          else if (c == field) col(c) > lit(v)
-          else col(c) > lit(v) // tie keys always page ascending
+          if (desc && c == field) {
+            // desc NULLS LAST: null rows come after every non-null;
+            // a null cursor value is already in the null tail, so
+            // nothing is after it on this key (ties page via tie keys)
+            if (v == null) lit(false)
+            else col(c) < lit(v) || col(c).isNull
+          } else {
+            // asc NULLS FIRST (sort field or tie key): every non-null
+            // is after a null cursor value; null rows are after
+            // nothing non-null
+            if (v == null) col(c).isNotNull
+            else col(c) > lit(v)
+          }
         av match {
           case m: Map[_, _] =>
             val cur = m.asInstanceOf[Map[String, Any]]
@@ -249,12 +264,24 @@ class Naqed(spark: SparkSession, sfDir: String) {
             cur.keys.filterNot(k => k == field || tieCols.contains(k)).foreach(k =>
               throw new IllegalArgumentException(
                 s"$$after cursor key '$k' is neither the sort field nor a tie key (${tieCols.mkString(", ")})"))
+            // supplied tie keys must form a PREFIX of the tie order:
+            // a cursor carrying tie2 but omitting tie1 would build a
+            // lexicographic predicate over (field, tie2) that
+            // disagrees with the actual sort (field, tie1, tie2) and
+            // silently skips or repeats rows
+            val supplied = tieCols.filter(k => k != field && cur.contains(k))
+            val prefix = tieCols.filterNot(_ == field).take(supplied.size)
+            if (supplied != prefix)
+              throw new IllegalArgumentException(
+                s"$$after cursor tie keys must be a prefix of (${tieCols.mkString(", ")}); got (${supplied.mkString(", ")})")
             // lexicographic "strictly after the cursor row": for keys
             // k0=field, k1.., row qualifies iff it differs strictly at
-            // the FIRST key where it departs from the cursor
-            val keys = field +: tieCols.filter(cur.contains)
+            // the FIRST key where it departs from the cursor. Prefix
+            // equality is null-SAFE (<=>): a null cursor component
+            // must match null rows, not poison the predicate
+            val keys = field +: supplied
             val preds = keys.zipWithIndex.map { case (k, i) =>
-              keys.take(i).map(p => col(p) === lit(cur(p)))
+              keys.take(i).map(p => col(p) <=> lit(cur(p)))
                 .foldLeft(strictAfter(k, cur(k)))((acc, eq) => acc && eq)
             }
             df.filter(preds.reduce(_ || _))

@@ -491,4 +491,97 @@ class NaqedSpec extends AnyFunSuite {
     assert(del == wantGone && del > 0)
     assert(VersionedTable.read(spark, s"$out/orders").count() == o.count() - wantGone)
   }
+
+  test("keyset cursor over a NULLABLE sort key: desc and asc walks lose no rows") {
+    // round-7 ADVICE (medium): desc sorts place NULLs last and a bare
+    // col < lit(v) cursor predicate is NULL on null rows — a paged
+    // walk silently dropped them. Mount an events-shaped table with
+    // null values under a virtual sfDir and walk it both directions.
+    import spark.implicits._
+    val vdir = "/virtual/naqed-nullsort"
+    // constructor-time resolver validation touches other tables: mount
+    // the real sf0.001 tables under the virtual dir, override events
+    Tables.names.foreach(n => Tables.mount(spark, vdir, n, Tables(spark, sf0001, n)))
+    val df = spark.range(0, 40).select(col("id").as("event_id"),
+      when(col("id") % 5 === 0, lit(null).cast("double"))
+        .otherwise(round(col("id") * 1.7 % 9, 2)).as("value"))
+    Tables.mount(spark, vdir, "events", df)
+    val nq = new Naqed(spark, vdir)
+    for (sort <- Seq("-value", "value")) {
+      val all = nq.request("events",
+          Map("event_id" -> true, "value" -> true, "$sort" -> sort))
+        .collect().map(r => (r.getAs[Long]("event_id"),
+          Option(r.get(r.fieldIndex("value"))))).toSeq
+      var pages = Vector.empty[(Long, Option[Any])]
+      var cursor: Option[Map[String, Any]] = None
+      var done = false
+      while (!done) {
+        val q0 = Map("event_id" -> true, "value" -> true,
+          "$sort" -> sort, "$limit" -> 7)
+        val q = cursor.fold(q0)(c => q0 + ("$after" -> c))
+        val page = nq.request("events", q).collect()
+          .map(r => (r.getAs[Long]("event_id"),
+            Option(r.get(r.fieldIndex("value"))))).toSeq
+        pages ++= page
+        if (page.size < 7) done = true
+        else cursor = Some(Map(
+          "value" -> pages.last._2.orNull, "event_id" -> pages.last._1))
+      }
+      assert(pages == all,
+        s"paged walk ($sort) lost or reordered rows: ${pages.size} vs ${all.size}")
+      assert(pages.count(_._2.isEmpty) == 8, s"null rows missing from walk ($sort)")
+    }
+  }
+
+  test("cursor tie keys must be a prefix of the tie order") {
+    // lineitem ties are (l_orderkey, l_linenumber, l_partkey,
+    // l_suppkey); supplying l_linenumber while omitting l_orderkey
+    // built a predicate that disagreed with the actual sort order
+    val e = intercept[IllegalArgumentException] {
+      naqed.request("lineitem", Map("l_quantity" -> true,
+        "$sort" -> "l_quantity", "$limit" -> 5,
+        "$after" -> Map("l_quantity" -> 10.0, "l_linenumber" -> 2L)))
+    }
+    assert(e.getMessage.contains("prefix"))
+    // a true prefix works
+    val ok = naqed.request("lineitem", Map("l_quantity" -> true,
+      "$sort" -> "l_quantity", "$limit" -> 5,
+      "$after" -> Map("l_quantity" -> 10.0, "l_orderkey" -> 1L)))
+    assert(ok.count() == 5)
+  }
+
+  test("keyset cursor through the JSON wire path: timestamp and double literals") {
+    // pin serialization of cursor literals: a timestamp rendered as an
+    // ISO string and a double must survive requestJson -> lit()
+    // comparison against TimestampType / DoubleType columns
+    val p1 = naqed.request("events", Map("event_id" -> true, "ts" -> true,
+      "$sort" -> "-ts", "$limit" -> 5)).collect()
+    val lastTs = p1.last.getAs[java.sql.Timestamp]("ts")
+    val lastId = p1.last.getAs[Long]("event_id")
+    val viaApi = naqed.request("events", Map("event_id" -> true, "ts" -> true,
+      "$sort" -> "-ts", "$limit" -> 5,
+      "$after" -> Map("ts" -> lastTs, "event_id" -> lastId)))
+      .collect().map(_.getAs[Long]("event_id")).toSeq
+    val iso = lastTs.toInstant.toString // e.g. 2024-03-01T12:34:56Z
+    val viaJson = naqed.requestJson(
+      s"""{"events": {"event_id": true, "ts": true, "$$sort": "-ts",
+          "$$limit": 5, "$$after": {"ts": "$iso", "event_id": $lastId}}}""")
+      .collect().map(_.getAs[Long]("event_id")).toSeq
+    assert(viaJson == viaApi && viaJson.size == 5)
+    // double cursor component through JSON (decimal-valued literal)
+    val q1 = naqed.request("orders", Map("o_orderkey" -> true,
+      "o_totalprice" -> true, "$sort" -> "-o_totalprice", "$limit" -> 4)).collect()
+    val lastP = q1.last.getAs[Double]("o_totalprice")
+    val lastK = q1.last.getAs[Long]("o_orderkey")
+    val viaApi2 = naqed.request("orders", Map("o_orderkey" -> true,
+      "o_totalprice" -> true, "$sort" -> "-o_totalprice", "$limit" -> 4,
+      "$after" -> Map("o_totalprice" -> lastP, "o_orderkey" -> lastK)))
+      .collect().map(_.getAs[Long]("o_orderkey")).toSeq
+    val viaJson2 = naqed.requestJson(
+      s"""{"orders": {"o_orderkey": true, "o_totalprice": true,
+          "$$sort": "-o_totalprice", "$$limit": 4,
+          "$$after": {"o_totalprice": $lastP, "o_orderkey": $lastK}}}""")
+      .collect().map(_.getAs[Long]("o_orderkey")).toSeq
+    assert(viaJson2 == viaApi2 && viaJson2.size == 4)
+  }
 }
