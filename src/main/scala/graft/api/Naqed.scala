@@ -351,13 +351,26 @@ class Naqed(spark: SparkSession, sfDir: String) {
     * stream-static per micro-batch, with ZERO streaming state. (That
     * is why the pre-r6 "unbounded state" rejection was wrong: state
     * would only be unbounded if the CHILD were the stream.)
-    * `$groupBy`/`$agg` over the streamed root itself do aggregate
-    * unbounded input and stay rejected — aggregate in the sink with a
-    * watermark instead. Returns a streaming DataFrame ready for
-    * `writeStream`. The streaming binding is a per-thread
-    * DynamicVariable scoped to this compilation, so it never leaks
-    * into `request` calls — including concurrent ones on other
-    * threads. */
+    * `$groupBy`/`$agg` over the streamed root (round-8) compile to a
+    * WATERMARKED streaming aggregation: the query must declare
+    * `"$watermark" -> "<timeCol>:<delay>"` (e.g. `"ts:10 minutes"`)
+    * — without one the grouped state would be unbounded and the query
+    * is rejected at subscribe time with that exact guidance. An
+    * optional `"$window" -> "<timeCol>:<duration>"` adds an
+    * event-time tumbling window as a leading group key (output column
+    * `window`), which is what makes the state EVICTABLE: the store
+    * drops a window's rows once the watermark passes its end, so
+    * state is bounded by (groups alive per watermark horizon), not by
+    * the stream's lifetime. Without `$window` the per-group state is
+    * bounded only by group-key cardinality (fine for enum-like keys;
+    * the caller's responsibility) and the sink must run in
+    * update/complete mode; with `$window`, append mode emits each
+    * window once finalized — the same contract as Spark's native
+    * windowed aggregation, because it IS one. Returns a streaming
+    * DataFrame ready for `writeStream`. The streaming binding is a
+    * per-thread DynamicVariable scoped to this compilation, so it
+    * never leaks into `request` calls — including concurrent ones on
+    * other threads. */
   def subscribe(root: String, q: Map[String, Any], source: DataFrame): DataFrame = {
     require(source.isStreaming,
       s"subscribe('$root') needs a readStream source; use request() for batch queries")
@@ -365,13 +378,49 @@ class Naqed(spark: SparkSession, sfDir: String) {
       throw new IllegalArgumentException(
         "$sort/$limit/$after are batch pagination args; a subscription is " +
           "unbounded and append-ordered — page the sink, not the stream")
-    if (q.contains("$groupBy") || q.contains("$agg"))
+    if (q.contains("$groupBy") || q.contains("$agg")) {
+      if (!q.contains("$groupBy"))
+        throw new IllegalArgumentException(
+          "$agg on a subscription needs $groupBy (a global aggregate has no " +
+            "emit key); group by a field, or aggregate in the sink")
+      val wm = q.get("$watermark").map(_.toString).getOrElse(
+        throw new IllegalArgumentException(
+          "$groupBy/$agg aggregate the whole stream — unbounded state on a " +
+            "subscription unless bounded by a watermark: declare " +
+            "\"$watermark\" -> \"<timeCol>:<delay>\" (e.g. \"ts:10 minutes\"), " +
+            "optionally \"$window\" -> \"<timeCol>:<duration>\" for evictable " +
+            "windowed state; or use request() for batch aggregation"))
+      val (wmCol, wmDelay) = timeSpecOf("$watermark", wm)
+      if (!source.columns.contains(wmCol))
+        throw new IllegalArgumentException(
+          s"$$watermark column '$wmCol' is not on the streamed source; " +
+            s"columns: ${source.columns.sorted.mkString(", ")}")
+      val winKey = q.get("$window").map(_.toString).map { ws =>
+        val (wc, dur) = timeSpecOf("$window", ws)
+        if (!source.columns.contains(wc))
+          throw new IllegalArgumentException(
+            s"$$window column '$wc' is not on the streamed source; " +
+              s"columns: ${source.columns.sorted.mkString(", ")}")
+        window(col(wc), dur).as("window")
+      }
+      val bound = source.withWatermark(wmCol, wmDelay)
+      return boundSource.withValue(Some((root, bound)))(
+        compileAggregate(root, q - "$watermark" - "$window", winKey.toSeq))
+    }
+    if (q.contains("$watermark") || q.contains("$window"))
       throw new IllegalArgumentException(
-        "$groupBy/$agg aggregate the whole table — unbounded state on a " +
-          "subscription; aggregate in the sink with a watermark, or use " +
-          "request() for batch aggregation")
+        "$watermark/$window only apply to $groupBy subscriptions; plain " +
+          "selections stream stateless")
     boundSource.withValue(Some((root, source)))(compile(root, q))
   }
+
+  /** "<timeCol>:<duration>" → (col, duration), naqed-style error. */
+  private def timeSpecOf(arg: String, v: String): (String, String) =
+    v.split(":", 2) match {
+      case Array(c, s) if c.nonEmpty && s.trim.nonEmpty => (c, s.trim)
+      case _ => throw new IllegalArgumentException(
+        s"$arg must be \"<timeCol>:<duration>\" (e.g. \"ts:10 minutes\"), got: '$v'")
+    }
 
   def mutate(q: Map[String, Seq[Map[String, Any]]], outDir: String): Map[String, Long] =
     q.map {
@@ -637,7 +686,8 @@ class Naqed(spark: SparkSession, sfDir: String) {
     * the same level apply BEFORE grouping; plain field selections and
     * relation traversals don't mix with aggregation (naqed-style
     * error). The naqed analytics surface alongside selection queries. */
-  private def compileAggregate(tname: String, q: Map[String, Any]): DataFrame = {
+  private def compileAggregate(tname: String, q: Map[String, Any],
+      extraKeys: Seq[Column] = Nil): DataFrame = {
     var df = table(tname)
     val cols = df.columns.toSet
     val keys = groupKeysOf(q("$groupBy"))
@@ -687,7 +737,7 @@ class Naqed(spark: SparkSession, sfDir: String) {
       }
     }
     val aggs = aggSpec.toSeq.sortBy(_._1).map { case (out, spec) => aggCol(out, spec) }
-    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    df.groupBy(extraKeys ++ keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   private def compile(tname: String, q: Map[String, Any]): DataFrame = {

