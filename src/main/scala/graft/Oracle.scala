@@ -2464,7 +2464,282 @@ tot AS (SELECT count(*) AS tot_pairs FROM lab)
 SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
   (src_a <> src_b) AS cross_source,
   round(CAST(count(*) AS DOUBLE) / tot_pairs, 4) AS share
-FROM lab, tot GROUP BY src_a, src_b, tot_pairs ORDER BY src_a, src_b"""
+FROM lab, tot GROUP BY src_a, src_b, tot_pairs ORDER BY src_a, src_b""",
+
+      // ---- §2.18 (round 8) ----
+
+      // Weekly seasonality: dow is DuckDB's 0=Sunday; share divides
+      // exact counts once; revenue through the DECIMAL sum.
+      "ts_dow_profile" ->
+        s"""WITH b AS (SELECT dayofweek(ts) AS dow, count(*) AS n_events,
+  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch,
+  sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS rev
+  FROM ${T("events")} GROUP BY 1),
+tot AS (SELECT count(*) AS n_total FROM ${T("events")})
+SELECT CAST(dow AS BIGINT) AS dow, CAST(n_events AS BIGINT) AS n_events,
+  CAST(n_purch AS BIGINT) AS n_purchases,
+  round(CAST(rev AS DOUBLE), 2) AS purchase_revenue,
+  round(CAST(n_events AS DOUBLE) / n_total, 6) AS share
+FROM b, tot ORDER BY dow""",
+
+      "ts_day_hour_heatmap" ->
+        s"""SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS h,
+  count(*) AS n,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS v_sum
+FROM ${T("events")} GROUP BY 1, 2 ORDER BY dow, h""",
+
+      // DAU/MAU: both distinct counts exact; the two divisions run
+      // left-to-right on identical operands.
+      "ts_mau_stickiness" ->
+        s"""WITH d AS (SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau
+  FROM ${T("events")} WHERE user_id IS NOT NULL GROUP BY 1),
+pm AS (SELECT date_trunc('month', day) AS month,
+  CAST(sum(dau) AS BIGINT) AS sum_dau, count(*) AS n_days FROM d GROUP BY 1),
+m AS (SELECT date_trunc('month', CAST(ts AS DATE)) AS month,
+  count(DISTINCT user_id) AS mau
+  FROM ${T("events")} WHERE user_id IS NOT NULL GROUP BY 1)
+SELECT pm.month, CAST(mau AS BIGINT) AS mau, CAST(n_days AS BIGINT) AS n_days,
+  round(CAST(sum_dau AS DOUBLE) / n_days, 2) AS avg_dau,
+  round(CAST(sum_dau AS DOUBLE) / n_days / mau, 6) AS stickiness
+FROM pm JOIN m USING (month) ORDER BY month""",
+
+      // Lag-1 pairs via day+1 equi-join (missing days break pairs in
+      // both engines); Pearson r on exact DECIMAL power sums cast once
+      // into one fixed double tree (ts_rolling_corr discipline).
+      "ts_autocorr_lag1" ->
+        s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+  sum(CAST(value AS DECIMAL(18,2))) AS rev
+  FROM ${T("events")} WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1),
+p AS (SELECT a.rev AS x, b.rev AS y FROM daily a JOIN daily b ON a.day = b.day + 1),
+s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+  sum(CAST(x * y AS DECIMAL(38,4))) AS sxy,
+  sum(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+  sum(CAST(y * y AS DECIMAL(38,4))) AS syy FROM p)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+    (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+     sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+    AS autocorr_lag1
+FROM s""",
+
+      // Robust anomaly fences: two-pass median/MAD (agg_mad recipe) on
+      // the 2dp-rounded daily revenue; single fused constant 4.4478.
+      "ts_anomaly_mad" ->
+        s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
+  FROM ${T("events")} WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1),
+m AS (SELECT median(rev) AS med FROM daily),
+md AS (SELECT max(med) AS med, median(abs(rev - med)) AS mad FROM daily, m)
+SELECT day, rev AS revenue,
+  CAST(abs(CAST(rev AS DECIMAL(18,3)) - CAST(med AS DECIMAL(18,3))) AS DOUBLE)
+    AS abs_dev,
+  (abs(rev - med) > mad * 4.4478) AS is_anomaly
+FROM daily, md ORDER BY day""",
+
+      "ts_user_lifecycle" ->
+        s"""SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+  max(CAST(ts AS DATE)) AS last_day,
+  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+  count(*) AS n_events,
+  CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS BIGINT)
+    AS span_days
+FROM ${T("events")} WHERE user_id IS NOT NULL GROUP BY 1 ORDER BY user_id""",
+
+      // p99 threshold interpolates on identical 2dp doubles (the
+      // agg_iqr contract); the share divides two DECIMAL-exact sums.
+      "agg_top1pct_share" ->
+        s"""WITH rev AS (SELECT o_custkey,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
+  FROM ${T("orders")} GROUP BY 1),
+t AS (SELECT quantile_cont(rev, 0.99) AS thr FROM rev)
+SELECT count(*) AS n_customers,
+  CAST(sum(CASE WHEN rev >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+  round(CAST(sum(CASE WHEN rev >= thr THEN CAST(rev AS DECIMAL(18,2)) END) AS DOUBLE) /
+    CAST(sum(CAST(rev AS DECIMAL(18,2))) AS DOUBLE), 6) AS top_share
+FROM rev, t""",
+
+      // Bucket ids from exact/identical arithmetic before floor.
+      "agg_hist2d" ->
+        s"""SELECT CAST(floor((l_quantity - 1) / 10) AS BIGINT) AS q_band,
+  CAST(floor(l_extendedprice / 20000) AS BIGINT) AS p_band,
+  count(*) AS n,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM ${T("lineitem")} GROUP BY 1, 2 ORDER BY q_band, p_band""",
+
+      "agg_null_profile" ->
+        s"""SELECT 'event_type' AS col_name, count(*) AS n_rows,
+  CAST(count(*) - count(event_type) AS BIGINT) AS n_null,
+  CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct FROM ${T("events")}
+UNION ALL
+SELECT 'user_id', count(*), CAST(count(*) - count(user_id) AS BIGINT),
+  CAST(count(DISTINCT user_id) AS BIGINT) FROM ${T("events")}
+UNION ALL
+SELECT 'value', count(*), CAST(count(*) - count(value) AS BIGINT),
+  CAST(count(DISTINCT value) AS BIGINT) FROM ${T("events")}
+ORDER BY col_name""",
+
+      "agg_dup_key_audit" ->
+        s"""WITH k AS (SELECT o_custkey, o_orderdate, count(*) AS k
+  FROM ${T("orders")} GROUP BY 1, 2)
+SELECT count(*) AS n_keys,
+  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+  CAST(sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT) AS dup_rows,
+  CAST(max(k) AS BIGINT) AS max_multiplicity
+FROM k""",
+
+      // price x quantity products stay exact DECIMAL on BOTH sides
+      // (decimal x double would silently go double and order-sensitive).
+      "agg_weighted_avg" ->
+        s"""SELECT l_returnflag,
+  round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) /
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS wavg_price,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
+    AS avg_price,
+  count(*) AS n
+FROM ${T("lineitem")} GROUP BY 1 ORDER BY l_returnflag""",
+
+      // bool_and/bool_or skip NULL inputs identically in both engines.
+      "agg_bool_logic" ->
+        s"""SELECT event_type, bool_and(value > 0.0) AS every_pos,
+  bool_or(value > 90.0) AS some_high,
+  CAST(sum(CASE WHEN value > 90.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+  CAST(count(value) AS BIGINT) AS n_valued
+FROM ${T("events")} GROUP BY 1 ORDER BY event_type""",
+
+      // Forward as-of: the oracle runs the portable range-join +
+      // re-aggregate form (min over qualifying purchases); the engine
+      // runs the linear min-over-following window.
+      "join_asof_forward" ->
+        s"""WITH c AS (SELECT event_id, user_id, ts FROM ${T("events")}
+  WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL),
+p AS (SELECT user_id, ts FROM ${T("events")}
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT c.event_id, c.user_id, min(p.ts) AS next_purchase_ts
+FROM c JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts
+GROUP BY 1, 2 ORDER BY event_id""",
+
+      // Rolling mean/sigma from exact DECIMAL frame power sums; n=1
+      // rows yield NULL sd/flag via an explicit guard in both engines.
+      "win_rolling_band" ->
+        s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+  sum(CAST(value AS DECIMAL(18,2))) AS rev
+  FROM ${T("events")} WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1),
+s AS (SELECT day, rev, count(*) OVER w AS n, sum(rev) OVER w AS sx,
+  sum(CAST(rev * rev AS DECIMAL(38,4))) OVER w AS sxx
+  FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT day, round(CAST(rev AS DOUBLE), 2) AS revenue, CAST(n AS BIGINT) AS n_days,
+  round(CAST(sx AS DOUBLE) / n, 2) AS mean7,
+  CASE WHEN n > 1 THEN round(sqrt((n * CAST(sxx AS DOUBLE) -
+    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (n * (n - 1))), 4) END AS sd7,
+  CASE WHEN n > 1 THEN CAST(rev AS DOUBLE) > CAST(sx AS DOUBLE) / n +
+    sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+      (n * (n - 1))) * 2 END AS breakout_hi
+FROM s ORDER BY day""",
+
+      // Bucket is pure integer arithmetic — no float round on a
+      // boundary (see Pipelines.pipelineTtr scaladoc).
+      "pipeline_ttr" ->
+        s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM ${T("documents")}),
+pd AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT w) AS n_distinct
+  FROM t GROUP BY 1)
+SELECT (10 * n_distinct) // n_tok AS bucket, count(*) AS n_docs,
+  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 2) AS avg_tokens
+FROM pd GROUP BY 1 ORDER BY bucket""",
+
+      // H(w2|w1) = (S1 - S12)/N; each c*ln(c) term floor-quantized to
+      // BIGINT before the order-insensitive integer sum.
+      "pipeline_bigram_cond_entropy" ->
+        s"""WITH pos AS (SELECT doc_id, l, generate_subscripts(l, 1) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM ${T("documents")})),
+big AS (SELECT l[i] AS w1, l[i + 1] AS w2 FROM pos WHERE i < len(l)),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+s12 AS (SELECT CAST(sum(CAST(floor(CAST(c12 AS DOUBLE) * ln(CAST(c12 AS DOUBLE)) * 1e6)
+    AS BIGINT)) AS BIGINT) AS s12,
+  CAST(sum(c12) AS BIGINT) AS n, count(*) AS n_types FROM c12),
+s1 AS (SELECT CAST(sum(CAST(floor(CAST(c1 AS DOUBLE) * ln(CAST(c1 AS DOUBLE)) * 1e6)
+    AS BIGINT)) AS BIGINT) AS s1, count(*) AS n_contexts FROM c1)
+SELECT n AS n_bigrams, CAST(n_types AS BIGINT) AS n_bigram_types,
+  CAST(n_contexts AS BIGINT) AS n_contexts,
+  round(CAST(s1 - s12 AS DOUBLE) / 1e6 / n, 6) AS cond_entropy
+FROM s12, s1""",
+
+      // Verified-pair degree histogram over the shared LSH pair set.
+      "pipeline_dup_degree_distribution" ->
+        s"""WITH ${minhashCtes(dir)},
+vp AS (SELECT d1, d2
+  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+  WHERE cast(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5),
+ud AS (SELECT d1 FROM vp UNION ALL SELECT d2 FROM vp),
+deg AS (SELECT d1, count(*) AS degree FROM ud GROUP BY 1)
+SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_docs
+FROM deg GROUP BY 1 ORDER BY degree""",
+
+      // PMI over the top-40 df tokens (ties lexicographic); counts
+      // exact, one double tree rounded at 4.
+      "pipeline_pmi_top" ->
+        s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM ${T("documents")}),
+td AS (SELECT DISTINCT doc_id, w FROM t),
+df AS (SELECT w, count(*) AS df FROM td GROUP BY 1),
+top AS (SELECT w, df FROM df ORDER BY df DESC, w LIMIT 40),
+n AS (SELECT count(*) AS n_docs FROM ${T("documents")}),
+tt AS (SELECT td.doc_id, td.w, top.df FROM td JOIN top USING (w)),
+p AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c_ab,
+  max(a.df) AS df_a, max(b.df) AS df_b
+  FROM tt a JOIN tt b ON a.doc_id = b.doc_id AND a.w < b.w GROUP BY 1, 2)
+SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab, CAST(df_a AS BIGINT) AS df_a,
+  CAST(df_b AS BIGINT) AS df_b,
+  round(ln(CAST(n_docs * c_ab AS DOUBLE) / (df_a * df_b)), 4) AS pmi
+FROM p, n ORDER BY w1, w2""",
+
+      "text_word_len_histogram" ->
+        s"""WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w
+  FROM ${T("documents")}),
+w2 AS (SELECT w FROM w0 WHERE w <> ''),
+tot AS (SELECT count(*) AS n_total FROM w2)
+SELECT CAST(length(w) AS BIGINT) AS len, count(*) AS n,
+  CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+  round(CAST(count(*) AS DOUBLE) / n_total, 6) AS share
+FROM w2, tot GROUP BY len, n_total ORDER BY len""",
+
+      // Canonical s<t<u triangles, each contributing its 3 corners.
+      "graph_triangle_participation" ->
+        s"""$E,
+tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+  FROM e e1 JOIN e e2 ON e2.s = e1.t JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t),
+nodes AS (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri),
+deg AS (SELECT v, count(*) AS n_tri FROM nodes GROUP BY 1)
+SELECT CAST(n_tri AS BIGINT) AS n_triangles, count(*) AS n_nodes
+FROM deg GROUP BY 1 ORDER BY n_triangles""",
+
+      // Cardinalities only — Spark's set ops and DuckDB's list kernels
+      // make different order promises; both sides dedup before len.
+      "fn_array_setops" ->
+        s"""SELECT vec_id,
+  CAST(len(list_distinct(list_intersect(embedding[1:8], embedding[57:64])))
+    AS BIGINT) AS n_inter,
+  CAST(len(list_distinct(list_filter(embedding[1:8],
+    x -> NOT list_contains(embedding[57:64], x)))) AS BIGINT) AS n_except,
+  CAST(len(list_distinct(list_concat(embedding[1:8], embedding[57:64])))
+    AS BIGINT) AS n_union,
+  list_has_any(embedding[1:8], embedding[57:64]) AS overlap
+FROM ${T("embeddings")} WHERE vec_id < 400 ORDER BY vec_id""",
+
+      "fn_math2" ->
+        s"""SELECT l_orderkey, l_linenumber,
+  round(log2(l_extendedprice), 6) AS lg2,
+  round(log10(l_extendedprice), 6) AS lg10,
+  round(cbrt(l_quantity), 6) AS cbrt_q,
+  CAST(sign(l_extendedprice - 50000.0) AS BIGINT) AS sgn,
+  round(degrees(l_discount), 6) AS deg
+FROM ${T("lineitem")} WHERE l_orderkey <= 800 ORDER BY l_orderkey, l_linenumber"""
     )
   }
 }

@@ -113,7 +113,11 @@ object ScalingBench {
     // stay marginal traversal costs.
     val factDirs: Seq[String] = (Seq(
       "/root/testdata/sf0.01", "/root/testdata/sf0.1",
-      new java.io.File("fixtures/sf1_facts").getAbsolutePath))
+      new java.io.File("fixtures/sf1_facts").getAbsolutePath,
+      // 100x tier (round 8): 60M lineitem / 10.8M events — confirms
+      // the EDGES-build exponent holds past 10x
+      // (scripts/gen_sf10_facts.py, regenerate if absent)
+      new java.io.File("fixtures/sf10_facts").getAbsolutePath))
       .filter(d => new java.io.File(s"$d/events.parquet").exists() &&
         new java.io.File(s"$d/lineitem.parquet").exists())
     for (dir <- factDirs) {

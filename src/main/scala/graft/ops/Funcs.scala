@@ -279,4 +279,40 @@ object Funcs {
         asLong(length(base64(encode(col("s_name"), "UTF-8")))).as("b64_len"))
       .orderBy("s_suppkey")
 
+  /** Array set-operation family (§2.18, r8): intersect/except/union/
+    * overlap between the head-8 and tail-8 slices of each embedding.
+    * Only SIZES are emitted — Spark's set ops return distinct
+    * elements in first-argument order while DuckDB's list kernels
+    * make no order promise, so cardinalities are the portable
+    * contract (both sides deduplicate before counting). Float
+    * equality compares identical bits (same parquet values both
+    * engines). */
+  val fnArraySetops: Q = (s, d) => {
+    val h = slice(col("embedding"), 1, 8)
+    val t = slice(col("embedding"), 57, 8)
+    table(s, d, "embeddings")
+      .filter(col("vec_id") < 400)
+      .select(col("vec_id"),
+        asLong(size(array_intersect(h, t))).as("n_inter"),
+        asLong(size(array_except(h, t))).as("n_except"),
+        asLong(size(array_union(h, t))).as("n_union"),
+        arrays_overlap(h, t).as("overlap"))
+      .orderBy("vec_id")
+  }
+
+  /** Extended math family (§2.18, r8): log2/log10/cbrt/sign/degrees —
+    * deterministic IEEE unary functions (identical doubles in, one
+    * round each out); sign normalized to BIGINT (DuckDB returns
+    * INTEGER, Spark DOUBLE). */
+  val fnMath2: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .filter(col("l_orderkey") <= 800)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(log2(col("l_extendedprice")), 6).as("lg2"),
+        round(log10(col("l_extendedprice")), 6).as("lg10"),
+        round(cbrt(col("l_quantity")), 6).as("cbrt_q"),
+        asLong(signum(col("l_extendedprice") - 50000.0)).as("sgn"),
+        round(degrees(col("l_discount")), 6).as("deg"))
+      .orderBy("l_orderkey", "l_linenumber")
+
 }

@@ -329,4 +329,27 @@ object GraphOps {
       .orderBy("octave")
   }
 
+  /** Triangle-participation histogram (§2.18, r8): how many triangles
+    * each node sits in, histogrammed — the local-clustering SHAPE the
+    * single triangle count (graph_triangles) collapses; hub-and-spoke
+    * vs clique-rich graphs separate instantly here. Same canonical
+    * s<t<u enumeration as graph_triangles (each triangle counted
+    * once), each contributing its three corners; nodes in zero
+    * triangles have no row (by construction, same in the oracle).
+    * Scale: two broadcast-able joins over the sparse strong graph. */
+  val graphTriangleParticipation: Q = (s, d) => {
+    val e = Tables.edges(s, d)._1
+    val tris = e.as("e1")
+      .join(e.as("e2"), col("e2.s") === col("e1.t"))
+      .join(e.as("e3"), col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
+      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n_tri"))
+      .groupBy(col("n_tri"))
+      .agg(asLong(count(lit(1))).as("n_nodes"))
+      .select(asLong(col("n_tri")).as("n_triangles"), col("n_nodes"))
+      .orderBy("n_triangles")
+  }
+
 }

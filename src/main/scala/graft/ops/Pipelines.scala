@@ -1078,4 +1078,109 @@ object Pipelines {
       .limit(20)
   }
 
+  // ---- §2.18 (round 8) ----
+
+  /** Type-token-ratio histogram (§2.18): per-doc lexical diversity
+    * (distinct tokens / tokens) bucketed at 0.1 — template spam and
+    * boilerplate sit in the low buckets, natural prose high; the
+    * corpus-level screen next to pipeline_repetition. The bucket is
+    * PURE INTEGER arithmetic — (10·distinct) div tokens — so no
+    * float round ever sits on a bucket boundary (a 4dp round of the
+    * rational distinct/tokens can land exactly on a .xxxx5 knife
+    * edge, where the two engines' round implementations disagree).
+    * Scale: one doc_id map-combined aggregate + an 11-bucket
+    * reduce. */
+  val pipelineTtr: Q = (s, d) =>
+    table(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("w")).as("n_distinct"))
+      .groupBy(expr("(10 * n_distinct) div n_tok").as("bucket"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        round(sum(col("n_tok")).cast(DoubleType) / count(lit(1)), 2).as("avg_tokens"))
+      .orderBy("bucket")
+
+  /** Corpus bigram conditional entropy H(w2|w1) (§2.18): the one-number
+    * sequence-predictability telemetry next to pipeline_bigram_logprob
+    * (H = (Σ c1·ln c1 − Σ c12·ln c12)/N from exact counts). Each
+    * c·ln c term is quantized floor(x·1e6)→BIGINT before the
+    * order-insensitive integer sum — the logprob family's
+    * engine-independent discipline. Scale: one in-row bigram
+    * expansion, two vocab-bounded aggregates. */
+  val pipelineBigramCondEntropy: Q = (s, d) => {
+    val big = table(s, d, "documents")
+      .select(split(col("text"), " ").as("l"))
+      .select(explode(expr(
+        "transform(slice(l, 1, size(l) - 1), (x, i) -> " +
+          "struct(x AS w1, element_at(l, i + 2) AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val s12 = c12.agg(
+      sum(floor(col("c12").cast(DoubleType) * log(col("c12").cast(DoubleType)) * 1e6)
+        .cast(LongType)).as("s12"),
+      sum(col("c12")).as("n"), count(lit(1)).as("n_types"))
+    val s1 = c1.agg(
+      sum(floor(col("c1").cast(DoubleType) * log(col("c1").cast(DoubleType)) * 1e6)
+        .cast(LongType)).as("s1"),
+      count(lit(1)).as("n_contexts"))
+    s12.crossJoin(s1)
+      .select(asLong(col("n")).as("n_bigrams"),
+        asLong(col("n_types")).as("n_bigram_types"),
+        asLong(col("n_contexts")).as("n_contexts"),
+        round((col("s1") - col("s12")).cast(DoubleType) / 1e6 / col("n"), 6)
+          .as("cond_entropy"))
+  }
+
+  /** Near-dup degree distribution (§2.18): how many LSH-verified
+    * near-dup partners each affected doc has, histogrammed — the
+    * shape that distinguishes "isolated pairs" from "one giant
+    * template cluster" before dedup_clusters runs the full CC. Reuses
+    * the persisted verified pair set (marginal cost, like
+    * pipeline_dedup_cross_source). Docs with zero partners are not in
+    * the pair set and therefore not rows here (by construction, same
+    * in the oracle). */
+  val pipelineDupDegreeDistribution: Q = (s, d) => {
+    val pairs = dedupMinhashLsh(s, d).select(col("d1"), col("d2"))
+    pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .groupBy(col("d1"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(asLong(count(lit(1))).as("n_docs"))
+      .select(asLong(col("degree")).as("degree"), col("n_docs"))
+      .orderBy("degree")
+  }
+
+  /** Pointwise mutual information over the top-40 tokens (§2.18):
+    * collocation mining — PMI = ln(N·c_ab/(df_a·df_b)) on document
+    * co-occurrence, restricted to the 40 highest-document-frequency
+    * tokens (ties broken lexicographically) so the pair space is
+    * bounded at 780 regardless of corpus size — the standard
+    * frequency-cutoff PMI shape. All counts exact; the PMI is one
+    * double tree rounded at 4. Scale: df aggregate + a broadcast
+    * top-40 semi-join + a per-doc bounded self-join. */
+  val pipelinePmiTop: Q = (s, d) => {
+    val td = table(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val df = td.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val top = df.orderBy(col("df").desc, col("w")).limit(40)
+    val nDocs = table(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+    val tdTop = td.join(broadcast(top), Seq("w"))
+      .select(col("doc_id"), col("w"), col("df"))
+    val pairs = tdTop.as("a")
+      .join(tdTop.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      .agg(count(lit(1)).as("c_ab"),
+        first(col("a.df")).as("df_a"), first(col("b.df")).as("df_b"))
+    pairs.crossJoin(broadcast(nDocs))
+      .select(col("w1"), col("w2"), asLong(col("c_ab")).as("c_ab"),
+        asLong(col("df_a")).as("df_a"), asLong(col("df_b")).as("df_b"),
+        round(log((col("n_docs") * col("c_ab")).cast(DoubleType) /
+          (col("df_a") * col("df_b")).cast(DoubleType)), 4).as("pmi"))
+      .orderBy("w1", "w2")
+  }
+
 }

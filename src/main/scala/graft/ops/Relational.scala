@@ -1623,4 +1623,130 @@ object Relational {
       .orderBy("digit")
   }
 
+  // ---- §2.18 (round 8) ----
+
+  /** Top-1% revenue concentration (§2.18): the share of total order
+    * revenue held by customers at or above the p99 per-customer
+    * revenue — the single number behind "whales carry the business".
+    * Per-customer revenue is the 2dp-rounded DECIMAL sum (identical
+    * doubles feed the interpolated percentile in both engines, the
+    * agg_iqr contract); the share divides two DECIMAL-exact sums once.
+    * Scale: one o_custkey aggregate, a bounded percentile, a 1-row
+    * broadcast threshold. */
+  val aggTop1pctShare: Q = (s, d) => {
+    val rev = table(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(dec2(col("o_totalprice"))).cast(DoubleType), 2).as("rev"))
+    val thr = rev.agg(expr("percentile(rev, 0.99D)").as("thr"))
+    rev.crossJoin(broadcast(thr))
+      .agg(asLong(count(lit(1))).as("n_customers"),
+        asLong(sum(when(col("rev") >= col("thr"), 1L).otherwise(0L))).as("n_top"),
+        round(sum(when(col("rev") >= col("thr"), col("rev").cast(D18_2)))
+          .cast(DoubleType) /
+          sum(col("rev").cast(D18_2)).cast(DoubleType), 6).as("top_share"))
+  }
+
+  /** 2-D histogram (§2.18): quantity-band x price-band cell counts
+    * with revenue mass — the joint-distribution read a 1-D histogram
+    * cannot give. Both bucket ids derive from exact/identical
+    * arithmetic (quantity is integral; the price division runs on the
+    * same 2dp double in both engines before floor). Scale: one
+    * map-combined aggregate over a bounded 5x6 grid. */
+  val aggHist2d: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .groupBy(floor((col("l_quantity") - 1) / 10).cast(LongType).as("q_band"),
+        floor(col("l_extendedprice") / 20000).cast(LongType).as("p_band"))
+      .agg(count(lit(1)).as("n"),
+        moneySum2(col("l_extendedprice")).as("revenue"))
+      .select(col("q_band"), col("p_band"), asLong(col("n")).as("n"), col("revenue"))
+      .orderBy("q_band", "p_band")
+
+  /** Column null/cardinality profile (§2.18): the data-quality summary
+    * (rows, nulls, distinct) every ingestion pipeline runs before
+    * trusting a table — here over the three events columns with
+    * distinct failure modes. Exact counts only. Scale: three
+    * map-combined aggregates over one scan each (count_distinct
+    * shuffles per column; a sketch swaps in at 100 TB —
+    * agg_bitmap_distinct is the exact-bitmap variant). */
+  val aggNullProfile: Q = (s, d) => {
+    val e = table(s, d, "events")
+    def prof(c: String) = e.agg(
+      lit(c).as("col_name"),
+      asLong(count(lit(1))).as("n_rows"),
+      asLong(count(lit(1)) - count(col(c))).as("n_null"),
+      asLong(countDistinct(col(c))).as("n_distinct"))
+    prof("user_id").unionAll(prof("value")).unionAll(prof("event_type"))
+      .orderBy("col_name")
+  }
+
+  /** Duplicate-key audit (§2.18): collision census over a candidate
+    * natural key (o_custkey, o_orderdate) — the uniqueness check run
+    * before declaring any key. Exact integer outputs. Scale: one
+    * key-grain map-combined aggregate, then a 1-row reduce. */
+  val aggDupKeyAudit: Q = (s, d) =>
+    table(s, d, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(count(lit(1)).as("k"))
+      .agg(asLong(count(lit(1))).as("n_keys"),
+        asLong(sum(when(col("k") > 1, 1L).otherwise(0L))).as("n_dup_keys"),
+        asLong(sum(when(col("k") > 1, col("k")).otherwise(0L))).as("dup_rows"),
+        asLong(max(col("k"))).as("max_multiplicity"))
+
+  /** Quantity-weighted average price per return flag (§2.18): the
+    * weighted mean next to the plain mean (decAvg) — price·quantity
+    * products stay exact DECIMAL (18,2 x integral ≤ 50 fits 38,4),
+    * one double division each at the end. Scale: 3-group map-combined
+    * aggregate. */
+  val aggWeightedAvg: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum((dec2(col("l_extendedprice")) * dec2(col("l_quantity")))
+          .cast(DecimalType(38, 4))).cast(DoubleType) /
+          sum(dec2(col("l_quantity"))).cast(DoubleType), 4).as("wavg_price"),
+        decAvg(col("l_extendedprice"), 4).as("avg_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Boolean-aggregate family (§2.18): every/some/count-if per event
+    * type — the assertion-style data-quality predicates (bool_and /
+    * bool_or skip NULL inputs identically in both engines, so the
+    * nullable value column exercises exactly that contract). Scale:
+    * map-combined; booleans reduce per group. */
+  val aggBoolLogic: Q = (s, d) =>
+    table(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("bool_and(value > 0.0)").as("every_pos"),
+        expr("bool_or(value > 90.0)").as("some_high"),
+        asLong(sum(when(col("value") > 90.0, 1L).otherwise(0L))).as("n_high"),
+        asLong(count(col("value"))).as("n_valued"))
+      .orderBy("event_type")
+
+  /** FORWARD as-of join (§2.18): for every click, the same user's
+    * EARLIEST purchase at/after it — the mirror of join_asof (time-to-
+    * conversion joins read forward). Same linear union + running-
+    * extremum shape: one user_id shuffle, min-over-following frame,
+    * O(|events|) rows — never the range-join's per-pair blowup (the
+    * oracle still runs the portable range-join + re-aggregate form).
+    * Clicks sort before purchases at equal ts (boolean asc) so the
+    * inclusive bound holds; NULL user_ids are dropped to match the
+    * oracle's equi-join. */
+  val joinAsofForward: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_p"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    table(s, d, "events")
+      // ts IS NOT NULL on BOTH sides (and in the oracle): a null-ts
+      // click would sort nulls-first and see every purchase in its
+      // following frame, where the oracle's p.ts >= c.ts drops it
+      .filter(col("event_type").isin("click", "purchase") &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("event_type") === "purchase").as("is_p"))
+      .withColumn("np_ts", min(when(col("is_p"), col("ts"))).over(w))
+      .filter(!col("is_p") && col("np_ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("np_ts").as("next_purchase_ts"))
+      .orderBy("event_id")
+  }
+
 }

@@ -565,4 +565,146 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  // ---- §2.18 (round 8) ----
+
+  /** Day-of-week traffic profile (§2.18): events, purchases, purchase
+    * revenue and traffic share per weekday — the weekly-seasonality
+    * read behind every capacity/campaign decision. dow normalized to
+    * DuckDB's 0=Sunday (Spark's dayofweek is 1=Sunday). Share divides
+    * exact counts (one rounded division); revenue through the DECIMAL
+    * sum. Scale: one 7-group map-combined aggregate + a 1-row
+    * broadcast total. */
+  val tsDowProfile: Q = (s, d) => {
+    val e = table(s, d, "events")
+    val byDow = e.groupBy((dayofweek(col("ts")) - 1).as("dow"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"),
+        sum(when(col("event_type") === "purchase", dec2(col("value")))).as("rev"))
+    val tot = e.agg(count(lit(1)).as("n_total"))
+    byDow.crossJoin(broadcast(tot))
+      .select(asLong(col("dow")).as("dow"),
+        asLong(col("n_events")).as("n_events"),
+        asLong(col("n_purch")).as("n_purchases"),
+        round(col("rev").cast(DoubleType), 2).as("purchase_revenue"),
+        round(col("n_events").cast(DoubleType) / col("n_total"), 6).as("share"))
+      .orderBy("dow")
+  }
+
+  /** (weekday x hour) activity heatmap (§2.18): the calendar grid every
+    * operations dashboard renders. 7x24 bounded output; value mass via
+    * the DECIMAL sum (null-heavy cells stay null identically in both
+    * engines). One map-combined aggregate. */
+  val tsDayHourHeatmap: Q = (s, d) =>
+    table(s, d, "events")
+      .groupBy((dayofweek(col("ts")) - 1).as("dow"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).as("v"))
+      .select(asLong(col("dow")).as("dow"), asLong(col("h")).as("h"),
+        asLong(col("n")).as("n"),
+        round(col("v").cast(DoubleType), 2).as("v_sum"))
+      .orderBy("dow", "h")
+
+  /** MAU / avg-DAU / stickiness per month (§2.18): the
+    * engagement-ratio telemetry (DAU/MAU) in its exact form — both
+    * distinct counts are exact, the two divisions run left-to-right
+    * on identical operands in both engines. Scale: two user_id-keyed
+    * aggregates (day grain and month grain) joined on the bounded
+    * month relation. */
+  val tsMauStickiness: Q = (s, d) => {
+    val e = table(s, d, "events").filter(col("user_id").isNotNull)
+    val daily = e.groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val perMonth = daily.groupBy(date_trunc("month", col("day")).as("month"))
+      .agg(sum(col("dau")).as("sum_dau"), count(lit(1)).as("n_days"))
+    val mau = e.groupBy(date_trunc("month", col("ts")).as("month"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    perMonth.join(mau, Seq("month"))
+      .select(col("month").cast(DateType).as("month"),
+        asLong(col("mau")).as("mau"),
+        asLong(col("n_days")).as("n_days"),
+        round(col("sum_dau").cast(DoubleType) / col("n_days"), 2).as("avg_dau"),
+        round(col("sum_dau").cast(DoubleType) / col("n_days") / col("mau"), 6)
+          .as("stickiness"))
+      .orderBy("month")
+  }
+
+  /** Lag-1 autocorrelation of daily purchase revenue (§2.18): the
+    * one-number momentum/seasonality screen next to ts_trend_slope.
+    * Consecutive-day pairs come from an equi-join on day+1 (identical
+    * missing-day semantics in both engines — absent days break pairs);
+    * the Pearson r runs on exact DECIMAL power sums (products stay
+    * within DECIMAL(38,4)) cast once to double into one fixed IEEE
+    * closed form, the ts_rolling_corr discipline. Scale: one
+    * date-grain aggregate, a self-join on the bounded day relation. */
+  val tsAutocorrLag1: Q = (s, d) => {
+    val daily = table(s, d, "events")
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(dec2(col("value"))).as("rev"))
+    val pairs = daily.select(col("day"), col("rev").as("x"))
+      .join(daily.select(date_add(col("day"), 1).as("day"), col("rev").as("y")),
+        Seq("day"))
+    val sums = pairs.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("y")).cast(DecimalType(38, 4))).as("sxy"),
+      sum((col("x") * col("x")).cast(DecimalType(38, 4))).as("sxx"),
+      sum((col("y") * col("y")).cast(DecimalType(38, 4))).as("syy"))
+    val nD = col("n").cast(DoubleType)
+    def D(c: String) = col(c).cast(DoubleType)
+    sums.select(asLong(col("n")).as("n_pairs"),
+      round((nD * D("sxy") - D("sx") * D("sy")) /
+        (sqrt(nD * D("sxx") - D("sx") * D("sx")) *
+          sqrt(nD * D("syy") - D("sy") * D("sy"))), 6).as("autocorr_lag1"))
+  }
+
+  /** Robust daily-revenue anomaly screen (§2.18): |x − median| >
+    * 3·1.4826·MAD — the outlier detector that, unlike
+    * ts_anomaly_zscore, is not itself distorted by the outliers it
+    * hunts. Two-pass median/MAD (the agg_mad recipe) on the 2dp-
+    * rounded daily revenue, broadcast back; the fence comparison runs
+    * one identical double product in both engines (single fused
+    * constant 4.4478 = 3·1.4826). Scale: date-grain aggregate + two
+    * bounded median passes + a 1-row broadcast. */
+  val tsAnomalyMad: Q = (s, d) => {
+    val daily = table(s, d, "events")
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum(dec2(col("value"))).cast(DoubleType), 2).as("rev"))
+    val med = daily.agg(median(col("rev")).as("med"))
+    val mad = daily.crossJoin(broadcast(med))
+      .agg(first(col("med")).as("med"),
+        median(abs(col("rev") - col("med"))).as("mad"))
+    // abs_dev runs in EXACT DECIMAL(18,3): rev is 2dp, a median of 2dp
+    // values has at most 3 decimals (interpolated midpoint), and the
+    // doubles sit within ~1e-13 of those decimals so both engines cast
+    // to the identical DECIMAL — where round(rev - med, 2) hit a
+    // literal .885 knife edge at sf0.001 (Spark rounds the expansion,
+    // DuckDB the scaled double). The exact decimal difference needs no
+    // rounding at all.
+    daily.crossJoin(broadcast(mad))
+      .select(col("day"), col("rev").as("revenue"),
+        abs(col("rev").cast(DecimalType(18, 3)) - col("med").cast(DecimalType(18, 3)))
+          .cast(DoubleType).as("abs_dev"),
+        (abs(col("rev") - col("med")) > col("mad") * 4.4478).as("is_anomaly"))
+      .orderBy("day")
+  }
+
+  /** Per-user lifecycle table (§2.18): first/last active day, active
+    * days, events and calendar span — the cohort-independent LTV/churn
+    * input every growth model starts from. All exact (dates, counts,
+    * datediff). Scale: one user_id map-combined aggregate. */
+  val tsUserLifecycle: Q = (s, d) =>
+    table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"),
+        max(to_date(col("ts"))).as("last_day"),
+        countDistinct(to_date(col("ts"))).as("active_days"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("first_day"), col("last_day"),
+        asLong(col("active_days")).as("active_days"),
+        asLong(col("n_events")).as("n_events"),
+        asLong(datediff(col("last_day"), col("first_day"))).as("span_days"))
+      .orderBy("user_id")
+
 }

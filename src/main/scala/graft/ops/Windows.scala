@@ -223,4 +223,36 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** 7-day rolling mean/σ band over daily purchase revenue with a
+    * breakout flag (§2.18, r8): the Bollinger-style monitor next to
+    * ts_ewma. Power sums over the frame stay exact DECIMAL (Σx 18,2;
+    * Σx² 38,4) so mean/σ evaluate one identical IEEE tree per engine;
+    * the ±2σ comparison runs on those exact doubles; the first frame
+    * (n=1) yields a NULL flag via an explicit guard (σ undefined).
+    * The window runs over DAYS — calendar-bounded regardless of SF,
+    * the same justification as ts_daily_revenue_growth. */
+  val winRollingBand: Q = (s, d) => {
+    val daily = table(s, d, "events")
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(dec2(col("value"))).as("rev"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+    val sums = daily.select(col("day"), col("rev"),
+      count(lit(1)).over(w).as("n"),
+      sum(col("rev")).over(w).as("sx"),
+      sum((col("rev") * col("rev")).cast(DecimalType(38, 4))).over(w).as("sxx"))
+    val nD = col("n").cast(DoubleType)
+    val mean = col("sx").cast(DoubleType) / nD
+    val sd = sqrt((nD * col("sxx").cast(DoubleType) -
+      col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) / (nD * (nD - 1)))
+    sums.select(col("day"),
+      round(col("rev").cast(DoubleType), 2).as("revenue"),
+      asLong(col("n")).as("n_days"),
+      round(mean, 2).as("mean7"),
+      when(col("n") > 1, round(sd, 4)).as("sd7"),
+      when(col("n") > 1, col("rev").cast(DoubleType) > mean + sd * 2)
+        .as("breakout_hi"))
+      .orderBy("day")
+  }
+
 }

@@ -150,7 +150,21 @@ class QuerySuiteSpec extends AnyFunSuite {
     "src_partitioned_roundtrip" -> 30L, "ts_error_rate_hourly" -> 531L,
     "ts_time_to_purchase" -> 210L, "pipeline_vocab_overlap" -> 10L,
     // round-7 widening: decile report, cross-source dup flow
-    "agg_decile_table" -> 10L, "pipeline_dedup_cross_source" -> 8L)
+    "agg_decile_table" -> 10L, "pipeline_dedup_cross_source" -> 8L,
+    // round-8 widening (§2.18): seasonality/engagement/robust-anomaly
+    // telemetry, data-quality audits, forward as-of, rolling band,
+    // text diversity/entropy/PMI, triangle participation, fn families
+    "ts_dow_profile" -> 7L, "ts_day_hour_heatmap" -> 167L,
+    "ts_mau_stickiness" -> 1L, "ts_autocorr_lag1" -> 1L,
+    "ts_anomaly_mad" -> 30L, "ts_user_lifecycle" -> 15L,
+    "agg_top1pct_share" -> 1L, "agg_hist2d" -> 30L,
+    "agg_null_profile" -> 3L, "agg_dup_key_audit" -> 1L,
+    "agg_weighted_avg" -> 3L, "agg_bool_logic" -> 5L,
+    "join_asof_forward" -> 194L, "win_rolling_band" -> 30L,
+    "pipeline_ttr" -> 9L, "pipeline_bigram_cond_entropy" -> 1L,
+    "pipeline_dup_degree_distribution" -> 1L, "pipeline_pmi_top" -> 465L,
+    "text_word_len_histogram" -> 6L, "graph_triangle_participation" -> 103L,
+    "fn_array_setops" -> 400L, "fn_math2" -> 3201L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
