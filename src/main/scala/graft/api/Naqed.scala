@@ -683,9 +683,12 @@ class Naqed(spark: SparkSession, sfDir: String) {
   /** Aggregation directive: `$groupBy -> field | Seq(fields)` plus
     * `$agg -> Map(outName -> "count" | "fn:field")` with fn in
     * {count, sum, min, max, avg, count_distinct}. `$`-arg filters at
-    * the same level apply BEFORE grouping; plain field selections and
-    * relation traversals don't mix with aggregation (naqed-style
-    * error). The naqed analytics surface alongside selection queries. */
+    * the same level apply BEFORE grouping; `$having -> Map("$min_n" ->
+    * 5, ...)` (round 8) applies the same `$`-condition convention to
+    * the AGGREGATE OUTPUTS and group keys AFTER grouping — the HAVING
+    * clause of the object API. Plain field selections and relation
+    * traversals don't mix with aggregation (naqed-style error). The
+    * naqed analytics surface alongside selection queries. */
   private def compileAggregate(tname: String, q: Map[String, Any],
       extraKeys: Seq[Column] = Nil): DataFrame = {
     var df = table(tname)
@@ -707,7 +710,8 @@ class Naqed(spark: SparkSession, sfDir: String) {
             "level takes only arg filters, $groupBy and $agg")
       }
     q.foreach {
-      case (k, v) if k.startsWith("$") && k != "$groupBy" && k != "$agg" =>
+      case (k, v) if k.startsWith("$") && k != "$groupBy" && k != "$agg" &&
+          k != "$having" =>
         val (colName, op) = argTarget(k.drop(1))
         if (!cols.contains(colName))
           throw new IllegalArgumentException(
@@ -737,11 +741,33 @@ class Naqed(spark: SparkSession, sfDir: String) {
       }
     }
     val aggs = aggSpec.toSeq.sortBy(_._1).map { case (out, spec) => aggCol(out, spec) }
-    df.groupBy(extraKeys ++ keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val agged = df.groupBy(extraKeys ++ keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    q.get("$having").fold(agged) {
+      case m: Map[_, _] =>
+        val conds = m.asInstanceOf[Map[String, Any]]
+        val targets = (keys ++ aggSpec.keys).toSet
+        conds.toSeq.sortBy(_._1).foldLeft(agged) { case (acc, (k, v)) =>
+          if (!k.startsWith("$"))
+            throw new IllegalArgumentException(
+              s"$$having conditions use the $$-arg convention over aggregate " +
+                s"outputs (e.g. \"$$min_n\" -> 5), got '$k'")
+          val (colName, op) = argTarget(k.drop(1))
+          if (!targets.contains(colName))
+            throw new IllegalArgumentException(
+              s"$$having target '$colName' is neither a group key nor an " +
+                s"aggregate output; available: ${targets.toSeq.sorted.mkString(", ")}")
+          acc.filter(op(col(colName), v))
+        }
+      case other => throw new IllegalArgumentException(
+        s"$$having must be a map of $$-conditions over aggregate outputs, got: $other")
+    }
   }
 
   private def compile(tname: String, q: Map[String, Any]): DataFrame = {
     if (q.contains("$groupBy")) return compileAggregate(tname, q)
+    if (q.contains("$having"))
+      throw new IllegalArgumentException(
+        "$having filters aggregate outputs — it needs $groupBy at the same level")
     var df = table(tname)
     val cols = df.columns.toSet
     // output columns tracked BY NAME (every selection is named `k`

@@ -492,6 +492,43 @@ class NaqedSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, s"$out/orders").count() == o.count() - wantGone)
   }
 
+  test("$having filters aggregate outputs with the $-arg convention") {
+    val got = naqed.request("orders", Map(
+      "$groupBy" -> "o_custkey",
+      "$agg" -> Map("n" -> "count", "rev" -> "sum:o_totalprice"),
+      "$having" -> Map("$min_n" -> 3L)))
+    val want = Tables(spark, sf0001, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3)
+    assert(got.count() == want.count() && got.count() > 0)
+    // group keys are valid targets too; conditions AND together
+    val both = naqed.request("orders", Map(
+      "$groupBy" -> "o_custkey", "$agg" -> Map("n" -> "count"),
+      "$having" -> Map("$min_n" -> 3L, "$max_o_custkey" -> 10L)))
+    val wantBoth = want.filter(col("o_custkey") <= 10)
+    assert(both.count() == wantBoth.count())
+    // composes with pagination on the filtered aggregate
+    val top = naqed.request("orders", Map(
+      "$groupBy" -> "o_custkey", "$agg" -> Map("n" -> "count"),
+      "$having" -> Map("$min_n" -> 3L), "$sort" -> "-n", "$limit" -> 2))
+    assert(top.count() == 2)
+    // naqed-style errors: unknown target, bad key shape, missing groupBy
+    val e1 = intercept[IllegalArgumentException] {
+      naqed.request("orders", Map("$groupBy" -> "o_orderstatus",
+        "$agg" -> Map("n" -> "count"), "$having" -> Map("$min_bogus" -> 1)))
+    }
+    assert(e1.getMessage.contains("neither a group key nor an aggregate"))
+    val e2 = intercept[IllegalArgumentException] {
+      naqed.request("orders", Map("$groupBy" -> "o_orderstatus",
+        "$agg" -> Map("n" -> "count"), "$having" -> Map("n" -> 1)))
+    }
+    assert(e2.getMessage.contains("$-arg convention"))
+    val e3 = intercept[IllegalArgumentException] {
+      naqed.request("orders", Map("o_orderkey" -> true, "$having" -> Map("$min_n" -> 1)))
+    }
+    assert(e3.getMessage.contains("needs $groupBy"))
+  }
+
   test("keyset cursor over a NULLABLE sort key: desc and asc walks lose no rows") {
     // round-7 ADVICE (medium): desc sorts place NULLs last and a bare
     // col < lit(v) cursor predicate is NULL on null rows — a paged
