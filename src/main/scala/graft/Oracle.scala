@@ -2739,7 +2739,87 @@ FROM ${T("embeddings")} WHERE vec_id < 400 ORDER BY vec_id""",
   round(cbrt(l_quantity), 6) AS cbrt_q,
   CAST(sign(l_extendedprice - 50000.0) AS BIGINT) AS sgn,
   round(degrees(l_discount), 6) AS deg
-FROM ${T("lineitem")} WHERE l_orderkey <= 800 ORDER BY l_orderkey, l_linenumber"""
+FROM ${T("lineitem")} WHERE l_orderkey <= 800 ORDER BY l_orderkey, l_linenumber""",
+
+      // ---- §2.18b (round 8, second batch) ----
+
+      "agg_sequence_gaps" ->
+        s"""SELECT CAST(min(o_orderkey) AS BIGINT) AS lo,
+  CAST(max(o_orderkey) AS BIGINT) AS hi, count(*) AS n_rows,
+  CAST(max(o_orderkey) - min(o_orderkey) + 1 - count(*) AS BIGINT) AS n_missing
+FROM ${T("orders")}""",
+
+      // Two-level rollup share: both sums exact DECIMAL, one division.
+      "agg_share_of_parent" ->
+        s"""WITH rev AS (
+  SELECT r_name, n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM ${T("orders")} o
+  JOIN ${T("customer")} c ON o.o_custkey = c.c_custkey
+  JOIN ${T("nation")} n ON c.c_nationkey = n.n_nationkey
+  JOIN ${T("region")} r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2),
+p AS (SELECT r_name, sum(rev) AS r_rev FROM rev GROUP BY 1)
+SELECT rev.r_name, n_name, round(CAST(rev AS DOUBLE), 2) AS revenue,
+  round(CAST(rev AS DOUBLE) / CAST(r_rev AS DOUBLE), 6) AS share_of_region
+FROM rev JOIN p ON rev.r_name = p.r_name ORDER BY rev.r_name, n_name""",
+
+      "ts_new_vs_returning" ->
+        s"""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+  FROM ${T("events")} WHERE user_id IS NOT NULL GROUP BY 1),
+du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+  FROM ${T("events")} WHERE user_id IS NOT NULL)
+SELECT day, count(*) AS n_active,
+  CAST(sum(CASE WHEN first_day = day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+  CAST(count(*) - sum(CASE WHEN first_day = day THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_returning
+FROM du JOIN f USING (user_id) GROUP BY 1 ORDER BY day""",
+
+      // rank/dense_rank deterministic under ties by definition;
+      // row_number totalized with the key columns.
+      "win_rank_variants" ->
+        s"""SELECT l_orderkey, l_linenumber, l_returnflag,
+  CAST(l_quantity AS BIGINT) AS qty,
+  CAST(rank() OVER wt AS BIGINT) AS rnk,
+  CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+  CAST(row_number() OVER wo AS BIGINT) AS rn
+FROM ${T("lineitem")} WHERE l_orderkey <= 300
+WINDOW wt AS (PARTITION BY l_returnflag ORDER BY l_quantity),
+  wo AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)
+ORDER BY l_orderkey, l_linenumber""",
+
+      // Running and total are both exact DECIMAL window sums; the
+      // share divides identical operands.
+      "win_group_cumshare" ->
+        s"""SELECT o_orderkey, o_orderstatus, o_totalprice,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER wr AS DOUBLE) /
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER wa AS DOUBLE), 6)
+    AS cum_share
+FROM ${T("orders")} WHERE o_orderkey <= 5000
+WINDOW wr AS (PARTITION BY o_orderstatus
+    ORDER BY o_totalprice DESC, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  wa AS (PARTITION BY o_orderstatus
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_orderkey""",
+
+      "pipeline_hapax_ratio" ->
+        s"""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+  FROM ${T("documents")}),
+f AS (SELECT source, w, count(*) AS cnt FROM t GROUP BY 1, 2)
+SELECT source, count(*) AS vocab,
+  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+  round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+    AS hapax_ratio
+FROM f GROUP BY 1 ORDER BY source""",
+
+      "fn_string3" ->
+        s"""SELECT p_partkey,
+  translate(p_name, 'aeiou', 'AEIOU') AS tr,
+  CAST(ascii(substr(p_brand, 1, 1)) AS BIGINT) AS asc1,
+  chr(CAST(p_partkey % 26 + 97 AS INTEGER)) AS key_chr,
+  ends_with(p_name, 'e') AS ends_e
+FROM ${T("part")} WHERE p_partkey <= 400 ORDER BY p_partkey"""
     )
   }
 }

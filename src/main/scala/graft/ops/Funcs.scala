@@ -300,6 +300,19 @@ object Funcs {
       .orderBy("vec_id")
   }
 
+  /** Third string family (§2.18b): translate / ascii / chr /
+    * ends_with — the character-mapping functions the first two string
+    * families don't touch. All deterministic byte-level operations. */
+  val fnString3: Q = (s, d) =>
+    table(s, d, "part")
+      .filter(col("p_partkey") <= 400)
+      .select(col("p_partkey"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+        asLong(ascii(substring(col("p_brand"), 1, 1))).as("asc1"),
+        chr(pmod(col("p_partkey"), lit(26)) + 97).as("key_chr"),
+        col("p_name").endsWith("e").as("ends_e"))
+      .orderBy("p_partkey")
+
   /** Extended math family (§2.18, r8): log2/log10/cbrt/sign/degrees —
     * deterministic IEEE unary functions (identical doubles in, one
     * round each out); sign normalized to BIGINT (DuckDB returns

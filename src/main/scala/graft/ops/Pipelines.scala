@@ -1152,6 +1152,25 @@ object Pipelines {
       .orderBy("degree")
   }
 
+  /** Hapax-legomena ratio per source (§2.18b): the share of a source's
+    * vocabulary occurring exactly once — the lexical-richness /
+    * template-detection number (boilerplate sources have tiny hapax
+    * shares; natural text large). Exact counts, one rounded division.
+    * Scale: one (source, token) map-combined aggregate over the
+    * source-bounded vocab relation. */
+  val pipelineHapaxRatio: Q = (s, d) =>
+    table(s, d, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(asLong(count(lit(1))).as("vocab"),
+        asLong(sum(when(col("cnt") === 1, 1L).otherwise(0L))).as("hapax"),
+        asLong(sum(col("cnt"))).as("n_tokens"))
+      .select(col("source"), col("vocab"), col("hapax"), col("n_tokens"),
+        round(col("hapax").cast(DoubleType) / col("vocab"), 6).as("hapax_ratio"))
+      .orderBy("source")
+
   /** Pointwise mutual information over the top-40 tokens (§2.18):
     * collocation mining — PMI = ln(N·c_ab/(df_a·df_b)) on document
     * co-occurrence, restricted to the 40 highest-document-frequency

@@ -1722,6 +1722,41 @@ object Relational {
         asLong(count(col("value"))).as("n_valued"))
       .orderBy("event_type")
 
+  /** Key-sequence gap audit (§2.18b): span vs population of the
+    * o_orderkey sequence — the completeness check run on any
+    * supposedly-dense surrogate key after an ingest (missing = span −
+    * rows; orderkey is unique so count == distinct). Exact integers.
+    * Scale: one map-combined min/max/count scan. */
+  val aggSequenceGaps: Q = (s, d) =>
+    table(s, d, "orders")
+      .agg(asLong(min(col("o_orderkey"))).as("lo"),
+        asLong(max(col("o_orderkey"))).as("hi"),
+        asLong(count(lit(1))).as("n_rows"))
+      .select(col("lo"), col("hi"), col("n_rows"),
+        (col("hi") - col("lo") + 1 - col("n_rows")).as("n_missing"))
+
+  /** Share-of-parent rollup (§2.18b): nation revenue as a share of its
+    * region's — the two-level BI read (every drill-down report shows
+    * child-within-parent shares). Both levels are exact DECIMAL sums;
+    * the share is one double division on identical operands. Scale:
+    * one (region, nation) aggregate over the dim-broadcast join, then
+    * a 5-row parent aggregate broadcast back. */
+  val aggShareOfParent: Q = (s, d) => {
+    val rev = table(s, d, "orders")
+      .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+    val parent = rev.groupBy(col("r_name")).agg(sum(col("rev")).as("r_rev"))
+    rev.join(broadcast(parent), Seq("r_name"))
+      .select(col("r_name"), col("n_name"),
+        round(col("rev").cast(DoubleType), 2).as("revenue"),
+        round(col("rev").cast(DoubleType) / col("r_rev").cast(DoubleType), 6)
+          .as("share_of_region"))
+      .orderBy("r_name", "n_name")
+  }
+
   /** FORWARD as-of join (§2.18): for every click, the same user's
     * EARLIEST purchase at/after it — the mirror of join_asof (time-to-
     * conversion joins read forward). Same linear union + running-

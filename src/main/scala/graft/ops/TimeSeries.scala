@@ -689,6 +689,26 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** New-vs-returning daily split (§2.18b): per day, active users
+    * partitioned into first-seen-today vs returning — the acquisition/
+    * retention split next to ts_cohort_retention (which reads the same
+    * fact by cohort, not by day). Exact counts; first-seen day from a
+    * user-grain min. Scale: one user_id aggregate broadcast against
+    * the distinct (day, user) relation. */
+  val tsNewVsReturning: Q = (s, d) => {
+    val e = table(s, d, "events").filter(col("user_id").isNotNull)
+    val first = e.groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("first_day"))
+    e.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .join(first, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(asLong(count(lit(1))).as("n_active"),
+        asLong(sum(when(col("first_day") === col("day"), 1L).otherwise(0L)))
+          .as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"))
+      .orderBy("day")
+  }
+
   /** Per-user lifecycle table (§2.18): first/last active day, active
     * days, events and calendar span — the cohort-independent LTV/churn
     * input every growth model starts from. All exact (dates, counts,

@@ -223,6 +223,46 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** rank vs dense_rank vs row_number under ties (§2.18b): the three
+    * rank semantics side by side on a heavily tied key (integral
+    * quantities) — rank/dense_rank are deterministic under ties by
+    * definition; row_number is totalized with the key columns so it
+    * is too. Per-flag partitioned windows, one shuffle. */
+  val winRankVariants: Q = (s, d) => {
+    val wTied = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    val wTotal = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    table(s, d, "lineitem")
+      .filter(col("l_orderkey") <= 300)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        asLong(col("l_quantity")).as("qty"),
+        asLong(rank().over(wTied)).as("rnk"),
+        asLong(dense_rank().over(wTied)).as("drnk"),
+        asLong(row_number().over(wTotal)).as("rn"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Per-group cumulative revenue share (§2.18b): orders ranked desc
+    * by price within status, each carrying the running share of its
+    * group's total — the per-group Pareto curve (pareto_revenue is the
+    * global 3-row summary; this is the row-level curve). Both the
+    * running sum and the group total are exact DECIMAL window sums;
+    * the share divides identical operands. One status shuffle. */
+  val winGroupCumshare: Q = (s, d) => {
+    val wRun = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("o_orderstatus"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    table(s, d, "orders")
+      .filter(col("o_orderkey") <= 5000)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        round(sum(dec2(col("o_totalprice"))).over(wRun).cast(DoubleType) /
+          sum(dec2(col("o_totalprice"))).over(wAll).cast(DoubleType), 6)
+          .as("cum_share"))
+      .orderBy("o_orderkey")
+  }
+
   /** 7-day rolling mean/σ band over daily purchase revenue with a
     * breakout flag (§2.18, r8): the Bollinger-style monitor next to
     * ts_ewma. Power sums over the frame stay exact DECIMAL (Σx 18,2;

@@ -164,7 +164,13 @@ class QuerySuiteSpec extends AnyFunSuite {
     "pipeline_ttr" -> 9L, "pipeline_bigram_cond_entropy" -> 1L,
     "pipeline_dup_degree_distribution" -> 1L, "pipeline_pmi_top" -> 465L,
     "text_word_len_histogram" -> 6L, "graph_triangle_participation" -> 103L,
-    "fn_array_setops" -> 400L, "fn_math2" -> 3201L)
+    "fn_array_setops" -> 400L, "fn_math2" -> 3201L,
+    // round-8 second batch (§2.18b): sequence audit, rollup share,
+    // new-vs-returning, rank variants, group cum-share, hapax, strings
+    "agg_sequence_gaps" -> 1L, "agg_share_of_parent" -> 25L,
+    "ts_new_vs_returning" -> 30L, "win_rank_variants" -> 1204L,
+    "win_group_cumshare" -> 1500L, "pipeline_hapax_ratio" -> 20L,
+    "fn_string3" -> 200L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
