@@ -2819,7 +2819,206 @@ FROM f GROUP BY 1 ORDER BY source""",
   CAST(ascii(substr(p_brand, 1, 1)) AS BIGINT) AS asc1,
   chr(CAST(p_partkey % 26 + 97 AS INTEGER)) AS key_chr,
   ends_with(p_name, 'e') AS ends_e
-FROM ${T("part")} WHERE p_partkey <= 400 ORDER BY p_partkey"""
+FROM ${T("part")} WHERE p_partkey <= 400 ORDER BY p_partkey""",
+
+      // ---- §2.18c (round 8, third batch) ----
+
+      // Gaps-islands on the distinct (user, day) relation: day minus
+      // row_number is constant within a consecutive run. All exact.
+      "ts_streak_longest" ->
+        s"""WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM ${T("events")} WHERE user_id IS NOT NULL),
+r AS (SELECT user_id, day,
+  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM du),
+g AS (SELECT user_id, day - CAST(rn AS INTEGER) AS grp FROM r),
+st AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+  CAST(max(len) AS BIGINT) AS longest_streak, count(*) AS n_streaks
+FROM st GROUP BY 1 ORDER BY user_id""",
+
+      // Slopes divide the exact-DECIMAL revenue diff (cast to DOUBLE)
+      // by the integer day gap; the median is the exact interpolated
+      // percentile over the calendar-bounded pair set.
+      "ts_theil_sen" ->
+        s"""WITH dl AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM ${T("orders")} WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    AND o_orderdate < TIMESTAMP '1999-01-01' GROUP BY 1),
+p AS (SELECT CAST(b.rev - a.rev AS DOUBLE) / (b.day - a.day) AS slope
+  FROM dl a JOIN dl b ON b.day > a.day)
+SELECT CAST((SELECT count(*) FROM dl) AS BIGINT) AS n_days,
+  count(*) AS n_pairs, round(median(slope), 6) AS ts_slope FROM p""",
+
+      // Exact DECIMAL month sums; pct change divides identical doubles.
+      "ts_mom_growth" ->
+        s"""WITH m AS (SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+  o_orderpriority AS pri, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM ${T("orders")} GROUP BY 1, 2),
+l AS (SELECT CAST(mon AS DATE) AS mon, pri, rev,
+  lag(rev) OVER (PARTITION BY pri ORDER BY mon) AS prev FROM m)
+SELECT mon, pri, round(CAST(rev AS DOUBLE), 2) AS rev,
+  round(CAST(prev AS DOUBLE), 2) AS prev_rev,
+  round((CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE)) / CAST(prev AS DOUBLE), 6)
+    AS mom
+FROM l ORDER BY pri, mon""",
+
+      // Per-cell (O-E)^2/E terms floor-quantized to BIGINT before the
+      // cross-cell sum (the bigram_logprob recipe); dow 0=Sunday.
+      "agg_chi2_dow" ->
+        s"""WITH c AS (SELECT event_type, dayofweek(ts) AS dow, count(*) AS o
+  FROM ${T("events")} GROUP BY 1, 2),
+tot AS (SELECT sum(o) AS n FROM c),
+rt AS (SELECT event_type, sum(o) AS r FROM c GROUP BY 1),
+ct AS (SELECT dow, sum(o) AS cl FROM c GROUP BY 1),
+cells AS (SELECT c.o,
+    CAST(rt.r AS DOUBLE) * CAST(ct.cl AS DOUBLE) / CAST(tot.n AS DOUBLE) AS e
+  FROM c JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot),
+terms AS (SELECT CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+    / e * 1000000) AS BIGINT) AS t6 FROM cells)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n,
+  (SELECT count(*) FROM rt) AS n_types, (SELECT count(*) FROM ct) AS n_dows,
+  CAST(sum(t6) AS BIGINT) AS chi2_q6,
+  round(sqrt(CAST(sum(t6) AS DOUBLE) / 1e6 /
+    ((SELECT CAST(n AS DOUBLE) FROM tot) *
+     least((SELECT count(*) FROM rt) - 1, (SELECT count(*) FROM ct) - 1))), 6)
+    AS cramers_v
+FROM terms""",
+
+      // Counts exact; lift is one double tree on identical operands.
+      "agg_basket_pairs" ->
+        s"""WITH ob AS (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM ${T("lineitem")} l JOIN ${T("part")} p ON l.l_partkey = p.p_partkey),
+n AS (SELECT b, count(*) AS nb FROM ob GROUP BY 1),
+tot AS (SELECT count(DISTINCT o) AS n_orders FROM ob),
+pairs AS (SELECT a.b AS b1, c.b AS b2, count(*) AS n_pair
+  FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b GROUP BY 1, 2)
+SELECT b1, b2, CAST(n_pair AS BIGINT) AS n_pair,
+  round(CAST(n_pair AS DOUBLE) * CAST(tot.n_orders AS DOUBLE) /
+        (CAST(x.nb AS DOUBLE) * CAST(y.nb AS DOUBLE)), 6) AS lift
+FROM pairs JOIN n x ON x.b = pairs.b1 JOIN n y ON y.b = pairs.b2 CROSS JOIN tot
+WHERE n_pair >= 5 ORDER BY b1, b2""",
+
+      // ntile(5) totalized by custkey on each RFM axis (identical
+      // first-groups-get-the-remainder definition in both engines);
+      // the Spark side routes all three through GlobalRank.
+      "agg_rfm_segments" ->
+        s"""WITH m AS (SELECT o_custkey AS c, max(CAST(o_orderdate AS DATE)) AS last_day,
+  count(*) AS freq, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+  FROM ${T("orders")} GROUP BY 1),
+mx AS (SELECT max(last_day) AS anchor FROM m),
+b AS (SELECT c, (SELECT anchor FROM mx) - last_day AS rec_days, freq, mon FROM m),
+q AS (SELECT c, mon,
+  ntile(5) OVER (ORDER BY rec_days, c) AS r_q,
+  ntile(5) OVER (ORDER BY freq DESC, c) AS f_q,
+  ntile(5) OVER (ORDER BY mon DESC, c) AS m_q FROM b)
+SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+  CAST(m_q AS BIGINT) AS m_q, count(*) AS n_customers,
+  floor(CAST(sum(mon) AS DOUBLE) / count(*) * 100) / 100 AS avg_monetary
+FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""",
+
+      // Running purchase extremum behind and ahead of every click in
+      // the (ts, is_p, event_id)-totalized per-user frame; gap in
+      // exact integer microseconds (no division semantics to match).
+      "join_asof_nearest" ->
+        s"""WITH u AS (
+  SELECT user_id, ts, event_id, 0 AS is_p FROM ${T("events")}
+    WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 FROM ${T("events")}
+    WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL),
+w AS (SELECT user_id, ts, event_id, is_p,
+  max(CASE WHEN is_p = 1 THEN ts END) OVER (PARTITION BY user_id
+    ORDER BY ts, is_p, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_p,
+  min(CASE WHEN is_p = 1 THEN ts END) OVER (PARTITION BY user_id
+    ORDER BY ts, is_p, event_id
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
+  FROM u)
+SELECT event_id, user_id, ts,
+  CASE WHEN prev_p IS NULL THEN next_p
+       WHEN next_p IS NULL THEN prev_p
+       WHEN epoch_us(ts) - epoch_us(prev_p) <= epoch_us(next_p) - epoch_us(ts)
+         THEN prev_p ELSE next_p END AS nearest_purchase,
+  CASE WHEN prev_p IS NULL THEN epoch_us(next_p) - epoch_us(ts)
+       WHEN next_p IS NULL THEN epoch_us(ts) - epoch_us(prev_p)
+       ELSE least(epoch_us(ts) - epoch_us(prev_p),
+                  epoch_us(next_p) - epoch_us(ts)) END AS gap_us
+FROM w WHERE is_p = 0 ORDER BY event_id""",
+
+      // Peak and gap are exact DECIMAL window arithmetic.
+      "win_drawdown" ->
+        s"""WITH dl AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM ${T("orders")} GROUP BY 1),
+w AS (SELECT day, rev, max(rev) OVER (ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM dl)
+SELECT day, round(CAST(rev AS DOUBLE), 2) AS rev,
+  round(CAST(peak AS DOUBLE), 2) AS peak,
+  round(CAST(peak - rev AS DOUBLE), 2) AS drawdown
+FROM w ORDER BY day""",
+
+      // rank() <= 3 keeps boundary ties (ANSI WITH TIES); ranked on
+      // price bucketed to the nearest 1,000 so ties genuinely occur.
+      "win_top_with_ties" ->
+        s"""WITH r AS (SELECT o_orderstatus, o_orderkey,
+  CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+  rank() OVER (PARTITION BY o_orderstatus ORDER BY
+    CAST(round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) / 1000, 0)
+      AS BIGINT) DESC) AS rnk
+  FROM ${T("orders")})
+SELECT o_orderstatus, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
+  round(CAST(price AS DOUBLE), 2) AS price
+FROM r WHERE rnk <= 3 ORDER BY o_orderstatus, rnk, o_orderkey""",
+
+      // Per-token JSD terms floor-quantized to BIGINT at 1e12 before
+      // the cross-token sum; the pair grid is sources^2 x vocab.
+      "pipeline_js_divergence" ->
+        s"""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+  FROM ${T("documents")}),
+f AS (SELECT source, w, count(*) AS c FROM t GROUP BY 1, 2),
+tt AS (SELECT source, sum(c) AS n FROM f GROUP BY 1),
+p AS (SELECT f.source, w, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p
+  FROM f JOIN tt USING (source)),
+pairs AS (SELECT a.source AS s1, b.source AS s2
+  FROM tt a JOIN tt b ON a.source < b.source),
+vocab AS (SELECT DISTINCT w FROM f),
+grid AS (SELECT s1, s2, w FROM pairs CROSS JOIN vocab),
+pr AS (SELECT grid.s1, grid.s2, coalesce(pa.p, 0) AS pa, coalesce(pb.p, 0) AS pb
+  FROM grid LEFT JOIN p pa ON pa.source = grid.s1 AND pa.w = grid.w
+            LEFT JOIN p pb ON pb.source = grid.s2 AND pb.w = grid.w),
+terms AS (SELECT s1, s2,
+  CAST(floor((CASE WHEN pa > 0 THEN 0.5*pa*ln(pa/((pa+pb)/2)) ELSE 0 END +
+              CASE WHEN pb > 0 THEN 0.5*pb*ln(pb/((pa+pb)/2)) ELSE 0 END)
+    * 1e12) AS BIGINT) AS t12
+  FROM pr)
+SELECT s1, s2, CAST(sum(t12) AS BIGINT) AS jsd_q12,
+  round(CAST(sum(t12) AS DOUBLE) / 1e12, 6) AS jsd
+FROM terms GROUP BY 1, 2 ORDER BY s1, s2""",
+
+      // Counts exact; coverage divides identical doubles; the rank
+      // runs over the vocab-bounded relation.
+      "pipeline_top_token_coverage" ->
+        s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS w
+  FROM ${T("documents")}),
+f AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM f),
+r AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM f),
+ks AS (SELECT unnest([1, 5, 10, 20, 50]) AS k)
+SELECT CAST(k AS BIGINT) AS k,
+  CAST(sum(CASE WHEN rk <= k THEN c ELSE 0 END) AS BIGINT) AS covered,
+  round(CAST(sum(CASE WHEN rk <= k THEN c ELSE 0 END) AS DOUBLE) /
+    (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS coverage
+FROM r CROSS JOIN ks GROUP BY k ORDER BY k""",
+
+      // Both engines truncate weeks to Monday and number weeks
+      // ISO-style; outputs normalized to DATE/BIGINT.
+      "fn_date3" ->
+        s"""SELECT o_orderkey, CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+  CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS wk,
+  CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS qstart,
+  last_day(CAST(o_orderdate AS DATE)) AS eom,
+  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+  CAST(weekofyear(o_orderdate) AS BIGINT) AS woy
+FROM ${T("orders")} WHERE o_orderkey <= 300 ORDER BY o_orderkey"""
     )
   }
 }

@@ -328,4 +328,21 @@ object Funcs {
         round(degrees(col("l_discount")), 6).as("deg"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Calendar-boundary date family (§2.18c): quarter, week/quarter
+    * truncation, last day of month, day-of-year, ISO week — the
+    * fiscal/ISO boundary functions fn_date/fn_date2 don't cover. Both
+    * engines truncate weeks to Monday and number weeks ISO-style;
+    * outputs normalized to DATE/BIGINT. Per-row, linear. */
+  val fnDate3: Q = (s, d) =>
+    table(s, d, "orders")
+      .filter(col("o_orderkey") <= 300)
+      .select(col("o_orderkey"),
+        asLong(quarter(col("o_orderdate"))).as("qtr"),
+        to_date(date_trunc("week", col("o_orderdate"))).as("wk"),
+        to_date(date_trunc("quarter", col("o_orderdate"))).as("qstart"),
+        last_day(to_date(col("o_orderdate"))).as("eom"),
+        asLong(dayofyear(col("o_orderdate"))).as("doy"),
+        asLong(weekofyear(col("o_orderdate"))).as("woy"))
+      .orderBy("o_orderkey")
+
 }

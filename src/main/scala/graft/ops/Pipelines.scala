@@ -1202,4 +1202,72 @@ object Pipelines {
       .orderBy("w1", "w2")
   }
 
+  /** Pairwise Jensen–Shannon divergence between per-source unigram
+    * distributions (§2.18c): the symmetric, bounded [0, ln 2]
+    * distribution distance curation uses to spot sources that drifted
+    * or duplicate each other (pipeline_vocab_overlap is its set-level
+    * cousin). Probabilities divide exact counts (identical doubles);
+    * each token's JSD term is floor-quantized to BIGINT at 1e12
+    * BEFORE the cross-token sum — the pipeline_bigram_logprob recipe,
+    * scaled for terms of magnitude ≤ p·ln2 — so accumulation order
+    * cannot flip a bit. Scale: one (source, token) map-combined
+    * aggregate; the pair grid is (sources² × vocab), both bounded
+    * relations broadcast. */
+  val pipelineJsDivergence: Q = (s, d) => {
+    val f = table(s, d, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val tt = f.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val p = f.join(broadcast(tt), Seq("source"))
+      .select(col("source"), col("w"),
+        (col("c").cast(DoubleType) / col("n").cast(DoubleType)).as("p"))
+    val pairs = tt.select(col("source").as("s1"))
+      .join(tt.select(col("source").as("s2")), col("s1") < col("s2"))
+    val vocab = f.select(col("w")).distinct()
+    val grid = broadcast(pairs).crossJoin(vocab)
+    val pa = p.select(col("source").as("s1"), col("w"), col("p").as("pa"))
+    val pb = p.select(col("source").as("s2"), col("w"), col("p").as("pb"))
+    val paC = coalesce(col("pa"), lit(0.0))
+    val pbC = coalesce(col("pb"), lit(0.0))
+    val mid = (paC + pbC) / 2
+    val term = when(paC > 0, lit(0.5) * paC * log(paC / mid)).otherwise(0.0) +
+      when(pbC > 0, lit(0.5) * pbC * log(pbC / mid)).otherwise(0.0)
+    grid
+      .join(broadcast(pa), Seq("s1", "w"), "left")
+      .join(broadcast(pb), Seq("s2", "w"), "left")
+      .select(col("s1"), col("s2"), floor(term * 1e12).cast(LongType).as("t12"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(sum(col("t12")).as("jsd_q12"))
+      .select(col("s1"), col("s2"), asLong(col("jsd_q12")).as("jsd_q12"),
+        round(col("jsd_q12").cast(DoubleType) / 1e12, 6).as("jsd"))
+      .orderBy("s1", "s2")
+  }
+
+  /** Top-k token coverage curve (§2.18c): what fraction of total token
+    * mass the k most frequent tokens carry, k ∈ {1,5,10,20,50} — the
+    * head-heaviness read behind stopword lists and vocab sizing
+    * (pipeline_zipf_fit fits the same curve's exponent). Counts
+    * exact; coverage divides identical doubles. Scale: one token
+    * aggregate; the rank runs over the vocab-bounded relation (same
+    * precedent as the zipf/vocab ranks). */
+  val pipelineTopTokenCoverage: Q = (s, d) => {
+    import s.implicits._
+    val f = table(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = f.agg(sum(col("c")).as("n"))
+    val r = f.withColumn("rk",
+      row_number().over(Window.orderBy(col("c").desc, col("w"))))
+    val ks = Seq(1, 5, 10, 20, 50).toDF("k")
+    r.crossJoin(broadcast(ks))
+      .groupBy(col("k"))
+      .agg(sum(when(col("rk") <= col("k"), col("c")).otherwise(0L)).as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(asLong(col("k")).as("k"), asLong(col("covered")).as("covered"),
+        round(col("covered").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("coverage"))
+      .orderBy("k")
+  }
+
 }

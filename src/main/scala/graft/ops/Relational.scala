@@ -1784,4 +1784,146 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Chi-squared independence test of event_type × weekday (§2.18c):
+    * "does traffic mix depend on the day of week" — the categorical
+    * association screen, with Cramér's V as the normalized effect
+    * size. Observed/expected cells come from exact integer counts in
+    * one identical double tree per cell; the per-cell (O−E)²/E terms
+    * are floor-quantized to BIGINT *before* the cross-cell sum (the
+    * pipeline_bigram_logprob recipe) so accumulation order can never
+    * flip a bit. dow normalized to DuckDB's 0=Sunday. Scale: one
+    * map-combined (type, dow) aggregate; everything after runs on the
+    * ≤ types×7 bounded cell relation. */
+  val aggChi2Dow: Q = (s, d) => {
+    val c = table(s, d, "events")
+      .groupBy(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"))
+      .agg(count(lit(1)).as("o"))
+    val tot = c.agg(sum(col("o")).as("n"))
+    val rt = c.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val ct = c.groupBy(col("dow")).agg(sum(col("o")).as("cl"))
+    val nTypes = rt.agg(count(lit(1)).as("n_types"))
+    val nDows = ct.agg(count(lit(1)).as("n_dows"))
+    val e = col("r").cast(DoubleType) * col("cl").cast(DoubleType) /
+      col("n").cast(DoubleType)
+    val term = (col("o").cast(DoubleType) - e) * (col("o").cast(DoubleType) - e) / e
+    c.join(broadcast(rt), Seq("event_type"))
+      .join(broadcast(ct), Seq("dow"))
+      .crossJoin(broadcast(tot))
+      .select(floor(term * 1e6).cast(LongType).as("t6"), col("n"))
+      .groupBy(col("n"))
+      .agg(sum(col("t6")).as("chi2_q6"))
+      .crossJoin(broadcast(nTypes))
+      .crossJoin(broadcast(nDows))
+      .select(asLong(col("n")).as("n"), col("n_types"), col("n_dows"),
+        asLong(col("chi2_q6")).as("chi2_q6"),
+        round(sqrt(col("chi2_q6").cast(DoubleType) / 1e6 /
+          (col("n").cast(DoubleType) *
+            least(col("n_types") - 1, col("n_dows") - 1))), 6).as("cramers_v"))
+  }
+
+  /** Brand co-occurrence within orders (§2.18c): market-basket pairs
+    * with lift — the "bought together" read, bounded to the 25-brand
+    * keyspace (≤300 pairs at any fact scale). Counts exact; lift is
+    * one double tree on identical operands. Scale: the distinct
+    * (order, brand) relation shuffles on l_orderkey once; the pair
+    * self-join is per-order bounded (≤25 brands/order); brand totals
+    * are a broadcast 25-row relation. */
+  val aggBasketPairs: Q = (s, d) => {
+    val ob = table(s, d, "lineitem")
+      .join(table(s, d, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+      .distinct()
+    val n = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+    val tot = ob.agg(countDistinct(col("o")).as("n_orders"))
+    val a = ob.select(col("o"), col("b").as("b1"))
+    val c = ob.select(col("o"), col("b").as("b2"))
+    a.join(c, Seq("o")).filter(col("b1") < col("b2"))
+      .groupBy(col("b1"), col("b2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 5)
+      .join(broadcast(n.select(col("b").as("b1"), col("nb").as("n1"))), Seq("b1"))
+      .join(broadcast(n.select(col("b").as("b2"), col("nb").as("n2"))), Seq("b2"))
+      .crossJoin(broadcast(tot))
+      .select(col("b1"), col("b2"), asLong(col("n_pair")).as("n_pair"),
+        round(col("n_pair").cast(DoubleType) * col("n_orders").cast(DoubleType) /
+          (col("n1").cast(DoubleType) * col("n2").cast(DoubleType)), 6).as("lift"))
+      .orderBy("b1", "b2")
+  }
+
+  /** RFM quintile segmentation (§2.18c): per-customer recency /
+    * frequency / monetary quintiles reduced to segment counts — the
+    * classic CRM cut. Each quintile is a GLOBAL ntile over the
+    * customer-grain relation, which scales with the fact table — so
+    * all three route through [[GlobalRank]] (range-partitioned
+    * two-pass rank, no single-task WindowExec), totalized by custkey
+    * against ties. Scale: one o_custkey aggregate, three range
+    * shuffles on the much smaller customer grain, bounded ≤125-row
+    * output. */
+  val aggRfmSegments: Q = (s, d) => {
+    val m = table(s, d, "orders")
+      .groupBy(col("o_custkey").as("c"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(dec2(col("o_totalprice"))).as("mon"))
+    val anchor = m.agg(max(col("last_day")).as("anchor"))
+    val b = m.crossJoin(broadcast(anchor))
+      .select(col("c"), datediff(col("anchor"), col("last_day")).as("rec_days"),
+        col("freq"), col("mon"))
+    def quintile(order: Seq[org.apache.spark.sql.Column], name: String) = {
+      val (r, total) = GlobalRank.ranked(b, order, "rn")
+      r.select(col("c"), GlobalRank.ntileOf(col("rn"), total, 5).as(name))
+    }
+    val rq = quintile(Seq(col("rec_days"), col("c")), "r_q")
+    val fq = quintile(Seq(col("freq").desc, col("c")), "f_q")
+    val mq = quintile(Seq(col("mon").desc, col("c")), "m_q")
+    b.select(col("c"), col("mon"))
+      .join(rq, Seq("c")).join(fq, Seq("c")).join(mq, Seq("c"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        // floor-quantized, not rounded: the segment average divides a
+        // DECIMAL sum by a count and one segment lands on the .xx5
+        // round knife edge — floor of the identical double is safe
+        (floor(sum(col("mon")).cast(DoubleType) / count(lit(1)) * 100) /
+          100.0).as("avg_monetary"))
+      .select(asLong(col("r_q")).as("r_q"), asLong(col("f_q")).as("f_q"),
+        asLong(col("m_q")).as("m_q"), col("n_customers"), col("avg_monetary"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  /** Bidirectional nearest-event as-of join (§2.18c): each click's
+    * nearest purchase in EITHER direction (ties resolved to the
+    * earlier purchase) — the "closest observation" join; join_asof and
+    * join_asof_forward are its one-sided halves. Same linear
+    * union-and-window shape: running max of purchase ts behind,
+    * running min ahead, pick per row. Gap emitted in exact integer
+    * microseconds (no cross-engine division semantics to match).
+    * Scale: one user_id shuffle, O(|events|) rows. */
+  val joinAsofNearest: Q = (s, d) => {
+    val order = Seq(col("ts"), col("is_p"), col("event_id"))
+    val back = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val us = unix_micros(col("ts"))
+    val prevUs = unix_micros(col("prev_p"))
+    val nextUs = unix_micros(col("next_p"))
+    table(s, d, "events")
+      .filter(col("event_type").isin("click", "purchase") &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("event_type") === "purchase").as("is_p"))
+      .withColumn("prev_p", max(when(col("is_p"), col("ts"))).over(back))
+      .withColumn("next_p", min(when(col("is_p"), col("ts"))).over(fwd))
+      .filter(!col("is_p"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("prev_p").isNull, col("next_p"))
+          .when(col("next_p").isNull, col("prev_p"))
+          .when(us - prevUs <= nextUs - us, col("prev_p"))
+          .otherwise(col("next_p")).as("nearest_purchase"),
+        when(col("prev_p").isNull, nextUs - us)
+          .when(col("next_p").isNull, us - prevUs)
+          .otherwise(least(us - prevUs, nextUs - us)).as("gap_us"))
+      .orderBy("event_id")
+  }
+
 }

@@ -727,4 +727,75 @@ object TimeSeries {
         asLong(datediff(col("last_day"), col("first_day"))).as("span_days"))
       .orderBy("user_id")
 
+  /** Longest consecutive-day activity streak per user (§2.18c): the
+    * habit-formation metric growth teams track. Classic gaps-islands
+    * on the distinct (user, day) relation — `day − row_number()` is
+    * constant within a consecutive run — all integer/date arithmetic,
+    * exact in both engines. Scale: one user_id shuffle (the window and
+    * both aggregates share it). */
+  val tsStreakLongest: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(asLong(sum(col("len"))).as("active_days"),
+        asLong(max(col("len"))).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
+  /** Theil–Sen slope of 1998 daily order revenue (§2.18c): the robust
+    * trend estimator (median of all pairwise slopes) that one outlier
+    * day cannot move — the companion to the OLS ts_trend_slope. Each
+    * slope is exact-DECIMAL revenue difference cast to DOUBLE divided
+    * by the integer day gap (identical IEEE operands both engines);
+    * the median is the exact interpolated percentile over the bounded
+    * pair set. Scale: the day relation is calendar-bounded (≤365 rows
+    * here, ≤ days-in-history ever), so the pairwise self-join is
+    * constant-size regardless of fact rows; the only fact-sized step
+    * is the one date-grain aggregate. */
+  val tsTheilSen: Q = (s, d) => {
+    val daily = table(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1999-01-01").cast(TimestampType))
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+    val a = daily.select(col("day").as("day_a"), col("rev").as("rev_a"))
+    val b = daily.select(col("day").as("day_b"), col("rev").as("rev_b"))
+    val pairs = a.join(b, col("day_b") > col("day_a"))
+      .select(((col("rev_b") - col("rev_a")).cast(DoubleType) /
+        datediff(col("day_b"), col("day_a"))).as("slope"))
+    val nDays = daily.agg(count(lit(1)).as("n_days"))
+    pairs
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5D)"), 6).as("ts_slope"))
+      .crossJoin(broadcast(nDays))
+      .select(col("n_days"), col("n_pairs"), col("ts_slope"))
+  }
+
+  /** Month-over-month revenue growth per order priority (§2.18c): the
+    * grouped-lag growth read (ts_daily_revenue_growth is the global
+    * daily twin). Exact DECIMAL month sums; the pct change divides
+    * identical doubles. Scale: one map-combined (month, priority)
+    * aggregate; the lag window runs over the bounded month×priority
+    * relation, partitioned by priority. */
+  val tsMomGrowth: Q = (s, d) => {
+    val w = Window.partitionBy(col("pri")).orderBy(col("mon"))
+    table(s, d, "orders")
+      .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("mon"),
+        col("o_orderpriority").as("pri"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(col("mon"), col("pri"),
+        round(col("rev").cast(DoubleType), 2).as("rev"),
+        round(col("prev").cast(DoubleType), 2).as("prev_rev"),
+        round((col("rev").cast(DoubleType) - col("prev").cast(DoubleType)) /
+          col("prev").cast(DoubleType), 6).as("mom"))
+      .orderBy("pri", "mon")
+  }
+
 }

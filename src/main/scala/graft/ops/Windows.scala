@@ -295,4 +295,46 @@ object Windows {
       .orderBy("day")
   }
 
+  /** Daily-revenue drawdown from the running peak (§2.18c): how far
+    * each day sits below the best day seen so far — the
+    * regression-from-peak monitor (win_rolling_band is the
+    * band-breakout twin). Peak and gap are exact DECIMAL window
+    * arithmetic; doubles appear only at the rounded output. Runs over
+    * the calendar-bounded day relation (same precedent as
+    * win_rolling_band — bounded rows, not fact-sized). */
+  val winDrawdown: Q = (s, d) => {
+    val daily = table(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("peak", max(col("rev")).over(w))
+      .select(col("day"),
+        round(col("rev").cast(DoubleType), 2).as("rev"),
+        round(col("peak").cast(DoubleType), 2).as("peak"),
+        round((col("peak") - col("rev")).cast(DoubleType), 2).as("drawdown"))
+      .orderBy("day")
+  }
+
+  /** Top-3 per group WITH TIES (§2.18c): rank() ≤ 3 keeps every row
+    * tied at the boundary — the ANSI FETCH FIRST … WITH TIES
+    * semantics that row_number-based top-k silently breaks. Ranked on
+    * price bucketed to the nearest 1,000 so ties genuinely occur;
+    * rank over ties is deterministic by definition, and the output
+    * totalizes by orderkey. Scale: one o_orderstatus shuffle. */
+  val winTopWithTies: Q = (s, d) => {
+    val kprice = round(dec2(col("o_totalprice")).cast(DoubleType) / 1000, 0)
+      .cast(LongType)
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("kp").desc)
+    table(s, d, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        dec2(col("o_totalprice")).as("price"), kprice.as("kp"))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderstatus"), asLong(col("rnk")).as("rnk"),
+        col("o_orderkey"), round(col("price").cast(DoubleType), 2).as("price"))
+      .orderBy("o_orderstatus", "rnk", "o_orderkey")
+  }
+
 }

@@ -145,6 +145,47 @@ object Streams {
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every purchase, with its
+    * preceding-hour clicks OR nulls if none arrived — the attribution
+    * join that must also surface unattributed conversions. Outer
+    * emission is watermark-driven: a purchase's null row can only be
+    * produced once the watermark proves no matching click can still
+    * arrive, so results for the trailing watermark-delay of the
+    * stream stay in state (Spark runs a final no-data batch under
+    * AvailableNow precisely so closable rows flush). Same two-sided
+    * time bound ⇒ state stays evictable. Batch-equivalence (on the
+    * watermark-closed prefix) in StreamingSpec. */
+  def clickPurchaseJoinOuter(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicksWm = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicksWm,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+  }
+
+  /** Chained stateful operators (Spark 4 multi-stateful support): the
+    * stream-stream click→purchase join feeding a tumbling-hour
+    * windowed aggregation — conversions-per-hour as ONE streaming
+    * query instead of join-to-sink-to-second-job. The watermark
+    * propagates through the join into the aggregation, so the window
+    * state is still evicted; append mode emits each window once it is
+    * provably complete. Closed-window batch-equivalence in
+    * StreamingSpec. */
+  def conversionsPerHour(events: DataFrame): DataFrame =
+    clickPurchaseJoin(events)
+      .groupBy(window(col("p_ts"), "1 hour"))
+      // count(*) over join rows, not countDistinct(p_id): distinct
+      // aggregates are unsupported over streams, and the pair count is
+      // the attribution weight anyway
+      .agg(count(lit(1)).as("n_attributed_pairs"))
+      .select(col("window.start").as("h"), col("n_attributed_pairs"))
+
   /** Custom sessionization state kept per user across micro-batches. */
   case class SessionState(sessionCount: Long, lastTs: Long, currentLen: Long, maxLen: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, max_session_events: Long)

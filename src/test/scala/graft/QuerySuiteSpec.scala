@@ -170,7 +170,16 @@ class QuerySuiteSpec extends AnyFunSuite {
     "agg_sequence_gaps" -> 1L, "agg_share_of_parent" -> 25L,
     "ts_new_vs_returning" -> 30L, "win_rank_variants" -> 1204L,
     "win_group_cumshare" -> 1500L, "pipeline_hapax_ratio" -> 20L,
-    "fn_string3" -> 200L)
+    "fn_string3" -> 200L,
+    // round-8 third batch (§2.18c): streaks, robust trend, MoM growth,
+    // chi-squared, basket pairs, RFM, nearest as-of, drawdown, WITH
+    // TIES, JSD, coverage curve, calendar-boundary dates
+    "ts_streak_longest" -> 15L, "ts_theil_sen" -> 1L,
+    "ts_mom_growth" -> 386L, "agg_chi2_dow" -> 1L,
+    "agg_basket_pairs" -> 300L, "agg_rfm_segments" -> 64L,
+    "join_asof_nearest" -> 210L, "win_drawdown" -> 1094L,
+    "win_top_with_ties" -> 11L, "pipeline_js_divergence" -> 190L,
+    "pipeline_top_token_coverage" -> 5L, "fn_date3" -> 301L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)

@@ -83,6 +83,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("p_id", "c_ts").exceptAll(want.select("p_id", "c_ts")).count() == 0)
   }
 
+  test("left-outer stream-stream join emits null rows for the watermark-closed prefix") {
+    val stream = Streams.clickPurchaseJoinOuter(Streams.eventsStream(spark, sf0001))
+    val got = Streams.runToBatchAppend(spark, stream, "t_ssjoin_outer")
+    val ev = Tables(spark, sf0001, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val want = purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+    // outer (null-click) rows only flush once the watermark proves no
+    // match can arrive: compare the prefix closed by the final
+    // watermark. The global watermark is min(max c_ts, max p_ts) − 1 h
+    // delay; subtract a further safety margin for eviction rounding.
+    val wmRow = ev.filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type")).agg(max(col("ts")).cast("long").as("mx"))
+      .agg(min(col("mx")).as("wm")).collect()(0)
+    val closed = lit(wmRow.getLong(0) - 3600 - 120).cast("timestamp")
+    val gotClosed = got.filter(col("p_ts") < closed)
+    val wantClosed = want.filter(col("p_ts") < closed)
+    assert(gotClosed.count() == wantClosed.count())
+    assert(gotClosed.select("p_id", "c_ts")
+      .exceptAll(wantClosed.select("p_id", "c_ts")).count() == 0)
+    // the outer semantics actually fired: null-click rows exist
+    assert(gotClosed.filter(col("c_ts").isNull).count() ==
+      wantClosed.filter(col("c_ts").isNull).count())
+    assert(got.count() >= gotClosed.count())
+  }
+
+  test("chained stateful operators: join -> windowed agg equals batch on closed windows") {
+    val stream = Streams.conversionsPerHour(Streams.eventsStream(spark, sf0001))
+    val got = Streams.runToBatchAppend(spark, stream, "t_conv_hour")
+    val ev = Tables(spark, sf0001, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val want = purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .groupBy(window(col("p_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_attributed_pairs"))
+      .select(col("window.start").as("h"), col("n_attributed_pairs"))
+    // append mode emits only windows the propagated watermark closed;
+    // every emitted window must match the batch aggregate exactly
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0)
+  }
+
   test("rate source: unbounded non-file stream with predictable windows") {
     val rpb = 10
     // tumbling agg without watermark in complete mode so the exact
