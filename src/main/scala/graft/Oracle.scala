@@ -3018,7 +3018,114 @@ FROM r CROSS JOIN ks GROUP BY k ORDER BY k""",
   last_day(CAST(o_orderdate AS DATE)) AS eom,
   CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
   CAST(weekofyear(o_orderdate) AS BIGINT) AS woy
-FROM ${T("orders")} WHERE o_orderkey <= 300 ORDER BY o_orderkey"""
+FROM ${T("orders")} WHERE o_orderkey <= 300 ORDER BY o_orderkey""",
+
+      // ---- §2.18d (round 8, fourth batch) ----
+
+      // Per-hour c*ln c terms floor-quantized to BIGINT before the
+      // <=24-term per-user sum.
+      "ts_activity_entropy" ->
+        s"""WITH c AS (SELECT user_id, hour(ts) AS h, count(*) AS n
+  FROM ${T("events")} WHERE user_id IS NOT NULL GROUP BY 1, 2),
+a AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events, count(*) AS n_hours,
+  CAST(sum(CAST(floor(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) * 1e6)
+    AS BIGINT)) AS BIGINT) AS q
+  FROM c GROUP BY 1)
+SELECT user_id, n_events, n_hours,
+  round(ln(CAST(n_events AS DOUBLE)) -
+    CAST(q AS DOUBLE) / 1e6 / CAST(n_events AS DOUBLE), 6) AS hour_entropy
+FROM a ORDER BY user_id""",
+
+      // n1/n2/R exact integers feeding one double tree for z.
+      "ts_runs_test" ->
+        s"""WITH dl AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM ${T("orders")} GROUP BY 1),
+md AS (SELECT median(rev) AS med FROM dl),
+sg AS (SELECT day, rev > (SELECT med FROM md) AS above FROM dl),
+ch AS (SELECT day, above,
+  CASE WHEN lag(above) OVER (ORDER BY day) IS NULL
+         OR lag(above) OVER (ORDER BY day) <> above THEN 1 ELSE 0 END AS chg
+  FROM sg),
+ag AS (SELECT count(*) AS n_days,
+  CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+  CAST(sum(CASE WHEN NOT above THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+  CAST(sum(chg) AS BIGINT) AS r FROM ch)
+SELECT n_days, n1 AS n_above, n2 AS n_below, r AS n_runs,
+  round((CAST(r AS DOUBLE) - (2.0*n1*n2/(n1+n2) + 1)) /
+    sqrt((2.0*n1*n2*(2.0*n1*n2 - n1 - n2)) /
+      ((CAST(n1+n2 AS DOUBLE))*(n1+n2)*(n1+n2-1))), 6) AS z
+FROM ag""",
+
+      // Exact interpolated per-group percentiles on identical doubles.
+      "agg_group_quantiles" ->
+        s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  round(quantile_cont(value, 0.10), 6) AS p10,
+  round(quantile_cont(value, 0.25), 6) AS p25,
+  round(quantile_cont(value, 0.50), 6) AS p50,
+  round(quantile_cont(value, 0.75), 6) AS p75,
+  round(quantile_cont(value, 0.90), 6) AS p90
+FROM ${T("events")} WHERE value IS NOT NULL GROUP BY 1 ORDER BY event_type""",
+
+      // Clamped values floor-quantized to BIGINT cents before summing;
+      // means and thresholds floor-quantized at the output.
+      "agg_winsorized_mean" ->
+        s"""WITH th AS (
+  SELECT quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 0.05) AS p05,
+         quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 0.95) AS p95
+  FROM ${T("orders")}),
+w AS (SELECT CAST(floor(least(greatest(
+      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), th.p05), th.p95)
+    * 100) AS BIGINT) AS wc,
+  CAST(o_totalprice AS DECIMAL(18,2)) AS pd, th.p05, th.p95
+  FROM ${T("orders")} CROSS JOIN th)
+SELECT count(*) AS n, floor(p05*100)/100 AS p05, floor(p95*100)/100 AS p95,
+  floor(CAST(sum(wc) AS DOUBLE)/100/count(*)*1e4)/1e4 AS winsorized_mean,
+  floor(CAST(sum(pd) AS DOUBLE)/count(*)*1e4)/1e4 AS plain_mean
+FROM w GROUP BY p05, p95""",
+
+      // ntile(10) totalized by custkey (GlobalRank on the Spark side);
+      // per-decile DECIMAL sums, bounded running share.
+      "agg_lorenz_points" ->
+        s"""WITH m AS (SELECT o_custkey AS c, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM ${T("orders")} GROUP BY 1),
+q AS (SELECT c, rev, ntile(10) OVER (ORDER BY rev, c) AS decile FROM m),
+bd AS (SELECT decile, count(*) AS n_customers, sum(rev) AS drev FROM q GROUP BY 1),
+tt AS (SELECT sum(drev) AS trev FROM bd),
+w AS (SELECT decile, n_customers, drev,
+  sum(drev) OVER (ORDER BY decile
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM bd)
+SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+  round(CAST(drev AS DOUBLE), 2) AS decile_rev,
+  round(CAST(cum AS DOUBLE) / (SELECT CAST(trev AS DOUBLE) FROM tt), 6)
+    AS cum_share
+FROM w ORDER BY decile""",
+
+      // Position normalized to 0-on-missing; sorted/sliced outputs
+      // rendered as scalars.
+      "fn_array3" ->
+        s"""WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr
+  FROM ${T("documents")} WHERE doc_id % 7 = 0)
+SELECT doc_id,
+  CAST(coalesce(list_position(arr, 'the'), 0) AS BIGINT) AS pos_the,
+  array_to_string(list_slice(arr, 1, 5), ' ') AS head5,
+  list_sort(arr)[1] AS min_w,
+  list_sort(arr)[-1] AS max_w,
+  list_reverse(arr)[1] AS last_w,
+  CAST(length(list_distinct(list_slice(arr, 1, 20))) AS BIGINT) AS d20
+FROM a ORDER BY doc_id""",
+
+      // deg(s) constant within a k-group: the statistic reduces to
+      // exact integer sums and one division.
+      "graph_avg_neighbor_degree" ->
+        s"""${edgesWith(dir)},
+deg AS (SELECT s AS v, count(*) AS deg FROM ud GROUP BY 1),
+j AS (SELECT ud.s, ds.deg AS deg_s, dt.deg AS deg_t
+  FROM ud JOIN deg ds ON ds.v = ud.s JOIN deg dt ON dt.v = ud.t)
+SELECT CAST(deg_s AS BIGINT) AS k, CAST(count(DISTINCT s) AS BIGINT) AS n_nodes,
+  round(CAST(sum(deg_t) AS DOUBLE) / (count(DISTINCT s) * deg_s), 6)
+    AS avg_nbr_deg
+FROM j GROUP BY deg_s ORDER BY k"""
     )
   }
 }

@@ -345,4 +345,25 @@ object Funcs {
         asLong(weekofyear(col("o_orderdate"))).as("woy"))
       .orderBy("o_orderkey")
 
+  /** Positional/ordering array family (§2.18d): position, slice,
+    * sorted extremes, reverse head — the access patterns
+    * fn_array/fn_array2/fn_array_setops don't cover. Position
+    * normalized to 0-on-missing (Spark's convention; DuckDB returns
+    * NULL); sorted/sliced outputs rendered as scalars so no
+    * engine-specific array encoding reaches the result. Per-row,
+    * linear. */
+  val fnArray3: Q = (s, d) => {
+    val arr = split(col("text"), " ")
+    table(s, d, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        asLong(array_position(arr, "the")).as("pos_the"),
+        array_join(slice(arr, 1, 5), " ").as("head5"),
+        element_at(sort_array(arr), 1).as("min_w"),
+        element_at(sort_array(arr), -1).as("max_w"),
+        element_at(reverse(arr), 1).as("last_w"),
+        asLong(size(array_distinct(slice(arr, 1, 20)))).as("d20"))
+      .orderBy("doc_id")
+  }
+
 }

@@ -314,6 +314,29 @@ object GraphOps {
     * round differently across engines). Scale: runs on the degree
     * aggregate — one map-combined group-by over EDGES, output bounded
     * by ~64 buckets at any conceivable SF. */
+  /** Average-neighbor-degree curve knn(k) (§2.18d): for nodes of each
+    * degree k, the mean of their neighbors' mean degree — the FULL
+    * mixing profile that graph_assortativity collapses to one
+    * coefficient (rising = assortative hubs-with-hubs). Because deg(s)
+    * is constant within a k-group, avg_s(S_s/k) = ΣS_s/(n_k·k) — the
+    * whole statistic reduces to exact integer sums and ONE division,
+    * no double accumulation anywhere. Scale: two joins over the
+    * sparse strong graph, output bounded by the degree keyspace. */
+  val graphAvgNeighborDegree: Q = (s, d) => {
+    val deg = Tables.ud(s, d).groupBy(col("s").as("v"))
+      .agg(count(lit(1)).as("deg"))
+    Tables.ud(s, d)
+      .join(deg.select(col("v").as("s"), col("deg").as("deg_s")), Seq("s"))
+      .join(deg.select(col("v").as("t"), col("deg").as("deg_t")), Seq("t"))
+      .groupBy(col("deg_s").as("k"))
+      .agg(countDistinct(col("s")).as("n_nodes"),
+        sum(col("deg_t")).as("sum_nbr_deg"))
+      .select(asLong(col("k")).as("k"), asLong(col("n_nodes")).as("n_nodes"),
+        round(col("sum_nbr_deg").cast(DoubleType) /
+          (col("n_nodes") * col("k")).cast(DoubleType), 6).as("avg_nbr_deg"))
+      .orderBy("k")
+  }
+
   val graphDegreeDistribution: Q = (s, d) => {
     val deg = Tables.ud(s, d).groupBy(col("s").as("v"))
       .agg(count(lit(1)).as("deg"))

@@ -1926,4 +1926,89 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Per-group quantile table (§2.18d): p10/p25/p50/p75/p90 of event
+    * value per event_type — the grouped distribution profile
+    * agg_median_quantile gives only globally. Exact interpolated
+    * percentiles over identical doubles (both engines sort and
+    * interpolate the same values); NULLs excluded identically.
+    * Scale: one event_type shuffle; percentile state is per-group
+    * bounded. */
+  val aggGroupQuantiles: Q = (s, d) =>
+    table(s, d, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.10D)"), 6).as("p10"),
+        round(expr("percentile(value, 0.25D)"), 6).as("p25"),
+        round(expr("percentile(value, 0.50D)"), 6).as("p50"),
+        round(expr("percentile(value, 0.75D)"), 6).as("p75"),
+        round(expr("percentile(value, 0.90D)"), 6).as("p90"))
+      .select(col("event_type"), asLong(col("n")).as("n"),
+        col("p10"), col("p25"), col("p50"), col("p75"), col("p90"))
+      .orderBy("event_type")
+
+  /** Winsorized vs plain mean of order value (§2.18d): the robust
+    * location estimate after clamping to [p05, p95] — one whale or
+    * glitch order cannot move it (agg_mad flags outliers; this prices
+    * them out). The clamp compares identical doubles; the clamped
+    * values are floor-quantized to BIGINT cents BEFORE summing (sum
+    * of raw clamped doubles would be accumulation-order-sensitive),
+    * and both means are floor-quantized at 4dp. Scale: one bounded
+    * percentile pass + one map-combined sum. */
+  val aggWinsorizedMean: Q = (s, d) => {
+    val price = dec2(col("o_totalprice")).cast(DoubleType)
+    val th = table(s, d, "orders").agg(
+      expr("percentile(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 0.05D)").as("p05"),
+      expr("percentile(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 0.95D)").as("p95"))
+    table(s, d, "orders")
+      .crossJoin(broadcast(th))
+      .select(price.as("p"), col("p05"), col("p95"),
+        floor(least(greatest(price, col("p05")), col("p95")) * 100)
+          .cast(LongType).as("wc"),
+        dec2(col("o_totalprice")).as("pd"))
+      .groupBy(col("p05"), col("p95"))
+      .agg(count(lit(1)).as("n"), sum(col("wc")).as("wsum"),
+        sum(col("pd")).as("psum"))
+      .select(asLong(col("n")).as("n"),
+        // floor-quantized like the means: the interpolated threshold
+        // can land on a .xx5 round knife edge at unlucky n
+        (floor(col("p05") * 100) / 100.0).as("p05"),
+        (floor(col("p95") * 100) / 100.0).as("p95"),
+        (floor(col("wsum").cast(DoubleType) / 100 /
+          col("n").cast(DoubleType) * 1e4) / 1e4).as("winsorized_mean"),
+        (floor(col("psum").cast(DoubleType) /
+          col("n").cast(DoubleType) * 1e4) / 1e4).as("plain_mean"))
+  }
+
+  /** Lorenz curve points over customer revenue (§2.18d): cumulative
+    * revenue share of the bottom-k revenue deciles — the CURVE whose
+    * area agg_gini reduces to one number and whose top-end
+    * pareto_revenue summarizes. Deciles come from [[GlobalRank]]
+    * (global ntile over the customer grain — range-partitioned, no
+    * single-task window), totalized by custkey; per-decile DECIMAL
+    * sums and the running share run over the bounded 10-row relation.
+    */
+  val aggLorenzPoints: Q = (s, d) => {
+    val m = table(s, d, "orders")
+      .groupBy(col("o_custkey").as("c"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+    val (r, total) = GlobalRank.ranked(m, Seq(col("rev"), col("c")), "rn")
+    val byDecile = r
+      .select(col("c"), col("rev"), GlobalRank.ntileOf(col("rn"), total, 10).as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("drev"))
+    val tot = byDecile.agg(sum(col("drev")).as("trev"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("cum", sum(col("drev")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(asLong(col("decile")).as("decile"),
+        col("n_customers"),
+        round(col("drev").cast(DoubleType), 2).as("decile_rev"),
+        round(col("cum").cast(DoubleType) / col("trev").cast(DoubleType), 6)
+          .as("cum_share"))
+      .orderBy("decile")
+  }
+
 }

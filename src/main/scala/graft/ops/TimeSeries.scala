@@ -798,4 +798,60 @@ object TimeSeries {
       .orderBy("pri", "mon")
   }
 
+  /** Per-user hour-of-day activity entropy (§2.18d): how concentrated
+    * each user's activity is across the 24-hour clock — bots pin to a
+    * few hours (low H), humans spread (high H). H = ln N − (Σ c·ln c)/N
+    * with the per-hour c·ln c terms floor-quantized to BIGINT before
+    * the ≤24-term sum (the chi2/JSD recipe), so accumulation order is
+    * irrelevant. Scale: one (user, hour) map-combined aggregate. */
+  val tsActivityEntropy: Q = (s, d) =>
+    table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(asLong(sum(col("n"))).as("n_events"),
+        asLong(count(lit(1))).as("n_hours"),
+        sum(floor(col("n").cast(DoubleType) *
+          log(col("n").cast(DoubleType)) * 1e6).cast(LongType)).as("q"))
+      .select(col("user_id"), col("n_events"), col("n_hours"),
+        round(log(col("n_events").cast(DoubleType)) -
+          col("q").cast(DoubleType) / 1e6 / col("n_events").cast(DoubleType), 6)
+          .as("hour_entropy"))
+      .orderBy("user_id")
+
+  /** Wald–Wolfowitz runs test on daily revenue vs its median
+    * (§2.18d): are above-median and below-median days randomly
+    * interleaved, or do they clump (momentum / regime shifts)? Runs
+    * are counted with one lag over the day order; n1/n2/R are exact
+    * integers feeding a single double tree for the z-statistic.
+    * Scale: one date-grain aggregate; everything else runs on the
+    * calendar-bounded day relation. */
+  val tsRunsTest: Q = (s, d) => {
+    val daily = table(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec2(col("o_totalprice"))).cast(DoubleType).as("rev"))
+    val med = daily.agg(expr("percentile(rev, 0.5D)").as("med"))
+    val w = Window.orderBy(col("day"))
+    val signed = daily.crossJoin(broadcast(med))
+      .select(col("day"), (col("rev") > col("med")).as("above"))
+      .withColumn("chg",
+        when(lag(col("above"), 1).over(w).isNull ||
+          lag(col("above"), 1).over(w) =!= col("above"), 1L).otherwise(0L))
+    val agg = signed.agg(
+      count(lit(1)).as("n_days"),
+      sum(when(col("above"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("above"), 1L).otherwise(0L)).as("n2"),
+      sum(col("chg")).as("r"))
+    val n1 = col("n1").cast(DoubleType)
+    val n2 = col("n2").cast(DoubleType)
+    val mu = lit(2.0) * n1 * n2 / (n1 + n2) + 1
+    val sig2 = (lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2)) /
+      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    agg.select(asLong(col("n_days")).as("n_days"),
+      asLong(col("n1")).as("n_above"), asLong(col("n2")).as("n_below"),
+      asLong(col("r")).as("n_runs"),
+      round((col("r").cast(DoubleType) - mu) / sqrt(sig2), 6).as("z"))
+  }
+
 }

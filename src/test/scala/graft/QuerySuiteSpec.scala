@@ -179,7 +179,14 @@ class QuerySuiteSpec extends AnyFunSuite {
     "agg_basket_pairs" -> 300L, "agg_rfm_segments" -> 64L,
     "join_asof_nearest" -> 210L, "win_drawdown" -> 1094L,
     "win_top_with_ties" -> 11L, "pipeline_js_divergence" -> 190L,
-    "pipeline_top_token_coverage" -> 5L, "fn_date3" -> 301L)
+    "pipeline_top_token_coverage" -> 5L, "fn_date3" -> 301L,
+    // round-8 fourth batch (§2.18d): activity entropy, runs test,
+    // group quantiles, winsorized mean, Lorenz points, array family,
+    // neighbor-degree curve
+    "ts_activity_entropy" -> 15L, "ts_runs_test" -> 1L,
+    "agg_group_quantiles" -> 5L, "agg_winsorized_mean" -> 1L,
+    "agg_lorenz_points" -> 10L, "fn_array3" -> 72L,
+    "graph_avg_neighbor_degree" -> 40L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
