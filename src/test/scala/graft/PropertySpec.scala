@@ -245,4 +245,99 @@ class PropertySpec extends AnyFunSuite {
       assert(r.getAs[Long]("dist") <= 2)
     }
   }
+
+  test("round-8 batch-3/4 invariants: bounded statistics, monotone curves") {
+    // chi-squared: non-negative statistic, Cramér's V in [0, 1]
+    val chi = ops.Relational.aggChi2Dow(spark, sf0001).collect()(0)
+    assert(chi.getAs[Long]("chi2_q6") >= 0L)
+    val v = chi.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+
+    // JSD: all C(20,2) pairs present, each within [0, ln 2]
+    val jsd = ops.Pipelines.pipelineJsDivergence(spark, sf0001).collect()
+    assert(jsd.length == 190)
+    jsd.foreach { r =>
+      val x = r.getAs[Double]("jsd")
+      assert(x >= 0.0 && x <= math.log(2) + 1e-9, s"jsd out of range: $x")
+    }
+
+    // Lorenz: 10 deciles, cum_share strictly increasing to 1.0
+    val lor = ops.Relational.aggLorenzPoints(spark, sf0001).collect()
+    assert(lor.length == 10)
+    val shares = lor.map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a < b })
+    assert(math.abs(shares.last - 1.0) < 1e-9)
+
+    // RFM: quintiles in 1..5, segment sizes sum to the customer count
+    val rfm = ops.Relational.aggRfmSegments(spark, sf0001).collect()
+    rfm.foreach { r =>
+      Seq("r_q", "f_q", "m_q").foreach { c =>
+        val q = r.getAs[Long](c); assert(q >= 1L && q <= 5L)
+      }
+    }
+    val nCust = Tables(spark, sf0001, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rfm.map(_.getAs[Long]("n_customers")).sum == nCust)
+
+    // runs test: partition sums to n_days, runs within [1, n_days]
+    val rt = ops.TimeSeries.tsRunsTest(spark, sf0001).collect()(0)
+    assert(rt.getAs[Long]("n_above") + rt.getAs[Long]("n_below") ==
+      rt.getAs[Long]("n_days"))
+    val runs = rt.getAs[Long]("n_runs")
+    assert(runs >= 1L && runs <= rt.getAs[Long]("n_days"))
+
+    // winsorized mean: clamped location stays inside the clamp band
+    val wm = ops.Relational.aggWinsorizedMean(spark, sf0001).collect()(0)
+    val (p05, p95) = (wm.getAs[Double]("p05"), wm.getAs[Double]("p95"))
+    val wmean = wm.getAs[Double]("winsorized_mean")
+    assert(p05 <= wmean && wmean <= p95)
+
+    // streaks: longest <= active days; at least one streak per user
+    ops.TimeSeries.tsStreakLongest(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("longest_streak") <= r.getAs[Long]("active_days"))
+      assert(r.getAs[Long]("n_streaks") >= 1L)
+    }
+
+    // coverage curve: nondecreasing in k, bounded by 1
+    val cov = ops.Pipelines.pipelineTopTokenCoverage(spark, sf0001).collect()
+      .map(_.getAs[Double]("coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    assert(cov.forall(c => c > 0.0 && c <= 1.0))
+
+    // group quantiles: ordered within every group
+    ops.Relational.aggGroupQuantiles(spark, sf0001).collect().foreach { r =>
+      val qs = Seq("p10", "p25", "p50", "p75", "p90").map(r.getAs[Double])
+      assert(qs.zip(qs.tail).forall { case (a, b) => a <= b })
+    }
+
+    // activity entropy: within [0, ln 24]
+    ops.TimeSeries.tsActivityEntropy(spark, sf0001).collect().foreach { r =>
+      val h = r.getAs[Double]("hour_entropy")
+      assert(h >= -1e-9 && h <= math.log(24) + 1e-6)
+    }
+
+    // nearest as-of: non-negative gaps, null gap iff no purchase found
+    ops.Relational.joinAsofNearest(spark, sf0001).collect().foreach { r =>
+      val gapNull = r.isNullAt(r.fieldIndex("gap_us"))
+      assert(gapNull == r.isNullAt(r.fieldIndex("nearest_purchase")))
+      if (!gapNull) assert(r.getAs[Long]("gap_us") >= 0L)
+    }
+
+    // drawdown: peak dominates revenue, drawdown non-negative
+    ops.Windows.winDrawdown(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Double]("peak") >= r.getAs[Double]("rev"))
+      assert(r.getAs[Double]("drawdown") >= 0.0)
+    }
+
+    // Theil–Sen: the pair set is exactly the day-pair triangle
+    val ts = ops.TimeSeries.tsTheilSen(spark, sf0001).collect()(0)
+    val nd = ts.getAs[Long]("n_days")
+    assert(ts.getAs[Long]("n_pairs") == nd * (nd - 1) / 2)
+
+    // neighbor-degree curve: every class non-empty with mean degree >= 1
+    ops.GraphOps.graphAvgNeighborDegree(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("n_nodes") >= 1L)
+      assert(r.getAs[Double]("avg_nbr_deg") >= 1.0)
+    }
+  }
 }
