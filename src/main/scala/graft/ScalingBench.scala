@@ -129,7 +129,15 @@ object ScalingBench {
         "join_asof" -> (() => { ops.Relational.joinAsof(spark, dir).count(); () }),
         "funnel_three_step" -> (() => { ops.Relational.funnelThreeStep(spark, dir).count(); () }),
         "ts_peak_concurrency" -> (() => { ops.TimeSeries.tsPeakConcurrency(spark, dir).count(); () }),
-        "ts_active_users_rolling" -> (() => { ops.TimeSeries.tsActiveUsersRolling(spark, dir).count(); () }))
+        "ts_active_users_rolling" -> (() => { ops.TimeSeries.tsActiveUsersRolling(spark, dir).count(); () }),
+        // round-8 additions: the new fact-sized shapes — bidirectional
+        // as-of (union+2 windows), gaps-islands streaks (1 shuffle),
+        // GlobalRank-quintile RFM (3 range shuffles on customer grain),
+        // winsorized mean (percentile pass + map-combined sum)
+        "join_asof_nearest" -> (() => { ops.Relational.joinAsofNearest(spark, dir).count(); () }),
+        "ts_streak_longest" -> (() => { ops.TimeSeries.tsStreakLongest(spark, dir).count(); () }),
+        "agg_rfm_segments" -> (() => { ops.Relational.aggRfmSegments(spark, dir).count(); () }),
+        "agg_winsorized_mean" -> (() => { ops.Relational.aggWinsorizedMean(spark, dir).count(); () }))
       val best = scala.collection.mutable.LinkedHashMap[String, Double]()
       val bestCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
       var primeBest = Double.MaxValue

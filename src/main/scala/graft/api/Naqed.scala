@@ -682,7 +682,9 @@ class Naqed(spark: SparkSession, sfDir: String) {
 
   /** Aggregation directive: `$groupBy -> field | Seq(fields)` plus
     * `$agg -> Map(outName -> "count" | "fn:field")` with fn in
-    * {count, sum, min, max, avg, count_distinct}. `$`-arg filters at
+    * {count, sum, min, max, avg, count_distinct, median, stddev,
+    * p0–p100 (exact interpolated percentile, e.g. "p95:value")}.
+    * `$`-arg filters at
     * the same level apply BEFORE grouping; `$having -> Map("$min_n" ->
     * 5, ...)` (round 8) applies the same `$`-condition convention to
     * the AGGREGATE OUTPUTS and group keys AFTER grouping — the HAVING
@@ -719,6 +721,8 @@ class Naqed(spark: SparkSession, sfDir: String) {
         df = df.filter(op(col(colName), v))
       case _ =>
     }
+    // percentile aggregates: p50, p95, p99, ... (exact interpolated)
+    val PctFn = "^p(\\d{1,3})$".r
     def aggCol(out: String, spec: String): Column = {
       val (fn, fieldOpt) = spec.split(":", 2) match {
         case Array(f) => (f, None)
@@ -735,9 +739,13 @@ class Naqed(spark: SparkSession, sfDir: String) {
         case ("min", Some(c)) => min(col(c)).as(out)
         case ("max", Some(c)) => max(col(c)).as(out)
         case ("avg", Some(c)) => avg(col(c)).as(out)
+        case ("median", Some(c)) => percentile(col(c), lit(0.5)).as(out)
+        case ("stddev", Some(c)) => stddev_samp(col(c)).as(out)
+        case (PctFn(p), Some(c)) if p.toInt <= 100 =>
+          percentile(col(c), lit(p.toInt / 100.0)).as(out)
         case _ => throw new IllegalArgumentException(
           s"unknown aggregate '$spec' for '$out'; use count, count_distinct:f, " +
-            "sum:f, min:f, max:f, avg:f")
+            "sum:f, min:f, max:f, avg:f, median:f, stddev:f, p<0-100>:f")
       }
     }
     val aggs = aggSpec.toSeq.sortBy(_._1).map { case (out, spec) => aggCol(out, spec) }

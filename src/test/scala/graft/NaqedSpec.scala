@@ -228,11 +228,30 @@ class NaqedSpec extends AnyFunSuite {
         "$groupBy" -> "o_orderstatus", "$agg" -> Map("n" -> "count")))
     }
     assert(e.getMessage.contains("cannot mix"))
+    // round 8: median / percentile / stddev aggregates
+    val robust = naqed.request("orders", Map(
+      "$groupBy" -> "o_orderstatus",
+      "$agg" -> Map("med" -> "median:o_totalprice",
+        "p95" -> "p95:o_totalprice", "sd" -> "stddev:o_totalprice")))
+    val robustWant = Tables(spark, sf0001, "orders")
+      .groupBy("o_orderstatus")
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("med"),
+        percentile(col("o_totalprice"), lit(0.95)).as("p95"),
+        stddev_samp(col("o_totalprice")).as("sd"))
+    assert(robust.select("o_orderstatus", "med", "p95", "sd")
+      .exceptAll(robustWant.select("o_orderstatus", "med", "p95", "sd"))
+      .count() == 0)
     val e2 = intercept[IllegalArgumentException] {
       naqed.request("orders", Map("$groupBy" -> "o_orderstatus",
-        "$agg" -> Map("n" -> "median:o_totalprice")))
+        "$agg" -> Map("n" -> "variance:o_totalprice")))
     }
     assert(e2.getMessage.contains("unknown aggregate"))
+    // p-beyond-100 is not a percentile
+    val ePct = intercept[IllegalArgumentException] {
+      naqed.request("orders", Map("$groupBy" -> "o_orderstatus",
+        "$agg" -> Map("n" -> "p200:o_totalprice")))
+    }
+    assert(ePct.getMessage.contains("unknown aggregate"))
     // sorting an aggregation by its own group key (a table column)
     // must page, not trip the no-mixing rule
     val byKey = naqed.request("orders", Map(
