@@ -264,6 +264,88 @@ object Streams {
     }
   }
 
+  /** A CLOSED session: emitted exactly once, when either a successor
+    * event proves the gap rule closed it, or the event-time watermark
+    * passes its close deadline. Bounds in exact microseconds. */
+  case class ClosedSession(user_id: Long, s_start_us: Long, s_end_us: Long,
+      n_events: Long)
+
+  /** State for [[SessionCloseProcessor]]: the one still-open trailing
+    * session and the close deadline its registered timer encodes. */
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long, timerMs: Long)
+
+  /** Event-time TIMER path of the state-v2 API (the capability
+    * [[SessionizeProcessor]] leaves unused): sessions that end
+    * mid-stream are emitted inline when their successor event arrives,
+    * but the LAST session of an idle user can only close when the
+    * WATERMARK proves no more events can join it — exactly what
+    * `getHandle.registerTimer` + `handleExpiredTimer` exist for. Each
+    * user keeps one open session and one registered timer at
+    * lastTs + gap; new events delete and re-register the timer
+    * (sliding deadline), and the timer firing emits the session and
+    * clears state — so state size is bounded by live sessions, not by
+    * users ever seen. Gap rule identical to the batch gaps-islands
+    * query (new session when the gap strictly exceeds 30 minutes).
+    * Closed-set batch-equivalence asserted in StreamingSpec. */
+  class SessionCloseProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), ClosedSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    private val GapUs = 1800L * 1000000L
+    private val GapMs = 1800L * 1000L
+    @transient private var st: ValueState[OpenSession] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+    private def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+    override def handleInputRows(user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+        tv: TimerValues): Iterator[ClosedSession] = {
+      val sorted = rows.map(r => us(r._2)).toSeq.sorted
+      val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+      var cur: Option[OpenSession] = if (st.exists()) Some(st.get()) else None
+      cur.filter(_.timerMs > 0L).foreach(c => getHandle.deleteTimer(c.timerMs))
+      sorted.foreach { ts =>
+        cur match {
+          case Some(c) if ts - c.lastUs <= GapUs =>
+            cur = Some(c.copy(lastUs = math.max(c.lastUs, ts), n = c.n + 1))
+          case Some(c) =>
+            out += ClosedSession(user, c.startUs, c.lastUs, c.n)
+            cur = Some(OpenSession(ts, ts, 1L, 0L))
+          case None =>
+            cur = Some(OpenSession(ts, ts, 1L, 0L))
+        }
+      }
+      cur.foreach { c =>
+        val deadline = c.lastUs / 1000L + GapMs + 1L
+        st.update(c.copy(timerMs = deadline))
+        getHandle.registerTimer(deadline)
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val cur: Option[OpenSession] = if (st.exists()) Some(st.get()) else None
+      st.clear()
+      cur.iterator.map(c => ClosedSession(user, c.startUs, c.lastUs, c.n))
+    }
+  }
+
+  /** Watermark-closed sessionization via event-time timers (see
+    * [[SessionCloseProcessor]]). `delay` is the watermark delay. */
+  def sessionizeClosed(events: DataFrame, delay: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionCloseProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Sessionization via transformWithState (see [[SessionizeProcessor]]). */
   def sessionizeTws(events: DataFrame): org.apache.spark.sql.Dataset[UserSessions] = {
     import events.sparkSession.implicits._

@@ -136,6 +136,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0)
   }
 
+  test("event-time timers close idle sessions at the watermark (state-v2)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = Streams.eventsStream(spark, sf0001)
+        .filter(col("user_id").isNotNull)
+      val got = Streams.runToBatchAppend(spark,
+        Streams.sessionizeClosed(src), "t_closed_sessions")
+      // batch twin: the same gaps-islands sessions in exact µs
+      val ev = Tables(spark, sf0001, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us")
+      val gap = 1800L * 1000000L
+      val sess = ev
+        .withColumn("newSess",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > gap, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("newSess")).over(w))
+        .groupBy("user_id", "sid")
+        .agg(min(col("us")).as("s_start_us"), max(col("us")).as("s_end_us"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "s_start_us", "s_end_us", "n_events")
+      val cols = Seq("user_id", "s_start_us", "s_end_us", "n_events")
+      // every emission is byte-exact some batch session (no spurious
+      // or truncated sessions from the timer path)
+      assert(got.select(cols.head, cols.tail: _*)
+        .exceptAll(sess).count() == 0)
+      // every session provably closed by the final watermark (5 s
+      // safety margin inside the ms-granular watermark) was emitted
+      val maxUs = ev.agg(max(col("us"))).collect()(0).getLong(0)
+      val wmUs = maxUs - 600L * 1000000L // 10-minute delay
+      val closedStrict = sess.filter(col("s_end_us") + gap < wmUs - 5000000L)
+      assert(closedStrict.exceptAll(got.select(cols.head, cols.tail: _*))
+        .count() == 0)
+      // the capability boundary is real: trailing sessions the
+      // watermark has NOT closed stay in state, unemitted
+      assert(got.count() < sess.count())
+      assert(got.count() >= closedStrict.count())
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("rate source: unbounded non-file stream with predictable windows") {
     val rpb = 10
     // tumbling agg without watermark in complete mode so the exact
