@@ -3125,7 +3125,246 @@ j AS (SELECT ud.s, ds.deg AS deg_s, dt.deg AS deg_t
 SELECT CAST(deg_s AS BIGINT) AS k, CAST(count(DISTINCT s) AS BIGINT) AS n_nodes,
   round(CAST(sum(deg_t) AS DOUBLE) / (count(DISTINCT s) * deg_s), 6)
     AS avg_nbr_deg
-FROM j GROUP BY deg_s ORDER BY k"""
+FROM j GROUP BY deg_s ORDER BY k""",
+
+      // ---- §2.18e (round 8, fifth batch) ----
+      // Two-sample ECDFs share one distinct-value relation; every
+      // ECDF value is a single integer/integer IEEE division.
+      "agg_ks_test" ->
+        s"""WITH g AS (SELECT value AS v,
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM ${T("events")}
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+  GROUP BY 1),
+c AS (SELECT v,
+  CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+  CAST(sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+  FROM g),
+t AS (SELECT max(cum1) AS n1, max(cum2) AS n2 FROM c),
+dd AS (SELECT v, n1, n2,
+  abs(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2) AS dv FROM c, t),
+m AS (SELECT max(dv) AS ks FROM dd)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+  min(v) AS ks_at, round(ks, 6) AS ks
+FROM dd, m WHERE dv = ks GROUP BY n1, n2, ks""",
+
+      // 2R1 is a pure integer (average tie ranks x2); one double tree.
+      "agg_mann_whitney" ->
+        s"""WITH g AS (SELECT value AS v,
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM ${T("events")}
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+  GROUP BY 1),
+c AS (SELECT v, c1, c2,
+  CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+  CAST(sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+  FROM g),
+t AS (SELECT
+  CAST(sum(c1 * (2 * (cum1 + cum2 - c1 - c2) + (c1 + c2) + 1)) AS BIGINT) AS r1x2,
+  CAST(sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS BIGINT) AS ties,
+  max(cum1) AS n1, max(cum2) AS n2 FROM c)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+  round(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0, 1) AS u,
+  round((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 -
+         CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
+    sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+      (((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0) -
+       CAST(ties AS DOUBLE) /
+        ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
+         ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0)))), 6) AS z
+FROM t""",
+
+      // Cell/margin c*ln terms floor-quantized at 1e9 pre-sum.
+      "agg_mutual_information" ->
+        s"""WITH cells AS (SELECT o_orderpriority AS pri, o_orderstatus AS st,
+  count(*) AS c FROM ${T("orders")} GROUP BY 1, 2),
+r AS (SELECT pri, CAST(sum(c) AS BIGINT) AS mr FROM cells GROUP BY 1),
+cm AS (SELECT st, CAST(sum(c) AS BIGINT) AS cs FROM cells GROUP BY 1),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS n_cells FROM cells),
+mi AS (SELECT CAST(sum(CAST(floor(CAST(c AS DOUBLE) *
+    ln((CAST(n AS DOUBLE) * CAST(c AS DOUBLE)) /
+       (CAST(mr AS DOUBLE) * CAST(cs AS DOUBLE))) * 1e9) AS BIGINT)) AS BIGINT) AS qmi
+  FROM cells JOIN r USING (pri) JOIN cm USING (st), t),
+hr AS (SELECT CAST(sum(CAST(floor(CAST(mr AS DOUBLE) *
+    ln(CAST(mr AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS qhr
+  FROM r, t),
+hc AS (SELECT CAST(sum(CAST(floor(CAST(cs AS DOUBLE) *
+    ln(CAST(cs AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS qhc
+  FROM cm, t)
+SELECT n, CAST(n_cells AS BIGINT) AS n_cells,
+  round(CAST(qmi AS DOUBLE) / 1e9 / n, 6) AS mi,
+  round((CAST(qmi AS DOUBLE) / 1e9 / n) /
+    least((-CAST(qhr AS DOUBLE)) / 1e9 / n, (-CAST(qhc AS DOUBLE)) / 1e9 / n), 6) AS nmi
+FROM mi, hr, hc, t""",
+
+      // First-power sums exact DECIMAL (scaled int < 2^53 → identical
+      // double cast); product sums floor-quantized to BIGINT at
+      // per-pair scales (DuckDB's int128→double cast double-rounds
+      // past 2^53; BIGINT→double is one correctly-rounded step).
+      "agg_cov_matrix" -> {
+        val vars = Seq("q" -> "l_quantity", "p" -> "l_extendedprice",
+          "dc" -> "l_discount")
+        val names = Map("q" -> "quantity", "p" -> "extendedprice",
+          "dc" -> "discount")
+        def qs(x: String, y: String): Long =
+          if (x == "p" && y == "p") 100L
+          else if (x == "p" || y == "p") 10000L
+          else 100000000L
+        def key(a: String, b: String) =
+          if (a <= b) s"s_${a}_$b" else s"s_${b}_$a"
+        val sums = vars.map { case (n, c) =>
+          s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS s_$n"
+        } ++ (for ((nx, cx) <- vars; (ny, cy) <- vars if nx <= ny)
+          yield s"CAST(CAST(sum(CAST(floor(CAST($cx AS DECIMAL(18,2)) * CAST($cy AS DECIMAL(18,2)) * ${qs(nx, ny)}) AS BIGINT)) AS BIGINT) AS DOUBLE) AS s_${nx}_$ny")
+        def cov(x: String, y: String) = {
+          val (a, b) = if (x <= y) (x, y) else (y, x)
+          s"(${key(x, y)} / ${qs(a, b)}.0 - s_$x * s_$y / nd) / nd"
+        }
+        val rows = for ((nx, _) <- vars; (ny, _) <- vars if nx <= ny) yield
+          s"""SELECT '${names(nx)}' AS var_x, '${names(ny)}' AS var_y,
+  CAST(n AS BIGINT) AS n, round(${cov(nx, ny)}, 6) AS cov,
+  round(${cov(nx, ny)} / sqrt(${cov(nx, nx)} * ${cov(ny, ny)}), 6) AS corr
+FROM a"""
+        s"""WITH a AS (SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+  ${sums.mkString(",\n  ")}
+  FROM ${T("lineitem")})
+${rows.mkString("\nUNION ALL\n")}
+ORDER BY var_x, var_y"""
+      },
+
+      // Per-group (Sv)^2/n terms floor-quantized at 1e6 pre-sum.
+      "agg_anova_f" ->
+        s"""WITH g AS (SELECT event_type, count(*) AS ng,
+  sum(CAST(value AS DECIMAL(18,2))) AS sg,
+  sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS ssqg
+  FROM ${T("events")} WHERE value IS NOT NULL GROUP BY 1),
+t AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+  CAST(sum(sg) AS DOUBLE) AS stot, CAST(sum(ssqg) AS DOUBLE) AS ssqtot,
+  CAST(sum(CAST(floor(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) /
+    CAST(ng AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS qb
+  FROM g)
+SELECT CAST(k AS BIGINT) AS k, n,
+  round(CAST(qb AS DOUBLE) / 1e6 - stot * stot / CAST(n AS DOUBLE), 4) AS ssb,
+  round((ssqtot - stot * stot / CAST(n AS DOUBLE)) -
+        (CAST(qb AS DOUBLE) / 1e6 - stot * stot / CAST(n AS DOUBLE)), 4) AS ssw,
+  round(((CAST(qb AS DOUBLE) / 1e6 - stot * stot / CAST(n AS DOUBLE)) /
+          (CAST(k AS DOUBLE) - 1.0)) /
+        (((ssqtot - stot * stot / CAST(n AS DOUBLE)) -
+          (CAST(qb AS DOUBLE) / 1e6 - stot * stot / CAST(n AS DOUBLE))) /
+          (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f
+FROM t""",
+
+      // Deferred mean division: exact DECIMAL run/total, one tree/row.
+      "ts_cusum" ->
+        s"""WITH dl AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM ${T("orders")} GROUP BY 1),
+t AS (SELECT count(*) AS nd, sum(rev) AS trev FROM dl),
+r AS (SELECT day, rev,
+  sum(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS run,
+  row_number() OVER (ORDER BY day) AS k FROM dl)
+SELECT day, round(CAST(rev AS DOUBLE), 2) AS rev,
+  round((CAST(nd AS DOUBLE) * CAST(run AS DOUBLE) -
+         CAST(k AS DOUBLE) * CAST(trev AS DOUBLE)) / CAST(nd AS DOUBLE), 4) AS cusum
+FROM r, t ORDER BY day""",
+
+      // Exact integer date lags; integer-floor week buckets.
+      "ts_order_to_ship_lag" ->
+        s"""WITH lg AS (SELECT
+  date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS lag
+  FROM ${T("lineitem")} l JOIN ${T("orders")} o ON l.l_orderkey = o.o_orderkey
+  WHERE date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) >= 0),
+t AS (SELECT count(*) AS n_total FROM lg)
+SELECT CAST(lag - lag % 7 AS BIGINT) AS bucket_lo, CAST(count(*) AS BIGINT) AS n,
+  round(CAST(count(*) AS DOUBLE) / n_total, 6) AS share
+FROM lg, t GROUP BY 1, n_total ORDER BY 1""",
+
+      // Exact integer microsecond recency (truncating div of nonneg
+      // longs) vs one broadcast corpus-end scalar.
+      "ts_dormancy_buckets" ->
+        s"""WITH ld AS (SELECT user_id, max(ts) AS last_ts
+  FROM ${T("events")} WHERE user_id IS NOT NULL GROUP BY 1),
+e AS (SELECT max(last_ts) AS corpus_end FROM ld),
+t AS (SELECT count(*) AS n_users_total FROM ld),
+b AS (SELECT
+  CASE WHEN hrs < 6 THEN 0 WHEN hrs < 24 THEN 6
+       WHEN hrs < 72 THEN 24 ELSE 72 END AS bucket_lo,
+  CASE WHEN hrs < 6 THEN '0-6h' WHEN hrs < 24 THEN '6-24h'
+       WHEN hrs < 72 THEN '24-72h' ELSE '72h+' END AS bucket
+  FROM (SELECT (epoch_us(corpus_end) - epoch_us(last_ts)) // 3600000000 AS hrs
+        FROM ld, e))
+SELECT CAST(bucket_lo AS BIGINT) AS bucket_lo, bucket,
+  CAST(count(*) AS BIGINT) AS n_users,
+  round(CAST(count(*) AS DOUBLE) / n_users_total, 6) AS share
+FROM b, t GROUP BY 1, 2, n_users_total ORDER BY 1""",
+
+      // est k/16 is an exact binary double; per-pair err/jac floored
+      // at 1e6 pre-mean (identical doubles -> identical floors).
+      "pipeline_minhash_calibration" -> {
+        val eqs = (0 until 16)
+          .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+          .mkString(" +\n    ")
+        s"""WITH ${minhashCtes(dir)},
+pr AS (SELECT d1, d2, round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard
+  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+  WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5),
+mm AS (SELECT pr.jaccard,
+  ($eqs) AS matches
+  FROM pr JOIN wide a ON a.doc_id = pr.d1 JOIN wide b ON b.doc_id = pr.d2),
+q AS (SELECT matches,
+  CAST(floor(abs(CAST(matches AS DOUBLE) / 16.0 - jaccard) * 1e6) AS BIGINT) AS qerr,
+  CAST(floor(jaccard * 1e6) AS BIGINT) AS qjac FROM mm)
+SELECT CAST(matches AS BIGINT) AS matches, CAST(count(*) AS BIGINT) AS n_pairs,
+  round(CAST(matches AS DOUBLE) / 16.0, 6) AS est_jaccard,
+  round(CAST(sum(qjac) AS DOUBLE) / 1e6 / count(*), 6) AS mean_exact_jaccard,
+  round(CAST(sum(qerr) AS DOUBLE) / 1e6 / count(*), 6) AS mean_abs_err
+FROM q GROUP BY matches ORDER BY matches"""
+      },
+
+      // Integer power sums over per-doc counts; one tree per token.
+      "pipeline_burstiness" ->
+        s"""WITH tc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM ${T("documents")}),
+cnt AS (SELECT doc_id, w, count(*) AS c FROM tc GROUP BY 1, 2),
+st AS (SELECT w, count(*) AS df, CAST(sum(c) AS BIGINT) AS tf,
+  CAST(sum(c * c) AS BIGINT) AS tf2 FROM cnt GROUP BY 1),
+top AS (SELECT * FROM st ORDER BY df DESC, w LIMIT 20),
+nd AS (SELECT count(*) AS n_docs FROM ${T("documents")})
+SELECT w, CAST(df AS BIGINT) AS df, tf,
+  round(CAST(tf AS DOUBLE) / n_docs, 6) AS mean_tf,
+  round((CAST(tf2 AS DOUBLE) / n_docs -
+         (CAST(tf AS DOUBLE) / n_docs) * (CAST(tf AS DOUBLE) / n_docs)) /
+        (CAST(tf AS DOUBLE) / n_docs), 6) AS fano
+FROM top, nd ORDER BY df DESC, w""",
+
+      // Histogrammed degree relations; exact counts, one div per k.
+      "graph_rich_club" ->
+        s"""$E,
+deg AS (SELECT s AS v, count(*) AS deg FROM ud GROUP BY 1),
+dh AS (SELECT deg, count(*) AS nv FROM deg GROUP BY 1),
+mh AS (SELECT least(d1.deg, d2.deg) AS mindeg, count(*) AS ne
+  FROM e JOIN deg d1 ON d1.v = e.s JOIN deg d2 ON d2.v = e.t GROUP BY 1),
+ks AS (SELECT unnest([2, 3, 4, 5]) AS k),
+nk AS (SELECT k, CAST(sum(CASE WHEN deg >= k THEN nv ELSE 0 END) AS BIGINT) AS n_nodes
+  FROM dh, ks GROUP BY 1),
+ek AS (SELECT k, CAST(sum(CASE WHEN mindeg >= k THEN ne ELSE 0 END) AS BIGINT) AS n_edges
+  FROM mh, ks GROUP BY 1)
+SELECT CAST(nk.k AS BIGINT) AS k, n_nodes, n_edges,
+  round(2.0 * n_edges / (CAST(n_nodes AS DOUBLE) * (CAST(n_nodes AS DOUBLE) - 1.0)), 6) AS phi
+FROM nk JOIN ek ON ek.k = nk.k ORDER BY 1""",
+
+      // Generator family: exact integer sizes/sums only.
+      "fn_sequence" ->
+        s"""SELECT o_orderkey, CAST(o_orderkey % 10 + 1 AS BIGINT) AS n,
+  CAST(len(generate_series(1, o_orderkey % 10 + 1)) AS BIGINT) AS seq_sz,
+  CAST(list_sum(generate_series(1, o_orderkey % 10 + 1)) AS BIGINT) AS seq_sum,
+  CAST(len(list_filter(generate_series(1, o_orderkey % 10 + 1),
+    x -> x % 2 = 0)) AS BIGINT) AS n_even,
+  CAST(len(generate_series(CAST(o_orderdate AS DATE),
+    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 10 + 1 AS INTEGER),
+    INTERVAL 1 DAY)) AS BIGINT) AS dseq_sz
+FROM ${T("orders")} WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey"""
     )
   }
 }

@@ -366,4 +366,25 @@ object Funcs {
       .orderBy("doc_id")
   }
 
+  /** Sequence/range generator family (§2.18e): integer and date
+    * sequences with lambda fold/filter over them — the generator
+    * functions (Spark `sequence` + higher-order `aggregate`/`filter`,
+    * DuckDB `generate_series` + `list_sum`/`list_filter`) that
+    * fn_array/fn_explode_unnest consume but never construct. All
+    * outputs are exact integer scalars (sizes/sums) — no
+    * engine-specific array encoding reaches the result. Per-row,
+    * linear, on a keyspace-deterministic sample. */
+  val fnSequence: Q = (s, d) =>
+    table(s, d, "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), (col("o_orderkey") % 10 + 1).as("n"),
+        to_date(col("o_orderdate")).as("od"))
+      .select(col("o_orderkey"), asLong(col("n")).as("n"),
+        asLong(size(sequence(lit(1L), col("n")))).as("seq_sz"),
+        expr("aggregate(sequence(1L, n), 0L, (a, x) -> a + x)").as("seq_sum"),
+        asLong(expr("size(filter(sequence(1L, n), x -> x % 2 = 0))")).as("n_even"),
+        asLong(size(sequence(col("od"), date_add(col("od"), col("n").cast("int")),
+          expr("interval 1 day")))).as("dseq_sz"))
+      .orderBy("o_orderkey")
+
 }

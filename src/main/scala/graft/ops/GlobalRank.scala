@@ -1,9 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Range-partitioned two-pass global ordering (SURVEY.md §4; round-8).
@@ -125,7 +125,18 @@ object GlobalRank {
     * `ranked` (tie groups may split across slices; see class doc).
     */
   def withRunningSum(df: DataFrame, order: Seq[Column], valueCol: String,
-                     out: String, numParts: Int = 0): DataFrame = {
+                     out: String, numParts: Int = 0): DataFrame =
+    withRunningSums(df, order, Seq(valueCol -> out), numParts)
+
+  /** Multi-column generalization of `withRunningSum`: ONE range shuffle
+    * and ONE bounded offsets collect produce a global running sum per
+    * (valueCol -> outCol) pair — the two-sample cumulative-count shape
+    * (KS / Mann–Whitney ECDFs) without paying the shuffle twice. Same
+    * total-order requirement as `ranked`.
+    */
+  def withRunningSums(df: DataFrame, order: Seq[Column],
+                      cols: Seq[(String, String)],
+                      numParts: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val np =
@@ -138,21 +149,32 @@ object GlobalRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pid = shiftright(col("__mid"), 33).cast(LongType)
     val sums = m.groupBy(pid.as("__grpid"))
-      .agg(sum(col(valueCol)).as("__s"))
+      .agg(cols.map { case (v, _) => sum(col(v)).as(s"__s_$v") }.head,
+        cols.map { case (v, _) => sum(col(v)).as(s"__s_$v") }.tail: _*)
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map(r => (r.getLong(0), cols.indices.map(i => r.getLong(i + 1))))
       .sortBy(_._1)
-    var acc = 0L
-    val offsets = sums.map { case (p, s) =>
-      val o = (p, acc); acc += s; o
+    val accs = Array.fill(cols.size)(0L)
+    val offsets = sums.map { case (p, ss) =>
+      val o = (p, accs.toSeq)
+      ss.indices.foreach(i => accs(i) += ss(i))
+      o
     }.toSeq
-    val offs = offsets.toDF("__grpid", "__soff")
+    val offs = offsets
+      .map { case (p, os) => Row.fromSeq(p +: os) }
+    val offSchema = StructType(
+      StructField("__grpid", LongType) +:
+        cols.map { case (v, _) => StructField(s"__off_$v", LongType) })
+    val offsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offs, 1), offSchema)
     val wLocal = Window.partitionBy(col("__grpid")).orderBy(col("__mid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    m.withColumn("__grpid", pid)
-      .join(broadcast(offs), "__grpid")
-      .withColumn(out, (col("__soff") + sum(col(valueCol)).over(wLocal))
-        .cast(LongType))
-      .drop("__mid", "__soff", "__grpid")
+    val withLocal = cols.foldLeft(
+      m.withColumn("__grpid", pid).join(broadcast(offsDf), "__grpid")) {
+      case (acc, (v, out)) =>
+        acc.withColumn(out,
+          (col(s"__off_$v") + sum(col(v)).over(wLocal)).cast(LongType))
+    }
+    withLocal.drop("__mid" +: "__grpid" +: cols.map { case (v, _) => s"__off_$v" }: _*)
   }
 }

@@ -375,4 +375,41 @@ object GraphOps {
       .orderBy("n_triangles")
   }
 
+  /** Rich-club coefficient curve (§2.18e): for each degree threshold
+    * k, the edge density φ(k) = 2·E_k / (N_k·(N_k−1)) among nodes of
+    * degree ≥ k — do the hubs form their own club
+    * (graph_assortativity asks the same question as one correlation;
+    * graph_avg_neighbor_degree as a mixing curve)? Exact integer
+    * counts into one division per k. Scale: the degree and
+    * min-endpoint-degree relations are histogrammed first (bounded by
+    * max degree), so the 4-threshold expansion crosses bounded
+    * relations — the strong edge set is scanned once. */
+  val graphRichClub: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val e = Tables.edges(s, d)._1
+    val deg = Tables.ud(s, d)
+      .groupBy(col("s").as("v")).agg(count(lit(1)).as("deg"))
+    val degHist = deg.groupBy(col("deg")).agg(count(lit(1)).as("nv"))
+    val minDegHist = e
+      .join(deg.toDF("v1", "dg1"), col("s") === col("v1"))
+      .join(deg.toDF("v2", "dg2"), col("t") === col("v2"))
+      .select(least(col("dg1"), col("dg2")).as("mindeg"))
+      .groupBy(col("mindeg")).agg(count(lit(1)).as("ne"))
+    val ks = Seq(2L, 3L, 4L, 5L).toDF("k")
+    val nk = degHist.crossJoin(broadcast(ks))
+      .groupBy(col("k"))
+      .agg(sum(when(col("deg") >= col("k"), col("nv")).otherwise(0L)).as("n_nodes"))
+    val ek = minDegHist.crossJoin(broadcast(ks))
+      .groupBy(col("k"))
+      .agg(sum(when(col("mindeg") >= col("k"), col("ne")).otherwise(0L)).as("n_edges"))
+    nk.join(ek, "k")
+      .select(asLong(col("k")).as("k"), asLong(col("n_nodes")).as("n_nodes"),
+        asLong(col("n_edges")).as("n_edges"),
+        round(lit(2.0) * col("n_edges").cast(DoubleType) /
+          (col("n_nodes").cast(DoubleType) *
+            (col("n_nodes").cast(DoubleType) - 1.0)), 6).as("phi"))
+      .orderBy("k")
+  }
+
 }

@@ -383,13 +383,21 @@ object Pipelines {
     }
   }
 
-  private def dedupMinhashLshBuild(s: SparkSession, d: String): DataFrame = {
+  /** 16-minhash signature table (doc_id, lang, m0..m15) — shared by the
+    * LSH build and pipeline_minhash_calibration. One aggregate over the
+    * cached shingle relation; each md5 yields four 32-bit hashes. */
+  private def minhashWide(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
     val mins = (0 until 16).map { seed =>
       val h = md5(concat(lit(s"${seed / 4}|"), col("g")))
       min(substring(h, 1 + 8 * (seed % 4), 8)).as(s"m$seed")
     }
-    val wide = sh.groupBy(col("doc_id"), col("lang")).agg(mins.head, mins.tail: _*)
+    sh.groupBy(col("doc_id"), col("lang")).agg(mins.head, mins.tail: _*)
+  }
+
+  private def dedupMinhashLshBuild(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val wide = minhashWide(s, d)
     def bandKey(seeds: Range): Column =
       md5(concat_ws(",", seeds.map(i => col(s"m$i")): _*))
     val bands = wide.select(col("doc_id"), col("lang"), lit(0).as("band"),
@@ -1268,6 +1276,76 @@ object Pipelines {
         round(col("covered").cast(DoubleType) / col("n").cast(DoubleType), 6)
           .as("coverage"))
       .orderBy("k")
+  }
+
+  /** MinHash estimator calibration (§2.18e): over the LSH-verified
+    * near-dup pair set, how far the 16-permutation signature estimate
+    * (matching minhashes / 16) sits from the exact shingle Jaccard —
+    * the measurement that justifies (or indicts) the signature size
+    * before anyone trusts dedup_minhash_lsh at corpus scale. The
+    * estimate k/16 is an exact binary double; the exact Jaccard
+    * arrives 4dp-rounded from the persisted pair set; the per-pair
+    * |est − jac| and jac are floor-quantized to BIGINT at 1e6 before
+    * the per-bucket means (identical doubles → identical floors).
+    * Scale: reuses the persisted verified pairs (marginal, like
+    * pipeline_dedup_cross_source) + one signature aggregate over the
+    * cached shingles and two broadcast-sized joins on doc_id — the
+    * pair set is the small side by construction. */
+  val pipelineMinhashCalibration: Q = (s, d) => {
+    val pairs = dedupMinhashLsh(s, d)
+    val wide = minhashWide(s, d)
+    val w1 = wide.toDF("d1" +: "lang1" +: (0 until 16).map(i => s"a$i"): _*)
+    val w2 = wide.toDF("d2" +: "lang2" +: (0 until 16).map(i => s"b$i"): _*)
+    val matches = (0 until 16)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .join(w1, "d1").join(w2, "d2")
+      .select(matches.as("matches"), col("jaccard"))
+      .select(col("matches"),
+        floor(abs(col("matches").cast(DoubleType) / 16.0 - col("jaccard")) * 1e6)
+          .cast(LongType).as("qerr"),
+        floor(col("jaccard") * 1e6).cast(LongType).as("qjac"))
+      .groupBy(col("matches"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("qerr")).as("se"),
+        sum(col("qjac")).as("sj"))
+      .select(col("matches"), asLong(col("n_pairs")).as("n_pairs"),
+        round(col("matches").cast(DoubleType) / 16.0, 6).as("est_jaccard"),
+        round(col("sj").cast(DoubleType) / 1e6 / col("n_pairs"), 6)
+          .as("mean_exact_jaccard"),
+        round(col("se").cast(DoubleType) / 1e6 / col("n_pairs"), 6)
+          .as("mean_abs_err"))
+      .orderBy("matches")
+  }
+
+  /** Token burstiness (§2.18e): Fano factor (variance/mean of per-doc
+    * counts, zeros included) for the 20 highest-document-frequency
+    * tokens — function words spread evenly (Fano ≈ dispersion 1),
+    * topical/template tokens clump in few docs (Fano >> 1); the
+    * Church–Gale burstiness screen that tells a stopword from a
+    * boilerplate marker before either list is built. Per-token Σc and
+    * Σc² are exact integers over docs containing the token (zero docs
+    * contribute 0 to both), so mean/variance/Fano evaluate in one
+    * double tree — no quantization needed. Scale: one (doc, token)
+    * map-combined aggregate; the top-20 selection ranks the
+    * vocab-bounded df relation (PMI's broadcast top-k precedent). */
+  val pipelineBurstiness: Q = (s, d) => {
+    val tc = table(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val stats = tc.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
+        sum(col("c") * col("c")).as("tf2"))
+    val top = stats.orderBy(col("df").desc, col("w")).limit(20)
+    val nDocs = table(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+    val nd = col("n_docs").cast(DoubleType)
+    val mean = col("tf").cast(DoubleType) / nd
+    val fano = (col("tf2").cast(DoubleType) / nd - mean * mean) / mean
+    top.crossJoin(broadcast(nDocs))
+      .select(col("w"), asLong(col("df")).as("df"), asLong(col("tf")).as("tf"),
+        round(mean, 6).as("mean_tf"), round(fano, 6).as("fano"))
+      .orderBy(col("df").desc, col("w"))
   }
 
 }

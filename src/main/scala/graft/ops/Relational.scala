@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -2009,6 +2009,200 @@ object Relational {
         round(col("cum").cast(DoubleType) / col("trev").cast(DoubleType), 6)
           .as("cum_share"))
       .orderBy("decile")
+  }
+
+  /** Shared two-sample ECDF relation for the KS / Mann–Whitney tests
+    * (§2.18e): one row per distinct click/purchase event value with
+    * per-sample counts and CUMULATIVE counts in value order. The
+    * distinct-value relation is bounded by the 2-decimal value domain
+    * (≤ ~49k points regardless of corpus size), but the cumulative
+    * sums still run through [[GlobalRank.withRunningSums]] — one range
+    * shuffle, per-slice offsets, no single-task window — so the shape
+    * survives a value domain that ISN'T bounded. Grouping keys are the
+    * raw parquet doubles: exact equality on identical bits, no float
+    * arithmetic before the counts. */
+  private def cpEcdf(s: SparkSession, d: String): DataFrame = {
+    val g = table(s, d, "events")
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("click", "purchase"))
+      .groupBy(col("value").as("v"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+    GlobalRank.withRunningSums(g, Seq(col("v")),
+      Seq("c1" -> "cum1", "c2" -> "cum2"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test (§2.18e): are click values and
+    * purchase values drawn from the same distribution? D = max over
+    * observed points of |F1(v) − F2(v)|; each ECDF value is ONE
+    * integer-over-integer division (deterministic IEEE), the max of
+    * identical doubles is order-free, and the argmax point is
+    * re-selected by exact double equality against the broadcast max
+    * (both sides compute the same bits). `ks_at` reports the SMALLEST
+    * value attaining D. Scale: one value-grain aggregate + the
+    * GlobalRank range shuffle; everything after runs on the
+    * domain-bounded distinct-value relation. */
+  val aggKsTest: Q = (s, d) => {
+    val cum = cpEcdf(s, d)
+    val tot = cum.agg(max(col("cum1")).as("n1"), max(col("cum2")).as("n2"))
+    val dv = abs(col("cum1").cast(DoubleType) / col("n1") -
+      col("cum2").cast(DoubleType) / col("n2"))
+    val stats = cum.crossJoin(broadcast(tot))
+      .select(col("v"), col("n1"), col("n2"), dv.as("dv"))
+    val mx = stats.agg(max(col("dv")).as("ks"))
+    stats.crossJoin(broadcast(mx))
+      .filter(col("dv") === col("ks"))
+      .groupBy(col("n1"), col("n2"), col("ks"))
+      .agg(min(col("v")).as("ks_at"))
+      .select(asLong(col("n1")).as("n1"), asLong(col("n2")).as("n2"),
+        col("ks_at"), round(col("ks"), 6).as("ks"))
+  }
+
+  /** Mann–Whitney U test (§2.18e): rank-sum comparison of click vs
+    * purchase values — the distribution-free "is one sample shifted"
+    * twin of agg_ks_test. Average ranks over ties make 2·R1 a pure
+    * INTEGER: for each distinct value, the tied group's average rank
+    * is (2·cum_before + cnt + 1)/2, so 2R1 = Σ c1·(2·cum_before +
+    * cnt + 1) accumulates exactly in any order. U, the tie-corrected
+    * σ and z then evaluate in one fixed double tree. Scale: same
+    * shared ECDF relation as agg_ks_test (built once per session). */
+  val aggMannWhitney: Q = (s, d) => {
+    val cum = cpEcdf(s, d)
+    val cnt = col("c1") + col("c2")
+    val before = (col("cum1") + col("cum2")) - cnt
+    val terms = cum.agg(
+      sum(col("c1") * (lit(2L) * before + cnt + 1L)).as("r1x2"),
+      sum((cnt * cnt * cnt) - cnt).as("ties"),
+      max(col("cum1")).as("n1"), max(col("cum2")).as("n2"))
+    val n1d = col("n1").cast(DoubleType)
+    val n2d = col("n2").cast(DoubleType)
+    val nd = n1d + n2d
+    val u = (col("r1x2") - col("n1") * (col("n1") + 1L)).cast(DoubleType) / 2.0
+    val mu = n1d * n2d / 2.0
+    val sig = sqrt(n1d * n2d / 12.0 *
+      ((nd + 1.0) - col("ties").cast(DoubleType) / (nd * (nd - 1.0))))
+    terms.select(asLong(col("n1")).as("n1"), asLong(col("n2")).as("n2"),
+      round(u, 1).as("u"), round((u - mu) / sig, 6).as("z"))
+  }
+
+  /** Mutual information of order priority × status (§2.18e): how much
+    * one categorical tells you about the other — the
+    * information-theoretic counterpart of agg_chi2_dow's frequency
+    * test, plus a normalized MI in [0,1] (MI / min(H_row, H_col)).
+    * Every c·ln(N·c/(r·s)) cell term and every margin's r·ln r term is
+    * floor-quantized to BIGINT at 1e9 before its (bounded) sum — the
+    * chi2/JSD recipe — so accumulation order is irrelevant. Scale: one
+    * map-combined cell aggregate; margins, totals and terms all live
+    * on the ≤ priorities×statuses grid. */
+  val aggMutualInformation: Q = (s, d) => {
+    val cells = table(s, d, "orders")
+      .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = cells.groupBy(col("pri")).agg(sum(col("c")).as("r"))
+    val colsM = cells.groupBy(col("st")).agg(sum(col("c")).as("cs"))
+    val tot = cells.agg(sum(col("c")).as("n"), count(lit(1)).as("n_cells"))
+    def qent(cnt: Column, n: Column): Column =
+      floor(cnt.cast(DoubleType) * log(cnt.cast(DoubleType) / n.cast(DoubleType)) * 1e9)
+        .cast(LongType)
+    val miQ = cells.join(broadcast(rows), "pri").join(broadcast(colsM), "st")
+      .crossJoin(broadcast(tot))
+      .agg(sum(floor(col("c").cast(DoubleType) *
+        log((col("n").cast(DoubleType) * col("c").cast(DoubleType)) /
+          (col("r").cast(DoubleType) * col("cs").cast(DoubleType))) * 1e9)
+        .cast(LongType)).as("qmi"))
+    val hr = rows.crossJoin(broadcast(tot))
+      .agg(sum(qent(col("r"), col("n"))).as("qhr"))
+    val hc = colsM.crossJoin(broadcast(tot))
+      .agg(sum(qent(col("cs"), col("n"))).as("qhc"))
+    miQ.crossJoin(broadcast(hr)).crossJoin(broadcast(hc)).crossJoin(broadcast(tot))
+      .select(asLong(col("n")).as("n"), asLong(col("n_cells")).as("n_cells"),
+        round(col("qmi").cast(DoubleType) / 1e9 / col("n"), 6).as("mi"),
+        round((col("qmi").cast(DoubleType) / 1e9 / col("n")) /
+          least(-col("qhr").cast(DoubleType) / 1e9 / col("n"),
+            -col("qhc").cast(DoubleType) / 1e9 / col("n")), 6).as("nmi"))
+  }
+
+  /** Covariance/correlation matrix over lineitem (quantity,
+    * extendedprice, discount) (§2.18e): the pairwise-association table
+    * agg_corr_regr gives for one pair, unpivoted to one row per
+    * ordered pair incl. the variance diagonal. First-power sums (Σx)
+    * accumulate in exact DECIMAL; each row's PRODUCT x·y — itself
+    * exact at DECIMAL(37,4) — is floor-quantized to BIGINT at a
+    * per-pair scale (1e2 for price², 1e4 for price×other, 1e8 for
+    * pairs without price — fine enough that the statistic is
+    * unchanged at output precision, coarse enough that the BIGINT
+    * sum cannot overflow) before summing. The quantization is not
+    * about accumulation order (the decimal sum is exact too): it is
+    * about the decimal→double CAST of the huge Σxy. A DECIMAL whose
+    * scaled integer exceeds 2^53 double-rounds in DuckDB
+    * (int128→double, then /10⁴) but single-rounds on the JVM
+    * (BigDecimal.doubleValue) — a measured 1-ulp divergence on
+    * Σ(price²) at sf0.1 — while a BIGINT converts in ONE
+    * correctly-rounded step in both engines. cov/corr then evaluate
+    * in one fixed double tree per pair. Scale: ONE map-combined
+    * aggregate pass computes all 12 sums; the unpivot is a bounded
+    * 6-row union over the 1-row aggregate. */
+  val aggCovMatrix: Q = (s, d) => {
+    val vars = Seq("q" -> col("l_quantity"), "p" -> col("l_extendedprice"),
+      "dc" -> col("l_discount"))
+    def qs(x: String, y: String): Long =
+      if (x == "p" && y == "p") 100L
+      else if (x == "p" || y == "p") 10000L
+      else 100000000L
+    val sums = vars.map { case (n, c) => sum(dec2(c)).as(s"s_$n") } ++
+      (for ((nx, cx) <- vars; (ny, cy) <- vars if nx <= ny)
+        yield sum(floor(dec2(cx) * dec2(cy) * lit(qs(nx, ny))).cast(LongType))
+          .as(s"s_${nx}_$ny"))
+    val agg = table(s, d, "lineitem")
+      .agg(count(lit(1)).as("n"), sums: _*)
+    val names = Map("q" -> "quantity", "p" -> "extendedprice", "dc" -> "discount")
+    def d2(c: String): Column = col(c).cast(DoubleType)
+    val nd = col("n").cast(DoubleType)
+    def key(a: String, b: String): String =
+      if (a <= b) s"s_${a}_$b" else s"s_${b}_$a"
+    def cov(x: String, y: String): Column = {
+      val (a, b) = if (x <= y) (x, y) else (y, x)
+      (d2(key(x, y)) / lit(qs(a, b).toDouble) -
+        d2(s"s_$x") * d2(s"s_$y") / nd) / nd
+    }
+    val pairs = for ((nx, _) <- vars; (ny, _) <- vars if nx <= ny) yield (nx, ny)
+    pairs.map { case (x, y) =>
+      agg.select(lit(names(x)).as("var_x"), lit(names(y)).as("var_y"),
+        asLong(col("n")).as("n"),
+        round(cov(x, y), 6).as("cov"),
+        round(cov(x, y) / sqrt(cov(x, x) * cov(y, y)), 6).as("corr"))
+    }.reduce(_ unionAll _)
+      .orderBy("var_x", "var_y")
+  }
+
+  /** One-way ANOVA F (§2.18e): does mean event value differ across
+    * event types? Per-group n/Σv/Σv² accumulate in exact DECIMAL
+    * (values cast to DECIMAL(18,2) first — the fixture's 2dp domain);
+    * the only order-sensitive reduction — Σ_g (Σv_g)²/n_g across the
+    * ≤ |event_type| groups — floor-quantizes each group's term to
+    * BIGINT at 1e6 first. SSB/SSW/F then evaluate in one double tree.
+    * Scale: one map-combined (event_type) aggregate; everything else
+    * on the bounded group relation. */
+  val aggAnovaF: Q = (s, d) => {
+    val g = table(s, d, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ng"), sum(dec2(col("value"))).as("sg"),
+        sum(dec2(col("value")) * dec2(col("value"))).as("ssqg"))
+    val t = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("sg")).as("stot"), sum(col("ssqg")).as("ssqtot"),
+      sum(floor(col("sg").cast(DoubleType) * col("sg").cast(DoubleType) /
+        col("ng").cast(DoubleType) * 1e6).cast(LongType)).as("qb"))
+    val nd = col("n").cast(DoubleType)
+    val kd = col("k").cast(DoubleType)
+    val grand = col("stot").cast(DoubleType) * col("stot").cast(DoubleType) / nd
+    val ssb = col("qb").cast(DoubleType) / 1e6 - grand
+    val sst = col("ssqtot").cast(DoubleType) - grand
+    val ssw = sst - ssb
+    t.select(asLong(col("k")).as("k"), asLong(col("n")).as("n"),
+      round(ssb, 4).as("ssb"), round(ssw, 4).as("ssw"),
+      round((ssb / (kd - 1.0)) / (ssw / (nd - kd)), 6).as("f"))
   }
 
 }

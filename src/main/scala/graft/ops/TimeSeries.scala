@@ -854,4 +854,95 @@ object TimeSeries {
       round((col("r").cast(DoubleType) - mu) / sqrt(sig2), 6).as("z"))
   }
 
+  /** CUSUM control chart of daily revenue (§2.18e): the cumulative sum
+    * of deviations from the overall daily mean — the classic
+    * change-point visual (a sustained level shift bends the curve;
+    * ts_runs_test scores the same signal as one statistic). The
+    * mean-division is deferred: cusum_t = (nd·Σ_{≤t} rev − t·total)/nd
+    * where the running sum and total are exact DECIMAL and the final
+    * expression is one fixed double tree per row — no accumulated
+    * float error. Scale: one date-grain aggregate; the window runs
+    * over the calendar-bounded day relation (win_drawdown precedent).
+    */
+  val tsCusum: Q = (s, d) => {
+    val daily = table(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+    val tot = daily.agg(count(lit(1)).as("nd"), sum(col("rev")).as("trev"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("run", sum(col("rev")).over(w))
+      .withColumn("k", row_number().over(Window.orderBy(col("day"))))
+      .crossJoin(broadcast(tot))
+      .select(col("day"),
+        round(col("rev").cast(DoubleType), 2).as("rev"),
+        round((col("nd").cast(DoubleType) * col("run").cast(DoubleType) -
+          col("k").cast(DoubleType) * col("trev").cast(DoubleType)) /
+          col("nd").cast(DoubleType), 4).as("cusum"))
+      .orderBy("day")
+  }
+
+  /** Order-to-ship lag histogram (§2.18e): days between o_orderdate
+    * and each lineitem's l_shipdate, bucketed by week — the
+    * fulfillment-latency distribution (tpch_q12's late-line count is
+    * one cell of it). Lags are exact integer date arithmetic;
+    * nonnegative by the fixture's generation rule and asserted by
+    * filter so the integer-division bucket is floor for both engines.
+    * Scale: one orderkey equi-join between the two fact tables (AQE
+    * handles skew), then a bounded-bucket map-combined aggregate. */
+  val tsOrderToShipLag: Q = (s, d) => {
+    val lags = table(s, d, "lineitem")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+      .join(table(s, d, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("ord")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(col("ship"), col("ord")).as("lag"))
+      .filter(col("lag") >= 0)
+    val tot = lags.agg(count(lit(1)).as("n_total"))
+    lags
+      .groupBy((col("lag") - pmod(col("lag"), lit(7))).as("bucket_lo"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(asLong(col("bucket_lo")).as("bucket_lo"), asLong(col("n")).as("n"),
+        round(col("n").cast(DoubleType) / col("n_total"), 6).as("share"))
+      .orderBy("bucket_lo")
+  }
+
+  /** User dormancy buckets (§2.18e): users binned by HOURS since their
+    * last event relative to the corpus's last instant — the churn-risk
+    * tiers (<6h active, 6–24h cooling, 24–72h dormant, 72h+ lost;
+    * hour-granular because the fixture's event stream spans weeks, not
+    * years) that ts_user_lifecycle's per-user rows feed. Exact integer
+    * microsecond arithmetic (truncating division of nonnegative
+    * longs — identical in both engines) against one broadcast
+    * corpus-max scalar. Scale: one user-grain max aggregate + a
+    * 4-bucket reduce. */
+  val tsDormancyBuckets: Q = (s, d) => {
+    val lastTs = table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"))
+    val end = lastTs.agg(max(col("last_ts")).as("corpus_end"))
+    val tot = lastTs.agg(count(lit(1)).as("n_users_total"))
+    lastTs.crossJoin(broadcast(end))
+      .select(expr(
+        "(unix_micros(corpus_end) - unix_micros(last_ts)) div 3600000000")
+        .as("hrs"))
+      .select(when(col("hrs") < 6, 0L)
+        .when(col("hrs") < 24, 6L)
+        .when(col("hrs") < 72, 24L)
+        .otherwise(72L).as("bucket_lo"),
+        when(col("hrs") < 6, "0-6h")
+          .when(col("hrs") < 24, "6-24h")
+          .when(col("hrs") < 72, "24-72h")
+          .otherwise("72h+").as("bucket"))
+      .groupBy(col("bucket_lo"), col("bucket"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket_lo"), col("bucket"), asLong(col("n_users")).as("n_users"),
+        round(col("n_users").cast(DoubleType) / col("n_users_total"), 6).as("share"))
+      .orderBy("bucket_lo")
+  }
+
 }

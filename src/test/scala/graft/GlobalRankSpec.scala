@@ -89,6 +89,23 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(expected.exceptAll(got).count() == 0)
   }
 
+  test("withRunningSums == two global window running sums (one shuffle)") {
+    // the two-sample ECDF shape: per-key counts for two populations
+    val points = data.select(col("v"), col("id"),
+      when(pmod(col("id"), lit(2)) === 0, 1L).otherwise(0L).as("c1"),
+      when(pmod(col("id"), lit(3)) === 0, 1L).otherwise(0L).as("c2"))
+    val w = Window.orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = points.select(col("id"),
+      sum(col("c1")).over(w).cast("long").as("cum1"),
+      sum(col("c2")).over(w).cast("long").as("cum2"))
+    val got = GlobalRank.withRunningSums(points,
+      Seq(col("v"), col("id")), Seq("c1" -> "cum1", "c2" -> "cum2"),
+      numParts = 8).select(col("id"), col("cum1"), col("cum2"))
+    assert(got.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(got).count() == 0)
+  }
+
   test("single-row and empty inputs") {
     import spark.implicits._
     val one = spark.range(0, 1).select(col("id"))

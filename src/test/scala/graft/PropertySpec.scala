@@ -340,4 +340,104 @@ class PropertySpec extends AnyFunSuite {
       assert(r.getAs[Double]("avg_nbr_deg") >= 1.0)
     }
   }
+
+  test("round-8 batch-5 invariants: test statistics, curves, generators") {
+    // KS: statistic in [0, 1], samples partition the filtered rows
+    val ks = ops.Relational.aggKsTest(spark, sf0001).collect()(0)
+    assert(ks.getAs[Double]("ks") >= 0.0 && ks.getAs[Double]("ks") <= 1.0)
+    val nCp = Tables(spark, sf0001, "events")
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("click", "purchase")).count()
+    assert(ks.getAs[Long]("n1") + ks.getAs[Long]("n2") == nCp)
+
+    // Mann–Whitney: U in [0, n1*n2], finite z
+    val mw = ops.Relational.aggMannWhitney(spark, sf0001).collect()(0)
+    val (n1, n2) = (mw.getAs[Long]("n1"), mw.getAs[Long]("n2"))
+    val u = mw.getAs[Double]("u")
+    assert(u >= 0.0 && u <= n1.toDouble * n2)
+    assert(!mw.getAs[Double]("z").isNaN)
+
+    // MI: non-negative, normalized MI in [0, 1]
+    val mi = ops.Relational.aggMutualInformation(spark, sf0001).collect()(0)
+    assert(mi.getAs[Double]("mi") >= -1e-9)
+    val nmi = mi.getAs[Double]("nmi")
+    assert(nmi >= -1e-9 && nmi <= 1.0)
+
+    // covariance matrix: 6 pairs, diagonal corr 1, |corr| <= 1,
+    // diagonal cov (variance) non-negative
+    val cm = ops.Relational.aggCovMatrix(spark, sf0001).collect()
+    assert(cm.length == 6)
+    cm.foreach { r =>
+      val c = r.getAs[Double]("corr")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      if (r.getAs[String]("var_x") == r.getAs[String]("var_y")) {
+        assert(math.abs(c - 1.0) < 1e-6)
+        assert(r.getAs[Double]("cov") >= 0.0)
+      }
+    }
+
+    // ANOVA: both sums of squares and F non-negative
+    val an = ops.Relational.aggAnovaF(spark, sf0001).collect()(0)
+    assert(an.getAs[Double]("ssb") >= 0.0)
+    assert(an.getAs[Double]("ssw") >= 0.0)
+    assert(an.getAs[Double]("f") >= 0.0)
+
+    // CUSUM: final point returns to exactly zero by construction
+    // ((nd·Σrev − nd·Σrev)/nd); |cusum| bounded by nd·max|rev|
+    val cu = ops.TimeSeries.tsCusum(spark, sf0001).collect()
+    assert(math.abs(cu.last.getAs[Double]("cusum")) == 0.0)
+
+    // ship-lag histogram: buckets are week floors, shares sum to 1
+    val lag = ops.TimeSeries.tsOrderToShipLag(spark, sf0001).collect()
+    assert(lag.forall(_.getAs[Long]("bucket_lo") % 7 == 0))
+    assert(math.abs(lag.map(_.getAs[Double]("share")).sum - 1.0) < 1e-3)
+
+    // dormancy: known bucket floors, users partitioned
+    val dm = ops.TimeSeries.tsDormancyBuckets(spark, sf0001).collect()
+    assert(dm.map(_.getAs[Long]("bucket_lo")).toSet.subsetOf(Set(0L, 6L, 24L, 72L)))
+    assert(math.abs(dm.map(_.getAs[Double]("share")).sum - 1.0) < 1e-3)
+
+    // minhash calibration: buckets cover the verified pair set exactly,
+    // estimates in [0, 1], errors non-negative
+    val cal = ops.Pipelines.pipelineMinhashCalibration(spark, sf0001).collect()
+    val nPairs = ops.Pipelines.dedupMinhashLsh(spark, sf0001).count()
+    assert(cal.map(_.getAs[Long]("n_pairs")).sum == nPairs)
+    cal.foreach { r =>
+      val m = r.getAs[Long]("matches")
+      assert(m >= 0L && m <= 16L)
+      val est = r.getAs[Double]("est_jaccard")
+      assert(est >= 0.0 && est <= 1.0)
+      assert(r.getAs[Double]("mean_abs_err") >= 0.0)
+    }
+
+    // burstiness: exactly top-20, df bounded by corpus, Fano > 0
+    val bu = ops.Pipelines.pipelineBurstiness(spark, sf0001).collect()
+    assert(bu.length == 20)
+    val nDocs = Tables(spark, sf0001, "documents").count()
+    bu.foreach { r =>
+      assert(r.getAs[Long]("df") <= nDocs)
+      assert(r.getAs[Double]("fano") > 0.0)
+    }
+
+    // rich club: node and edge counts nonincreasing in k, phi in [0, 1]
+    val rc = ops.GraphOps.graphRichClub(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("k"))
+    val nn = rc.map(_.getAs[Long]("n_nodes"))
+    val ne = rc.map(_.getAs[Long]("n_edges"))
+    assert(nn.zip(nn.tail).forall { case (a, b) => a >= b })
+    assert(ne.zip(ne.tail).forall { case (a, b) => a >= b })
+    rc.foreach { r =>
+      val phi = r.getAs[Double]("phi")
+      assert(phi >= 0.0 && phi <= 1.0)
+    }
+
+    // sequence generators: closed forms hold on every row
+    ops.Funcs.fnSequence(spark, sf0001).collect().foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("seq_sz") == n)
+      assert(r.getAs[Long]("seq_sum") == n * (n + 1) / 2)
+      assert(r.getAs[Long]("n_even") == n / 2)
+      assert(r.getAs[Long]("dseq_sz") == n + 1)
+    }
+  }
 }

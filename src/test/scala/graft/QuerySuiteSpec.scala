@@ -186,7 +186,16 @@ class QuerySuiteSpec extends AnyFunSuite {
     "ts_activity_entropy" -> 15L, "ts_runs_test" -> 1L,
     "agg_group_quantiles" -> 5L, "agg_winsorized_mean" -> 1L,
     "agg_lorenz_points" -> 10L, "fn_array3" -> 72L,
-    "graph_avg_neighbor_degree" -> 40L)
+    "graph_avg_neighbor_degree" -> 40L,
+    // round-8 fifth batch (§2.18e): two-sample tests, MI, covariance
+    // matrix, ANOVA, CUSUM, lag/dormancy profiles, minhash
+    // calibration, burstiness, rich club, sequence generators
+    "agg_ks_test" -> 1L, "agg_mann_whitney" -> 1L,
+    "agg_mutual_information" -> 1L, "agg_cov_matrix" -> 6L,
+    "agg_anova_f" -> 1L, "ts_cusum" -> 1094L,
+    "ts_order_to_ship_lag" -> 338L, "ts_dormancy_buckets" -> 3L,
+    "pipeline_minhash_calibration" -> 2L, "pipeline_burstiness" -> 20L,
+    "graph_rich_club" -> 4L, "fn_sequence" -> 16L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
