@@ -152,6 +152,7 @@ object Bench {
       Tables.clear()
       ops.Pipelines.clearCache()
       ops.TextSim.clearCache()
+      ops.Relational.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(
         rdd => try rdd.unpersist(blocking = false) catch { case _: Throwable => () })
       System.gc()

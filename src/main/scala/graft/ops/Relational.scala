@@ -17,6 +17,10 @@ import org.apache.spark.sql.types._
   */
 object Relational {
 
+  /** Bench between-run sweep: drop the memoized ECDF relation (its
+    * checkpoint RDD is unpersisted by the bench's global RDD sweep). */
+  def clearCache(): Unit = ecdfCache.clear()
+
   // ---- §2.1 scans ----
 
   val scanProject: Q = (s, d) =>
@@ -2020,17 +2024,23 @@ object Relational {
     * shuffle, per-slice offsets, no single-task window — so the shape
     * survives a value domain that ISN'T bounded. Grouping keys are the
     * raw parquet doubles: exact equality on identical bits, no float
-    * arithmetic before the counts. */
-  private def cpEcdf(s: SparkSession, d: String): DataFrame = {
-    val g = table(s, d, "events")
-      .filter(col("value").isNotNull &&
-        col("event_type").isin("click", "purchase"))
-      .groupBy(col("value").as("v"))
-      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
-    GlobalRank.withRunningSums(g, Seq(col("v")),
-      Seq("c1" -> "cum1", "c2" -> "cum2"))
-  }
+    * arithmetic before the counts. Built once per (session, sfDir) —
+    * agg_ks_test and agg_mann_whitney read the same persisted slice
+    * (the pairCache/shingles policy). */
+  private val ecdfCache = new graft.SessionCache[String, DataFrame]
+
+  private def cpEcdf(s: SparkSession, d: String): DataFrame =
+    ecdfCache.getOrElseUpdate(s, d) {
+      val g = table(s, d, "events")
+        .filter(col("value").isNotNull &&
+          col("event_type").isin("click", "purchase"))
+        .groupBy(col("value").as("v"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+      GlobalRank.withRunningSums(g, Seq(col("v")),
+        Seq("c1" -> "cum1", "c2" -> "cum2"))
+        .localCheckpoint(true)
+    }
 
   /** Two-sample Kolmogorov–Smirnov test (§2.18e): are click values and
     * purchase values drawn from the same distribution? D = max over
