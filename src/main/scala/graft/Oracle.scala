@@ -3354,6 +3354,151 @@ SELECT CAST(nk.k AS BIGINT) AS k, n_nodes, n_edges,
   round(2.0 * n_edges / (CAST(n_nodes AS DOUBLE) * (CAST(n_nodes AS DOUBLE) - 1.0)), 6) AS phi
 FROM nk JOIN ek ON ek.k = nk.k ORDER BY 1""",
 
+      // ---- §2.18f (round 8, sixth batch) ----
+      // DuckDB map extraction yields a 1-element list -> [1] unwraps;
+      // key order is insertion order in both engines.
+      "fn_map" ->
+        s"""SELECT o_orderkey,
+  m['status'][1] AS status_v,
+  m['pri'][1] AS pri_v,
+  m['missing'][1] AS missing_v,
+  CAST(cardinality(m) AS BIGINT) AS n_keys,
+  array_to_string(map_keys(m), ',') AS keys_csv,
+  map_concat(m, map(['extra'], [upper(o_orderstatus)]))['extra'][1] AS concat_v
+FROM (SELECT o_orderkey, o_orderstatus,
+        map(['status', 'pri'], [o_orderstatus, o_orderpriority]) AS m
+      FROM ${T("orders")} WHERE o_orderkey % 101 = 0)
+ORDER BY o_orderkey""",
+
+      // Exact DECIMAL power sums (magnitudes far under 2^53 scaled);
+      // slope/intercept one fixed double tree.
+      "agg_discount_elasticity" ->
+        s"""WITH b AS (SELECT l_discount AS discount, count(*) AS n,
+  sum(CAST(l_discount AS DECIMAL(18,2))) AS sx,
+  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sy,
+  sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS sxx,
+  sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxy
+  FROM ${T("lineitem")} GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sx) AS DOUBLE) AS tsx,
+  CAST(sum(sy) AS DOUBLE) AS tsy, CAST(sum(sxx) AS DOUBLE) AS tsxx,
+  CAST(sum(sxy) AS DOUBLE) AS tsxy FROM b)
+SELECT discount, CAST(n AS BIGINT) AS n,
+  round(CAST(sy AS DOUBLE) / n, 6) AS avg_qty,
+  round((CAST(tn AS DOUBLE) * tsxy - tsx * tsy) /
+        (CAST(tn AS DOUBLE) * tsxx - tsx * tsx), 6) AS slope,
+  round((tsy - (CAST(tn AS DOUBLE) * tsxy - tsx * tsy) /
+               (CAST(tn AS DOUBLE) * tsxx - tsx * tsx) * tsx) /
+        CAST(tn AS DOUBLE), 6) AS intercept
+FROM b, t ORDER BY discount""",
+
+      // Exact integer deltas; running sum over the bounded day grid.
+      "ts_order_backlog" ->
+        s"""WITH cl AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS close_day
+  FROM ${T("lineitem")} GROUP BY 1),
+sp AS (SELECT CAST(o.o_orderdate AS DATE) AS open_day, cl.close_day
+  FROM ${T("orders")} o JOIN cl ON o.o_orderkey = cl.l_orderkey),
+dl AS (SELECT open_day AS day, 1 AS delta, 1 AS opened FROM sp
+  UNION ALL SELECT close_day + 1, -1, 0 FROM sp),
+g AS (SELECT day, CAST(sum(delta) AS BIGINT) AS net,
+  CAST(sum(opened) AS BIGINT) AS opened FROM dl GROUP BY 1)
+SELECT day, opened, net,
+  CAST(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_orders
+FROM g ORDER BY day""",
+
+      // Daily revenues scaled to millions (F is scale-invariant);
+      // per-day and per-group terms floor-quantized at 1e6.
+      "ts_weekday_anova" ->
+        s"""WITH dl AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM ${T("orders")} GROUP BY 1),
+dm AS (SELECT dayofweek(day) AS dow, CAST(rev AS DOUBLE) / 1e6 AS rev_m FROM dl),
+g AS (SELECT dow, count(*) AS ng,
+  CAST(sum(CAST(floor(rev_m * 1e6) AS BIGINT)) AS BIGINT) AS qsg,
+  CAST(sum(CAST(floor(rev_m * rev_m * 1e6) AS BIGINT)) AS BIGINT) AS qssqg
+  FROM dm GROUP BY 1),
+t AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+  CAST(sum(qsg) AS BIGINT) AS qstot, CAST(sum(qssqg) AS BIGINT) AS qssqtot,
+  CAST(sum(CAST(floor((CAST(qsg AS DOUBLE) / 1e6) * (CAST(qsg AS DOUBLE) / 1e6) /
+    CAST(ng AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS qb
+  FROM g)
+SELECT CAST(k AS BIGINT) AS k, n AS n_days,
+  round(CAST(qb AS DOUBLE) / 1e6 -
+    (CAST(qstot AS DOUBLE) / 1e6) * (CAST(qstot AS DOUBLE) / 1e6) /
+      CAST(n AS DOUBLE), 6) AS ssb,
+  round((CAST(qssqtot AS DOUBLE) / 1e6 -
+    (CAST(qstot AS DOUBLE) / 1e6) * (CAST(qstot AS DOUBLE) / 1e6) /
+      CAST(n AS DOUBLE)) -
+    (CAST(qb AS DOUBLE) / 1e6 -
+     (CAST(qstot AS DOUBLE) / 1e6) * (CAST(qstot AS DOUBLE) / 1e6) /
+       CAST(n AS DOUBLE)), 6) AS ssw,
+  round(((CAST(qb AS DOUBLE) / 1e6 -
+          (CAST(qstot AS DOUBLE) / 1e6) * (CAST(qstot AS DOUBLE) / 1e6) /
+            CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)) /
+        (((CAST(qssqtot AS DOUBLE) / 1e6 -
+           (CAST(qstot AS DOUBLE) / 1e6) * (CAST(qstot AS DOUBLE) / 1e6) /
+             CAST(n AS DOUBLE)) -
+          (CAST(qb AS DOUBLE) / 1e6 -
+           (CAST(qstot AS DOUBLE) / 1e6) * (CAST(qstot AS DOUBLE) / 1e6) /
+             CAST(n AS DOUBLE))) /
+         (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f
+FROM t""",
+
+      // Per-occurrence relpos and its square floor-quantized pre-sum.
+      "pipeline_token_positions" ->
+        s"""WITH toks AS (SELECT doc_id,
+  generate_subscripts(string_split(text, ' '), 1) AS pos1,
+  unnest(string_split(text, ' ')) AS w FROM ${T("documents")}),
+lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+dfr AS (SELECT w, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, w FROM toks) GROUP BY 1),
+top AS (SELECT w, df FROM dfr ORDER BY df DESC, w LIMIT 10),
+rel AS (SELECT t.w, top.df, CAST(t.pos1 AS DOUBLE) / l.len AS rp
+  FROM toks t JOIN top ON top.w = t.w JOIN lens l ON l.doc_id = t.doc_id),
+q AS (SELECT w, df, count(*) AS tf,
+  CAST(sum(CAST(floor(rp * 1e6) AS BIGINT)) AS BIGINT) AS q1,
+  CAST(sum(CAST(floor(rp * rp * 1e10) AS BIGINT)) AS BIGINT) AS q2
+  FROM rel GROUP BY 1, 2)
+SELECT w, CAST(df AS BIGINT) AS df, CAST(tf AS BIGINT) AS tf,
+  round(CAST(q1 AS DOUBLE) / 1e6 / tf, 6) AS mean_relpos,
+  round(sqrt(CAST(q2 AS DOUBLE) / 1e10 / tf -
+    (CAST(q1 AS DOUBLE) / 1e6 / tf) * (CAST(q1 AS DOUBLE) / 1e6 / tf)), 6)
+    AS std_relpos
+FROM q ORDER BY df DESC, w""",
+
+      // The bucket floor IS the quantization; identical cosine doubles
+      // (codegen expression vs DOUBLE[] kernel) floor identically.
+      "sim_cosine_histogram" ->
+        s"""WITH e AS (SELECT vec_id, embedding FROM ${T("embeddings")} WHERE vec_id % 4 = 0),
+p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+  list_cosine_similarity(cast(a.embedding AS DOUBLE[]), cast(b.embedding AS DOUBLE[])) AS cs
+  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+t AS (SELECT count(*) AS n_total FROM p)
+SELECT CAST(floor(cs * 10) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+  round(CAST(count(*) AS DOUBLE) / n_total, 6) AS share
+FROM p, t GROUP BY 1, n_total ORDER BY 1""",
+
+      // Four independent fixed-round peels (the kcore3 chain x 4).
+      "graph_core_decomposition" -> {
+        val peels = (2 to 5).map { k =>
+          s"""k${k}_1 AS (SELECT s FROM ud GROUP BY s HAVING count(*) >= $k),
+u${k}_1 AS (SELECT ud.s, ud.t FROM ud JOIN k${k}_1 a ON ud.s = a.s JOIN k${k}_1 b ON ud.t = b.s),
+k${k}_2 AS (SELECT s FROM u${k}_1 GROUP BY s HAVING count(*) >= $k),
+u${k}_2 AS (SELECT u${k}_1.s, u${k}_1.t FROM u${k}_1 JOIN k${k}_2 a ON u${k}_1.s = a.s JOIN k${k}_2 b ON u${k}_1.t = b.s),
+k${k}_3 AS (SELECT s FROM u${k}_2 GROUP BY s HAVING count(*) >= $k),
+u${k}_3 AS (SELECT u${k}_2.s, u${k}_2.t FROM u${k}_2 JOIN k${k}_3 a ON u${k}_2.s = a.s JOIN k${k}_3 b ON u${k}_2.t = b.s),
+d$k AS (SELECT s, count(*) AS dg FROM u${k}_3 GROUP BY s)"""
+        }.mkString(",\n")
+        val rows = (2 to 5).map { k =>
+          s"""SELECT CAST($k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_nodes,
+  CAST(coalesce(sum(dg), 0) // 2 AS BIGINT) AS n_edges,
+  CAST(coalesce(min(dg), 0) AS BIGINT) AS min_residual_deg FROM d$k"""
+        }.mkString("\nUNION ALL\n")
+        s"""$E,
+$peels
+SELECT * FROM (
+$rows
+) ORDER BY k"""
+      },
+
       // Generator family: exact integer sizes/sums only.
       "fn_sequence" ->
         s"""SELECT o_orderkey, CAST(o_orderkey % 10 + 1 AS BIGINT) AS n,

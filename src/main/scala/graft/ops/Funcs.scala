@@ -374,6 +374,34 @@ object Funcs {
     * outputs are exact integer scalars (sizes/sums) — no
     * engine-specific array encoding reaches the result. Per-row,
     * linear, on a keyspace-deterministic sample. */
+  /** Map-type family (§2.18f): construction, key lookup, cardinality,
+    * concat-with-new-key (Spark's default dedup policy forbids
+    * duplicate keys in map_concat), rendered keys — the
+    * associative-container
+    * functions the array families don't cover (Spark `map`/
+    * `element_at`/`map_concat`, DuckDB `map(...)` + `[key][1]` — its
+    * extraction yields a 1-element list — + `map_keys`). All outputs
+    * are scalars (strings/BIGINT); no engine-specific map encoding
+    * reaches the result. Map key ORDER is insertion order in both
+    * engines (verified by probe), so the rendered key list is
+    * deterministic. Per-row, linear, keyspace-deterministic sample. */
+  val fnMap: Q = (s, d) =>
+    table(s, d, "orders")
+      .filter(col("o_orderkey") % 101 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        map(lit("status"), col("o_orderstatus"),
+          lit("pri"), col("o_orderpriority")).as("m"))
+      .select(col("o_orderkey"),
+        element_at(col("m"), "status").as("status_v"),
+        element_at(col("m"), "pri").as("pri_v"),
+        element_at(col("m"), "missing").as("missing_v"),
+        asLong(size(col("m"))).as("n_keys"),
+        array_join(map_keys(col("m")), ",").as("keys_csv"),
+        element_at(
+          map_concat(col("m"), map(lit("extra"), upper(col("o_orderstatus")))),
+          "extra").as("concat_v"))
+      .orderBy("o_orderkey")
+
   val fnSequence: Q = (s, d) =>
     table(s, d, "orders")
       .filter(col("o_orderkey") % 97 === 0)

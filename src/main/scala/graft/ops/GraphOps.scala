@@ -375,6 +375,35 @@ object GraphOps {
       .orderBy("n_triangles")
   }
 
+  /** k-core decomposition summary (§2.18f): surviving nodes/edges and
+    * the residual minimum degree of the fixed-round k-core for
+    * k ∈ {2..5} — the nested-shell profile whose single k=3 shell
+    * graph_kcore3 reports per-node (graph_rich_club slices by RAW
+    * degree; cores re-check degree after every peel). Each core runs
+    * the same 3-round partial-fixpoint peel as graph_kcore3 — fixed
+    * rounds, so both engines compute the identical partial fixpoint —
+    * and the four peels are independent (no cross-k iteration). Scale:
+    * 3 shuffles per k on the node key over the sparse strong graph,
+    * exactly kcore3 × 4. */
+  val graphCoreDecomposition: Q = (s, d) => {
+    val summaries = (2 to 5).map { k =>
+      val core = Iterate.fixed(Tables.ud(s, d), 3) { ud =>
+        val keep = ud.groupBy(col("s")).agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= k).select(col("s").as("kk"))
+        ud.join(keep, col("s") === col("kk"), "left_semi")
+          .join(keep, col("t") === col("kk"), "left_semi")
+      }
+      core.groupBy(col("s")).agg(count(lit(1)).as("dg"))
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_nodes"),
+          coalesce(sum(col("dg")), lit(0L)).as("deg_sum"),
+          coalesce(min(col("dg")), lit(0L)).as("min_deg"))
+        .select(lit(k.toLong).as("k"), asLong(col("n_nodes")).as("n_nodes"),
+          asLong(expr("deg_sum div 2")).as("n_edges"),
+          asLong(col("min_deg")).as("min_residual_deg"))
+    }
+    summaries.reduce(_ unionAll _).orderBy("k")
+  }
+
   /** Rich-club coefficient curve (§2.18e): for each degree threshold
     * k, the edge density φ(k) = 2·E_k / (N_k·(N_k−1)) among nodes of
     * degree ≥ k — do the hubs form their own club

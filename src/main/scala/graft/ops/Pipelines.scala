@@ -1348,4 +1348,44 @@ object Pipelines {
       .orderBy(col("df").desc, col("w"))
   }
 
+  /** Positional profile of the top-10 df tokens (§2.18f): mean and
+    * spread of each token's RELATIVE position (1-based pos / doc
+    * length) across all its occurrences — sentence-initial discourse
+    * markers, document-final boilerplate and uniformly-spread function
+    * words separate on this axis (pipeline_burstiness measures
+    * across-doc clumping; this measures within-doc placement). Each
+    * occurrence's relpos (one int/int IEEE division) and its square
+    * are floor-quantized to BIGINT (1e6 / 1e10 — the square scale leaves
+    * BIGINT headroom for ~1e9 occurrences per token) before the per-token
+    * sums — the logprob recipe — so accumulation order is irrelevant;
+    * mean/std then evaluate in one double tree per token. Scale: one
+    * exploded-corpus pass + the PMI broadcast top-k pattern. */
+  val pipelineTokenPositions: Q = (s, d) => {
+    val toks = table(s, d, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos1"), col("col").as("w"))
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val df = table(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val top = df.orderBy(col("df").desc, col("w")).limit(10)
+    val rel = toks
+      .join(broadcast(top), Seq("w"))
+      .join(lens, Seq("doc_id"))
+      .select(col("w"), col("df"),
+        (col("pos1").cast(DoubleType) / col("len")).as("rp"))
+    rel
+      .groupBy(col("w"))
+      .agg(first(col("df")).as("df"), count(lit(1)).as("tf"),
+        sum(floor(col("rp") * 1e6).cast(LongType)).as("q1"),
+        sum(floor(col("rp") * col("rp") * 1e10).cast(LongType)).as("q2"))
+      .select(col("w"), asLong(col("df")).as("df"), asLong(col("tf")).as("tf"),
+        round(col("q1").cast(DoubleType) / 1e6 / col("tf"), 6).as("mean_relpos"),
+        round(sqrt(col("q2").cast(DoubleType) / 1e10 / col("tf") -
+          (col("q1").cast(DoubleType) / 1e6 / col("tf")) *
+            (col("q1").cast(DoubleType) / 1e6 / col("tf"))), 6).as("std_relpos"))
+      .orderBy(col("df").desc, col("w"))
+  }
+
 }

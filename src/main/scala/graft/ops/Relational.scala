@@ -2215,4 +2215,38 @@ object Relational {
       round((ssb / (kd - 1.0)) / (ssw / (nd - kd)), 6).as("f"))
   }
 
+  /** Discount elasticity of quantity (§2.18f): per-discount-level
+    * demand curve (the discount domain is a bounded 2dp grid, so the
+    * per-level rows ARE the curve) plus the global OLS slope/intercept
+    * of quantity on discount attached to every row — does a deeper
+    * discount actually move volume (tpch_q6 prices the revenue effect;
+    * this measures the behavioral one)? All power sums exact DECIMAL —
+    * discount ≤ 0.1 and quantity ≤ 50 keep every scaled sum far under
+    * 2^53 at any plausible SF (unlike agg_cov_matrix's price², no
+    * quantization needed) — and slope/intercept evaluate in one fixed
+    * double tree. Scale: one map-combined aggregate over the bounded
+    * discount grid + a 1-row broadcast for the OLS pass. */
+  val aggDiscountElasticity: Q = (s, d) => {
+    val x = dec2(col("l_discount"))
+    val y = dec2(col("l_quantity"))
+    val bands = table(s, d, "lineitem")
+      .groupBy(col("l_discount").cast(DoubleType).as("discount"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+    val tot = bands.agg(sum(col("n")).as("tn"),
+      sum(col("sx")).as("tsx"), sum(col("sy")).as("tsy"),
+      sum(col("sxx")).as("tsxx"), sum(col("sxy")).as("tsxy"))
+    val tnd = col("tn").cast(DoubleType)
+    def d2(c: String): Column = col(c).cast(DoubleType)
+    val slope = (tnd * d2("tsxy") - d2("tsx") * d2("tsy")) /
+      (tnd * d2("tsxx") - d2("tsx") * d2("tsx"))
+    val intercept = (d2("tsy") - slope * d2("tsx")) / tnd
+    bands.crossJoin(broadcast(tot))
+      .select(col("discount"), asLong(col("n")).as("n"),
+        round(col("sy").cast(DoubleType) / col("n"), 6).as("avg_qty"),
+        round(slope, 6).as("slope"),
+        round(intercept, 6).as("intercept"))
+      .orderBy("discount")
+  }
+
 }

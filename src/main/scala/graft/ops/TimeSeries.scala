@@ -945,4 +945,74 @@ object TimeSeries {
       .orderBy("bucket_lo")
   }
 
+  /** Open-order backlog sweep (§2.18f): orders in flight per activity
+    * day — an order opens at o_orderdate and closes at its last
+    * lineitem ship date; +1/−1 deltas aggregated per day and
+    * running-summed give the backlog curve (ts_peak_concurrency is the
+    * same sweep on sessions). Exact integer deltas; the window runs
+    * over the calendar-bounded day relation (win_drawdown precedent;
+    * at an unbounded day domain this routes through GlobalRank like
+    * the peak-concurrency sweep). Orders with no lineitems never open.
+    * Scale: one orderkey fact-fact equi-join + a date-grain
+    * map-combined aggregate. */
+  val tsOrderBacklog: Q = (s, d) => {
+    val close = table(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("close_day"))
+    val spans = table(s, d, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("open_day"))
+      .join(close, col("o_orderkey") === col("l_orderkey"))
+    val deltas = spans
+      .select(col("open_day").as("day"), lit(1L).as("delta"), lit(1L).as("opened"))
+      .unionAll(spans.select(date_add(col("close_day"), 1).as("day"),
+        lit(-1L).as("delta"), lit(0L).as("opened")))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .groupBy(col("day"))
+      .agg(sum(col("delta")).as("net"), sum(col("opened")).as("opened"))
+      .withColumn("open_orders", sum(col("net")).over(w))
+      .select(col("day"), asLong(col("opened")).as("opened"),
+        asLong(col("net")).as("net"), asLong(col("open_orders")).as("open_orders"))
+      .orderBy("day")
+  }
+
+  /** Weekday effect on revenue, tested (§2.18f): one-way ANOVA F of
+    * DAILY revenue across the 7 weekdays — ts_dow_profile shows the
+    * means; this says whether the weekly seasonality is signal or
+    * noise. Observations are daily revenues scaled to millions (F is
+    * scale-invariant; the scaling keeps the floor-quantized 1e6 terms
+    * inside BIGINT at any SF). Daily revenue is an exact DECIMAL sum;
+    * rev_m divides by an exact power of ten; per-day squared terms and
+    * per-group (Σv)²/n terms floor-quantize before their bounded sums
+    * (the agg_anova_f recipe on the day grain). dow normalized to
+    * DuckDB's 0=Sunday. Scale: date-grain aggregate; everything else
+    * on the calendar-bounded day relation. */
+  val tsWeekdayAnova: Q = (s, d) => {
+    val daily = table(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+      .select((dayofweek(col("day")) - 1).as("dow"),
+        (col("rev").cast(DoubleType) / 1e6).as("rev_m"))
+    val g = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("ng"),
+        sum(floor(col("rev_m") * 1e6).cast(LongType)).as("qsg"),
+        sum(floor(col("rev_m") * col("rev_m") * 1e6).cast(LongType)).as("qssqg"))
+    val t = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("qsg")).as("qstot"), sum(col("qssqg")).as("qssqtot"),
+      sum(floor((col("qsg").cast(DoubleType) / 1e6) *
+        (col("qsg").cast(DoubleType) / 1e6) /
+        col("ng").cast(DoubleType) * 1e6).cast(LongType)).as("qb"))
+    val nd = col("n").cast(DoubleType)
+    val kd = col("k").cast(DoubleType)
+    val stot = col("qstot").cast(DoubleType) / 1e6
+    val grand = stot * stot / nd
+    val ssb = col("qb").cast(DoubleType) / 1e6 - grand
+    val sst = col("qssqtot").cast(DoubleType) / 1e6 - grand
+    val ssw = sst - ssb
+    t.select(asLong(col("k")).as("k"), asLong(col("n")).as("n_days"),
+      round(ssb, 6).as("ssb"), round(ssw, 6).as("ssw"),
+      round((ssb / (kd - 1.0)) / (ssw / (nd - kd)), 6).as("f"))
+  }
+
 }

@@ -440,4 +440,67 @@ class PropertySpec extends AnyFunSuite {
       assert(r.getAs[Long]("dseq_sz") == n + 1)
     }
   }
+
+  test("round-8 batch-6 invariants: map semantics, sweeps, decomposition") {
+    // map family: lookup/concat/keys behave per spec on every row
+    ops.Funcs.fnMap(spark, sf0001).collect().foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("missing_v")))
+      assert(r.getAs[Long]("n_keys") == 2L)
+      assert(r.getAs[String]("keys_csv") == "status,pri")
+      assert(r.getAs[String]("concat_v") ==
+        r.getAs[String]("status_v").toUpperCase)
+    }
+
+    // elasticity: the discount grid is the 2dp domain; the OLS slope
+    // and intercept are global constants repeated on every band row
+    val el = ops.Relational.aggDiscountElasticity(spark, sf0001).collect()
+    assert(el.map(_.getAs[Double]("slope")).distinct.length == 1)
+    assert(el.map(_.getAs[Double]("intercept")).distinct.length == 1)
+    el.foreach(r => assert(r.getAs[Double]("avg_qty") > 0.0))
+
+    // backlog sweep: never negative, and every order eventually
+    // closes, so the final running value is exactly zero
+    val bl = ops.TimeSeries.tsOrderBacklog(spark, sf0001).collect()
+    assert(bl.forall(_.getAs[Long]("open_orders") >= 0L))
+    assert(bl.last.getAs[Long]("open_orders") == 0L)
+
+    // weekday ANOVA: 7 groups, non-negative decomposition
+    val wa = ops.TimeSeries.tsWeekdayAnova(spark, sf0001).collect()(0)
+    assert(wa.getAs[Long]("k") == 7L)
+    assert(wa.getAs[Double]("ssb") >= 0.0)
+    assert(wa.getAs[Double]("ssw") >= 0.0)
+    assert(wa.getAs[Double]("f") >= 0.0)
+
+    // token positions: relpos statistics live in (0, 1] x [0, 0.5]
+    val tp = ops.Pipelines.pipelineTokenPositions(spark, sf0001).collect()
+    assert(tp.length == 10)
+    tp.foreach { r =>
+      val m = r.getAs[Double]("mean_relpos")
+      assert(m > 0.0 && m <= 1.0)
+      val sd = r.getAs[Double]("std_relpos")
+      assert(sd >= 0.0 && sd <= 0.5 + 1e-9)
+    }
+
+    // cosine histogram: buckets inside [-10, 10], pairs partition the
+    // sampled triangle, shares sum to 1
+    val ch = ops.TextSim.simCosineHistogram(spark, sf0001).collect()
+    val m = Tables(spark, sf0001, "embeddings")
+      .filter(col("vec_id") % 4 === 0).count()
+    assert(ch.map(_.getAs[Long]("n_pairs")).sum == m * (m - 1) / 2)
+    assert(ch.forall { r =>
+      val b = r.getAs[Long]("bucket"); b >= -10L && b <= 10L
+    })
+    assert(math.abs(ch.map(_.getAs[Double]("share")).sum - 1.0) < 1e-3)
+
+    // core decomposition: shells nest (nonincreasing in k), and the
+    // k=3 shell is exactly the kcore3 node set
+    val cd = ops.GraphOps.graphCoreDecomposition(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("k"))
+    val nn = cd.map(_.getAs[Long]("n_nodes"))
+    val ne = cd.map(_.getAs[Long]("n_edges"))
+    assert(nn.zip(nn.tail).forall { case (a, b) => a >= b })
+    assert(ne.zip(ne.tail).forall { case (a, b) => a >= b })
+    val k3 = cd.find(_.getAs[Long]("k") == 3L).get.getAs[Long]("n_nodes")
+    assert(k3 == ops.GraphOps.graphKcore3(spark, sf0001).count())
+  }
 }

@@ -195,7 +195,14 @@ class QuerySuiteSpec extends AnyFunSuite {
     "agg_anova_f" -> 1L, "ts_cusum" -> 1094L,
     "ts_order_to_ship_lag" -> 338L, "ts_dormancy_buckets" -> 3L,
     "pipeline_minhash_calibration" -> 2L, "pipeline_burstiness" -> 20L,
-    "graph_rich_club" -> 4L, "fn_sequence" -> 16L)
+    "graph_rich_club" -> 4L, "fn_sequence" -> 16L,
+    // round-8 sixth batch (§2.18f): map functions, elasticity, order
+    // backlog, weekday ANOVA, token positions, cosine histogram,
+    // core decomposition
+    "fn_map" -> 15L, "agg_discount_elasticity" -> 11L,
+    "ts_order_backlog" -> 1631L, "ts_weekday_anova" -> 1L,
+    "pipeline_token_positions" -> 10L, "sim_cosine_histogram" -> 11L,
+    "graph_core_decomposition" -> 4L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
