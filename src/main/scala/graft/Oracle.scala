@@ -3499,6 +3499,95 @@ $rows
 ) ORDER BY k"""
       },
 
+      // ---- §2.18g (round 8, seventh batch) ----
+      // Rank selection over the total order: no interpolation, no
+      // floats; probe ranks are exact integer arithmetic.
+      "agg_quantiles_disc" ->
+        s"""WITH r AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+  row_number() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS rn
+  FROM ${T("orders")}),
+n AS (SELECT count(*) AS total FROM r),
+ps AS (SELECT unnest([1, 5, 25, 50, 75, 95, 99]) AS p)
+SELECT CAST(p AS BIGINT) AS p,
+  CAST((p * total + 99) // 100 AS BIGINT) AS rank_sel,
+  round(CAST(v AS DOUBLE), 2) AS value
+FROM r, n, ps WHERE rn = (p * total + 99) // 100 ORDER BY p""",
+
+      // Digit count of an exact integer: log-scale bins without a
+      // transcendental (floor(log10) is a cross-engine knife edge).
+      "agg_magnitude_histogram" ->
+        s"""WITH t AS (SELECT count(*) AS n_total FROM ${T("orders")}),
+b AS (SELECT length(CAST(CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS VARCHAR)) AS digits,
+  CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM ${T("orders")})
+SELECT CAST(digits AS BIGINT) AS digits, CAST(count(*) AS BIGINT) AS n,
+  round(CAST(count(*) AS DOUBLE) / n_total, 6) AS share,
+  round(CAST(min(v) AS DOUBLE), 2) AS min_value,
+  round(CAST(max(v) AS DOUBLE), 2) AS max_value
+FROM b, t GROUP BY 1, n_total ORDER BY 1""",
+
+      // All-integer counts; one division.
+      "graph_transitivity" ->
+        s"""$E,
+degs AS (SELECT s, count(*) AS dg FROM ud GROUP BY 1),
+w AS (SELECT count(*) AS n_nodes,
+  CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS wedges FROM degs),
+tr AS (SELECT count(*) AS triangles FROM e e1
+  JOIN e e2 ON e2.s = e1.t JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t),
+ne AS (SELECT count(*) AS n_edges FROM e)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+  wedges, CAST(triangles AS BIGINT) AS triangles,
+  round(3.0 * triangles / CAST(wedges AS DOUBLE), 6) AS transitivity
+FROM w, tr, ne""",
+
+      // Identical rate doubles -> identical integer thresholds; the
+      // md5 16-bit bucket decides the kept SET reproducibly.
+      "sample_rebalance" ->
+        s"""WITH bs AS (SELECT source, count(*) AS n_docs,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM ${T("documents")} GROUP BY 1),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot, count(*) AS n_src FROM bs),
+rt AS (SELECT source, n_docs,
+  least(1.0, (CAST(tot AS DOUBLE) / n_src) / CAST(n_tokens AS DOUBLE)) AS rate
+  FROM bs, t),
+rr AS (SELECT source, n_docs, rate,
+  CAST(floor(rate * 65536) AS BIGINT) AS thr FROM rt),
+k AS (SELECT d.source, rr.n_docs, rr.rate,
+  CASE WHEN ('0x' || substr(md5(cast(d.doc_id AS VARCHAR)), 1, 4))::BIGINT < rr.thr
+       THEN 1 ELSE 0 END AS keep
+  FROM ${T("documents")} d JOIN rr ON rr.source = d.source)
+SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+  CAST(sum(keep) AS BIGINT) AS n_kept,
+  round(max(rate), 6) AS target_rate,
+  round(CAST(sum(keep) AS DOUBLE) / max(n_docs), 6) AS achieved_rate
+FROM k GROUP BY source ORDER BY source""",
+
+      // Char-grain fingerprint; in-row position explode, exact counts.
+      "pipeline_char_trigrams" ->
+        s"""WITH gg AS (SELECT substr(text, CAST(i AS INT), 3) AS g
+  FROM (SELECT text, unnest(generate_series(1, len(text) - 2)) AS i
+        FROM ${T("documents")} WHERE len(text) >= 3)),
+c AS (SELECT g, count(*) AS n FROM gg GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+top AS (SELECT g, n FROM c ORDER BY n DESC, g LIMIT 15)
+SELECT g, CAST(n AS BIGINT) AS n,
+  round(CAST(n AS DOUBLE) / n_total, 6) AS share
+FROM top, t ORDER BY n DESC, g""",
+
+      // Exact DECIMAL side totals; means and the ratio one double tree.
+      "ts_weekend_effect" ->
+        s"""WITH dl AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM ${T("orders")} GROUP BY 1),
+sd AS (SELECT (dayofweek(day) = 0 OR dayofweek(day) = 6) AS is_weekend, rev FROM dl),
+g AS (SELECT is_weekend, count(*) AS n_days, sum(rev) AS trev FROM sd GROUP BY 1),
+r AS (SELECT max(CASE WHEN is_weekend THEN CAST(trev AS DOUBLE) / n_days END) /
+             max(CASE WHEN NOT is_weekend THEN CAST(trev AS DOUBLE) / n_days END)
+        AS wknd_over_wkday FROM g)
+SELECT is_weekend, CAST(n_days AS BIGINT) AS n_days,
+  round(CAST(trev AS DOUBLE), 2) AS total_rev,
+  round(CAST(trev AS DOUBLE) / n_days, 4) AS avg_daily_rev,
+  round(wknd_over_wkday, 6) AS wknd_over_wkday
+FROM g, r ORDER BY is_weekend""",
+
       // Generator family: exact integer sizes/sums only.
       "fn_sequence" ->
         s"""SELECT o_orderkey, CAST(o_orderkey % 10 + 1 AS BIGINT) AS n,

@@ -404,6 +404,35 @@ object GraphOps {
     summaries.reduce(_ unionAll _).orderBy("k")
   }
 
+  /** Global transitivity (§2.18g): 3·triangles / wedges — the ONE
+    * clustering number for the whole graph (graph_clustering_coeff
+    * averages the per-node ratio, which weights leaves and hubs
+    * equally; transitivity weights by wedge count — the two diverge
+    * exactly when clustering concentrates in hubs). Wedges are
+    * Σ deg·(deg−1)/2 over the degree relation; triangles reuse the
+    * canonical s<t<u enumeration. All-integer counts, one division.
+    * Scale: one degree aggregate + the triangle join over the sparse
+    * strong graph. */
+  val graphTransitivity: Q = (s, d) => {
+    val ud = Tables.ud(s, d)
+    val e = Tables.edges(s, d)._1
+    val degs = ud.groupBy(col("s")).agg(count(lit(1)).as("dg"))
+    val wedges = degs.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("dg * (dg - 1) div 2")).as("wedges"))
+    val tris = e.as("e1")
+      .join(e.as("e2"), col("e2.s") === col("e1.t"))
+      .join(e.as("e3"), col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
+      .agg(count(lit(1)).as("triangles"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    wedges.crossJoin(broadcast(tris)).crossJoin(broadcast(ne))
+      .select(asLong(col("n_nodes")).as("n_nodes"),
+        asLong(col("n_edges")).as("n_edges"),
+        asLong(col("wedges")).as("wedges"),
+        asLong(col("triangles")).as("triangles"),
+        round(lit(3.0) * col("triangles").cast(DoubleType) /
+          col("wedges").cast(DoubleType), 6).as("transitivity"))
+  }
+
   /** Rich-club coefficient curve (§2.18e): for each degree threshold
     * k, the edge density φ(k) = 2·E_k / (N_k·(N_k−1)) among nodes of
     * degree ≥ k — do the hubs form their own club

@@ -1348,6 +1348,31 @@ object Pipelines {
       .orderBy(col("df").desc, col("w"))
   }
 
+  /** Top character trigrams (§2.18g): the 15 most frequent 3-character
+    * substrings (spaces included) across the corpus — the
+    * script/orthography fingerprint char-level language ID and
+    * encoding-corruption detectors read (the shingle/token families
+    * are all word-grain; this is the only char-grain profile). Exact
+    * counts; one division per output row. Scale: the expansion is one
+    * row per character position (linear, in-row `sequence` explode —
+    * no join); the count is a map-combined aggregate over the bounded
+    * trigram alphabet; top-15 ranks the bounded relation. */
+  val pipelineCharTrigrams: Q = (s, d) => {
+    val grams = table(s, d, "documents")
+      // the length guard matters: Spark's sequence(1, n) REVERSES when
+      // n < 1 (step -1 inferred) where DuckDB's generate_series is empty
+      .filter(length(col("text")) >= 3)
+      .select(col("text"), explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
+      .select(expr("substr(text, cast(i AS INT), 3)").as("g"))
+    val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("n_total"))
+    counts.orderBy(col("n").desc, col("g")).limit(15)
+      .crossJoin(broadcast(tot))
+      .select(col("g"), asLong(col("n")).as("n"),
+        round(col("n").cast(DoubleType) / col("n_total"), 6).as("share"))
+      .orderBy(col("n").desc, col("g"))
+  }
+
   /** Positional profile of the top-10 df tokens (§2.18f): mean and
     * spread of each token's RELATIVE position (1-based pos / doc
     * length) across all its occurrences — sentence-initial discourse

@@ -2249,4 +2249,49 @@ object Relational {
       .orderBy("discount")
   }
 
+  /** Exact DISCRETE quantiles of order value (§2.18g): the actual data
+    * point at rank ceil(p·N/100) for p ∈ {1,5,25,50,75,95,99} — no
+    * interpolation, no float arithmetic anywhere (agg_median_quantile
+    * and agg_group_quantiles interpolate; auditors and SLAs usually
+    * want the attained value). Ranks come from [[GlobalRank]] over the
+    * total order (value, orderkey) — range-partitioned, no single-task
+    * window — and the probe ranks are exact integer arithmetic on the
+    * driver-known N. Scale: one range shuffle; the probe filter keeps
+    * 7 rows. */
+  val aggQuantilesDisc: Q = (s, d) => {
+    import s.implicits._
+    val m = table(s, d, "orders")
+      .select(dec2(col("o_totalprice")).as("v"), col("o_orderkey").as("k"))
+    val (r, total) = GlobalRank.ranked(m, Seq(col("v"), col("k")), "rn")
+    val ps = Seq(1, 5, 25, 50, 75, 95, 99)
+    val probes = ps.map(p => (p.toLong, (p.toLong * total + 99L) / 100L))
+    val probeDf = probes.toDF("p", "sel")
+    r.join(broadcast(probeDf), col("rn") === col("sel"))
+      .select(col("p"), asLong(col("sel")).as("rank_sel"),
+        round(col("v").cast(DoubleType), 2).as("value"))
+      .orderBy("p")
+  }
+
+  /** Order-of-magnitude histogram of order value (§2.18g): orders
+    * binned by DIGIT COUNT of the whole-currency amount — the
+    * log-scale distribution read without a single transcendental
+    * (floor(log10) would put every 10^k boundary on a cross-engine
+    * knife edge; digit count of an exact integer cannot diverge).
+    * Scale: one map-combined aggregate over a ≤19-bucket domain. */
+  val aggMagnitudeHistogram: Q = (s, d) => {
+    val whole = floor(dec2(col("o_totalprice"))).cast(LongType)
+    val tot = table(s, d, "orders").agg(count(lit(1)).as("n_total"))
+    table(s, d, "orders")
+      .select(length(whole.cast(StringType)).cast(LongType).as("digits"),
+        dec2(col("o_totalprice")).as("v"))
+      .groupBy(col("digits"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .crossJoin(broadcast(tot))
+      .select(col("digits"), asLong(col("n")).as("n"),
+        round(col("n").cast(DoubleType) / col("n_total"), 6).as("share"),
+        round(col("mn").cast(DoubleType), 2).as("min_value"),
+        round(col("mx").cast(DoubleType), 2).as("max_value"))
+      .orderBy("digits")
+  }
+
 }

@@ -51,7 +51,7 @@ object Sampling {
     * keys hash like the sentinel string "__null__" so they are
     * sampled/split deterministically instead of silently vanishing
     * from both sides of every filter. */
-  private def bucket16(key: Column): Column =
+  private[ops] def bucket16(key: Column): Column =
     conv(substring(md5(coalesce(key.cast(StringType), lit("__null__"))), 1, 4), 16, 10)
       .cast(LongType)
 
@@ -99,6 +99,43 @@ object Sampling {
       .agg(count(lit(1)).as("n"),
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
       .orderBy("side")
+  }
+
+  /** Importance-weighted rebalancing sample (§2.18g): deterministic
+    * per-source keep rates that move the corpus toward a UNIFORM
+    * token mix (pipeline_domain_mix reports the imbalance; this is
+    * the sampler that fixes it). rate_src = min(1, uniform_share /
+    * actual_share) — both engines compute the identical double from
+    * exact token counts — and the keep decision compares the md5
+    * 16-bit bucket against floor(rate·65536), an exact integer
+    * threshold, so the kept SET (not just its size) is reproducible
+    * under repartitioning, across runs and across engines. Scale: one
+    * (source) token aggregate + a broadcast threshold join + one
+    * map-combined count — never a shuffle of the corpus itself. */
+  val sampleRebalance: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    val bySrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"))
+    val total = bySrc.agg(sum(col("n_tokens")).as("tot"),
+      count(lit(1)).as("n_src"))
+    val rates = bySrc.crossJoin(broadcast(total))
+      .select(col("source").as("r_source"), col("n_docs"),
+        least(lit(1.0), (col("tot").cast(DoubleType) / col("n_src")) /
+          col("n_tokens").cast(DoubleType)).as("rate"))
+      .select(col("r_source"), col("n_docs"), col("rate"),
+        floor(col("rate") * 65536).cast(LongType).as("thr"))
+    docs.join(broadcast(rates), col("source") === col("r_source"))
+      .select(col("source"), col("n_docs"), col("rate"), col("thr"),
+        (bucket16(col("doc_id")) < col("thr")).as("keep"))
+      .groupBy(col("source"))
+      .agg(first(col("n_docs")).as("n_docs"), first(col("rate")).as("rate"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), asLong(col("n_docs")).as("n_docs"),
+        asLong(col("n_kept")).as("n_kept"),
+        round(col("rate"), 6).as("target_rate"),
+        round(col("n_kept").cast(DoubleType) / col("n_docs"), 6).as("achieved_rate"))
+      .orderBy("source")
   }
 
   /** Per-column profile of a DataFrame: rows, nulls, distinct

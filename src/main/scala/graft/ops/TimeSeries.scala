@@ -977,6 +977,35 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Weekend vs weekday revenue (§2.18g): per-side day counts, total
+    * and mean daily revenue, plus the weekend/weekday mean ratio on
+    * every row — the one-number seasonal split ts_weekday_anova tests
+    * at full 7-way resolution. Daily revenue is an exact DECIMAL sum;
+    * per-side totals stay DECIMAL (scaled ints far under 2^53 on the
+    * bounded day relation); means and the ratio are one double tree.
+    * Scale: date-grain aggregate + a 2-row reduce. */
+  val tsWeekendEffect: Q = (s, d) => {
+    val daily = table(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+      .select((dayofweek(col("day")) - 1).as("dow"), col("rev"))
+    val sides = daily
+      .groupBy((col("dow") === 0 || col("dow") === 6).as("is_weekend"))
+      .agg(count(lit(1)).as("n_days"), sum(col("rev")).as("trev"))
+    val mean = col("trev").cast(DoubleType) / col("n_days")
+    val ratio = sides
+      .agg((max(when(col("is_weekend"), col("trev").cast(DoubleType) /
+        col("n_days"))) /
+        max(when(!col("is_weekend"), col("trev").cast(DoubleType) /
+          col("n_days")))).as("wknd_over_wkday"))
+    sides.crossJoin(broadcast(ratio))
+      .select(col("is_weekend"), asLong(col("n_days")).as("n_days"),
+        round(col("trev").cast(DoubleType), 2).as("total_rev"),
+        round(mean, 4).as("avg_daily_rev"),
+        round(col("wknd_over_wkday"), 6).as("wknd_over_wkday"))
+      .orderBy("is_weekend")
+  }
+
   /** Weekday effect on revenue, tested (§2.18f): one-way ANOVA F of
     * DAILY revenue across the 7 weekdays — ts_dow_profile shows the
     * means; this says whether the weekly seasonality is signal or

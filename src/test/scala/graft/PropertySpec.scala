@@ -503,4 +503,62 @@ class PropertySpec extends AnyFunSuite {
     val k3 = cd.find(_.getAs[Long]("k") == 3L).get.getAs[Long]("n_nodes")
     assert(k3 == ops.GraphOps.graphKcore3(spark, sf0001).count())
   }
+
+  test("round-8 batch-7 invariants: rank selection, shares, transitivity") {
+    // discrete quantiles: nondecreasing in p, every value attained
+    // (exists in the column), ranks within [1, N]
+    val qd = ops.Relational.aggQuantilesDisc(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("p"))
+    val vals = qd.map(_.getAs[Double]("value"))
+    assert(vals.zip(vals.tail).forall { case (a, b) => a <= b })
+    val nOrders = Tables(spark, sf0001, "orders").count()
+    qd.foreach { r =>
+      val rk = r.getAs[Long]("rank_sel")
+      assert(rk >= 1L && rk <= nOrders)
+    }
+
+    // magnitude histogram: shares sum to 1; min/max consistent with
+    // the digit count of the floored value
+    val mh = ops.Relational.aggMagnitudeHistogram(spark, sf0001).collect()
+    assert(math.abs(mh.map(_.getAs[Double]("share")).sum - 1.0) < 1e-3)
+    mh.foreach { r =>
+      val dgs = r.getAs[Long]("digits")
+      assert(r.getAs[Double]("min_value").toLong.toString.length == dgs)
+      assert(r.getAs[Double]("max_value").toLong.toString.length == dgs)
+    }
+
+    // transitivity: in [0, 1], and wedges dominate 3*triangles
+    val tr = ops.GraphOps.graphTransitivity(spark, sf0001).collect()(0)
+    val t = tr.getAs[Double]("transitivity")
+    assert(t >= 0.0 && t <= 1.0)
+    assert(3L * tr.getAs[Long]("triangles") <= tr.getAs[Long]("wedges"))
+
+    // rebalance: kept <= docs, rate in (0, 1], achieved tracks target
+    // within binomial noise at the fixture's per-source doc counts
+    val rb = ops.Sampling.sampleRebalance(spark, sf0001).collect()
+    rb.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      val rate = r.getAs[Double]("target_rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      if (rate == 1.0)
+        assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs"))
+    }
+
+    // char trigrams: top-15, every gram 3 chars, shares <= 1 and
+    // ordered nonincreasing
+    val ct = ops.Pipelines.pipelineCharTrigrams(spark, sf0001).collect()
+    assert(ct.length == 15)
+    assert(ct.forall(_.getAs[String]("g").length == 3))
+    val ns = ct.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+
+    // weekend effect: two sides partitioning the day relation, ratio
+    // consistent with the two reported means
+    val we = ops.TimeSeries.tsWeekendEffect(spark, sf0001).collect()
+    assert(we.length == 2)
+    val byS = we.map(r => r.getAs[Boolean]("is_weekend") ->
+      r.getAs[Double]("avg_daily_rev")).toMap
+    val ratio = we.head.getAs[Double]("wknd_over_wkday")
+    assert(math.abs(ratio - byS(true) / byS(false)) < 1e-3)
+  }
 }

@@ -202,7 +202,13 @@ class QuerySuiteSpec extends AnyFunSuite {
     "fn_map" -> 15L, "agg_discount_elasticity" -> 11L,
     "ts_order_backlog" -> 1631L, "ts_weekday_anova" -> 1L,
     "pipeline_token_positions" -> 10L, "sim_cosine_histogram" -> 11L,
-    "graph_core_decomposition" -> 4L)
+    "graph_core_decomposition" -> 4L,
+    // round-8 seventh batch (§2.18g): discrete quantiles, magnitude
+    // histogram, transitivity, rebalancing sample, char trigrams,
+    // weekend effect
+    "agg_quantiles_disc" -> 7L, "agg_magnitude_histogram" -> 3L,
+    "graph_transitivity" -> 1L, "sample_rebalance" -> 20L,
+    "pipeline_char_trigrams" -> 15L, "ts_weekend_effect" -> 2L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
