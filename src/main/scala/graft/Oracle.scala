@@ -3588,6 +3588,69 @@ SELECT is_weekend, CAST(n_days AS BIGINT) AS n_days,
   round(wknd_over_wkday, 6) AS wknd_over_wkday
 FROM g, r ORDER BY is_weekend""",
 
+      // ---- §2.18h (round 8, eighth batch) ----
+      // Per-month (O-E)^2/E terms floor-quantized at 1e6.
+      "ts_priority_mix_shift" ->
+        s"""WITH cells AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS mon,
+  o_orderpriority AS pri, count(*) AS c FROM ${T("orders")} GROUP BY 1, 2),
+m AS (SELECT mon, CAST(sum(c) AS BIGINT) AS mtot FROM cells GROUP BY 1),
+p AS (SELECT pri, CAST(sum(c) AS BIGINT) AS ptot FROM cells GROUP BY 1),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells)
+SELECT mon, CAST(max(mtot) AS BIGINT) AS n_orders,
+  round(CAST(CAST(sum(CAST(floor(
+    (CAST(c AS DOUBLE) - CAST(mtot AS DOUBLE) * CAST(ptot AS DOUBLE) / CAST(n AS DOUBLE)) *
+    (CAST(c AS DOUBLE) - CAST(mtot AS DOUBLE) * CAST(ptot AS DOUBLE) / CAST(n AS DOUBLE)) /
+    (CAST(mtot AS DOUBLE) * CAST(ptot AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT))
+    AS BIGINT) AS DOUBLE) / 1e6, 6) AS chi2,
+  round(CAST(max(c) AS DOUBLE) / max(mtot), 6) AS max_share
+FROM cells JOIN m USING (mon) JOIN p USING (pri), t
+GROUP BY mon ORDER BY mon""",
+
+      // Exact edge/degree counts; brand a_b^2 terms floored at 1e12.
+      "graph_brand_homophily" ->
+        s"""$E,
+br AS (SELECT p_partkey, p_brand FROM ${T("part")}),
+wb AS (SELECT b1.p_brand AS b1, b2.p_brand AS b2
+  FROM e JOIN br b1 ON e.s = b1.p_partkey JOIN br b2 ON e.t = b2.p_partkey),
+obs AS (SELECT count(*) AS n_edges,
+  CAST(sum(CASE WHEN b1 = b2 THEN 1 ELSE 0 END) AS BIGINT) AS same FROM wb),
+degb AS (SELECT br.p_brand AS b, count(*) AS db
+  FROM ud JOIN br ON ud.s = br.p_partkey GROUP BY 1),
+td AS (SELECT CAST(sum(db) AS BIGINT) AS m2 FROM degb),
+ex AS (SELECT CAST(sum(CAST(floor(CAST(db AS DOUBLE) / m2 *
+  (CAST(db AS DOUBLE) / m2) * 1e12) AS BIGINT)) AS BIGINT) AS qexp FROM degb, td)
+SELECT CAST(n_edges AS BIGINT) AS n_edges, same AS same_brand_edges,
+  round(CAST(same AS DOUBLE) / n_edges, 6) AS observed_share,
+  round(CAST(qexp AS DOUBLE) / 1e12, 6) AS expected_share,
+  round((CAST(same AS DOUBLE) / n_edges - CAST(qexp AS DOUBLE) / 1e12) /
+        (1.0 - CAST(qexp AS DOUBLE) / 1e12), 6) AS assortativity_q
+FROM obs, ex""",
+
+      // Pure-integer power sums; one double tree for r.
+      "pipeline_len_vocab_corr" ->
+        s"""WITH pd AS (SELECT doc_id, count(*) AS x, count(DISTINCT w) AS y
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM ${T("documents")})
+  GROUP BY 1),
+t AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+  CAST(sum(y * y) AS BIGINT) AS syy, CAST(sum(x * y) AS BIGINT) AS sxy FROM pd)
+SELECT CAST(n AS BIGINT) AS n_docs,
+  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_tokens,
+  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_vocab,
+  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+    sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+         (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS pearson_r
+FROM t""",
+
+      // Bounded |labels|^2 pair relation; the sim-family cosine contract.
+      "sim_anchor_separation" ->
+        s"""WITH a AS (SELECT label, min(vec_id) AS aid FROM ${T("embeddings")} GROUP BY 1),
+an AS (SELECT a.label AS l, e.embedding AS em
+  FROM a JOIN ${T("embeddings")} e ON e.vec_id = a.aid)
+SELECT CAST(x.l AS BIGINT) AS label1, CAST(y.l AS BIGINT) AS label2,
+  round(list_cosine_similarity(cast(x.em AS DOUBLE[]), cast(y.em AS DOUBLE[])), 4) AS anchor_cos
+FROM an x JOIN an y ON x.l < y.l ORDER BY 1, 2""",
+
       // Generator family: exact integer sizes/sums only.
       "fn_sequence" ->
         s"""SELECT o_orderkey, CAST(o_orderkey % 10 + 1 AS BIGINT) AS n,

@@ -404,6 +404,42 @@ object GraphOps {
     summaries.reduce(_ unionAll _).orderBy("k")
   }
 
+  /** Brand homophily of the co-purchase graph (§2.18h): do parts of
+    * the same brand co-purchase more than a degree-preserving null
+    * expects? Observed same-brand edge share vs expected Σ_b a_b²
+    * (a_b = brand b's degree share), plus Newman's categorical
+    * assortativity Q = (obs − exp)/(1 − exp) — the attribute-mixing
+    * twin of graph_assortativity's degree mixing. Counts exact; the
+    * ≤|brands| a_b² terms floor-quantize at 1e12 before the bounded
+    * sum. Scale: two broadcast dim joins (part is the dimension) +
+    * one degree aggregate over the sparse strong graph. */
+  val graphBrandHomophily: Q = (s, d) => {
+    val brands = Tables(s, d, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val e = Tables.edges(s, d)._1
+    val withB = e
+      .join(broadcast(brands.toDF("k1", "b1")), col("s") === col("k1"))
+      .join(broadcast(brands.toDF("k2", "b2")), col("t") === col("k2"))
+    val obs = withB.agg(count(lit(1)).as("n_edges"),
+      sum(when(col("b1") === col("b2"), 1L).otherwise(0L)).as("same"))
+    val degB = Tables.ud(s, d)
+      .join(broadcast(brands.toDF("k1", "b")), col("s") === col("k1"))
+      .groupBy(col("b")).agg(count(lit(1)).as("db"))
+    val totDeg = degB.agg(sum(col("db")).as("m2"))
+    val exp2 = degB.crossJoin(broadcast(totDeg))
+      .agg(sum(floor(col("db").cast(DoubleType) / col("m2") *
+        (col("db").cast(DoubleType) / col("m2")) * 1e12).cast(LongType)).as("qexp"))
+    val obsShare = col("same").cast(DoubleType) / col("n_edges")
+    val expShare = col("qexp").cast(DoubleType) / 1e12
+    obs.crossJoin(broadcast(exp2))
+      .select(asLong(col("n_edges")).as("n_edges"),
+        asLong(col("same")).as("same_brand_edges"),
+        round(obsShare, 6).as("observed_share"),
+        round(expShare, 6).as("expected_share"),
+        round((obsShare - expShare) / (lit(1.0) - expShare), 6)
+          .as("assortativity_q"))
+  }
+
   /** Global transitivity (§2.18g): 3·triangles / wedges — the ONE
     * clustering number for the whole graph (graph_clustering_coeff
     * averages the per-node ratio, which weights leaves and hubs

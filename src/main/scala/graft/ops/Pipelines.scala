@@ -1348,6 +1348,35 @@ object Pipelines {
       .orderBy(col("df").desc, col("w"))
   }
 
+  /** Length–vocabulary correlation (§2.18h): Pearson r between a
+    * doc's token count and its distinct-token count — the corpus-level
+    * Herdan/Heaps' law read (pipeline_ttr histograms the per-doc
+    * ratio; this one number says how tightly vocabulary tracks
+    * length, and template spam shows up as a low r at high mean TTR).
+    * Every power sum is a PURE INTEGER (counts and their products) —
+    * no decimals, no quantization — and r evaluates in one fixed
+    * double tree. Scale: one (doc, token) map-combined aggregate +
+    * a 1-row reduce. */
+  val pipelineLenVocabCorr: Q = (s, d) => {
+    val perDoc = table(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("x"), count_distinct(col("w")).as("y"))
+    val t = perDoc.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val nd = col("n").cast(DoubleType)
+    def d2(c: String): Column = col(c).cast(DoubleType)
+    val r = (nd * d2("sxy") - d2("sx") * d2("sy")) /
+      sqrt((nd * d2("sxx") - d2("sx") * d2("sx")) *
+        (nd * d2("syy") - d2("sy") * d2("sy")))
+    t.select(asLong(col("n")).as("n_docs"),
+      round(d2("sx") / nd, 4).as("mean_tokens"),
+      round(d2("sy") / nd, 4).as("mean_vocab"),
+      round(r, 6).as("pearson_r"))
+  }
+
   /** Top character trigrams (§2.18g): the 15 most frequent 3-character
     * substrings (spaces included) across the corpus — the
     * script/orthography fingerprint char-level language ID and

@@ -977,6 +977,40 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Order-priority mix-shift monitor (§2.18h): per month, the χ²
+    * distance between that month's priority mix and the corpus-wide
+    * mix — the drift detector a pipeline points at any categorical
+    * column (agg_chi2_dow tests one global association; this tracks
+    * WHEN the mix moves). Expected counts divide exact integers; each
+    * month's ≤|priorities| (O−E)²/E terms floor-quantize at 1e6
+    * before the bounded sum (the chi2 recipe). max_share reports the
+    * dominant priority's share — a numeric mode that cannot tie-flake.
+    * Scale: one (month, priority) map-combined aggregate; everything
+    * else on the bounded month×priority grid. */
+  val tsPriorityMixShift: Q = (s, d) => {
+    val cells = table(s, d, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+        col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val months = cells.groupBy(col("mon")).agg(sum(col("c")).as("mtot"))
+    val pris = cells.groupBy(col("pri")).agg(sum(col("c")).as("ptot"))
+    val tot = cells.agg(sum(col("c")).as("n"))
+    val e = col("mtot").cast(DoubleType) * col("ptot").cast(DoubleType) /
+      col("n").cast(DoubleType)
+    val o = col("c").cast(DoubleType)
+    cells.join(broadcast(months), "mon").join(broadcast(pris), "pri")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("mon"))
+      .agg(asLong(max(col("mtot"))).as("n_orders"),
+        sum(floor((o - e) * (o - e) / e * 1e6).cast(LongType)).as("qchi"),
+        max(col("c")).as("maxc"))
+      .select(col("mon"), col("n_orders"),
+        round(col("qchi").cast(DoubleType) / 1e6, 6).as("chi2"),
+        round(col("maxc").cast(DoubleType) / col("n_orders"), 6).as("max_share"))
+      .orderBy("mon")
+  }
+
   /** Weekend vs weekday revenue (§2.18g): per-side day counts, total
     * and mean daily revenue, plus the weekend/weekday mean ratio on
     * every row — the one-number seasonal split ts_weekday_anova tests

@@ -561,4 +561,39 @@ class PropertySpec extends AnyFunSuite {
     val ratio = we.head.getAs[Double]("wknd_over_wkday")
     assert(math.abs(ratio - byS(true) / byS(false)) < 1e-3)
   }
+
+  test("round-8 batch-8 invariants: drift, homophily, correlation") {
+    // mix shift: chi2 non-negative, max_share in [1/|pri|, 1]
+    val ms = ops.TimeSeries.tsPriorityMixShift(spark, sf0001).collect()
+    ms.foreach { r =>
+      assert(r.getAs[Double]("chi2") >= 0.0)
+      val sh = r.getAs[Double]("max_share")
+      assert(sh >= 0.2 - 1e-9 && sh <= 1.0)
+    }
+
+    // homophily: shares in [0,1], Q in [-1,1], same <= edges
+    val bh = ops.GraphOps.graphBrandHomophily(spark, sf0001).collect()(0)
+    assert(bh.getAs[Long]("same_brand_edges") <= bh.getAs[Long]("n_edges"))
+    Seq("observed_share", "expected_share").foreach { c =>
+      val v = bh.getAs[Double](c); assert(v >= 0.0 && v <= 1.0)
+    }
+    val q = bh.getAs[Double]("assortativity_q")
+    assert(q >= -1.0 - 1e-9 && q <= 1.0 + 1e-9)
+
+    // length-vocab: r in [-1,1], vocab mean cannot exceed token mean
+    val lv = ops.Pipelines.pipelineLenVocabCorr(spark, sf0001).collect()(0)
+    val r = lv.getAs[Double]("pearson_r")
+    assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9)
+    assert(lv.getAs[Double]("mean_vocab") <= lv.getAs[Double]("mean_tokens"))
+
+    // anchor separation: the full label-pair triangle, cosines in [-1,1]
+    val as = ops.TextSim.simAnchorSeparation(spark, sf0001).collect()
+    val nLabels = Tables(spark, sf0001, "embeddings")
+      .select("label").distinct().count()
+    assert(as.length == nLabels * (nLabels - 1) / 2)
+    as.foreach { r2 =>
+      val c = r2.getAs[Double]("anchor_cos")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+  }
 }

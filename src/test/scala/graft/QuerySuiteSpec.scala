@@ -208,7 +208,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     // weekend effect
     "agg_quantiles_disc" -> 7L, "agg_magnitude_histogram" -> 3L,
     "graph_transitivity" -> 1L, "sample_rebalance" -> 20L,
-    "pipeline_char_trigrams" -> 15L, "ts_weekend_effect" -> 2L)
+    "pipeline_char_trigrams" -> 15L, "ts_weekend_effect" -> 2L,
+    // round-8 eighth batch (§2.18h): mix-shift monitor, brand
+    // homophily, length-vocab correlation, anchor separation
+    "ts_priority_mix_shift" -> 80L, "graph_brand_homophily" -> 1L,
+    "pipeline_len_vocab_corr" -> 1L, "sim_anchor_separation" -> 45L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
