@@ -3588,6 +3588,32 @@ SELECT is_weekend, CAST(n_days AS BIGINT) AS n_days,
   round(wknd_over_wkday, 6) AS wknd_over_wkday
 FROM g, r ORDER BY is_weekend""",
 
+      // ---- §2.18i (round 8, ninth batch) ----
+      // Pareto front via the two-step group-max / exclusive-prefix-max
+      // reduction; exact DECIMAL/date comparisons only.
+      "join_skyline" ->
+        s"""WITH o AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+  CAST(o_orderdate AS DATE) AS dt FROM ${T("orders")}),
+g AS (SELECT p, max(dt) AS gmax FROM o GROUP BY p),
+m AS (SELECT p, gmax,
+  max(gmax) OVER (ORDER BY p DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+  FROM g)
+SELECT o.o_orderkey, round(CAST(o.p AS DOUBLE), 2) AS price, o.dt AS order_date
+FROM o JOIN m ON m.p = o.p
+WHERE o.dt = m.gmax AND (m.m1 IS NULL OR o.dt > m.m1)
+ORDER BY price DESC, o.o_orderkey""",
+
+      // Result == plain EXISTS; the engine-side prefilter is a plan
+      // property the oracle doesn't need to model.
+      "join_semi_prefilter" ->
+        s"""SELECT o_orderkey, o_orderstatus,
+  round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS total
+FROM ${T("orders")} o
+WHERE EXISTS (SELECT 1 FROM ${T("lineitem")} l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND CAST(l.l_quantity AS DECIMAL(18,2)) >= 45)
+ORDER BY o_orderkey""",
+
       // ---- §2.18h (round 8, eighth batch) ----
       // Per-month (O-E)^2/E terms floor-quantized at 1e6.
       "ts_priority_mix_shift" ->

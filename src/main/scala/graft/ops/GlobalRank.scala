@@ -177,4 +177,57 @@ object GlobalRank {
     }
     withLocal.drop("__mid" +: "__grpid" +: cols.map { case (v, _) => s"__off_$v" }: _*)
   }
+
+  /** Global EXCLUSIVE-prefix running max of BIGINT `valueCol` in
+    * `order` (the skyline/frontier primitive: "best value among rows
+    * STRICTLY before me"). Same range-partitioned two-pass shape as
+    * `withRunningSum`: per-slice maxima become broadcast
+    * exclusive-prefix offsets (max is associative, so the prefix
+    * reduce is the same fold with max for +), the local exclusive
+    * prefix max is a partition-LOCAL window ending at -1 PRECEDING,
+    * and the global value is greatest(offset, local). The first row
+    * of the global order gets NULL (no predecessor). Total-order
+    * requirement as `ranked`. */
+  def withRunningMaxExclusive(df: DataFrame, order: Seq[Column],
+                              valueCol: String, out: String,
+                              numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val np =
+      if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val m = df
+      .repartitionByRange(np, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pid = shiftright(col("__mid"), 33).cast(LongType)
+    val maxes = m.groupBy(pid.as("__grpid"))
+      .agg(max(col(valueCol)).as("__mx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    // exclusive prefix max over slices: offset(p) = max of all earlier
+    // slices' maxima, null for the first slice
+    var acc: Option[Long] = None
+    val offsets = maxes.map { case (p, mx) =>
+      val o = (p, acc)
+      acc = Some(acc.fold(mx)(math.max(_, mx)))
+      o
+    }.toSeq
+    val offs = offsets
+      .map { case (p, ov) => Row(p, ov.map(Long.box).orNull) }
+    val offSchema = StructType(Seq(
+      StructField("__grpid", LongType),
+      StructField("__moff", LongType, nullable = true)))
+    val offsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offs, 1), offSchema)
+    val wLocal = Window.partitionBy(col("__grpid")).orderBy(col("__mid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    m.withColumn("__grpid", pid)
+      .join(broadcast(offsDf), "__grpid")
+      .withColumn(out,
+        greatest(col("__moff"), max(col(valueCol)).over(wLocal)).cast(LongType))
+      .drop("__mid", "__moff", "__grpid")
+  }
 }

@@ -2249,6 +2249,62 @@ object Relational {
       .orderBy("discount")
   }
 
+  /** Skyline / Pareto front of orders (§2.18i): the orders not
+    * dominated in (totalprice, orderdate) — no other order has ≥ both
+    * with > in one; the classic "best tradeoffs" operator (maximize
+    * value AND recency) the TPC-H shapes never exercise. Two-step
+    * reduction, no all-pairs: within each price, only max-date rows
+    * can survive; across prices, a price-group's survivors live iff
+    * their date strictly exceeds the EXCLUSIVE running max of group
+    * max-dates over higher prices — computed by
+    * [[GlobalRank.withRunningMaxExclusive]] (range-partitioned, no
+    * single-task window). Exact DECIMAL/integer comparisons only.
+    * Scale: one price-grain aggregate + the range shuffle on the
+    * price-grouped relation (bounded by distinct prices) + one join
+    * back to the fact. */
+  val joinSkyline: Q = (s, d) => {
+    val o = table(s, d, "orders")
+      .select(col("o_orderkey"), dec2(col("o_totalprice")).as("p"),
+        to_date(col("o_orderdate")).as("dt"))
+      .withColumn("days", datediff(col("dt"), to_date(lit("1970-01-01"))).cast(LongType))
+    val g = o.groupBy(col("p").as("gp")).agg(max(col("days")).as("gmax"))
+    val m = GlobalRank.withRunningMaxExclusive(
+      g, Seq(col("gp").desc, col("gp")), "gmax", "m1")
+    o.join(m, col("p") === col("gp"))
+      .filter(col("days") === col("gmax") &&
+        (col("m1").isNull || col("days") > col("m1")))
+      .select(col("o_orderkey"), round(col("p").cast(DoubleType), 2).as("price"),
+        col("dt").as("order_date"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+  }
+
+  /** Semi join with a broadcast hash-bucket runtime prefilter
+    * (§2.18i): the result is EXACTLY join_semi's (the oracle is the
+    * plain EXISTS), but the plan is the 100 TB shape — the build
+    * side's join keys collapse to a bounded distinct-bucket relation
+    * (xxhash64 & mask, ≤ 2^20 rows regardless of fact size) that
+    * BROADCASTS and prunes the probe side BEFORE the exact semi
+    * join's shuffle, exactly what engines' runtime filters
+    * (bloom/min-max) do, expressed in pure relational ops. False
+    * positives are removed by the exact join, so the prefilter can
+    * only cut cost, never change the answer. */
+  val joinSemiPrefilter: Q = (s, d) => {
+    val mask = (1L << 20) - 1
+    val built = table(s, d, "lineitem")
+      .filter(dec2(col("l_quantity")) >= 45)
+    val buckets = built
+      .select((xxhash64(col("l_orderkey")).bitwiseAND(lit(mask))).as("b"))
+      .distinct()
+    table(s, d, "orders")
+      .join(broadcast(buckets),
+        xxhash64(col("o_orderkey")).bitwiseAND(lit(mask)) === col("b"), "left_semi")
+      .join(built.select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(dec2(col("o_totalprice")).cast(DoubleType), 2).as("total"))
+      .orderBy("o_orderkey")
+  }
+
   /** Exact DISCRETE quantiles of order value (§2.18g): the actual data
     * point at rank ceil(p·N/100) for p ∈ {1,5,25,50,75,95,99} — no
     * interpolation, no float arithmetic anywhere (agg_median_quantile

@@ -106,6 +106,24 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(expected.exceptAll(got).count() == 0)
   }
 
+  test("withRunningMaxExclusive == exclusive-prefix window max") {
+    val points = data.select(col("v"), col("id"),
+      pmod(xxhash64(col("id"), lit(7)), lit(1000)).as("x"))
+    val w = Window.orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = points.select(col("id"),
+      max(col("x")).over(w).cast("long").as("pm"))
+    val got = GlobalRank.withRunningMaxExclusive(points,
+      Seq(col("v"), col("id")), "x", "pm", numParts = 8)
+      .select(col("id"), col("pm"))
+    assert(got.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(got).count() == 0)
+    // the first row in the global order must carry NULL (no predecessor)
+    val firstId = points.orderBy(col("v"), col("id")).limit(1)
+      .collect()(0).getAs[Long]("id")
+    assert(got.filter(col("id") === firstId).collect()(0).isNullAt(1))
+  }
+
   test("single-row and empty inputs") {
     import spark.implicits._
     val one = spark.range(0, 1).select(col("id"))

@@ -596,4 +596,34 @@ class PropertySpec extends AnyFunSuite {
       assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
     }
   }
+
+  test("round-8 batch-9 invariants: skyline domination, prefilter exactness") {
+    // skyline: no returned point dominates another (pairwise check on
+    // the small front), and no point in the table dominates any of them
+    val front = ops.Relational.joinSkyline(spark, sf0001).collect()
+      .map(r => (r.getAs[Double]("price"),
+        r.getAs[java.sql.Date]("order_date").toLocalDate.toEpochDay))
+    for (a <- front; b <- front if a != b)
+      assert(!(a._1 >= b._1 && a._2 >= b._2 && (a._1 > b._1 || a._2 > b._2)),
+        s"front point $b dominated by $a")
+    val all = Tables(spark, sf0001, "orders")
+      .select(col("o_totalprice").cast("decimal(18,2)").cast("double").as("p"),
+        to_date(col("o_orderdate")).as("dt")).collect()
+      .map(r => (r.getDouble(0), r.getAs[java.sql.Date]("dt").toLocalDate.toEpochDay))
+    for (b <- front)
+      assert(!all.exists(a => a._1 >= b._1 && a._2 >= b._2 &&
+        (a._1 > b._1 || a._2 > b._2)), s"table dominates front point $b")
+
+    // prefiltered semi join: identical row set to the plain semi join
+    val pre = ops.Relational.joinSemiPrefilter(spark, sf0001)
+      .select("o_orderkey")
+    val plain = Tables(spark, sf0001, "orders")
+      .join(Tables(spark, sf0001, "lineitem")
+        .filter(col("l_quantity").cast("decimal(18,2)") >= 45)
+        .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey")
+    assert(pre.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(pre).count() == 0)
+  }
 }

@@ -212,7 +212,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     // round-8 eighth batch (§2.18h): mix-shift monitor, brand
     // homophily, length-vocab correlation, anchor separation
     "ts_priority_mix_shift" -> 80L, "graph_brand_homophily" -> 1L,
-    "pipeline_len_vocab_corr" -> 1L, "sim_anchor_separation" -> 45L)
+    "pipeline_len_vocab_corr" -> 1L, "sim_anchor_separation" -> 45L,
+    // round-8 ninth batch (§2.18i): skyline, prefiltered semi join
+    "join_skyline" -> 4L, "join_semi_prefilter" -> 539L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
