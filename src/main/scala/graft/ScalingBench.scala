@@ -46,6 +46,10 @@ object ScalingBench {
       Tables.clear()
       ops.Pipelines.clearCache()
       ops.TextSim.clearCache()
+      // the memoized ECDF checkpoint must drop WITH its RDD: the global
+      // unpersist below destroys checkpoint blocks that a stale cache
+      // entry could no longer recompute (lineage truncated)
+      ops.Relational.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(
         rdd => try rdd.unpersist(blocking = false) catch { case _: Throwable => () })
       System.gc()
@@ -137,7 +141,16 @@ object ScalingBench {
         "join_asof_nearest" -> (() => { ops.Relational.joinAsofNearest(spark, dir).count(); () }),
         "ts_streak_longest" -> (() => { ops.TimeSeries.tsStreakLongest(spark, dir).count(); () }),
         "agg_rfm_segments" -> (() => { ops.Relational.aggRfmSegments(spark, dir).count(); () }),
-        "agg_winsorized_mean" -> (() => { ops.Relational.aggWinsorizedMean(spark, dir).count(); () }))
+        "agg_winsorized_mean" -> (() => { ops.Relational.aggWinsorizedMean(spark, dir).count(); () }),
+        // round-8 §2.18e–i: the GlobalRank-shaped paths — two-sample
+        // ECDF running sums (one range shuffle, value-grain), global
+        // rank selection, the skyline exclusive-prefix max, and the
+        // backlog fact-fact join + bounded sweep
+        "agg_ks_test" -> (() => { ops.Relational.aggKsTest(spark, dir).count(); () }),
+        "agg_mann_whitney" -> (() => { ops.Relational.aggMannWhitney(spark, dir).count(); () }),
+        "agg_quantiles_disc" -> (() => { ops.Relational.aggQuantilesDisc(spark, dir).count(); () }),
+        "join_skyline" -> (() => { ops.Relational.joinSkyline(spark, dir).count(); () }),
+        "ts_order_backlog" -> (() => { ops.TimeSeries.tsOrderBacklog(spark, dir).count(); () }))
       val best = scala.collection.mutable.LinkedHashMap[String, Double]()
       val bestCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
       var primeBest = Double.MaxValue
