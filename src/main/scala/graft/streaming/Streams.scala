@@ -186,6 +186,35 @@ object Streams {
       .agg(count(lit(1)).as("n_attributed_pairs"))
       .select(col("window.start").as("h"), col("n_attributed_pairs"))
 
+  /** Continuous per-hour revenue leaderboard (round 8): CHAINED
+    * streaming aggregations — a watermarked (window, user) revenue sum
+    * feeding a second stateful aggregation that keeps only the top-k
+    * users per window via the typed [[graft.functions.TopKAggregator]]
+    * (bounded k-element buffers, map-side combined — the scale
+    * alternative to ranking every user; registered through
+    * `functions.udaf`, the Aggregator-tier UDAF surface). Append mode:
+    * a window's leaderboard emits exactly once, when the propagated
+    * watermark closes it — the "hourly top spenders" feed every
+    * ops/abuse dashboard keeps live. Batch-equivalence (emitted
+    * windows == the batch window+row_number top-k) in StreamingSpec. */
+  def topUsersPerHour(events: DataFrame, k: Int = 3): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.product[(Double, Long)])
+    val per = events
+      .filter(col("event_type") === "purchase" && col("value").isNotNull &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("total"))
+    per
+      .groupBy(col("window"))
+      .agg(topk(col("total").cast(DoubleType), col("user_id")).as("top"))
+      .select(col("window.start").as("h"), posexplode(col("top")))
+      .select(col("h"), (col("pos") + 1).cast(LongType).as("rn"),
+        col("col._2").as("user_id"),
+        round(col("col._1"), 2).as("total"))
+  }
+
   /** Custom sessionization state kept per user across micro-batches. */
   case class SessionState(sessionCount: Long, lastTs: Long, currentLen: Long, maxLen: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, max_session_events: Long)

@@ -136,6 +136,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0)
   }
 
+  test("chained aggregations: streaming top-k leaderboard equals batch on emitted windows") {
+    val stream = Streams.topUsersPerHour(Streams.eventsStream(spark, sf0001), 3)
+    val got = Streams.runToBatchAppend(spark, stream, "t_topk_hour")
+    val ev = Tables(spark, sf0001, "events")
+    val per = ev
+      .filter(col("event_type") === "purchase" && col("value").isNotNull &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("total"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("window"))
+      .orderBy(col("total").cast("double").desc, col("user_id"))
+    val want = per
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("window.start").as("h"), col("rn"), col("user_id"),
+        round(col("total").cast("double"), 2).as("total"))
+    // append emits only watermark-closed windows; each emitted
+    // leaderboard row must match the batch top-k exactly
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0)
+    // emitted windows are COMPLETE leaderboards (k rows or the whole
+    // window's user count if smaller)
+    val gotWindows = got.select("h").distinct()
+    val wantSizes = want.join(gotWindows, "h").groupBy("h").count()
+    val gotSizes = got.groupBy("h").count()
+    assert(gotSizes.exceptAll(wantSizes).count() == 0)
+  }
+
   test("event-time timers close idle sessions at the watermark (state-v2)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
