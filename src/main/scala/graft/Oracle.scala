@@ -3588,6 +3588,49 @@ SELECT is_weekend, CAST(n_days AS BIGINT) AS n_days,
   round(wknd_over_wkday, 6) AS wknd_over_wkday
 FROM g, r ORDER BY is_weekend""",
 
+      // ---- §2.18j (round 8, tenth batch) ----
+      // Monday-start weeks in both engines; exact DECIMAL revenue;
+      // cumulative window partitioned by cohort.
+      "ts_cohort_ltv" ->
+        s"""WITH ch AS (SELECT user_id,
+  CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+  FROM ${T("events")} WHERE user_id IS NOT NULL GROUP BY 1),
+sz AS (SELECT cohort, count(*) AS cohort_size FROM ch GROUP BY 1),
+ac AS (SELECT ch.cohort,
+  date_diff('day', ch.cohort, CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS age_weeks,
+  count(DISTINCT e.user_id) AS active_users,
+  coalesce(sum(CASE WHEN e.event_type = 'purchase'
+    THEN CAST(e.value AS DECIMAL(18,2)) END), CAST(0 AS DECIMAL(18,2))) AS rev
+  FROM ${T("events")} e JOIN ch ON ch.user_id = e.user_id
+  WHERE e.user_id IS NOT NULL GROUP BY 1, 2),
+cm AS (SELECT cohort, age_weeks, active_users, rev,
+  sum(rev) OVER (PARTITION BY cohort ORDER BY age_weeks
+    ROWS UNBOUNDED PRECEDING) AS cum_rev FROM ac)
+SELECT cm.cohort, CAST(age_weeks AS BIGINT) AS age_weeks,
+  CAST(cohort_size AS BIGINT) AS cohort_size,
+  CAST(active_users AS BIGINT) AS active_users,
+  round(CAST(rev AS DOUBLE), 2) AS rev,
+  round(CAST(cum_rev AS DOUBLE), 2) AS cum_rev,
+  round(CAST(cum_rev AS DOUBLE) / cohort_size, 4) AS ltv
+FROM cm JOIN sz ON sz.cohort = cm.cohort
+ORDER BY cm.cohort, age_weeks""",
+
+      // Exact DECIMAL year sums; one division vs the abs-delta total.
+      "ts_revenue_bridge" ->
+        s"""WITH b AS (SELECT o_orderpriority AS pri,
+  coalesce(sum(CASE WHEN year(o_orderdate) = 1997
+    THEN CAST(o_totalprice AS DECIMAL(18,2)) END), CAST(0 AS DECIMAL(18,2))) AS r97,
+  coalesce(sum(CASE WHEN year(o_orderdate) = 1998
+    THEN CAST(o_totalprice AS DECIMAL(18,2)) END), CAST(0 AS DECIMAL(18,2))) AS r98
+  FROM ${T("orders")} WHERE year(o_orderdate) IN (1997, 1998) GROUP BY 1),
+d AS (SELECT pri, r97, r98, r98 - r97 AS delta FROM b),
+t AS (SELECT sum(abs(delta)) AS tabs FROM d)
+SELECT pri, round(CAST(r97 AS DOUBLE), 2) AS rev_1997,
+  round(CAST(r98 AS DOUBLE), 2) AS rev_1998,
+  round(CAST(delta AS DOUBLE), 2) AS delta,
+  round(CAST(delta AS DOUBLE) / CAST(tabs AS DOUBLE), 6) AS share_of_abs_delta
+FROM d, t ORDER BY pri""",
+
       // ---- §2.18i (round 8, ninth batch) ----
       // Pareto front via the two-step group-max / exclusive-prefix-max
       // reduction; exact DECIMAL/date comparisons only.

@@ -166,7 +166,37 @@ class Naqed(spark: SparkSession, sfDir: String) {
     * keyset predicate is an indexable/min-max-prunable filter — the
     * scan skips straight to the page at any depth. Requires `$sort`
     * (naqed-style error otherwise). */
-  def request(root: String, q: Map[String, Any]): DataFrame = {
+  /** `$sample -> rate` (0 < rate <= 1): deterministic md5-bucket
+    * sampling of the ROOT entity set (ops.Sampling.deterministicSample
+    * on the table's first key column) applied BEFORE selections,
+    * traversals or aggregation — the API face of the engine's
+    * reproducible sampler, so a paged walk, a re-run, or another
+    * engine keyed the same way sees the identical sampled SET (rand()
+    * sampling through an API is unreproducible by construction).
+    * Composes with `$sort`/`$limit`/`$after` and with `$groupBy`
+    * (a sampled aggregate — the caller owns the statistics). */
+  private def sampleRateOf(v: Any): Double = v match {
+    case d: java.lang.Number
+      if d.doubleValue() > 0.0 && d.doubleValue() <= 1.0 => d.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"$$sample must be a rate in (0, 1], got: $other")
+  }
+
+  def request(root: String, q: Map[String, Any]): DataFrame =
+    q.get("$sample").map(sampleRateOf) match {
+      case None => requestImpl(root, q)
+      case Some(rate) =>
+        val key = keyColumns(root).headOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"$$sample needs a keyed table; '$root' declares no key columns"))
+        val sampled = graft.ops.Sampling.deterministicSample(
+          Tables(spark, sfDir, root), key, rate)
+        boundSource.withValue(Some((root, sampled))) {
+          requestImpl(root, q - "$sample")
+        }
+    }
+
+  private def requestImpl(root: String, q: Map[String, Any]): DataFrame = {
     val (sortKey, limitN, afterV, rest) = pageArgs(q)
     val grouped = rest.contains("$groupBy")
     // sorting by a legal-but-unselected table field: co-select it for
@@ -378,6 +408,10 @@ class Naqed(spark: SparkSession, sfDir: String) {
       throw new IllegalArgumentException(
         "$sort/$limit/$after are batch pagination args; a subscription is " +
           "unbounded and append-ordered — page the sink, not the stream")
+    if (q.contains("$sample"))
+      throw new IllegalArgumentException(
+        "$sample is a batch directive over a keyed entity set; sample the " +
+          "stream with a deterministic key filter in the source query")
     if (q.contains("$groupBy") || q.contains("$agg")) {
       if (!q.contains("$groupBy"))
         throw new IllegalArgumentException(

@@ -977,6 +977,71 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Weekly cohort LTV curves (§2.18j): per signup-week cohort and
+    * week-of-life, active users, purchase revenue, CUMULATIVE revenue
+    * and LTV per cohort member — the money twin of ts_cohort_retention
+    * (which counts the same triangle). Weeks via date_trunc (Monday
+    * ISO start in BOTH engines), ages by exact integer day division;
+    * revenue exact DECIMAL; the cumulative window partitions by
+    * cohort over the week-bounded age axis. Scale: one user-grain min
+    * + one (cohort, age) aggregate; windows never global. */
+  val tsCohortLtv: Q = (s, d) => {
+    val ev = table(s, d, "events").filter(col("user_id").isNotNull)
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort"))
+    val sizes = cohorts.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+    val acts = ev
+      .join(cohorts, "user_id")
+      .select(col("cohort"), col("user_id"),
+        expr("datediff(to_date(date_trunc('week', ts)), cohort) div 7").as("age_weeks"),
+        when(col("event_type") === "purchase", dec2(col("value"))).as("rev"))
+      .groupBy(col("cohort"), col("age_weeks"))
+      .agg(count_distinct(col("user_id")).as("active_users"),
+        coalesce(sum(col("rev")), dec2(lit(0))).as("rev"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age_weeks"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    acts
+      .withColumn("cum_rev", sum(col("rev")).over(w))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), asLong(col("age_weeks")).as("age_weeks"),
+        asLong(col("cohort_size")).as("cohort_size"),
+        asLong(col("active_users")).as("active_users"),
+        round(col("rev").cast(DoubleType), 2).as("rev"),
+        round(col("cum_rev").cast(DoubleType), 2).as("cum_rev"),
+        round(col("cum_rev").cast(DoubleType) / col("cohort_size"), 4).as("ltv"))
+      .orderBy("cohort", "age_weeks")
+  }
+
+  /** Year-over-year revenue bridge (§2.18j): 1997 → 1998 revenue per
+    * order priority with the signed delta and each segment's share of
+    * the total ABSOLUTE movement — the waterfall decomposition every
+    * finance review reads (ts_mom_growth is the same read at month
+    * grain without attribution). All sums exact DECIMAL; one division
+    * per row against the Σ|delta| broadcast (abs of exact decimals —
+    * sign-stable, unlike a share of the possibly-near-zero net).
+    * Scale: one map-combined (priority, year) aggregate; everything
+    * else on the ≤|priorities| relation. */
+  val tsRevenueBridge: Q = (s, d) => {
+    val byPy = table(s, d, "orders")
+      .filter(year(col("o_orderdate")).isin(1997, 1998))
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(
+        coalesce(sum(when(year(col("o_orderdate")) === 1997,
+          dec2(col("o_totalprice")))), dec2(lit(0))).as("r97"),
+        coalesce(sum(when(year(col("o_orderdate")) === 1998,
+          dec2(col("o_totalprice")))), dec2(lit(0))).as("r98"))
+      .withColumn("delta", col("r98") - col("r97"))
+    val tot = byPy.agg(sum(abs(col("delta"))).as("tabs"))
+    byPy.crossJoin(broadcast(tot))
+      .select(col("pri"),
+        round(col("r97").cast(DoubleType), 2).as("rev_1997"),
+        round(col("r98").cast(DoubleType), 2).as("rev_1998"),
+        round(col("delta").cast(DoubleType), 2).as("delta"),
+        round(col("delta").cast(DoubleType) / col("tabs").cast(DoubleType), 6)
+          .as("share_of_abs_delta"))
+      .orderBy("pri")
+  }
+
   /** Order-priority mix-shift monitor (§2.18h): per month, the χ²
     * distance between that month's priority mix and the corpus-wide
     * mix — the drift detector a pipeline points at any categorical

@@ -640,4 +640,53 @@ class NaqedSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("o_orderkey")).toSeq
     assert(viaJson2 == viaApi2 && viaJson2.size == 4)
   }
+
+  test("$sample: deterministic root sampling through the object API") {
+    // the sampled SET equals the engine-level deterministic sampler's
+    val viaApi = naqed.request("documents",
+        Map("doc_id" -> true, "$sample" -> 0.3))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val direct = ops.Sampling.deterministicSample(
+        Tables(spark, sf0001, "documents"), "doc_id", 0.3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(viaApi == direct && viaApi.nonEmpty)
+
+    // rerunning yields the identical set (no RNG state)
+    val again = naqed.request("documents",
+        Map("doc_id" -> true, "$sample" -> 0.3))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == viaApi)
+
+    // composes with paging: a sorted page of the sample is a subset
+    val page = naqed.request("documents",
+        Map("doc_id" -> true, "$sample" -> 0.3,
+          "$sort" -> "doc_id", "$limit" -> 5))
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(page.size == 5 && page.forall(viaApi.contains))
+    assert(page == page.sorted)
+
+    // composes with $groupBy: the sampled aggregate counts the sample
+    val agg = naqed.request("documents",
+        Map("$groupBy" -> "lang", "$agg" -> Map("n" -> "count")))
+      .collect().map(_.getAs[Long]("n")).sum
+    val aggSampled = naqed.request("documents",
+        Map("$groupBy" -> "lang", "$agg" -> Map("n" -> "count"),
+          "$sample" -> 0.3))
+      .collect().map(_.getAs[Long]("n")).sum
+    assert(aggSampled == direct.size.toLong && aggSampled < agg)
+
+    // naqed-style errors: bad rates, un-keyed roots, subscriptions
+    Seq(0.0, -0.2, 1.5, "x").foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        naqed.request("documents", Map("doc_id" -> true, "$sample" -> bad))
+      }
+      assert(e.getMessage.contains("$sample"))
+    }
+    val sub = intercept[IllegalArgumentException] {
+      naqed.subscribe("events",
+        Map("event_id" -> true, "$sample" -> 0.5),
+        graft.streaming.Streams.eventsStream(spark, sf0001))
+    }
+    assert(sub.getMessage.contains("$sample"))
+  }
 }

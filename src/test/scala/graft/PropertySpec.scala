@@ -625,5 +625,26 @@ class PropertySpec extends AnyFunSuite {
       .select("o_orderkey")
     assert(pre.exceptAll(plain).count() == 0)
     assert(plain.exceptAll(pre).count() == 0)
+
+    // cohort LTV: cumulative revenue nondecreasing within a cohort,
+    // active users never exceed the cohort size
+    val ltv = ops.TimeSeries.tsCohortLtv(spark, sf0001).collect()
+    ltv.groupBy(_.getAs[java.sql.Date]("cohort")).foreach { case (_, rows) =>
+      val byAge = rows.sortBy(_.getAs[Long]("age_weeks"))
+      val cums = byAge.map(_.getAs[Double]("cum_rev"))
+      assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+      byAge.foreach { r =>
+        assert(r.getAs[Long]("active_users") <= r.getAs[Long]("cohort_size"))
+      }
+    }
+
+    // revenue bridge: deltas reconcile, abs shares sum to 1
+    val br = ops.TimeSeries.tsRevenueBridge(spark, sf0001).collect()
+    br.foreach { r =>
+      assert(math.abs(r.getAs[Double]("rev_1998") - r.getAs[Double]("rev_1997") -
+        r.getAs[Double]("delta")) < 0.02)
+    }
+    assert(math.abs(br.map(r => math.abs(r.getAs[Double]("share_of_abs_delta"))).sum
+      - 1.0) < 1e-3)
   }
 }

@@ -214,7 +214,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     "ts_priority_mix_shift" -> 80L, "graph_brand_homophily" -> 1L,
     "pipeline_len_vocab_corr" -> 1L, "sim_anchor_separation" -> 45L,
     // round-8 ninth batch (§2.18i): skyline, prefiltered semi join
-    "join_skyline" -> 4L, "join_semi_prefilter" -> 539L)
+    "join_skyline" -> 4L, "join_semi_prefilter" -> 539L,
+    // round-8 tenth batch (§2.18j): cohort LTV, revenue bridge
+    "ts_cohort_ltv" -> 5L, "ts_revenue_bridge" -> 5L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
