@@ -338,4 +338,40 @@ class VersionedTableSpec extends AnyFunSuite {
     val direct = SparkEntry.queries("pipeline_quality_score")(spark, d).collect()
     assert(viaVt.sameElements(direct))
   }
+
+  test("changeFeed: row-level insert/delete/update images across versions") {
+    val root = tmpRoot()
+    val v0 = VersionedTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v"))
+    // update 1, insert 5 (merge), then delete 3 (rewrite path)
+    VersionedTable.merge(spark, root,
+      Seq((1L, "A2"), (5L, "e")).toDF("id", "v"), Seq("id"))
+    val (head, _, _) = VersionedTable.deleteWhere(spark, root, "id = 3")
+    val feed = VersionedTable.changeFeed(spark, root, v0, head, Seq("id"))
+      .collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+        r.getAs[String]("v"))).toSet
+    assert(feed == Set(
+      ("insert", 5L, "e"),
+      ("delete", 3L, "c"),
+      ("update_preimage", 1L, "a"),
+      ("update_postimage", 1L, "A2")))
+
+    // append-only fast path: the delta files tagged insert, no join
+    val before = VersionedTable.versions(spark, root).max
+    VersionedTable.append(spark, root, Seq((6L, "f"), (7L, "g")).toDF("id", "v"))
+    val after = VersionedTable.versions(spark, root).max
+    val appendFeed = VersionedTable.changeFeed(spark, root, before, after, Seq("id"))
+      .collect().map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id")))
+    assert(appendFeed.toSet == Set(("insert", 6L), ("insert", 7L)))
+
+    // identical versions: empty feed; descending range rejected
+    assert(VersionedTable.changeFeed(spark, root, after, after, Seq("id")).count() == 0)
+    intercept[IllegalArgumentException] {
+      VersionedTable.changeFeed(spark, root, after, before, Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.changeFeed(spark, root, before, after, Seq("nope"))
+    }
+  }
 }
