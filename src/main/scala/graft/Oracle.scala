@@ -3588,6 +3588,41 @@ SELECT is_weekend, CAST(n_days AS BIGINT) AS n_days,
   round(wknd_over_wkday, 6) AS wknd_over_wkday
 FROM g, r ORDER BY is_weekend""",
 
+      // ---- §2.18k (round 8, eleventh batch) ----
+      // KM with administrative censoring; per-day ln(1 - d/n) terms
+      // floor-quantized at 1e12; the absorbed tail emits NULL.
+      "ts_survival_km" ->
+        s"""WITH cl AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS ship
+  FROM ${T("lineitem")} GROUP BY 1),
+od AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM ${T("orders")}),
+ct AS (SELECT max(od) - 30 AS cutoff FROM od),
+obs AS (SELECT
+  least(date_diff('day', od.od, cl.ship), date_diff('day', od.od, ct.cutoff)) AS t,
+  date_diff('day', od.od, cl.ship) <= date_diff('day', od.od, ct.cutoff) AS event
+  FROM od JOIN cl ON od.o_orderkey = cl.l_orderkey, ct
+  WHERE od.od <= ct.cutoff),
+tt AS (SELECT count(*) AS n_total FROM obs),
+bt AS (SELECT t,
+  CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+  CAST(sum(CASE WHEN NOT event THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM obs GROUP BY 1),
+rk AS (SELECT t, d, c,
+  CAST(n_total - coalesce(sum(d + c) OVER (ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM bt, tt),
+ql AS (SELECT t, d, c, n_risk,
+  CASE WHEN d < n_risk THEN CAST(floor(
+    ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1e12) AS BIGINT) END AS qln,
+  CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead FROM rk),
+cm AS (SELECT t, d, c, n_risk,
+  sum(qln) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS qcum,
+  max(dead) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS absorbed FROM ql)
+SELECT CAST(t AS BIGINT) AS t, n_risk, d, c,
+  round(CAST(d AS DOUBLE) / n_risk, 6) AS hazard,
+  CASE WHEN absorbed = 0
+    THEN round(CAST(qcum AS DOUBLE) / 1e12, 6) END AS log_survival
+FROM cm ORDER BY t""",
+
       // ---- §2.18j (round 8, tenth batch) ----
       // Monday-start weeks in both engines; exact DECIMAL revenue;
       // cumulative window partitioned by cohort.

@@ -977,6 +977,63 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Kaplan–Meier fulfillment survival curve (§2.18k): P(order still
+    * unshipped after t days), with ADMINISTRATIVE right-censoring at a
+    * cutoff 30 days before the last order date — the survival-analysis
+    * operator (time-to-event with censoring) none of the lag
+    * histograms model: ts_order_to_ship_lag describes completed lags
+    * only, which biases early if observation ends. Orders placed
+    * before the cutoff are observed up to it: duration =
+    * min(ship_lag, cutoff − orderdate), event iff shipped by cutoff.
+    * Per duration day: at-risk n (running-sum complement over the
+    * bounded lag domain), events d, censored c, hazard d/n (one
+    * division), and the log survival Σ ln(1 − d/n) with per-day terms
+    * floor-quantized at 1e12 (the logprob recipe — no cross-engine
+    * exp/product dependency; S = e^log_s for readers). Scale: one
+    * orderkey fact-fact join + a bounded-lag-domain reduce. */
+  val tsSurvivalKm: Q = (s, d) => {
+    val close = table(s, d, "lineitem")
+      .groupBy(col("l_orderkey")).agg(max(to_date(col("l_shipdate"))).as("ship"))
+    val orders = table(s, d, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+    val cut = orders.agg(date_sub(max(col("od")), 30).as("cutoff"))
+    val obs = orders.join(close, col("o_orderkey") === col("l_orderkey"))
+      .crossJoin(broadcast(cut))
+      .filter(col("od") <= col("cutoff"))
+      .select(
+        least(datediff(col("ship"), col("od")),
+          datediff(col("cutoff"), col("od"))).as("t"),
+        (datediff(col("ship"), col("od")) <=
+          datediff(col("cutoff"), col("od"))).as("event"))
+    val tot = obs.agg(count(lit(1)).as("n_total"))
+    val byT = obs.groupBy(col("t"))
+      .agg(sum(when(col("event"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("event"), 1L).otherwise(0L)).as("c"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wi = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        (col("n_total") - coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+          .cast(LongType))
+      // d == n_risk absorbs the curve at S = 0 (ln 0 undefined): emit
+      // NULL log_survival from that day on, a convention both engines
+      // evaluate identically
+      .withColumn("qln", when(col("d") < col("n_risk"), floor(
+        log(lit(1.0) - col("d").cast(DoubleType) / col("n_risk")) * 1e12)
+        .cast(LongType)))
+      .withColumn("qcum", sum(col("qln")).over(wi))
+      .withColumn("absorbed",
+        max(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(wi))
+      .select(asLong(col("t")).as("t"), col("n_risk"),
+        asLong(col("d")).as("d"), asLong(col("c")).as("c"),
+        round(col("d").cast(DoubleType) / col("n_risk"), 6).as("hazard"),
+        when(col("absorbed") === 0,
+          round(col("qcum").cast(DoubleType) / 1e12, 6)).as("log_survival"))
+      .orderBy("t")
+  }
+
   /** Weekly cohort LTV curves (§2.18j): per signup-week cohort and
     * week-of-life, active users, purchase revenue, CUMULATIVE revenue
     * and LTV per cohort member — the money twin of ts_cohort_retention

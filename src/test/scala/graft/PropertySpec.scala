@@ -646,5 +646,26 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(math.abs(br.map(r => math.abs(r.getAs[Double]("share_of_abs_delta"))).sum
       - 1.0) < 1e-3)
+
+    // Kaplan-Meier: at-risk counts strictly account for prior
+    // events+censors, hazards in [0,1], log-survival nonincreasing
+    val km = ops.TimeSeries.tsSurvivalKm(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("t"))
+    val total = km.map(r => r.getAs[Long]("d") + r.getAs[Long]("c")).sum
+    assert(km.head.getAs[Long]("n_risk") == total)
+    km.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_risk") ==
+          a.getAs[Long]("n_risk") - a.getAs[Long]("d") - a.getAs[Long]("c"))
+      case _ =>
+    }
+    km.foreach { r =>
+      val h = r.getAs[Double]("hazard")
+      assert(h >= 0.0 && h <= 1.0)
+    }
+    val ls = km.flatMap(r => Option(r.getAs[java.lang.Double]("log_survival")))
+      .map(_.doubleValue)
+    assert(ls.zip(ls.tail).forall { case (a, b) => b <= a + 1e-12 })
+    assert(ls.forall(_ <= 1e-12))
   }
 }

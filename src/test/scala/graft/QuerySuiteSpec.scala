@@ -216,7 +216,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     // round-8 ninth batch (§2.18i): skyline, prefiltered semi join
     "join_skyline" -> 4L, "join_semi_prefilter" -> 539L,
     // round-8 tenth batch (§2.18j): cohort LTV, revenue bridge
-    "ts_cohort_ltv" -> 5L, "ts_revenue_bridge" -> 5L)
+    "ts_cohort_ltv" -> 5L, "ts_revenue_bridge" -> 5L,
+    // round-8 eleventh batch (§2.18k): Kaplan-Meier survival
+    "ts_survival_km" -> 1144L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
