@@ -2213,14 +2213,16 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM big JOIN lp USING (w1, w2)
 GROUP BY doc_id ORDER BY doc_id""",
 
-      // Adjacent-pair embedding QA: bucket from the EXACT decimal of
-      // the 4-rounded cosine (double x10 could straddle a boundary).
+      // Adjacent-pair embedding QA: per-pair cosine floor-quantized
+      // to BIGINT q = floor(sim*1e4) (floor of the same double is
+      // engine-independent; round(x,4) is not); bucket and average
+      // derive from exact integers in the same double op order.
       "sim_adjacent_cosine" ->
         s"""WITH pairs AS (
-  SELECT CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS DECIMAL(6,4)) AS sim
+  SELECT CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1e4) AS BIGINT) AS q
   FROM ${T("embeddings")} a JOIN ${T("embeddings")} b ON b.vec_id = a.vec_id + 1)
-SELECT CAST(floor(sim * 10) AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n,
-  round(CAST(sum(sim) AS DOUBLE) / count(*), 6) AS avg_sim
+SELECT CAST(floor(q / 1000.0) AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(q) AS DOUBLE) / count(*) / 1e4 AS avg_sim
 FROM pairs GROUP BY 1 ORDER BY bucket""",
 
       // HHI = sum(n_i^2)/N^2 — both terms exact BIGINTs, ONE double
@@ -2353,17 +2355,18 @@ FROM (SELECT source, len(string_split(text, ' ')) AS len FROM ${T("documents")})
 GROUP BY source ORDER BY source""",
 
       // L2-norm audit: per-row sequential fold over the same 64 floats
-      // in both engines, rounded at 6 before the decimal average and
-      // the unit-band comparison.
+      // in both engines, floor-quantized to BIGINT micro-norms
+      // floor(norm*1e6); every statistic derives from exact integers
+      // (the unit-band test is pure integer arithmetic).
       "sim_norm_audit" ->
         s"""WITH nrm AS (
-  SELECT round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                     CAST(embedding AS DOUBLE[]))), 6) AS nrm
+  SELECT CAST(floor(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))) * 1e6) AS BIGINT) AS q
   FROM ${T("embeddings")})
 SELECT CAST(count(*) AS BIGINT) AS n_vectors,
-  round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm,
-  round(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_norm,
-  CAST(sum(CASE WHEN abs(nrm - 1.0) > 0.001 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonunit
+  CAST(min(q) AS DOUBLE) / 1e6 AS min_norm, CAST(max(q) AS DOUBLE) / 1e6 AS max_norm,
+  CAST(sum(q) AS DOUBLE) / count(*) / 1e6 AS avg_norm,
+  CAST(sum(CASE WHEN abs(q - 1000000) > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonunit
 FROM nrm""",
 
       // Same sessionization CTE as ts_peak_concurrency; durations are
@@ -3200,9 +3203,11 @@ SELECT n, CAST(n_cells AS BIGINT) AS n_cells,
 FROM mi, hr, hc, t""",
 
       // First-power sums exact DECIMAL (scaled int < 2^53 → identical
-      // double cast); product sums floor-quantized to BIGINT at
-      // per-pair scales (DuckDB's int128→double cast double-rounds
-      // past 2^53; BIGINT→double is one correctly-rounded step).
+      // double cast); product terms floor-quantized to BIGINT at
+      // per-pair scales and summed into HUGEINT (Spark: DECIMAL(38,0))
+      // — exact at any SF — then ONE scale-0 int→double conversion
+      // (a scaled DECIMAL would double-round past 2^53: int128→double
+      // then /10^s; a scale-0 integer converts in one rounded step).
       "agg_cov_matrix" -> {
         val vars = Seq("q" -> "l_quantity", "p" -> "l_extendedprice",
           "dc" -> "l_discount")
@@ -3217,7 +3222,7 @@ FROM mi, hr, hc, t""",
         val sums = vars.map { case (n, c) =>
           s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS s_$n"
         } ++ (for ((nx, cx) <- vars; (ny, cy) <- vars if nx <= ny)
-          yield s"CAST(CAST(sum(CAST(floor(CAST($cx AS DECIMAL(18,2)) * CAST($cy AS DECIMAL(18,2)) * ${qs(nx, ny)}) AS BIGINT)) AS BIGINT) AS DOUBLE) AS s_${nx}_$ny")
+          yield s"CAST(sum(CAST(floor(CAST($cx AS DECIMAL(18,2)) * CAST($cy AS DECIMAL(18,2)) * ${qs(nx, ny)}) AS BIGINT)) AS DOUBLE) AS s_${nx}_$ny")
         def cov(x: String, y: String) = {
           val (a, b) = if (x <= y) (x, y) else (y, x)
           s"(${key(x, y)} / ${qs(a, b)}.0 - s_$x * s_$y / nd) / nd"
@@ -3234,25 +3239,29 @@ ${rows.mkString("\nUNION ALL\n")}
 ORDER BY var_x, var_y"""
       },
 
-      // Per-group (Sv)^2/n terms floor-quantized at 1e6 pre-sum.
+      // Per-row first/second-power terms are exact integers at 1e2 /
+      // 1e4 (2dp value grid), summed into HUGEINT (Spark:
+      // DECIMAL(38,0)); doubles enter via scale-0-int→double + /10^s
+      // in the same order on both engines. Per-group (Sv)^2/n terms
+      // floor-quantized at 1e6 pre-sum on those identical doubles.
       "agg_anova_f" ->
         s"""WITH g AS (SELECT event_type, count(*) AS ng,
-  sum(CAST(value AS DECIMAL(18,2))) AS sg,
-  sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS ssqg
+  sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS qsg,
+  sum(CAST(floor(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) * 10000) AS BIGINT)) AS qssqg
   FROM ${T("events")} WHERE value IS NOT NULL GROUP BY 1),
 t AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
-  CAST(sum(sg) AS DOUBLE) AS stot, CAST(sum(ssqg) AS DOUBLE) AS ssqtot,
-  CAST(sum(CAST(floor(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) /
-    CAST(ng AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS qb
+  CAST(sum(qsg) AS DOUBLE) / 1e2 AS stot, CAST(sum(qssqg) AS DOUBLE) / 1e4 AS ssqtot,
+  CAST(sum(CAST(floor((CAST(qsg AS DOUBLE) / 1e2) * (CAST(qsg AS DOUBLE) / 1e2) /
+    CAST(ng AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS qbd
   FROM g)
 SELECT CAST(k AS BIGINT) AS k, n,
-  round(CAST(qb AS DOUBLE) / 1e6 - stot * stot / CAST(n AS DOUBLE), 4) AS ssb,
+  round(qbd - stot * stot / CAST(n AS DOUBLE), 4) AS ssb,
   round((ssqtot - stot * stot / CAST(n AS DOUBLE)) -
-        (CAST(qb AS DOUBLE) / 1e6 - stot * stot / CAST(n AS DOUBLE)), 4) AS ssw,
-  round(((CAST(qb AS DOUBLE) / 1e6 - stot * stot / CAST(n AS DOUBLE)) /
+        (qbd - stot * stot / CAST(n AS DOUBLE)), 4) AS ssw,
+  round(((qbd - stot * stot / CAST(n AS DOUBLE)) /
           (CAST(k AS DOUBLE) - 1.0)) /
         (((ssqtot - stot * stot / CAST(n AS DOUBLE)) -
-          (CAST(qb AS DOUBLE) / 1e6 - stot * stot / CAST(n AS DOUBLE))) /
+          (qbd - stot * stot / CAST(n AS DOUBLE))) /
           (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f
 FROM t""",
 
@@ -3418,25 +3427,25 @@ g AS (SELECT dow, count(*) AS ng,
 t AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
   CAST(sum(qsg) AS BIGINT) AS qstot, CAST(sum(qssqg) AS BIGINT) AS qssqtot,
   CAST(sum(CAST(floor((CAST(qsg AS DOUBLE) / 1e6) * (CAST(qsg AS DOUBLE) / 1e6) /
-    CAST(ng AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS qb
+    CAST(ng AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS qbd
   FROM g)
 SELECT CAST(k AS BIGINT) AS k, n AS n_days,
-  round(CAST(qb AS DOUBLE) / 1e6 -
+  round(qbd -
     (CAST(qstot AS DOUBLE) / 1e6) * (CAST(qstot AS DOUBLE) / 1e6) /
       CAST(n AS DOUBLE), 6) AS ssb,
   round((CAST(qssqtot AS DOUBLE) / 1e6 -
     (CAST(qstot AS DOUBLE) / 1e6) * (CAST(qstot AS DOUBLE) / 1e6) /
       CAST(n AS DOUBLE)) -
-    (CAST(qb AS DOUBLE) / 1e6 -
+    (qbd -
      (CAST(qstot AS DOUBLE) / 1e6) * (CAST(qstot AS DOUBLE) / 1e6) /
        CAST(n AS DOUBLE)), 6) AS ssw,
-  round(((CAST(qb AS DOUBLE) / 1e6 -
+  round(((qbd -
           (CAST(qstot AS DOUBLE) / 1e6) * (CAST(qstot AS DOUBLE) / 1e6) /
             CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)) /
         (((CAST(qssqtot AS DOUBLE) / 1e6 -
            (CAST(qstot AS DOUBLE) / 1e6) * (CAST(qstot AS DOUBLE) / 1e6) /
              CAST(n AS DOUBLE)) -
-          (CAST(qb AS DOUBLE) / 1e6 -
+          (qbd -
            (CAST(qstot AS DOUBLE) / 1e6) * (CAST(qstot AS DOUBLE) / 1e6) /
              CAST(n AS DOUBLE))) /
          (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f

@@ -2141,15 +2141,18 @@ object Relational {
     * exact at DECIMAL(37,4) — is floor-quantized to BIGINT at a
     * per-pair scale (1e2 for price², 1e4 for price×other, 1e8 for
     * pairs without price — fine enough that the statistic is
-    * unchanged at output precision, coarse enough that the BIGINT
-    * sum cannot overflow) before summing. The quantization is not
+    * unchanged at output precision) before summing; the quantized
+    * terms accumulate as DECIMAL(38,0) (int128-backed in both
+    * engines — HUGEINT on the DuckDB side), so the sum stays exact
+    * at ANY SF, not just the contract's. The quantization is not
     * about accumulation order (the decimal sum is exact too): it is
     * about the decimal→double CAST of the huge Σxy. A DECIMAL whose
     * scaled integer exceeds 2^53 double-rounds in DuckDB
     * (int128→double, then /10⁴) but single-rounds on the JVM
     * (BigDecimal.doubleValue) — a measured 1-ulp divergence on
-    * Σ(price²) at sf0.1 — while a BIGINT converts in ONE
-    * correctly-rounded step in both engines. cov/corr then evaluate
+    * Σ(price²) at sf0.1 — while a scale-0 integer (BIGINT, HUGEINT,
+    * or DECIMAL(38,0)) converts in ONE correctly-rounded step in
+    * both engines, with no /10^s tail. cov/corr then evaluate
     * in one fixed double tree per pair. Scale: ONE map-combined
     * aggregate pass computes all 12 sums; the unpivot is a bounded
     * 6-row union over the 1-row aggregate. */
@@ -2162,7 +2165,8 @@ object Relational {
       else 100000000L
     val sums = vars.map { case (n, c) => sum(dec2(c)).as(s"s_$n") } ++
       (for ((nx, cx) <- vars; (ny, cy) <- vars if nx <= ny)
-        yield sum(floor(dec2(cx) * dec2(cy) * lit(qs(nx, ny))).cast(LongType))
+        yield sum(floor(dec2(cx) * dec2(cy) * lit(qs(nx, ny)))
+            .cast(DecimalType(38, 0)))
           .as(s"s_${nx}_$ny"))
     val agg = table(s, d, "lineitem")
       .agg(count(lit(1)).as("n"), sums: _*)
@@ -2187,28 +2191,40 @@ object Relational {
   }
 
   /** One-way ANOVA F (§2.18e): does mean event value differ across
-    * event types? Per-group n/Σv/Σv² accumulate in exact DECIMAL
-    * (values cast to DECIMAL(18,2) first — the fixture's 2dp domain);
-    * the only order-sensitive reduction — Σ_g (Σv_g)²/n_g across the
-    * ≤ |event_type| groups — floor-quantizes each group's term to
-    * BIGINT at 1e6 first. SSB/SSW/F then evaluate in one double tree.
+    * event types? Values live on the fixture's 2dp grid, so the
+    * per-row first/second-power terms v·1e2 and v²·1e4 are EXACT
+    * integers; they accumulate as DECIMAL(38,0) (HUGEINT on the
+    * oracle side) — exact at any SF — and every double enters the SS
+    * tree through the same scale-0-int→double + /10^s two-step on
+    * both engines (a scaled DECIMAL→double cast double-rounds past
+    * 2^53 cross-engine; see agg_cov_matrix). The only remaining
+    * order-sensitive reduction — Σ_g (Σv_g)²/n_g across the bounded
+    * event_type groups — floor-quantizes each group's term to BIGINT
+    * at 1e6 on identical doubles (per-group term holds to
+    * n_g·mean²·1e6 < 2^63, i.e. ~4e7 rows/group at the fixture's
+    * value domain — past that Spark's ANSI floor→LONG fails loud,
+    * not silently). SSB/SSW/F then evaluate in one double tree.
     * Scale: one map-combined (event_type) aggregate; everything else
     * on the bounded group relation. */
   val aggAnovaF: Q = (s, d) => {
+    val v = dec2(col("value"))
     val g = table(s, d, "events")
       .filter(col("value").isNotNull)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("ng"), sum(dec2(col("value"))).as("sg"),
-        sum(dec2(col("value")) * dec2(col("value"))).as("ssqg"))
+      .agg(count(lit(1)).as("ng"),
+        sum((v * 100).cast(DecimalType(38, 0))).as("qsg"),
+        sum(floor(v * v * 10000).cast(DecimalType(38, 0))).as("qssqg"))
+    val sgD = col("qsg").cast(DoubleType) / 1e2
     val t = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
-      sum(col("sg")).as("stot"), sum(col("ssqg")).as("ssqtot"),
-      sum(floor(col("sg").cast(DoubleType) * col("sg").cast(DoubleType) /
-        col("ng").cast(DoubleType) * 1e6).cast(LongType)).as("qb"))
+      sum(col("qsg")).as("qstot"), sum(col("qssqg")).as("qssqtot"),
+      sum(floor(sgD * sgD / col("ng").cast(DoubleType) * 1e6)
+        .cast(DecimalType(38, 0))).as("qb"))
     val nd = col("n").cast(DoubleType)
     val kd = col("k").cast(DoubleType)
-    val grand = col("stot").cast(DoubleType) * col("stot").cast(DoubleType) / nd
+    val stot = col("qstot").cast(DoubleType) / 1e2
+    val grand = stot * stot / nd
     val ssb = col("qb").cast(DoubleType) / 1e6 - grand
-    val sst = col("ssqtot").cast(DoubleType) - grand
+    val sst = col("qssqtot").cast(DoubleType) / 1e4 - grand
     val ssw = sst - ssb
     t.select(asLong(col("k")).as("k"), asLong(col("n")).as("n"),
       round(ssb, 4).as("ssb"), round(ssw, 4).as("ssw"),

@@ -437,7 +437,16 @@ object VersionedTable {
     * snapshots. `keys` must be a unique row identity over both
     * versions (the same contract merge holds the table to). Fast
     * path: an append-only range (old files ⊆ new) short-circuits to
-    * the added files tagged insert — O(delta), no join. General path:
+    * the added files tagged insert — but only after a key-overlap
+    * probe (ONE left-semi join of the added files' key columns
+    * against the old snapshot, early-exited by take(1)) proves the
+    * appended rows carry no pre-existing keys; if they do, an
+    * append that re-uses a key is a logical upsert and the general
+    * path classifies it as update_pre/postimage instead of a bare
+    * insert. The probe reads only `keys` from both sides (column-
+    * pruned scans) and costs at most one pass over the old keys —
+    * cheaper than silently disagreeing with the join path.
+    * General path:
     * ONE full-outer key join of the snapshots; presence markers
     * classify inserts/deletes, and a null-safe any-column-differs
     * predicate splits matched keys into unchanged (dropped) vs
@@ -459,11 +468,21 @@ object VersionedTable {
     val outCols = schema.fieldNames.toSeq
     if (oldFiles.toSet.subsetOf(newFiles.toSet)) {
       val added = newFiles.filterNot(oldFiles.toSet)
-      val base =
-        if (added.isEmpty) spark.createDataFrame(
+      if (added.isEmpty)
+        return spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(schema).parquet(added: _*)
-      return base.withColumn("_change_type", lit("insert"))
+          .withColumn("_change_type", lit("insert"))
+      val addedDf = spark.read.schema(schema).parquet(added: _*)
+      val keyReuse = oldFiles.nonEmpty && {
+        val oldKeys = spark.read.schema(schema).parquet(oldFiles: _*)
+          .select(keys.map(col): _*)
+        addedDf.select(keys.map(col): _*)
+          .join(oldKeys, keys, "left_semi").take(1).nonEmpty
+      }
+      if (!keyReuse)
+        return addedDf.withColumn("_change_type", lit("insert"))
+      // fall through: an appended file re-used a live key — only the
+      // general full-outer diff classifies that correctly
     }
     val oldDf = spark.read.schema(schema).parquet(oldFiles: _*)
       .withColumn("__in_old", lit(true))

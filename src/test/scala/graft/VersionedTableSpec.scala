@@ -365,8 +365,25 @@ class VersionedTableSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id")))
     assert(appendFeed.toSet == Set(("insert", 6L), ("insert", 7L)))
 
+    // an append that RE-USES a live key is a logical upsert: the
+    // key-overlap probe must reject the fast path and the general
+    // diff must emit pre/post images, not a bare duplicate insert
+    VersionedTable.append(spark, root, Seq((6L, "F2"), (8L, "h")).toDF("id", "v"))
+    val after2 = VersionedTable.versions(spark, root).max
+    val upsertFeed = VersionedTable.changeFeed(spark, root, after, after2, Seq("id"))
+      .collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+        r.getAs[String]("v"))).toSet
+    // post-append the new snapshot holds BOTH (6,"f") and (6,"F2");
+    // the join matches the old row against each — the ("f","f") pair
+    // drops as unchanged, the ("f","F2") pair emits the images
+    assert(upsertFeed == Set(
+      ("insert", 8L, "h"),
+      ("update_preimage", 6L, "f"),
+      ("update_postimage", 6L, "F2")))
+
     // identical versions: empty feed; descending range rejected
-    assert(VersionedTable.changeFeed(spark, root, after, after, Seq("id")).count() == 0)
+    assert(VersionedTable.changeFeed(spark, root, after2, after2, Seq("id")).count() == 0)
     intercept[IllegalArgumentException] {
       VersionedTable.changeFeed(spark, root, after, before, Seq("id"))
     }
