@@ -689,4 +689,51 @@ class NaqedSpec extends AnyFunSuite {
     }
     assert(sub.getMessage.contains("$sample"))
   }
+
+  test("$depth traversal: k-as-data frontier matches graph_bfs_3hop; fixpoint matches reachable") {
+    import org.apache.spark.sql.functions._
+    // same root as the oracle query: the max-degree node of the
+    // shared EDGES relation (deterministic tiebreak on node id)
+    val ud = Tables.ud(spark, sf0001)
+    val root = ud.groupBy(col("s")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("s"))
+      .limit(1).collect()(0).getLong(0)
+
+    val got3 = naqed.request("part", Map(
+        "$p_partkey" -> root,
+        "co_parts" -> Map("$depth" -> 3)))
+      .collect().map(r => (r.getAs[Long]("v"), r.getAs[Int]("depth"))).toSet
+    val oracle3 = SparkEntry.queries("graph_bfs_3hop")(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("v"), r.getAs[Int]("depth"))).toSet
+    assert(got3 == oracle3 && got3.nonEmpty)
+
+    // $depth: 0 / omitted = fixpoint, equal to GraphOps.reachable
+    val fix = naqed.request("part", Map(
+        "$p_partkey" -> root, "co_parts" -> Map[String, Any]()))
+      .collect().map(r => (r.getAs[Long]("v"), r.getAs[Int]("depth"))).toSet
+    val want = graft.ops.GraphOps.reachable(spark, sf0001, root)
+      .collect().map(r => (r.getAs[Long]("v"), r.getAs[Int]("depth"))).toSet
+    assert(fix == want && fix.size >= got3.size)
+
+    // seed filters compose: a seed set with no edges is just depth 0
+    val isolated = naqed.request("part", Map(
+        "$max_p_partkey" -> -1L, "co_parts" -> Map("$depth" -> 2)))
+    assert(isolated.count() == 0)
+
+    // naqed-style errors: scalar selections beside the traversal,
+    // unknown traversal args, negative depth
+    val mixed = intercept[IllegalArgumentException] {
+      naqed.request("part", Map("p_name" -> true,
+        "co_parts" -> Map("$depth" -> 2)))
+    }
+    assert(mixed.getMessage.contains("row grain"))
+    val badArg = intercept[IllegalArgumentException] {
+      naqed.request("part", Map("co_parts" -> Map("$hops" -> 2)))
+    }
+    assert(badArg.getMessage.contains("$depth"))
+    val neg = intercept[IllegalArgumentException] {
+      naqed.request("part", Map("co_parts" -> Map("$depth" -> -1)))
+    }
+    assert(neg.getMessage.contains("$depth"))
+  }
 }

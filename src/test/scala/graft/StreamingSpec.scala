@@ -495,4 +495,49 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("stream stateless"))
   }
+
+  test("changeFeedStream: one micro-batch per committed version, exactly-once across restart") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val base = java.nio.file.Files.createTempDirectory("cfs").toString
+    val root = base + "/tbl"
+    val out = base + "/out"
+    val ckpt = base + "/ckpt"
+
+    VersionedTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    VersionedTable.merge(spark, root, Seq((1L, "A2"), (3L, "c")).toDF("id", "v"), Seq("id"))
+
+    def drain(): Unit =
+      VersionedTable.changeFeedStream(spark, root, Seq("id"), ckpt) { (df, bid) =>
+        VersionedTable.appendBatch(spark, out, df, bid); ()
+      }.awaitTermination()
+    def rows(): Set[(Long, String, String, Long)] =
+      VersionedTable.read(spark, out).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"),
+          r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version"))).toSet
+
+    drain()
+    // v1 = created snapshot as inserts; v2 = the batch changeFeed(1,2)
+    val v2feed = VersionedTable.changeFeed(spark, root, 1L, 2L, Seq("id"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v"),
+        r.getAs[String]("_change_type"), 2L)).toSet
+    val want1 = Set((1L, "a", "insert", 1L), (2L, "b", "insert", 1L)) ++ v2feed
+    assert(rows() == want1 && v2feed.size == 3)
+
+    // restart from the same checkpoint with nothing new: no duplicates
+    drain()
+    assert(rows() == want1)
+
+    // a new committed version resumes from the cursor: only the delta
+    val (v3, _, _) = VersionedTable.deleteWhere(spark, root, "id = 2")
+    drain()
+    val v3feed = VersionedTable.changeFeed(spark, root, 2L, v3, Seq("id"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v"),
+        r.getAs[String]("_change_type"), v3)).toSet
+    assert(rows() == want1 ++ v3feed && v3feed == Set((2L, "b", "delete", v3)))
+
+    // replay once more: still exactly-once
+    drain()
+    assert(rows() == want1 ++ v3feed)
+  }
 }
