@@ -3774,7 +3774,186 @@ FROM an x JOIN an y ON x.l < y.l ORDER BY 1, 2""",
   CAST(len(generate_series(CAST(o_orderdate AS DATE),
     CAST(o_orderdate AS DATE) + CAST(o_orderkey % 10 + 1 AS INTEGER),
     INTERVAL 1 DAY)) AS BIGINT) AS dseq_sz
-FROM ${T("orders")} WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey"""
+FROM ${T("orders")} WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""",
+
+      // ---- §2.19 (round 9) ----
+
+      // Tie-averaged ranks carried as the exact INTEGER 2*rank
+      // (2*cum_before + cnt + 1); all five power sums exact
+      // (HUGEINT / Spark DECIMAL(38,0)); rho in one double tree of
+      // scale-0 conversions.
+      "agg_spearman_corr" ->
+        s"""WITH xr AS (SELECT v, 2*sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c + 1 AS ar2
+  FROM (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS v, count(*) AS c FROM ${T("lineitem")} GROUP BY 1)),
+yr AS (SELECT v, 2*sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c + 1 AS ar2
+  FROM (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v, count(*) AS c FROM ${T("lineitem")} GROUP BY 1)),
+j AS (SELECT x.ar2 AS ax, y.ar2 AS ay
+  FROM ${T("lineitem")} l
+  JOIN xr x ON x.v = CAST(l.l_quantity AS DECIMAL(18,2))
+  JOIN yr y ON y.v = CAST(l.l_extendedprice AS DECIMAL(18,2))),
+t AS (SELECT count(*) AS n, sum(ax) AS sx, sum(ay) AS sy,
+  sum(ax*ay) AS sxy, sum(ax*ax) AS sxx, sum(ay*ay) AS syy FROM j)
+SELECT CAST(n AS BIGINT) AS n,
+  round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+    sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+         (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) AS spearman_rho
+FROM t""",
+
+      // Every verdict on exact DECIMALS; the 1%-band is integer
+      // cross-multiplication; mean abs rel err floor-quantized at 1e6.
+      "agg_order_total_audit" ->
+        s"""WITH li AS (SELECT l_orderkey,
+  sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+      (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS net
+  FROM ${T("lineitem")} GROUP BY 1),
+j AS (SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS tot, net
+  FROM ${T("orders")} o LEFT JOIN li ON li.l_orderkey = o.o_orderkey)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CASE WHEN net IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+  CAST(sum(CASE WHEN net IS NOT NULL AND abs(tot - net) * 100 <= tot THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+  CAST(sum(CASE WHEN net IS NOT NULL AND net > tot THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+  CAST(sum(CASE WHEN net IS NOT NULL AND net < tot THEN 1 ELSE 0 END) AS BIGINT) AS n_under,
+  CAST(sum(CASE WHEN net IS NOT NULL THEN
+    CAST(floor(CAST(abs(tot - net) AS DOUBLE) / CAST(tot AS DOUBLE) * 1e6) AS BIGINT)
+    ELSE 0 END) AS DOUBLE) / sum(CASE WHEN net IS NOT NULL THEN 1 ELSE 0 END) / 1e6 AS avg_abs_rel_err
+FROM j GROUP BY 1 ORDER BY o_orderstatus""",
+
+      // Argmax decided on exact HUGEINT |nd*run - k*total| (Spark:
+      // DECIMAL(38,0)); ties to the earliest day; means divide exact
+      // integers in the same double order.
+      "ts_changepoint" ->
+        s"""WITH dl AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM ${T("orders")} GROUP BY 1),
+r AS (SELECT day, cents,
+  sum(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS run,
+  row_number() OVER (ORDER BY day) AS k FROM dl),
+t AS (SELECT max(run) AS total, count(*) AS nd FROM r),
+scored AS (SELECT day, k, run, total, nd,
+  abs(CAST(nd AS HUGEINT)*run - CAST(k AS HUGEINT)*total) AS dev FROM r, t),
+mx AS (SELECT max(dev) AS mxdev FROM scored)
+SELECT day AS split_day, CAST(k AS BIGINT) AS n_days_before,
+  CAST(nd - k AS BIGINT) AS n_days_after,
+  round(CAST(run AS DOUBLE) / CAST(k AS DOUBLE) / 1e2, 2) AS mean_before,
+  round(CAST(total - run AS DOUBLE) / CAST(nd - k AS DOUBLE) / 1e2, 2) AS mean_after,
+  round((CAST(total - run AS DOUBLE) / CAST(nd - k AS DOUBLE) -
+         CAST(run AS DOUBLE) / CAST(k AS DOUBLE)) / 1e2, 2) AS mean_shift
+FROM scored, mx WHERE dev = mxdev ORDER BY day LIMIT 1""",
+
+      // Centered 7-day MA (complete windows), weekday index of the
+      // detrended series; d7 = 7*cents - S7 keeps everything integer
+      // until the final identical double trees.
+      "ts_seasonal_decompose" ->
+        s"""WITH dl AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM ${T("orders")} GROUP BY 1),
+t7 AS (SELECT day, cents,
+  sum(cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+  count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+  FROM dl),
+f AS (SELECT day, dayofweek(day) AS dow, cents, s7, 7*cents - s7 AS d7
+  FROM t7 WHERE n7 = 7),
+g AS (SELECT dow, sum(d7) AS sd7, count(*) AS nd FROM f GROUP BY 1)
+SELECT day, round(CAST(cents AS DOUBLE) / 1e2, 2) AS rev,
+  round(CAST(s7 AS DOUBLE) / 7.0 / 1e2, 4) AS trend,
+  round(CAST(sd7 AS DOUBLE) / CAST(nd AS DOUBLE) / 7.0 / 1e2, 4) AS seasonal,
+  round((CAST(d7 AS DOUBLE) - CAST(sd7 AS DOUBLE) / CAST(nd AS DOUBLE)) / 7.0 / 1e2, 4) AS residual
+FROM f JOIN g USING (dow) ORDER BY day""",
+
+      // Zero-hours enter through the observed-hour spine; F from
+      // exact integer sums in one double tree.
+      "ts_fano_factor" ->
+        s"""WITH ch AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+  FROM ${T("events")} GROUP BY 1, 2),
+spine AS (SELECT DISTINCT date_trunc('hour', ts) AS h FROM ${T("events")}),
+types AS (SELECT DISTINCT event_type FROM ${T("events")}),
+fl AS (SELECT ty.event_type, coalesce(c.c, 0) AS c
+  FROM types ty CROSS JOIN spine s
+  LEFT JOIN ch c ON c.event_type = ty.event_type AND c.h = s.h),
+g AS (SELECT event_type, count(*) AS n_hours, sum(c) AS sc, sum(c*c) AS scc
+  FROM fl GROUP BY 1)
+SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours, CAST(sc AS BIGINT) AS n_events,
+  round(CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE), 4) AS mean_per_hour,
+  round((CAST(n_hours AS DOUBLE) * CAST(scc AS DOUBLE) -
+         CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) /
+        (CAST(n_hours AS DOUBLE) * CAST(sc AS DOUBLE)), 6) AS fano
+FROM g ORDER BY event_type""",
+
+      // Lanes floor-quantized to BIGINT micro-units (1e7); mean /
+      // variance / extremes from exact integer sums.
+      "sim_dim_variance" ->
+        s"""WITH raw AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+  unnest(embedding) AS x FROM ${T("embeddings")}),
+lanes AS (SELECT dim, CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT) AS q FROM raw),
+g AS (SELECT dim, count(*) AS n, sum(q) AS sq, sum(q*q) AS sqq,
+  min(q) AS mn, max(q) AS mx FROM lanes GROUP BY 1)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+  round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1e7, 6) AS mean,
+  round((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) -
+         CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) /
+        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e14, 8) AS variance,
+  CAST(mn AS DOUBLE) / 1e7 AS min_val, CAST(mx AS DOUBLE) / 1e7 AS max_val
+FROM g ORDER BY dim""",
+
+      // Quantized cosine is a pure integer-sums double tree (lanes
+      // floor(x*10) are small ints, exact in double at any fold
+      // order); the reference cosine is the explicit dot/sqrt(na*nb)
+      // mirror of the Spark helper; degenerate pairs counted.
+      "sim_quantization_error" ->
+        s"""WITH p AS (SELECT CAST(a.embedding AS DOUBLE[]) AS e1, CAST(b.embedding AS DOUBLE[]) AS e2
+  FROM ${T("embeddings")} a JOIN ${T("embeddings")} b ON b.vec_id = a.vec_id + 1),
+q AS (SELECT
+  list_transform(e1, x -> CAST(floor(x * 10) AS BIGINT)) AS qa,
+  list_transform(e2, x -> CAST(floor(x * 10) AS BIGINT)) AS qb,
+  list_dot_product(e1, e2) / sqrt(list_dot_product(e1, e1) * list_dot_product(e2, e2)) AS cose
+  FROM p),
+s AS (SELECT
+  list_dot_product(qa, qa) AS nqa, list_dot_product(qb, qb) AS nqb,
+  list_dot_product(qa, qb) / sqrt(CAST(list_dot_product(qa, qa) AS DOUBLE) * CAST(list_dot_product(qb, qb) AS DOUBLE)) AS cosq,
+  cose FROM q),
+e AS (SELECT (nqa = 0 OR nqb = 0) AS degenerate,
+  CASE WHEN nqa = 0 OR nqb = 0 THEN 0
+       ELSE CAST(floor(abs(cosq - cose) * 1e6) AS BIGINT) END AS err6
+  FROM s)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(CASE WHEN degenerate THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate,
+  CAST(sum(CASE WHEN NOT degenerate THEN err6 ELSE 0 END) AS DOUBLE) /
+    sum(CASE WHEN NOT degenerate THEN 1 ELSE 0 END) / 1e6 AS avg_abs_err,
+  CAST(max(CASE WHEN NOT degenerate THEN err6 END) AS DOUBLE) / 1e6 AS max_abs_err,
+  CAST(sum(CASE WHEN NOT degenerate AND err6 > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_err_gt_1pct
+FROM e""",
+
+      // graph_pagerank3's discipline with weight-proportional spread:
+      // contributions pr*w/str cast to DECIMAL(28,15) pre-sum;
+      // strength is an exact integer sum.
+      "graph_weighted_pagerank3" ->
+        s"""$E
+, udw AS (SELECT s, t, w FROM e UNION ALL SELECT t AS s, s AS t, w FROM e),
+n0 AS (SELECT DISTINCT s AS v FROM udw),
+str AS (SELECT s AS v, sum(w) AS str FROM udw GROUP BY s),
+nn AS (SELECT count(*) AS cnt FROM n0),
+p0 AS (SELECT v, cast(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS pr FROM n0),
+p1 AS (SELECT n0.v,
+         0.15 / (SELECT cnt FROM nn)
+         + 0.85 * cast(coalesce(sum(cast(p0.pr * u.w / str.str AS DECIMAL(28,15))), 0) AS DOUBLE) AS pr
+       FROM n0 LEFT JOIN udw u ON u.t = n0.v
+       LEFT JOIN p0 ON p0.v = u.s LEFT JOIN str ON str.v = u.s
+       GROUP BY n0.v),
+p2 AS (SELECT n0.v,
+         0.15 / (SELECT cnt FROM nn)
+         + 0.85 * cast(coalesce(sum(cast(p1.pr * u.w / str.str AS DECIMAL(28,15))), 0) AS DOUBLE) AS pr
+       FROM n0 LEFT JOIN udw u ON u.t = n0.v
+       LEFT JOIN p1 ON p1.v = u.s LEFT JOIN str ON str.v = u.s
+       GROUP BY n0.v),
+p3 AS (SELECT n0.v,
+         0.15 / (SELECT cnt FROM nn)
+         + 0.85 * cast(coalesce(sum(cast(p2.pr * u.w / str.str AS DECIMAL(28,15))), 0) AS DOUBLE) AS pr
+       FROM n0 LEFT JOIN udw u ON u.t = n0.v
+       LEFT JOIN p2 ON p2.v = u.s LEFT JOIN str ON str.v = u.s
+       GROUP BY n0.v)
+SELECT v AS node, round(pr, 8) AS pagerank
+FROM p3 ORDER BY pagerank DESC, node LIMIT 30"""
     )
   }
 }

@@ -19,9 +19,17 @@ import org.apache.spark.sql.SparkSession
   * marginal costs, comparable across tiers. */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
-    val dirs: Seq[String] = if (args.nonEmpty) args.toSeq else Seq(
+    val dirs: Seq[String] = (if (args.nonEmpty) args.toSeq else Seq(
       "/root/testdata/sf0.01", "/root/testdata/sf0.1",
-      new java.io.File("fixtures/sf1_docs").getAbsolutePath)
+      new java.io.File("fixtures/sf1_docs").getAbsolutePath,
+      // 100x tier (round 9): 500k docs / 200k vectors — the second
+      // decade for the dedup/LSH/ANN/BPE family, the same reason the
+      // facts family got sf10_facts in round 8 (an exponent fitted on
+      // one 10x leg can move on the next)
+      // (scripts/gen_sf10_docs.py, regenerate if absent)
+      new java.io.File("fixtures/sf10_docs").getAbsolutePath))
+      .filter(d => new java.io.File(s"$d/documents.parquet").exists() &&
+        new java.io.File(s"$d/embeddings.parquet").exists())
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt)
     val spark = SparkSession.builder()
@@ -60,21 +68,62 @@ object ScalingBench {
     }
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
 
-    for (dir <- dirs) {
+    // one BPE model per tier (deterministic 512-doc sample train —
+    // constant cost by design, so it sits outside every timed region)
+    val bpeModels = scala.collection.mutable.HashMap[String, ops.Bpe.BpeModel]()
+    def bpeModel(dir: String): ops.Bpe.BpeModel =
+      bpeModels.getOrElseUpdate(dir,
+        ops.Bpe.train(Tables(spark, dir, "documents"), "text", "doc_id"))
+
+    val family = sys.env.getOrElse("SPARK_GRAFT_SCALE_FAMILY", "all")
+    for (dir <- dirs if family == "all" || family == "docs") {
       val nDocs = Tables(spark, dir, "documents").count()
       val nVecs = Tables(spark, dir, "embeddings").count()
+      bpeModel(dir) // train once, outside every timed region
       // nCells ~ sqrt(active vectors): the O(n^1.5) contract
       val nCells = math.max(16, math.sqrt(nVecs / 2.0).toInt)
-      val opsList: Seq[(String, () => Unit)] = Seq(
-        "dedup_exact" -> (() => ops.TextSim.dedupExact(spark, dir).count()),
-        "dedup_near_jaccard" -> (() => ops.TextSim.dedupNearJaccard(spark, dir).count()),
-        "dedup_simhash" -> (() => ops.Pipelines.dedupSimhash(spark, dir).count()),
-        "dedup_minhash_lsh" -> (() => { ops.Pipelines.dedupMinhashLsh(spark, dir).count(); () }),
-        "dedup_containment" -> (() => ops.Pipelines.dedupContainment(spark, dir).count()),
-        "sim_cosine_neardup_exact" -> (() =>
-          ops.Pipelines.simCosineNeardup(spark, dir).count()),
+      // the exact all-pairs cosine is the DESIGNED O(n^2) exactness
+      // baseline (α 2.03 measured) — at the 100x tier it would run
+      // ~100 minutes and prove nothing new; excluded above 50k
+      // vectors and RECORDED as excluded (no silent caps)
+      val exactOk = nVecs <= 50000
+      // the df-bucketed candidate ops (PPJoin prefix filter,
+      // containment's rare-shingle sketch) are Θ(n²/V) pairs under a
+      // BOUNDED shingle space V — the fixture's 30-word vocabulary
+      // pins V ≈ 27k, so at 500k docs the candidate relation is
+      // ~1e10 pairs (measured: the first 100x attempt filled the
+      // disk with shuffle spill). Real corpora grow V with n
+      // (Heaps' law), keeping the prefix filter sparse; the proven
+      // 100x near-dup path on ANY vocabulary is minhash-LSH, whose
+      // J^bands collision rate is corpus-size-independent and IS
+      // measured at this tier. Excluded above 100k docs, recorded.
+      val dfBucketOk = nDocs <= 100000
+      val opsList: Seq[(String, () => Unit)] = Seq[(String, () => Unit)](
+        "dedup_exact" -> (() => { ops.TextSim.dedupExact(spark, dir).count(); () })) ++
+        (if (dfBucketOk) Seq[(String, () => Unit)](
+          "dedup_near_jaccard" -> (() => { ops.TextSim.dedupNearJaccard(spark, dir).count(); () }),
+          "dedup_containment" -> (() => { ops.Pipelines.dedupContainment(spark, dir).count(); () }))
+        else Seq.empty[(String, () => Unit)]) ++ Seq[(String, () => Unit)](
+        "dedup_simhash" -> (() => { ops.Pipelines.dedupSimhash(spark, dir).count(); () }),
+        "dedup_minhash_lsh" -> (() => { ops.Pipelines.dedupMinhashLsh(spark, dir).count(); () })) ++
+        (if (exactOk) Seq(
+          "sim_cosine_neardup_exact" -> (() =>
+            { ops.Pipelines.simCosineNeardup(spark, dir).count(); () }))
+        else Seq.empty[(String, () => Unit)]) ++ Seq[(String, () => Unit)](
         "sim_cosine_neardup_ann" -> (() =>
-          ops.Pipelines.simCosineNeardupAnn(spark, dir, nCells = nCells).count()))
+          { ops.Pipelines.simCosineNeardupAnn(spark, dir, nCells = nCells).count(); () }),
+        // round 9: the two LLM-stack paths whose curves were missing —
+        // adaptive IVFADC probing (mass-driven nprobe + PQ prefilter)
+        // and the trained-BPE distributed encode (model is a constant
+        // driver-side sample train, excluded from the timed region;
+        // encode is the linear mapPartitions pass being measured)
+        "sim_cosine_neardup_ann_adaptive" -> (() =>
+          { ops.Pipelines.simCosineNeardupAnnAdaptive(spark, dir,
+            nCells = nCells).count(); () }),
+        "bpe_encode" -> (() => {
+          ops.Bpe.encode(Tables(spark, dir, "documents"), "text", "doc_id",
+            bpeModel(dir)).count(); ()
+        }))
       // run r: clear -> timed shingle build -> each op timed under its
       // own job group; keep min wall and min CPU per op (a cost
       // measure is a floor — contention only ever inflates it)
@@ -104,7 +153,12 @@ object ScalingBench {
       }
       val opsJson = best.map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
       val cpuJson = bestCpu.map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
-      println(s"""{"family":"docs","dir":"$dir","n_docs":$nDocs,"n_vecs":$nVecs,"n_cells":$nCells,"runs":$nRuns,"shingle_prime":${r3(primeBest)},"shingle_prime_cpu":${r3(primeCpuBest)},"ops":$opsJson,"ops_cpu":$cpuJson}""")
+      val excl = (if (exactOk) Seq.empty[String] else Seq(
+        "sim_cosine_neardup_exact (designed O(n^2) exactness baseline, excluded above 50k vectors)")) ++
+        (if (dfBucketOk) Seq.empty[String] else Seq(
+          "dedup_near_jaccard+dedup_containment (df-bucketed candidates are Theta(n^2/V) under the fixture's bounded 27k-shingle space; measured disk-fill at 500k docs. LSH is the measured 100x near-dup path)"))
+      val excluded = excl.map(s => s"\"$s\"").mkString("[", ",", "]")
+      println(s"""{"family":"docs","dir":"$dir","n_docs":$nDocs,"n_vecs":$nVecs,"n_cells":$nCells,"runs":$nRuns,"excluded":$excluded,"shingle_prime":${r3(primeBest)},"shingle_prime_cpu":${r3(primeCpuBest)},"ops":$opsJson,"ops_cpu":$cpuJson}""")
       System.out.flush()
     }
 
@@ -124,7 +178,7 @@ object ScalingBench {
       new java.io.File("fixtures/sf10_facts").getAbsolutePath))
       .filter(d => new java.io.File(s"$d/events.parquet").exists() &&
         new java.io.File(s"$d/lineitem.parquet").exists())
-    for (dir <- factDirs) {
+    for (dir <- factDirs if family == "all" || family == "facts") {
       val nEvents = Tables(spark, dir, "events").count()
       val nLines = Tables(spark, dir, "lineitem").count()
       val opsList: Seq[(String, () => Unit)] = Seq(

@@ -506,4 +506,42 @@ object GraphOps {
       .orderBy("k")
   }
 
+  /** Weighted PageRank, damping 0.85, exactly 3 iterations (§2.19):
+    * graph_pagerank3 treats every co-order edge equally; this spreads
+    * rank proportional to EDGE WEIGHT (co-order count) over weighted
+    * out-strength — the centrality that tells a 100×-repeated pairing
+    * from a one-off (what an unweighted walk cannot see). Same
+    * discipline as graph_pagerank3: per-edge contributions pr·w/str
+    * cast to DECIMAL(28,15) before summing so accumulation order
+    * cannot diverge cross-engine; str is an exact BIGINT sum of the
+    * integer weights. Scale: 3 fixed joins of the persisted weighted
+    * edge relation, each one t-keyed shuffle — the EDGES build
+    * dominates (ScalingBench's edges_prime, α ~1). */
+  val graphWeightedPagerank3: Q = (s, d) => {
+    val e = Tables.edges(s, d)._1
+    val udw = e.select(col("s"), col("t"), col("w"))
+      .union(e.select(col("t").as("s"), col("s").as("t"), col("w")))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val n0 = udw.select(col("s").as("v")).distinct().persist(lvl)
+    val str = udw.groupBy(col("s").as("v")).agg(sum(col("w")).as("str"))
+      .persist(lvl)
+    val nCount = n0.count()
+    val base = 0.15 / nCount
+    val init = n0.select(col("v"), lit(1.0 / nCount).as("pr"))
+    Iterate.fixed(init, 3) { p =>
+      n0.as("n")
+        .join(udw.as("u"), col("u.t") === col("n.v"), "left")
+        .join(p.as("p"), col("p.v") === col("u.s"), "left")
+        .join(str.as("g"), col("g.v") === col("u.s"), "left")
+        .groupBy(col("n.v").as("v"))
+        .agg((lit(base) + lit(0.85) *
+          coalesce(sum((col("p.pr") * col("u.w").cast(DoubleType) /
+            col("g.str").cast(DoubleType)).cast(D28_15)), lit(0))
+            .cast(DoubleType)).as("pr"))
+    }
+      .select(col("v").as("node"), round(col("pr"), 8).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("node"))
+      .limit(30)
+  }
+
 }

@@ -2366,4 +2366,86 @@ object Relational {
       .orderBy("digits")
   }
 
+  /** Spearman rank correlation of quantity vs extended price (§2.19):
+    * the monotone-association twin of agg_cov_matrix's Pearson — a
+    * relationship Pearson underreports when it is nonlinear. Ranks are
+    * tie-averaged and carried as the exact INTEGER 2·rank (for a
+    * distinct value: 2·ar = 2·cum_before + cnt + 1, the Mann-Whitney
+    * identity), computed per-variable on the value-grain relation via
+    * GlobalRank running sums — the data-sized rank step is a range
+    * shuffle, never a single task. Each row then joins its two 2·rank
+    * values back (quantity's 50-value relation broadcasts; price's
+    * value-grain join is one key shuffle), and all five power sums
+    * accumulate as exact DECIMAL(38,0) (products of DECIMAL(19,0)
+    * casts — BIGINT would wrap near sf10). rho evaluates in one fixed
+    * double tree from five scale-0-int→double conversions. */
+  val aggSpearmanCorr: Q = (s, d) => {
+    def ranks2(valCol: Column): DataFrame = {
+      val g = table(s, d, "lineitem")
+        .groupBy(valCol.as("v")).agg(count(lit(1)).as("c"))
+      GlobalRank.withRunningSum(g, Seq(col("v")), "c", "cum")
+        .select(col("v"), (lit(2L) * col("cum") - col("c") + 1L).as("ar2"))
+    }
+    val rx = ranks2(dec2(col("l_quantity")))
+      .select(col("v").as("xv"), col("ar2").as("ax"))
+    val ry = ranks2(dec2(col("l_extendedprice")))
+      .select(col("v").as("yv"), col("ar2").as("ay"))
+    val d19 = DecimalType(19, 0)
+    val joined = table(s, d, "lineitem")
+      .select(dec2(col("l_quantity")).as("xv"), dec2(col("l_extendedprice")).as("yv"))
+      .join(broadcast(rx), Seq("xv"))
+      .join(ry, Seq("yv"))
+    val t = joined.agg(count(lit(1)).as("n"),
+      sum(col("ax").cast(d19)).as("sx"), sum(col("ay").cast(d19)).as("sy"),
+      sum((col("ax").cast(d19) * col("ay").cast(d19)).cast(DecimalType(38, 0))).as("sxy"),
+      sum((col("ax").cast(d19) * col("ax").cast(d19)).cast(DecimalType(38, 0))).as("sxx"),
+      sum((col("ay").cast(d19) * col("ay").cast(d19)).cast(DecimalType(38, 0))).as("syy"))
+    val nd = col("n").cast(DoubleType)
+    def d2(c: String): Column = col(c).cast(DoubleType)
+    val cov = nd * d2("sxy") - d2("sx") * d2("sy")
+    val vx = nd * d2("sxx") - d2("sx") * d2("sx")
+    val vy = nd * d2("syy") - d2("sy") * d2("sy")
+    t.select(asLong(col("n")).as("n"),
+      round(cov / sqrt(vx * vy), 6).as("spearman_rho"))
+  }
+
+  /** Order-total reconciliation audit (§2.19): does o_totalprice equal
+    * the TPC-H identity Σ price·(1−disc)·(1+tax) over the order's
+    * lines — the dbt-test / data-contract shape (fact vs rollup drift
+    * is THE silent corruption mode in replicated pipelines). Every
+    * verdict is decided on EXACT DECIMALS: the per-line net has a
+    * fixed 6dp scale, and the 1%-band test is the integer
+    * cross-multiplication |tot−net|·100 ≤ tot (ts_error_rate_hourly's
+    * recipe) — no float touches a boolean. The reported mean absolute
+    * relative error floor-quantizes per-order |diff|/tot at 1e6.
+    * Scale: one l_orderkey-partitioned rollup joined to orders on its
+    * key — the same shuffle a fact-fact join already pays; per-status
+    * output is bounded. */
+  val aggOrderTotalAudit: Q = (s, d) => {
+    val net = sum(dec2(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))) *
+      (lit(1).cast(DecimalType(4, 2)) + col("l_tax").cast(DecimalType(4, 2))))
+    val li = table(s, d, "lineitem")
+      .groupBy(col("l_orderkey")).agg(net.as("net"))
+    val j = table(s, d, "orders")
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+    val tot = dec2(col("o_totalprice"))
+    val diff = abs(tot - col("net"))
+    val within1 = col("net").isNotNull && (diff * 100 <= tot)
+    j.groupBy(col("o_orderstatus"))
+      .agg(asLong(count(lit(1))).as("n_orders"),
+        asLong(sum(when(col("net").isNull, 1L).otherwise(0L))).as("n_no_lines"),
+        asLong(sum(when(within1, 1L).otherwise(0L))).as("n_within_1pct"),
+        asLong(sum(when(col("net").isNotNull && col("net") > tot, 1L)
+          .otherwise(0L))).as("n_over"),
+        asLong(sum(when(col("net").isNotNull && col("net") < tot, 1L)
+          .otherwise(0L))).as("n_under"),
+        (sum(when(col("net").isNotNull,
+          floor(diff.cast(DoubleType) / tot.cast(DoubleType) * 1e6)
+            .cast(LongType)).otherwise(0L)).cast(DoubleType) /
+          sum(when(col("net").isNotNull, 1L).otherwise(0L)) / 1e6)
+          .as("avg_abs_rel_err"))
+      .orderBy("o_orderstatus")
+  }
+
 }

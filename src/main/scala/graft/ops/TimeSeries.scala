@@ -1200,4 +1200,117 @@ object TimeSeries {
       round((ssb / (kd - 1.0)) / (ssw / (nd - kd)), 6).as("f"))
   }
 
+  /** Mean-shift changepoint of daily revenue (§2.19): the day
+    * splitting the series into the most-different before/after means
+    * — ts_cusum draws the curve; this names its elbow (the binary
+    * segmentation step every changepoint detector iterates). The
+    * argmax is decided on EXACT integers: with daily revenue in cents
+    * (BIGINT) and run_k its GlobalRank running sum, the CUSUM
+    * deviation at day k is |nd·run_k − k·total| / nd — maximizing the
+    * NUMERATOR (exact product of BIGINTs in DECIMAL(38,0)) picks the
+    * same day without a float anywhere; ties break to the earliest
+    * day. Pre/post means then divide exact sums in one double tree.
+    * Scale: date-grain aggregate + ONE GlobalRank range shuffle over
+    * the calendar-bounded day relation. */
+  val tsChangepoint: Q = (s, d) => {
+    val dl = table(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(dec2(col("o_totalprice"))) * 100).cast(LongType).as("cents"))
+    val r = GlobalRank.withRunningSum(dl, Seq(col("day")), "cents", "run")
+    val withK = GlobalRank.ranked(r, Seq(col("day")), "k")._1
+    val tot = r.agg(max(col("run")).as("total"), count(lit(1)).as("nd"))
+    val d19 = DecimalType(19, 0)
+    val dev = abs(col("nd").cast(d19) * col("run").cast(d19) -
+      col("k").cast(d19) * col("total").cast(d19)).cast(DecimalType(38, 0))
+    val scored = withK.crossJoin(broadcast(tot))
+      .select(col("day"), col("k"), col("run"), col("total"), col("nd"),
+        dev.as("dev"))
+    val mx = scored.agg(max(col("dev")).as("mxdev"))
+    scored.crossJoin(broadcast(mx))
+      .filter(col("dev") === col("mxdev"))
+      .orderBy(col("day")).limit(1)
+      .select(col("day").as("split_day"), asLong(col("k")).as("n_days_before"),
+        asLong(col("nd") - col("k")).as("n_days_after"),
+        round(col("run").cast(DoubleType) / col("k").cast(DoubleType) / 1e2, 2)
+          .as("mean_before"),
+        round((col("total") - col("run")).cast(DoubleType) /
+          (col("nd") - col("k")).cast(DoubleType) / 1e2, 2).as("mean_after"),
+        round(((col("total") - col("run")).cast(DoubleType) /
+          (col("nd") - col("k")).cast(DoubleType) -
+          col("run").cast(DoubleType) / col("k").cast(DoubleType)) / 1e2, 2)
+          .as("mean_shift"))
+  }
+
+  /** Classical seasonal decomposition of daily revenue (§2.19):
+    * rev = trend + seasonal + residual at the day grain — trend is the
+    * centered 7-day moving average (complete windows only), the
+    * seasonal index is the per-weekday mean of the detrended series,
+    * and the residual is what neither explains (the forecasting
+    * baseline every STL variant refines). Exactness: revenue in cents
+    * is BIGINT; the window SUM and the detrended term d7 = 7·cents −
+    * S7 are exact integers; the weekday index aggregates d7 exactly
+    * and divides once. Every output double derives from scale-0
+    * integers through the same operation order in both engines.
+    * Scale: the rolling window and weekday join run on the
+    * CALENDAR-BOUNDED day relation (≤ a few thousand rows at any SF —
+    * the win_drawdown class, single-task by design); the only
+    * data-sized step is the date-grain aggregate. */
+  val tsSeasonalDecompose: Q = (s, d) => {
+    val dl = table(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(dec2(col("o_totalprice"))) * 100).cast(LongType).as("cents"))
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val t7 = dl
+      .withColumn("s7", sum(col("cents")).over(w))
+      .withColumn("n7", count(lit(1)).over(w))
+      .filter(col("n7") === 7)
+      .withColumn("d7", lit(7L) * col("cents") - col("s7"))
+    val dow = t7.groupBy((dayofweek(col("day")) - 1).as("dow"))
+      .agg(sum(col("d7")).as("sd7"), count(lit(1)).as("nd"))
+    t7.select(col("day"), (dayofweek(col("day")) - 1).as("dow"),
+        col("cents"), col("s7"), col("d7"))
+      .join(broadcast(dow), Seq("dow"))
+      .select(col("day"),
+        round(col("cents").cast(DoubleType) / 1e2, 2).as("rev"),
+        round(col("s7").cast(DoubleType) / 7.0 / 1e2, 4).as("trend"),
+        round(col("sd7").cast(DoubleType) / col("nd").cast(DoubleType) / 7.0 / 1e2,
+          4).as("seasonal"),
+        round((col("d7").cast(DoubleType) -
+          col("sd7").cast(DoubleType) / col("nd").cast(DoubleType)) / 7.0 / 1e2,
+          4).as("residual"))
+      .orderBy("day")
+  }
+
+  /** Fano factor of hourly event counts (§2.19): dispersion index
+    * var/mean per event type over the OBSERVED hour spine — F ≈ 1 is
+    * Poisson arrivals, F >> 1 is bursty traffic (the one-number
+    * burstiness read; ts_burst_10min lists the bursts, this scores
+    * the process). The spine is every hour any event occurred, so
+    * zero-hours for a type count as zeros instead of silently
+    * vanishing. F = (n·Σc² − (Σc)²)/(n·Σc) evaluates from exact
+    * integer sums in one double tree (population variance over mean).
+    * Scale: one (type, hour) map-combined aggregate; the spine cross
+    * join is bounded by types × calendar hours. */
+  val tsFanoFactor: Q = (s, d) => {
+    val ev = table(s, d, "events")
+    val ch = ev.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val spine = ev.select(date_trunc("hour", col("ts")).as("h")).distinct()
+    val types = ev.select(col("event_type")).distinct()
+    val full = types.crossJoin(spine)
+      .join(ch, Seq("event_type", "h"), "left")
+      .select(col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+    val t = full.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+    val nd = col("n_hours").cast(DoubleType)
+    t.select(col("event_type"), asLong(col("n_hours")).as("n_hours"),
+        asLong(col("sc")).as("n_events"),
+        round(col("sc").cast(DoubleType) / nd, 4).as("mean_per_hour"),
+        round((nd * col("scc").cast(DoubleType) -
+          col("sc").cast(DoubleType) * col("sc").cast(DoubleType)) /
+          (nd * col("sc").cast(DoubleType)), 6).as("fano"))
+      .orderBy("event_type")
+  }
+
 }

@@ -218,7 +218,12 @@ class QuerySuiteSpec extends AnyFunSuite {
     // round-8 tenth batch (§2.18j): cohort LTV, revenue bridge
     "ts_cohort_ltv" -> 5L, "ts_revenue_bridge" -> 5L,
     // round-8 eleventh batch (§2.18k): Kaplan-Meier survival
-    "ts_survival_km" -> 1144L)
+    "ts_survival_km" -> 1144L,
+    // §2.19 (round 9)
+    "agg_spearman_corr" -> 1L, "agg_order_total_audit" -> 3L,
+    "ts_changepoint" -> 1L, "ts_seasonal_decompose" -> 1088L,
+    "ts_fano_factor" -> 5L, "sim_dim_variance" -> 64L,
+    "sim_quantization_error" -> 1L, "graph_weighted_pagerank3" -> 30L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
