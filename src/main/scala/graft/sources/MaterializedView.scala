@@ -21,6 +21,19 @@ import scala.jdk.CollectionConverters._
   * falls back to a full recompute — detected structurally, because
   * manifests name every live file.
   *
+  * Round 9: views created WITH the base's key columns additionally
+  * maintain through updates and deletes via the row-level
+  * [[VersionedTable.changeFeed]] — the ABELIAN-GROUP fragment
+  * (count / sum are invertible: insert/update_postimage add,
+  * delete/update_preimage subtract; a count(*) spec is required so
+  * emptied groups can be DROPPED, matching what a full recompute
+  * never materializes). min/max are monoid-only (deleting the
+  * minimum needs a rescan), so their presence keeps the full-
+  * recompute fallback — the classic IVM dichotomy, stated instead
+  * of silently approximated. At 100 TB a MERGE that touched one
+  * day's rows refreshes the view at O(delta-join) cost instead of
+  * re-scanning the world.
+  *
   * At 100 TB this is the difference between re-scanning the world on
   * every dashboard tick and scanning one day's appended files; the
   * same manifest diff is what streaming table sources (Delta CDF's
@@ -93,7 +106,8 @@ object MaterializedView {
     }
 
   private def defJson(baseRoot: String, baseVersion: Long,
-      groupCols: Seq[String], aggs: Seq[AggSpec]): String = {
+      groupCols: Seq[String], aggs: Seq[AggSpec],
+      keys: Seq[String]): String = {
     val m = new java.util.LinkedHashMap[String, Object]()
     m.put("baseRoot", baseRoot)
     m.put("baseVersion", Long.box(baseVersion))
@@ -105,19 +119,27 @@ object MaterializedView {
       as.add(am)
     }
     m.put("aggs", as)
+    if (keys.nonEmpty)
+      m.put("keys", new java.util.ArrayList[Object](keys.asJava))
     mapper.writeValueAsString(m)
   }
 
-  private def parseDef(json: String): (String, Long, Seq[String], Seq[AggSpec]) = {
+  private def parseDef(json: String)
+      : (String, Long, Seq[String], Seq[AggSpec], Seq[String]) = {
     val m = mapper.readValue(json, classOf[java.util.Map[String, Object]])
     val aggs = m.get("aggs").asInstanceOf[java.util.List[Object]].asScala.toSeq
       .map(_.asInstanceOf[java.util.Map[String, Object]])
       .map(am => AggSpec(am.get("fn").toString, am.get("col").toString,
         am.get("as").toString))
+    // `keys` is a round-9 field: older view manifests lack it and
+    // simply keep the full-recompute fallback for non-append changes
+    val keys = Option(m.get("keys"))
+      .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq.map(_.toString))
+      .getOrElse(Seq.empty)
     (m.get("baseRoot").toString,
       m.get("baseVersion").asInstanceOf[Number].longValue(),
       m.get("groupCols").asInstanceOf[java.util.List[Object]].asScala.toSeq.map(_.toString),
-      aggs)
+      aggs, keys)
   }
 
   /** Commit new view state. `requireViewBase` pins the view version the
@@ -128,10 +150,11 @@ object MaterializedView {
     * into a state that already contains it — silent double counting). */
   private def writeState(spark: SparkSession, viewRoot: String, state: DataFrame,
       baseRoot: String, baseVersion: Long, groupCols: Seq[String],
-      aggs: Seq[AggSpec], op: String, requireViewBase: Option[Long]): Long = {
+      aggs: Seq[AggSpec], keys: Seq[String], op: String,
+      requireViewBase: Option[Long]): Long = {
     val files = VersionedTable.writeData(spark, viewRoot, state)
     val extra = Map[String, Object](
-      DefKey -> defJson(baseRoot, baseVersion, groupCols, aggs))
+      DefKey -> defJson(baseRoot, baseVersion, groupCols, aggs, keys))
     VersionedTable.commit(spark, viewRoot, extra, requireViewBase) { _ =>
       (op, state.schema, files) }
   }
@@ -139,16 +162,20 @@ object MaterializedView {
   /** Materialize `aggs` grouped by `groupCols` over the base table's
     * current snapshot. */
   def create(spark: SparkSession, viewRoot: String, baseRoot: String,
-      groupCols: Seq[String], aggs: Seq[AggSpec]): Long = {
+      groupCols: Seq[String], aggs: Seq[AggSpec],
+      keys: Seq[String] = Seq.empty): Long = {
     require(groupCols.nonEmpty && aggs.nonEmpty, "need group columns and aggregates")
     require(VersionedTable.versions(spark, viewRoot).isEmpty,
       s"view already exists at $viewRoot")
     val baseV = VersionedTable.versions(spark, baseRoot).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no base table at $baseRoot"))
-    val state = aggregate(
-      VersionedTable.read(spark, baseRoot, Some(baseV)), groupCols, aggs)
+    val base = VersionedTable.read(spark, baseRoot, Some(baseV))
+    keys.foreach(k => require(base.columns.contains(k),
+      s"key column '$k' is not in the base table"))
+    val state = aggregate(base, groupCols, aggs)
     validateIncremental(state, aggs)
-    writeState(spark, viewRoot, state, baseRoot, baseV, groupCols, aggs, "create", None)
+    writeState(spark, viewRoot, state, baseRoot, baseV, groupCols, aggs, keys,
+      "create", None)
   }
 
   /** The view's current state (a plain snapshot read). */
@@ -164,7 +191,7 @@ object MaterializedView {
       throw new IllegalArgumentException(s"no view at $viewRoot"))
     val defStr = Option(viewMan.get(DefKey)).map(_.toString).getOrElse(
       throw new IllegalStateException(s"$viewRoot is not a materialized view"))
-    val (baseRoot, lastBaseV, groupCols, aggs) = parseDef(defStr)
+    val (baseRoot, lastBaseV, groupCols, aggs, keys) = parseDef(defStr)
     val baseV = VersionedTable.versions(spark, baseRoot).last
     if (baseV == lastBaseV) return (viewV, 0, "noop")
     def filesAt(v: Long): Seq[String] =
@@ -184,7 +211,7 @@ object MaterializedView {
         // metadata-only base commit: advance the cursor by carrying the
         // view's existing file entries forward — O(1), no state rewrite
         val v = VersionedTable.commit(spark, viewRoot,
-          Map[String, Object](DefKey -> defJson(baseRoot, baseV, groupCols, aggs)),
+          Map[String, Object](DefKey -> defJson(baseRoot, baseV, groupCols, aggs, keys)),
           Some(viewV)) { _ =>
           ("refresh_cursor", VersionedTable.manifestSchema(viewMan),
             VersionedTable.manifestFiles(viewMan).map(fm =>
@@ -199,13 +226,47 @@ object MaterializedView {
       // files still exist (commits never delete data files — vacuum
       // does), so the lazy self-read is safe
       val v = writeState(spark, viewRoot, folded,
-        baseRoot, baseV, groupCols, aggs, "refresh_incremental", Some(viewV))
+        baseRoot, baseV, groupCols, aggs, keys, "refresh_incremental", Some(viewV))
       (v, appended.size, "incremental")
     } else {
+      // round 9: a non-append change with declared keys and an
+      // invertible spec maintains through the row-level change feed
+      // instead of rescanning the base (see object scaladoc)
+      val invertible = aggs.forall(a => a.fn == "count" || a.fn == "sum") &&
+        aggs.exists(a => a.fn == "count" && a.col == "*")
+      if (keys.nonEmpty && invertible && oldFiles != null) {
+        import org.apache.spark.sql.functions.when
+        val feed = VersionedTable.changeFeed(spark, baseRoot, lastBaseV, baseV, keys)
+        val sign = when(
+          col("_change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L)
+        val state = read(spark, viewRoot)
+        // signed partial aggregates, anchored to the stored state's
+        // column types (same schema-parity rationale as combineColumn)
+        val deltaCols = aggs.map { a =>
+          val term = a.fn match {
+            case "count" if a.col == "*" => sum(sign)
+            case "count" => sum(when(col(a.col).isNotNull, sign).otherwise(0L))
+            case "sum" => sum(when(col(a.col).isNotNull,
+              col(a.col).cast(state.schema(a.as).dataType) * sign).otherwise(lit(null)))
+          }
+          term.cast(state.schema(a.as).dataType).as(a.as)
+        }
+        val delta = feed.groupBy(groupCols.map(col): _*)
+          .agg(deltaCols.head, deltaCols.tail: _*)
+        val liveness = aggs.find(a => a.fn == "count" && a.col == "*").get.as
+        val folded = combine(state.unionByName(delta), groupCols, aggs)
+          // a group whose row count reached zero no longer exists —
+          // exactly what a full recompute would (not) materialize
+          .filter(col(liveness) =!= 0L)
+        val v = writeState(spark, viewRoot, folded,
+          baseRoot, baseV, groupCols, aggs, keys, "refresh_delta", Some(viewV))
+        return (v, newFiles.size, "delta")
+      }
       val state = aggregate(
         VersionedTable.read(spark, baseRoot, Some(baseV)), groupCols, aggs)
       val v = writeState(spark, viewRoot, state,
-        baseRoot, baseV, groupCols, aggs, "refresh_full", Some(viewV))
+        baseRoot, baseV, groupCols, aggs, keys, "refresh_full", Some(viewV))
       (v, newFiles.size, "full")
     }
   }

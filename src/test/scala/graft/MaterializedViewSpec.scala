@@ -170,4 +170,49 @@ class MaterializedViewSpec extends AnyFunSuite {
       Seq(AggSpec("count", "*", "n"), AggSpec("max", "x", "hi")))
     assert(MaterializedView.read(spark, view).count() == 2)
   }
+
+  test("keyed count/sum views maintain through updates and deletes via the change feed") {
+    val base = tmp() + "/base"; val view = tmp() + "/view"
+    VersionedTable.create(spark, base,
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "c", 40L))
+        .toDF("id", "k", "x"))
+    MaterializedView.create(spark, view, base, Seq("k"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "x", "sx")), keys = Seq("id"))
+
+    def full(): Map[String, (Long, Long)] =
+      VersionedTable.read(spark, base).groupBy("k")
+        .agg(count(lit(1)), sum("x")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def state(): Map[String, (Long, Long)] =
+      MaterializedView.read(spark, view).collect()
+        .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("sx"))).toMap
+
+    // merge = updates (1 moves groups a->b, 2 changes x) + insert (5)
+    VersionedTable.merge(spark, base,
+      Seq((1L, "b", 11L), (2L, "a", 25L), (5L, "c", 50L)).toDF("id", "k", "x"),
+      Seq("id"))
+    val (_, _, m1) = MaterializedView.refresh(spark, view)
+    assert(m1 == "delta" && state() == full())
+
+    // delete empties group b entirely: its row must VANISH from the
+    // view, exactly as a full recompute would never materialize it
+    VersionedTable.deleteWhere(spark, base, "k = 'b'")
+    val (_, _, m2) = MaterializedView.refresh(spark, view)
+    assert(m2 == "delta" && state() == full())
+    assert(!state().contains("b"))
+
+    // appends still take the cheaper manifest-diff path
+    VersionedTable.append(spark, base, Seq((6L, "d", 60L)).toDF("id", "k", "x"))
+    val (_, _, m3) = MaterializedView.refresh(spark, view)
+    assert(m3 == "incremental" && state() == full())
+
+    // a min/max view keeps the full-recompute fallback on rewrites
+    // (deleting the minimum is not invertible)
+    val view2 = tmp() + "/view2"
+    MaterializedView.create(spark, view2, base, Seq("k"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("min", "x", "lo")), keys = Seq("id"))
+    VersionedTable.deleteWhere(spark, base, "id = 6")
+    val (_, _, m4) = MaterializedView.refresh(spark, view2)
+    assert(m4 == "full")
+  }
 }
