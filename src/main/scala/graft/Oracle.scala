@@ -3924,6 +3924,27 @@ SELECT CAST(count(*) AS BIGINT) AS n_pairs,
   CAST(sum(CASE WHEN NOT degenerate AND err6 > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_err_gt_1pct
 FROM e""",
 
+      // Verified LSH pair set -> flagged doc set; counts and token
+      // sums exact BIGINTs, shares/averages divide them once.
+      "pipeline_dup_length_bias" ->
+        s"""WITH ${minhashCtes(dir)},
+pairs AS (SELECT d1, d2
+  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+  WHERE cast(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5),
+dup AS (SELECT DISTINCT doc_id FROM
+  (SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 FROM pairs)),
+docs AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM ${T("documents")}),
+tot AS (SELECT count(*) AS nd_total, sum(n_tok) AS tok_total FROM docs),
+g AS (SELECT (dup.doc_id IS NOT NULL) AS is_dup, count(*) AS n_docs,
+  sum(n_tok) AS n_tokens, min(n_tok) AS mn, max(n_tok) AS mx
+  FROM docs LEFT JOIN dup ON dup.doc_id = docs.doc_id GROUP BY 1)
+SELECT is_dup, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 4) AS avg_tokens,
+  CAST(mn AS BIGINT) AS min_tokens, CAST(mx AS BIGINT) AS max_tokens,
+  round(CAST(n_docs AS DOUBLE) / CAST(nd_total AS DOUBLE), 6) AS doc_share,
+  round(CAST(n_tokens AS DOUBLE) / CAST(tok_total AS DOUBLE), 6) AS token_share
+FROM g, tot ORDER BY is_dup""",
+
       // graph_pagerank3's discipline with weight-proportional spread:
       // contributions pr*w/str cast to DECIMAL(28,15) pre-sum;
       // strength is an exact integer sum.

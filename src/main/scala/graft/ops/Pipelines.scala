@@ -1442,4 +1442,39 @@ object Pipelines {
       .orderBy(col("df").desc, col("w"))
   }
 
+  /** Length bias of near-duplicate documents (§2.19): do the docs the
+    * MinHash-LSH dedup flags skew shorter or longer than the unique
+    * corpus? A dedup pass that systematically removes one length band
+    * silently reshapes the training length distribution — this is the
+    * one-look check before accepting a dedup run (the length twin of
+    * pipeline_dedup_rate_by_source's provenance view). Reuses the
+    * engine's persisted verified LSH pair set; counts and token sums
+    * are exact BIGINTs, shares/averages divide them once. Scale: the
+    * pair set is near-dup-sparse by construction; the flag join is
+    * one doc_id-keyed left join; everything else map-combines. */
+  val pipelineDupLengthBias: Q = (s, d) => {
+    val pairs = dedupMinhashLsh(s, d).select(col("d1"), col("d2"))
+    val dup = pairs.select(col("d1").as("doc_id"))
+      .unionAll(pairs.select(col("d2").as("doc_id"))).distinct()
+      .withColumn("hit", lit(true))
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+    val tot = docs.agg(count(lit(1)).as("nd_total"), sum(col("n_tok")).as("tok_total"))
+    docs.join(dup, Seq("doc_id"), "left")
+      .groupBy(coalesce(col("hit"), lit(false)).as("is_dup"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("n_tok")).as("mn"), max(col("n_tok")).as("mx"))
+      .crossJoin(broadcast(tot))
+      .select(col("is_dup"), asLong(col("n_docs")).as("n_docs"),
+        asLong(col("n_tokens")).as("n_tokens"),
+        round(col("n_tokens").cast(DoubleType) / col("n_docs").cast(DoubleType), 4)
+          .as("avg_tokens"),
+        asLong(col("mn")).as("min_tokens"), asLong(col("mx")).as("max_tokens"),
+        round(col("n_docs").cast(DoubleType) / col("nd_total").cast(DoubleType), 6)
+          .as("doc_share"),
+        round(col("n_tokens").cast(DoubleType) / col("tok_total").cast(DoubleType), 6)
+          .as("token_share"))
+      .orderBy("is_dup")
+  }
+
 }

@@ -223,7 +223,8 @@ class QuerySuiteSpec extends AnyFunSuite {
     "agg_spearman_corr" -> 1L, "agg_order_total_audit" -> 3L,
     "ts_changepoint" -> 1L, "ts_seasonal_decompose" -> 1088L,
     "ts_fano_factor" -> 5L, "sim_dim_variance" -> 64L,
-    "sim_quantization_error" -> 1L, "graph_weighted_pagerank3" -> 30L)
+    "sim_quantization_error" -> 1L, "graph_weighted_pagerank3" -> 30L,
+    "pipeline_dup_length_bias" -> 2L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
