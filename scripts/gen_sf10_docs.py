@@ -85,6 +85,9 @@ e = pa.table({
 })
 
 os.makedirs(OUT, exist_ok=True)
-pq.write_table(t, os.path.join(OUT, "documents.parquet"))
-pq.write_table(e, os.path.join(OUT, "embeddings.parquet"))
+# row_group_size: a single-row-group file is UNSPLITTABLE for Spark
+# (one partition pins every downstream broadcast-join stage to one
+# task); ~10 groups make the tier read with real parallelism
+pq.write_table(t, os.path.join(OUT, "documents.parquet"), row_group_size=50000)
+pq.write_table(e, os.path.join(OUT, "embeddings.parquet"), row_group_size=20000)
 print(f"wrote {N_DOCS} docs / {N_VECS} vecs to {OUT}")

@@ -38,6 +38,15 @@ object ScalingBench {
       // scheduling-dominated (SCALING.md's knob discussion)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "16"))
+      // the fixture tiers are single FILES: splits are row-group
+      // aligned but sized by maxPartitionBytes, and the default 128m
+      // would read the whole 100x tier as ONE partition — every
+      // broadcast-join descendant then inherits one task (measured:
+      // a single thread of interpreted HOF eval). 8m gives the 107MB
+      // tier ~14-way scan parallelism; irrelevant for the multi-file
+      // driver testdata
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
