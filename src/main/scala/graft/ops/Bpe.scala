@@ -126,7 +126,12 @@ object Bpe {
 
   /** Distributed encode: (id, tokens array, n_tokens, fertility). The
     * model travels in the task closure — kilobytes, effectively a
-    * broadcast; one linear pass, no shuffle. */
+    * broadcast; one linear pass, no shuffle. Each task keeps a
+    * word→tokens MEMO (capped at 100k entries — the standard
+    * production-tokenizer word cache): the merge loop runs once per
+    * DISTINCT word per task instead of once per occurrence, so
+    * per-token cost is an amortized hash lookup and the pass scales
+    * with token count, not token count × word length × merges. */
   def encode(docs: DataFrame, textCol: String, idCol: String,
       model: BpeModel): DataFrame = {
     val spark = docs.sparkSession
@@ -134,9 +139,19 @@ object Bpe {
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { rows =>
+        val memo = new java.util.HashMap[String, Array[String]]()
+        def enc(w: String): Array[String] = {
+          val hit = memo.get(w)
+          if (hit != null) hit
+          else {
+            val t = encodeWord(w, model).toArray
+            if (memo.size < 100000) memo.put(w, t)
+            t
+          }
+        }
         rows.map { case (id, text) =>
           val words = text.split(" ").filter(_.nonEmpty)
-          val toks = words.flatMap(w => encodeWord(w, model))
+          val toks = words.flatMap(enc)
           val fert = if (words.isEmpty) 0.0
                      else math.round(toks.length.toDouble / words.length * 10000) / 10000.0
           (id, toks.toSeq, toks.length.toLong, fert)
