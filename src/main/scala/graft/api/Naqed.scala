@@ -448,6 +448,32 @@ class Naqed(spark: SparkSession, sfDir: String) {
     boundSource.withValue(Some((root, source)))(compile(root, q))
   }
 
+  /** Subscribe to a versioned table's ROW-LEVEL CHANGES (round 9):
+    * the same query tree as [[request]] applied to each committed
+    * version's change feed — naqed subscriptions riding mutations.
+    * `tname` must be a declared table name (so FK traversals and
+    * resolvers resolve against the shared catalog); the change rows
+    * of the versioned table at `root` stand in for it per micro-batch
+    * and additionally expose `_change_type` / `_commit_version` as
+    * selectable fields. Delivery is
+    * [[graft.sources.VersionedTable.changeFeedStream]]'s: one
+    * micro-batch per committed version, exactly-once across restarts
+    * when `sink` is idempotent on its batchId. Pagination/sampling
+    * args are rejected with the same guidance as [[subscribe]]. */
+  def subscribeChanges(tname: String, q: Map[String, Any], root: String,
+      keys: Seq[String], checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    Seq("$sort", "$limit", "$after", "$sample", "$groupBy", "$agg").foreach(k =>
+      if (q.contains(k)) throw new IllegalArgumentException(
+        s"$k is a batch directive; a change subscription delivers each " +
+          "version's rows once — page/aggregate in the sink"))
+    graft.sources.VersionedTable.changeFeedStream(spark, root, keys,
+      checkpointDir) { (feed, bid) =>
+      sink(boundSource.withValue(Some((tname, feed)))(compile(tname, q)), bid)
+    }
+  }
+
   /** "<timeCol>:<duration>" → (col, duration), naqed-style error. */
   private def timeSpecOf(arg: String, v: String): (String, String) =
     v.split(":", 2) match {

@@ -496,6 +496,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("stream stateless"))
   }
 
+  test("subscribeChanges: naqed selection tree over the per-version change feed") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    import graft.api.Naqed
+    val nq = new Naqed(spark, SharedSpark.sf0001)
+    val base = java.nio.file.Files.createTempDirectory("subch").toString
+    val root = base + "/tbl"
+    VersionedTable.create(spark, root,
+      Seq((1L, "hello world", "en"), (2L, "foo bar", "de"))
+        .toDF("doc_id", "text", "lang"))
+    VersionedTable.merge(spark, root,
+      Seq((1L, "hello again", "en"), (3L, "neu hier", "de"))
+        .toDF("doc_id", "text", "lang"), Seq("doc_id"))
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    nq.subscribeChanges("documents",
+      Map("$lang" -> "en", "doc_id" -> true,
+        "_change_type" -> true, "_commit_version" -> true),
+      root, Seq("doc_id"), base + "/ckpt") { (df, _) =>
+      got ++= df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version")))
+    }.awaitTermination()
+    // only the en rows ride through: v1 insert of doc 1; v2 update
+    // images of doc 1 (doc 3 is de, filtered by the $-arg)
+    assert(got.toSet == Set((1L, "insert", 1L),
+      (1L, "update_preimage", 2L), (1L, "update_postimage", 2L)))
+
+    // batch directives rejected with guidance
+    val e = intercept[IllegalArgumentException] {
+      nq.subscribeChanges("documents", Map("$groupBy" -> "lang"),
+        root, Seq("doc_id"), base + "/ckpt2") { (_, _) => () }
+    }
+    assert(e.getMessage.contains("sink"))
+  }
+
   test("changeFeedStream: one micro-batch per committed version, exactly-once across restart") {
     import spark.implicits._
     import graft.sources.VersionedTable
