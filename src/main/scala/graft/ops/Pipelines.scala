@@ -533,7 +533,17 @@ object Pipelines {
     * Measured (AnnNeardupSpec, sf0.001, massFactor=8, margin=0.05):
     * recall >= 0.95 with the exact rescore touching a fraction of the
     * nprobe=8 candidate count; precision stays 1.0 by construction
-    * (the final filter is the exact threshold). */
+    * (the final filter is the exact threshold).
+    *
+    * COST REGIME (measured round 9, SCALING.md 100× docs tier): the
+    * mass target massFactor × AVG cell size grows with √n (avg cell
+    * = n/nCells = √(n/2)), so total candidates grow n^1.5 by
+    * construction, and at 64 dims the code-reconstruction prefilter
+    * costs the same arithmetic as the full cosine it gates — CPU α
+    * 2.08 on the 10×→100× leg, 9.4× plain [[simCosineNeardupAnn]]
+    * (α 1.33) at 200k vectors. This is the recall-1.0 knob; the
+    * fixed-nprobe path is the scale path. The prefilter earns its
+    * keep in high-dim / IO-bound regimes, not at 64 floats. */
   def simCosineNeardupAnnAdaptive(s: SparkSession, d: String,
       nCells: Int = 16, massFactor: Double = 8.0,
       margin: Double = 0.05): DataFrame = {
