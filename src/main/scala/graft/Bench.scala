@@ -88,11 +88,16 @@ object Bench {
       // its own jobs FIFO. Per-thread pools keep the many small
       // queries flowing around the few multi-stage ones.
       .config("spark.scheduler.mode", "FAIR")
-      // At local KB-scale shuffles AQE only adds per-stage re-planning
-      // latency (~0.1 s/query across the suite); on a real cluster leave
-      // it on — it is the runtime skew/coalesce lever (SCALING.md).
+      // Round 9 re-measured the old "AQE only adds re-planning latency
+      // locally" claim at the 293-query suite and it FLIPPED: aqe=true
+      // 38.1 s wall / 252 CPU vs aqe=false 43.9 s / 281 CPU (converged
+      // best-of-3 each, same window; both rows in
+      // bench/bench_detail_r09.json) — partition coalescing now beats
+      // the re-planning cost at this query count and par=4 concurrency.
+      // On by default, matching the cluster recommendation (SCALING.md:
+      // AQE is the runtime skew/coalesce lever).
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val cpuListener = new QueryCpuListener
