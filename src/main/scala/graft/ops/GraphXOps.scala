@@ -83,4 +83,36 @@ object GraphXOps {
     res.vertices.filter(_._2 != Long.MaxValue).toDF("v", "depth")
       .select(col("v"), col("depth").cast("int").as("depth"))
   }
+
+  /** WEIGHTED static PageRank via aggregateMessages (round 9) — the
+    * cluster twin of GraphOps.graphWeightedPagerank3. Edge attr is the
+    * weight PRE-normalized by the source's out-strength, so each
+    * round is one message pass `rank(u)·wNorm(u→v)` + combiner sum —
+    * the vertex-cut form of the 3 t-keyed shuffles the DataFrame
+    * version pays. Float summation order differs from the
+    * decimal-stabilized oracle form, so equivalence (GraphXSpec) is
+    * asserted on ranking, not hashes. */
+  def weightedPagerank(spark: SparkSession, sfDir: String, iters: Int): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val e = Tables.edges(spark, sfDir)._1
+    val udw = e.select(col("s"), col("t"), col("w"))
+      .union(e.select(col("t").as("s"), col("s").as("t"), col("w")))
+    val strength = udw.groupBy(col("s")).agg(sum(col("w")).as("str"))
+    val edges: RDD[Edge[Double]] = udw.join(strength, "s")
+      .select(col("s"), col("t"),
+        (col("w").cast("double") / col("str").cast("double")).as("wn"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val g = Graph.fromEdges(edges, defaultValue = 0.0)
+    val n = g.vertices.count()
+    val base = 0.15 / n
+    var ranks = g.mapVertices((_, _) => 1.0 / n)
+    for (_ <- 1 to iters) {
+      val contribs = ranks.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr * ctx.attr), _ + _)
+      ranks = ranks.outerJoinVertices(contribs)(
+        (_, _, c) => base + 0.85 * c.getOrElse(0.0))
+    }
+    ranks.vertices.toDF("node", "rank")
+  }
 }

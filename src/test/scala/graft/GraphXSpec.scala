@@ -76,4 +76,19 @@ class GraphXSpec extends AnyFunSuite {
       .orderBy(col("rank").desc, col("node")).collect()(0).getLong(0)
     assert(gxTop == dfTop)
   }
+
+  test("GraphX weighted PageRank matches the DataFrame weighted ranking") {
+    // same iteration count on both sides: values should agree to
+    // float-order tolerance, and the top-10 ranking should match
+    val df = GraphOps.graphWeightedPagerank3(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val gx = GraphXOps.weightedPagerank(spark, sf0001, iters = 3).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Double]("rank"))).toMap
+    df.take(10).foreach { case (node, rank) =>
+      assert(math.abs(gx(node) - rank) < 1e-6,
+        s"node $node: graphx ${gx(node)} vs df $rank")
+    }
+    val gxTop10 = gx.toSeq.sortBy { case (n, r) => (-r, n) }.take(10).map(_._1)
+    assert(gxTop10 == df.take(10).map(_._1).toSeq)
+  }
 }
