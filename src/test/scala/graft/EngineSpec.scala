@@ -211,4 +211,24 @@ class EngineSpec extends AnyFunSuite {
     assert(ops.TextSim.dedupExact(spark, mnt).collect().toSeq ==
       ops.TextSim.dedupExact(spark, sf0001).collect().toSeq)
   }
+
+  test("round-9 batch plan shapes: broadcasts and join-free aggregates where promised") {
+    // spearman: the 50-value quantity rank relation must BROADCAST
+    // into the fact join-back (the price side is the one legitimate
+    // data-sized shuffle join)
+    val sp = ops.Relational.aggSpearmanCorr(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(sp.contains("BroadcastHashJoin"), s"no broadcast in spearman plan:\n$sp")
+    // dim_variance: ZERO joins — one posexplode + 64-key aggregate
+    val dv = ops.TextSim.simDimVariance(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!dv.contains("Join"), s"unexpected join in dim_variance plan:\n$dv")
+    assert(dv.contains("HashAggregate"), "dim_variance should hash-aggregate")
+    // quantization error: exactly the one self-equi-join, no
+    // nested-loop anywhere
+    val qe = ops.TextSim.simQuantizationError(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!qe.contains("NestedLoop") && !qe.contains("Cartesian"),
+      s"quantization-error pairing degenerated:\n$qe")
+  }
 }
