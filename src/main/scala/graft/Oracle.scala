@@ -3974,7 +3974,131 @@ p3 AS (SELECT n0.v,
        LEFT JOIN p2 ON p2.v = u.s LEFT JOIN str ON str.v = u.s
        GROUP BY n0.v)
 SELECT v AS node, round(pr, 8) AS pagerank
-FROM p3 ORDER BY pagerank DESC, node LIMIT 30"""
+FROM p3 ORDER BY pagerank DESC, node LIMIT 30""",
+
+      // ---- §2.20 (round 9, second batch) ----
+
+      // Strict-consecutive pattern occurrences counted with pure
+      // string arithmetic (len diff / pattern len) — non-overlapping
+      // left-to-right in both engines, no regex engine in the loop.
+      "win_pattern_match" ->
+        s"""WITH j AS (SELECT user_id,
+    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS j
+  FROM ${T("events")} GROUP BY user_id),
+p AS (SELECT unnest(['vcp','cp','ee','sv']) AS pattern),
+m AS (SELECT p.pattern,
+    CAST((len(j.j) - len(replace(j.j, p.pattern, ''))) / len(p.pattern) AS BIGINT) AS matches
+  FROM j, p)
+SELECT pattern,
+  CAST(sum(CASE WHEN matches > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_matched,
+  CAST(sum(matches) AS BIGINT) AS total_matches,
+  CAST(max(matches) AS BIGINT) AS max_per_user
+FROM m GROUP BY pattern ORDER BY pattern""",
+
+      // 30-min-gap sessionization (stream_sessionize's recipe), path =
+      // first-8 event codes in (ts, event_id) order; integer-exact
+      // until the two display divisions.
+      "win_session_path_topk" ->
+        s"""WITH f AS (SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS c,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns
+  FROM ${T("events")} WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+se AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn FROM se),
+p AS (SELECT user_id, sid, string_agg(c, '' ORDER BY ts, event_id) AS path,
+    count(*) AS plen
+  FROM r WHERE rn <= 8 GROUP BY 1, 2),
+tot AS (SELECT count(*) AS nt FROM p)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+  round(CAST(sum(plen) AS DOUBLE) / count(*), 4) AS avg_len,
+  round(CAST(count(*) AS DOUBLE) / nt, 6) AS share
+FROM p, tot GROUP BY path, nt ORDER BY n_sessions DESC, path LIMIT 10""",
+
+      // Exact integer cross-multiplication keep rule — no float
+      // probability anywhere; sums exact, divisions at display.
+      "sample_weighted_bernoulli" ->
+        s"""WITH mx AS (SELECT max(n_chars) AS wmax FROM ${T("documents")}),
+f AS (SELECT source, n_chars, wmax,
+    (('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 4))::BIGINT * wmax
+       < 65536 * n_chars) AS keep
+  FROM ${T("documents")}, mx),
+g AS (SELECT source, count(*) AS n_docs,
+    sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+    sum(n_chars) AS chars_all,
+    sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS chars_kept,
+    max(wmax) AS wmax
+  FROM f GROUP BY source)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_kept AS BIGINT) AS n_kept,
+  round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS achieved_rate,
+  round(CAST(chars_all AS DOUBLE) / CAST(n_docs * wmax AS DOUBLE), 6) AS expected_rate,
+  round(CAST(chars_kept AS DOUBLE) / CAST(chars_all AS DOUBLE), 6) AS char_share_kept
+FROM g ORDER BY source""",
+
+      // Same fingerprint construction as dedup_simhash; per-bit set
+      // shares from exact integer counts.
+      "pipeline_simhash_bit_balance" ->
+        s"""WITH sp AS (SELECT doc_id, lang, generate_subscripts(string_split(text,' '),1) AS pos,
+         unnest(string_split(text,' ')) AS w FROM ${T("documents")}),
+sh AS (SELECT DISTINCT a.doc_id, a.lang, concat(a.w,' ',b.w,' ',c.w) AS g
+  FROM sp a JOIN sp b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+            JOIN sp c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
+bits AS (SELECT doc_id, lang, bitpos,
+    CASE WHEN substr(md5(g), bitpos, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS delta
+  FROM sh, (SELECT unnest(range(1, 33)) AS bitpos)),
+fp AS (SELECT doc_id, lang,
+    cast(sum(CASE WHEN sd > 0 THEN (cast(1 AS BIGINT) << (bitpos - 1)) ELSE 0 END) AS BIGINT) AS fp
+  FROM (SELECT doc_id, lang, bitpos, sum(delta) AS sd FROM bits GROUP BY 1,2,3)
+  GROUP BY 1, 2),
+n AS (SELECT count(*) AS n_docs FROM fp),
+bb AS (SELECT b.bit, sum((fp >> CAST(b.bit AS INTEGER)) & 1) AS n_set
+  FROM fp, (SELECT unnest(range(0, 32)) AS bit) b GROUP BY 1)
+SELECT CAST(bit AS BIGINT) AS bit, CAST(n_set AS BIGINT) AS n_set,
+  round(CAST(n_set AS DOUBLE) / n_docs, 6) AS share,
+  round(abs(CAST(n_set AS DOUBLE) / n_docs - 0.5), 6) AS dev
+FROM bb, n ORDER BY bit""",
+
+      // Harmonic centrality within radius 3; the rational sum carried
+      // as the exact integer 6·n1+3·n2+2·n3.
+      "graph_closeness_3hop" ->
+        s"""$E
+, l1 AS (SELECT DISTINCT s AS root, t AS v FROM ud),
+l2 AS (SELECT DISTINCT l1.root, ud.t AS v FROM l1 JOIN ud ON ud.s = l1.v),
+l3 AS (SELECT DISTINCT l2.root, ud.t AS v FROM l2 JOIN ud ON ud.s = l2.v),
+lv AS (SELECT root, v, min(depth) AS depth FROM (
+    SELECT root, v, 1 AS depth FROM l1
+    UNION ALL SELECT root, v, 2 FROM l2
+    UNION ALL SELECT root, v, 3 FROM l3) u
+  WHERE v <> root GROUP BY 1, 2)
+SELECT root AS node, CAST(count(*) AS BIGINT) AS n_reached,
+  round(CAST(sum(CASE depth WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END) AS DOUBLE) / 6.0, 6) AS harmonic
+FROM lv GROUP BY root ORDER BY harmonic DESC, node LIMIT 30""",
+
+      // Bounded Bellman-Ford, edge length 10000 // w; state packed as
+      // cost·4+hops so the min-reduce is lexicographic and integer.
+      "graph_weighted_sssp" ->
+        s"""$E
+, udw AS (SELECT s, t, 10000 // w AS len FROM e
+  UNION ALL SELECT t AS s, s AS t, 10000 // w FROM e),
+start_node AS (SELECT s AS v FROM ud GROUP BY s ORDER BY count(*) DESC, s LIMIT 1),
+d0 AS (SELECT v, CAST(0 AS BIGINT) AS cost, CAST(0 AS BIGINT) AS hops FROM start_node),
+d1 AS (SELECT v, (k - k % 4) // 4 AS cost, k % 4 AS hops FROM (
+  SELECT v, min(cost*4 + hops) AS k FROM (
+    SELECT v, cost, hops FROM d0
+    UNION ALL SELECT u.t AS v, d0.cost + u.len AS cost, d0.hops + 1 AS hops
+    FROM d0 JOIN udw u ON u.s = d0.v) x GROUP BY v) y),
+d2 AS (SELECT v, (k - k % 4) // 4 AS cost, k % 4 AS hops FROM (
+  SELECT v, min(cost*4 + hops) AS k FROM (
+    SELECT v, cost, hops FROM d1
+    UNION ALL SELECT u.t AS v, d1.cost + u.len AS cost, d1.hops + 1 AS hops
+    FROM d1 JOIN udw u ON u.s = d1.v) x GROUP BY v) y),
+d3 AS (SELECT v, (k - k % 4) // 4 AS cost, k % 4 AS hops FROM (
+  SELECT v, min(cost*4 + hops) AS k FROM (
+    SELECT v, cost, hops FROM d2
+    UNION ALL SELECT u.t AS v, d2.cost + u.len AS cost, d2.hops + 1 AS hops
+    FROM d2 JOIN udw u ON u.s = d2.v) x GROUP BY v) y)
+SELECT v AS node, CAST(cost AS BIGINT) AS cost, CAST(hops AS BIGINT) AS hops
+FROM d3 ORDER BY cost, node"""
     )
   }
 }

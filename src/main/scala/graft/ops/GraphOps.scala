@@ -544,4 +544,78 @@ object GraphOps {
       .limit(30)
   }
 
+  /** Harmonic centrality within radius 3 (§2.20): Σ 1/d(u,v) over the
+    * ≤3-hop neighborhood, for EVERY node, top 30 — the distance-based
+    * centrality family (degree counts one hop, pagerank mixes the walk;
+    * closeness ranks by how NEAR everything is). Bounded-radius is the
+    * standard cluster formulation (full closeness needs all-pairs BFS).
+    * The rational sum 1/1+1/2+1/3 is carried as the exact integer
+    * h6 = 6·n1+3·n2+2·n3 (one division at display), so ranking never
+    * touches accumulated floats. Scale: 3 frontier equi-joins over the
+    * sparse strong graph keyed on the edge source — multi-source BFS
+    * as one relation (root, v), shuffle-partitioned by root; the ≥2
+    * co-order filter keeps 3-hop neighborhoods bounded (measured
+    * sub-quadratic on the 10×/100× facts tiers for the EDGES family). */
+  val graphCloseness3hop: Q = (s, d) => {
+    val ud = Tables.ud(s, d)
+    val l0 = ud.select(col("s").as("root")).distinct()
+      .select(col("root"), col("root").as("v"), lit(0).as("depth"))
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](l0)
+    var frontier: DataFrame = l0
+    for (depth <- 1 to 3) {
+      frontier = ud.as("u").join(frontier.as("f"), col("u.s") === col("f.v"))
+        .select(col("f.root").as("root"), col("u.t").as("v")).distinct()
+        .withColumn("depth", lit(depth))
+      levels += frontier
+    }
+    levels.reduce(_ unionAll _)
+      .groupBy(col("root"), col("v")).agg(min(col("depth")).as("depth"))
+      .filter(col("depth") > 0)
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(when(col("depth") === 1, 6L).when(col("depth") === 2, 3L)
+          .otherwise(2L)).as("h6"))
+      .select(col("root").as("node"), asLong(col("n_reached")).as("n_reached"),
+        round(col("h6").cast(DoubleType) / 6.0, 6).as("harmonic"))
+      .orderBy(col("harmonic").desc, col("node"))
+      .limit(30)
+  }
+
+  /** Weighted shortest paths from the hub, ≤3 relaxation rounds
+    * (§2.20): bounded Bellman-Ford over the co-purchase weights —
+    * cheapest-path semantics graph_bfs_3hop (min HOPS) cannot express:
+    * a 2-hop route over weak ties can cost more than a 3-hop chain of
+    * strong ones. Edge length is the inverse-affinity integer
+    * 10000 div w (stronger co-purchase ⇒ shorter edge — the standard
+    * weighted-closeness transform, kept in exact integer division so
+    * both engines agree bit-for-bit). State per node is the single
+    * (cost, hops) pair packed
+    * as the exact integer cost·4+hops (hops ≤ 3), so the min-reduce is
+    * lexicographic (min cost, then fewest hops) with no struct
+    * comparator in the loop and ZERO float math. Scale: 3 fixed
+    * frontier joins keyed on edge source, state one row per reached
+    * node — Pregel's message pattern as DataFrames. */
+  val graphWeightedSssp: Q = (s, d) => {
+    val e = Tables.edges(s, d)._1
+    val udw = e.select(col("s"), col("t"), expr("10000 div w").as("len"))
+      .union(e.select(col("t").as("s"), col("s").as("t"), expr("10000 div w").as("len")))
+    val hub = maxDegreeNode(Tables.ud(s, d))
+    val init = s.range(1).select(lit(hub).as("v"), lit(0L).as("cost"), lit(0L).as("hops"))
+    val dist = Iterate.fixed(init, 3) { dk =>
+      dk.unionAll(
+        udw.as("u").join(dk.as("p"), col("u.s") === col("p.v"))
+          .select(col("u.t").as("v"),
+            (col("p.cost") + col("u.len")).cast(LongType).as("cost"),
+            (col("p.hops") + 1).cast(LongType).as("hops")))
+        .groupBy(col("v"))
+        .agg(min(col("cost") * 4 + col("hops")).as("k"))
+        .select(col("v"), ((col("k") - col("k") % 4) / 4).cast(LongType).as("cost"),
+          (col("k") % 4).cast(LongType).as("hops"))
+    }
+    dist
+      .select(col("v").as("node"), asLong(col("cost")).as("cost"),
+        asLong(col("hops")).as("hops"))
+      .orderBy(col("cost"), col("node"))
+  }
+
 }

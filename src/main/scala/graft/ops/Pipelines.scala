@@ -336,7 +336,12 @@ object Pipelines {
     * is recall-COMPLETE, never all-pairs, and the exact bit_count
     * verify keeps the result identical to the quadratic formulation
     * (which the independent DuckDB oracle still uses). */
-  val dedupSimhash: Q = (s, d) => {
+  /** 32-bit SimHash fingerprint per (doc, lang) — shared by
+    * dedup_simhash (the pairing) and pipeline_simhash_bit_balance (the
+    * sketch-quality audit). One pass over the cached shingle relation:
+    * the 32 bit-sums are 32 aggregate columns, no 32× row explosion
+    * (the oracle's unnest(range) formulation computes identical sums). */
+  private def simhashFp(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d).select(col("doc_id"), col("lang"), md5(col("g")).as("h"))
     val sums = (1 to 32).map { j =>
       sum(when(substring(col("h"), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
@@ -345,9 +350,36 @@ object Pipelines {
     val fpExpr = (1 to 32).map { j =>
       when(col(s"sd$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L))
     }.reduce(_ + _)
-    val fp = sh.groupBy(col("doc_id"), col("lang"))
+    sh.groupBy(col("doc_id"), col("lang"))
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), col("lang"), fpExpr.as("fp"))
+  }
+
+  /** SimHash bit-balance audit (§2.20): the share of fingerprints with
+    * each of the 32 bits set. A healthy SimHash has every bit near
+    * 0.5 — a skewed bit carries less than one bit of information, so
+    * hamming distances compress and the ≤4 pairing threshold silently
+    * loses precision; this is the go/no-go check BEFORE trusting a
+    * simhash dedup run (the minhash twin is pipeline_minhash_calibration).
+    * Exact integer counts end to end; the two divisions happen at
+    * display. Scale: ONE aggregate over the fingerprint relation (32
+    * sum columns, map-combined), then a 1-row→32-row posexplode. */
+  val pipelineSimhashBitBalance: Q = (s, d) => {
+    val aggs = (0 until 32).map { j =>
+      sum(expr(s"shiftright(fp, $j)").bitwiseAND(lit(1L))).as(s"b$j")
+    }
+    val one = simhashFp(s, d).agg(count(lit(1)).as("n_docs"), aggs: _*)
+    val share = col("n_set").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    one.select(col("n_docs"),
+        posexplode(array((0 until 32).map(j => col(s"b$j")): _*)).as(Seq("bit", "n_set")))
+      .select(asLong(col("bit")).as("bit"), asLong(col("n_set")).as("n_set"),
+        round(share, 6).as("share"),
+        round(abs(share - 0.5), 6).as("dev"))
+      .orderBy("bit")
+  }
+
+  val dedupSimhash: Q = (s, d) => {
+    val fp = simhashFp(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = Seq((0, 127L), (7, 127L), (14, 63L), (20, 63L), (26, 63L))
     val banded = chunks.zipWithIndex.map { case ((off, mask), i) =>

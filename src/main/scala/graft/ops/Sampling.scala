@@ -138,6 +138,45 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Weight-proportional Bernoulli sample (§2.20): each document is
+    * kept with probability proportional to its WEIGHT (n_chars here —
+    * importance sampling's deterministic batch twin; uniform and
+    * stratified sampling can only re-weight whole strata, not rows).
+    * Keep rule: bucket16(doc_id) · max_chars < 65536 · n_chars — an
+    * exact integer cross-multiplication, no float probability
+    * anywhere, so the decision is engine-portable AND
+    * repartition-stable (re-running the sample on a re-sharded corpus
+    * keeps the identical rows). Reported per source: achieved vs
+    * expected keep rate (expected = Σw / (n·wmax), exact integer sums
+    * divided once) and the kept share of character mass. Scale: the
+    * corpus max is ONE broadcast scalar; everything else is a per-row
+    * predicate + one map-combined aggregate. */
+  val sampleWeightedBernoulli: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    val mx = docs.agg(max(col("n_chars")).as("wmax"))
+    val d19 = DecimalType(19, 0)
+    docs.crossJoin(broadcast(mx))
+      .select(col("source"), col("n_chars"), col("wmax"),
+        (bucket16(col("doc_id")) * col("wmax") <
+          lit(65536L) * col("n_chars")).as("keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_chars").cast(d19)).as("chars_all"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L).cast(d19))
+          .as("chars_kept"),
+        max(col("wmax")).as("wmax"))
+      .select(col("source"), asLong(col("n_docs")).as("n_docs"),
+        asLong(col("n_kept")).as("n_kept"),
+        round(col("n_kept").cast(DoubleType) / col("n_docs").cast(DoubleType), 6)
+          .as("achieved_rate"),
+        round(col("chars_all").cast(DoubleType) /
+          (col("n_docs") * col("wmax")).cast(DoubleType), 6).as("expected_rate"),
+        round(col("chars_kept").cast(DoubleType) / col("chars_all").cast(DoubleType), 6)
+          .as("char_share_kept"))
+      .orderBy("source")
+  }
+
   /** Per-column profile of a DataFrame: rows, nulls, distinct
     * (approx), min/max rendered as strings. One aggregation pass over
     * the data per metric family (no per-column jobs). */

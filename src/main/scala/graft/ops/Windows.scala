@@ -337,4 +337,87 @@ object Windows {
       .orderBy("o_orderstatus", "rnk", "o_orderkey")
   }
 
+  /** Per-user journey string: one char per event (the event types'
+    * first letters are distinct: c/e/p/s/v), in total (ts, event_id)
+    * order. Deterministic collect: array_sort over (ts, event_id,
+    * code) structs — the struct sort IS the total order, so the
+    * concatenation cannot vary run to run. One user_id shuffle; the
+    * per-user string is bounded by events-per-user (a production
+    * deployment bounds it by sessionizing first — win_session_path_topk
+    * is exactly that shape). */
+  private def journeys(s: org.apache.spark.sql.SparkSession, d: String) =
+    table(s, d, "events")
+      .select(col("user_id"), struct(col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c")).as("ev"))
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(array_sort(collect_list(col("ev"))),
+        x => x.getField("c")), "").as("j"))
+
+  /** MATCH_RECOGNIZE-lite sequence pattern matching (§2.20): count
+    * STRICTLY CONSECUTIVE event-type patterns per user — `vcp` is a
+    * view immediately followed by a click immediately followed by a
+    * purchase, something funnel_* (which allows arbitrary gaps within
+    * a time bound) cannot express. Occurrence counting is pure string
+    * arithmetic — (len(j) − len(replace(j, pat))) / len(pat) — i.e.
+    * non-overlapping left-to-right matches, identical semantics in
+    * both engines with no regex engine in the loop. Scale: one
+    * user_id shuffle to build journeys, then a map-combined aggregate
+    * per pattern over the per-user relation (patterns explode ×4 on
+    * the already-aggregated rows, not on raw events). */
+  val winPatternMatch: Q = (s, d) => {
+    val pats = Seq("vcp", "cp", "ee", "sv")
+    val perPat = journeys(s, d).select(explode(array(pats.map { p =>
+      struct(lit(p).as("pattern"),
+        ((length(col("j")) - length(replace(col("j"), lit(p), lit("")))) /
+          lit(p.length)).cast(LongType).as("matches"))
+    }: _*)).as("x")).select(col("x.pattern").as("pattern"), col("x.matches").as("matches"))
+    perPat.groupBy(col("pattern"))
+      .agg(asLong(sum(when(col("matches") > 0, 1L).otherwise(0L)))
+          .as("n_users_matched"),
+        asLong(sum(col("matches"))).as("total_matches"),
+        asLong(max(col("matches"))).as("max_per_user"))
+      .orderBy("pattern")
+  }
+
+  /** Top session journeys (§2.20): 30-min-gap sessionization (the
+    * stream_sessionize recipe), each session rendered as its first-8
+    * event-type codes in event-time order, then the 10 most common
+    * paths with popularity share and average (capped) length — the
+    * clickstream path-analysis shape, whose group key is a SEQUENCE,
+    * not a scalar. Everything integer-exact until the two final
+    * divisions. Scale: two user_id-keyed window passes + one
+    * path-keyed aggregate; per-session state is capped at 8 codes by
+    * the rank filter before any string is built. */
+  val winSessionPathTopk: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(w)
+    val flagged = table(s, d, "events").select(
+      col("user_id"), col("ts"), col("event_id"),
+      substring(col("event_type"), 1, 1).as("c"),
+      when(prevTs.isNull ||
+        (col("ts").cast(DoubleType) - prevTs.cast(DoubleType)) > 1800, 1)
+        .otherwise(0).as("new_sess"))
+    val sess = flagged.withColumn("sid",
+      sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    val capped = sess.withColumn("rn", row_number().over(ws)).filter(col("rn") <= 8)
+    val paths = capped.groupBy(col("user_id"), col("sid"))
+      .agg(array_join(transform(array_sort(collect_list(
+          struct(col("ts"), col("event_id"), col("c")))),
+          x => x.getField("c")), "").as("path"),
+        count(lit(1)).as("plen"))
+    val tot = paths.agg(count(lit(1)).as("nt"), sum(col("plen")).as("lt"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("plen")).as("lens"))
+      .crossJoin(broadcast(tot))
+      .select(col("path"), asLong(col("n_sessions")).as("n_sessions"),
+        round(col("lens").cast(DoubleType) / col("n_sessions").cast(DoubleType), 4)
+          .as("avg_len"),
+        round(col("n_sessions").cast(DoubleType) / col("nt").cast(DoubleType), 6)
+          .as("share"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(10)
+  }
+
 }

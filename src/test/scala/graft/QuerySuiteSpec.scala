@@ -224,7 +224,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     "ts_changepoint" -> 1L, "ts_seasonal_decompose" -> 1088L,
     "ts_fano_factor" -> 5L, "sim_dim_variance" -> 64L,
     "sim_quantization_error" -> 1L, "graph_weighted_pagerank3" -> 30L,
-    "pipeline_dup_length_bias" -> 2L)
+    "pipeline_dup_length_bias" -> 2L,
+    // §2.20 (round 9, second batch)
+    "win_pattern_match" -> 4L, "win_session_path_topk" -> 10L,
+    "sample_weighted_bernoulli" -> 20L, "pipeline_simhash_bit_balance" -> 32L,
+    "graph_closeness_3hop" -> 30L, "graph_weighted_sssp" -> 200L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
