@@ -4098,7 +4098,74 @@ d3 AS (SELECT v, (k - k % 4) // 4 AS cost, k % 4 AS hops FROM (
     UNION ALL SELECT u.t AS v, d2.cost + u.len AS cost, d2.hops + 1 AS hops
     FROM d2 JOIN udw u ON u.s = d2.v) x GROUP BY v) y)
 SELECT v AS node, CAST(cost AS BIGINT) AS cost, CAST(hops AS BIGINT) AS hops
-FROM d3 ORDER BY cost, node"""
+FROM d3 ORDER BY cost, node""",
+
+      // Recall@5 of the IVF index (ann_ivf_topk's exact CTEs) against
+      // the brute-force top-5 on the same 10 probes; both rankings use
+      // the identical rounded-cosine + id tiebreak.
+      "sim_ann_recall" ->
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM ${T("embeddings")} WHERE vec_id < 8),
+asg AS (SELECT vec_id, cid FROM (
+  SELECT e.vec_id, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      round(list_cosine_similarity(cast(e.embedding AS DOUBLE[]), cast(c.ce AS DOUBLE[])), 6) DESC, c.cid) AS rn
+  FROM ${T("embeddings")} e CROSS JOIN cent c) WHERE rn = 1),
+probes AS (SELECT vec_id AS pid, embedding AS pe FROM ${T("embeddings")} WHERE vec_id >= 10 AND vec_id < 20),
+pb AS (SELECT pid, cid FROM (
+  SELECT p.pid, c.cid,
+    row_number() OVER (PARTITION BY p.pid ORDER BY
+      round(list_cosine_similarity(cast(p.pe AS DOUBLE[]), cast(c.ce AS DOUBLE[])), 6) DESC, c.cid) AS rn
+  FROM probes p CROSS JOIN cent c) WHERE rn <= 2),
+icand AS (SELECT DISTINCT pb.pid, a.vec_id AS cand FROM pb JOIN asg a ON a.cid = pb.cid),
+iscored AS (SELECT c.pid, c.cand,
+    round(list_cosine_similarity(cast(p.pe AS DOUBLE[]), cast(e.embedding AS DOUBLE[])), 4) AS sim
+  FROM icand c JOIN probes p ON p.pid = c.pid JOIN ${T("embeddings")} e ON e.vec_id = c.cand
+  WHERE c.cand <> c.pid),
+ivf AS (SELECT pid, cand FROM (
+  SELECT pid, cand, row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cand) AS rk
+  FROM iscored) WHERE rk <= 5),
+ex AS (SELECT p.pid, e.vec_id AS cand,
+    round(list_cosine_similarity(cast(p.pe AS DOUBLE[]), cast(e.embedding AS DOUBLE[])), 4) AS sim
+  FROM probes p CROSS JOIN ${T("embeddings")} e WHERE e.vec_id <> p.pid),
+ext AS (SELECT pid, cand FROM (
+  SELECT pid, cand, row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cand) AS rk
+  FROM ex) WHERE rk <= 5),
+hits AS (SELECT ext.pid, count(*) AS n_hits FROM ext
+  WHERE EXISTS (SELECT 1 FROM ivf WHERE ivf.pid = ext.pid AND ivf.cand = ext.cand)
+  GROUP BY ext.pid)
+SELECT p.pid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0, 2) AS recall_at_5
+FROM probes p LEFT JOIN hits h ON h.pid = p.pid ORDER BY p.pid""",
+
+      // One Lloyd iteration on 1e7-quantized lanes: every squared
+      // distance is an exact integer, means floor via one <2^53 double
+      // division, outputs exact integer quotients (// = floor for the
+      // nonnegative sums) — no >2^53 decimal->double cast anywhere.
+      "sim_kmeans_inertia" ->
+        s"""WITH q AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS ql
+  FROM ${T("embeddings")}),
+lanes0 AS (SELECT vec_id, generate_subscripts(ql, 1) AS dim, unnest(ql) AS qv FROM q),
+cl AS (SELECT vec_id AS cid, dim, qv AS qc FROM lanes0 WHERE vec_id < 8),
+dist AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qc) * (l.qv - c.qc)) AS d2
+  FROM lanes0 l JOIN cl c ON c.dim = l.dim GROUP BY 1, 2),
+asg AS (SELECT vec_id, cid, d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist)
+  WHERE rn = 1),
+al AS (SELECT a.cid, l.dim, l.qv FROM asg a JOIN lanes0 l ON l.vec_id = a.vec_id),
+means AS (SELECT cid, dim, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS qm
+  FROM al GROUP BY 1, 2),
+bef AS (SELECT cid, count(*) AS n_assigned, sum(d2) AS ib FROM asg GROUP BY cid),
+aft AS (SELECT al.cid, sum((qv - qm) * (qv - qm)) AS ia
+  FROM al JOIN means m ON m.cid = al.cid AND m.dim = al.dim GROUP BY al.cid),
+shf AS (SELECT c.cid, sum((c.qc - m.qm) * (c.qc - m.qm)) AS sh
+  FROM cl c JOIN means m ON m.cid = c.cid AND m.dim = c.dim GROUP BY c.cid)
+SELECT CAST(b.cid AS BIGINT) AS cid, CAST(b.n_assigned AS BIGINT) AS n_assigned,
+  CAST(b.ib // 10000000000 AS BIGINT) AS inertia_before_q4,
+  CAST(a.ia // 10000000000 AS BIGINT) AS inertia_after_q4,
+  CAST(s.sh // 100000000 AS BIGINT) AS centroid_shift_q6
+FROM bef b JOIN aft a ON a.cid = b.cid JOIN shf s ON s.cid = b.cid
+ORDER BY cid"""
     )
   }
 }

@@ -732,6 +732,98 @@ object Pipelines {
       .orderBy("pid", "rk")
   }
 
+  /** ANN recall calibration (§2.20): recall@5 of the IVF index
+    * (nprobe=2) against the exact brute-force top-5 on the SAME 10
+    * probes — pipeline_minhash_calibration's twin for the vector
+    * side: the measured answer to "is nprobe=2 enough for THIS
+    * corpus", which an ANN deployment must re-check whenever the
+    * embedding distribution drifts. Both rankings use the identical
+    * rounded-cosine + vec_id tiebreak, so the overlap count is
+    * deterministic. Scale: the exact side is the 10-probe broadcast
+    * crossJoin (linear in corpus — the rescoring baseline, not
+    * all-pairs); the IVF side touches nprobe buckets; the overlap
+    * join is 50 rows against 50. */
+  val simAnnRecall: Q = (s, d) => {
+    val emb = table(s, d, "embeddings")
+    val probes = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val exact = broadcast(probes).crossJoin(emb)
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id").as("cand"),
+        round(cosineSim(s, col("pe"), col("embedding")), 4).as("sim"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cand"))
+    val exactTop = exact.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5).select(col("pid"), col("cand"))
+    val ivf = annIvfTopk(s, d).select(col("pid"), col("cand"))
+    val hits = exactTop.join(ivf, Seq("pid", "cand"), "left_semi")
+      .groupBy(col("pid")).agg(count(lit(1)).as("n_hits"))
+    probes.select(col("pid"))
+      .join(hits, Seq("pid"), "left")
+      .select(col("pid"), asLong(coalesce(col("n_hits"), lit(0L))).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / 5.0, 2)
+          .as("recall_at_5"))
+      .orderBy("pid")
+  }
+
+  /** One k-means Lloyd iteration with exact integer geometry (§2.20):
+    * assign every vector to its nearest of the 8 deterministic seeds
+    * (ann_ivf_topk's centroids), recompute centroids as per-dimension
+    * means, and report per-cell inertia BEFORE vs AFTER plus centroid
+    * shift — the clustering-quality step every IVF/PQ build runs, made
+    * oracle-checkable: lanes are floor-quantized to 1e7 integers, so
+    * every squared distance is an EXACT integer (argmin needs no
+    * rounded-float tiebreak at all), means floor to integers via one
+    * correctly-rounded double division (sum(q) stays under 2^53 up to
+    * ~7e8 vectors per cell), and the three reported sums are emitted
+    * as exact integer quotients (`x - pmod(x, m)` is an exact multiple
+    * of m, so the decimal division is exact) — NOT as a >2^53
+    * decimal→double cast, which is the double-rounding hazard
+    * ADVICE.md flags on agg_cov_matrix. Scale: assignment is a
+    * broadcast-8 crossJoin + per-vector min; means and inertias are
+    * map-combined lane aggregates over a 8×64-key domain. */
+  val simKmeansInertia: Q = (s, d) => {
+    val d38 = DecimalType(38, 0)
+    val qemb = table(s, d, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1e7).cast(LongType)).as("ql"))
+    val cent = qemb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("ql").as("qc"))
+    val d2 = aggregate(zip_with(col("ql"), col("qc"),
+      (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
+    val wv = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val asg = qemb.crossJoin(broadcast(cent))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("d2"), col("ql"))
+    val lanes = asg.select(col("cid"),
+      posexplode(col("ql")).as(Seq("dim", "q")))
+    val means = lanes.groupBy(col("cid"), col("dim"))
+      .agg(floor(sum(col("q")).cast(DoubleType) / count(lit(1)))
+        .cast(LongType).as("qm"))
+    val before = asg.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("d2").cast(d38)).as("ib"))
+    val after = lanes.join(means, Seq("cid", "dim"))
+      .groupBy(col("cid"))
+      .agg(sum(((col("q") - col("qm")) * (col("q") - col("qm"))).cast(d38))
+        .as("ia"))
+    val shift = cent.select(col("cid"), posexplode(col("qc")).as(Seq("dim", "qc1")))
+      .join(means, Seq("cid", "dim"))
+      .groupBy(col("cid"))
+      .agg(sum(((col("qc1") - col("qm")) * (col("qc1") - col("qm"))).cast(d38))
+        .as("sh"))
+    // exact integer quotient: numerator is a multiple of m, so the
+    // decimal division carries no rounding at any magnitude
+    def qdiv(c: Column, m: Long): Column =
+      ((c - pmod(c, lit(m))) / lit(m)).cast(LongType)
+    before.join(after, Seq("cid")).join(shift, Seq("cid"))
+      .select(asLong(col("cid")).as("cid"),
+        asLong(col("n_assigned")).as("n_assigned"),
+        qdiv(col("ib"), 10000000000L).as("inertia_before_q4"),
+        qdiv(col("ia"), 10000000000L).as("inertia_after_q4"),
+        qdiv(col("sh"), 100000000L).as("centroid_shift_q6"))
+      .orderBy("cid")
+  }
+
   /** Benchmark decontamination: flag training documents that share
     * >= 3 distinct 3-gram shingles with any held-out eval document
     * (eval set = doc_id % 10 == 0). The shape is the production one —

@@ -228,7 +228,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     // §2.20 (round 9, second batch)
     "win_pattern_match" -> 4L, "win_session_path_topk" -> 10L,
     "sample_weighted_bernoulli" -> 20L, "pipeline_simhash_bit_balance" -> 32L,
-    "graph_closeness_3hop" -> 30L, "graph_weighted_sssp" -> 200L)
+    "graph_closeness_3hop" -> 30L, "graph_weighted_sssp" -> 200L,
+    // §2.20 ANN-quality pair
+    "sim_ann_recall" -> 10L, "sim_kmeans_inertia" -> 8L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
