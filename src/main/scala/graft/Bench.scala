@@ -295,7 +295,7 @@ object Bench {
     // can carry a measured AQE=on twin row next to the default
     // (SCALING.md names AQE the cluster-scale skew/coalesce lever;
     // the local twin keeps that claim measured, not assumed)
-    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
       .equalsIgnoreCase("true")
     val detailLine = s"""{"metric":"detail","aqe":$aqe,"queries":$qs,"queries_cpu_sec":$qsCpu,"failed":$failedJson,"par":$par,"prime_sec":${r3(best.primeSec)},"runs_wall_sec":$runsWall,"runs_cpu_sec":$runsCpu,"sf":"$sfDir"}"""
     val totalLine = s"""{"metric":"total","aqe":$aqe,"value":${r3(total)},"unit":"sec","n":${best.results.size},"failed":${failed.size},"par":$par,"runs":${runs.size},"sum_query_sec":${r3(sumQ)},"wall_sec":${r3(best.wall)},"runs_wall_sec":$runsWall,"runs_cpu_sec":$runsCpu,"sf":"$sfDir"}"""
