@@ -4165,7 +4165,120 @@ SELECT CAST(b.cid AS BIGINT) AS cid, CAST(b.n_assigned AS BIGINT) AS n_assigned,
   CAST(a.ia // 10000000000 AS BIGINT) AS inertia_after_q4,
   CAST(s.sh // 100000000 AS BIGINT) AS centroid_shift_q6
 FROM bef b JOIN aft a ON a.cid = b.cid JOIN shf s ON s.cid = b.cid
-ORDER BY cid"""
+ORDER BY cid""",
+
+      // Next-Lloyd-iteration assignment drift: same quantized-lane CTEs
+      // as sim_kmeans_inertia, then distance of every vector to every
+      // recomputed mean (lane join) and the (d2, cid) nearest tiebreak.
+      "sim_kmeans_reassign" ->
+        s"""WITH q AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS ql
+  FROM ${T("embeddings")}),
+lanes0 AS (SELECT vec_id, generate_subscripts(ql, 1) AS dim, unnest(ql) AS qv FROM q),
+cl AS (SELECT vec_id AS cid, dim, qv AS qc FROM lanes0 WHERE vec_id < 8),
+dist AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qc) * (l.qv - c.qc)) AS d2
+  FROM lanes0 l JOIN cl c ON c.dim = l.dim GROUP BY 1, 2),
+asg AS (SELECT vec_id, cid FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist)
+  WHERE rn = 1),
+al AS (SELECT a.cid, l.vec_id, l.dim, l.qv FROM asg a JOIN lanes0 l ON l.vec_id = a.vec_id),
+means AS (SELECT cid, dim, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS qm
+  FROM al GROUP BY 1, 2),
+d2m AS (SELECT l.vec_id, m.cid AS mcid, sum((l.qv - m.qm) * (l.qv - m.qm)) AS d2m
+  FROM lanes0 l JOIN means m ON m.dim = l.dim GROUP BY 1, 2),
+near AS (SELECT vec_id, mcid FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2m, mcid) AS rn FROM d2m)
+  WHERE rn = 1)
+SELECT CAST(a.cid AS BIGINT) AS cid, CAST(count(*) AS BIGINT) AS n_assigned,
+  CAST(sum(CASE WHEN n.mcid <> a.cid THEN 1 ELSE 0 END) AS BIGINT) AS n_switch,
+  round(CAST(sum(CASE WHEN n.mcid <> a.cid THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS switch_share
+FROM asg a JOIN near n USING (vec_id) GROUP BY a.cid ORDER BY cid""",
+
+      // Per-doc duplicated-shingle coverage deciles per source; the
+      // decile is a pure integer quotient ((10*dup) // total).
+      "pipeline_dup_ngram_coverage" ->
+        s"""WITH sp AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+         unnest(string_split(text,' ')) AS w FROM ${T("documents")}),
+sh AS (SELECT DISTINCT a.doc_id, concat(a.w,' ',b.w,' ',c.w) AS g
+  FROM sp a JOIN sp b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+            JOIN sp c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
+df AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+per AS (SELECT doc_id, count(*) AS total,
+    sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup
+  FROM sh JOIN df USING (g) GROUP BY doc_id)
+SELECT d.source, CAST((10 * per.dup) // per.total AS BIGINT) AS cov_decile,
+  CAST(count(*) AS BIGINT) AS n_docs
+FROM per JOIN ${T("documents")} d USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      // Dedup keep policy: LSH pairs -> 4-round min-label clusters
+      // (dedup_clusters' CTEs) -> canonical per cluster (longest
+      // n_chars, then lowest doc_id) -> per-source drop counts.
+      "pipeline_dedup_keep_policy" ->
+        s"""WITH ${minhashCtes(dir)},
+pairs AS (SELECT d1, d2
+  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+  WHERE cast(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5),
+pud AS (SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+pn0 AS (SELECT DISTINCT s AS v FROM pud),
+pud2 AS (SELECT s, t FROM pud UNION ALL SELECT v, v FROM pn0),
+pl0 AS (SELECT v, v AS lbl FROM pn0),
+pl1 AS (SELECT pud2.s AS v, min(pl0.lbl) AS lbl FROM pud2 JOIN pl0 ON pl0.v = pud2.t GROUP BY pud2.s),
+pl2 AS (SELECT pud2.s AS v, min(pl1.lbl) AS lbl FROM pud2 JOIN pl1 ON pl1.v = pud2.t GROUP BY pud2.s),
+pl3 AS (SELECT pud2.s AS v, min(pl2.lbl) AS lbl FROM pud2 JOIN pl2 ON pl2.v = pud2.t GROUP BY pud2.s),
+pl4 AS (SELECT pud2.s AS v, min(pl3.lbl) AS lbl FROM pud2 JOIN pl3 ON pl3.v = pud2.t GROUP BY pud2.s),
+mem AS (SELECT pl4.v AS doc_id,
+  row_number() OVER (PARTITION BY pl4.lbl ORDER BY dd.n_chars DESC, pl4.v) AS rn
+  FROM pl4 JOIN ${T("documents")} dd ON dd.doc_id = pl4.v)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN m.rn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+  CAST(sum(CASE WHEN m.rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+  round(CAST(count(*) - sum(CASE WHEN m.rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS kept_share
+FROM ${T("documents")} d LEFT JOIN mem m ON m.doc_id = d.doc_id
+GROUP BY 1 ORDER BY 1""",
+
+      // 32-way md5 hash-shard balance; the skew factor divides once.
+      "pipeline_shard_balance" ->
+        s"""WITH per AS (SELECT
+    ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 4))::BIGINT % 32 AS shard,
+    count(*) AS n_docs, sum(len(string_split(text,' '))) AS toks
+  FROM ${T("documents")} GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_shards,
+  CAST(min(n_docs) AS BIGINT) AS min_docs, CAST(max(n_docs) AS BIGINT) AS max_docs,
+  CAST(min(toks) AS BIGINT) AS min_tokens, CAST(max(toks) AS BIGINT) AS max_tokens,
+  CAST(sum(toks) AS BIGINT) AS total_tokens,
+  round(CAST(max(toks) * count(*) AS DOUBLE) / CAST(sum(toks) AS DOUBLE), 4) AS skew
+FROM per""",
+
+      // Pack-then-chunk layout audit: running token offsets in doc_id
+      // order, 512-token chunks, boundary-straddling doc count; all
+      // boundary tests are integer // arithmetic.
+      "pipeline_chunk_packing" ->
+        s"""WITH dd AS (SELECT doc_id,
+    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok FROM ${T("documents")}),
+c AS (SELECT doc_id, n_tok,
+    sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM dd),
+a AS (SELECT sum(n_tok) AS total, count(*) AS n_docs,
+  sum(CASE WHEN (cum - n_tok) // 512 <> (cum - 1) // 512 THEN 1 ELSE 0 END) AS boundary_docs
+  FROM c)
+SELECT CAST(total AS BIGINT) AS total_tokens, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(boundary_docs AS BIGINT) AS boundary_docs,
+  CAST((total + 511) // 512 AS BIGINT) AS n_chunks,
+  round(CAST(total AS DOUBLE) / CAST(((total + 511) // 512) * 512 AS DOUBLE), 4) AS fill_share
+FROM a""",
+
+      // Naive-seasonal (lag-7-day) forecast of daily order revenue,
+      // scored per month: WAPE + signed bias, DECIMAL sums end to end.
+      "ts_forecast_wape" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM ${T("orders")} GROUP BY 1)
+SELECT CAST(date_trunc('month', a.day) AS DATE) AS month,
+  CAST(count(*) AS BIGINT) AS n_days,
+  round(CAST(sum(abs(a.rev - f.rev)) AS DOUBLE) / CAST(sum(a.rev) AS DOUBLE), 4) AS wape,
+  round(CAST(sum(a.rev - f.rev) AS DOUBLE) / CAST(sum(a.rev) AS DOUBLE), 4) AS bias
+FROM daily a JOIN daily f ON f.day = a.day - INTERVAL 7 DAY
+GROUP BY 1 ORDER BY 1"""
     )
   }
 }

@@ -824,6 +824,191 @@ object Pipelines {
       .orderBy("cid")
   }
 
+  /** Next-Lloyd-iteration assignment drift (§2.21): after the
+    * sim_kmeans_inertia step recomputes the 8 cell means, how many
+    * vectors would REASSIGN to a different cell — the convergence
+    * check a k-means/IVF build loops on (near-zero switch share =
+    * converged codebook; a high share says the seeds were bad and the
+    * IVF cells will churn). Same exact integer geometry as the
+    * inertia step: 1e7-quantized lanes make every squared distance an
+    * exact integer and the (d2, cid) nearest-mean tiebreak needs no
+    * float rounding; the only division is the per-cell share at
+    * output. Scale: two broadcast-8 crossJoins (assign to seeds,
+    * re-assign to means) + one map-combined 8-key aggregate; the
+    * means themselves are an 8x64-key lane aggregate rebuilt from the
+    * assignment — everything linear in corpus size. */
+  val simKmeansReassign: Q = (s, d) => {
+    val qemb = table(s, d, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1e7).cast(LongType)).as("ql"))
+    val cent = qemb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("ql").as("qc"))
+    val d2 = aggregate(zip_with(col("ql"), col("qc"),
+      (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
+    val wv = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val asg = qemb.crossJoin(broadcast(cent))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("ql"))
+    val lanes = asg.select(col("cid"),
+      posexplode(col("ql")).as(Seq("dim", "q")))
+    val means = lanes.groupBy(col("cid"), col("dim"))
+      .agg(floor(sum(col("q")).cast(DoubleType) / count(lit(1)))
+        .cast(LongType).as("qm"))
+    // per-cell mean vectors reassembled as arrays (struct sort keys on
+    // dim first), so the re-assignment pass is the same broadcast-8
+    // zip_with as the seed assignment — no 64x lane-join blowup
+    val marr = means.groupBy(col("cid")).agg(
+      transform(array_sort(collect_list(struct(col("dim"), col("qm")))),
+        x => x.getField("qm")).as("qmv"))
+      .select(col("cid").as("mcid"), col("qmv"))
+    val d2m = aggregate(zip_with(col("ql"), col("qmv"),
+      (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
+    val wn = Window.partitionBy(col("vec_id")).orderBy(col("d2m"), col("mcid"))
+    val near = asg.crossJoin(broadcast(marr))
+      .withColumn("d2m", d2m)
+      .withColumn("rn2", row_number().over(wn)).filter(col("rn2") === 1)
+      .select(col("vec_id"), col("cid"), col("mcid"))
+    near.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(when(col("mcid") =!= col("cid"), 1L).otherwise(0L)).as("n_switch"))
+      .select(asLong(col("cid")).as("cid"),
+        asLong(col("n_assigned")).as("n_assigned"),
+        asLong(col("n_switch")).as("n_switch"),
+        round(col("n_switch").cast(DoubleType) / col("n_assigned"), 4)
+          .as("switch_share"))
+      .orderBy("cid")
+  }
+
+  /** Per-doc duplicated-ngram coverage histogram (§2.21): the share of
+    * each document's distinct 3-gram shingles that also appear in at
+    * least one OTHER document, bucketed into exact integer deciles
+    * ((10*dup) DIV total, 0..10) and counted per source — the
+    * "how much of each source is boilerplate/copied text" distribution
+    * that decides whether a source needs line-level dedup before
+    * training, finer-grained than the pair-level LSH family (a doc can
+    * be 60% duplicated without any single near-dup partner). The
+    * decile is a pure integer quotient, so there is no float knife
+    * edge anywhere. Scale: shingle document-frequency is one
+    * map-combined aggregate over the shared persisted shingle
+    * relation; the join-back is g-keyed shuffle; the per-doc and
+    * per-(source, decile) aggregates map-combine. Never all-pairs. */
+  val pipelineDupNgramCoverage: Q = (s, d) => {
+    val sh = shingles(s, d)
+    val df = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val per = sh.join(df, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup"))
+    table(s, d, "documents").select(col("doc_id"), col("source"))
+      .join(per, Seq("doc_id"))
+      .select(col("source"), expr("(10 * dup) DIV total").as("cov_decile"))
+      .groupBy(col("source"), col("cov_decile"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), asLong(col("cov_decile")).as("cov_decile"),
+        asLong(col("n_docs")).as("n_docs"))
+      .orderBy("source", "cov_decile")
+  }
+
+  /** Dedup keep policy audit (§2.21): resolve the verified LSH pair
+    * set to clusters (same 4-round min-label propagation as
+    * dedup_clusters), elect one canonical doc per cluster (longest
+    * n_chars, then lowest doc_id — the usual "keep the most complete
+    * copy" rule) and report per source how many docs the dedup run
+    * would actually DROP — the number a curation pipeline signs off
+    * on before deleting data, one level more actionable than cluster
+    * sizes. Scale: reuses the persisted LSH pair set (marginal cost,
+    * like minhash_calibration); label prop is 4 t-keyed shuffles of
+    * the pair relation (pairs, not corpus); the canonical election is
+    * a window over cluster members only; the final aggregate is one
+    * map-combined pass over documents left-joined to the (tiny)
+    * member relation. */
+  val pipelineDedupKeepPolicy: Q = (s, d) => {
+    val pairs = dedupMinhashLsh(s, d).select(col("d1"), col("d2"))
+    val ud = pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    val n0 = ud.select(col("d1").as("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ud2 = ud.select(col("d1").as("s"), col("d2").as("t"))
+      .unionAll(n0.select(col("v").as("s"), col("v").as("t")))
+    val membership =
+      Iterate.fixed(n0.select(col("v"), col("v").as("lbl")), 4)(GraphOps.ccStep(ud2))
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val wk = Window.partitionBy(col("lbl"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val mem = membership.join(docs, col("v") === col("doc_id"))
+      .withColumn("rn", row_number().over(wk))
+      .select(col("doc_id").as("mid"), col("rn"))
+    docs.join(mem, col("doc_id") === col("mid"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("source"), asLong(col("n_docs")).as("n_docs"),
+        asLong(col("n_clustered")).as("n_clustered"),
+        asLong(col("n_dropped")).as("n_dropped"),
+        round((col("n_docs") - col("n_dropped")).cast(DoubleType) /
+          col("n_docs"), 4).as("kept_share"))
+      .orderBy("source")
+  }
+
+  /** Shard balance audit (§2.21): hash-shard the corpus into 32
+    * md5-bucketed shards (the same deterministic bucketing the
+    * sampling family uses) and report doc/token-count spread plus the
+    * max-shard skew factor — the "will my writers/readers be balanced"
+    * check run before committing a sharding key, because one hot
+    * shard serializes every downstream stage that consumes shards in
+    * parallel. All counts exact integers; the skew factor divides
+    * once at output. Scale: ONE map-combined aggregate over documents
+    * into a 32-key domain, then a 1-row reduction — no shuffle wider
+    * than 32 rows. */
+  val pipelineShardBalance: Q = (s, d) => {
+    val per = table(s, d, "documents")
+      .select((Sampling.bucket16(col("doc_id")) % 32).as("shard"),
+        tokenCount.cast(LongType).as("n_tok"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("toks"))
+    per.agg(count(lit(1)).as("n_shards"),
+        min(col("n_docs")).as("min_docs"), max(col("n_docs")).as("max_docs"),
+        min(col("toks")).as("min_tokens"), max(col("toks")).as("max_tokens"),
+        sum(col("toks")).as("total"))
+      .select(asLong(col("n_shards")).as("n_shards"),
+        asLong(col("min_docs")).as("min_docs"),
+        asLong(col("max_docs")).as("max_docs"),
+        asLong(col("min_tokens")).as("min_tokens"),
+        asLong(col("max_tokens")).as("max_tokens"),
+        asLong(col("total")).as("total_tokens"),
+        round((col("max_tokens") * col("n_shards")).cast(DoubleType) /
+          col("total").cast(DoubleType), 4).as("skew"))
+  }
+
+  /** Context-window packing audit (§2.21): concatenate the corpus in
+    * doc_id order and split into 512-token training chunks (the
+    * GPT-style pack-then-chunk layout), reporting how many documents
+    * straddle a chunk boundary (their text is split across training
+    * examples) and the final fill share — the layout stats that decide
+    * chunk size vs document-truncation tradeoffs before a training
+    * run. The running token offset is GlobalRank.withRunningSum (range
+    * shuffle + broadcast prefix offsets — no single-partition window),
+    * and every boundary test is integer DIV arithmetic. Scale: the
+    * GlobalRank two-pass is the measured α<1 family (SCALING.md);
+    * everything after is one map-combined 1-row aggregate. */
+  val pipelineChunkPacking: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), tokenCount.cast(LongType).as("n_tok"))
+    val cum = GlobalRank.withRunningSum(docs, Seq(col("doc_id")), "n_tok", "cum")
+    cum.agg(sum(col("n_tok")).as("total"), count(lit(1)).as("n_docs"),
+        sum(when(expr("(cum - n_tok) DIV 512") =!= expr("(cum - 1) DIV 512"), 1L)
+          .otherwise(0L)).as("boundary_docs"))
+      .select(asLong(col("total")).as("total_tokens"),
+        asLong(col("n_docs")).as("n_docs"),
+        asLong(col("boundary_docs")).as("boundary_docs"),
+        asLong(expr("(total + 511) DIV 512")).as("n_chunks"),
+        round(col("total").cast(DoubleType) /
+          (expr("(total + 511) DIV 512") * lit(512L)).cast(DoubleType), 4)
+          .as("fill_share"))
+  }
+
   /** Benchmark decontamination: flag training documents that share
     * >= 3 distinct 3-gram shingles with any held-out eval document
     * (eval set = doc_id % 10 == 0). The shape is the production one —

@@ -525,6 +525,36 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Naive-seasonal forecast error (§2.21): score the "same day last
+    * week" forecast of daily order revenue with per-month WAPE
+    * (sum |actual-forecast| / sum actual) and signed bias — the
+    * baseline every real forecasting model must beat, and the
+    * monitoring metric a revenue pipeline alarms on. Revenue stays an
+    * exact DECIMAL(18,2) sum end to end (error sums too); the two
+    * ratios each divide once at output on identical operands in both
+    * engines. Scale: one date-grain aggregate, a calendar-bounded
+    * day-to-day-minus-7 equi-join (the identical aggregate subplan is
+    * computed once and reused by Spark's exchange reuse), and a
+    * month-grain map-combined reduction. */
+  val tsForecastWape: Q = (s, d) => {
+    val daily = table(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+    val f = daily.select(col("day").as("fday"), col("rev").as("fc"))
+    daily.join(f, col("fday") === date_sub(col("day"), 7))
+      .groupBy(trunc(col("day"), "month").as("month"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("rev") - col("fc"))).as("sae"),
+        sum(col("rev")).as("sa"),
+        sum(col("rev") - col("fc")).as("sb"))
+      .select(col("month"), asLong(col("n_days")).as("n_days"),
+        round(col("sae").cast(DoubleType) / col("sa").cast(DoubleType), 4)
+          .as("wape"),
+        round(col("sb").cast(DoubleType) / col("sa").cast(DoubleType), 4)
+          .as("bias"))
+      .orderBy("month")
+  }
+
   /** Daily revenue growth (§2.12, r7): purchase revenue per day and
     * its day-over-day percent change — the lag-based growth idiom.
     * Revenue is an exact DECIMAL sum cast once to double; the growth

@@ -230,7 +230,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     "sample_weighted_bernoulli" -> 20L, "pipeline_simhash_bit_balance" -> 32L,
     "graph_closeness_3hop" -> 30L, "graph_weighted_sssp" -> 200L,
     // §2.20 ANN-quality pair
-    "sim_ann_recall" -> 10L, "sim_kmeans_inertia" -> 8L)
+    "sim_ann_recall" -> 10L, "sim_kmeans_inertia" -> 8L,
+    // §2.21 (round 9, third batch)
+    "sim_kmeans_reassign" -> 8L, "pipeline_dup_ngram_coverage" -> 115L,
+    "pipeline_dedup_keep_policy" -> 20L, "pipeline_shard_balance" -> 1L,
+    "pipeline_chunk_packing" -> 1L, "ts_forecast_wape" -> 79L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
