@@ -231,4 +231,29 @@ class EngineSpec extends AnyFunSuite {
     assert(!qe.contains("NestedLoop") && !qe.contains("Cartesian"),
       s"quantization-error pairing degenerated:\n$qe")
   }
+
+  test("round-9 §2.20/§2.21 plan shapes: range shuffles, broadcasts, no degenerate joins") {
+    // shard_balance: ZERO joins — one 32-key aggregate + 1-row reduce
+    val sb = ops.Pipelines.pipelineShardBalance(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!sb.contains("Join"), s"unexpected join in shard_balance plan:\n$sb")
+    // chunk_packing: the global token offset must come off GlobalRank's
+    // RANGE shuffle (never a single-partition global window)
+    val cp = ops.Pipelines.pipelineChunkPacking(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(cp.contains("rangepartitioning"),
+      s"chunk_packing lost the GlobalRank range shuffle:\n$cp")
+    // kmeans_reassign: both assignment passes stay broadcast-8
+    // crossJoins — no data-sized shuffle join, no cartesian
+    val kr = ops.Pipelines.simKmeansReassign(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!kr.contains("SortMergeJoin") && !kr.contains("CartesianProduct"),
+      s"kmeans_reassign assignment degenerated:\n$kr")
+    // forecast_wape: the day->day-7 join runs on the calendar-bounded
+    // aggregate, broadcast at test SF
+    val fw = ops.TimeSeries.tsForecastWape(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(fw.contains("BroadcastHashJoin"),
+      s"forecast_wape day join did not broadcast:\n$fw")
+  }
 }
