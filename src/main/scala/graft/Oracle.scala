@@ -4278,7 +4278,108 @@ SELECT CAST(date_trunc('month', a.day) AS DATE) AS month,
   round(CAST(sum(abs(a.rev - f.rev)) AS DOUBLE) / CAST(sum(a.rev) AS DOUBLE), 4) AS wape,
   round(CAST(sum(a.rev - f.rev) AS DOUBLE) / CAST(sum(a.rev) AS DOUBLE), 4) AS bias
 FROM daily a JOIN daily f ON f.day = a.day - INTERVAL 7 DAY
-GROUP BY 1 ORDER BY 1"""
+GROUP BY 1 ORDER BY 1""",
+
+      // Relational division: customers covering every priority level,
+      // per nation. count(distinct) == |divisor|, no double negation.
+      "set_division" ->
+        s"""WITH np AS (SELECT count(DISTINCT o_orderpriority) AS np FROM ${T("orders")}),
+cov AS (SELECT o_custkey, count(DISTINCT o_orderpriority) AS k
+  FROM ${T("orders")} GROUP BY 1)
+SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_customers,
+  CAST(sum(CASE WHEN cov.k = np.np THEN 1 ELSE 0 END) AS BIGINT) AS n_full_coverage,
+  round(CAST(sum(CASE WHEN cov.k = np.np THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS coverage_share
+FROM ${T("customer")} c
+JOIN ${T("nation")} n ON n.n_nationkey = c.c_nationkey
+JOIN cov ON cov.o_custkey = c.c_custkey
+CROSS JOIN np
+GROUP BY 1 ORDER BY 1""",
+
+      // Ego-network density of the top-10 degree hubs over EDGES.
+      "graph_ego_density" ->
+        s"""${edgesWith(dir)},
+deg AS (SELECT s AS v, count(*) AS d FROM ud GROUP BY 1),
+hubs AS (SELECT v, d FROM deg ORDER BY d DESC, v LIMIT 10),
+nbr AS (SELECT h.v, h.d, ud.t AS n FROM hubs h JOIN ud ON ud.s = h.v),
+ego AS (SELECT a.v, count(*) AS ego_edges
+  FROM nbr a JOIN nbr b ON b.v = a.v AND b.n > a.n
+  JOIN e ON e.s = a.n AND e.t = b.n
+  GROUP BY 1)
+SELECT CAST(h.v AS BIGINT) AS v, CAST(h.d AS BIGINT) AS deg,
+  CAST(coalesce(ego.ego_edges, 0) AS BIGINT) AS ego_edges,
+  round(2.0 * coalesce(ego.ego_edges, 0) / (h.d * (h.d - 1.0)), 4) AS density
+FROM hubs h LEFT JOIN ego ON ego.v = h.v
+ORDER BY h.d DESC, h.v""",
+
+      // Embedding-space dedup clusters: 4-round min-label CC over the
+      // exact cosine near-dup pairs (sim_cosine_neardup's pair set).
+      "dedup_semantic_clusters" ->
+        s"""WITH e0 AS (SELECT vec_id, embedding FROM ${T("embeddings")} WHERE vec_id % 2 = 0),
+p AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(cast(a.embedding AS DOUBLE[]), cast(b.embedding AS DOUBLE[])) >= 0.35),
+pud AS (SELECT d1 AS s, d2 AS t FROM p UNION ALL SELECT d2, d1 FROM p),
+pn0 AS (SELECT DISTINCT s AS v FROM pud),
+pud2 AS (SELECT s, t FROM pud UNION ALL SELECT v, v FROM pn0),
+pl0 AS (SELECT v, v AS lbl FROM pn0),
+pl1 AS (SELECT pud2.s AS v, min(pl0.lbl) AS lbl FROM pud2 JOIN pl0 ON pl0.v = pud2.t GROUP BY pud2.s),
+pl2 AS (SELECT pud2.s AS v, min(pl1.lbl) AS lbl FROM pud2 JOIN pl1 ON pl1.v = pud2.t GROUP BY pud2.s),
+pl3 AS (SELECT pud2.s AS v, min(pl2.lbl) AS lbl FROM pud2 JOIN pl2 ON pl2.v = pud2.t GROUP BY pud2.s),
+pl4 AS (SELECT pud2.s AS v, min(pl3.lbl) AS lbl FROM pud2 JOIN pl3 ON pl3.v = pud2.t GROUP BY pud2.s)
+SELECT CAST(lbl AS BIGINT) AS canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+FROM pl4 GROUP BY lbl ORDER BY canonical_id""",
+
+      // Interval merge: 30-day service windows per order, merged into
+      // maximal per-customer episodes (exclusive prefix-max frame,
+      // totalized order), episode-count histogram.
+      "win_interval_merge" ->
+        s"""WITH iv AS (SELECT o_custkey AS c, o_orderkey AS k,
+    CAST(o_orderdate AS DATE) AS s, CAST(o_orderdate AS DATE) + 29 AS e
+  FROM ${T("orders")}),
+m AS (SELECT c, s, e, k,
+    max(e) OVER (PARTITION BY c ORDER BY s, e, k
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv),
+isl AS (SELECT c, s, e, sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+    OVER (PARTITION BY c ORDER BY s, e, k ROWS UNBOUNDED PRECEDING) AS ep FROM m),
+eps AS (SELECT c, ep, min(s) AS es, max(e) AS ee FROM isl GROUP BY 1, 2),
+per AS (SELECT c, count(*) AS n_episodes, sum(ee - es + 1) AS covered FROM eps GROUP BY 1)
+SELECT CAST(n_episodes AS BIGINT) AS n_episodes,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  CAST(sum(covered) AS BIGINT) AS covered_days,
+  round(CAST(sum(covered) AS DOUBLE) / count(*), 2) AS avg_covered_days
+FROM per GROUP BY 1 ORDER BY 1""",
+
+      // Difference-in-differences: high-priority segment vs rest,
+      // pre/post 1998-01-01; DiD from the unrounded cell means.
+      "ts_did_lift" ->
+        s"""WITH cells AS (SELECT
+    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'treat' ELSE 'control' END AS grp,
+    CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1998-01-01' THEN 'post' ELSE 'pre' END AS period,
+    CAST(o_orderdate AS DATE) AS day, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM ${T("orders")}),
+agg AS (SELECT grp, period, sum(p) AS rev, count(DISTINCT day) AS days FROM cells GROUP BY 1, 2),
+mm AS (SELECT
+  max(CASE WHEN grp = 'treat' AND period = 'pre' THEN CAST(rev AS DOUBLE) / days END) AS tp,
+  max(CASE WHEN grp = 'treat' AND period = 'post' THEN CAST(rev AS DOUBLE) / days END) AS tq,
+  max(CASE WHEN grp = 'control' AND period = 'pre' THEN CAST(rev AS DOUBLE) / days END) AS cp,
+  max(CASE WHEN grp = 'control' AND period = 'post' THEN CAST(rev AS DOUBLE) / days END) AS cq
+  FROM agg)
+SELECT round(tp, 2) AS treat_pre, round(tq, 2) AS treat_post,
+  round(cp, 2) AS control_pre, round(cq, 2) AS control_post,
+  round((tq - tp) - (cq - cp), 2) AS did
+FROM mm""",
+
+      // Monthly seasonal index: exact cross-product ratio
+      // (mrev*tdays)/(mdays*trev), one division at output.
+      "ts_seasonal_index" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM ${T("orders")} GROUP BY 1),
+m AS (SELECT month(day) AS mo, sum(rev) AS mrev, count(*) AS mdays FROM daily GROUP BY 1),
+tot AS (SELECT sum(rev) AS trev, count(*) AS tdays FROM daily)
+SELECT CAST(mo AS BIGINT) AS mo, CAST(mdays AS BIGINT) AS n_days,
+  round(CAST(mrev * tdays AS DOUBLE) / CAST(mdays * trev AS DOUBLE), 4) AS seasonal_index
+FROM m CROSS JOIN tot ORDER BY mo"""
     )
   }
 }

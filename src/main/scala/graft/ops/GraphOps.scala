@@ -506,6 +506,38 @@ object GraphOps {
       .orderBy("k")
   }
 
+  /** Ego-network density of the top-10 hubs (§2.22): for each highest-
+    * degree node, the share of realized edges among its neighbors —
+    * the local-cohesion read that separates a hub bridging many
+    * otherwise-unconnected parts (broker, density→0) from one inside
+    * a tight community (density→1); the per-hub drill-down that
+    * graph_clustering_coeff averages away. Ego edges = edges (a,b)
+    * with both endpoints adjacent to the hub — counted by joining the
+    * hub's neighbor list twice against the canonical edge relation,
+    * so cost is bounded by Σ_hub deg² over 10 hubs, never all-pairs.
+    * Density = 2·ego/(d·(d−1)) divides once at output. Scale: degrees
+    * map-combine over the persisted undirected relation; the 10-row
+    * hub relation broadcasts into both neighbor joins. */
+  val graphEgoDensity: Q = (s, d) => {
+    val ud = Tables.ud(s, d)
+    val e = Tables.edges(s, d)._1
+    val deg = ud.groupBy(col("s").as("v")).agg(count(lit(1)).as("deg"))
+    val hubs = deg.orderBy(col("deg").desc, col("v")).limit(10)
+    val nbr = broadcast(hubs).join(ud, col("v") === col("s"))
+      .select(col("v"), col("t").as("n"))
+    val ego = nbr.toDF("v", "n1")
+      .join(nbr.toDF("v2", "n2"), col("v") === col("v2") && col("n2") > col("n1"))
+      .join(e, col("s") === col("n1") && col("t") === col("n2"))
+      .groupBy(col("v")).agg(count(lit(1)).as("ego_edges"))
+    hubs.join(ego, Seq("v"), "left")
+      .select(asLong(col("v")).as("v"), asLong(col("deg")).as("deg"),
+        asLong(coalesce(col("ego_edges"), lit(0L))).as("ego_edges"),
+        round(lit(2.0) * coalesce(col("ego_edges"), lit(0L)).cast(DoubleType) /
+          (col("deg").cast(DoubleType) * (col("deg").cast(DoubleType) - 1.0)), 4)
+          .as("density"))
+      .orderBy(col("deg").desc, col("v"))
+  }
+
   /** Weighted PageRank, damping 0.85, exactly 3 iterations (§2.19):
     * graph_pagerank3 treats every co-order edge equally; this spreads
     * rank proportional to EDGE WEIGHT (co-order count) over weighted

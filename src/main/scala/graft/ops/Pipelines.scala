@@ -521,6 +521,32 @@ object Pipelines {
       .orderBy("v1", "v2")
   }
 
+  /** Embedding-space dedup clusters (§2.22): connected components
+    * over the exact cosine near-dup pairs (>= 0.35) — the SEMANTIC
+    * analog of dedup_clusters (which clusters lexical MinHash pairs):
+    * paraphrases and re-encodings share no shingles but sit close in
+    * embedding space, so a curation pipeline runs BOTH and this is
+    * the semantic leg's cluster resolution. Same 4-round min-label
+    * propagation; canonical = min vec_id. Scale: the pair relation
+    * comes from the block-grid equi-join (or the ANN path at corpus
+    * scale — Curation swaps it); label prop is 4 t-keyed shuffles of
+    * the PAIR relation, which is sparse at any threshold worth
+    * deduping at. */
+  val dedupSemanticClusters: Q = (s, d) => {
+    val pairs = simCosineNeardup(s, d).select(col("v1"), col("v2"))
+    val ud = pairs.unionAll(pairs.select(col("v2").as("v1"), col("v1").as("v2")))
+    val n0 = ud.select(col("v1").as("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ud2 = ud.select(col("v1").as("s"), col("v2").as("t"))
+      .unionAll(n0.select(col("v").as("s"), col("v").as("t")))
+    Iterate.fixed(n0.select(col("v"), col("v").as("lbl")), 4)(GraphOps.ccStep(ud2))
+      .groupBy(col("lbl").as("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(asLong(col("canonical_id")).as("canonical_id"),
+        asLong(col("cluster_size")).as("cluster_size"))
+      .orderBy("canonical_id")
+  }
+
   /** ANN near-dup pairs — the 100 TB default for the all-pairs
     * similarity problem `simCosineNeardup` solves exactly. IVF
     * candidate generation: Lloyd-trained coarse centroids

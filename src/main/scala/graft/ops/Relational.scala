@@ -862,6 +862,39 @@ object Relational {
       .orderBy("k")
   }
 
+  /** Relational division (§2.22): customers whose orders span EVERY
+    * priority level — the textbook "suppliers who supply all parts"
+    * operator, reported per nation with full-coverage share (the
+    * segmentation read: which markets have fully-engaged customers).
+    * Division compiles to count(distinct divisor-key) == |divisor| —
+    * no double-negated NOT EXISTS, no per-divisor join fan-out. All
+    * counts exact; the share divides once at output. Scale: one
+    * custkey-grain distinct aggregate over orders, the |divisor|
+    * scalar (5) broadcast, nation dim broadcast; per-nation reduce
+    * map-combines. */
+  val setDivision: Q = (s, d) => {
+    val np = table(s, d, "orders")
+      .agg(countDistinct(col("o_orderpriority")).as("np"))
+    val cov = table(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderpriority")).as("k"))
+      .crossJoin(broadcast(np))
+      .select(col("o_custkey"), (col("k") === col("np")).as("full"))
+    table(s, d, "customer")
+      .join(broadcast(table(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(cov, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("full"), 1L).otherwise(0L)).as("n_full_coverage"))
+      .select(col("n_name").as("nation"),
+        asLong(col("n_customers")).as("n_customers"),
+        asLong(col("n_full_coverage")).as("n_full_coverage"),
+        round(col("n_full_coverage").cast(DoubleType) /
+          col("n_customers"), 4).as("coverage_share"))
+      .orderBy("nation")
+  }
+
   /** Interpolated median + continuous quantiles per group. */
   val aggMedianQuantile: Q = (s, d) =>
     table(s, d, "orders")

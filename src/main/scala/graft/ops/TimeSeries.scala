@@ -555,6 +555,62 @@ object TimeSeries {
       .orderBy("month")
   }
 
+  /** Difference-in-differences lift (§2.22): mean daily revenue of
+    * the high-priority segment (1-URGENT/2-HIGH) vs the rest, before
+    * and after a 1998-01-01 cutover, and the DiD estimate
+    * (Δtreat − Δcontrol) — the standard pre/post causal read that
+    * subtracts market-wide drift out of a segment-level change.
+    * Revenue sums stay DECIMAL(18,2); the four cell means and the DiD
+    * evaluate one deterministic IEEE tree on identical operands in
+    * both engines, rounded once at output. Scale: ONE map-combined
+    * pass over orders into a 4-cell domain; everything after is
+    * constant-size. */
+  val tsDidLift: Q = (s, d) => {
+    val cells = table(s, d, "orders")
+      .select(
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "treat")
+          .otherwise("control").as("grp"),
+        when(to_date(col("o_orderdate")) >= lit("1998-01-01").cast(DateType),
+          "post").otherwise("pre").as("period"),
+        to_date(col("o_orderdate")).as("day"),
+        dec2(col("o_totalprice")).as("p"))
+      .groupBy(col("grp"), col("period"))
+      .agg(sum(col("p")).as("rev"), countDistinct(col("day")).as("days"))
+    def mean(g: String, p: String): Column =
+      max(when(col("grp") === g && col("period") === p,
+        col("rev").cast(DoubleType) / col("days"))).as(s"${g}_$p")
+    val m = cells.agg(mean("treat", "pre"), mean("treat", "post"),
+      mean("control", "pre"), mean("control", "post"))
+    m.select(round(col("treat_pre"), 2).as("treat_pre"),
+      round(col("treat_post"), 2).as("treat_post"),
+      round(col("control_pre"), 2).as("control_pre"),
+      round(col("control_post"), 2).as("control_post"),
+      round((col("treat_post") - col("treat_pre")) -
+        (col("control_post") - col("control_pre")), 2).as("did"))
+  }
+
+  /** Monthly seasonal index (§2.22): month-of-year average daily
+    * revenue relative to the overall average daily revenue — the
+    * multiplicative seasonality profile a demand planner normalizes
+    * by (index 1.05 = that calendar month runs 5% hot). Computed as
+    * the exact cross-product ratio (mrev·tdays)/(mdays·trev): DECIMAL
+    * × integer products stay exact, ONE division at output — no
+    * mean-of-means double rounding. Scale: one date-grain aggregate,
+    * then a 12-key month reduce crossed with a broadcast 1-row total. */
+  val tsSeasonalIndex: Q = (s, d) => {
+    val daily = table(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+    val m = daily.groupBy(month(col("day")).as("mo"))
+      .agg(sum(col("rev")).as("mrev"), count(lit(1)).as("mdays"))
+    val tot = daily.agg(sum(col("rev")).as("trev"), count(lit(1)).as("tdays"))
+    m.crossJoin(broadcast(tot))
+      .select(asLong(col("mo")).as("mo"), asLong(col("mdays")).as("n_days"),
+        round((col("mrev") * col("tdays")).cast(DoubleType) /
+          (col("mdays") * col("trev")).cast(DoubleType), 4).as("seasonal_index"))
+      .orderBy("mo")
+  }
+
   /** Daily revenue growth (§2.12, r7): purchase revenue per day and
     * its day-over-day percent change — the lag-based growth idiom.
     * Revenue is an exact DECIMAL sum cast once to double; the growth

@@ -420,4 +420,47 @@ object Windows {
       .limit(10)
   }
 
+  /** Interval merge / coverage (§2.22): give every order a 30-day
+    * service window, merge each customer's overlapping windows into
+    * maximal episodes (the interval-union operator: an episode starts
+    * where a window opens STRICTLY after the running max close of all
+    * earlier windows), and report the episode-count histogram with
+    * covered-day totals — the coverage/uptime shape (entitlement
+    * windows, on-call rotations, subscription stacking) that plain
+    * gaps-islands on single days cannot express. The episode flag
+    * needs the EXCLUSIVE prefix max, so the frame ends at 1 PRECEDING;
+    * ordering is totalized with o_orderkey so both engines see the
+    * identical frame. All day arithmetic is exact integers; the one
+    * average divides at output. Scale: both windows partition by
+    * customer (per-partition streaming, no global sort); the
+    * histogram map-combines. */
+  val winIntervalMerge: Q = (s, d) => {
+    val wPrev = Window.partitionBy(col("c"))
+      .orderBy(col("s"), col("e"), col("k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("c"))
+      .orderBy(col("s"), col("e"), col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, d, "orders")
+      .select(col("o_custkey").as("c"), col("o_orderkey").as("k"),
+        to_date(col("o_orderdate")).as("s"),
+        date_add(to_date(col("o_orderdate")), 29).as("e"))
+      .withColumn("pmax", max(col("e")).over(wPrev))
+      .withColumn("ep", sum(when(col("pmax").isNull || col("s") > col("pmax"), 1L)
+        .otherwise(0L)).over(wRun))
+      .groupBy(col("c"), col("ep"))
+      .agg(min(col("s")).as("es"), max(col("e")).as("ee"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n_episodes"),
+        sum(datediff(col("ee"), col("es")) + 1).as("covered"))
+      .groupBy(col("n_episodes"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("covered")).as("tot"))
+      .select(asLong(col("n_episodes")).as("n_episodes"),
+        asLong(col("n_customers")).as("n_customers"),
+        asLong(col("tot")).as("covered_days"),
+        round(col("tot").cast(DoubleType) / col("n_customers"), 2)
+          .as("avg_covered_days"))
+      .orderBy("n_episodes")
+  }
+
 }

@@ -234,7 +234,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     // §2.21 (round 9, third batch)
     "sim_kmeans_reassign" -> 8L, "pipeline_dup_ngram_coverage" -> 115L,
     "pipeline_dedup_keep_policy" -> 20L, "pipeline_shard_balance" -> 1L,
-    "pipeline_chunk_packing" -> 1L, "ts_forecast_wape" -> 79L)
+    "pipeline_chunk_packing" -> 1L, "ts_forecast_wape" -> 79L,
+    // §2.22 (round 9, fourth batch)
+    "set_division" -> 25L, "graph_ego_density" -> 10L,
+    "dedup_semantic_clusters" -> 39L, "win_interval_merge" -> 14L,
+    "ts_did_lift" -> 1L, "ts_seasonal_index" -> 12L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
