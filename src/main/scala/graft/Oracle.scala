@@ -4379,7 +4379,93 @@ m AS (SELECT month(day) AS mo, sum(rev) AS mrev, count(*) AS mdays FROM daily GR
 tot AS (SELECT sum(rev) AS trev, count(*) AS tdays FROM daily)
 SELECT CAST(mo AS BIGINT) AS mo, CAST(mdays AS BIGINT) AS n_days,
   round(CAST(mrev * tdays AS DOUBLE) / CAST(mdays * trev AS DOUBLE), 4) AS seasonal_index
-FROM m CROSS JOIN tot ORDER BY mo"""
+FROM m CROSS JOIN tot ORDER BY mo""",
+
+      // MMR greedy selection on floor-quantized integer sims: every
+      // score is the exact BIGINT 7*rel - 3*maxsim, ties on cand id.
+      "sim_mmr_topk" ->
+        s"""WITH emb AS (SELECT * FROM ${T("embeddings")}),
+probes AS (SELECT vec_id pid, embedding pe FROM emb WHERE vec_id < 10),
+scored AS (SELECT p.pid, e.vec_id cand,
+    CAST(floor(list_cosine_similarity(cast(p.pe AS DOUBLE[]), cast(e.embedding AS DOUBLE[]))*10000) AS BIGINT) reli
+  FROM probes p CROSS JOIN emb e WHERE e.vec_id <> p.pid),
+pool AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY reli DESC, cand) rk FROM scored) t WHERE rk <= 10),
+pp AS (SELECT a.pid, a.cand c1, b.cand c2,
+    CAST(floor(list_cosine_similarity(cast(e1.embedding AS DOUBLE[]), cast(e2.embedding AS DOUBLE[]))*10000) AS BIGINT) s
+  FROM pool a JOIN pool b ON a.pid = b.pid AND a.cand <> b.cand
+  JOIN emb e1 ON e1.vec_id = a.cand JOIN emb e2 ON e2.vec_id = b.cand),
+sel1 AS (SELECT pid, cand, reli, CAST(NULL AS BIGINT) ms FROM pool WHERE rk = 1),
+m2 AS (SELECT p.pid, p.cand, p.reli, pp.s ms FROM pool p JOIN sel1 s1 ON s1.pid = p.pid
+  JOIN pp ON pp.pid = p.pid AND pp.c1 = p.cand AND pp.c2 = s1.cand),
+sel2 AS (SELECT pid, cand, reli, ms FROM (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY 7*reli-3*ms DESC, cand) r FROM m2) t WHERE r = 1),
+m3 AS (SELECT m.pid, m.cand, m.reli, greatest(m.ms, pp.s) ms FROM m2 m JOIN sel2 s ON s.pid = m.pid AND m.cand <> s.cand
+  JOIN pp ON pp.pid = m.pid AND pp.c1 = m.cand AND pp.c2 = s.cand),
+sel3 AS (SELECT pid, cand, reli, ms FROM (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY 7*reli-3*ms DESC, cand) r FROM m3) t WHERE r = 1),
+m4 AS (SELECT m.pid, m.cand, m.reli, greatest(m.ms, pp.s) ms FROM m3 m JOIN sel3 s ON s.pid = m.pid AND m.cand <> s.cand
+  JOIN pp ON pp.pid = m.pid AND pp.c1 = m.cand AND pp.c2 = s.cand),
+sel4 AS (SELECT pid, cand, reli, ms FROM (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY 7*reli-3*ms DESC, cand) r FROM m4) t WHERE r = 1),
+m5 AS (SELECT m.pid, m.cand, m.reli, greatest(m.ms, pp.s) ms FROM m4 m JOIN sel4 s ON s.pid = m.pid AND m.cand <> s.cand
+  JOIN pp ON pp.pid = m.pid AND pp.c1 = m.cand AND pp.c2 = s.cand),
+sel5 AS (SELECT pid, cand, reli, ms FROM (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY 7*reli-3*ms DESC, cand) r FROM m5) t WHERE r = 1),
+sel AS (SELECT pid, 1 step, cand, reli, ms FROM sel1 UNION ALL SELECT pid, 2, cand, reli, ms FROM sel2
+  UNION ALL SELECT pid, 3, cand, reli, ms FROM sel3 UNION ALL SELECT pid, 4, cand, reli, ms FROM sel4
+  UNION ALL SELECT pid, 5, cand, reli, ms FROM sel5)
+SELECT pid, CAST(step AS BIGINT) AS step, cand, round(reli/10000.0, 4) AS rel,
+  round((7*reli - 3*coalesce(ms, 0))/100000.0, 5) AS mmr
+FROM sel ORDER BY pid, step""",
+
+      // Leave-one-out 5-NN accuracy on the fixed 50-probe panel.
+      "sim_knn_accuracy" ->
+        s"""WITH emb AS (SELECT * FROM ${T("embeddings")}),
+probes AS (SELECT vec_id pid, embedding pe, label tl FROM emb WHERE vec_id % 10 = 3 AND vec_id < 500),
+scored AS (SELECT p.pid, p.tl, e.label AS cl, e.vec_id cand,
+    CAST(floor(list_cosine_similarity(cast(p.pe AS DOUBLE[]), cast(e.embedding AS DOUBLE[]))*10000) AS BIGINT) reli
+  FROM probes p CROSS JOIN emb e WHERE e.vec_id <> p.pid),
+nn AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY reli DESC, cand) rk FROM scored) t WHERE rk <= 5),
+votes AS (SELECT pid, tl, cl, count(*) v FROM nn GROUP BY 1, 2, 3),
+pred AS (SELECT pid, tl, cl pl FROM (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY v DESC, cl) r FROM votes) t WHERE r = 1)
+SELECT CAST(tl AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_probes,
+  CAST(sum(CASE WHEN pl = tl THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+  round(sum(CASE WHEN pl = tl THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS accuracy
+FROM pred GROUP BY 1 ORDER BY 1""",
+
+      // Integer-exact centroid-distance 2-sigma cut: d2q and the
+      // variance test never leave HUGEINT/DECIMAL.
+      "sim_centroid_outliers" ->
+        s"""WITH emb AS (SELECT * FROM ${T("embeddings")}),
+qd AS (SELECT vec_id, label, generate_subscripts(embedding, 1) pos,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE)*1000) AS BIGINT) qx FROM emb),
+cent AS (SELECT label, pos, sum(qx) S, count(*) n FROM qd GROUP BY 1, 2),
+d2 AS (SELECT qd.vec_id, qd.label, sum((c.n*qd.qx - c.S)*(c.n*qd.qx - c.S)) d2q
+  FROM qd JOIN cent c ON c.label = qd.label AND c.pos = qd.pos GROUP BY 1, 2),
+stats AS (SELECT label, count(*) cnt, sum(CAST(d2q AS HUGEINT)) sd,
+    sum(CAST(d2q AS HUGEINT)*d2q) ssq FROM d2 GROUP BY 1)
+SELECT CAST(d.label AS BIGINT) AS label, d.vec_id,
+  round(CAST(d2q AS DOUBLE)/(s.cnt*s.cnt*1000000.0), 6) AS dist2
+FROM d2 d JOIN stats s ON s.label = d.label
+WHERE s.cnt*CAST(d2q AS HUGEINT) - sd > 0
+  AND (s.cnt*CAST(d2q AS HUGEINT) - sd)*(s.cnt*CAST(d2q AS HUGEINT) - sd) > 4*(s.cnt*ssq - sd*sd)
+ORDER BY label, vec_id""",
+
+      // IDF-weighted vs plain Jaccard on the verified LSH pairs;
+      // idf = floor(ln(N/df)*1e6) so both ratios are integer sums.
+      "dedup_idf_jaccard" ->
+        s"""WITH ${minhashCtes(dir)},
+pairs AS (SELECT d1, d2
+  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+  WHERE cast(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5),
+nd AS (SELECT count(*) n FROM ${T("documents")}),
+idf AS (SELECT g, CAST(floor(ln(CAST((SELECT n FROM nd) AS DOUBLE)/count(*))*1000000) AS BIGINT) wi
+  FROM sh GROUP BY g),
+wdoc AS (SELECT doc_id, sum(wi) W, count(*) sz FROM sh JOIN idf USING(g) GROUP BY 1),
+winter AS (SELECT p.d1, p.d2, sum(i.wi) WI, count(*) ic
+  FROM pairs p JOIN sh a ON a.doc_id = p.d1 JOIN sh b ON b.doc_id = p.d2 AND b.g = a.g
+  JOIN idf i ON i.g = a.g GROUP BY 1, 2)
+SELECT d1, d2,
+  round(CAST(WI AS DOUBLE)/(w1.W + w2.W - WI), 4) AS wjac,
+  round(CAST(ic AS DOUBLE)/(w1.sz + w2.sz - ic), 4) AS jac
+FROM winter JOIN wdoc w1 ON w1.doc_id = d1 JOIN wdoc w2 ON w2.doc_id = d2
+ORDER BY d1, d2"""
     )
   }
 }

@@ -481,6 +481,48 @@ object Pipelines {
       .orderBy("canonical_id")
   }
 
+  /** IDF-weighted Jaccard over the verified LSH pair set (§2.23):
+    * re-scores each near-dup pair as Σ idf(g∈A∩B) / Σ idf(g∈A∪B)
+    * next to plain Jaccard — pairs that overlap only on boilerplate
+    * shingles (low idf) drop, pairs sharing rare content rise; the
+    * weighting a dedup keep-policy actually wants before discarding a
+    * "duplicate" that shares nothing but template chrome. idf =
+    * floor(ln(N/df)·1e6) as BIGINT, so both ratios divide exact
+    * integer sums (the repo's quantize recipe — no float-sum order).
+    * Scale: reuses the persisted LSH pair set (marginal cost, like
+    * minhash_calibration); df is one map-combined aggregate of the
+    * cached shingle relation; the rescore joins the tiny pair set
+    * into the shingle relation — never all-pairs. */
+  val dedupIdfJaccard: Q = (s, d) => {
+    val sh = shingles(s, d)
+    val pairs = dedupMinhashLsh(s, d).select(col("d1"), col("d2"))
+    val n = table(s, d, "documents").agg(count(lit(1)).as("nd"))
+    val idf = sh.groupBy(col("g")).agg(count(lit(1)).as("dfc"))
+      .crossJoin(broadcast(n))
+      .select(col("g"),
+        floor(log(col("nd").cast(DoubleType) / col("dfc")) * 1e6)
+          .cast(LongType).as("wi"))
+    val wdoc = sh.join(idf, "g").groupBy(col("doc_id"))
+      .agg(sum(col("wi")).as("wd"), count(lit(1)).as("sz"))
+    val sa = sh.select(col("doc_id").as("ia"), col("g"))
+    val sb = sh.select(col("doc_id").as("ib"), col("g").as("gb"))
+    val inter = broadcast(pairs)
+      .join(sa, col("ia") === col("d1"))
+      .join(sb, col("ib") === col("d2") && col("gb") === col("g"))
+      .join(idf, "g")
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(col("wi")).as("wiSum"), count(lit(1)).as("ic"))
+    val w1 = wdoc.toDF("j1", "wd1", "sz1")
+    val w2 = wdoc.toDF("j2", "wd2", "sz2")
+    inter.join(w1, col("j1") === col("d1")).join(w2, col("j2") === col("d2"))
+      .select(col("d1"), col("d2"),
+        round(col("wiSum").cast(DoubleType) /
+          (col("wd1") + col("wd2") - col("wiSum")), 4).as("wjac"),
+        round(col("ic").cast(DoubleType) /
+          (col("sz1") + col("sz2") - col("ic")), 4).as("jac"))
+      .orderBy("d1", "d2")
+  }
+
   // ---- vector similarity at scale ----
 
   /** Embedding near-dup pairs: exact cosine >= 0.35 on a 1/2 sample via

@@ -238,7 +238,10 @@ class QuerySuiteSpec extends AnyFunSuite {
     // §2.22 (round 9, fourth batch)
     "set_division" -> 25L, "graph_ego_density" -> 10L,
     "dedup_semantic_clusters" -> 39L, "win_interval_merge" -> 14L,
-    "ts_did_lift" -> 1L, "ts_seasonal_index" -> 12L)
+    "ts_did_lift" -> 1L, "ts_seasonal_index" -> 12L,
+    // §2.23 (round 9, fifth batch)
+    "sim_mmr_topk" -> 50L, "sim_knn_accuracy" -> 10L,
+    "sim_centroid_outliers" -> 21L, "dedup_idf_jaccard" -> 8L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
