@@ -256,4 +256,34 @@ class EngineSpec extends AnyFunSuite {
     assert(fw.contains("BroadcastHashJoin"),
       s"forecast_wape day join did not broadcast:\n$fw")
   }
+
+  test("round-9 §2.22/§2.23 plan shapes: single sort lineages, bounded joins") {
+    // interval_merge: both windows share ONE sort lineage — exactly
+    // one shuffle below the island aggregates, never a second sort
+    val im = ops.Windows.winIntervalMerge(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(im).size <= 2,
+      s"interval_merge grew extra shuffles:\n$im")
+    // did_lift: zero joins — stacked map-combined aggregates only
+    val dl = ops.TimeSeries.tsDidLift(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!dl.contains("Join"), s"unexpected join in did_lift plan:\n$dl")
+    // knn_accuracy: the probe panel must be the broadcast side and the
+    // 5-NN cut must run as a WindowGroupLimit before the shuffle
+    val ka = ops.TextSim.simKnnAccuracy(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(ka.contains("BroadcastNestedLoopJoin") && ka.contains("WindowGroupLimit"),
+      s"knn_accuracy lost the broadcast-panel/group-limit shape:\n$ka")
+    // centroid_outliers: broadcast-only joins, no windows, no SMJ
+    val co = ops.TextSim.simCentroidOutliers(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!co.contains("SortMergeJoin") && !co.contains("Window"),
+      s"centroid_outliers degenerated:\n$co")
+    // mmr_topk: pool/pairwise relations are checkpointed — greedy
+    // rounds must read ExistingRDD leaves, not recompute the corpus scan
+    val mm = ops.TextSim.simMmrTopk(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(mm.contains("Scan ExistingRDD"),
+      s"mmr_topk lost its checkpointed pool:\n$mm")
+  }
 }
