@@ -4465,7 +4465,124 @@ SELECT d1, d2,
   round(CAST(WI AS DOUBLE)/(w1.W + w2.W - WI), 4) AS wjac,
   round(CAST(ic AS DOUBLE)/(w1.sz + w2.sz - ic), 4) AS jac
 FROM winter JOIN wdoc w1 ON w1.doc_id = d1 JOIN wdoc w2 ON w2.doc_id = d2
-ORDER BY d1, d2"""
+ORDER BY d1, d2""",
+
+      // Voronoi assignment on a deterministic integer grid: d2 is
+      // BIGINT end to end, argmin ties break on anchor id.
+      "geo_nearest_anchor" ->
+        s"""WITH a(aid, ax, ay) AS (VALUES (1, 100, 100), (2, 800, 200),
+  (3, 500, 500), (4, 200, 850), (5, 900, 900)),
+c AS (SELECT c_custkey, (c_custkey*37) % 1000 x, (c_custkey*91) % 1000 y
+  FROM ${T("customer")}),
+dst AS (SELECT c_custkey, aid, (x-ax)*(x-ax) + (y-ay)*(y-ay) d2
+  FROM c CROSS JOIN a),
+b AS (SELECT c_custkey, d2, aid FROM (SELECT *,
+    row_number() OVER (PARTITION BY c_custkey ORDER BY d2, aid) r FROM dst) t
+  WHERE r = 1)
+SELECT CAST(aid AS BIGINT) AS anchor_id, CAST(count(*) AS BIGINT) AS n_customers,
+  round(CAST(sum(d2) AS DOUBLE)/count(*), 4) AS avg_d2,
+  CAST(max(d2) AS BIGINT) AS max_d2
+FROM b GROUP BY 1 ORDER BY 1""",
+
+      // Jackknife LOO SE of mean daily revenue: the per-day term is
+      // one exact decimal difference cast once to double and
+      // floor-quantized to BIGINT before squaring.
+      "agg_jackknife_loo" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) dy,
+    sum(CAST(o_totalprice AS DECIMAL(18,2))) rev
+  FROM ${T("orders")} GROUP BY 1),
+tot AS (SELECT sum(rev) S, count(*) n FROM daily),
+q AS (SELECT CAST(floor(CAST(t.S - t.n*d.rev AS DOUBLE)/100000) AS BIGINT) qv,
+    t.S, t.n FROM daily d CROSS JOIN tot t)
+SELECT CAST(max(n) AS BIGINT) AS n_days,
+  round(CAST(max(S) AS DOUBLE)/max(n), 2) AS mean_daily,
+  round(sqrt(CAST(sum(qv*qv) AS DOUBLE)*1e10 /
+    CAST(max(n)*max(n)*max(n)*(max(n)-1) AS DOUBLE)), 2) AS jk_se
+FROM q""",
+
+      // Kendall tau-b over the month-grain series: all pair decisions
+      // on BIGINT cents cross-products.
+      "agg_kendall_tau" ->
+        s"""WITH m AS (SELECT date_trunc('month', o_orderdate) mo, count(*) x,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) sp
+  FROM ${T("orders")} GROUP BY 1),
+p AS (SELECT (a.x - b.x) dx, (a.sp*b.x - b.sp*a.x) dy
+  FROM m a JOIN m b ON a.mo < b.mo),
+cd AS (SELECT CASE WHEN dx = 0 OR dy = 0 THEN 0
+    WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0) THEN 1 ELSE -1 END c,
+  CASE WHEN dx = 0 THEN 1 ELSE 0 END tx,
+  CASE WHEN dy = 0 THEN 1 ELSE 0 END ty FROM p)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+  CAST(sum(CASE WHEN c = -1 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+  CAST(sum(tx) AS BIGINT) AS ties_x, CAST(sum(ty) AS BIGINT) AS ties_y,
+  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) -
+      sum(CASE WHEN c = -1 THEN 1 ELSE 0 END) AS DOUBLE) /
+    sqrt(CAST((count(*) - sum(tx))*(count(*) - sum(ty)) AS DOUBLE)), 4) AS tau_b
+FROM cd""",
+
+      // TWAP: each event's price held until the next event; both
+      // averages rounded half-up at 4dp in INTEGER arithmetic
+      // ((200*num + den) // (2*den)) on BIGINT cents — no
+      // round(double) knife edge.
+      "win_time_weighted_avg" ->
+        s"""WITH li AS (SELECT l_partkey, CAST(l_shipdate AS DATE) sd,
+    l_orderkey, l_linenumber,
+    CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT) pc
+  FROM ${T("lineitem")} WHERE l_partkey % 25 = 0),
+dw AS (SELECT *, lead(sd) OVER (PARTITION BY l_partkey
+    ORDER BY sd, l_orderkey, l_linenumber) nxt FROM li),
+ww AS (SELECT l_partkey, pc, CASE WHEN nxt IS NULL THEN 1
+    ELSE greatest(date_diff('day', sd, nxt), 1) END wdays FROM dw),
+g AS (SELECT l_partkey, count(*) ne, sum(wdays) den,
+    sum(pc*wdays) numc, sum(pc) spc FROM ww GROUP BY 1)
+SELECT l_partkey AS partkey, CAST(ne AS BIGINT) AS n_events,
+  CAST(den AS BIGINT) AS total_days,
+  CAST((200*numc + den) // (2*den) AS DOUBLE)/10000.0 AS twap,
+  CAST((200*spc + ne) // (2*ne) AS DOUBLE)/10000.0 AS simple_avg
+FROM g ORDER BY 1""",
+
+      // Simplified silhouette: integer-quantized lane distances, the
+      // b-argmin and every sign decision on BIGINT.
+      "sim_silhouette_simplified" ->
+        s"""WITH emb AS (SELECT * FROM ${T("embeddings")}),
+qd AS (SELECT vec_id, label, generate_subscripts(embedding, 1) pos,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE)*1000) AS BIGINT) qx FROM emb),
+cent AS (SELECT label cl, pos cp, sum(qx) cs, count(*) cn FROM qd GROUP BY 1, 2),
+dist AS (SELECT vec_id, label, cl,
+    CAST(floor(CAST(sum((c.cn*qd.qx - c.cs)*(c.cn*qd.qx - c.cs)) AS DOUBLE) /
+      CAST(max(c.cn)*max(c.cn) AS DOUBLE)) AS BIGINT) dq
+  FROM qd JOIN cent c ON c.cp = qd.pos GROUP BY 1, 2, 3),
+ab AS (SELECT vec_id, label,
+    max(CASE WHEN cl = label THEN dq END) a,
+    min(CASE WHEN cl <> label THEN dq END) b FROM dist GROUP BY 1, 2),
+sil AS (SELECT label, CASE WHEN greatest(a, b) = 0 THEN 0
+    ELSE CAST(floor(CAST(b - a AS DOUBLE)/CAST(greatest(a, b) AS DOUBLE)*1e6)
+      AS BIGINT) END sq FROM ab)
+SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+  round(CAST(sum(sq) AS DOUBLE)/(count(*)*1000000.0), 4) AS mean_sil,
+  CAST(sum(CASE WHEN sq < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+FROM sil GROUP BY 1 ORDER BY 1""",
+
+      // MERGE-apply audit: snapshot (<1996) full-outer delta (1996),
+      // per-action counts and post-merge totals.
+      "cdc_merge_apply" ->
+        s"""WITH snap AS (SELECT o_custkey ck, count(*) n,
+    sum(CAST(o_totalprice AS DECIMAL(18,2))) sp
+  FROM ${T("orders")} WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1),
+delta AS (SELECT o_custkey ck, count(*) n,
+    sum(CAST(o_totalprice AS DECIMAL(18,2))) sp
+  FROM ${T("orders")} WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1),
+merged AS (SELECT CASE WHEN s.ck IS NULL THEN 'insert'
+    WHEN d.ck IS NULL THEN 'unchanged' ELSE 'update' END act,
+  coalesce(s.n, 0) + coalesce(d.n, 0) n,
+  coalesce(s.sp, 0) + coalesce(d.sp, 0) sp
+  FROM snap s FULL OUTER JOIN delta d ON s.ck = d.ck)
+SELECT act AS "action", CAST(count(*) AS BIGINT) AS n_customers,
+  CAST(sum(n) AS BIGINT) AS orders_after,
+  round(CAST(sum(sp) AS DOUBLE), 2) AS spend_after
+FROM merged GROUP BY 1 ORDER BY 1"""
     )
   }
 }

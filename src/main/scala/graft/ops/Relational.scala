@@ -2481,4 +2481,105 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Nearest-anchor (Voronoi) assignment (§2.24): customers mapped
+    * onto a deterministic planar grid (x = custkey·37 mod 1000, y =
+    * custkey·91 mod 1000) are each assigned to the nearest of 5
+    * fixed anchor sites by squared Euclidean distance — the spatial
+    * partition / geo-assignment operator (warehouse routing, shard
+    * placement) with ZERO float math: d² stays BIGINT end to end and
+    * the argmin is min(struct(d², anchor)) with anchor-id tie-break,
+    * so both engines pick identical sites for every row. Scale: the
+    * 5-row anchor relation broadcasts into ONE linear customer scan;
+    * the per-customer argmin map-combines (no window, no sort) and
+    * the final reduce is a 5-key aggregate. */
+  val geoNearestAnchor: Q = (s, d) => {
+    val anchors = Seq((1L, 100L, 100L), (2L, 800L, 200L), (3L, 500L, 500L),
+      (4L, 200L, 850L), (5L, 900L, 900L))
+    val a = s.createDataFrame(anchors).toDF("aid", "ax", "ay")
+    val c = table(s, d, "customer").select(col("c_custkey"),
+      (col("c_custkey") * 37 % 1000).as("x"), (col("c_custkey") * 91 % 1000).as("y"))
+    val d2 = (col("x") - col("ax")) * (col("x") - col("ax")) +
+      (col("y") - col("ay")) * (col("y") - col("ay"))
+    val best = c.crossJoin(broadcast(a))
+      .select(col("c_custkey"), d2.as("d2"), col("aid"))
+      .groupBy(col("c_custkey"))
+      .agg(min(struct(col("d2"), col("aid"))).as("m"))
+    best.groupBy(col("m.aid").as("anchor_id"))
+      .agg(asLong(count(lit(1))).as("n_customers"),
+        round(sum(col("m.d2")).cast(DoubleType) / count(lit(1)), 4).as("avg_d2"),
+        asLong(max(col("m.d2"))).as("max_d2"))
+      .orderBy("anchor_id")
+  }
+
+  /** Jackknife leave-one-out SE of mean daily revenue (§2.24): the
+    * RNG-free resampling-inference read on a pipeline KPI. LOO mean_i
+    * = (S − x_i)/(n−1) and the LOO-mean average IS the plain mean, so
+    * SE² reduces algebraically to Σ(S − n·x_i)² / (n³(n−1)). The
+    * per-day term (S − n·x_i) is an exact DECIMAL difference cast
+    * ONCE to double (≲1e11, far under 2^53 → identical in both
+    * engines) then floor-quantized to BIGINT at 1e5 before squaring,
+    * so the big Σq² accumulates integer-exact (the agg_cov_matrix
+    * overflow lesson: q² ≲ 1e11 × n days fits BIGINT with orders of
+    * headroom at any SF). Scale: one map-combined date-grain
+    * aggregate, a broadcast 1-row total, one more 1-row reduce — no
+    * window, no sort, nothing driver-side. */
+  val aggJackknifeLoo: Q = (s, d) => {
+    val daily = table(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+    val tot = daily.agg(sum(col("rev")).as("S"), count(lit(1)).as("n"))
+    val q = floor((col("S") - col("n") * col("rev")).cast(DoubleType) / 1e5)
+      .cast(LongType)
+    daily.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"), max(col("S")).as("S"), sum(q * q).as("ssq"))
+      .select(asLong(col("n")).as("n_days"),
+        round(col("S").cast(DoubleType) / col("n"), 2).as("mean_daily"),
+        round(sqrt(col("ssq").cast(DoubleType) * 1e10 /
+          (col("n") * col("n") * col("n") * (col("n") - 1)).cast(DoubleType)), 2)
+          .as("jk_se"))
+  }
+
+  /** Kendall τ-b between monthly order volume and monthly average
+    * order value (§2.24): pair-counting rank correlation — the
+    * tie-aware, outlier-robust complement to agg_spearman_corr for
+    * short series. Every pair decision is exact: volume differences
+    * are BIGINT, and average-value comparisons cross-multiply the
+    * (Σprice, count) rationals (s1·x2 vs s2·x1, counts > 0) with
+    * Σprice held as exact BIGINT cents — the decimal sum times 100
+    * is integral by construction, and the cross-products stay under
+    * 2⁶³ past sf10 — so no division happens before the final τ and
+    * neither engine widens a decimal product. Tied pairs feed
+    * τ-b's denominator √((n0−n1)(n0−n2)), computed once in double
+    * from exact integer counts. Scale: the month-grain aggregate is
+    * map-combined and CALENDAR-bounded at any SF, so the mo<mo'
+    * self-join is a broadcast over ≤n²/2 month pairs and the final
+    * reduce is 1-row. */
+  val aggKendallTau: Q = (s, d) => {
+    val m = table(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("x"),
+        sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("sp"))
+    val a = m.toDF("mo1", "x1", "s1")
+    val b = m.toDF("mo2", "x2", "s2")
+    val dx = col("x1") - col("x2")
+    val dy = col("s1") * col("x2") - col("s2") * col("x1")
+    val p = a.join(broadcast(b), col("mo1") < col("mo2"))
+      .select(
+        when(dx === 0 || dy === 0, 0L)
+          .when((dx > 0 && dy > 0) || (dx < 0 && dy < 0), 1L)
+          .otherwise(-1L).as("cd"),
+        when(dx === 0, 1L).otherwise(0L).as("tx"),
+        when(dy === 0, 1L).otherwise(0L).as("ty"))
+    p.agg(count(lit(1)).as("n0"),
+        sum(when(col("cd") === 1, 1L).otherwise(0L)).as("c"),
+        sum(when(col("cd") === -1, 1L).otherwise(0L)).as("dc"),
+        sum(col("tx")).as("n1"), sum(col("ty")).as("n2"))
+      .select(asLong(col("n0")).as("n_pairs"), asLong(col("c")).as("concordant"),
+        asLong(col("dc")).as("discordant"), asLong(col("n1")).as("ties_x"),
+        asLong(col("n2")).as("ties_y"),
+        round((col("c") - col("dc")).cast(DoubleType) /
+          sqrt(((col("n0") - col("n1")) * (col("n0") - col("n2")))
+            .cast(DoubleType)), 4).as("tau_b"))
+  }
+
 }

@@ -1399,4 +1399,40 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** MERGE / upsert application audit (§2.24): a per-customer
+    * snapshot (orders before 1996) merged with a delta batch (1996
+    * orders) under MERGE INTO semantics — matched rows update,
+    * unmatched-by-source rows insert, the rest carry over — reported
+    * as per-action counts and post-merge totals. This is the batch
+    * face of the engine's CDC stack (cdc_scd2 tracks history;
+    * VersionedTable.changeFeed streams row deltas; this applies a
+    * delta). Money stays DECIMAL until the single output cast.
+    * Scale: two map-combined aggregates over the SAME pruned orders
+    * scan, then ONE full-outer equi-join on the customer key — the
+    * canonical key-partitioned MERGE shuffle; per-action output is
+    * 3 rows at any SF. */
+  val cdcMergeApply: Q = (s, d) => {
+    val o = table(s, d, "orders")
+    def slab(from: String, until: String) = o
+      .filter((if (from == null) lit(true)
+        else col("o_orderdate") >= lit(from).cast(TimestampType)) &&
+        col("o_orderdate") < lit(until).cast(TimestampType))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(dec2(col("o_totalprice"))).as("sp"))
+    val snap = slab(null, "1996-01-01").toDF("ck_s", "n_s", "sp_s")
+    val delta = slab("1996-01-01", "1997-01-01").toDF("ck_d", "n_d", "sp_d")
+    val action = when(col("ck_s").isNull, "insert")
+      .when(col("ck_d").isNull, "unchanged").otherwise("update")
+    snap.join(delta, col("ck_s") === col("ck_d"), "full_outer")
+      .select(action.as("action"),
+        (coalesce(col("n_s"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+        (coalesce(col("sp_s"), dec2(lit(0))) + coalesce(col("sp_d"), dec2(lit(0))))
+          .as("sp"))
+      .groupBy(col("action"))
+      .agg(asLong(count(lit(1))).as("n_customers"),
+        asLong(sum(col("n"))).as("orders_after"),
+        round(sum(col("sp")).cast(DoubleType), 2).as("spend_after"))
+      .orderBy("action")
+  }
+
 }

@@ -463,4 +463,39 @@ object Windows {
       .orderBy("n_episodes")
   }
 
+  /** Time-weighted average price per part (§2.24, TWAP): ship events
+    * are irregular, so the plain mean over-weights busy periods —
+    * each event's price is held until the NEXT event and weighted by
+    * that duration in days (same-day runs and the final event weigh
+    * 1). Exact: prices become BIGINT cents, weights BIGINT days, so
+    * both averages are integer rationals rounded half-up to 4dp IN
+    * INTEGER ARITHMETIC ((200·num + den) div (2·den)) — no
+    * round(double) anywhere, because round-at-4dp of a decimal/count
+    * quotient is exactly the cross-engine knife edge the SURVEY §5.3
+    * discipline bans (this query's simple_avg hit it at sf0.1 on the
+    * first cut). Event order is the total (shipdate, orderkey,
+    * linenumber). Scale: one lead window + one aggregate, both
+    * partitioned by partkey — never a global sort; the %25 subset
+    * bounds only the TEST panel, the per-part plan is unchanged at
+    * any SF. */
+  val winTimeWeightedAvg: Q = (s, d) => {
+    val li = table(s, d, "lineitem").filter(col("l_partkey") % 25 === 0)
+      .select(col("l_partkey"), to_date(col("l_shipdate")).as("sd"),
+        col("l_orderkey"), col("l_linenumber"),
+        (dec2(col("l_extendedprice")) * 100).cast(LongType).as("pc"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("sd"), col("l_orderkey"), col("l_linenumber"))
+    li.withColumn("nxt", lead(col("sd"), 1).over(w))
+      .withColumn("wdays", when(col("nxt").isNull, lit(1L))
+        .otherwise(greatest(datediff(col("nxt"), col("sd")).cast(LongType), lit(1L))))
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(count(lit(1)).as("ne"), sum(col("wdays")).as("den"),
+        sum(col("pc") * col("wdays")).as("numc"), sum(col("pc")).as("spc"))
+      .select(col("partkey"), asLong(col("ne")).as("n_events"),
+        asLong(col("den")).as("total_days"),
+        (expr("(200*numc + den) div (2*den)").cast(DoubleType) / 1e4).as("twap"),
+        (expr("(200*spc + ne) div (2*ne)").cast(DoubleType) / 1e4).as("simple_avg"))
+      .orderBy("partkey")
+  }
+
 }

@@ -286,4 +286,36 @@ class EngineSpec extends AnyFunSuite {
     assert(mm.contains("Scan ExistingRDD"),
       s"mmr_topk lost its checkpointed pool:\n$mm")
   }
+
+  test("round-9 §2.24 plan shapes: broadcast-bounded joins, no degenerate shapes") {
+    // jackknife: zero real joins — the 1-row total must attach as a
+    // broadcast nested-loop, never a shuffle join
+    val jk = ops.Relational.aggJackknifeLoo(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(jk.contains("BroadcastNestedLoopJoin") && !jk.contains("SortMergeJoin"),
+      s"jackknife total attachment degenerated:\n$jk")
+    // kendall: the month-pair self-join runs on the broadcast
+    // calendar-bounded aggregate, not a data-sized shuffle
+    val kt = ops.Relational.aggKendallTau(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(kt.contains("BroadcastNestedLoopJoin") && !kt.contains("SortMergeJoin"),
+      s"kendall pairing degenerated:\n$kt")
+    // TWAP: the lead window and the aggregate share ONE partkey
+    // partitioning — exactly one hash exchange below the final sort
+    val tw = ops.Windows.winTimeWeightedAvg(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(tw).size <= 1,
+      s"twap grew extra shuffles:\n$tw")
+    // silhouette: broadcast-only joins (centroids), no SMJ, no window
+    val sl = ops.TextSim.simSilhouetteSimplified(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!sl.contains("SortMergeJoin") && !sl.contains("Window"),
+      s"silhouette degenerated:\n$sl")
+    // merge apply: the full-outer join must be the custkey-partitioned
+    // merge of the two aggregates — present, and exactly one per plan
+    val ma = ops.TimeSeries.cdcMergeApply(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("SortMergeJoin .*FullOuter".r.findFirstIn(ma).isDefined,
+      s"merge apply lost the full-outer key join:\n$ma")
+  }
 }

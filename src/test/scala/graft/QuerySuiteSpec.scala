@@ -241,7 +241,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     "ts_did_lift" -> 1L, "ts_seasonal_index" -> 12L,
     // §2.23 (round 9, fifth batch)
     "sim_mmr_topk" -> 50L, "sim_knn_accuracy" -> 10L,
-    "sim_centroid_outliers" -> 21L, "dedup_idf_jaccard" -> 8L)
+    "sim_centroid_outliers" -> 21L, "dedup_idf_jaccard" -> 8L,
+    // §2.24 (round 9, sixth batch)
+    "geo_nearest_anchor" -> 5L, "agg_jackknife_loo" -> 1L,
+    "agg_kendall_tau" -> 1L, "win_time_weighted_avg" -> 8L,
+    "sim_silhouette_simplified" -> 10L, "cdc_merge_apply" -> 3L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
