@@ -4582,7 +4582,132 @@ merged AS (SELECT CASE WHEN s.ck IS NULL THEN 'insert'
 SELECT act AS "action", CAST(count(*) AS BIGINT) AS n_customers,
   CAST(sum(n) AS BIGINT) AS orders_after,
   round(CAST(sum(sp) AS DOUBLE), 2) AS spend_after
-FROM merged GROUP BY 1 ORDER BY 1"""
+FROM merged GROUP BY 1 ORDER BY 1""",
+
+      // Hodges-Lehmann pseudo-median: median ranks select VALUES of
+      // the sorted Walsh-sum multiset — tie-order-invariant; outputs
+      // are single divisions of exact integers, no rounding at all.
+      "agg_hodges_lehmann" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) dy,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) c
+  FROM ${T("orders")} GROUP BY 1),
+p AS (SELECT a.c + b.c w2 FROM daily a JOIN daily b ON a.dy <= b.dy),
+m AS (SELECT count(*) mm FROM p),
+r AS (SELECT w2, row_number() OVER (ORDER BY w2) rn FROM p),
+sel AS (SELECT w2 FROM r CROSS JOIN m WHERE rn IN ((mm+1)//2, mm//2 + 1)),
+tot AS (SELECT sum(c) sc, count(*) n FROM daily)
+SELECT CAST(max(n) AS BIGINT) AS n_days, CAST(max(mm) AS BIGINT) AS n_pairs,
+  CAST(sum(w2) AS DOUBLE)/(count(*)*200.0) AS hl_estimate,
+  CAST(max(sc) AS DOUBLE)/(max(n)*100.0) AS mean_daily
+FROM sel CROSS JOIN m CROSS JOIN tot""",
+
+      // Dyadic recency decay: weight = 1 << (10 - age div 60 capped),
+      // BIGINT score sums; the only float op is the final quantized
+      // normalization.
+      "agg_recency_decay" ->
+        s"""WITH sc AS (SELECT o_custkey,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) *
+      (CAST(1 AS BIGINT) << CAST(10 - least(CAST(floor(
+        date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-09-01')/60)
+        AS BIGINT), 10) AS INT))) score
+  FROM ${T("orders")} GROUP BY 1)
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+  floor(CAST(sum(score) AS DOUBLE)/(count(*)*102400.0)*1e4)/1e4
+    AS avg_decayed_value
+FROM sc JOIN ${T("customer")} cu ON cu.c_custkey = sc.o_custkey
+  JOIN ${T("nation")} na ON na.n_nationkey = cu.c_nationkey
+GROUP BY 1 ORDER BY 1""",
+
+      // Decision-stump split search: exact integer histogram, the
+      // impurity evaluated in double from identical exact counts and
+      // floor-quantized for the argmin.
+      "agg_best_split_gini" ->
+        s"""WITH b AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)
+      // 5000000 bk,
+    count(*) nb,
+    sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) pb
+  FROM ${T("orders")} GROUP BY 1),
+th AS (SELECT k FROM generate_series(1, 10) t(k)),
+tot AS (SELECT sum(nb) n, sum(pb) p FROM b),
+cum AS (SELECT k, coalesce(sum(nb), 0) nl, coalesce(sum(pb), 0) pl
+  FROM th LEFT JOIN b ON b.bk < th.k GROUP BY 1),
+sc AS (SELECT k, nl, pl, n, p,
+    CASE WHEN nl = 0 OR nl = n THEN
+      2.0*(CAST(p AS DOUBLE)/CAST(n AS DOUBLE))*
+        (1.0 - CAST(p AS DOUBLE)/CAST(n AS DOUBLE))*CAST(n AS DOUBLE)
+    ELSE
+      (CAST(nl AS DOUBLE) - (CAST(pl AS DOUBLE)*CAST(pl AS DOUBLE) +
+        (CAST(nl AS DOUBLE)-CAST(pl AS DOUBLE))*(CAST(nl AS DOUBLE)-CAST(pl AS DOUBLE)))/CAST(nl AS DOUBLE)) +
+      (CAST(n-nl AS DOUBLE) - (CAST(p-pl AS DOUBLE)*CAST(p-pl AS DOUBLE) +
+        (CAST(n-nl AS DOUBLE)-CAST(p-pl AS DOUBLE))*(CAST(n-nl AS DOUBLE)-CAST(p-pl AS DOUBLE)))/CAST(n-nl AS DOUBLE))
+    END impd
+  FROM cum CROSS JOIN tot),
+sq AS (SELECT k, nl, pl, CAST(floor(impd*1e6) AS BIGINT) impq FROM sc),
+bt AS (SELECT k bk FROM sq ORDER BY impq, k LIMIT 1)
+SELECT CAST(k*50000 AS BIGINT) AS threshold, CAST(nl AS BIGINT) AS n_left,
+  CAST(pl AS BIGINT) AS pos_left, CAST(impq AS DOUBLE)/1e6 AS weighted_gini,
+  (k = (SELECT bk FROM bt)) AS is_best
+FROM sq ORDER BY 1""",
+
+      // Kaufman efficiency ratio per month: BIGINT cents moves, one
+      // quantized division; single-day months yield NULL er.
+      "ts_efficiency_ratio" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) dy,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) c
+  FROM ${T("orders")} GROUP BY 1),
+dd AS (SELECT date_trunc('month', dy) mo, dy, c,
+    lag(c) OVER (PARTITION BY date_trunc('month', dy) ORDER BY dy) prev
+  FROM daily),
+g AS (SELECT mo, count(*) nd, arg_min(c, dy) fc, arg_max(c, dy) lc,
+    sum(abs(c - prev)) vol FROM dd GROUP BY 1)
+SELECT strftime(mo, '%Y-%m') AS month, CAST(nd AS BIGINT) AS n_days,
+  CAST(abs(lc - fc) AS DOUBLE)/100 AS net_move,
+  CAST(vol AS DOUBLE)/100 AS total_move,
+  CASE WHEN vol > 0 THEN
+    floor(CAST(abs(lc - fc) AS DOUBLE)/CAST(vol AS DOUBLE)*1e4)/1e4 END AS er
+FROM g ORDER BY 1""",
+
+      // Neyman allocation with largest-remainder integerization; the
+      // stratum weight floor-quantizes to BIGINT so the weight total
+      // has no float fold order.
+      "sample_neyman_allocation" ->
+        s"""WITH st AS (SELECT source, count(*) nh, sum(n_chars) sx,
+    sum(n_chars*n_chars) sxx FROM ${T("documents")} GROUP BY 1),
+w AS (SELECT source, nh,
+    CAST(floor(sqrt(CAST(nh*sxx - sx*sx AS DOUBLE))) AS BIGINT) w FROM st),
+tot AS (SELECT sum(w) tw FROM w),
+q AS (SELECT source, nh, CAST(10000*w AS DOUBLE)/tw quota
+  FROM w CROSS JOIN tot),
+q2 AS (SELECT source, nh, quota, CAST(floor(quota) AS BIGINT) base FROM q),
+lv AS (SELECT 10000 - sum(base) leftover FROM q2),
+r AS (SELECT *, row_number() OVER (ORDER BY quota - base DESC, source) rr FROM q2)
+SELECT source, CAST(nh AS BIGINT) AS n_docs,
+  CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+  floor(quota*1e4)/1e4 AS quota_frac
+FROM r CROSS JOIN lv ORDER BY source""",
+
+      // Winnowing fingerprints: rolling-window minima of md5 shingle
+      // hashes (lexicographic string minima — engine-identical);
+      // candidate pairs share >= 3 rare fingerprints.
+      "dedup_winnowing" ->
+        s"""WITH sp AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) pos,
+    unnest(string_split(text,' ')) w FROM ${T("documents")}),
+sh AS (SELECT a.doc_id, a.pos, md5(concat(a.w,' ',b.w,' ',c.w)) h
+  FROM sp a JOIN sp b ON b.doc_id = a.doc_id AND b.pos = a.pos+1
+            JOIN sp c ON c.doc_id = a.doc_id AND c.pos = a.pos+2),
+fp AS (SELECT DISTINCT doc_id, mh FROM (
+  SELECT doc_id,
+    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) mh,
+    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) win
+  FROM sh) t WHERE win = 4),
+rare AS (SELECT mh FROM fp GROUP BY mh HAVING count(*) BETWEEN 2 AND 10),
+f2 AS (SELECT doc_id, mh FROM fp JOIN rare USING (mh)),
+p AS (SELECT a.doc_id d1, b.doc_id d2, count(*) ns
+  FROM f2 a JOIN f2 b ON a.mh = b.mh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT d1, d2, CAST(ns AS BIGINT) AS n_shared FROM p WHERE ns >= 3
+ORDER BY 1, 2"""
     )
   }
 }

@@ -1864,4 +1864,55 @@ object Pipelines {
       .orderBy("is_dup")
   }
 
+  /** Winnowing fingerprints (§2.25): the MOSS/Stanford local
+    * fingerprinting scheme — hash every 3-gram shingle, slide a
+    * window of 4 consecutive hashes per document, keep each window's
+    * MINIMUM — which guarantees any shared run of ≥ 6 tokens
+    * contributes at least one shared fingerprint, a positional
+    * locality property neither minhash (global min) nor simhash
+    * (bitwise blend) offers. Candidate pairs = documents sharing ≥ 3
+    * distinct rare fingerprints (document frequency ≤ 10 — the
+    * boilerplate guard, pigeonhole-bounding pair fanout at ≤45 pairs
+    * per fingerprint at ANY corpus size). Determinism: hashes are md5
+    * hex strings, window minima are lexicographic string minima —
+    * identical in both engines; every decision is on exact
+    * counts. Scale: posexplode + lead build the positioned shingles
+    * (one doc-keyed window), the rolling min is the SAME doc-keyed
+    * sort lineage, and the pair join is fingerprint-keyed on the
+    * df-capped relation — banded-not-all-pairs, the LSH family's
+    * audited shape. */
+  val dedupWinnowing: Q = (s, d) => {
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wMin = wDoc.rowsBetween(-3, 0)
+    val sh = table(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("w"), lead(col("w"), 1).over(wDoc),
+          lead(col("w"), 2).over(wDoc)).as("g"),
+        lead(col("w"), 2).over(wDoc).isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col("doc_id"), col("pos"), md5(col("g")).as("h"))
+    // persist: three consumers (df counts, both sides of the pair
+    // join) share one build of the fingerprint relation
+    val fp = sh
+      .withColumn("win", count(lit(1)).over(wMin))
+      .withColumn("mh", min(col("h")).over(wMin))
+      .filter(col("win") === 4)
+      .select(col("doc_id"), col("mh")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = fp.groupBy(col("mh")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 10))
+      .select(col("mh").as("rh"))
+    val f2 = fp.join(rare, col("mh") === col("rh"))
+      .select(col("doc_id"), col("mh"))
+    val pairs = f2.toDF("da", "ha")
+      .join(f2.toDF("db", "hb"), col("ha") === col("hb") && col("da") < col("db"))
+      .groupBy(col("da").as("d1"), col("db").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+    pairs.select(col("d1"), col("d2"), asLong(col("n_shared")).as("n_shared"))
+      .orderBy("d1", "d2")
+  }
+
 }

@@ -2582,4 +2582,121 @@ object Relational {
             .cast(DoubleType)), 4).as("tau_b"))
   }
 
+  /** Hodges–Lehmann pseudo-median of daily revenue (§2.25): the
+    * median of all n(n+1)/2 pairwise Walsh averages (xᵢ+xⱼ)/2, i≤j —
+    * the rank-based location estimator that pairs with agg_mann_whitney
+    * the way the mean pairs with the t-test (robust to outlier days a
+    * plain median over-reacts to). Exact: values are BIGINT cents, a
+    * Walsh average is carried ×2 (w2 = cᵢ+cⱼ, never halved early),
+    * and the median ranks {(M+1) div 2, M div 2 + 1} (equal when M is
+    * odd) select VALUES of the sorted multiset — tie-order-invariant
+    * by construction. Output divisions are single IEEE ops on exact
+    * integers, so no rounding is needed at all. Scale: the pair
+    * relation is CALENDAR²-bounded (days², independent of fact rows)
+    * and the global median rank comes from GlobalRank's
+    * range-partitioned two-pass — never a single-task window. */
+  val aggHodgesLehmann: Q = (s, d) => {
+    val daily = table(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("dy"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("c"))
+    val a = daily.toDF("d1", "c1")
+    val b = daily.toDF("d2", "c2")
+    val pairs = a.join(broadcast(b), col("d1") <= col("d2"))
+      .select((col("c1") + col("c2")).as("w2"), col("d1"), col("d2"))
+    val (rk, m) = GlobalRank.ranked(pairs,
+      Seq(col("w2"), col("d1"), col("d2")), "rn")
+    val mids = Seq((m + 1) / 2, m / 2 + 1).distinct
+    val tot = daily.agg(sum(col("c")).as("sc"), count(lit(1)).as("n"))
+    rk.filter(col("rn").isin(mids: _*))
+      .agg(sum(col("w2")).as("sw"), count(lit(1)).as("k"))
+      .crossJoin(broadcast(tot))
+      .select(asLong(col("n")).as("n_days"), lit(m).as("n_pairs"),
+        (col("sw").cast(DoubleType) / (col("k") * lit(200.0))).as("hl_estimate"),
+        (col("sc").cast(DoubleType) / (col("n") * lit(100.0))).as("mean_daily"))
+  }
+
+  /** Recency-decayed customer value (§2.25): per-nation average of
+    * Σ spend·2^(−age/60d) — the exponential time-decay scoring every
+    * churn/engagement model starts from, made EXACT by keeping the
+    * decay dyadic: the age bucket k = days div 60 caps at 10 and the
+    * weight is the integer 1 << (10−k), so each row contributes
+    * cents·2^(10−k) to a BIGINT sum (no pow(double) in the hot path;
+    * headroom to ~2^53/score even at sf10). The only float ops are
+    * the final normalizations — identical single IEEE divisions of
+    * exact integers in both engines, floor-quantized at 1e4. Scale:
+    * orders scan → per-customer map-combined sum (one key shuffle) →
+    * broadcast customer⋈nation dims → 25-key reduce. */
+  val aggRecencyDecay: Q = (s, d) => {
+    val sc = table(s, d, "orders")
+      .select(col("o_custkey"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"),
+        least(floor(datediff(lit("2001-09-01").cast(DateType),
+          to_date(col("o_orderdate"))) / 60).cast(LongType), lit(10L)).as("k"))
+      .select(col("o_custkey"),
+        (col("cents") * expr("shiftleft(1L, cast(10 - k AS INT))")).as("sv"))
+      .groupBy(col("o_custkey")).agg(sum(col("sv")).as("score"))
+    val cust = table(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = table(s, d, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    sc.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("nc"), sum(col("score")).as("ts"))
+      .select(col("n_name"), asLong(col("nc")).as("n_customers"),
+        (floor(col("ts").cast(DoubleType) / (col("nc") * lit(102400.0)) * 1e4) / 1e4)
+          .as("avg_decayed_value"))
+      .orderBy("n_name")
+  }
+
+  /** Decision-stump split search (§2.25): the best threshold t on
+    * order value for predicting "high priority", by weighted Gini
+    * impurity over the 10-point grid t = 50k·k with split p < t —
+    * the inner loop of tree training as ONE relational pass. The
+    * fact scan folds into a ≤13-bucket histogram (b = cents div
+    * 5000000 — pure integer division, so the p<t boundary is exact;
+    * counts + positives all BIGINT), thresholds read cumulative
+    * counts off the broadcast bucket relation, and the impurity
+    * n_L·g_L + n_R·g_R is evaluated in double from exact integer
+    * counts (identical operands → identical IEEE result in both
+    * engines) then floor-quantized at 1e6 for the argmin; best-row
+    * ties break on the smaller t. Scale: one map-combined histogram
+    * (the only fact-sized work), then arithmetic over 10×13
+    * broadcast rows. */
+  val aggBestSplitGini: Q = (s, d) => {
+    val buckets = table(s, d, "orders")
+      .select((dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("y"))
+      .select(expr("cents div 5000000").as("b"), col("y"))
+      .groupBy(col("b")).agg(count(lit(1)).as("nb"), sum(col("y")).as("pb"))
+    val th = s.range(1, 11).select(col("id").as("k"))
+    val tot = buckets.agg(sum(col("nb")).as("n"), sum(col("pb")).as("p"))
+    val cum = th.join(broadcast(buckets), col("b") < col("k"), "left")
+      .groupBy(col("k"))
+      .agg(coalesce(sum(col("nb")), lit(0L)).as("nl"),
+        coalesce(sum(col("pb")), lit(0L)).as("pl"))
+      .crossJoin(broadcast(tot))
+    val nl = col("nl").cast(DoubleType)
+    val nr = (col("n") - col("nl")).cast(DoubleType)
+    val pl = col("pl").cast(DoubleType)
+    val pr = (col("p") - col("pl")).cast(DoubleType)
+    val impD = when(col("nl") === 0 || col("nl") === col("n"),
+        lit(2.0) * (col("p").cast(DoubleType) / col("n")) *
+          (lit(1.0) - col("p").cast(DoubleType) / col("n")) * col("n"))
+      .otherwise(
+        (nl - (pl * pl + (nl - pl) * (nl - pl)) / nl) +
+        (nr - (pr * pr + (nr - pr) * (nr - pr)) / nr))
+    val scored = cum.select(asLong(col("k") * 50000).as("threshold"),
+      asLong(col("nl")).as("n_left"), asLong(col("pl")).as("pos_left"),
+      floor(impD * 1e6).cast(LongType).as("impq"))
+    val bst = scored.agg(min(struct(col("impq"), col("threshold"))).as("m"))
+      .select(col("m.threshold").as("bt"))
+    scored.crossJoin(broadcast(bst))
+      .select(col("threshold"), col("n_left"), col("pos_left"),
+        (col("impq").cast(DoubleType) / 1e6).as("weighted_gini"),
+        (col("threshold") === col("bt")).as("is_best"))
+      .orderBy("threshold")
+  }
+
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -205,5 +206,50 @@ object Sampling {
     }
     import spark.implicits._
     out.toSeq.toDF("column", "type", "rows", "nulls", "approx_distinct", "min", "max")
+  }
+
+  /** Neyman-optimal stratified allocation (§2.25): split a budget of
+    * B=10000 sampled docs across sources ∝ N_h·S_h (stratum size ×
+    * length std-dev) — the design that minimizes estimator variance
+    * for a fixed budget, i.e. HOW MANY to sample per stratum before
+    * sample_stratified decides WHICH. Integerization is largest-
+    * remainder (floor every quota, hand the leftovers to the largest
+    * fractional parts, source-name ties), so allocations sum to B
+    * exactly. Exactness: N_h·S_h = √(n·Σx² − (Σx)²) — the variance
+    * numerator is BIGINT and the weight floor-quantizes straight
+    * back to BIGINT (unit granularity on a ~1e6-magnitude weight), so
+    * Σw is an integer sum with NO float fold order; quota/remainder
+    * are then single IEEE ops on identical exact integers, and the
+    * remainder ranking runs over the ≤|sources|-row relation (a
+    * bounded window by construction). Scale: ONE map-combined
+    * aggregate over the corpus; everything after runs on |sources|
+    * rows. */
+  val sampleNeymanAllocation: Q = (s, d) => {
+    val bud = 10000L
+    // localCheckpoint: four consumers (weights, total, base, leftover)
+    // — ONE corpus aggregate instead of four re-scans
+    val st = table(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nh"), sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      .select(col("source"), col("nh"),
+        floor(sqrt((col("nh") * col("sxx") - col("sx") * col("sx"))
+          .cast(DoubleType))).cast(LongType).as("w"))
+      .localCheckpoint(true)
+    val tot = st.agg(sum(col("w")).as("tw"))
+    val q = st.crossJoin(broadcast(tot))
+      .select(col("source"), col("nh"),
+        ((lit(bud) * col("w")).cast(DoubleType) / col("tw")).as("quota"))
+      .select(col("source"), col("nh"), col("quota"),
+        floor(col("quota")).cast(LongType).as("base"))
+    val left = q.agg((lit(bud) - sum(col("base"))).as("leftover"))
+    val wR = Window.orderBy((col("quota") - col("base")).desc, col("source"))
+    q.crossJoin(broadcast(left))
+      .withColumn("r", row_number().over(wR))
+      .select(col("source"), asLong(col("nh")).as("n_docs"),
+        (col("base") + when(col("r") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"),
+        (floor(col("quota") * 1e4) / 1e4).as("quota_frac"))
+      .orderBy("source")
   }
 }

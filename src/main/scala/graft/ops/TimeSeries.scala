@@ -1435,4 +1435,38 @@ object TimeSeries {
       .orderBy("action")
   }
 
+  /** Kaufman efficiency ratio per month (§2.25): |last − first| daily
+    * revenue over the month divided by the summed |day-over-day|
+    * moves — 1.0 = pure trend, →0 = pure chop; the signal-vs-noise
+    * read a forecasting pipeline uses to decide whether trend models
+    * apply at all. Exact: revenue is BIGINT cents; first/last come
+    * from min_by/max_by on the unique day key; net and volatility
+    * stay integer, and the ratio is ONE double division of exact
+    * integers floor-quantized at 1e4 (single-day months have no
+    * moves → er is NULL, not a 0/0). Scale: date-grain map-combined
+    * aggregate, then a lag window PARTITIONED by month (≤31-row
+    * partitions at any SF — the documented bounded-window family),
+    * then a month-grain reduce. */
+  val tsEfficiencyRatio: Q = (s, d) => {
+    val daily = table(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("dy"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("c"))
+      .withColumn("mo", date_trunc("month", col("dy")))
+    val w = Window.partitionBy(col("mo")).orderBy(col("dy"))
+    daily.withColumn("prev", lag(col("c"), 1).over(w))
+      .groupBy(col("mo"))
+      .agg(count(lit(1)).as("nd"),
+        min_by(col("c"), col("dy")).as("first_c"),
+        max_by(col("c"), col("dy")).as("last_c"),
+        sum(abs(col("c") - col("prev"))).as("vol"))
+      .select(date_format(col("mo"), "yyyy-MM").as("month"),
+        asLong(col("nd")).as("n_days"),
+        (abs(col("last_c") - col("first_c")).cast(DoubleType) / 100).as("net_move"),
+        (col("vol").cast(DoubleType) / 100).as("total_move"),
+        when(col("vol") > 0,
+          floor(abs(col("last_c") - col("first_c")).cast(DoubleType) /
+            col("vol").cast(DoubleType) * 1e4) / 1e4).as("er"))
+      .orderBy("month")
+  }
+
 }

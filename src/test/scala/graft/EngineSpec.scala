@@ -318,4 +318,32 @@ class EngineSpec extends AnyFunSuite {
     assert("SortMergeJoin .*FullOuter".r.findFirstIn(ma).isDefined,
       s"merge apply lost the full-outer key join:\n$ma")
   }
+
+  test("round-9 §2.25 plan shapes: range-shuffled median, shared lineages") {
+    // hodges-lehmann: the global median rank must come off GlobalRank's
+    // RANGE shuffle, never a single-partition global window
+    val hl = ops.Relational.aggHodgesLehmann(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(hl.contains("rangepartitioning"),
+      s"hodges-lehmann lost the GlobalRank range shuffle:\n$hl")
+    assert(!hl.contains("Window"), s"hodges-lehmann grew a global window:\n$hl")
+    // recency decay: dims broadcast; the only shuffle joins are none
+    val rd = ops.Relational.aggRecencyDecay(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!rd.contains("SortMergeJoin") && rd.contains("BroadcastHashJoin"),
+      s"recency-decay dim joins degenerated:\n$rd")
+    // best split: the fact scan folds into ONE histogram — no join
+    // touches fact-sized rows (every join is a broadcast nested loop
+    // over the bucket/threshold relations)
+    val bs = ops.Relational.aggBestSplitGini(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!bs.contains("SortMergeJoin") && !bs.contains("CartesianProduct"),
+      s"best-split grew a data-sized join:\n$bs")
+    // winnowing: shingles + rolling min share one doc-keyed sort
+    // lineage; the pair join must stay equi-keyed (no cartesian)
+    val wn = ops.Pipelines.dedupWinnowing(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!wn.contains("CartesianProduct") && !wn.contains("NestedLoop"),
+      s"winnowing pair join degenerated:\n$wn")
+  }
 }

@@ -245,7 +245,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     // §2.24 (round 9, sixth batch)
     "geo_nearest_anchor" -> 5L, "agg_jackknife_loo" -> 1L,
     "agg_kendall_tau" -> 1L, "win_time_weighted_avg" -> 8L,
-    "sim_silhouette_simplified" -> 10L, "cdc_merge_apply" -> 3L)
+    "sim_silhouette_simplified" -> 10L, "cdc_merge_apply" -> 3L,
+    // §2.25 (round 9, seventh batch)
+    "agg_hodges_lehmann" -> 1L, "agg_recency_decay" -> 25L,
+    "agg_best_split_gini" -> 10L, "ts_efficiency_ratio" -> 80L,
+    "sample_neyman_allocation" -> 20L, "dedup_winnowing" -> 28L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
