@@ -4707,7 +4707,116 @@ f2 AS (SELECT doc_id, mh FROM fp JOIN rare USING (mh)),
 p AS (SELECT a.doc_id d1, b.doc_id d2, count(*) ns
   FROM f2 a JOIN f2 b ON a.mh = b.mh AND a.doc_id < b.doc_id GROUP BY 1, 2)
 SELECT d1, d2, CAST(ns AS BIGINT) AS n_shared FROM p WHERE ns >= 3
-ORDER BY 1, 2"""
+ORDER BY 1, 2""",
+
+      // Nested struct-array collection: per-order lineitem structs,
+      // deterministically ordered, first/last fields extracted.
+      "fn_nested_collect" ->
+        s"""WITH li AS (SELECT l_orderkey,
+    list(struct_pack(sd := CAST(l_shipdate AS DATE),
+        ln := CAST(l_linenumber AS BIGINT),
+        pc := CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT))
+      ORDER BY CAST(l_shipdate AS DATE), l_linenumber) arr
+  FROM ${T("lineitem")} WHERE l_orderkey % 100 = 0 GROUP BY 1)
+SELECT l_orderkey AS orderkey, CAST(len(arr) AS BIGINT) AS n_lines,
+  arr[1].sd AS first_ship, CAST(arr[1].pc AS DOUBLE)/100 AS first_price,
+  arr[-1].sd AS last_ship
+FROM li ORDER BY 1""",
+
+      // Two-proportion z-test on the user_id%2 split; z quantized,
+      // significance decided on the quantized integer.
+      "agg_ab_proportions_ztest" ->
+        s"""WITH u AS (SELECT user_id % 2 variant, user_id,
+    max(CASE WHEN event_type = 'purchase' AND value >= 100 THEN 1 ELSE 0 END) conv
+  FROM ${T("events")} WHERE user_id IS NOT NULL GROUP BY 1, 2),
+g AS (SELECT variant, count(*) n, sum(conv) c FROM u GROUP BY 1),
+w AS (SELECT max(CASE WHEN variant = 0 THEN n END) n0,
+    max(CASE WHEN variant = 0 THEN c END) c0,
+    max(CASE WHEN variant = 1 THEN n END) n1,
+    max(CASE WHEN variant = 1 THEN c END) c1 FROM g),
+z AS (SELECT *,
+    CASE WHEN c0+c1 > 0 AND c0+c1 < n0+n1 THEN
+    (CAST(c0 AS DOUBLE)/CAST(n0 AS DOUBLE) - CAST(c1 AS DOUBLE)/CAST(n1 AS DOUBLE)) /
+    sqrt((CAST(c0+c1 AS DOUBLE)/CAST(n0+n1 AS DOUBLE)) *
+      (1.0 - CAST(c0+c1 AS DOUBLE)/CAST(n0+n1 AS DOUBLE)) *
+      (1.0/CAST(n0 AS DOUBLE) + 1.0/CAST(n1 AS DOUBLE))) END zz
+  FROM w)
+SELECT CAST(n0 AS BIGINT) AS n_a, CAST(c0 AS BIGINT) AS conv_a,
+  CAST(n1 AS BIGINT) AS n_b, CAST(c1 AS BIGINT) AS conv_b,
+  floor(CAST(c0 AS DOUBLE)/CAST(n0 AS DOUBLE)*1e6)/1e6 AS rate_a,
+  floor(CAST(c1 AS DOUBLE)/CAST(n1 AS DOUBLE)*1e6)/1e6 AS rate_b,
+  floor(zz*1e4)/1e4 AS z, floor(abs(zz)*1e4) > 19600 AS significant_95
+FROM z""",
+
+      // ECE with a fully integer core: bin = exact hundredth of the
+      // discount, per-bin gap |b*n - 10*pos| BIGINT, one division.
+      "agg_calibration_error" ->
+        s"""WITH b AS (SELECT CAST(CAST(l_discount AS DECIMAL(4,2))*100 AS BIGINT) bin,
+    count(*) nb, sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) pos
+  FROM ${T("lineitem")} GROUP BY 1),
+tot AS (SELECT sum(nb) n, sum(abs(bin*nb - 10*pos)) sgap FROM b)
+SELECT bin, CAST(nb AS BIGINT) AS n, CAST(bin AS DOUBLE)/10 AS confidence,
+  floor(CAST(pos AS DOUBLE)/nb*1e4)/1e4 AS observed_rate,
+  CAST(abs(bin*nb - 10*pos) AS DOUBLE)/(10.0*nb) AS bin_gap,
+  CAST(sgap AS DOUBLE)/(10.0*n) AS ece
+FROM b CROSS JOIN tot ORDER BY bin""",
+
+      // Referential-integrity audit: anti-join orphans both ways plus
+      // the temporal ship-before-order violation count.
+      "agg_fk_violations" ->
+        s"""WITH li AS (SELECT l_orderkey, CAST(l_shipdate AS DATE) sd FROM ${T("lineitem")}),
+o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) od FROM ${T("orders")}),
+orphans AS (SELECT count(*) orphan_lines FROM li
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM o)),
+childless AS (SELECT count(*) childless_orders FROM o
+  WHERE o_orderkey NOT IN (SELECT l_orderkey FROM li)),
+early AS (SELECT sum(CASE WHEN sd < od THEN 1 ELSE 0 END) ship_before_order,
+    count(*) joined_lines
+  FROM li JOIN o ON o_orderkey = l_orderkey)
+SELECT CAST(joined_lines AS BIGINT) AS joined_lines,
+  CAST(orphan_lines AS BIGINT) AS orphan_lines,
+  CAST(childless_orders AS BIGINT) AS childless_orders,
+  CAST(ship_before_order AS BIGINT) AS ship_before_order
+FROM early CROSS JOIN orphans CROSS JOIN childless""",
+
+      // Schema evolution: the oracle simulates the evolved nulls from
+      // the original table (pre-1996 rows lack priority, 1996+ lack
+      // totalprice) — one damaged value fails the hash.
+      "src_schema_evolution" ->
+        s"""WITH ev AS (SELECT o_orderkey, o_orderstatus,
+    CASE WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN o_totalprice END price,
+    CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01' THEN o_orderpriority END prio
+  FROM ${T("orders")})
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price,
+  CAST(sum(CASE WHEN prio IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_priority,
+  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS price_sum
+FROM ev GROUP BY 1 ORDER BY 1""",
+
+      // Dunning G^2 collocations: integer contingency cells, each
+      // log-term an exact-integer ratio, floor-quantized ranking key.
+      "text_collocation_llr" ->
+        s"""WITH sp AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) pos,
+    unnest(string_split(text,' ')) w FROM ${T("documents")}),
+bg AS (SELECT a.w w1, b.w w2, count(*) k11
+  FROM sp a JOIN sp b ON b.doc_id = a.doc_id AND b.pos = a.pos+1 GROUP BY 1, 2),
+r AS (SELECT w1 rw, sum(k11) row_n FROM bg GROUP BY 1),
+c AS (SELECT w2 cw, sum(k11) col_n FROM bg GROUP BY 1),
+tot AS (SELECT sum(k11) nn FROM bg),
+j AS (SELECT w1, w2, k11, row_n, col_n, nn,
+    row_n - k11 k12, col_n - k11 k21, nn - row_n - col_n + k11 k22
+  FROM bg JOIN r ON w1 = rw JOIN c ON w2 = cw CROSS JOIN tot
+  WHERE k11 >= 5),
+g AS (SELECT w1, w2, k11,
+    CAST(floor(2.0 * (
+      (CASE WHEN k11 > 0 THEN CAST(k11 AS DOUBLE)*ln(CAST(k11*nn AS DOUBLE)/CAST(row_n*col_n AS DOUBLE)) ELSE 0.0 END) +
+      (CASE WHEN k12 > 0 THEN CAST(k12 AS DOUBLE)*ln(CAST(k12*nn AS DOUBLE)/CAST(row_n*(nn-col_n) AS DOUBLE)) ELSE 0.0 END) +
+      (CASE WHEN k21 > 0 THEN CAST(k21 AS DOUBLE)*ln(CAST(k21*nn AS DOUBLE)/CAST((nn-row_n)*col_n AS DOUBLE)) ELSE 0.0 END) +
+      (CASE WHEN k22 > 0 THEN CAST(k22 AS DOUBLE)*ln(CAST(k22*nn AS DOUBLE)/CAST((nn-row_n)*(nn-col_n) AS DOUBLE)) ELSE 0.0 END)
+    ) * 1e3) AS BIGINT) llr_q
+  FROM j)
+SELECT w1, w2, CAST(k11 AS BIGINT) AS n_pair, CAST(llr_q AS DOUBLE)/1e3 AS llr
+FROM g ORDER BY llr_q DESC, w1, w2 LIMIT 20"""
     )
   }
 }

@@ -415,4 +415,31 @@ object Funcs {
           expr("interval 1 day")))).as("dseq_sz"))
       .orderBy("o_orderkey")
 
+  /** Nested struct-array collection (§2.26): each order's lineitems
+    * collected into an ARRAY OF STRUCTS, deterministically sorted
+    * (array_sort orders structs field-by-field; (shipdate, linenumber)
+    * is unique per order), then fields extracted from the first/last
+    * elements — the nested-object shape a naqed-style API returns for
+    * one-to-many relations, proven as a flat declared query. Price
+    * rides as BIGINT cents inside the struct so the extracted value is
+    * one exact division. Scale: one orderkey shuffle into
+    * collect_list; per-order arrays are line-count-bounded (≤7 rows),
+    * so the aggregate state is tiny and the sort is in-row. */
+  val fnNestedCollect: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"),
+        struct(to_date(col("l_shipdate")).as("sd"),
+          asLong(col("l_linenumber")).as("ln"),
+          (dec2(col("l_extendedprice")) * 100).cast(LongType).as("pc")).as("st"))
+    li.groupBy(col("l_orderkey").as("orderkey"))
+      .agg(array_sort(collect_list(col("st"))).as("arr"))
+      .select(col("orderkey"), asLong(size(col("arr"))).as("n_lines"),
+        element_at(col("arr"), 1).getField("sd").as("first_ship"),
+        (element_at(col("arr"), 1).getField("pc").cast(DoubleType) / 100)
+          .as("first_price"),
+        element_at(col("arr"), -1).getField("sd").as("last_ship"))
+      .orderBy("orderkey")
+  }
+
 }

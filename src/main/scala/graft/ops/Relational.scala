@@ -2699,4 +2699,123 @@ object Relational {
       .orderBy("threshold")
   }
 
+  /** Two-proportion z-test (§2.26): purchase-conversion rate of the
+    * A/B split user_id%2, with the pooled-variance z statistic — the
+    * experiment read-out every product pipeline computes; complements
+    * the suite's rank tests (mann_whitney) and distribution tests
+    * (ks_test) with the PROPORTIONS test. Exact: user/converter
+    * counts are exact distinct counts; z is a single IEEE expression
+    * on identical integers in both engines, floor-quantized at 1e4,
+    * and the significance flag compares the QUANTIZED z to 19600 —
+    * an integer decision. Scale: one map-combined distinct-user
+    * aggregate (two bool_or flags per user), then a 2-row reduce. */
+  val aggAbProportionsZtest: Q = (s, d) => {
+    // conversion = a HIGH-VALUE purchase (>= 100): every fixture user
+    // has some purchase, so plain purchase would make pp = 1 and the
+    // pooled variance zero
+    val u = table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy((col("user_id") % 2).as("variant"), col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 100, 1L)
+        .otherwise(0L)).as("conv"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val w = u.agg(
+      max(when(col("variant") === 0, col("n"))).as("n0"),
+      max(when(col("variant") === 0, col("c"))).as("c0"),
+      max(when(col("variant") === 1, col("n"))).as("n1"),
+      max(when(col("variant") === 1, col("c"))).as("c1"))
+    val p0 = col("c0").cast(DoubleType) / col("n0").cast(DoubleType)
+    val p1 = col("c1").cast(DoubleType) / col("n1").cast(DoubleType)
+    val pp = (col("c0") + col("c1")).cast(DoubleType) /
+      (col("n0") + col("n1")).cast(DoubleType)
+    val zRaw = (p0 - p1) / sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n0").cast(DoubleType) + lit(1.0) / col("n1").cast(DoubleType)))
+    // degenerate pools (pp = 0 or 1) have zero variance: z is NULL,
+    // not a divide-by-zero (ANSI doubles throw in Spark, inf in DuckDB)
+    val z = when(pp > 0 && pp < 1, zRaw)
+    w.select(asLong(col("n0")).as("n_a"), asLong(col("c0")).as("conv_a"),
+        asLong(col("n1")).as("n_b"), asLong(col("c1")).as("conv_b"),
+        (floor(p0 * 1e6) / 1e6).as("rate_a"), (floor(p1 * 1e6) / 1e6).as("rate_b"),
+        (floor(z * 1e4) / 1e4).as("z"),
+        (floor(abs(z) * 1e4) > 19600).as("significant_95"))
+  }
+
+  /** Expected calibration error (§2.26): treat discount·10 as a
+    * synthetic "return probability" prediction and score it against
+    * the actual returned flag — the ECE the model-eval side of a
+    * pipeline computes, here with a FULLY INTEGER core: the discount
+    * is exact hundredths so the bin b = discount·100 ∈ {0..10} is an
+    * exact integer, the per-bin gap |conf − rate| scales to
+    * |b·n_b − 10·pos_b| (BIGINT), and ECE = Σ gaps / (10·N) is ONE
+    * division of exact integers. Scale: one map-combined 11-bin
+    * aggregate; the total attaches as a broadcast 1-row relation. */
+  val aggCalibrationError: Q = (s, d) => {
+    val b = table(s, d, "lineitem")
+      .select((col("l_discount").cast(DecimalType(4, 2)) * 100)
+          .cast(LongType).as("bin"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("nb"), sum(col("ret")).as("pos"))
+    val gap = abs(col("bin") * col("nb") - lit(10) * col("pos"))
+    val tot = b.agg(sum(col("nb")).as("n"),
+      sum(abs(col("bin") * col("nb") - lit(10) * col("pos"))).as("sgap"))
+    b.crossJoin(broadcast(tot))
+      .select(col("bin"), asLong(col("nb")).as("n"),
+        (col("bin").cast(DoubleType) / 10).as("confidence"),
+        (floor(col("pos").cast(DoubleType) / col("nb") * 1e4) / 1e4)
+          .as("observed_rate"),
+        (gap.cast(DoubleType) / (lit(10.0) * col("nb"))).as("bin_gap"),
+        (col("sgap").cast(DoubleType) / (lit(10.0) * col("n"))).as("ece"))
+      .orderBy("bin")
+  }
+
+  /** Referential-integrity audit (§2.26): the three FK/temporal
+    * violation classes a lake-health job sweeps — orphan lineitems
+    * (no parent order), childless orders (no lines), and lines
+    * shipping BEFORE their order date — as one single-row report.
+    * All decisions are anti-join membership and date comparisons:
+    * integer-exact. Scale: both anti joins and the temporal check
+    * shuffle on the SAME orderkey — one co-partitioned key, three
+    * audits. */
+  val aggFkViolations: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+    val o = table(s, d, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+    val orphans = li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_lines"))
+    val childless = o.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("childless_orders"))
+    val early = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .agg(sum(when(col("sd") < col("od"), 1L).otherwise(0L)).as("ship_before_order"),
+        count(lit(1)).as("joined_lines"))
+    early.crossJoin(broadcast(orphans)).crossJoin(broadcast(childless))
+      .select(asLong(col("joined_lines")).as("joined_lines"),
+        asLong(col("orphan_lines")).as("orphan_lines"),
+        asLong(col("childless_orders")).as("childless_orders"),
+        asLong(col("ship_before_order")).as("ship_before_order"))
+  }
+
+  /** Parquet schema evolution (§2.26): the pre-1996 order slice is
+    * written WITHOUT the priority column and the 1996+ slice WITHOUT
+    * totalprice; reading both with mergeSchema must union-by-name and
+    * null-fill — the add-a-column migration every long-lived lake
+    * survives, proven through the declared-query gate (the oracle
+    * simulates the nulls from the original table, so one damaged or
+    * mis-aligned value fails the hash). Same
+    * oracle-is-the-original-table contract as the csv/json/orc
+    * roundtrips. */
+  val srcSchemaEvolution: Q = (s, d) => {
+    graft.sources.Sources.via(s, d, "orders", "parquet_evolved")
+      .groupBy(col("o_orderstatus"))
+      .agg(asLong(count(lit(1))).as("n"),
+        asLong(sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)))
+          .as("null_price"),
+        asLong(sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)))
+          .as("null_priority"),
+        moneySum2(col("o_totalprice")).as("price_sum"))
+      .orderBy("o_orderstatus")
+  }
+
 }

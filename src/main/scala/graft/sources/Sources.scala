@@ -98,8 +98,28 @@ object Sources {
           base.write.mode("overwrite").partitionBy(pcol).parquet(path)
           // partition columns come back last — restore declared order
           spark.read.parquet(path).select(base.columns.map(col): _*)
+        case "parquet_evolved" =>
+          // schema evolution: the pre-1996 slice ships WITHOUT the
+          // priority column, the 1996+ slice WITHOUT totalprice —
+          // reading with mergeSchema must union-by-name and null-fill,
+          // the add-a-column migration every long-lived lake survives
+          import org.apache.spark.sql.functions.{col, lit}
+          import org.apache.spark.sql.types.TimestampType
+          require(name == "orders",
+            "parquet_evolved is modeled on the orders table")
+          val cut = col("o_orderdate") < lit("1996-01-01").cast(TimestampType)
+          base.filter(cut)
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+              "o_totalprice", "o_orderdate")
+            .write.mode("overwrite").parquet(s"$path/v1")
+          base.filter(!cut)
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+              "o_orderdate", "o_orderpriority")
+            .write.mode("overwrite").parquet(s"$path/v2")
+          spark.read.option("mergeSchema", "true")
+            .parquet(s"$path/v1", s"$path/v2")
         case other => throw new IllegalArgumentException(
-          s"unsupported via-format '$other' (csv, json, orc, parquet_partitioned)")
+          s"unsupported via-format '$other' (csv, json, orc, parquet_partitioned, parquet_evolved)")
       }
     }
 }

@@ -346,4 +346,26 @@ class EngineSpec extends AnyFunSuite {
     assert(!wn.contains("CartesianProduct") && !wn.contains("NestedLoop"),
       s"winnowing pair join degenerated:\n$wn")
   }
+
+  test("round-9 §2.26 plan shapes: join-free stats, TakeOrdered top-k") {
+    // ztest: zero joins — stacked map-combined aggregates only
+    val zt = ops.Relational.aggAbProportionsZtest(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!zt.contains("Join"), s"unexpected join in ztest plan:\n$zt")
+    // nested collect: one shuffle into the collect aggregate, no window
+    val nc = ops.Funcs.fnNestedCollect(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!nc.contains("Window") && nc.contains("ObjectHashAggregate"),
+      s"nested collect lost its aggregate shape:\n$nc")
+    // collocation: top-20 must be TakeOrdered, never a global window
+    val cl = ops.TextSim.textCollocationLlr(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(cl.contains("TakeOrdered") && !cl.contains("CartesianProduct"),
+      s"collocation top-k degenerated:\n$cl")
+    // fk audit: anti joins stay equi-keyed (broadcast or shuffle)
+    val fk = ops.Relational.aggFkViolations(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(fk.contains("LeftAnti") && !fk.contains("CartesianProduct"),
+      s"fk audit anti joins degenerated:\n$fk")
+  }
 }

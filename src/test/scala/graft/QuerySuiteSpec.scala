@@ -249,7 +249,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     // §2.25 (round 9, seventh batch)
     "agg_hodges_lehmann" -> 1L, "agg_recency_decay" -> 25L,
     "agg_best_split_gini" -> 10L, "ts_efficiency_ratio" -> 80L,
-    "sample_neyman_allocation" -> 20L, "dedup_winnowing" -> 28L)
+    "sample_neyman_allocation" -> 20L, "dedup_winnowing" -> 28L,
+    // §2.26 (round 9, eighth batch)
+    "fn_nested_collect" -> 15L, "agg_ab_proportions_ztest" -> 1L,
+    "agg_calibration_error" -> 11L, "agg_fk_violations" -> 1L,
+    "src_schema_evolution" -> 3L, "text_collocation_llr" -> 20L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
