@@ -4816,7 +4816,120 @@ g AS (SELECT w1, w2, k11,
     ) * 1e3) AS BIGINT) llr_q
   FROM j)
 SELECT w1, w2, CAST(k11 AS BIGINT) AS n_pair, CAST(llr_q AS DOUBLE)/1e3 AS llr
-FROM g ORDER BY llr_q DESC, w1, w2 LIMIT 20"""
+FROM g ORDER BY llr_q DESC, w1, w2 LIMIT 20""",
+
+      // Horvitz-Thompson: pi known exactly from the keep rule
+      // (c = ceil(65536*w/wmax) accepted buckets); each kept
+      // contribution is the integer division (w*65536*1e4) // c.
+      "sample_ht_estimate" ->
+        s"""WITH mx AS (SELECT max(n_chars) AS wmax FROM ${T("documents")}),
+f AS (SELECT source, n_chars,
+    (('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 4))::BIGINT * wmax
+       < 65536 * n_chars) AS keep,
+    (n_chars * 65536 + wmax - 1) // wmax AS c
+  FROM ${T("documents")}, mx),
+g AS (SELECT source, count(*) n_docs,
+    sum(CASE WHEN keep THEN 1 ELSE 0 END) n_kept,
+    sum(n_chars) truth,
+    sum(CASE WHEN keep THEN (n_chars * 65536 * 10000) // c ELSE 0 END) htq
+  FROM f GROUP BY 1)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_kept AS BIGINT) AS n_kept,
+  CAST(truth AS BIGINT) AS true_chars,
+  CAST(floor(CAST(htq AS DOUBLE)/1e4) AS BIGINT) AS ht_estimate,
+  floor((CAST(htq AS DOUBLE)/1e4 - CAST(truth AS DOUBLE))/CAST(truth AS DOUBLE)*1e4)/1e4 AS rel_err
+FROM g ORDER BY source""",
+
+      // Order-independent 56-bit content checksums: canonical
+      // '|'-joined rendering (stable string forms only), BIT_XOR fold.
+      "agg_table_checksum" ->
+        s"""WITH oh AS (SELECT ('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+      o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+      CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority)), 1, 14))::BIGINT h
+  FROM ${T("orders")}),
+ch AS (SELECT ('0x' || substr(md5(concat_ws('|', c_custkey, c_name, c_nationkey,
+      c_mktsegment, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR))), 1, 14))::BIGINT h
+  FROM ${T("customer")}),
+lh AS (SELECT ('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey,
+      l_suppkey, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+      l_returnflag, CAST(CAST(l_shipdate AS DATE) AS VARCHAR))), 1, 14))::BIGINT h
+  FROM ${T("lineitem")}),
+u AS (SELECT 'orders' table_name, count(*) n_rows, bit_xor(h) xor56, min(h) min56, max(h) max56 FROM oh
+  UNION ALL SELECT 'customer', count(*), bit_xor(h), min(h), max(h) FROM ch
+  UNION ALL SELECT 'lineitem', count(*), bit_xor(h), min(h), max(h) FROM lh)
+SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows, CAST(xor56 AS BIGINT) AS xor56,
+  CAST(min56 AS BIGINT) AS min56, CAST(max56 AS BIGINT) AS max56
+FROM u ORDER BY table_name""",
+
+      // Bitmap audience overlap: word-wise AND popcounts, unions by
+      // inclusion-exclusion from per-type totals.
+      "agg_bitmap_overlap" ->
+        s"""WITH words AS (SELECT event_type, user_id // 63 wi,
+    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) w
+  FROM ${T("events")} WHERE user_id IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT event_type tt, sum(bit_count(w)) nt FROM words GROUP BY 1),
+inter AS (SELECT a.event_type t1, b.event_type t2, sum(bit_count(a.w & b.w)) ni
+  FROM words a JOIN words b ON a.wi = b.wi AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT t1, t2, CAST(ni AS BIGINT) AS n_common,
+  CAST(ta.nt + tb.nt - ni AS BIGINT) AS n_union,
+  floor(CAST(ni AS DOUBLE)/CAST(ta.nt + tb.nt - ni AS DOUBLE)*1e4)/1e4 AS jaccard
+FROM inter JOIN tot ta ON ta.tt = t1 JOIN tot tb ON tb.tt = t2
+ORDER BY t1, t2""",
+
+      // Held-out add-1 unigram LM: per-token -ln((c+1)/(N+V)) on exact
+      // integers, quantized at 1e6, BIGINT-summed; no exp anywhere.
+      "pipeline_heldout_nll" ->
+        s"""WITH toks AS (SELECT doc_id, lang,
+    (('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 < 8) is_train,
+    unnest(string_split(text, ' ')) w
+  FROM ${T("documents")}),
+train AS (SELECT w tw, count(*) c FROM toks WHERE is_train GROUP BY 1),
+tot AS (SELECT sum(c) nTrain, count(*) v FROM train),
+test AS (SELECT lang, c FROM toks LEFT JOIN train ON w = tw
+  CROSS JOIN tot WHERE NOT is_train),
+q AS (SELECT lang, c, CAST(floor(-ln((coalesce(c, 0) + 1) /
+    CAST((SELECT nTrain + v FROM tot) AS DOUBLE)) * 1e6) AS BIGINT) lq
+  FROM test)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_test_tokens,
+  floor(CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*)*1e4)/1e4 AS oov_rate,
+  floor(CAST(sum(lq) AS DOUBLE)/count(*)/1e2)/1e4 AS avg_nll
+FROM q GROUP BY 1 ORDER BY 1""",
+
+      // Gumbel method-of-moments on monthly block maxima; shared
+      // double literals for sqrt(6), pi and ln(-ln .99).
+      "ts_extreme_value_moments" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) dy,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) c
+  FROM ${T("orders")} GROUP BY 1),
+mx AS (SELECT date_trunc('month', dy) mo, max(c) m FROM daily GROUP BY 1),
+st AS (SELECT count(*) n, sum(m) sx, sum(CAST(m AS HUGEINT)*m) sxx FROM mx),
+mm AS (SELECT n,
+    CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)/100 mean,
+    sqrt(CAST(n*sxx - sx*sx AS DOUBLE)/CAST(n*(n-1) AS DOUBLE))/100 sd
+  FROM st),
+gg AS (SELECT n, mean, sd * 2.449489742783178 / 3.141592653589793 beta FROM mm),
+g2 AS (SELECT n, mean, beta, mean - 0.5772156649015329 * beta mu FROM gg)
+SELECT CAST(n AS BIGINT) AS n_months, floor(mean*100)/100 AS mean_max,
+  floor(beta*100)/100 AS gumbel_beta, floor(mu*100)/100 AS gumbel_mu,
+  floor((mu - beta * -4.600149226776579)*100)/100 AS p99_return_level
+FROM g2""",
+
+      // Cosine-vs-dot top-10 agreement on quantized integer scores.
+      "sim_metric_agreement" ->
+        s"""WITH emb AS (SELECT * FROM ${T("embeddings")}),
+probes AS (SELECT vec_id pid, embedding pe FROM emb WHERE vec_id < 30),
+scored AS (SELECT p.pid, e.vec_id cand,
+    CAST(floor(list_cosine_similarity(cast(p.pe AS DOUBLE[]), cast(e.embedding AS DOUBLE[]))*10000) AS BIGINT) qc,
+    CAST(floor(list_inner_product(cast(p.pe AS DOUBLE[]), cast(e.embedding AS DOUBLE[]))*10000) AS BIGINT) qd
+  FROM probes p CROSS JOIN emb e WHERE e.vec_id <> p.pid),
+tc AS (SELECT pid, cand FROM (SELECT pid, cand,
+    row_number() OVER (PARTITION BY pid ORDER BY qc DESC, cand) r FROM scored) t WHERE r <= 10),
+td AS (SELECT pid, cand FROM (SELECT pid, cand,
+    row_number() OVER (PARTITION BY pid ORDER BY qd DESC, cand) r FROM scored) t WHERE r <= 10),
+ov AS (SELECT tc.pid, count(*) n FROM tc JOIN td ON tc.pid = td.pid AND tc.cand = td.cand GROUP BY 1)
+SELECT p.pid, CAST(coalesce(ov.n, 0) AS BIGINT) AS overlap_at_10,
+  floor(CAST(coalesce(ov.n, 0) AS DOUBLE)/CAST(20 - coalesce(ov.n, 0) AS DOUBLE)*1e4)/1e4 AS jaccard_at_10
+FROM probes p LEFT JOIN ov ON ov.pid = p.pid ORDER BY p.pid"""
     )
   }
 }

@@ -132,7 +132,13 @@ object ScalingBench {
         "bpe_encode" -> (() => {
           ops.Bpe.encode(Tables(spark, dir, "documents"), "text", "doc_id",
             bpeModel(dir)).count(); ()
-        }))
+        })) ++ Seq[(String, () => Unit)](
+        // round-9 §2.25–§2.26: winnowing (one doc-keyed window pass +
+        // df-capped pair join — pairs pigeonhole-bounded, so α ~ the
+        // fingerprint build) and Dunning collocations (vocab-bounded
+        // contingency arithmetic over one linear bigram pass)
+        "dedup_winnowing" -> (() => { ops.Pipelines.dedupWinnowing(spark, dir).count(); () }),
+        "text_collocation_llr" -> (() => { ops.TextSim.textCollocationLlr(spark, dir).count(); () }))
       // run r: clear -> timed shingle build -> each op timed under its
       // own job group; keep min wall and min CPU per op (a cost
       // measure is a floor — contention only ever inflates it)
@@ -213,7 +219,14 @@ object ScalingBench {
         "agg_mann_whitney" -> (() => { ops.Relational.aggMannWhitney(spark, dir).count(); () }),
         "agg_quantiles_disc" -> (() => { ops.Relational.aggQuantilesDisc(spark, dir).count(); () }),
         "join_skyline" -> (() => { ops.Relational.joinSkyline(spark, dir).count(); () }),
-        "ts_order_backlog" -> (() => { ops.TimeSeries.tsOrderBacklog(spark, dir).count(); () }))
+        "ts_order_backlog" -> (() => { ops.TimeSeries.tsOrderBacklog(spark, dir).count(); () }),
+        // round-9 §2.24–§2.25: the MERGE full-outer key join (linear
+        // in orders) and the Hodges–Lehmann pair median — the CLAIM
+        // is calendar²-FLAT past the daily aggregate (pairs = days²,
+        // independent of fact rows), so its fitted α should be ~the
+        // date-grain aggregate's, not the pair count's
+        "cdc_merge_apply" -> (() => { ops.TimeSeries.cdcMergeApply(spark, dir).count(); () }),
+        "agg_hodges_lehmann" -> (() => { ops.Relational.aggHodgesLehmann(spark, dir).count(); () }))
       val best = scala.collection.mutable.LinkedHashMap[String, Double]()
       val bestCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
       var primeBest = Double.MaxValue

@@ -1915,4 +1915,40 @@ object Pipelines {
       .orderBy("d1", "d2")
   }
 
+  /** Held-out language-model evaluation (§2.27): an add-1-smoothed
+    * unigram LM estimated on the hash-split TRAIN fold (bucket16 %
+    * 10 < 8) and scored on the held-out TEST fold — the eval loop
+    * every data-curation experiment runs (pipeline_unigram_logprob
+    * scores in-sample; this is the out-of-sample read, with OOV mass
+    * handled by the smoothing). Reported per language: test tokens,
+    * OOV rate, and average negative log-likelihood in nats —
+    * deliberately NOT perplexity, so no exp() sits on the
+    * cross-engine path; each token's −ln((c+1)/(N+V)) is a log of an
+    * exact-integer ratio floor-quantized at 1e6 (the idf/logprob
+    * precedent) and summed as BIGINT. Scale: train counts
+    * map-combine; the test join is vocab-keyed; totals broadcast. */
+  val pipelineHeldoutNll: Q = (s, d) => {
+    val toks = table(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        (Sampling.bucket16(col("doc_id")) % 10 < 8).as("is_train"),
+        explode(split(col("text"), " ")).as("w"))
+    val train = toks.filter(col("is_train"))
+      .groupBy(col("w").as("tw")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = train.agg(sum(col("c")).as("nTrain"), count(lit(1)).as("v"))
+    val test = toks.filter(!col("is_train"))
+      .join(train, col("w") === col("tw"), "left")
+      .crossJoin(broadcast(tot))
+    val lq = floor(-log((coalesce(col("c"), lit(0L)) + 1).cast(DoubleType) /
+      (col("nTrain") + col("v")).cast(DoubleType)) * 1e6).cast(LongType)
+    test.groupBy(col("lang"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("oov"),
+        sum(lq).as("sq"))
+      .select(col("lang"), asLong(col("m")).as("n_test_tokens"),
+        (floor(col("oov").cast(DoubleType) / col("m") * 1e4) / 1e4).as("oov_rate"),
+        (floor(col("sq").cast(DoubleType) / col("m") / 1e2) / 1e4).as("avg_nll"))
+      .orderBy("lang")
+  }
+
 }

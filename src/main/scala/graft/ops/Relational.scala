@@ -2797,6 +2797,70 @@ object Relational {
         asLong(col("ship_before_order")).as("ship_before_order"))
   }
 
+  /** Order-independent table checksums (§2.27): a 56-bit content hash
+    * per row (md5 of a canonical '|'-joined rendering), folded with
+    * BIT_XOR — commutative, so the checksum is partitioning- and
+    * order-invariant, which is what lets two replicas (or two
+    * engines, as the oracle gate proves) agree without sorting
+    * anything. Canonical rendering sticks to cross-engine-stable
+    * string forms: BIGINT keys, DECIMAL(18,2) money (fixed 2-digit
+    * scale), DATE — never raw doubles. Scale: three independent
+    * map-combined scans, one 3-row output; the shuffle carries one
+    * row per table. */
+  val aggTableChecksum: Q = (s, d) => {
+    def sum56(df: DataFrame, tname: String, canon: Column): DataFrame =
+      df.select(conv(substring(md5(canon), 1, 14), 16, 10)
+          .cast(LongType).as("h"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
+          min(col("h")).as("mn"), max(col("h")).as("mx"))
+        .select(lit(tname).as("table_name"), asLong(col("n")).as("n_rows"),
+          col("x").as("xor56"), col("mn").as("min56"), col("mx").as("max56"))
+    val o = sum56(table(s, d, "orders"), "orders",
+      concat_ws("|", col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).cast(StringType),
+        to_date(col("o_orderdate")).cast(StringType), col("o_orderpriority")))
+    val c = sum56(table(s, d, "customer"), "customer",
+      concat_ws("|", col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"), dec2(col("c_acctbal")).cast(StringType)))
+    val li = sum56(table(s, d, "lineitem"), "lineitem",
+      concat_ws("|", col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), dec2(col("l_extendedprice")).cast(StringType),
+        col("l_returnflag"), to_date(col("l_shipdate")).cast(StringType)))
+    o.unionAll(c).unionAll(li).orderBy("table_name")
+  }
+
+  /** Audience overlap via bitmap intersection (§2.27): pairwise
+    * Jaccard between event-type audiences computed the roaring way —
+    * user ids pack into 63-bit words (agg_bitmap_distinct's layout),
+    * intersections are word-wise AND popcounts joined on word index,
+    * and unions come from the per-type totals by
+    * inclusion–exclusion. All-integer; the shuffle carries (type,
+    * word) — bounded by ID-space/63 per type, NOT by event rows —
+    * and the pair join fans out over |types|²/2 = 10 pairs of
+    * word-aligned bitmap relations. */
+  val aggBitmapOverlap: Q = (s, d) => {
+    val words = table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"), expr("user_id div 63").as("wi"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pmod(user_id, 63) AS INT)))").as("w"))
+    val tot = words.groupBy(col("event_type").as("tt"))
+      .agg(sum(bit_count(col("w"))).as("nt"))
+    val a = words.toDF("t1", "wi1", "w1")
+    val b = words.toDF("t2", "wi2", "w2")
+    val inter = a.join(b, col("wi1") === col("wi2") && col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(sum(bit_count(col("w1").bitwiseAND(col("w2")))).as("ni"))
+    inter
+      .join(broadcast(tot).toDF("ta", "na"), col("t1") === col("ta"))
+      .join(broadcast(tot).toDF("tb", "nb"), col("t2") === col("tb"))
+      .select(col("t1"), col("t2"), asLong(col("ni")).as("n_common"),
+        asLong(col("na") + col("nb") - col("ni")).as("n_union"),
+        (floor(col("ni").cast(DoubleType) /
+          (col("na") + col("nb") - col("ni")).cast(DoubleType) * 1e4) / 1e4)
+          .as("jaccard"))
+      .orderBy("t1", "t2")
+  }
+
   /** Parquet schema evolution (§2.26): the pre-1996 order slice is
     * written WITHOUT the priority column and the 1996+ slice WITHOUT
     * totalprice; reading both with mergeSchema must union-by-name and

@@ -252,4 +252,42 @@ object Sampling {
         (floor(col("quota") * 1e4) / 1e4).as("quota_frac"))
       .orderBy("source")
   }
+
+  /** Horvitz–Thompson estimation from the weighted Bernoulli sample
+    * (§2.27): the step that makes sample_weighted_bernoulli USEFUL —
+    * re-weight each kept row by 1/π and recover the population total
+    * unbiasedly. The inclusion probability is known EXACTLY from the
+    * keep rule (bucket16 < 65536·w/wmax accepts exactly
+    * c = ⌈65536·w/wmax⌉ of the 65536 buckets, so π = c/65536), and
+    * each kept row's w/π contribution is the integer division
+    * (w·65536·1e4) div c — engine-identical, no float weight
+    * anywhere. Reported per source: the true char total (from the
+    * full scan — the check only a benchmark can do), the HT estimate,
+    * and the relative error. Scale: one broadcast wmax, ONE linear
+    * scan, map-combined per-source sums. */
+  val sampleHtEstimate: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    val mx = docs.agg(max(col("n_chars")).as("wmax"))
+    val d19 = DecimalType(19, 0)
+    docs.crossJoin(broadcast(mx))
+      .select(col("source"), col("n_chars"),
+        (bucket16(col("doc_id")) * col("wmax") <
+          lit(65536L) * col("n_chars")).as("keep"),
+        expr("(n_chars * 65536 + wmax - 1) div wmax").as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_chars").cast(d19)).as("truth"),
+        sum(when(col("keep"),
+          expr("(n_chars * 65536 * 10000) div c")).otherwise(0L)).as("htq"))
+      .select(col("source"), asLong(col("n_docs")).as("n_docs"),
+        asLong(col("n_kept")).as("n_kept"),
+        asLong(col("truth")).as("true_chars"),
+        (floor(col("htq").cast(DoubleType) / 1e4)).cast(LongType)
+          .as("ht_estimate"),
+        (floor((col("htq").cast(DoubleType) / 1e4 -
+            col("truth").cast(DoubleType)) /
+          col("truth").cast(DoubleType) * 1e4) / 1e4).as("rel_err"))
+      .orderBy("source")
+  }
 }

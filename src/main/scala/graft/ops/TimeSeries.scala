@@ -1469,4 +1469,42 @@ object TimeSeries {
       .orderBy("month")
   }
 
+  /** Extreme-value moments (§2.27): Gumbel location/scale fitted by
+    * method-of-moments to the MONTHLY MAXIMA of daily revenue (block
+    * maxima — the EVT read behind capacity planning: "what daily
+    * peak should next year's p99 month expect"). Exactness: maxima
+    * are BIGINT cents, their mean/variance come from exact integer
+    * sums (the bounded month-grain relation), and β̂ = s·√6/π,
+    * μ̂ = m̄ − γ·β̂, and the 99th-percentile return level
+    * μ̂ − β̂·ln(−ln 0.99) are IEEE expressions on identical operands
+    * with γ/π as shared literals — floor-quantized at 1e2. Scale:
+    * date-grain aggregate → month maxima (calendar-bounded) → 1-row
+    * moments. */
+  val tsExtremeValueMoments: Q = (s, d) => {
+    val daily = table(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("dy"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("c"))
+    val mx = daily.groupBy(date_trunc("month", col("dy")).as("mo"))
+      .agg(max(col("c")).as("m"))
+    val st = mx.agg(count(lit(1)).as("n"), sum(col("m")).as("sx"),
+      sum(col("m").cast(DecimalType(38, 0)) * col("m")).as("sxx"))
+    val nD = col("n").cast(DoubleType)
+    val dec38 = DecimalType(38, 0)
+    val mean = col("sx").cast(DoubleType) / nD / 100
+    // n·Σm² and (Σm)² overflow BIGINT at cents scale — exact in
+    // DECIMAL(38,0) (HUGEINT on the oracle side), ONE cast to double
+    val varNum = col("n").cast(dec38) * col("sxx").cast(dec38) -
+      col("sx").cast(dec38) * col("sx").cast(dec38)
+    val sd = sqrt(varNum.cast(DoubleType) /
+      (col("n") * (col("n") - 1)).cast(DoubleType)) / 100
+    val beta = sd * math.sqrt(6.0) / math.Pi
+    val mu = mean - lit(0.5772156649015329) * beta
+    val p99 = mu - beta * math.log(-math.log(0.99))
+    st.select(asLong(col("n")).as("n_months"),
+      (floor(mean * 100) / 100).as("mean_max"),
+      (floor(beta * 100) / 100).as("gumbel_beta"),
+      (floor(mu * 100) / 100).as("gumbel_mu"),
+      (floor(p99 * 100) / 100).as("p99_return_level"))
+  }
+
 }

@@ -368,4 +368,27 @@ class EngineSpec extends AnyFunSuite {
     assert(fk.contains("LeftAnti") && !fk.contains("CartesianProduct"),
       s"fk audit anti joins degenerated:\n$fk")
   }
+
+  test("round-9 §2.27 plan shapes: commutative folds, bounded panels") {
+    // checksum: three scans unioned, zero joins anywhere
+    val ck = ops.Relational.aggTableChecksum(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!ck.contains("Join") && ck.contains("Union"),
+      s"checksum grew a join:\n$ck")
+    // extreme value: zero joins — stacked aggregates only
+    val ev = ops.TimeSeries.tsExtremeValueMoments(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!ev.contains("Join"), s"unexpected join in EVT plan:\n$ev")
+    // bitmap overlap: the pair join must stay word-equi-keyed
+    val bo = ops.Relational.aggBitmapOverlap(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!bo.contains("CartesianProduct") && !bo.contains("NestedLoop"),
+      s"bitmap pair join degenerated:\n$bo")
+    // metric agreement: both top-10s cut by WindowGroupLimit over the
+    // SAME persisted scored relation
+    val mag = ops.TextSim.simMetricAgreement(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(mag.contains("WindowGroupLimit") && mag.contains("InMemoryTableScan"),
+      s"metric agreement lost its shared scored relation:\n$mag")
+  }
 }

@@ -253,7 +253,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     // §2.26 (round 9, eighth batch)
     "fn_nested_collect" -> 15L, "agg_ab_proportions_ztest" -> 1L,
     "agg_calibration_error" -> 11L, "agg_fk_violations" -> 1L,
-    "src_schema_evolution" -> 3L, "text_collocation_llr" -> 20L)
+    "src_schema_evolution" -> 3L, "text_collocation_llr" -> 20L,
+    // §2.27 (round 9, ninth batch)
+    "sample_ht_estimate" -> 20L, "agg_table_checksum" -> 3L,
+    "agg_bitmap_overlap" -> 10L, "pipeline_heldout_nll" -> 5L,
+    "ts_extreme_value_moments" -> 1L, "sim_metric_agreement" -> 30L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
