@@ -85,6 +85,12 @@ object ScalingBench {
         ops.Bpe.train(Tables(spark, dir, "documents"), "text", "doc_id"))
 
     val family = sys.env.getOrElse("SPARK_GRAFT_SCALE_FAMILY", "all")
+    // optional op filter (comma list) — re-measure a subset quietly
+    // without paying for the whole family
+    val onlyOps: Set[String] = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
+    def opFilter(l: Seq[(String, () => Unit)]): Seq[(String, () => Unit)] =
+      if (onlyOps.isEmpty) l else l.filter(p => onlyOps(p._1))
     for (dir <- dirs if family == "all" || family == "docs") {
       val nDocs = Tables(spark, dir, "documents").count()
       val nVecs = Tables(spark, dir, "embeddings").count()
@@ -107,7 +113,7 @@ object ScalingBench {
       // J^bands collision rate is corpus-size-independent and IS
       // measured at this tier. Excluded above 100k docs, recorded.
       val dfBucketOk = nDocs <= 100000
-      val opsList: Seq[(String, () => Unit)] = Seq[(String, () => Unit)](
+      val opsList: Seq[(String, () => Unit)] = opFilter(Seq[(String, () => Unit)](
         "dedup_exact" -> (() => { ops.TextSim.dedupExact(spark, dir).count(); () })) ++
         (if (dfBucketOk) Seq[(String, () => Unit)](
           "dedup_near_jaccard" -> (() => { ops.TextSim.dedupNearJaccard(spark, dir).count(); () }),
@@ -139,6 +145,7 @@ object ScalingBench {
         // contingency arithmetic over one linear bigram pass)
         "dedup_winnowing" -> (() => { ops.Pipelines.dedupWinnowing(spark, dir).count(); () }),
         "text_collocation_llr" -> (() => { ops.TextSim.textCollocationLlr(spark, dir).count(); () }))
+      )
       // run r: clear -> timed shingle build -> each op timed under its
       // own job group; keep min wall and min CPU per op (a cost
       // measure is a floor — contention only ever inflates it)
@@ -196,7 +203,7 @@ object ScalingBench {
     for (dir <- factDirs if family == "all" || family == "facts") {
       val nEvents = Tables(spark, dir, "events").count()
       val nLines = Tables(spark, dir, "lineitem").count()
-      val opsList: Seq[(String, () => Unit)] = Seq(
+      val opsList: Seq[(String, () => Unit)] = opFilter(Seq(
         "graph_pagerank3" -> (() => { ops.GraphOps.graphPagerank3(spark, dir).count(); () }),
         "graph_kcore3" -> (() => { ops.GraphOps.graphKcore3(spark, dir).count(); () }),
         "join_asof" -> (() => { ops.Relational.joinAsof(spark, dir).count(); () }),
@@ -226,7 +233,7 @@ object ScalingBench {
         // independent of fact rows), so its fitted α should be ~the
         // date-grain aggregate's, not the pair count's
         "cdc_merge_apply" -> (() => { ops.TimeSeries.cdcMergeApply(spark, dir).count(); () }),
-        "agg_hodges_lehmann" -> (() => { ops.Relational.aggHodgesLehmann(spark, dir).count(); () }))
+        "agg_hodges_lehmann" -> (() => { ops.Relational.aggHodgesLehmann(spark, dir).count(); () })))
       val best = scala.collection.mutable.LinkedHashMap[String, Double]()
       val bestCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
       var primeBest = Double.MaxValue
