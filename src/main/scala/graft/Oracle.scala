@@ -4929,7 +4929,80 @@ td AS (SELECT pid, cand FROM (SELECT pid, cand,
 ov AS (SELECT tc.pid, count(*) n FROM tc JOIN td ON tc.pid = td.pid AND tc.cand = td.cand GROUP BY 1)
 SELECT p.pid, CAST(coalesce(ov.n, 0) AS BIGINT) AS overlap_at_10,
   floor(CAST(coalesce(ov.n, 0) AS DOUBLE)/CAST(20 - coalesce(ov.n, 0) AS DOUBLE)*1e4)/1e4 AS jaccard_at_10
-FROM probes p LEFT JOIN ov ON ov.pid = p.pid ORDER BY p.pid"""
+FROM probes p LEFT JOIN ov ON ov.pid = p.pid ORDER BY p.pid""",
+
+      // Mann-Kendall: S and the tie correction are BIGINT arithmetic
+      // over calendar-bounded pairs; z quantized; decision on the
+      // quantized integer.
+      "ts_mann_kendall" ->
+        s"""WITH m AS (SELECT date_trunc('month', o_orderdate) mo,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) c
+  FROM ${T("orders")} GROUP BY 1),
+sp AS (SELECT sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END) sStat
+  FROM m a JOIN m b ON a.mo < b.mo),
+ties AS (SELECT coalesce(sum(CASE WHEN t > 1 THEN t*(t-1)*(2*t+5) END), 0) tsum
+  FROM (SELECT c, count(*) t FROM m GROUP BY 1)),
+nr AS (SELECT count(*) n FROM m),
+z AS (SELECT sStat, n, tsum,
+    CAST(n*(n-1)*(2*n+5) - tsum AS DOUBLE)/18.0 varS FROM sp, nr, ties),
+zz AS (SELECT *, CASE WHEN sStat > 0 THEN CAST(sStat - 1 AS DOUBLE)/sqrt(varS)
+    WHEN sStat < 0 THEN CAST(sStat + 1 AS DOUBLE)/sqrt(varS) ELSE 0.0 END zv
+  FROM z)
+SELECT CAST(n AS BIGINT) AS n_months, CAST(sStat AS BIGINT) AS s_stat,
+  floor(varS*100)/100 AS var_s, floor(zv*1e4)/1e4 AS z,
+  CASE WHEN floor(abs(zv)*1e4) > 19600 THEN
+    CASE WHEN sStat > 0 THEN 'increasing' ELSE 'decreasing' END
+  ELSE 'none' END AS trend_95
+FROM zz""",
+
+      // Price indices on floor-cent unit prices ((100*Sum ext) // Sum
+      // qty): every index component a BIGINT sum, one division each.
+      "agg_price_index" ->
+        s"""WITH y0 AS (SELECT l_partkey pk0,
+    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)) //
+      sum(CAST(l_quantity AS BIGINT)) p0,
+    sum(CAST(l_quantity AS BIGINT)) q0
+  FROM ${T("lineitem")} WHERE year(l_shipdate) = 1995 GROUP BY 1),
+y1 AS (SELECT l_partkey pk1,
+    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)) //
+      sum(CAST(l_quantity AS BIGINT)) p1,
+    sum(CAST(l_quantity AS BIGINT)) q1
+  FROM ${T("lineitem")} WHERE year(l_shipdate) = 2000 GROUP BY 1),
+j AS (SELECT count(*) n_parts,
+    sum(p1*q0) l_num, sum(p0*q0) l_den, sum(p1*q1) p_num, sum(p0*q1) p_den
+  FROM y0 JOIN y1 ON pk0 = pk1)
+SELECT CAST(n_parts AS BIGINT) AS n_parts,
+  floor(CAST(l_num AS DOUBLE)/CAST(l_den AS DOUBLE)*1e4)/1e4 AS laspeyres,
+  floor(CAST(p_num AS DOUBLE)/CAST(p_den AS DOUBLE)*1e4)/1e4 AS paasche,
+  floor(sqrt((CAST(l_num AS DOUBLE)/CAST(l_den AS DOUBLE)) *
+    (CAST(p_num AS DOUBLE)/CAST(p_den AS DOUBLE)))*1e4)/1e4 AS fisher
+FROM j""",
+
+      // Hubness: k-occurrence counts on the quantized panel kNN,
+      // integer power sums, quantized skewness.
+      "sim_hubness_skew" ->
+        s"""WITH panel AS (SELECT vec_id, embedding FROM ${T("embeddings")} WHERE vec_id < 200),
+scored AS (SELECT a.vec_id pid, b.vec_id cand,
+    CAST(floor(list_cosine_similarity(cast(a.embedding AS DOUBLE[]), cast(b.embedding AS DOUBLE[]))*10000) AS BIGINT) q
+  FROM panel a JOIN panel b ON a.vec_id <> b.vec_id),
+nn AS (SELECT cand FROM (SELECT pid, cand,
+    row_number() OVER (PARTITION BY pid ORDER BY q DESC, cand) r FROM scored) t
+  WHERE r <= 10),
+occ AS (SELECT cand, count(*) k FROM nn GROUP BY 1),
+ko AS (SELECT coalesce(k, 0) k FROM panel LEFT JOIN occ ON cand = vec_id),
+st AS (SELECT count(*) n, sum(k) s1, sum(k*k) s2, sum(k*k*k) s3, max(k) kmax,
+    sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) zeros,
+    sum(CASE WHEN k >= 20 THEN 1 ELSE 0 END) hubs FROM ko)
+SELECT CAST(n AS BIGINT) AS n_panel, CAST(kmax AS BIGINT) AS max_occ,
+  CAST(zeros AS BIGINT) AS n_anti_hubs, CAST(hubs AS BIGINT) AS n_hubs_2k,
+  floor((CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE)
+      - 3 * (CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)) * (CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE))
+      + 2 * (CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)))
+    / sqrt((CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) - (CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)))
+         * (CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) - (CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)))
+         * (CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) - (CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))))
+    * 1e4)/1e4 AS skewness
+FROM st"""
     )
   }
 }

@@ -2861,6 +2861,38 @@ object Relational {
       .orderBy("t1", "t2")
   }
 
+  /** Laspeyres / Paasche / Fisher price indices (§2.28): the index-
+    * number read "how much did prices move 1995→2000, holding the
+    * basket fixed" over parts traded in BOTH years — the economics
+    * face of the fact table. Exactness: per-(part, year) unit price
+    * floor-quantizes to exact integer cents via (100·Σext) div Σqty
+    * (BIGINT division — both engines identical), quantities are exact
+    * integers, so every Σ(p·q) index component is a BIGINT sum and
+    * each index is ONE division; Fisher = √(L·P) on identical
+    * doubles, floor-quantized at 1e4. Scale: one map-combined
+    * (part, year) aggregate, a part-keyed self-join of the two years
+    * (the only shuffle), 1-row reduce. */
+  val aggPriceIndex: Q = (s, d) => {
+    def yr(y: Int) = table(s, d, "lineitem")
+      .filter(year(col("l_shipdate")) === y)
+      .groupBy(col("l_partkey"))
+      .agg(sum((dec2(col("l_extendedprice")) * 100).cast(LongType)).as("ec"),
+        sum(col("l_quantity").cast(LongType)).as("q"))
+      .select(col("l_partkey"), expr("(ec) div q").as("p"), col("q"))
+    val base = yr(1995).toDF("pk0", "p0", "q0")
+    val cur = yr(2000).toDF("pk1", "p1", "q1")
+    val j = base.join(cur, col("pk0") === col("pk1"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p1") * col("q0")).as("l_num"), sum(col("p0") * col("q0")).as("l_den"),
+        sum(col("p1") * col("q1")).as("p_num"), sum(col("p0") * col("q1")).as("p_den"))
+    val lIdx = col("l_num").cast(DoubleType) / col("l_den").cast(DoubleType)
+    val pIdx = col("p_num").cast(DoubleType) / col("p_den").cast(DoubleType)
+    j.select(asLong(col("n_parts")).as("n_parts"),
+      (floor(lIdx * 1e4) / 1e4).as("laspeyres"),
+      (floor(pIdx * 1e4) / 1e4).as("paasche"),
+      (floor(sqrt(lIdx * pIdx) * 1e4) / 1e4).as("fisher"))
+  }
+
   /** Parquet schema evolution (§2.26): the pre-1996 order slice is
     * written WITHOUT the priority column and the 1996+ slice WITHOUT
     * totalprice; reading both with mergeSchema must union-by-name and

@@ -1507,4 +1507,42 @@ object TimeSeries {
       (floor(p99 * 100) / 100).as("p99_return_level"))
   }
 
+  /** Mann–Kendall trend test (§2.28): the nonparametric "is there a
+    * monotone trend at all" TEST on monthly revenue — the hypothesis
+    * complement to ts_theil_sen's slope ESTIMATE (same pair machinery,
+    * opposite question). S = Σ sign(xⱼ−xᵢ) over i<j and the tie
+    * correction Σt(t−1)(2t+5) are pure BIGINT-cents arithmetic over
+    * the CALENDAR-bounded pair relation; the normal approximation
+    * z = (S∓1)/√(varS) is one IEEE expression on exact integers,
+    * floor-quantized at 1e4, with the 95% decision taken ON the
+    * quantized integer. Scale: month-grain map-combined aggregate →
+    * broadcast mo<mo' self-join (≤n²/2 month pairs at ANY SF) →
+    * 1-row reduce; ties fold from a value-grain aggregate. */
+  val tsMannKendall: Q = (s, d) => {
+    val m = table(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("c"))
+    val a = m.toDF("mo1", "c1")
+    val b = m.toDF("mo2", "c2")
+    val sPairs = a.join(broadcast(b), col("mo1") < col("mo2"))
+      .agg(sum(when(col("c2") > col("c1"), 1L)
+        .when(col("c2") < col("c1"), -1L).otherwise(0L)).as("sStat"))
+    val ties = m.groupBy(col("c")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(when(col("t") > 1,
+        col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))), lit(0L)).as("tsum"))
+    val nRel = m.agg(count(lit(1)).as("n"))
+    val varS = ((col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tsum"))
+      .cast(DoubleType)) / 18.0
+    val z = when(col("sStat") > 0, (col("sStat") - 1).cast(DoubleType) / sqrt(varS))
+      .when(col("sStat") < 0, (col("sStat") + 1).cast(DoubleType) / sqrt(varS))
+      .otherwise(lit(0.0))
+    sPairs.crossJoin(broadcast(nRel)).crossJoin(broadcast(ties))
+      .select(asLong(col("n")).as("n_months"), asLong(col("sStat")).as("s_stat"),
+        (floor(varS * 100) / 100).as("var_s"),
+        (floor(z * 1e4) / 1e4).as("z"),
+        when(floor(abs(z) * 1e4) > 19600,
+          when(col("sStat") > 0, "increasing").otherwise("decreasing"))
+          .otherwise("none").as("trend_95"))
+  }
+
 }
