@@ -4766,10 +4766,14 @@ FROM b CROSS JOIN tot ORDER BY bin""",
       "agg_fk_violations" ->
         s"""WITH li AS (SELECT l_orderkey, CAST(l_shipdate AS DATE) sd FROM ${T("lineitem")}),
 o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) od FROM ${T("orders")}),
+-- NOT EXISTS, not NOT IN: with any NULL key NOT IN evaluates UNKNOWN
+-- (one NULL o_orderkey would empty the orphan count), while Spark's
+-- left_anti counts NULL-key rows as orphans — NOT EXISTS matches the
+-- anti-join semantics exactly (advice r9)
 orphans AS (SELECT count(*) orphan_lines FROM li
-  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM o)),
+  WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.o_orderkey = li.l_orderkey)),
 childless AS (SELECT count(*) childless_orders FROM o
-  WHERE o_orderkey NOT IN (SELECT l_orderkey FROM li)),
+  WHERE NOT EXISTS (SELECT 1 FROM li WHERE li.l_orderkey = o.o_orderkey)),
 early AS (SELECT sum(CASE WHEN sd < od THEN 1 ELSE 0 END) ship_before_order,
     count(*) joined_lines
   FROM li JOIN o ON o_orderkey = l_orderkey)

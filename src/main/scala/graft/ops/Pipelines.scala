@@ -1644,20 +1644,26 @@ object Pipelines {
     * head-heaviness read behind stopword lists and vocab sizing
     * (pipeline_zipf_fit fits the same curve's exponent). Counts
     * exact; coverage divides identical doubles. Scale: one token
-    * aggregate; the rank runs over the vocab-bounded relation (same
-    * precedent as the zipf/vocab ranks). */
+    * aggregate, then the top-50 via TakeOrderedAndProject (per-
+    * partition heaps, never a global sort — vocabulary grows ~n^0.5
+    * by Heaps' law, so a global rank would be a one-task window over
+    * 10⁸⁺ rows at corpus scale; only k ≤ 50 matters). covered(k) is
+    * the sum of the k largest counts — invariant to tie order among
+    * equal counts, so the plan change cannot move the oracle hash —
+    * folded from the sorted 50-element count array. */
   val pipelineTopTokenCoverage: Q = (s, d) => {
     import s.implicits._
     val f = table(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val tot = f.agg(sum(col("c")).as("n"))
-    val r = f.withColumn("rk",
-      row_number().over(Window.orderBy(col("c").desc, col("w"))))
+    val top = f.orderBy(col("c").desc, col("w")).limit(50)
+      .agg(reverse(array_sort(collect_list(col("c")))).as("cs"))
     val ks = Seq(1, 5, 10, 20, 50).toDF("k")
-    r.crossJoin(broadcast(ks))
-      .groupBy(col("k"))
-      .agg(sum(when(col("rk") <= col("k"), col("c")).otherwise(0L)).as("covered"))
+    broadcast(ks).crossJoin(broadcast(top))
+      .select(col("k"),
+        aggregate(slice(col("cs"), lit(1), col("k")), lit(0L), _ + _)
+          .as("covered"))
       .crossJoin(broadcast(tot))
       .select(asLong(col("k")).as("k"), asLong(col("covered")).as("covered"),
         round(col("covered").cast(DoubleType) / col("n").cast(DoubleType), 6)

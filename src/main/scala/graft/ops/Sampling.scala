@@ -228,12 +228,18 @@ object Sampling {
     val bud = 10000L
     // localCheckpoint: four consumers (weights, total, base, leftover)
     // — ONE corpus aggregate instead of four re-scans
+    // sx/sxx accumulate in DECIMAL(38,0): DuckDB's sum() widens to
+    // HUGEINT, and the nh·Σx²−(Σx)² numerator overflows Long once a
+    // stratum holds ~3e9 total chars — same guard as
+    // tsExtremeValueMoments (advice r9)
+    val dec38 = DecimalType(38, 0)
     val st = table(s, d, "documents")
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("nh"), sum(col("n_chars")).as("sx"),
-        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      .agg(count(lit(1)).as("nh"),
+        sum(col("n_chars").cast(dec38)).as("sx"),
+        sum((col("n_chars") * col("n_chars")).cast(dec38)).as("sxx"))
       .select(col("source"), col("nh"),
-        floor(sqrt((col("nh") * col("sxx") - col("sx") * col("sx"))
+        floor(sqrt((col("nh").cast(dec38) * col("sxx") - col("sx") * col("sx"))
           .cast(DoubleType))).cast(LongType).as("w"))
       .localCheckpoint(true)
     val tot = st.agg(sum(col("w")).as("tw"))

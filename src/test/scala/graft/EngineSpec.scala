@@ -391,4 +391,17 @@ class EngineSpec extends AnyFunSuite {
     assert(mag.contains("WindowGroupLimit") && mag.contains("InMemoryTableScan"),
       s"metric agreement lost its shared scored relation:\n$mag")
   }
+
+  test("round-10: top_token_coverage is TakeOrdered, never a vocab window") {
+    // Heaps' law: vocabulary grows ~n^0.5, so a global row_number over
+    // it is a one-task sort of 10^8+ rows at corpus scale. The plan
+    // must cut the top-50 with per-partition heaps (TakeOrdered) and
+    // contain NO WindowExec at all.
+    val tc = ops.Pipelines.pipelineTopTokenCoverage(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(tc.contains("TakeOrdered"),
+      s"top_token_coverage lost its TakeOrderedAndProject:\n$tc")
+    assert(!tc.contains("Window"),
+      s"top_token_coverage regrew a global window:\n$tc")
+  }
 }

@@ -257,11 +257,38 @@ class QuerySuiteSpec extends AnyFunSuite {
     // §2.27 (round 9, ninth batch)
     "sample_ht_estimate" -> 20L, "agg_table_checksum" -> 3L,
     "agg_bitmap_overlap" -> 10L, "pipeline_heldout_nll" -> 5L,
-    "ts_extreme_value_moments" -> 1L, "sim_metric_agreement" -> 30L)
+    "ts_extreme_value_moments" -> 1L, "sim_metric_agreement" -> 30L,
+    // §2.28 (round 10, declaration batch)
+    "ts_mann_kendall" -> 1L, "agg_price_index" -> 1L,
+    "sim_hubness_skew" -> 1L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
     assert(SparkEntry.queries.keySet == golden.keySet)
+  }
+
+  /** Guard against the round-9 drift (3 queries shipped in
+    * SparkEntry.queries but never declared in SURVEY §2): parse the
+    * backticked names out of SURVEY.md's §2 and assert set-equality
+    * with the registry. Query names are recognized by their family
+    * prefix, which filters out the SQL function names §2's prose also
+    * backticks. */
+  test("SURVEY.md §2 declares exactly the registered query set") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val start = survey.indexOf("## 2. Operator inventory")
+    val end = survey.indexOf("\n## 3.", start)
+    assert(start >= 0 && end > start, "SURVEY.md §2 boundaries not found")
+    val sect = survey.substring(start, end)
+    val prefixes = SparkEntry.queries.keySet.map(_.takeWhile(_ != '_'))
+    val declared = "`([a-z][a-z0-9_]+)`".r.findAllMatchIn(sect)
+      .map(_.group(1))
+      .filter(n => n.contains('_') && prefixes.contains(n.takeWhile(_ != '_')))
+      .toSet
+    val undeclared = SparkEntry.queries.keySet -- declared
+    val stale = declared -- SparkEntry.queries.keySet
+    assert(undeclared.isEmpty, s"registered but not in SURVEY §2: $undeclared")
+    assert(stale.isEmpty, s"in SURVEY §2 but not registered: $stale")
   }
 
   test("entry (flagship) returns rows") {
