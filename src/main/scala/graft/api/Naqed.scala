@@ -708,36 +708,48 @@ class Naqed(spark: SparkSession, sfDir: String) {
   /** Embedding near-dedup directive (naqed resolver-with-args style):
     * the curation stage for embedding-carrying corpora
     * (ops.Curation.annNearDedup), driven through the `$`-argument
-    * convention. Default path is the density-adaptive ANN pipeline
-    * (`$mass_factor` widens probing, `$margin` widens the PQ-code
-    * prefilter band, `$n_cells` sizes the IVF grid); `$exact -> true`
-    * opts into the all-pairs exact pair set instead. Returns the kept
-    * corpus. Unknown arguments fail analysis naqed-style. */
+    * convention. Default is `$path -> "auto"` — a one-probe cost-based
+    * switch at the measured SCALING.md crossover (exact block-grid
+    * below ~50k items where it is both cheaper and recall-1.0, the
+    * density-adaptive ANN pipeline above it); `$path -> "exact"|"ann"`
+    * pins a side, and the legacy `$exact -> true/false` boolean maps
+    * to the same. `$mass_factor` widens ANN probing, `$margin` widens
+    * the PQ-code prefilter band, `$n_cells` sizes the IVF grid.
+    * Returns the kept corpus. Unknown arguments fail analysis
+    * naqed-style. */
   def nearDedupEmbeddings(q: Map[String, Any] = Map.empty): DataFrame = {
-    val known = Set("$n_cells", "$mass_factor", "$margin", "$exact")
+    val known = Set("$n_cells", "$mass_factor", "$margin", "$exact", "$path")
     val unknown = q.keys.filterNot(known.contains)
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"unknown near-dedup arguments ${unknown.mkString(", ")}; " +
           s"valid: ${known.toSeq.sorted.mkString(", ")}")
+    if (q.contains("$exact") && q.contains("$path"))
+      throw new IllegalArgumentException(
+        "$exact and $path are aliases; pass only one")
     def num(k: String, dflt: Double): Double = q.get(k) match {
       case Some(n: Number) => n.doubleValue()
       case Some(other) => throw new IllegalArgumentException(
         s"$k expects a number, got $other")
       case None => dflt
     }
-    val exact = q.get("$exact") match {
-      case Some(b: Boolean) => b
+    val path = q.get("$path") match {
+      case Some(p: String) if Set("auto", "exact", "ann")(p) => p
       case Some(other) => throw new IllegalArgumentException(
-        s"$$exact expects a boolean, got $other")
-      case None => false
+        s"$$path expects one of auto, exact, ann; got $other")
+      case None => q.get("$exact") match {
+        case Some(b: Boolean) => if (b) "exact" else "ann"
+        case Some(other) => throw new IllegalArgumentException(
+          s"$$exact expects a boolean, got $other")
+        case None => "auto"
+      }
     }
     graft.ops.Curation.annNearDedup(spark, sfDir, table("embeddings"),
       idCol = "vec_id",
       nCells = num("$n_cells", 16).toInt,
       massFactor = num("$mass_factor", 8.0),
       margin = num("$margin", 0.05),
-      exact = exact)
+      path = path)
   }
 
   /** Aggregation directive: `$groupBy -> field | Seq(fields)` plus

@@ -67,25 +67,62 @@ object Curation {
     docs.join(activePairs.select(col("d2")), col("doc_id") === col("d2"), "left_anti")
   }
 
+  /** Measured cost crossover between the exact block-grid and the IVF
+    * ANN near-dup pair paths (SCALING.md, docs-family curves: exact
+    * fits α 2.03 on the 5k→50k leg vs ANN's 1.33, with exact already
+    * 58.2 s at 50k vectors and the gap widening with n — but BELOW
+    * ~50k the exact path is both cheaper and recall-1.0, because the
+    * IVF train/assign setup dominates tiny corpora). `path = "auto"`
+    * probes the corpus size once and picks the side of this line. */
+  val AnnCrossoverItems = 50000L
+
+  /** The auto rule as a pure function (unit-testable without building
+    * a 50k-vector corpus): exact below the measured crossover — where
+    * it is BOTH cheaper and recall-1.0 — ANN at and above it. */
+  def chooseNearDedupPath(nItems: Long): String =
+    if (nItems < AnnCrossoverItems) "exact" else "ann"
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Embedding-space near-dedup — the curation stage for corpora whose
     * items carry embeddings (the embeddings table here; at scale, any
-    * corpus joined to its embedding column). Pairs come from the
-    * density-adaptive ANN path (`Pipelines.simCosineNeardupAnnAdaptive`
-    * — IVF candidates, mass-driven probing, PQ-code prefilter, exact
-    * cosine rescore: precision 1.0 by construction, measured recall in
-    * SCALING.md/AnnNeardupSpec, full-float rescores ~138x fewer than
-    * fixed nprobe=8). Same keep-the-lesser-id semantics and
-    * removed-canonical guard as the text `nearDedup` stage: an item is
-    * dropped iff it is the GREATER side of a pair whose LESSER side is
-    * still in the input. `exact = true` swaps in the all-pairs exact
-    * pair set (`simCosineNeardup`) for corpora small enough to afford
-    * it — the knob that makes the ANN path the default and the exact
-    * path the opt-in, not the reverse. */
+    * corpus joined to its embedding column). `path` selects the pair
+    * source:
+    *
+    *  - `"ann"`: the density-adaptive ANN pipeline
+    *    (`Pipelines.simCosineNeardupAnnAdaptive` — IVF candidates,
+    *    mass-driven probing, PQ-code prefilter, exact cosine rescore:
+    *    precision 1.0 by construction, measured recall in
+    *    SCALING.md/AnnNeardupSpec, full-float rescores ~138x fewer
+    *    than fixed nprobe=8);
+    *  - `"exact"`: the all-pairs block-grid (`simCosineNeardup`) —
+    *    recall 1.0, affordable below the measured crossover;
+    *  - `"auto"` (default): one count() size probe against
+    *    `AnnCrossoverItems`, choice logged — the measured SCALING.md
+    *    crossover as default behavior rather than documentation.
+    *
+    * Precision is 1.0 on EVERY path (both pair sources exact-rescore
+    * at the same threshold), so auto switching can only trade recall,
+    * never introduce false drops. Same keep-the-lesser-id semantics
+    * and removed-canonical guard as the text `nearDedup` stage: an
+    * item is dropped iff it is the GREATER side of a pair whose
+    * LESSER side is still in the input. */
   def annNearDedup(spark: SparkSession, sfDir: String, items: DataFrame,
       idCol: String = "vec_id", nCells: Int = 16, massFactor: Double = 8.0,
-      margin: Double = 0.05, exact: Boolean = false): DataFrame = {
+      margin: Double = 0.05, path: String = "auto"): DataFrame = {
+    val resolved = path match {
+      case "auto" =>
+        val n = items.count()
+        val chosen = chooseNearDedupPath(n)
+        log.info(s"annNearDedup auto path: $n items -> $chosen " +
+          s"(crossover $AnnCrossoverItems, SCALING.md docs-family curves)")
+        chosen
+      case p @ ("exact" | "ann") => p
+      case other => throw new IllegalArgumentException(
+        s"unknown near-dedup path '$other'; valid: auto, exact, ann")
+    }
     val pairs =
-      if (exact) Pipelines.simCosineNeardup(spark, sfDir)
+      if (resolved == "exact") Pipelines.simCosineNeardup(spark, sfDir)
       else Pipelines.simCosineNeardupAnnAdaptive(spark, sfDir, nCells,
         massFactor, margin)
     val activePairs = pairs

@@ -85,7 +85,7 @@ class CurationSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"adaptive ANN recall $recall below 0.9")
     // the curation stage end-to-end: drops exactly the greater sides
     // of active pairs, keeps everything else
-    val kept = ops.Curation.annNearDedup(spark, sf0001, emb)
+    val kept = ops.Curation.annNearDedup(spark, sf0001, emb, path = "ann")
     val expectedDrops = annPairs.map(_._2)
     val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
     val allIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
@@ -95,15 +95,49 @@ class CurationSpec extends AnyFunSuite {
     val (c, dup) = annPairs.groupBy(_._2).filter(_._2.size == 1)
       .values.map(_.head).head
     val without = ops.Curation.annNearDedup(spark, sf0001,
-      emb.filter(col("vec_id") =!= c))
+      emb.filter(col("vec_id") =!= c), path = "ann")
     assert(without.filter(col("vec_id") === dup).count() == 1)
     // the naqed API surface reaches the same stage (massFactor knob)
     val apiKept = new graft.api.Naqed(spark, sf0001)
-      .nearDedupEmbeddings(Map("$mass_factor" -> 8.0))
+      .nearDedupEmbeddings(Map("$mass_factor" -> 8.0, "$path" -> "ann"))
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(apiKept == keptIds)
     intercept[IllegalArgumentException] {
       new graft.api.Naqed(spark, sf0001).nearDedupEmbeddings(Map("$bogus" -> 1))
+    }
+  }
+
+  test("near-dedup auto path: cost-based switch at the measured crossover") {
+    import ops.Curation._
+    // the pure rule, both sides of the SCALING.md line: exact below
+    // the crossover (cheaper AND recall-1.0 there), ANN at/above it
+    assert(chooseNearDedupPath(500) == "exact")
+    assert(chooseNearDedupPath(AnnCrossoverItems - 1) == "exact")
+    assert(chooseNearDedupPath(AnnCrossoverItems) == "ann")
+    assert(chooseNearDedupPath(100 * AnnCrossoverItems) == "ann")
+    val emb = Tables(spark, sf0001, "embeddings")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    // below the crossover, auto IS the exact path — identical output
+    val auto = ids(annNearDedup(spark, sf0001, emb))
+    val exact = ids(annNearDedup(spark, sf0001, emb, path = "exact"))
+    assert(auto == exact, "auto below the crossover must take the exact path")
+    // precision 1.0 on every path: ANN pairs exact-rescore at the same
+    // threshold, so ANN can only drop a subset of what exact drops —
+    // switching paths never introduces a false drop
+    val ann = ids(annNearDedup(spark, sf0001, emb, path = "ann"))
+    assert(exact.subsetOf(ann), "ANN dropped an item the exact path kept")
+    intercept[IllegalArgumentException] {
+      annNearDedup(spark, sf0001, emb, path = "bogus")
+    }
+    // API surface: $path validated, $exact/$path are exclusive aliases
+    val api = new graft.api.Naqed(spark, sf0001)
+    assert(ids(api.nearDedupEmbeddings(Map("$path" -> "auto"))) == auto)
+    intercept[IllegalArgumentException] {
+      api.nearDedupEmbeddings(Map("$path" -> "fastest"))
+    }
+    intercept[IllegalArgumentException] {
+      api.nearDedupEmbeddings(Map("$path" -> "auto", "$exact" -> true))
     }
   }
 
