@@ -5006,7 +5006,285 @@ SELECT CAST(n AS BIGINT) AS n_panel, CAST(kmax AS BIGINT) AS max_occ,
          * (CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) - (CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)))
          * (CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) - (CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))))
     * 1e4)/1e4 AS skewness
-FROM st"""
+FROM st""",
+
+      // Gopher rules: every rule decided in integer arithmetic (no
+      // mean-word-length division — 3n <= letters <= 5n); one final
+      // pass_rate division. regexp_replace needs the 'g' flag here
+      // (DuckDB replaces first match by default; Spark replaces all).
+      "pipeline_gopher_quality" ->
+        s"""WITH f AS (SELECT source,
+    len(string_split(text, ' ')) nt,
+    len(list_filter(string_split(text, ' '),
+      w -> w IN ('the', 'a', 'table', 'value', 'query'))) nstop,
+    length(replace(text, ' ', '')) letters,
+    length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) syms
+  FROM ${T("documents")}),
+r AS (SELECT source,
+    CASE WHEN nt < 20 OR nt > 1000 THEN 1 ELSE 0 END fwc,
+    CASE WHEN letters < 3*nt OR letters > 5*nt THEN 1 ELSE 0 END fmwl,
+    CASE WHEN nstop < 2 THEN 1 ELSE 0 END fstop,
+    CASE WHEN 10*syms > nt THEN 1 ELSE 0 END fsym
+  FROM f)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(fwc) AS BIGINT) AS fail_word_count,
+  CAST(sum(fmwl) AS BIGINT) AS fail_mean_word_len,
+  CAST(sum(fstop) AS BIGINT) AS fail_stopwords,
+  CAST(sum(fsym) AS BIGINT) AS fail_symbol_ratio,
+  CAST(sum(CASE WHEN fwc + fmwl + fstop + fsym = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+  round(CAST(sum(CASE WHEN fwc + fmwl + fstop + fsym = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE), 4) AS pass_rate
+FROM r GROUP BY 1 ORDER BY 1""",
+
+      // DSIR: add-1 smoothed target/corpus unigram log-ratios on exact
+      // integer cross-products, quantized at 1e6 before the per-doc
+      // sum; top-200 by (score, doc_id); 5-row lang rollup.
+      "pipeline_dsir_selection" ->
+        s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) w
+  FROM ${T("documents")}),
+corpus AS (SELECT w, count(*) cc FROM tok GROUP BY 1),
+target AS (SELECT w, count(*) ct FROM tok WHERE lang = 'de' GROUP BY 1),
+tots AS (SELECT sum(cc) nc, count(*) v FROM corpus),
+tt AS (SELECT coalesce(sum(ct), 0) nt FROM target),
+weights AS (SELECT c.w,
+    CAST(floor(ln(CAST((coalesce(t.ct, 0) + 1) * (nc + v) AS DOUBLE) /
+                  CAST((c.cc + 1) * (nt + v) AS DOUBLE)) * 1e6) AS BIGINT) lr6
+  FROM corpus c LEFT JOIN target t ON c.w = t.w, tots, tt),
+scored AS (SELECT doc_id, lang, sum(lr6) s6
+  FROM tok JOIN weights USING (w) GROUP BY 1, 2),
+sel AS (SELECT * FROM scored ORDER BY s6 DESC, doc_id LIMIT 200),
+bylang AS (SELECT lang, count(*) ns, sum(s6) ss FROM sel GROUP BY 1)
+SELECT l.lang, CAST(coalesce(ns, 0) AS BIGINT) AS n_selected,
+  CAST(coalesce(ss, 0) AS BIGINT) AS sum_score_q6,
+  round(CAST(coalesce(ns, 0) AS DOUBLE) / 200.0, 4) AS share
+FROM (SELECT DISTINCT lang FROM ${T("documents")}) l
+LEFT JOIN bylang USING (lang) ORDER BY 1""",
+
+      // NDCG@10: the 10 discount weights floor(1e6/log2(i+1)) and
+      // their prefix sums are INLINED as integer literals in both
+      // engines — no runtime log2; DCG/IDCG are BIGINT sums.
+      "sim_ndcg_at10" ->
+        s"""WITH emb AS (SELECT * FROM ${T("embeddings")}),
+probes AS (SELECT vec_id pid, embedding pe, label plab FROM emb WHERE vec_id < 30),
+corpus AS (SELECT * FROM emb WHERE vec_id >= 30),
+scored AS (SELECT p.pid, e.vec_id cand,
+    CAST(floor(list_cosine_similarity(cast(p.pe AS DOUBLE[]), cast(e.embedding AS DOUBLE[]))*10000) AS BIGINT) q,
+    CASE WHEN e.label = p.plab THEN 1 ELSE 0 END rel
+  FROM probes p CROSS JOIN corpus e),
+top AS (SELECT pid, rel, r FROM (SELECT pid, rel,
+    row_number() OVER (PARTITION BY pid ORDER BY q DESC, cand) r FROM scored) t
+  WHERE r <= 10),
+dcg AS (SELECT pid, sum(rel * CASE r WHEN 1 THEN 1000000 WHEN 2 THEN 630929
+    WHEN 3 THEN 500000 WHEN 4 THEN 430676 WHEN 5 THEN 386852 WHEN 6 THEN 356207
+    WHEN 7 THEN 333333 WHEN 8 THEN 315464 WHEN 9 THEN 301029 ELSE 289064 END) dcg_q6
+  FROM top GROUP BY 1),
+reltot AS (SELECT label, count(*) n_rel FROM corpus GROUP BY 1)
+SELECT p.pid, CAST(rt.n_rel AS BIGINT) AS n_rel,
+  CAST(d.dcg_q6 AS BIGINT) AS dcg_q6,
+  CAST(CASE least(rt.n_rel, 10) WHEN 0 THEN 0 WHEN 1 THEN 1000000
+    WHEN 2 THEN 1630929 WHEN 3 THEN 2130929 WHEN 4 THEN 2561605
+    WHEN 5 THEN 2948457 WHEN 6 THEN 3304664 WHEN 7 THEN 3637997
+    WHEN 8 THEN 3953461 WHEN 9 THEN 4254490 ELSE 4543554 END AS BIGINT) AS idcg_q6,
+  round(CAST(d.dcg_q6 AS DOUBLE) / CAST(CASE least(rt.n_rel, 10) WHEN 0 THEN 0
+    WHEN 1 THEN 1000000 WHEN 2 THEN 1630929 WHEN 3 THEN 2130929
+    WHEN 4 THEN 2561605 WHEN 5 THEN 2948457 WHEN 6 THEN 3304664
+    WHEN 7 THEN 3637997 WHEN 8 THEN 3953461 WHEN 9 THEN 4254490
+    ELSE 4543554 END AS DOUBLE), 6) AS ndcg
+FROM probes p JOIN reltot rt ON rt.label = p.plab JOIN dcg d ON d.pid = p.pid
+ORDER BY p.pid""",
+
+      // Cramer's V: cell chi2 terms square in HUGEINT (O*n reaches
+      // 2.25e10 at sf0.1 — BIGINT would wrap), one double division,
+      // quantized at 1e6 before the sum; V quantized at 1e4.
+      "agg_cramers_v" ->
+        s"""WITH o AS (SELECT o_orderstatus st, o_orderpriority pr,
+    year(o_orderdate) yr FROM ${T("orders")}),
+c1 AS (SELECT st a, pr b, count(*) o FROM o GROUP BY 1, 2),
+c2 AS (SELECT st a, CAST(yr AS VARCHAR) b, count(*) o FROM o GROUP BY 1, 2),
+c3 AS (SELECT pr a, CAST(yr AS VARCHAR) b, count(*) o FROM o GROUP BY 1, 2),
+u AS (SELECT 'status_priority' pair, * FROM c1
+  UNION ALL SELECT 'status_year', * FROM c2
+  UNION ALL SELECT 'priority_year', * FROM c3),
+rt AS (SELECT pair, a, sum(o) rt FROM u GROUP BY 1, 2),
+ct AS (SELECT pair, b, sum(o) ct FROM u GROUP BY 1, 2),
+dims AS (SELECT pair, sum(o) n, count(DISTINCT a) r, count(DISTINCT b) c
+  FROM u GROUP BY 1),
+x AS (SELECT u.pair,
+    sum(CAST(floor(CAST(CAST(u.o*dims.n - rt.rt*ct.ct AS HUGEINT) *
+          CAST(u.o*dims.n - rt.rt*ct.ct AS HUGEINT) AS DOUBLE) /
+        CAST(rt.rt*ct.ct*dims.n AS DOUBLE) * 1e6) AS BIGINT)) chi2_q6,
+    first(dims.n) n, first(dims.r) r, first(dims.c) c
+  FROM u JOIN rt ON rt.pair = u.pair AND rt.a = u.a
+    JOIN ct ON ct.pair = u.pair AND ct.b = u.b
+    JOIN dims ON dims.pair = u.pair
+  GROUP BY 1)
+SELECT pair, CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS levels_a,
+  CAST(c AS BIGINT) AS levels_b, CAST(chi2_q6 AS BIGINT) AS chi2_q6,
+  floor(sqrt(CAST(chi2_q6 AS DOUBLE) / 1e6 /
+    CAST(n * (least(r, c) - 1) AS DOUBLE)) * 1e4) / 1e4 AS cramers_v
+FROM x ORDER BY pair""",
+
+      // PSI: fixed 50k-wide price bins on the stored doubles (both
+      // engines divide the same doubles), add-1 smoothing on the
+      // static 0-9 spine, per-bin term quantized at 1e8.
+      "agg_psi_drift" ->
+        s"""WITH o AS (SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) bin,
+    year(o_orderdate) y FROM ${T("orders")}),
+a AS (SELECT bin, count(*) ca FROM o WHERE y = 1995 GROUP BY 1),
+b AS (SELECT bin, count(*) cb FROM o WHERE y = 1998 GROUP BY 1),
+spine AS (SELECT range bin FROM range(0, 10)),
+j AS (SELECT s.bin, coalesce(ca, 0) ca, coalesce(cb, 0) cb
+  FROM spine s LEFT JOIN a ON a.bin = s.bin LEFT JOIN b ON b.bin = s.bin),
+t AS (SELECT sum(ca) + 10 na, sum(cb) + 10 nb FROM j)
+SELECT bin, CAST(ca AS BIGINT) AS n_1995, CAST(cb AS BIGINT) AS n_1998,
+  CAST(floor((CAST(ca + 1 AS DOUBLE) / CAST(na AS DOUBLE)
+      - CAST(cb + 1 AS DOUBLE) / CAST(nb AS DOUBLE)) *
+    ln(CAST((ca + 1) * nb AS DOUBLE) / CAST((cb + 1) * na AS DOUBLE)) * 1e8)
+    AS BIGINT) AS psi_term_q8
+FROM j, t ORDER BY bin""",
+
+      // Systematic sampling: every 50th row in md5-of-key order —
+      // the md5 hex and the (md5, key) total order are identical in
+      // both engines.
+      "sample_systematic" ->
+        s"""WITH r AS (SELECT o_orderkey,
+    CAST(o_totalprice AS DECIMAL(18,2)) price,
+    row_number() OVER (ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) rn
+  FROM ${T("orders")})
+SELECT CAST(rn AS BIGINT) AS rn, o_orderkey, price
+FROM r WHERE rn % 50 = 1 ORDER BY rn""",
+
+      // Welch: n/Sum/Sumsq in BIGINT-cents / HUGEINT; one shared IEEE
+      // tree for means, variances, t and the Satterthwaite df;
+      // decisions on the quantized integers.
+      "agg_welch_ttest" ->
+        s"""WITH seg AS (SELECT o_custkey % 2 seg, count(*) n,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) sx,
+    sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) *
+        CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS HUGEINT)) sxx
+  FROM ${T("orders")} GROUP BY 1),
+w AS (SELECT max(CASE WHEN seg = 0 THEN n END) n0,
+    max(CASE WHEN seg = 0 THEN sx END) s0, max(CASE WHEN seg = 0 THEN sxx END) q0,
+    max(CASE WHEN seg = 1 THEN n END) n1,
+    max(CASE WHEN seg = 1 THEN sx END) s1, max(CASE WHEN seg = 1 THEN sxx END) q1
+  FROM seg),
+x AS (SELECT n0, n1,
+    CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE)/100.0 m0,
+    CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)/100.0 m1,
+    CAST(n0*q0 - CAST(s0 AS HUGEINT)*CAST(s0 AS HUGEINT) AS DOUBLE)
+      / CAST(n0*(n0-1) AS DOUBLE) / 10000.0 / CAST(n0 AS DOUBLE) se0,
+    CAST(n1*q1 - CAST(s1 AS HUGEINT)*CAST(s1 AS HUGEINT) AS DOUBLE)
+      / CAST(n1*(n1-1) AS DOUBLE) / 10000.0 / CAST(n1 AS DOUBLE) se1
+  FROM w),
+z AS (SELECT n0, n1, m0, m1, (m0 - m1)/sqrt(se0 + se1) t,
+    (se0 + se1)*(se0 + se1) /
+      (se0*se0/CAST(n0 - 1 AS DOUBLE) + se1*se1/CAST(n1 - 1 AS DOUBLE)) df
+  FROM x)
+SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+  floor(m0*100)/100 AS mean_a, floor(m1*100)/100 AS mean_b,
+  floor(t*1e4)/1e4 AS t_welch, floor(df*100)/100 AS df_welch,
+  floor(abs(t)*1e4) > 19600 AS significant_95_normal_approx
+FROM z""",
+
+      // McNemar: discordant cells b/c are exact integers; continuity-
+      // corrected chi2 is one division; decision vs the inlined
+      // critical integer 38414 (= 1e4-quantized 3.8414).
+      "agg_mcnemar_paired" ->
+        s"""WITH u AS (SELECT user_id,
+    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) ck,
+    max(CASE WHEN event_type = 'purchase' AND value >= 100 THEN 1 ELSE 0 END) pu
+  FROM ${T("events")} WHERE user_id IS NOT NULL GROUP BY 1),
+t AS (SELECT count(*) n_users,
+    sum(CASE WHEN ck = 1 AND pu = 1 THEN 1 ELSE 0 END) nboth,
+    sum(CASE WHEN ck = 0 AND pu = 0 THEN 1 ELSE 0 END) nneither,
+    sum(CASE WHEN ck = 1 AND pu = 0 THEN 1 ELSE 0 END) b,
+    sum(CASE WHEN ck = 0 AND pu = 1 THEN 1 ELSE 0 END) c
+  FROM u),
+z AS (SELECT *, CASE WHEN b + c > 0 THEN
+    CAST((abs(b - c) - 1)*(abs(b - c) - 1) AS DOUBLE)/CAST(b + c AS DOUBLE)
+  END chi2 FROM t)
+SELECT CAST(n_users AS BIGINT) AS n_users, CAST(nboth AS BIGINT) AS n_both,
+  CAST(nneither AS BIGINT) AS n_neither, CAST(b AS BIGINT) AS click_only,
+  CAST(c AS BIGINT) AS purchase_only,
+  floor(chi2*1e4)/1e4 AS chi2_cc, floor(chi2*1e4) > 38414 AS significant_95
+FROM z""",
+
+      // Power analysis: the two z constants are inlined literals; p
+      // divides exact integers; MDE quantized at 1e6.
+      "agg_power_mde" ->
+        s"""WITH u AS (SELECT user_id % 2 variant, user_id,
+    max(CASE WHEN event_type = 'purchase' AND value >= 100 THEN 1 ELSE 0 END) conv
+  FROM ${T("events")} WHERE user_id IS NOT NULL GROUP BY 1, 2),
+v AS (SELECT variant, count(*) n, sum(conv) c FROM u GROUP BY 1),
+w AS (SELECT max(CASE WHEN variant = 0 THEN n END) n0,
+    max(CASE WHEN variant = 0 THEN c END) c0,
+    max(CASE WHEN variant = 1 THEN n END) n1,
+    max(CASE WHEN variant = 1 THEN c END) c1 FROM v),
+x AS (SELECT n0, n1, c0 + c1 conv,
+    CAST(c0 + c1 AS DOUBLE)/CAST(n0 + n1 AS DOUBLE) p FROM w),
+z AS (SELECT *, (1.959964 + 0.841621) *
+    sqrt(p*(1.0 - p)*(1.0/CAST(n0 AS DOUBLE) + 1.0/CAST(n1 AS DOUBLE))) mde
+  FROM x)
+SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+  CAST(conv AS BIGINT) AS conversions,
+  floor(p*1e6)/1e6 AS baseline_rate,
+  floor(mde*1e6)/1e6 AS mde_abs, floor(mde/p*1e6)/1e6 AS mde_rel
+FROM z""",
+
+      // Subsequence support: min_pos(a) < max_pos(b) per user decides
+      // a-before-b (and a = b as two occurrences); 5x5 spine keeps
+      // zero-support pairs.
+      "funnel_seq2_support" ->
+        s"""WITH pos AS (SELECT user_id, event_type,
+    min(p) minp, max(p) maxp FROM (SELECT user_id, event_type,
+      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) p
+    FROM ${T("events")} WHERE user_id IS NOT NULL) t GROUP BY 1, 2),
+nu AS (SELECT count(DISTINCT user_id) n FROM pos),
+sup AS (SELECT a.event_type a, b.event_type b, count(*) n
+  FROM pos a JOIN pos b ON a.user_id = b.user_id AND a.minp < b.maxp
+  GROUP BY 1, 2),
+ty AS (SELECT DISTINCT event_type FROM pos)
+SELECT t1.event_type || '->' || t2.event_type AS pattern,
+  CAST(coalesce(sup.n, 0) AS BIGINT) AS n_users,
+  round(CAST(coalesce(sup.n, 0) AS DOUBLE)/CAST(nu.n AS DOUBLE), 4) AS support
+FROM ty t1 CROSS JOIN ty t2
+LEFT JOIN sup ON sup.a = t1.event_type AND sup.b = t2.event_type, nu
+ORDER BY pattern""",
+
+      // Monroe log-odds: every ln/division on exact integers, z
+      // quantized at 1e4 with word ties; top-20 by |z| is a total
+      // order.
+      "text_log_odds" ->
+        s"""WITH f AS (SELECT w,
+    sum(CASE WHEN g THEN 1 ELSE 0 END) y1,
+    sum(CASE WHEN g THEN 0 ELSE 1 END) y2
+  FROM (SELECT lang = 'en' g, unnest(string_split(text, ' ')) w
+    FROM ${T("documents")}) t GROUP BY 1),
+tot AS (SELECT sum(y1) n1, sum(y2) n2, count(*) v FROM f),
+z AS (SELECT w, y1, y2, CAST(floor(
+    (ln(CAST(y1 + 1 AS DOUBLE)/CAST(n1 + v - y1 - 1 AS DOUBLE))
+     - ln(CAST(y2 + 1 AS DOUBLE)/CAST(n2 + v - y2 - 1 AS DOUBLE)))
+    / sqrt(1.0/CAST(y1 + 1 AS DOUBLE) + 1.0/CAST(y2 + 1 AS DOUBLE)) * 1e4)
+    AS BIGINT) zq
+  FROM f, tot)
+SELECT w, CAST(y1 AS BIGINT) AS count_en, CAST(y2 AS BIGINT) AS count_rest,
+  CAST(zq AS DOUBLE)/1e4 AS z_log_odds
+FROM z ORDER BY abs(zq) DESC, w LIMIT 20""",
+
+      // Katz-3: walk counts are BIGINT through 3 frontier joins; with
+      // alpha = 0.1 the truncated score IS the integer
+      // w1*100 + w2*10 + w3 — no float until display.
+      "graph_katz_3" ->
+        s"""$E
+, w1 AS (SELECT t v, count(*) w FROM ud GROUP BY 1),
+w2 AS (SELECT ud.t v, sum(w1.w) w FROM ud JOIN w1 ON w1.v = ud.s GROUP BY 1),
+w3 AS (SELECT ud.t v, sum(w2.w) w FROM ud JOIN w2 ON w2.v = ud.s GROUP BY 1),
+k AS (SELECT w1.v node,
+    w1.w*100 + coalesce(w2.w, 0)*10 + coalesce(w3.w, 0) katz_q3
+  FROM w1 LEFT JOIN w2 ON w2.v = w1.v LEFT JOIN w3 ON w3.v = w1.v)
+SELECT node, CAST(katz_q3 AS BIGINT) AS katz_q3,
+  CAST(katz_q3 AS DOUBLE)/1e3 AS katz
+FROM k ORDER BY katz_q3 DESC, node LIMIT 20"""
     )
   }
 }

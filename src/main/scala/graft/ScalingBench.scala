@@ -144,7 +144,17 @@ object ScalingBench {
         // fingerprint build) and Dunning collocations (vocab-bounded
         // contingency arithmetic over one linear bigram pass)
         "dedup_winnowing" -> (() => { ops.Pipelines.dedupWinnowing(spark, dir).count(); () }),
-        "text_collocation_llr" -> (() => { ops.TextSim.textCollocationLlr(spark, dir).count(); () }))
+        "text_collocation_llr" -> (() => { ops.TextSim.textCollocationLlr(spark, dir).count(); () })) ++ Seq[(String, () => Unit)](
+        // round-10 §2.29: the data-selection pair — gopher is the
+        // pure fused-scan floor (one linear pass, zero joins); DSIR
+        // adds the vocab-keyed weight join whose small side grows
+        // ~n^0.5 by Heaps' law, so its curve shows whether that join
+        // stays linear-dominated; ndcg is the panel-bounded eval
+        "pipeline_gopher_quality" -> (() =>
+          { ops.Pipelines.pipelineGopherQuality(spark, dir).count(); () }),
+        "pipeline_dsir_selection" -> (() =>
+          { ops.Pipelines.pipelineDsirSelection(spark, dir).count(); () }),
+        "sim_ndcg_at10" -> (() => { ops.TextSim.simNdcgAt10(spark, dir).count(); () }))
       )
       // run r: clear -> timed shingle build -> each op timed under its
       // own job group; keep min wall and min CPU per op (a cost

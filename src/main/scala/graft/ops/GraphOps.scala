@@ -650,4 +650,39 @@ object GraphOps {
       .orderBy(col("cost"), col("node"))
   }
 
+  /** Katz centrality, 3 terms, α = 0.1 (§2.30): Σₖ αᵏ·(walks of
+    * length k ending at v) — the attenuation view of influence that,
+    * unlike PageRank, rewards raw walk VOLUME (no per-node mass
+    * normalization), so hubs with many low-degree neighbors rank
+    * differently than under the random surfer. The whole statistic
+    * is INTEGER: walk counts wₖ fold through k frontier equi-joins in
+    * BIGINT, and with α = 0.1 the truncated score is exactly
+    * katz_q3 = w₁·100 + w₂·10 + w₃ (the 1e3-quantized value) — no
+    * float anywhere until the display division. Top-20 by
+    * (katz_q3, node) is TakeOrdered. Scale: 3 equi-joins over the
+    * persisted strong graph (the pagerank/bfs precedent), walk
+    * relations at node grain. */
+  val graphKatz3: Q = (s, d) => {
+    val ud = Tables.ud(s, d)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val w1 = ud.groupBy(col("t").as("v")).agg(count(lit(1)).as("w"))
+      .persist(lvl)
+    def step(prev: DataFrame) = ud
+      .join(prev.withColumnRenamed("v", "s0").withColumnRenamed("w", "pw"),
+        col("s") === col("s0"))
+      .groupBy(col("t").as("v")).agg(sum(col("pw")).as("w"))
+    val w2 = step(w1).persist(lvl)
+    val w3 = step(w2)
+    w1.toDF("v", "w1")
+      .join(w2.toDF("v2", "w2"), col("v") === col("v2"), "left")
+      .join(w3.toDF("v3", "w3"), col("v") === col("v3"), "left")
+      .select(col("v").as("node"),
+        (col("w1") * 100 + coalesce(col("w2"), lit(0L)) * 10 +
+          coalesce(col("w3"), lit(0L))).as("katz_q3"))
+      .orderBy(col("katz_q3").desc, col("node"))
+      .limit(20)
+      .select(col("node"), asLong(col("katz_q3")).as("katz_q3"),
+        (col("katz_q3").cast(DoubleType) / 1e3).as("katz"))
+  }
+
 }

@@ -1957,4 +1957,90 @@ object Pipelines {
       .orderBy("lang")
   }
 
+  /** Gopher-style rule-based quality report (§2.29): per source, how
+    * many docs each curation rule would reject — the pre-filter audit
+    * run before committing a rule set to a corpus (pipeline_quality
+    * _score is the continuous score; this is the hard gate's dry
+    * run). Four rules, ALL decided in integer arithmetic: word count
+    * in [20, 1000]; mean word length in [3, 5] tested as
+    * 3·n_tok ≤ letters ≤ 5·n_tok (letters = non-space chars — no
+    * division anywhere); ≥ 2 stopword tokens (the shared stopWords
+    * list, so the gate and the score cannot drift); symbol-to-word
+    * ratio ≤ 0.1 tested as 10·symbols ≤ n_tok. pass_rate is the one
+    * final division, round 4. Scale: ONE linear scan, every rule a
+    * row-local expression fused into it, map-combined per-source
+    * sums. */
+  val pipelineGopherQuality: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast(LongType)
+    val letters = length(regexp_replace(col("text"), " ", "")).cast(LongType)
+    val nStop = size(filter(toks, w => w.isin(stopWords: _*))).cast(LongType)
+    val nSym = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast(LongType)
+    val fWc = nTok < 20 || nTok > 1000
+    val fMwl = letters < lit(3L) * nTok || letters > lit(5L) * nTok
+    val fStop = nStop < 2
+    val fSym = lit(10L) * nSym > nTok
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    table(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(cnt(fWc)).as("fail_word_count"),
+        asLong(cnt(fMwl)).as("fail_mean_word_len"),
+        asLong(cnt(fStop)).as("fail_stopwords"),
+        asLong(cnt(fSym)).as("fail_symbol_ratio"),
+        asLong(cnt(!fWc && !fMwl && !fStop && !fSym)).as("n_pass"))
+      .withColumn("pass_rate",
+        round(col("n_pass").cast(DoubleType) / col("n_docs").cast(DoubleType), 4))
+      .orderBy("source")
+  }
+
+  /** DSIR-style importance selection (§2.29): score every doc by how
+    * much more likely its tokens are under the TARGET domain's
+    * unigram LM (lang = 'de' here) than under the corpus LM, then
+    * take the top-200 — the data-selection step that tilts a training
+    * mix toward a target domain (Xie et al.'s DSIR, reduced to its
+    * deterministic core: importance weights from smoothed unigram
+    * ratios). Exactness: both LMs are add-1 smoothed on exact integer
+    * counts over the SAME vocabulary V, so each token's log-ratio
+    * ln((cnt_t+1)·(n_c+V) / ((cnt_c+1)·(n_t+V))) takes identical
+    * integer-product doubles in both engines and floor-quantizes to
+    * BIGINT at 1e6 BEFORE the per-doc sum (the unigram_logprob
+    * recipe); selection ranks (score, doc_id) — a total order on
+    * BIGINTs. Scale: token counts map-combine; the weight table is
+    * vocab-keyed (one broadcast-sized join per token relation); the
+    * top-200 is TakeOrdered, never a global window; the report is a
+    * 5-row lang rollup (left join keeps zero-selected langs). */
+  val pipelineDsirSelection: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("w"))
+    val corpus = tok.groupBy(col("w")).agg(count(lit(1)).as("cc"))
+      .localCheckpoint(true)
+    val target = tok.filter(col("lang") === "de")
+      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    val totals = corpus.agg(sum(col("cc")).as("nc"), count(lit(1)).as("v"))
+    val targetTot = target.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
+    val weights = corpus.join(target, Seq("w"), "left")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(targetTot))
+      .select(col("w"),
+        floor(log(((coalesce(col("ct"), lit(0L)) + 1) * (col("nc") + col("v")))
+            .cast(DoubleType) /
+          ((col("cc") + 1) * (col("nt") + col("v"))).cast(DoubleType)) * 1e6)
+          .cast(LongType).as("lr6"))
+    val scored = tok.join(weights, Seq("w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("lr6")).as("s6"))
+    val selected = scored.orderBy(col("s6").desc, col("doc_id")).limit(200)
+    val byLang = selected.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_selected"), sum(col("s6")).as("sum_s6"))
+    docs.select(col("lang")).distinct()
+      .join(byLang, Seq("lang"), "left")
+      .select(col("lang"),
+        asLong(coalesce(col("n_selected"), lit(0L))).as("n_selected"),
+        asLong(coalesce(col("sum_s6"), lit(0L))).as("sum_score_q6"),
+        round(coalesce(col("n_selected"), lit(0L)).cast(DoubleType) / 200.0, 4)
+          .as("share"))
+      .orderBy("lang")
+  }
+
 }

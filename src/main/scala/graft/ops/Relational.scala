@@ -2893,6 +2893,244 @@ object Relational {
       (floor(sqrt(lIdx * pIdx) * 1e4) / 1e4).as("fisher"))
   }
 
+  /** Welch's t-test (§2.30): difference of MEAN order values between
+    * the custkey%2 segments under unequal variances — the continuous-
+    * outcome A/B read-out next to agg_ab_proportions_ztest's
+    * proportions face (Welch, not Student: production segments never
+    * share a variance). Exactness: per-segment n/Σx/Σx² fold in
+    * BIGINT-cents / DECIMAL(38,0) (the cov_matrix guard); means,
+    * variances, t and the Welch–Satterthwaite df are ONE shared
+    * IEEE expression tree on those exact integers, t floor-quantized
+    * at 1e4, df at 1e2, the 95% decision taken ON the quantized |t|
+    * (normal-approx critical value — df is in the thousands here,
+    * stated in the column name). Scale: one map-combined segment
+    * aggregate → 1-row pivot → in-row arithmetic. */
+  val aggWelchTtest: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val cents = (dec2(col("o_totalprice")) * 100).cast(LongType)
+    val seg = table(s, d, "orders")
+      .groupBy((col("o_custkey") % 2).as("seg"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("sx"),
+        sum((cents * cents).cast(dec38)).as("sxx"))
+    val w = seg.agg(
+      max(when(col("seg") === 0, col("n"))).as("n0"),
+      max(when(col("seg") === 0, col("sx"))).as("s0"),
+      max(when(col("seg") === 0, col("sxx"))).as("q0"),
+      max(when(col("seg") === 1, col("n"))).as("n1"),
+      max(when(col("seg") === 1, col("sx"))).as("s1"),
+      max(when(col("seg") === 1, col("sxx"))).as("q1"))
+    def mean(sx: String, n: String) =
+      col(sx).cast(DoubleType) / col(n).cast(DoubleType) / 100.0
+    def vr(n: String, sx: String, q: String) =
+      (col(n).cast(dec38) * col(q) - col(sx).cast(dec38) * col(sx).cast(dec38))
+        .cast(DoubleType) /
+        (col(n) * (col(n) - 1)).cast(DoubleType) / 10000.0
+    val se0 = vr("n0", "s0", "q0") / col("n0").cast(DoubleType)
+    val se1 = vr("n1", "s1", "q1") / col("n1").cast(DoubleType)
+    val t = (mean("s0", "n0") - mean("s1", "n1")) / sqrt(se0 + se1)
+    val df = (se0 + se1) * (se0 + se1) /
+      (se0 * se0 / (col("n0") - 1).cast(DoubleType) +
+        se1 * se1 / (col("n1") - 1).cast(DoubleType))
+    w.select(asLong(col("n0")).as("n_a"), asLong(col("n1")).as("n_b"),
+      (floor(mean("s0", "n0") * 100) / 100).as("mean_a"),
+      (floor(mean("s1", "n1") * 100) / 100).as("mean_b"),
+      (floor(t * 1e4) / 1e4).as("t_welch"),
+      (floor(df * 100) / 100).as("df_welch"),
+      (floor(abs(t) * 1e4) > 19600).as("significant_95_normal_approx"))
+  }
+
+  /** McNemar's paired test (§2.30): did the SAME users who click also
+    * purchase — the paired-binary design (each user is their own
+    * control) that the independent-samples z-test cannot express;
+    * the discordant cells b (click-only) and c (purchase-only) carry
+    * ALL the information. Continuity-corrected χ² = (|b−c|−1)²/(b+c)
+    * is pure integer arithmetic over one division; the decision
+    * compares the 1e4-quantized statistic with the χ²₁ critical
+    * value 3.8414 AS THE INTEGER 38414 (inlined in both engines).
+    * Scale: one user-grain map-combined aggregate → 1-row reduce. */
+  val aggMcnemarPaired: Q = (s, d) => {
+    val u = table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("ck"),
+        max(when(col("event_type") === "purchase" && col("value") >= 100, 1L)
+          .otherwise(0L)).as("pu"))
+    val t = u.agg(count(lit(1)).as("n_users"),
+      sum(when(col("ck") === 1 && col("pu") === 1, 1L).otherwise(0L)).as("nboth"),
+      sum(when(col("ck") === 0 && col("pu") === 0, 1L).otherwise(0L)).as("nneither"),
+      sum(when(col("ck") === 1 && col("pu") === 0, 1L).otherwise(0L)).as("b"),
+      sum(when(col("ck") === 0 && col("pu") === 1, 1L).otherwise(0L)).as("c"))
+    val num = (abs(col("b") - col("c")) - 1)
+    val chi2 = when(col("b") + col("c") > 0,
+      (num * num).cast(DoubleType) / (col("b") + col("c")).cast(DoubleType))
+    t.select(asLong(col("n_users")).as("n_users"), asLong(col("nboth")).as("n_both"),
+      asLong(col("nneither")).as("n_neither"),
+      asLong(col("b")).as("click_only"), asLong(col("c")).as("purchase_only"),
+      (floor(chi2 * 1e4) / 1e4).as("chi2_cc"),
+      (floor(chi2 * 1e4) > 38414).as("significant_95"))
+  }
+
+  /** Minimum detectable effect (§2.30): the power-analysis read every
+    * experiment PLANS with before agg_ab_proportions_ztest reads it
+    * out — at 80% power / 95% confidence, how small a conversion
+    * lift the current user_id%2 split could detect. MDE =
+    * (z_{α/2}+z_β)·√(p(1−p)·(1/n₀+1/n₁)) on the pooled baseline;
+    * the two z constants are INLINED LITERALS (1.959964, 0.841621)
+    * in both engines, p divides exact integers, and the absolute and
+    * relative MDE floor-quantize at 1e6. Shares the ztest's
+    * conversion definition (high-value purchase), so plan and
+    * read-out cannot drift. Scale: one user-grain map-combined
+    * aggregate → 1-row pivot → in-row arithmetic. */
+  val aggPowerMde: Q = (s, d) => {
+    val u = table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy((col("user_id") % 2).as("variant"), col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 100, 1L)
+        .otherwise(0L)).as("conv"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val w = u.agg(
+      max(when(col("variant") === 0, col("n"))).as("n0"),
+      max(when(col("variant") === 0, col("c"))).as("c0"),
+      max(when(col("variant") === 1, col("n"))).as("n1"),
+      max(when(col("variant") === 1, col("c"))).as("c1"))
+    val p = (col("c0") + col("c1")).cast(DoubleType) /
+      (col("n0") + col("n1")).cast(DoubleType)
+    val mde = lit(1.959964 + 0.841621) * sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("n0").cast(DoubleType) + lit(1.0) / col("n1").cast(DoubleType)))
+    w.select(asLong(col("n0")).as("n_a"), asLong(col("n1")).as("n_b"),
+      asLong(col("c0") + col("c1")).as("conversions"),
+      (floor(p * 1e6) / 1e6).as("baseline_rate"),
+      (floor(mde * 1e6) / 1e6).as("mde_abs"),
+      (floor(mde / p * 1e6) / 1e6).as("mde_rel"))
+  }
+
+  /** Ordered 2-subsequence funnel support (§2.30): for every ordered
+    * event-type pair (a, b), how many users have SOME a before SOME
+    * b — subsequence semantics (gaps allowed), the support table
+    * sequence mining starts from, and the complement of
+    * win_pattern_match's strictly-consecutive counting. A user
+    * supports (a, b) iff min_pos(a) < max_pos(b) — one inequality on
+    * per-(user, type) position extremes, which also handles a = b
+    * (two occurrences) with the same test. The 5×5 pattern spine is
+    * built from the data's distinct types, so zero-support pairs
+    * still report. Scale: one user-keyed window for positions
+    * (events-per-user bounded), a user-keyed self-join of the ≤5-row
+    * per-user type relation, one map-combined pair count. */
+  val funnelSeq2Support: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pos = table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), row_number().over(w).as("p"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("p")).as("minp"), max(col("p")).as("maxp"))
+      .localCheckpoint(true)
+    val nUsers = pos.select(col("user_id")).distinct().count()
+    val sup = pos.select(col("user_id"), col("event_type").as("a"), col("minp"))
+      .join(pos.select(col("user_id"), col("event_type").as("b"), col("maxp")),
+        Seq("user_id"))
+      .filter(col("minp") < col("maxp"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+    val types = pos.select(col("event_type")).distinct()
+    types.select(col("event_type").as("a"))
+      .crossJoin(broadcast(types.select(col("event_type").as("b"))))
+      .join(broadcast(sup), Seq("a", "b"), "left")
+      .select(concat(col("a"), lit("->"), col("b")).as("pattern"),
+        asLong(coalesce(col("n"), lit(0L))).as("n_users"),
+        round(coalesce(col("n"), lit(0L)).cast(DoubleType) / nUsers.toDouble, 4)
+          .as("support"))
+      .orderBy("pattern")
+  }
+
+  /** Cramér's V association matrix (§2.29): effect-size-normalized
+    * chi² between pairs of categorical order dimensions — the
+    * "are these columns redundant" read feature selection and
+    * stratification design start from (agg_chi2_dow tests ONE pair
+    * against uniform; this measures dependence BETWEEN observed
+    * pairs, normalized to [0,1] so pairs are comparable). Exactness:
+    * contingency cells and marginals are exact integers; each cell's
+    * chi² term (O·n − rt·ct)²/(rt·ct·n) squares in DECIMAL(38,0)
+    * (HUGEINT on the oracle — O·n reaches 2.25e10 at sf0.1, its
+    * square overflows BIGINT), divides once as double, and
+    * floor-quantizes to BIGINT at 1e6 BEFORE the cross-cell sum;
+    * V = √(χ²/(n·(min(r,c)−1))) floor-quantizes at 1e4. Scale: one
+    * map-combined (a, b) aggregate per pair; marginals re-aggregate
+    * FROM THE CELL RELATION (never a second scan) and join back on
+    * the bounded cell keys. */
+  val aggCramersV: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val o = table(s, d, "orders")
+    def pair(name: String, a: Column, b: Column): DataFrame = {
+      val cells = o.groupBy(a.as("a"), b.as("b"))
+        .agg(count(lit(1)).as("o")).localCheckpoint(true)
+      val rt = cells.groupBy(col("a")).agg(sum(col("o")).as("rt"))
+      val ct = cells.groupBy(col("b")).agg(sum(col("o")).as("ct"))
+      val dims = cells.agg(sum(col("o")).as("n"),
+        count_distinct(col("a")).as("r"), count_distinct(col("b")).as("c"))
+      val num = (col("o") * col("n") - col("rt") * col("ct")).cast(dec38)
+      val term = floor((num * num).cast(DoubleType) /
+        (col("rt") * col("ct") * col("n")).cast(DoubleType) * 1e6)
+        .cast(LongType)
+      val chi2 = cells.join(broadcast(rt), Seq("a")).join(broadcast(ct), Seq("b"))
+        .crossJoin(broadcast(dims))
+        .agg(sum(term).as("chi2_q6"), first(col("n")).as("n"),
+          first(col("r")).as("r"), first(col("c")).as("c"))
+      chi2.select(lit(name).as("pair"), asLong(col("n")).as("n"),
+        asLong(col("r")).as("levels_a"), asLong(col("c")).as("levels_b"),
+        asLong(col("chi2_q6")).as("chi2_q6"),
+        (floor(sqrt(col("chi2_q6").cast(DoubleType) / 1e6 /
+          (col("n") * (least(col("r"), col("c")) - 1)).cast(DoubleType)) * 1e4)
+          / 1e4).as("cramers_v"))
+    }
+    pair("status_priority", col("o_orderstatus"), col("o_orderpriority"))
+      .unionByName(pair("status_year", col("o_orderstatus"),
+        year(col("o_orderdate"))))
+      .unionByName(pair("priority_year", col("o_orderpriority"),
+        year(col("o_orderdate"))))
+      .orderBy("pair")
+  }
+
+  /** Population stability index (§2.29): the drift metric every
+    * production scorecard monitors — how far the 1998 order-value
+    * distribution moved from the 1995 one over 10 FIXED 50k-wide
+    * price bins (fixed edges, not quantiles, so the binning is
+    * deterministic and identical cross-engine on the same stored
+    * doubles). Add-1 smoothing on every bin of the static 0–9 spine
+    * (so empty bins neither divide by zero nor vanish from the
+    * output), each bin's term (p−q)·ln(p/q) evaluated as identical
+    * doubles — p, q divide exact smoothed integers and the log's
+    * argument is the exact integer cross-product ratio — and
+    * floor-quantized to BIGINT at 1e8 per bin; the usual >0.25
+    * "significant shift" call would sum these, left per-bin here so
+    * the report shows WHERE the mass moved. Scale: two year-filtered
+    * map-combined aggregates off one scan; everything after runs on
+    * the 10-row spine. */
+  val aggPsiDrift: Q = (s, d) => {
+    val o = table(s, d, "orders")
+    val bin = least(floor(col("o_totalprice") / 50000.0), lit(9.0))
+      .cast(LongType).as("bin")
+    def yr(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .groupBy(bin).agg(count(lit(1)).as("cnt"))
+    val spine = s.range(0, 10).select(col("id").as("bin"))
+    val j = spine
+      .join(yr(1995).withColumnRenamed("cnt", "ca"), Seq("bin"), "left")
+      .join(yr(1998).withColumnRenamed("cnt", "cb"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .localCheckpoint(true)
+    val tot = j.agg((sum(col("ca")) + 10).as("na"), (sum(col("cb")) + 10).as("nb"))
+    j.crossJoin(broadcast(tot))
+      .select(col("bin"), asLong(col("ca")).as("n_1995"),
+        asLong(col("cb")).as("n_1998"),
+        asLong(floor(
+          ((col("ca") + 1).cast(DoubleType) / col("na").cast(DoubleType) -
+            (col("cb") + 1).cast(DoubleType) / col("nb").cast(DoubleType)) *
+            log(((col("ca") + 1) * col("nb")).cast(DoubleType) /
+              ((col("cb") + 1) * col("na")).cast(DoubleType)) * 1e8))
+          .as("psi_term_q8"))
+      .orderBy("bin")
+  }
+
   /** Parquet schema evolution (§2.26): the pre-1996 order slice is
     * written WITHOUT the priority column and the 1996+ slice WITHOUT
     * totalprice; reading both with mergeSchema must union-by-name and

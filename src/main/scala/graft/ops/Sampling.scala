@@ -296,4 +296,26 @@ object Sampling {
           col("truth").cast(DoubleType) * 1e4) / 1e4).as("rel_err"))
       .orderBy("source")
   }
+
+  /** Systematic sampling (§2.29): every 50th order in md5-of-key
+    * order — the equal-probability design whose draws are SPREAD
+    * across the frame instead of clustered (survey sampling's classic
+    * alternative to Bernoulli when you want a guaranteed, evenly
+    * spaced sample size: exactly ⌈N/50⌉ rows, always). The md5 sort
+    * key is the suite's deterministic randomization device, so the
+    * "random start" is implicit and cross-engine identical. Scale:
+    * the global position comes from GlobalRank's range-partitioned
+    * two-pass (one range shuffle + broadcast offsets) — NEVER a
+    * no-partition window; the keep test is then per-row modular
+    * arithmetic. */
+  val sampleSystematic: Q = (s, d) => {
+    val keyed = table(s, d, "orders")
+      .select(col("o_orderkey"), dec2(col("o_totalprice")).as("price"),
+        md5(col("o_orderkey").cast(StringType)).as("mk"))
+    val (ranked, _) = GlobalRank.ranked(keyed,
+      Seq(col("mk"), col("o_orderkey")), "rn")
+    ranked.filter((col("rn") % 50) === 1)
+      .select(asLong(col("rn")).as("rn"), col("o_orderkey"), col("price"))
+      .orderBy("rn")
+  }
 }

@@ -117,6 +117,56 @@ object Streams {
         round(sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType), 2).as("v_sum"))
       .select(col("window.start").as("w_start"), col("n"), col("v_sum"))
 
+  /** Streaming PSI drift monitor (round 10): per tumbling 1-hour
+    * window, the population-stability index of the event-value
+    * distribution against a REFERENCE histogram — `agg_psi_drift`
+    * (§2.29) turned into the live scorecard drift check it exists
+    * for. The reference (10 fixed 50-wide value bins → counts, e.g.
+    * from `valueHistogram` over a trusted history slice) is collected
+    * ONCE driver-side — 10 bounded rows, the suite's
+    * broadcast-threshold convention — and enters the plan as
+    * LITERALS, so the whole monitor is ONE streaming aggregation
+    * whose per-window state is exactly 11 counters: no chained
+    * stateful operators, no stream-static join state, watermark
+    * evicts closed windows. Same add-1 smoothed (p−q)·ln(p/q)
+    * arithmetic as the batch op. Works identically on a batch frame
+    * (watermark applied only when streaming), which is what the
+    * batch-equivalence spec asserts. Size `duration` so windows hold
+    * enough events for PSI to mean anything — with ~20 events in a
+    * window, the add-1 smoothing over 10 bins dominates and every
+    * window reads "drifted" (measured at sf0.001 hourly; the spec
+    * monitors daily there). */
+  def psiDriftPerHour(events: DataFrame, reference: DataFrame,
+      duration: String = "1 hour"): DataFrame = {
+    val ref: Map[Long, Long] = reference.select(col("bin"), col("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refTot = (ref.values.sum + 10).toDouble
+    val bin = least(floor(col("value") / 50.0), lit(9.0)).cast(LongType)
+    val wm = if (events.isStreaming) events.withWatermark("ts", "10 minutes")
+             else events
+    val counts = (0 until 10)
+      .map(b => sum(when(bin === b, 1L).otherwise(0L)).as(s"c$b"))
+    val agg = wm.filter(col("value").isNotNull)
+      .groupBy(window(col("ts"), duration))
+      .agg(count(lit(1)).as("n_events"), counts: _*)
+    val tot = (0 until 10).map(b => col(s"c$b")).reduce(_ + _)
+      .cast(DoubleType) + lit(10.0)
+    val psi = (0 until 10).map { b =>
+      val p = (col(s"c$b") + 1).cast(DoubleType) / tot
+      val q = lit((ref.getOrElse(b.toLong, 0L) + 1).toDouble / refTot)
+      (p - q) * log(p / q)
+    }.reduce(_ + _)
+    agg.select(col("window.start").as("w_start"), col("n_events"),
+      round(psi, 6).as("psi"), (psi > 0.25).as("drifted"))
+  }
+
+  /** The 10-bin fixed-width value histogram `psiDriftPerHour` takes
+    * as its reference — run it over the trusted history slice. */
+  def valueHistogram(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
+      .groupBy(least(floor(col("value") / 50.0), lit(9.0)).cast(LongType).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** 30-min-gap session windows per user — streaming twin of
     * streamSessionize (native session_window operator). */
   def sessions30m(events: DataFrame): DataFrame =

@@ -392,6 +392,72 @@ class EngineSpec extends AnyFunSuite {
       s"metric agreement lost its shared scored relation:\n$mag")
   }
 
+  test("round-10 §2.29 plan shapes: fused scans, TakeOrdered selection, range-shuffled sampling") {
+    // gopher: ONE scan, zero joins, zero windows — every rule fuses
+    val gq = ops.Pipelines.pipelineGopherQuality(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!gq.contains("Join") && !gq.contains("Window"),
+      s"gopher rules grew a join/window:\n$gq")
+    // dsir: the top-200 selection must be TakeOrdered, never a global
+    // row_number over the doc relation
+    val ds = ops.Pipelines.pipelineDsirSelection(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(ds.contains("TakeOrdered") && !ds.contains("Window"),
+      s"dsir selection lost TakeOrdered:\n$ds")
+    // ndcg: top-10 cut by WindowGroupLimit before the rank filter
+    val nd = ops.TextSim.simNdcgAt10(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(nd.contains("WindowGroupLimit"),
+      s"ndcg lost its WindowGroupLimit cap:\n$nd")
+    // cramers: marginal joins stay broadcast on the bounded cell keys
+    val cv = ops.Relational.aggCramersV(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!cv.contains("SortMergeJoin") && !cv.contains("CartesianProduct"),
+      s"cramers marginal joins degenerated:\n$cv")
+    // psi: no window anywhere; the spine joins are broadcast-sized
+    val ps = ops.Relational.aggPsiDrift(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!ps.contains("Window") && !ps.contains("SortMergeJoin"),
+      s"psi drift plan degenerated:\n$ps")
+    // systematic: the global position comes off GlobalRank's RANGE
+    // shuffle — never a no-partition window
+    val sy = ops.Sampling.sampleSystematic(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(sy.contains("rangepartitioning") && !sy.contains("Window"),
+      s"systematic sampling lost the GlobalRank range shuffle:\n$sy")
+  }
+
+  test("round-10 §2.30 plan shapes: join-free stats, bounded self-joins, TakeOrdered ranks") {
+    // welch / power: zero joins — stacked map-combined aggregates
+    val wt = ops.Relational.aggWelchTtest(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!wt.contains("Join"), s"welch grew a join:\n$wt")
+    val pm = ops.Relational.aggPowerMde(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!pm.contains("Join"), s"power_mde grew a join:\n$pm")
+    // mcnemar: zero joins, zero windows
+    val mc = ops.Relational.aggMcnemarPaired(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!mc.contains("Join") && !mc.contains("Window"),
+      s"mcnemar grew a join/window:\n$mc")
+    // seq2: the user-keyed self-join must stay equi-keyed; the spine
+    // joins broadcast
+    val sq = ops.Relational.funnelSeq2Support(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!sq.contains("CartesianProduct"),
+      s"seq2 support degenerated to a cartesian:\n$sq")
+    // log-odds: top-20 is TakeOrdered, never a vocab-wide window
+    val lo = ops.TextSim.textLogOdds(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(lo.contains("TakeOrdered") && !lo.contains("Window"),
+      s"log_odds lost TakeOrdered:\n$lo")
+    // katz: equi-joins over the persisted graph, TakeOrdered top-20
+    val kz = ops.GraphOps.graphKatz3(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(kz.contains("TakeOrdered") && !kz.contains("CartesianProduct"),
+      s"katz plan degenerated:\n$kz")
+  }
+
   test("round-10: top_token_coverage is TakeOrdered, never a vocab window") {
     // Heaps' law: vocabulary grows ~n^0.5, so a global row_number over
     // it is a one-task sort of 10^8+ rows at corpus scale. The plan

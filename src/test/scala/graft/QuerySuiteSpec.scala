@@ -260,7 +260,15 @@ class QuerySuiteSpec extends AnyFunSuite {
     "ts_extreme_value_moments" -> 1L, "sim_metric_agreement" -> 30L,
     // §2.28 (round 10, declaration batch)
     "ts_mann_kendall" -> 1L, "agg_price_index" -> 1L,
-    "sim_hubness_skew" -> 1L)
+    "sim_hubness_skew" -> 1L,
+    // §2.29 (round 10, data-selection / drift / ranking-eval batch)
+    "pipeline_gopher_quality" -> 20L, "pipeline_dsir_selection" -> 5L,
+    "sim_ndcg_at10" -> 30L, "agg_cramers_v" -> 3L,
+    "agg_psi_drift" -> 10L, "sample_systematic" -> 30L,
+    // §2.30 (round 10, experiment & sequence analytics batch)
+    "agg_welch_ttest" -> 1L, "agg_mcnemar_paired" -> 1L,
+    "agg_power_mde" -> 1L, "funnel_seq2_support" -> 25L,
+    "text_log_odds" -> 20L, "graph_katz_3" -> 20L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)

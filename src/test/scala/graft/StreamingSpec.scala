@@ -19,6 +19,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want.select("w_start", "event_type", "n", "v_sum")).count() == 0)
   }
 
+  test("streaming PSI drift monitor equals its batch twin and fires on a shifted stream") {
+    val batchEvents = Tables(spark, sf0001, "events")
+    val ref = Streams.valueHistogram(batchEvents)
+    // batch-equivalence: same code path over the file-source stream
+    // (complete mode, AvailableNow) and over the batch frame
+    val stream = Streams.psiDriftPerHour(Streams.eventsStream(spark, sf0001),
+      ref, duration = "1 day")
+    val got = Streams.runToBatch(spark, stream, "t_psi")
+    val want = Streams.psiDriftPerHour(batchEvents, ref, duration = "1 day")
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).count() == 0)
+    // self-reference on an unshifted corpus: hourly slices of the same
+    // distribution must NOT read as population-level drift
+    assert(want.filter(col("drifted")).count() < want.count())
+    // a +300 value shift moves every event into the top bins — the
+    // monitor must flag every window against the unshifted reference
+    val shifted = Streams.psiDriftPerHour(
+      batchEvents.withColumn("value", col("value") + 300.0), ref,
+      duration = "1 day")
+    assert(shifted.count() > 0)
+    assert(shifted.filter(!col("drifted")).count() == 0,
+      "shifted distribution not flagged as drifted")
+  }
+
   test("streaming sliding window equals batch stream_sliding_1h_30m") {
     val stream = Streams.sliding1h30m(Streams.eventsStream(spark, sf0001))
     val got = Streams.runToBatch(spark, stream, "t_sliding")
