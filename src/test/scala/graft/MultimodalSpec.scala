@@ -151,6 +151,89 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!frames.contains(3L))
   }
 
+  /** Minimal uncompressed AVI writer (RIFF + raw bottom-up BGR DIB
+    * frames): the fixture generator for the real video-decode path.
+    * Frame f is solid gray f*255/(n-1) — a luminance ramp whose
+    * physics the assertions pin. */
+  private def rawAvi(w: Int, h: Int, n: Int): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(cap: Int)(fill: ByteBuffer => Unit): Array[Byte] = {
+      val bb = ByteBuffer.allocate(cap).order(ByteOrder.LITTLE_ENDIAN)
+      fill(bb); bb.array()
+    }
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le(4)(_.putInt(body.length)) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    val avih = le(56) { b =>
+      b.putInt(40000)            // usPerFrame -> 25 fps
+      b.putInt(0); b.putInt(0); b.putInt(0)
+      b.putInt(n)                // totalFrames
+      b.putInt(0); b.putInt(1); b.putInt(0)
+      b.putInt(w); b.putInt(h)
+      b.putInt(0); b.putInt(0); b.putInt(0); b.putInt(0)
+    }
+    val strh = le(56) { b =>
+      b.put("vids".getBytes("US-ASCII")); b.put("DIB ".getBytes("US-ASCII"))
+      (0 until 12).foreach(_ => b.putInt(0))
+    }
+    val strf = le(40) { b =>
+      b.putInt(40); b.putInt(w); b.putInt(h)
+      b.putShort(1); b.putShort(24)   // planes, 24 bpp
+      b.putInt(0)                     // biCompression = 0 (raw)
+      b.putInt(0); b.putInt(0); b.putInt(0); b.putInt(0); b.putInt(0)
+    }
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val frames = (0 until n).flatMap { f =>
+      val g = ((f * 255) / math.max(1, n - 1)).toByte
+      val body = Array.fill(rowBytes * h)(0.toByte)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        body(y * rowBytes + x * 3 + c) = g
+      chunk("00db", body)
+    }.toArray
+    val payload = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf))) ++
+      list("movi", frames)
+    "RIFF".getBytes("US-ASCII") ++ le(4)(_.putInt(payload.length)) ++ payload
+  }
+
+  test("uncompressed AVI: real container parse, sampled-frame decode, clip features") {
+    import spark.implicits._
+    val assets = Seq(
+      Multimodal.Media(1L, "video", rawAvi(6, 4, 10), Map("fmt" -> "avi")),
+      Multimodal.Media(2L, "video", rawAvi(4, 2, 1), Map("fmt" -> "avi")),
+      Multimodal.Media(3L, "video",
+        Array[Byte]('R', 'I', 'F', 'F', 9, 0, 0, 0, 'A', 'V', 'I', ' ', 1), Map()))
+    val frames = Multimodal.sampleDecodedFrames(assets.toDS(), 4)
+      .collect().groupBy(_.id)
+    // 10-frame clip, k=4: same even spacing as the GIF path — 0,2,5,7
+    val avi = frames(1L).sortBy(_.frame_no)
+    assert(avi.length == 4)
+    assert(avi.map(_.frame_no).toSeq == Seq(0, 2, 5, 7))
+    assert(avi.forall(f => f.n_frames == 10 && f.width == 6 && f.height == 4))
+    // the gray ramp: luminance strictly grows, frame 0 black-ish
+    assert(avi.map(_.mean_luma).toSeq == avi.map(_.mean_luma).sorted.toSeq)
+    assert(avi.head.mean_luma < 0.01 && avi.last.mean_luma > 0.7)
+    // single-frame clip degrades to its one frame
+    assert(frames(2L).toSeq.map(f => (f.frame_no, f.n_frames)) == Seq((0, 1)))
+    // truncated/corrupt RIFF yields no rows instead of crashing
+    assert(!frames.contains(3L))
+    // clip-level features: 16-dim, geometry + fps + ramp statistics
+    val feats = Multimodal.extractFeatures(assets.toDS())
+      .collect().map(f => f.id -> f.features).toMap
+    val v = feats(1L)
+    assert(v.length == 16)
+    assert(v(0) == 6.0 && v(1) == 4.0 && v(2) == 10.0)   // w, h, nFrames
+    assert(math.abs(v(3) - 25.0) < 1e-9)                  // fps from usPerFrame
+    assert(math.abs(v(4) - 0.5) < 0.06)                   // ramp mean luma ~0.5
+    assert(v(5) > 0.2)                                    // ramp spread
+    assert(v(6) > 0.05 && v(6) < 0.2)                     // inter-frame delta ~1/9
+    // corrupt payload takes the documented byte-histogram fallback
+    assert(feats(3L).length == 16)
+  }
+
   test("binaryFile ingest: asset directory -> Media -> real decode") {
     val dir = java.nio.file.Files.createTempDirectory("graft_assets")
     java.nio.file.Files.write(dir.resolve("red.png"), png(4, 2, 0xff0000))
