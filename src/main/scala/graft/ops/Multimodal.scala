@@ -240,7 +240,15 @@ object Multimodal {
       val fr = frames.result()
       if (bad || width <= 0 || height <= 0 || comp != 0L ||
           (bits != 24 && bits != 32) || fr.isEmpty) None
-      else Some(AviInfo(width, height, bits, usPf, fr))
+      else {
+        // every frame chunk must hold a full bitmap — an undersized
+        // chunk would send aviFrameLuma reading past the chunk (found
+        // by the AviProps fuzz property): malformed container → None
+        val rowBytes = ((width * (bits / 8) + 3) / 4) * 4
+        val needed = rowBytes.toLong * height
+        if (fr.exists(_._2 < needed)) None
+        else Some(AviInfo(width, height, bits, usPf, fr))
+      }
     } catch { case _: Exception => None }
 
   /** Mean luminance of one raw DIB frame: bottom-up rows, 4-byte row
