@@ -115,4 +115,30 @@ object GraphXOps {
     }
     ranks.vertices.toDF("node", "rank")
   }
+
+  /** Katz centrality via aggregateMessages (round 10) — the cluster
+    * twin of GraphOps.graphKatz3. Walk counts are INTEGERS, so unlike
+    * the pagerank twins (float summation order) this twin is
+    * bit-exact against the DataFrame version: katz_q3 =
+    * w1·100 + w2·10 + w3 must match EXACTLY, which GraphXSpec
+    * asserts. Each walk step is one message pass with a Long-sum
+    * combiner — the vertex-cut form of the DataFrame version's
+    * t-keyed equi-joins. */
+  def katz3(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val g = graph(spark, sfDir).mapVertices((_, _) => 1L)
+    def step(v: Graph[Long, Long]): Graph[Long, Long] = {
+      val msgs = v.aggregateMessages[Long](
+        ctx => ctx.sendToDst(ctx.srcAttr), _ + _)
+      v.outerJoinVertices(msgs)((_, _, m) => m.getOrElse(0L))
+    }
+    val w1 = step(g)
+    val w2 = step(w1)
+    val w3 = step(w2)
+    w1.vertices.innerJoin(w2.vertices.innerJoin(w3.vertices)((_, a, b) => (a, b))) {
+      case (_, a, (b, c)) => a * 100 + b * 10 + c
+    }.filter { case (_, q) => q > 0 }
+      .toDF("node", "katz_q3")
+  }
 }

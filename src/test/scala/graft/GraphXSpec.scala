@@ -91,4 +91,20 @@ class GraphXSpec extends AnyFunSuite {
     val gxTop10 = gx.toSeq.sortBy { case (n, r) => (-r, n) }.take(10).map(_._1)
     assert(gxTop10 == df.take(10).map(_._1).toSeq)
   }
+
+  test("GraphX Katz-3 is BIT-EXACT against the DataFrame graph_katz_3") {
+    // walk counts are integers — unlike the float pagerank twins, the
+    // two execution models must agree exactly, not to tolerance
+    val df = GraphOps.graphKatz3(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val gx = GraphXOps.katz3(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("katz_q3"))).toMap
+    assert(df.nonEmpty)
+    df.foreach { case (node, q) =>
+      assert(gx(node) == q, s"node $node: graphx ${gx(node)} vs df $q")
+    }
+    // and the DataFrame top-20 IS the global top-20 of the twin
+    val gxTop = gx.toSeq.sortBy { case (n, q) => (-q, n) }.take(20).map(_._1)
+    assert(gxTop == df.map(_._1).toSeq)
+  }
 }
