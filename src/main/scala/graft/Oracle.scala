@@ -5284,7 +5284,142 @@ k AS (SELECT w1.v node,
   FROM w1 LEFT JOIN w2 ON w2.v = w1.v LEFT JOIN w3 ON w3.v = w1.v)
 SELECT node, CAST(katz_q3 AS BIGINT) AS katz_q3,
   CAST(katz_q3 AS DOUBLE)/1e3 AS katz
-FROM k ORDER BY katz_q3 DESC, node LIMIT 20"""
+FROM k ORDER BY katz_q3 DESC, node LIMIT 20""",
+
+      // Bloom prefilter: both engines build the IDENTICAL 4096-bit
+      // filter from md5 hex integers (63-bit words, the bitmap_overlap
+      // convention); the audit counts FPs against the exact semi-join.
+      "join_bloom_prefilter" ->
+        s"""WITH keys AS (SELECT c_custkey k FROM ${T("customer")} WHERE c_acctbal >= 9000),
+bits AS (SELECT ('0x' || substr(md5(cast(k AS VARCHAR) || 'A'), 1, 3))::BIGINT bt FROM keys
+  UNION ALL
+  SELECT ('0x' || substr(md5(cast(k AS VARCHAR) || 'B'), 1, 3))::BIGINT FROM keys),
+bloom AS (SELECT bt // 63 wi, bit_or(1::BIGINT << CAST(bt % 63 AS INT)) w
+  FROM bits GROUP BY 1),
+probes AS (SELECT o_custkey,
+    ('0x' || substr(md5(cast(o_custkey AS VARCHAR) || 'A'), 1, 3))::BIGINT h1,
+    ('0x' || substr(md5(cast(o_custkey AS VARCHAR) || 'B'), 1, 3))::BIGINT h2
+  FROM ${T("orders")}),
+f AS (SELECT (b1.w IS NOT NULL AND (b1.w & (1::BIGINT << CAST(p.h1 % 63 AS INT))) != 0
+       AND b2.w IS NOT NULL AND (b2.w & (1::BIGINT << CAST(p.h2 % 63 AS INT))) != 0) pass
+  FROM probes p LEFT JOIN bloom b1 ON b1.wi = p.h1 // 63
+    LEFT JOIN bloom b2 ON b2.wi = p.h2 // 63),
+ex AS (SELECT count(*) n_true FROM ${T("orders")} o
+  WHERE EXISTS (SELECT 1 FROM keys WHERE k = o.o_custkey))
+SELECT CAST(count(*) AS BIGINT) AS n_probes,
+  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+  CAST(ex.n_true AS BIGINT) AS n_true_matches,
+  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) - ex.n_true AS BIGINT) AS n_false_positives,
+  floor(CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) - ex.n_true AS DOUBLE) /
+    CAST(count(*) - ex.n_true AS DOUBLE) * 1e6) / 1e6 AS fp_rate
+FROM f, ex GROUP BY ex.n_true""",
+
+      // Corrupt-tolerant scan: the corruption rule is key mod 7, so
+      // the oracle simulates the quarantine from the original table.
+      "src_corrupt_tolerant_scan" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+  CAST(sum(CASE WHEN o_orderkey % 7 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+  round(CAST(sum(CASE WHEN o_orderkey % 7 != 0
+    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS parsed_price_sum
+FROM ${T("orders")}""",
+
+      // Poisson bootstrap: md5-bucket weights vs inlined CDF integers;
+      // replicate means floor to cents BEFORE the rank; percentile =
+      // total-order selection on the 100-row relation.
+      "sample_bootstrap_ci" ->
+        s"""WITH o AS (SELECT o_orderkey,
+    CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) cents FROM ${T("orders")}),
+reps AS (SELECT bs.b, cents,
+    ('0x' || substr(md5(cast(o_orderkey AS VARCHAR) || '#' || cast(bs.b AS VARCHAR)), 1, 4))::BIGINT u
+  FROM o CROSS JOIN (SELECT range b FROM range(0, 100)) bs),
+w AS (SELECT b, cents,
+    CASE WHEN u < 24109 THEN 0 WHEN u < 48218 THEN 1 WHEN u < 60273 THEN 2 ELSE 3 END w
+  FROM reps),
+means AS (SELECT b,
+    CAST(floor(CAST(sum(w*cents) AS DOUBLE)/CAST(sum(w) AS DOUBLE)) AS BIGINT) mq
+  FROM w GROUP BY 1),
+r AS (SELECT mq, row_number() OVER (ORDER BY mq, b) r FROM means),
+ci AS (SELECT max(CASE WHEN r = 3 THEN mq END) lo,
+    max(CASE WHEN r = 98 THEN mq END) hi FROM r),
+fl AS (SELECT count(*) n, sum(cents) sc FROM o)
+SELECT CAST(fl.n AS BIGINT) AS n_rows, CAST(100 AS BIGINT) AS n_replicates,
+  floor(CAST(sc AS DOUBLE)/CAST(n AS DOUBLE))/100 AS mean_full,
+  CAST(lo AS DOUBLE)/100 AS ci_lo_95, CAST(hi AS DOUBLE)/100 AS ci_hi_95
+FROM fl, ci""",
+
+      // Triplet margins: hardest pos/neg are min/max over quantized
+      // BIGINTs; the margin is the integer 500; verdict on integers.
+      "sim_triplet_violations" ->
+        s"""WITH emb AS (SELECT * FROM ${T("embeddings")}),
+probes AS (SELECT vec_id pid, embedding pe, label plab FROM emb WHERE vec_id < 30),
+corpus AS (SELECT * FROM emb WHERE vec_id >= 30),
+sc AS (SELECT p.pid, (e.label = p.plab) pos,
+    CAST(floor(list_cosine_similarity(cast(p.pe AS DOUBLE[]), cast(e.embedding AS DOUBLE[]))*10000) AS BIGINT) q
+  FROM probes p CROSS JOIN corpus e)
+SELECT pid, CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+  CAST(min(CASE WHEN pos THEN q END) AS BIGINT) AS hardest_pos_q,
+  CAST(max(CASE WHEN NOT pos THEN q END) AS BIGINT) AS hardest_neg_q,
+  max(CASE WHEN NOT pos THEN q END) + 500 > min(CASE WHEN pos THEN q END)
+    AS violated_margin_005
+FROM sc GROUP BY pid ORDER BY pid""",
+
+      // Holt: the recursive CTE executes the SAME double recurrence as
+      // Spark's aggregate-HOF lambda (identical expression tree,
+      // CAST(0.2 AS DOUBLE) constants both sides) — deterministic IEEE
+      // arithmetic on identical inputs, identical state every step.
+      "ts_holt_linear" ->
+        s"""WITH RECURSIVE m AS (SELECT date_trunc('month', o_orderdate) mo,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) c
+  FROM ${T("orders")} GROUP BY 1),
+r AS (SELECT CAST(c AS DOUBLE) x, row_number() OVER (ORDER BY mo) rn FROM m),
+n AS (SELECT count(*) nm FROM r),
+rec AS (
+  SELECT 1 AS t,
+    (SELECT x FROM r WHERE rn = 1) AS l,
+    (SELECT x FROM r WHERE rn = 2) - (SELECT x FROM r WHERE rn = 1) AS b
+  UNION ALL
+  SELECT t + 1,
+    CAST(0.2 AS DOUBLE)*r.x + CAST(0.8 AS DOUBLE)*(rec.l + rec.b),
+    CAST(0.1 AS DOUBLE)*((CAST(0.2 AS DOUBLE)*r.x + CAST(0.8 AS DOUBLE)*(rec.l + rec.b)) - rec.l)
+      + CAST(0.9 AS DOUBLE)*rec.b
+  FROM rec JOIN r ON r.rn = rec.t + 1, n WHERE rec.t + 1 <= n.nm)
+SELECT CAST(n.nm AS BIGINT) AS n_months, floor(l)/100 AS level,
+  floor(b)/100 AS trend, floor(l + b)/100 AS forecast_next
+FROM rec, n WHERE t = n.nm""",
+
+      // PPR: pagerank3's decimal-stabilized rounds with restart mass
+      // concentrated on the deterministic seed (min node id).
+      "graph_ppr_seed" ->
+        s"""$E
+, n0 AS (SELECT s AS v FROM ud UNION SELECT t FROM ud),
+deg AS (SELECT s AS v, count(*) AS d FROM ud GROUP BY s),
+sd AS (SELECT min(v) sv FROM n0),
+p0 AS (SELECT v, CASE WHEN v = (SELECT sv FROM sd) THEN CAST(1.0 AS DOUBLE)
+    ELSE CAST(0.0 AS DOUBLE) END AS pr FROM n0),
+p1 AS (SELECT n0.v,
+         CASE WHEN n0.v = (SELECT sv FROM sd) THEN CAST(0.15 AS DOUBLE)
+           ELSE CAST(0.0 AS DOUBLE) END
+         + 0.85 * cast(coalesce(sum(cast(p0.pr / deg.d AS DECIMAL(28,15))), 0) AS DOUBLE) AS pr
+       FROM n0 LEFT JOIN ud ON ud.t = n0.v
+       LEFT JOIN p0 ON p0.v = ud.s LEFT JOIN deg ON deg.v = ud.s
+       GROUP BY n0.v),
+p2 AS (SELECT n0.v,
+         CASE WHEN n0.v = (SELECT sv FROM sd) THEN CAST(0.15 AS DOUBLE)
+           ELSE CAST(0.0 AS DOUBLE) END
+         + 0.85 * cast(coalesce(sum(cast(p1.pr / deg.d AS DECIMAL(28,15))), 0) AS DOUBLE) AS pr
+       FROM n0 LEFT JOIN ud ON ud.t = n0.v
+       LEFT JOIN p1 ON p1.v = ud.s LEFT JOIN deg ON deg.v = ud.s
+       GROUP BY n0.v),
+p3 AS (SELECT n0.v,
+         CASE WHEN n0.v = (SELECT sv FROM sd) THEN CAST(0.15 AS DOUBLE)
+           ELSE CAST(0.0 AS DOUBLE) END
+         + 0.85 * cast(coalesce(sum(cast(p2.pr / deg.d AS DECIMAL(28,15))), 0) AS DOUBLE) AS pr
+       FROM n0 LEFT JOIN ud ON ud.t = n0.v
+       LEFT JOIN p2 ON p2.v = ud.s LEFT JOIN deg ON deg.v = ud.s
+       GROUP BY n0.v)
+SELECT v AS node, round(pr, 8) AS ppr FROM p3 WHERE pr > 0
+ORDER BY ppr DESC, node LIMIT 20"""
     )
   }
 }

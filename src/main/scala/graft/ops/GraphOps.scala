@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -648,6 +648,43 @@ object GraphOps {
       .select(col("v").as("node"), asLong(col("cost")).as("cost"),
         asLong(col("hops")).as("hops"))
       .orderBy(col("cost"), col("node"))
+  }
+
+  /** Personalized PageRank, 3 rounds, seed = the graph's minimum node
+    * id (§2.31): random walks RESTART AT THE SEED instead of
+    * teleporting uniformly, so mass concentrates in the seed's
+    * neighborhood — the "related items for THIS item" ranking, where
+    * graph_pagerank3 is the global importance. Same decimal-stabilized
+    * per-edge contributions (DECIMAL(28,15) before summing) and the
+    * same 3 unrolled t-keyed joins over the persisted strong graph;
+    * restart mass is a when(v = seed) literal, no extra relation.
+    * The deterministic seed choice (min node id) keeps the oracle a
+    * pure SQL twin. */
+  val graphPprSeed: Q = (s, d) => {
+    val ud = Tables.ud(s, d)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val n0 = ud.select(col("s").as("v")).union(ud.select(col("t").as("v")))
+      .distinct().persist(lvl)
+    val deg = ud.groupBy(col("s").as("v")).agg(count(lit(1)).as("deg"))
+      .persist(lvl)
+    val seed = n0.agg(min(col("v"))).collect()(0).getLong(0)
+    def restart(v: Column) = when(v === seed, 0.15).otherwise(0.0)
+    val init = n0.select(col("v"),
+      when(col("v") === seed, 1.0).otherwise(0.0).as("pr"))
+    Iterate.fixed(init, 3) { p =>
+      n0.as("n")
+        .join(ud.as("u"), col("u.t") === col("n.v"), "left")
+        .join(p.as("p"), col("p.v") === col("u.s"), "left")
+        .join(deg.as("g"), col("g.v") === col("u.s"), "left")
+        .groupBy(col("n.v").as("v"))
+        .agg((restart(col("n.v")) + lit(0.85) *
+          coalesce(sum((col("p.pr") / col("g.deg")).cast(D28_15)), lit(0))
+            .cast(DoubleType)).as("pr"))
+    }
+      .filter(col("pr") > 0)
+      .select(col("v").as("node"), round(col("pr"), 8).as("ppr"))
+      .orderBy(col("ppr").desc, col("node"))
+      .limit(20)
   }
 
   /** Katz centrality, 3 terms, α = 0.1 (§2.30): Σₖ αᵏ·(walks of

@@ -2893,6 +2893,77 @@ object Relational {
       (floor(sqrt(lIdx * pIdx) * 1e4) / 1e4).as("fisher"))
   }
 
+  /** Distributed Bloom-filter semi-join prefilter (§2.31): the
+    * runtime-filter pattern Spark itself applies under AQE, built
+    * explicitly AND AUDITED — a 4096-bit Bloom (two salted md5
+    * hashes) over the high-balance customer keyset prefilters the
+    * orders probe, and the report measures what the filter bought:
+    * probes passed, true matches (exact left-semi), false positives,
+    * FP rate. Exactness: the filter is pure integer arithmetic on
+    * md5 hex (the suite's portable randomization device) — bit =
+    * hex₁₂(md5(key·salt)), word-aligned exactly like
+    * agg_bitmap_overlap's 63-bit words — so both engines build the
+    * IDENTICAL bitmap; fp_rate is one final division, floor 1e6.
+    * Scale: the Bloom relation is ≤66 words — broadcast by
+    * construction no matter how many keys fold into it (that is the
+    * point of a Bloom prefilter: constant-size filter, one
+    * map-combined bit_or build, zero shuffle added to the probe). */
+  val joinBloomPrefilter: Q = (s, d) => {
+    def hash(key: Column, salt: String): Column =
+      conv(substring(md5(concat(key.cast(StringType), lit(salt))), 1, 3), 16, 10)
+        .cast(LongType) // 12 bits -> [0, 4096)
+    val keys = table(s, d, "customer")
+      .filter(col("c_acctbal") >= 9000)
+      .select(col("c_custkey").as("k"))
+      .localCheckpoint(true)
+    val bloom = keys.select(explode(array(hash(col("k"), "A"),
+        hash(col("k"), "B"))).as("bit"))
+      .groupBy(expr("bit div 63").as("wi"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pmod(bit, 63) AS INT)))").as("w"))
+    val probes = table(s, d, "orders")
+      .select(col("o_custkey"),
+        hash(col("o_custkey"), "A").as("h1"), hash(col("o_custkey"), "B").as("h2"))
+    def pass(h: String, wi: String, w: String) =
+      col(w).isNotNull &&
+        col(w).bitwiseAND(expr(s"shiftleft(1L, cast(pmod($h, 63) AS INT))")) =!= 0
+    val filtered = probes
+      .join(broadcast(bloom.toDF("wi1", "w1")), expr("h1 div 63") === col("wi1"), "left")
+      .join(broadcast(bloom.toDF("wi2", "w2")), expr("h2 div 63") === col("wi2"), "left")
+      .select(col("o_custkey"),
+        (pass("h1", "wi1", "w1") && pass("h2", "wi2", "w2")).as("p"))
+    val exact = table(s, d, "orders")
+      .join(keys, col("o_custkey") === col("k"), "left_semi")
+      .agg(count(lit(1)).as("n_true"))
+    filtered.agg(count(lit(1)).as("n_probes"),
+        sum(when(col("p"), 1L).otherwise(0L)).as("n_pass"))
+      .crossJoin(broadcast(exact))
+      .select(asLong(col("n_probes")).as("n_probes"),
+        asLong(col("n_pass")).as("n_pass_bloom"),
+        asLong(col("n_true")).as("n_true_matches"),
+        asLong(col("n_pass") - col("n_true")).as("n_false_positives"),
+        (floor((col("n_pass") - col("n_true")).cast(DoubleType) /
+          (col("n_probes") - col("n_true")).cast(DoubleType) * 1e6) / 1e6)
+          .as("fp_rate"))
+  }
+
+  /** Corrupt-tolerant ingest audit (§2.31): a jsonl feed where every
+    * 7th-key row is TRUNCATED (the closing brace gone — cannot parse)
+    * is read in PERMISSIVE mode with a _corrupt capture column; the
+    * audit counts damaged vs parsed rows and aggregates the parsed
+    * slice — the quarantine report every production ingest runs
+    * before trusting a feed (src_schema_evolution's sibling: that one
+    * proves column evolution, this one proves row damage isolation).
+    * The corruption rule is a pure function of the KEY, so the oracle
+    * simulates it from the original table — one mis-parsed or
+    * mis-dropped row fails the hash. */
+  val srcCorruptTolerantScan: Q = (s, d) => {
+    graft.sources.Sources.via(s, d, "orders", "jsonl_corrupt")
+      .agg(asLong(count(lit(1))).as("n_rows"),
+        asLong(count(col("_corrupt"))).as("n_corrupt"),
+        asLong(count(col("o_orderkey"))).as("n_parsed"),
+        moneySum2(col("o_totalprice")).as("parsed_price_sum"))
+  }
+
   /** Welch's t-test (§2.30): difference of MEAN order values between
     * the custkey%2 segments under unequal variances — the continuous-
     * outcome A/B read-out next to agg_ab_proportions_ztest's

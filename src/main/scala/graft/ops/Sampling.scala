@@ -297,6 +297,52 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Deterministic Poisson bootstrap CI (§2.31): a 95% confidence
+    * interval for mean order value from B = 100 replicates — THE
+    * distributed bootstrap (Poisson weights need no global resample:
+    * each row draws its replicate multiplicity independently, so the
+    * whole thing is one scan × B in-row weights, the formulation
+    * every large-scale ML eval uses). Weights approximate Poisson(1)
+    * truncated at 3 via md5 buckets against INLINED integer
+    * thresholds (⌊65536·CDF⌋ = 24109 / 48218 / 60273 — both engines
+    * identical); each replicate mean divides exact integer sums once
+    * and floor-quantizes to cents BEFORE ranking, so the percentile
+    * pick (3rd / 98th of 100 sorted values) is a total-order
+    * selection on BIGINTs. Scale: explode ×B of a 2-column
+    * projection, map-combined per-replicate sums; the rank runs on
+    * the 100-row replicate relation (bounded by design). */
+  val sampleBootstrapCi: Q = (s, d) => {
+    val b = 100
+    val o = table(s, d, "orders")
+      .select(col("o_orderkey"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+    val reps = o.select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+      .select(col("b"), col("cents"),
+        conv(substring(md5(concat(col("o_orderkey").cast(StringType), lit("#"),
+          col("b").cast(StringType))), 1, 4), 16, 10).cast(LongType).as("u"))
+      .select(col("b"), col("cents"),
+        when(col("u") < 24109, 0L).when(col("u") < 48218, 1L)
+          .when(col("u") < 60273, 2L).otherwise(3L).as("w"))
+    val means = reps.groupBy(col("b"))
+      .agg(sum(col("w") * col("cents")).as("sw"), sum(col("w")).as("nw"))
+      .select(col("b"),
+        floor(col("sw").cast(DoubleType) / col("nw").cast(DoubleType))
+          .cast(LongType).as("mq"))
+    // 100-row relation: the rank window is bounded by design
+    val wR = Window.orderBy(col("mq"), col("b"))
+    val ci = means.withColumn("r", row_number().over(wR))
+      .agg(max(when(col("r") === 3, col("mq"))).as("lo"),
+        max(when(col("r") === 98, col("mq"))).as("hi"))
+    val full = o.agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+    full.crossJoin(broadcast(ci))
+      .select(asLong(col("n")).as("n_rows"), lit(100L).as("n_replicates"),
+        (floor(col("sc").cast(DoubleType) / col("n").cast(DoubleType)) / 100.0)
+          .as("mean_full"),
+        (col("lo").cast(DoubleType) / 100.0).as("ci_lo_95"),
+        (col("hi").cast(DoubleType) / 100.0).as("ci_hi_95"))
+  }
+
   /** Systematic sampling (§2.29): every 50th order in md5-of-key
     * order — the equal-probability design whose draws are SPREAD
     * across the frame instead of clustered (survey sampling's classic

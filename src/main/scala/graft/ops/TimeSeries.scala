@@ -1507,6 +1507,48 @@ object TimeSeries {
       (floor(p99 * 100) / 100).as("p99_return_level"))
   }
 
+  /** Holt's linear trend smoothing (§2.31): level + trend double
+    * exponential smoothing over monthly revenue (α = 0.2, β = 0.1)
+    * with the one-step-ahead forecast — the simplest forecast that
+    * follows a trending series (ts_ewma smooths level only;
+    * ts_forecast_wape scores a seasonal-naive baseline; this is the
+    * recursive-state forecaster between them). The recursion is
+    * GENUINELY sequential, and the engine runs it the only
+    * scale-correct way: the series is first reduced to its
+    * CALENDAR-BOUNDED month grain (≤ a few hundred rows at ANY SF),
+    * then the fold runs in-row over the sorted month array via the
+    * aggregate HOF — never a driver loop, never an unbounded window.
+    * Exactness: month totals are BIGINT cents; both engines execute
+    * the IDENTICAL double recurrence (Spark: aggregate-HOF lambda;
+    * DuckDB: recursive CTE with the same expression tree, constants
+    * CAST(0.2 AS DOUBLE) etc. on both sides), and deterministic IEEE
+    * arithmetic on identical inputs yields identical state at every
+    * step; outputs floor to cents. */
+  val tsHoltLinear: Q = (s, d) => {
+    val m = table(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("c"))
+    m.agg(
+        transform(array_sort(collect_list(struct(col("mo"), col("c")))),
+          x => x.getField("c").cast(DoubleType)).as("xs"),
+        count(lit(1)).as("n"))
+      .select(col("n"), expr(
+        """aggregate(
+             slice(xs, 2, size(xs) - 1),
+             named_struct(
+               'l', element_at(xs, 1),
+               'b', element_at(xs, 2) - element_at(xs, 1)),
+             (a, x) -> named_struct(
+               'l', CAST(0.2 AS DOUBLE) * x + CAST(0.8 AS DOUBLE) * (a.l + a.b),
+               'b', CAST(0.1 AS DOUBLE) * ((CAST(0.2 AS DOUBLE) * x
+                      + CAST(0.8 AS DOUBLE) * (a.l + a.b)) - a.l)
+                    + CAST(0.9 AS DOUBLE) * a.b))""").as("st"))
+      .select(asLong(col("n")).as("n_months"),
+        (floor(col("st.l")) / 100.0).as("level"),
+        (floor(col("st.b")) / 100.0).as("trend"),
+        (floor(col("st.l") + col("st.b")) / 100.0).as("forecast_next"))
+  }
+
   /** Mann–Kendall trend test (§2.28): the nonparametric "is there a
     * monotone trend at all" TEST on monthly revenue — the hypothesis
     * complement to ts_theil_sen's slope ESTIMATE (same pair machinery,

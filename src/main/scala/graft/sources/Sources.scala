@@ -98,6 +98,30 @@ object Sources {
           base.write.mode("overwrite").partitionBy(pcol).parquet(path)
           // partition columns come back last — restore declared order
           spark.read.parquet(path).select(base.columns.map(col): _*)
+        case "jsonl_corrupt" =>
+          // ingest-audit fixture: every row whose key is ≡ 0 (mod 7)
+          // is truncated by 5 chars — the closing brace is gone, so
+          // the line CANNOT parse; the corruption rule is a pure
+          // function of the key (not of row order), which is what
+          // lets the oracle simulate it from the original table
+          import org.apache.spark.sql.functions._
+          require(name == "orders",
+            "jsonl_corrupt is modeled on the orders table")
+          base
+            .select(to_json(struct(base.columns.map(col): _*)).as("j"),
+              col("o_orderkey"))
+            .select(when(col("o_orderkey") % 7 === 0,
+                expr("substring(j, 1, length(j) - 5)"))
+              .otherwise(col("j")).as("value"))
+            .write.mode("overwrite").text(path)
+          val withCorrupt = org.apache.spark.sql.types.StructType(
+            base.schema.fields :+ org.apache.spark.sql.types.StructField(
+              "_corrupt", org.apache.spark.sql.types.StringType))
+          spark.read
+            .schema(withCorrupt)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .json(path)
         case "parquet_evolved" =>
           // schema evolution: the pre-1996 slice ships WITHOUT the
           // priority column, the 1996+ slice WITHOUT totalprice —
@@ -119,7 +143,7 @@ object Sources {
           spark.read.option("mergeSchema", "true")
             .parquet(s"$path/v1", s"$path/v2")
         case other => throw new IllegalArgumentException(
-          s"unsupported via-format '$other' (csv, json, orc, parquet_partitioned, parquet_evolved)")
+          s"unsupported via-format '$other' (csv, json, orc, parquet_partitioned, parquet_evolved, jsonl_corrupt)")
       }
     }
 }

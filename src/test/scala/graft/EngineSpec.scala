@@ -458,6 +458,35 @@ class EngineSpec extends AnyFunSuite {
       s"katz plan degenerated:\n$kz")
   }
 
+  test("round-10 §2.31 plan shapes: broadcast blooms, bounded folds, seeded walks") {
+    // bloom: both word joins broadcast; NO shuffle added to the probe
+    val bl = ops.Relational.joinBloomPrefilter(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(bl.contains("BroadcastHashJoin") && !bl.contains("SortMergeJoin"),
+      s"bloom probe grew a shuffle join:\n$bl")
+    // bootstrap: per-replicate sums map-combine; the only window runs
+    // on the 100-row replicate relation (present, but never data-sized)
+    val bc = ops.Sampling.sampleBootstrapCi(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!bc.contains("CartesianProduct"),
+      s"bootstrap degenerated to a cartesian:\n$bc")
+    // triplets: one broadcast panel scan, zero shuffle joins
+    val tv = ops.TextSim.simTripletViolations(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!tv.contains("SortMergeJoin"),
+      s"triplet scan grew a shuffle join:\n$tv")
+    // holt: month-grain aggregate then an in-row fold — no window, no join
+    val hl = ops.TimeSeries.tsHoltLinear(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!hl.contains("Window") && !hl.contains("Join"),
+      s"holt grew a window/join:\n$hl")
+    // ppr: TakeOrdered top-20 over the 3-round join chain, no cartesian
+    val pp = ops.GraphOps.graphPprSeed(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(pp.contains("TakeOrdered") && !pp.contains("CartesianProduct"),
+      s"ppr plan degenerated:\n$pp")
+  }
+
   test("round-10: top_token_coverage is TakeOrdered, never a vocab window") {
     // Heaps' law: vocabulary grows ~n^0.5, so a global row_number over
     // it is a one-task sort of 10^8+ rows at corpus scale. The plan

@@ -268,7 +268,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     // §2.30 (round 10, experiment & sequence analytics batch)
     "agg_welch_ttest" -> 1L, "agg_mcnemar_paired" -> 1L,
     "agg_power_mde" -> 1L, "funnel_seq2_support" -> 25L,
-    "text_log_odds" -> 20L, "graph_katz_3" -> 20L)
+    "text_log_odds" -> 20L, "graph_katz_3" -> 20L,
+    // §2.31 (round 10, scale-infrastructure & advanced eval batch)
+    "join_bloom_prefilter" -> 1L, "src_corrupt_tolerant_scan" -> 1L,
+    "sample_bootstrap_ci" -> 1L, "sim_triplet_violations" -> 30L,
+    "ts_holt_linear" -> 1L, "graph_ppr_seed" -> 20L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
