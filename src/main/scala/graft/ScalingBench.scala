@@ -243,7 +243,20 @@ object ScalingBench {
         // independent of fact rows), so its fitted α should be ~the
         // date-grain aggregate's, not the pair count's
         "cdc_merge_apply" -> (() => { ops.TimeSeries.cdcMergeApply(spark, dir).count(); () }),
-        "agg_hodges_lehmann" -> (() => { ops.Relational.aggHodgesLehmann(spark, dir).count(); () })))
+        "agg_hodges_lehmann" -> (() => { ops.Relational.aggHodgesLehmann(spark, dir).count(); () }),
+        // round-10 §2.30/§2.31 fact-sized shapes: integer walk counts
+        // and the seeded walk (both ride the persisted EDGES build —
+        // their marginal cost should be ~flat like the other
+        // traversals), the Poisson bootstrap's x100 explode (linear
+        // in orders BY DESIGN — the exponent checks it), the
+        // calendar-bounded Holt fold (should be ~the month-aggregate
+        // cost, flat past it), and the subsequence support's
+        // user-keyed window + self-join (events-per-user bounded)
+        "graph_katz_3" -> (() => { ops.GraphOps.graphKatz3(spark, dir).count(); () }),
+        "graph_ppr_seed" -> (() => { ops.GraphOps.graphPprSeed(spark, dir).count(); () }),
+        "sample_bootstrap_ci" -> (() => { ops.Sampling.sampleBootstrapCi(spark, dir).count(); () }),
+        "ts_holt_linear" -> (() => { ops.TimeSeries.tsHoltLinear(spark, dir).count(); () }),
+        "funnel_seq2_support" -> (() => { ops.Relational.funnelSeq2Support(spark, dir).count(); () })))
       val best = scala.collection.mutable.LinkedHashMap[String, Double]()
       val bestCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
       var primeBest = Double.MaxValue
