@@ -5419,7 +5419,125 @@ p3 AS (SELECT n0.v,
        LEFT JOIN p2 ON p2.v = ud.s LEFT JOIN deg ON deg.v = ud.s
        GROUP BY n0.v)
 SELECT v AS node, round(pr, 8) AS ppr FROM p3 WHERE pr > 0
-ORDER BY ppr DESC, node LIMIT 20"""
+ORDER BY ppr DESC, node LIMIT 20""",
+
+      // Growth accounting: months as the integer index y*12+m (no date
+      // arithmetic to diverge); states are (u, mi) membership joins;
+      // churn attributed to the month after last activity.
+      "agg_growth_accounting" ->
+        s"""WITH um AS (SELECT DISTINCT o_custkey u,
+    year(o_orderdate)*12 + month(o_orderdate) mi FROM ${T("orders")}),
+f AS (SELECT u, min(mi) fmi FROM um GROUP BY 1),
+st AS (SELECT um.mi,
+    sum(CASE WHEN um.mi = f.fmi THEN 1 ELSE 0 END) n_new,
+    sum(CASE WHEN um.mi != f.fmi AND p.u IS NOT NULL THEN 1 ELSE 0 END) n_retained,
+    sum(CASE WHEN um.mi != f.fmi AND p.u IS NULL THEN 1 ELSE 0 END) n_resurrected
+  FROM um JOIN f ON f.u = um.u
+  LEFT JOIN um p ON p.u = um.u AND p.mi = um.mi - 1
+  GROUP BY 1),
+mx AS (SELECT max(mi) m FROM um),
+ch AS (SELECT a.mi + 1 mi, count(*) n_churned
+  FROM um a LEFT JOIN um b ON b.u = a.u AND b.mi = a.mi + 1, mx
+  WHERE b.u IS NULL AND a.mi + 1 <= mx.m GROUP BY 1)
+SELECT CAST((st.mi - 1) // 12 AS BIGINT) AS year,
+  CAST(st.mi - ((st.mi - 1) // 12) * 12 AS BIGINT) AS month,
+  CAST(n_new AS BIGINT) AS n_new, CAST(n_retained AS BIGINT) AS n_retained,
+  CAST(n_resurrected AS BIGINT) AS n_resurrected,
+  CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
+FROM st LEFT JOIN ch ON ch.mi = st.mi ORDER BY 1, 2""",
+
+      // Acquisition curve: per-customer first day, cumulative over the
+      // calendar-bounded day grain.
+      "agg_distinct_growth_curve" ->
+        s"""WITH f AS (SELECT min(CAST(o_orderdate AS DATE)) dy
+  FROM ${T("orders")} GROUP BY o_custkey),
+d AS (SELECT dy, count(*) n_new FROM f GROUP BY 1)
+SELECT dy AS day, CAST(n_new AS BIGINT) AS n_new,
+  CAST(sum(n_new) OVER (ORDER BY dy ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS cum_customers
+FROM d ORDER BY dy""",
+
+      // Reorder cadence: lead over the customer-bounded window, then
+      // lower median / p90 over the day-grain gap histogram.
+      "agg_inter_purchase_gap" ->
+        s"""WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) dy
+  FROM ${T("orders")}),
+g AS (SELECT datediff('day', dy,
+    lead(dy) OVER (PARTITION BY o_custkey ORDER BY dy, o_orderkey)) gap FROM o),
+gg AS (SELECT gap FROM g WHERE gap IS NOT NULL),
+h AS (SELECT gap, count(*) c FROM gg GROUP BY 1),
+cum AS (SELECT gap, sum(c) OVER (ORDER BY gap ROWS UNBOUNDED PRECEDING) cum FROM h),
+n AS (SELECT count(*) n FROM gg)
+SELECT CAST(n.n AS BIGINT) AS n_gaps,
+  CAST(min(CASE WHEN cum*2 >= n.n THEN gap END) AS BIGINT) AS median_gap_days,
+  CAST(min(CASE WHEN cum*10 >= n.n*9 THEN gap END) AS BIGINT) AS p90_gap_days,
+  CAST(max(gap) AS BIGINT) AS max_gap_days
+FROM cum, n GROUP BY n.n""",
+
+      // Bounce rate: the stream_sessionize gap rule, rolled up by
+      // session-start day.
+      "ts_bounce_rate_daily" ->
+        s"""WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns
+  FROM ${T("events")} WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged),
+ps AS (SELECT user_id, sid, count(*) cnt, min(ts) AS start
+  FROM sess GROUP BY 1, 2)
+SELECT CAST(start AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+  floor(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+    CAST(count(*) AS DOUBLE) * 1e4) / 1e4 AS bounce_rate
+FROM ps GROUP BY 1 ORDER BY 1""",
+
+      // Abandoned carts: same sessions, click/purchase flags folded in
+      // the per-session aggregate; rate over clicked sessions only.
+      "ts_abandoned_cart_daily" ->
+        s"""WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns
+  FROM ${T("events")} WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, event_type,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged),
+ps AS (SELECT user_id, sid, min(ts) AS start,
+    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) ck,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) pu
+  FROM sess GROUP BY 1, 2)
+SELECT CAST(start AS DATE) AS day,
+  CAST(count(*) AS BIGINT) AS n_click_sessions,
+  CAST(sum(CASE WHEN pu = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+  floor(CAST(sum(CASE WHEN pu = 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+    CAST(count(*) AS DOUBLE) * 1e4) / 1e4 AS abandon_rate
+FROM ps WHERE ck = 1 GROUP BY 1 ORDER BY 1""",
+
+      // Current streak: gaps-islands anchor per user; the island
+      // holding the user's max day is picked by an integer max over
+      // (last_day, len); top-20 total-order.
+      "win_streak_current" ->
+        s"""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) dy
+  FROM ${T("events")} WHERE user_id IS NOT NULL),
+isl AS (SELECT user_id,
+    dy - CAST(row_number() OVER (PARTITION BY user_id ORDER BY dy) AS INT) grp,
+    dy FROM days),
+g AS (SELECT user_id, grp, count(*) len, max(dy) last_day
+  FROM isl GROUP BY 1, 2),
+cur AS (SELECT user_id, max(struct_pack(last_day := last_day, len := len)) c
+  FROM g GROUP BY 1)
+SELECT user_id, CAST((c).len AS BIGINT) AS current_streak,
+  (c).last_day AS last_active_day
+FROM cur
+ORDER BY current_streak DESC, last_active_day DESC, user_id LIMIT 20"""
     )
   }
 }

@@ -1507,6 +1507,166 @@ object TimeSeries {
       (floor(p99 * 100) / 100).as("p99_return_level"))
   }
 
+  /** Growth accounting (§2.32): the monthly new / retained /
+    * resurrected / churned customer matrix — the canonical growth
+    * decomposition (every MAU delta is exactly new + resurrected −
+    * churned, which the spec asserts) that ts_mau_stickiness and
+    * retention_daily only summarize. ENTIRELY integer: months are the
+    * index y·12+m, so "previous month" is mi−1 with no date
+    * arithmetic to diverge cross-engine; states are set-membership
+    * joins on the distinct (customer, month) relation; churn is
+    * attributed to the month AFTER last activity. Scale: one distinct
+    * (customer, month) aggregate; every state join is keyed on
+    * (customer, month) — the same shuffle partitioning reused four
+    * times; output is calendar-bounded. */
+  val aggGrowthAccounting: Q = (s, d) => {
+    val um = table(s, d, "orders")
+      .select(col("o_custkey").as("u"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mi"))
+      .distinct().localCheckpoint(true)
+    val first = um.groupBy(col("u")).agg(min(col("mi")).as("fmi"))
+    val prev = um.select(col("u"), (col("mi") + 1).as("mi"), lit(1).as("hadPrev"))
+    val maxMi = um.agg(max(col("mi")).as("mx"))
+    val states = um
+      .join(first, Seq("u"))
+      .join(prev, Seq("u", "mi"), "left")
+      .select(col("mi"),
+        when(col("mi") === col("fmi"), 1L).otherwise(0L).as("isNew"),
+        when(col("mi") =!= col("fmi") && col("hadPrev").isNotNull, 1L)
+          .otherwise(0L).as("isRet"),
+        when(col("mi") =!= col("fmi") && col("hadPrev").isNull, 1L)
+          .otherwise(0L).as("isRes"))
+      .groupBy(col("mi"))
+      .agg(sum(col("isNew")).as("n_new"), sum(col("isRet")).as("n_retained"),
+        sum(col("isRes")).as("n_resurrected"))
+    val churn = um.select(col("u"), (col("mi") + 1).as("mi"))
+      .join(um.select(col("u"), col("mi"), lit(1).as("still")),
+        Seq("u", "mi"), "left")
+      .filter(col("still").isNull)
+      .crossJoin(broadcast(maxMi)).filter(col("mi") <= col("mx"))
+      .groupBy(col("mi")).agg(count(lit(1)).as("n_churned"))
+    states.join(churn, Seq("mi"), "left")
+      .select(expr("(mi - 1) div 12").cast(LongType).as("year"),
+        (col("mi") - expr("(mi - 1) div 12") * 12).cast(LongType).as("month"),
+        asLong(col("n_new")).as("n_new"),
+        asLong(col("n_retained")).as("n_retained"),
+        asLong(col("n_resurrected")).as("n_resurrected"),
+        asLong(coalesce(col("n_churned"), lit(0L))).as("n_churned"))
+      .orderBy("year", "month")
+  }
+
+  /** Cumulative acquisition curve (§2.32): distinct customers ever
+    * seen, by first-order day — the growth curve every dashboard
+    * opens with, and the user-side face of pipeline_vocab_growth's
+    * Heaps plot. first-order day is a per-customer min; the
+    * cumulative sum runs over the CALENDAR-BOUNDED day grain (the
+    * ts_active_users_rolling convention — a no-partition window over
+    * ≤ a few thousand day rows at ANY SF, by design). */
+  val aggDistinctGrowthCurve: Q = (s, d) => {
+    val f = table(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    f.withColumn("cum_customers", sum(col("n_new")).over(w))
+      .select(col("day"), asLong(col("n_new")).as("n_new"),
+        asLong(col("cum_customers")).as("cum_customers"))
+      .orderBy("day")
+  }
+
+  /** Inter-purchase gap quantiles (§2.32): the reorder-cadence read —
+    * per customer, day gaps between consecutive orders (lead over the
+    * customer-bounded window), then the LOWER median / p90 / max over
+    * all gaps via the day-grain histogram running sum (gap values are
+    * calendar-bounded integers, so the quantile window runs over a
+    * bounded value grain — the weighted-median convention, no
+    * data-sized sort). Lower quantile rule (smallest value with
+    * cum·k ≥ total·q) decided on exact integers. */
+  val aggInterPurchaseGap: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"), col("o_orderkey"))
+    val gaps = table(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("day"))
+      .withColumn("nxt", lead(col("day"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(datediff(col("nxt"), col("day")).cast(LongType).as("gap"))
+    val hist = gaps.groupBy(col("gap")).agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy(col("gap"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(wv))
+      .crossJoin(broadcast(gaps.agg(count(lit(1)).as("n"))))
+    cum.agg(
+        max(col("n")).as("n_gaps"),
+        min(when(col("cum") * 2 >= col("n"), col("gap"))).as("median_gap_days"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("gap"))).as("p90_gap_days"),
+        max(col("gap")).as("max_gap_days"))
+      .select(asLong(col("n_gaps")).as("n_gaps"),
+        asLong(col("median_gap_days")).as("median_gap_days"),
+        asLong(col("p90_gap_days")).as("p90_gap_days"),
+        asLong(col("max_gap_days")).as("max_gap_days"))
+  }
+
+  /** Daily bounce rate (§2.32): share of 30-min-gap sessions with
+    * EXACTLY ONE event, by session-start day — the engagement-quality
+    * read stream_sessionize's per-user rollup doesn't expose. Session
+    * machinery is the shared gaps rule (user-bounded windows); the
+    * rate is one division, floor 1e4. */
+  val tsBounceRateDaily: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(w)
+    val sess = table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(prevTs.isNull ||
+          (col("ts").cast(DoubleType) - prevTs.cast(DoubleType)) > 1800, 1)
+          .otherwise(0).as("ns"))
+      .withColumn("sid", sum(col("ns"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("cnt"), min(col("ts")).as("start"))
+    sess.groupBy(to_date(col("start")).as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_bounce"))
+      .select(col("day"), asLong(col("n_sessions")).as("n_sessions"),
+        asLong(col("n_bounce")).as("n_bounce"),
+        (floor(col("n_bounce").cast(DoubleType) /
+          col("n_sessions").cast(DoubleType) * 1e4) / 1e4).as("bounce_rate"))
+      .orderBy("day")
+  }
+
+  /** Daily abandoned-cart rate (§2.32): among sessions that CLICKED,
+    * the share that never purchased — the conversion-loss read
+    * funnel_click_purchase (event-pair, time-bounded) and
+    * ts_bounce_rate_daily (engagement) both miss; same session
+    * machinery, flags folded in the same per-session aggregate. */
+  val tsAbandonedCartDaily: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(w)
+    val sess = table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(prevTs.isNull ||
+          (col("ts").cast(DoubleType) - prevTs.cast(DoubleType)) > 1800, 1)
+          .otherwise(0).as("ns"))
+      .withColumn("sid", sum(col("ns"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("start"),
+        max(when(col("event_type") === "click", 1L).otherwise(0L)).as("ck"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("pu"))
+    sess.filter(col("ck") === 1)
+      .groupBy(to_date(col("start")).as("day"))
+      .agg(count(lit(1)).as("n_click_sessions"),
+        sum(when(col("pu") === 0, 1L).otherwise(0L)).as("n_abandoned"))
+      .select(col("day"),
+        asLong(col("n_click_sessions")).as("n_click_sessions"),
+        asLong(col("n_abandoned")).as("n_abandoned"),
+        (floor(col("n_abandoned").cast(DoubleType) /
+          col("n_click_sessions").cast(DoubleType) * 1e4) / 1e4)
+          .as("abandon_rate"))
+      .orderBy("day")
+  }
+
   /** Holt's linear trend smoothing (§2.31): level + trend double
     * exponential smoothing over monthly revenue (α = 0.2, β = 0.1)
     * with the one-step-ahead forecast — the simplest forecast that

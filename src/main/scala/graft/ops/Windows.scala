@@ -498,4 +498,31 @@ object Windows {
       .orderBy("partkey")
   }
 
+  /** Current active-day streak (§2.32): the length of each user's
+    * LAST consecutive-day island — the "don't break the chain" metric
+    * ts_streak_longest's historical max doesn't answer (a user whose
+    * longest streak was months ago has current = their latest run).
+    * Same gaps-islands anchor (day − row_number = island id) over the
+    * user-bounded window; "current" island = the one holding the
+    * user's max day, picked by an integer max over island anchors —
+    * no second window pass. Top-20 by (streak, last_day, user), all
+    * total-order BIGINT/date keys, via TakeOrdered. */
+  val winStreakCurrent: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), max(col("day")).as("last_day"))
+    islands.groupBy(col("user_id"))
+      .agg(max(struct(col("last_day"), col("len"))).as("cur"))
+      .select(col("user_id"),
+        asLong(col("cur.len")).as("current_streak"),
+        col("cur.last_day").as("last_active_day"))
+      .orderBy(col("current_streak").desc, col("last_active_day").desc,
+        col("user_id"))
+      .limit(20)
+  }
+
 }

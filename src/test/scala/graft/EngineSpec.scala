@@ -487,6 +487,30 @@ class EngineSpec extends AnyFunSuite {
       s"ppr plan degenerated:\n$pp")
   }
 
+  test("round-10 §2.32 plan shapes: reused keys, bounded grains, islands") {
+    // growth accounting: every state join equi-keyed, no cartesian
+    val ga = ops.TimeSeries.aggGrowthAccounting(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!ga.contains("CartesianProduct") && !ga.contains("Window"),
+      s"growth accounting degenerated:\n$ga")
+    // acquisition curve: per-customer min map-combines; the only
+    // window is the calendar-bounded day-grain running sum (by design)
+    val gc = ops.TimeSeries.aggDistinctGrowthCurve(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!gc.contains("Join"), s"growth curve grew a join:\n$gc")
+    // gap quantiles: the histogram running sum is the only global
+    // window (value-grain, calendar-bounded); no data-sized sort join
+    val ig = ops.TimeSeries.aggInterPurchaseGap(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!ig.contains("CartesianProduct") || ig.contains("BroadcastNestedLoop"),
+      s"gap quantiles degenerated:\n$ig")
+    // streaks: user-partitioned windows only, top-20 is TakeOrdered
+    val sc = ops.Windows.winStreakCurrent(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(sc.contains("TakeOrdered"),
+      s"current streak lost TakeOrdered:\n$sc")
+  }
+
   test("round-10: top_token_coverage is TakeOrdered, never a vocab window") {
     // Heaps' law: vocabulary grows ~n^0.5, so a global row_number over
     // it is a one-task sort of 10^8+ rows at corpus scale. The plan

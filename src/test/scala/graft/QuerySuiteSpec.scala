@@ -272,7 +272,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     // §2.31 (round 10, scale-infrastructure & advanced eval batch)
     "join_bloom_prefilter" -> 1L, "src_corrupt_tolerant_scan" -> 1L,
     "sample_bootstrap_ci" -> 1L, "sim_triplet_violations" -> 30L,
-    "ts_holt_linear" -> 1L, "graph_ppr_seed" -> 20L)
+    "ts_holt_linear" -> 1L, "graph_ppr_seed" -> 20L,
+    // §2.32 (round 10, growth & engagement accounting batch)
+    "agg_growth_accounting" -> 80L, "agg_distinct_growth_curve" -> 126L,
+    "agg_inter_purchase_gap" -> 1L, "ts_bounce_rate_daily" -> 30L,
+    "ts_abandoned_cart_daily" -> 30L, "win_streak_current" -> 15L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
