@@ -256,7 +256,15 @@ object ScalingBench {
         "graph_ppr_seed" -> (() => { ops.GraphOps.graphPprSeed(spark, dir).count(); () }),
         "sample_bootstrap_ci" -> (() => { ops.Sampling.sampleBootstrapCi(spark, dir).count(); () }),
         "ts_holt_linear" -> (() => { ops.TimeSeries.tsHoltLinear(spark, dir).count(); () }),
-        "funnel_seq2_support" -> (() => { ops.Relational.funnelSeq2Support(spark, dir).count(); () })))
+        "funnel_seq2_support" -> (() => { ops.Relational.funnelSeq2Support(spark, dir).count(); () }),
+        // round-10 §2.32: the growth-accounting family — distinct
+        // (customer, month) membership joins (one reused partitioning),
+        // the calendar-bounded acquisition curve, and the sessionized
+        // rates (user-bounded windows over events)
+        "agg_growth_accounting" -> (() => { ops.TimeSeries.aggGrowthAccounting(spark, dir).count(); () }),
+        "agg_inter_purchase_gap" -> (() => { ops.TimeSeries.aggInterPurchaseGap(spark, dir).count(); () }),
+        "ts_bounce_rate_daily" -> (() => { ops.TimeSeries.tsBounceRateDaily(spark, dir).count(); () }),
+        "win_streak_current" -> (() => { ops.Windows.winStreakCurrent(spark, dir).count(); () })))
       val best = scala.collection.mutable.LinkedHashMap[String, Double]()
       val bestCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
       var primeBest = Double.MaxValue
