@@ -458,6 +458,25 @@ class EngineSpec extends AnyFunSuite {
       s"katz plan degenerated:\n$kz")
   }
 
+  test("round-10: the Bloom prefilter has ZERO false negatives and the CI brackets the mean") {
+    // the defining Bloom property (membership never missed) — the
+    // oracle only counts false POSITIVES, so pin the other side here:
+    // n_pass_bloom >= n_true AND n_false_positives = pass - true >= 0
+    val r = ops.Relational.joinBloomPrefilter(spark, sf0001).collect()(0)
+    val (pass, truth, fps) = (r.getAs[Long]("n_pass_bloom"),
+      r.getAs[Long]("n_true_matches"), r.getAs[Long]("n_false_positives"))
+    assert(pass >= truth, s"bloom false negative: pass=$pass < true=$truth")
+    assert(fps == pass - truth && fps >= 0)
+    // bootstrap sanity: the 95% CI must bracket the full-population
+    // mean on this fixed corpus, and lo <= hi
+    val ci = ops.Sampling.sampleBootstrapCi(spark, sf0001).collect()(0)
+    val (lo, hi, mean) = (ci.getAs[Double]("ci_lo_95"),
+      ci.getAs[Double]("ci_hi_95"), ci.getAs[Double]("mean_full"))
+    assert(lo <= hi, s"inverted CI: [$lo, $hi]")
+    assert(lo <= mean && mean <= hi,
+      s"CI [$lo, $hi] does not bracket the population mean $mean")
+  }
+
   test("round-10 §2.31 plan shapes: broadcast blooms, bounded folds, seeded walks") {
     // bloom: both word joins broadcast; NO shuffle added to the probe
     val bl = ops.Relational.joinBloomPrefilter(spark, sf0001)
