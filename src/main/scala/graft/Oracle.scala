@@ -5537,7 +5537,121 @@ cur AS (SELECT user_id, max(struct_pack(last_day := last_day, len := len)) c
 SELECT user_id, CAST((c).len AS BIGINT) AS current_streak,
   (c).last_day AS last_active_day
 FROM cur
-ORDER BY current_streak DESC, last_active_day DESC, user_id LIMIT 20"""
+ORDER BY current_streak DESC, last_active_day DESC, user_id LIMIT 20""",
+
+      // Duplicate payments: exact BIGINT-cent equality join, integer
+      // day residual, canonical pair order.
+      "agg_duplicate_payment_audit" ->
+        s"""WITH o AS (SELECT o_custkey ck,
+    CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) cents,
+    o_orderkey ok, CAST(o_orderdate AS DATE) dy FROM ${T("orders")}),
+p AS (SELECT a.ck, a.cents FROM o a JOIN o b
+  ON a.ck = b.ck AND a.cents = b.cents AND a.ok < b.ok
+  AND abs(datediff('day', a.dy, b.dy)) <= 7)
+SELECT CAST(count(*) AS BIGINT) AS n_suspect_pairs,
+  CAST(count(DISTINCT ck) AS BIGINT) AS n_customers,
+  CAST(coalesce(sum(cents), 0) AS BIGINT) AS cents_at_risk
+FROM p""",
+
+      // Round numbers: pure modular arithmetic; bias ratio = observed
+      // share / uniform expectation, floor 1e4.
+      "agg_round_number_bias" ->
+        s"""WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) cents
+  FROM ${T("orders")})
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_whole_dollar,
+  CAST(sum(CASE WHEN cents % 10000 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_whole_hundred,
+  floor(CAST(sum(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) * 100 * 1e4) / 1e4 AS dollar_bias_ratio,
+  floor(CAST(sum(CASE WHEN cents % 10000 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) * 10000 * 1e4) / 1e4 AS hundred_bias_ratio
+FROM o""",
+
+      // Structuring: (customer, day) aggregate, >=2 orders summing
+      // >= $200k in cents.
+      "agg_split_transaction_detect" ->
+        s"""WITH g AS (SELECT o_custkey, CAST(o_orderdate AS DATE) dy, count(*) n,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) cents
+  FROM ${T("orders")} GROUP BY 1, 2
+  HAVING count(*) >= 2
+    AND sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) >= 20000000)
+SELECT CAST(count(*) AS BIGINT) AS n_cust_days,
+  CAST(coalesce(sum(n), 0) AS BIGINT) AS n_orders_involved,
+  CAST(coalesce(sum(cents), 0) AS BIGINT) AS cents_total
+FROM g""",
+
+      // Gap outliers: per-customer lower median via the sorted in-row
+      // gap list; latest gap via max_by; integer flag and excess.
+      "win_order_gap_outliers" ->
+        s"""WITH o AS (SELECT o_custkey ck, o_orderkey ok, CAST(o_orderdate AS DATE) dy
+  FROM ${T("orders")}),
+g AS (SELECT ck, dy, ok, datediff('day', dy,
+    lead(dy) OVER (PARTITION BY ck ORDER BY dy, ok)) gap FROM o),
+gg AS (SELECT ck, dy, ok, gap FROM g WHERE gap IS NOT NULL),
+pc AS (SELECT ck, count(*) n_gaps,
+    list_sort(list(gap))[CAST((count(*) + 1) // 2 AS INT)] med,
+    (max(struct_pack(dy := dy, ok := ok, gap := gap))).gap latest
+  FROM gg GROUP BY 1)
+SELECT ck AS custkey, CAST(n_gaps AS BIGINT) AS n_gaps,
+  CAST(med AS BIGINT) AS median_gap_days,
+  CAST(latest AS BIGINT) AS latest_gap_days,
+  CAST(latest - med*3 AS BIGINT) AS excess_days
+FROM pc WHERE n_gaps >= 4 AND latest > med*3
+ORDER BY excess_days DESC, custkey LIMIT 20""",
+
+      // RBO: finite-decimal weight literals (0.1*0.9^(d-1)) cast to
+      // DOUBLE, the 1/d division in the shared expression, per-depth
+      // terms quantized 1e8 before the sum.
+      "sim_rbo_rankings" ->
+        s"""WITH emb AS (SELECT * FROM ${T("embeddings")}),
+probes AS (SELECT vec_id pid, embedding pe FROM emb WHERE vec_id < 30),
+scored AS (SELECT p.pid, e.vec_id cand,
+    CAST(floor(list_cosine_similarity(cast(p.pe AS DOUBLE[]), cast(e.embedding AS DOUBLE[]))*10000) AS BIGINT) qc,
+    CAST(floor(list_inner_product(cast(p.pe AS DOUBLE[]), cast(e.embedding AS DOUBLE[]))*10000) AS BIGINT) qd
+  FROM probes p CROSS JOIN emb e WHERE e.vec_id <> p.pid),
+tc AS (SELECT pid, cand, r rc FROM (SELECT pid, cand,
+    row_number() OVER (PARTITION BY pid ORDER BY qc DESC, cand) r FROM scored) t WHERE r <= 10),
+td AS (SELECT pid, cand, r rd FROM (SELECT pid, cand,
+    row_number() OVER (PARTITION BY pid ORDER BY qd DESC, cand) r FROM scored) t WHERE r <= 10),
+m AS (SELECT tc.pid, greatest(rc, rd) m, count(*) cnt
+  FROM tc JOIN td ON tc.pid = td.pid AND tc.cand = td.cand GROUP BY 1, 2),
+dep AS (SELECT range + 1 dep FROM range(0, 10)),
+terms AS (SELECT m.pid, dep.dep, sum(cnt) ov FROM m JOIN dep ON m.m <= dep.dep
+  GROUP BY 1, 2),
+tq AS (SELECT pid, CAST(floor(CASE dep
+    WHEN 1 THEN CAST(0.1 AS DOUBLE) * ov / 1
+    WHEN 2 THEN CAST(0.09 AS DOUBLE) * ov / 2
+    WHEN 3 THEN CAST(0.081 AS DOUBLE) * ov / 3
+    WHEN 4 THEN CAST(0.0729 AS DOUBLE) * ov / 4
+    WHEN 5 THEN CAST(0.06561 AS DOUBLE) * ov / 5
+    WHEN 6 THEN CAST(0.059049 AS DOUBLE) * ov / 6
+    WHEN 7 THEN CAST(0.0531441 AS DOUBLE) * ov / 7
+    WHEN 8 THEN CAST(0.04782969 AS DOUBLE) * ov / 8
+    WHEN 9 THEN CAST(0.043046721 AS DOUBLE) * ov / 9
+    ELSE CAST(0.0387420489 AS DOUBLE) * ov / 10 END * 1e8) AS BIGINT) tq
+  FROM terms),
+rbo AS (SELECT pid, sum(tq) rbo_q8 FROM tq GROUP BY 1)
+SELECT p.pid, CAST(coalesce(rbo_q8, 0) AS BIGINT) AS rbo_q8,
+  round(CAST(coalesce(rbo_q8, 0) AS DOUBLE)/1e8, 6) AS rbo
+FROM probes p LEFT JOIN rbo ON rbo.pid = p.pid ORDER BY p.pid""",
+
+      // Dim ablation: full-64 vs first-32 cosine top-10 overlap, both
+      // rankings quantized with cand ties.
+      "sim_dim_ablation_overlap" ->
+        s"""WITH emb AS (SELECT * FROM ${T("embeddings")}),
+probes AS (SELECT vec_id pid, embedding pe FROM emb WHERE vec_id < 30),
+scored AS (SELECT p.pid, e.vec_id cand,
+    CAST(floor(list_cosine_similarity(cast(p.pe AS DOUBLE[]), cast(e.embedding AS DOUBLE[]))*10000) AS BIGINT) qf,
+    CAST(floor(list_cosine_similarity(cast(p.pe[1:32] AS DOUBLE[]), cast(e.embedding[1:32] AS DOUBLE[]))*10000) AS BIGINT) qh
+  FROM probes p CROSS JOIN emb e WHERE e.vec_id <> p.pid),
+tf AS (SELECT pid, cand FROM (SELECT pid, cand,
+    row_number() OVER (PARTITION BY pid ORDER BY qf DESC, cand) r FROM scored) t WHERE r <= 10),
+th AS (SELECT pid, cand FROM (SELECT pid, cand,
+    row_number() OVER (PARTITION BY pid ORDER BY qh DESC, cand) r FROM scored) t WHERE r <= 10),
+ov AS (SELECT tf.pid, count(*) n FROM tf JOIN th ON tf.pid = th.pid AND tf.cand = th.cand GROUP BY 1)
+SELECT p.pid, CAST(coalesce(ov.n, 0) AS BIGINT) AS overlap_at_10,
+  round(CAST(coalesce(ov.n, 0) AS DOUBLE)/10.0, 2) AS stability
+FROM probes p LEFT JOIN ov ON ov.pid = p.pid ORDER BY p.pid"""
     )
   }
 }

@@ -2893,6 +2893,75 @@ object Relational {
       (floor(sqrt(lIdx * pIdx) * 1e4) / 1e4).as("fisher"))
   }
 
+  /** Duplicate-payment audit (§2.33): order pairs from the SAME
+    * customer for the IDENTICAL amount within 7 days — the
+    * double-charge / replayed-order forensic every payments system
+    * runs (dedup_exact finds identical CONTENT; this finds identical
+    * MONEY MOVEMENT, which legitimate data mostly shouldn't contain).
+    * Exactness: amounts join as exact BIGINT cents, the day residual
+    * compares integer datediffs, pairs canonicalize okey1 < okey2.
+    * Scale: the self-join is equi-keyed on (custkey, cents) — the
+    * pair relation is bounded by per-(customer, amount) multiplicity,
+    * not n²; one map-combined audit reduce. */
+  val aggDuplicatePaymentAudit: Q = (s, d) => {
+    val o = table(s, d, "orders")
+      .select(col("o_custkey").as("ck"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"),
+        col("o_orderkey").as("ok"), to_date(col("o_orderdate")).as("dy"))
+    val a = o.toDF("ck", "cents", "ok1", "d1")
+    val b = o.toDF("ck", "cents", "ok2", "d2")
+    a.join(b, Seq("ck", "cents"))
+      .filter(col("ok1") < col("ok2") &&
+        abs(datediff(col("d2"), col("d1"))) <= 7)
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("ck")).as("n_customers"),
+        sum(col("cents")).as("cents_at_risk"))
+      .select(asLong(col("n_pairs")).as("n_suspect_pairs"),
+        asLong(col("n_customers")).as("n_customers"),
+        asLong(coalesce(col("cents_at_risk"), lit(0L))).as("cents_at_risk"))
+  }
+
+  /** Round-number bias (§2.33): how much of the order book lands on
+    * whole dollars / whole hundreds vs the 1% / 0.01% a uniform cent
+    * distribution predicts — the price-integrity forensic next to
+    * agg_benford_first_digit (Benford tests leading digits; this
+    * tests trailing ones, where manual entry and fraud concentrate).
+    * Pure integer modular arithmetic; the bias ratios are one
+    * division each, floor 1e4. */
+  val aggRoundNumberBias: Q = (s, d) => {
+    val cents = (dec2(col("o_totalprice")) * 100).cast(LongType)
+    table(s, d, "orders")
+      .agg(count(lit(1)).as("n"),
+        sum(when(cents % 100 === 0, 1L).otherwise(0L)).as("wd"),
+        sum(when(cents % 10000 === 0, 1L).otherwise(0L)).as("wh"))
+      .select(asLong(col("n")).as("n_orders"),
+        asLong(col("wd")).as("n_whole_dollar"),
+        asLong(col("wh")).as("n_whole_hundred"),
+        (floor(col("wd").cast(DoubleType) / col("n").cast(DoubleType) * 100 * 1e4)
+          / 1e4).as("dollar_bias_ratio"),
+        (floor(col("wh").cast(DoubleType) / col("n").cast(DoubleType) * 10000 * 1e4)
+          / 1e4).as("hundred_bias_ratio"))
+  }
+
+  /** Split-transaction detection (§2.33): customer-days whose ≥2
+    * orders jointly exceed $200k — the structuring pattern (one big
+    * movement split into several below-the-radar pieces) that
+    * per-order threshold checks are blind to BY CONSTRUCTION. All
+    * integer: counts, BIGINT-cent sums, one threshold compare. Scale:
+    * one (customer, day) map-combined aggregate → audit reduce. */
+  val aggSplitTransactionDetect: Q = (s, d) => {
+    val g = table(s, d, "orders")
+      .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("dy"))
+      .agg(count(lit(1)).as("n"),
+        sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("cents"))
+      .filter(col("n") >= 2 && col("cents") >= 20000000L)
+    g.agg(count(lit(1)).as("cd"), sum(col("n")).as("no"),
+        sum(col("cents")).as("ct"))
+      .select(asLong(col("cd")).as("n_cust_days"),
+        asLong(coalesce(col("no"), lit(0L))).as("n_orders_involved"),
+        asLong(coalesce(col("ct"), lit(0L))).as("cents_total"))
+  }
+
   /** Distributed Bloom-filter semi-join prefilter (§2.31): the
     * runtime-filter pattern Spark itself applies under AQE, built
     * explicitly AND AUDITED — a 4096-bit Bloom (two salted md5

@@ -498,6 +498,41 @@ object Windows {
       .orderBy("partkey")
   }
 
+  /** Reorder-gap outliers (§2.33): customers whose LATEST inter-order
+    * gap exceeds 3× their own median gap — the churn-risk /
+    * reactivation list (agg_inter_purchase_gap is the population
+    * cadence; this is the per-customer deviation from it). Exactness:
+    * gaps are integer days off the customer-bounded lead window; the
+    * per-customer LOWER median indexes the sorted in-row gap array at
+    * (n+1) div 2 (orders-per-customer bounded, so the array is tiny);
+    * the latest gap rides max_by(gap, day); flag and excess are
+    * BIGINT compares. Top-20 by (excess, customer) via TakeOrdered. */
+  val winOrderGapOutliers: Q = (s, d) => {
+    val w = Window.partitionBy(col("ck")).orderBy(col("dy"), col("ok"))
+    val gaps = table(s, d, "orders")
+      .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+        to_date(col("o_orderdate")).as("dy"))
+      .withColumn("nxt", lead(col("dy"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("ck"), col("dy"), col("ok"),
+        datediff(col("nxt"), col("dy")).cast(LongType).as("gap"))
+    gaps.groupBy(col("ck"))
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("element_at(array_sort(collect_list(gap)), " +
+          "cast((count(1) + 1) div 2 AS INT))").as("median_gap"),
+        // total key: same-day order pairs tie on dy alone (found at
+        // sf0.1), so the "latest" pick rides max over (dy, ok, gap)
+        max(struct(col("dy"), col("ok"), col("gap")))
+          .getField("gap").as("latest_gap"))
+      .filter(col("n_gaps") >= 4 && col("latest_gap") > col("median_gap") * 3)
+      .select(col("ck").as("custkey"), asLong(col("n_gaps")).as("n_gaps"),
+        asLong(col("median_gap")).as("median_gap_days"),
+        asLong(col("latest_gap")).as("latest_gap_days"),
+        asLong(col("latest_gap") - col("median_gap") * 3).as("excess_days"))
+      .orderBy(col("excess_days").desc, col("custkey"))
+      .limit(20)
+  }
+
   /** Current active-day streak (§2.32): the length of each user's
     * LAST consecutive-day island — the "don't break the chain" metric
     * ts_streak_longest's historical max doesn't answer (a user whose

@@ -530,6 +530,35 @@ class EngineSpec extends AnyFunSuite {
       s"current streak lost TakeOrdered:\n$sc")
   }
 
+  test("round-10 §2.33 plan shapes: equi-keyed forensics, capped rankings") {
+    // duplicate payments: the pair join stays (custkey, cents)-keyed
+    val dp = ops.Relational.aggDuplicatePaymentAudit(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!dp.contains("CartesianProduct") && !dp.contains("NestedLoop"),
+      s"duplicate-payment join degenerated:\n$dp")
+    // round-number / split-transaction: zero joins
+    val rn = ops.Relational.aggRoundNumberBias(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!rn.contains("Join"), s"round-number grew a join:\n$rn")
+    val st = ops.Relational.aggSplitTransactionDetect(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!st.contains("Join"), s"split-txn grew a join:\n$st")
+    // gap outliers: top-20 TakeOrdered over customer-bounded windows
+    val go = ops.Windows.winOrderGapOutliers(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(go.contains("TakeOrdered"), s"gap outliers lost TakeOrdered:\n$go")
+    // rbo / ablation: WindowGroupLimit caps both rankings off one
+    // persisted scored relation
+    val rb = ops.TextSim.simRboRankings(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(rb.contains("WindowGroupLimit") && rb.contains("InMemoryTableScan"),
+      s"rbo lost its shared capped rankings:\n$rb")
+    val da = ops.TextSim.simDimAblationOverlap(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(da.contains("WindowGroupLimit") && da.contains("InMemoryTableScan"),
+      s"dim ablation lost its shared capped rankings:\n$da")
+  }
+
   test("round-10: top_token_coverage is TakeOrdered, never a vocab window") {
     // Heaps' law: vocabulary grows ~n^0.5, so a global row_number over
     // it is a one-task sort of 10^8+ rows at corpus scale. The plan

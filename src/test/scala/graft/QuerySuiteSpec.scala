@@ -276,7 +276,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     // §2.32 (round 10, growth & engagement accounting batch)
     "agg_growth_accounting" -> 80L, "agg_distinct_growth_curve" -> 126L,
     "agg_inter_purchase_gap" -> 1L, "ts_bounce_rate_daily" -> 30L,
-    "ts_abandoned_cart_daily" -> 30L, "win_streak_current" -> 15L)
+    "ts_abandoned_cart_daily" -> 30L, "win_streak_current" -> 15L,
+    // §2.33 (round 10, forensics & ranking-eval batch)
+    "agg_duplicate_payment_audit" -> 1L, "agg_round_number_bias" -> 1L,
+    "agg_split_transaction_detect" -> 1L, "win_order_gap_outliers" -> 20L,
+    "sim_rbo_rankings" -> 30L, "sim_dim_ablation_overlap" -> 30L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
