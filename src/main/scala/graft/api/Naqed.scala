@@ -705,6 +705,51 @@ class Naqed(spark: SparkSession, sfDir: String) {
     (train, test, Seq(rep).toDS().toDF())
   }
 
+  /** Integrity-audit directive (round 10): the §2.33 money-movement
+    * forensics behind one `$`-argument call — `$checks` selects from
+    * {duplicates, round_numbers, splits} (default: all three), the
+    * report comes back as one long-format DataFrame
+    * (check, metric, value) so callers can union/pivot it like any
+    * other relation. Each check IS the oracle-checked operator
+    * (aggDuplicatePaymentAudit / aggRoundNumberBias /
+    * aggSplitTransactionDetect), so the API surface cannot drift from
+    * the verified semantics. Unknown arguments and unknown check
+    * names fail analysis naqed-style. */
+  def audit(q: Map[String, Any] = Map.empty): DataFrame = {
+    val known = Set("$checks")
+    val unknown = q.keys.filterNot(known.contains)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown audit arguments ${unknown.mkString(", ")}; valid: $$checks")
+    val all = Seq("duplicates", "round_numbers", "splits")
+    val checks: Seq[String] = q.get("$checks") match {
+      case Some(xs: Seq[_]) => xs.map {
+        case s: String if all.contains(s) => s
+        case other => throw new IllegalArgumentException(
+          s"unknown audit check '$other'; valid: ${all.mkString(", ")}")
+      }
+      case Some(other) => throw new IllegalArgumentException(
+        s"$$checks expects a list of check names, got $other")
+      case None => all
+    }
+    import org.apache.spark.sql.functions.{col, lit, expr}
+    def long(name: String, df: DataFrame): DataFrame = {
+      val cols = df.columns
+      df.select(expr(s"stack(${cols.length}, " +
+          cols.map(c => s"'$c', cast(`$c` AS STRING)").mkString(", ") + ")")
+          .as(Seq("metric", "value")))
+        .select(lit(name).as("check"), col("metric"), col("value"))
+    }
+    checks.map {
+      case "duplicates" =>
+        long("duplicates", graft.ops.Relational.aggDuplicatePaymentAudit(spark, sfDir))
+      case "round_numbers" =>
+        long("round_numbers", graft.ops.Relational.aggRoundNumberBias(spark, sfDir))
+      case "splits" =>
+        long("splits", graft.ops.Relational.aggSplitTransactionDetect(spark, sfDir))
+    }.reduce(_ unionByName _)
+  }
+
   /** Embedding near-dedup directive (naqed resolver-with-args style):
     * the curation stage for embedding-carrying corpora
     * (ops.Curation.annNearDedup), driven through the `$`-argument

@@ -736,4 +736,26 @@ class NaqedSpec extends AnyFunSuite {
     }
     assert(neg.getMessage.contains("$depth"))
   }
+
+  test("audit directive: long-format forensics report backed by the oracle-checked ops") {
+    import org.apache.spark.sql.functions.col
+    val rep = naqed.audit()
+    // all three checks, long format, no null metrics
+    assert(rep.columns.toSeq == Seq("check", "metric", "value"))
+    val byCheck = rep.collect().groupBy(_.getString(0))
+    assert(byCheck.keySet == Set("duplicates", "round_numbers", "splits"))
+    // values come verbatim from the oracle-checked operators
+    val direct = ops.Relational.aggRoundNumberBias(spark, sf0001).collect()(0)
+    val apiN = rep.filter(col("check") === "round_numbers" &&
+      col("metric") === "n_orders").collect()(0).getString(2)
+    assert(apiN == direct.getAs[Long]("n_orders").toString)
+    // $checks subsets; unknown names and args fail naqed-style
+    val only = naqed.audit(Map("$checks" -> Seq("splits")))
+    assert(only.select("check").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("splits"))
+    intercept[IllegalArgumentException] {
+      naqed.audit(Map("$checks" -> Seq("bogus")))
+    }
+    intercept[IllegalArgumentException] { naqed.audit(Map("$bogus" -> 1)) }
+  }
 }
