@@ -5651,7 +5651,129 @@ th AS (SELECT pid, cand FROM (SELECT pid, cand,
 ov AS (SELECT tf.pid, count(*) n FROM tf JOIN th ON tf.pid = th.pid AND tf.cand = th.cand GROUP BY 1)
 SELECT p.pid, CAST(coalesce(ov.n, 0) AS BIGINT) AS overlap_at_10,
   round(CAST(coalesce(ov.n, 0) AS DOUBLE)/10.0, 2) AS stability
-FROM probes p LEFT JOIN ov ON ov.pid = p.pid ORDER BY p.pid"""
+FROM probes p LEFT JOIN ov ON ov.pid = p.pid ORDER BY p.pid""",
+
+      // QQ: exact interpolated quantile LISTS, 10-point grid aligned
+      // by ordinality (Spark posexplode is 0-based, these subscripts
+      // 1-based — pct formulas compensate).
+      "agg_qq_price_segments" ->
+        s"""WITH a AS (SELECT quantile_cont(o_totalprice,
+    [0.05, 0.15, 0.25, 0.35, 0.45, 0.55, 0.65, 0.75, 0.85, 0.95]) qs
+  FROM ${T("orders")} WHERE o_custkey % 2 = 0),
+b AS (SELECT quantile_cont(o_totalprice,
+    [0.05, 0.15, 0.25, 0.35, 0.45, 0.55, 0.65, 0.75, 0.85, 0.95]) qs
+  FROM ${T("orders")} WHERE o_custkey % 2 = 1),
+ax AS (SELECT generate_subscripts(qs, 1) AS i, unnest(qs) AS q FROM a),
+bx AS (SELECT generate_subscripts(qs, 1) AS i, unnest(qs) AS q FROM b)
+SELECT CAST(5 + (ax.i - 1)*10 AS BIGINT) AS pct,
+  round(ax.q, 4) AS q_seg_a, round(bx.q, 4) AS q_seg_b,
+  round(ax.q / bx.q, 6) AS qq_ratio
+FROM ax JOIN bx ON ax.i = bx.i ORDER BY pct""",
+
+      // Equi-depth histogram: p0..p100 boundaries from one quantile
+      // list; adjacent pairs by lead over the 11-row relation.
+      "agg_equi_depth_histogram" ->
+        s"""WITH b AS (SELECT count(*) n, quantile_cont(o_totalprice,
+    [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]) qs
+  FROM ${T("orders")}),
+x AS (SELECT n, generate_subscripts(qs, 1) AS i, unnest(qs) AS lo FROM b),
+y AS (SELECT n, i, lo, lead(lo) OVER (ORDER BY i) AS hi FROM x)
+SELECT CAST(i AS BIGINT) AS bucket, round(lo, 4) AS lower_bound,
+  round(hi, 4) AS upper_bound, CAST(n AS BIGINT) AS n_total
+FROM y WHERE hi IS NOT NULL ORDER BY bucket""",
+
+      // Trimmed mean: exact p10/p90 bounds, inclusive BETWEEN on the
+      // stored doubles, DECIMAL-cent kept sum.
+      "agg_trimmed_mean" ->
+        s"""WITH bd AS (SELECT quantile_cont(o_totalprice, 0.10) lo,
+    quantile_cont(o_totalprice, 0.90) hi FROM ${T("orders")})
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CASE WHEN o_totalprice BETWEEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  round(CAST(sum(CASE WHEN o_totalprice BETWEEN lo AND hi
+      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) /
+    CAST(sum(CASE WHEN o_totalprice BETWEEN lo AND hi THEN 1 ELSE 0 END) AS DOUBLE), 2)
+    AS trimmed_mean,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) /
+    CAST(count(*) AS DOUBLE), 2) AS plain_mean
+FROM ${T("orders")}, bd""",
+
+      // Multi-lag ACF: the lag-1 recipe per lag, unioned with labels.
+      "ts_acf_weekly" ->
+        s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+  sum(CAST(value AS DECIMAL(18,2))) AS rev
+  FROM ${T("events")} WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1),
+lagacf AS (
+  SELECT lg, count(*) n, sum(x) sx, sum(y) sy,
+    sum(CAST(x * y AS DECIMAL(38,4))) sxy,
+    sum(CAST(x * x AS DECIMAL(38,4))) sxx,
+    sum(CAST(y * y AS DECIMAL(38,4))) syy
+  FROM (
+    SELECT 1 lg, a.rev x, b.rev y FROM daily a JOIN daily b ON a.day = b.day + 1
+    UNION ALL
+    SELECT 7, a.rev, b.rev FROM daily a JOIN daily b ON a.day = b.day + 7
+    UNION ALL
+    SELECT 14, a.rev, b.rev FROM daily a JOIN daily b ON a.day = b.day + 14
+    UNION ALL
+    SELECT 28, a.rev, b.rev FROM daily a JOIN daily b ON a.day = b.day + 28) t
+  GROUP BY 1)
+SELECT CAST(lg AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+    (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+     sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+    AS acf
+FROM lagacf ORDER BY lag""",
+
+      // Doc-length Gini: exact rank formula on integer lengths, Sum i*x
+      // in HUGEINT.
+      "pipeline_doclen_gini" ->
+        s"""WITH r AS (SELECT source, n_chars,
+    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) i
+  FROM ${T("documents")}),
+g AS (SELECT source, count(*) n, sum(n_chars) sx,
+    sum(CAST(i AS HUGEINT) * n_chars) six FROM r GROUP BY 1)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+  round(CAST(2*six - CAST((n + 1) * sx AS HUGEINT) AS DOUBLE) /
+    CAST(n * sx AS DOUBLE), 4) AS len_gini
+FROM g ORDER BY source""",
+
+      // Allocation comparison: both allocations integerize by the same
+      // largest-remainder rule; per-stratum variance terms floor to
+      // BIGINT before the cross-stratum sum (fold-order-proof).
+      "sample_allocation_compare" ->
+        s"""WITH st AS (SELECT source, count(*) nh, sum(n_chars) sx,
+    sum(CAST(n_chars AS HUGEINT) * n_chars) sxx FROM ${T("documents")} GROUP BY 1),
+w AS (SELECT source, nh,
+    CAST(floor(sqrt(CAST(nh*sxx - sx*sx AS DOUBLE))) AS BIGINT) w,
+    CAST(nh*sxx - sx*sx AS DOUBLE) / CAST(nh*(nh - 1) AS DOUBLE) sh2
+  FROM st),
+t AS (SELECT sum(w) tw, sum(nh) tn FROM w),
+bn AS (SELECT source, nh, sh2, q,
+    CAST(floor(q) AS BIGINT) base FROM (SELECT w.*,
+      CAST(10000*w AS DOUBLE)/CAST(tw AS DOUBLE) q FROM w, t)),
+lv AS (SELECT 10000 - sum(base) leftover FROM bn),
+an AS (SELECT source, nh, sh2, base + CASE WHEN
+      row_number() OVER (ORDER BY q - base DESC, source) <= lv.leftover
+    THEN 1 ELSE 0 END a_ney FROM bn, lv),
+bp AS (SELECT source, q, CAST(floor(q) AS BIGINT) base FROM (SELECT w.source,
+      CAST(10000*nh AS DOUBLE)/CAST(tn AS DOUBLE) q FROM w, t)),
+lp AS (SELECT 10000 - sum(base) leftover FROM bp),
+ap AS (SELECT source, base + CASE WHEN
+      row_number() OVER (ORDER BY q - base DESC, source) <= lp.leftover
+    THEN 1 ELSE 0 END a_prop FROM bp, lp),
+j AS (SELECT an.nh, an.sh2, an.a_ney, ap.a_prop
+  FROM an JOIN ap ON ap.source = an.source
+  WHERE a_ney > 0 AND a_prop > 0)
+SELECT CAST(count(*) AS BIGINT) AS n_strata,
+  CAST(sum(CAST(floor(CAST(nh*nh AS DOUBLE) * sh2 / CAST(a_ney AS DOUBLE)) AS BIGINT)) AS BIGINT)
+    AS var_neyman_q0,
+  CAST(sum(CAST(floor(CAST(nh*nh AS DOUBLE) * sh2 / CAST(a_prop AS DOUBLE)) AS BIGINT)) AS BIGINT)
+    AS var_proportional_q0,
+  floor(CAST(sum(CAST(floor(CAST(nh*nh AS DOUBLE) * sh2 / CAST(a_prop AS DOUBLE)) AS BIGINT)) AS DOUBLE) /
+    CAST(sum(CAST(floor(CAST(nh*nh AS DOUBLE) * sh2 / CAST(a_ney AS DOUBLE)) AS BIGINT)) AS DOUBLE) * 1e4) / 1e4
+    AS efficiency_ratio
+FROM j"""
     )
   }
 }

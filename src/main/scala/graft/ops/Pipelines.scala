@@ -1957,6 +1957,32 @@ object Pipelines {
       .orderBy("lang")
   }
 
+  /** Per-source document-length Gini (§2.34): how unequally each
+    * source's token mass is spread over its documents — a source
+    * whose Gini spikes is a few huge documents wearing a corpus
+    * costume, the curation smell pipeline_len_histogram's buckets
+    * blur (agg_gini is the revenue face; this is the corpus face).
+    * The exact rank formula on INTEGER lengths: ranks from the
+    * source-bounded window with doc_id ties, Σi·x in DECIMAL(38,0) /
+    * HUGEINT (rank × length × docs wraps Long at corpus scale),
+    * gini = (2Σix − (n+1)Σx)/(nΣx) rounded 4. */
+  val pipelineDoclenGini: Q = (s, d) => {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val dec38 = DecimalType(38, 0)
+    table(s, d, "documents")
+      .select(col("source"), col("n_chars"),
+        row_number().over(w).cast(LongType).as("i"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"),
+        sum((col("i") * col("n_chars")).cast(dec38)).as("six"))
+      .select(col("source"), asLong(col("n")).as("n_docs"),
+        round((lit(2) * col("six") - ((col("n") + 1) * col("sx")).cast(dec38))
+            .cast(DoubleType) /
+          (col("n") * col("sx")).cast(DoubleType), 4).as("len_gini"))
+      .orderBy("source")
+  }
+
   /** Gopher-style rule-based quality report (§2.29): per source, how
     * many docs each curation rule would reject — the pre-filter audit
     * run before committing a rule set to a corpus (pipeline_quality

@@ -2893,6 +2893,79 @@ object Relational {
       (floor(sqrt(lIdx * pIdx) * 1e4) / 1e4).as("fisher"))
   }
 
+  /** QQ comparison of the two customer segments (§2.34): order-value
+    * quantiles at 10 evenly spaced probability points, custkey%2 A vs
+    * B — the distribution-level companion to agg_welch_ttest's means
+    * (a t-test can pass while the tails diverge; the QQ table shows
+    * WHERE). Exact interpolated percentiles (the agg_group_quantiles
+    * recipe) via ARRAY percentile — one aggregate per segment, the
+    * 10-point grid aligned by posexplode ordinality; ratio is one
+    * division, round 6. Scale: two map-combined percentile
+    * aggregates; everything after runs on 10 rows. */
+  val aggQqPriceSegments: Q = (s, d) => {
+    val ps = "array(0.05D, 0.15D, 0.25D, 0.35D, 0.45D, 0.55D, 0.65D, 0.75D, 0.85D, 0.95D)"
+    def seg(v: Int) = table(s, d, "orders")
+      .filter(col("o_custkey") % 2 === v)
+      .agg(expr(s"percentile(o_totalprice, $ps)").as("qs"))
+      .select(posexplode(col("qs")).as(Seq("i", "q")))
+    val a = seg(0).toDF("i", "qa")
+    val b = seg(1).toDF("i", "qb")
+    a.join(broadcast(b), Seq("i"))
+      .select(asLong(lit(5) + col("i") * 10).as("pct"),
+        round(col("qa"), 4).as("q_seg_a"), round(col("qb"), 4).as("q_seg_b"),
+        round(col("qa") / col("qb"), 6).as("qq_ratio"))
+      .orderBy("pct")
+  }
+
+  /** Equi-depth histogram boundaries (§2.34): the 10-bucket
+    * equal-frequency histogram of order value — the statistic a
+    * cost-based optimizer's ANALYZE collects (equi-WIDTH histograms
+    * like agg_histogram mislead on skewed money columns; equi-depth
+    * puts the resolution where the rows are). Boundaries are exact
+    * interpolated percentiles p0..p100 via one ARRAY percentile
+    * aggregate; bucket rows pair adjacent boundaries by ordinality. */
+  val aggEquiDepthHistogram: Q = (s, d) => {
+    val ps = "array(0.0D, 0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D, 1.0D)"
+    val b = table(s, d, "orders")
+      .agg(count(lit(1)).as("n"),
+        expr(s"percentile(o_totalprice, $ps)").as("qs"))
+    b.select(col("n"), posexplode(col("qs")).as(Seq("i", "lo")))
+      .withColumn("hi", lead(col("lo"), 1)
+        .over(Window.orderBy(col("i")))) // 11-row relation: bounded by design
+      .filter(col("hi").isNotNull)
+      .select(asLong(col("i") + 1).as("bucket"),
+        round(col("lo"), 4).as("lower_bound"),
+        round(col("hi"), 4).as("upper_bound"),
+        asLong(col("n")).as("n_total"))
+      .orderBy("bucket")
+  }
+
+  /** 10% two-sided trimmed mean of order value (§2.34): the robust
+    * location that DROPS the tails (agg_winsorized_mean CLAMPS them —
+    * different estimator, different breakdown behavior; a suite that
+    * offers one should offer both). Bounds are exact interpolated
+    * p10/p90 (identical doubles cross-engine), membership is an
+    * inclusive BETWEEN on the stored doubles, the kept sum folds in
+    * DECIMAL cents. Scale: one percentile aggregate broadcast into
+    * one filtered map-combined scan. */
+  val aggTrimmedMean: Q = (s, d) => {
+    val o = table(s, d, "orders")
+    val bounds = o.agg(expr("percentile(o_totalprice, 0.10D)").as("lo"),
+      expr("percentile(o_totalprice, 0.90D)").as("hi"))
+    o.crossJoin(broadcast(bounds))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_totalprice").between(col("lo"), col("hi")), 1L)
+          .otherwise(0L)).as("kept"),
+        sum(when(col("o_totalprice").between(col("lo"), col("hi")),
+          dec2(col("o_totalprice")))).as("ksum"),
+        sum(dec2(col("o_totalprice"))).as("asum"))
+      .select(asLong(col("n")).as("n_orders"), asLong(col("kept")).as("n_kept"),
+        round(col("ksum").cast(DoubleType) / col("kept").cast(DoubleType), 2)
+          .as("trimmed_mean"),
+        round(col("asum").cast(DoubleType) / col("n").cast(DoubleType), 2)
+          .as("plain_mean"))
+  }
+
   /** Duplicate-payment audit (§2.33): order pairs from the SAME
     * customer for the IDENTICAL amount within 7 days — the
     * double-charge / replayed-order forensic every payments system

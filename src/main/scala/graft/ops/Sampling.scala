@@ -297,6 +297,64 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Allocation-design comparison (§2.34): the estimator variance of
+    * the stratified mean under the NEYMAN allocation vs the
+    * PROPORTIONAL one at the same 10000-doc budget — the "what did
+    * optimality actually buy" read that justifies (or retires)
+    * sample_neyman_allocation's extra complexity. Both allocations
+    * integerize by the same largest-remainder rule; V = Σ Nh²·Sh²/nh
+    * has every per-stratum term built from exact integers
+    * (DECIMAL(38,0) variance numerators) and floor-quantized to
+    * BIGINT BEFORE the cross-stratum sum (fold-order-proof); the
+    * efficiency ratio is one division on the two quantized totals.
+    * Scale: ONE corpus aggregate; everything after runs on the
+    * ≤|sources|-row relation (bounded windows by construction). */
+  val sampleAllocationCompare: Q = (s, d) => {
+    val bud = 10000L
+    val dec38 = DecimalType(38, 0)
+    val st = table(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nh"),
+        sum(col("n_chars").cast(dec38)).as("sx"),
+        sum((col("n_chars") * col("n_chars")).cast(dec38)).as("sxx"))
+      .select(col("source"), col("nh"),
+        floor(sqrt((col("nh").cast(dec38) * col("sxx") - col("sx") * col("sx"))
+          .cast(DoubleType))).cast(LongType).as("w"),
+        ((col("nh").cast(dec38) * col("sxx") - col("sx") * col("sx"))
+          .cast(DoubleType) /
+          (col("nh") * (col("nh") - 1)).cast(DoubleType)).as("sh2"))
+      .localCheckpoint(true)
+    val tot = st.agg(sum(col("w")).as("tw"), sum(col("nh")).as("tn"))
+    def alloc(quota: Column, name: String): DataFrame = {
+      val q = st.crossJoin(broadcast(tot))
+        .select(col("source"), col("nh"), col("sh2"), quota.as("quota"))
+        .withColumn("base", floor(col("quota")).cast(LongType))
+      val left = q.agg((lit(bud) - sum(col("base"))).as("leftover"))
+      val wR = Window.orderBy((col("quota") - col("base")).desc, col("source"))
+      q.crossJoin(broadcast(left))
+        .withColumn("r", row_number().over(wR)) // ≤|sources| rows
+        .select(col("source"), col("nh"), col("sh2"),
+          (col("base") + when(col("r") <= col("leftover"), 1L).otherwise(0L))
+            .as(name))
+    }
+    val ney = alloc((lit(bud) * col("w")).cast(DoubleType) /
+      col("tw").cast(DoubleType), "a_ney")
+    val prop = alloc((lit(bud) * col("nh")).cast(DoubleType) /
+      col("tn").cast(DoubleType), "a_prop")
+    def vterm(a: String) =
+      floor((col("nh") * col("nh")).cast(DoubleType) * col("sh2") /
+        col(a).cast(DoubleType)).cast(LongType)
+    ney.join(prop.select(col("source"), col("a_prop")), Seq("source"))
+      .filter(col("a_ney") > 0 && col("a_prop") > 0)
+      .agg(count(lit(1)).as("n_strata"),
+        sum(vterm("a_ney")).as("v_ney"), sum(vterm("a_prop")).as("v_prop"))
+      .select(asLong(col("n_strata")).as("n_strata"),
+        asLong(col("v_ney")).as("var_neyman_q0"),
+        asLong(col("v_prop")).as("var_proportional_q0"),
+        (floor(col("v_prop").cast(DoubleType) / col("v_ney").cast(DoubleType)
+          * 1e4) / 1e4).as("efficiency_ratio"))
+  }
+
   /** Deterministic Poisson bootstrap CI (§2.31): a 95% confidence
     * interval for mean order value from B = 100 replicates — THE
     * distributed bootstrap (Poisson weights need no global resample:

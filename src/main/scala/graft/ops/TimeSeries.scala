@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1505,6 +1505,40 @@ object TimeSeries {
       (floor(beta * 100) / 100).as("gumbel_beta"),
       (floor(mu * 100) / 100).as("gumbel_mu"),
       (floor(p99 * 100) / 100).as("p99_return_level"))
+  }
+
+  /** Multi-lag autocorrelation (§2.34): ACF of daily purchase revenue
+    * at lags 1 / 7 / 14 / 28 — weekly seasonality shows as the lag-7
+    * spike the single-lag ts_autocorr_lag1 cannot see. Same recipe
+    * per lag (calendar-shifted self-join of the day-grain aggregate,
+    * DECIMAL(38,4) cross-moments, one Pearson expression on exact
+    * operands, round 6), the four lags unioned with their label.
+    * Scale: ONE date-grain aggregate persisted; each lag join is
+    * calendar-bounded. */
+  val tsAcfWeekly: Q = (s, d) => {
+    val daily = table(s, d, "events")
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(dec2(col("value"))).as("rev"))
+      .localCheckpoint(true)
+    def acf(lag: Int): DataFrame = {
+      val pairs = daily.select(col("day"), col("rev").as("x"))
+        .join(daily.select(date_add(col("day"), lag).as("day"),
+          col("rev").as("y")), Seq("day"))
+      val sums = pairs.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 4))).as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 4))).as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 4))).as("syy"))
+      val nD = col("n").cast(DoubleType)
+      def D(c: String) = col(c).cast(DoubleType)
+      sums.select(lit(lag.toLong).as("lag"), asLong(col("n")).as("n_pairs"),
+        round((nD * D("sxy") - D("sx") * D("sy")) /
+          (sqrt(nD * D("sxx") - D("sx") * D("sx")) *
+            sqrt(nD * D("syy") - D("sy") * D("sy"))), 6).as("acf"))
+    }
+    acf(1).unionByName(acf(7)).unionByName(acf(14)).unionByName(acf(28))
+      .orderBy("lag")
   }
 
   /** Growth accounting (§2.32): the monthly new / retained /

@@ -559,6 +559,31 @@ class EngineSpec extends AnyFunSuite {
       s"dim ablation lost its shared capped rankings:\n$da")
   }
 
+  test("round-10 §2.34 plan shapes: percentile folds, bounded grids") {
+    // qq / equi-depth / trimmed: percentile aggregates, no data-sized
+    // sort joins anywhere
+    val qq = ops.Relational.aggQqPriceSegments(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!qq.contains("SortMergeJoin") && !qq.contains("CartesianProduct"),
+      s"qq grid degenerated:\n$qq")
+    val ed = ops.Relational.aggEquiDepthHistogram(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!ed.contains("Join"), s"equi-depth grew a join:\n$ed")
+    val tm = ops.Relational.aggTrimmedMean(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(tm.contains("BroadcastNestedLoopJoin") || tm.contains("BroadcastHashJoin"),
+      s"trimmed-mean bounds not broadcast:\n$tm")
+    // acf: the daily relation is built once (localCheckpoint) and the
+    // four lag joins read it
+    val ac = ops.TimeSeries.tsAcfWeekly(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!ac.contains("CartesianProduct"), s"acf degenerated:\n$ac")
+    // doclen gini: one source-bounded window + map-combined sums
+    val dg = ops.Pipelines.pipelineDoclenGini(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!dg.contains("Join"), s"doclen gini grew a join:\n$dg")
+  }
+
   test("round-10: top_token_coverage is TakeOrdered, never a vocab window") {
     // Heaps' law: vocabulary grows ~n^0.5, so a global row_number over
     // it is a one-task sort of 10^8+ rows at corpus scale. The plan

@@ -280,7 +280,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     // §2.33 (round 10, forensics & ranking-eval batch)
     "agg_duplicate_payment_audit" -> 1L, "agg_round_number_bias" -> 1L,
     "agg_split_transaction_detect" -> 1L, "win_order_gap_outliers" -> 20L,
-    "sim_rbo_rankings" -> 30L, "sim_dim_ablation_overlap" -> 30L)
+    "sim_rbo_rankings" -> 30L, "sim_dim_ablation_overlap" -> 30L,
+    // §2.34 (round 10, distribution-diagnostics batch)
+    "agg_qq_price_segments" -> 10L, "agg_equi_depth_histogram" -> 10L,
+    "agg_trimmed_mean" -> 1L, "ts_acf_weekly" -> 4L,
+    "pipeline_doclen_gini" -> 20L, "sample_allocation_compare" -> 1L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
