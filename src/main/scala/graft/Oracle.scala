@@ -5145,13 +5145,15 @@ FROM j, t ORDER BY bin""",
 
       // Systematic sampling: every 50th row in md5-of-key order —
       // the md5 hex and the (md5, key) total order are identical in
-      // both engines.
+      // both engines. Price as BIGINT cents (suite rule §5.3: no bare
+      // DECIMAL in oracle-checked output — round-10's only hash
+      // mismatch was this column, value-identical in both engines).
       "sample_systematic" ->
         s"""WITH r AS (SELECT o_orderkey,
-    CAST(o_totalprice AS DECIMAL(18,2)) price,
+    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) price_cents,
     row_number() OVER (ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) rn
   FROM ${T("orders")})
-SELECT CAST(rn AS BIGINT) AS rn, o_orderkey, price
+SELECT CAST(rn AS BIGINT) AS rn, o_orderkey, price_cents
 FROM r WHERE rn % 50 = 1 ORDER BY rn""",
 
       // Welch: n/Sum/Sumsq in BIGINT-cents / HUGEINT; one shared IEEE

@@ -214,42 +214,70 @@ object Multimodal {
       if (!isAvi(p)) return None
       var width = 0; var height = 0; var bits = 0
       var usPf = 0L; var comp = -1L
+      // fccType of the most recent strh — strf is only the video
+      // BITMAPINFOHEADER when the enclosing stream is 'vids' (an
+      // audio-first AVI lists a WAVEFORMATEX strf first, which the
+      // old "first strf wins" read misparsed)
+      var curStream = ""
       val frames = Vector.newBuilder[(Int, Int)]
       var bad = false
-      def walk(start: Int, end: Int): Unit = {
+      // iterative walk (explicit FIFO worklist, preserves document
+      // order so each strl's strh precedes its strf): a hostile
+      // payload of deeply nested LISTs (~12 bytes/level) would
+      // overflow the call stack with the recursive formulation —
+      // StackOverflowError is an Error and escaped the old catch
+      val work = scala.collection.mutable.Queue[(Int, Int)]((12, p.length))
+      while (!bad && work.nonEmpty) {
+        val (start, end) = work.dequeue()
         var off = start
-        while (!bad && off + 8 <= end) {
+        var go = true
+        while (go && !bad && off + 8 <= end) {
           val id = new String(p, off, 4, "US-ASCII")
           val sz = u32(p, off + 4).toInt
           // corrupt sizes: negative (>2 GiB claim) or past the buffer
-          if (sz < 0 || off + 8 + sz > p.length) { bad = true; return }
-          if (id == "LIST") walk(off + 12, off + 8 + sz)
-          else if (id == "avih" && sz >= 40) {
-            usPf = u32(p, off + 8)
-            width = u32(p, off + 8 + 32).toInt
-            height = u32(p, off + 8 + 36).toInt
-          } else if (id == "strf" && comp < 0 && sz >= 20) {
-            // first strf = the video stream's BITMAPINFOHEADER
-            bits = u16(p, off + 8 + 14)
-            comp = u32(p, off + 8 + 16)
-          } else if (id == "00db" || id == "00dc") frames += ((off + 8, sz))
-          off += 8 + sz + (sz & 1)
+          if (sz < 0 || off + 8 + sz > p.length) { bad = true; go = false }
+          else {
+            if (id == "LIST") work.enqueue((off + 12, off + 8 + sz))
+            else if (id == "avih" && sz >= 40) {
+              usPf = u32(p, off + 8)
+              width = u32(p, off + 8 + 32).toInt
+              height = u32(p, off + 8 + 36).toInt
+            } else if (id == "strh" && sz >= 4)
+              curStream = new String(p, off + 8, 4, "US-ASCII")
+            else if (id == "strf" && curStream == "vids" && comp < 0 &&
+                sz >= 20) {
+              bits = u16(p, off + 8 + 14)
+              comp = u32(p, off + 8 + 16)
+            } else if (id == "00db" || id == "00dc") frames += ((off + 8, sz))
+            off += 8 + sz + (sz & 1)
+          }
         }
       }
-      walk(12, p.length)
       val fr = frames.result()
-      if (bad || width <= 0 || height <= 0 || comp != 0L ||
+      // implausible geometry (header u32s can claim up to 2^32-1;
+      // width ~7e8 at 24bpp overflowed the old Int rowBytes and
+      // defeated the frame-size guard below) → malformed
+      if (bad || width <= 0 || height <= 0 || width > 65535 ||
+          height > 65535 || comp != 0L ||
           (bits != 24 && bits != 32) || fr.isEmpty) None
       else {
         // every frame chunk must hold a full bitmap — an undersized
         // chunk would send aviFrameLuma reading past the chunk (found
-        // by the AviProps fuzz property): malformed container → None
-        val rowBytes = ((width * (bits / 8) + 3) / 4) * 4
-        val needed = rowBytes.toLong * height
+        // by the AviProps fuzz property): malformed container → None.
+        // All arithmetic in Long: width/height are already bounded to
+        // 16 bits above, but keep the wide type so the guard can
+        // never wrap again.
+        val rowBytes = ((width.toLong * (bits / 8) + 3L) / 4L) * 4L
+        val needed = rowBytes * height
         if (fr.exists(_._2 < needed)) None
         else Some(AviInfo(width, height, bits, usPf, fr))
       }
-    } catch { case _: Exception => None }
+    } catch {
+      // Throwable, not Exception: the decoder contract is "never
+      // throw", and hostile input can raise Errors too
+      case scala.util.control.NonFatal(_) => None
+      case _: StackOverflowError => None
+    }
 
   /** Mean luminance of one raw DIB frame: bottom-up rows, 4-byte row
     * padding, BGR(A) order — the bitmap layout AVI inherits from
@@ -279,6 +307,10 @@ object Multimodal {
     * vector length as the image/audio paths, so downstream feature
     * joins stay modality-agnostic. */
   private[graft] def decodeAvi(p: Array[Byte]): Option[Array[Double]] =
+    try decodeAviUnsafe(p)
+    catch { case _: Exception => None } // decoder must never throw
+
+  private def decodeAviUnsafe(p: Array[Byte]): Option[Array[Double]] =
     parseAvi(p).map { info =>
       val lumas = info.frames.map { case (o, _) => aviFrameLuma(p, info, o) }
       val n = lumas.size.toDouble
@@ -349,18 +381,22 @@ object Multimodal {
       rows.flatMap { m =>
         if (isAvi(m.payload)) {
           // uncompressed AVI: hand-parsed container, only the k
-          // sampled frames are ever decoded
-          parseAvi(m.payload) match {
-            case Some(info) =>
-              val n = info.frames.size
-              val kk = math.min(k, n)
-              (0 until kk).map(f => (n.toLong * f / kk).toInt).distinct
-                .iterator.map { idx =>
-                  DecodedFrame(m.id, idx, n, info.width, info.height,
-                    aviFrameLuma(m.payload, info, info.frames(idx)._1))
-                }
-            case None => Iterator.empty
-          }
+          // sampled frames are ever decoded; same catch-to-empty
+          // contract as the imageio branch below — a corrupt payload
+          // must drop its rows, never kill the task
+          try {
+            parseAvi(m.payload) match {
+              case Some(info) =>
+                val n = info.frames.size
+                val kk = math.min(k, n)
+                (0 until kk).map(f => (n.toLong * f / kk).toInt).distinct
+                  .map { idx =>
+                    DecodedFrame(m.id, idx, n, info.width, info.height,
+                      aviFrameLuma(m.payload, info, info.frames(idx)._1))
+                  }.iterator
+              case None => Iterator.empty
+            }
+          } catch { case _: Exception => Iterator.empty }
         } else {
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(m.payload))

@@ -413,13 +413,19 @@ object Sampling {
     * no-partition window; the keep test is then per-row modular
     * arithmetic. */
   val sampleSystematic: Q = (s, d) => {
+    // price as BIGINT cents, not bare DECIMAL(18,2): the driver's hash
+    // canonicalization of DECIMAL differs between engines (round-10's
+    // one red row was value-identical yet hash-mismatched); integers
+    // hash identically everywhere. Suite rule recorded in SURVEY §5.3.
     val keyed = table(s, d, "orders")
-      .select(col("o_orderkey"), dec2(col("o_totalprice")).as("price"),
+      .select(col("o_orderkey"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("price_cents"),
         md5(col("o_orderkey").cast(StringType)).as("mk"))
     val (ranked, _) = GlobalRank.ranked(keyed,
       Seq(col("mk"), col("o_orderkey")), "rn")
     ranked.filter((col("rn") % 50) === 1)
-      .select(asLong(col("rn")).as("rn"), col("o_orderkey"), col("price"))
+      .select(asLong(col("rn")).as("rn"), col("o_orderkey"),
+        col("price_cents"))
       .orderBy("rn")
   }
 }

@@ -321,7 +321,17 @@ class QuerySuiteSpec extends AnyFunSuite {
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name row count @ sf0.001") {
-      assert(fn(spark, sf0001).count() == golden(name))
+      val df = fn(spark, sf0001)
+      // SURVEY §5.3 rule 8: no bare DECIMAL in oracle-checked output —
+      // the driver's decimal hash canonicalization diverged between
+      // engines on value-identical data (round 10). Output money as
+      // BIGINT cents or rounded DOUBLE instead.
+      val decCols = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+      }
+      assert(decCols.isEmpty,
+        s"$name emits DecimalType columns ${decCols.mkString(",")} (hash-unsafe, §5.3 rule 8)")
+      assert(df.count() == golden(name))
     }
   }
 }
