@@ -5775,7 +5775,139 @@ SELECT CAST(count(*) AS BIGINT) AS n_strata,
   floor(CAST(sum(CAST(floor(CAST(nh*nh AS DOUBLE) * sh2 / CAST(a_prop AS DOUBLE)) AS BIGINT)) AS DOUBLE) /
     CAST(sum(CAST(floor(CAST(nh*nh AS DOUBLE) * sh2 / CAST(a_ney AS DOUBLE)) AS BIGINT)) AS DOUBLE) * 1e4) / 1e4
     AS efficiency_ratio
-FROM j"""
+FROM j""",
+
+      // ---- §2.35 (round 11): sequential testing, conformal
+      // prediction, tokenizer economics, CUSUM drift ----
+
+      // SPRT: cumulative conversion counts in md5 arrival order at
+      // 100-row checkpoints; the two log-likelihood factors are the
+      // SAME inlined double literals as the Spark side (ln(.35/.25),
+      // ln(.65/.75)), LLR floor-quantized 1e6, decision on the
+      // quantized integer vs the quantized ln(19) boundaries.
+      "agg_sprt_decision" ->
+        s"""WITH r AS (SELECT
+    CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) > 15000000
+      THEN 1 ELSE 0 END conv,
+    row_number() OVER (ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) rn
+  FROM ${T("orders")}),
+c AS (SELECT rn, sum(conv) OVER (ORDER BY rn) x FROM r)
+SELECT CAST(rn AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+  CAST(floor((CAST(x AS DOUBLE) * 0.3364722366212129 +
+    CAST(rn - x AS DOUBLE) * -0.1431008436406733) * 1e6) AS BIGINT) AS llr_q6,
+  CASE WHEN CAST(floor((CAST(x AS DOUBLE) * 0.3364722366212129 +
+      CAST(rn - x AS DOUBLE) * -0.1431008436406733) * 1e6) AS BIGINT) >= 2944438
+    THEN 'reject_h0'
+    WHEN CAST(floor((CAST(x AS DOUBLE) * 0.3364722366212129 +
+      CAST(rn - x AS DOUBLE) * -0.1431008436406733) * 1e6) AS BIGINT) <= -2944439
+    THEN 'accept_h0' ELSE 'continue' END AS decision
+FROM c WHERE rn % 100 = 0 ORDER BY n""",
+
+      // e-process summary: sup of the same quantized LLR stream =
+      // -ln(always-valid p); first boundary crossing; one row.
+      "agg_eprocess_summary" ->
+        s"""WITH r AS (SELECT
+    CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) > 15000000
+      THEN 1 ELSE 0 END conv,
+    row_number() OVER (ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) rn
+  FROM ${T("orders")}),
+c AS (SELECT rn, sum(conv) OVER (ORDER BY rn) x FROM r),
+k AS (SELECT rn AS n,
+    CAST(floor((CAST(x AS DOUBLE) * 0.3364722366212129 +
+      CAST(rn - x AS DOUBLE) * -0.1431008436406733) * 1e6) AS BIGINT) llr
+  FROM c WHERE rn % 100 = 0)
+SELECT CAST(count(*) AS BIGINT) AS n_checkpoints,
+  CAST(max(llr) AS BIGINT) AS sup_llr_q6,
+  CAST(greatest(max(llr), 0) AS BIGINT) AS neg_ln_p_q6,
+  CAST(coalesce(min(CASE WHEN llr >= 2944438 THEN n END), -1) AS BIGINT)
+    AS first_reject_n
+FROM k""",
+
+      // split conformal: per-segment train-mean prediction (floor
+      // integer cents), calibration residual order statistic at
+      // ceil(9(n+1)/10) clamped to n — everything BIGINT.
+      "sample_conformal_interval" ->
+        s"""WITH o AS (SELECT o_orderkey, o_custkey % 4 seg,
+    CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) cents,
+    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT b
+  FROM ${T("orders")}),
+s AS (SELECT *, CASE WHEN b < 21845 THEN 'train'
+    WHEN b < 43690 THEN 'calib' ELSE 'test' END split FROM o),
+p AS (SELECT seg, CAST(floor(CAST(sum(cents) AS DOUBLE)/CAST(count(*) AS DOUBLE)) AS BIGINT) pred_cents
+  FROM s WHERE split = 'train' GROUP BY seg),
+cal AS (SELECT s.seg, abs(s.cents - p.pred_cents) resid, s.o_orderkey,
+    p.pred_cents FROM s JOIN p ON p.seg = s.seg WHERE s.split = 'calib'),
+rk AS (SELECT seg, resid, pred_cents,
+    row_number() OVER (PARTITION BY seg ORDER BY resid, o_orderkey) rn,
+    count(*) OVER (PARTITION BY seg) n_calib
+  FROM cal)
+SELECT CAST(seg AS BIGINT) AS seg, CAST(n_calib AS BIGINT) AS n_calib,
+  pred_cents, resid AS q_cents,
+  pred_cents - resid AS lo_cents, pred_cents + resid AS hi_cents
+FROM rk WHERE rn = least((9*(n_calib+1)+9)//10, n_calib) ORDER BY seg""",
+
+      // conformal coverage on the test split: covered/n as a 1e6
+      // integer division — the >= 90% validity check.
+      "sample_conformal_coverage" ->
+        s"""WITH o AS (SELECT o_orderkey, o_custkey % 4 seg,
+    CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) cents,
+    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT b
+  FROM ${T("orders")}),
+s AS (SELECT *, CASE WHEN b < 21845 THEN 'train'
+    WHEN b < 43690 THEN 'calib' ELSE 'test' END split FROM o),
+p AS (SELECT seg, CAST(floor(CAST(sum(cents) AS DOUBLE)/CAST(count(*) AS DOUBLE)) AS BIGINT) pred_cents
+  FROM s WHERE split = 'train' GROUP BY seg),
+cal AS (SELECT s.seg, abs(s.cents - p.pred_cents) resid, s.o_orderkey
+  FROM s JOIN p ON p.seg = s.seg WHERE s.split = 'calib'),
+rk AS (SELECT seg, resid,
+    row_number() OVER (PARTITION BY seg ORDER BY resid, o_orderkey) rn,
+    count(*) OVER (PARTITION BY seg) n_calib
+  FROM cal),
+q AS (SELECT seg, resid q_cents FROM rk
+  WHERE rn = least((9*(n_calib+1)+9)//10, n_calib))
+SELECT CAST(s.seg AS BIGINT) AS seg, CAST(count(*) AS BIGINT) AS n_test,
+  CAST(sum(CASE WHEN abs(s.cents - p.pred_cents) <= q.q_cents
+    THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+  CAST((sum(CASE WHEN abs(s.cents - p.pred_cents) <= q.q_cents
+    THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS coverage_q6
+FROM s JOIN p ON p.seg = s.seg JOIN q ON q.seg = s.seg
+WHERE s.split = 'test' GROUP BY s.seg ORDER BY seg""",
+
+      // fertility: the token_count regex aggregated per lang; ratios
+      // as 1e6/1e8 integer divisions of exact BIGINT sums.
+      "pipeline_bpe_fertility" ->
+        s"""WITH t AS (SELECT lang,
+    CAST(len(string_split(text, ' ')) AS BIGINT) ws,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) bpe,
+    n_chars
+  FROM ${T("documents")})
+SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+  CAST((sum(bpe) * 1000000) // sum(ws) AS BIGINT) AS tok_per_word_q6,
+  CAST((sum(bpe) * 100000000) // sum(n_chars) AS BIGINT) AS tok_per_100chars_q6
+FROM t GROUP BY lang ORDER BY lang""",
+
+      // CUSUM: Page's recursion over calendar-ordered daily counts —
+      // exact BIGINT arithmetic (mu = integer mean, k = 1), the Holt
+      // recursive-CTE twin of the Spark aggregate-HOF fold; top-20
+      // drift days.
+      "ts_cusum_top" ->
+        s"""WITH RECURSIVE dd AS (SELECT o_orderdate dt, count(*) x
+  FROM ${T("orders")} GROUP BY 1),
+p AS (SELECT dt, x, row_number() OVER (ORDER BY dt) rn FROM dd),
+t AS (SELECT CAST(sum(x) // count(*) AS BIGINT) mu FROM dd),
+rec AS (
+  SELECT rn, greatest(CAST(0 AS BIGINT),
+      CAST(x AS BIGINT) - (SELECT mu FROM t) - 1) s
+  FROM p WHERE rn = 1
+  UNION ALL
+  SELECT p.rn, greatest(CAST(0 AS BIGINT),
+      rec.s + CAST(p.x AS BIGINT) - (SELECT mu FROM t) - 1)
+  FROM rec JOIN p ON p.rn = rec.rn + 1)
+SELECT p.dt, CAST(p.x AS BIGINT) AS x, CAST(rec.s AS BIGINT) AS cusum_s
+FROM rec JOIN p ON p.rn = rec.rn
+ORDER BY cusum_s DESC, dt LIMIT 20"""
     )
   }
 }

@@ -756,9 +756,12 @@ class Naqed(spark: SparkSession, sfDir: String) {
     * convention. Default is `$path -> "auto"` — a one-probe cost-based
     * switch at the measured SCALING.md crossover (exact block-grid
     * below ~50k items where it is both cheaper and recall-1.0, the
-    * density-adaptive ANN pipeline above it); `$path -> "exact"|"ann"`
-    * pins a side, and the legacy `$exact -> true/false` boolean maps
-    * to the same. `$mass_factor` widens ANN probing, `$margin` widens
+    * FIXED-nprobe ANN pipeline — the measured α-1.33 scale path —
+    * above it); `$path -> "exact"|"ann"` pins a side,
+    * `$path -> "ann_adaptive"` opts into the density-adaptive IVFADC
+    * variant (recall knob; measured α 2.08 — never chosen by auto),
+    * and the legacy `$exact -> true/false` boolean maps to the same.
+    * `$mass_factor` widens adaptive probing, `$margin` widens
     * the PQ-code prefilter band, `$n_cells` sizes the IVF grid.
     * Returns the kept corpus. Unknown arguments fail analysis
     * naqed-style. */
@@ -779,9 +782,10 @@ class Naqed(spark: SparkSession, sfDir: String) {
       case None => dflt
     }
     val path = q.get("$path") match {
-      case Some(p: String) if Set("auto", "exact", "ann")(p) => p
+      case Some(p: String)
+        if Set("auto", "exact", "ann", "ann_adaptive")(p) => p
       case Some(other) => throw new IllegalArgumentException(
-        s"$$path expects one of auto, exact, ann; got $other")
+        s"$$path expects one of auto, exact, ann, ann_adaptive; got $other")
       case None => q.get("$exact") match {
         case Some(b: Boolean) => if (b) "exact" else "ann"
         case Some(other) => throw new IllegalArgumentException(

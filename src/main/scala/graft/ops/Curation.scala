@@ -89,20 +89,29 @@ object Curation {
     * corpus joined to its embedding column). `path` selects the pair
     * source:
     *
-    *  - `"ann"`: the density-adaptive ANN pipeline
-    *    (`Pipelines.simCosineNeardupAnnAdaptive` — IVF candidates,
-    *    mass-driven probing, PQ-code prefilter, exact cosine rescore:
-    *    precision 1.0 by construction, measured recall in
-    *    SCALING.md/AnnNeardupSpec, full-float rescores ~138x fewer
-    *    than fixed nprobe=8);
+    *  - `"ann"`: the FIXED-nprobe IVF pipeline
+    *    (`Pipelines.simCosineNeardupAnn`, nprobe=8 — the measured
+    *    SCALE path: CPU α 1.33 across the 10×→100× docs legs, recall
+    *    1.0 at nprobe=8 in AnnNeardupSpec's probe table);
+    *  - `"ann_adaptive"`: the density-adaptive IVFADC variant
+    *    (`simCosineNeardupAnnAdaptive` — mass-driven probing + PQ-code
+    *    prefilter). EXPLICIT OPT-IN ONLY: its mass target scales with
+    *    the average cell size, so candidates grow n^1.5 by
+    *    construction — measured α 2.08, 9.4× the fixed-nprobe CPU at
+    *    200k vectors (SCALING.md round-9 finding 2). It is the
+    *    recall-knob for corpora where a missed near-dup costs more
+    *    than CPU, never the default above the crossover;
     *  - `"exact"`: the all-pairs block-grid (`simCosineNeardup`) —
     *    recall 1.0, affordable below the measured crossover;
     *  - `"auto"` (default): one count() size probe against
-    *    `AnnCrossoverItems`, choice logged — the measured SCALING.md
-    *    crossover as default behavior rather than documentation.
+    *    `AnnCrossoverItems`, choice logged — exact below, FIXED-nprobe
+    *    ann above (round 11: auto previously routed large corpora
+    *    onto the adaptive α-2.08 path, the one variant that scales
+    *    WORSE than exact's constant — the measured hierarchy now is
+    *    the routed one).
     *
-    * Precision is 1.0 on EVERY path (both pair sources exact-rescore
-    * at the same threshold), so auto switching can only trade recall,
+    * Precision is 1.0 on EVERY path (all pair sources exact-rescore
+    * at the same threshold), so path switching can only trade recall,
     * never introduce false drops. Same keep-the-lesser-id semantics
     * and removed-canonical guard as the text `nearDedup` stage: an
     * item is dropped iff it is the GREATER side of a pair whose
@@ -117,14 +126,17 @@ object Curation {
         log.info(s"annNearDedup auto path: $n items -> $chosen " +
           s"(crossover $AnnCrossoverItems, SCALING.md docs-family curves)")
         chosen
-      case p @ ("exact" | "ann") => p
+      case p @ ("exact" | "ann" | "ann_adaptive") => p
       case other => throw new IllegalArgumentException(
-        s"unknown near-dedup path '$other'; valid: auto, exact, ann")
+        s"unknown near-dedup path '$other'; valid: auto, exact, ann, ann_adaptive")
     }
-    val pairs =
-      if (resolved == "exact") Pipelines.simCosineNeardup(spark, sfDir)
-      else Pipelines.simCosineNeardupAnnAdaptive(spark, sfDir, nCells,
+    val pairs = resolved match {
+      case "exact" => Pipelines.simCosineNeardup(spark, sfDir)
+      case "ann" =>
+        Pipelines.simCosineNeardupAnn(spark, sfDir, nCells, nprobe = 8)
+      case _ => Pipelines.simCosineNeardupAnnAdaptive(spark, sfDir, nCells,
         massFactor, margin)
+    }
     val activePairs = pairs
       .join(items.select(col(idCol).as("v1")), Seq("v1"), "left_semi")
     items.join(activePairs.select(col("v2")), col(idCol) === col("v2"), "left_anti")

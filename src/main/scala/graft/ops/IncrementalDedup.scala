@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+
+/** Incremental MinHash-LSH dedup maintenance over a versioned corpus
+  * (round 11, VERDICT item 4): the operation a 100-TB curation loop
+  * actually runs daily. Instead of recomputing shingles → signatures →
+  * bands → candidate pairs → Jaccard over the WHOLE corpus after every
+  * ingest, [[advance]] consumes the row-level
+  * [[VersionedTable.changeFeed]] between two versions and patches the
+  * dedup state: only changed docs are re-shingled and re-banded, and
+  * only pairs with at least one changed endpoint are (re)verified.
+  *
+  * Invariant (spec-pinned in IncrementalDedupSpec, the
+  * MaterializedView precedent): for every version v,
+  * `advance(...).pairs == build(snapshot(v)).pairs` — the incremental
+  * path is indistinguishable from the full recompute, across inserts,
+  * updates and deletes. Both paths share the exact same shingle /
+  * signature / banding / verification formulas
+  * ([[Pipelines.shingleDocs]], [[Pipelines.minhashWideOf]],
+  * [[Pipelines.lshBands]], [[Pipelines.verifyJaccard]]), so they
+  * cannot drift.
+  *
+  * Scale shape (the point): with |delta| changed docs out of a corpus
+  * of |C|,
+  *  - shingling/banding touches only the |delta| changed docs;
+  *  - candidate generation is `deltaBands ⋈ allBands` on
+  *    (lang, band, bkey) — the delta side is broadcastable, so no
+  *    corpus-wide shuffle;
+  *  - Jaccard verification re-shingles only candidate PARTNER docs
+  *    (semi-join pruned scan of the new snapshot), never the corpus;
+  *  - the state patch (`bands`/`pairs` anti-join against the changed
+  *    id set) is a broadcast-anti scan — one pass, no shuffle; in a
+  *    real deployment both state relations are stored tables and the
+  *    patch is a MERGE keyed on doc_id.
+  * Nothing in the plan is O(|C| log |C|) or all-pairs; the only
+  * corpus-proportional cost is the single columnar scan that rewrites
+  * the state, which the storage layer's MERGE absorbs at scale.
+  * Measured: SCALING.md round-11 "incremental dedup" rows show delta
+  * cost tracking |delta| while the full rebuild tracks |C|.
+  */
+object IncrementalDedup {
+
+  /** Persistent dedup state between versions.
+    * @param bands one row per (doc, band): doc_id, lang, band, bkey
+    * @param pairs verified near-dup pairs: d1, d2, jaccard (d1 < d2)
+    */
+  case class State(bands: DataFrame, pairs: DataFrame)
+
+  /** Full build — the bootstrap, and the equality oracle for
+    * [[advance]]. `docs` must carry (doc_id, lang, text) with doc_id
+    * a unique key. */
+  def build(docs: DataFrame): State = {
+    val sh = Pipelines.shingleDocs(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = Pipelines.lshBands(Pipelines.minhashWideOf(sh))
+    val cand = candidates(bands, bands)
+    val pairs = Pipelines.verifyJaccard(cand, sh)
+    State(stabilize(bands), stabilize(pairs))
+  }
+
+  /** Band-key equi-join candidate generation: pairs (d1 < d2) where
+    * the LEFT side comes from `probe` and the partner from `all`.
+    * With probe = the delta's bands this emits exactly the pairs with
+    * >= 1 changed endpoint — unchanged-unchanged pairs never surface,
+    * which is what makes the increment cheap. Probe docs can land on
+    * either side of the d1 < d2 normalization, so join both ways. */
+  private def candidates(probe: DataFrame, all: DataFrame): DataFrame = {
+    val p = probe.toDF("dp", "lang", "band", "bkey")
+    val a = all.toDF("da", "lang2", "band2", "bkey2")
+    val j = p.join(a,
+      col("bkey") === col("bkey2") && col("band") === col("band2") &&
+        col("lang") === col("lang2") && col("dp") =!= col("da"))
+    j.select(least(col("dp"), col("da")).as("d1"),
+        greatest(col("dp"), col("da")).as("d2"))
+      .distinct()
+  }
+
+  /** Advance the state across one committed version range of a
+    * [[VersionedTable]] whose schema contains (doc_id, lang, text).
+    * Reads the row-level change feed, re-bands only changed docs, and
+    * patches bands and pairs. */
+  def advance(spark: SparkSession, root: String, fromV: Long, toV: Long,
+      state: State): State = {
+    val cf = VersionedTable.changeFeed(spark, root, fromV, toV, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("text"), col("_change_type"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every doc_id the delta touches leaves the state (update = leave
+    // then re-enter with the postimage text)
+    val changedIds = cf.select(col("doc_id")).distinct()
+    // docs (re-)entering: inserts + update postimages
+    val entering = cf
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select(col("doc_id"), col("lang"), col("text"))
+
+    val newSh = Pipelines.shingleDocs(entering)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = Pipelines.lshBands(Pipelines.minhashWideOf(newSh))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // patch the band state: drop every changed doc's rows, add the
+    // re-entering docs' rows (broadcast anti — |changedIds| is the
+    // delta, the scan is one pass over the state)
+    val keptBands = state.bands.join(broadcast(changedIds), Seq("doc_id"),
+      "left_anti")
+    val bands2 = keptBands.unionByName(newBands)
+
+    // candidates with >= 1 new endpoint: probe the delta's bands
+    // against the patched band state (delta side broadcastable)
+    val cand = candidates(newBands, bands2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // verification needs shingles for every doc in a candidate pair —
+    // partners may be unchanged docs, so re-shingle exactly the
+    // candidate partner set from the post-version snapshot
+    // (semi-join-pruned scan), plus the delta's own shingles
+    val candIds = cand.select(col("d1").as("doc_id"))
+      .unionAll(cand.select(col("d2").as("doc_id"))).distinct()
+    val partnerIds = candIds.join(broadcast(
+      newSh.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
+    val partnerDocs = VersionedTable.read(spark, root, Some(toV))
+      .select(col("doc_id"), col("lang"), col("text"))
+      .join(broadcast(partnerIds), Seq("doc_id"), "left_semi")
+    val verifySh = newSh.unionByName(Pipelines.shingleDocs(partnerDocs))
+    val newPairs = Pipelines.verifyJaccard(cand, verifySh)
+
+    // patch the pair state: drop every pair touching a changed doc
+    // (two broadcast anti-joins — d1 then d2 — not one OR-condition
+    // nested-loop), add the freshly verified pairs
+    val keptPairs = state.pairs
+      .join(broadcast(changedIds.toDF("d1")), Seq("d1"), "left_anti")
+      .join(broadcast(changedIds.toDF("d2")), Seq("d2"), "left_anti")
+      .select(col("d1"), col("d2"), col("jaccard"))
+    State(stabilize(bands2), stabilize(keptPairs.unionByName(newPairs)))
+  }
+
+  /** Materialize + truncate lineage: state relations are consumed by
+    * the NEXT advance too, and without a cut each version would replan
+    * the whole history (the Iterate/label-prop discipline). In a real
+    * deployment this is the write-back to the state tables. */
+  private def stabilize(df: DataFrame): DataFrame = df.localCheckpoint(true)
+}

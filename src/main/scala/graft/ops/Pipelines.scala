@@ -70,19 +70,28 @@ object Pipelines {
     * column from the columnar cache, and the +160 bytes/row pushes the
     * MEMORY_AND_DISK cache toward spill. Full numbers in SCALING.md
     * ("md5 precompute A/B"). */
+  /** Distinct 3-gram shingles of an arbitrary (doc_id, lang, text)
+    * relation — the doc-parameterized core shared by the cached
+    * per-sfDir path below and [[IncrementalDedup]] (which must produce
+    * byte-identical shingles for its full-vs-incremental equality to
+    * hold). */
+  private[ops] def shingleDocs(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", col("w"), lead(col("w"), 1).over(w), lead(col("w"), 2).over(w))
+          .as("g"),
+        lead(col("w"), 2).over(w).isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col("doc_id"), col("lang"), col("g"))
+      .distinct()
+  }
+
   private def shingles(s: SparkSession, d: String): DataFrame = {
     shingleCache.getOrElseUpdate(s, d) {
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      table(s, d, "documents")
-        .select(col("doc_id"), col("lang"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        .select(col("doc_id"), col("lang"),
-          concat_ws(" ", col("w"), lead(col("w"), 1).over(w), lead(col("w"), 2).over(w))
-            .as("g"),
-          lead(col("w"), 2).over(w).isNotNull.as("full"))
-        .filter(col("full"))
-        .select(col("doc_id"), col("lang"), col("g"))
-        .distinct()
+      shingleDocs(table(s, d, "documents"))
         // persist (columnar cache), NOT localCheckpoint: five
         // consumers scan this relation and the columnar batches beat
         // row-block checkpoint scans ~4x (measured on dedup_simhash)
@@ -415,11 +424,11 @@ object Pipelines {
     }
   }
 
-  /** 16-minhash signature table (doc_id, lang, m0..m15) — shared by the
-    * LSH build and pipeline_minhash_calibration. One aggregate over the
-    * cached shingle relation; each md5 yields four 32-bit hashes. */
-  private def minhashWide(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+  /** 16-minhash signature table (doc_id, lang, m0..m15) over a shingle
+    * relation — shared by the LSH build, pipeline_minhash_calibration
+    * and [[IncrementalDedup]]. One aggregate; each md5 yields four
+    * 32-bit hashes. */
+  private[ops] def minhashWideOf(sh: DataFrame): DataFrame = {
     val mins = (0 until 16).map { seed =>
       val h = md5(concat(lit(s"${seed / 4}|"), col("g")))
       min(substring(h, 1 + 8 * (seed % 4), 8)).as(s"m$seed")
@@ -427,20 +436,26 @@ object Pipelines {
     sh.groupBy(col("doc_id"), col("lang")).agg(mins.head, mins.tail: _*)
   }
 
-  private def dedupMinhashLshBuild(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
-    val wide = minhashWide(s, d)
+  private def minhashWide(s: SparkSession, d: String): DataFrame =
+    minhashWideOf(shingles(s, d))
+
+  /** 2-band × 8-row LSH banding of a wide signature table:
+    * (doc_id, lang, band, bkey) — the join key space for candidate
+    * generation, and the state relation [[IncrementalDedup]] patches
+    * per version delta. */
+  private[ops] def lshBands(wide: DataFrame): DataFrame = {
     def bandKey(seeds: Range): Column =
       md5(concat_ws(",", seeds.map(i => col(s"m$i")): _*))
-    val bands = wide.select(col("doc_id"), col("lang"), lit(0).as("band"),
+    wide.select(col("doc_id"), col("lang"), lit(0).as("band"),
         bandKey(0 until 8).as("bkey"))
       .unionAll(wide.select(col("doc_id"), col("lang"), lit(1).as("band"),
         bandKey(8 until 16).as("bkey")))
-    val cand = bands.toDF("d1", "lang", "band", "bkey")
-      .join(bands.toDF("d2", "lang2", "band2", "bkey2"),
-        col("bkey") === col("bkey2") && col("band") === col("band2") &&
-          col("lang") === col("lang2") && col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against a shingle
+    * relation: keeps (d1, d2, jaccard) with jaccard >= 0.5, 4dp. The
+    * shingle relation must cover every doc appearing in `cand`. */
+  private[ops] def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val sa = sh.select(col("doc_id").as("ia"), col("g"))
     val sb = sh.select(col("doc_id").as("ib"), col("g").as("gb"))
@@ -454,7 +469,17 @@ object Pipelines {
     inter.join(s1, col("i1") === col("d1")).join(s2, col("i2") === col("d2"))
       .filter(jac >= 0.5)
       .select(col("d1"), col("d2"), round(jac, 4).as("jaccard"))
-      .orderBy("d1", "d2")
+  }
+
+  private def dedupMinhashLshBuild(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val bands = lshBands(minhashWide(s, d))
+    val cand = bands.toDF("d1", "lang", "band", "bkey")
+      .join(bands.toDF("d2", "lang2", "band2", "bkey2"),
+        col("bkey") === col("bkey2") && col("band") === col("band2") &&
+          col("lang") === col("lang2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    verifyJaccard(cand, sh).orderBy("d1", "d2")
   }
 
   /** Pairs -> clusters: the keep-list a dedup pipeline actually ships.
@@ -2068,5 +2093,37 @@ object Pipelines {
           .as("share"))
       .orderBy("lang")
   }
+
+  /** Per-language tokenizer fertility (§2.35): the corpus-level cost
+    * model beside §2.29's per-doc selection ops — how many subword
+    * tokens a language pays per whitespace word and per 100
+    * characters, the number that decides per-language training-token
+    * budgets (high-fertility languages burn context length faster).
+    * Tokenization is pipeline_token_count's BPE-ish alternation regex
+    * (letters | digits | one-symbol — identical in both engines);
+    * fertility ratios are floor-quantized 1e6/1e8 INTEGER DIVISIONS
+    * (`div` ↔ `//`) of exact BIGINT token sums — no float, no decimal
+    * division rounding. Capacity note: the scaled numerator wraps Long
+    * above ~9e12 tokens per language (≫ any tested SF); past that,
+    * shard the per-lang aggregate or drop a quantization decade.
+    * Scale: ONE linear scan, map-combined per-lang aggregate; output
+    * = |langs| rows. */
+  val pipelineBpeFertility: Q = (s, d) =>
+    table(s, d, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("ws"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+          .cast(LongType).as("bpe"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(asLong(count(lit(1))).as("docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("n_chars")).as("chars"))
+      .select(col("lang"), col("docs"), col("ws_tokens"), col("bpe_tokens"),
+        expr("(bpe_tokens * 1000000) div ws_tokens").as("tok_per_word_q6"),
+        expr("(bpe_tokens * 100000000) div chars").as("tok_per_100chars_q6"))
+      .orderBy("lang")
 
 }

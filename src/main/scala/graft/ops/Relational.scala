@@ -3365,4 +3365,64 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Shared stream for the §2.35 sequential-testing pair: orders in
+    * md5-of-key arrival order with the GLOBAL running conversion count
+    * (conversion = order value > $150k), via GlobalRank's
+    * range-partitioned running sums — one range shuffle + bounded
+    * offsets collect, never a no-partition window. Checkpoints every
+    * 100 arrivals; per-checkpoint LLR for H1: p=0.35 vs H0: p=0.25 is
+    * ONE shared IEEE tree on the exact integer counts with the two
+    * log-likelihood factors INLINED as literals in both engines
+    * (ln(.35/.25), ln(.65/.75) — the sim_ndcg log-table recipe;
+    * identical doubles cannot diverge), floor-quantized at 1e6. */
+  private def sprtCheckpoints(s: SparkSession, d: String): DataFrame = {
+    val o = table(s, d, "orders")
+      .select(col("o_orderkey"),
+        md5(col("o_orderkey").cast(StringType)).as("mk"),
+        when((dec2(col("o_totalprice")) * 100).cast(LongType) > 15000000L, 1L)
+          .otherwise(0L).as("conv"),
+        lit(1L).as("one"))
+    GlobalRank.withRunningSums(o,
+        Seq(col("mk"), col("o_orderkey")), Seq("conv" -> "x", "one" -> "n"))
+      .filter(col("n") % 100 === 0)
+      .select(col("n"), col("x"),
+        floor((col("x").cast(DoubleType) * 0.3364722366212129 +
+          (col("n") - col("x")).cast(DoubleType) * -0.1431008436406733) * 1e6)
+          .cast(LongType).as("llr_q6"))
+  }
+
+  /** Wald SPRT over the order stream (§2.35): the SEQUENTIAL
+    * hypothesis test beside §2.30's fixed-horizon Welch/McNemar — the
+    * monitor that may stop early. At each 100-arrival checkpoint,
+    * cumulative conversions and the Wald log-likelihood ratio; the
+    * decision compares the QUANTIZED LLR against the quantized
+    * ln(19)/ln(1/19) boundaries (alpha = beta = 0.05), so the verdict
+    * is integer arithmetic. Scale: GlobalRank two-pass + per-row math;
+    * output is |orders|/100 checkpoint rows. */
+  val aggSprtDecision: Q = (s, d) =>
+    sprtCheckpoints(s, d)
+      .select(col("n"), col("x"), col("llr_q6"),
+        when(col("llr_q6") >= 2944438L, lit("reject_h0"))
+          .when(col("llr_q6") <= -2944439L, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+      .orderBy("n")
+
+  /** Always-valid inference summary over the same stream (§2.35): the
+    * likelihood-ratio e-process view of [[aggSprtDecision]]. The
+    * running SUP of the LLR martingale gives the always-valid p-value
+    * p_t = exp(-sup LLR) — valid at ANY stopping time; reported as
+    * -ln p (the sup itself, clamped at 0, exp never computed so no
+    * cross-engine libm exposure) plus the first checkpoint crossing
+    * the ln(19) e-threshold. ONE row; everything after the shared
+    * checkpoint relation is a plain aggregate — no second global
+    * window. */
+  val aggEprocessSummary: Q = (s, d) =>
+    sprtCheckpoints(s, d)
+      .agg(asLong(count(lit(1))).as("n_checkpoints"),
+        max(col("llr_q6")).as("sup_llr_q6"),
+        min(when(col("llr_q6") >= 2944438L, col("n"))).as("fr"))
+      .select(col("n_checkpoints"), col("sup_llr_q6"),
+        greatest(col("sup_llr_q6"), lit(0L)).as("neg_ln_p_q6"),
+        coalesce(col("fr"), lit(-1L)).as("first_reject_n"))
+
 }

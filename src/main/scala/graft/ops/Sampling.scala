@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -427,5 +427,95 @@ object Sampling {
       .select(asLong(col("rn")).as("rn"), col("o_orderkey"),
         col("price_cents"))
       .orderBy("rn")
+  }
+
+  /** Shared relation for the §2.35 conformal pair: orders md5-split
+    * into train (bucket < 1/3), calibration (1/3..2/3) and test
+    * (rest); the "model" is the per-segment (custkey%4) mean order
+    * value fitted on train ONLY — floor-integer cents, so predictions
+    * and every residual |y - pred| are exact BIGINTs. */
+  private def conformalBase(s: SparkSession, d: String): DataFrame = {
+    val o = table(s, d, "orders")
+      .select(col("o_orderkey"),
+        pmod(col("o_custkey"), lit(4)).cast(LongType).as("seg"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"),
+        bucket16(col("o_orderkey")).as("b"))
+      .withColumn("split",
+        when(col("b") < 21845L, "train")
+          .when(col("b") < 43690L, "calib").otherwise("test"))
+    val pred = o.filter(col("split") === "train")
+      .groupBy(col("seg"))
+      .agg(floor(sum(col("cents")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).cast(LongType).as("pred_cents"))
+    o.join(broadcast(pred), Seq("seg"))
+      .withColumn("resid", abs(col("cents") - col("pred_cents")))
+  }
+
+  /** Split conformal prediction interval (§2.35): the
+    * distribution-free interval beside sample_bootstrap_ci's resampled
+    * one — pred ± q where q is the ⌈(n+1)(1−α)⌉-th smallest
+    * calibration residual (α = 0.1), guaranteeing ≥ 90% coverage on
+    * exchangeable test rows with NO distributional assumption. The
+    * rank index is exact integer arithmetic (⌈9(n+1)/10⌉ clamped to
+    * n); the order statistic is total-order selection on BIGINT
+    * residuals (tiebreak o_orderkey). Scale: the within-segment rank
+    * comes from GlobalRank's two-pass over the composite
+    * (seg, resid, key) order minus broadcast per-segment offsets —
+    * never a no-partition window; 4 output rows. */
+  val sampleConformalInterval: Q = (s, d) => {
+    val calib = conformalBase(s, d).filter(col("split") === "calib")
+    val (ranked, _) = GlobalRank.ranked(calib,
+      Seq(col("seg"), col("resid"), col("o_orderkey")), "grn")
+    val segN = calib.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_calib"))
+    // exclusive prefix offsets over the ≤4-row segment relation: the
+    // global rank within (seg, resid, key) order minus the rows of
+    // earlier segments = the within-segment rank
+    val wSeg = Window.orderBy(col("seg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = segN
+      .withColumn("off", coalesce(sum(col("n_calib")).over(wSeg), lit(0L)))
+      .withColumn("kq",
+        least(expr("(9 * (n_calib + 1) + 9) div 10"), col("n_calib")))
+    ranked.join(broadcast(offs), Seq("seg"))
+      .filter(col("grn") - col("off") === col("kq"))
+      .select(col("seg"), asLong(col("n_calib")).as("n_calib"),
+        col("pred_cents"), col("resid").as("q_cents"),
+        (col("pred_cents") - col("resid")).as("lo_cents"),
+        (col("pred_cents") + col("resid")).as("hi_cents"))
+      .orderBy("seg")
+  }
+
+  /** Empirical coverage of the conformal interval on the held-out test
+    * split (§2.35): the validity CHECK — per segment, the fraction of
+    * test rows whose value lands inside pred ± q must be ≈ 90%
+    * (conformal's finite-sample guarantee is ≥ 1−α in expectation).
+    * covered/n as floor-quantized 1e6 integer division — no floats
+    * anywhere. Scale: the interval relation is 4 broadcast rows; the
+    * test scan is one map-combined aggregate. */
+  val sampleConformalCoverage: Q = (s, d) => {
+    val calib = conformalBase(s, d).filter(col("split") === "calib")
+    val (ranked, _) = GlobalRank.ranked(calib,
+      Seq(col("seg"), col("resid"), col("o_orderkey")), "grn")
+    val segN = calib.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_calib"))
+    val wSeg = Window.orderBy(col("seg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = segN
+      .withColumn("off", coalesce(sum(col("n_calib")).over(wSeg), lit(0L)))
+      .withColumn("kq",
+        least(expr("(9 * (n_calib + 1) + 9) div 10"), col("n_calib")))
+    val q = ranked.join(broadcast(offs), Seq("seg"))
+      .filter(col("grn") - col("off") === col("kq"))
+      .select(col("seg"), col("resid").as("q_cents"))
+    conformalBase(s, d).filter(col("split") === "test")
+      .join(broadcast(q), Seq("seg"))
+      .groupBy(col("seg"))
+      .agg(asLong(count(lit(1))).as("n_test"),
+        asLong(sum(when(col("resid") <= col("q_cents"), 1L).otherwise(0L)))
+          .as("covered"))
+      .select(col("seg"), col("n_test"), col("covered"),
+        expr("(covered * 1000000) div n_test").as("coverage_q6"))
+      .orderBy("seg")
   }
 }

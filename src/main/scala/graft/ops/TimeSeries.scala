@@ -1781,4 +1781,42 @@ object TimeSeries {
           .otherwise("none").as("trend_95"))
   }
 
+  /** Upper-side CUSUM drift detector on daily order volume (§2.35):
+    * the SEQUENTIAL change-point monitor beside psi_drift's two-window
+    * snapshot — S_d = max(0, S_{d-1} + x_d − μ − k) accumulates
+    * persistent upward drift and forgets noise, the classic
+    * Page (1954) recursion every volume-anomaly pager reimplements.
+    * μ = ⌊Σx/n⌋ and k = 1 are INTEGERS, so the whole recursion is
+    * exact BIGINT arithmetic (no float anywhere); the per-day S comes
+    * from ONE aggregate-HOF fold over the calendar-sorted day array —
+    * the ts_holt_linear recipe, ≡ DuckDB's recursive CTE bit-exactly —
+    * with the running S trace emitted, not just the final state.
+    * Output: the 20 highest-S days (drift peaks), tiebreak day. Scale:
+    * one date-grain map-combined aggregate; the fold runs in-row over
+    * a CALENDAR-bounded array (~2.4k days), then TakeOrderedAndProject
+    * for the top-k. */
+  val tsCusumTop: Q = (s, d) => {
+    val byDay = table(s, d, "orders")
+      .groupBy(col("o_orderdate").as("dt"))
+      .agg(count(lit(1)).as("x"))
+    byDay
+      .agg(array_sort(collect_list(struct(col("dt"), col("x")))).as("a"),
+        sum(col("x")).as("tot"), count(lit(1)).as("nd"))
+      .select(col("a"), expr("tot div nd").as("mu"))
+      .select(col("a"), expr(
+        """aggregate(a,
+             named_struct('s', CAST(0 AS BIGINT),
+                          'out', CAST(array() AS ARRAY<BIGINT>)),
+             (acc, e) -> named_struct(
+               's', greatest(CAST(0 AS BIGINT), acc.s + e.x - mu - 1),
+               'out', concat(acc.out,
+                 array(greatest(CAST(0 AS BIGINT), acc.s + e.x - mu - 1)))),
+             acc -> acc.out)""").as("ss"))
+      .select(posexplode(arrays_zip(col("a"), col("ss"))).as(Seq("i", "z")))
+      .select(col("z.a.dt").as("dt"), asLong(col("z.a.x")).as("x"),
+        col("z.ss").as("cusum_s"))
+      .orderBy(col("cusum_s").desc, col("dt"))
+      .limit(20)
+  }
+
 }

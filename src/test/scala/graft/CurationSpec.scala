@@ -85,7 +85,7 @@ class CurationSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"adaptive ANN recall $recall below 0.9")
     // the curation stage end-to-end: drops exactly the greater sides
     // of active pairs, keeps everything else
-    val kept = ops.Curation.annNearDedup(spark, sf0001, emb, path = "ann")
+    val kept = ops.Curation.annNearDedup(spark, sf0001, emb, path = "ann_adaptive")
     val expectedDrops = annPairs.map(_._2)
     val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
     val allIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
@@ -95,11 +95,11 @@ class CurationSpec extends AnyFunSuite {
     val (c, dup) = annPairs.groupBy(_._2).filter(_._2.size == 1)
       .values.map(_.head).head
     val without = ops.Curation.annNearDedup(spark, sf0001,
-      emb.filter(col("vec_id") =!= c), path = "ann")
+      emb.filter(col("vec_id") =!= c), path = "ann_adaptive")
     assert(without.filter(col("vec_id") === dup).count() == 1)
     // the naqed API surface reaches the same stage (massFactor knob)
     val apiKept = new graft.api.Naqed(spark, sf0001)
-      .nearDedupEmbeddings(Map("$mass_factor" -> 8.0, "$path" -> "ann"))
+      .nearDedupEmbeddings(Map("$mass_factor" -> 8.0, "$path" -> "ann_adaptive"))
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(apiKept == keptIds)
     intercept[IllegalArgumentException] {

@@ -596,4 +596,46 @@ class EngineSpec extends AnyFunSuite {
     assert(!tc.contains("Window"),
       s"top_token_coverage regrew a global window:\n$tc")
   }
+
+  test("round-11 §2.35 plan shapes: sequential tests, conformal, cusum") {
+    // SPRT / e-process: the running sums must come from GlobalRank's
+    // range-partitioned two-pass — a no-partition window over the
+    // order stream would be the classic one-task sort
+    // a GlobalRank-shaped plan's only window is partition-LOCAL,
+    // keyed by the __grpid slice id; a no-partition window prints
+    // windowspecdefinition with no partition columns before the sort
+    def windowsArePartitionLocal(plan: String): Boolean =
+      !plan.contains("windowspecdefinition(") ||
+        plan.contains("windowspecdefinition(__grpid")
+    val sp = ops.Relational.aggSprtDecision(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(windowsArePartitionLocal(sp),
+      s"sprt runs a non-slice-local window:\n${sp.take(1500)}")
+    val ep = ops.Relational.aggEprocessSummary(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(windowsArePartitionLocal(ep),
+      s"e-process runs a non-slice-local window:\n${ep.take(1500)}")
+    // conformal: the per-segment offsets/quantile relation must reach
+    // the calibration rank join as a BROADCAST (4 rows), never a
+    // shuffled join
+    val ci = ops.Sampling.sampleConformalInterval(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(ci.contains("BroadcastHashJoin"),
+      s"conformal offsets not broadcast:\n${ci.take(1500)}")
+    val cc = ops.Sampling.sampleConformalCoverage(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(cc.contains("BroadcastHashJoin"),
+      s"coverage intervals not broadcast:\n${cc.take(1500)}")
+    // fertility: ONE map-combined aggregate, no join, no window
+    val bf = ops.Pipelines.pipelineBpeFertility(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!bf.contains("Join") && !bf.contains("Window"),
+      s"fertility grew a join/window:\n${bf.take(1500)}")
+    // cusum: in-row fold + top-k — TakeOrdered, no data-sized sort
+    val cu = ops.TimeSeries.tsCusumTop(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(cu.contains("TakeOrdered"),
+      s"cusum lost its TakeOrderedAndProject:\n${cu.take(1500)}")
+    assert(!cu.contains("Join"), s"cusum grew a join:\n${cu.take(1500)}")
+  }
 }

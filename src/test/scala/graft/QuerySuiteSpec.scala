@@ -284,7 +284,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     // §2.34 (round 10, distribution-diagnostics batch)
     "agg_qq_price_segments" -> 10L, "agg_equi_depth_histogram" -> 10L,
     "agg_trimmed_mean" -> 1L, "ts_acf_weekly" -> 4L,
-    "pipeline_doclen_gini" -> 20L, "sample_allocation_compare" -> 1L)
+    "pipeline_doclen_gini" -> 20L, "sample_allocation_compare" -> 1L,
+    // §2.35 (round 11, sequential-inference batch)
+    "agg_sprt_decision" -> 15L, "agg_eprocess_summary" -> 1L,
+    "sample_conformal_interval" -> 4L, "sample_conformal_coverage" -> 4L,
+    "pipeline_bpe_fertility" -> 5L, "ts_cusum_top" -> 20L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
@@ -317,6 +321,21 @@ class QuerySuiteSpec extends AnyFunSuite {
 
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  /** Guard against the round-10 drift (the contract grew 374 → 380
+    * after the binding BASELINE row was derived, leaving the budget
+    * priced for fewer queries than shipped): the BASELINE.md header's
+    * BINDING row must state exactly the registered query count. */
+  test("BASELINE.md binding row prices the full contract") {
+    val base = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
+    val m = """BINDING row: "[^"]*", (\d+) queries""".r.findFirstMatchIn(base)
+    assert(m.isDefined, "BASELINE.md header lost its BINDING row marker")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"BASELINE binding row prices ${m.get.group(1)} queries but the " +
+        s"contract ships ${SparkEntry.queries.size} — re-derive BASELINE " +
+        "(scripts/baseline_oracle.py, 3 sessions, min wins)")
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>

@@ -64,4 +64,36 @@ class SkewSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("hot-targeted salted join equals plain equi-join on a 30%-hot key") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        // remap ~30% of rows onto one hot part key — the SkewBench
+        // fixture shape
+        when(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(10)) < 3,
+          lit(1L)).otherwise(col("l_partkey")).as("k"))
+    val p = Tables(spark, sf0001, "part").select("p_partkey", "p_brand")
+    val plain = li.join(p, col("k") === col("p_partkey"))
+      .select("l_orderkey", "l_linenumber", "p_brand")
+    val hot = Skew.saltedJoinHot(li, p, "k", "p_partkey",
+        salts = 8, hotFraction = 0.05)
+      .select("l_orderkey", "l_linenumber", "p_brand")
+    assert(hot.count() == plain.count())
+    assert(hot.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(hot).count() == 0)
+  }
+
+  test("hot-targeted salted join degenerates to the plain join when nothing is hot") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+    val p = Tables(spark, sf0001, "part").select("p_partkey", "p_brand")
+    // no part key carries >5% of sf0.001 lineitem rows
+    val plain = li.join(p, col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "l_linenumber", "p_brand")
+    val hot = Skew.saltedJoinHot(li, p, "l_partkey", "p_partkey",
+        salts = 8, hotFraction = 0.05)
+      .select("l_orderkey", "l_linenumber", "p_brand")
+    assert(hot.count() == plain.count())
+    assert(hot.exceptAll(plain).count() == 0)
+  }
 }
