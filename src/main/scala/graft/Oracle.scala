@@ -5907,7 +5907,285 @@ rec AS (
   FROM rec JOIN p ON p.rn = rec.rn + 1)
 SELECT p.dt, CAST(p.x AS BIGINT) AS x, CAST(rec.s AS BIGINT) AS cusum_s
 FROM rec JOIN p ON p.rn = rec.rn
-ORDER BY cusum_s DESC, dt LIMIT 20"""
+ORDER BY cusum_s DESC, dt LIMIT 20""",
+
+      // ---- §2.36 (round 11): experimentation & sequence reads ----
+
+      // CUPED: pooled theta from exact HUGEINT moments; one shared
+      // IEEE tree for theta / adjusted means / rho^2.
+      "agg_cuped_adjust" ->
+        s"""WITH u AS (SELECT o_custkey, o_custkey % 2 arm,
+    sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN
+      CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) ELSE 0 END) pre,
+    sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN
+      CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) ELSE 0 END) post
+  FROM ${T("orders")} GROUP BY 1, 2),
+p AS (SELECT count(*) n, sum(pre) sx, sum(post) sy,
+    sum(CAST(pre AS HUGEINT)*pre) sxx, sum(CAST(post AS HUGEINT)*post) syy,
+    sum(CAST(pre AS HUGEINT)*post) sxy FROM u),
+a AS (SELECT arm, count(*) na, sum(pre) sxa, sum(post) sya FROM u GROUP BY 1),
+k AS (SELECT a.arm, a.na, a.sxa, a.sya, p.n, p.sx, p.sy,
+    CAST(CAST(p.n AS HUGEINT)*p.sxy - CAST(p.sx AS HUGEINT)*p.sy AS DOUBLE) covn,
+    CAST(CAST(p.n AS HUGEINT)*p.sxx - CAST(p.sx AS HUGEINT)*p.sx AS DOUBLE) varxn,
+    CAST(CAST(p.n AS HUGEINT)*p.syy - CAST(p.sy AS HUGEINT)*p.sy AS DOUBLE) varyn
+  FROM a, p)
+SELECT CAST(arm AS BIGINT) AS arm, CAST(na AS BIGINT) AS n_cust,
+  floor(CAST(sya AS DOUBLE)/CAST(na AS DOUBLE)/100.0 * 1e4)/1e4 AS mean_post,
+  floor((CAST(sya AS DOUBLE)/CAST(na AS DOUBLE) -
+    (covn/varxn) * (CAST(sxa AS DOUBLE)/CAST(na AS DOUBLE)
+      - CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)))/100.0 * 1e4)/1e4 AS mean_adjusted,
+  floor(covn/varxn * 1e6)/1e6 AS theta_q6,
+  floor(covn*covn/(varxn*varyn) * 1e6)/1e6 AS var_reduction_q6
+FROM k ORDER BY arm""",
+
+      // SRM: chi^2_1 for a 50/50 design = (n0-n1)^2/(n0+n1), exact
+      // 1e4-quantized integer division, verdict on the integer.
+      "agg_srm_check" ->
+        s"""WITH c AS (SELECT DISTINCT o_custkey FROM ${T("orders")}),
+n AS (SELECT sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END) n_a,
+    sum(CASE WHEN o_custkey % 2 = 1 THEN 1 ELSE 0 END) n_b FROM c)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CAST(((n_a - n_b) * (n_a - n_b) * 10000) // (n_a + n_b) AS BIGINT)
+    AS chi2_q4,
+  CASE WHEN ((n_a - n_b) * (n_a - n_b) * 10000) // (n_a + n_b) > 38415
+    THEN 'mismatch' ELSE 'ok' END AS srm_verdict
+FROM n""",
+
+      // AUC with average-rank ties, exactly in integers: doubled
+      // rank-sum per score group = pos*(2*C_lower + cnt + 1).
+      "agg_auc_reorder" ->
+        s"""WITH pc AS (SELECT o_custkey,
+    sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) score,
+    max(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) lbl
+  FROM ${T("orders")} GROUP BY 1),
+bs AS (SELECT score, count(*) cnt, sum(lbl) pos
+  FROM pc WHERE score > 0 GROUP BY 1),
+rk AS (SELECT score, cnt, pos,
+    coalesce(sum(cnt) OVER (ORDER BY score
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) c_lower
+  FROM bs),
+g AS (SELECT sum(pos * (2*c_lower + cnt + 1)) r2, sum(pos) n_pos,
+    sum(cnt - pos) n_neg FROM rk)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+  CAST(r2 - n_pos*(n_pos+1) AS BIGINT) AS u2,
+  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+    CAST(floor(CAST(r2 - n_pos*(n_pos+1) AS DOUBLE) /
+      (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) * 1e6) AS BIGINT)
+    END AS auc_q6,
+  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+    CAST(floor((CAST(r2 - n_pos*(n_pos+1) AS DOUBLE) /
+      (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) * 2.0 - 1.0) * 1e6)
+      AS BIGINT) END AS gini_q6
+FROM g""",
+
+      // delta-method ratio CI: customer-unit revenue per order; exact
+      // HUGEINT moments, one IEEE tree (welch discipline).
+      "agg_ratio_delta_ci" ->
+        s"""WITH u AS (SELECT o_custkey, o_custkey % 2 arm,
+    sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN
+      CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) ELSE 0 END) post,
+    sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) np
+  FROM ${T("orders")} GROUP BY 1, 2),
+a AS (SELECT arm, count(*) n, sum(post) sy, sum(np) sn,
+    sum(CAST(post AS HUGEINT)*post) syy, sum(CAST(np AS HUGEINT)*np) snn,
+    sum(CAST(post AS HUGEINT)*np) syn
+  FROM u WHERE np > 0 GROUP BY 1),
+k AS (SELECT arm, n, sy, sn,
+    CAST(sy AS DOUBLE)/CAST(sn AS DOUBLE) r,
+    CAST(CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy AS DOUBLE)
+      / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)) vy,
+    CAST(CAST(n AS HUGEINT)*snn - CAST(sn AS HUGEINT)*sn AS DOUBLE)
+      / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)) vn,
+    CAST(CAST(n AS HUGEINT)*syn - CAST(sy AS HUGEINT)*sn AS DOUBLE)
+      / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)) vyn,
+    CAST(sn AS DOUBLE)/CAST(n AS DOUBLE) mn
+  FROM a)
+SELECT CAST(arm AS BIGINT) AS arm, CAST(n AS BIGINT) AS n_cust,
+  floor(r/100.0 * 1e4)/1e4 AS rev_per_order,
+  floor(sqrt((vy - 2.0*r*vyn + r*r*vn) / CAST(n AS DOUBLE)) / mn / 100.0 * 1e6)/1e6
+    AS se_q6,
+  floor((r - 1.96 * (sqrt((vy - 2.0*r*vyn + r*r*vn) / CAST(n AS DOUBLE)) / mn))
+    / 100.0 * 1e4)/1e4 AS ci_lo_95,
+  floor((r + 1.96 * (sqrt((vy - 2.0*r*vyn + r*r*vn) / CAST(n AS DOUBLE)) / mn))
+    / 100.0 * 1e4)/1e4 AS ci_hi_95
+FROM k ORDER BY arm""",
+
+      // retention half-life: dense week spine so gap weeks count as
+      // 0% retention; integer 2*retained < size test.
+      "ts_retention_half_life" ->
+        s"""WITH e AS (SELECT user_id,
+    CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS DATE) cohort_wk,
+    CAST(date_trunc('week', ts) AS DATE) wk_d
+  FROM ${T("events")} WHERE user_id IS NOT NULL),
+act AS (SELECT DISTINCT user_id, cohort_wk,
+    date_diff('day', cohort_wk, wk_d) // 7 wk FROM e),
+sz AS (SELECT cohort_wk, count(*) cohort_size FROM act WHERE wk = 0 GROUP BY 1),
+ret AS (SELECT cohort_wk, wk, count(*) retained FROM act WHERE wk > 0 GROUP BY 1, 2),
+lastw AS (SELECT cohort_wk, max(wk) last_wk FROM act GROUP BY 1),
+spine AS (SELECT sz.cohort_wk, sz.cohort_size, gs.wk
+  FROM sz JOIN lastw ON lastw.cohort_wk = sz.cohort_wk,
+    LATERAL (SELECT unnest(range(1, CAST(greatest(lastw.last_wk, 1) AS BIGINT) + 1)) wk) gs),
+hl AS (SELECT s.cohort_wk,
+    min(CASE WHEN coalesce(r.retained, 0) * 2 < s.cohort_size THEN s.wk END) hl
+  FROM spine s LEFT JOIN ret r ON r.cohort_wk = s.cohort_wk AND r.wk = s.wk
+  GROUP BY 1)
+SELECT sz.cohort_wk AS cohort_wk, CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+  CAST(lastw.last_wk AS BIGINT) AS weeks_observed,
+  CAST(coalesce(hl.hl, -1) AS BIGINT) AS half_life_weeks
+FROM sz LEFT JOIN hl ON hl.cohort_wk = sz.cohort_wk
+JOIN lastw ON lastw.cohort_wk = sz.cohort_wk
+ORDER BY sz.cohort_wk""",
+
+      // conditional entropy of the event chain: per-cell
+      // n_ij*ln(n_i/n_ij) floor-quantized 1e6 BEFORE summing; the
+      // per-state entropy is then an exact integer division.
+      "ts_conditional_entropy" ->
+        s"""WITH s AS (SELECT user_id, event_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) nxt
+  FROM ${T("events")} WHERE user_id IS NOT NULL),
+pairs AS (SELECT event_type from_type, nxt to_type, count(*) nij
+  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, sum(nij) ni FROM pairs GROUP BY 1),
+t AS (SELECT p.from_type, t2.ni,
+    CAST(floor(CAST(p.nij AS DOUBLE) *
+      ln(CAST(t2.ni AS DOUBLE) / CAST(p.nij AS DOUBLE)) * 1e6) AS BIGINT) t6
+  FROM pairs p JOIN tot t2 ON t2.from_type = p.from_type)
+SELECT from_type, CAST(max(ni) AS BIGINT) AS n_transitions,
+  CAST(count(*) AS BIGINT) AS n_successors,
+  CAST(sum(t6) // max(ni) AS BIGINT) AS h_nats_q6
+FROM t GROUP BY from_type ORDER BY from_type""",
+
+      // ---- §2.37 (round 11): forecasting, guardrails, concentration ----
+
+      // Holt-Winters additive m=7: the recursive CTE carries l, b and
+      // the rotating s1..s7 — identical IEEE recurrence to the Spark
+      // fold (the ts_holt_linear equivalence, now with array state).
+      "ts_holt_winters" ->
+        s"""WITH RECURSIVE dd AS (SELECT o_orderdate dt,
+    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS DOUBLE) x
+  FROM ${T("orders")} GROUP BY 1),
+p AS (SELECT x, row_number() OVER (ORDER BY dt) rn FROM dd),
+n AS (SELECT count(*) nd FROM dd),
+i AS (SELECT
+    (max(CASE WHEN rn=1 THEN x END) + max(CASE WHEN rn=2 THEN x END)
+     + max(CASE WHEN rn=3 THEN x END) + max(CASE WHEN rn=4 THEN x END)
+     + max(CASE WHEN rn=5 THEN x END) + max(CASE WHEN rn=6 THEN x END)
+     + max(CASE WHEN rn=7 THEN x END)) / CAST(7 AS DOUBLE) l0,
+    max(CASE WHEN rn=1 THEN x END) x1, max(CASE WHEN rn=2 THEN x END) x2,
+    max(CASE WHEN rn=3 THEN x END) x3, max(CASE WHEN rn=4 THEN x END) x4,
+    max(CASE WHEN rn=5 THEN x END) x5, max(CASE WHEN rn=6 THEN x END) x6,
+    max(CASE WHEN rn=7 THEN x END) x7
+  FROM p WHERE rn <= 7),
+rec AS (
+  SELECT 7 AS t, l0 AS l, CAST(0 AS DOUBLE) AS b,
+    x1 - l0 AS s1, x2 - l0 AS s2, x3 - l0 AS s3, x4 - l0 AS s4,
+    x5 - l0 AS s5, x6 - l0 AS s6, x7 - l0 AS s7
+  FROM i
+  UNION ALL
+  SELECT rec.t + 1,
+    CAST(0.2 AS DOUBLE) * (p.x - rec.s1) + CAST(0.8 AS DOUBLE) * (rec.l + rec.b),
+    CAST(0.05 AS DOUBLE) * ((CAST(0.2 AS DOUBLE) * (p.x - rec.s1)
+        + CAST(0.8 AS DOUBLE) * (rec.l + rec.b)) - rec.l)
+      + CAST(0.95 AS DOUBLE) * rec.b,
+    rec.s2, rec.s3, rec.s4, rec.s5, rec.s6, rec.s7,
+    CAST(0.1 AS DOUBLE) * (p.x - (CAST(0.2 AS DOUBLE) * (p.x - rec.s1)
+        + CAST(0.8 AS DOUBLE) * (rec.l + rec.b)))
+      + CAST(0.9 AS DOUBLE) * rec.s1
+  FROM rec JOIN p ON p.rn = rec.t + 1, n WHERE rec.t + 1 <= n.nd),
+fin AS (SELECT rec.l, rec.b, rec.s1, rec.s2, rec.s3, rec.s4, rec.s5,
+    rec.s6, rec.s7 FROM rec, n WHERE rec.t = n.nd),
+h AS (SELECT unnest(range(1, 8)) hh)
+SELECT CAST(hh AS BIGINT) AS h,
+  floor(l + CAST(hh AS DOUBLE) * b +
+    CASE hh WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3 WHEN 4 THEN s4
+      WHEN 5 THEN s5 WHEN 6 THEN s6 ELSE s7 END) / 100.0 AS forecast
+FROM fin, h ORDER BY h""",
+
+      // two-sample Poisson rate z on exact counts, 365-day exposures.
+      "agg_poisson_rate_test" ->
+        s"""WITH c AS (SELECT
+    sum(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) n1,
+    sum(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) n2
+  FROM ${T("orders")})
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+  floor(CAST(n1 AS DOUBLE)/365.0 * 1e4)/1e4 AS rate_1995,
+  floor(CAST(n2 AS DOUBLE)/365.0 * 1e4)/1e4 AS rate_1997,
+  CAST(floor((CAST(n1 AS DOUBLE)/365.0 - CAST(n2 AS DOUBLE)/365.0) /
+    sqrt(CAST(n1 AS DOUBLE)/(365.0*365.0) + CAST(n2 AS DOUBLE)/(365.0*365.0))
+    * 1e4) AS BIGINT) AS z_q4,
+  abs(CAST(floor((CAST(n1 AS DOUBLE)/365.0 - CAST(n2 AS DOUBLE)/365.0) /
+    sqrt(CAST(n1 AS DOUBLE)/(365.0*365.0) + CAST(n2 AS DOUBLE)/(365.0*365.0))
+    * 1e4) AS BIGINT)) > 19600 AS significant_95
+FROM c""",
+
+      // SMD covariate balance: welch-discipline moments, one tree.
+      "agg_covariate_balance" ->
+        s"""WITH u AS (SELECT o_custkey, o_custkey % 2 arm,
+    sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN
+      CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) ELSE 0 END) pre
+  FROM ${T("orders")} GROUP BY 1, 2),
+a AS (SELECT arm, count(*) n, sum(pre) sx, sum(CAST(pre AS HUGEINT)*pre) sxx
+  FROM u GROUP BY 1),
+w AS (SELECT max(CASE WHEN arm = 0 THEN n END) n0,
+    max(CASE WHEN arm = 0 THEN sx END) s0, max(CASE WHEN arm = 0 THEN sxx END) q0,
+    max(CASE WHEN arm = 1 THEN n END) n1,
+    max(CASE WHEN arm = 1 THEN sx END) s1, max(CASE WHEN arm = 1 THEN sxx END) q1
+  FROM a),
+k AS (SELECT n0, n1,
+    CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE) m0,
+    CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE) m1,
+    CAST(n0*q0 - CAST(s0 AS HUGEINT)*s0 AS DOUBLE)/CAST(n0*(n0-1) AS DOUBLE) v0,
+    CAST(n1*q1 - CAST(s1 AS HUGEINT)*s1 AS DOUBLE)/CAST(n1*(n1-1) AS DOUBLE) v1
+  FROM w)
+SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+  floor(m0/100.0 * 100)/100 AS mean_pre_a,
+  floor(m1/100.0 * 100)/100 AS mean_pre_b,
+  CAST(floor((m0 - m1)/sqrt((v0 + v1)/2.0) * 1e6) AS BIGINT) AS smd_q6,
+  abs(CAST(floor((m0 - m1)/sqrt((v0 + v1)/2.0) * 1e6) AS BIGINT)) < 100000
+    AS balanced_01
+FROM k""",
+
+      // class-balanced downsample: per-class k smallest md5 ranks,
+      // k = minority class size.
+      "sample_class_balance" ->
+        s"""WITH r AS (SELECT lang, doc_id,
+    CAST(row_number() OVER (PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) rk
+  FROM ${T("documents")}),
+k AS (SELECT min(cs) k FROM (SELECT count(*) cs FROM r GROUP BY lang))
+SELECT lang, CAST(count(*) AS BIGINT) AS class_size,
+  CAST(sum(CASE WHEN rk <= k.k THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+  CAST(min(CASE WHEN rk <= k.k THEN doc_id END) AS BIGINT) AS min_kept_id,
+  CAST(max(CASE WHEN rk <= k.k THEN doc_id END) AS BIGINT) AS max_kept_id
+FROM r, k GROUP BY lang, k.k ORDER BY lang""",
+
+      // Chapman capture-recapture: pure integer estimator vs truth.
+      "agg_capture_recapture" ->
+        s"""WITH u AS (SELECT o_custkey,
+    max(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) in1,
+    max(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) in2
+  FROM ${T("orders")} GROUP BY 1),
+g AS (SELECT sum(in1) n1, sum(in2) n2, sum(in1*in2) m, count(*) n_true FROM u)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+  CAST(m AS BIGINT) AS m, CAST(n_true AS BIGINT) AS n_true,
+  CAST(((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS BIGINT) AS n_chapman,
+  CAST(((((n1 + 1) * (n2 + 1)) // (m + 1) - 1) * 10000) // n_true AS BIGINT)
+    AS est_over_true_q4
+FROM g""",
+
+      // HHI revenue concentration: exact HUGEINT square sum over one
+      // double division, 1e8-floored; effective customers = 1/HHI.
+      "agg_hhi_concentration" ->
+        s"""WITH pc AS (SELECT o_custkey,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) r
+  FROM ${T("orders")} GROUP BY 1),
+g AS (SELECT count(*) n_cust, sum(r) tot, sum(CAST(r AS HUGEINT)*r) sq FROM pc)
+SELECT CAST(n_cust AS BIGINT) AS n_cust,
+  CAST(floor(CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE)*CAST(tot AS DOUBLE))
+    * 1e8) AS BIGINT) AS hhi_q8,
+  floor(1.0 / (CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE)*CAST(tot AS DOUBLE)))
+    * 100)/100 AS effective_customers
+FROM g"""
     )
   }
 }

@@ -83,8 +83,20 @@ object IncrementalDedup {
     * Reads the row-level change feed, re-bands only changed docs, and
     * patches bands and pairs. */
   def advance(spark: SparkSession, root: String, fromV: Long, toV: Long,
-      state: State): State = {
-    val cf = VersionedTable.changeFeed(spark, root, fromV, toV, Seq("doc_id"))
+      state: State): State =
+    advanceWithFeed(spark,
+      VersionedTable.changeFeed(spark, root, fromV, toV, Seq("doc_id")),
+      VersionedTable.read(spark, root, Some(toV)), state)
+
+  /** The core increment, decoupled from WHERE the change feed comes
+    * from: `feed` must be ONE version range's row-level changes
+    * (insert / delete / update_pre/postimage over doc_id) and
+    * `snapshot` the post-range corpus — the batch [[advance]] passes
+    * `changeFeed` + `read(toV)`, the streaming [[maintainStream]]
+    * passes each micro-batch version's stamped feed slice. */
+  def advanceWithFeed(spark: SparkSession, feed: DataFrame,
+      snapshot: DataFrame, state: State): State = {
+    val cf = feed
       .select(col("doc_id"), col("lang"), col("text"), col("_change_type"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // every doc_id the delta touches leaves the state (update = leave
@@ -120,7 +132,7 @@ object IncrementalDedup {
       .unionAll(cand.select(col("d2").as("doc_id"))).distinct()
     val partnerIds = candIds.join(broadcast(
       newSh.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
-    val partnerDocs = VersionedTable.read(spark, root, Some(toV))
+    val partnerDocs = snapshot
       .select(col("doc_id"), col("lang"), col("text"))
       .join(broadcast(partnerIds), Seq("doc_id"), "left_semi")
     val verifySh = newSh.unionByName(Pipelines.shingleDocs(partnerDocs))
@@ -141,4 +153,49 @@ object IncrementalDedup {
     * the whole history (the Iterate/label-prop discipline). In a real
     * deployment this is the write-back to the state tables. */
   private def stabilize(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  /** The zero state a stream bootstraps from: version 1's change feed
+    * is the created snapshot tagged insert, so `advanceWithFeed(empty,
+    * v1-feed) == build(v1 snapshot)` by construction — no special
+    * bootstrap path. */
+  def emptyState(spark: SparkSession): State = {
+    import org.apache.spark.sql.types._
+    def empty(schema: StructType) = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    State(
+      empty(StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("band", IntegerType),
+        StructField("bkey", StringType)))),
+      empty(StructType(Seq(StructField("d1", LongType),
+        StructField("d2", LongType), StructField("jaccard", DoubleType)))))
+  }
+
+  /** The STREAMING face (round 11): dedup-state maintenance as a
+    * continuously-running consumer of [[VersionedTable.changeFeedStream]]
+    * — the version log replayed micro-batch-per-commit, each version's
+    * stamped feed slice applied through [[advanceWithFeed]] in commit
+    * order. Spark's file-source checkpoint is the version cursor
+    * (exactly-once over manifest files), so a restarted maintainer
+    * resumes from the last processed commit with the state it was
+    * handed. AvailableNow by default: drain committed versions, stop,
+    * resume later. Returns the query plus a state accessor (read it
+    * after awaitTermination). IncrementalDedupSpec pins stream-final
+    * state == full rebuild on the head snapshot across
+    * create/append/merge/delete commits. */
+  def maintainStream(spark: SparkSession, root: String,
+      checkpointDir: String, state0: Option[State] = None)
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => State) = {
+    @volatile var state = state0.getOrElse(emptyState(spark))
+    val q = VersionedTable.changeFeedStream(spark, root, Seq("doc_id"),
+      checkpointDir) { (batch, _) =>
+      val versions = batch.select(col("_commit_version")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      versions.foreach { v =>
+        state = advanceWithFeed(spark,
+          batch.filter(col("_commit_version") === v),
+          VersionedTable.read(spark, root, Some(v)), state)
+      }
+    }
+    (q, () => state)
+  }
 }

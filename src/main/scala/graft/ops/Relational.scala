@@ -3425,4 +3425,273 @@ object Relational {
         greatest(col("sup_llr_q6"), lit(0L)).as("neg_ln_p_q6"),
         coalesce(col("fr"), lit(-1L)).as("first_reject_n"))
 
+  /** Per-customer pre/post spend + arm — the §2.36 experimentation
+    * unit relation shared by CUPED and the ratio-CI read. Pre-period
+    * = orders before 1997-01-01 (the covariate every user carries
+    * into the experiment), post = 1997 onward (the measured metric);
+    * arm = custkey parity. All BIGINT cents. */
+  private def cupedUnits(s: SparkSession, d: String): DataFrame = {
+    val cents = (dec2(col("o_totalprice")) * 100).cast(LongType)
+    table(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("o_orderdate") < lit("1997-01-01"), cents)
+        .otherwise(0L)).as("pre"),
+        sum(when(col("o_orderdate") >= lit("1997-01-01"), cents)
+          .otherwise(0L)).as("post"),
+        sum(when(col("o_orderdate") >= lit("1997-01-01"), 1L)
+          .otherwise(0L)).as("n_post_orders"))
+      .withColumn("arm", (col("o_custkey") % 2).cast(LongType))
+  }
+
+  /** CUPED variance reduction (§2.36): the covariate-adjusted A/B
+    * metric every experimentation platform ships — adjusted
+    * Ȳ_arm − θ·(X̄_arm − X̄) with θ = cov(pre, post)/var(pre) POOLED
+    * over all units (the standard CUPED estimator; pre-period data is
+    * pre-randomization so pooling cannot bias the contrast).
+    * Exactness: every moment is an exact BIGINT/DECIMAL(38,0) sum of
+    * integer cents (per-row products fit Long, n·Σ cross-terms go
+    * DECIMAL(38,0) ↔ HUGEINT — scale-0, so the final cast to double
+    * is ONE correctly-rounded step in both engines, the welch_ttest
+    * discipline); θ, the adjusted means and the variance-reduction
+    * ρ² are one shared IEEE tree, floor-quantized. Scale: one
+    * customer-grain aggregate, then 2+1 bounded reduces. */
+  val aggCupedAdjust: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val u = cupedUnits(s, d)
+    val pooled = u.agg(count(lit(1)).as("n"),
+      sum(col("pre")).as("sx"), sum(col("post")).as("sy"),
+      sum((col("pre") * col("pre")).cast(dec38)).as("sxx"),
+      sum((col("post") * col("post")).cast(dec38)).as("syy"),
+      sum((col("pre") * col("post")).cast(dec38)).as("sxy"))
+    val arms = u.groupBy(col("arm"))
+      .agg(count(lit(1)).as("na"), sum(col("pre")).as("sxa"),
+        sum(col("post")).as("sya"))
+    val covN = (col("n").cast(dec38) * col("sxy") -
+      col("sx").cast(dec38) * col("sy").cast(dec38)).cast(DoubleType)
+    val varxN = (col("n").cast(dec38) * col("sxx") -
+      col("sx").cast(dec38) * col("sx").cast(dec38)).cast(DoubleType)
+    val varyN = (col("n").cast(dec38) * col("syy") -
+      col("sy").cast(dec38) * col("sy").cast(dec38)).cast(DoubleType)
+    val theta = covN / varxN
+    val rho2 = covN * covN / (varxN * varyN)
+    val meanPost = col("sya").cast(DoubleType) / col("na").cast(DoubleType) / 100.0
+    val adj = (col("sya").cast(DoubleType) / col("na").cast(DoubleType) -
+      theta * (col("sxa").cast(DoubleType) / col("na").cast(DoubleType) -
+        col("sx").cast(DoubleType) / col("n").cast(DoubleType))) / 100.0
+    arms.crossJoin(broadcast(pooled))
+      .select(col("arm"), asLong(col("na")).as("n_cust"),
+        (floor(meanPost * 1e4) / 1e4).as("mean_post"),
+        (floor(adj * 1e4) / 1e4).as("mean_adjusted"),
+        (floor(theta * 1e6) / 1e6).as("theta_q6"),
+        (floor(rho2 * 1e6) / 1e6).as("var_reduction_q6"))
+      .orderBy("arm")
+  }
+
+  /** Sample-ratio-mismatch guardrail (§2.36): the FIRST check every
+    * experiment readout runs — do the two arms hold the unit counts
+    * randomization promised? χ²₁ for a 50/50 design reduces to
+    * (n₀−n₁)²/(n₀+n₁), computed as an exact 1e4-quantized integer
+    * division; the verdict compares the quantized statistic against
+    * the quantized 3.8415 critical value. ONE row, pure integers.
+    * Scale: one customer-grain distinct aggregate. */
+  val aggSrmCheck: Q = (s, d) =>
+    table(s, d, "orders")
+      .select(col("o_custkey")).distinct()
+      .groupBy().agg(
+        sum(when(col("o_custkey") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("o_custkey") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        expr("((n_a - n_b) * (n_a - n_b) * 10000) div (n_a + n_b)")
+          .as("chi2_q4"))
+      .select(col("n_a"), col("n_b"), col("chi2_q4"),
+        when(col("chi2_q4") > 38415L, lit("mismatch"))
+          .otherwise(lit("ok")).as("srm_verdict"))
+
+  /** Rank-based AUC of reorder propensity (§2.36): THE ML-eval metric
+    * — does pre-1998 order count rank customers by whether they
+    * order again in 1998? AUC = Mann-Whitney U normalized, with ties
+    * handled by average ranks, computed EXACTLY in integers: per
+    * score s, doubled rank-sum contribution = pos_s·(2·C(s)+cnt_s+1)
+    * (C = count of strictly lower scores), so 2R₁, U₂ = 2R₁−n₁(n₁+1)
+    * and the final AUC division are the only operations — one double
+    * division at the end, floor-quantized 1e6. Scale: one
+    * customer-grain aggregate; the rank arithmetic runs on the
+    * VALUE-GRAIN score relation (distinct order-counts-per-customer —
+    * data-shape-bounded at ~dozens of rows at any SF, the
+    * event-type² convention). */
+  val aggAucReorder: Q = (s, d) => {
+    val perCust = table(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("o_orderdate") < lit("1998-01-01"), 1L)
+        .otherwise(0L)).as("score"),
+        max(when(col("o_orderdate") >= lit("1998-01-01"), 1L)
+          .otherwise(0L)).as("label"))
+      .filter(col("score") > 0)
+    val byScore = perCust.groupBy(col("score"))
+      .agg(count(lit(1)).as("cnt"), sum(col("label")).as("pos"))
+    val wLower = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byScore
+      .withColumn("c_lower", coalesce(sum(col("cnt")).over(wLower), lit(0L)))
+    val agg = ranked.agg(
+      sum(col("pos") * (lit(2L) * col("c_lower") + col("cnt") + 1L)).as("r2"),
+      sum(col("pos")).as("n_pos"),
+      sum(col("cnt") - col("pos")).as("n_neg"))
+    val u2 = col("r2") - col("n_pos") * (col("n_pos") + 1L)
+    val auc = u2.cast(DoubleType) /
+      (lit(2.0) * col("n_pos").cast(DoubleType) * col("n_neg").cast(DoubleType))
+    // degenerate pools (all customers reorder, or none do) make AUC
+    // undefined -> NULL, never a divide-by-zero (the welch convention)
+    val defined = col("n_pos") > 0 && col("n_neg") > 0
+    agg.select(asLong(col("n_pos")).as("n_pos"),
+      asLong(col("n_neg")).as("n_neg"),
+      asLong(u2).as("u2"),
+      when(defined, floor(auc * 1e6).cast(LongType)).as("auc_q6"),
+      when(defined, floor((auc * 2.0 - 1.0) * 1e6).cast(LongType))
+        .as("gini_q6"))
+  }
+
+  /** Delta-method CI for a RATIO metric (§2.36): revenue per order
+    * with the CUSTOMER as the randomization unit — the estimator
+    * experimentation platforms need because orders within a customer
+    * are correlated (naively treating orders as units understates the
+    * variance). R̂ = ΣY/ΣN per arm; Var(R̂) ≈ (σ_y² − 2R̂σ_yn +
+    * R̂²σ_n²)/(n·m_n²) — the first-order Taylor (delta) expansion.
+    * Every (co)moment is an exact BIGINT/DECIMAL(38,0) integer sum
+    * (welch discipline); the estimate, SE and the ±1.96 CI are one
+    * shared IEEE tree, floor-quantized. Scale: one customer-grain
+    * aggregate + a 2-row reduce. */
+  val aggRatioDeltaCi: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val u = cupedUnits(s, d).filter(col("n_post_orders") > 0)
+    val arms = u.groupBy(col("arm")).agg(
+      count(lit(1)).as("n"),
+      sum(col("post")).as("sy"), sum(col("n_post_orders")).as("sn"),
+      sum((col("post") * col("post")).cast(dec38)).as("syy"),
+      sum((col("n_post_orders") * col("n_post_orders")).cast(dec38)).as("snn"),
+      sum((col("post") * col("n_post_orders")).cast(dec38)).as("syn"))
+    val nD = col("n").cast(DoubleType)
+    val r = col("sy").cast(DoubleType) / col("sn").cast(DoubleType)
+    def svar(ss: Column, sa: Column, sb: Column) =
+      (col("n").cast(dec38) * ss - sa.cast(dec38) * sb.cast(dec38))
+        .cast(DoubleType) / (nD * (nD - 1.0))
+    val vy = svar(col("syy"), col("sy"), col("sy"))
+    val vn = svar(col("snn"), col("sn"), col("sn"))
+    val vyn = svar(col("syn"), col("sy"), col("sn"))
+    val mN = col("sn").cast(DoubleType) / nD
+    val se = sqrt((vy - lit(2.0) * r * vyn + r * r * vn) / nD) / mN
+    arms.select(col("arm"), asLong(col("n")).as("n_cust"),
+      (floor(r / 100.0 * 1e4) / 1e4).as("rev_per_order"),
+      (floor(se / 100.0 * 1e6) / 1e6).as("se_q6"),
+      (floor((r - lit(1.96) * se) / 100.0 * 1e4) / 1e4).as("ci_lo_95"),
+      (floor((r + lit(1.96) * se) / 100.0 * 1e4) / 1e4).as("ci_hi_95"))
+      .orderBy("arm")
+  }
+
+  /** Two-sample Poisson rate test (§2.37): did the order ARRIVAL RATE
+    * change between 1995 and 1997? z = (λ₁−λ₂)/√(n₁/t₁² + n₂/t₂²)
+    * with exposure times the 365-day literals — the count-data test
+    * beside the value-data Welch (a rate shift with unchanged values
+    * is invisible to a mean test and vice versa). Two exact integer
+    * counts into one shared IEEE tree, floor-quantized, decision ON
+    * the quantized integer. Scale: one map-combined scan; 1 row. */
+  val aggPoissonRateTest: Q = (s, d) =>
+    table(s, d, "orders")
+      .groupBy().agg(
+        sum(when(year(col("o_orderdate")) === 1995, 1L).otherwise(0L)).as("n1"),
+        sum(when(year(col("o_orderdate")) === 1997, 1L).otherwise(0L)).as("n2"))
+      .select(col("n1"), col("n2"),
+        (floor(col("n1").cast(DoubleType) / 365.0 * 1e4) / 1e4).as("rate_1995"),
+        (floor(col("n2").cast(DoubleType) / 365.0 * 1e4) / 1e4).as("rate_1997"),
+        floor((col("n1").cast(DoubleType) / 365.0 -
+          col("n2").cast(DoubleType) / 365.0) /
+          sqrt(col("n1").cast(DoubleType) / (365.0 * 365.0) +
+            col("n2").cast(DoubleType) / (365.0 * 365.0)) * 1e4)
+          .cast(LongType).as("z_q4"))
+      .select(col("n1"), col("n2"), col("rate_1995"), col("rate_1997"),
+        col("z_q4"), (abs(col("z_q4")) > 19600L).as("significant_95"))
+
+  /** Covariate balance check (§2.37): the standardized mean difference
+    * of PRE-period spend between arms — with agg_srm_check the second
+    * pre-readout guardrail (randomization can pass SRM yet hand one
+    * arm the historically-heavier spenders; |SMD| < 0.1 is the
+    * conventional balance bar). SMD = (m₀−m₁)/√((v₀+v₁)/2), moments
+    * exact BIGINT/DECIMAL(38,0) (welch discipline), one IEEE tree,
+    * verdict on the quantized integer. Scale: one customer-grain
+    * aggregate + 1-row reduce. */
+  val aggCovariateBalance: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val byArm = cupedUnits(s, d).groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("pre")).as("sx"),
+        sum((col("pre") * col("pre")).cast(dec38)).as("sxx"))
+    val w = byArm.agg(
+      max(when(col("arm") === 0, col("n"))).as("n0"),
+      max(when(col("arm") === 0, col("sx"))).as("s0"),
+      max(when(col("arm") === 0, col("sxx"))).as("q0"),
+      max(when(col("arm") === 1, col("n"))).as("n1"),
+      max(when(col("arm") === 1, col("sx"))).as("s1"),
+      max(when(col("arm") === 1, col("sxx"))).as("q1"))
+    def mean(sx: String, n: String) =
+      col(sx).cast(DoubleType) / col(n).cast(DoubleType)
+    def vr(n: String, sx: String, q: String) =
+      (col(n).cast(dec38) * col(q) - col(sx).cast(dec38) * col(sx).cast(dec38))
+        .cast(DoubleType) / (col(n) * (col(n) - 1)).cast(DoubleType)
+    val smd = (mean("s0", "n0") - mean("s1", "n1")) /
+      sqrt((vr("n0", "s0", "q0") + vr("n1", "s1", "q1")) / 2.0)
+    w.select(asLong(col("n0")).as("n_a"), asLong(col("n1")).as("n_b"),
+      (floor(mean("s0", "n0") / 100.0 * 100) / 100).as("mean_pre_a"),
+      (floor(mean("s1", "n1") / 100.0 * 100) / 100).as("mean_pre_b"),
+      floor(smd * 1e6).cast(LongType).as("smd_q6"))
+      .select(col("n_a"), col("n_b"), col("mean_pre_a"), col("mean_pre_b"),
+        col("smd_q6"),
+        (abs(col("smd_q6")) < 100000L).as("balanced_01"))
+  }
+
+  /** Chapman capture–recapture estimate (§2.37): estimate the TOTAL
+    * customer population from two overlapping observation windows
+    * (1996 and 1997 order activity) — the ecology estimator data
+    * engineering reuses to size a corpus/id-space from two partial
+    * crawls without scanning it. N̂ = ⌊(n₁+1)(n₂+1)/(m+1)⌋ − 1 —
+    * PURE integer arithmetic — compared against the directly counted
+    * population (estimate/truth ratio, 1e4 integer division). Scale:
+    * one customer-grain aggregate + 1-row reduce. */
+  val aggCaptureRecapture: Q = (s, d) =>
+    table(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L))
+        .as("in1"),
+        max(when(year(col("o_orderdate")) === 1997, 1L).otherwise(0L))
+          .as("in2"))
+      .groupBy().agg(sum(col("in1")).as("n1"), sum(col("in2")).as("n2"),
+        sum(col("in1") * col("in2")).as("m"),
+        count(lit(1)).as("n_true"))
+      .select(col("n1"), col("n2"), col("m"), asLong(col("n_true")).as("n_true"),
+        expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1").as("n_chapman"))
+      .select(col("n1"), col("n2"), col("m"), col("n_true"), col("n_chapman"),
+        expr("(n_chapman * 10000) div n_true").as("est_over_true_q4"))
+
+  /** Herfindahl–Hirschman revenue concentration (§2.37): HHI = Σ s_i²
+    * over customer revenue shares — the platform-risk number
+    * agg_gini/agg_lorenz_points do not give (HHI answers "how many
+    * EFFECTIVE customers fund this business": 1/HHI). Σr_i² exact in
+    * DECIMAL(38,0) ↔ HUGEINT, total exact BIGINT; HHI = one double
+    * division of scale-0 exacts (single correctly-rounded cast each,
+    * welch discipline), floor-quantized 1e8; effective count = 1/HHI
+    * floored at 2dp. Scale: one customer-grain aggregate + 1-row
+    * reduce. */
+  val aggHhiConcentration: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val cents = (dec2(col("o_totalprice")) * 100).cast(LongType)
+    val perCust = table(s, d, "orders")
+      .groupBy(col("o_custkey")).agg(sum(cents).as("r"))
+    val agg = perCust.agg(count(lit(1)).as("n_cust"),
+      sum(col("r")).as("tot"),
+      sum((col("r").cast(dec38) * col("r")).cast(dec38)).as("sq"))
+    val hhi = col("sq").cast(DoubleType) /
+      (col("tot").cast(DoubleType) * col("tot").cast(DoubleType))
+    agg.select(asLong(col("n_cust")).as("n_cust"),
+      floor(hhi * 1e8).cast(LongType).as("hhi_q8"),
+      (floor(lit(1.0) / hhi * 100) / 100).as("effective_customers"))
+  }
+
 }

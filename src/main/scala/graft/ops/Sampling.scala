@@ -429,6 +429,33 @@ object Sampling {
       .orderBy("rn")
   }
 
+  /** Class-balanced downsample (§2.37): cap every language class at
+    * the MINORITY class size — the training-set rebalancer that
+    * equalizes class priors by dropping, not reweighting (the
+    * complement of sample_rebalance's rate-based thinning, which
+    * targets token shares, not equal counts). Kept rows are each
+    * class's k smallest (md5(doc_id), doc_id) — deterministic,
+    * repartition-stable, engine-portable. Output: per class, total vs
+    * kept with the kept id range (the sample itself is reproducible
+    * from the rule). Scale: one class-partitioned rank window + a
+    * broadcast 1-row minority size. */
+  val sampleClassBalance: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+    val ranked = table(s, d, "documents")
+      .withColumn("rk", row_number().over(w).cast(LongType))
+    val minority = ranked.groupBy(col("lang"))
+      .agg(count(lit(1)).as("class_size"))
+      .agg(min(col("class_size")).as("k"))
+    ranked.crossJoin(broadcast(minority))
+      .groupBy(col("lang"))
+      .agg(asLong(count(lit(1))).as("class_size"),
+        asLong(sum(when(col("rk") <= col("k"), 1L).otherwise(0L))).as("kept"),
+        asLong(min(when(col("rk") <= col("k"), col("doc_id")))).as("min_kept_id"),
+        asLong(max(when(col("rk") <= col("k"), col("doc_id")))).as("max_kept_id"))
+      .orderBy("lang")
+  }
+
   /** Shared relation for the §2.35 conformal pair: orders md5-split
     * into train (bucket < 1/3), calibration (1/3..2/3) and test
     * (rest); the "model" is the per-segment (custkey%4) mean order

@@ -1819,4 +1819,162 @@ object TimeSeries {
       .limit(20)
   }
 
+  /** Additive Holt-Winters with weekly seasonality (§2.37): the
+    * level + trend + 7-seasonal-state recursion on DAILY revenue —
+    * the forecaster between ts_holt_linear (no seasonality) and
+    * ts_forecast_wape's seasonal-naive (no level/trend). α=0.2,
+    * β=0.05, γ=0.1; init l₀ = mean of week 1 (one explicit
+    * left-associated 7-term sum — identical tree both engines),
+    * b₀ = 0, s_i = x_i − l₀. The seasonal state rides a ROTATING
+    * 7-array inside the same aggregate-HOF fold as ts_holt_linear
+    * (element 1 is always s_{t−7}; each step appends the refreshed
+    * season), ≡ DuckDB's recursive CTE carrying s1..s7 columns —
+    * the identical IEEE recurrence at every step. Output: the 7-day
+    * forecast l + h·b + s'[h], floored to cents. Scale: one
+    * date-grain map-combined aggregate; the fold is in-row over the
+    * calendar-bounded day array. */
+  val tsHoltWinters: Q = (s, d) => {
+    val byDay = table(s, d, "orders")
+      .groupBy(col("o_orderdate").as("dt"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("c"))
+    byDay
+      .agg(transform(array_sort(collect_list(struct(col("dt"), col("c")))),
+        x => x.getField("c").cast(DoubleType)).as("xs"))
+      .select(expr(
+        """aggregate(
+             slice(xs, 8, size(xs) - 7),
+             named_struct(
+               'l', (element_at(xs, 1) + element_at(xs, 2) + element_at(xs, 3)
+                 + element_at(xs, 4) + element_at(xs, 5) + element_at(xs, 6)
+                 + element_at(xs, 7)) / CAST(7 AS DOUBLE),
+               'b', CAST(0 AS DOUBLE),
+               's', array(
+                 element_at(xs, 1) - (element_at(xs, 1) + element_at(xs, 2)
+                   + element_at(xs, 3) + element_at(xs, 4) + element_at(xs, 5)
+                   + element_at(xs, 6) + element_at(xs, 7)) / CAST(7 AS DOUBLE),
+                 element_at(xs, 2) - (element_at(xs, 1) + element_at(xs, 2)
+                   + element_at(xs, 3) + element_at(xs, 4) + element_at(xs, 5)
+                   + element_at(xs, 6) + element_at(xs, 7)) / CAST(7 AS DOUBLE),
+                 element_at(xs, 3) - (element_at(xs, 1) + element_at(xs, 2)
+                   + element_at(xs, 3) + element_at(xs, 4) + element_at(xs, 5)
+                   + element_at(xs, 6) + element_at(xs, 7)) / CAST(7 AS DOUBLE),
+                 element_at(xs, 4) - (element_at(xs, 1) + element_at(xs, 2)
+                   + element_at(xs, 3) + element_at(xs, 4) + element_at(xs, 5)
+                   + element_at(xs, 6) + element_at(xs, 7)) / CAST(7 AS DOUBLE),
+                 element_at(xs, 5) - (element_at(xs, 1) + element_at(xs, 2)
+                   + element_at(xs, 3) + element_at(xs, 4) + element_at(xs, 5)
+                   + element_at(xs, 6) + element_at(xs, 7)) / CAST(7 AS DOUBLE),
+                 element_at(xs, 6) - (element_at(xs, 1) + element_at(xs, 2)
+                   + element_at(xs, 3) + element_at(xs, 4) + element_at(xs, 5)
+                   + element_at(xs, 6) + element_at(xs, 7)) / CAST(7 AS DOUBLE),
+                 element_at(xs, 7) - (element_at(xs, 1) + element_at(xs, 2)
+                   + element_at(xs, 3) + element_at(xs, 4) + element_at(xs, 5)
+                   + element_at(xs, 6) + element_at(xs, 7)) / CAST(7 AS DOUBLE))),
+             (a, x) -> named_struct(
+               'l', CAST(0.2 AS DOUBLE) * (x - element_at(a.s, 1))
+                 + CAST(0.8 AS DOUBLE) * (a.l + a.b),
+               'b', CAST(0.05 AS DOUBLE)
+                 * ((CAST(0.2 AS DOUBLE) * (x - element_at(a.s, 1))
+                     + CAST(0.8 AS DOUBLE) * (a.l + a.b)) - a.l)
+                 + CAST(0.95 AS DOUBLE) * a.b,
+               's', concat(slice(a.s, 2, 6), array(
+                 CAST(0.1 AS DOUBLE)
+                   * (x - (CAST(0.2 AS DOUBLE) * (x - element_at(a.s, 1))
+                       + CAST(0.8 AS DOUBLE) * (a.l + a.b)))
+                 + CAST(0.9 AS DOUBLE) * element_at(a.s, 1)))))""").as("st"))
+      .select(posexplode(expr(
+        "transform(sequence(1, 7), h -> st.l + CAST(h AS DOUBLE) * st.b" +
+          " + element_at(st.s, h))")).as(Seq("i", "f")))
+      .select((col("i") + 1).cast(LongType).as("h"),
+        (floor(col("f")) / 100.0).as("forecast"))
+      .orderBy("h")
+  }
+
+  /** Cohort retention half-life (§2.36): for each weekly signup
+    * cohort, the FIRST week-of-life where active users fall below
+    * half the cohort — the one-number summary of the retention curve
+    * ts_cohort_retention tabulates (a product team tracks the
+    * half-life trend, not the full triangle). Monday-ISO weeks in
+    * both engines (the ts_cohort_ltv convention); the 50% test is
+    * 2·retained < cohort_size — pure integers, no percentage float.
+    * Cohorts that never dip within the observed span report -1.
+    * Scale: one user-grain min + one (cohort, week) distinct
+    * aggregate; the half-life fold is a bounded reduce over the
+    * calendar-bounded (cohort, age) relation. */
+  val tsRetentionHalfLife: Q = (s, d) => {
+    val wu = Window.partitionBy(col("user_id"))
+    val act = table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .withColumn("cohort_wk",
+        date_trunc("week", min(col("ts")).over(wu)).cast(DateType))
+      .select(col("user_id"), col("cohort_wk"),
+        (datediff(date_trunc("week", col("ts")).cast(DateType),
+          col("cohort_wk")) / 7).cast(LongType).as("wk"))
+      .distinct()
+    val sizes = act.filter(col("wk") === 0)
+      .groupBy(col("cohort_wk")).agg(count(lit(1)).as("cohort_size"))
+    val ret = act.filter(col("wk") > 0)
+      .groupBy(col("cohort_wk"), col("wk"))
+      .agg(count(lit(1)).as("retained"))
+    val last = act.groupBy(col("cohort_wk")).agg(max(col("wk")).as("last_wk"))
+    // dense week spine 1..last_wk per cohort (calendar-bounded): a
+    // GAP week — zero retained users — IS 0% retention and must be
+    // eligible as the half-life week, which a sparse min over
+    // existing rows would skip
+    val spine = sizes.join(last, Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("cohort_size"),
+        explode(sequence(lit(1L), greatest(col("last_wk"), lit(1L))))
+          .as("wk"))
+    val hl = spine
+      .join(ret, Seq("cohort_wk", "wk"), "left")
+      .withColumn("retained", coalesce(col("retained"), lit(0L)))
+      .groupBy(col("cohort_wk"))
+      .agg(min(when(col("retained") * 2 < col("cohort_size"), col("wk")))
+        .as("hl"))
+    sizes
+      .join(hl, Seq("cohort_wk"), "left")
+      .join(last, Seq("cohort_wk"))
+      .select(col("cohort_wk"), asLong(col("cohort_size")).as("cohort_size"),
+        asLong(col("last_wk")).as("weeks_observed"),
+        asLong(coalesce(col("hl"), lit(-1L))).as("half_life_weeks"))
+      .orderBy("cohort_wk")
+  }
+
+  /** Conditional entropy of the event chain (§2.36): H(next | current)
+    * over each user's event-type sequence — how PREDICTABLE the next
+    * action is given the current one, the sequence-model read of
+    * ts_markov_transitions' matrix (uniform rows → ln k nats; a
+    * deterministic funnel → 0). Per (i,j) cell the term
+    * n_ij·ln(n_i/n_ij) is floor-quantized at 1e6 BEFORE summation
+    * (ln on an exact-integer-ratio double — the collocation_llr
+    * precedent), so the per-state entropy is an exact integer
+    * division of quantized BIGINTs — fold-order-proof. Scale: one
+    * lead() window on the user_id shuffle; everything after runs on
+    * the event-type² relation (bounded by the type vocabulary). */
+  val tsConditionalEntropy: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = table(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("nij"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("nij")).as("ni"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .withColumn("t6",
+        floor(col("nij").cast(DoubleType) *
+          log(col("ni").cast(DoubleType) / col("nij").cast(DoubleType)) * 1e6)
+          .cast(LongType))
+      .groupBy(col("from_type"))
+      .agg(max(col("ni")).as("ni"), sum(col("t6")).as("st6"),
+        count(lit(1)).as("n_successors"))
+      .select(col("from_type"), asLong(col("ni")).as("n_transitions"),
+        asLong(col("n_successors")).as("n_successors"),
+        expr("st6 div ni").as("h_nats_q6"))
+      .orderBy("from_type")
+  }
+
 }

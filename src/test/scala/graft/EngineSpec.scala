@@ -638,4 +638,46 @@ class EngineSpec extends AnyFunSuite {
       s"cusum lost its TakeOrderedAndProject:\n${cu.take(1500)}")
     assert(!cu.contains("Join"), s"cusum grew a join:\n${cu.take(1500)}")
   }
+
+  test("round-11 §2.36/§2.37 plan shapes: experimentation reads, HW fold") {
+    // cuped: pooled moments broadcast into the 2-row arm relation
+    val cp = ops.Relational.aggCupedAdjust(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(cp.contains("BroadcastNestedLoopJoin") || cp.contains("BroadcastHashJoin"),
+      s"cuped pooled moments not broadcast:\n${cp.take(1500)}")
+    // srm / poisson / capture / hhi / balance: single-aggregate
+    // shapes — no join anywhere
+    for ((name, q) <- Seq(
+      "srm" -> ops.Relational.aggSrmCheck,
+      "poisson_rate" -> ops.Relational.aggPoissonRateTest,
+      "covariate_balance" -> ops.Relational.aggCovariateBalance,
+      "capture_recapture" -> ops.Relational.aggCaptureRecapture,
+      "hhi" -> ops.Relational.aggHhiConcentration)) {
+      val p = q(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), s"$name grew a join:\n${p.take(1200)}")
+    }
+    // auc: the rank window runs on the value-grain score relation,
+    // after the customer aggregate — exactly one Window
+    val au = ops.Relational.aggAucReorder(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(au.contains("Window"), s"auc lost its rank window:\n${au.take(1200)}")
+    // holt-winters: pure fold — no join, no window, and the plan
+    // carries the HOF aggregate
+    val hw = ops.TimeSeries.tsHoltWinters(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!hw.contains("Join") && !hw.contains("Window"),
+      s"holt-winters grew a join/window:\n${hw.take(1200)}")
+    // retention half-life: the spine explode is calendar-bounded and
+    // every join is keyed on cohort_wk — no cartesian anywhere
+    val rh = ops.TimeSeries.tsRetentionHalfLife(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!rh.contains("CartesianProduct"),
+      s"half-life degenerated to cartesian:\n${rh.take(1200)}")
+    // conditional entropy: totals broadcast back onto the
+    // event-type^2 relation
+    val ce = ops.TimeSeries.tsConditionalEntropy(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(ce.contains("BroadcastHashJoin"),
+      s"cond-entropy totals not broadcast:\n${ce.take(1200)}")
+  }
 }

@@ -100,6 +100,45 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assertMatchesFullRebuild(state, root, v4)
   }
 
+  test("streaming maintainer: final state == full rebuild at the head") {
+    val root = tmp() + "/corpus3"
+    VersionedTable.create(spark, root, Seq(
+      doc(1, "en", mkText(1)),
+      doc(2, "en", mkText(2)),
+      doc(3, "en", mkText(3))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // a commit of every change class BEFORE the stream starts: the
+    // file-source checkpoint must pick all of them up in order
+    VersionedTable.append(spark, root,
+      Seq(doc(4, "en", mkText(1))).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    VersionedTable.merge(spark, root,
+      Seq(doc(3, "en", mkText(2))).toDF("doc_id", "text", "lang", "source", "n_chars"),
+      Seq("doc_id"))
+    VersionedTable.deleteWhere(spark, root, "doc_id = 2")
+    val ckpt = tmp() + "/ckpt"
+    val (q, getState) = IncrementalDedup.maintainStream(spark, root, ckpt)
+    q.awaitTermination()
+    val vN = VersionedTable.versions(spark, root).last
+    assertMatchesFullRebuild(getState(), root, vN)
+    // pair (1,4) from the append must be live; doc2's pairs dead
+    val p = pairsOf(getState().pairs)
+    assert(p.exists(x => x._1 == 1L && x._2 == 4L && x._3 == 1.0), s"$p")
+    assert(!p.exists(x => x._1 == 2L || x._2 == 2L), s"$p")
+
+    // RESUME: new commits after the drained run; a fresh AvailableNow
+    // stream on the SAME checkpoint processes only the new versions,
+    // fed the prior state
+    VersionedTable.append(spark, root,
+      Seq(doc(5, "en", mkText(2))).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val (q2, getState2) = IncrementalDedup.maintainStream(spark, root, ckpt,
+      Some(getState()))
+    q2.awaitTermination()
+    val v2 = VersionedTable.versions(spark, root).last
+    assertMatchesFullRebuild(getState2(), root, v2)
+    // doc5 duplicates doc3's post-merge text -> pair (3,5)
+    assert(pairsOf(getState2().pairs).exists(x => x._1 == 3L && x._2 == 5L))
+  }
+
   test("advance across a multi-version range in one step") {
     val root = tmp() + "/corpus2"
     val v1 = VersionedTable.create(spark, root, Seq(

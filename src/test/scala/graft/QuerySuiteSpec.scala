@@ -288,7 +288,15 @@ class QuerySuiteSpec extends AnyFunSuite {
     // §2.35 (round 11, sequential-inference batch)
     "agg_sprt_decision" -> 15L, "agg_eprocess_summary" -> 1L,
     "sample_conformal_interval" -> 4L, "sample_conformal_coverage" -> 4L,
-    "pipeline_bpe_fertility" -> 5L, "ts_cusum_top" -> 20L)
+    "pipeline_bpe_fertility" -> 5L, "ts_cusum_top" -> 20L,
+    // §2.36 (round 11, experimentation & sequence batch)
+    "agg_cuped_adjust" -> 2L, "agg_srm_check" -> 1L,
+    "agg_auc_reorder" -> 1L, "agg_ratio_delta_ci" -> 2L,
+    "ts_retention_half_life" -> 1L, "ts_conditional_entropy" -> 5L,
+    // §2.37 (round 11, forecasting & guardrails batch)
+    "ts_holt_winters" -> 7L, "agg_poisson_rate_test" -> 1L,
+    "agg_covariate_balance" -> 1L, "sample_class_balance" -> 5L,
+    "agg_capture_recapture" -> 1L, "agg_hhi_concentration" -> 1L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
