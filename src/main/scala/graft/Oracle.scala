@@ -5893,7 +5893,7 @@ FROM t GROUP BY lang ORDER BY lang""",
       // recursive-CTE twin of the Spark aggregate-HOF fold; top-20
       // drift days.
       "ts_cusum_top" ->
-        s"""WITH RECURSIVE dd AS (SELECT o_orderdate dt, count(*) x
+        s"""WITH RECURSIVE dd AS (SELECT CAST(o_orderdate AS DATE) dt, count(*) x
   FROM ${T("orders")} GROUP BY 1),
 p AS (SELECT dt, x, row_number() OVER (ORDER BY dt) rn FROM dd),
 t AS (SELECT CAST(sum(x) // count(*) AS BIGINT) mu FROM dd),
@@ -6061,7 +6061,7 @@ FROM t GROUP BY from_type ORDER BY from_type""",
       // the rotating s1..s7 — identical IEEE recurrence to the Spark
       // fold (the ts_holt_linear equivalence, now with array state).
       "ts_holt_winters" ->
-        s"""WITH RECURSIVE dd AS (SELECT o_orderdate dt,
+        s"""WITH RECURSIVE dd AS (SELECT CAST(o_orderdate AS DATE) dt,
     CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS DOUBLE) x
   FROM ${T("orders")} GROUP BY 1),
 p AS (SELECT x, row_number() OVER (ORDER BY dt) rn FROM dd),

@@ -264,7 +264,20 @@ object ScalingBench {
         "agg_growth_accounting" -> (() => { ops.TimeSeries.aggGrowthAccounting(spark, dir).count(); () }),
         "agg_inter_purchase_gap" -> (() => { ops.TimeSeries.aggInterPurchaseGap(spark, dir).count(); () }),
         "ts_bounce_rate_daily" -> (() => { ops.TimeSeries.tsBounceRateDaily(spark, dir).count(); () }),
-        "win_streak_current" -> (() => { ops.Windows.winStreakCurrent(spark, dir).count(); () })))
+        "win_streak_current" -> (() => { ops.Windows.winStreakCurrent(spark, dir).count(); () }),
+        // round-11 §2.35–§2.37 fact-sized shapes: the SPRT GlobalRank
+        // running sums (one range shuffle over orders), the conformal
+        // coverage's two GlobalRank passes + broadcast intervals, the
+        // CUPED customer-grain moment scan, the retention half-life's
+        // per-user window + dense spine, the event-chain entropy's
+        // lead window, and the Holt-Winters fold (CLAIM: ~flat past
+        // the date-grain aggregate — calendar-bounded state)
+        "agg_sprt_decision" -> (() => { ops.Relational.aggSprtDecision(spark, dir).count(); () }),
+        "sample_conformal_coverage" -> (() => { ops.Sampling.sampleConformalCoverage(spark, dir).count(); () }),
+        "agg_cuped_adjust" -> (() => { ops.Relational.aggCupedAdjust(spark, dir).count(); () }),
+        "ts_retention_half_life" -> (() => { ops.TimeSeries.tsRetentionHalfLife(spark, dir).count(); () }),
+        "ts_conditional_entropy" -> (() => { ops.TimeSeries.tsConditionalEntropy(spark, dir).count(); () }),
+        "ts_holt_winters" -> (() => { ops.TimeSeries.tsHoltWinters(spark, dir).count(); () })))
       val best = scala.collection.mutable.LinkedHashMap[String, Double]()
       val bestCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
       var primeBest = Double.MaxValue
@@ -274,6 +287,7 @@ object ScalingBench {
         cpuListener.reset()
         Tables(spark, dir, "events").count() // table cache outside the curve
         Tables(spark, dir, "lineitem").count()
+        Tables(spark, dir, "orders").count() // round-11 ops scan orders
         spark.sparkContext.setJobGroup("edges_prime", "edges_prime")
         primeBest = math.min(primeBest, timed { Tables.edges(spark, dir); () })
         for ((name, f) <- opsList) {

@@ -750,6 +750,68 @@ class Naqed(spark: SparkSession, sfDir: String) {
     }.reduce(_ unionByName _)
   }
 
+  /** Experiment-readout directive (round 11, the [[audit]] precedent
+    * applied to the §2.36 experimentation stack): ONE long-format
+    * (check, metric, value) relation covering the full A/B readout a
+    * platform runs in order — `srm` (unit-count guardrail), `balance`
+    * (pre-period SMD), `welch` (the primary difference-of-means test),
+    * `cuped` (covariate-adjusted means + variance reduction),
+    * `ratio_ci` (delta-method CI for revenue/order at the customer
+    * unit). `$checks` selects a subset; each check IS the
+    * oracle-checked operator, so the API cannot drift from verified
+    * semantics (NaqedSpec pins value equality with the direct ops).
+    * Multi-row checks (per-arm relations) are long-formatted per row
+    * with the arm folded into the metric name. */
+  def experiment(q: Map[String, Any] = Map.empty): DataFrame = {
+    val known = Set("$checks")
+    val unknown = q.keys.filterNot(known.contains)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown experiment arguments ${unknown.mkString(", ")}; valid: $$checks")
+    val all = Seq("srm", "balance", "welch", "cuped", "ratio_ci")
+    val checks: Seq[String] = q.get("$checks") match {
+      case Some(xs: Seq[_]) => xs.map {
+        case s: String if all.contains(s) => s
+        case other => throw new IllegalArgumentException(
+          s"unknown experiment check '$other'; valid: ${all.mkString(", ")}")
+      }
+      case Some(other) => throw new IllegalArgumentException(
+        s"$$checks expects a list of check names, got $other")
+      case None => all
+    }
+    import org.apache.spark.sql.functions.{col, lit, expr, concat, concat_ws}
+    def long(name: String, df: DataFrame): DataFrame = {
+      val cols = df.columns
+      df.select(expr(s"stack(${cols.length}, " +
+          cols.map(c => s"'$c', cast(`$c` AS STRING)").mkString(", ") + ")")
+          .as(Seq("metric", "value")))
+        .select(lit(name).as("check"), col("metric"), col("value"))
+    }
+    // per-arm relations: fold the arm into the metric so the long
+    // format stays (check, metric, value) with unique metric keys
+    def longPerArm(name: String, df: DataFrame): DataFrame = {
+      val cols = df.columns.filterNot(_ == "arm")
+      df.select(col("arm"), expr(s"stack(${cols.length}, " +
+          cols.map(c => s"'$c', cast(`$c` AS STRING)").mkString(", ") + ")")
+          .as(Seq("m", "value")))
+        .select(lit(name).as("check"),
+          concat_ws("_", col("m"), concat(lit("arm"), col("arm"))).as("metric"),
+          col("value"))
+    }
+    checks.map {
+      case "srm" =>
+        long("srm", graft.ops.Relational.aggSrmCheck(spark, sfDir))
+      case "balance" =>
+        long("balance", graft.ops.Relational.aggCovariateBalance(spark, sfDir))
+      case "welch" =>
+        long("welch", graft.ops.Relational.aggWelchTtest(spark, sfDir))
+      case "cuped" =>
+        longPerArm("cuped", graft.ops.Relational.aggCupedAdjust(spark, sfDir))
+      case "ratio_ci" =>
+        longPerArm("ratio_ci", graft.ops.Relational.aggRatioDeltaCi(spark, sfDir))
+    }.reduce(_ unionByName _)
+  }
+
   /** Embedding near-dedup directive (naqed resolver-with-args style):
     * the curation stage for embedding-carrying corpora
     * (ops.Curation.annNearDedup), driven through the `$`-argument

@@ -1797,7 +1797,7 @@ object TimeSeries {
     * for the top-k. */
   val tsCusumTop: Q = (s, d) => {
     val byDay = table(s, d, "orders")
-      .groupBy(col("o_orderdate").as("dt"))
+      .groupBy(col("o_orderdate").cast(DateType).as("dt"))
       .agg(count(lit(1)).as("x"))
     byDay
       .agg(array_sort(collect_list(struct(col("dt"), col("x")))).as("a"),
@@ -1835,7 +1835,7 @@ object TimeSeries {
     * calendar-bounded day array. */
   val tsHoltWinters: Q = (s, d) => {
     val byDay = table(s, d, "orders")
-      .groupBy(col("o_orderdate").as("dt"))
+      .groupBy(col("o_orderdate").cast(DateType).as("dt"))
       .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("c"))
     byDay
       .agg(transform(array_sort(collect_list(struct(col("dt"), col("c")))),

@@ -758,4 +758,33 @@ class NaqedSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] { naqed.audit(Map("$bogus" -> 1)) }
   }
+
+  test("experiment directive: the A/B readout stack behind the object API") {
+    import org.apache.spark.sql.functions.col
+    val rep = naqed.experiment()
+    assert(rep.columns.toSeq == Seq("check", "metric", "value"))
+    val byCheck = rep.collect().groupBy(_.getString(0))
+    assert(byCheck.keySet == Set("srm", "balance", "welch", "cuped", "ratio_ci"))
+    // single-row checks come verbatim from the oracle-checked ops
+    val srmDirect = ops.Relational.aggSrmCheck(spark, sf0001).collect()(0)
+    val apiSrm = rep.filter(col("check") === "srm" &&
+      col("metric") === "chi2_q4").collect()(0).getString(2)
+    assert(apiSrm == srmDirect.getAs[Long]("chi2_q4").toString)
+    // per-arm checks fold the arm into the metric name, both arms kept
+    val cupedDirect = ops.Relational.aggCupedAdjust(spark, sf0001)
+      .filter(col("arm") === 1).collect()(0)
+    val apiCuped = rep.filter(col("check") === "cuped" &&
+      col("metric") === "mean_adjusted_arm1").collect()(0).getString(2)
+    assert(apiCuped == cupedDirect.getAs[Double]("mean_adjusted").toString)
+    assert(rep.filter(col("check") === "ratio_ci").count() ==
+      2 * (ops.Relational.aggRatioDeltaCi(spark, sf0001).columns.length - 1))
+    // $checks subsets; unknown names and args fail naqed-style
+    val only = naqed.experiment(Map("$checks" -> Seq("srm", "welch")))
+    assert(only.select("check").distinct().collect().map(_.getString(0)).toSet
+      == Set("srm", "welch"))
+    intercept[IllegalArgumentException] {
+      naqed.experiment(Map("$checks" -> Seq("bogus")))
+    }
+    intercept[IllegalArgumentException] { naqed.experiment(Map("$bogus" -> 1)) }
+  }
 }
