@@ -139,6 +139,41 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(pairsOf(getState2().pairs).exists(x => x._1 == 3L && x._2 == 5L))
   }
 
+  test("stored state: table-backed advance equals full rebuild, deletes are file-pruned") {
+    val root = tmp() + "/corpus4"
+    // a corpus wide enough that the 8 range-clustered band files carry
+    // genuinely disjoint doc_id ranges
+    val v1 = VersionedTable.create(spark, root,
+      (1L to 64L).map(i => doc(i, "en", mkText(i.toInt)))
+        .updated(1, doc(2, "en", mkText(1))) // (1,2) exact dup
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val st = IncrementalDedup.bootstrapStored(spark,
+      VersionedTable.read(spark, root, Some(v1)),
+      tmp() + "/bands", tmp() + "/pairs")
+    assert(pairsOf(IncrementalDedup.readStored(spark, st).pairs)
+      .exists(p => p._1 == 1L && p._2 == 2L))
+
+    // delta: insert a dup of doc 5, update doc 2 away (kills (1,2)),
+    // delete doc 7
+    VersionedTable.append(spark, root,
+      Seq(doc(100, "en", mkText(5))).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    VersionedTable.merge(spark, root,
+      Seq(doc(2, "en", mkText(200))).toDF("doc_id", "text", "lang", "source", "n_chars"),
+      Seq("doc_id"))
+    val (v2, _, _) = VersionedTable.deleteWhere(spark, root, "doc_id = 7")
+    val (touched, kept) = IncrementalDedup.advanceStored(spark, root, v1, v2, st)
+    // file pruning: the delta touches ids {100, 2, 7} — the range-
+    // clustered band files NOT covering those ids must survive
+    assert(kept > 0, s"bands delete rewrote every file (touched=$touched)")
+    val stored = IncrementalDedup.readStored(spark, st)
+    val full = IncrementalDedup.build(VersionedTable.read(spark, root, Some(v2)))
+    assert(pairsOf(stored.pairs) == pairsOf(full.pairs))
+    assert(bandsOf(stored.bands) == bandsOf(full.bands))
+    val p = pairsOf(stored.pairs)
+    assert(p.exists(x => x._1 == 5L && x._2 == 100L))
+    assert(!p.exists(x => x._1 == 1L && x._2 == 2L))
+  }
+
   test("advance across a multi-version range in one step") {
     val root = tmp() + "/corpus2"
     val v1 = VersionedTable.create(spark, root, Seq(
