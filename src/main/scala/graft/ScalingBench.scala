@@ -154,7 +154,14 @@ object ScalingBench {
           { ops.Pipelines.pipelineGopherQuality(spark, dir).count(); () }),
         "pipeline_dsir_selection" -> (() =>
           { ops.Pipelines.pipelineDsirSelection(spark, dir).count(); () }),
-        "sim_ndcg_at10" -> (() => { ops.TextSim.simNdcgAt10(spark, dir).count(); () }))
+        "sim_ndcg_at10" -> (() => { ops.TextSim.simNdcgAt10(spark, dir).count(); () }),
+        // round-11 doc-side shapes: fertility is the pure fused regex
+        // scan (should track gopher's linear floor); class balance is
+        // one lang-partitioned rank window (per-class parallel)
+        "pipeline_bpe_fertility" -> (() =>
+          { ops.Pipelines.pipelineBpeFertility(spark, dir).count(); () }),
+        "sample_class_balance" -> (() =>
+          { ops.Sampling.sampleClassBalance(spark, dir).count(); () }))
       )
       // run r: clear -> timed shingle build -> each op timed under its
       // own job group; keep min wall and min CPU per op (a cost
