@@ -208,10 +208,14 @@ object IncrementalDedup {
     val idList = ids.mkString(",")
     val (_, touched, kept) =
       VersionedTable.deleteWhere(spark, st.bandsRoot, s"doc_id IN ($idList)")
-    VersionedTable.append(spark, st.bandsRoot, p.newBands)
+    // delete-only deltas produce empty patch relations — skip the
+    // append rather than committing empty parquet files
+    if (p.newBands.take(1).nonEmpty)
+      VersionedTable.append(spark, st.bandsRoot, p.newBands)
     VersionedTable.deleteWhere(spark, st.pairsRoot,
       s"d1 IN ($idList) OR d2 IN ($idList)")
-    VersionedTable.append(spark, st.pairsRoot, p.newPairs)
+    if (p.newPairs.take(1).nonEmpty)
+      VersionedTable.append(spark, st.pairsRoot, p.newPairs)
     (touched, kept)
   }
 
