@@ -6185,7 +6185,103 @@ SELECT CAST(n_cust AS BIGINT) AS n_cust,
     * 1e8) AS BIGINT) AS hhi_q8,
   floor(1.0 / (CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE)*CAST(tot AS DOUBLE)))
     * 100)/100 AS effective_customers
-FROM g"""
+FROM g""",
+
+      // ---- §2.38 (round 11): targeting, retention KPI, vocab sizing,
+      // boilerplate, dominance, k-fold ----
+
+      // decile lift: NTILE over pre-spend desc, integer rates/lifts.
+      "agg_decile_lift" ->
+        s"""WITH u AS (SELECT o_custkey,
+    sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN
+      CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) ELSE 0 END) pre,
+    max(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) conv
+  FROM ${T("orders")} GROUP BY 1),
+r AS (SELECT *, ntile(10) OVER (ORDER BY pre DESC, o_custkey) decile FROM u),
+b AS (SELECT decile, count(*) n_cust, sum(conv) converted FROM r GROUP BY 1),
+t AS (SELECT sum(n_cust) nt, sum(converted) ct FROM b)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(n_cust AS BIGINT) AS n_cust,
+  CAST(converted AS BIGINT) AS converted,
+  CAST((converted * 1000000) // n_cust AS BIGINT) AS rate_q6,
+  CASE WHEN ct > 0 THEN
+    CAST((converted * nt * 1000000) // (n_cust * ct) AS BIGINT) END AS lift_q6
+FROM b, t ORDER BY decile""",
+
+      // repeat rate by acquisition-year cohort: integer membership.
+      "agg_repeat_purchase_rate" ->
+        s"""WITH u AS (SELECT o_custkey, min(year(o_orderdate)) y0
+  FROM ${T("orders")} GROUP BY 1),
+yr AS (SELECT DISTINCT o_custkey, year(o_orderdate) y FROM ${T("orders")}),
+c AS (SELECT u.y0, count(*) n_cust,
+    sum(CASE WHEN yr.y IS NOT NULL THEN 1 ELSE 0 END) n_repeat
+  FROM u LEFT JOIN yr ON yr.o_custkey = u.o_custkey AND yr.y = u.y0 + 1
+  GROUP BY 1)
+SELECT CAST(y0 AS BIGINT) AS cohort_year, CAST(n_cust AS BIGINT) AS n_cust,
+  CAST(n_repeat AS BIGINT) AS n_repeat,
+  CAST((n_repeat * 1000000) // n_cust AS BIGINT) AS repeat_rate_q6
+FROM c ORDER BY cohort_year""",
+
+      // vocab coverage points: cumulative mass over (freq desc, token),
+      // min rank reaching each mass threshold.
+      "pipeline_vocab_coverage_points" ->
+        s"""WITH v AS (SELECT w, count(*) f
+  FROM (SELECT unnest(string_split(text, ' ')) w FROM ${T("documents")})
+  GROUP BY 1),
+t AS (SELECT sum(f) tot FROM v),
+c AS (SELECT w, f,
+    sum(f) OVER (ORDER BY f DESC, w) cum,
+    row_number() OVER (ORDER BY f DESC, w) rnk
+  FROM v),
+pts AS (SELECT unnest([50, 90, 99]) pct),
+k AS (SELECT pts.pct, min(c.rnk) n_tokens
+  FROM pts, c, t WHERE c.cum * 100 >= pts.pct * t.tot GROUP BY 1)
+SELECT CAST(k.pct AS BIGINT) AS pct, CAST(k.n_tokens AS BIGINT) AS n_tokens,
+  CAST((c.cum * 1000000) // t.tot AS BIGINT) AS share_q6
+FROM k JOIN c ON c.rnk = k.n_tokens, t ORDER BY pct""",
+
+      // prefix boilerplate clusters: identical first-5-word prefixes.
+      "dedup_prefix_cluster" ->
+        s"""SELECT array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+    AS prefix,
+  CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM ${T("documents")}
+GROUP BY 1 HAVING count(*) >= 2
+ORDER BY n_docs DESC, min_doc LIMIT 20""",
+
+      // per-segment top-2 revenue dominance: integer cents, total-order
+      // rank (rev desc, custkey).
+      "win_revenue_dominance" ->
+        s"""WITH pc AS (SELECT o_custkey,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) rev,
+    o_custkey % 10 seg
+  FROM ${T("orders")} GROUP BY 1, 3),
+r AS (SELECT *, row_number() OVER (PARTITION BY seg
+    ORDER BY rev DESC, o_custkey) rk FROM pc),
+g AS (SELECT seg,
+    max(CASE WHEN rk = 1 THEN o_custkey END) top_cust,
+    max(CASE WHEN rk = 1 THEN rev END) top_rev_cents,
+    max(CASE WHEN rk = 2 THEN rev END) second_rev_cents
+  FROM r WHERE rk <= 2 GROUP BY 1)
+SELECT CAST(seg AS BIGINT) AS seg, CAST(top_cust AS BIGINT) AS top_cust,
+  CAST(top_rev_cents AS BIGINT) AS top_rev_cents,
+  CAST(second_rev_cents AS BIGINT) AS second_rev_cents,
+  CAST(top_rev_cents - second_rev_cents AS BIGINT) AS gap_cents,
+  CAST((top_rev_cents * 1000000) // (top_rev_cents + second_rev_cents)
+    AS BIGINT) AS dominance_q6
+FROM g ORDER BY seg""",
+
+      // deterministic 5-fold assignment: md5-bucket % 5 census.
+      "sample_kfold_assign" ->
+        s"""WITH f AS (SELECT doc_id,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 5 fold
+  FROM ${T("documents")}),
+b AS (SELECT fold, count(*) n, min(doc_id) min_id, max(doc_id) max_id
+  FROM f GROUP BY 1),
+t AS (SELECT sum(n) nt FROM b)
+SELECT CAST(fold AS BIGINT) AS fold, CAST(n AS BIGINT) AS n_docs,
+  CAST(min_id AS BIGINT) AS min_id, CAST(max_id AS BIGINT) AS max_id,
+  CAST((n * 1000000) // nt AS BIGINT) AS share_q6
+FROM b, t ORDER BY fold"""
     )
   }
 }

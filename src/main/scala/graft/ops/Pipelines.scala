@@ -2126,4 +2126,53 @@ object Pipelines {
         expr("(bpe_tokens * 100000000) div chars").as("tok_per_100chars_q6"))
       .orderBy("lang")
 
+  /** Vocabulary coverage points (§2.38): how many DISTINCT tokens
+    * cover 50 / 90 / 99% of corpus token mass — the inverse read of
+    * pipeline_top_token_coverage (that one fixes k=50 and reports the
+    * share; this fixes the share and reports k — the number that
+    * sizes a frozen vocab). The cumulative mass over the (freq desc,
+    * token) order comes from GlobalRank's range-partitioned running
+    * sums — NEVER a global vocab window (vocab grows ~n^0.5 by Heaps'
+    * law; the one-task sort is the exact plan the re-routed
+    * top_token_coverage refuses); the per-point pick is min-struct
+    * selection on the unique rank. All integers. Scale: one token
+    * aggregate + one range shuffle over the corpus-bounded vocab
+    * relation; 3 output rows. */
+  val pipelineVocabCoveragePoints: Q = (s, d) => {
+    val vocab = table(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .withColumn("one", lit(1L))
+    val tot = vocab.agg(sum(col("f"))).head().getLong(0)
+    val cum = GlobalRank.withRunningSums(vocab,
+        Seq(col("f").desc, col("w")), Seq("f" -> "cum", "one" -> "rnk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val points = Seq(50, 90, 99).map { p =>
+      cum.filter(col("cum") * 100 >= lit(p.toLong) * tot)
+        .agg(min(struct(col("rnk"), col("cum"))).as("m"))
+        .select(lit(p.toLong).as("pct"),
+          col("m.rnk").as("n_tokens"),
+          expr(s"(m.cum * 1000000) div ${tot}L").as("share_q6"))
+    }
+    points.reduce(_ unionAll _).orderBy("pct")
+  }
+
+  /** Prefix-boilerplate clusters (§2.38): documents sharing an
+    * IDENTICAL first-5-word prefix — the crawl-artifact detector
+    * (templated headers, licence boilerplate) that exact dedup misses
+    * (bodies differ) and near-dedup over-triggers on (prefix mass is
+    * a small Jaccard share). Top-20 clusters by size; all grouping on
+    * exact strings. Scale: one prefix-keyed aggregate (map-combined)
+    * + TakeOrderedAndProject. */
+  val dedupPrefixCluster: Q = (s, d) =>
+    table(s, d, "documents")
+      .select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("prefix"))
+      .groupBy(col("prefix"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(min(col("doc_id"))).as("min_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("min_doc"))
+      .limit(20)
+
 }

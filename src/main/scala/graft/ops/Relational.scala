@@ -3670,6 +3670,59 @@ object Relational {
       .select(col("n1"), col("n2"), col("m"), col("n_true"), col("n_chapman"),
         expr("(n_chapman * 10000) div n_true").as("est_over_true_q4"))
 
+  /** Decile lift table (§2.38): customers deciled by PRE-period spend
+    * (descending), per-decile POST-period conversion rate and lift vs
+    * the base rate — THE campaign-targeting readout (a model/heuristic
+    * earns its keep iff the top deciles lift). Deciles via GlobalRank's
+    * range-partitioned two-pass + the exact integer NTILE arithmetic
+    * (ntileOf ≡ SQL NTILE, remainder to the first buckets); rates and
+    * lifts are pure integer divisions; degenerate zero-conversion
+    * corpora emit NULL lift. Scale: one customer-grain aggregate + one
+    * range shuffle; 10 output rows. */
+  val aggDecileLift: Q = (s, d) => {
+    val u = cupedUnits(s, d).select(col("o_custkey"), col("pre"),
+      when(col("n_post_orders") > 0, 1L).otherwise(0L).as("conv"))
+    val (ranked, total) = GlobalRank.ranked(u,
+      Seq(col("pre").desc, col("o_custkey")), "rn")
+    val byDec = ranked
+      .withColumn("decile", GlobalRank.ntileOf(col("rn"), total, 10))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("conv")).as("converted"))
+    val tot = byDec.agg(sum(col("n_cust")).as("nt"),
+      sum(col("converted")).as("ct"))
+    byDec.crossJoin(broadcast(tot))
+      .select(asLong(col("decile")).as("decile"),
+        asLong(col("n_cust")).as("n_cust"),
+        asLong(col("converted")).as("converted"),
+        expr("(converted * 1000000) div n_cust").as("rate_q6"),
+        when(col("ct") > 0,
+          expr("(converted * nt * 1000000) div (n_cust * ct)")).as("lift_q6"))
+      .orderBy("decile")
+  }
+
+  /** Repeat-purchase rate by acquisition-year cohort (§2.38): of the
+    * customers whose FIRST order fell in year y, how many ordered
+    * again in y+1 — the one-number retention KPI beside
+    * agg_growth_accounting's full monthly matrix. Years as integers,
+    * membership via a distinct (customer, year) relation — everything
+    * integer; the final-year cohort structurally cannot repeat and is
+    * reported as-is (censoring visible, not hidden). Scale: one
+    * customer-grain aggregate with a bounded per-customer year set
+    * (calendar-bounded array). */
+  val aggRepeatPurchaseRate: Q = (s, d) =>
+    table(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(year(col("o_orderdate"))).as("y0"),
+        collect_set(year(col("o_orderdate"))).as("ys"))
+      .select(col("y0"), array_contains(col("ys"), col("y0") + 1).as("rep"))
+      .groupBy(col("y0"))
+      .agg(asLong(count(lit(1))).as("n_cust"),
+        asLong(sum(when(col("rep"), 1L).otherwise(0L))).as("n_repeat"))
+      .select(asLong(col("y0")).as("cohort_year"), col("n_cust"),
+        col("n_repeat"),
+        expr("(n_repeat * 1000000) div n_cust").as("repeat_rate_q6"))
+      .orderBy("cohort_year")
+
   /** Herfindahl–Hirschman revenue concentration (§2.37): HHI = Σ s_i²
     * over customer revenue shares — the platform-risk number
     * agg_gini/agg_lorenz_points do not give (HHI answers "how many

@@ -456,6 +456,27 @@ object Sampling {
       .orderBy("lang")
   }
 
+  /** Deterministic k-fold CV assignment (§2.38): fold =
+    * bucket16(doc_id) % 5 — the cross-validation splitter beside
+    * sample_hash_split's single train/test cut; same-key docs always
+    * share a fold (no leakage), folds reproducible across runs,
+    * partitionings and engines. Output: per-fold census with the
+    * share as an exact 1e6 integer division. Scale: one map-combined
+    * aggregate + broadcast 1-row total; 5 rows. */
+  val sampleKfoldAssign: Q = (s, d) => {
+    val folds = table(s, d, "documents")
+      .select(col("doc_id"), pmod(bucket16(col("doc_id")), lit(5)).as("fold"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    val tot = folds.agg(sum(col("n")).as("nt"))
+    folds.crossJoin(broadcast(tot))
+      .select(asLong(col("fold")).as("fold"), asLong(col("n")).as("n_docs"),
+        asLong(col("min_id")).as("min_id"), asLong(col("max_id")).as("max_id"),
+        expr("(n * 1000000) div nt").as("share_q6"))
+      .orderBy("fold")
+  }
+
   /** Shared relation for the §2.35 conformal pair: orders md5-split
     * into train (bucket < 1/3), calibration (1/3..2/3) and test
     * (rest); the "model" is the per-segment (custkey%4) mean order

@@ -560,4 +560,35 @@ object Windows {
       .limit(20)
   }
 
+  /** Per-segment revenue dominance (§2.38): within each customer
+    * segment (custkey%10), the gap between the top and second
+    * customer's lifetime revenue and the top's share of the top-2 mass
+    * — the key-account concentration read a per-segment Gini blurs
+    * (two equal whales vs one dominant account Gini alike; the
+    * dominance ratio separates them). All BIGINT cents; top-2 via a
+    * rank window filtered to rk <= 2 (the sample_k_per_group shape —
+    * Spark's WindowGroupLimit keeps only k rows of state per
+    * partition). Scale: one customer-grain aggregate + one segment
+    * shuffle; 10 rows. */
+  val winRevenueDominance: graft.ops.Q = (s, d) => {
+    val perCust = table(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("rev"))
+      .withColumn("seg", (col("o_custkey") % 10).cast(LongType))
+    val w = Window.partitionBy(col("seg"))
+      .orderBy(col("rev").desc, col("o_custkey"))
+    perCust.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy(col("seg"))
+      .agg(max(when(col("rk") === 1, col("o_custkey"))).as("top_cust"),
+        max(when(col("rk") === 1, col("rev"))).as("top_rev_cents"),
+        max(when(col("rk") === 2, col("rev"))).as("second_rev_cents"))
+      .select(col("seg"), asLong(col("top_cust")).as("top_cust"),
+        col("top_rev_cents"), col("second_rev_cents"),
+        (col("top_rev_cents") - col("second_rev_cents")).as("gap_cents"),
+        expr("(top_rev_cents * 1000000) div (top_rev_cents + second_rev_cents)")
+          .as("dominance_q6"))
+      .orderBy("seg")
+  }
+
 }

@@ -680,4 +680,39 @@ class EngineSpec extends AnyFunSuite {
     assert(ce.contains("BroadcastHashJoin"),
       s"cond-entropy totals not broadcast:\n${ce.take(1200)}")
   }
+
+  test("round-11 §2.38 plan shapes: GlobalRank decile/coverage, bounded top-k") {
+    // decile lift: GlobalRank two-pass — no no-partition window on
+    // the customer relation
+    val dl = ops.Relational.aggDecileLift(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!dl.contains("windowspecdefinition(") ||
+      dl.contains("windowspecdefinition(__grpid"),
+      s"decile lift runs a non-slice-local window:\n${dl.take(1200)}")
+    // vocab coverage: same — the vocab relation must NOT get a global
+    // window (the top_token_coverage rule)
+    val vc = ops.Pipelines.pipelineVocabCoveragePoints(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!vc.contains("windowspecdefinition(") ||
+      vc.contains("windowspecdefinition(__grpid"),
+      s"vocab coverage runs a non-slice-local window:\n${vc.take(1200)}")
+    // prefix clusters: TakeOrdered, no data-sized sort
+    val pcl = ops.Pipelines.dedupPrefixCluster(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(pcl.contains("TakeOrdered"),
+      s"prefix clusters lost TakeOrderedAndProject:\n${pcl.take(1200)}")
+    // dominance: the rank filter must push the per-partition group
+    // limit (Spark 4 WindowGroupLimit)
+    val dom = ops.Windows.winRevenueDominance(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(dom.contains("WindowGroupLimit"),
+      s"dominance rank<=2 not pushed to WindowGroupLimit:\n${dom.take(1200)}")
+    // kfold / repeat-rate: no join beyond the broadcast total
+    val kf = ops.Sampling.sampleKfoldAssign(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!kf.contains("SortMergeJoin"), s"kfold shuffled a join:\n${kf.take(1200)}")
+    val rr = ops.Relational.aggRepeatPurchaseRate(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!rr.contains("Join"), s"repeat rate grew a join:\n${rr.take(1200)}")
+  }
 }

@@ -296,7 +296,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     // §2.37 (round 11, forecasting & guardrails batch)
     "ts_holt_winters" -> 7L, "agg_poisson_rate_test" -> 1L,
     "agg_covariate_balance" -> 1L, "sample_class_balance" -> 5L,
-    "agg_capture_recapture" -> 1L, "agg_hhi_concentration" -> 1L)
+    "agg_capture_recapture" -> 1L, "agg_hhi_concentration" -> 1L,
+    // §2.38 (round 11, targeting & corpus-shape batch)
+    "agg_decile_lift" -> 10L, "agg_repeat_purchase_rate" -> 4L,
+    "pipeline_vocab_coverage_points" -> 3L, "dedup_prefix_cluster" -> 20L,
+    "win_revenue_dominance" -> 10L, "sample_kfold_assign" -> 5L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
