@@ -58,7 +58,12 @@ object IncrementalDedup {
     val bands = Pipelines.lshBands(Pipelines.minhashWideOf(sh))
     val cand = candidates(bands, bands)
     val pairs = Pipelines.verifyJaccard(cand, sh)
-    State(stabilize(bands), stabilize(pairs))
+    // stabilize() is eager, so the scratch shingle cache can be
+    // released immediately — a long-running maintainer must not
+    // accumulate one cached relation per build/advance
+    val st = State(stabilize(bands), stabilize(pairs))
+    sh.unpersist(false)
+    st
   }
 
   /** Band-key equi-join candidate generation: pairs (d1 < d2) where
@@ -98,7 +103,13 @@ object IncrementalDedup {
     * band/pair rows entering it — everything an in-memory union OR a
     * stored-table MERGE needs. */
   private case class Patch(changedIds: DataFrame, newBands: DataFrame,
-      newPairs: DataFrame)
+      newPairs: DataFrame, scratch: Seq[DataFrame]) {
+    /** Release the intermediate caches once the patched state has
+      * materialized (localCheckpoint / table append) — without this a
+      * per-commit maintainer ([[maintainStream]]) accumulates cached
+      * relations every micro-batch until LRU pressure evicts them. */
+    def release(): Unit = scratch.foreach(_.unpersist(false))
+  }
 
   /** The increment computation shared by the in-memory and stored
     * paths: re-shingle/re-band only changed docs, candidates = delta
@@ -144,7 +155,8 @@ object IncrementalDedup {
       .select(col("doc_id"), col("lang"), col("text"))
       .join(broadcast(partnerIds), Seq("doc_id"), "left_semi")
     val verifySh = newSh.unionByName(Pipelines.shingleDocs(partnerDocs))
-    Patch(changedIds, newBands, Pipelines.verifyJaccard(cand, verifySh))
+    Patch(changedIds, newBands, Pipelines.verifyJaccard(cand, verifySh),
+      Seq(cf, newSh, newBands, cand))
   }
 
   def advanceWithFeed(spark: SparkSession, feed: DataFrame,
@@ -162,7 +174,11 @@ object IncrementalDedup {
       .join(broadcast(p.changedIds.toDF("d1")), Seq("d1"), "left_anti")
       .join(broadcast(p.changedIds.toDF("d2")), Seq("d2"), "left_anti")
       .select(col("d1"), col("d2"), col("jaccard"))
-    State(stabilize(bands2), stabilize(keptPairs.unionByName(p.newPairs)))
+    val st =
+      State(stabilize(bands2), stabilize(keptPairs.unionByName(p.newPairs)))
+    // both stabilize() calls are eager — the patch scratch is dead
+    p.release()
+    st
   }
 
   /** Dedup state persisted as two [[VersionedTable]]s — the actual
@@ -186,44 +202,135 @@ object IncrementalDedup {
       st.bands.repartitionByRange(files, col("doc_id")))
     VersionedTable.create(spark, pairsRoot,
       st.pairs.repartitionByRange(files, col("d1")))
-    StoredState(bandsRoot, pairsRoot)
+    val stored = StoredState(bandsRoot, pairsRoot)
+    writeSync(spark, stored)
+    stored
   }
 
+  /** IN-list chunk size for the stored-state DELETE predicates: keeps
+    * each parsed predicate ~100 KB even for very large deltas (the
+    * parser chokes on multi-megabyte IN lists long before the
+    * pigeonhole bound on |delta| does). */
+  private val InChunk = 10000
+
   /** Advance the STORED state across a corpus version range: compute
-    * the patch, then lower it to table operations — one predicate
-    * DELETE (file-pruned by the id list's min/max check) + one append
-    * per state table. Returns (bandsFilesRewritten, bandsFilesKept)
-    * from the bands DELETE so callers/specs can observe the pruning.
-    * The changed-id list is |delta|-bounded by construction (the same
-    * bound that makes the broadcast anti-join safe), so collecting it
-    * into the predicate is driver-safe. */
+    * the patch, then lower it to table operations — predicate DELETEs
+    * (file-pruned by the id list's min/max check) + one append per
+    * state table. Returns (bandsFilesRewritten, bandsFilesKept) from
+    * the bands DELETE so callers/specs can observe the pruning (for a
+    * multi-chunk delta the counts are summed/min'd across the chunk
+    * commits). The changed-id list is |delta|-bounded by construction
+    * (the same bound that makes the broadcast anti-join safe), so
+    * collecting it is driver-safe; the predicates are CHUNKED at
+    * [[InChunk]] ids so no single SQL string grows past what
+    * parseExpression handles comfortably.
+    *
+    * Atomicity: the DELETE and the append are separate commits per
+    * state table (VersionedTable has no multi-table transaction), so a
+    * crash mid-patch can leave the state torn. The final [[writeSync]]
+    * records the post-patch head versions of BOTH tables;
+    * [[readStored]] refuses a state whose heads don't match the
+    * marker, so a torn patch is detected instead of silently read. */
   def advanceStored(spark: SparkSession, corpusRoot: String, fromV: Long,
       toV: Long, st: StoredState): (Int, Int) = {
-    val p = computePatch(spark,
-      VersionedTable.changeFeed(spark, corpusRoot, fromV, toV, Seq("doc_id")),
+    val feed =
+      VersionedTable.changeFeed(spark, corpusRoot, fromV, toV, Seq("doc_id"))
+    if (feed.isEmpty) {
+      // a version range CAN legitimately carry zero row changes
+      // (compaction/cluster commits, merges rewriting identical rows,
+      // zero-row appends) — match advanceWithFeed's no-op semantics
+      // instead of crashing; re-stamp the sync marker so the cursor
+      // still records this range as applied
+      val kept = VersionedTable.history(spark, st.bandsRoot)
+        .orderBy(col("version").desc).select("n_files")
+        .head().getLong(0).toInt
+      writeSync(spark, st)
+      return (0, kept)
+    }
+    val p = computePatch(spark, feed,
       VersionedTable.read(spark, corpusRoot, Some(toV)),
       VersionedTable.read(spark, st.bandsRoot))
     val ids = p.changedIds.collect().map(_.getLong(0))
-    require(ids.nonEmpty, s"empty delta $fromV..$toV")
-    val idList = ids.mkString(",")
-    val (_, touched, kept) =
-      VersionedTable.deleteWhere(spark, st.bandsRoot, s"doc_id IN ($idList)")
+    var touched = 0
+    var kept = Int.MaxValue
+    ids.grouped(InChunk).foreach { chunk =>
+      val idList = chunk.mkString(",")
+      val (_, t, k) =
+        VersionedTable.deleteWhere(spark, st.bandsRoot, s"doc_id IN ($idList)")
+      touched += t; kept = math.min(kept, k)
+      VersionedTable.deleteWhere(spark, st.pairsRoot,
+        s"d1 IN ($idList) OR d2 IN ($idList)")
+    }
     // delete-only deltas produce empty patch relations — skip the
     // append rather than committing empty parquet files
     if (p.newBands.take(1).nonEmpty)
       VersionedTable.append(spark, st.bandsRoot, p.newBands)
-    VersionedTable.deleteWhere(spark, st.pairsRoot,
-      s"d1 IN ($idList) OR d2 IN ($idList)")
     if (p.newPairs.take(1).nonEmpty)
       VersionedTable.append(spark, st.pairsRoot, p.newPairs)
+    writeSync(spark, st)
+    p.release()
     (touched, kept)
   }
 
+  /** The sync marker that makes a torn advanceStored detectable: the
+    * head versions of both state tables recorded AFTER a complete
+    * patch, stored as a tiny JSON beside the bands table (tmp-write +
+    * rename, the manifest publish discipline). */
+  private def syncPath(st: StoredState) =
+    new org.apache.hadoop.fs.Path(st.bandsRoot, "_dedup_sync.json")
+
+  private def writeSync(spark: SparkSession, st: StoredState): Unit = {
+    val bandsV = VersionedTable.versions(spark, st.bandsRoot).last
+    val pairsV = VersionedTable.versions(spark, st.pairsRoot).last
+    val path = syncPath(st)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      st.bandsRoot, s"_dedup_sync.json.tmp-$bandsV-$pairsV")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"bands_version":$bandsV,"pairs_version":$pairsV}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(path, false)
+    fs.rename(tmp, path)
+  }
+
+  private def readSync(spark: SparkSession, st: StoredState)
+      : Option[(Long, Long)] = {
+    val path = syncPath(st)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val m = """"bands_version":(\d+),"pairs_version":(\d+)""".r
+        .findFirstMatchIn(txt)
+      m.map(g => (g.group(1).toLong, g.group(2).toLong))
+    }
+  }
+
   /** The stored state read back as a [[State]] (for equality checks
-    * and for feeding [[advanceWithFeed]]-based consumers). */
-  def readStored(spark: SparkSession, st: StoredState): State =
+    * and for feeding [[advanceWithFeed]]-based consumers). Refuses a
+    * TORN state: if the sync marker's recorded head versions don't
+    * match the tables' actual heads, a crash interrupted an
+    * [[advanceStored]] between its commits — re-run the advance (the
+    * chunked DELETEs and the append are idempotent under re-execution
+    * of the same patch) or restore both tables to the marker's
+    * versions. */
+  def readStored(spark: SparkSession, st: StoredState): State = {
+    readSync(spark, st).foreach { case (bv, pv) =>
+      val bHead = VersionedTable.versions(spark, st.bandsRoot).last
+      val pHead = VersionedTable.versions(spark, st.pairsRoot).last
+      require(bHead == bv && pHead == pv,
+        s"torn dedup state: sync marker records bands=$bv pairs=$pv but " +
+          s"heads are bands=$bHead pairs=$pHead — an advanceStored was " +
+          "interrupted mid-patch; re-run it or restore to the marker")
+    }
     State(VersionedTable.read(spark, st.bandsRoot),
       VersionedTable.read(spark, st.pairsRoot))
+  }
 
   /** Materialize + truncate lineage: state relations are consumed by
     * the NEXT advance too, and without a cut each version would replan

@@ -221,14 +221,21 @@ object Multimodal {
       var curStream = ""
       val frames = Vector.newBuilder[(Int, Int)]
       var bad = false
-      // iterative walk (explicit FIFO worklist, preserves document
-      // order so each strl's strh precedes its strf): a hostile
-      // payload of deeply nested LISTs (~12 bytes/level) would
-      // overflow the call stack with the recursive formulation —
-      // StackOverflowError is an Error and escaped the old catch
-      val work = scala.collection.mutable.Queue[(Int, Int)]((12, p.length))
+      // iterative walk, DEPTH-FIRST in strict document order: a LIFO
+      // stack of (start, end) segments where descending into a LIST
+      // pushes the remainder of the CURRENT segment as an explicit
+      // resume entry underneath the LIST body — so every chunk is
+      // visited exactly in byte order, matching the old recursive
+      // walk (the FIFO variant visited nesting levels breadth-first,
+      // which only kept strh→strf pairing correct for sibling
+      // layouts). A hostile payload of deeply nested LISTs
+      // (~12 bytes/level) stays safe: the stack is a heap List, not
+      // the call stack — StackOverflowError is an Error and escaped
+      // the old catch
+      var work: List[(Int, Int)] = List((12, p.length))
       while (!bad && work.nonEmpty) {
-        val (start, end) = work.dequeue()
+        val (start, end) = work.head
+        work = work.tail
         var off = start
         var go = true
         while (go && !bad && off + 8 <= end) {
@@ -236,9 +243,14 @@ object Multimodal {
           val sz = u32(p, off + 4).toInt
           // corrupt sizes: negative (>2 GiB claim) or past the buffer
           if (sz < 0 || off + 8 + sz > p.length) { bad = true; go = false }
-          else {
-            if (id == "LIST") work.enqueue((off + 12, off + 8 + sz))
-            else if (id == "avih" && sz >= 40) {
+          else if (id == "LIST") {
+            // descend NOW (document order): LIST body on top, the
+            // rest of this segment resumes right after it
+            work = (off + 12, off + 8 + sz) ::
+              (off + 8 + sz + (sz & 1), end) :: work
+            go = false
+          } else {
+            if (id == "avih" && sz >= 40) {
               usPf = u32(p, off + 8)
               width = u32(p, off + 8 + 32).toInt
               height = u32(p, off + 8 + 36).toInt

@@ -391,10 +391,18 @@ object Pipelines {
     val fp = simhashFp(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = Seq((0, 127L), (7, 127L), (14, 63L), (20, 63L), (26, 63L))
-    val banded = chunks.zipWithIndex.map { case ((off, mask), i) =>
-      fp.select(col("doc_id"), col("lang"), col("fp"), lit(i).as("chunk"),
+    // ONE scan of the cached fingerprint relation per join side: the 5
+    // band keys are exploded in-row (round 12 — the old 5-way unionAll
+    // rescanned the cache 5× per side, 10 InMemoryTableScans total)
+    val bandArr = array(chunks.zipWithIndex.map { case ((off, mask), i) =>
+      struct(lit(i).as("chunk"),
         expr(s"shiftright(fp, $off)").bitwiseAND(lit(mask)).as("ckey"))
-    }.reduce(_ unionAll _)
+    }: _*)
+    val banded = fp
+      .select(col("doc_id"), col("lang"), col("fp"),
+        explode(bandArr).as("bk"))
+      .select(col("doc_id"), col("lang"), col("fp"),
+        col("bk.chunk").as("chunk"), col("bk.ckey").as("ckey"))
     val a = banded.toDF("d1", "lang", "fp1", "chunk", "ckey")
     val b = banded.toDF("d2", "lang2", "fp2", "chunk2", "ckey2")
     a.join(b, col("lang") === col("lang2") && col("chunk") === col("chunk2") &&

@@ -3458,11 +3458,14 @@ object Relational {
   val aggCupedAdjust: Q = (s, d) => {
     val dec38 = DecimalType(38, 0)
     val u = cupedUnits(s, d)
+    // cast ONE operand to dec38 BEFORE the multiply (the
+    // aggHhiConcentration pattern): Long×Long wraps silently above
+    // ~3e9 cents/customer where the oracle's HUGEINT stays exact
     val pooled = u.agg(count(lit(1)).as("n"),
       sum(col("pre")).as("sx"), sum(col("post")).as("sy"),
-      sum((col("pre") * col("pre")).cast(dec38)).as("sxx"),
-      sum((col("post") * col("post")).cast(dec38)).as("syy"),
-      sum((col("pre") * col("post")).cast(dec38)).as("sxy"))
+      sum(col("pre").cast(dec38) * col("pre")).as("sxx"),
+      sum(col("post").cast(dec38) * col("post")).as("syy"),
+      sum(col("pre").cast(dec38) * col("post")).as("sxy"))
     val arms = u.groupBy(col("arm"))
       .agg(count(lit(1)).as("na"), sum(col("pre")).as("sxa"),
         sum(col("post")).as("sya"))
@@ -3567,9 +3570,9 @@ object Relational {
     val arms = u.groupBy(col("arm")).agg(
       count(lit(1)).as("n"),
       sum(col("post")).as("sy"), sum(col("n_post_orders")).as("sn"),
-      sum((col("post") * col("post")).cast(dec38)).as("syy"),
-      sum((col("n_post_orders") * col("n_post_orders")).cast(dec38)).as("snn"),
-      sum((col("post") * col("n_post_orders")).cast(dec38)).as("syn"))
+      sum(col("post").cast(dec38) * col("post")).as("syy"),
+      sum(col("n_post_orders").cast(dec38) * col("n_post_orders")).as("snn"),
+      sum(col("post").cast(dec38) * col("n_post_orders")).as("syn"))
     val nD = col("n").cast(DoubleType)
     val r = col("sy").cast(DoubleType) / col("sn").cast(DoubleType)
     def svar(ss: Column, sa: Column, sb: Column) =
@@ -3623,7 +3626,7 @@ object Relational {
     val dec38 = DecimalType(38, 0)
     val byArm = cupedUnits(s, d).groupBy(col("arm"))
       .agg(count(lit(1)).as("n"), sum(col("pre")).as("sx"),
-        sum((col("pre") * col("pre")).cast(dec38)).as("sxx"))
+        sum(col("pre").cast(dec38) * col("pre")).as("sxx"))
     val w = byArm.agg(
       max(when(col("arm") === 0, col("n"))).as("n0"),
       max(when(col("arm") === 0, col("sx"))).as("s0"),
