@@ -66,6 +66,32 @@ inter AS (SELECT c.d1, c.d2, count(*) AS i
   GROUP BY 1, 2)"""
   }
 
+  /** Shared CTE chain for the substring-span family (§2.39):
+    * positioned 1-based 8-gram md5 shingles → occurrence cap [2,20] →
+    * pair join → gaps-and-islands on (d1, d2, pos-diff) → maximal
+    * spans of ≥ 12 tokens (island length + 7). Mirrors
+    * Pipelines.dupSpans exactly — integer positions, md5 grams. */
+  private def spanCtes(dir: String): String =
+    s"""WITH sp AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) pos,
+    unnest(string_split(text,' ')) w FROM ${t(dir, "documents")}),
+sh0 AS (SELECT doc_id, pos,
+    md5(concat_ws(' ', w, lead(w,1) OVER wd, lead(w,2) OVER wd,
+      lead(w,3) OVER wd, lead(w,4) OVER wd, lead(w,5) OVER wd,
+      lead(w,6) OVER wd, lead(w,7) OVER wd)) h,
+    (lead(w,7) OVER wd IS NOT NULL) fl
+  FROM sp WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
+sh AS (SELECT doc_id, pos, h FROM sh0 WHERE fl),
+keep AS (SELECT h FROM sh GROUP BY h HAVING count(*) BETWEEN 2 AND 20),
+fk AS (SELECT doc_id, pos, h FROM sh JOIN keep USING (h)),
+pr AS (SELECT a.doc_id d1, b.doc_id d2, a.pos p1, a.pos - b.pos dp
+  FROM fk a JOIN fk b ON a.h = b.h AND a.doc_id < b.doc_id),
+isl AS (SELECT d1, d2, dp, p1,
+    p1 - row_number() OVER (PARTITION BY d1, d2, dp ORDER BY p1) grp
+  FROM pr),
+spans AS (SELECT d1, d2, min(p1) s1, min(p1) - dp s2, count(*) + 7 tok
+  FROM isl GROUP BY d1, d2, dp, grp
+  HAVING count(*) + 7 >= 12)"""
+
   def forDir(dir: String): Map[String, String] = {
     def T(name: String) = t(dir, name)
     val E = edgesWith(dir)
@@ -6281,7 +6307,162 @@ t AS (SELECT sum(n) nt FROM b)
 SELECT CAST(fold AS BIGINT) AS fold, CAST(n AS BIGINT) AS n_docs,
   CAST(min_id AS BIGINT) AS min_id, CAST(max_id AS BIGINT) AS max_id,
   CAST((n * 1000000) // nt AS BIGINT) AS share_q6
-FROM b, t ORDER BY fold"""
+FROM b, t ORDER BY fold""",
+
+      // ---- round 12 (§2.39): substring-level duplicate spans ----
+      // Maximal verbatim ≥12-token spans between doc pairs: positioned
+      // 8-gram md5 shingles (1-based pos), occurrence-capped [2,20],
+      // pair join, gaps-and-islands on (d1,d2,pos-diff).
+      "dedup_substring_spans" ->
+        s"""${spanCtes(dir)},
+agg AS (SELECT d1, d2, count(*) n_spans, sum(tok) dup_tokens
+  FROM spans GROUP BY 1, 2),
+best AS (SELECT d1, d2, s1, s2, tok,
+    row_number() OVER (PARTITION BY d1, d2 ORDER BY tok DESC, s1, s2) rn
+  FROM spans)
+SELECT a.d1 AS d1, a.d2 AS d2, CAST(a.n_spans AS BIGINT) AS n_spans,
+  CAST(a.dup_tokens AS BIGINT) AS dup_tokens,
+  CAST(b.tok AS BIGINT) AS span_tokens,
+  CAST(b.s1 AS BIGINT) AS span_start1, CAST(b.s2 AS BIGINT) AS span_start2,
+  array_to_string(list_slice(string_split(dd.text, ' '),
+    b.s1, b.s1 + b.tok - 1), ' ') AS span_text
+FROM agg a JOIN best b ON b.d1 = a.d1 AND b.d2 = a.d2 AND b.rn = 1
+JOIN ${T("documents")} dd ON dd.doc_id = a.d1
+ORDER BY 1, 2""",
+
+      // per-source share of token mass inside cross-doc verbatim spans
+      // (both sides of every span, position-deduplicated per doc).
+      "pipeline_dup_span_coverage" ->
+        s"""${spanCtes(dir)},
+cov0 AS (
+  SELECT d1 AS doc_id, unnest(generate_series(s1, s1 + tok - 1)) AS p
+  FROM spans
+  UNION ALL
+  SELECT d2, unnest(generate_series(s2, s2 + tok - 1)) FROM spans),
+cnt AS (SELECT doc_id, count(*) AS cov
+  FROM (SELECT DISTINCT doc_id, p FROM cov0) GROUP BY 1),
+docs AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_toks
+  FROM ${T("documents")})
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN c.cov IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_with_dup,
+  CAST(sum(d.n_toks) AS BIGINT) AS total_tokens,
+  CAST(sum(coalesce(c.cov, 0)) AS BIGINT) AS dup_tokens,
+  CAST((sum(coalesce(c.cov, 0)) * 1000000) // sum(d.n_toks) AS BIGINT)
+    AS coverage_q6
+FROM docs d LEFT JOIN cnt c USING (doc_id)
+GROUP BY 1 ORDER BY 1""",
+
+      // reciprocal-rank fusion of the BM25 and vector rankings: top-50
+      // per leg by (4dp score desc, id), RRF(60) as exact 1e6-quantized
+      // integer division, top-20 fused.
+      "sim_rrf_fusion" ->
+        s"""WITH dt AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM ${T("documents")}),
+t AS (SELECT doc_id, len(toks) AS dl,
+  len(list_filter(toks, w -> w = 'spark')) AS tf1,
+  len(list_filter(toks, w -> w = 'join')) AS tf2,
+  len(list_filter(toks, w -> w = 'stream')) AS tf3 FROM dt),
+g AS (SELECT count(*) AS n, sum(dl) AS tot,
+  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+  sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3 FROM t),
+bs AS (SELECT doc_id, round(
+  ln((n - df1 + 0.5)/(df1 + 0.5) + 1.0) * (tf1 * 2.2)/(tf1 + 1.2*(0.25 + 0.75*dl/(CAST(tot AS DOUBLE)/n))) +
+  ln((n - df2 + 0.5)/(df2 + 0.5) + 1.0) * (tf2 * 2.2)/(tf2 + 1.2*(0.25 + 0.75*dl/(CAST(tot AS DOUBLE)/n))) +
+  ln((n - df3 + 0.5)/(df3 + 0.5) + 1.0) * (tf3 * 2.2)/(tf3 + 1.2*(0.25 + 0.75*dl/(CAST(tot AS DOUBLE)/n))), 4) AS bm25
+  FROM t, g WHERE tf1 + tf2 + tf3 > 0),
+tt AS (SELECT doc_id, bm25 FROM bs ORDER BY bm25 DESC, doc_id LIMIT 50),
+tr AS (SELECT doc_id,
+    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS text_rank FROM tt),
+vs AS (SELECT e.vec_id AS doc_id,
+    round(list_cosine_similarity(cast(p.embedding AS DOUBLE[]),
+      cast(e.embedding AS DOUBLE[])), 4) AS vsim
+  FROM ${T("embeddings")} e,
+    (SELECT embedding FROM ${T("embeddings")} WHERE vec_id = 0) p
+  WHERE e.vec_id <> 0),
+vt AS (SELECT doc_id, vsim FROM vs ORDER BY vsim DESC, doc_id LIMIT 50),
+vr AS (SELECT doc_id,
+    row_number() OVER (ORDER BY vsim DESC, doc_id) AS vec_rank FROM vt),
+f AS (SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id, text_rank, vec_rank,
+    coalesce(1000000 // (60 + text_rank), 0) +
+      coalesce(1000000 // (60 + vec_rank), 0) AS rrf
+  FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id),
+top AS (SELECT * FROM f ORDER BY rrf DESC, doc_id LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+    AS fused_rank,
+  doc_id, CAST(text_rank AS BIGINT) AS text_rank,
+  CAST(vec_rank AS BIGINT) AS vec_rank, CAST(rrf AS BIGINT) AS rrf_q6
+FROM top ORDER BY fused_rank""",
+
+      // ---- round 12 (§2.40): eval & aggregation-bias batch ----
+      // Cohen's kappa of the lang-id classifier, off the SAME
+      // confusion construction as pipeline_lang_id.
+      "agg_cohens_kappa" ->
+        s"""WITH toks AS (SELECT DISTINCT doc_id, lang, unnest(string_split(text,' ')) AS w FROM ${T("documents")}),
+tk AS (SELECT * FROM toks WHERE w <> ''),
+freq AS (SELECT lang, w, count(*) AS df FROM tk GROUP BY 1, 2),
+markers AS (SELECT lang AS mlang, w FROM (
+  SELECT lang, w, row_number() OVER (PARTITION BY lang ORDER BY df DESC, w) AS rn FROM freq) WHERE rn <= 5),
+votes AS (SELECT t.doc_id, m.mlang, count(*) AS hits
+  FROM tk t JOIN markers m ON t.w = m.w GROUP BY 1, 2),
+pred AS (SELECT doc_id, mlang AS predicted FROM (
+  SELECT doc_id, mlang, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, mlang) AS rn FROM votes) WHERE rn = 1),
+conf AS (SELECT d.lang AS actual, coalesce(p.predicted, 'unknown') AS predicted, count(*) AS docs
+  FROM ${T("documents")} d LEFT JOIN pred p ON d.doc_id = p.doc_id GROUP BY 1, 2),
+nn AS (SELECT sum(docs) AS n,
+    sum(CASE WHEN actual = predicted THEN docs ELSE 0 END) AS agree FROM conf),
+r AS (SELECT actual AS k, sum(docs) AS rc FROM conf GROUP BY 1),
+c AS (SELECT predicted AS k, sum(docs) AS cc FROM conf GROUP BY 1),
+pe AS (SELECT sum(CAST(rc AS HUGEINT) * cc) AS pe_num FROM r JOIN c USING (k))
+SELECT CAST(n AS BIGINT) AS n_docs, CAST(agree AS BIGINT) AS n_agree,
+  CAST(floor(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS po_q6,
+  CAST(floor(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n) * 1e6) AS BIGINT) AS pe_q6,
+  CAST(floor((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) -
+      CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n)) /
+    (1 - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n)) * 1e6) AS BIGINT)
+    AS kappa_q6
+FROM nn, pe""",
+
+      // Simpson's-paradox slope check: per-segment vs pooled OLS slope
+      // of line price on quantity; flip flagged on exact numerator signs.
+      "agg_simpson_slope_flip" ->
+        s"""WITH li AS (SELECT l_returnflag AS seg, CAST(l_quantity AS BIGINT) AS x,
+    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM ${T("lineitem")}),
+bs AS (SELECT seg, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+    sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM li GROUP BY 1),
+p AS (SELECT count(*) AS pn, sum(x) AS psx, sum(y) AS psy,
+    sum(CAST(x AS HUGEINT) * x) AS psxx, sum(CAST(x AS HUGEINT) * y) AS psxy
+  FROM li)
+SELECT seg, CAST(n AS BIGINT) AS n_lines,
+  CAST(floor(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+    CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) * 1e6) AS BIGINT)
+    AS slope_q6,
+  CAST(floor(CAST(pn * psxy - CAST(psx AS HUGEINT) * psy AS DOUBLE) /
+    CAST(pn * psxx - CAST(psx AS HUGEINT) * psx AS DOUBLE) * 1e6) AS BIGINT)
+    AS pooled_slope_q6,
+  (sign(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)) <>
+    sign(CAST(pn * psxy - CAST(psx AS HUGEINT) * psy AS DOUBLE)))
+    AS sign_flipped
+FROM bs, p ORDER BY seg""",
+
+      // Hill tail-index on the top-101 order values: quantized ln
+      // terms of exact integer ratios, pure-integer alpha.
+      "agg_tail_index_hill" ->
+        s"""WITH top AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+    o_orderkey AS okey
+  FROM ${T("orders")} ORDER BY v DESC, okey LIMIT 101),
+r AS (SELECT v, row_number() OVER (ORDER BY v DESC, okey) AS rn FROM top),
+xr AS (SELECT v AS x_ref FROM r WHERE rn = 101),
+t AS (SELECT CAST(floor(ln(CAST(v AS DOUBLE) / CAST(x_ref AS DOUBLE)) * 1e6)
+      AS BIGINT) AS lq, x_ref
+  FROM r, xr WHERE rn <= 100)
+SELECT CAST(count(*) AS BIGINT) AS k, CAST(x_ref AS BIGINT) AS x_ref_cents,
+  CAST(sum(lq) AS BIGINT) AS sum_ln_q6,
+  CAST((count(*) * 1000000000000) // sum(lq) AS BIGINT) AS alpha_q6
+FROM t GROUP BY x_ref"""
     )
   }
 }

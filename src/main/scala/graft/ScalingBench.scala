@@ -145,6 +145,18 @@ object ScalingBench {
         // contingency arithmetic over one linear bigram pass)
         "dedup_winnowing" -> (() => { ops.Pipelines.dedupWinnowing(spark, dir).count(); () }),
         "text_collocation_llr" -> (() => { ops.TextSim.textCollocationLlr(spark, dir).count(); () })) ++ Seq[(String, () => Unit)](
+        // round-12 §2.39: substring spans (positioned 8-gram equi-join,
+        // occurrence-capped [2,20] so candidates stay band-bounded —
+        // 8-grams are near-unique even on the fixture's bounded vocab,
+        // unlike the 3-gram df-bucket ops excluded above) + the
+        // coverage readout (marginal over the shared checkpointed span
+        // relation) + RRF (two distributed top-k legs)
+        "dedup_substring_spans" -> (() =>
+          { ops.Pipelines.dedupSubstringSpans(spark, dir).count(); () }),
+        "pipeline_dup_span_coverage" -> (() =>
+          { ops.Pipelines.pipelineDupSpanCoverage(spark, dir).count(); () }),
+        "sim_rrf_fusion" -> (() =>
+          { ops.TextSim.simRrfFusion(spark, dir).count(); () })) ++ Seq[(String, () => Unit)](
         // round-10 §2.29: the data-selection pair — gopher is the
         // pure fused-scan floor (one linear pass, zero joins); DSIR
         // adds the vocab-keyed weight join whose small side grows

@@ -812,6 +812,65 @@ class Naqed(spark: SparkSession, sfDir: String) {
     }.reduce(_ unionByName _)
   }
 
+  /** Forecasting & guardrail directive (round 12): the §2.37 family
+    * behind the same `$checks` shape as [[audit]]/[[experiment]] —
+    * `$checks` selects from {holt_winters, poisson_rate, cusum}
+    * (default: all three), returned as one long-format
+    * (check, metric, value) relation. Each check IS the
+    * oracle-checked operator (tsHoltWinters / aggPoissonRateTest /
+    * tsCusumTop), so the API exposes the forecasting stack with zero
+    * drift from the verified engine. Multi-row checks fold their row
+    * key into the metric name (the longPerArm convention): the
+    * 7-step forecast keys on the horizon h, the CUSUM top-20 on the
+    * day. Unknown arguments / check names fail analysis naqed-style. */
+  def forecast(q: Map[String, Any] = Map.empty): DataFrame = {
+    val known = Set("$checks")
+    val unknown = q.keys.filterNot(known.contains)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown forecast arguments ${unknown.mkString(", ")}; valid: $$checks")
+    val all = Seq("holt_winters", "poisson_rate", "cusum")
+    val checks: Seq[String] = q.get("$checks") match {
+      case Some(xs: Seq[_]) => xs.map {
+        case s: String if all.contains(s) => s
+        case other => throw new IllegalArgumentException(
+          s"unknown forecast check '$other'; valid: ${all.mkString(", ")}")
+      }
+      case Some(other) => throw new IllegalArgumentException(
+        s"$$checks expects a list of check names, got $other")
+      case None => all
+    }
+    import org.apache.spark.sql.functions.{col, lit, expr, concat_ws}
+    def long(name: String, df: DataFrame): DataFrame = {
+      val cols = df.columns
+      df.select(expr(s"stack(${cols.length}, " +
+          cols.map(c => s"'$c', cast(`$c` AS STRING)").mkString(", ") + ")")
+          .as(Seq("metric", "value")))
+        .select(lit(name).as("check"), col("metric"), col("value"))
+    }
+    // multi-row relations: fold the row key into the metric so the
+    // long format stays (check, metric, value) with unique keys
+    def longKeyed(name: String, df: DataFrame, key: String): DataFrame = {
+      val cols = df.columns.filterNot(_ == key)
+      df.select(col(key), expr(s"stack(${cols.length}, " +
+          cols.map(c => s"'$c', cast(`$c` AS STRING)").mkString(", ") + ")")
+          .as(Seq("m", "value")))
+        .select(lit(name).as("check"),
+          concat_ws("_", col("m"), col(key).cast("string")).as("metric"),
+          col("value"))
+    }
+    checks.map {
+      case "holt_winters" =>
+        longKeyed("holt_winters",
+          graft.ops.TimeSeries.tsHoltWinters(spark, sfDir), "h")
+      case "poisson_rate" =>
+        long("poisson_rate",
+          graft.ops.Relational.aggPoissonRateTest(spark, sfDir))
+      case "cusum" =>
+        longKeyed("cusum", graft.ops.TimeSeries.tsCusumTop(spark, sfDir), "dt")
+    }.reduce(_ unionByName _)
+  }
+
   /** Embedding near-dedup directive (naqed resolver-with-args style):
     * the curation stage for embedding-carrying corpora
     * (ops.Curation.annNearDedup), driven through the `$`-argument

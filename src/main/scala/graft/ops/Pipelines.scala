@@ -32,6 +32,7 @@ object Pipelines {
       .foreach(df => try df.unpersist() catch { case _: Throwable => () })
     shingleCache.clear()
     pairCache.clear()
+    spanCache.clear()
   }
 
   /** Materialize the shared shingle + verified-LSH-pair sets for `d`.
@@ -182,7 +183,14 @@ object Pipelines {
   /** Corpus-trained language ID: top-5 distinguishing tokens per lang by
     * document frequency become markers; each doc votes by marker
     * overlap. Output is the confusion matrix. */
-  val pipelineLangId: Q = (s, d) => {
+  val pipelineLangId: Q = (s, d) =>
+    langConfusion(s, d).orderBy("actual", "predicted")
+
+  /** The lang-id confusion relation (actual, predicted, docs) shared
+    * by pipeline_lang_id and agg_cohens_kappa — one construction, so
+    * the classifier and its agreement score cannot drift (the
+    * lang_margin precedent). Bounded at ≤ (|langs|+1)² rows. */
+  private def langConfusion(s: SparkSession, d: String): DataFrame = {
     val docs = table(s, d, "documents")
     // tk feeds both marker training and voting — persist the one
     // explode+distinct shuffle instead of running it twice
@@ -206,7 +214,41 @@ object Pipelines {
     docs.join(pred, docs("doc_id") === col("p_id"), "left")
       .groupBy(col("lang").as("actual"), coalesce(col("predicted"), lit("unknown")).as("predicted"))
       .agg(count(lit(1)).as("docs"))
-      .orderBy("actual", "predicted")
+  }
+
+  /** Cohen's kappa of the lang-id classifier (§2.40): chance-corrected
+    * agreement between predicted and actual language — THE one-number
+    * eval for a categorical classifier (raw accuracy flatters any
+    * classifier on a skewed label mix; kappa subtracts the agreement
+    * a marginal-matching random rater would get). Computed off the
+    * SHARED confusion relation: p_o = Σdiag/n exact integers, p_e =
+    * Σ row_i·col_i / n² with the cross products in DECIMAL(38,0) ↔
+    * HUGEINT (marginal products wrap Long at corpus scale), then ONE
+    * double tree (p_o − p_e)/(1 − p_e), each output floor-quantized
+    * 1e6. Scale: the confusion relation is label²-bounded; everything
+    * after is a broadcast of two 1-row aggregates. */
+  val aggCohensKappa: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val cells = langConfusion(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nn = cells.agg(sum(col("docs")).as("n"),
+      sum(when(col("actual") === col("predicted"), col("docs"))
+        .otherwise(0L)).as("agree"))
+    val rows = cells.groupBy(col("actual").as("k"))
+      .agg(sum(col("docs")).as("rc"))
+    val colsM = cells.groupBy(col("predicted").as("k"))
+      .agg(sum(col("docs")).as("cc"))
+    val pe = rows.join(colsM, Seq("k"))
+      .agg(sum(col("rc").cast(dec38) * col("cc")).as("pe_num"))
+    val nD = col("n").cast(DoubleType)
+    val po = col("agree").cast(DoubleType) / nD
+    val peV = col("pe_num").cast(DoubleType) / (nD * col("n"))
+    nn.crossJoin(broadcast(pe))
+      .select(asLong(col("n")).as("n_docs"), asLong(col("agree")).as("n_agree"),
+        floor(po * 1e6).cast(LongType).as("po_q6"),
+        floor(peV * 1e6).cast(LongType).as("pe_q6"),
+        floor((po - peV) / (lit(1.0) - peV) * 1e6).cast(LongType)
+          .as("kappa_q6"))
   }
 
   /** Cross-source near-dup flow (§2.11, r7): verified MinHash-LSH
@@ -2182,5 +2224,152 @@ object Pipelines {
       .filter(col("n_docs") >= 2)
       .orderBy(col("n_docs").desc, col("min_doc"))
       .limit(20)
+
+  /** Positioned 8-gram shingle relation (doc_id, pos, h) shared by the
+    * substring-span dedup family (§2.39): pos is the 1-BASED token
+    * index of the gram's first token (1-based so span starts feed
+    * 1-based slice() in both engines), h = md5 of the 8 space-joined
+    * tokens. Docs shorter than 8 tokens contribute nothing. Scale: one
+    * posexplode + one doc-keyed window (the winnowing lineage). */
+  private def spanShingles(s: SparkSession, d: String): DataFrame = {
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = table(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "w")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
+        col("w"))
+    val parts = col("w") +: (1 until 8).map(i => lead(col("w"), i).over(wDoc))
+    toks
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", parts: _*)).as("h"),
+        lead(col("w"), 7).over(wDoc).isNotNull.as("fl"))
+      .filter(col("fl"))
+      .select(col("doc_id"), col("pos"), col("h"))
+  }
+
+  /** Maximal duplicate spans per doc pair and alignment (shared by
+    * dedup_substring_spans / pipeline_dup_span_coverage): shingles
+    * with occurrence count in [2, 20] (df ≥ 2 is the pairing floor;
+    * ≤ 20 is the boilerplate guard pigeonhole-bounding pair fanout at
+    * ≤ C(20,2) = 190 pairs per hash at ANY corpus size — an interior
+    * gram over the cap deterministically splits its span, identically
+    * in both engines), pair join on h with d1 < d2, then
+    * gaps-and-islands on (d1, d2, pos-diff): a shared verbatim run of
+    * L ≥ 8 tokens is exactly L−7 consecutive shared grams at one
+    * pos-diff, so island length + 7 IS the span length. Only spans of
+    * ≥ minTok tokens survive. Columns: d1, d2, s1, s2 (1-based span
+    * starts), tok (span token length). */
+  private def dupSpans(s: SparkSession, d: String, minTok: Int): DataFrame =
+    spanCache.getOrElseUpdate(s, (d, minTok)) {
+      val (spansLazy, sh) = dupSpansBuild(s, d, minTok)
+      // localCheckpoint (eager): two consumers (spans dedup + coverage)
+      // share one build, the checkpoint truncates the window-over-join
+      // lineage (the dedup_minhash_lsh policy), and the shingle scratch
+      // cache is released right after it materializes
+      val spans = spansLazy.localCheckpoint(true)
+      sh.unpersist(false)
+      spans
+    }
+
+  private val spanCache = new graft.SessionCache[(String, Int), DataFrame]
+
+  /** The LAZY span plan + its persisted shingle scratch (exposed
+    * private[graft] so EngineSpec can pin the pre-checkpoint plan). */
+  private[graft] def dupSpansBuild(s: SparkSession, d: String, minTok: Int)
+      : (DataFrame, DataFrame) = {
+    val sh = spanShingles(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c").between(2L, 20L)).select(col("h"))
+    val fk = sh.join(keep, Seq("h"))
+    val a = fk.select(col("h"), col("doc_id").as("d1"), col("pos").as("p1"))
+    val b = fk.select(col("h").as("h2"), col("doc_id").as("d2"),
+      col("pos").as("p2"))
+    val pairs = a.join(b, col("h") === col("h2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("p1"), (col("p1") - col("p2")).as("df"))
+    val wIsl = Window.partitionBy(col("d1"), col("d2"), col("df"))
+      .orderBy(col("p1"))
+    val spans = pairs
+      .withColumn("grp", col("p1") - row_number().over(wIsl))
+      .groupBy(col("d1"), col("d2"), col("df"), col("grp"))
+      .agg(min(col("p1")).as("s1"), (count(lit(1)) + 7L).as("tok"))
+      .filter(col("tok") >= minTok.toLong)
+      .select(col("d1"), col("d2"), col("s1"),
+        (col("s1") - col("df")).as("s2"), col("tok"))
+    (spans, sh)
+  }
+
+  /** Substring-level duplicate-span dedup (§2.39, the round-12
+    * headline): pairs of documents sharing a VERBATIM run of ≥ 12
+    * tokens, with the maximal span extracted — the Lee-et-al-style
+    * suffix-array dedup modality a production LLM corpus pass runs
+    * between exact-hash and near-dup (whole-doc hashes miss it,
+    * set-similarity blurs WHERE the overlap is). Per pair: span
+    * count, total duplicated tokens (per maximal span/alignment), the
+    * longest span's 1-based starts in both docs (ties: longest, then
+    * smallest start1, then start2 — a total key) and its verbatim
+    * text sliced back out of doc d1. Exactness: md5 grams, integer
+    * positions, identical 1-based slice arithmetic in both engines.
+    * Scale: candidates are df-capped gram joins (≤ 190 pairs/hash,
+    * NEVER doc²); islands group on (pair, diff) — bounded by doc
+    * length; the text slice joins the |pairs|-sized result back to
+    * documents on d1, a key join. */
+  val dedupSubstringSpans: Q = (s, d) => {
+    val spans = dupSpans(s, d, 12) // shared, checkpointed
+    val agg = spans.groupBy(col("d1"), col("d2"))
+      .agg(asLong(count(lit(1))).as("n_spans"),
+        asLong(sum(col("tok"))).as("dup_tokens"))
+    val wBest = Window.partitionBy(col("d1"), col("d2"))
+      .orderBy(col("tok").desc, col("s1"), col("s2"))
+    val best = spans.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("d1"), col("d2"), asLong(col("tok")).as("span_tokens"),
+        asLong(col("s1")).as("span_start1"), asLong(col("s2")).as("span_start2"))
+    agg.join(best, Seq("d1", "d2"))
+      .join(table(s, d, "documents").select(col("doc_id").as("d1"),
+        col("text")), Seq("d1"))
+      .select(col("d1"), col("d2"), col("n_spans"), col("dup_tokens"),
+        col("span_tokens"), col("span_start1"), col("span_start2"),
+        array_join(slice(split(col("text"), " "),
+          col("span_start1").cast(IntegerType),
+          col("span_tokens").cast(IntegerType)), " ").as("span_text"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Duplicate-span corpus coverage (§2.39): per source, how much of
+    * the token mass sits inside cross-doc verbatim spans — the
+    * corpus-level readout of dedup_substring_spans (a source whose
+    * coverage spikes is re-crawling / mirroring content; the number
+    * Lee et al. report before deciding how hard to dedup). Covered
+    * positions are the UNION over both sides of every ≥ 12-token
+    * span, deduplicated per (doc, pos) so overlapping alignments
+    * never double-count. Exactness: pure integer position sets; one
+    * 1e6-quantized share per source. Scale: sequence-explode of
+    * span-bounded ranges (output-sized, never corpus²), distinct on
+    * (doc, pos), doc-keyed join for source, map-combined aggregate. */
+  val pipelineDupSpanCoverage: Q = (s, d) => {
+    val spans = dupSpans(s, d, 12)
+    val side1 = spans.select(col("d1").as("doc_id"),
+      explode(sequence(col("s1"), col("s1") + col("tok") - 1)).as("pos"))
+    val side2 = spans.select(col("d2").as("doc_id"),
+      explode(sequence(col("s2"), col("s2") + col("tok") - 1)).as("pos"))
+    val covered = side1.unionAll(side2).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("cov"))
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+    docs.join(covered, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(sum(when(col("cov").isNotNull, 1L).otherwise(0L)))
+          .as("docs_with_dup"),
+        sum(col("n_toks")).as("toks"),
+        sum(coalesce(col("cov"), lit(0L))).as("covd"))
+      .select(col("source"), col("n_docs"), col("docs_with_dup"),
+        asLong(col("toks")).as("total_tokens"),
+        asLong(col("covd")).as("dup_tokens"),
+        expr("(covd * 1000000) div toks").as("coverage_q6"))
+      .orderBy("source")
+  }
 
 }

@@ -3750,4 +3750,84 @@ object Relational {
       (floor(lit(1.0) / hhi * 100) / 100).as("effective_customers"))
   }
 
+  /** Simpson's-paradox slope check (§2.40): the OLS slope of line
+    * price (cents) on quantity per return-flag segment NEXT TO the
+    * pooled slope — the aggregation-bias audit every segmented metric
+    * readout needs (a pooled trend can invert inside every segment
+    * when segment mix confounds; flagged per segment as an exact SIGN
+    * comparison on the INTEGER slope numerators, no float on the
+    * decision path). Slope = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²), moments
+    * exact BIGINT/DECIMAL(38,0) (welch discipline), value quantized
+    * 1e6 for display. Scale: one segment-grain aggregate + a 3-row
+    * reduce broadcast back. */
+  val aggSimpsonSlopeFlip: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val li = table(s, d, "lineitem").select(
+      col("l_returnflag").as("seg"),
+      col("l_quantity").cast(LongType).as("x"),
+      (dec2(col("l_extendedprice")) * 100).cast(LongType).as("y"))
+    def moments(df: DataFrame) = df.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x").cast(dec38) * col("x")).as("sxx"),
+      sum(col("x").cast(dec38) * col("y")).as("sxy"))
+    val bySeg = li.groupBy(col("seg")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x").cast(dec38) * col("x")).as("sxx"),
+      sum(col("x").cast(dec38) * col("y")).as("sxy"))
+    val pooled = moments(li).select(
+      col("n").as("pn"), col("sx").as("psx"), col("sy").as("psy"),
+      col("sxx").as("psxx"), col("sxy").as("psxy"))
+    def num(n: Column, sxy: Column, sx: Column, sy: Column) =
+      (n.cast(dec38) * sxy - sx.cast(dec38) * sy.cast(dec38)).cast(dec38)
+    def den(n: Column, sxx: Column, sx: Column) =
+      (n.cast(dec38) * sxx - sx.cast(dec38) * sx.cast(dec38)).cast(dec38)
+    val sNum = num(col("n"), col("sxy"), col("sx"), col("sy"))
+    val sDen = den(col("n"), col("sxx"), col("sx"))
+    val pNum = num(col("pn"), col("psxy"), col("psx"), col("psy"))
+    val pDen = den(col("pn"), col("psxx"), col("psx"))
+    bySeg.crossJoin(broadcast(pooled))
+      .select(col("seg"), asLong(col("n")).as("n_lines"),
+        floor(sNum.cast(DoubleType) / sDen.cast(DoubleType) * 1e6)
+          .cast(LongType).as("slope_q6"),
+        floor(pNum.cast(DoubleType) / pDen.cast(DoubleType) * 1e6)
+          .cast(LongType).as("pooled_slope_q6"),
+        // the paradox flag compares EXACT integer numerator signs
+        // (denominators are positive sums of squares)
+        (signum(sNum.cast(DoubleType)) =!= signum(pNum.cast(DoubleType)))
+          .as("sign_flipped"))
+      .orderBy("seg")
+  }
+
+  /** Hill tail-index estimator (§2.40): how heavy is the upper tail of
+    * order values — α̂ = k / Σᵢ ln(xᵢ/x₍ₖ₊₁₎) over the top k=100 order
+    * statistics (α < 2 ⇒ infinite variance: means/CIs on spend are
+    * lies; the Gumbel block-maxima read in ts_extreme_value_moments
+    * assumes a LIGHT tail — this is the test of that assumption).
+    * Exactness: the top-101 values are exact BIGINT cents picked by a
+    * total key (value desc, orderkey); each ln term is ln of an
+    * exact-integer-ratio double, floor-quantized 1e6 BEFORE the BIGINT
+    * sum; α̂_q6 = 1e14 div Σq — pure integer division. Scale: ONE
+    * distributed TakeOrderedAndProject (k+1 rows), then a bounded
+    * window + 1-row reduce. */
+  val aggTailIndexHill: Q = (s, d) => {
+    val cents = (dec2(col("o_totalprice")) * 100).cast(LongType)
+    val top = table(s, d, "orders")
+      .select(cents.as("v"), col("o_orderkey").as("okey"))
+      .orderBy(col("v").desc, col("okey")).limit(101)
+    val w = Window.orderBy(col("v").desc, col("okey"))
+    val ranked = top.withColumn("rn", row_number().over(w))
+    val xref = ranked.filter(col("rn") === 101)
+      .select(col("v").as("x_ref"))
+    val terms = ranked.filter(col("rn") <= 100)
+      .crossJoin(broadcast(xref))
+      .select(floor(log(col("v").cast(DoubleType) /
+        col("x_ref").cast(DoubleType)) * 1e6).cast(LongType).as("lq"),
+        col("x_ref"))
+    terms.groupBy(col("x_ref"))
+      .agg(count(lit(1)).as("k"), sum(col("lq")).as("sum_ln_q6"))
+      .select(asLong(col("k")).as("k"), asLong(col("x_ref")).as("x_ref_cents"),
+        col("sum_ln_q6"),
+        expr("(k * 1000000000000) div sum_ln_q6").as("alpha_q6"))
+  }
+
 }

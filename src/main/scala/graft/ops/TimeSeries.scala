@@ -1795,10 +1795,17 @@ object TimeSeries {
     * one date-grain map-combined aggregate; the fold runs in-row over
     * a CALENDAR-bounded array (~2.4k days), then TakeOrderedAndProject
     * for the top-k. */
-  val tsCusumTop: Q = (s, d) => {
-    val byDay = table(s, d, "orders")
+  val tsCusumTop: Q = (s, d) =>
+    cusumTopFromDaily(table(s, d, "orders")
       .groupBy(col("o_orderdate").cast(DateType).as("dt"))
-      .agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("x")))
+
+  /** The CUSUM fold over ANY day-grain count relation (dt, x) — shared
+    * by ts_cusum_top (raw orders), the incrementally-maintained
+    * day-grain MaterializedView monitor pass (round 12, MonitorSpec)
+    * and the batch twin of Streams.cusumMonitor, so the three readers
+    * cannot drift. */
+  private[graft] def cusumTopFromDaily(byDay: DataFrame): DataFrame =
     byDay
       .agg(array_sort(collect_list(struct(col("dt"), col("x")))).as("a"),
         sum(col("x")).as("tot"), count(lit(1)).as("nd"))
@@ -1817,7 +1824,6 @@ object TimeSeries {
         col("z.ss").as("cusum_s"))
       .orderBy(col("cusum_s").desc, col("dt"))
       .limit(20)
-  }
 
   /** Additive Holt-Winters with weekly seasonality (§2.37): the
     * level + trend + 7-seasonal-state recursion on DAILY revenue —
@@ -1833,10 +1839,16 @@ object TimeSeries {
     * forecast l + h·b + s'[h], floored to cents. Scale: one
     * date-grain map-combined aggregate; the fold is in-row over the
     * calendar-bounded day array. */
-  val tsHoltWinters: Q = (s, d) => {
-    val byDay = table(s, d, "orders")
+  val tsHoltWinters: Q = (s, d) =>
+    holtWintersFromDaily(table(s, d, "orders")
       .groupBy(col("o_orderdate").cast(DateType).as("dt"))
-      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("c"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("c")))
+
+  /** The Holt-Winters fold over ANY day-grain revenue relation
+    * (dt, c BIGINT cents) — shared by ts_holt_winters (raw orders) and
+    * the day-grain MaterializedView monitor pass (round 12), so the
+    * O(delta)-maintained state and the full-scan read cannot drift. */
+  private[graft] def holtWintersFromDaily(byDay: DataFrame): DataFrame =
     byDay
       .agg(transform(array_sort(collect_list(struct(col("dt"), col("c")))),
         x => x.getField("c").cast(DoubleType)).as("xs"))
@@ -1888,7 +1900,6 @@ object TimeSeries {
       .select((col("i") + 1).cast(LongType).as("h"),
         (floor(col("f")) / 100.0).as("forecast"))
       .orderBy("h")
-  }
 
   /** Cohort retention half-life (§2.36): for each weekly signup
     * cohort, the FIRST week-of-life where active users fall below

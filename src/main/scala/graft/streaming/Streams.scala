@@ -463,4 +463,106 @@ object Streams {
     q.awaitTermination()
     spark.table(name)
   }
+
+  // ---- round 12: sequential monitors as LIVE streams (§2.35's point) ----
+
+  case class SprtState(n: Long, x: Long)
+  case class SprtCheckpoint(n: Long, x: Long, llr_q6: Long, decision: String)
+
+  /** Streaming Wald SPRT monitor (round 12): `agg_sprt_decision`
+    * (§2.35) run WHILE arrivals stream in — which is the entire point
+    * of a sequential test: it may stop the experiment early, so
+    * waiting for a batch pass wastes exactly the samples SPRT exists
+    * to save. Consumes an arrival stream carrying (mk, okey, conv) —
+    * the same md5-keyed arrival order + conversion flag the batch op
+    * derives — and maintains ONE cumulative (n, x) state (a monitor IS
+    * a global statistic: key cardinality 1 BY DEFINITION, state is two
+    * longs, so the single-key shuffle is the stream's commit order,
+    * not a skew hazard). At every 100th arrival it EMITS the
+    * checkpoint with the identical inlined Wald LLR factors and
+    * quantized ln(19) boundaries as the batch op — closed-prefix
+    * equality pinned in StreamingSpec: after any replayed prefix (in
+    * mk order — the spec replays md5-sorted files one per trigger),
+    * the emitted checkpoints equal the batch op's first rows.
+    * Within a micro-batch arrivals are sorted by (mk, okey); across
+    * batches order relies on the replay, the sessionizeStateful
+    * convention. */
+  def sprtMonitor(arrivals: DataFrame)
+      : org.apache.spark.sql.Dataset[SprtCheckpoint] = {
+    import arrivals.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = arrivals
+      .select(col("mk").cast(StringType), col("okey").cast(LongType),
+        col("conv").cast(LongType))
+      .as[(String, Long, Long)]
+      .groupByKey(_ => 0)
+    typed.flatMapGroupsWithState(OutputMode.Append(),
+      GroupStateTimeout.NoTimeout()) {
+      (_: Int, rows: Iterator[(String, Long, Long)],
+          state: GroupState[SprtState]) =>
+        var st = state.getOption.getOrElse(SprtState(0L, 0L))
+        val out = Vector.newBuilder[SprtCheckpoint]
+        rows.toVector.sortBy(r => (r._1, r._2)).foreach { case (_, _, conv) =>
+          st = SprtState(st.n + 1, st.x + conv)
+          if (st.n % 100 == 0) {
+            // the batch op's exact LLR tree: x·ln(p1/p0) + (n−x)·
+            // ln((1−p1)/(1−p0)) with the factors inlined as literals
+            // (Relational.sprtCheckpoints), floor-quantized 1e6
+            val llr = math.floor((st.x.toDouble * 0.3364722366212129 +
+              (st.n - st.x).toDouble * -0.1431008436406733) * 1e6).toLong
+            val dec =
+              if (llr >= 2944438L) "reject_h0"
+              else if (llr <= -2944439L) "accept_h0"
+              else "continue"
+            out += SprtCheckpoint(st.n, st.x, llr, dec)
+          }
+        }
+        state.update(st)
+        out.result().iterator
+    }
+  }
+
+  case class CusumState(s: Long, lastEpochDay: Long)
+  case class CusumPoint(dt: java.sql.Date, x: Long, cusum_s: Long)
+
+  /** Streaming one-sided CUSUM monitor (round 12): the `ts_cusum_top`
+    * recursion S_t = max(0, S_{t−1} + x_t − μ − slack) run as a LIVE
+    * consumer of a day-grain metric stream (dt, x) — e.g. the
+    * incrementally-maintained day-grain MaterializedView's deltas, so
+    * the daily monitor pass is O(delta) end to end. μ is a FIXED
+    * reference rate (the psiDriftPerHour convention: the reference is
+    * decided from trusted history and enters as a literal — a
+    * streaming monitor cannot use the batch op's full-series mean
+    * without peeking at the future; with μ = the head snapshot's
+    * `tot div nd` the emissions reproduce ts_cusum_top exactly, which
+    * is what StreamingSpec pins). One global state of two longs (the
+    * sprtMonitor rationale); days must arrive in calendar order
+    * (enforced) — each day emits its statistic exactly once. */
+  def cusumMonitor(daily: DataFrame, mu: Long, slack: Long = 1L)
+      : org.apache.spark.sql.Dataset[CusumPoint] = {
+    import daily.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = daily
+      .select(col("dt").cast(DateType), col("x").cast(LongType))
+      .as[(java.sql.Date, Long)]
+      .groupByKey(_ => 0)
+    typed.flatMapGroupsWithState(OutputMode.Append(),
+      GroupStateTimeout.NoTimeout()) {
+      (_: Int, rows: Iterator[(java.sql.Date, Long)],
+          state: GroupState[CusumState]) =>
+        var st = state.getOption.getOrElse(CusumState(0L, Long.MinValue))
+        val out = Vector.newBuilder[CusumPoint]
+        rows.toVector.sortBy(_._1.getTime).foreach { case (dt, x) =>
+          val epochDay = dt.toLocalDate.toEpochDay
+          require(epochDay > st.lastEpochDay,
+            s"cusumMonitor: day $dt arrived out of order " +
+              s"(state already at epoch day ${st.lastEpochDay})")
+          val s2 = math.max(0L, st.s + x - mu - slack)
+          out += CusumPoint(dt, x, s2)
+          st = CusumState(s2, epochDay)
+        }
+        state.update(st)
+        out.result().iterator
+    }
+  }
 }

@@ -715,4 +715,47 @@ class EngineSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!rr.contains("Join"), s"repeat rate grew a join:\n${rr.take(1200)}")
   }
+
+  test("round-12 §2.39 plans: spans hash-banded, rrf take-ordered, simhash one-scan") {
+    // substring spans (pre-checkpoint plan): candidates come from the
+    // df-capped gram EQUI-join — never a product/nested-loop — and the
+    // island window is pair-keyed (partition spec leads with d1)
+    val (spansLazy, shScratch) = ops.Pipelines.dupSpansBuild(spark, sf0001, 12)
+    val sb = spansLazy.queryExecution.executedPlan.toString
+    shScratch.unpersist(false)
+    assert(!sb.contains("CartesianProduct") &&
+      !sb.contains("BroadcastNestedLoopJoin"),
+      s"span candidates not an equi-join:\n${sb.take(1200)}")
+    assert(sb.contains("windowspecdefinition(d1"),
+      s"island window not pair-keyed:\n${sb.take(1200)}")
+    // rrf: both legs are distributed top-k (TakeOrderedAndProject),
+    // the only corpus-sized sorts allowed in the query
+    val rf = ops.TextSim.simRrfFusion(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(rf.contains("TakeOrdered"),
+      s"rrf legs lost TakeOrderedAndProject:\n${rf.take(1200)}")
+    // simhash (round-12 rewrite): the banded relation explodes 5 band
+    // keys from ONE scan of the cached fingerprints per join side —
+    // two InMemoryTableScans total, not the old 5-per-side unionAll
+    val sh = ops.Pipelines.dedupSimhash(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // count scans OF the fingerprint relation (output contains fp#…);
+    // InMemoryRelation also prints its nested cached-build plan, whose
+    // inner InMemoryTableScans are not executed per query
+    val scans = "InMemoryTableScan \\[[^\\]]*fp#".r.findAllIn(sh).length
+    assert(scans <= 2,
+      s"simhash banding rescans the fingerprint cache ($scans scans):\n${sh.take(1200)}")
+    // §2.40: hill = ONE distributed top-k, never a global sort; the
+    // only window runs on the 101 TakeOrdered survivors
+    val hl = ops.Relational.aggTailIndexHill(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(hl.contains("TakeOrdered"),
+      s"hill lost TakeOrderedAndProject:\n${hl.take(1200)}")
+    // simpson: two aggregates of one scan + a broadcast of the 1-row
+    // pooled moments — no shuffled join
+    val si = ops.Relational.aggSimpsonSlopeFlip(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!si.contains("SortMergeJoin"),
+      s"simpson slope grew a shuffled join:\n${si.take(1200)}")
+  }
 }

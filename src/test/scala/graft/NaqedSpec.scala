@@ -787,4 +787,45 @@ class NaqedSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] { naqed.experiment(Map("$bogus" -> 1)) }
   }
+
+  test("forecast directive: the §2.37 forecasting stack behind the object API") {
+    import org.apache.spark.sql.functions.col
+    val rep = naqed.forecast()
+    assert(rep.columns.toSeq == Seq("check", "metric", "value"))
+    val byCheck = rep.collect().groupBy(_.getString(0))
+    assert(byCheck.keySet == Set("holt_winters", "poisson_rate", "cusum"))
+    // single-row check comes verbatim from the oracle-checked op
+    val prDirect = ops.Relational.aggPoissonRateTest(spark, sf0001).collect()(0)
+    val apiPr = rep.filter(col("check") === "poisson_rate" &&
+      col("metric") === "z_q4").collect()(0).getString(2)
+    assert(apiPr == prDirect.getAs[Long]("z_q4").toString)
+    // multi-row checks fold the row key into the metric: every horizon
+    // of the 7-step forecast is exposed and value-equal
+    val hwDirect = ops.TimeSeries.tsHoltWinters(spark, sf0001).collect()
+    assert(hwDirect.length == 7)
+    hwDirect.foreach { r =>
+      val h = r.getAs[Long]("h")
+      val api = rep.filter(col("check") === "holt_winters" &&
+        col("metric") === s"forecast_$h").collect()(0).getString(2)
+      assert(api == r.getAs[Double]("forecast").toString,
+        s"holt_winters horizon $h drifted")
+    }
+    // cusum: top-20 days, keyed on the day, value-equal on the statistic
+    val cuDirect = ops.TimeSeries.tsCusumTop(spark, sf0001).collect()
+    assert(rep.filter(col("check") === "cusum").count() ==
+      cuDirect.length.toLong * 2) // x and cusum_s per day
+    val c0 = cuDirect(0)
+    val apiCu = rep.filter(col("check") === "cusum" &&
+      col("metric") === s"cusum_s_${c0.getAs[java.sql.Date]("dt")}")
+      .collect()(0).getString(2)
+    assert(apiCu == c0.getAs[Long]("cusum_s").toString)
+    // $checks subsets; unknown names and args fail naqed-style
+    val only = naqed.forecast(Map("$checks" -> Seq("cusum")))
+    assert(only.select("check").distinct().collect().map(_.getString(0)).toSet
+      == Set("cusum"))
+    intercept[IllegalArgumentException] {
+      naqed.forecast(Map("$checks" -> Seq("bogus")))
+    }
+    intercept[IllegalArgumentException] { naqed.forecast(Map("$bogus" -> 1)) }
+  }
 }

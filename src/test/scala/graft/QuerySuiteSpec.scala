@@ -300,7 +300,13 @@ class QuerySuiteSpec extends AnyFunSuite {
     // §2.38 (round 11, targeting & corpus-shape batch)
     "agg_decile_lift" -> 10L, "agg_repeat_purchase_rate" -> 4L,
     "pipeline_vocab_coverage_points" -> 3L, "dedup_prefix_cluster" -> 20L,
-    "win_revenue_dominance" -> 10L, "sample_kfold_assign" -> 5L)
+    "win_revenue_dominance" -> 10L, "sample_kfold_assign" -> 5L,
+    // §2.39 (round 12, substring-dedup & retrieval batch)
+    "dedup_substring_spans" -> 27L, "pipeline_dup_span_coverage" -> 20L,
+    "sim_rrf_fusion" -> 20L,
+    // §2.40 (round 12, eval & aggregation-bias batch)
+    "agg_cohens_kappa" -> 1L, "agg_simpson_slope_flip" -> 3L,
+    "agg_tail_index_hill" -> 1L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)

@@ -598,4 +598,96 @@ class StreamingSpec extends AnyFunSuite {
     drain()
     assert(rows() == want1 ++ v3feed)
   }
+
+  test("streaming SPRT monitor: closed-prefix equality with agg_sprt_decision") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the batch op's arrival relation, in its md5 arrival order
+    val arrivals = Tables(spark, sf0001, "orders")
+      .select(md5(col("o_orderkey").cast("string")).as("mk"),
+        col("o_orderkey").as("okey"),
+        when((col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long") > 15000000L, 1L).otherwise(0L).as("conv"))
+      .orderBy("mk", "okey")
+      .as[(String, Long, Long)].collect().toSeq
+    val want = ops.Relational.aggSprtDecision(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val src = MemoryStream[(String, Long, Long)]
+    val mon = Streams.sprtMonitor(src.toDF().toDF("mk", "okey", "conv"))
+    val q = mon.writeStream.format("memory").queryName("t_sprt")
+      .outputMode("append").start()
+    def emitted() = spark.table("t_sprt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // three micro-batches at awkward boundaries (not multiples of 100):
+    // the monitor's state must carry partial centuries across batches
+    val cuts = Seq(arrivals.take(137), arrivals.slice(137, 410),
+      arrivals.drop(410))
+    var processed = 0
+    cuts.foreach { chunk =>
+      src.addData(chunk)
+      q.processAllAvailable()
+      processed += chunk.size
+      // CLOSED-PREFIX equality: after m arrivals, emissions == the
+      // batch op's first floor(m/100) checkpoint rows
+      assert(emitted().toSeq == want.take(processed / 100).toSeq,
+        s"prefix $processed drifted")
+    }
+    q.stop()
+    assert(emitted().length == want.length && want.nonEmpty)
+  }
+
+  test("streaming CUSUM monitor equals the batch fold and ts_cusum_top") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val byDay = Tables(spark, sf0001, "orders")
+      .groupBy(col("o_orderdate").cast(org.apache.spark.sql.types.DateType).as("dt"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy("dt")
+      .as[(java.sql.Date, Long)].collect().toSeq
+    // the batch op's reference rate: head-snapshot tot div nd
+    val mu = byDay.map(_._2).sum / byDay.size
+    val src = MemoryStream[(java.sql.Date, Long)]
+    val mon = Streams.cusumMonitor(src.toDF().toDF("dt", "x"), mu)
+    val q = mon.writeStream.format("memory").queryName("t_cusum")
+      .outputMode("append").start()
+    // replay in three day-ordered chunks
+    val k = byDay.size / 3
+    Seq(byDay.take(k), byDay.slice(k, 2 * k), byDay.drop(2 * k)).foreach { c =>
+      src.addData(c); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("t_cusum").collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2))).sortBy(_._1.getTime)
+    // exact recursion, driver-computed: S_t = max(0, S + x - mu - 1)
+    var s = 0L
+    val expect = byDay.map { case (dt, x) =>
+      s = math.max(0L, s + x - mu - 1); (dt, x, s)
+    }
+    assert(got.toSeq == expect)
+    // and the top-20 view reproduces ts_cusum_top exactly
+    val top = got.sortBy(t => (-t._3, t._1.getTime)).take(20)
+      .map(t => (t._1.toString, t._2, t._3)).toSeq
+    val want = ops.TimeSeries.tsCusumTop(spark, sf0001).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(top == want)
+    // out-of-order days are refused, not silently misfolded
+    val src2 = MemoryStream[(java.sql.Date, Long)]
+    val mon2 = Streams.cusumMonitor(src2.toDF().toDF("dt", "x"), mu)
+    val q2 = mon2.writeStream.format("memory").queryName("t_cusum_ooo")
+      .outputMode("append").start()
+    // (within one batch the monitor sorts, so disorder must span
+    // batches to be an error)
+    src2.addData(Seq(byDay(1)))
+    q2.processAllAvailable()
+    src2.addData(Seq(byDay(0)))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(ex.getMessage.contains("out of order") ||
+      Option(ex.getCause).exists(_.getMessage.contains("out of order")))
+  }
 }
