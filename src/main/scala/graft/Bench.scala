@@ -135,7 +135,8 @@ object Bench {
         // (write + re-read), same shared-materialization policy
         () => { sources.Sources.via(spark, dir, "supplier", "csv").count()
                 sources.Sources.via(spark, dir, "customer", "json").count()
-                sources.Sources.via(spark, dir, "orders", "orc").count(); () }
+                sources.Sources.via(spark, dir, "orders", "orc").count()
+                sources.Sources.via(spark, dir, "documents", "text").count(); () }
       )
       chains.zipWithIndex.map { case (c, i) =>
         pool.submit(new java.util.concurrent.Callable[Unit] {

@@ -6462,7 +6462,662 @@ t AS (SELECT CAST(floor(ln(CAST(v AS DOUBLE) / CAST(x_ref AS DOUBLE)) * 1e6)
 SELECT CAST(count(*) AS BIGINT) AS k, CAST(x_ref AS BIGINT) AS x_ref_cents,
   CAST(sum(lq) AS BIGINT) AS sum_ln_q6,
   CAST((count(*) * 1000000000000) // sum(lq) AS BIGINT) AS alpha_q6
-FROM t GROUP BY x_ref"""
+FROM t GROUP BY x_ref""",
+
+      // MRR@10 on the shared 30-probe protocol: first-relevant rank is
+      // an exact integer; rr_q6 = floor(1e6 / rank).
+      "sim_mrr_at10" ->
+        s"""WITH emb AS (SELECT * FROM ${T("embeddings")}),
+probes AS (SELECT vec_id pid, embedding pe, label plab FROM emb WHERE vec_id < 30),
+corpus AS (SELECT * FROM emb WHERE vec_id >= 30),
+scored AS (SELECT p.pid, e.vec_id cand,
+    CAST(floor(list_cosine_similarity(cast(p.pe AS DOUBLE[]), cast(e.embedding AS DOUBLE[]))*10000) AS BIGINT) q,
+    CASE WHEN e.label = p.plab THEN 1 ELSE 0 END rel
+  FROM probes p CROSS JOIN corpus e),
+top AS (SELECT pid, rel, r FROM (SELECT pid, rel,
+    row_number() OVER (PARTITION BY pid ORDER BY q DESC, cand) r FROM scored) t
+  WHERE r <= 10),
+fr AS (SELECT pid, min(r) r1 FROM top WHERE rel = 1 GROUP BY 1)
+SELECT p.pid, CAST(coalesce(fr.r1, 0) AS BIGINT) AS first_rel_rank,
+  CAST(coalesce(floor(1000000.0 / fr.r1), 0) AS BIGINT) AS rr_q6
+FROM probes p LEFT JOIN fr ON fr.pid = p.pid ORDER BY p.pid""",
+
+      // MAP@10, same protocol: precision terms 1e6*cumrel/i floored on
+      // identical doubles; AP denominator min(n_rel, 10).
+      "sim_map_at10" ->
+        s"""WITH emb AS (SELECT * FROM ${T("embeddings")}),
+probes AS (SELECT vec_id pid, embedding pe, label plab FROM emb WHERE vec_id < 30),
+corpus AS (SELECT * FROM emb WHERE vec_id >= 30),
+scored AS (SELECT p.pid, e.vec_id cand,
+    CAST(floor(list_cosine_similarity(cast(p.pe AS DOUBLE[]), cast(e.embedding AS DOUBLE[]))*10000) AS BIGINT) q,
+    CASE WHEN e.label = p.plab THEN 1 ELSE 0 END rel
+  FROM probes p CROSS JOIN corpus e),
+top AS (SELECT pid, rel, r,
+    sum(rel) OVER (PARTITION BY pid ORDER BY r) cumrel
+  FROM (SELECT pid, rel,
+      row_number() OVER (PARTITION BY pid ORDER BY q DESC, cand) r FROM scored) t
+  WHERE r <= 10),
+ap AS (SELECT pid,
+    sum(CAST(floor(CAST(1000000 * cumrel AS DOUBLE) / CAST(r AS DOUBLE)) AS BIGINT)) sum_prec_q6,
+    count(*) rel_in_top10
+  FROM top WHERE rel = 1 GROUP BY 1),
+reltot AS (SELECT label, count(*) n_rel FROM corpus GROUP BY 1)
+SELECT p.pid, CAST(least(rt.n_rel, 10) AS BIGINT) AS ap_denom,
+  CAST(coalesce(a.rel_in_top10, 0) AS BIGINT) AS rel_in_top10,
+  CAST(coalesce(floor(CAST(a.sum_prec_q6 AS DOUBLE) / least(rt.n_rel, 10)), 0) AS BIGINT) AS ap_q6
+FROM probes p JOIN reltot rt ON rt.label = p.plab
+LEFT JOIN ap a ON a.pid = p.pid ORDER BY p.pid""",
+
+      // Interpolated Kneser-Ney bigram heldout NLL: d = 3/4 keeps every
+      // probability an exact integer rational; identical -ln quantize.
+      "pipeline_kneser_ney_nll" ->
+        s"""WITH toks AS (SELECT doc_id, lang,
+    (('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 < 8) is_train,
+    string_split(text, ' ') l
+  FROM ${T("documents")}),
+big AS (SELECT lang, is_train, l[i] w1, l[i+1] w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) i)),
+c12 AS (SELECT w1, w2, count(*) c12 FROM big WHERE is_train GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12) c1, count(*) n1f FROM c12 GROUP BY 1),
+nb AS (SELECT w2, count(*) n1b FROM c12 GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM c12) ntypes,
+  (SELECT count(DISTINCT w) FROM (SELECT w1 w FROM big WHERE is_train
+    UNION SELECT w2 FROM big WHERE is_train)) v),
+test AS (SELECT b.lang, c12.c12, c1.c1, c1.n1f, nb.n1b,
+    tot.ntypes + tot.v + 1 contden,
+    coalesce(nb.n1b, 0) + 1 contnum
+  FROM big b LEFT JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+  LEFT JOIN c1 ON c1.w1 = b.w1
+  LEFT JOIN nb ON nb.w2 = b.w2
+  CROSS JOIN tot WHERE NOT b.is_train),
+q AS (SELECT lang, c1 IS NULL unseen,
+    CAST(floor(-ln(
+      CAST(CASE WHEN c1 IS NOT NULL
+        THEN greatest(4 * coalesce(c12, 0) - 3, 0) * contden + 3 * n1f * contnum
+        ELSE contnum END AS DOUBLE) /
+      CAST(CASE WHEN c1 IS NOT NULL THEN 4 * c1 * contden
+        ELSE contden END AS DOUBLE)) * 1e6) AS BIGINT) lq
+  FROM test)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_test_bigrams,
+  floor(CAST(sum(CASE WHEN unseen THEN 1 ELSE 0 END) AS DOUBLE)/count(*)*1e4)/1e4
+    AS unseen_ctx_rate,
+  floor(CAST(sum(lq) AS DOUBLE)/count(*)/1e2)/1e4 AS avg_nll
+FROM q GROUP BY 1 ORDER BY 1""",
+
+      // Greedy token-budget mixture: pure BIGINT fills over the
+      // |sources|-bounded relation; budget = 40% of corpus tokens.
+      "pipeline_token_budget_mix" ->
+        s"""WITH src AS (SELECT source, count(*) n_docs,
+    sum(len(string_split(text, ' '))) toks,
+    count(DISTINCT md5(text)) uniq
+  FROM ${T("documents")} GROUP BY 1),
+s2 AS (SELECT source, n_docs, toks,
+    ((n_docs - uniq) * 1000000) // n_docs dup_rate_q6 FROM src),
+tot AS (SELECT (sum(toks) * 2) // 5 budget FROM s2),
+rk AS (SELECT *, row_number() OVER (ORDER BY dup_rate_q6, source) quality_rank,
+    coalesce(sum(toks) OVER (ORDER BY dup_rate_q6, source
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum_before
+  FROM s2 CROSS JOIN tot)
+SELECT source, CAST(quality_rank AS BIGINT) AS quality_rank,
+  CAST(dup_rate_q6 AS BIGINT) AS dup_rate_q6,
+  CAST(toks AS BIGINT) AS n_tokens,
+  CAST(greatest(least(budget - cum_before, toks), 0) AS BIGINT) AS take_tokens,
+  CAST((greatest(least(budget - cum_before, toks), 0) * 1000000) // budget
+    AS BIGINT) AS share_ppm
+FROM rk ORDER BY quality_rank""",
+
+      // Two-way ANOVA, proportional cell-means decomposition; S²/n
+      // terms floored to integer dollars-sq per bounded group before the exact sum.
+      "agg_anova_two_way" ->
+        s"""WITH o AS (SELECT c.c_mktsegment seg, o.o_orderpriority prio,
+    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) y
+  FROM ${T("orders")} o JOIN ${T("customer")} c ON o.o_custkey = c.c_custkey),
+cells AS (SELECT seg, prio, count(*) n, sum(CAST(y AS HUGEINT)) sc,
+    sum(CAST(y AS HUGEINT) * y) ssq FROM o GROUP BY 1, 2),
+bycell AS (SELECT count(*) kc, sum(n) nn, sum(sc) stot, sum(ssq) ssqtot,
+    sum(CAST(floor((CAST(sc AS DOUBLE)/1e2) * (CAST(sc AS DOUBLE)/1e2) /
+      CAST(n AS DOUBLE)) AS HUGEINT)) qcell
+  FROM cells),
+bya AS (SELECT count(*) ka, sum(CAST(floor((CAST(sa AS DOUBLE)/1e2) *
+      (CAST(sa AS DOUBLE)/1e2) / CAST(na AS DOUBLE)) AS HUGEINT)) qa
+  FROM (SELECT seg, sum(sc) sa, sum(n) na FROM cells GROUP BY 1)),
+byb AS (SELECT count(*) kb, sum(CAST(floor((CAST(sb AS DOUBLE)/1e2) *
+      (CAST(sb AS DOUBLE)/1e2) / CAST(nb AS DOUBLE)) AS HUGEINT)) qb
+  FROM (SELECT prio, sum(sc) sb, sum(n) nb FROM cells GROUP BY 1)),
+f AS (SELECT nn, ka, kb, kc,
+    (CAST(stot AS DOUBLE)/1e2) * (CAST(stot AS DOUBLE)/1e2) /
+      CAST(nn AS DOUBLE) grand,
+    CAST(qcell AS DOUBLE) qc, CAST(qa AS DOUBLE) qad,
+    CAST(qb AS DOUBLE) qbd, CAST(ssqtot AS DOUBLE)/1e4 sst0
+  FROM bycell, bya, byb),
+g AS (SELECT nn, ka, kb, kc,
+    qc - grand sscells, qad - grand ssa, qbd - grand ssb,
+    (qc - grand) - (qad - grand) - (qbd - grand) ssab,
+    (sst0 - grand) - (qc - grand) ssw,
+    CAST(ka AS DOUBLE) - 1 dfa, CAST(kb AS DOUBLE) - 1 dfb,
+    (CAST(ka AS DOUBLE) - 1) * (CAST(kb AS DOUBLE) - 1) dfab,
+    CAST(nn AS DOUBLE) - CAST(kc AS DOUBLE) dfw
+  FROM f)
+SELECT CAST(nn AS BIGINT) AS n, CAST(ka AS BIGINT) AS k_seg,
+  CAST(kb AS BIGINT) AS k_prio, CAST(kc AS BIGINT) AS k_cells,
+  CAST(floor(ssa) AS BIGINT) AS ss_seg, CAST(floor(ssb) AS BIGINT) AS ss_prio,
+  CAST(floor(ssab) AS BIGINT) AS ss_inter,
+  CAST(floor(ssw) AS BIGINT) AS ss_within,
+  CAST(floor(ssa / dfa / (ssw / dfw) * 1e6) AS BIGINT) AS f_seg_q6,
+  CAST(floor(ssb / dfb / (ssw / dfw) * 1e6) AS BIGINT) AS f_prio_q6,
+  CAST(floor(ssab / dfab / (ssw / dfw) * 1e6) AS BIGINT) AS f_inter_q6
+FROM g""",
+
+      // Lead-lag cross-correlation: day sums exact, cross/square sums
+      // HUGEINT, one double tree per lag floored at 1e6.
+      "ts_xcorr_lags" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) dt,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) rev,
+    count(*) cnt
+  FROM ${T("orders")} GROUP BY 1),
+lags AS (SELECT unnest(generate_series(-7, 7)) lag),
+st AS (SELECT l.lag, count(*) n, sum(a.rev) sx, sum(b.cnt) sy,
+    sum(CAST(a.rev AS HUGEINT) * b.cnt) sxy,
+    sum(CAST(a.rev AS HUGEINT) * a.rev) sxx,
+    sum(CAST(b.cnt AS HUGEINT) * b.cnt) syy
+  FROM lags l CROSS JOIN daily a
+  JOIN daily b ON b.dt = a.dt + to_days(CAST(l.lag AS INTEGER))
+  GROUP BY 1)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+  CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1e6) AS BIGINT) AS r_q6
+FROM st ORDER BY lag""",
+
+      // Epoch-folding periodogram: integer phase assignment, the anova
+      // recipe per period — no trig on the cross-engine path.
+      "ts_dominant_period" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) dt, count(*) x
+  FROM ${T("orders")} GROUP BY 1),
+base AS (SELECT min(dt) d0, count(*) dd, sum(x) t,
+    sum(CAST(x AS HUGEINT) * x) sxx FROM daily),
+folded AS (SELECT p.p, b.dd, b.t, b.sxx,
+    (dt - b.d0) % p.p ph, x
+  FROM daily, base b, (SELECT unnest(generate_series(2, 30)) p) p),
+byphase AS (SELECT p, dd, t, sxx, ph, count(*) nph, sum(x) sph
+  FROM folded GROUP BY 1, 2, 3, 4, 5),
+byp AS (SELECT p, dd, t, sxx, count(*) nphases,
+    sum(CAST(floor(CAST(sph AS DOUBLE) * CAST(sph AS DOUBLE) /
+      CAST(nph AS DOUBLE) * 1e6) AS BIGINT)) qb
+  FROM byphase GROUP BY 1, 2, 3, 4),
+fin AS (SELECT p, nphases,
+    CAST(qb AS DOUBLE)/1e6 -
+      CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(dd AS DOUBLE) ssb,
+    CAST(sxx AS DOUBLE) -
+      CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(dd AS DOUBLE) sst
+  FROM byp)
+SELECT CAST(p AS BIGINT) AS period, CAST(nphases AS BIGINT) AS n_phases,
+  CAST(floor(ssb) AS BIGINT) AS ss_between_floor,
+  CAST(floor(ssb / sst * 1e6) AS BIGINT) AS var_explained_q6
+FROM fin ORDER BY period""",
+
+      // Kadane via prefix extrema: (P, date) struct min/max carries the
+      // earliest-start tie rule; virtual P0=0 sentinel competes.
+      "ts_hot_streak_kadane" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) dt,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) y
+  FROM ${T("orders")} GROUP BY 1),
+tot AS (SELECT count(*) dd, sum(CAST(y AS HUGEINT)) t, min(dt) d0 FROM daily),
+px AS (SELECT dt, dd, d0,
+    sum(CAST(y AS HUGEINT) * dd - t) OVER (ORDER BY dt) pf
+  FROM daily, tot),
+px2 AS (SELECT dt, dd, d0, pf,
+    min({'p': pf, 'sd': dt}) OVER (ORDER BY dt
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) minb,
+    max({'p': pf, 'sd': dt}) OVER (ORDER BY dt
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) maxb
+  FROM px),
+rows_ AS (SELECT dt, dd,
+    pf - (CASE WHEN minb IS NULL OR minb.p >= 0 THEN 0 ELSE minb.p END) gain,
+    CASE WHEN minb IS NULL OR minb.p >= 0 THEN d0 - 1 ELSE minb.sd END gstart0,
+    pf - (CASE WHEN maxb IS NULL OR maxb.p <= 0 THEN 0 ELSE maxb.p END) loss,
+    CASE WHEN maxb IS NULL OR maxb.p <= 0 THEN d0 - 1 ELSE maxb.sd END lstart0
+  FROM px2),
+bg AS (SELECT max(gain) bg, min(loss) wl, max(dd) dd FROM rows_),
+best AS (SELECT bg.bg, bg.dd, min({'e': r.dt, 'st': r.gstart0}) b
+  FROM rows_ r, bg WHERE r.gain = bg.bg GROUP BY 1, 2),
+worst AS (SELECT bg.wl, min({'e': r.dt, 'st': r.lstart0}) w
+  FROM rows_ r, bg WHERE r.loss = bg.wl GROUP BY 1)
+SELECT CAST(best.dd AS BIGINT) AS n_days,
+  best.b.st + 1 AS best_start, best.b.e AS best_end,
+  CAST(floor(CAST(best.bg AS DOUBLE) / CAST(best.dd AS DOUBLE)) AS BIGINT)
+    AS best_excess_cents,
+  worst.w.st + 1 AS worst_start, worst.w.e AS worst_end,
+  CAST(floor(CAST(worst.wl AS DOUBLE) / CAST(best.dd AS DOUBLE)) AS BIGINT)
+    AS worst_excess_cents
+FROM best, worst""",
+
+      // PPS systematic: shifted-positive BIGINT interval counts; HT
+      // estimate n_pts * skip per segment.
+      "sample_pps_systematic" ->
+        s"""WITH cust AS (SELECT o.o_custkey ck, c.c_mktsegment seg,
+    sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) rev
+  FROM ${T("orders")} o JOIN ${T("customer")} c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+run AS (SELECT ck, seg, rev, sum(rev) OVER (ORDER BY ck) hi FROM cust),
+tot AS (SELECT max(hi) t, max(hi) // 100 skp,
+    (max(hi) // 100) // 2 strt FROM run),
+pts AS (SELECT seg, rev, skp,
+    (hi - strt + skp) // skp - (hi - rev - strt + skp) // skp npts
+  FROM run, tot)
+SELECT seg, CAST(count(*) AS BIGINT) AS n_cust,
+  CAST(sum(rev) AS BIGINT) AS true_cents,
+  CAST(sum(npts) AS BIGINT) AS n_points,
+  CAST(sum(npts * skp) AS BIGINT) AS ht_est_cents,
+  CAST(floor((CAST(sum(npts * skp) AS DOUBLE) - CAST(sum(rev) AS DOUBLE)) /
+    CAST(sum(rev) AS DOUBLE) * 1e4) AS BIGINT) AS err_bp
+FROM pts GROUP BY 1 ORDER BY 1""",
+
+      // Quantile treatment effects: type-1 per-arm deciles at rank
+      // (q*n+9) div 10, exact integers end to end.
+      "agg_quantile_treatment_effect" ->
+        s"""WITH arms AS (SELECT
+    ('0x' || substr(md5(cast(o_orderkey AS VARCHAR)), 1, 4))::BIGINT % 2 arm,
+    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) y,
+    o_orderkey okey
+  FROM ${T("orders")}),
+r AS (SELECT arm, y,
+    row_number() OVER (PARTITION BY arm ORDER BY y, okey) prank FROM arms),
+sizes AS (SELECT arm, count(*) na FROM arms GROUP BY 1),
+targets AS (SELECT s.arm t_arm, q.q, (q.q * s.na + 9) // 10 trank
+  FROM sizes s, (SELECT unnest(generate_series(1, 9)) q) q),
+picked AS (SELECT t.q, r.arm, r.y FROM r
+  JOIN targets t ON r.arm = t.t_arm AND r.prank = t.trank)
+SELECT CAST(q AS BIGINT) AS decile,
+  CAST(max(CASE WHEN arm = 0 THEN y END) AS BIGINT) AS ctrl_cents,
+  CAST(max(CASE WHEN arm = 1 THEN y END) AS BIGINT) AS treat_cents,
+  CAST(max(CASE WHEN arm = 1 THEN y END) -
+    max(CASE WHEN arm = 0 THEN y END) AS BIGINT) AS qte_cents
+FROM picked GROUP BY 1 ORDER BY 1""",
+
+      // Two exact HITS iterations on the distinct customer-supplier
+      // purchase graph; top-20 authorities.
+      "graph_hits_bipartite" ->
+        s"""WITH edges AS (SELECT DISTINCT o.o_custkey c, l.l_suppkey sup
+  FROM ${T("lineitem")} l JOIN ${T("orders")} o ON l.l_orderkey = o.o_orderkey),
+a1 AS (SELECT sup, count(*) a1 FROM edges GROUP BY 1),
+h1 AS (SELECT e.c, sum(a1.a1) h1 FROM edges e JOIN a1 ON a1.sup = e.sup
+  GROUP BY 1),
+a2 AS (SELECT e.sup, sum(h1.h1) a2 FROM edges e JOIN h1 ON h1.c = e.c
+  GROUP BY 1)
+SELECT a1.sup AS supplier, CAST(a1.a1 AS BIGINT) AS authority1,
+  CAST(a2.a2 AS BIGINT) AS authority2
+FROM a1 JOIN a2 ON a1.sup = a2.sup
+ORDER BY a2.a2 DESC, a1.sup LIMIT 20""",
+
+      // Text-sink/source roundtrip: the oracle fingerprints the
+      // ORIGINAL parquet; the Spark side reads through TSV lines.
+      "src_text_roundtrip" ->
+        s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS chars,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+  CAST(min(doc_id) AS BIGINT) AS lo_id,
+  CAST(max(doc_id) AS BIGINT) AS hi_id
+FROM ${T("documents")} GROUP BY 1 ORDER BY source""",
+
+      // Two-sample log-rank: integer risk tables on the bounded gap
+      // grid; E/V terms floored at 1e6/1e8 per event time.
+      "ts_logrank_segments" ->
+        s"""WITH ft AS (SELECT o.o_custkey ck, c.c_mktsegment seg,
+    CAST(o.o_orderdate AS DATE) odt,
+    row_number() OVER (PARTITION BY o.o_custkey ORDER BY
+      CAST(o.o_orderdate AS DATE)) rn
+  FROM ${T("orders")} o JOIN ${T("customer")} c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+endd AS (SELECT max(CAST(o_orderdate AS DATE)) e FROM ${T("orders")}),
+subj AS (SELECT seg,
+    CASE WHEN sec IS NOT NULL THEN sec - f ELSE (SELECT e FROM endd) - f END t,
+    CASE WHEN sec IS NOT NULL THEN 1 ELSE 0 END ev
+  FROM (SELECT ck, seg, min(odt) f,
+      max(CASE WHEN rn = 2 THEN odt END) sec
+    FROM ft WHERE rn <= 2 GROUP BY 1, 2)),
+full_ AS (SELECT t,
+    sum(CASE WHEN seg = 'BUILDING' THEN ev ELSE 0 END) ev1,
+    sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) arr1,
+    sum(CASE WHEN seg = 'MACHINERY' THEN ev ELSE 0 END) ev2,
+    sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) arr2
+  FROM subj GROUP BY 1),
+risk AS (SELECT *,
+    sum(arr1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING
+      AND CURRENT ROW) n1,
+    sum(arr2) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING
+      AND CURRENT ROW) n2
+  FROM full_),
+ev AS (SELECT * FROM risk WHERE ev1 + ev2 > 0),
+terms AS (SELECT ev1, ev2, n1, n2,
+    CAST(floor(CAST(n1 AS DOUBLE) * CAST(ev1 + ev2 AS DOUBLE) /
+      CAST(n1 + n2 AS DOUBLE) * 1e6) AS BIGINT) eterm,
+    CASE WHEN n1 + n2 > 1 THEN CAST(floor(CAST(n1 AS DOUBLE) *
+      CAST(n2 AS DOUBLE) * CAST(ev1 + ev2 AS DOUBLE) *
+      CAST(n1 + n2 - ev1 - ev2 AS DOUBLE) /
+      (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE) *
+        CAST(n1 + n2 - 1 AS DOUBLE)) * 1e8) AS BIGINT)
+    ELSE 0 END vterm
+  FROM ev),
+agg AS (SELECT sum(ev1) o1, sum(ev2) o2, sum(eterm) e1q6, sum(vterm) vq8,
+    max(n1) ns1, max(n2) ns2 FROM terms)
+SELECT CAST(ns1 AS BIGINT) AS n_building, CAST(ns2 AS BIGINT) AS n_machinery,
+  CAST(o1 AS BIGINT) AS events_building, CAST(o2 AS BIGINT) AS events_machinery,
+  CAST(e1q6 AS BIGINT) AS e1_q6, CAST(vq8 AS BIGINT) AS v_q8,
+  CAST(floor((CAST(o1 AS DOUBLE) - CAST(e1q6 AS DOUBLE)/1e6) *
+    (CAST(o1 AS DOUBLE) - CAST(e1q6 AS DOUBLE)/1e6) /
+    (CAST(vq8 AS DOUBLE)/1e8) * 1e4) AS BIGINT) AS chi2_q4
+FROM agg""",
+
+      // ICC(1) with the unbalanced k0 correction; S²/n terms floored
+      // to integer dollars² per customer (the two-way-anova recipe).
+      "agg_icc_intraclass" ->
+        s"""WITH perc AS (SELECT o_custkey, count(*) ni,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) si,
+    sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      AS HUGEINT) *
+      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) ssqi
+  FROM ${T("orders")} GROUP BY 1),
+t AS (SELECT count(*) k, sum(ni) n, sum(si) st, sum(ssqi) ssqt,
+    sum(CAST(floor((CAST(si AS DOUBLE)/1e2) * (CAST(si AS DOUBLE)/1e2) /
+      CAST(ni AS DOUBLE)) AS HUGEINT)) qb,
+    sum(CAST(ni AS HUGEINT) * ni) sn2
+  FROM perc),
+f AS (SELECT n, k,
+    (CAST(qb AS DOUBLE) - (CAST(st AS DOUBLE)/1e2) * (CAST(st AS DOUBLE)/1e2)
+      / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1) msb,
+    (CAST(ssqt AS DOUBLE)/1e4 - CAST(qb AS DOUBLE)) /
+      (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) msw,
+    (CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE)/CAST(n AS DOUBLE)) /
+      (CAST(k AS DOUBLE) - 1) k0
+  FROM t)
+SELECT CAST(n AS BIGINT) AS n_orders, CAST(k AS BIGINT) AS k_customers,
+  CAST(floor(msb) AS BIGINT) AS msb_floor,
+  CAST(floor(msw) AS BIGINT) AS msw_floor,
+  CAST(floor(k0 * 1e6) AS BIGINT) AS k0_q6,
+  CAST(floor((msb - msw) / (msb + (k0 - 1) * msw) * 1e6) AS BIGINT) AS icc_q6
+FROM f""",
+
+      // Partial correlation from exact HUGEINT moment sums; one fixed
+      // double tree, each r floored at 1e6.
+      "agg_partial_corr" ->
+        s"""WITH li AS (SELECT CAST(l_quantity AS BIGINT) x,
+    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) y,
+    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) z
+  FROM ${T("lineitem")}),
+t AS (SELECT count(*) n, sum(x) sx, sum(y) sy, sum(z) sz,
+    sum(CAST(x AS HUGEINT) * x) sxx, sum(CAST(y AS HUGEINT) * y) syy,
+    sum(CAST(z AS HUGEINT) * z) szz, sum(CAST(x AS HUGEINT) * y) sxy,
+    sum(CAST(x AS HUGEINT) * z) sxz, sum(CAST(y AS HUGEINT) * z) syz
+  FROM li),
+r AS (SELECT n,
+    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) rxy,
+    (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE)) /
+      sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) rxz,
+    (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE)) /
+      sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) *
+        (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) ryz
+  FROM t)
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(floor(rxy * 1e6) AS BIGINT) AS r_xy_q6,
+  CAST(floor(rxz * 1e6) AS BIGINT) AS r_xz_q6,
+  CAST(floor(ryz * 1e6) AS BIGINT) AS r_yz_q6,
+  CAST(floor((rxy - rxz * ryz) / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)) * 1e6)
+    AS BIGINT) AS partial_r_q6
+FROM r""",
+
+      // Burrows' Delta: ppm freqs, integer panel moments, z floored
+      // 1e4 (zero-variance words contribute 0), Delta = sum div 20.
+      "text_burrows_delta" ->
+        s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) w
+  FROM ${T("documents")}),
+top AS (SELECT w tw FROM (SELECT w, count(*) cnt FROM toks GROUP BY 1
+  ORDER BY cnt DESC, w LIMIT 20)),
+srctot AS (SELECT source, count(*) tot FROM toks GROUP BY 1),
+csw AS (SELECT source, w, count(*) c FROM toks JOIN top ON w = tw
+  GROUP BY 1, 2),
+grid AS (SELECT st.source src, top.tw,
+    (coalesce(csw.c, 0) * 1000000) // st.tot fq
+  FROM srctot st CROSS JOIN top
+  LEFT JOIN csw ON csw.w = top.tw AND csw.source = st.source),
+stats AS (SELECT tw, count(*) ns, sum(fq) sf,
+    sum(CAST(fq AS HUGEINT) * fq) sff FROM grid GROUP BY 1),
+zed AS (SELECT g.src, g.tw,
+    CASE WHEN s.ns * s.sff - CAST(s.sf AS HUGEINT) * s.sf > 0 THEN
+      CAST(floor((CAST(g.fq AS DOUBLE) - CAST(s.sf AS DOUBLE)/CAST(s.ns AS DOUBLE)) /
+        sqrt(CAST(s.ns * s.sff - CAST(s.sf AS HUGEINT) * s.sf AS DOUBLE) /
+          (CAST(s.ns AS DOUBLE) * (CAST(s.ns AS DOUBLE) - 1))) * 1e4) AS BIGINT)
+    ELSE 0 END zq
+  FROM grid g JOIN stats s ON s.tw = g.tw),
+pairs AS (SELECT a.src s1, b.src s2, sum(abs(a.zq - b.zq)) sad, count(*) nw
+  FROM zed a JOIN zed b ON a.tw = b.tw AND a.src < b.src GROUP BY 1, 2)
+SELECT s1, s2, CAST(sad // nw AS BIGINT) AS delta_q4
+FROM pairs ORDER BY delta_q4, s1, s2 LIMIT 10""",
+
+      // Local bridges: per-edge common-neighbor counts over the shared
+      // EDGES CTEs; top-10 by weight with the global census attached.
+      "graph_local_bridges" ->
+        s"""$E
+, cn AS (SELECT e.s es, e.t et, count(*) tri
+  FROM e JOIN ud u1 ON u1.s = e.s JOIN ud u2 ON u2.s = e.t AND u2.t = u1.t
+  GROUP BY 1, 2),
+deg AS (SELECT s dv, count(*) deg FROM ud GROUP BY 1),
+flagged AS (SELECT e.s, e.t, e.w, coalesce(cn.tri, 0) tri
+  FROM e LEFT JOIN cn ON cn.es = e.s AND cn.et = e.t),
+census AS (SELECT count(*) n_edges,
+    sum(CASE WHEN tri = 0 THEN 1 ELSE 0 END) n_bridges FROM flagged)
+SELECT CAST(f.s AS BIGINT) AS s, CAST(f.t AS BIGINT) AS t,
+  CAST(f.w AS BIGINT) AS w, CAST(d1.deg AS BIGINT) AS deg_s,
+  CAST(d2.deg AS BIGINT) AS deg_t,
+  CAST(c.n_edges AS BIGINT) AS n_edges_total,
+  CAST(c.n_bridges AS BIGINT) AS n_bridges_total
+FROM flagged f JOIN deg d1 ON d1.dv = f.s JOIN deg d2 ON d2.dv = f.t
+CROSS JOIN census c
+WHERE f.tri = 0 ORDER BY f.w DESC, f.s, f.t LIMIT 10""",
+
+      // Threshold sweep over the LSH-verified pair relation (the
+      // minhash CTE chain); zero-pair cuts still report via left join.
+      "dedup_threshold_sweep" ->
+        s"""WITH ${minhashCtes(dir)},
+pairs AS (SELECT d1, d2,
+    CAST(round(round(cast(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) * 10000, 0)
+      AS BIGINT) jq
+  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+  WHERE cast(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5),
+thr AS (SELECT unnest(generate_series(50, 95, 5)) thr_pct),
+hit AS (SELECT t.thr_pct, p.d1, p.d2 FROM thr t JOIN pairs p
+  ON p.jq >= t.thr_pct * 100),
+byp AS (SELECT thr_pct, count(*) n_pairs FROM hit GROUP BY 1),
+byd AS (SELECT thr_pct, count(*) n_docs FROM (
+    SELECT DISTINCT thr_pct, dd FROM (
+      SELECT thr_pct, d1 dd FROM hit UNION ALL SELECT thr_pct, d2 FROM hit))
+  GROUP BY 1)
+SELECT CAST(t.thr_pct AS BIGINT) AS thr_pct,
+  CAST(coalesce(byp.n_pairs, 0) AS BIGINT) AS n_pairs,
+  CAST(coalesce(byd.n_docs, 0) AS BIGINT) AS n_docs
+FROM thr t LEFT JOIN byp ON byp.thr_pct = t.thr_pct
+LEFT JOIN byd ON byd.thr_pct = t.thr_pct ORDER BY t.thr_pct""",
+
+      // Hurst R/S: W' = n·P_k − k·S exact, R/S = R'/sqrt(n·Σy²−S²),
+      // per-block floor 1e6, per-size integer-div means, ln-OLS.
+      "ts_hurst_exponent" ->
+        s"""WITH daily AS (SELECT dt, y, row_number() OVER (ORDER BY dt) t
+  FROM (SELECT CAST(o_orderdate AS DATE) dt,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) y
+  FROM ${T("orders")} GROUP BY 1)),
+sizes AS (SELECT unnest([16, 32, 64, 128, 256]) bn),
+blocks AS (SELECT bn, (t - 1) // bn blk, (t - 1) % bn + 1 k, y
+  FROM daily, sizes),
+withp AS (SELECT bn, blk, k, y,
+    sum(CAST(y AS HUGEINT)) OVER (PARTITION BY bn, blk ORDER BY k) pk
+  FROM blocks),
+btot AS (SELECT bn b2, blk k2, sum(CAST(y AS HUGEINT)) stot,
+    sum(CAST(y AS HUGEINT) * y) ssq, count(*) m2
+  FROM blocks GROUP BY 1, 2),
+wdev AS (SELECT w.bn, w.blk, b.stot, b.ssq,
+    CAST(w.bn AS HUGEINT) * w.pk - CAST(w.k AS HUGEINT) * b.stot wk
+  FROM withp w JOIN btot b ON b.b2 = w.bn AND b.k2 = w.blk
+  WHERE b.m2 = w.bn),
+perblock AS (SELECT bn, blk, stot, ssq, max(wk) wmax, min(wk) wmin
+  FROM wdev GROUP BY 1, 2, 3, 4),
+rsq AS (SELECT bn, CAST(floor(CAST(wmax - wmin AS DOUBLE) /
+    sqrt(CAST(CAST(bn AS HUGEINT) * ssq - stot * stot AS DOUBLE)) * 1e6)
+    AS BIGINT) rq
+  FROM perblock),
+bysize AS (SELECT bn, count(*) nblocks, sum(rq) // count(*) mean_rs_q6
+  FROM rsq GROUP BY 1),
+xy AS (SELECT CAST(floor(ln(CAST(bn AS DOUBLE)) * 1e6) AS BIGINT) lx,
+    CAST(floor(ln(CAST(mean_rs_q6 AS DOUBLE) / 1e6) * 1e6) AS BIGINT) ly
+  FROM bysize),
+ols AS (SELECT count(*) np, sum(lx) sx, sum(ly) sy,
+    sum(CAST(lx AS HUGEINT) * lx) sxx, sum(CAST(lx AS HUGEINT) * ly) sxy
+  FROM xy),
+h AS (SELECT CAST(floor((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+    (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6) AS BIGINT) hurst_q6
+  FROM ols)
+SELECT CAST(bn AS BIGINT) AS block_n, CAST(nblocks AS BIGINT) AS n_blocks,
+  CAST(mean_rs_q6 AS BIGINT) AS mean_rs_q6, h.hurst_q6
+FROM bysize, h ORDER BY block_n""",
+
+      // Chow break at the calendar midpoint: per-segment OLS SSR from
+      // exact moments, F one double tree.
+      "ts_chow_break" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) dt,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) y
+  FROM ${T("orders")} GROUP BY 1),
+bounds AS (SELECT min(dt) d0,
+    min(dt) + CAST((max(dt) - min(dt)) // 2 AS INTEGER) mid
+  FROM daily),
+pts AS (SELECT (dt - d0 + 1) x, y, dt < mid pre FROM daily, bounds),
+mo AS (SELECT count(*) n, sum(CAST(x AS HUGEINT)) sx,
+    sum(CAST(y AS HUGEINT)) sy, sum(CAST(x AS HUGEINT) * x) sxx,
+    sum(CAST(x AS HUGEINT) * y) sxy, sum(CAST(y AS HUGEINT) * y) syy
+  FROM pts),
+ma AS (SELECT count(*) n, sum(CAST(x AS HUGEINT)) sx,
+    sum(CAST(y AS HUGEINT)) sy, sum(CAST(x AS HUGEINT) * x) sxx,
+    sum(CAST(x AS HUGEINT) * y) sxy, sum(CAST(y AS HUGEINT) * y) syy
+  FROM pts WHERE pre),
+mb AS (SELECT count(*) n, sum(CAST(x AS HUGEINT)) sx,
+    sum(CAST(y AS HUGEINT)) sy, sum(CAST(x AS HUGEINT) * x) sxx,
+    sum(CAST(x AS HUGEINT) * y) sxy, sum(CAST(y AS HUGEINT) * y) syy
+  FROM pts WHERE NOT pre),
+f AS (SELECT ma.n an, mb.n bn_, mo.n pn,
+    ((CAST(mo.n AS DOUBLE) * CAST(mo.syy AS DOUBLE) - CAST(mo.sy AS DOUBLE) * CAST(mo.sy AS DOUBLE)) -
+     (CAST(mo.n AS DOUBLE) * CAST(mo.sxy AS DOUBLE) - CAST(mo.sx AS DOUBLE) * CAST(mo.sy AS DOUBLE)) *
+     (CAST(mo.n AS DOUBLE) * CAST(mo.sxy AS DOUBLE) - CAST(mo.sx AS DOUBLE) * CAST(mo.sy AS DOUBLE)) /
+     (CAST(mo.n AS DOUBLE) * CAST(mo.sxx AS DOUBLE) - CAST(mo.sx AS DOUBLE) * CAST(mo.sx AS DOUBLE)))
+      / CAST(mo.n AS DOUBLE) / 1e4 * CAST(mo.n AS DOUBLE) ssrp,
+    ((CAST(ma.n AS DOUBLE) * CAST(ma.syy AS DOUBLE) - CAST(ma.sy AS DOUBLE) * CAST(ma.sy AS DOUBLE)) -
+     (CAST(ma.n AS DOUBLE) * CAST(ma.sxy AS DOUBLE) - CAST(ma.sx AS DOUBLE) * CAST(ma.sy AS DOUBLE)) *
+     (CAST(ma.n AS DOUBLE) * CAST(ma.sxy AS DOUBLE) - CAST(ma.sx AS DOUBLE) * CAST(ma.sy AS DOUBLE)) /
+     (CAST(ma.n AS DOUBLE) * CAST(ma.sxx AS DOUBLE) - CAST(ma.sx AS DOUBLE) * CAST(ma.sx AS DOUBLE)))
+      / CAST(ma.n AS DOUBLE) / 1e4 * CAST(ma.n AS DOUBLE) ssra,
+    ((CAST(mb.n AS DOUBLE) * CAST(mb.syy AS DOUBLE) - CAST(mb.sy AS DOUBLE) * CAST(mb.sy AS DOUBLE)) -
+     (CAST(mb.n AS DOUBLE) * CAST(mb.sxy AS DOUBLE) - CAST(mb.sx AS DOUBLE) * CAST(mb.sy AS DOUBLE)) *
+     (CAST(mb.n AS DOUBLE) * CAST(mb.sxy AS DOUBLE) - CAST(mb.sx AS DOUBLE) * CAST(mb.sy AS DOUBLE)) /
+     (CAST(mb.n AS DOUBLE) * CAST(mb.sxx AS DOUBLE) - CAST(mb.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE)))
+      / CAST(mb.n AS DOUBLE) / 1e4 * CAST(mb.n AS DOUBLE) ssrb
+  FROM mo, ma, mb)
+SELECT CAST(an AS BIGINT) AS n_pre, CAST(bn_ AS BIGINT) AS n_post,
+  CAST(floor(ssrp / 1e6) AS BIGINT) AS ssr_pooled_m,
+  CAST(floor(ssra / 1e6) AS BIGINT) AS ssr_pre_m,
+  CAST(floor(ssrb / 1e6) AS BIGINT) AS ssr_post_m,
+  CAST(floor(((ssrp - ssra - ssrb) / 2) /
+    ((ssra + ssrb) / (CAST(pn AS DOUBLE) - 4)) * 1e6) AS BIGINT) AS f_q6
+FROM f""",
+
+      // Newey-West Bartlett L=7: demeaned products scaled by D² exact,
+      // per-lag gamma floored to integer dollars², one double tree.
+      "ts_newey_west" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) dt,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) y
+  FROM ${T("orders")} GROUP BY 1),
+tot AS (SELECT count(*) dd, sum(CAST(y AS HUGEINT)) t FROM daily),
+lags AS (SELECT unnest(generate_series(0, 7)) lag),
+gam AS (SELECT l.lag, tot.dd,
+    CAST(floor(CAST(sum((CAST(a.y AS HUGEINT) * tot.dd - tot.t) *
+        (CAST(b.y AS HUGEINT) * tot.dd - tot.t)) AS DOUBLE) /
+      (CAST(tot.dd AS DOUBLE) * CAST(tot.dd AS DOUBLE) *
+        CAST(tot.dd AS DOUBLE)) / 1e4) AS BIGINT) gamma_d2
+  FROM lags l CROSS JOIN daily a
+  JOIN daily b ON b.dt = a.dt + to_days(CAST(l.lag AS INTEGER))
+  CROSS JOIN tot GROUP BY 1, 2),
+lrv AS (SELECT dd, sum(CASE WHEN lag = 0 THEN CAST(gamma_d2 AS DOUBLE)
+    ELSE 2 * (8 - lag) / 8.0 * CAST(gamma_d2 AS DOUBLE) END) lrv
+  FROM gam GROUP BY 1)
+SELECT CAST(g.lag AS BIGINT) AS lag,
+  CAST(1000000 * (8 - g.lag) // 8 AS BIGINT) AS weight_ppm,
+  CAST(g.gamma_d2 AS BIGINT) AS gamma_d2,
+  CAST(floor(l.lrv) AS BIGINT) AS lrv_d2_floor,
+  CAST(floor(sqrt(l.lrv / CAST(l.dd AS DOUBLE)) * 1e2) AS BIGINT)
+    AS se_dollars_q2
+FROM gam g, lrv l ORDER BY g.lag""",
+
+      // Leaderboard churn: month-keyed integer top-10 sets, exact
+      // overlap counts between consecutive months.
+      "win_leaderboard_churn" ->
+        s"""WITH monthly AS (SELECT date_trunc('month', CAST(l_shipdate AS DATE)) mo,
+    l_suppkey,
+    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) rev
+  FROM ${T("lineitem")} GROUP BY 1, 2),
+top AS (SELECT mo, l_suppkey FROM (SELECT mo, l_suppkey,
+    row_number() OVER (PARTITION BY mo ORDER BY rev DESC, l_suppkey) rk
+  FROM monthly) WHERE rk <= 10),
+kper AS (SELECT mo, count(*) k FROM top GROUP BY 1),
+ov AS (SELECT b.mo, count(*) overlap FROM top a JOIN top b
+  ON b.mo = a.mo + INTERVAL 1 MONTH AND a.l_suppkey = b.l_suppkey
+  GROUP BY 1)
+SELECT CAST(c.mo AS DATE) AS month, CAST(p.k AS BIGINT) AS k_prev,
+  CAST(c.k AS BIGINT) AS k_cur,
+  CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+  CAST(c.k - coalesce(ov.overlap, 0) AS BIGINT) AS churn
+FROM kper c JOIN kper p ON p.mo = c.mo - INTERVAL 1 MONTH
+LEFT JOIN ov ON ov.mo = c.mo ORDER BY month""",
+
+      // Cronbach's alpha over the three integer quality items; exact
+      // HUGEINT moments, one double tree.
+      "pipeline_cronbach_alpha" ->
+        s"""WITH rows_ AS (SELECT len(toks) a,
+    len(list_filter(toks, w -> w IN ('the','a','table','value','query'))) b,
+    len(list_distinct(toks)) c
+  FROM (SELECT string_split(text, ' ') toks FROM ${T("documents")})),
+t AS (SELECT count(*) n,
+    sum(CAST(a AS HUGEINT)) sa, sum(CAST(a AS HUGEINT) * a) saa,
+    sum(CAST(b AS HUGEINT)) sb, sum(CAST(b AS HUGEINT) * b) sbb,
+    sum(CAST(c AS HUGEINT)) sc, sum(CAST(c AS HUGEINT) * c) scc,
+    sum(CAST(a + b + c AS HUGEINT)) st,
+    sum(CAST(a + b + c AS HUGEINT) * (a + b + c)) stt
+  FROM rows_),
+v AS (SELECT n,
+    (CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) va,
+    (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) vb,
+    (CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) vc,
+    (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) vt
+  FROM t)
+SELECT CAST(n AS BIGINT) AS n_docs,
+  CAST(floor(va * 1e2) AS BIGINT) AS var_tokens_q2,
+  CAST(floor(vb * 1e2) AS BIGINT) AS var_stopwords_q2,
+  CAST(floor(vc * 1e2) AS BIGINT) AS var_distinct_q2,
+  CAST(floor(vt * 1e2) AS BIGINT) AS var_total_q2,
+  CAST(floor(1.5 * (1 - (va + vb + vc) / vt) * 1e6) AS BIGINT) AS alpha_q6
+FROM v""",
+
+      // Gzip text roundtrip: the oracle fingerprints the original
+      // parquet per lang.
+      "src_gzip_roundtrip" ->
+        s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS chars,
+  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+FROM ${T("documents")} GROUP BY 1 ORDER BY lang"""
     )
   }
 }

@@ -173,7 +173,25 @@ object ScalingBench {
         "pipeline_bpe_fertility" -> (() =>
           { ops.Pipelines.pipelineBpeFertility(spark, dir).count(); () }),
         "sample_class_balance" -> (() =>
-          { ops.Sampling.sampleClassBalance(spark, dir).count(); () }))
+          { ops.Sampling.sampleClassBalance(spark, dir).count(); () }),
+        // round-12 §2.41 doc-side shapes: kneser-ney is two linear
+        // bigram passes + three vocab-bounded broadcast probes (α
+        // should track the bigram_logprob scan); token mix is one
+        // per-source scan + bounded windows (the gopher floor)
+        "pipeline_kneser_ney_nll" -> (() =>
+          { ops.Pipelines.pipelineKneserNeyNll(spark, dir).count(); () }),
+        "pipeline_token_budget_mix" -> (() =>
+          { ops.Pipelines.pipelineTokenBudgetMix(spark, dir).count(); () }),
+        // round-12 §2.43 doc-side: burrows delta (one token scan +
+        // bounded grid) and the threshold sweep (marginal over the
+        // persisted LSH pairs — its α should be ~zero past the pairs)
+        "text_burrows_delta" -> (() =>
+          { ops.TextSim.textBurrowsDelta(spark, dir).count(); () }),
+        "dedup_threshold_sweep" -> (() =>
+          { ops.Pipelines.dedupThresholdSweep(spark, dir).count(); () }),
+        // round-12 §2.44 doc-side: cronbach is the fused-scan floor
+        "pipeline_cronbach_alpha" -> (() =>
+          { ops.Pipelines.pipelineCronbachAlpha(spark, dir).count(); () }))
       )
       // run r: clear -> timed shingle build -> each op timed under its
       // own job group; keep min wall and min CPU per op (a cost
@@ -296,7 +314,36 @@ object ScalingBench {
         "agg_cuped_adjust" -> (() => { ops.Relational.aggCupedAdjust(spark, dir).count(); () }),
         "ts_retention_half_life" -> (() => { ops.TimeSeries.tsRetentionHalfLife(spark, dir).count(); () }),
         "ts_conditional_entropy" -> (() => { ops.TimeSeries.tsConditionalEntropy(spark, dir).count(); () }),
-        "ts_holt_winters" -> (() => { ops.TimeSeries.tsHoltWinters(spark, dir).count(); () })))
+        "ts_holt_winters" -> (() => { ops.TimeSeries.tsHoltWinters(spark, dir).count(); () }),
+        // round-12 §2.41/§2.42 fact-sized shapes: the two-way ANOVA
+        // cell scan (one map-combined aggregate — α should track the
+        // scan), the xcorr/periodogram/kadane trio (CLAIM: ~flat past
+        // their shared date-grain aggregate — calendar-bounded folds),
+        // the PPS running sum (one GlobalRank range shuffle), the QTE
+        // double-rank (one range shuffle over (arm, value)), and the
+        // HITS distinct-edge build + two equi-join iterations (the
+        // edge relation is the scale-sensitive term, like EDGES)
+        "agg_anova_two_way" -> (() => { ops.Relational.aggAnovaTwoWay(spark, dir).count(); () }),
+        "ts_xcorr_lags" -> (() => { ops.TimeSeries.tsXcorrLags(spark, dir).count(); () }),
+        "ts_dominant_period" -> (() => { ops.TimeSeries.tsDominantPeriod(spark, dir).count(); () }),
+        "ts_hot_streak_kadane" -> (() => { ops.TimeSeries.tsHotStreakKadane(spark, dir).count(); () }),
+        "sample_pps_systematic" -> (() => { ops.Sampling.samplePpsSystematic(spark, dir).count(); () }),
+        "agg_quantile_treatment_effect" -> (() => { ops.Relational.aggQuantileTreatmentEffect(spark, dir).count(); () }),
+        "graph_hits_bipartite" -> (() => { ops.GraphOps.graphHitsBipartite(spark, dir).count(); () }),
+        // round-12 §2.43: logrank (customer-grain aggregate + bounded
+        // grid — α ~ the aggregate), icc/partial_corr (single fused
+        // scans — the linear floor), local bridges (EDGES-bounded
+        // triangle join, marginal like the other traversals)
+        "ts_logrank_segments" -> (() => { ops.TimeSeries.tsLogrankSegments(spark, dir).count(); () }),
+        "agg_icc_intraclass" -> (() => { ops.Relational.aggIccIntraclass(spark, dir).count(); () }),
+        "agg_partial_corr" -> (() => { ops.Relational.aggPartialCorr(spark, dir).count(); () }),
+        "graph_local_bridges" -> (() => { ops.GraphOps.graphLocalBridges(spark, dir).count(); () }),
+        // round-12 §2.44: the three day-grain robust-inference folds
+        // (CLAIM: ~flat past the shared date aggregate) and the
+        // month-keyed leaderboard (one fact aggregate + group limits)
+        "ts_hurst_exponent" -> (() => { ops.TimeSeries.tsHurstExponent(spark, dir).count(); () }),
+        "ts_newey_west" -> (() => { ops.TimeSeries.tsNeweyWest(spark, dir).count(); () }),
+        "win_leaderboard_churn" -> (() => { ops.Windows.winLeaderboardChurn(spark, dir).count(); () })))
       val best = scala.collection.mutable.LinkedHashMap[String, Double]()
       val bestCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
       var primeBest = Double.MaxValue

@@ -871,6 +871,59 @@ class Naqed(spark: SparkSession, sfDir: String) {
     }.reduce(_ unionByName _)
   }
 
+  /** Retrieval-eval directive (round 12): the retrieval-quality stack
+    * behind the same `$checks` shape as [[audit]]/[[experiment]]/
+    * [[forecast]] — `$checks` selects from {ndcg, mrr, map, rrf, rbo}
+    * (default: all five), one long-format (check, metric, value)
+    * relation. Each check IS the oracle-checked operator
+    * (simNdcgAt10 / simMrrAt10 / simMapAt10 / simRrfFusion /
+    * simRboRankings), so the API cannot drift from verified
+    * semantics; per-probe relations key the metric on the probe id,
+    * the fused ranking on the doc. Unknown arguments / check names
+    * fail analysis naqed-style. */
+  def retrieval(q: Map[String, Any] = Map.empty): DataFrame = {
+    val known = Set("$checks")
+    val unknown = q.keys.filterNot(known.contains)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown retrieval arguments ${unknown.mkString(", ")}; valid: $$checks")
+    val all = Seq("ndcg", "mrr", "map", "rrf", "rbo")
+    val checks: Seq[String] = q.get("$checks") match {
+      case Some(xs: Seq[_]) => xs.map {
+        case s: String if all.contains(s) => s
+        case other => throw new IllegalArgumentException(
+          s"unknown retrieval check '$other'; valid: ${all.mkString(", ")}")
+      }
+      case Some(other) => throw new IllegalArgumentException(
+        s"$$checks expects a list of check names, got $other")
+      case None => all
+    }
+    import org.apache.spark.sql.functions.{col, lit, expr, concat_ws}
+    def longKeyed(name: String, df: DataFrame, key: String): DataFrame = {
+      val cols = df.columns.filterNot(_ == key)
+      df.select(col(key), expr(s"stack(${cols.length}, " +
+          cols.map(c => s"'$c', cast(`$c` AS STRING)").mkString(", ") + ")")
+          .as(Seq("m", "value")))
+        .select(lit(name).as("check"),
+          concat_ws("_", col("m"), col(key).cast("string")).as("metric"),
+          col("value"))
+    }
+    checks.map {
+      case "ndcg" =>
+        longKeyed("ndcg", graft.ops.TextSim.simNdcgAt10(spark, sfDir), "pid")
+      case "mrr" =>
+        longKeyed("mrr", graft.ops.TextSim.simMrrAt10(spark, sfDir), "pid")
+      case "map" =>
+        longKeyed("map", graft.ops.TextSim.simMapAt10(spark, sfDir), "pid")
+      case "rrf" =>
+        longKeyed("rrf", graft.ops.TextSim.simRrfFusion(spark, sfDir),
+          "doc_id")
+      case "rbo" =>
+        longKeyed("rbo", graft.ops.TextSim.simRboRankings(spark, sfDir),
+          "pid")
+    }.reduce(_ unionByName _)
+  }
+
   /** Embedding near-dedup directive (naqed resolver-with-args style):
     * the curation stage for embedding-carrying corpora
     * (ops.Curation.annNearDedup), driven through the `$`-argument

@@ -722,4 +722,76 @@ object GraphOps {
         (col("katz_q3").cast(DoubleType) / 1e3).as("katz"))
   }
 
+  /** Unnormalized HITS on the bipartite purchase graph (§2.42):
+    * customers are hubs, suppliers authorities, edges = distinct
+    * (customer, supplier) pairs from orders⋈lineitem. Two exact power
+    * iterations — a₁(s) = indegree, h₁(c) = Σ_{s∈N(c)} a₁(s),
+    * a₂(s) = Σ_{c∈N(s)} h₁(c) — i.e. rows of (AᵀA)ᵀ… the mutual-
+    * reinforcement ranking Kleinberg's HITS converges to, cut at
+    * iteration 2 where every value is still an exact BIGINT (the
+    * normalized fixpoint needs per-step float norms that no hash gate
+    * can pin). a₂ rewards suppliers whose customers shop broadly at
+    * well-connected suppliers — degree (a₁) ranks miss exactly that.
+    * Scale: the distinct-edge build is the one fact-sized pass; each
+    * iteration is a hash-aggregate + equi-join on the edge relation,
+    * the 1000-executor shape. Top-20 by (a₂, key) is TakeOrdered. */
+  val graphHitsBipartite: Q = (s, d) => {
+    val edges = table(s, d, "lineitem")
+      .join(table(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a1 = edges.groupBy(col("sup")).agg(count(lit(1)).as("a1"))
+    val h1 = edges.join(a1, Seq("sup"))
+      .groupBy(col("c")).agg(sum(col("a1")).as("h1"))
+    val a2 = edges.join(h1, Seq("c"))
+      .groupBy(col("sup")).agg(sum(col("h1")).as("a2"))
+    a1.join(a2, Seq("sup"))
+      .orderBy(col("a2").desc, col("sup"))
+      .limit(20)
+      .select(col("sup").as("supplier"), asLong(col("a1")).as("authority1"),
+        asLong(col("a2")).as("authority2"))
+  }
+
+  /** Local bridges (§2.43): edges of the co-purchase graph whose
+    * endpoints share NO common neighbor — Granovetter's weak ties,
+    * the links whose removal lengthens every path between their
+    * endpoints (triangle-dense communities never produce them);
+    * graph_jaccard_neighbors scores overlap on sampled node pairs,
+    * this finds the zero-overlap EDGES, the structurally load-bearing
+    * complement. Top-10 by (weight desc, endpoints) with endpoint
+    * degrees and the global bridge census attached. Exactness: pure
+    * integer triangle counts per edge + degrees. Scale: the per-edge
+    * common-neighbor count is the triangle-enumeration equi-join over
+    * the persisted EDGES relation (the graph_triangles shape, fanout
+    * bounded by degree); census is a 1-row broadcast. */
+  val graphLocalBridges: Q = (s, d) => {
+    val (e, ud) = Tables.edges(s, d)
+    val cn = e.select(col("s").as("es"), col("t").as("et"))
+      .join(ud.select(col("s").as("ns"), col("t").as("nbr")),
+        col("ns") === col("es"))
+      .join(ud.select(col("s").as("ns2"), col("t").as("nbr2")),
+        col("ns2") === col("et") && col("nbr2") === col("nbr"))
+      .groupBy(col("es"), col("et")).agg(count(lit(1)).as("tri"))
+    val deg = ud.groupBy(col("s").as("dv")).agg(count(lit(1)).as("deg"))
+    val flagged = e.join(cn, col("s") === col("es") && col("t") === col("et"),
+        "left")
+      .select(col("s"), col("t"), col("w"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+    val census = flagged.agg(count(lit(1)).as("n_edges"),
+      sum(when(col("tri") === 0, 1L).otherwise(0L)).as("n_bridges"))
+    flagged.filter(col("tri") === 0)
+      .join(deg.toDF("d1v", "deg_s"), col("s") === col("d1v"))
+      .join(deg.toDF("d2v", "deg_t"), col("t") === col("d2v"))
+      .crossJoin(broadcast(census))
+      .orderBy(col("w").desc, col("s"), col("t"))
+      .limit(10)
+      .select(asLong(col("s")).as("s"), asLong(col("t")).as("t"),
+        asLong(col("w")).as("w"), asLong(col("deg_s")).as("deg_s"),
+        asLong(col("deg_t")).as("deg_t"),
+        asLong(col("n_edges")).as("n_edges_total"),
+        asLong(col("n_bridges")).as("n_bridges_total"))
+  }
+
 }

@@ -2372,4 +2372,191 @@ object Pipelines {
       .orderBy("source")
   }
 
+  /** Interpolated Kneser–Ney bigram LM, held-out eval (§2.41): the
+    * standard n-gram smoothing (absolute discount d = 3/4, lower-order
+    * weight from CONTINUATION counts — "how many contexts has w2
+    * followed", not raw frequency) estimated on the hash-split train
+    * fold and scored per language on the test fold. Completes the LM
+    * ladder: unigram_logprob (in-sample), heldout_nll (add-1 unigram,
+    * out-of-sample), bigram_logprob (in-sample MLE) → this is the
+    * out-of-sample BIGRAM read with the smoothing a real LM eval uses.
+    * Exactness: with d = 3/4 every probability is the exact rational
+    *   [max(4·c12−3, 0)·contDen + 3·N1+(w1•)·(N1+(•w2)+1)] /
+    *   [4·c1(w1)·contDen],   contDen = n_bigram_types + V + 1
+    * (the +1s smooth unseen w2; unseen CONTEXTS back off to the
+    * continuation distribution alone) — integer numerator/denominator
+    * in both engines, one −ln per test bigram floor-quantized at 1e6
+    * (the logprob recipe), BIGINT-summed. Scale: the bigram-type
+    * relation is vocab²-bounded (Heaps-law sub-linear) → broadcast;
+    * test scoring is one linear scan with three broadcast joins;
+    * per-lang sums map-combine. */
+  val pipelineKneserNeyNll: Q = (s, d) => {
+    val toks = table(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        (Sampling.bucket16(col("doc_id")) % 10 < 8).as("is_train"),
+        split(col("text"), " ").as("l"))
+    val big = toks.select(col("lang"), col("is_train"), explode(expr(
+        "transform(slice(l, 1, size(l) - 1), (x, i) -> " +
+          "struct(x AS w1, element_at(l, i + 2) AS w2))")).as("bg"))
+      .select(col("lang"), col("is_train"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = big.filter(col("is_train"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val nb = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val tot = c12.agg(count(lit(1)).as("ntypes")).crossJoin(
+      big.filter(col("is_train")).select(col("w1").as("w"))
+        .unionAll(big.filter(col("is_train")).select(col("w2").as("w")))
+        .distinct().agg(count(lit(1)).as("v")))
+    // all three LM relations are vocab-/vocab²-bounded (Heaps-law
+    // sub-linear) — broadcast explicitly so the test scan never
+    // shuffles at any corpus size
+    val test = big.filter(!col("is_train"))
+      .join(broadcast(c12.withColumnRenamed("w1", "a1")
+        .withColumnRenamed("w2", "a2")),
+        col("w1") === col("a1") && col("w2") === col("a2"), "left")
+      .join(broadcast(c1.withColumnRenamed("w1", "b1")),
+        col("w1") === col("b1"), "left")
+      .join(broadcast(nb.withColumnRenamed("w2", "c2")),
+        col("w2") === col("c2"), "left")
+      .crossJoin(broadcast(tot))
+    val contDen = (col("ntypes") + col("v") + 1).cast(LongType)
+    val contNum = (coalesce(col("n1b"), lit(0L)) + 1).cast(LongType)
+    val seen = col("b1").isNotNull
+    val pNum = when(seen,
+        greatest(lit(4L) * coalesce(col("c12"), lit(0L)) - 3, lit(0L)) * contDen +
+          lit(3L) * col("n1f") * contNum)
+      .otherwise(contNum)
+    val pDen = when(seen, lit(4L) * col("c1") * contDen).otherwise(contDen)
+    val lq = floor(-log(pNum.cast(DoubleType) / pDen.cast(DoubleType)) * 1e6)
+      .cast(LongType)
+    test.groupBy(col("lang"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(!seen, 1L).otherwise(0L)).as("unseen"),
+        sum(lq).as("sq"))
+      .select(col("lang"), asLong(col("m")).as("n_test_bigrams"),
+        (floor(col("unseen").cast(DoubleType) / col("m") * 1e4) / 1e4)
+          .as("unseen_ctx_rate"),
+        (floor(col("sq").cast(DoubleType) / col("m") / 1e2) / 1e4).as("avg_nll"))
+      .orderBy("lang")
+  }
+
+  /** Token-budget data mixing (§2.41): the greedy quality-ranked
+    * source mixture every LLM pre-training run decides before a single
+    * shard is written — given a token budget (40% of corpus mass
+    * here), rank sources by a quality signal (exact-duplication rate,
+    * ascending — the cleanest sources fill first), take whole sources
+    * until the budget breaks, a fractional take of the marginal
+    * source, zero after. The report is the mixture card: per source,
+    * rank, dup rate, available vs taken tokens, ppm share of budget.
+    * Exactness: dup_rate_q6, the budget (tot·2 div 5), cumulative
+    * fills and takes are pure BIGINT; share_ppm = 1e6·take div budget.
+    * Scale: everything after the linear per-source scan lives on a
+    * |sources|-bounded relation (the documented bounded-window
+    * family); text dedup counts are md5-grouped, never pairwise. */
+  val pipelineTokenBudgetMix: Q = (s, d) => {
+    val src = table(s, d, "documents")
+      .select(col("source"), md5(col("text")).as("h"),
+        size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"),
+        countDistinct(col("h")).as("uniq"))
+      .select(col("source"), col("n_docs"), col("toks"),
+        expr("((n_docs - uniq) * 1000000) div n_docs").as("dup_rate_q6"))
+    val tot = src.agg(sum(col("toks")).as("tot"))
+      .select(expr("(tot * 2) div 5").as("budget"))
+    // |sources|-bounded relation: the rank/running-fill window is the
+    // documented bounded-window family (≤20 rows), never fact-sized
+    val wQ = Window.orderBy(col("dup_rate_q6"), col("source"))
+    val ranked = src.crossJoin(broadcast(tot))
+      .withColumn("quality_rank", row_number().over(wQ).cast(LongType))
+      .withColumn("cum_before",
+        coalesce(sum(col("toks")).over(
+          wQ.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    ranked.select(col("source"), col("quality_rank"),
+        asLong(col("dup_rate_q6")).as("dup_rate_q6"),
+        asLong(col("toks")).as("n_tokens"),
+        asLong(greatest(least(col("budget") - col("cum_before"), col("toks")),
+          lit(0L))).as("take_tokens"),
+        expr("(greatest(least(budget - cum_before, toks), bigint(0)) " +
+          "* 1000000) div budget").as("share_ppm"))
+      .orderBy("quality_rank")
+  }
+
+  /** Dedup-threshold sweep (§2.43): how many pairs (and docs) the
+    * near-dup stage would flag at every Jaccard cut 0.50..0.95 — the
+    * calibration curve read BEFORE committing a threshold to a corpus
+    * (pipeline_minhash_calibration validates the signature; this is
+    * the knob's dose-response; a cliff between 0.60 and 0.65 means
+    * the corpus has a template family right there). Reuses the
+    * persisted LSH-verified pair relation (marginal cost). Exactness:
+    * each pair's 4dp jaccard maps to an exact 0..10000 integer via
+    * round(j·1e4) on the identical double both engines hold; the ten
+    * cuts compare integers; zero-pair cuts still report (left join).
+    * Scale: a 10-threshold broadcast fan-out over the pair relation —
+    * pairs are LSH-bounded, never corpus-sized. */
+  val dedupThresholdSweep: Q = (s, d) => {
+    val pairs = dedupMinhashLsh(s, d)
+      .select(col("d1"), col("d2"),
+        round(col("jaccard") * 10000).cast(LongType).as("jq"))
+    val thr = s.range(10, 20).select((col("id") * 5).as("thr_pct"))
+    val hit = pairs.crossJoin(broadcast(thr))
+      .filter(col("jq") >= col("thr_pct") * 100)
+    val byp = hit.groupBy(col("thr_pct")).agg(count(lit(1)).as("n_pairs"))
+    val byd = hit.select(col("thr_pct"), col("d1").as("dd"))
+      .unionAll(hit.select(col("thr_pct"), col("d2").as("dd")))
+      .distinct()
+      .groupBy(col("thr_pct")).agg(count(lit(1)).as("n_docs"))
+    thr.join(byp, Seq("thr_pct"), "left").join(byd, Seq("thr_pct"), "left")
+      .select(asLong(col("thr_pct")).as("thr_pct"),
+        asLong(coalesce(col("n_pairs"), lit(0L))).as("n_pairs"),
+        asLong(coalesce(col("n_docs"), lit(0L))).as("n_docs"))
+      .orderBy("thr_pct")
+  }
+
+  /** Cronbach's α of the quality sub-scores (§2.44): do the three
+    * integer quality items every curation pass computes per document
+    * (token count, stopword count, distinct-token count) measure ONE
+    * underlying construct — α = k/(k−1)·(1 − Σσᵢ²/σ_total²), the
+    * reliability readout before anyone averages sub-scores into "the"
+    * quality score (pipeline_quality_score assumes they cohere; this
+    * measures it; α < 0.7 means the composite is noise). Exactness:
+    * all three items are exact per-doc integers computed in-row; the
+    * variance sums accumulate DECIMAL(38,0) ↔ HUGEINT; α is one
+    * double tree floored at 1e6. Scale: ONE fused linear scan, a
+    * single map-combined moment aggregate, zero joins. */
+  val pipelineCronbachAlpha: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val toks = split(col("text"), " ")
+    val i1 = size(toks).cast(LongType)
+    val i2 = size(filter(toks, w => w.isin(stopWords: _*))).cast(LongType)
+    val i3 = size(array_distinct(toks)).cast(LongType)
+    val rows = table(s, d, "documents")
+      .select(i1.as("a"), i2.as("b"), i3.as("c"),
+        (i1 + i2 + i3).as("tot"))
+    val t = rows.agg(count(lit(1)).as("n"),
+      sum(col("a").cast(dec38)).as("sa"),
+      sum(col("a").cast(dec38) * col("a")).as("saa"),
+      sum(col("b").cast(dec38)).as("sb"),
+      sum(col("b").cast(dec38) * col("b")).as("sbb"),
+      sum(col("c").cast(dec38)).as("sc"),
+      sum(col("c").cast(dec38) * col("c")).as("scc"),
+      sum(col("tot").cast(dec38)).as("st"),
+      sum(col("tot").cast(dec38) * col("tot")).as("stt"))
+    def D(c: String) = col(c).cast(DoubleType)
+    val nd = col("n").cast(DoubleType)
+    def v(sq: String, s1: String) = (D(sq) - D(s1) * D(s1) / nd) / nd
+    val vSum = v("saa", "sa") + v("sbb", "sb") + v("scc", "sc")
+    val vTot = v("stt", "st")
+    val alpha = lit(1.5) * (lit(1.0) - vSum / vTot) // k/(k-1) = 3/2
+    t.select(asLong(col("n")).as("n_docs"),
+      asLong(floor(v("saa", "sa") * 1e2)).as("var_tokens_q2"),
+      asLong(floor(v("sbb", "sb") * 1e2)).as("var_stopwords_q2"),
+      asLong(floor(v("scc", "sc") * 1e2)).as("var_distinct_q2"),
+      asLong(floor(vTot * 1e2)).as("var_total_q2"),
+      asLong(floor(alpha * 1e6)).as("alpha_q6"))
+  }
+
 }

@@ -796,6 +796,39 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Line-text roundtrip (§2.42): documents written as TSV lines
+    * through the text SINK and read back through the text SOURCE +
+    * split-parse — the raw-corpus wire format both directions (csv/
+    * json/orc cover structured readers; a 100-TB crawl usually lands
+    * as lines first). Aggregate fingerprints per source (counts, char
+    * mass, token mass, id extrema) hash-checked against the ORIGINAL
+    * parquet — any value the pack/parse damages fails the gate. */
+  val srcTextRoundtrip: Q = (s, d) => {
+    graft.sources.Sources.via(s, d, "documents", "text")
+      .groupBy(col("source"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(sum(col("n_chars"))).as("chars"),
+        asLong(sum(size(split(col("text"), " ")))).as("tokens"),
+        asLong(min(col("doc_id"))).as("lo_id"),
+        asLong(max(col("doc_id"))).as("hi_id"))
+      .orderBy("source")
+  }
+
+  /** Gzip-compressed line-text roundtrip (§2.44): the same TSV pack
+    * through gzip — the wire format crawls actually land in; proves
+    * the codec path end to end (write with compression, read by
+    * extension). Different fingerprint set than src_text_roundtrip
+    * (per-lang here) so the two queries cannot mask each other. */
+  val srcGzipRoundtrip: Q = (s, d) => {
+    graft.sources.Sources.via(s, d, "documents", "text_gzip")
+      .groupBy(col("lang"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(sum(col("n_chars"))).as("chars"),
+        asLong(countDistinct(col("source"))).as("n_sources"),
+        asLong(sum(size(split(col("text"), " ")))).as("tokens"))
+      .orderBy("lang")
+  }
+
   val srcJsonRoundtrip: Q = (s, d) => {
     graft.sources.Sources.via(s, d, "customer", "json")
       .groupBy(col("c_mktsegment"))
@@ -3828,6 +3861,197 @@ object Relational {
       .select(asLong(col("k")).as("k"), asLong(col("x_ref")).as("x_ref_cents"),
         col("sum_ln_q6"),
         expr("(k * 1000000000000) div sum_ln_q6").as("alpha_q6"))
+  }
+
+  /** Two-way ANOVA with interaction (§2.41): order value by market
+    * segment × order priority — agg_anova_f asks "does the mean differ
+    * across ONE factor"; this decomposes the variance across BOTH
+    * factors AND their interaction, the readout that tells a pricing
+    * analyst whether priority effects are segment-specific (a large
+    * F_inter) or additive. Unbalanced cells use the proportional
+    * (Type-I cell-means) decomposition: SS_cells = Σ_c S_c²/n_c − C,
+    * marginal SS_A/SS_B likewise, SS_AB = SS_cells − SS_A − SS_B,
+    * SS_within = SS_total − SS_cells — the convention is stated
+    * because unbalanced two-way SS are convention-dependent.
+    * Exactness: cell sums are exact DECIMAL(38,0) cents and Σy²
+    * DECIMAL cents² (↔ HUGEINT); each bounded group's S²/n term
+    * floor-quantizes to integer dollars² on identical doubles before
+    * the exact sum (the agg_anova_f recipe at a money-safe scale); F values are one double tree.
+    * Scale: ONE map-combined (seg, prio) fact aggregate (the
+    * customer join broadcasts the dimension); marginals and totals
+    * reduce the 25-cell bounded relation. */
+  val aggAnovaTwoWay: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val y = (dec2(col("o_totalprice")) * 100).cast(LongType)
+    val cells = table(s, d, "orders")
+      .join(broadcast(table(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("seg"), col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n"), sum(y.cast(dec38)).as("sc"),
+        sum(y.cast(dec38) * y).as("ssq"))
+      .localCheckpoint(true)
+    // S²/n terms in dollars (cents/1e2), floor-quantized at 1e6 per
+    // bounded group BEFORE the exact sum — order-independent reduce
+    // NOT x1e6: S²/n · 1e6 is ~1e19 already at sf0.001, past Long,
+    // where Spark's floor→LONG saturates while the oracle's HUGEINT
+    // doesn't (measured divergence); integer-dollar² terms hold to
+    // ~1.5e8 rows/group at this value domain — past that, loud.
+    def qTerm(sCol: Column, nCol: Column): Column =
+      floor((sCol.cast(DoubleType) / 1e2) * (sCol.cast(DoubleType) / 1e2) /
+        nCol.cast(DoubleType)).cast(DecimalType(38, 0))
+    val byCell = cells.agg(count(lit(1)).as("kc"), sum(col("n")).as("nn"),
+      sum(col("sc")).as("stot"), sum(col("ssq")).as("ssqtot"),
+      sum(qTerm(col("sc"), col("n"))).as("qcell"))
+    val byA = cells.groupBy(col("seg"))
+      .agg(sum(col("sc")).as("sa"), sum(col("n")).as("na"))
+      .agg(count(lit(1)).as("ka"), sum(qTerm(col("sa"), col("na"))).as("qa"))
+    val byB = cells.groupBy(col("prio"))
+      .agg(sum(col("sc")).as("sb"), sum(col("n")).as("nb"))
+      .agg(count(lit(1)).as("kb"), sum(qTerm(col("sb"), col("nb"))).as("qb"))
+    val t = byCell.crossJoin(broadcast(byA)).crossJoin(broadcast(byB))
+    val nd = col("nn").cast(DoubleType)
+    val stotD = col("stot").cast(DoubleType) / 1e2
+    val grand = stotD * stotD / nd
+    val ssCells = col("qcell").cast(DoubleType) - grand
+    val ssA = col("qa").cast(DoubleType) - grand
+    val ssB = col("qb").cast(DoubleType) - grand
+    val ssAB = ssCells - ssA - ssB
+    val ssTot = col("ssqtot").cast(DoubleType) / 1e4 - grand
+    val ssW = ssTot - ssCells
+    val dfA = col("ka").cast(DoubleType) - 1.0
+    val dfB = col("kb").cast(DoubleType) - 1.0
+    val dfAB = dfA * dfB
+    val dfW = nd - col("kc").cast(DoubleType)
+    val msW = ssW / dfW
+    // ss values are dollars² ~1e14 at sf0.1 — round(x, k) there is the
+    // §5.3 knife-edge; floor of identical doubles is engine-independent
+    t.select(asLong(col("nn")).as("n"), asLong(col("ka")).as("k_seg"),
+      asLong(col("kb")).as("k_prio"), asLong(col("kc")).as("k_cells"),
+      asLong(floor(ssA)).as("ss_seg"), asLong(floor(ssB)).as("ss_prio"),
+      asLong(floor(ssAB)).as("ss_inter"), asLong(floor(ssW)).as("ss_within"),
+      asLong(floor(ssA / dfA / msW * 1e6)).as("f_seg_q6"),
+      asLong(floor(ssB / dfB / msW * 1e6)).as("f_prio_q6"),
+      asLong(floor(ssAB / dfAB / msW * 1e6)).as("f_inter_q6"))
+  }
+
+  /** Quantile treatment effects (§2.42): per-decile difference between
+    * the treatment and control order-value distributions (arms =
+    * deterministic md5 split) — agg_welch_ttest reads the MEAN shift;
+    * QTE reads WHERE in the distribution the effect lives (a whale-only
+    * lift shows at q90 and nowhere else; agg_qq_price_segments plots
+    * two segments, this contrasts experiment arms). Exactness: type-1
+    * discrete quantiles — the value at per-arm rank ceil(q·n/10) =
+    * (q·n+9) div 10, pure integers end to end, zero interpolation.
+    * Scale: per-arm ranks come from ONE GlobalRank range shuffle over
+    * (arm, value, key) with 1-row arm offsets broadcast back — never a
+    * per-arm single-task window (arm cardinality 2 would make
+    * partitionBy(arm) a two-task global sort). */
+  val aggQuantileTreatmentEffect: Q = (s, d) => {
+    val arms = table(s, d, "orders")
+      .select((Sampling.bucket16(col("o_orderkey")) % 2).as("arm"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("y"),
+        col("o_orderkey").as("okey"))
+    val (ranked, _) = GlobalRank.ranked(
+      arms, Seq(col("arm"), col("y"), col("okey")), "rn")
+    val sizes = ranked.groupBy(col("arm")).agg(count(lit(1)).as("na"))
+    val n0 = sizes.agg(max(when(col("arm") === 0, col("na"))).as("n0"))
+    val targets = sizes.crossJoin(
+        s.range(1, 10).select(col("id").as("q")))
+      .select(col("arm").as("t_arm"), col("q"),
+        expr("(q * na + 9) div 10").as("trank"))
+    val picked = ranked.crossJoin(broadcast(n0))
+      .select(col("arm"), col("y"),
+        (col("rn") - when(col("arm") === 1, col("n0")).otherwise(0L))
+          .as("prank"))
+      .join(broadcast(targets),
+        col("arm") === col("t_arm") && col("prank") === col("trank"))
+    picked.groupBy(col("q").as("decile"))
+      .agg(max(when(col("arm") === 0, col("y"))).as("ctrl_cents"),
+        max(when(col("arm") === 1, col("y"))).as("treat_cents"))
+      .select(asLong(col("decile")).as("decile"),
+        asLong(col("ctrl_cents")).as("ctrl_cents"),
+        asLong(col("treat_cents")).as("treat_cents"),
+        asLong(col("treat_cents") - col("ctrl_cents")).as("qte_cents"))
+      .orderBy("decile")
+  }
+
+  /** Intraclass correlation ICC(1) (§2.43): how much of order-value
+    * variance lives BETWEEN customers vs within them — the number
+    * that decides whether per-customer clustering must be modeled
+    * (clustered standard errors, cluster-randomized experiments:
+    * design effect ≈ 1 + (m̄−1)·ICC). One-way random-effects
+    * components with the unbalanced-size correction
+    * k₀ = (N − Σnᵢ²/N)/(k−1). Exactness: per-customer sums are exact
+    * DECIMAL cents; each Sᵢ²/nᵢ term floors to integer dollars²
+    * per customer before the exact sum (the agg_anova_two_way money
+    * recipe; error ≤ k dollars² against ~1e13 components); Σnᵢ² is
+    * exact; MSB/MSW/k₀/ICC evaluate one double tree. Scale: ONE
+    * customer-grain map-combined aggregate + a 1-row reduce. */
+  val aggIccIntraclass: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val y = (dec2(col("o_totalprice")) * 100).cast(LongType)
+    val perC = table(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("ni"), sum(y.cast(dec38)).as("si"),
+        sum(y.cast(dec38) * y).as("ssqi"))
+    val term = floor((col("si").cast(DoubleType) / 1e2) *
+      (col("si").cast(DoubleType) / 1e2) / col("ni").cast(DoubleType))
+      .cast(dec38)
+    val t = perC.agg(count(lit(1)).as("k"), sum(col("ni")).as("n"),
+      sum(col("si")).as("st"), sum(col("ssqi")).as("ssqt"),
+      sum(term).as("qb"), sum(col("ni") * col("ni")).as("sn2"))
+    val nd = col("n").cast(DoubleType)
+    val kd = col("k").cast(DoubleType)
+    val stD = col("st").cast(DoubleType) / 1e2
+    val grand = stD * stD / nd
+    val ssb = col("qb").cast(DoubleType) - grand
+    val ssw = col("ssqt").cast(DoubleType) / 1e4 - col("qb").cast(DoubleType)
+    val msb = ssb / (kd - 1.0)
+    val msw = ssw / (nd - kd)
+    val k0 = (nd - col("sn2").cast(DoubleType) / nd) / (kd - 1.0)
+    val icc = (msb - msw) / (msb + (k0 - 1.0) * msw)
+    t.select(asLong(col("n")).as("n_orders"), asLong(col("k")).as("k_customers"),
+      asLong(floor(msb)).as("msb_floor"), asLong(floor(msw)).as("msw_floor"),
+      asLong(floor(k0 * 1e6)).as("k0_q6"),
+      asLong(floor(icc * 1e6)).as("icc_q6"))
+  }
+
+  /** Partial correlation (§2.43): corr(quantity, line price) with the
+    * discount level HELD FIXED — agg_corr_regr reads the raw
+    * association; this removes the confounder a pricing analyst knows
+    * is there (discount moves both quantity and realized price), the
+    * first-order "controlling for" read before any regression:
+    * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)). Exactness:
+    * all 2nd-order moment sums accumulate DECIMAL(38,0) ↔ HUGEINT on
+    * the 2dp-exact grids (quantity, cents, discount·100); the three
+    * pairwise r's and the partial evaluate in one fixed double tree,
+    * each floored at 1e6. Scale: ONE map-combined fact aggregate —
+    * a single linear scan, no joins. */
+  val aggPartialCorr: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val x = dec2(col("l_quantity")).cast(LongType).cast(dec38)
+    val yv = (dec2(col("l_extendedprice")) * 100).cast(LongType).cast(dec38)
+    val z = (dec2(col("l_discount")) * 100).cast(LongType).cast(dec38)
+    val t = table(s, d, "lineitem").agg(count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(yv).as("sy"), sum(z).as("sz"),
+      sum(x * x).as("sxx"), sum(yv * yv).as("syy"), sum(z * z).as("szz"),
+      sum(x * yv).as("sxy"), sum(x * z).as("sxz"), sum(yv * z).as("syz"))
+    def D(c: String) = col(c).cast(DoubleType)
+    val nd = col("n").cast(DoubleType)
+    def r(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+      (nd * D(sab) - D(sa) * D(sb)) /
+        sqrt((nd * D(saa) - D(sa) * D(sa)) * (nd * D(sbb) - D(sb) * D(sb)))
+    val rxy = r("sxy", "sx", "sy", "sxx", "syy")
+    val rxz = r("sxz", "sx", "sz", "sxx", "szz")
+    val ryz = r("syz", "sy", "sz", "syy", "szz")
+    val pc = (rxy - rxz * ryz) /
+      sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+    t.select(asLong(col("n")).as("n"),
+      asLong(floor(rxy * 1e6)).as("r_xy_q6"),
+      asLong(floor(rxz * 1e6)).as("r_xz_q6"),
+      asLong(floor(ryz * 1e6)).as("r_yz_q6"),
+      asLong(floor(pc * 1e6)).as("partial_r_q6"))
   }
 
 }

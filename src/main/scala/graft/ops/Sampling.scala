@@ -566,4 +566,51 @@ object Sampling {
         expr("(covered * 1000000) div n_test").as("coverage_q6"))
       .orderBy("seg")
   }
+
+  /** PPS systematic sampling (§2.42): 100 sampling points stride the
+    * cumulative-revenue line (skip = T div 100, start = skip div 2), so
+    * each customer is drawn with probability ∝ lifetime revenue — the
+    * design every audit/estimation pass uses when big accounts MUST be
+    * in the sample (sample_systematic strides row counts; this strides
+    * MASS, and whales can absorb several points). Report: per-segment
+    * census of points landed, the Horvitz–Thompson segment-total
+    * estimate n_pts·(T div 100), and its signed error. Exactness: the
+    * points inside a customer's interval (lo, hi] count as
+    * (hi−start+skip) div skip − (lo−start+skip) div skip — shifted
+    * POSITIVE so BIGINT division is floor division in both engines
+    * (negative `div` truncates toward zero in SQL but floors in
+    * DuckDB's `//` — the shift makes the question moot); err_bp floors
+    * one double. Scale: cumulative revenue comes from GlobalRank's
+    * range-partitioned running sum over the customer-grain aggregate —
+    * never a single-task global window. */
+  val samplePpsSystematic: Q = (s, d) => {
+    val cust = table(s, d, "orders")
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("rev"))
+      .join(broadcast(table(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        col("ck") === col("c_custkey"))
+      .select(col("ck"), col("seg"), col("rev"))
+    val ranked = GlobalRank.withRunningSum(
+      cust, Seq(col("ck")), "rev", "hi")
+    val tot = ranked.agg(max(col("hi")).as("t"))
+      .select(col("t"), expr("t div 100").as("skip"),
+        expr("(t div 100) div 2").as("strt"))
+    val pts = ranked.crossJoin(broadcast(tot))
+      .select(col("seg"), col("rev"), col("t"), col("skip"),
+        (expr("(hi - strt + skip) div skip") -
+          expr("(hi - rev - strt + skip) div skip")).as("npts"))
+    pts.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("true_cents"),
+        sum(col("npts")).as("n_points"),
+        sum(col("npts") * col("skip")).as("ht_est_cents"))
+      .select(col("seg"), asLong(col("n_cust")).as("n_cust"),
+        asLong(col("true_cents")).as("true_cents"),
+        asLong(col("n_points")).as("n_points"),
+        asLong(col("ht_est_cents")).as("ht_est_cents"),
+        asLong(floor((col("ht_est_cents").cast(DoubleType) -
+            col("true_cents").cast(DoubleType)) /
+          col("true_cents").cast(DoubleType) * 1e4)).as("err_bp"))
+      .orderBy("seg")
+  }
 }

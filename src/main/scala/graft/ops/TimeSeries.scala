@@ -1988,4 +1988,412 @@ object TimeSeries {
       .orderBy("from_type")
   }
 
+  /** Lead–lag cross-correlation (§2.41): Pearson r between daily
+    * revenue and the daily order COUNT shifted by lag −7..+7 days —
+    * does volume LEAD money (operational signals often do) or move
+    * with it? ts_rolling_corr reads the contemporaneous relation over
+    * time; this reads the temporal OFFSET structure at one glance
+    * (the argmax lag is the lead time a forecaster would exploit).
+    * Exactness: day sums are exact BIGINT cents/counts; cross and
+    * square sums accumulate DECIMAL(38,0) ↔ HUGEINT (cents² wraps
+    * BIGINT past ~3e9-cent days); each lag's r evaluates one fixed
+    * double tree over exact sums, floor-quantized at 1e6. Scale: the
+    * date-grain aggregate is the only fact-sized pass; 15 lags × the
+    * calendar-bounded day relation join on shifted dates — the
+    * documented bounded family, never fact². */
+  val tsXcorrLags: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val daily = table(s, d, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("dt"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("rev"),
+        count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val lags = s.range(-7, 8).select(col("id").cast(IntegerType).as("lag"))
+    val a = daily.select(col("dt"), col("rev"))
+    val b = daily.select(col("dt").as("dt2"), col("cnt"))
+    val st = a.crossJoin(broadcast(lags))
+      .join(broadcast(b), date_add(col("dt"), col("lag")) === col("dt2"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("rev")).as("sx"),
+        sum(col("cnt")).as("sy"),
+        sum(col("rev").cast(dec38) * col("cnt")).as("sxy"),
+        sum(col("rev").cast(dec38) * col("rev")).as("sxx"),
+        sum(col("cnt").cast(dec38) * col("cnt")).as("syy"))
+    def D(c: String) = col(c).cast(DoubleType)
+    val num = D("n") * D("sxy") - D("sx") * D("sy")
+    val den = sqrt((D("n") * D("sxx") - D("sx") * D("sx")) *
+      (D("n") * D("syy") - D("sy") * D("sy")))
+    st.select(asLong(col("lag")).as("lag"), asLong(col("n")).as("n_days"),
+        asLong(floor(num / den * 1e6)).as("r_q6"))
+      .orderBy("lag")
+  }
+
+  /** Epoch-folding periodogram (§2.42): which period 2..30 days best
+    * explains the daily order-count series — the DOMINANT-cycle
+    * detector built from folding, not Fourier (astronomy's
+    * epoch-folding search): for each candidate period p, fold days
+    * onto phase t mod p and measure the between-phase explained
+    * variance Σ_ph S_ph²/n_ph − T²/D over SS_total. No trig anywhere —
+    * libm cos/sin differ across engines in the last ulp; folding is
+    * pure integer phase assignment, so the whole statistic is the
+    * anova recipe (phase terms floored at 1e6 on identical doubles
+    * before the exact sum). A weekly cycle shows as the p=7 (and
+    * harmonics 14/21/28) ratio standing clear of its neighbors.
+    * Scale: ONE date-grain fact aggregate; the 29 × |days| fold
+    * relation is calendar-bounded (the documented family); phase
+    * aggregates map-combine. */
+  val tsDominantPeriod: Q = (s, d) => {
+    val daily = table(s, d, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("dt"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true)
+    val base = daily.agg(min(col("dt")).as("d0"), count(lit(1)).as("dd"),
+      sum(col("x")).as("t"), sum(col("x") * col("x")).as("sxx"))
+    val periods = s.range(2, 31).select(col("id").cast(IntegerType).as("p"))
+    val folded = daily.crossJoin(broadcast(base))
+      .crossJoin(broadcast(periods))
+      .select(col("p"), col("dd"), col("t"), col("sxx"),
+        pmod(datediff(col("dt"), col("d0")), col("p")).as("ph"), col("x"))
+    val byPhase = folded
+      .groupBy(col("p"), col("ph"), col("dd"), col("t"), col("sxx"))
+      .agg(count(lit(1)).as("nph"), sum(col("x")).as("sph"))
+    val term = floor(col("sph").cast(DoubleType) * col("sph").cast(DoubleType) /
+      col("nph").cast(DoubleType) * 1e6).cast(LongType)
+    val byP = byPhase.groupBy(col("p"), col("dd"), col("t"), col("sxx"))
+      .agg(sum(term).as("qb"), count(lit(1)).as("nphases"))
+    val grand = col("t").cast(DoubleType) * col("t").cast(DoubleType) /
+      col("dd").cast(DoubleType)
+    val ssb = col("qb").cast(DoubleType) / 1e6 - grand
+    val sst = col("sxx").cast(DoubleType) - grand
+    byP.select(asLong(col("p")).as("period"),
+        asLong(col("nphases")).as("n_phases"),
+        asLong(floor(ssb)).as("ss_between_floor"),
+        asLong(floor(ssb / sst * 1e6)).as("var_explained_q6"))
+      .orderBy("period")
+  }
+
+  /** Maximum-sum streak, Kadane via prefix extrema (§2.42): the
+    * contiguous day range where revenue ran hottest above its own
+    * mean (and the coldest range below it) — the "best/worst stretch"
+    * readout behind every drawdown/runs story, answered EXACTLY: with
+    * x_d = y_d·D − T (demeaned scaled by D — integer, sums to zero),
+    * the best streak is max_t [P_t − min_{s<t} P_s] over prefix sums,
+    * the classic O(n) identity. Exactness: P is exact BIGINT; the
+    * running min/max carry (P, date) structs so ties break to the
+    * EARLIEST start deterministically in both engines (struct order
+    * verified cross-engine); the best gain filters to its earliest
+    * end day. excess cents = gain div D, floor on identical doubles.
+    * Scale: one date-grain fact aggregate; prefix windows ride the
+    * calendar-bounded day relation (documented bounded family). */
+  val tsHotStreakKadane: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val daily = table(s, d, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("dt"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("y"))
+    val tot = daily.agg(count(lit(1)).as("dd"), sum(col("y").cast(dec38)).as("t"),
+      min(col("dt")).as("d0"))
+    val wOrd = Window.orderBy(col("dt"))
+    val px = daily.crossJoin(broadcast(tot))
+      .select(col("dt"), col("dd"), col("d0"),
+        (col("y").cast(dec38) * col("dd") - col("t")).as("x"))
+      .withColumn("pf", sum(col("x")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("minb", min(struct(col("pf").as("p"), col("dt").as("sd")))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("maxb", max(struct(col("pf").as("p"), col("dt").as("sd")))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .localCheckpoint(true)
+    // the virtual P₀ = 0 sentinel (streaks may start at day 1) must
+    // COMPETE with the running extrema, not only fill the first row's
+    // null: it wins the min on ≥ 0 (earliest-start tie rule — the
+    // sentinel's position precedes every day) and the max on ≤ 0
+    val zero = lit(0).cast(dec38)
+    val useMinSent = col("minb.p").isNull || col("minb.p") >= zero
+    val useMaxSent = col("maxb.p").isNull || col("maxb.p") <= zero
+    val rows = px
+      .select(col("dt"), col("dd"),
+        (col("pf") - when(useMinSent, zero).otherwise(col("minb.p"))).as("gain"),
+        when(useMinSent, date_sub(col("d0"), 1)).otherwise(col("minb.sd"))
+          .as("gstart0"),
+        (col("pf") - when(useMaxSent, zero).otherwise(col("maxb.p"))).as("loss"),
+        when(useMaxSent, date_sub(col("d0"), 1)).otherwise(col("maxb.sd"))
+          .as("lstart0"))
+      .localCheckpoint(true)
+    val bg = rows.agg(max(col("gain")).as("bg"), min(col("loss")).as("wl"),
+      max(col("dd")).as("ddt"))
+    val best = rows.join(broadcast(bg), col("gain") === col("bg"))
+      .groupBy(col("bg"), col("ddt"))
+      .agg(min(struct(col("dt").as("e"), col("gstart0").as("st"))).as("b"))
+    val worst = rows.join(broadcast(bg), col("loss") === col("wl"))
+      .groupBy(col("wl"))
+      .agg(min(struct(col("dt").as("e"), col("lstart0").as("st"))).as("w"))
+    best.crossJoin(broadcast(worst))
+      .select(asLong(col("ddt")).as("n_days"),
+        date_add(col("b.st"), 1).as("best_start"),
+        col("b.e").as("best_end"),
+        asLong(floor(col("bg").cast(DoubleType) / col("ddt").cast(DoubleType)))
+          .as("best_excess_cents"),
+        date_add(col("w.st"), 1).as("worst_start"),
+        col("w.e").as("worst_end"),
+        asLong(floor(col("wl").cast(DoubleType) / col("ddt").cast(DoubleType)))
+          .as("worst_excess_cents"))
+  }
+
+  /** Two-sample log-rank test (§2.43): does time-to-repeat-purchase
+    * differ between the BUILDING and MACHINERY segments —
+    * ts_survival_km draws each curve; this is the TEST a retention
+    * experiment reads before believing the separation (the standard
+    * censoring-correct comparison; a t-test on observed gaps is
+    * biased by exactly the customers who never returned). Subjects:
+    * per-customer first→second order gap, censored at the study end
+    * (max order date). Exactness: the risk table is pure integers on
+    * the bounded gap-day grid (events e_gt and at-risk n_gt via
+    * suffix sums over the grid); each event time's hypergeometric
+    * E/V terms floor-quantize at 1e6/1e8 on identical doubles before
+    * BIGINT sums; χ² = (O₁−E₁)²/V is one double tree, floored 1e4.
+    * Scale: ONE customer-grain fact aggregate; everything after
+    * lives on the ≤|distinct gap days| bounded grid (documented
+    * bounded-window family). */
+  val tsLogrankSegments: Q = (s, d) => {
+    val w2 = Window.partitionBy(col("ck")).orderBy(col("odt"))
+    val firstTwo = table(s, d, "orders")
+      .join(broadcast(table(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+          .filter(col("seg").isin("BUILDING", "MACHINERY"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey").as("ck"), col("seg"),
+        col("o_orderdate").cast(DateType).as("odt"))
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= 2)
+    val endD = table(s, d, "orders")
+      .agg(max(col("o_orderdate").cast(DateType)).as("endd"))
+    val subj = firstTwo.groupBy(col("ck"), col("seg"))
+      .agg(min(col("odt")).as("f"),
+        max(when(col("rn") === 2, col("odt"))).as("sec"))
+      .crossJoin(broadcast(endD))
+      .select(col("seg"),
+        when(col("sec").isNotNull, datediff(col("sec"), col("f")))
+          .otherwise(datediff(col("endd"), col("f"))).cast(LongType).as("t"),
+        when(col("sec").isNotNull, 1L).otherwise(0L).as("e"))
+    // bounded grid: per gap day, both groups' event/arrival counts in
+    // ONE conditional aggregate — a (t)-keyed pivot, no join at all
+    // (a full-outer of per-group relations cannot broadcast in Spark)
+    val full = subj.groupBy(col("t"))
+      .agg(sum(when(col("seg") === "BUILDING", col("e")).otherwise(0L))
+          .as("ev1"),
+        sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("arr1"),
+        sum(when(col("seg") === "MACHINERY", col("e")).otherwise(0L))
+          .as("ev2"),
+        sum(when(col("seg") === "MACHINERY", 1L).otherwise(0L)).as("arr2"))
+    val wSuf = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = full
+      .withColumn("n1", sum(col("arr1")).over(wSuf))
+      .withColumn("n2", sum(col("arr2")).over(wSuf))
+      .filter(col("ev1") + col("ev2") > 0)
+    val dt = col("ev1") + col("ev2")
+    val nt = col("n1") + col("n2")
+    val eTerm = floor(col("n1").cast(DoubleType) * dt.cast(DoubleType) /
+      nt.cast(DoubleType) * 1e6).cast(LongType)
+    val vTerm = when(nt > 1,
+      floor(col("n1").cast(DoubleType) * col("n2").cast(DoubleType) *
+        dt.cast(DoubleType) * (nt - dt).cast(DoubleType) /
+        (nt.cast(DoubleType) * nt.cast(DoubleType) * (nt - 1).cast(DoubleType))
+        * 1e8)).otherwise(lit(0.0)).cast(LongType)
+    val agg = risk.agg(sum(col("ev1")).as("o1"), sum(col("ev2")).as("o2"),
+      sum(eTerm).as("e1q6"), sum(vTerm).as("vq8"),
+      max(col("n1")).as("nsub1"), max(col("n2")).as("nsub2"))
+    val o1d = col("o1").cast(DoubleType)
+    val e1d = col("e1q6").cast(DoubleType) / 1e6
+    val vd = col("vq8").cast(DoubleType) / 1e8
+    agg.select(asLong(col("nsub1")).as("n_building"),
+      asLong(col("nsub2")).as("n_machinery"),
+      asLong(col("o1")).as("events_building"),
+      asLong(col("o2")).as("events_machinery"),
+      asLong(col("e1q6")).as("e1_q6"), asLong(col("vq8")).as("v_q8"),
+      asLong(floor((o1d - e1d) * (o1d - e1d) / vd * 1e4)).as("chi2_q4"))
+  }
+
+  /** Hurst exponent via rescaled-range analysis (§2.44): is daily
+    * revenue long-memory (H > 0.5 — shocks persist, naive CIs lie) or
+    * mean-reverting (H < 0.5)? Classic R/S: for block sizes 16..256,
+    * split the day series into complete blocks, per block R/S =
+    * (max−min of mean-adjusted prefix sums) / population sd, fit
+    * ln(mean R/S) on ln(n). Exactness: with W'_k = n·P_k − k·S (exact
+    * BIGINT — prefix scaled by the block size), R/S reduces to
+    * R' / √(n·Σy²−S²), one double per block floored at 1e6; per-size
+    * means are integer div; the 5-point OLS is one double tree.
+    * Scale: ONE date-grain fact aggregate; blocks/prefixes ride the
+    * calendar-bounded day relation (documented bounded family). */
+  val tsHurstExponent: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val daily = table(s, d, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("dt"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("y"))
+      .withColumn("t", row_number().over(Window.orderBy(col("dt")))
+        .cast(LongType))
+      .localCheckpoint(true)
+    val sizes = {
+      import s.implicits._
+      Seq(16L, 32L, 64L, 128L, 256L).toDF("bn")
+    }
+    val blocks = daily.crossJoin(broadcast(sizes))
+      .select(col("bn"), expr("(t - 1) div bn").as("blk"),
+        expr("(t - 1) % bn + 1").as("k"), col("y"))
+    val wB = Window.partitionBy(col("bn"), col("blk")).orderBy(col("k"))
+    // W'_k = bn·P_k − k·S needs the block total S inside the per-row
+    // expression — one bounded aggregate broadcast back onto the rows
+    val blockTot = blocks.groupBy(col("bn").as("b2"), col("blk").as("k2"))
+      .agg(sum(col("y").cast(dec38)).as("stot"), count(lit(1)).as("m2"))
+    val wdev = blocks
+      .withColumn("pk", sum(col("y")).over(
+        wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(blockTot),
+        col("bn") === col("b2") && col("blk") === col("k2"))
+      .filter(col("m2") === col("bn")) // complete blocks only
+      .select(col("bn"), col("blk"),
+        (col("bn").cast(dec38) * col("pk") - col("k").cast(dec38) * col("stot"))
+          .as("wk"),
+        col("stot"), col("m2"))
+    val perBlock = wdev.groupBy(col("bn"), col("blk"), col("stot"))
+      .agg(max(col("wk")).as("wmax"), min(col("wk")).as("wmin"))
+      .join(blocks.groupBy(col("bn").as("b3"), col("blk").as("k3"))
+          .agg(sum(col("y").cast(dec38) * col("y")).as("ssq")),
+        col("bn") === col("b3") && col("blk") === col("k3"))
+    val rsq = floor((col("wmax") - col("wmin")).cast(DoubleType) /
+      sqrt((col("bn").cast(dec38) * col("ssq") - col("stot") * col("stot"))
+        .cast(DoubleType)) * 1e6).cast(LongType)
+    val bySize = perBlock.select(col("bn"), rsq.as("rsq"))
+      .groupBy(col("bn"))
+      .agg(count(lit(1)).as("nblocks"), sum(col("rsq")).as("srs"))
+      .select(col("bn"), col("nblocks"),
+        expr("srs div nblocks").as("mean_rs_q6"))
+      .localCheckpoint(true)
+    // 5-point OLS of ln(mean_rs) on ln(bn): quantized ln at 1e6, exact
+    // BIGINT power sums, one double tree (the zipf recipe)
+    val xy = bySize.select(
+      floor(log(col("bn").cast(DoubleType)) * 1e6).cast(LongType).as("lx"),
+      floor(log(col("mean_rs_q6").cast(DoubleType) / 1e6) * 1e6)
+        .cast(LongType).as("ly"))
+    val ols = xy.agg(count(lit(1)).as("np"), sum(col("lx")).as("sx"),
+      sum(col("ly")).as("sy"),
+      sum(col("lx").cast(dec38) * col("lx")).as("sxx"),
+      sum(col("lx").cast(dec38) * col("ly")).as("sxy"))
+    def D(c: String) = col(c).cast(DoubleType)
+    val hurst = (D("np") * D("sxy") - D("sx") * D("sy")) /
+      (D("np") * D("sxx") - D("sx") * D("sx"))
+    bySize.crossJoin(broadcast(
+        ols.select(floor(hurst * 1e6).cast(LongType).as("hurst_q6"))))
+      .select(asLong(col("bn")).as("block_n"),
+        asLong(col("nblocks")).as("n_blocks"),
+        asLong(col("mean_rs_q6")).as("mean_rs_q6"), col("hurst_q6"))
+      .orderBy("block_n")
+  }
+
+  /** Chow structural-break test (§2.44): did the linear trend of daily
+    * revenue CHANGE at the calendar midpoint — ts_changepoint hunts
+    * the argmax mean shift; Chow is the formal F-test of "same line
+    * before and after" at a KNOWN date (launch, policy change), the
+    * difference a regression reader asks for. F = ((SSR_p − SSR₁ −
+    * SSR₂)/2) / ((SSR₁+SSR₂)/(n−4)). Exactness: x = day index, y =
+    * cents; all power sums DECIMAL(38,0) ↔ HUGEINT per segment; the
+    * three SSR terms and F evaluate one double tree, floored (SSR at
+    * integer dollars², F at 1e6). Scale: ONE date-grain aggregate +
+    * three 1-row segment reduces of the bounded day relation. */
+  val tsChowBreak: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val daily = table(s, d, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("dt"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("y"))
+    val bounds = daily.agg(min(col("dt")).as("d0"), max(col("dt")).as("d1"))
+      .select(col("d0"),
+        date_add(col("d0"), (datediff(col("d1"), col("d0")) / 2)
+          .cast(IntegerType)).as("mid"))
+    val pts = daily.crossJoin(broadcast(bounds))
+      .select((datediff(col("dt"), col("d0")) + 1).cast(LongType).as("x"),
+        col("y"), (col("dt") < col("mid")).as("pre"))
+    def moments(df: DataFrame) = df.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec38)).as("sx"), sum(col("y").cast(dec38)).as("sy"),
+      sum(col("x").cast(dec38) * col("x")).as("sxx"),
+      sum(col("x").cast(dec38) * col("y")).as("sxy"),
+      sum(col("y").cast(dec38) * col("y")).as("syy"))
+    def ssr(p: String) = {
+      def D(c: String) = col(p + c).cast(DoubleType)
+      val sxxC = D("n") * D("sxx") - D("sx") * D("sx")
+      val sxyC = D("n") * D("sxy") - D("sx") * D("sy")
+      val syyC = D("n") * D("syy") - D("sy") * D("sy")
+      (syyC - sxyC * sxyC / sxxC) / D("n") / 1e4 // dollars², per-n scaled
+    }
+    def ren(df: DataFrame, p: String) =
+      df.columns.foldLeft(df)((acc, c) => acc.withColumnRenamed(c, p + c))
+    val t = ren(moments(pts), "p")
+      .crossJoin(broadcast(ren(moments(pts.filter(col("pre"))), "a")))
+      .crossJoin(broadcast(ren(moments(pts.filter(!col("pre"))), "b")))
+    // un-scale: ssr(p) above is SSR/n in dollars² — multiply back by n
+    def D2(c: String) = col(c).cast(DoubleType)
+    val ssrP = ssr("p") * D2("pn")
+    val ssrA = ssr("a") * D2("an")
+    val ssrB = ssr("b") * D2("bn")
+    val f = ((ssrP - ssrA - ssrB) / 2.0) /
+      ((ssrA + ssrB) / (D2("pn") - 4.0))
+    // SSR in MILLIONS of dollars² — raw dollars² is ~3e19 at sf0.1,
+    // past BIGINT (measured: DuckDB cast error, Spark floor saturates)
+    t.select(asLong(col("an")).as("n_pre"), asLong(col("bn")).as("n_post"),
+      asLong(floor(ssrP / 1e6)).as("ssr_pooled_m"),
+      asLong(floor(ssrA / 1e6)).as("ssr_pre_m"),
+      asLong(floor(ssrB / 1e6)).as("ssr_post_m"),
+      asLong(floor(f * 1e6)).as("f_q6"))
+  }
+
+  /** Newey–West long-run variance (§2.44): the HAC standard error of
+    * mean daily revenue with a Bartlett kernel at L=7 — the
+    * autocorrelation-correct uncertainty every "is this week's mean
+    * up" readout needs when ts_acf_weekly shows serial dependence
+    * (iid SEs understate by the γ mass this op reports lag by lag).
+    * Exactness: demeaned products scale by D² ((y_t·D−T)(y_{t+l}·D−T)
+    * — exact DECIMAL(38,0) ↔ HUGEINT), per-lag γ floors to integer
+    * dollars²; the weighted long-run variance and SE are one double
+    * tree. Scale: ONE date-grain aggregate + an 8-lag broadcast
+    * self-join of the bounded day relation (the xcorr shape). */
+  val tsNeweyWest: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val daily = table(s, d, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("dt"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("y"))
+      .localCheckpoint(true)
+    val tot = daily.agg(count(lit(1)).as("dd"), sum(col("y").cast(dec38)).as("t"))
+    val lags = s.range(0, 8).select(col("id").cast(IntegerType).as("lag"))
+    val a = daily.select(col("dt"), col("y"))
+    val b = daily.select(col("dt").as("dt2"), col("y").as("y2"))
+    val gam = a.crossJoin(broadcast(lags))
+      .join(broadcast(b), date_add(col("dt"), col("lag")) === col("dt2"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("lag"), col("dd"))
+      .agg(sum((col("y").cast(dec38) * col("dd") - col("t")) *
+        (col("y2").cast(dec38) * col("dd") - col("t"))).as("sp"))
+      // γ_l in dollars²: Σ[(y·D−T)(y'·D−T)] / D³ / 1e4 (the 1/D of the
+      // autocovariance times the D² scaling), floored per lag
+      .select(col("lag"), col("dd"),
+        floor(col("sp").cast(DoubleType) /
+          (col("dd").cast(DoubleType) * col("dd").cast(DoubleType) *
+            col("dd").cast(DoubleType)) / 1e4).cast(LongType).as("gamma_d2"))
+      .localCheckpoint(true)
+    val wgt = (lit(8.0) - col("lag").cast(DoubleType)) / 8.0
+    val lrv = gam.select(col("dd"),
+        when(col("lag") === 0, col("gamma_d2").cast(DoubleType))
+          .otherwise(lit(2.0) * wgt * col("gamma_d2").cast(DoubleType))
+          .as("term"))
+      .groupBy(col("dd")).agg(sum(col("term")).as("lrv"))
+      .select(col("dd").as("dd2"), col("lrv"),
+        floor(sqrt(col("lrv") / col("dd").cast(DoubleType)) * 1e2)
+          .cast(LongType).as("se_dollars_q2"))
+    gam.crossJoin(broadcast(lrv.select(col("lrv"), col("se_dollars_q2"))))
+      .select(asLong(col("lag")).as("lag"),
+        asLong((lit(1000000L) * (lit(8L) - col("lag")) / 8L).cast(LongType))
+          .as("weight_ppm"),
+        col("gamma_d2"), asLong(floor(col("lrv"))).as("lrv_d2_floor"),
+        col("se_dollars_q2"))
+      .orderBy("lag")
+  }
+
 }

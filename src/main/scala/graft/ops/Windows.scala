@@ -591,4 +591,42 @@ object Windows {
       .orderBy("seg")
   }
 
+  /** Leaderboard churn (§2.44): month-over-month turnover of the
+    * top-10 supplier revenue leaderboard — overlap with last month's
+    * set, churn = k − overlap; a stable board means concentration
+    * (win_revenue_dominance's temporal face), a churning one means
+    * the "top supplier" readout is noise. Exactness: monthly ranks
+    * are integer windows with supplier ties; overlap is an exact
+    * set-intersection count; k = min(10, suppliers that month).
+    * Scale: ONE (month, supplier) map-combined fact aggregate; the
+    * rank window is month-keyed (parallel across months,
+    * WindowGroupLimit keeps 10 rows of state); consecutive-month
+    * overlap joins the ≤10·|months| bounded top relation. */
+  val winLeaderboardChurn: Q = (s, d) => {
+    val monthly = table(s, d, "lineitem")
+      .groupBy(trunc(col("l_shipdate").cast(DateType), "month").as("mo"),
+        col("l_suppkey"))
+      .agg(sum((dec2(col("l_extendedprice")) * 100).cast(LongType)).as("rev"))
+    val wM = Window.partitionBy(col("mo"))
+      .orderBy(col("rev").desc, col("l_suppkey"))
+    val top = monthly.withColumn("rk", row_number().over(wM))
+      .filter(col("rk") <= 10)
+      .select(col("mo"), col("l_suppkey"))
+      .localCheckpoint(true)
+    val kPer = top.groupBy(col("mo")).agg(count(lit(1)).as("k"))
+    val ov = top.toDF("m1", "sk1")
+      .join(top.toDF("m2", "sk2"),
+        col("m2") === add_months(col("m1"), 1) && col("sk1") === col("sk2"))
+      .groupBy(col("m2").as("mo")).agg(count(lit(1)).as("overlap"))
+    kPer.toDF("mo", "k_cur")
+      .join(broadcast(kPer.toDF("mp", "k_prev")),
+        col("mp") === add_months(col("mo"), -1))
+      .join(broadcast(ov), Seq("mo"), "left")
+      .select(col("mo").as("month"), asLong(col("k_prev")).as("k_prev"),
+        asLong(col("k_cur")).as("k_cur"),
+        asLong(coalesce(col("overlap"), lit(0L))).as("overlap"),
+        asLong(col("k_cur") - coalesce(col("overlap"), lit(0L))).as("churn"))
+      .orderBy("month")
+  }
+
 }

@@ -98,6 +98,50 @@ object Sources {
           base.write.mode("overwrite").partitionBy(pcol).parquet(path)
           // partition columns come back last — restore declared order
           spark.read.parquet(path).select(base.columns.map(col): _*)
+        case "text" =>
+          // line-oriented text roundtrip (§2.42): the raw-corpus wire
+          // format — one TSV line per document, free-text field LAST
+          // (it contains no tabs here; a production packer would
+          // escape). Written via the text sink, read back through
+          // readText + a limit-5 split, so BOTH line-source directions
+          // are exercised; the oracle aggregates the original parquet.
+          import org.apache.spark.sql.functions._
+          import org.apache.spark.sql.types.LongType
+          require(name == "documents",
+            "text roundtrip is modeled on the documents table")
+          base.select(concat_ws("\t",
+              col("doc_id"), col("lang"), col("source"),
+              col("n_chars"), col("text")).as("value"))
+            .write.mode("overwrite").text(path)
+          readText(spark, path)
+            .select(split(col("value"), "\t", 5).as("f"))
+            .select(element_at(col("f"), 1).cast(LongType).as("doc_id"),
+              element_at(col("f"), 5).as("text"),
+              element_at(col("f"), 2).as("lang"),
+              element_at(col("f"), 3).as("source"),
+              element_at(col("f"), 4).cast(LongType).as("n_chars"))
+        case "text_gzip" =>
+          // the compressed-lines variant (§2.44): gzip is THE wire
+          // format crawl corpora actually land in (.jsonl.gz/.tsv.gz);
+          // Spark's text source decompresses by extension — gzip files
+          // are NOT splittable, so at 100 TB the layout lever is many
+          // moderate .gz files (one task each), exactly what this
+          // write produces (one per input partition)
+          import org.apache.spark.sql.functions._
+          import org.apache.spark.sql.types.LongType
+          require(name == "documents",
+            "text_gzip roundtrip is modeled on the documents table")
+          base.select(concat_ws("\t",
+              col("doc_id"), col("lang"), col("source"),
+              col("n_chars"), col("text")).as("value"))
+            .write.mode("overwrite").option("compression", "gzip").text(path)
+          readText(spark, path)
+            .select(split(col("value"), "\t", 5).as("f"))
+            .select(element_at(col("f"), 1).cast(LongType).as("doc_id"),
+              element_at(col("f"), 5).as("text"),
+              element_at(col("f"), 2).as("lang"),
+              element_at(col("f"), 3).as("source"),
+              element_at(col("f"), 4).cast(LongType).as("n_chars"))
         case "jsonl_corrupt" =>
           // ingest-audit fixture: every row whose key is ≡ 0 (mod 7)
           // is truncated by 5 chars — the closing brace is gone, so

@@ -758,4 +758,152 @@ class EngineSpec extends AnyFunSuite {
     assert(!si.contains("SortMergeJoin"),
       s"simpson slope grew a shuffled join:\n${si.take(1200)}")
   }
+
+  test("round-12 §2.41 plans: broadcast panels/LMs, group limits, no shuffled joins") {
+    // mrr/map: one linear corpus scan against the broadcast probe
+    // panel; the top-10 cut is a WindowGroupLimit (10 rows of state
+    // per probe), like ndcg
+    Seq(ops.TextSim.simMrrAt10, ops.TextSim.simMapAt10).foreach { q =>
+      val p = q(spark, sf0001).queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastNestedLoopJoin") && p.contains("WindowGroupLimit"),
+        s"retrieval metric lost the broadcast-panel/group-limit shape:\n${p.take(1200)}")
+      assert(!p.contains("SortMergeJoin"),
+        s"retrieval metric grew a shuffled join:\n${p.take(1200)}")
+    }
+    // kneser-ney: the three LM relations are vocab-bounded and
+    // explicitly broadcast — the test scan never shuffle-joins
+    val kn = ops.Pipelines.pipelineKneserNeyNll(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!kn.contains("SortMergeJoin"),
+      s"kneser-ney test scan shuffle-joined:\n${kn.take(1200)}")
+    // token mix: everything after the per-source aggregate rides a
+    // |sources|-bounded relation; the only window is the bounded rank
+    val mx = ops.Pipelines.pipelineTokenBudgetMix(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!mx.contains("SortMergeJoin"),
+      s"token mix grew a shuffled join:\n${mx.take(1200)}")
+    // two-way anova: the 25-cell relation is an EAGER checkpoint (the
+    // dim-join broadcast shape is audited pre-checkpoint in PLANS.md);
+    // the final plan must read it (ExistingRDD), never re-shuffle
+    val av = ops.Relational.aggAnovaTwoWay(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(av.contains("Scan ExistingRDD") && !av.contains("SortMergeJoin"),
+      s"two-way anova lost the checkpointed-cells shape:\n${av.take(1200)}")
+    // xcorr: both day relations are calendar-bounded and broadcast
+    val xc = ops.TimeSeries.tsXcorrLags(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!xc.contains("SortMergeJoin"),
+      s"xcorr day join degenerated to a shuffle:\n${xc.take(1200)}")
+  }
+
+  test("round-12 §2.42 plans: range shuffles, bounded folds, no degenerate joins") {
+    // pps: the cumulative-revenue line comes off GlobalRank's RANGE
+    // shuffle — never a single-task global window
+    val pp = ops.Sampling.samplePpsSystematic(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(pp.contains("rangepartitioning"),
+      s"pps lost the GlobalRank range shuffle:\n${pp.take(1200)}")
+    // qte: per-arm ranks off ONE range shuffle; targets/offsets broadcast
+    val qt = ops.Relational.aggQuantileTreatmentEffect(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(qt.contains("rangepartitioning") && !qt.contains("SortMergeJoin"),
+      s"qte lost the range-shuffle/broadcast shape:\n${qt.take(1200)}")
+    // dominant period: fold aggregates hash-aggregate; the 29-period
+    // fan-out is broadcast, never a shuffled or nested-loop join of facts
+    val dp = ops.TimeSeries.tsDominantPeriod(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(dp.contains("HashAggregate") && !dp.contains("SortMergeJoin"),
+      s"dominant period degenerated:\n${dp.take(1200)}")
+    // kadane: extrema filters attach as broadcast joins on 1-row
+    // relations; no shuffled join anywhere
+    val kd = ops.TimeSeries.tsHotStreakKadane(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!kd.contains("SortMergeJoin"),
+      s"kadane grew a shuffled join:\n${kd.take(1200)}")
+    // hits: no cartesian/nested-loop — both iterations are equi-joins
+    // on the edge relation; the final cut is TakeOrdered
+    val ht = ops.GraphOps.graphHitsBipartite(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!ht.contains("CartesianProduct") &&
+      !ht.contains("BroadcastNestedLoopJoin") && ht.contains("TakeOrdered"),
+      s"hits degenerated:\n${ht.take(1200)}")
+  }
+
+  test("round-12 §2.43 plans: bounded grids, fused scans, equi-join bridges") {
+    // logrank: the only fact pass is the customer-grain aggregate; the
+    // risk table rides the bounded gap grid — no shuffled join
+    val lr = ops.TimeSeries.tsLogrankSegments(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!lr.contains("SortMergeJoin") && lr.contains("BroadcastHashJoin"),
+      s"logrank degenerated:\n${lr.take(2400)}")
+    // icc / partial corr: single fused scans, ZERO joins in partial_corr
+    val pc = ops.Relational.aggPartialCorr(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!pc.contains("Join"), s"partial_corr grew a join:\n${pc.take(1200)}")
+    val ic = ops.Relational.aggIccIntraclass(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!ic.contains("Join") && ic.contains("HashAggregate"),
+      s"icc degenerated:\n${ic.take(1200)}")
+    // burrows delta: top-20 is TakeOrdered on the vocab relation; the
+    // pair matrix rides the bounded grid — no shuffled join after it
+    val bd = ops.TextSim.textBurrowsDelta(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(bd.contains("TakeOrdered"),
+      s"burrows delta lost the top-k cut:\n${bd.take(1200)}")
+    // local bridges: equi-joins only over EDGES — no cartesian/BNLJ
+    // beyond the 1-row census attach
+    val lb = ops.GraphOps.graphLocalBridges(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!lb.contains("CartesianProduct"),
+      s"local bridges degenerated:\n${lb.take(1200)}")
+    // threshold sweep: reuses the persisted LSH pair relation — the
+    // sweep must read cached pairs, never rebuild the minhash chain
+    val sw = ops.Pipelines.dedupThresholdSweep(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(sw.contains("InMemoryTableScan") || sw.contains("Scan ExistingRDD"),
+      s"threshold sweep rebuilt the pair relation:\n${sw.take(1200)}")
+  }
+
+  test("round-12 §2.44 plans: bounded folds, month-keyed limits, fused scans") {
+    // hurst: block prefixes ride the bounded day relation; the block
+    // totals attach by broadcast — no shuffled join
+    val hu = ops.TimeSeries.tsHurstExponent(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!hu.contains("SortMergeJoin"),
+      s"hurst grew a shuffled join:\n${hu.take(1200)}")
+    // chow / newey-west: date-grain aggregates + broadcast-only attach
+    val cw = ops.TimeSeries.tsChowBreak(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!cw.contains("SortMergeJoin"),
+      s"chow degenerated:\n${cw.take(1200)}")
+    val nw = ops.TimeSeries.tsNeweyWest(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!nw.contains("SortMergeJoin"),
+      s"newey-west degenerated:\n${nw.take(1200)}")
+    // leaderboard churn: the top relation is an EAGER checkpoint (the
+    // month-keyed WindowGroupLimit shape is audited pre-checkpoint in
+    // PLANS.md); the final overlap joins ride ≤10·|months| rows and
+    // must broadcast, never shuffle
+    val lc = ops.Windows.winLeaderboardChurn(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(lc.contains("Scan ExistingRDD") && !lc.contains("SortMergeJoin"),
+      s"leaderboard churn degenerated:\n${lc.take(1200)}")
+    val lcPre = graft.Tables(spark, sf0001, "lineitem")
+      .groupBy(org.apache.spark.sql.functions.trunc(
+          col("l_shipdate").cast(org.apache.spark.sql.types.DateType),
+          "month").as("mo"), col("l_suppkey"))
+      .agg(sum(col("l_extendedprice")).as("rev"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("mo"))
+          .orderBy(col("rev").desc, col("l_suppkey"))))
+      .filter(col("rk") <= 10)
+      .queryExecution.executedPlan.toString
+    assert(lcPre.contains("WindowGroupLimit"),
+      s"monthly top-10 lost the group limit:\n${lcPre.take(1200)}")
+    // cronbach: ONE fused scan, zero joins
+    val ca = ops.Pipelines.pipelineCronbachAlpha(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!ca.contains("Join") && ca.contains("HashAggregate"),
+      s"cronbach degenerated:\n${ca.take(1200)}")
+  }
 }

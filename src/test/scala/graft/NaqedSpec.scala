@@ -828,4 +828,44 @@ class NaqedSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] { naqed.forecast(Map("$bogus" -> 1)) }
   }
+
+  test("retrieval directive: the retrieval-eval stack behind the object API") {
+    import org.apache.spark.sql.functions.col
+    val rep = naqed.retrieval()
+    assert(rep.columns.toSeq == Seq("check", "metric", "value"))
+    val byCheck = rep.collect().groupBy(_.getString(0))
+    assert(byCheck.keySet == Set("ndcg", "mrr", "map", "rrf", "rbo"))
+    // per-probe checks key the metric on the probe id, value-equal
+    // with the oracle-checked ops for every probe
+    val mrrDirect = ops.TextSim.simMrrAt10(spark, sf0001).collect()
+    assert(mrrDirect.length == 30)
+    mrrDirect.foreach { r =>
+      val pid = r.getAs[Long]("pid")
+      val api = rep.filter(col("check") === "mrr" &&
+        col("metric") === s"rr_q6_$pid").collect()(0).getString(2)
+      assert(api == r.getAs[Long]("rr_q6").toString, s"mrr probe $pid drifted")
+    }
+    val mapDirect = ops.TextSim.simMapAt10(spark, sf0001).collect()
+    val m0 = mapDirect(0)
+    val apiMap = rep.filter(col("check") === "map" &&
+      col("metric") === s"ap_q6_${m0.getAs[Long]("pid")}")
+      .collect()(0).getString(2)
+    assert(apiMap == m0.getAs[Long]("ap_q6").toString)
+    // the fused ranking keys on the doc: every fused doc's rrf score
+    // is exposed and value-equal
+    val rrfDirect = ops.TextSim.simRrfFusion(spark, sf0001).collect()
+    val r0 = rrfDirect(0)
+    val apiRrf = rep.filter(col("check") === "rrf" &&
+      col("metric") === s"rrf_q6_${r0.getAs[Long]("doc_id")}")
+      .collect()(0).getString(2)
+    assert(apiRrf == r0.getAs[Long]("rrf_q6").toString)
+    // $checks subsets; unknown names and args fail naqed-style
+    val only = naqed.retrieval(Map("$checks" -> Seq("ndcg")))
+    assert(only.select("check").distinct().collect().map(_.getString(0)).toSet
+      == Set("ndcg"))
+    intercept[IllegalArgumentException] {
+      naqed.retrieval(Map("$checks" -> Seq("bogus")))
+    }
+    intercept[IllegalArgumentException] { naqed.retrieval(Map("$bogus" -> 1)) }
+  }
 }

@@ -306,7 +306,23 @@ class QuerySuiteSpec extends AnyFunSuite {
     "sim_rrf_fusion" -> 20L,
     // §2.40 (round 12, eval & aggregation-bias batch)
     "agg_cohens_kappa" -> 1L, "agg_simpson_slope_flip" -> 3L,
-    "agg_tail_index_hill" -> 1L)
+    "agg_tail_index_hill" -> 1L,
+    // §2.41 (round 12, retrieval-eval, LM & factorial batch)
+    "sim_mrr_at10" -> 30L, "sim_map_at10" -> 30L,
+    "pipeline_kneser_ney_nll" -> 5L, "pipeline_token_budget_mix" -> 20L,
+    "agg_anova_two_way" -> 1L, "ts_xcorr_lags" -> 15L,
+    // §2.42 (round 12, periodicity, sampling-design & structure batch)
+    "ts_dominant_period" -> 29L, "ts_hot_streak_kadane" -> 1L,
+    "sample_pps_systematic" -> 5L, "agg_quantile_treatment_effect" -> 9L,
+    "graph_hits_bipartite" -> 10L, "src_text_roundtrip" -> 20L,
+    // §2.43 (round 12, survival, reliability & structure batch)
+    "ts_logrank_segments" -> 1L, "agg_icc_intraclass" -> 1L,
+    "agg_partial_corr" -> 1L, "text_burrows_delta" -> 10L,
+    "graph_local_bridges" -> 10L, "dedup_threshold_sweep" -> 10L,
+    // §2.44 (round 12, long-memory, robust-inference & wire-format batch)
+    "ts_hurst_exponent" -> 5L, "ts_chow_break" -> 1L,
+    "ts_newey_west" -> 8L, "win_leaderboard_churn" -> 82L,
+    "pipeline_cronbach_alpha" -> 1L, "src_gzip_roundtrip" -> 5L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
