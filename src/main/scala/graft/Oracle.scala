@@ -7117,7 +7117,155 @@ FROM v""",
   CAST(sum(n_chars) AS BIGINT) AS chars,
   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
-FROM ${T("documents")} GROUP BY 1 ORDER BY lang"""
+FROM ${T("documents")} GROUP BY 1 ORDER BY lang""",
+
+      // 1-D Wasserstein: scaled by n1*n2 every ECDF step is exact
+      // HUGEINT; one division at the end, floored 1e4.
+      "agg_wasserstein_1d" ->
+        s"""WITH g AS (SELECT value AS v,
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM ${T("events")}
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+  GROUP BY 1),
+c AS (SELECT CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT) vc,
+  CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+  CAST(sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+  FROM g),
+t AS (SELECT max(cum1) n1, max(cum2) n2, count(*) npts FROM c),
+steps AS (SELECT cum1, cum2, lead(vc) OVER (ORDER BY vc) - vc dv FROM c)
+SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+  CAST(t.npts AS BIGINT) AS n_points,
+  CAST(floor(CAST(sum(CAST(abs(s.cum1 * t.n2 - s.cum2 * t.n1) AS HUGEINT)
+      * s.dv) AS DOUBLE) /
+    (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)) * 1e4) AS BIGINT)
+    AS w1_cents_q4
+FROM steps s, t WHERE s.dv IS NOT NULL GROUP BY t.n1, t.n2, t.npts""",
+
+      // Bivariate Mahalanobis: exact HUGEINT moments, closed-form 2x2
+      // inverse, per-row double tree floored 1e6, top-20.
+      "agg_mahalanobis_outliers" ->
+        s"""WITH li AS (SELECT l_orderkey, l_linenumber,
+    CAST(l_quantity AS BIGINT) x,
+    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) y
+  FROM ${T("lineitem")}),
+m AS (SELECT count(*) n, sum(CAST(x AS HUGEINT)) sx, sum(CAST(y AS HUGEINT)) sy,
+    sum(CAST(x AS HUGEINT) * x) sxx, sum(CAST(y AS HUGEINT) * y) syy,
+    sum(CAST(x AS HUGEINT) * y) sxy FROM li),
+p AS (SELECT CAST(sx AS DOUBLE)/CAST(n AS DOUBLE) mx,
+    CAST(sy AS DOUBLE)/CAST(n AS DOUBLE) my,
+    CAST(sxx AS DOUBLE)/CAST(n AS DOUBLE) -
+      (CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) vx,
+    CAST(syy AS DOUBLE)/CAST(n AS DOUBLE) -
+      (CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)) vy,
+    CAST(sxy AS DOUBLE)/CAST(n AS DOUBLE) -
+      (CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)) cv
+  FROM m)
+SELECT l_orderkey, l_linenumber, CAST(x AS BIGINT) AS quantity,
+  CAST(y AS BIGINT) AS price_cents,
+  CAST(floor(((CAST(x AS DOUBLE) - mx) * (CAST(x AS DOUBLE) - mx) * vy
+    - 2 * (CAST(x AS DOUBLE) - mx) * (CAST(y AS DOUBLE) - my) * cv
+    + (CAST(y AS DOUBLE) - my) * (CAST(y AS DOUBLE) - my) * vx)
+    / (vx * vy - cv * cv) * 1e6) AS BIGINT) AS d2_q6
+FROM li, p ORDER BY d2_q6 DESC, l_orderkey, l_linenumber LIMIT 20""",
+
+      // Span templates: slice the d1 side of the shared span relation;
+      // pure integer pair/doc counts per exact string key.
+      "dedup_span_templates" ->
+        s"""${spanCtes(dir)},
+tpl AS (SELECT s.d1, s.d2, s.tok,
+    array_to_string(list_slice(string_split(dd.text, ' '),
+      s.s1, s.s1 + s.tok - 1), ' ') tpl_text
+  FROM spans s JOIN ${T("documents")} dd ON dd.doc_id = s.d1),
+pairs_ AS (SELECT tpl_text, tok, count(*) n_span_pairs
+  FROM tpl GROUP BY 1, 2),
+docs_ AS (SELECT tpl_text, count(*) n_docs FROM (
+    SELECT DISTINCT tpl_text, doc FROM (
+      SELECT tpl_text, d1 doc FROM tpl UNION ALL SELECT tpl_text, d2 FROM tpl))
+  GROUP BY 1)
+SELECT p.tpl_text AS template_text, CAST(p.tok AS BIGINT) AS span_tokens,
+  CAST(p.n_span_pairs AS BIGINT) AS n_span_pairs,
+  CAST(d.n_docs AS BIGINT) AS n_docs
+FROM pairs_ p JOIN docs_ d ON d.tpl_text = p.tpl_text
+ORDER BY p.n_span_pairs DESC, p.tpl_text LIMIT 20""",
+
+      // PACF lag 2: both autocorrelations floored 1e6 from exact
+      // moments; phi22 computed FROM the quantized integers.
+      "ts_pacf_lag2" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) dt,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) y
+  FROM ${T("orders")} GROUP BY 1),
+r1 AS (SELECT count(*) n1, CAST(floor((CAST(count(*) AS DOUBLE) *
+      CAST(sum(CAST(a.y AS HUGEINT) * b.y) AS DOUBLE) -
+      CAST(sum(CAST(a.y AS HUGEINT)) AS DOUBLE) * CAST(sum(CAST(b.y AS HUGEINT)) AS DOUBLE)) /
+    (sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(CAST(a.y AS HUGEINT) * a.y) AS DOUBLE) -
+      CAST(sum(CAST(a.y AS HUGEINT)) AS DOUBLE) * CAST(sum(CAST(a.y AS HUGEINT)) AS DOUBLE)) *
+     sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(CAST(b.y AS HUGEINT) * b.y) AS DOUBLE) -
+      CAST(sum(CAST(b.y AS HUGEINT)) AS DOUBLE) * CAST(sum(CAST(b.y AS HUGEINT)) AS DOUBLE))) * 1e6)
+    AS BIGINT) r1_q6
+  FROM daily a JOIN daily b ON b.dt = a.dt + 1),
+r2 AS (SELECT count(*) n2, CAST(floor((CAST(count(*) AS DOUBLE) *
+      CAST(sum(CAST(a.y AS HUGEINT) * b.y) AS DOUBLE) -
+      CAST(sum(CAST(a.y AS HUGEINT)) AS DOUBLE) * CAST(sum(CAST(b.y AS HUGEINT)) AS DOUBLE)) /
+    (sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(CAST(a.y AS HUGEINT) * a.y) AS DOUBLE) -
+      CAST(sum(CAST(a.y AS HUGEINT)) AS DOUBLE) * CAST(sum(CAST(a.y AS HUGEINT)) AS DOUBLE)) *
+     sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(CAST(b.y AS HUGEINT) * b.y) AS DOUBLE) -
+      CAST(sum(CAST(b.y AS HUGEINT)) AS DOUBLE) * CAST(sum(CAST(b.y AS HUGEINT)) AS DOUBLE))) * 1e6)
+    AS BIGINT) r2_q6
+  FROM daily a JOIN daily b ON b.dt = a.dt + 2)
+SELECT CAST(n1 AS BIGINT) AS n_pairs_lag1, CAST(n2 AS BIGINT) AS n_pairs_lag2,
+  r1_q6, r2_q6,
+  CAST(floor((CAST(r2_q6 AS DOUBLE)/1e6 -
+      (CAST(r1_q6 AS DOUBLE)/1e6) * (CAST(r1_q6 AS DOUBLE)/1e6)) /
+    (1 - (CAST(r1_q6 AS DOUBLE)/1e6) * (CAST(r1_q6 AS DOUBLE)/1e6)) * 1e6)
+    AS BIGINT) AS pacf2_q6
+FROM r1, r2""",
+
+      // CEM: integer strata, per-(stratum, arm) ranks, exact pair join.
+      "sample_cem_matching" ->
+        s"""WITH cust AS (SELECT o_custkey ck,
+    sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      ELSE 0 END) x,
+    sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      ELSE 0 END) yy
+  FROM ${T("orders")} GROUP BY 1),
+cust2 AS (SELECT ck, x, yy,
+    ('0x' || substr(md5(cast(ck AS VARCHAR)), 1, 4))::BIGINT % 2 arm
+  FROM cust WHERE x > 0),
+rng AS (SELECT min(x) x0, max(x) x1 FROM cust2),
+bk AS (SELECT ck, x, yy, arm,
+    least(63, ((x - x0) * 64) // (x1 - x0 + 1)) b
+  FROM cust2, rng),
+pr AS (SELECT b, arm, x, yy,
+    row_number() OVER (PARTITION BY b, arm ORDER BY x, ck) prank FROM bk),
+t AS (SELECT b, prank, x xt, yy yt FROM pr WHERE arm = 1),
+c AS (SELECT b, prank, x xc, yy yc FROM pr WHERE arm = 0),
+matched AS (SELECT t.b, t.xt, t.yt, c.xc, c.yc FROM t
+  JOIN c ON c.b = t.b AND c.prank = t.prank),
+perarm AS (SELECT b, sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) n_treated,
+    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) n_control FROM bk GROUP BY 1),
+att AS (SELECT b, count(*) n_matched, sum(yt - yc) dsum,
+    sum(abs(xt - xc)) xgap FROM matched GROUP BY 1)
+SELECT CAST(p.b AS BIGINT) AS stratum,
+  CAST(p.n_treated AS BIGINT) AS n_treated,
+  CAST(p.n_control AS BIGINT) AS n_control,
+  CAST(coalesce(a.n_matched, 0) AS BIGINT) AS n_matched,
+  CAST(coalesce(floor(CAST(a.dsum AS DOUBLE) / CAST(a.n_matched AS DOUBLE)), 0)
+    AS BIGINT) AS att_cents,
+  CAST(coalesce(floor(CAST(a.xgap AS DOUBLE) / CAST(a.n_matched AS DOUBLE)), 0)
+    AS BIGINT) AS mean_xgap_cents
+FROM perarm p LEFT JOIN att a ON a.b = p.b ORDER BY stratum""",
+
+      // Bucketed-join roundtrip: the oracle joins the ORIGINAL tables.
+      "src_bucketed_roundtrip" ->
+        s"""SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+  CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+    AS BIGINT) AS revenue_cents
+FROM ${T("orders")} o JOIN ${T("customer")} c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY c.c_mktsegment"""
     )
   }
 }

@@ -191,7 +191,11 @@ object ScalingBench {
           { ops.Pipelines.dedupThresholdSweep(spark, dir).count(); () }),
         // round-12 §2.44 doc-side: cronbach is the fused-scan floor
         "pipeline_cronbach_alpha" -> (() =>
-          { ops.Pipelines.pipelineCronbachAlpha(spark, dir).count(); () }))
+          { ops.Pipelines.pipelineCronbachAlpha(spark, dir).count(); () }),
+        // round-12 §2.45 doc-side: template mining is marginal over
+        // the shared span relation (α should be ~the slice join)
+        "dedup_span_templates" -> (() =>
+          { ops.Pipelines.dedupSpanTemplates(spark, dir).count(); () }))
       )
       // run r: clear -> timed shingle build -> each op timed under its
       // own job group; keep min wall and min CPU per op (a cost
@@ -343,7 +347,15 @@ object ScalingBench {
         // month-keyed leaderboard (one fact aggregate + group limits)
         "ts_hurst_exponent" -> (() => { ops.TimeSeries.tsHurstExponent(spark, dir).count(); () }),
         "ts_newey_west" -> (() => { ops.TimeSeries.tsNeweyWest(spark, dir).count(); () }),
-        "win_leaderboard_churn" -> (() => { ops.Windows.winLeaderboardChurn(spark, dir).count(); () })))
+        "win_leaderboard_churn" -> (() => { ops.Windows.winLeaderboardChurn(spark, dir).count(); () }),
+        // round-12 §2.45: wasserstein (shared ECDF, marginal),
+        // mahalanobis (moment pass + fused rescan — 2x the scan, α~1),
+        // pacf (two bounded lag joins past the date aggregate), cem
+        // (customer-grain aggregate + one range shuffle)
+        "agg_wasserstein_1d" -> (() => { ops.Relational.aggWasserstein1d(spark, dir).count(); () }),
+        "agg_mahalanobis_outliers" -> (() => { ops.Relational.aggMahalanobisOutliers(spark, dir).count(); () }),
+        "ts_pacf_lag2" -> (() => { ops.TimeSeries.tsPacfLag2(spark, dir).count(); () }),
+        "sample_cem_matching" -> (() => { ops.Sampling.sampleCemMatching(spark, dir).count(); () })))
       val best = scala.collection.mutable.LinkedHashMap[String, Double]()
       val bestCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
       var primeBest = Double.MaxValue

@@ -2559,4 +2559,39 @@ object Pipelines {
       asLong(floor(alpha * 1e6)).as("alpha_q6"))
   }
 
+  /** Duplicate-span template mining (§2.45): the top-20 VERBATIM
+    * span texts by cross-doc repetition — dedup_threshold_sweep's
+    * cliff says "a template family lives here"; this op names it (the
+    * actual boilerplate strings a crawl keeps re-emitting, the thing
+    * a curation team greps for before writing a removal rule). Spans
+    * come from the shared ≥12-token checkpointed relation
+    * (dedup_substring_spans' build); the template is sliced from the
+    * d1 side — verbatim-identical on d2 by construction. Exactness:
+    * pure integer pair/doc counts per exact string key. Scale: the
+    * span relation is band-bounded (never doc²); the slice join is
+    * ≤|spans| rows against the doc store; top-20 = TakeOrdered. */
+  val dedupSpanTemplates: Q = (s, d) => {
+    val spans = dupSpans(s, d, 12)
+    val tpl = spans
+      .join(table(s, d, "documents").select(col("doc_id").as("d1"),
+        col("text")), Seq("d1"))
+      .select(col("d1"), col("d2"), col("tok"),
+        array_join(slice(split(col("text"), " "),
+          col("s1").cast(IntegerType), col("tok").cast(IntegerType)), " ")
+          .as("template_text"))
+      .localCheckpoint(true)
+    val pairsPer = tpl.groupBy(col("template_text"), col("tok"))
+      .agg(count(lit(1)).as("n_span_pairs"))
+    val docsPer = tpl.select(col("template_text"), col("d1").as("doc"))
+      .unionAll(tpl.select(col("template_text"), col("d2").as("doc")))
+      .distinct()
+      .groupBy(col("template_text")).agg(count(lit(1)).as("n_docs"))
+    pairsPer.join(docsPer, Seq("template_text"))
+      .orderBy(col("n_span_pairs").desc, col("template_text"))
+      .limit(20)
+      .select(col("template_text"), asLong(col("tok")).as("span_tokens"),
+        asLong(col("n_span_pairs")).as("n_span_pairs"),
+        asLong(col("n_docs")).as("n_docs"))
+  }
+
 }

@@ -4054,4 +4054,102 @@ object Relational {
       asLong(floor(pc * 1e6)).as("partial_r_q6"))
   }
 
+  /** 1-D Wasserstein distance (§2.45): the earth-mover's distance
+    * between the click and purchase value distributions — agg_ks_test
+    * reads the WORST ECDF gap, W₁ integrates ALL of it (two
+    * distributions can share their KS point yet differ wildly in
+    * transported mass; W₁ is the drift magnitude a retraining trigger
+    * actually wants, in cents). W₁ = Σ |F₁(v)−F₂(v)|·Δv over the
+    * value grid. Exactness: scaled by n₁·n₂ every step is the exact
+    * integer |cum1·n₂ − cum2·n₁| · Δcents accumulated in
+    * DECIMAL(38,0) ↔ HUGEINT; ONE division at the end, floored 1e4.
+    * Scale: reuses the SHARED GlobalRank ECDF relation (built once
+    * per session, the ks/mann-whitney lineage); the step window rides
+    * the domain-bounded distinct-value grid. */
+  val aggWasserstein1d: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val cum = cpEcdf(s, d)
+      .select((dec2(col("v")) * 100).cast(LongType).as("vc"),
+        col("cum1"), col("cum2"))
+    val tot = cum.agg(max(col("cum1")).as("n1"), max(col("cum2")).as("n2"),
+      count(lit(1)).as("npts"))
+    val wV = Window.orderBy(col("vc"))
+    val steps = cum
+      .withColumn("dv", lead(col("vc"), 1).over(wV) - col("vc"))
+      .filter(col("dv").isNotNull)
+      .crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"), col("npts"),
+        (abs(col("cum1") * col("n2") - col("cum2") * col("n1")).cast(dec38) *
+          col("dv")).as("term"))
+    steps.groupBy(col("n1"), col("n2"), col("npts"))
+      .agg(sum(col("term")).as("scaled"))
+      .select(asLong(col("n1")).as("n1"), asLong(col("n2")).as("n2"),
+        asLong(col("npts")).as("n_points"),
+        asLong(floor(col("scaled").cast(DoubleType) /
+          (col("n1").cast(DoubleType) * col("n2").cast(DoubleType)) * 1e4))
+          .as("w1_cents_q4"))
+  }
+
+  /** Bivariate Mahalanobis outliers (§2.45): the 20 lineitems whose
+    * (quantity, price) pair is furthest from the joint distribution in
+    * covariance-adjusted distance — agg_iqr_outliers screens each
+    * margin alone and misses exactly the points that are unremarkable
+    * per-axis but impossible JOINTLY (tiny quantity at huge price);
+    * d² = (Δᵀ Σ⁻¹ Δ) with the closed-form 2×2 inverse. Exactness: the
+    * five moments accumulate DECIMAL(38,0) ↔ HUGEINT; every row's d²
+    * is one fixed double tree over exact broadcast scalars, floored
+    * 1e6 with (orderkey, linenumber) ties. Scale: ONE moment
+    * aggregate + ONE fused rescan with the 1-row moments broadcast;
+    * the cut is a distributed TakeOrderedAndProject. */
+  val aggMahalanobisOutliers: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val x = dec2(col("l_quantity")).cast(LongType)
+    val yv = (dec2(col("l_extendedprice")) * 100).cast(LongType)
+    val li = table(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        x.as("x"), yv.as("y"))
+    val m = li.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec38)).as("sx"), sum(col("y").cast(dec38)).as("sy"),
+      sum(col("x").cast(dec38) * col("x")).as("sxx"),
+      sum(col("y").cast(dec38) * col("y")).as("syy"),
+      sum(col("x").cast(dec38) * col("y")).as("sxy"))
+    def D(c: String) = col(c).cast(DoubleType)
+    val nd = col("n").cast(DoubleType)
+    val mx = D("sx") / nd
+    val my = D("sy") / nd
+    val vx = D("sxx") / nd - mx * mx
+    val vy = D("syy") / nd - my * my
+    val cv = D("sxy") / nd - mx * my
+    val det = vx * vy - cv * cv
+    val dx = col("x").cast(DoubleType) - mx
+    val dy = col("y").cast(DoubleType) - my
+    val d2 = (dx * dx * vy - lit(2.0) * dx * dy * cv + dy * dy * vx) / det
+    li.crossJoin(broadcast(m))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        asLong(col("x")).as("quantity"), asLong(col("y")).as("price_cents"),
+        asLong(floor(d2 * 1e6)).as("d2_q6"))
+      .orderBy(col("d2_q6").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+  }
+
+  /** Bucketed-join roundtrip (§2.45): orders and customer written as
+    * BUCKETED managed tables on c/o_custkey (8 buckets, sorted) and
+    * joined WITHOUT A SINGLE EXCHANGE (EngineSpec pins zero shuffles
+    * under the join) — bucketing is the write-side layout lever that
+    * makes the repeated big-dim join free at 100 TB, and this query is
+    * the declared-contract proof (the oracle aggregates the ORIGINAL
+    * parquet, so bucket routing that lost or duplicated one row fails
+    * the hash gate). */
+  val srcBucketedRoundtrip: Q = (s, d) => {
+    val o = graft.sources.Sources.bucketed(s, d, "orders", "o_custkey", 8)
+    val c = graft.sources.Sources.bucketed(s, d, "customer", "c_custkey", 8)
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(asLong(count(lit(1))).as("n_orders"),
+        asLong(countDistinct(col("o_custkey"))).as("n_customers"),
+        asLong(sum((dec2(col("o_totalprice")) * 100).cast(LongType)))
+          .as("revenue_cents"))
+      .orderBy("c_mktsegment")
+  }
+
 }

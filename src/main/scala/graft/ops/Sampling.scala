@@ -613,4 +613,70 @@ object Sampling {
           col("true_cents").cast(DoubleType) * 1e4)).as("err_bp"))
       .orderBy("seg")
   }
+
+  /** Coarsened-exact-matching ATT (§2.45): Iacus–King–Porro's CEM —
+    * the observational-causal estimator a pipeline runs when it
+    * CANNOT randomize: coarsen the confounder (pre-period spend) into
+    * 64 equal-width strata, pair treated/control units WITHIN each
+    * stratum by rank, read the average treatment effect off the
+    * matched pairs (agg_quantile_treatment_effect reads randomized
+    * arms; this corrects selection on X first). Arms are the md5
+    * split; pre = 1995–97 spend, post = 1998+ spend. Exactness:
+    * integer bucket = (x−xmin)·64 div (xmax−xmin+1); per-(bucket,arm)
+    * ranks from ONE GlobalRank pass with ≤128 bounded offsets
+    * broadcast back; matches are an exact (bucket, rank) equi-join;
+    * ATT sums are integer cents, ONE div per bucket. Scale: one
+    * customer-grain aggregate + one range shuffle — never a
+    * partitionBy(bucket,arm) window over fact rows. */
+  val sampleCemMatching: Q = (s, d) => {
+    val cust = table(s, d, "orders")
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(when(col("o_orderdate") < lit("1998-01-01").cast(TimestampType),
+          (dec2(col("o_totalprice")) * 100).cast(LongType)).otherwise(0L))
+          .as("x"),
+        sum(when(col("o_orderdate") >= lit("1998-01-01").cast(TimestampType),
+          (dec2(col("o_totalprice")) * 100).cast(LongType)).otherwise(0L))
+          .as("yy"))
+      .filter(col("x") > 0)
+      .select(col("ck"), col("x"), col("yy"),
+        (bucket16(col("ck")) % 2).as("arm"))
+    val rng = cust.agg(min(col("x")).as("x0"), max(col("x")).as("x1"))
+    val bucketed = cust.crossJoin(broadcast(rng))
+      .select(col("ck"), col("x"), col("yy"), col("arm"),
+        expr("least(bigint(63), ((x - x0) * 64) div (x1 - x0 + 1))").as("b"))
+    val (ranked, _) = GlobalRank.ranked(
+      bucketed, Seq(col("b"), col("arm"), col("x"), col("ck")), "rn")
+    val offs = ranked.groupBy(col("b").as("ob"), col("arm").as("oa"))
+      .agg(min(col("rn")).as("o0"))
+    val pr = ranked.join(broadcast(offs),
+        col("b") === col("ob") && col("arm") === col("oa"))
+      .select(col("b"), col("arm"), col("x"), col("yy"),
+        (col("rn") - col("o0") + 1).as("prank"))
+    val t = pr.filter(col("arm") === 1)
+      .select(col("b"), col("prank"), col("x").as("xt"), col("yy").as("yt"))
+    val c = pr.filter(col("arm") === 0)
+      .select(col("b").as("cb"), col("prank").as("cr"),
+        col("x").as("xc"), col("yy").as("yc"))
+    val matched = t.join(c, col("b") === col("cb") && col("prank") === col("cr"))
+    val perArm = pr.groupBy(col("b"))
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treated"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_control"))
+    val att = matched.groupBy(col("b"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("yt") - col("yc")).as("dsum"),
+        sum(abs(col("xt") - col("xc"))).as("xgap"))
+    perArm.join(att, Seq("b"), "left")
+      .select(asLong(col("b")).as("stratum"),
+        asLong(col("n_treated")).as("n_treated"),
+        asLong(col("n_control")).as("n_control"),
+        asLong(coalesce(col("n_matched"), lit(0L))).as("n_matched"),
+        // floor(double), NOT integer div: dsum can be negative and
+        // SQL div truncates toward zero while DuckDB's // floors
+        asLong(coalesce(floor(col("dsum").cast(DoubleType) /
+          col("n_matched").cast(DoubleType)), lit(0L))).as("att_cents"),
+        asLong(coalesce(floor(col("xgap").cast(DoubleType) /
+          col("n_matched").cast(DoubleType)), lit(0L)))
+          .as("mean_xgap_cents"))
+      .orderBy("stratum")
+  }
 }

@@ -2396,4 +2396,47 @@ object TimeSeries {
       .orderBy("lag")
   }
 
+  /** Partial autocorrelation at lag 2 (§2.45): does yesterday's
+    * revenue carry information BEYOND what the day before already
+    * explains — φ₂₂ = (r₂ − r₁²)/(1 − r₁²), the Durbin–Levinson step
+    * that identifies AR order (ts_autocorr_lag1/ts_acf_weekly read
+    * raw correlations; the PACF cutoff is what picks the model). Both
+    * autocorrelations use the lag-join convention over the day grid,
+    * each floored at 1e6 from its exact-moment double tree; φ₂₂ is
+    * then a deterministic function OF THE QUANTIZED integers (no
+    * fresh float path). Scale: one date-grain aggregate + two
+    * calendar-bounded lag joins. */
+  val tsPacfLag2: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val daily = table(s, d, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("dt"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("y"))
+      .localCheckpoint(true)
+    def rAtLag(l: Int): DataFrame = {
+      val pairs = daily.select(col("dt"), col("y").as("x"))
+        .join(broadcast(daily.select(date_add(col("dt"), l).as("dt"),
+          col("y").as("z"))), Seq("dt"))
+      pairs.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec38)).as("sx"), sum(col("z").cast(dec38)).as("sz"),
+        sum(col("x").cast(dec38) * col("z")).as("sxz"),
+        sum(col("x").cast(dec38) * col("x")).as("sxx"),
+        sum(col("z").cast(dec38) * col("z")).as("szz"))
+        .select(floor((col("n").cast(DoubleType) * col("sxz").cast(DoubleType) -
+          col("sx").cast(DoubleType) * col("sz").cast(DoubleType)) /
+          (sqrt(col("n").cast(DoubleType) * col("sxx").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) *
+            sqrt(col("n").cast(DoubleType) * col("szz").cast(DoubleType) -
+              col("sz").cast(DoubleType) * col("sz").cast(DoubleType))) * 1e6)
+          .cast(LongType).as(s"r${l}_q6"), col("n").as(s"n$l"))
+    }
+    val r1d = col("r1_q6").cast(DoubleType) / 1e6
+    val r2d = col("r2_q6").cast(DoubleType) / 1e6
+    rAtLag(1).crossJoin(broadcast(rAtLag(2)))
+      .select(asLong(col("n1")).as("n_pairs_lag1"),
+        asLong(col("n2")).as("n_pairs_lag2"),
+        col("r1_q6"), col("r2_q6"),
+        asLong(floor((r2d - r1d * r1d) / (lit(1.0) - r1d * r1d) * 1e6))
+          .as("pacf2_q6"))
+  }
+
 }

@@ -45,6 +45,40 @@ object Sources {
 
   private val convCache = new graft.SessionCache[(String, String, String), DataFrame]
 
+  /** A base table served through a BUCKETED managed table (§2.45):
+    * written once per (session, sfDir, table) with `bucketBy(n, key)` +
+    * `sortBy(key)` into the session warehouse, read back via
+    * `spark.table`. Bucketing is THE co-located-join lever at 100 TB —
+    * two tables bucketed on the same key sort-merge-join with ZERO
+    * exchanges (pinned in EngineSpec) — and this helper is the
+    * declared-query proof it works end to end, not just a SCALING.md
+    * claim. The table name folds in the sfDir hash so multiple tiers
+    * coexist in one warehouse. */
+  def bucketed(spark: SparkSession, sfDir: String, name: String,
+      keyCol: String, nBuckets: Int): DataFrame =
+    convCache.getOrElseUpdate(spark, (sfDir, name, s"bucketed$nBuckets")) {
+      val tbl = s"bucketed_${name}_${nBuckets}_${math.abs(sfDir.hashCode)}"
+      if (!spark.catalog.tableExists(tbl)) {
+        // the warehouse DIRECTORY outlives the in-memory catalog across
+        // JVMs: a fresh session doesn't know the table but its managed
+        // location from a previous run blocks CREATE — reap it first
+        // (it is scratch state in the gitignored warehouse)
+        val wh = java.net.URI.create(
+          spark.conf.get("spark.sql.warehouse.dir")).getPath
+        val loc = java.nio.file.Paths.get(wh, tbl)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        graft.Tables(spark, sfDir, name).write
+          .bucketBy(nBuckets, keyCol).sortBy(keyCol)
+          .mode("overwrite").saveAsTable(tbl)
+      }
+      spark.table(tbl)
+    }
+
   // conversion dirs hold full table copies — reap them at JVM exit so
   // repeated bench/test runs don't accumulate unbounded /tmp data
   private val convDirs = java.util.Collections.synchronizedList(

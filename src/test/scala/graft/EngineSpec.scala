@@ -906,4 +906,48 @@ class EngineSpec extends AnyFunSuite {
     assert(!ca.contains("Join") && ca.contains("HashAggregate"),
       s"cronbach degenerated:\n${ca.take(1200)}")
   }
+
+  test("round-12 §2.45 plans: shared ECDF, take-ordered cuts, exchange-free bucketed join") {
+    // wasserstein: must READ the cached shared ECDF (ks lineage),
+    // never rebuild it
+    val ws = ops.Relational.aggWasserstein1d(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(ws.contains("Scan ExistingRDD") || ws.contains("InMemoryTableScan"),
+      s"wasserstein rebuilt the ECDF:\n${ws.take(1200)}")
+    // mahalanobis: one fused rescan + broadcast moments, top-20 =
+    // distributed TakeOrderedAndProject, no shuffled join
+    val mh = ops.Relational.aggMahalanobisOutliers(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(mh.contains("TakeOrdered") && !mh.contains("SortMergeJoin"),
+      s"mahalanobis degenerated:\n${mh.take(1200)}")
+    // span templates: reads the checkpointed span slice, TakeOrdered cut
+    val st = ops.Pipelines.dedupSpanTemplates(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(st.contains("Scan ExistingRDD") && st.contains("TakeOrdered"),
+      s"span templates degenerated:\n${st.take(1200)}")
+    // pacf: two broadcast lag joins on the checkpointed day relation
+    val pa = ops.TimeSeries.tsPacfLag2(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!pa.contains("SortMergeJoin"),
+      s"pacf degenerated:\n${pa.take(1200)}")
+    // cem: per-(stratum, arm) ranks off GlobalRank's RANGE shuffle —
+    // never a partitionBy window over fact rows
+    val cm = ops.Sampling.sampleCemMatching(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(cm.contains("rangepartitioning"),
+      s"cem lost the GlobalRank range shuffle:\n${cm.take(1200)}")
+    // bucketed join: ZERO exchanges under the sort-merge join — the
+    // whole point of the bucketed layout. At sf0.001 the optimizer
+    // would BROADCAST the 150-row dim (also exchange-free, but it
+    // proves nothing about buckets) — disable auto-broadcast on a
+    // cloned session so the SMJ path is what gets audited
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val bk = ops.Relational.srcBucketedRoundtrip(s2, sf0001)
+      .queryExecution.executedPlan.toString
+    val joinIdx = bk.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"bucketed join missing:\n${bk.take(1200)}")
+    assert(!bk.substring(joinIdx).contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n${bk.take(2400)}")
+  }
 }

@@ -322,7 +322,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     // §2.44 (round 12, long-memory, robust-inference & wire-format batch)
     "ts_hurst_exponent" -> 5L, "ts_chow_break" -> 1L,
     "ts_newey_west" -> 8L, "win_leaderboard_churn" -> 82L,
-    "pipeline_cronbach_alpha" -> 1L, "src_gzip_roundtrip" -> 5L)
+    "pipeline_cronbach_alpha" -> 1L, "src_gzip_roundtrip" -> 5L,
+    // §2.45 (round 12, distributional distance, matching & layout batch)
+    "agg_wasserstein_1d" -> 1L, "agg_mahalanobis_outliers" -> 20L,
+    "dedup_span_templates" -> 20L, "ts_pacf_lag2" -> 1L,
+    "sample_cem_matching" -> 51L, "src_bucketed_roundtrip" -> 5L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
