@@ -126,7 +126,11 @@ object Bench {
     def prime(pool: java.util.concurrent.ExecutorService, dir: String): Unit = {
       val chains: Seq[() => Unit] = Seq(
         () => { Seq("lineitem", "orders", "events").foreach(n => Tables(spark, dir, n).count())
-                Tables.edges(spark, dir) },
+                Tables.edges(spark, dir)
+                // round 13: the shared bipartite purchase-edge build
+                // (four consumers — hits, degree profile,
+                // assortativity, and any future bipartite op)
+                Tables.bipartite(spark, dir); () },
         () => { Tables(spark, dir, "documents").count(); ops.Pipelines.prime(spark, dir) },
         () => { Tables(spark, dir, "embeddings").count(); ops.TextSim.prime(spark, dir) },
         () => Seq("region", "nation", "customer", "supplier", "part")

@@ -114,7 +114,49 @@ object IncDedupBench {
       System.out.flush()
     }
 
+    /** Same sweep for [[graft.ops.IncrementalSpans]] (round 13): the
+      * positioned-shingle span state under the same mixed delta. */
+    def measureTierSpans(dir: String, deltas: Seq[Int]): Unit = {
+      val docs = Tables(spark, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val nDocs = docs.count()
+      val root = s"$tmpRoot/spans_corpus_${nDocs}"
+      VersionedTable.create(spark, root, docs)
+      val v1 = VersionedTable.versions(spark, root).last
+      var state: graft.ops.IncrementalSpans.State = null
+      val tBuild = timed {
+        state = graft.ops.IncrementalSpans.build(
+          VersionedTable.read(spark, root, Some(v1)))
+        state.spans.count(); ()
+      }
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      for ((dn, i) <- deltas.zipWithIndex) {
+        val (fromV, toV) = commitDelta(root, VersionedTable.read(spark, root), dn, i)
+        var s2: graft.ops.IncrementalSpans.State = null
+        val tAdv = timed {
+          s2 = graft.ops.IncrementalSpans.advance(spark, root, fromV, toV, state)
+          s2.spans.count(); ()
+        }
+        val tRebuild = timed {
+          graft.ops.IncrementalSpans.build(
+            VersionedTable.read(spark, root, Some(toV))).spans.count(); ()
+        }
+        state = s2
+        parts += s"""{"delta":$dn,"advance":${r3(tAdv)},"full_rebuild":${r3(tRebuild)}}"""
+      }
+      println(s"""{"family":"inc_spans","dir":"$dir","n_docs":$nDocs,"initial_build":${r3(tBuild)},"steps":[${parts.mkString(",")}]}""")
+      System.out.flush()
+    }
+
     val mode = sys.env.getOrElse("SPARK_GRAFT_INCDEDUP_MODE", "all")
+    // spans sweep (round 13): fixed 200-doc delta across three decades
+    if (mode == "spans") {
+      Seq("/root/testdata/sf0.1",
+        new java.io.File("fixtures/sf1_docs").getAbsolutePath,
+        new java.io.File("fixtures/sf10_docs").getAbsolutePath)
+        .filter(d => new java.io.File(s"$d/documents.parquet").exists())
+        .foreach(d => measureTierSpans(d, Seq(200)))
+    }
     // corpus sweep: fixed 200-doc delta across three decades
     if (mode == "all" || mode == "corpus") {
       Seq("/root/testdata/sf0.1",

@@ -92,6 +92,23 @@ spans AS (SELECT d1, d2, min(p1) s1, min(p1) - dp s2, count(*) + 7 tok
   FROM isl GROUP BY d1, d2, dp, grp
   HAVING count(*) + 7 >= 12)"""
 
+  /** §2.46 PII pattern by type — the SAME literal string Pipelines
+    * compiles on the Spark side (Java/RE2-identical subset). */
+  private def piiPat(name: String): String =
+    graft.ops.Pipelines.piiPatterns.collectFirst {
+      case (n, p, _) if n == name => p
+    }.getOrElse(throw new IllegalArgumentException(name))
+
+  /** §2.46 dirty-corpus fixture as DuckDB SQL — the same doc_id
+    * arithmetic injection Pipelines.piiDirtyText declares (BIGINT to
+    * VARCHAR concat casts agree between engines). */
+  private val piiDirtySql: String =
+    """concat(text,
+    CASE WHEN doc_id % 5 = 0 THEN concat(' contact user', doc_id, '@example.com now') ELSE '' END,
+    CASE WHEN doc_id % 7 = 0 THEN concat(' call ', 300 + doc_id % 600, '-', 200 + doc_id % 700, '-', 1000 + doc_id % 9000, ' today') ELSE '' END,
+    CASE WHEN doc_id % 11 = 0 THEN concat(' case ', 100 + doc_id % 900, '-', 10 + doc_id % 90, '-', 1000 + doc_id % 9000, ' filed') ELSE '' END,
+    CASE WHEN doc_id % 13 = 0 THEN concat(' from 10.', doc_id % 256, '.', (doc_id * 7) % 256, '.', (doc_id * 13) % 256, ' port') ELSE '' END)"""
+
   def forDir(dir: String): Map[String, String] = {
     def T(name: String) = t(dir, name)
     val E = edgesWith(dir)
@@ -7136,7 +7153,8 @@ t AS (SELECT max(cum1) n1, max(cum2) n2, count(*) npts FROM c),
 steps AS (SELECT cum1, cum2, lead(vc) OVER (ORDER BY vc) - vc dv FROM c)
 SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
   CAST(t.npts AS BIGINT) AS n_points,
-  CAST(floor(CAST(sum(CAST(abs(s.cum1 * t.n2 - s.cum2 * t.n1) AS HUGEINT)
+  CAST(floor(CAST(sum(abs(CAST(s.cum1 AS HUGEINT) * t.n2 -
+        CAST(s.cum2 AS HUGEINT) * t.n1)
       * s.dv) AS DOUBLE) /
     (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)) * 1e4) AS BIGINT)
     AS w1_cents_q4
@@ -7265,7 +7283,226 @@ FROM perarm p LEFT JOIN att a ON a.b = p.b ORDER BY stratum""",
   CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
     AS BIGINT) AS revenue_cents
 FROM ${T("orders")} o JOIN ${T("customer")} c ON o.o_custkey = c.c_custkey
-GROUP BY 1 ORDER BY c.c_mktsegment"""
+GROUP BY 1 ORDER BY c.c_mktsegment""",
+
+      // ---- round 13 (§2.46): PII detection/redaction + span excision ----
+      // Same literal regexes as Pipelines.piiPatterns (Java/RE2-identical
+      // subset); the dirty corpus is the same doc_id-arithmetic injection.
+      "pipeline_pii_profile" ->
+        s"""WITH dirty AS (SELECT source, len(string_split(text, ' ')) n_toks,
+    $piiDirtySql t FROM ${T("documents")}),
+c AS (SELECT source, n_toks,
+    len(regexp_extract_all(t, '${piiPat("email")}')) email,
+    len(regexp_extract_all(t, '${piiPat("phone")}')) phone,
+    len(regexp_extract_all(t, '${piiPat("ssn")}')) ssn,
+    len(regexp_extract_all(t, '${piiPat("ipv4")}')) ipv4
+  FROM dirty)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(email) AS BIGINT) AS emails, CAST(sum(phone) AS BIGINT) AS phones,
+  CAST(sum(ssn) AS BIGINT) AS ssns, CAST(sum(ipv4) AS BIGINT) AS ipv4s,
+  CAST(sum(CASE WHEN email + phone + ssn + ipv4 > 0 THEN 1 ELSE 0 END)
+    AS BIGINT) AS docs_with_pii,
+  CAST(sum(email + phone + ssn + ipv4) AS BIGINT) AS pii_total,
+  CAST((sum(email + phone + ssn + ipv4) * 1000000) // sum(n_toks) AS BIGINT)
+    AS pii_per_mtok
+FROM c GROUP BY source ORDER BY source""",
+
+      "pipeline_pii_redact" ->
+        s"""WITH d AS (SELECT doc_id, source, $piiDirtySql t
+  FROM ${T("documents")} WHERE doc_id % 9 = 0),
+m AS (SELECT doc_id, source, t,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+      '${piiPat("email")}', '<EMAIL>', 'g'),
+      '${piiPat("phone")}', '<PHONE>', 'g'),
+      '${piiPat("ssn")}', '<SSN>', 'g'),
+      '${piiPat("ipv4")}', '<IP>', 'g') mt
+  FROM d)
+SELECT doc_id, source,
+  CAST(len(regexp_extract_all(t, '${piiPat("email")}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t, '${piiPat("phone")}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(t, '${piiPat("ssn")}')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(t, '${piiPat("ipv4")}')) AS BIGINT) AS n_ipv4,
+  md5(mt) AS masked_md5,
+  CAST(len(t) - len(mt) AS BIGINT) AS chars_delta
+FROM m ORDER BY doc_id""",
+
+      // find→fix closure of dedup_substring_spans: excise every span
+      // position on the greater-doc side, keep the canonical occurrence,
+      // rebuild and fingerprint the affected docs.
+      "pipeline_span_excised_tokens" ->
+        s"""${spanCtes(dir)},
+exc0 AS (SELECT d2 AS doc_id, unnest(generate_series(s2, s2 + tok - 1)) p
+  FROM spans),
+exc AS (SELECT DISTINCT doc_id, p FROM exc0),
+ecnt AS (SELECT doc_id, count(*) n_exc FROM exc GROUP BY 1),
+tk AS (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) pos,
+    unnest(string_split(text, ' ')) w
+  FROM ${T("documents")} WHERE doc_id IN (SELECT doc_id FROM ecnt)),
+kept AS (SELECT t.doc_id, t.pos, t.w FROM tk t
+  ANTI JOIN exc e ON e.doc_id = t.doc_id AND e.p = t.pos),
+rebuilt AS (SELECT doc_id, md5(string_agg(w, ' ' ORDER BY pos)) fp
+  FROM kept GROUP BY 1),
+base AS (SELECT doc_id, source, len(string_split(text, ' ')) n_toks
+  FROM ${T("documents")})
+SELECT b.source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN e.n_exc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_excised,
+  CAST(sum(b.n_toks) AS BIGINT) AS tokens_before,
+  CAST(sum(coalesce(e.n_exc, 0)) AS BIGINT) AS tokens_excised,
+  CAST(sum(b.n_toks) - sum(coalesce(e.n_exc, 0)) AS BIGINT) AS tokens_after,
+  CAST((sum(coalesce(e.n_exc, 0)) * 1000000) // sum(b.n_toks) AS BIGINT)
+    AS excised_share_q6,
+  min(r.fp) AS fp_min, max(r.fp) AS fp_max
+FROM base b LEFT JOIN ecnt e USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
+GROUP BY 1 ORDER BY 1""",
+
+      // ---- round 13 (§2.47): bipartite structure (shared edge build) ----
+      "graph_bipartite_degree_profile" ->
+        s"""WITH e AS (SELECT DISTINCT o.o_custkey c, l.l_suppkey sup
+  FROM ${T("lineitem")} l JOIN ${T("orders")} o ON l.l_orderkey = o.o_orderkey),
+cd AS (SELECT c, count(*) degree FROM e GROUP BY 1),
+sd AS (SELECT sup, count(*) degree FROM e GROUP BY 1)
+SELECT 'customer' AS side, CAST(degree AS BIGINT) AS degree,
+  CAST(count(*) AS BIGINT) AS n_nodes FROM cd GROUP BY 2
+UNION ALL
+SELECT 'supplier', CAST(degree AS BIGINT), CAST(count(*) AS BIGINT)
+FROM sd GROUP BY 2
+ORDER BY side, degree""",
+
+      "graph_bipartite_assortativity" ->
+        s"""WITH e AS (SELECT DISTINCT o.o_custkey c, l.l_suppkey sup
+  FROM ${T("lineitem")} l JOIN ${T("orders")} o ON l.l_orderkey = o.o_orderkey),
+cd AS (SELECT c, count(*) dc FROM e GROUP BY 1),
+sd AS (SELECT sup, count(*) ds FROM e GROUP BY 1),
+t AS (SELECT count(*) n, count(DISTINCT e.c) n_customers,
+    count(DISTINCT e.sup) n_suppliers,
+    sum(CAST(dc AS HUGEINT)) sx, sum(CAST(ds AS HUGEINT)) sy,
+    sum(CAST(dc AS HUGEINT) * ds) sxy,
+    sum(CAST(dc AS HUGEINT) * dc) sxx,
+    sum(CAST(ds AS HUGEINT) * ds) syy
+  FROM e JOIN cd USING (c) JOIN sd USING (sup))
+SELECT CAST(n AS BIGINT) AS n_edges, CAST(n_customers AS BIGINT) AS n_customers,
+  CAST(n_suppliers AS BIGINT) AS n_suppliers,
+  CAST(floor(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+    sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) *
+         CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)) * 1e6) AS BIGINT)
+    AS assortativity_q6
+FROM t""",
+
+      "graph_cosupply_supplier_sim" ->
+        s"""WITH po AS (SELECT DISTINCT l_orderkey, l_suppkey FROM ${T("lineitem")}),
+p AS (SELECT a.l_suppkey s1, b.l_suppkey s2, count(*) co_orders
+  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+    AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+n AS (SELECT l_suppkey, count(*) n_ord FROM po GROUP BY 1)
+SELECT CAST(p.s1 AS BIGINT) AS s1, CAST(p.s2 AS BIGINT) AS s2,
+  CAST(co_orders AS BIGINT) AS co_orders,
+  CAST(n1.n_ord AS BIGINT) AS n_orders1, CAST(n2.n_ord AS BIGINT) AS n_orders2,
+  CAST(floor(CAST(co_orders AS DOUBLE) /
+    sqrt(CAST(n1.n_ord AS DOUBLE) * CAST(n2.n_ord AS DOUBLE)) * 1e6) AS BIGINT)
+    AS cosine_q6
+FROM p JOIN n n1 ON n1.l_suppkey = p.s1 JOIN n n2 ON n2.l_suppkey = p.s2
+ORDER BY cosine_q6 DESC, s1, s2 LIMIT 20""",
+
+      // ---- round 13 (§2.48): complexity, regularity & lexicon ----
+      // Bandt-Pompe order-3 ordinal census: stable ranks (position
+      // breaks ties), pattern = r0*100+r1*10+r2, one ln per row.
+      "ts_permutation_entropy" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) dt, count(*) x
+  FROM ${T("orders")} GROUP BY 1),
+tri AS (SELECT x a, lead(x, 1) OVER (ORDER BY dt) b,
+    lead(x, 2) OVER (ORDER BY dt) c FROM daily),
+pat AS (SELECT
+    (CASE WHEN b < a THEN 1 ELSE 0 END + CASE WHEN c < a THEN 1 ELSE 0 END)
+      * 100 +
+    (CASE WHEN a <= b THEN 1 ELSE 0 END + CASE WHEN c < b THEN 1 ELSE 0 END)
+      * 10 +
+    (CASE WHEN a <= c THEN 1 ELSE 0 END + CASE WHEN b <= c THEN 1 ELSE 0 END)
+      AS pattern
+  FROM tri WHERE c IS NOT NULL),
+g AS (SELECT pattern, count(*) n FROM pat GROUP BY 1),
+t AS (SELECT sum(n) t FROM g)
+SELECT CAST(pattern AS BIGINT) AS pattern, CAST(n AS BIGINT) AS n,
+  CAST((n * 1000000) // t.t AS BIGINT) AS share_q6,
+  CAST(floor(CAST(n AS DOUBLE) / t.t *
+    ln(CAST(t.t AS DOUBLE) / n) * 1e6) AS BIGINT) AS plogp_q6
+FROM g, t ORDER BY pattern""",
+
+      // Richman-Moorman m=2 sample entropy over daily revenue cents;
+      // tolerance 0.2*sigma from exact moments, days^2 template pairs.
+      "ts_sample_entropy" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) dt,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) y
+  FROM ${T("orders")} GROUP BY 1),
+tpl AS (SELECT dt, y x0, lead(y, 1) OVER (ORDER BY dt) x1,
+    lead(y, 2) OVER (ORDER BY dt) x2 FROM daily QUALIFY x2 IS NOT NULL),
+mom AS (SELECT count(*) n, sum(CAST(x0 AS HUGEINT)) sx,
+    sum(CAST(x0 AS HUGEINT) * x0) sxx FROM tpl),
+tol AS (SELECT n, CAST(floor(0.2 *
+    sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)) /
+    CAST(n AS DOUBLE)) AS BIGINT) r FROM mom),
+pr AS (SELECT a.x2 ax2, b.x2 bx2, tol.r, tol.n
+  FROM tpl a JOIN tpl b ON a.dt < b.dt, tol
+  WHERE abs(a.x0 - b.x0) <= tol.r AND abs(a.x1 - b.x1) <= tol.r)
+SELECT CAST(n AS BIGINT) AS n_templates, CAST(r AS BIGINT) AS tol_cents,
+  CAST(count(*) AS BIGINT) AS b_pairs,
+  CAST(sum(CASE WHEN abs(ax2 - bx2) <= r THEN 1 ELSE 0 END) AS BIGINT)
+    AS a_pairs,
+  CAST(floor(ln(CAST(count(*) AS DOUBLE) /
+    sum(CASE WHEN abs(ax2 - bx2) <= r THEN 1 ELSE 0 END)) * 1e6) AS BIGINT)
+    AS sampen_q6
+FROM pr GROUP BY n, r""",
+
+      // Lo-MacKinlay VR(q) on daily-revenue q-differences, exact
+      // HUGEINT moments, one double tree per q.
+      "ts_variance_ratio" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) dt,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) y
+  FROM ${T("orders")} GROUP BY 1),
+d AS (SELECT q, lead(y, q) OVER (PARTITION BY q ORDER BY dt) - y dy
+  FROM daily CROSS JOIN (SELECT unnest([1, 2, 4, 8]) q)),
+m AS (SELECT q, count(*) n, sum(CAST(dy AS HUGEINT)) s,
+    sum(CAST(dy AS HUGEINT) * dy) ss
+  FROM d WHERE dy IS NOT NULL GROUP BY 1),
+v AS (SELECT q, n,
+    CAST(CAST(n AS HUGEINT) * ss - s * s AS DOUBLE) /
+      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) var FROM m)
+SELECT CAST(v.q AS BIGINT) AS q, CAST(v.n AS BIGINT) AS n_diffs,
+  CAST(floor(v.var / (v.q * b.var) * 1e6) AS BIGINT) AS vr_q6
+FROM v JOIN (SELECT var FROM v WHERE q = 1) b ON TRUE
+WHERE v.q > 1 ORDER BY v.q""",
+
+      // Yule's K per language: repeat-rate from exact f^2 sums, one
+      // HUGEINT integer division.
+      "text_yule_k" ->
+        s"""WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) w
+  FROM ${T("documents")}),
+f AS (SELECT lang, w, count(*) f FROM tk WHERE w <> '' GROUP BY 1, 2),
+g AS (SELECT lang, sum(f) nt, count(*) vocab,
+    sum(CAST(f AS HUGEINT) * f) s2 FROM f GROUP BY 1)
+SELECT lang, CAST(nt AS BIGINT) AS n_tokens, CAST(vocab AS BIGINT) AS vocab,
+  CAST(s2 AS BIGINT) AS s2,
+  CAST(((s2 - nt) * 100000000) // (CAST(nt AS HUGEINT) * nt) AS BIGINT)
+    AS yule_k_q4
+FROM g ORDER BY lang""",
+
+      // MATTR-50: mean TTR over consecutive FULL 50-token chunks,
+      // chunk-weighted per language, one integer division.
+      "pipeline_mattr" ->
+        s"""WITH tk AS (SELECT doc_id, lang,
+    len(string_split(text, ' ')) nt,
+    generate_subscripts(string_split(text, ' '), 1) - 1 p0,
+    unnest(string_split(text, ' ')) w
+  FROM ${T("documents")}),
+ch AS (SELECT doc_id, lang, p0 // 50 chunk, w FROM tk
+  WHERE p0 // 50 < nt // 50),
+pc AS (SELECT doc_id, lang, chunk, count(DISTINCT w) ty
+  FROM ch GROUP BY 1, 2, 3)
+SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST((sum(ty) * 1000000) // (50 * count(*)) AS BIGINT) AS mattr_q6
+FROM pc GROUP BY 1 ORDER BY lang"""
     )
   }
 }

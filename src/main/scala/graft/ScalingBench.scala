@@ -195,7 +195,22 @@ object ScalingBench {
         // round-12 §2.45 doc-side: template mining is marginal over
         // the shared span relation (α should be ~the slice join)
         "dedup_span_templates" -> (() =>
-          { ops.Pipelines.dedupSpanTemplates(spark, dir).count(); () }))
+          { ops.Pipelines.dedupSpanTemplates(spark, dir).count(); () }),
+        // round-13 §2.46/§2.48 doc-side: the PII pair are pure fused
+        // regexp scans (the gopher floor — α should be ~1 in tokens);
+        // span excision is marginal over the shared span relation
+        // plus an |affected|-bounded rebuild; yule/mattr are linear
+        // token-explode aggregates
+        "pipeline_pii_profile" -> (() =>
+          { ops.Pipelines.pipelinePiiProfile(spark, dir).count(); () }),
+        "pipeline_pii_redact" -> (() =>
+          { ops.Pipelines.pipelinePiiRedact(spark, dir).count(); () }),
+        "pipeline_span_excised_tokens" -> (() =>
+          { ops.Pipelines.pipelineSpanExcisedTokens(spark, dir).count(); () }),
+        "text_yule_k" -> (() =>
+          { ops.TextSim.textYuleK(spark, dir).count(); () }),
+        "pipeline_mattr" -> (() =>
+          { ops.Pipelines.pipelineMattr(spark, dir).count(); () }))
       )
       // run r: clear -> timed shingle build -> each op timed under its
       // own job group; keep min wall and min CPU per op (a cost
@@ -355,7 +370,21 @@ object ScalingBench {
         "agg_wasserstein_1d" -> (() => { ops.Relational.aggWasserstein1d(spark, dir).count(); () }),
         "agg_mahalanobis_outliers" -> (() => { ops.Relational.aggMahalanobisOutliers(spark, dir).count(); () }),
         "ts_pacf_lag2" -> (() => { ops.TimeSeries.tsPacfLag2(spark, dir).count(); () }),
-        "sample_cem_matching" -> (() => { ops.Sampling.sampleCemMatching(spark, dir).count(); () })))
+        "sample_cem_matching" -> (() => { ops.Sampling.sampleCemMatching(spark, dir).count(); () }),
+        // round-13 §2.47/§2.48: hits re-measured ON the shared
+        // bipartite build (its first-toucher cost IS the build; the
+        // profile/assortativity marginals prove the amortization),
+        // cosupply's in-row pair expansion (the EDGES recipe at
+        // supplier grain — α should track the per-order aggregate),
+        // and the three day-grain complexity folds (CLAIM: ~flat past
+        // the shared date aggregate; sample entropy is days², a
+        // calendar-bounded constant in fact terms)
+        "graph_bipartite_degree_profile" -> (() => { ops.GraphOps.graphBipartiteDegreeProfile(spark, dir).count(); () }),
+        "graph_bipartite_assortativity" -> (() => { ops.GraphOps.graphBipartiteAssortativity(spark, dir).count(); () }),
+        "graph_cosupply_supplier_sim" -> (() => { ops.GraphOps.graphCosupplySupplierSim(spark, dir).count(); () }),
+        "ts_permutation_entropy" -> (() => { ops.TimeSeries.tsPermutationEntropy(spark, dir).count(); () }),
+        "ts_sample_entropy" -> (() => { ops.TimeSeries.tsSampleEntropy(spark, dir).count(); () }),
+        "ts_variance_ratio" -> (() => { ops.TimeSeries.tsVarianceRatio(spark, dir).count(); () })))
       val best = scala.collection.mutable.LinkedHashMap[String, Double]()
       val bestCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
       var primeBest = Double.MaxValue

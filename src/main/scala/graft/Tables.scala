@@ -168,6 +168,30 @@ object Tables {
   def ud(spark: SparkSession, sfDir: String): DataFrame =
     edges(spark, sfDir)._2
 
+  private val bipartiteCache = new SessionCache[String, DataFrame]
+
+  /** Bipartite purchase graph (§2.42/§2.47): DISTINCT (customer,
+    * supplier) edges from orders⋈lineitem, built once per sfDir and
+    * persisted — the EDGES policy applied to the suite's largest
+    * 100×-tier build (the distinct-edge pass was 523 CPU-s at the 60M
+    * tier when graph_hits_bipartite built it privately; with three
+    * consumers — HITS, the degree profile, assortativity — one build
+    * amortizes it). The build is ONE fact-sized equi-join + distinct;
+    * every consumer then works at edge/node grain. */
+  def bipartite(spark: SparkSession, sfDir: String): DataFrame =
+    bipartiteCache.getOrElseUpdate(spark, sfDir) {
+      val e = apply(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(apply(spark, sfDir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count() // materialize once so all consumers reuse it
+      e
+    }
+
   /** Register every base table as a temp view (plus the EDGES views
     * `edges`/`ud`) so the whole surface is reachable from spark.sql —
     * the SQL entry point alongside the DataFrame programs and the
@@ -185,7 +209,9 @@ object Tables {
     edgeCache.values.foreach { case (e, u) =>
       try { e.unpersist(); u.unpersist() } catch { case _: Throwable => () }
     }
+    bipartiteCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
     tableCache.clear()
     edgeCache.clear()
+    bipartiteCache.clear()
   }
 }

@@ -154,15 +154,95 @@ object Curation {
       .join(flagged, Seq("doc_id"), "left_anti")
   }
 
+  /** PII redaction (§2.46): every match of the shared detector
+    * patterns (Pipelines.piiPatterns — email, NANP phone, SSN-shaped
+    * id, IPv4) replaced by its type mask, in declared order. Row-local
+    * regexp chain, fuses into the scan — at 100 TB this is a zero-
+    * shuffle rewrite pass. Idempotent: the masks contain no digits,
+    * `@`, or dots adjacent to digits, so a second pass is a no-op
+    * (CurationSpec pins this). Runs between quality filtering and
+    * dedup in a real corpus pass: masked text still dedups correctly
+    * (two docs differing only in their PII collapse to one). */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val masked = Pipelines.piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, p, m)) => regexp_replace(c, lit(p), lit(m))
+    }
+    docs.withColumn(textCol, masked)
+  }
+
+  /** Per-source PII rate over an arbitrary corpus (the profiling face
+    * of redactPii — same patterns, so profile and redaction can't
+    * drift). Returns (source, n_docs, docs_with_pii, pii_total). */
+  def piiProfile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = Pipelines.piiPatterns.map { case (_, p, _) =>
+      size(regexp_extract_all(col(textCol), lit(p), lit(0))).cast(LongType)
+    }.reduce(_ + _)
+    docs.select(col("source"), counts.as("hits"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("docs_with_pii"),
+        sum(col("hits")).as("pii_total"))
+      .orderBy("source")
+  }
+
+  /** Duplicate-span excision (§2.46): the find→FIX closure of
+    * dedup_substring_spans — rewrite the corpus with every position
+    * covered by a ≥ minTok-token cross-doc verbatim span REMOVED on
+    * the greater-doc (d2) side, keeping the canonical occurrence (the
+    * smallest doc_id always survives because spans are built with
+    * d1 < d2). Lee-et-al substring dedup rewrites the corpus exactly
+    * this way: duplicated token mass leaves, one copy stays. Docs
+    * untouched by any span pass through unchanged (no re-tokenize);
+    * only |affected| docs are rebuilt, an output-sized cost. A fully-
+    * excised doc survives as an empty string (the caller's quality
+    * gate drops it if unwanted). */
+  def exciseSpans(spark: SparkSession, sfDir: String, minTok: Int = 12): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val exc = Pipelines.dupSpans(spark, sfDir, minTok)
+      .select(col("d2").as("doc_id"),
+        explode(sequence(col("s2"), col("s2") + col("tok") - 1)).as("pos"))
+      .distinct()
+      .localCheckpoint(true) // consumed by the semi-join AND the anti-join
+    val affected = exc.select(col("doc_id")).distinct()
+    val rebuilt = docs
+      .join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+      .join(exc, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("w")))),
+        x => x.getField("w")), " ").as("new_text"))
+    // precedence: rebuilt text if any tokens survived; empty string for
+    // a fully-excised doc (affected but no rebuilt row); else verbatim
+    docs.join(rebuilt, Seq("doc_id"), "left")
+      .join(affected.withColumnRenamed("doc_id", "aff_id"),
+        col("doc_id") === col("aff_id"), "left")
+      .withColumn("text", coalesce(col("new_text"),
+        when(col("aff_id").isNotNull, lit("")).otherwise(col("text"))))
+      .drop("new_text", "aff_id")
+  }
+
   /** Full pipeline: quality -> exact dedup -> near dedup ->
     * decontaminate -> stratified rebalance -> reproducible split.
     * Returns (train, test, report). */
   def curate(spark: SparkSession, sfDir: String,
       minTokens: Int = 5, maxStopRatio: Double = 0.9,
       fractions: Map[String, Double] = Map.empty,
-      testFraction: Double = 0.1): (DataFrame, DataFrame, CurationReport) = {
+      testFraction: Double = 0.1,
+      qualityModel: Option[QualityModel.Model] = None,
+      modelThreshold: Double = 0.5): (DataFrame, DataFrame, CurationReport) = {
     val docs = table(spark, sfDir, "documents")
-    val q = qualityFilter(docs, minTokens, maxStopRatio)
+    // heuristic gate first (cheap row-local thresholds), then the
+    // trained classifier when one is supplied — both fuse into the
+    // same scan (the model is pure column arithmetic), so the stage
+    // order costs nothing and the report's afterQuality reflects the
+    // full quality stack
+    val qh = qualityFilter(docs, minTokens, maxStopRatio)
+    val q = qualityModel
+      .map(m => QualityModel.filterByModel(qh, m, modelThreshold))
+      .getOrElse(qh)
     val e = exactDedup(q)
     // persist BOTH checkpoints: afterNearDedup's count re-reads n, and
     // the splits + remaining counts re-read dc — without the n persist

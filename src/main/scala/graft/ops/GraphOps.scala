@@ -736,12 +736,10 @@ object GraphOps {
     * iteration is a hash-aggregate + equi-join on the edge relation,
     * the 1000-executor shape. Top-20 by (a₂, key) is TakeOrdered. */
   val graphHitsBipartite: Q = (s, d) => {
-    val edges = table(s, d, "lineitem")
-      .join(table(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shared per-sfDir build (round 13): the distinct-edge pass is the
+    // suite's largest 100×-tier absolute — one materialization now
+    // serves HITS, the degree profile and assortativity
+    val edges = Tables.bipartite(s, d)
     val a1 = edges.groupBy(col("sup")).agg(count(lit(1)).as("a1"))
     val h1 = edges.join(a1, Seq("sup"))
       .groupBy(col("c")).agg(sum(col("a1")).as("h1"))
@@ -752,6 +750,113 @@ object GraphOps {
       .limit(20)
       .select(col("sup").as("supplier"), asLong(col("a1")).as("authority1"),
         asLong(col("a2")).as("authority2"))
+  }
+
+  /** Bipartite degree profile (§2.47): the degree DISTRIBUTION of both
+    * sides of the purchase graph — how many customers buy from exactly
+    * k suppliers, how many suppliers serve exactly k customers. The
+    * power-law-or-not readout behind every bipartite ranking (HITS
+    * scores mean nothing without knowing whether degree alone explains
+    * them), and the second consumer that justifies the SHARED edge
+    * materialization (Tables.bipartite — round-12 verdict item 5).
+    * Exactness: pure integer degree histogram. Scale: two node-grain
+    * aggregates over the shared persisted edge relation; output is
+    * |distinct degrees| rows, bounded by the max degree. */
+  val graphBipartiteDegreeProfile: Q = (s, d) => {
+    val e = Tables.bipartite(s, d)
+    def side(key: String, name: String) = e
+      .groupBy(col(key)).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .select(lit(name).as("side"), asLong(col("degree")).as("degree"),
+        asLong(col("n_nodes")).as("n_nodes"))
+    side("c", "customer").unionAll(side("sup", "supplier"))
+      .orderBy("side", "degree")
+  }
+
+  /** Bipartite degree assortativity (§2.47): Pearson correlation of
+    * (customer degree, supplier degree) across the purchase edges —
+    * do broad-basket customers concentrate on high-reach suppliers
+    * (assortative, r>0) or on niche ones (disassortative, r<0)? The
+    * one-number structure readout that says whether the graph mixes
+    * like a marketplace or a hub-and-spoke. Exactness: degree moments
+    * accumulate DECIMAL(38,0) ↔ HUGEINT; r is ONE deterministic
+    * double tree over the exact sums, floored 1e6. Scale: two
+    * node-grain degree aggregates + one edge-grain join over the
+    * shared persisted relation, then a 1-row reduce. */
+  val graphBipartiteAssortativity: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val e = Tables.bipartite(s, d)
+    val cd = e.groupBy(col("c")).agg(count(lit(1)).as("dc"))
+    val sd = e.groupBy(col("sup")).agg(count(lit(1)).as("ds"))
+    val t = e.join(cd, Seq("c")).join(sd, Seq("sup"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("c")).as("n_customers"),
+        countDistinct(col("sup")).as("n_suppliers"),
+        sum(col("dc").cast(dec38)).as("sx"),
+        sum(col("ds").cast(dec38)).as("sy"),
+        sum(col("dc").cast(dec38) * col("ds")).as("sxy"),
+        sum(col("dc").cast(dec38) * col("dc")).as("sxx"),
+        sum(col("ds").cast(dec38) * col("ds")).as("syy"))
+    t.select(asLong(col("n")).as("n_edges"),
+      asLong(col("n_customers")).as("n_customers"),
+      asLong(col("n_suppliers")).as("n_suppliers"),
+      asLong(floor(
+        (col("n").cast(dec38) * col("sxy") - col("sx") * col("sy"))
+          .cast(DoubleType) /
+          sqrt((col("n").cast(dec38) * col("sxx") - col("sx") * col("sx"))
+            .cast(DoubleType) *
+            (col("n").cast(dec38) * col("syy") - col("sy") * col("sy"))
+              .cast(DoubleType)) * 1e6)).as("assortativity_q6"))
+  }
+
+  /** Co-supply supplier similarity (§2.47): top-20 supplier pairs by
+    * cosine-normalized order co-occurrence — suppliers repeatedly
+    * fulfilling lines of the SAME orders are substitutes/partners the
+    * raw bipartite graph can't see (it links suppliers to customers,
+    * not to each other). The supplier-side projection of the purchase
+    * graph, the co-purchase analogue of Tables.edges at supplier
+    * grain. Exactness: co-order and per-supplier order counts are
+    * exact integers; cosine = co/√(n₁·n₂) is one double op floored
+    * 1e6; (q, s1, s2) is a total order. Scale: pair expansion is
+    * in-row per order (line counts bounded → ≤136 pairs/order, the
+    * Tables.edges recipe — NEVER a supplier×supplier join); the ≥2
+    * co-order floor keeps only the sparse strong pairs; top-20 is
+    * TakeOrdered. */
+  val graphCosupplySupplierSim: Q = (s, d) => {
+    // ONE shuffle total on the fact: collect_set(map-side-combined)
+    // replaces distinct+groupBy (the first bench cut paid two fact
+    // shuffles on the same key — measured 5.5 CPU-s, now ~half); the
+    // per-supplier order counts explode the SAME per-order sets, so
+    // lineitem is scanned and shuffled exactly once
+    val sets = table(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_suppkey")).as("ss"))
+      .localCheckpoint(true) // two consumers: pair expansion + counts
+    val pairs = sets
+      .select(explode(expr(
+        "flatten(transform(ss, x -> transform(filter(ss, y -> y > x), y -> struct(x AS s1, y AS s2))))"))
+        .as("p"))
+      .select(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("co_orders"))
+      .filter(col("co_orders") >= 2)
+    val n = sets.select(explode(col("ss")).as("l_suppkey"))
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_ord"))
+    pairs
+      .join(n.toDF("k1", "n_orders1"), col("s1") === col("k1"))
+      .join(n.toDF("k2", "n_orders2"), col("s2") === col("k2"))
+      .select(col("s1"), col("s2"), col("co_orders"),
+        col("n_orders1"), col("n_orders2"),
+        floor(col("co_orders").cast(DoubleType) /
+          sqrt(col("n_orders1").cast(DoubleType) *
+            col("n_orders2").cast(DoubleType)) * 1e6)
+          .cast(LongType).as("cosine_q6"))
+      .orderBy(col("cosine_q6").desc, col("s1"), col("s2"))
+      .limit(20)
+      .select(asLong(col("s1")).as("s1"), asLong(col("s2")).as("s2"),
+        asLong(col("co_orders")).as("co_orders"),
+        asLong(col("n_orders1")).as("n_orders1"),
+        asLong(col("n_orders2")).as("n_orders2"), col("cosine_q6"))
   }
 
   /** Local bridges (§2.43): edges of the co-purchase graph whose

@@ -2231,9 +2231,14 @@ object Pipelines {
     * 1-based slice() in both engines), h = md5 of the 8 space-joined
     * tokens. Docs shorter than 8 tokens contribute nothing. Scale: one
     * posexplode + one doc-keyed window (the winnowing lineage). */
-  private def spanShingles(s: SparkSession, d: String): DataFrame = {
+  /** Positioned 8-gram md5 shingles of an arbitrary (doc_id, text)
+    * relation — the doc-parameterized core shared by the cached
+    * per-sfDir span build below and [[IncrementalSpans]] (which must
+    * produce byte-identical shingles for its full-vs-incremental
+    * equality to hold — the shingleDocs precedent). */
+  private[ops] def spanShingleDocs(docs: DataFrame): DataFrame = {
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val toks = table(s, d, "documents")
+    val toks = docs
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos0", "w")))
       .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
@@ -2245,6 +2250,36 @@ object Pipelines {
         lead(col("w"), 7).over(wDoc).isNotNull.as("fl"))
       .filter(col("fl"))
       .select(col("doc_id"), col("pos"), col("h"))
+  }
+
+  private def spanShingles(s: SparkSession, d: String): DataFrame =
+    spanShingleDocs(table(s, d, "documents"))
+
+  /** Gram-match pair rows (d1 < d2, p1, pos-diff) from a keep-filtered
+    * positioned-shingle relation (doc_id, pos, h) — the df-capped
+    * equi-join at the heart of the span build, shared with
+    * [[IncrementalSpans]]. */
+  private[ops] def spanGramPairs(fk: DataFrame): DataFrame = {
+    val a = fk.select(col("h"), col("doc_id").as("d1"), col("pos").as("p1"))
+    val b = fk.select(col("h").as("h2"), col("doc_id").as("d2"),
+      col("pos").as("p2"))
+    a.join(b, col("h") === col("h2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("p1"), (col("p1") - col("p2")).as("df"))
+  }
+
+  /** Gaps-and-islands over gram-match pair rows → maximal spans
+    * (d1, d2, s1, s2, tok), ≥ minTok only — the second half of the
+    * span build, shared with [[IncrementalSpans]]. */
+  private[ops] def spansFromPairRows(pairs: DataFrame, minTok: Int): DataFrame = {
+    val wIsl = Window.partitionBy(col("d1"), col("d2"), col("df"))
+      .orderBy(col("p1"))
+    pairs
+      .withColumn("grp", col("p1") - row_number().over(wIsl))
+      .groupBy(col("d1"), col("d2"), col("df"), col("grp"))
+      .agg(min(col("p1")).as("s1"), (count(lit(1)) + 7L).as("tok"))
+      .filter(col("tok") >= minTok.toLong)
+      .select(col("d1"), col("d2"), col("s1"),
+        (col("s1") - col("df")).as("s2"), col("tok"))
   }
 
   /** Maximal duplicate spans per doc pair and alignment (shared by
@@ -2259,7 +2294,7 @@ object Pipelines {
     * pos-diff, so island length + 7 IS the span length. Only spans of
     * ≥ minTok tokens survive. Columns: d1, d2, s1, s2 (1-based span
     * starts), tok (span token length). */
-  private def dupSpans(s: SparkSession, d: String, minTok: Int): DataFrame =
+  private[ops] def dupSpans(s: SparkSession, d: String, minTok: Int): DataFrame =
     spanCache.getOrElseUpdate(s, (d, minTok)) {
       val (spansLazy, sh) = dupSpansBuild(s, d, minTok)
       // localCheckpoint (eager): two consumers (spans dedup + coverage)
@@ -2282,20 +2317,7 @@ object Pipelines {
     val keep = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c").between(2L, 20L)).select(col("h"))
     val fk = sh.join(keep, Seq("h"))
-    val a = fk.select(col("h"), col("doc_id").as("d1"), col("pos").as("p1"))
-    val b = fk.select(col("h").as("h2"), col("doc_id").as("d2"),
-      col("pos").as("p2"))
-    val pairs = a.join(b, col("h") === col("h2") && col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("p1"), (col("p1") - col("p2")).as("df"))
-    val wIsl = Window.partitionBy(col("d1"), col("d2"), col("df"))
-      .orderBy(col("p1"))
-    val spans = pairs
-      .withColumn("grp", col("p1") - row_number().over(wIsl))
-      .groupBy(col("d1"), col("d2"), col("df"), col("grp"))
-      .agg(min(col("p1")).as("s1"), (count(lit(1)) + 7L).as("tok"))
-      .filter(col("tok") >= minTok.toLong)
-      .select(col("d1"), col("d2"), col("s1"),
-        (col("s1") - col("df")).as("s2"), col("tok"))
+    val spans = spansFromPairRows(spanGramPairs(fk), minTok)
     (spans, sh)
   }
 
@@ -2592,6 +2614,186 @@ object Pipelines {
       .select(col("template_text"), asLong(col("tok")).as("span_tokens"),
         asLong(col("n_span_pairs")).as("n_span_pairs"),
         asLong(col("n_docs")).as("n_docs"))
+  }
+
+  // ---- §2.46 PII detection & redaction ----
+
+  /** PII detector patterns (type, regex, mask), ordered — the subset of
+    * regex syntax whose semantics are IDENTICAL under Java (Spark's
+    * regexp engine) and RE2 (DuckDB's): character classes, bounded
+    * repetition, ASCII `\b` word boundaries, no backreferences or
+    * lookaround. The same literal strings are embedded in the oracle
+    * SQL (the pipeline_subword_count precedent), so the two engines
+    * compile the same automaton by construction. Patterns are
+    * non-overlapping on any text (phone is 3-3-4 digits, ssn 3-2-4,
+    * `\b` blocks mid-number matches; ip needs dots, email needs `@`),
+    * so mask application is order-independent — but both engines apply
+    * in this declared order anyway. */
+  private[graft] val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Deterministic dirty-corpus fixture: the synthetic documents carry
+    * no PII, so the PII queries inject it ARITHMETICALLY from doc_id —
+    * the identical expression in both engines (integer-to-string casts
+    * agree), making detection counts and masked-text fingerprints
+    * oracle-checkable. ~1/5 of docs get an email, 1/7 a phone, 1/11 an
+    * SSN-shaped id, 1/13 an internal IP — overlapping moduli give docs
+    * with 0..4 PII types. */
+  private[graft] def piiDirtyText: Column = concat(col("text"),
+    when(col("doc_id") % 5 === 0,
+      concat(lit(" contact user"), col("doc_id"),
+        lit("@example.com now"))).otherwise(lit("")),
+    when(col("doc_id") % 7 === 0,
+      concat(lit(" call "), lit(300) + col("doc_id") % 600, lit("-"),
+        lit(200) + col("doc_id") % 700, lit("-"),
+        lit(1000) + col("doc_id") % 9000, lit(" today"))).otherwise(lit("")),
+    when(col("doc_id") % 11 === 0,
+      concat(lit(" case "), lit(100) + col("doc_id") % 900, lit("-"),
+        lit(10) + col("doc_id") % 90, lit("-"),
+        lit(1000) + col("doc_id") % 9000, lit(" filed"))).otherwise(lit("")),
+    when(col("doc_id") % 13 === 0,
+      concat(lit(" from 10."), col("doc_id") % 256, lit("."),
+        (col("doc_id") * 7) % 256, lit("."),
+        (col("doc_id") * 13) % 256, lit(" port"))).otherwise(lit("")))
+
+  /** Per-source PII profile (§2.46): detection counts per PII type,
+    * docs-with-PII, and the hit rate per million original tokens — the
+    * readout a corpus pass runs BEFORE deciding how hard to redact
+    * (a source whose PII rate spikes gets quarantined, not masked).
+    * Exactness: regexp match counts are integers; the rate is one
+    * integer division. Scale: pure row-local regexp counts fused into
+    * the scan (codegen'd, no shuffle until the per-source aggregate);
+    * at 100 TB this is the cheapest possible shape — one pass, one
+    * map-combined aggregate over |sources| groups. */
+  val pipelinePiiProfile: Q = (s, d) => {
+    val counted = table(s, d, "documents")
+      .select(Seq(col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_toks")) ++
+        piiPatterns.map { case (n, p, _) =>
+          size(regexp_extract_all(piiDirtyText, lit(p), lit(0)))
+            .cast(LongType).as(n)
+        }: _*)
+    val total = piiPatterns.map(t => col(t._1)).reduce(_ + _)
+    counted
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        piiPatterns.map { case (n, _, _) => sum(col(n)).as(n + "s") } ++
+          Seq(sum(when(total > 0, 1L).otherwise(0L)).as("docs_with_pii"),
+            sum(total).as("pii_total"),
+            sum(col("n_toks")).as("toks")): _*)
+      .select(Seq(col("source"), asLong(col("n_docs")).as("n_docs")) ++
+        piiPatterns.map(t => asLong(col(t._1 + "s")).as(t._1 + "s")) ++
+        Seq(asLong(col("docs_with_pii")).as("docs_with_pii"),
+          asLong(col("pii_total")).as("pii_total"),
+          expr("(pii_total * 1000000) div toks").as("pii_per_mtok")): _*)
+      .orderBy("source")
+  }
+
+  /** PII redaction audit (§2.46): every 9th document's dirty text run
+    * through the full mask chain — per-type hit counts, the masked
+    * text's md5 (pins the REWRITE itself, not just the counts), and
+    * the char delta. Exactness: identical regex automata + identical
+    * sequential replace order in both engines; md5 over the final
+    * string. Scale: row-local regexp_replace chain fused into one
+    * scan, no shuffle at all (the ORDER BY is the driver's result
+    * ordering on a sampled slice). */
+  val pipelinePiiRedact: Q = (s, d) => {
+    val masked = piiPatterns.foldLeft(piiDirtyText) {
+      case (c, (_, p, m)) => regexp_replace(c, lit(p), lit(m))
+    }
+    table(s, d, "documents")
+      .filter(col("doc_id") % 9 === 0)
+      .select(Seq(col("doc_id"), col("source")) ++
+        piiPatterns.map { case (n, p, _) =>
+          asLong(size(regexp_extract_all(piiDirtyText, lit(p), lit(0))))
+            .as("n_" + n)
+        } ++ Seq(md5(masked).as("masked_md5"),
+          asLong(length(piiDirtyText) - length(masked)).as("chars_delta")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Moving-average type-token ratio, MATTR-50 (§2.48): per language,
+    * the mean TTR over consecutive FULL 50-token chunks — the
+    * length-controlled diversity readout (global TTR — pipeline_ttr —
+    * falls mechanically with doc length; MATTR compares docs of any
+    * length on equal footing, the Covington–McFall fix). Doc MATTRs
+    * aggregate as Σdistinct/(50·chunks), so the per-lang number is the
+    * chunk-weighted mean. Exactness: distinct-per-chunk counts are
+    * exact integers; ONE integer division per lang, q6. Scale: token
+    * posexplode → (doc, chunk) distinct → two map-combined aggregates;
+    * fully linear, no joins. */
+  val pipelineMattr: Q = (s, d) => {
+    val chunks = table(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("nt"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
+      .filter(expr("p0 div 50") < expr("nt div 50"))
+      .select(col("doc_id"), col("lang"),
+        expr("p0 div 50").as("chunk"), col("w"))
+    val perChunk = chunks
+      .groupBy(col("doc_id"), col("lang"), col("chunk"))
+      .agg(countDistinct(col("w")).as("types"))
+    perChunk.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"), sum(col("types")).as("st"))
+      .select(col("lang"), asLong(col("n_docs")).as("n_docs"),
+        asLong(col("n_chunks")).as("n_chunks"),
+        expr("(st * 1000000) div (50 * n_chunks)").as("mattr_q6"))
+      .orderBy("lang")
+  }
+
+  /** Duplicate-span excision audit (§2.46): the find→FIX closure of
+    * dedup_substring_spans — every position covered by a ≥ 12-token
+    * verbatim span on the GREATER-doc side (d2) is excised, the
+    * canonical occurrence (smallest doc_id, the d1 side) kept, and the
+    * corpus accounting reported per source: docs touched, token mass
+    * before/excised/after, plus min/max md5 of the rewritten texts
+    * (pins the rewrite, not just the arithmetic). Lee-et-al dedup
+    * rewrites the corpus exactly this way. Exactness: integer position
+    * sets; rebuild = order-preserving join of kept tokens, md5'd.
+    * Scale: excised positions are span-bounded (never corpus-sized);
+    * only AFFECTED docs are re-tokenized (left-semi on the excision
+    * set); the rebuild groups |affected docs| rows. */
+  val pipelineSpanExcisedTokens: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    val exc = dupSpans(s, d, 12)
+      .select(col("d2").as("doc_id"),
+        explode(sequence(col("s2"), col("s2") + col("tok") - 1)).as("pos"))
+      .distinct()
+      .localCheckpoint(true) // two consumers: count + anti-join
+    val excCnt = exc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_exc"))
+    val kept = docs
+      .join(excCnt.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+      .join(exc, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("w")))),
+        x => x.getField("w")), " ")).as("fp"))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+      .join(excCnt, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_exc").isNotNull, 1L).otherwise(0L)).as("docs_excised"),
+        sum(col("n_toks")).as("toks_before"),
+        sum(coalesce(col("n_exc"), lit(0L))).as("toks_excised"),
+        min(col("fp")).as("fp_min"), max(col("fp")).as("fp_max"))
+      .select(col("source"), asLong(col("n_docs")).as("n_docs"),
+        asLong(col("docs_excised")).as("docs_excised"),
+        asLong(col("toks_before")).as("tokens_before"),
+        asLong(col("toks_excised")).as("tokens_excised"),
+        asLong(col("toks_before") - col("toks_excised")).as("tokens_after"),
+        expr("(toks_excised * 1000000) div toks_before").as("excised_share_q6"),
+        col("fp_min"), col("fp_max"))
+      .orderBy("source")
   }
 
 }

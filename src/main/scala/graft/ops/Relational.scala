@@ -4079,8 +4079,11 @@ object Relational {
       .filter(col("dv").isNotNull)
       .crossJoin(broadcast(tot))
       .select(col("n1"), col("n2"), col("npts"),
-        (abs(col("cum1") * col("n2") - col("cum2") * col("n1")).cast(dec38) *
-          col("dv")).as("term"))
+        // cast BEFORE the multiply: cum·n products must already be
+        // DECIMAL(38,0) (HUGEINT in the oracle) or they wrap in 64-bit
+        // past ~3e9 events per arm while DuckDB errors
+        (abs(col("cum1").cast(dec38) * col("n2") -
+          col("cum2").cast(dec38) * col("n1")) * col("dv")).as("term"))
     steps.groupBy(col("n1"), col("n2"), col("npts"))
       .agg(sum(col("term")).as("scaled"))
       .select(asLong(col("n1")).as("n1"), asLong(col("n2")).as("n2"),

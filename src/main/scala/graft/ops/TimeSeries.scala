@@ -2439,4 +2439,126 @@ object TimeSeries {
           .as("pacf2_q6"))
   }
 
+  /** Permutation entropy ordinal census (§2.48, Bandt–Pompe): the
+    * distribution of order-3 ordinal patterns of daily order counts —
+    * a complexity readout that sees STRUCTURE acf can't (a monotone
+    * ramp and a noisy series can share autocorrelations; their ordinal
+    * pattern distributions differ maximally). Each day's (x_t, x_t+1,
+    * x_t+2) triple maps to the permutation that sorts it, ties broken
+    * by POSITION (the standard stable convention) — rank_i = #{j :
+    * x_j < x_i ∨ (x_j = x_i ∧ j < i)}, pattern = r0·100+r1·10+r2, pure
+    * integer CASE arithmetic identical in both engines. Per pattern:
+    * count, share, and the −p·ln p entropy contribution (ONE ln on the
+    * exact rational, the logprob recipe). Scale: one date-grain
+    * aggregate; lead windows ride the calendar-bounded day relation
+    * (documented bounded family). */
+  val tsPermutationEntropy: Q = (s, d) => {
+    val daily = table(s, d, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("dt"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("dt"))
+    val tri = daily
+      .select(col("x").as("a"), lead(col("x"), 1).over(w).as("b"),
+        lead(col("x"), 2).over(w).as("c"))
+      .filter(col("c").isNotNull)
+    def lt(p: Column, q: Column) = when(p < q, 1L).otherwise(0L)
+    def ltEq(p: Column, q: Column) = when(p <= q, 1L).otherwise(0L)
+    // stable ranks: earlier position wins ties
+    val r0 = lt(col("b"), col("a")) + lt(col("c"), col("a"))
+    val r1 = ltEq(col("a"), col("b")) + lt(col("c"), col("b"))
+    val r2 = ltEq(col("a"), col("c")) + ltEq(col("b"), col("c"))
+    val pats = tri.select((r0 * 100 + r1 * 10 + r2).as("pattern"))
+      .groupBy(col("pattern")).agg(count(lit(1)).as("n"))
+    val tot = pats.agg(sum(col("n")).as("t"))
+    pats.crossJoin(broadcast(tot))
+      .select(asLong(col("pattern")).as("pattern"), asLong(col("n")).as("n"),
+        expr("(n * 1000000) div t").as("share_q6"),
+        asLong(floor(col("n").cast(DoubleType) / col("t") *
+          log(col("t").cast(DoubleType) / col("n")) * 1e6)).as("plogp_q6"))
+      .orderBy("pattern")
+  }
+
+  /** Sample entropy (§2.48, Richman–Moorman m=2): the regularity
+    * statistic behind physiological/ops monitoring — the negative log
+    * of the conditional probability that two day-windows matching for
+    * 2 days keep matching for a 3rd. Low SampEn = the series repeats
+    * its own motifs (predictable); high = each window is novel.
+    * Template rows are the N−2 complete (x, x₊₁, x₊₂) triples;
+    * B = pairs agreeing within r on (x, x₊₁), A = those also agreeing
+    * on x₊₂; SampEn = ln(B/A). Tolerance r = ⌊0.2·σ⌋ cents, σ from
+    * exact DECIMAL(38,0) moments in ONE double tree. Exactness: match
+    * predicates are integer |Δ| ≤ r; one final ln on the exact B/A
+    * rational, floored 1e6. Scale: a days² template pair join — the
+    * hodges_lehmann calendar-bounded family, never fact². */
+  val tsSampleEntropy: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val daily = table(s, d, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("dt"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("y"))
+      .localCheckpoint(true)
+    val w = Window.orderBy(col("dt"))
+    val tpl = daily
+      .select(col("dt"), col("y").as("x0"),
+        lead(col("y"), 1).over(w).as("x1"), lead(col("y"), 2).over(w).as("x2"))
+      .filter(col("x2").isNotNull)
+      .localCheckpoint(true)
+    val mom = tpl.agg(count(lit(1)).as("n"),
+      sum(col("x0").cast(dec38)).as("sx"),
+      sum(col("x0").cast(dec38) * col("x0")).as("sxx"))
+    def D(c: Column) = c.cast(DoubleType)
+    val tol = mom.select(col("n"),
+      floor(lit(0.2) * sqrt(D(col("n").cast(dec38) * col("sxx") -
+        col("sx") * col("sx"))) / D(col("n"))).cast(LongType).as("r"))
+    val a = tpl.select(col("dt"), col("x0"), col("x1"), col("x2"))
+    val b = tpl.select(col("dt").as("dt2"), col("x0").as("y0"),
+      col("x1").as("y1"), col("x2").as("y2"))
+    val pairs = a.join(b, col("dt") < col("dt2"))
+      .crossJoin(broadcast(tol))
+      .filter(abs(col("x0") - col("y0")) <= col("r") &&
+        abs(col("x1") - col("y1")) <= col("r"))
+    pairs
+      .groupBy(col("n"), col("r"))
+      .agg(count(lit(1)).as("b_pairs"),
+        sum(when(abs(col("x2") - col("y2")) <= col("r"), 1L).otherwise(0L))
+          .as("a_pairs"))
+      .select(asLong(col("n")).as("n_templates"), asLong(col("r")).as("tol_cents"),
+        asLong(col("b_pairs")).as("b_pairs"), asLong(col("a_pairs")).as("a_pairs"),
+        asLong(floor(log(D(col("b_pairs")) / D(col("a_pairs"))) * 1e6))
+          .as("sampen_q6"))
+  }
+
+  /** Variance-ratio test statistic (§2.48, Lo–MacKinlay): VR(q) =
+    * Var(y_t − y_t−q) / (q · Var(y_t − y_t−1)) on daily revenue — the
+    * random-walk diagnostic (VR≈1 under iid increments; <1 mean
+    * reversion, >1 trending) that reads the SAME autocorrelation mass
+    * acf reports, but as the one number a backtest gate thresholds.
+    * Exactness: per-q difference moments accumulate DECIMAL(38,0);
+    * VR is one double tree over exact sums, floored 1e6. Scale: one
+    * date-grain aggregate; the q-lag differences are lead windows on
+    * the calendar-bounded day relation; per-q moments map-combine. */
+  val tsVarianceRatio: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val daily = table(s, d, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("dt"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("y"))
+      .localCheckpoint(true)
+    val w = Window.orderBy(col("dt"))
+    def momentsAt(q: Int) = daily
+      .select((lead(col("y"), q).over(w) - col("y")).as("dy"))
+      .filter(col("dy").isNotNull)
+      .agg(count(lit(1)).as(s"n$q"), sum(col("dy").cast(dec38)).as(s"s$q"),
+        sum(col("dy").cast(dec38) * col("dy")).as(s"ss$q"))
+    def D(c: Column) = c.cast(DoubleType)
+    // Var from exact sums: (n·ss − s²) / n² — identical tree per q
+    def varOf(q: Int) = (D(col(s"n$q").cast(dec38) * col(s"ss$q") -
+      col(s"s$q") * col(s"s$q"))) / (D(col(s"n$q")) * D(col(s"n$q")))
+    val base = momentsAt(1)
+    Seq(2, 4, 8).map { q =>
+      momentsAt(q).crossJoin(broadcast(base))
+        .select(lit(q.toLong).as("q"), asLong(col(s"n$q")).as("n_diffs"),
+          asLong(floor(varOf(q) / (lit(q.toDouble) * varOf(1)) * 1e6))
+            .as("vr_q6"))
+    }.reduce(_ unionAll _).orderBy("q")
+  }
+
 }

@@ -57,7 +57,14 @@ object Sources {
   def bucketed(spark: SparkSession, sfDir: String, name: String,
       keyCol: String, nBuckets: Int): DataFrame =
     convCache.getOrElseUpdate(spark, (sfDir, name, s"bucketed$nBuckets")) {
-      val tbl = s"bucketed_${name}_${nBuckets}_${math.abs(sfDir.hashCode)}"
+      // collision-resistant tier suffix: the session cache keys on the
+      // full sfDir, so the table name must too — a hashCode collision
+      // across tiers would silently serve the wrong tier's data (and
+      // math.abs(Int.MinValue) stays negative)
+      val tierTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(sfDir.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val tbl = s"bucketed_${name}_${nBuckets}_$tierTag"
       if (!spark.catalog.tableExists(tbl)) {
         // the warehouse DIRECTORY outlives the in-memory catalog across
         // JVMs: a fresh session doesn't know the table but its managed
@@ -68,8 +75,9 @@ object Sources {
         val loc = java.nio.file.Paths.get(wh, tbl)
         if (java.nio.file.Files.exists(loc)) {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(loc).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
+          scala.util.Using.resource(java.nio.file.Files.walk(loc)) { st =>
+            st.iterator().asScala.toSeq
+          }.sortBy(-_.getNameCount)
             .foreach(p => java.nio.file.Files.deleteIfExists(p))
         }
         graft.Tables(spark, sfDir, name).write
@@ -87,8 +95,9 @@ object Sources {
     convDirs.forEach { root =>
       try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
+        scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+          st.iterator().asScala.toSeq
+        }.sortBy(-_.getNameCount)
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case _: Exception => () }
     }))
@@ -143,6 +152,12 @@ object Sources {
           import org.apache.spark.sql.types.LongType
           require(name == "documents",
             "text roundtrip is modeled on the documents table")
+          // the TSV pack puts the free-text field last unescaped — a
+          // tab or newline INSIDE it would mis-split on read and
+          // surface only as an opaque oracle hash mismatch, so fail
+          // loudly here instead (a production packer would escape)
+          require(base.filter(col("text").rlike("[\\t\\n]")).isEmpty,
+            "documents.text contains tab/newline; TSV pack would tear")
           base.select(concat_ws("\t",
               col("doc_id"), col("lang"), col("source"),
               col("n_chars"), col("text")).as("value"))

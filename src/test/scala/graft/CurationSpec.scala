@@ -141,6 +141,74 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("PII redaction is idempotent, span-accurate, and profile-consistent") {
+    import spark.implicits._
+    // hand-built fixture: every PII type once, plus near-miss decoys
+    // that must NOT be masked (4-3-4 phone shape, 5-octet IP prefix,
+    // bare @ without a TLD)
+    val fx = Seq(
+      (1L, "s", "mail bob.smith+x@corp.example.org then call 415-555-2671 ok"),
+      (2L, "s", "ssn 078-05-1120 from 192.168.001.1 port"),
+      (3L, "s", "decoys 4155-555-2671 and 1.2.3.4.5 and foo@bar stay put"),
+      (4L, "s", "clean row")).toDF("doc_id", "source", "text")
+    val once = Curation.redactPii(fx)
+    val got = once.orderBy("doc_id").select("text").as[String].collect()
+    assert(got(0) == "mail <EMAIL> then call <PHONE> ok")
+    assert(got(1) == "ssn <SSN> from <IP> port")
+    // 4155-555-2671: leading 4155 blocks the \b{3} match on 155;
+    // 1.2.3.4.5 DOES contain a legal 4-octet prefix (1.2.3.4) — the
+    // standard regex detector masks it; foo@bar has no dot-TLD
+    assert(got(2) == "decoys 4155-555-2671 and <IP>.5 and foo@bar stay put")
+    assert(got(3) == "clean row")
+    // idempotent: masks carry no digits/@, a second pass is a no-op
+    val twice = Curation.redactPii(once)
+    assert(twice.orderBy("doc_id").select("text").as[String].collect()
+      .sameElements(got))
+    // profile face agrees with the redaction face: docs 1,2,3 have PII
+    val prof = Curation.piiProfile(fx).collect().head
+    assert(prof.getLong(1) == 4 && prof.getLong(2) == 3 && prof.getLong(3) == 5)
+  }
+
+  test("span excision removes the duplicate occurrence and keeps the canonical") {
+    import spark.implicits._
+    val spans = graft.ops.Pipelines.dedupSubstringSpans(spark, sf0001)
+      .select("d1", "d2", "span_start2", "span_tokens", "span_text").collect()
+    assert(spans.nonEmpty, "fixture corpus lost its duplicate spans")
+    val excised = Curation.exciseSpans(spark, sf0001).persist()
+    val byId = excised.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    val orig = graft.Tables(spark, sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val touched = spans.map(_.getLong(1)).toSet
+    spans.foreach { r =>
+      val (d1, d2) = (r.getLong(0), r.getLong(1))
+      val txt = r.getString(4)
+      // a doc that is NEVER a greater side keeps its span text
+      // verbatim (a d1 that is also some pair's d2 may legitimately
+      // lose part of it); the GLOBAL minimum of any span chain is
+      // never a d2, so one canonical occurrence always survives
+      if (!touched(d1))
+        assert(byId(d1).contains(txt), s"canonical $d1 lost its span")
+      // the greater doc lost at least this span's token positions
+      val before = orig(d2).split(" ").length
+      val after = byId(d2) match { case "" => 0; case t => t.split(" ").length }
+      assert(after < before, s"doc $d2 lost no tokens")
+    }
+    // untouched docs pass through verbatim, corpus row count is stable
+    assert(excised.count() == orig.size)
+    orig.keys.filterNot(touched).take(20).foreach { id =>
+      assert(byId(id) == orig(id), s"untouched doc $id was rewritten")
+    }
+    // token accounting matches the oracle-checked per-source audit
+    val audit = graft.ops.Pipelines.pipelineSpanExcisedTokens(spark, sf0001)
+      .agg(sum("tokens_after")).as[Long].head
+    val direct = excised.select(
+      sum(when(col("text") === "", 0)
+        .otherwise(size(split(col("text"), " "))))).as[Long].head
+    assert(audit == direct, s"audit $audit != excised corpus $direct")
+    excised.unpersist()
+  }
+
   test("train and test are disjoint and the pipeline is deterministic") {
     val (train, test, r1) = result
     assert(train.join(test, Seq("doc_id"), "inner").count() == 0)

@@ -950,4 +950,60 @@ class EngineSpec extends AnyFunSuite {
     assert(!bk.substring(joinIdx).contains("Exchange hashpartitioning"),
       s"bucketed join still shuffles:\n${bk.take(2400)}")
   }
+
+  test("round-13 §2.46/§2.47 plans: row-local PII, shared span + bipartite builds") {
+    // PII profile and redact are ROW-LOCAL regexp passes — any join
+    // in the plan means the fixture injection degenerated
+    Seq(ops.Pipelines.pipelinePiiProfile,
+      ops.Pipelines.pipelinePiiRedact).foreach { q =>
+      val p = q(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), s"PII op grew a join:\n${p.take(1200)}")
+    }
+    // span excision reads the CHECKPOINTED shared span relation (one
+    // build serves spans/coverage/templates/excision), and the
+    // excision set join is an equi-join, never a product
+    val ex = ops.Pipelines.pipelineSpanExcisedTokens(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(ex.contains("Scan ExistingRDD"),
+      s"excision rebuilt the span relation:\n${ex.take(1200)}")
+    assert(!ex.contains("CartesianProduct") &&
+      !ex.contains("BroadcastNestedLoopJoin"),
+      s"excision joins degenerated:\n${ex.take(1200)}")
+    // the bipartite edge build is SHARED: one cached relation serves
+    // HITS, the degree profile and assortativity (round-12 verdict
+    // item 5 — the suite's largest 100×-tier build, amortized)
+    assert(Tables.bipartite(spark, sf0001) eq Tables.bipartite(spark, sf0001),
+      "Tables.bipartite lost its per-sfDir cache")
+    Seq("hits" -> ops.GraphOps.graphHitsBipartite,
+      "degree_profile" -> ops.GraphOps.graphBipartiteDegreeProfile,
+      "assortativity" -> ops.GraphOps.graphBipartiteAssortativity)
+      .foreach { case (n, q) =>
+        val p = q(spark, sf0001).queryExecution.executedPlan.toString
+        assert(p.contains("InMemoryTableScan"),
+          s"$n rebuilt the bipartite edges instead of reading the " +
+            s"shared cache:\n${p.take(1200)}")
+      }
+    // co-supply pairs expand IN-ROW per order (the Tables.edges
+    // recipe) — no supplier×supplier product anywhere; top-20 is a
+    // distributed TakeOrderedAndProject
+    val cs = ops.GraphOps.graphCosupplySupplierSim(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!cs.contains("CartesianProduct") && cs.contains("TakeOrdered"),
+      s"co-supply degenerated:\n${cs.take(1200)}")
+  }
+
+  test("round-13: conformal pair rides the GlobalRank range shuffle (drift watch)") {
+    // the only two >25% CPU risers of rounds 11–12 — pin the intended
+    // shape (range-shuffle rank + broadcast offsets, no shuffled join)
+    // so any future drift is a plan regression, not window variance
+    Seq("interval" -> ops.Sampling.sampleConformalInterval,
+      "coverage" -> ops.Sampling.sampleConformalCoverage).foreach {
+      case (n, q) =>
+        val p = q(spark, sf0001).queryExecution.executedPlan.toString
+        assert(p.contains("rangepartitioning"),
+          s"conformal $n lost the GlobalRank range shuffle:\n${p.take(1200)}")
+        assert(!p.contains("SortMergeJoin"),
+          s"conformal $n grew a shuffled join:\n${p.take(1200)}")
+    }
+  }
 }

@@ -326,7 +326,18 @@ class QuerySuiteSpec extends AnyFunSuite {
     // §2.45 (round 12, distributional distance, matching & layout batch)
     "agg_wasserstein_1d" -> 1L, "agg_mahalanobis_outliers" -> 20L,
     "dedup_span_templates" -> 20L, "ts_pacf_lag2" -> 1L,
-    "sample_cem_matching" -> 51L, "src_bucketed_roundtrip" -> 5L)
+    "sample_cem_matching" -> 51L, "src_bucketed_roundtrip" -> 5L,
+    // round 13 (§2.46)
+    "pipeline_pii_profile" -> 20L, "pipeline_pii_redact" -> 56L,
+    "pipeline_span_excised_tokens" -> 20L,
+    // round 13 (§2.47)
+    "graph_bipartite_degree_profile" -> 12L,
+    "graph_bipartite_assortativity" -> 1L,
+    "graph_cosupply_supplier_sim" -> 20L,
+    // round 13 (§2.48)
+    "ts_permutation_entropy" -> 6L, "ts_sample_entropy" -> 1L,
+    "ts_variance_ratio" -> 3L, "text_yule_k" -> 5L,
+    "pipeline_mattr" -> 5L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)

@@ -690,4 +690,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("out of order") ||
       Option(ex.getCause).exists(_.getMessage.contains("out of order")))
   }
+
+  test("streaming Holt-Winters monitor: closed-prefix forecasts equal the batch fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dayDf = Tables(spark, sf0001, "orders")
+      .groupBy(col("o_orderdate").cast(org.apache.spark.sql.types.DateType).as("dt"))
+      .agg(sum((col("o_totalprice").cast(org.apache.spark.sql.types
+        .DecimalType(18, 2)) * 100).cast(org.apache.spark.sql.types.LongType))
+        .as("c"))
+    val byDay = dayDf.orderBy("dt").as[(java.sql.Date, Long)].collect().toSeq
+    assert(byDay.size > 30)
+    val src = MemoryStream[(java.sql.Date, Long)]
+    val mon = Streams.holtMonitor(src.toDF().toDF("dt", "c"))
+    val q = mon.writeStream.format("memory").queryName("t_holt")
+      .outputMode("append").start()
+    def lastForecasts(): Option[Seq[Double]] = {
+      val rows = spark.table("t_holt").collect()
+      if (rows.isEmpty) None
+      else Some(rows.maxBy(_.getDate(0).getTime).getSeq[Double](4).toSeq)
+    }
+    def batchForecasts(prefix: Seq[(java.sql.Date, Long)]): Seq[Double] =
+      ops.TimeSeries.holtWintersFromDaily(
+        prefix.toDF("dt", "c")).orderBy("h").collect().map(_.getDouble(1)).toSeq
+    // replay in three day-ordered chunks; after EVERY chunk the last
+    // emission's 7 horizons must equal the batch SQL fold on exactly
+    // the replayed prefix — the expression trees are transliterations,
+    // so equality is EXACT doubles, not approximate
+    val k = byDay.size / 3
+    val cuts = Seq(byDay.take(k), byDay.slice(k, 2 * k), byDay.drop(2 * k))
+    var processed = Seq.empty[(java.sql.Date, Long)]
+    cuts.foreach { chunk =>
+      src.addData(chunk)
+      q.processAllAvailable()
+      processed = processed ++ chunk
+      assert(lastForecasts().contains(batchForecasts(processed)),
+        s"prefix ${processed.size} drifted from the batch fold")
+    }
+    // final prefix == the declared ts_holt_winters op itself
+    val whole = ops.TimeSeries.tsHoltWinters(spark, sf0001)
+      .orderBy("h").collect().map(_.getDouble(1)).toSeq
+    assert(lastForecasts().contains(whole))
+    // one emission per folded day (days 8..n), none during the buffer
+    assert(spark.table("t_holt").count() == byDay.size - 7)
+    q.stop()
+    // out-of-order days are refused across batches, like cusumMonitor
+    val src2 = MemoryStream[(java.sql.Date, Long)]
+    val mon2 = Streams.holtMonitor(src2.toDF().toDF("dt", "c"))
+    val q2 = mon2.writeStream.format("memory").queryName("t_holt_ooo")
+      .outputMode("append").start()
+    src2.addData(Seq(byDay(1)))
+    q2.processAllAvailable()
+    src2.addData(Seq(byDay(0)))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(ex.getMessage.contains("out of order") ||
+      Option(ex.getCause).exists(_.getMessage.contains("out of order")))
+  }
 }
