@@ -142,7 +142,22 @@ object IncDedupBench {
             VersionedTable.read(spark, root, Some(toV))).spans.count(); ()
         }
         state = s2
-        parts += s"""{"delta":$dn,"advance":${r3(tAdv)},"full_rebuild":${r3(tRebuild)}}"""
+        // the STORED face on a fresh delta: the deployment path whose
+        // state rewrite is file-pruned DELETE+append instead of the
+        // in-memory path's full checkpoint rewrite (the span state is
+        // corpus-sized — positioned shingles — so the rewrite term
+        // dominates `advance` at the 100x tier; `advance_stored` is
+        // the number the daily loop actually pays)
+        val postV = VersionedTable.versions(spark, root).last
+        val stRoot = s"$tmpRoot/spans_state_${nDocs}_$i"
+        val stored = graft.ops.IncrementalSpans.bootstrapStored(spark,
+          VersionedTable.read(spark, root, Some(postV)),
+          s"$stRoot/sh", s"$stRoot/df", s"$stRoot/sp")
+        val (f2, t2) = commitDelta(root, VersionedTable.read(spark, root), dn, 100 + i)
+        val tAdvStored = timed {
+          graft.ops.IncrementalSpans.advanceStored(spark, root, f2, t2, stored); ()
+        }
+        parts += s"""{"delta":$dn,"advance":${r3(tAdv)},"advance_stored":${r3(tAdvStored)},"full_rebuild":${r3(tRebuild)}}"""
       }
       println(s"""{"family":"inc_spans","dir":"$dir","n_docs":$nDocs,"initial_build":${r3(tBuild)},"steps":[${parts.mkString(",")}]}""")
       System.out.flush()

@@ -7502,7 +7502,102 @@ pc AS (SELECT doc_id, lang, chunk, count(DISTINCT w) ty
 SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
   CAST(count(*) AS BIGINT) AS n_chunks,
   CAST((sum(ty) * 1000000) // (50 * count(*)) AS BIGINT) AS mattr_q6
-FROM pc GROUP BY 1 ORDER BY lang"""
+FROM pc GROUP BY 1 ORDER BY lang""",
+
+      // ---- round 13 (§2.49): robust tests, crawl profiling, chunking ----
+      // Mood's median 2x2 on the pooled lower median; exact HUGEINT
+      // chi-square, one integer division.
+      "agg_mood_median_test" ->
+        s"""WITH e AS (SELECT event_type g,
+    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) v
+  FROM ${T("events")}
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+cnt AS (SELECT v, count(*) c FROM e GROUP BY 1),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) cm,
+    (SELECT count(*) FROM e) n FROM cnt),
+med AS (SELECT min(v) m FROM cum WHERE 2 * cm >= n + (n % 2)),
+t AS (SELECT g, sum(CASE WHEN v > med.m THEN 1 ELSE 0 END) ab, count(*) n_g
+  FROM e, med GROUP BY 1),
+x AS (SELECT
+    max(CASE WHEN g = 'click' THEN ab END) a,
+    max(CASE WHEN g = 'click' THEN n_g - ab END) b,
+    max(CASE WHEN g = 'purchase' THEN ab END) c2,
+    max(CASE WHEN g = 'purchase' THEN n_g - ab END) d2
+  FROM t)
+SELECT CAST((SELECT m FROM med) AS BIGINT) AS median_cents,
+  CAST(a AS BIGINT) AS click_above, CAST(b AS BIGINT) AS click_le,
+  CAST(c2 AS BIGINT) AS purchase_above, CAST(d2 AS BIGINT) AS purchase_le,
+  CAST(((a + b + c2 + d2) * CAST(a * d2 - b * c2 AS HUGEINT)
+      * (a * d2 - b * c2) * 1000000)
+    // (CAST(a + b AS HUGEINT) * (c2 + d2) * (a + c2) * (b + d2)) AS BIGINT)
+    AS chi2_q6
+FROM x""",
+
+      // Ljung-Box over daily revenue: row-lag acf from exact scaled
+      // moments, Q folded from the QUANTIZED r's in pure integers.
+      "ts_ljung_box" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) dt,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) y
+  FROM ${T("orders")} GROUP BY 1),
+b AS (SELECT count(*) n, sum(CAST(y AS HUGEINT)) s FROM daily),
+z AS (SELECT dt, CAST(b.n AS HUGEINT) * y - b.s zz, b.n FROM daily, b),
+wl AS (SELECT k, zz, lead(zz, k) OVER (PARTITION BY k ORDER BY dt) lz, n
+  FROM z CROSS JOIN (SELECT unnest(generate_series(1, 7)) k)),
+den AS (SELECT sum(zz * zz) dn FROM z),
+r AS (SELECT k, max(n) n,
+    CAST(floor(CAST(sum(zz * lz) AS DOUBLE) /
+      CAST(den.dn AS DOUBLE) * 1e6) AS BIGINT) r_q6
+  FROM wl, den WHERE lz IS NOT NULL GROUP BY k, den.dn)
+SELECT CAST(k AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days, r_q6,
+  CAST(sum((CAST(n AS HUGEINT) * (n + 2) * (r_q6 * r_q6)) // (n - k))
+    OVER (ORDER BY k) // 100000000 AS BIGINT) AS lb_q_q4
+FROM r ORDER BY lag""",
+
+      // per-source URL/domain census over the arithmetic URL fixture;
+      // same regexes, capture-group host extraction.
+      "pipeline_url_profile" ->
+        s"""WITH dirty AS (SELECT source, doc_id, concat(text,
+    CASE WHEN doc_id % 3 = 0 THEN concat(' see https://cdn', doc_id % 7,
+      '.example', doc_id % 5, '.com/path', doc_id, '/item?id=', doc_id, ' ok')
+      ELSE '' END,
+    CASE WHEN doc_id % 7 = 0 THEN concat(' ref http://blog', doc_id % 9,
+      '.sample.org/page', doc_id % 13, ' end') ELSE '' END) t
+  FROM ${T("documents")}),
+u AS (SELECT source, doc_id,
+    regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)[^ ]*', 1) hosts,
+    len(regexp_extract_all(t, 'https?://[A-Za-z0-9.-]+[^ ]*')) n_urls,
+    len(regexp_extract_all(t, 'https://[A-Za-z0-9.-]+[^ ]*')) n_https
+  FROM dirty),
+da AS (SELECT source, count(*) n_docs,
+    sum(CASE WHEN len(hosts) > 0 THEN 1 ELSE 0 END) docs_with_url,
+    sum(n_urls) urls, sum(n_https) https
+  FROM u GROUP BY 1),
+ha AS (SELECT source, count(DISTINCT host) n_hosts, min(host) host_min,
+    max(host) host_max
+  FROM (SELECT source, unnest(hosts) host FROM u) GROUP BY 1)
+SELECT da.source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(docs_with_url AS BIGINT) AS docs_with_url,
+  CAST(urls AS BIGINT) AS n_urls, CAST(https AS BIGINT) AS n_https,
+  CAST(CASE WHEN urls > 0 THEN (https * 1000000) // urls ELSE 0 END AS BIGINT)
+    AS https_share_q6,
+  CAST(coalesce(n_hosts, 0) AS BIGINT) AS n_hosts, host_min, host_max
+FROM da LEFT JOIN ha ON ha.source = da.source ORDER BY da.source""",
+
+      // 64-token chunks at stride 48, full windows only; md5-pinned.
+      "pipeline_chunk_windows" ->
+        s"""WITH t AS (SELECT source, doc_id, string_split(text, ' ') toks,
+    len(string_split(text, ' ')) n FROM ${T("documents")}),
+c AS (SELECT source, doc_id, unnest(generate_series(0, (n - 64) // 48)) j,
+    toks FROM t WHERE n >= 64),
+ch AS (SELECT source, doc_id, md5(array_to_string(
+    list_slice(toks, 1 + 48 * j, 48 * j + 64), ' ')) h FROM c)
+SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_chunked,
+  CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(count(DISTINCT h) AS BIGINT) AS distinct_chunks,
+  CAST(((count(*) - count(DISTINCT h)) * 1000000) // count(*) AS BIGINT)
+    AS dup_chunk_share_q6,
+  min(h) AS fp_min, max(h) AS fp_max
+FROM ch GROUP BY 1 ORDER BY source"""
     )
   }
 }

@@ -210,7 +210,13 @@ object ScalingBench {
         "text_yule_k" -> (() =>
           { ops.TextSim.textYuleK(spark, dir).count(); () }),
         "pipeline_mattr" -> (() =>
-          { ops.Pipelines.pipelineMattr(spark, dir).count(); () }))
+          { ops.Pipelines.pipelineMattr(spark, dir).count(); () }),
+        // round-13 §2.49 doc-side: url profiling is the fused-regexp
+        // floor; chunk windows are an output-sized explode
+        "pipeline_url_profile" -> (() =>
+          { ops.Pipelines.pipelineUrlProfile(spark, dir).count(); () }),
+        "pipeline_chunk_windows" -> (() =>
+          { ops.Pipelines.pipelineChunkWindows(spark, dir).count(); () }))
       )
       // run r: clear -> timed shingle build -> each op timed under its
       // own job group; keep min wall and min CPU per op (a cost
@@ -384,7 +390,11 @@ object ScalingBench {
         "graph_cosupply_supplier_sim" -> (() => { ops.GraphOps.graphCosupplySupplierSim(spark, dir).count(); () }),
         "ts_permutation_entropy" -> (() => { ops.TimeSeries.tsPermutationEntropy(spark, dir).count(); () }),
         "ts_sample_entropy" -> (() => { ops.TimeSeries.tsSampleEntropy(spark, dir).count(); () }),
-        "ts_variance_ratio" -> (() => { ops.TimeSeries.tsVarianceRatio(spark, dir).count(); () })))
+        "ts_variance_ratio" -> (() => { ops.TimeSeries.tsVarianceRatio(spark, dir).count(); () }),
+        // round-13 §2.49 fact-side: mood rides the shared ECDF
+        // (marginal past it), ljung-box is a day-grain one-window fold
+        "agg_mood_median_test" -> (() => { ops.Relational.aggMoodMedianTest(spark, dir).count(); () }),
+        "ts_ljung_box" -> (() => { ops.TimeSeries.tsLjungBox(spark, dir).count(); () })))
       val best = scala.collection.mutable.LinkedHashMap[String, Double]()
       val bestCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
       var primeBest = Double.MaxValue

@@ -924,6 +924,52 @@ class Naqed(spark: SparkSession, sfDir: String) {
     }.reduce(_ unionByName _)
   }
 
+  /** PII & corpus-cleanse directive (round 13): the §2.46 transforms
+    * behind the `$`-argument convention. `$action` selects:
+    *  - `"profile"` (default): the per-source PII census over the
+    *    ACTUAL corpus text (ops.Curation.piiProfile — same detector
+    *    patterns as the oracle-checked pipeline_pii_profile, so the
+    *    API cannot drift from verified regex semantics);
+    *  - `"redact"`: the corpus with every detector match masked
+    *    (ops.Curation.redactPii — idempotent, CurationSpec);
+    *  - `"excise"`: the corpus rewritten with every ≥`$min_tokens`
+    *    (default 12) cross-doc verbatim span removed on the
+    *    greater-doc side (ops.Curation.exciseSpans — the Lee-et-al
+    *    rewrite; span semantics oracle-checked via
+    *    pipeline_span_excised_tokens).
+    * Unknown arguments/actions fail analysis naqed-style. */
+  def pii(q: Map[String, Any] = Map.empty): DataFrame = {
+    val known = Set("$action", "$min_tokens")
+    val unknown = q.keys.filterNot(known.contains)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown pii arguments ${unknown.mkString(", ")}; " +
+          "valid: $action, $min_tokens")
+    val action = q.get("$action") match {
+      case Some(s: String) if Set("profile", "redact", "excise")(s) => s
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown pii action '$other'; valid: profile, redact, excise")
+      case None => "profile"
+    }
+    val minTok = q.get("$min_tokens") match {
+      case Some(n: Number) => n.intValue()
+      case Some(other) => throw new IllegalArgumentException(
+        s"$$min_tokens expects a number, got $other")
+      case None => 12
+    }
+    if (q.contains("$min_tokens") && action != "excise")
+      throw new IllegalArgumentException(
+        "$min_tokens only applies to $action -> excise")
+    action match {
+      case "profile" =>
+        graft.ops.Curation.piiProfile(graft.Tables(spark, sfDir, "documents"))
+      case "redact" =>
+        graft.ops.Curation.redactPii(graft.Tables(spark, sfDir, "documents"))
+      case "excise" =>
+        graft.ops.Curation.exciseSpans(spark, sfDir, minTok)
+    }
+  }
+
   /** Embedding near-dedup directive (naqed resolver-with-args style):
     * the curation stage for embedding-carrying corpora
     * (ops.Curation.annNearDedup), driven through the `$`-argument

@@ -14,7 +14,7 @@ import graft.sources.VersionedTable
   *  - `shingles` (doc_id, pos, h): positioned 8-gram md5 shingles —
   *    only changed docs are re-shingled;
   *  - `dfCounts` (h, c): per-hash occurrence counts, patched
-  *    arithmetically (c ← c − old occurrences of changed docs + new
+  *    ARITHMETICALLY (c ← c − old changed-doc occurrences + new
   *    occurrences) — the [2,20] keep-set needs NO corpus recount;
   *  - `spans` (d1, d2, s1, s2, tok): recomputed ONLY for affected
   *    pairs.
@@ -37,12 +37,17 @@ import graft.sources.VersionedTable
   * ([[Pipelines.spanShingleDocs]], [[Pipelines.spanGramPairs]],
   * [[Pipelines.spansFromPairRows]]), so they cannot drift.
   *
-  * Scale shape: re-shingling touches |delta| docs; the df patch and
-  * the span patch are |delta|-bounded joins against the state; the
-  * only corpus-proportional costs are the columnar state scans that
-  * the anti-join rewrite (here) or a keyed, file-pruned MERGE (stored
-  * deployment, the advanceStored recipe) absorbs. Nothing rebuilds
-  * the gram join over unchanged docs.
+  * Scale shape: re-shingling touches |delta| docs; EVERY join against
+  * a corpus-sized state relation is a broadcast semi/anti with a
+  * |delta|-bounded build side — never a corpus shuffle, and never a
+  * full-outer against the state (a full outer cannot broadcast either
+  * side: Spark degenerates it to a nested loop — the first cut
+  * measured 10× a full rebuild exactly there, now decomposed into
+  * kept/updated/fresh broadcast pieces). The only corpus-proportional
+  * costs are the handful of columnar state SCANS that the anti-join
+  * rewrite (here) or a keyed, file-pruned MERGE (stored deployment,
+  * the advanceStored recipe) absorbs. Nothing rebuilds the gram join
+  * over unchanged docs — the full build's dominant term.
   */
 object IncrementalSpans {
 
@@ -53,8 +58,8 @@ object IncrementalSpans {
 
   private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
-  private def keepOf(dfCounts: DataFrame): DataFrame =
-    dfCounts.filter(col("c").between(2L, 20L)).select(col("h"))
+  private def keepFilter(dfc: DataFrame): DataFrame =
+    dfc.filter(col("c").between(2L, 20L)).select(col("h"))
 
   /** Full build — the bootstrap, and the equality oracle for
     * [[advance]]. `docs` must carry (doc_id, text) with doc_id a
@@ -63,7 +68,7 @@ object IncrementalSpans {
     val sh = Pipelines.spanShingleDocs(docs).persist(lvl)
     val dfc = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
     val dfcS = stabilize(dfc)
-    val fk = sh.join(keepOf(dfcS), Seq("h"))
+    val fk = sh.join(keepFilter(dfcS), Seq("h"))
     val spans = Pipelines.spansFromPairRows(Pipelines.spanGramPairs(fk), minTok)
     val st = State(stabilize(sh), dfcS, stabilize(spans))
     sh.unpersist(false)
@@ -91,6 +96,7 @@ object IncrementalSpans {
     val cf = feed.select(col("doc_id"), col("text"), col("_change_type"))
       .persist(lvl)
     val changedIds = cf.select(col("doc_id")).distinct()
+      .localCheckpoint(true) // |delta|-bounded; broadcast build side
     val entering = cf
       .filter(col("_change_type").isin("insert", "update_postimage"))
       .select(col("doc_id"), col("text"))
@@ -101,62 +107,248 @@ object IncrementalSpans {
       .persist(lvl)
 
     // arithmetic df patch: c ← c − |old changed-doc occurrences| +
-    // |new occurrences|; hashes reaching 0 leave the relation
+    // |new occurrences|; both sides |delta|-bounded, so the full
+    // outer here is cheap (it never touches the state)
     val oldCnt = oldShChanged.groupBy(col("h")).agg(count(lit(1)).as("c_old"))
     val newCnt = newSh.groupBy(col("h")).agg(count(lit(1)).as("c_new"))
     val deltaCnt = oldCnt.join(newCnt, Seq("h"), "full_outer")
       .select(col("h"),
         (coalesce(col("c_new"), lit(0L)) - coalesce(col("c_old"), lit(0L)))
           .as("dc"))
-    val dfc2 = state.dfCounts
-      .join(broadcast(deltaCnt), Seq("h"), "full_outer")
-      .select(col("h"),
-        (coalesce(col("c"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("c"))
+      .localCheckpoint(true)
+    val deltaB = broadcast(deltaCnt)
+    // state patch in broadcast pieces: kept (hash untouched) /
+    // updated (count adjusted, survivors only) / fresh (never seen)
+    val kept = state.dfCounts.join(deltaB, Seq("h"), "left_anti")
+    val updated = state.dfCounts
+      .join(deltaB.withColumnRenamed("dc", "dc2"), Seq("h"))
+      .select(col("h"), (col("c") + col("dc2")).as("c"))
       .filter(col("c") > 0L)
+    val seenKeys = state.dfCounts
+      .join(deltaB, Seq("h"), "left_semi").select(col("h"))
+      .localCheckpoint(true) // |delta|-bounded
+    val fresh = deltaCnt.join(broadcast(seenKeys), Seq("h"), "left_anti")
+      .filter(col("dc") > 0L)
+      .select(col("h"), col("dc").as("c"))
+    val dfc2 = stabilize(kept.unionByName(updated).unionByName(fresh))
 
-    // patched shingle state
-    val sh2 = state.shingles
+    // patched shingle state — checkpointed ONCE, read by every
+    // downstream consumer (pair probe, restricted rebuild, the state)
+    val sh2 = stabilize(state.shingles
       .join(broadcast(changedIds), Seq("doc_id"), "left_anti")
-      .unionByName(newSh)
+      .unionByName(newSh))
 
     // every hash the delta touches (old OR new side) — the full set
     // of places where a pair's gram-match evidence can have moved
     val affH = oldShChanged.select(col("h"))
       .unionAll(newSh.select(col("h"))).distinct()
+      .localCheckpoint(true) // |delta|-bounded
 
     // affected pairs: formable via an affected hash under the OLD
     // keep-set (state side — spans to retire) or the NEW one (spans
-    // to rebuild). ≤190 pairs/hash by the [2,20] pigeonhole.
-    def pairsVia(sh: DataFrame, keep: DataFrame): DataFrame = {
-      val occ = sh
-        .join(broadcast(affH.join(keep, Seq("h"), "left_semi")), Seq("h"),
-          "left_semi")
+    // to rebuild). ≤190 pairs/hash by the [2,20] pigeonhole. Each
+    // keep-restriction is ONE state scan with the affected-hash set
+    // broadcast; the occurrence probe broadcasts the (≤20/hash)
+    // result back into the shingle scan.
+    def pairsVia(sh: DataFrame, dfc: DataFrame): DataFrame = {
+      val affKeep = keepFilter(
+        dfc.join(broadcast(affH), Seq("h"), "left_semi"))
+        .localCheckpoint(true)
+      val occ = sh.join(broadcast(affKeep), Seq("h"), "left_semi")
       Pipelines.spanGramPairs(occ).select(col("d1"), col("d2")).distinct()
     }
-    val pAff = pairsVia(state.shingles, keepOf(state.dfCounts))
-      .unionAll(pairsVia(sh2, keepOf(dfc2)))
-      .distinct()
-      .persist(lvl)
+    val pAff = stabilize(pairsVia(state.shingles, state.dfCounts)
+      .unionAll(pairsVia(sh2, dfc2))
+      .distinct())
 
     // recompute spans for exactly the affected pairs, from the patched
-    // state: restrict the keep-filtered gram relation to the affected
-    // docs, regenerate pair rows, keep only affected pairs
+    // state: restrict the shingle state to affected docs (broadcast
+    // semi), keep-filter THAT small slice (its distinct hashes
+    // broadcast into one dfc2 scan), regenerate pair rows, keep only
+    // affected pairs
     val pAffDocs = pAff.select(col("d1").as("doc_id"))
       .unionAll(pAff.select(col("d2").as("doc_id"))).distinct()
-    val fkR = sh2
+      .localCheckpoint(true)
+    val restricted = sh2
       .join(broadcast(pAffDocs), Seq("doc_id"), "left_semi")
-      .join(keepOf(dfc2), Seq("h"), "left_semi")
+      .localCheckpoint(true)
+    val keepSmall = keepFilter(dfc2.join(
+        broadcast(restricted.select(col("h")).distinct()), Seq("h"),
+        "left_semi"))
+      .localCheckpoint(true)
+    val fkR = restricted.join(broadcast(keepSmall), Seq("h"), "left_semi")
     val pairRowsR = Pipelines.spanGramPairs(fkR)
-      .join(pAff, Seq("d1", "d2"), "left_semi")
+      .join(broadcast(pAff), Seq("d1", "d2"), "left_semi")
     val spansR = Pipelines.spansFromPairRows(pairRowsR, minTok)
 
     // patch: retire every affected pair's spans, add the rebuilt ones
     val spans2 = state.spans
-      .join(pAff, Seq("d1", "d2"), "left_anti")
+      .join(broadcast(pAff), Seq("d1", "d2"), "left_anti")
       .unionByName(spansR)
 
-    val st = State(stabilize(sh2), stabilize(dfc2), stabilize(spans2))
-    Seq(cf, newSh, oldShChanged, pAff).foreach(_.unpersist(false))
+    val st = State(sh2, dfc2, stabilize(spans2))
+    Seq(cf, newSh, oldShChanged).foreach(_.unpersist(false))
     st
+  }
+
+  // ---- stored deployment face (the advanceStored recipe) ----
+
+  /** Span-dedup state persisted as three [[VersionedTable]]s — the
+    * deployment shape (the in-memory [[State]]'s localCheckpoint
+    * stands in for this write-back at bench scale). Shingles are
+    * range-clustered on doc_id and dfCounts on h, so each delta's
+    * predicate DELETE file-prunes to the touched ranges; spans
+    * cluster on d1. */
+  case class StoredSpans(shinglesRoot: String, dfRoot: String,
+      spansRoot: String)
+
+  /** Bootstrap the stored state from a corpus snapshot. */
+  def bootstrapStored(spark: SparkSession, docs: DataFrame,
+      shinglesRoot: String, dfRoot: String, spansRoot: String,
+      minTok: Int = 12, files: Int = 8): StoredSpans = {
+    val st = build(docs, minTok)
+    VersionedTable.create(spark, shinglesRoot,
+      st.shingles.repartitionByRange(files, col("doc_id")))
+    VersionedTable.create(spark, dfRoot,
+      st.dfCounts.repartitionByRange(files, col("h")))
+    VersionedTable.create(spark, spansRoot,
+      st.spans.repartitionByRange(files, col("d1")))
+    StoredSpans(shinglesRoot, dfRoot, spansRoot)
+  }
+
+  /** The stored state read back as a [[State]]. */
+  def readStored(spark: SparkSession, st: StoredSpans): State =
+    State(VersionedTable.read(spark, st.shinglesRoot),
+      VersionedTable.read(spark, st.dfRoot),
+      VersionedTable.read(spark, st.spansRoot))
+
+  private val InChunk = 10000
+
+  /** Advance the STORED state across a corpus version range: the same
+    * increment as [[advanceWithFeed]], lowered to table operations —
+    * predicate DELETEs (file-pruned via the clustered layout) + one
+    * append per state table. The span retire/rebuild set is widened
+    * from the exact affected-PAIR set to ALL pairs among the affected
+    * DOCS (both sets are |delta|-bounded): a pair predicate would need
+    * |pairs| conjunctions, while the doc widening is two IN-lists —
+    * and the widened pairs' spans are recomputed byte-identically
+    * (their gram evidence is unchanged), so delete+reappend is a
+    * no-op for them and the resulting table still equals the full
+    * rebuild (spec-pinned). Returns (shingleFilesRewritten,
+    * shingleFilesKept) so callers/specs observe the file pruning. */
+  def advanceStored(spark: SparkSession, corpusRoot: String, fromV: Long,
+      toV: Long, st: StoredSpans, minTok: Int = 12): (Int, Int) = {
+    val feed =
+      VersionedTable.changeFeed(spark, corpusRoot, fromV, toV, Seq("doc_id"))
+    if (feed.isEmpty) {
+      val kept = VersionedTable.history(spark, st.shinglesRoot)
+        .orderBy(col("version").desc).select("n_files")
+        .head().getLong(0).toInt
+      return (0, kept)
+    }
+    val cur = readStored(spark, st)
+    val cf = feed.select(col("doc_id"), col("text"), col("_change_type"))
+      .persist(lvl)
+    val changedIds = cf.select(col("doc_id")).distinct()
+      .localCheckpoint(true)
+    val entering = cf
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select(col("doc_id"), col("text"))
+    val newSh = Pipelines.spanShingleDocs(entering).persist(lvl)
+    val oldShChanged = cur.shingles
+      .join(broadcast(changedIds), Seq("doc_id"), "left_semi")
+      .persist(lvl)
+
+    val oldCnt = oldShChanged.groupBy(col("h")).agg(count(lit(1)).as("c_old"))
+    val newCnt = newSh.groupBy(col("h")).agg(count(lit(1)).as("c_new"))
+    val deltaCnt = oldCnt.join(newCnt, Seq("h"), "full_outer")
+      .select(col("h"),
+        (coalesce(col("c_new"), lit(0L)) - coalesce(col("c_old"), lit(0L)))
+          .as("dc"))
+      .localCheckpoint(true)
+    // replacement counts for every touched hash (survivors only)
+    val replaced = cur.dfCounts
+      .join(broadcast(deltaCnt).withColumnRenamed("dc", "dc2"), Seq("h"))
+      .select(col("h"), (col("c") + col("dc2")).as("c"))
+      .filter(col("c") > 0L)
+    val seenKeys = cur.dfCounts
+      .join(broadcast(deltaCnt), Seq("h"), "left_semi").select(col("h"))
+      .localCheckpoint(true)
+    val freshCnt = deltaCnt.join(broadcast(seenKeys), Seq("h"), "left_anti")
+      .filter(col("dc") > 0L).select(col("h"), col("dc").as("c"))
+    val dfAppend = stabilize(replaced.unionByName(freshCnt))
+
+    // affected pairs from BOTH keep-set sides (old = stored tables,
+    // new = stored-minus-delta plus the computed patches, expressed
+    // logically before any write)
+    val sh2Logical = cur.shingles
+      .join(broadcast(changedIds), Seq("doc_id"), "left_anti")
+      .unionByName(newSh)
+    val dfc2Logical = cur.dfCounts
+      .join(broadcast(deltaCnt), Seq("h"), "left_anti")
+      .unionByName(dfAppend)
+    val affH = oldShChanged.select(col("h"))
+      .unionAll(newSh.select(col("h"))).distinct()
+      .localCheckpoint(true)
+    def pairsVia(sh: DataFrame, dfc: DataFrame): DataFrame = {
+      val affKeep = keepFilter(
+        dfc.join(broadcast(affH), Seq("h"), "left_semi"))
+        .localCheckpoint(true)
+      val occ = sh.join(broadcast(affKeep), Seq("h"), "left_semi")
+      Pipelines.spanGramPairs(occ).select(col("d1"), col("d2")).distinct()
+    }
+    val pAff = stabilize(pairsVia(cur.shingles, cur.dfCounts)
+      .unionAll(pairsVia(sh2Logical, dfc2Logical))
+      .distinct())
+    val pAffDocs = pAff.select(col("d1").as("doc_id"))
+      .unionAll(pAff.select(col("d2").as("doc_id"))).distinct()
+      .localCheckpoint(true)
+    // widened rebuild: ALL ≥minTok spans among the affected docs under
+    // the new state (see doc above — unchanged pairs re-emit
+    // byte-identical rows)
+    val restricted = sh2Logical
+      .join(broadcast(pAffDocs), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val keepSmall = keepFilter(dfc2Logical.join(
+        broadcast(restricted.select(col("h")).distinct()), Seq("h"),
+        "left_semi"))
+      .localCheckpoint(true)
+    val fkR = restricted.join(broadcast(keepSmall), Seq("h"), "left_semi")
+    val spansAppend =
+      stabilize(Pipelines.spansFromPairRows(Pipelines.spanGramPairs(fkR),
+        minTok))
+
+    // lower to table ops: chunked predicate DELETEs + appends
+    val docIds = changedIds.collect().map(_.getLong(0))
+    var touched = 0
+    var keptFiles = Int.MaxValue
+    docIds.grouped(InChunk).foreach { chunk =>
+      val (_, t, k) = VersionedTable.deleteWhere(spark, st.shinglesRoot,
+        s"doc_id IN (${chunk.mkString(",")})")
+      touched += t; keptFiles = math.min(keptFiles, k)
+    }
+    val hashes = deltaCnt.select("h").collect().map(_.getString(0))
+    hashes.grouped(InChunk).foreach { chunk =>
+      VersionedTable.deleteWhere(spark, st.dfRoot,
+        s"h IN (${chunk.mkString("'", "','", "'")})")
+    }
+    // chunk-PAIR coverage: a span's endpoints can land in different
+    // id chunks, so every (chunk_i, chunk_j) combination must be
+    // deleted — quadratic in chunks, but deltas are |delta|-bounded
+    // and almost always one chunk
+    val affDocIds = pAffDocs.collect().map(_.getLong(0))
+    val docChunks = affDocIds.grouped(InChunk).toSeq
+    for (ci <- docChunks; cj <- docChunks) {
+      VersionedTable.deleteWhere(spark, st.spansRoot,
+        s"d1 IN (${ci.mkString(",")}) AND d2 IN (${cj.mkString(",")})")
+    }
+    if (newSh.take(1).nonEmpty)
+      VersionedTable.append(spark, st.shinglesRoot, newSh)
+    if (dfAppend.take(1).nonEmpty)
+      VersionedTable.append(spark, st.dfRoot, dfAppend)
+    if (spansAppend.take(1).nonEmpty)
+      VersionedTable.append(spark, st.spansRoot, spansAppend)
+    Seq(cf, newSh, oldShChanged).foreach(_.unpersist(false))
+    (touched, if (keptFiles == Int.MaxValue) 0 else keptFiles)
   }
 }

@@ -2745,6 +2745,99 @@ object Pipelines {
       .orderBy("lang")
   }
 
+  /** Deterministic URL-bearing corpus fixture (§2.49): like the PII
+    * injection, URLs are manufactured arithmetically from doc_id so
+    * both engines see the identical text — ~1/4 of docs get an https
+    * CDN link, 1/6 an http blog link (overlap ⇒ 0–2 URLs/doc). */
+  private[graft] def urlDirtyText: Column = concat(col("text"),
+    // moduli 3 and 7 are coprime to the fixture's source-id stride, so
+    // EVERY source receives both link kinds at any scale factor
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" see https://cdn"), col("doc_id") % 7, lit(".example"),
+        col("doc_id") % 5, lit(".com/path"), col("doc_id"), lit("/item?id="),
+        col("doc_id"), lit(" ok"))).otherwise(lit("")),
+    when(col("doc_id") % 7 === 0,
+      concat(lit(" ref http://blog"), col("doc_id") % 9, lit(".sample.org/page"),
+        col("doc_id") % 13, lit(" end"))).otherwise(lit("")))
+
+  /** Per-source URL/domain census (§2.49): the crawl-side profiling
+    * pass a corpus pipeline runs before link-based filtering — URLs
+    * per source, https share, distinct hosts, host range. Hosts are
+    * pulled with a capture group under the Java/RE2-identical regex
+    * subset (the PII precedent). Exactness: counts are integers, the
+    * https share one integer division, host min/max exact strings.
+    * Scale: row-local regexp extraction fused into the scan; the host
+    * explode is URL-bounded (≤2/doc here, link-count-bounded in
+    * general); two map-combined aggregates + one |sources| join. */
+  val pipelineUrlProfile: Q = (s, d) => {
+    val urlPat = "https?://[A-Za-z0-9.-]+[^ ]*"
+    val hostPat = "https?://([A-Za-z0-9.-]+)[^ ]*"
+    val httpsPat = "https://[A-Za-z0-9.-]+[^ ]*"
+    val u = table(s, d, "documents")
+      .select(col("source"), col("doc_id"),
+        regexp_extract_all(urlDirtyText, lit(hostPat), lit(1)).as("hosts"),
+        size(regexp_extract_all(urlDirtyText, lit(urlPat), lit(0)))
+          .cast(LongType).as("n_urls"),
+        size(regexp_extract_all(urlDirtyText, lit(httpsPat), lit(0)))
+          .cast(LongType).as("n_https"))
+      .localCheckpoint(true) // two consumers: doc-grain + host explode
+    val docAgg = u.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(size(col("hosts")) > 0, 1L).otherwise(0L)).as("docs_with_url"),
+        sum(col("n_urls")).as("urls"), sum(col("n_https")).as("https"))
+    val hostAgg = u.select(col("source"), explode(col("hosts")).as("host"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("host")).as("n_hosts"),
+        min(col("host")).as("host_min"), max(col("host")).as("host_max"))
+    docAgg.join(hostAgg, Seq("source"), "left")
+      .select(col("source"), asLong(col("n_docs")).as("n_docs"),
+        asLong(col("docs_with_url")).as("docs_with_url"),
+        asLong(col("urls")).as("n_urls"),
+        asLong(col("https")).as("n_https"),
+        expr("CASE WHEN urls > 0 THEN (https * 1000000) div urls " +
+          "ELSE 0 END").as("https_share_q6"),
+        asLong(coalesce(col("n_hosts"), lit(0L))).as("n_hosts"),
+        col("host_min"), col("host_max"))
+      .orderBy("source")
+  }
+
+  /** Overlapping chunk windows (§2.49): the RAG/pretrain chunker —
+    * 64-token windows at stride 48 (16-token overlap), FULL windows
+    * only — beside pipeline_chunk_packing's bin-packer this is the
+    * OTHER standard chunking discipline (overlap preserves context at
+    * boundaries; packing maximizes budget use). Per source: docs
+    * chunked, chunk count, DISTINCT chunk fingerprints (identical
+    * chunks across docs are the chunk-level dedup signal), dup share,
+    * and md5 range pinning the chunk texts themselves. Exactness:
+    * integer window arithmetic, md5 fingerprints, one integer
+    * division. Scale: the explode is output-sized (n/48 chunks per
+    * doc); distinct-hash count is one map-combined aggregate. */
+  val pipelineChunkWindows: Q = (s, d) => {
+    val ch = table(s, d, "documents")
+      .select(col("source"), col("doc_id"),
+        split(col("text"), " ").as("toks"),
+        size(split(col("text"), " ")).as("n"))
+      .filter(col("n") >= 64)
+      .select(col("source"), col("doc_id"),
+        explode(sequence(lit(0), expr("(n - 64) div 48"))).as("j"),
+        col("toks"))
+      .select(col("source"), col("doc_id"),
+        md5(array_join(slice(col("toks"),
+          (col("j") * 48 + 1).cast(IntegerType), lit(64)), " ")).as("h"))
+    ch.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("docs_chunked"),
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("distinct_chunks"),
+        min(col("h")).as("fp_min"), max(col("h")).as("fp_max"))
+      .select(col("source"), asLong(col("docs_chunked")).as("docs_chunked"),
+        asLong(col("n_chunks")).as("n_chunks"),
+        asLong(col("distinct_chunks")).as("distinct_chunks"),
+        expr("((n_chunks - distinct_chunks) * 1000000) div n_chunks")
+          .as("dup_chunk_share_q6"),
+        col("fp_min"), col("fp_max"))
+      .orderBy("source")
+  }
+
   /** Duplicate-span excision audit (§2.46): the find→FIX closure of
     * dedup_substring_spans — every position covered by a ≥ 12-token
     * verbatim span on the GREATER-doc side (d2) is excised, the

@@ -4155,4 +4155,43 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Mood's median test (§2.49): do click and purchase values sit on
+    * the same side of the POOLED median equally often? The
+    * median-robust two-sample test completing the family — KS reads
+    * the worst ECDF gap, Mann–Whitney the rank mass, W₁ the
+    * transported mass; Mood's is the coarse-but-assumption-free 2×2
+    * census a monitoring gate wants when tails are wild (it only
+    * trusts the counts). Pooled lower median selected by the integer
+    * rule 2·cum ≥ n + (n mod 2); χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d))
+    * — exact DECIMAL(38,0) ↔ HUGEINT integer arithmetic, ONE integer
+    * division, q6. Scale: reuses the SHARED GlobalRank ECDF relation
+    * (the ks/mann-whitney/wasserstein lineage) — everything after
+    * runs on the domain-bounded distinct-value grid. */
+  val aggMoodMedianTest: Q = (s, d) => {
+    val cum = cpEcdf(s, d)
+      .select((dec2(col("v")) * 100).cast(LongType).as("vc"),
+        col("cum1"), col("cum2"))
+      .localCheckpoint(true) // two consumers: totals+median, at-median row
+    val tot = cum.agg(max(col("cum1")).as("n1"), max(col("cum2")).as("n2"))
+    val med = cum.crossJoin(broadcast(tot))
+      .filter(lit(2) * (col("cum1") + col("cum2")) >=
+        (col("n1") + col("n2")) + pmod(col("n1") + col("n2"), lit(2)))
+      .agg(min(col("vc")).as("m"))
+    cum.crossJoin(broadcast(med)).filter(col("vc") === col("m"))
+      .crossJoin(broadcast(tot))
+      .select(col("m").as("median_cents"),
+        (col("n1") - col("cum1")).as("a"), col("cum1").as("b"),
+        (col("n2") - col("cum2")).as("c"), col("cum2").as("dd"))
+      .select(asLong(col("median_cents")).as("median_cents"),
+        asLong(col("a")).as("click_above"), asLong(col("b")).as("click_le"),
+        asLong(col("c")).as("purchase_above"),
+        asLong(col("dd")).as("purchase_le"),
+        asLong(expr(
+          """((a + b + c + dd) *
+             cast(a * dd - b * c as decimal(38,0)) * (a * dd - b * c)
+             * 1000000) div
+             (cast(a + b as decimal(38,0)) * (c + dd) * (a + c) * (b + dd))"""))
+          .as("chi2_q6"))
+  }
+
 }

@@ -2527,6 +2527,50 @@ object TimeSeries {
           .as("sampen_q6"))
   }
 
+  /** Ljung–Box portmanteau statistic (§2.49): Q(h) = n(n+2)·
+    * Σ_{k≤h} r_k²/(n−k) over daily revenue, lags 1..7 — THE standard
+    * "is there ANY autocorrelation left" gate (ts_acf_weekly reads the
+    * individual r_k; Ljung–Box is the joint test a residual check or
+    * white-noise screen actually thresholds). Exactness: demeaned
+    * values scaled by n are exact DECIMAL(38,0) (z_t = n·y_t − S);
+    * each r_k is ONE double division of exact sums floored 1e6; the
+    * Q terms are pure integer arithmetic ON THE QUANTIZED r's
+    * (n(n+2)·r_q6² div (n−k), running-summed, reported q4) — both
+    * engines see identical integers. Row-lag semantics (lead over the
+    * day order) so every lag has exactly n−k pairs regardless of
+    * calendar gaps. Scale: one date-grain aggregate; ONE window pass
+    * computes all 7 leads; the Q fold runs on 7 rows. */
+  val tsLjungBox: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val daily = table(s, d, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("dt"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("y"))
+      .localCheckpoint(true)
+    val base = daily.agg(count(lit(1)).as("n"),
+      sum(col("y").cast(dec38)).as("s"))
+    val w = Window.orderBy(col("dt"))
+    val z = daily.crossJoin(broadcast(base))
+      .select(col("dt"), col("n"),
+        (col("n").cast(dec38) * col("y") - col("s")).as("zz"))
+    val withLeads = z.select(Seq(col("n"), col("zz")) ++
+      (1 to 7).map(k => lead(col("zz"), k).over(w).as(s"l$k")): _*)
+    val agg = withLeads.groupBy(col("n"))
+      .agg(sum(col("zz") * col("zz")).as("den"),
+        (1 to 7).map(k => sum(col("zz") * col(s"l$k")).as(s"num$k")): _*)
+    agg.select(col("n"), col("den"), expr("stack(7, " +
+        (1 to 7).map(k => s"$k, num$k").mkString(", ") + ")").as(Seq("k", "num")))
+      .select(col("k"), col("n"),
+        floor(col("num").cast(DoubleType) / col("den").cast(DoubleType) * 1e6)
+          .cast(LongType).as("r_q6"))
+      .withColumn("term",
+        expr("(cast(n as decimal(38,0)) * (n + 2) * (r_q6 * r_q6)) div (n - k)"))
+      .withColumn("qrun", sum(col("term")).over(Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(asLong(col("k")).as("lag"), asLong(col("n")).as("n_days"),
+        col("r_q6"), asLong(expr("qrun div 100000000")).as("lb_q_q4"))
+      .orderBy("lag")
+  }
+
   /** Variance-ratio test statistic (§2.48, Lo–MacKinlay): VR(q) =
     * Var(y_t − y_t−q) / (q · Var(y_t − y_t−1)) on daily revenue — the
     * random-walk diagnostic (VR≈1 under iid increments; <1 mean

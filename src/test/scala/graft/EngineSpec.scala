@@ -992,6 +992,30 @@ class EngineSpec extends AnyFunSuite {
       s"co-supply degenerated:\n${cs.take(1200)}")
   }
 
+  test("round-13 §2.49 plans: shared ECDF, one-window ljung-box, fused profilers") {
+    // mood: must READ the cached shared ECDF (the ks/wasserstein
+    // lineage), never rebuild it; everything after is broadcast
+    val md = ops.Relational.aggMoodMedianTest(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(md.contains("Scan ExistingRDD") || md.contains("InMemoryTableScan"),
+      s"mood test rebuilt the ECDF:\n${md.take(1200)}")
+    assert(!md.contains("SortMergeJoin"), s"mood grew a shuffled join:\n${md.take(1200)}")
+    // ljung-box: all 7 leads from ONE window pass, no shuffled join
+    val lb = ops.TimeSeries.tsLjungBox(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!lb.contains("SortMergeJoin"),
+      s"ljung-box degenerated:\n${lb.take(1200)}")
+    // url profile: row-local regexp + two small aggregates — no
+    // shuffled join; chunk windows: no join at all
+    val up = ops.Pipelines.pipelineUrlProfile(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!up.contains("SortMergeJoin"),
+      s"url profile degenerated:\n${up.take(1200)}")
+    val cw = ops.Pipelines.pipelineChunkWindows(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!cw.contains("Join"), s"chunk windows grew a join:\n${cw.take(1200)}")
+  }
+
   test("round-13: conformal pair rides the GlobalRank range shuffle (drift watch)") {
     // the only two >25% CPU risers of rounds 11–12 — pin the intended
     // shape (range-shuffle rank + broadcast offsets, no shuffled join)

@@ -138,6 +138,40 @@ class IncrementalSpansSpec extends AnyFunSuite {
     assertMatchesFullRebuild(state, root, v3)
   }
 
+  test("stored state: advanceStored patches the tables file-pruned, equal to rebuild") {
+    val root = tmp() + "/corpus5"
+    // enough docs that the range-clustered shingle table has multiple
+    // files and a small-id delta leaves the high-id files untouched
+    val v1 = VersionedTable.create(spark, root,
+      ((1L to 40L).map(id => doc(id, filler(id, 30))) ++ Seq(
+        doc(41, withSpan(41, 9)), doc(42, withSpan(42, 9))))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val stored = IncrementalSpans.bootstrapStored(spark,
+      snapshot(root, v1), tmp() + "/sh", tmp() + "/df", tmp() + "/sp")
+    assert(pairsOf(IncrementalSpans.readStored(spark, stored).spans) ==
+      Set((41L, 42L)))
+
+    // one mixed commit: doc 1 (low id) gains span D pairing with a new
+    // doc 43; doc 41 is deleted (kills (41,42))
+    VersionedTable.merge(spark, root,
+      Seq(doc(1, withSpan(1, 10))).toDF("doc_id", "text", "lang", "source", "n_chars"),
+      Seq("doc_id"))
+    VersionedTable.append(spark, root,
+      Seq(doc(43, withSpan(43, 10))).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val (v2, _, _) = VersionedTable.deleteWhere(spark, root, "doc_id = 41")
+    val (touched, keptFiles) =
+      IncrementalSpans.advanceStored(spark, root, v1, v2, stored)
+    // the DELETE's min/max pruning left untouched shingle files alone
+    assert(touched > 0 && keptFiles > 0,
+      s"expected a pruned rewrite, got touched=$touched kept=$keptFiles")
+    val got = IncrementalSpans.readStored(spark, stored)
+    assert(pairsOf(got.spans) == Set((1L, 43L)), s"got ${pairsOf(got.spans)}")
+    val full = IncrementalSpans.build(snapshot(root, v2))
+    assert(shinglesOf(got.shingles) == shinglesOf(full.shingles))
+    assert(dfcOf(got.dfCounts) == dfcOf(full.dfCounts))
+    assert(spansOf(got.spans) == spansOf(full.spans))
+  }
+
   test("empty feed is a no-op and the state object is reusable") {
     val root = tmp() + "/corpus4"
     val v1 = VersionedTable.create(spark, root, Seq(

@@ -91,5 +91,37 @@ class MonitorSpec extends AnyFunSuite {
     val (_, _, m4) = MaterializedView.refresh(spark, view)
     assert(m4 == "delta", s"delete refresh mode was $m4")
     assertMonitorPass()
+
+    // round 13: the LIVE Holt-Winters monitor consumes the SAME MV day
+    // grain — replay the maintained view through Streams.holtMonitor
+    // and the final emission's 7 horizons must equal the batch fold of
+    // the view (bit-exact: the monitor is an expression-tree
+    // transliteration). This closes the O(delta) loop for the
+    // forecasting monitor the way cusumMonitor closed it for CUSUM.
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mvDays = MaterializedView.read(spark, view)
+        .select(col("dt"), col("rev").as("c"))
+        .orderBy("dt").as[(java.sql.Date, Long)].collect().toSeq
+      val src = MemoryStream[(java.sql.Date, Long)]
+      val q = graft.streaming.Streams.holtMonitor(src.toDF().toDF("dt", "c"))
+        .writeStream.format("memory").queryName("t_holt_mv")
+        .outputMode("append").start()
+      val half = mvDays.size / 2
+      Seq(mvDays.take(half), mvDays.drop(half)).foreach { chunk =>
+        src.addData(chunk); q.processAllAvailable()
+      }
+      q.stop()
+      val last = spark.table("t_holt_mv").collect()
+        .maxBy(_.getDate(0).getTime).getSeq[Double](4).toSeq
+      val batch = ops.TimeSeries.holtWintersFromDaily(
+        MaterializedView.read(spark, view)
+          .select(col("dt"), col("rev").as("c")))
+        .orderBy("h").collect().map(_.getDouble(1)).toSeq
+      assert(last == batch,
+        "live Holt monitor drifted from the batch fold of the MV")
+    }
   }
 }

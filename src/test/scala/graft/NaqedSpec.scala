@@ -868,4 +868,31 @@ class NaqedSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] { naqed.retrieval(Map("$bogus" -> 1)) }
   }
+
+  test("pii directive: profile, redact and excise behind the object API") {
+    import org.apache.spark.sql.functions._
+    // profile == the direct Curation face, row for row
+    val prof = naqed.pii().collect().map(_.toSeq).toSeq
+    val direct = ops.Curation.piiProfile(Tables(spark, sf0001, "documents"))
+      .collect().map(_.toSeq).toSeq
+    assert(prof == direct)
+    // redact is idempotent and schema-preserving
+    val red = naqed.pii(Map("$action" -> "redact"))
+    assert(red.columns.sameElements(
+      Tables(spark, sf0001, "documents").columns))
+    val again = ops.Curation.redactPii(red)
+    assert(red.select(md5(concat_ws("|", col("doc_id"), col("text"))))
+      .collect().map(_.getString(0)).sorted.sameElements(
+        again.select(md5(concat_ws("|", col("doc_id"), col("text"))))
+          .collect().map(_.getString(0)).sorted))
+    // excise row count is corpus-stable and honors $min_tokens
+    val exc = naqed.pii(Map("$action" -> "excise", "$min_tokens" -> 12))
+    assert(exc.count() == Tables(spark, sf0001, "documents").count())
+    // arg validation naqed-style
+    intercept[IllegalArgumentException] { naqed.pii(Map("$action" -> "scrub")) }
+    intercept[IllegalArgumentException] { naqed.pii(Map("$bogus" -> 1)) }
+    intercept[IllegalArgumentException] {
+      naqed.pii(Map("$action" -> "profile", "$min_tokens" -> 10))
+    }
+  }
 }

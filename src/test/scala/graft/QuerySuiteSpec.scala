@@ -337,7 +337,10 @@ class QuerySuiteSpec extends AnyFunSuite {
     // round 13 (§2.48)
     "ts_permutation_entropy" -> 6L, "ts_sample_entropy" -> 1L,
     "ts_variance_ratio" -> 3L, "text_yule_k" -> 5L,
-    "pipeline_mattr" -> 5L)
+    "pipeline_mattr" -> 5L,
+    // round 13 (§2.49)
+    "agg_mood_median_test" -> 1L, "ts_ljung_box" -> 7L,
+    "pipeline_url_profile" -> 20L, "pipeline_chunk_windows" -> 20L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
