@@ -84,6 +84,17 @@ object ScalingBench {
       bpeModels.getOrElseUpdate(dir,
         ops.Bpe.train(Tables(spark, dir, "documents"), "text", "doc_id"))
 
+    // one quality model per tier (bounded md5-sample train, constant
+    // cost by design — outside every timed region; the LABEL is a
+    // synthetic doc_id parity because only the distributed SCORING
+    // cost is being measured here)
+    val qModels = scala.collection.mutable.HashMap[String, ops.QualityModel.Model]()
+    def qualityModel(dir: String): ops.QualityModel.Model =
+      qModels.getOrElseUpdate(dir, ops.QualityModel.train(
+        Tables(spark, dir, "documents")
+          .withColumn("label", org.apache.spark.sql.functions.col("doc_id") % 2),
+        "label"))
+
     val family = sys.env.getOrElse("SPARK_GRAFT_SCALE_FAMILY", "all")
     // optional op filter (comma list) — re-measure a subset quietly
     // without paying for the whole family
@@ -216,7 +227,28 @@ object ScalingBench {
         "pipeline_url_profile" -> (() =>
           { ops.Pipelines.pipelineUrlProfile(spark, dir).count(); () }),
         "pipeline_chunk_windows" -> (() =>
-          { ops.Pipelines.pipelineChunkWindows(spark, dir).count(); () }))
+          { ops.Pipelines.pipelineChunkWindows(spark, dir).count(); () }),
+        // round-13 curation TRANSFORMS (the corpus-rewrite passes, not
+        // just their audits): full-corpus PII redaction and trained-
+        // classifier scoring are fused linear scans (CLAIM: the gopher
+        // floor); span excision is marginal over the shared span
+        // relation + an |affected|-bounded rebuild. The model train is
+        // a constant bounded-sample cost outside the timed region
+        // (the BPE precedent).
+        // aggregate over the COMPUTED column — a bare count() would
+        // let column pruning skip the regexp/sigmoid work entirely
+        "curation_redact_pii" -> (() =>
+          { ops.Curation.redactPii(Tables(spark, dir, "documents"))
+              .agg(org.apache.spark.sql.functions.sum(
+                org.apache.spark.sql.functions.length(
+                  org.apache.spark.sql.functions.col("text")))).collect(); () }),
+        "quality_model_score" -> (() =>
+          { ops.QualityModel.score(Tables(spark, dir, "documents"),
+              qualityModel(dir))
+              .agg(org.apache.spark.sql.functions.sum("quality_prob"))
+              .collect(); () }),
+        "curation_excise_spans" -> (() =>
+          { ops.Curation.exciseSpans(spark, dir).count(); () }))
       )
       // run r: clear -> timed shingle build -> each op timed under its
       // own job group; keep min wall and min CPU per op (a cost

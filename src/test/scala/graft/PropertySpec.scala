@@ -668,4 +668,77 @@ class PropertySpec extends AnyFunSuite {
     assert(ls.zip(ls.tail).forall { case (a, b) => b <= a + 1e-12 })
     assert(ls.forall(_ <= 1e-12))
   }
+
+  test("round-13 invariants: PII accounting, excision arithmetic, ordinal census, bipartite mass") {
+    // PII profile: type counts sum to the total, censuses bounded
+    val prof = ops.Pipelines.pipelinePiiProfile(spark, sf0001).collect()
+    assert(prof.nonEmpty)
+    prof.foreach { r =>
+      val parts = Seq("emails", "phones", "ssns", "ipv4s").map(r.getAs[Long])
+      assert(parts.sum == r.getAs[Long]("pii_total"))
+      assert(r.getAs[Long]("docs_with_pii") <= r.getAs[Long]("n_docs"))
+    }
+    // redaction: masks are strictly shorter than what they replace, so
+    // chars_delta > 0 exactly when something was detected
+    ops.Pipelines.pipelinePiiRedact(spark, sf0001).collect().foreach { r =>
+      val hits = Seq("n_email", "n_phone", "n_ssn", "n_ipv4")
+        .map(r.getAs[Long]).sum
+      val delta = r.getAs[Long]("chars_delta")
+      assert(if (hits > 0) delta > 0 else delta == 0,
+        s"doc ${r.getAs[Long]("doc_id")}: hits=$hits delta=$delta")
+    }
+    // excision: after = before − excised, shares bounded, doc census
+    ops.Pipelines.pipelineSpanExcisedTokens(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("tokens_after") ==
+        r.getAs[Long]("tokens_before") - r.getAs[Long]("tokens_excised"))
+      assert(r.getAs[Long]("docs_excised") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("excised_share_q6") <= 1000000L)
+    }
+    // ordinal census: 6 stable-rank patterns cover n−2 triples, shares
+    // sum to 1e6 within floor slack, every −p·ln p term non-negative
+    val pe = ops.TimeSeries.tsPermutationEntropy(spark, sf0001).collect()
+    assert(pe.map(_.getAs[Long]("n")).sum > 0)
+    val shareSum = pe.map(_.getAs[Long]("share_q6")).sum
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - pe.length)
+    assert(pe.forall(_.getAs[Long]("plogp_q6") >= 0L))
+    // ljung-box: Q non-decreasing in lag, |r| ≤ 1
+    val lb = ops.TimeSeries.tsLjungBox(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("lag"))
+    assert(lb.length == 7)
+    assert(lb.forall(r => math.abs(r.getAs[Long]("r_q6")) <= 1000000L))
+    assert(lb.map(_.getAs[Long]("lb_q_q4")).sliding(2)
+      .forall { case Array(a, b) => b >= a; case _ => true })
+    // bipartite degree profile: both sides' degree mass equals the
+    // shared edge count
+    val dp = ops.GraphOps.graphBipartiteDegreeProfile(spark, sf0001).collect()
+    val mass = dp.groupBy(_.getString(0)).view.mapValues(
+      _.map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_nodes")).sum).toMap
+    assert(mass("customer") == mass("supplier"))
+    assert(mass("customer") == Tables.bipartite(spark, sf0001).count())
+    // assortativity: a correlation, so |r| ≤ 1
+    val as = ops.GraphOps.graphBipartiteAssortativity(spark, sf0001)
+      .collect().head
+    assert(math.abs(as.getAs[Long]("assortativity_q6")) <= 1000000L)
+    // co-supply: co-occurrence bounded by both margins, cosine ≤ 1
+    ops.GraphOps.graphCosupplySupplierSim(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("co_orders") <=
+        math.min(r.getAs[Long]("n_orders1"), r.getAs[Long]("n_orders2")))
+      assert(r.getAs[Long]("cosine_q6") <= 1000000L)
+    }
+    // mood: 2×2 margins reconstruct the pooled n, χ² non-negative
+    val md = ops.Relational.aggMoodMedianTest(spark, sf0001).collect().head
+    assert(md.getAs[Long]("chi2_q6") >= 0L)
+    // yule: vocab ≤ tokens ≤ Σf², K ≥ 0
+    ops.TextSim.textYuleK(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("vocab") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("s2") >= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("yule_k_q4") >= 0L)
+    }
+    // chunk windows: distinct ≤ total, dup share consistent
+    ops.Pipelines.pipelineChunkWindows(spark, sf0001).collect().foreach { r =>
+      val (nc, dc) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("distinct_chunks"))
+      assert(dc <= nc && dc > 0)
+      assert(r.getAs[Long]("dup_chunk_share_q6") == (nc - dc) * 1000000L / nc)
+    }
+  }
 }
