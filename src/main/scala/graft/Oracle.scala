@@ -7597,7 +7597,50 @@ SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_chunked,
   CAST(((count(*) - count(DISTINCT h)) * 1000000) // count(*) AS BIGINT)
     AS dup_chunk_share_q6,
   min(h) AS fp_min, max(h) AS fp_max
-FROM ch GROUP BY 1 ORDER BY source"""
+FROM ch GROUP BY 1 ORDER BY source""",
+
+      // ---- round 13 (§2.50): privacy census, paired test, skill ----
+      "agg_k_anonymity" ->
+        s"""WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) n,
+    count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) l
+  FROM ${T("customer")} GROUP BY 1, 2),
+t AS (SELECT sum(n) tot FROM g)
+SELECT CAST(n AS BIGINT) AS group_size, CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(n) AS BIGINT) AS n_customers, CAST(min(l) AS BIGINT) AS l_min,
+  CAST(CASE WHEN n < 5 THEN 1 ELSE 0 END AS BIGINT) AS below_k5,
+  CAST((sum(n) * 1000000) // t.tot AS BIGINT) AS share_q6
+FROM g, t GROUP BY n, t.tot ORDER BY group_size""",
+
+      // doubled average ranks are exact integers; W+ + W- = n(n+1).
+      "agg_wilcoxon_signed_rank" ->
+        s"""WITH daily AS (SELECT CAST(ts AS DATE) dt,
+    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) c,
+    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) p
+  FROM ${T("events")} GROUP BY 1),
+dd AS (SELECT c - p d, abs(c - p) ad FROM daily WHERE c <> p),
+byv AS (SELECT ad, count(*) ce,
+    sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) pos FROM dd GROUP BY 1),
+cum AS (SELECT ad, ce, pos, coalesce(sum(ce) OVER (ORDER BY ad
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cl FROM byv)
+SELECT CAST(sum(ce) AS BIGINT) AS n_eff,
+  CAST(sum(pos * (2 * cl + ce + 1)) AS BIGINT) AS w_plus_x2,
+  CAST(sum((ce - pos) * (2 * cl + ce + 1)) AS BIGINT) AS w_minus_x2,
+  CAST(sum(ce) * (sum(ce) + 1) AS BIGINT) AS check_sum
+FROM cum""",
+
+      "ts_seasonal_naive_skill" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) dt,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) y
+  FROM ${T("orders")} GROUP BY 1),
+l AS (SELECT dt, y, lag(y, 1) OVER (ORDER BY dt) y1,
+    lag(y, 7) OVER (ORDER BY dt) y7 FROM daily),
+s AS (SELECT * FROM l WHERE y7 IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_days_scored,
+  CAST(sum(abs(y - y1)) // count(*) AS BIGINT) AS mae_naive1_cents,
+  CAST(sum(abs(y - y7)) // count(*) AS BIGINT) AS mae_snaive7_cents,
+  CAST((sum(abs(y - y7)) * 1000000) // sum(abs(y - y1)) AS BIGINT)
+    AS skill_q6
+FROM s"""
     )
   }
 }

@@ -426,7 +426,11 @@ object ScalingBench {
         // round-13 §2.49 fact-side: mood rides the shared ECDF
         // (marginal past it), ljung-box is a day-grain one-window fold
         "agg_mood_median_test" -> (() => { ops.Relational.aggMoodMedianTest(spark, dir).count(); () }),
-        "ts_ljung_box" -> (() => { ops.TimeSeries.tsLjungBox(spark, dir).count(); () })))
+        "ts_ljung_box" -> (() => { ops.TimeSeries.tsLjungBox(spark, dir).count(); () }),
+        // round-13 §2.50: dimension-grain census + two day-grain folds
+        "agg_k_anonymity" -> (() => { ops.Relational.aggKAnonymity(spark, dir).count(); () }),
+        "agg_wilcoxon_signed_rank" -> (() => { ops.Relational.aggWilcoxonSignedRank(spark, dir).count(); () }),
+        "ts_seasonal_naive_skill" -> (() => { ops.TimeSeries.tsSeasonalNaiveSkill(spark, dir).count(); () })))
       val best = scala.collection.mutable.LinkedHashMap[String, Double]()
       val bestCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
       var primeBest = Double.MaxValue

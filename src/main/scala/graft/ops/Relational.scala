@@ -4194,4 +4194,67 @@ object Relational {
           .as("chi2_q6"))
   }
 
+  /** k-anonymity / l-diversity census (§2.50): the PRIVACY readout
+    * beside PII detection — under the quasi-identifier pair
+    * (nation, market segment), how many customers sit in groups of
+    * size k (small groups are re-identifiable), and how diverse is
+    * the sensitive attribute (account-balance band) within them
+    * (k-anonymous but l=1 still leaks the value). The census a
+    * release-review runs BEFORE publishing "anonymized" aggregates.
+    * Exactness: pure integer group sizes + distinct counts; the
+    * share is one integer division. Scale: one dimension-grain
+    * aggregate + a |distinct sizes| census — map-combined, no joins
+    * beyond the 1-row total broadcast. */
+  val aggKAnonymity: Q = (s, d) => {
+    val g = table(s, d, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(floor(col("c_acctbal") / 1000).cast(LongType)).as("l"))
+    val tot = g.agg(sum(col("n")).as("tot"))
+    g.crossJoin(broadcast(tot))
+      .groupBy(col("n"), col("tot"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_customers"),
+        min(col("l")).as("l_min"))
+      .select(asLong(col("n")).as("group_size"),
+        asLong(col("n_groups")).as("n_groups"),
+        asLong(col("n_customers")).as("n_customers"),
+        asLong(col("l_min")).as("l_min"),
+        asLong(when(col("n") < 5, 1L).otherwise(0L)).as("below_k5"),
+        expr("(n_customers * 1000000) div tot").as("share_q6"))
+      .orderBy("group_size")
+  }
+
+  /** Wilcoxon signed-rank test (§2.50): the PAIRED two-sample test —
+    * per day, clicks vs purchases are a natural pair (same day, same
+    * traffic), so mann_whitney's unpaired ranks waste the pairing;
+    * Wilcoxon ranks |click−purchase| with zero-diff days dropped and
+    * AVERAGE ranks on ties, and reads how one-sided the signed rank
+    * mass is. Exactness: doubled average ranks are exact integers
+    * (2·avg = 2·cum_less + ties + 1); W⁺ₓ₂ + W⁻ₓ₂ = n(n+1) by
+    * construction (the spec-checkable invariant). Scale: one
+    * date-grain aggregate; the tie census and exclusive running sum
+    * ride the |distinct diffs| relation. */
+  val aggWilcoxonSignedRank: Q = (s, d) => {
+    val daily = table(s, d, "events")
+      .groupBy(col("ts").cast(DateType).as("dt"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      .filter(col("c") =!= col("p"))
+      .select((col("c") - col("p")).as("diff"), abs(col("c") - col("p")).as("ad"))
+    val byv = daily.groupBy(col("ad"))
+      .agg(count(lit(1)).as("ce"),
+        sum(when(col("diff") > 0, 1L).otherwise(0L)).as("pos"))
+    val wEx = Window.orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byv
+      .withColumn("cl", coalesce(sum(col("ce")).over(wEx), lit(0L)))
+      .agg(sum(col("ce")).as("n_eff"),
+        sum(col("pos") * (lit(2) * col("cl") + col("ce") + 1)).as("wp"),
+        sum((col("ce") - col("pos")) * (lit(2) * col("cl") + col("ce") + 1))
+          .as("wm"))
+      .select(asLong(col("n_eff")).as("n_eff"),
+        asLong(col("wp")).as("w_plus_x2"), asLong(col("wm")).as("w_minus_x2"),
+        asLong(col("n_eff") * (col("n_eff") + 1)).as("check_sum"))
+  }
+
 }

@@ -2527,6 +2527,34 @@ object TimeSeries {
           .as("sampen_q6"))
   }
 
+  /** Seasonal-naive skill (§2.50): MAE(seasonal-naive-7) /
+    * MAE(naive-1) on daily revenue, both scored over the SAME days —
+    * the MASE-style one-number answer to "does weekly seasonality
+    * actually help forecasting here" (skill < 1: yes — last week's
+    * same-day beats yesterday; > 1: the series is drift-dominated).
+    * Complements ts_forecast_wape (which scores a fitted model; this
+    * scores the two canonical baselines every forecast must beat).
+    * Exactness: absolute diffs are exact BIGINT cents; the two MAEs
+    * and the skill are integer divisions. Scale: one date-grain
+    * aggregate + one lag window pass. */
+  val tsSeasonalNaiveSkill: Q = (s, d) => {
+    val daily = table(s, d, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("dt"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("y"))
+    val w = Window.orderBy(col("dt"))
+    daily
+      .select(col("y"), lag(col("y"), 1).over(w).as("y1"),
+        lag(col("y"), 7).over(w).as("y7"))
+      .filter(col("y7").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("y") - col("y1"))).as("sn"),
+        sum(abs(col("y") - col("y7"))).as("ss"))
+      .select(asLong(col("n")).as("n_days_scored"),
+        expr("sn div n").as("mae_naive1_cents"),
+        expr("ss div n").as("mae_snaive7_cents"),
+        expr("(ss * 1000000) div sn").as("skill_q6"))
+  }
+
   /** Ljung–Box portmanteau statistic (§2.49): Q(h) = n(n+2)·
     * Σ_{k≤h} r_k²/(n−k) over daily revenue, lags 1..7 — THE standard
     * "is there ANY autocorrelation left" gate (ts_acf_weekly reads the

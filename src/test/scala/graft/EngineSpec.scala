@@ -1016,6 +1016,19 @@ class EngineSpec extends AnyFunSuite {
     assert(!cw.contains("Join"), s"chunk windows grew a join:\n${cw.take(1200)}")
   }
 
+  test("round-13 §2.50 plans: dimension-grain census, day-grain folds, no shuffled joins") {
+    Seq("k_anonymity" -> ops.Relational.aggKAnonymity,
+      "wilcoxon" -> ops.Relational.aggWilcoxonSignedRank).foreach {
+      case (n, q) =>
+        val p = q(spark, sf0001).queryExecution.executedPlan.toString
+        assert(!p.contains("SortMergeJoin"),
+          s"$n grew a shuffled join:\n${p.take(1200)}")
+    }
+    val sk = ops.TimeSeries.tsSeasonalNaiveSkill(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!sk.contains("Join"), s"skill grew a join:\n${sk.take(1200)}")
+  }
+
   test("round-13: conformal pair rides the GlobalRank range shuffle (drift watch)") {
     // the only two >25% CPU risers of rounds 11–12 — pin the intended
     // shape (range-shuffle rank + broadcast offsets, no shuffled join)

@@ -340,7 +340,10 @@ class QuerySuiteSpec extends AnyFunSuite {
     "pipeline_mattr" -> 5L,
     // round 13 (§2.49)
     "agg_mood_median_test" -> 1L, "ts_ljung_box" -> 7L,
-    "pipeline_url_profile" -> 20L, "pipeline_chunk_windows" -> 20L)
+    "pipeline_url_profile" -> 20L, "pipeline_chunk_windows" -> 20L,
+    // round 13 (§2.50)
+    "agg_k_anonymity" -> 6L, "agg_wilcoxon_signed_rank" -> 1L,
+    "ts_seasonal_naive_skill" -> 1L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
