@@ -103,6 +103,15 @@ class IncrementalSpansSpec extends AnyFunSuite {
     val s4 = pairsOf(state.spans)
     assert(s4 == Set((1L, 6L), (4L, 5L)), s"unexpected v4 spans: $s4")
     assertMatchesFullRebuild(state, root, v4)
+
+    // MULTI-VERSION range: one advance over v1→v4 from the v1 state
+    // must land on the same answer as the per-version walk (the
+    // IncrementalDedupSpec range pin — the nightly catch-up shape)
+    val fromScratch = IncrementalSpans.advance(spark, root, v1, v4,
+      IncrementalSpans.build(snapshot(root, v1)))
+    assert(spansOf(fromScratch.spans) == spansOf(state.spans),
+      "range advance diverged from the per-version walk")
+    assertMatchesFullRebuild(fromScratch, root, v4)
   }
 
   test("df-cap transition retires spans between UNCHANGED docs") {
