@@ -165,7 +165,7 @@ object IncDedupBench {
 
     val mode = sys.env.getOrElse("SPARK_GRAFT_INCDEDUP_MODE", "all")
     // spans sweep (round 13): fixed 200-doc delta across three decades
-    if (mode == "spans") {
+    if (mode == "all" || mode == "spans") {
       Seq("/root/testdata/sf0.1",
         new java.io.File("fixtures/sf1_docs").getAbsolutePath,
         new java.io.File("fixtures/sf10_docs").getAbsolutePath)

@@ -7527,8 +7527,9 @@ x AS (SELECT
 SELECT CAST((SELECT m FROM med) AS BIGINT) AS median_cents,
   CAST(a AS BIGINT) AS click_above, CAST(b AS BIGINT) AS click_le,
   CAST(c2 AS BIGINT) AS purchase_above, CAST(d2 AS BIGINT) AS purchase_le,
-  CAST(((a + b + c2 + d2) * CAST(a * d2 - b * c2 AS HUGEINT)
-      * (a * d2 - b * c2) * 1000000)
+  CAST(((a + b + c2 + d2)
+      * (CAST(a AS HUGEINT) * d2 - CAST(b AS HUGEINT) * c2)
+      * (CAST(a AS HUGEINT) * d2 - CAST(b AS HUGEINT) * c2) * 1000000)
     // (CAST(a + b AS HUGEINT) * (c2 + d2) * (a + c2) * (b + d2)) AS BIGINT)
     AS chi2_q6
 FROM x""",
@@ -7640,7 +7641,150 @@ SELECT CAST(count(*) AS BIGINT) AS n_days_scored,
   CAST(sum(abs(y - y7)) // count(*) AS BIGINT) AS mae_snaive7_cents,
   CAST((sum(abs(y - y7)) * 1000000) // sum(abs(y - y1)) AS BIGINT)
     AS skill_q6
-FROM s"""
+FROM s""",
+
+      // ---- round 14 (§2.51): crawl text hygiene ----
+      // HTML extraction census over the arithmetic tagged fixture:
+      // identical regexp strip chain (script/style/comment blocks,
+      // then tags, then entities with &amp; LAST), identical
+      // whitespace collapse; md5 pins the rewrite.
+      "pipeline_html_extract" ->
+        s"""WITH dirty AS (SELECT source, doc_id, concat(
+    '<html><head><title>Doc ', doc_id, '</title>',
+    CASE WHEN doc_id % 4 = 0 THEN concat('<style>p{color:#', doc_id % 999, '}</style>') ELSE '' END,
+    '</head><body>',
+    CASE WHEN doc_id % 3 = 0 THEN concat('<h1>Section ', doc_id % 50, '</h1>') ELSE '' END,
+    '<p>', text, '</p>',
+    CASE WHEN doc_id % 5 = 0 THEN concat('<script>var x=', doc_id, ';' || chr(10) || 'log(x)</script>') ELSE '' END,
+    CASE WHEN doc_id % 7 = 0 THEN concat('<!-- crawl ', doc_id, chr(10) || 'note -->') ELSE '' END,
+    '<div class="footer">&copy; site ', doc_id % 20, ' &amp; co &lt;info&gt;</div></body></html>') h
+  FROM ${T("documents")}),
+ext AS (SELECT source, doc_id, h, trim(regexp_replace(regexp_replace(
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(h,
+   '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+   '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+   '(?s)<!--.*?-->', ' ', 'g'),
+   '<[^>]*>', ' ', 'g'),
+   '&lt;', '<', 'g'),
+   '&gt;', '>', 'g'),
+   '&quot;', '"', 'g'),
+   '&#39;', '''', 'g'),
+   '&copy;', '(c)', 'g'),
+   '&amp;', '&', 'g'),
+   '\\s+', ' ', 'g')) t
+  FROM dirty)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(length(h)) AS BIGINT) AS chars_raw,
+  CAST(sum(length(t)) AS BIGINT) AS chars_text,
+  CAST((sum(length(t)) * 1000000) // sum(length(h)) AS BIGINT)
+    AS retained_share_q6,
+  CAST(sum(len(string_split(t, ' '))) AS BIGINT) AS n_toks,
+  min(md5(t)) AS fp_min, max(md5(t)) AS fp_max
+FROM ext GROUP BY 1 ORDER BY source""",
+
+      // Unicode NFC census: utf8proc's nfc_normalize vs the JDK
+      // normalizer on composed/decomposed Latin fixtures — md5 pins
+      // byte-identical normalized output.
+      "pipeline_unicode_census" ->
+        s"""WITH dirty AS (SELECT source, doc_id, concat(text,
+    CASE WHEN doc_id % 4 = 0 THEN ' café touché déjà' ELSE '' END,
+    CASE WHEN doc_id % 6 = 0 THEN ' café déjà vu' ELSE '' END,
+    CASE WHEN doc_id % 9 = 0 THEN ' Ångström unit' ELSE '' END) t
+  FROM ${T("documents")}),
+n AS (SELECT source, doc_id, t, nfc_normalize(t) nt FROM dirty)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN nt <> t THEN 1 ELSE 0 END) AS BIGINT) AS docs_denorm,
+  CAST(sum(length(t)) AS BIGINT) AS chars_raw,
+  CAST(sum(length(nt)) AS BIGINT) AS chars_nfc,
+  CAST(sum(length(t)) - sum(length(nt)) AS BIGINT) AS chars_saved,
+  min(md5(nt)) AS fp_min, max(md5(nt)) AS fp_max
+FROM n GROUP BY 1 ORDER BY source""",
+
+      // Mojibake repair census: identical literal replace chain
+      // (multi-byte pairs first), md5 pins the repaired text.
+      "pipeline_encoding_repair" ->
+        s"""WITH dirty AS (SELECT source, doc_id, concat(text,
+    CASE WHEN doc_id % 5 = 0 THEN ' rÃ©sumÃ© dÃ©tail' ELSE '' END,
+    CASE WHEN doc_id % 8 = 0 THEN ' itâ€™s â€œquoted andâ€¦ more' ELSE '' END,
+    CASE WHEN doc_id % 12 = 0 THEN ' naÃ¯ve faÃ§ade' ELSE '' END) t
+  FROM ${T("documents")}),
+rep AS (SELECT source, doc_id, t,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(regexp_replace(regexp_replace(t,
+    'â€™', '’', 'g'),
+    'â€œ', '“', 'g'),
+    'â€¦', '…', 'g'),
+    'Ã©', 'é', 'g'),
+    'Ã¨', 'è', 'g'),
+    'Ã¯', 'ï', 'g'),
+    'Ã§', 'ç', 'g') rt
+  FROM dirty)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN rt <> t THEN 1 ELSE 0 END) AS BIGINT) AS docs_mojibake,
+  CAST(sum(length(t)) - sum(length(rt)) AS BIGINT) AS chars_repaired,
+  min(md5(rt)) AS fp_min, max(md5(rt)) AS fp_max
+FROM rep GROUP BY 1 ORDER BY source""",
+
+      // ---- round 14 (§2.52): URL-keyed dedup & boilerplate lines ----
+      // URL canonicalization collapse census: case-folded scheme/host,
+      // utm_*/ref= params stripped, survivors sorted — raw-distinct vs
+      // canonical-distinct per source.
+      "pipeline_url_dedup" ->
+        s"""WITH dirty AS (SELECT source, doc_id, concat(text,
+    CASE WHEN doc_id % 3 = 0 THEN concat(' go HTTPS://CDN', doc_id % 7, '.Example', doc_id % 5,
+      '.COM/item', doc_id % 97, '?utm_source=feed&id=', doc_id % 50, '&utm_campaign=c', doc_id % 4, ' now') ELSE '' END,
+    CASE WHEN doc_id % 11 = 0 THEN concat(' go https://cdn', doc_id % 7, '.example', doc_id % 5,
+      '.com/item', doc_id % 97, '?id=', doc_id % 50, ' now') ELSE '' END,
+    CASE WHEN doc_id % 7 = 0 THEN concat(' ref http://Blog', doc_id % 9, '.Sample.ORG/page', doc_id % 13,
+      '?b=', doc_id % 8, '&ref=tw&a=', doc_id % 6, ' end') ELSE '' END) t
+  FROM ${T("documents")}),
+u AS (SELECT source, doc_id, unnest(regexp_extract_all(t, '[A-Za-z]+://[^ ]+')) url FROM dirty),
+c AS (SELECT source, doc_id, url,
+    concat(lower(regexp_extract(url, '^([A-Za-z]+)://', 1)), '://',
+      lower(regexp_extract(url, '^[A-Za-z]+://([^/?]+)', 1)),
+      regexp_extract(url, '^[A-Za-z]+://[^/?]+([^?]*)', 1),
+      CASE WHEN length(array_to_string(list_sort(list_filter(
+          string_split(regexp_extract(url, '\\?(.*)$$', 1), '&'),
+          x -> x NOT LIKE 'utm\\_%' ESCAPE '\\' AND x NOT LIKE 'ref=%' AND x <> '')), '&')) > 0
+        THEN concat('?', array_to_string(list_sort(list_filter(
+          string_split(regexp_extract(url, '\\?(.*)$$', 1), '&'),
+          x -> x NOT LIKE 'utm\\_%' ESCAPE '\\' AND x NOT LIKE 'ref=%' AND x <> '')), '&'))
+        ELSE '' END) canon
+  FROM u)
+SELECT source, CAST(count(*) AS BIGINT) AS n_urls,
+  CAST(count(DISTINCT url) AS BIGINT) AS raw_distinct,
+  CAST(count(DISTINCT canon) AS BIGINT) AS canon_distinct,
+  CAST(count(DISTINCT url) - count(DISTINCT canon) AS BIGINT) AS collapsed,
+  CAST(((count(DISTINCT url) - count(DISTINCT canon)) * 1000000)
+    // count(DISTINCT url) AS BIGINT) AS collapse_share_q6,
+  min(md5(canon)) AS fp_min, max(md5(canon)) AS fp_max
+FROM c GROUP BY 1 ORDER BY source""",
+
+      // Boilerplate-line census: the C4/CCNet line-frequency screen —
+      // a line is boilerplate in its source iff 10·df >= 3·n_docs.
+      "pipeline_boilerplate_lines" ->
+        s"""WITH dirty AS (SELECT source, doc_id, concat(text,
+    CASE WHEN doc_id % 2 = 0 THEN concat(' | Copyright site', doc_id % 20, ' all rights reserved') ELSE '' END,
+    CASE WHEN doc_id % 5 = 0 THEN ' | subscribe to our newsletter today' ELSE '' END,
+    CASE WHEN doc_id % 7 = 0 THEN concat(' | unique footnote ', doc_id) ELSE '' END) t
+  FROM ${T("documents")}),
+ln AS (SELECT source, doc_id, trim(unnest(string_split(t, ' | '))) line FROM dirty),
+df AS (SELECT source, line, count(DISTINCT doc_id) ndocs FROM ln GROUP BY 1, 2),
+nd AS (SELECT source, count(DISTINCT doc_id) n_docs FROM ln GROUP BY 1),
+j AS (SELECT l.source, l.doc_id, l.line, d.ndocs, n.n_docs,
+    (d.ndocs >= 2 AND d.ndocs * 10 >= n.n_docs * 3) is_bp
+  FROM ln l JOIN df d ON l.source = d.source AND l.line = d.line
+  JOIN nd n ON l.source = n.source)
+SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(count(DISTINCT line) AS BIGINT) AS distinct_lines,
+  CAST(count(DISTINCT CASE WHEN is_bp THEN line END) AS BIGINT) AS bp_lines,
+  CAST(sum(CASE WHEN is_bp THEN length(line) ELSE 0 END) AS BIGINT) AS bp_chars,
+  CAST((sum(CASE WHEN is_bp THEN length(line) ELSE 0 END) * 1000000)
+    // sum(length(line)) AS BIGINT) AS bp_share_q6
+FROM j GROUP BY 1 ORDER BY source"""
     )
   }
 }

@@ -1021,6 +1021,56 @@ class Naqed(spark: SparkSession, sfDir: String) {
       path = path)
   }
 
+  /** Crawl-hygiene directive (round 14, the `pii` precedent): the
+    * §2.51–§2.52 stack — HTML extraction → mojibake repair → NFC
+    * normalization → URL-keyed dedup → boilerplate-line strip →
+    * quality gate → PII redaction — run as ONE reported pipeline
+    * (ops.Curation.crawl). `$action -> "clean"` (default) returns the
+    * cleaned corpus; `$action -> "report"` returns the stage-count
+    * report as a (stage, n_docs) DataFrame in stage order — each row
+    * value-equal to running the corresponding Curation stage alone
+    * (NaqedSpec pins both). `$min_tokens` / `$max_stop_ratio` tune the
+    * quality gate. Unknown arguments fail analysis naqed-style. */
+  def crawl(q: Map[String, Any] = Map.empty): DataFrame = {
+    val known = Set("$action", "$min_tokens", "$max_stop_ratio")
+    val unknown = q.keys.filterNot(known.contains)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown crawl arguments ${unknown.mkString(", ")}; " +
+          "valid: $action, $min_tokens, $max_stop_ratio")
+    val action = q.get("$action") match {
+      case Some(s: String) if Set("clean", "report")(s) => s
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown crawl action '$other'; valid: clean, report")
+      case None => "clean"
+    }
+    val minTok = q.get("$min_tokens") match {
+      case Some(n: Number) => n.intValue()
+      case Some(other) => throw new IllegalArgumentException(
+        s"$$min_tokens expects a number, got $other")
+      case None => 5
+    }
+    val maxStop = q.get("$max_stop_ratio") match {
+      case Some(n: Number) => n.doubleValue()
+      case Some(other) => throw new IllegalArgumentException(
+        s"$$max_stop_ratio expects a number, got $other")
+      case None => 0.9
+    }
+    val (cleaned, rep) = graft.ops.Curation.crawl(
+      graft.Tables(spark, sfDir, "documents"), "text", minTok, maxStop)
+    action match {
+      case "clean" => cleaned
+      case "report" =>
+        import spark.implicits._
+        Seq(("input", rep.input),
+          ("url_deduped", rep.urlDeduped),
+          ("non_empty_after_boilerplate", rep.nonEmptyAfterBoilerplate),
+          ("after_quality", rep.afterQuality),
+          ("pii_masked_docs", rep.piiMaskedDocs))
+          .toDF("stage", "n_docs")
+    }
+  }
+
   /** Aggregation directive: `$groupBy -> field | Seq(fields)` plus
     * `$agg -> Map(outName -> "count" | "fn:field")` with fn in
     * {count, sum, min, max, avg, count_distinct, median, stddev,

@@ -265,4 +265,117 @@ object Curation {
       test = test.count())
     (train, test, report)
   }
+
+  // -----------------------------------------------------------------
+  // crawl-hygiene stages (§2.51–§2.52) — the SAME Crawl.* expression
+  // chains the oracle queries hash-pin, applied as corpus transforms
+  // -----------------------------------------------------------------
+
+  /** HTML/markup extraction stage: tag/script/style/comment strip +
+    * entity decode + whitespace collapse (Crawl.extractHtmlText).
+    * Row-local, fuses into the scan; idempotent on already-clean text
+    * (no tags ⇒ only the whitespace collapse applies — CurationSpec
+    * pins a second pass is a no-op). */
+  def extractHtml(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol, Crawl.extractHtmlText(col(textCol)))
+
+  /** Unicode NFC normalization stage (codegen'd NfcNormalize). Run
+    * BEFORE any hashing/shingling stage so NFC/NFD twins collapse
+    * (CurationSpec pins planted NFD twins exact-dedup together).
+    * Idempotent: NFC(NFC(s)) == NFC(s). */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol, Crawl.nfcText(docs.sparkSession, col(textCol)))
+
+  /** Encoding (mojibake) repair stage: the ordered literal replace
+    * chain of pipeline_encoding_repair. Row-local. */
+  def repairEncoding(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol, Crawl.repairEncoding(col(textCol)))
+
+  /** URL-keyed exact dedup: a doc's key is its MINIMUM canonicalized
+    * URL (Crawl.canonicalizeUrl — case-folded, tracking-stripped,
+    * param-sorted); docs sharing a key collapse to the smallest
+    * doc_id; URL-less docs pass through untouched. The crawl-side
+    * twin of exactDedup (same keep-min-id discipline, URL key instead
+    * of content hash). One hash shuffle on the bounded key relation.
+    */
+  def urlDedup(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val keyed = docs.withColumn("_ukey",
+      array_min(transform(
+        regexp_extract_all(col(textCol), lit("[A-Za-z]+://[^ ]+"), lit(0)),
+        u => Crawl.canonicalizeUrl(u))))
+    val keep = keyed.filter(col("_ukey").isNotNull)
+      .groupBy(col("_ukey")).agg(min(col("doc_id")).as("keep_id"))
+      .select(col("keep_id"))
+    keyed.filter(col("_ukey").isNull).drop("_ukey")
+      .unionByName(keyed.filter(col("_ukey").isNotNull)
+        .join(keep, col("doc_id") === col("keep_id"), "left_semi")
+        .drop("_ukey"))
+  }
+
+  /** Boilerplate-line removal: drop every ' | '-separated line whose
+    * in-source document frequency reaches 30% with df ≥ 2 (the exact
+    * integer rule of pipeline_boilerplate_lines), rebuilding each
+    * doc's text in line order. Only the |distinct lines| df relation shuffles; the
+    * rebuild groups |docs| rows. A fully-boilerplate doc survives as
+    * an empty string (the quality gate downstream drops it). */
+  def stripBoilerplate(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val ln = docs
+      .select(col("source"), col("doc_id"),
+        posexplode(split(col(textCol), " \\| ")).as(Seq("p", "line0")))
+      .select(col("source"), col("doc_id"), col("p"),
+        trim(col("line0")).as("line"))
+    val df = ln.groupBy(col("source"), col("line"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val rebuilt = ln.join(df, Seq("source", "line"))
+      .join(broadcast(nd), Seq("source"))
+      .filter(!(col("ndocs") >= 2 && col("ndocs") * 10 >= col("n_docs") * 3))
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("line")))),
+        x => x.getField("line")), " | ").as("_nt"))
+    docs.join(rebuilt, Seq("doc_id"), "left")
+      .withColumn(textCol, coalesce(col("_nt"), lit("")))
+      .drop("_nt")
+  }
+
+  case class CrawlReport(
+      input: Long,
+      urlDeduped: Long,
+      nonEmptyAfterBoilerplate: Long,
+      afterQuality: Long,
+      piiMaskedDocs: Long)
+
+  /** The crawl-to-corpus hygiene pipeline, stages in crawl order:
+    * extract (HTML → text) → repair (mojibake) → normalize (NFC) →
+    * url-dedup → boilerplate strip → quality gate → PII redaction.
+    * The three text rewrites are ONE fused row-local projection (they
+    * compose into a single Catalyst expression chain — zero shuffle);
+    * url-dedup and boilerplate are the only shuffling stages and both
+    * shuffle bounded relations (canonical keys / distinct lines).
+    * Returns (cleaned corpus, stage-count report); the caller feeds
+    * the result into [[curate]] for dedup/decontamination/splits. */
+  def crawl(docs: DataFrame, textCol: String = "text",
+      minTokens: Int = 5, maxStopRatio: Double = 0.9)
+      : (DataFrame, CrawlReport) = {
+    val extracted = normalizeText(
+      repairEncoding(extractHtml(docs, textCol), textCol), textCol)
+    val u = urlDedup(extracted, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bp = stripBoilerplate(u, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = qualityFilter(bp, minTokens, maxStopRatio)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = redactPii(q, textCol)
+    val masked = Pipelines.piiPatterns.map { case (_, p, _) =>
+      size(regexp_extract_all(col(textCol), lit(p), lit(0)))
+    }.reduce(_ + _)
+    val report = CrawlReport(
+      input = docs.count(),
+      urlDeduped = u.count(),
+      nonEmptyAfterBoilerplate = bp.filter(length(col(textCol)) > 0).count(),
+      afterQuality = q.count(),
+      piiMaskedDocs = q.filter(masked > 0).count())
+    (out, report)
+  }
 }

@@ -235,7 +235,18 @@ object IncrementalSpans {
     * (their gram evidence is unchanged), so delete+reappend is a
     * no-op for them and the resulting table still equals the full
     * rebuild (spec-pinned). Returns (shingleFilesRewritten,
-    * shingleFilesKept) so callers/specs observe the file pruning. */
+    * shingleFilesKept) so callers/specs observe the file pruning.
+    *
+    * NOT atomic across the three state tables: the patch lowers to
+    * several independent commits (chunked DELETEs + appends), so a
+    * concurrent reader — or a crash mid-advance — can observe a state
+    * that equals neither the pre- nor the post-advance rebuild. The
+    * window is fenced by a marker file (`<spansRoot>.advance_inprogress`)
+    * written before the first DELETE and removed after the last
+    * append: readers that see the marker must not trust the stored
+    * state, and recovery is re-[[bootstrapStored]] from the corpus
+    * version recorded in the marker (the in-memory [[advance]] face
+    * swaps atomically and has no such window). */
   def advanceStored(spark: SparkSession, corpusRoot: String, fromV: Long,
       toV: Long, st: StoredSpans, minTok: Int = 12): (Int, Int) = {
     val feed =
@@ -318,7 +329,11 @@ object IncrementalSpans {
       stabilize(Pipelines.spansFromPairRows(Pipelines.spanGramPairs(fkR),
         minTok))
 
-    // lower to table ops: chunked predicate DELETEs + appends
+    // lower to table ops: chunked predicate DELETEs + appends — fenced
+    // by the in-progress marker (see Scaladoc: readers seeing it must
+    // re-bootstrap from the recorded corpus version, not trust state)
+    val marker = java.nio.file.Paths.get(st.spansRoot + ".advance_inprogress")
+    java.nio.file.Files.writeString(marker, s"fromV=$fromV toV=$toV")
     val docIds = changedIds.collect().map(_.getLong(0))
     var touched = 0
     var keptFiles = Int.MaxValue
@@ -348,6 +363,7 @@ object IncrementalSpans {
       VersionedTable.append(spark, st.dfRoot, dfAppend)
     if (spansAppend.take(1).nonEmpty)
       VersionedTable.append(spark, st.spansRoot, spansAppend)
+    java.nio.file.Files.deleteIfExists(marker)
     Seq(cf, newSh, oldShChanged).foreach(_.unpersist(false))
     (touched, if (keptFiles == Int.MaxValue) 0 else keptFiles)
   }

@@ -928,16 +928,30 @@ object Relational {
       .orderBy("nation")
   }
 
-  /** Interpolated median + continuous quantiles per group. */
-  val aggMedianQuantile: Q = (s, d) =>
-    table(s, d, "orders")
-      .groupBy(col("o_orderstatus"))
-      .agg(
-        round(median(col("o_totalprice")), 2).as("med"),
-        round(expr("percentile(o_totalprice, 0.25D)"), 2).as("q25"),
-        round(expr("percentile(o_totalprice, 0.90D)"), 2).as("q90"),
-        count(lit(1)).as("n"))
+  /** Interpolated median + continuous quantiles per group. Round 14:
+    * re-shaped off Spark's exact `percentile()` (which buffers every
+    * value into ONE buffer per group — the measured 100×-tier
+    * serialization wall) onto [[ExactQuantile]]'s two-pass bucketed
+    * recipe; bit-identical by the replayed interpolation formula
+    * (ExactQuantileSpec) and the unchanged oracle hashes. The n column
+    * counts the same rows (o_totalprice is never null here; the helper
+    * ignores nulls exactly as percentile() does). */
+  val aggMedianQuantile: Q = (s, d) => {
+    val qs = ExactQuantile.quantiles(table(s, d, "orders"),
+      col("o_totalprice"), Some(col("o_orderstatus")),
+      Seq(0.5, 0.25, 0.90), bucketWidth = 64.0)
+    val rows = qs.toSeq.map { case (g, (n, m)) =>
+      (g, m(0.5), m(0.25), m(0.90), n)
+    }
+    s.createDataFrame(rows)
+      .toDF("o_orderstatus", "med0", "q250", "q900", "n0")
+      .select(col("o_orderstatus"),
+        round(col("med0"), 2).as("med"),
+        round(col("q250"), 2).as("q25"),
+        round(col("q900"), 2).as("q90"),
+        col("n0").as("n"))
       .orderBy("o_orderstatus")
+  }
 
   /** Median absolute deviation per group (§2.3, r6): the robust
     * dispersion companion to agg_median_quantile — median(|x − m|)
@@ -1625,11 +1639,17 @@ object Relational {
     * two-pass shape as agg_mad: 3 fence rows broadcast back, the fact
     * table shuffles only for its own group-bys. */
   val aggIqrOutliers: Q = (s, d) => {
-    val fences = table(s, d, "orders")
-      .groupBy(col("o_orderstatus"))
-      .agg(
-        round(expr("percentile(o_totalprice, 0.25D)"), 2).as("q1"),
-        round(expr("percentile(o_totalprice, 0.75D)"), 2).as("q3"))
+    // round 14: quartiles via ExactQuantile's two-pass bucketed recipe
+    // (bit-identical to percentile(); see aggMedianQuantile) — the
+    // 3-row fence relation is then built exactly as before
+    val qm = ExactQuantile.quantiles(table(s, d, "orders"),
+      col("o_totalprice"), Some(col("o_orderstatus")),
+      Seq(0.25, 0.75), bucketWidth = 64.0)
+    val fences = s.createDataFrame(
+        qm.toSeq.map { case (g, (_, m)) => (g, m(0.25), m(0.75)) })
+      .toDF("o_orderstatus", "q1r", "q3r")
+      .select(col("o_orderstatus"),
+        round(col("q1r"), 2).as("q1"), round(col("q3r"), 2).as("q3"))
       .select(col("o_orderstatus").as("f_status"), col("q1"), col("q3"),
         round(col("q3") - col("q1"), 2).as("iqr"),
         round(col("q1") - (col("q3") - col("q1")) * 1.5, 2).as("lo"),
@@ -2027,11 +2047,15 @@ object Relational {
     * percentile pass + one map-combined sum. */
   val aggWinsorizedMean: Q = (s, d) => {
     val price = dec2(col("o_totalprice")).cast(DoubleType)
-    val th = table(s, d, "orders").agg(
-      expr("percentile(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 0.05D)").as("p05"),
-      expr("percentile(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 0.95D)").as("p95"))
+    // round 14: thresholds via ExactQuantile (two-pass bucketed, bit-
+    // identical to percentile() — this query was the measured 100×-tier
+    // serialization wall: 113.6 s wall ≈ 134.5 CPU-s at 60M rows); the
+    // clamp pass below is unchanged
+    val (_, thm) = ExactQuantile.quantiles(table(s, d, "orders"),
+      price, None, Seq(0.05, 0.95), bucketWidth = 64.0)("")
     table(s, d, "orders")
-      .crossJoin(broadcast(th))
+      .select(lit(thm(0.05)).as("p05"), lit(thm(0.95)).as("p95"),
+        col("o_totalprice"))
       .select(price.as("p"), col("p05"), col("p95"),
         floor(least(greatest(price, col("p05")), col("p95")) * 100)
           .cast(LongType).as("wc"),
@@ -2983,9 +3007,12 @@ object Relational {
     * one filtered map-combined scan. */
   val aggTrimmedMean: Q = (s, d) => {
     val o = table(s, d, "orders")
-    val bounds = o.agg(expr("percentile(o_totalprice, 0.10D)").as("lo"),
-      expr("percentile(o_totalprice, 0.90D)").as("hi"))
-    o.crossJoin(broadcast(bounds))
+    // round 14: bounds via ExactQuantile (two-pass bucketed, bit-
+    // identical to percentile(); see aggWinsorizedMean)
+    val (_, bm) = ExactQuantile.quantiles(o, col("o_totalprice"),
+      None, Seq(0.10, 0.90), bucketWidth = 64.0)("")
+    o.select(col("o_totalprice"),
+        lit(bm(0.10)).as("lo"), lit(bm(0.90)).as("hi"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("o_totalprice").between(col("lo"), col("hi")), 1L)
           .otherwise(0L)).as("kept"),
@@ -4186,9 +4213,14 @@ object Relational {
         asLong(col("a")).as("click_above"), asLong(col("b")).as("click_le"),
         asLong(col("c")).as("purchase_above"),
         asLong(col("dd")).as("purchase_le"),
+        // each ad−bc factor promotes an OPERAND to DECIMAL(38,0) before
+        // the multiply (not just the product) — a·dd alone wraps 64-bit
+        // past ~3e9 events per cell, the agg_wasserstein_1d overflow
+        // class; the oracle HUGEINT-casts identically
         asLong(expr(
           """((a + b + c + dd) *
-             cast(a * dd - b * c as decimal(38,0)) * (a * dd - b * c)
+             (cast(a as decimal(38,0)) * dd - cast(b as decimal(38,0)) * c)
+             * (cast(a as decimal(38,0)) * dd - cast(b as decimal(38,0)) * c)
              * 1000000) div
              (cast(a + b as decimal(38,0)) * (c + dd) * (a + c) * (b + dd))"""))
           .as("chi2_q6"))

@@ -160,6 +160,43 @@ object Streams {
       round(psi, 6).as("psi"), (psi > 0.25).as("drifted"))
   }
 
+  /** Live PII guardrail (round 14, the psiDriftPerHour shape): per
+    * (tumbling window, source), detection counts for every shared
+    * `Pipelines.piiPatterns` regex over a streaming document feed
+    * (ts, source, text) — the "did a source start leaking PII" alarm
+    * completing the monitor family. ONE streaming aggregation with
+    * |patterns|+2 counters of per-group state; the patterns are
+    * inlined literals (the SAME automata as pipeline_pii_profile /
+    * Curation.piiProfile, so live and batch readouts cannot drift) and
+    * the regexp counting fuses into the stream's row path — no extra
+    * stateful operator, no stream-static join. A window flags when its
+    * per-mille hit rate (pii_total·1000 vs n_docs·maxPerMille) crosses
+    * the threshold. Works identically on a batch frame (watermark
+    * skipped) — StreamingSpec pins stream == batch twin and that a
+    * planted leak flags. */
+  def piiMonitor(docs: DataFrame, duration: String = "1 hour",
+      maxPerMille: Long = 400): DataFrame = {
+    val perRow = graft.ops.Pipelines.piiPatterns.map { case (_, p, _) =>
+      size(regexp_extract_all(col("text"), lit(p), lit(0))).cast(LongType)
+    }.reduce(_ + _)
+    val perType = graft.ops.Pipelines.piiPatterns.map { case (n, p, _) =>
+      sum(size(regexp_extract_all(col("text"), lit(p), lit(0)))
+        .cast(LongType)).as(n + "s")
+    }
+    val wm = if (docs.isStreaming) docs.withWatermark("ts", "10 minutes")
+             else docs
+    wm.select(col("ts"), col("source"), perRow.as("hits"), col("text"))
+      .groupBy(window(col("ts"), duration), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        Seq(sum(when(col("hits") > 0, 1L).otherwise(0L)).as("docs_with_pii"),
+          sum(col("hits")).as("pii_total")) ++ perType: _*)
+      .select(Seq(col("window.start").as("w_start"), col("source"),
+        col("n_docs"), col("docs_with_pii"), col("pii_total")) ++
+        graft.ops.Pipelines.piiPatterns.map(t => col(t._1 + "s")) ++
+        Seq((col("pii_total") * 1000 > col("n_docs") * maxPerMille)
+          .as("flagged")): _*)
+  }
+
   /** The 10-bin fixed-width value histogram `psiDriftPerHour` takes
     * as its reference — run it over the trusted history slice. */
   def valueHistogram(events: DataFrame): DataFrame =

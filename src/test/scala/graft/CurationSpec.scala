@@ -218,4 +218,112 @@ class CurationSpec extends AnyFunSuite {
       testFraction = 0.2)
     assert(r1 == r2)
   }
+
+  // ----- round 14: crawl-hygiene stages -----
+
+  private def docsWith(textOf: Long => String, n: Int = 40) = {
+    import spark.implicits._
+    (0L until n.toLong).map(i => (i, textOf(i), "en", s"src${i % 4}"))
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("extractHtml strips every tag and is idempotent on clean text") {
+    val tagged = docsWith(i =>
+      s"<html><body><h1>T$i</h1><p>real words $i here</p>" +
+        s"<script>var x=$i;</script><!-- c --></body></html>")
+    val once = Curation.extractHtml(tagged)
+    assert(once.filter(col("text").contains("<") ||
+      col("text").contains(">")).count() == 0, "tags survived extraction")
+    assert(once.filter(col("text").contains("var x")).count() == 0,
+      "script content survived extraction")
+    assert(once.filter(col("text").contains("real words")).count() == 40,
+      "body text was lost")
+    val twice = Curation.extractHtml(once)
+    assert(once.exceptAll(twice).count() == 0 &&
+      twice.exceptAll(once).count() == 0, "extractHtml is not idempotent")
+  }
+
+  test("normalizeText collapses planted NFD twins under exact dedup") {
+    // same words, one NFD one NFC — WITHOUT normalization they are
+    // different bytes (distinct md5), WITH it they exact-dedup to one
+    val twins = docsWith(i =>
+      if (i % 2 == 0) "les cafe\u0301s de\u0301ja\u0300 vus " + (i / 2)
+      else "les caf\u00e9s d\u00e9j\u00e0 vus " + (i / 2))
+    val before = Curation.exactDedup(twins).count()
+    assert(before == 40L, "un-normalized NFD/NFC twins wrongly collapsed")
+    val after = Curation.exactDedup(Curation.normalizeText(twins)).count()
+    assert(after == 20L,
+      s"normalized twins should collapse 40 -> 20, got $after")
+    // idempotent: NFC(NFC(x)) == NFC(x)
+    val n1 = Curation.normalizeText(twins)
+    val n2 = Curation.normalizeText(n1)
+    assert(n1.exceptAll(n2).count() == 0 && n2.exceptAll(n1).count() == 0)
+  }
+
+  test("repairEncoding fixes mojibake and is idempotent") {
+    val moj = docsWith(i => s"doc $i with " +
+      "r\u00c3\u00a9sum\u00c3\u00a9 and it\u00e2\u20ac\u2122s fine")
+    val rep = Curation.repairEncoding(moj)
+    assert(rep.filter(col("text")
+      .contains("r\u00e9sum\u00e9")).count() == 40)
+    assert(rep.filter(col("text").contains("it\u2019s")).count() == 40)
+    val rep2 = Curation.repairEncoding(rep)
+    assert(rep.exceptAll(rep2).count() == 0 && rep2.exceptAll(rep).count() == 0)
+  }
+
+  test("urlDedup collapses canonical twins, keeps min id, passes URL-less docs") {
+    // ids 0..9 share 5 canonical URLs pairwise (tracked UPPER vs clean
+    // lower); ids 10..19 carry distinct URLs; ids 20..39 have none
+    val docs = docsWith { i =>
+      val k = i / 2
+      if (i < 10) {
+        if (i % 2 == 0) s"see HTTPS://Site$k.COM/p?utm_source=x&id=$k ok"
+        else s"see https://site$k.com/p?id=$k ok"
+      } else if (i < 20) s"see https://other$i.com/p end"
+      else s"plain document $i"
+    }
+    val out = Curation.urlDedup(docs)
+    import spark.implicits._
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert((20L until 40L).forall(kept), "URL-less docs must pass through")
+    assert((10L until 20L).forall(kept), "distinct-URL docs must survive")
+    assert((0L until 10L).count(kept) == 5,
+      s"twin pairs should collapse to 5 keepers, kept ${kept.intersect((0L until 10L).toSet)}")
+    assert(Seq(0L, 2L, 4L, 6L, 8L).forall(kept),
+      "the smaller doc_id of each twin pair must be the keeper")
+  }
+
+  test("stripBoilerplate drops >=30%-df lines, keeps unique lines in order") {
+    val docs = docsWith { i =>
+      s"unique body $i | Copyright acme all rights reserved" +
+        (if (i % 7 == 0) s" | rare footnote $i" else "")
+    }
+    val out = Curation.stripBoilerplate(docs)
+    assert(out.filter(col("text").contains("Copyright")).count() == 0,
+      "boilerplate line survived")
+    assert(out.filter(col("text").startsWith("unique body")).count() == 40,
+      "unique body lines must survive, in leading position")
+    assert(out.filter(col("text").contains("rare footnote")).count() ==
+      (0 until 40).count(_ % 7 == 0), "rare lines must not be flagged")
+  }
+
+  test("crawl report matches the individual stages, run on the real corpus") {
+    val docs = graft.Tables(spark, sf0001, "documents")
+    val (cleaned, rep) = Curation.crawl(docs)
+    assert(rep.input == docs.count())
+    // the real corpus has no URLs and no ' | ' lines: url-dedup and
+    // boilerplate are no-ops by construction, quality gates as usual
+    assert(rep.urlDeduped == rep.input)
+    assert(rep.nonEmptyAfterBoilerplate == rep.input)
+    val expectQ = Curation.qualityFilter(
+      Curation.normalizeText(Curation.repairEncoding(
+        Curation.extractHtml(docs))), 5, 0.9).count()
+    assert(rep.afterQuality == expectQ)
+    assert(cleaned.count() == rep.afterQuality)
+    // PII redaction left no pattern hits behind (idempotence corollary)
+    val hits = ops.Pipelines.piiPatterns.map { case (_, p, _) =>
+      size(regexp_extract_all(col("text"), lit(p), lit(0)))
+    }.reduce(_ + _)
+    assert(cleaned.filter(hits > 0).count() == 0)
+  }
 }

@@ -569,10 +569,12 @@ class EngineSpec extends AnyFunSuite {
     val ed = ops.Relational.aggEquiDepthHistogram(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(!ed.contains("Join"), s"equi-depth grew a join:\n$ed")
+    // round 14: bounds fold in as literals from ExactQuantile's
+    // two-pass recipe — the keep pass is ONE joinless fused scan
     val tm = ops.Relational.aggTrimmedMean(spark, sf0001)
       .queryExecution.executedPlan.toString
-    assert(tm.contains("BroadcastNestedLoopJoin") || tm.contains("BroadcastHashJoin"),
-      s"trimmed-mean bounds not broadcast:\n$tm")
+    assert(!tm.contains("Join"),
+      s"trimmed-mean keep pass grew a join:\n$tm")
     // acf: the daily relation is built once (localCheckpoint) and the
     // four lag joins read it
     val ac = ops.TimeSeries.tsAcfWeekly(spark, sf0001)
@@ -1041,6 +1043,27 @@ class EngineSpec extends AnyFunSuite {
           s"conformal $n lost the GlobalRank range shuffle:\n${p.take(1200)}")
         assert(!p.contains("SortMergeJoin"),
           s"conformal $n grew a shuffled join:\n${p.take(1200)}")
+    }
+  }
+
+  test("round-14: exact-percentile family carries NO single-buffer Percentile") {
+    // Spark's exact percentile()/median() merges every value into ONE
+    // final buffer per group — the measured 100×-tier serialization
+    // wall (winsorized: 113.6 s wall ≈ 134.5 CPU-s at 60M rows). All
+    // four re-shaped queries now take thresholds from ExactQuantile's
+    // two-pass bucketed recipe, so their final plans must contain no
+    // percentile aggregate at all; iqr keeps its broadcast fences and
+    // none of them may shuffle a join.
+    Seq("median_quantile" -> ops.Relational.aggMedianQuantile,
+      "iqr_outliers" -> ops.Relational.aggIqrOutliers,
+      "winsorized_mean" -> ops.Relational.aggWinsorizedMean,
+      "trimmed_mean" -> ops.Relational.aggTrimmedMean).foreach {
+      case (n, q) =>
+        val p = q(spark, sf0001).queryExecution.executedPlan.toString
+        assert(!p.toLowerCase.contains("percentile"),
+          s"$n still buffers a Percentile aggregate:\n${p.take(1200)}")
+        assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+          s"$n grew a shuffled join:\n${p.take(1200)}")
     }
   }
 }

@@ -895,4 +895,33 @@ class NaqedSpec extends AnyFunSuite {
       naqed.pii(Map("$action" -> "profile", "$min_tokens" -> 10))
     }
   }
+
+  test("crawl directive: stage report value-equal to the Curation stages, clean == pipeline") {
+    val docs = Tables(spark, sf0001, "documents")
+    val rep = naqed.crawl(Map("$action" -> "report"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // each reported stage equals running the stage stack directly
+    assert(rep("input") == docs.count())
+    val pre = ops.Curation.normalizeText(ops.Curation.repairEncoding(
+      ops.Curation.extractHtml(docs)))
+    val u = ops.Curation.urlDedup(pre)
+    assert(rep("url_deduped") == u.count())
+    val bp = ops.Curation.stripBoilerplate(u)
+    assert(rep("non_empty_after_boilerplate") ==
+      bp.filter(length(col("text")) > 0).count())
+    val q = ops.Curation.qualityFilter(bp, 5, 0.9)
+    assert(rep("after_quality") == q.count())
+    // clean output: same rows as the composed stages + redaction
+    val clean = naqed.crawl()
+    val expect = ops.Curation.redactPii(q)
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      df.select(md5(concat_ws("|", col("doc_id"), col("text"))))
+        .collect().map(_.getString(0)).sorted.toSeq
+    assert(fp(clean) == fp(expect))
+    assert(rep("pii_masked_docs") >= 0)
+    // arg validation naqed-style
+    intercept[IllegalArgumentException] { naqed.crawl(Map("$action" -> "wash")) }
+    intercept[IllegalArgumentException] { naqed.crawl(Map("$bogus" -> 1)) }
+    intercept[IllegalArgumentException] { naqed.crawl(Map("$min_tokens" -> "five")) }
+  }
 }

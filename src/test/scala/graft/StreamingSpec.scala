@@ -43,6 +43,47 @@ class StreamingSpec extends AnyFunSuite {
       "shifted distribution not flagged as drifted")
   }
 
+  test("streaming PII monitor equals its batch twin and flags a leaking source") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // document feed with synthetic hour-grain timestamps (3 windows)
+    // and the shared arithmetic PII fixture as the dirty text
+    val feedRows = Tables(spark, sf0001, "documents")
+      .select((lit(1700000000L) + col("doc_id") % 3 * 3600).as("sec"),
+        col("source"), ops.Pipelines.piiDirtyText.as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val batch = feedRows.toSeq.toDF("sec", "source", "text")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("source"), col("text"))
+    val src = MemoryStream[(Long, String, String)]
+    src.addData(feedRows.toSeq)
+    val mon = Streams.piiMonitor(src.toDF().toDF("sec", "source", "text")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("source"), col("text")),
+      maxPerMille = 100)
+    val q = mon.writeStream.format("memory").queryName("t_pii")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_pii")
+    val want = Streams.piiMonitor(batch, maxPerMille = 100)
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).count() == 0, "stream != batch twin")
+    // per-type totals equal the shared-pattern batch profile
+    val profile = ops.Curation.piiProfile(
+      Tables(spark, sf0001, "documents")
+        .withColumn("text", ops.Pipelines.piiDirtyText))
+    val monTot = want.agg(sum(col("pii_total"))).head().getLong(0)
+    val profTot = profile.agg(sum(col("pii_total"))).head().getLong(0)
+    assert(monTot == profTot, s"monitor total $monTot != profile $profTot")
+    // the dirty fixture leaks well past 100/1000 docs -> flags fire;
+    // the CLEAN corpus must stay quiet at the same threshold
+    assert(want.filter(col("flagged")).count() > 0, "leak not flagged")
+    val clean = Streams.piiMonitor(
+      batch.withColumn("text", lit("perfectly clean text")),
+      maxPerMille = 100)
+    assert(clean.filter(col("flagged")).count() == 0,
+      "clean corpus false-flagged")
+  }
+
   test("streaming sliding window equals batch stream_sliding_1h_30m") {
     val stream = Streams.sliding1h30m(Streams.eventsStream(spark, sf0001))
     val got = Streams.runToBatch(spark, stream, "t_sliding")
