@@ -7784,7 +7784,92 @@ SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
   CAST(sum(CASE WHEN is_bp THEN length(line) ELSE 0 END) AS BIGINT) AS bp_chars,
   CAST((sum(CASE WHEN is_bp THEN length(line) ELSE 0 END) * 1000000)
     // sum(length(line)) AS BIGINT) AS bp_share_q6
-FROM j GROUP BY 1 ORDER BY source"""
+FROM j GROUP BY 1 ORDER BY source""",
+
+      // ---- round 14 (§2.53): robust dispersion, randomness, raw profile ----
+      // Brown–Forsythe on |x − lower-median| cents: exact HUGEINT
+      // folds pivoted to ONE row so the F double tree has one
+      // deterministic evaluation order in both engines.
+      "agg_brown_forsythe" ->
+        s"""WITH e AS (SELECT o_orderstatus g,
+    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) v
+  FROM ${T("orders")}),
+cnt AS (SELECT g, v, count(*) c FROM e GROUP BY 1, 2),
+cum AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) cm,
+    sum(c) OVER (PARTITION BY g) n FROM cnt),
+med AS (SELECT g, min(v) m FROM cum WHERE 2 * cm >= n + (n % 2) GROUP BY 1),
+z AS (SELECT e.g, abs(e.v - med.m) zc FROM e JOIN med ON e.g = med.g),
+grp AS (SELECT g, count(*) ng, sum(CAST(zc AS HUGEINT)) sg,
+    sum(CAST(zc AS HUGEINT) * zc) qg FROM z GROUP BY 1),
+one AS (SELECT
+    max(CASE WHEN g = 'F' THEN ng END) ng_f,
+    max(CASE WHEN g = 'F' THEN sg END) sg_f,
+    max(CASE WHEN g = 'F' THEN qg END) qg_f,
+    max(CASE WHEN g = 'O' THEN ng END) ng_o,
+    max(CASE WHEN g = 'O' THEN sg END) sg_o,
+    max(CASE WHEN g = 'O' THEN qg END) qg_o,
+    max(CASE WHEN g = 'P' THEN ng END) ng_p,
+    max(CASE WHEN g = 'P' THEN sg END) sg_p,
+    max(CASE WHEN g = 'P' THEN qg END) qg_p
+  FROM grp),
+x AS (SELECT ng_f + ng_o + ng_p n,
+    CAST(sg_f AS DOUBLE) * CAST(sg_f AS DOUBLE) / CAST(ng_f AS DOUBLE)
+      + CAST(sg_o AS DOUBLE) * CAST(sg_o AS DOUBLE) / CAST(ng_o AS DOUBLE)
+      + CAST(sg_p AS DOUBLE) * CAST(sg_p AS DOUBLE) / CAST(ng_p AS DOUBLE) a,
+    CAST(sg_f + sg_o + sg_p AS DOUBLE) s,
+    CAST(qg_f + qg_o + qg_p AS DOUBLE) q
+  FROM one)
+SELECT CAST(n AS BIGINT) AS n_rows, CAST(3 AS BIGINT) AS k_groups,
+  (SELECT CAST(m AS BIGINT) FROM med WHERE g = 'F') AS med_cents_f,
+  (SELECT CAST(m AS BIGINT) FROM med WHERE g = 'O') AS med_cents_o,
+  (SELECT CAST(m AS BIGINT) FROM med WHERE g = 'P') AS med_cents_p,
+  CAST(floor(((a - s * s / CAST(n AS DOUBLE)) / 2)
+    / ((q - a) / (CAST(n AS DOUBLE) - 3)) * 1e6) AS BIGINT) AS f_q6
+FROM x""",
+
+      // turning points of daily order counts vs the i.i.d. expectation
+      // 2(n−2)/3, variance (16n−29)/90; identical double tree.
+      "ts_turning_points" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) dt, count(*) y
+  FROM ${T("orders")} GROUP BY 1),
+l AS (SELECT y, lag(y) OVER (ORDER BY dt) p, lead(y) OVER (ORDER BY dt) nx
+  FROM daily),
+t AS (SELECT count(*) n,
+    sum(CASE WHEN p IS NOT NULL AND nx IS NOT NULL AND
+      ((y > p AND y > nx) OR (y < p AND y < nx)) THEN 1 ELSE 0 END) tp
+  FROM l)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(tp AS BIGINT) AS turning_points,
+  CAST((2 * (n - 2) * 1000000) // 3 AS BIGINT) AS expected_q6,
+  CAST(floor((CAST(tp AS DOUBLE) - 2.0 * (n - 2) / 3)
+    / sqrt((16.0 * n - 29) / 90) * 1e6) AS BIGINT) AS z_q6
+FROM t""",
+
+      // raw-markup character-class profile over the §2.51 tagged
+      // fixture: length-minus-stripped per class, integer shares.
+      "pipeline_char_class_profile" ->
+        s"""WITH dirty AS (SELECT source, doc_id, concat(
+    '<html><head><title>Doc ', doc_id, '</title>',
+    CASE WHEN doc_id % 4 = 0 THEN concat('<style>p{color:#', doc_id % 999, '}</style>') ELSE '' END,
+    '</head><body>',
+    CASE WHEN doc_id % 3 = 0 THEN concat('<h1>Section ', doc_id % 50, '</h1>') ELSE '' END,
+    '<p>', text, '</p>',
+    CASE WHEN doc_id % 5 = 0 THEN concat('<script>var x=', doc_id, ';' || chr(10) || 'log(x)</script>') ELSE '' END,
+    CASE WHEN doc_id % 7 = 0 THEN concat('<!-- crawl ', doc_id, chr(10) || 'note -->') ELSE '' END,
+    '<div class="footer">&copy; site ', doc_id % 20, ' &amp; co &lt;info&gt;</div></body></html>') t
+  FROM ${T("documents")}),
+c AS (SELECT source, length(t) n,
+    length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) le,
+    length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) di,
+    length(t) - length(regexp_replace(t, '[ \\t\\n]', '', 'g')) ws
+  FROM dirty)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n) AS BIGINT) AS n_chars,
+  CAST(sum(le) AS BIGINT) AS letters, CAST(sum(di) AS BIGINT) AS digits,
+  CAST(sum(ws) AS BIGINT) AS whitespace,
+  CAST(sum(n - le - di - ws) AS BIGINT) AS symbols,
+  CAST((sum(le) * 1000000) // sum(n) AS BIGINT) AS letter_share_q6,
+  CAST((sum(n - le - di - ws) * 1000000) // sum(n) AS BIGINT) AS symbol_share_q6
+FROM c GROUP BY 1 ORDER BY source"""
     )
   }
 }

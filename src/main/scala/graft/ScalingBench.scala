@@ -248,7 +248,33 @@ object ScalingBench {
               .agg(org.apache.spark.sql.functions.sum("quality_prob"))
               .collect(); () }),
         "curation_excise_spans" -> (() =>
-          { ops.Curation.exciseSpans(spark, dir).count(); () }))
+          { ops.Curation.exciseSpans(spark, dir).count(); () }),
+        // round-14 crawl hygiene (§2.51–§2.52): the censuses are fused
+        // row-local chains (CLAIM: the regexp linear floor);
+        // url_dedup adds one bounded canonical-key shuffle,
+        // boilerplate the |distinct lines| df relation. The rewrite
+        // entry times the fused extract+repair+nfc TRANSFORM over the
+        // dirty corpus (aggregate over the computed column — a bare
+        // count() would prune the rewrite away).
+        "pipeline_html_extract" -> (() =>
+          { ops.Crawl.pipelineHtmlExtract(spark, dir).collect(); () }),
+        "pipeline_unicode_census" -> (() =>
+          { ops.Crawl.pipelineUnicodeCensus(spark, dir).collect(); () }),
+        "pipeline_encoding_repair" -> (() =>
+          { ops.Crawl.pipelineEncodingRepair(spark, dir).collect(); () }),
+        "pipeline_url_dedup" -> (() =>
+          { ops.Crawl.pipelineUrlDedup(spark, dir).collect(); () }),
+        "pipeline_boilerplate_lines" -> (() =>
+          { ops.Crawl.pipelineBoilerplateLines(spark, dir).collect(); () }),
+        "pipeline_char_class_profile" -> (() =>
+          { ops.Crawl.pipelineCharClassProfile(spark, dir).collect(); () }),
+        "curation_crawl_rewrite" -> (() =>
+          { ops.Curation.normalizeText(ops.Curation.repairEncoding(
+              ops.Curation.extractHtml(Tables(spark, dir, "documents")
+                .withColumn("text", ops.Crawl.htmlDirtyText))))
+              .agg(org.apache.spark.sql.functions.sum(
+                org.apache.spark.sql.functions.length(
+                  org.apache.spark.sql.functions.col("text")))).collect(); () }))
       )
       // run r: clear -> timed shingle build -> each op timed under its
       // own job group; keep min wall and min CPU per op (a cost
@@ -321,7 +347,22 @@ object ScalingBench {
         "join_asof_nearest" -> (() => { ops.Relational.joinAsofNearest(spark, dir).count(); () }),
         "ts_streak_longest" -> (() => { ops.TimeSeries.tsStreakLongest(spark, dir).count(); () }),
         "agg_rfm_segments" -> (() => { ops.Relational.aggRfmSegments(spark, dir).count(); () }),
-        "agg_winsorized_mean" -> (() => { ops.Relational.aggWinsorizedMean(spark, dir).count(); () }),
+        "agg_winsorized_mean" -> (() => { ops.Relational.aggWinsorizedMean(spark, dir).collect(); () }),
+        // round-14: .collect() not .count() for every bounded-output
+        // census/statistic below — count() lets Catalyst prune the
+        // aggregate expressions (the redact_pii comment's trap), so a
+        // count-measured census under-reports its regexp/percentile
+        // work; outputs are <= 20 rows, so collect is free.
+        // The other three ExactQuantile consumers — the
+        // CLAIM after the re-shape is wall << CPU (parallel two-pass
+        // histograms) and alpha <= 1, vs the serialized single-buffer
+        // percentile() the round-13 100x tier caught red-handed
+        "agg_median_quantile" -> (() => { ops.Relational.aggMedianQuantile(spark, dir).collect(); () }),
+        "agg_iqr_outliers" -> (() => { ops.Relational.aggIqrOutliers(spark, dir).collect(); () }),
+        "agg_trimmed_mean" -> (() => { ops.Relational.aggTrimmedMean(spark, dir).collect(); () }),
+        "agg_mad" -> (() => { ops.Relational.aggMad(spark, dir).collect(); () }),
+        "agg_qq_price_segments" -> (() => { ops.Relational.aggQqPriceSegments(spark, dir).collect(); () }),
+        "agg_equi_depth_histogram" -> (() => { ops.Relational.aggEquiDepthHistogram(spark, dir).collect(); () }),
         // round-8 §2.18e–i: the GlobalRank-shaped paths — two-sample
         // ECDF running sums (one range shuffle, value-grain), global
         // rank selection, the skyline exclusive-prefix max, and the

@@ -1056,11 +1056,15 @@ class Naqed(spark: SparkSession, sfDir: String) {
         s"$$max_stop_ratio expects a number, got $other")
       case None => 0.9
     }
-    val (cleaned, rep) = graft.ops.Curation.crawl(
-      graft.Tables(spark, sfDir, "documents"), "text", minTok, maxStop)
     action match {
-      case "clean" => cleaned
+      case "clean" =>
+        // pure-transform path: no report counts, no persists
+        graft.ops.Curation.crawl(graft.Tables(spark, sfDir, "documents"),
+          "text", minTok, maxStop, withReport = false)._1
       case "report" =>
+        val rep = graft.ops.Curation.crawl(
+          graft.Tables(spark, sfDir, "documents"),
+          "text", minTok, maxStop)._2.get
         import spark.implicits._
         Seq(("input", rep.input),
           ("url_deduped", rep.urlDeduped),

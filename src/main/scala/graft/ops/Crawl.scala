@@ -275,6 +275,38 @@ object Crawl {
       .orderBy("source")
   }
 
+  /** Raw-crawl character-class profile (§2.53): per source, the
+    * letter/digit/whitespace/symbol composition of the RAW markup
+    * bytes (the htmlDirtyText fixture) — the cheapest quality signal a
+    * crawl pass reads before parsing anything (a symbol-heavy source
+    * is markup/code; a digit-heavy one is tables/logs). Class counts
+    * via length-minus-stripped (one regexp_replace per class, same
+    * automata both engines); shares are integer divisions. Scale:
+    * fused row-local chain, one |sources| aggregate. */
+  val pipelineCharClassProfile: Q = (s, d) => {
+    def cls(p: String) =
+      (length(htmlDirtyText) -
+        length(regexp_replace(htmlDirtyText, lit(p), lit("")))).cast(LongType)
+    table(s, d, "documents")
+      .select(col("source"), length(htmlDirtyText).cast(LongType).as("n"),
+        cls("[A-Za-z]").as("le"), cls("[0-9]").as("di"),
+        cls("[ \\t\\n]").as("ws"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_chars"),
+        sum(col("le")).as("letters"), sum(col("di")).as("digits"),
+        sum(col("ws")).as("whitespace"),
+        sum(col("n") - col("le") - col("di") - col("ws")).as("symbols"))
+      .select(col("source"), asLong(col("n_docs")).as("n_docs"),
+        asLong(col("n_chars")).as("n_chars"),
+        asLong(col("letters")).as("letters"),
+        asLong(col("digits")).as("digits"),
+        asLong(col("whitespace")).as("whitespace"),
+        asLong(col("symbols")).as("symbols"),
+        expr("(letters * 1000000) div n_chars").as("letter_share_q6"),
+        expr("(symbols * 1000000) div n_chars").as("symbol_share_q6"))
+      .orderBy("source")
+  }
+
   /** Boilerplate-line census (§2.52): ' | '-separated lines whose
     * document frequency within a source reaches 30% (the integer rule
     * 10·df ≥ 3·n_docs) AND df ≥ 2 are boilerplate — the C4/CCNet

@@ -353,13 +353,22 @@ object Curation {
     * compose into a single Catalyst expression chain — zero shuffle);
     * url-dedup and boilerplate are the only shuffling stages and both
     * shuffle bounded relations (canonical keys / distinct lines).
-    * Returns (cleaned corpus, stage-count report); the caller feeds
-    * the result into [[curate]] for dedup/decontamination/splits. */
+    * Returns (cleaned corpus, stage-count report — None when
+    * `withReport = false`, which also skips the intermediate persists
+    * and the five counting jobs: the pure-transform path a production
+    * caller chains into [[curate]] pays zero extra actions). */
   def crawl(docs: DataFrame, textCol: String = "text",
-      minTokens: Int = 5, maxStopRatio: Double = 0.9)
-      : (DataFrame, CrawlReport) = {
+      minTokens: Int = 5, maxStopRatio: Double = 0.9,
+      withReport: Boolean = true)
+      : (DataFrame, Option[CrawlReport]) = {
     val extracted = normalizeText(
       repairEncoding(extractHtml(docs, textCol), textCol), textCol)
+    if (!withReport) {
+      val out = redactPii(qualityFilter(
+        stripBoilerplate(urlDedup(extracted, textCol), textCol),
+        minTokens, maxStopRatio), textCol)
+      return (out, None)
+    }
     val u = urlDedup(extracted, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bp = stripBoilerplate(u, textCol)
@@ -376,6 +385,6 @@ object Curation {
       nonEmptyAfterBoilerplate = bp.filter(length(col(textCol)) > 0).count(),
       afterQuality = q.count(),
       piiMaskedDocs = q.filter(masked > 0).count())
-    (out, report)
+    (out, Some(report))
   }
 }

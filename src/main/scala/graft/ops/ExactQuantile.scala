@@ -46,17 +46,21 @@ import org.apache.spark.sql.types._
   */
 object ExactQuantile {
 
-  /** Per-group exact interpolated percentiles of `value` (cast to
-    * double, nulls ignored — `percentile()` semantics).
+  /** Per-group exact ORDER STATISTICS of `value` (cast to double,
+    * nulls ignored): for each group of non-null count n, returns the
+    * exact value at every 0-indexed rank `ranksOf(n)` asks for — the
+    * primitive both [[quantiles]] (interpolated percentile ranks) and
+    * rank-convention callers (lower median, trimmed bounds at exact
+    * cut ranks) build on. Same two-pass bucketed shape; see the
+    * object Scaladoc.
     *
     * @param group  optional grouping column; None = one global group
     *               (returned under key "")
-    * @return group key (as string) → (non-null count, p → quantile)
+    * @return group key (as string) → (non-null count, rank → value)
     */
-  def quantiles(df: DataFrame, value: Column, group: Option[Column],
-      ps: Seq[Double], bucketWidth: Double): Map[String, (Long, Map[Double, Double])] = {
-    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
-      s"percentiles must be in [0,1]: $ps")
+  def valueAtRanks(df: DataFrame, value: Column, group: Option[Column],
+      ranksOf: Long => Seq[Long], bucketWidth: Double)
+      : Map[String, (Long, Map[Long, Double])] = {
     val spark = df.sparkSession
     val base = df
       .select(group.getOrElse(lit("")).cast(StringType).as("g"),
@@ -76,13 +80,6 @@ object ExactQuantile {
         (g, sorted, sorted.map(_._2).sum)
       }
 
-    // which global 0-indexed order statistics each percentile needs
-    def ranksFor(n: Long, p: Double): Seq[Long] = {
-      val position = p * (n - 1)
-      val lower = math.floor(position).toLong
-      val higher = math.ceil(position).toLong
-      if (higher == lower) Seq(lower) else Seq(lower, higher)
-    }
     // rank -> owning bucket + cumulative count below that bucket
     def bucketOf(buckets: IndexedSeq[(Long, Long)], rank: Long): (Long, Long) = {
       var cum = 0L
@@ -94,8 +91,7 @@ object ExactQuantile {
     }
 
     val needed: Seq[(String, Long)] = hist.toSeq.flatMap { case (g, buckets, n) =>
-      ps.flatMap(p => ranksFor(n, p)).distinct
-        .map(r => (g, bucketOf(buckets, r)._1))
+      ranksOf(n).distinct.map(r => (g, bucketOf(buckets, r)._1))
     }.distinct
 
     // pass 2: distinct-value counts inside crossing buckets only
@@ -125,21 +121,48 @@ object ExactQuantile {
         }
         throw new IllegalStateException(s"local rank exhausted in bucket $b")
       }
+      (g, (n, ranksOf(n).distinct.map(r => (r, valueAt(r))).toMap))
+    }.toMap
+  }
+
+  /** The two 0-indexed order statistics Spark's percentile
+    * interpolation reads for probability p at count n. */
+  private def percentileRanks(n: Long, p: Double): Seq[Long] = {
+    val position = p * (n - 1)
+    val lower = math.floor(position).toLong
+    val higher = math.ceil(position).toLong
+    if (higher == lower) Seq(lower) else Seq(lower, higher)
+  }
+
+  /** Per-group exact interpolated percentiles of `value` (cast to
+    * double, nulls ignored — `percentile()` semantics).
+    *
+    * @param group  optional grouping column; None = one global group
+    *               (returned under key "")
+    * @return group key (as string) → (non-null count, p → quantile)
+    */
+  def quantiles(df: DataFrame, value: Column, group: Option[Column],
+      ps: Seq[Double], bucketWidth: Double): Map[String, (Long, Map[Double, Double])] = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0,1]: $ps")
+    val stats = valueAtRanks(df, value, group,
+      n => ps.flatMap(p => percentileRanks(n, p)), bucketWidth)
+    stats.map { case (g, (n, atRank)) =>
       // Spark Percentile.getPercentile, replayed verbatim: the exact
       // double expression ORDER matters for bit-equality
       def interp(p: Double): Double = {
         val position = p * (n - 1)
         val lower = math.floor(position).toLong
         val higher = math.ceil(position).toLong
-        val lo = valueAt(lower)
+        val lo = atRank(lower)
         if (higher == lower) lo
         else {
-          val hi = valueAt(higher)
+          val hi = atRank(higher)
           if (hi == lo) lo
           else (higher - position) * lo + (position - lower) * hi
         }
       }
       (g, (n, ps.map(p => (p, interp(p))).toMap))
-    }.toMap
+    }
   }
 }

@@ -961,14 +961,28 @@ object Relational {
     * its own group-by. Both medians interpolate on identical double
     * operands in both engines. */
   val aggMad: Q = (s, d) => {
+    // round 14: both medians via ExactQuantile's two-pass bucketed
+    // recipe (o_totalprice is data-sized-distinct, so the single-
+    // buffer median() is the 100×-tier serialization wall) — the
+    // group medians fold back as a literal CASE chain, the deviation
+    // median runs over the identical abs(x − m) doubles
     val o = table(s, d, "orders")
-    val med = o.groupBy(col("o_orderstatus"))
-      .agg(median(col("o_totalprice")).as("m"))
-    o.join(broadcast(med), "o_orderstatus")
-      .groupBy(col("o_orderstatus"))
-      .agg(round(max(col("m")), 2).as("med"),
-        round(median(abs(col("o_totalprice") - col("m"))), 2).as("mad"),
-        count(lit(1)).as("n"))
+    val med = ExactQuantile.quantiles(o, col("o_totalprice"),
+      Some(col("o_orderstatus")), Seq(0.5), bucketWidth = 64.0)
+    val mExpr = med.foldLeft(lit(null).cast(DoubleType): Column) {
+      case (acc, (g, (_, m))) =>
+        when(col("o_orderstatus") === g, lit(m(0.5))).otherwise(acc)
+    }
+    val mad = ExactQuantile.quantiles(
+      o.select(col("o_orderstatus"),
+        abs(col("o_totalprice") - mExpr).as("dev")),
+      col("dev"), Some(col("o_orderstatus")), Seq(0.5), bucketWidth = 64.0)
+    val rows = med.toSeq.map { case (g, (n, m)) =>
+      (g, m(0.5), mad(g)._2(0.5), n)
+    }
+    s.createDataFrame(rows).toDF("o_orderstatus", "med0", "mad0", "n0")
+      .select(col("o_orderstatus"), round(col("med0"), 2).as("med"),
+        round(col("mad0"), 2).as("mad"), col("n0").as("n"))
       .orderBy("o_orderstatus")
   }
 
@@ -2960,14 +2974,17 @@ object Relational {
     * division, round 6. Scale: two map-combined percentile
     * aggregates; everything after runs on 10 rows. */
   val aggQqPriceSegments: Q = (s, d) => {
-    val ps = "array(0.05D, 0.15D, 0.25D, 0.35D, 0.45D, 0.55D, 0.65D, 0.75D, 0.85D, 0.95D)"
-    def seg(v: Int) = table(s, d, "orders")
-      .filter(col("o_custkey") % 2 === v)
-      .agg(expr(s"percentile(o_totalprice, $ps)").as("qs"))
-      .select(posexplode(col("qs")).as(Seq("i", "q")))
-    val a = seg(0).toDF("i", "qa")
-    val b = seg(1).toDF("i", "qb")
-    a.join(broadcast(b), Seq("i"))
+    // round 14: the 10-point grids via ExactQuantile (bit-identical to
+    // the ARRAY percentile form — same per-p interpolation); the
+    // segment filter is pushed into each helper's histogram scan
+    val ps = Seq(0.05, 0.15, 0.25, 0.35, 0.45, 0.55, 0.65, 0.75, 0.85, 0.95)
+    def seg(v: Int): Map[Double, Double] =
+      ExactQuantile.quantiles(
+        table(s, d, "orders").filter(col("o_custkey") % 2 === v),
+        col("o_totalprice"), None, ps, bucketWidth = 64.0)("")._2
+    val (qa, qb) = (seg(0), seg(1))
+    val rows = ps.zipWithIndex.map { case (p, i) => (i, qa(p), qb(p)) }
+    s.createDataFrame(rows).toDF("i", "qa", "qb")
       .select(asLong(lit(5) + col("i") * 10).as("pct"),
         round(col("qa"), 4).as("q_seg_a"), round(col("qb"), 4).as("q_seg_b"),
         round(col("qa") / col("qb"), 6).as("qq_ratio"))
@@ -2982,18 +2999,16 @@ object Relational {
     * interpolated percentiles p0..p100 via one ARRAY percentile
     * aggregate; bucket rows pair adjacent boundaries by ordinality. */
   val aggEquiDepthHistogram: Q = (s, d) => {
-    val ps = "array(0.0D, 0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D, 1.0D)"
-    val b = table(s, d, "orders")
-      .agg(count(lit(1)).as("n"),
-        expr(s"percentile(o_totalprice, $ps)").as("qs"))
-    b.select(col("n"), posexplode(col("qs")).as(Seq("i", "lo")))
-      .withColumn("hi", lead(col("lo"), 1)
-        .over(Window.orderBy(col("i")))) // 11-row relation: bounded by design
-      .filter(col("hi").isNotNull)
-      .select(asLong(col("i") + 1).as("bucket"),
-        round(col("lo"), 4).as("lower_bound"),
-        round(col("hi"), 4).as("upper_bound"),
-        asLong(col("n")).as("n_total"))
+    // round 14: boundaries via ExactQuantile (bit-identical to the
+    // ARRAY percentile form); adjacent bounds pair on the driver over
+    // the 11 returned doubles
+    val ps = Seq(0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+    val (n, qs) = ExactQuantile.quantiles(table(s, d, "orders"),
+      col("o_totalprice"), None, ps, bucketWidth = 64.0)("")
+    val rows = (0 until 10).map(i => (i + 1L, qs(ps(i)), qs(ps(i + 1)), n))
+    s.createDataFrame(rows).toDF("bucket", "lo", "hi", "n")
+      .select(col("bucket"), round(col("lo"), 4).as("lower_bound"),
+        round(col("hi"), 4).as("upper_bound"), col("n").as("n_total"))
       .orderBy("bucket")
   }
 
@@ -4287,6 +4302,63 @@ object Relational {
       .select(asLong(col("n_eff")).as("n_eff"),
         asLong(col("wp")).as("w_plus_x2"), asLong(col("wm")).as("w_minus_x2"),
         asLong(col("n_eff") * (col("n_eff") + 1)).as("check_sum"))
+  }
+
+  /** Brown–Forsythe robust variance-homogeneity test (§2.53): the
+    * assumption check agg_anova_f silently makes — are the order-value
+    * spreads equal across the three order statuses? BF is Levene's
+    * test on |x − group MEDIAN| (median, not mean, so heavy tails
+    * can't fake heterogeneity). Group medians are the LOWER medians in
+    * exact cents (the agg_mood_median_test integer rule 2·cum ≥
+    * n + (n mod 2) — a documented convention so every deviation is an
+    * exact BIGINT), found scale-safely by [[ExactQuantile.valueAtRanks]]
+    * at rank (n−1) div 2. Per-group Σz and Σz² fold as exact
+    * DECIMAL(38,0); the three groups PIVOT to one row, so the final
+    * F's double tree has ONE deterministic evaluation order in both
+    * engines (no cross-partition double summation anywhere). Scale:
+    * the two-pass bucketed median + one fused deviation scan — all
+    * map-combined, wall ≪ CPU by construction. */
+  val aggBrownForsythe: Q = (s, d) => {
+    val o = table(s, d, "orders")
+    val cents = (dec2(col("o_totalprice")) * 100).cast(LongType)
+    val med = ExactQuantile.valueAtRanks(
+      o.select(col("o_orderstatus"), cents.cast(DoubleType).as("vc")),
+      col("vc"), Some(col("o_orderstatus")),
+      n => Seq((n - 1) / 2), bucketWidth = 6400.0)
+    val mExpr = med.foldLeft(lit(null).cast(LongType): Column) {
+      case (acc, (g, (_, at))) =>
+        when(col("o_orderstatus") === g, lit(at.head._2.toLong)).otherwise(acc)
+    }
+    val grp = o.select(col("o_orderstatus").as("g"),
+        abs(cents - mExpr).as("zc"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"),
+        sum(col("zc").cast(DecimalType(38, 0))).as("sg"),
+        // operand promoted BEFORE the multiply (the mood-median
+        // overflow class): zc² alone would wrap 64-bit past ~3e9 cents
+        sum(col("zc").cast(DecimalType(38, 0)) * col("zc")).as("qg"))
+    def pick(g: String, c: String) =
+      max(when(col("g") === g, col(c))).as(c + "_" + g.toLowerCase)
+    val one = grp.agg(
+      pick("F", "ng"), pick("F", "sg"), pick("F", "qg"),
+      pick("O", "ng"), pick("O", "sg"), pick("O", "qg"),
+      pick("P", "ng"), pick("P", "sg"), pick("P", "qg"))
+    def dbl(c: String) = col(c).cast(DoubleType)
+    val a = dbl("sg_f") * dbl("sg_f") / dbl("ng_f") +
+      dbl("sg_o") * dbl("sg_o") / dbl("ng_o") +
+      dbl("sg_p") * dbl("sg_p") / dbl("ng_p")
+    val nTot = col("ng_f") + col("ng_o") + col("ng_p")
+    val sTot = (col("sg_f") + col("sg_o") + col("sg_p")).cast(DoubleType)
+    val qTot = (col("qg_f") + col("qg_o") + col("qg_p")).cast(DoubleType)
+    val ssb = a - sTot * sTot / nTot.cast(DoubleType)
+    val ssw = qTot - a
+    one.select(Seq(asLong(nTot).as("n_rows"),
+        asLong(lit(3)).as("k_groups")) ++
+      med.toSeq.sortBy(_._1).map { case (g, (_, at)) =>
+        lit(at.head._2.toLong).as("med_cents_" + g.toLowerCase)
+      } ++
+      Seq(asLong(floor(
+        (ssb / 2) / (ssw / (nTot.cast(DoubleType) - 3)) * 1e6)).as("f_q6")): _*)
   }
 
 }

@@ -2633,4 +2633,34 @@ object TimeSeries {
     }.reduce(_ unionAll _).orderBy("q")
   }
 
+  /** Turning-point randomness census (§2.53): count the daily
+    * order-count series' local extrema (strictly above or below both
+    * neighbors) and compare against the i.i.d. expectation 2(n−2)/3
+    * with variance (16n−29)/90 — the nonparametric "is this series
+    * random noise" screen beside runs_test (which reads sign runs;
+    * turning points read the local GEOMETRY, catching smooth trends
+    * runs can miss). Exactness: extrema are strict integer
+    * comparisons; expected is ONE integer division; z is one double
+    * tree over exact integer operands, floored q6. Scale: one
+    * date-grain aggregate + lag/lead on the calendar-bounded day
+    * relation. */
+  val tsTurningPoints: Q = (s, d) => {
+    val daily = table(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.orderBy(col("dt"))
+    daily.select(col("y"), lag(col("y"), 1).over(w).as("p"),
+        lead(col("y"), 1).over(w).as("nx"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p").isNotNull && col("nx").isNotNull &&
+          ((col("y") > col("p") && col("y") > col("nx")) ||
+           (col("y") < col("p") && col("y") < col("nx"))), 1L)
+          .otherwise(0L)).as("tp"))
+      .select(asLong(col("n")).as("n_days"),
+        asLong(col("tp")).as("turning_points"),
+        expr("(2 * (n - 2) * 1000000) div 3").as("expected_q6"),
+        asLong(floor((col("tp").cast(DoubleType) - lit(2.0) * (col("n") - 2) / 3) /
+          sqrt((lit(16.0) * col("n") - 29) / 90) * 1e6)).as("z_q6"))
+  }
+
 }

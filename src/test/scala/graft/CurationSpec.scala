@@ -309,7 +309,8 @@ class CurationSpec extends AnyFunSuite {
 
   test("crawl report matches the individual stages, run on the real corpus") {
     val docs = graft.Tables(spark, sf0001, "documents")
-    val (cleaned, rep) = Curation.crawl(docs)
+    val (cleaned, repOpt) = Curation.crawl(docs)
+    val rep = repOpt.get
     assert(rep.input == docs.count())
     // the real corpus has no URLs and no ' | ' lines: url-dedup and
     // boilerplate are no-ops by construction, quality gates as usual
@@ -325,5 +326,10 @@ class CurationSpec extends AnyFunSuite {
       size(regexp_extract_all(col("text"), lit(p), lit(0)))
     }.reduce(_ + _)
     assert(cleaned.filter(hits > 0).count() == 0)
+    // the pure-transform path (withReport = false) yields the same rows
+    val (fast, none) = Curation.crawl(docs, withReport = false)
+    assert(none.isEmpty)
+    assert(fast.exceptAll(cleaned).count() == 0 &&
+      cleaned.exceptAll(fast).count() == 0)
   }
 }

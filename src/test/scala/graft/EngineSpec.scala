@@ -1057,7 +1057,10 @@ class EngineSpec extends AnyFunSuite {
     Seq("median_quantile" -> ops.Relational.aggMedianQuantile,
       "iqr_outliers" -> ops.Relational.aggIqrOutliers,
       "winsorized_mean" -> ops.Relational.aggWinsorizedMean,
-      "trimmed_mean" -> ops.Relational.aggTrimmedMean).foreach {
+      "trimmed_mean" -> ops.Relational.aggTrimmedMean,
+      "mad" -> ops.Relational.aggMad,
+      "qq_price_segments" -> ops.Relational.aggQqPriceSegments,
+      "equi_depth_histogram" -> ops.Relational.aggEquiDepthHistogram).foreach {
       case (n, q) =>
         val p = q(spark, sf0001).queryExecution.executedPlan.toString
         assert(!p.toLowerCase.contains("percentile"),
@@ -1065,5 +1068,41 @@ class EngineSpec extends AnyFunSuite {
         assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
           s"$n grew a shuffled join:\n${p.take(1200)}")
     }
+  }
+
+  test("round-14 §2.51–§2.53 plans: fused scans, bounded relations, no degenerate joins") {
+    // the censuses are row-local chains into one |sources| aggregate:
+    // no join of any kind may appear
+    Seq("html_extract" -> ops.Crawl.pipelineHtmlExtract,
+      "unicode_census" -> ops.Crawl.pipelineUnicodeCensus,
+      "encoding_repair" -> ops.Crawl.pipelineEncodingRepair,
+      "char_class_profile" -> ops.Crawl.pipelineCharClassProfile).foreach {
+      case (n, q) =>
+        val p = q(spark, sf0001).queryExecution.executedPlan.toString
+        assert(!p.contains("Join"), s"$n grew a join:\n${p.take(1200)}")
+    }
+    // url dedup: one distinct aggregate after an output-sized explode
+    // (multi-countDistinct over string min/max lowers to SortAggregate
+    // via expand — still join-free, the shape that matters)
+    val ud = ops.Crawl.pipelineUrlDedup(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!ud.contains("Join") && ud.contains("Aggregate"),
+      s"url_dedup degenerated:\n${ud.take(1200)}")
+    // boilerplate: the df join is equi-keyed on (source, line), the
+    // n_docs side broadcasts — never a shuffled sort join
+    val bp = ops.Crawl.pipelineBoilerplateLines(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!bp.contains("SortMergeJoin") && !bp.contains("CartesianProduct"),
+      s"boilerplate degenerated:\n${bp.take(1200)}")
+    // brown-forsythe: deviation scan is joinless (medians fold in as a
+    // literal CASE chain) and carries no Percentile buffer
+    val bf = ops.Relational.aggBrownForsythe(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!bf.toLowerCase.contains("percentile") && !bf.contains("Join"),
+      s"brown-forsythe degenerated:\n${bf.take(1200)}")
+    // turning points: one date-grain aggregate + the bounded day window
+    val tp = ops.TimeSeries.tsTurningPoints(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!tp.contains("Join"), s"turning points grew a join:\n${tp.take(1200)}")
   }
 }

@@ -89,6 +89,25 @@ class ExactQuantileSpec extends AnyFunSuite {
     for (p <- ps) assert(bits(got._2(p)) == bits(want(p)), s"p=$p")
   }
 
+  test("valueAtRanks: lower median rank equals the SQL cum-count rule") {
+    import spark.implicits._
+    // heavy ties so the rank->value walk crosses duplicate runs
+    val df = spark.range(0, 3001)
+      .select(pmod(col("id") * 31, lit(97)).cast("double").as("v"),
+        pmod(col("id"), lit(2)).cast("string").as("g"))
+    val got = graft.ops.ExactQuantile.valueAtRanks(df, col("v"),
+      Some(col("g")), n => Seq((n - 1) / 2), 8.0)
+    // oracle rule: smallest v whose cumulative count satisfies
+    // 2*cum >= n + (n % 2) — the agg_mood_median_test convention
+    val rows = df.collect().map(r => (r.getString(1), r.getDouble(0)))
+    for ((g, (n, at)) <- got) {
+      val vs = rows.filter(_._1 == g).map(_._2).sorted
+      assert(n == vs.length)
+      val want = vs((n.toInt - 1) / 2)
+      assert(bits(at((n - 1) / 2)) == bits(want), s"g=$g")
+    }
+  }
+
   test("nulls ignored like percentile()") {
     import spark.implicits._
     val df = spark.range(0, 100)

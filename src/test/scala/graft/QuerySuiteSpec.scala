@@ -343,7 +343,14 @@ class QuerySuiteSpec extends AnyFunSuite {
     "pipeline_url_profile" -> 20L, "pipeline_chunk_windows" -> 20L,
     // round 13 (§2.50)
     "agg_k_anonymity" -> 6L, "agg_wilcoxon_signed_rank" -> 1L,
-    "ts_seasonal_naive_skill" -> 1L)
+    "ts_seasonal_naive_skill" -> 1L,
+    // round 14 (§2.51–§2.52)
+    "pipeline_html_extract" -> 20L, "pipeline_unicode_census" -> 20L,
+    "pipeline_encoding_repair" -> 20L, "pipeline_url_dedup" -> 20L,
+    "pipeline_boilerplate_lines" -> 20L,
+    // round 14 (§2.53)
+    "agg_brown_forsythe" -> 1L, "ts_turning_points" -> 1L,
+    "pipeline_char_class_profile" -> 20L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
