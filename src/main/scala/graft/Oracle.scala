@@ -7869,7 +7869,49 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(n - le - di - ws) AS BIGINT) AS symbols,
   CAST((sum(le) * 1000000) // sum(n) AS BIGINT) AS letter_share_q6,
   CAST((sum(n - le - di - ws) * 1000000) // sum(n) AS BIGINT) AS symbol_share_q6
-FROM c GROUP BY 1 ORDER BY source"""
+FROM c GROUP BY 1 ORDER BY source""",
+
+      // ---- round 14 (§2.54): repeated-measures rank pair ----
+      // shared within-week doubled average ranks (epoch-week blocks,
+      // full weeks only, 2·avg = 2·less + ties + 1); Friedman Q and
+      // Page L over the same relation, each ONE double tree at the end.
+      "ts_friedman_test" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) dt, count(*) y
+  FROM ${T("orders")} GROUP BY 1),
+d AS (SELECT y, (dt - DATE '1970-01-01') // 7 wk,
+    (dt - DATE '1970-01-01') % 7 dow FROM daily),
+fw AS (SELECT wk FROM d GROUP BY wk HAVING count(*) = 7),
+f AS (SELECT d.* FROM d JOIN fw USING (wk)),
+r AS (SELECT a.wk, a.dow,
+    2 * sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END)
+      + sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) + 1 r2
+  FROM f a JOIN f b ON a.wk = b.wk GROUP BY a.wk, a.dow, a.y),
+byd AS (SELECT dow, sum(r2) r2j FROM r GROUP BY 1),
+x AS (SELECT (SELECT count(*) FROM fw) n, sum(r2j * r2j) ss,
+    min(r2j) r2_min, max(r2j) r2_max FROM byd)
+SELECT CAST(n AS BIGINT) AS n_weeks, CAST(ss AS BIGINT) AS sum_r2_sq,
+  CAST(r2_min AS BIGINT) AS r2_min, CAST(r2_max AS BIGINT) AS r2_max,
+  CAST(floor((3.0 * ss / (56.0 * n) - 24.0 * n) * 1e6) AS BIGINT) AS q_q6
+FROM x""",
+
+      "ts_page_trend" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) dt, count(*) y
+  FROM ${T("orders")} GROUP BY 1),
+d AS (SELECT y, (dt - DATE '1970-01-01') // 7 wk,
+    (dt - DATE '1970-01-01') % 7 dow FROM daily),
+fw AS (SELECT wk FROM d GROUP BY wk HAVING count(*) = 7),
+f AS (SELECT d.* FROM d JOIN fw USING (wk)),
+r AS (SELECT a.wk, a.dow,
+    2 * sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END)
+      + sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) + 1 r2
+  FROM f a JOIN f b ON a.wk = b.wk GROUP BY a.wk, a.dow, a.y),
+byd AS (SELECT dow, sum(r2) r2j FROM r GROUP BY 1),
+x AS (SELECT (SELECT count(*) FROM fw) n,
+    sum((dow + 1) * r2j) l2 FROM byd)
+SELECT CAST(n AS BIGINT) AS n_weeks, CAST(l2 AS BIGINT) AS l2_x2,
+  CAST(floor((l2 - 224.0 * n) / sqrt(1568.0 * n / 3) * 1e6) AS BIGINT)
+    AS z_q6
+FROM x"""
     )
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -2631,6 +2631,80 @@ object TimeSeries {
           asLong(floor(varOf(q) / (lit(q.toDouble) * varOf(1)) * 1e6))
             .as("vr_q6"))
     }.reduce(_ unionAll _).orderBy("q")
+  }
+
+  /** Within-week doubled average ranks of daily order counts — the
+    * shared relation under the §2.54 repeated-measures pair
+    * (ts_friedman_test / ts_page_trend). Blocks are epoch weeks
+    * (datediff div 7 — engine-identical integer arithmetic, no DOW
+    * convention to reconcile), FULL weeks only; the rank of each day
+    * within its week uses AVERAGE ranks on ties as exact doubled
+    * integers (2·avg = 2·less + ties_incl_self + 1 — the wilcoxon
+    * recipe), so Σr2 = 56 per week by construction. The 7×7 in-week
+    * self-join is calendar-bounded. */
+  private def weekRanks(s: SparkSession, d: String): DataFrame = {
+    val daily = table(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(count(lit(1)).as("y"))
+      .select(col("y"),
+        expr("datediff(dt, DATE '1970-01-01') div 7").as("wk"),
+        expr("datediff(dt, DATE '1970-01-01') % 7").as("dow"))
+    val fullWk = daily.groupBy(col("wk")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") === 7).select(col("wk"))
+    val f = daily.join(fullWk, Seq("wk"), "left_semi")
+      .localCheckpoint(true) // both sides of the in-week self-join
+    val a = f.toDF("wk", "ya", "dow")
+    val b = f.select(col("wk"), col("y").as("yb"))
+    a.join(b, Seq("wk"))
+      .groupBy(col("wk"), col("dow"), col("ya"))
+      .agg((lit(2) * sum(when(col("yb") < col("ya"), 1L).otherwise(0L)) +
+        sum(when(col("yb") === col("ya"), 1L).otherwise(0L)) + 1).as("r2"))
+      .select(col("wk"), col("dow"), col("r2"))
+  }
+
+  /** Friedman repeated-measures rank test (§2.54): does the day-of-week
+    * effect survive BLOCKING by week — the nonparametric two-way
+    * companion to ts_weekday_anova (which assumes normality) and the
+    * k-sample extension of agg_wilcoxon_signed_rank's pairing. Exact
+    * doubled average ranks (Σ = 56/week by construction); Q =
+    * 12/(nk(k+1))·ΣR_j² − 3n(k+1) evaluated as ONE double tree over
+    * exact integer totals, floored q6 (classic uncorrected form; ties
+    * use average ranks). Scale: date-grain aggregate + the
+    * calendar-bounded in-week self-join + a 7-row fold. */
+  val tsFriedmanTest: Q = (s, d) => {
+    val byd = weekRanks(s, d).groupBy(col("dow"))
+      .agg(sum(col("r2")).as("r2j"))
+    val n1 = weekRanks(s, d).select(col("wk")).distinct()
+      .agg(count(lit(1)).as("n"))
+    byd.agg(sum(col("r2j") * col("r2j")).as("ss"),
+        min(col("r2j")).as("r2_min"), max(col("r2j")).as("r2_max"))
+      .crossJoin(broadcast(n1))
+      .select(asLong(col("n")).as("n_weeks"),
+        asLong(col("ss")).as("sum_r2_sq"),
+        asLong(col("r2_min")).as("r2_min"),
+        asLong(col("r2_max")).as("r2_max"),
+        asLong(floor((lit(3.0) * col("ss") / (lit(56.0) * col("n")) -
+          lit(24.0) * col("n")) * 1e6)).as("q_q6"))
+  }
+
+  /** Page trend test (§2.54): the ORDERED alternative Friedman can't
+    * see — is the weekday effect a monotone ramp across the week
+    * (L = Σ j·R_j over the same doubled week ranks)? L2 is an exact
+    * integer; the standardization uses the untied null moments
+    * E[L2] = nk(k+1)²/2 = 224n, Var[L2] = 4·nk²(k+1)(k²−1)/144 =
+    * 1568n/3, one double tree floored q6. Shares weekRanks with
+    * ts_friedman_test (the ks/mann-whitney shared-ECDF discipline). */
+  val tsPageTrend: Q = (s, d) => {
+    val byd = weekRanks(s, d).groupBy(col("dow"))
+      .agg(sum(col("r2")).as("r2j"))
+    val n1 = weekRanks(s, d).select(col("wk")).distinct()
+      .agg(count(lit(1)).as("n"))
+    byd.agg(sum((col("dow") + 1) * col("r2j")).as("l2"))
+      .crossJoin(broadcast(n1))
+      .select(asLong(col("n")).as("n_weeks"),
+        asLong(col("l2")).as("l2_x2"),
+        asLong(floor((col("l2") - lit(224.0) * col("n")) /
+          sqrt(lit(1568.0) * col("n") / 3) * 1e6)).as("z_q6"))
   }
 
   /** Turning-point randomness census (§2.53): count the daily

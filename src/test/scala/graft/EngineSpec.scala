@@ -1104,5 +1104,13 @@ class EngineSpec extends AnyFunSuite {
     val tp = ops.TimeSeries.tsTurningPoints(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(!tp.contains("Join"), s"turning points grew a join:\n${tp.take(1200)}")
+    // friedman/page: the in-week self-join is the only join and it is
+    // calendar-bounded + equi-keyed on wk — never a shuffled sort join
+    Seq("friedman" -> ops.TimeSeries.tsFriedmanTest,
+      "page_trend" -> ops.TimeSeries.tsPageTrend).foreach { case (n, q) =>
+      val p = q(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$n degenerated:\n${p.take(1200)}")
+    }
   }
 }

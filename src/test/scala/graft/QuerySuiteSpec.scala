@@ -350,7 +350,9 @@ class QuerySuiteSpec extends AnyFunSuite {
     "pipeline_boilerplate_lines" -> 20L,
     // round 14 (§2.53)
     "agg_brown_forsythe" -> 1L, "ts_turning_points" -> 1L,
-    "pipeline_char_class_profile" -> 20L)
+    "pipeline_char_class_profile" -> 20L,
+    // round 14 (§2.54)
+    "ts_friedman_test" -> 1L, "ts_page_trend" -> 1L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
