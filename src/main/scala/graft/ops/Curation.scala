@@ -385,6 +385,13 @@ object Curation {
       nonEmptyAfterBoilerplate = bp.filter(length(col(textCol)) > 0).count(),
       afterQuality = q.count(),
       piiMaskedDocs = q.filter(masked > 0).count())
+    // the intermediate persists exist only for the five counting jobs
+    // above — release them so repeated report calls don't accumulate
+    // session-lifetime caches; q stays cached because the returned
+    // frame reads it (the caller owns its lifecycle via out.unpersist
+    // lineage — recompute falls back to the full chain if evicted)
+    u.unpersist(false)
+    bp.unpersist(false)
     (out, Some(report))
   }
 }

@@ -43,6 +43,15 @@ import org.apache.spark.sql.types._
   * (10³–10⁵ buckets per group) — callers pass a width sized to the
   * column's domain (price-like domains here: width 64 ⇒ ≤ ~10⁴
   * buckets regardless of row count).
+  *
+  * Eager + non-empty: both passes run collect() jobs WHEN CALLED (a Q
+  * that builds on this executes two bounded jobs at DataFrame-
+  * construction time — by design: the thresholds enter the plan as
+  * literals so the final fold stays one map-combined pass). An input
+  * with zero non-null values yields an EMPTY map (no synthetic NULL
+  * row like the percentile() aggregate) — callers indexing a group
+  * key must either guarantee non-empty input (every Relational caller
+  * does: the TPC-H tables) or handle the missing key themselves.
   */
 object ExactQuantile {
 

@@ -206,6 +206,10 @@ object IncrementalSpans {
   def bootstrapStored(spark: SparkSession, docs: DataFrame,
       shinglesRoot: String, dfRoot: String, spansRoot: String,
       minTok: Int = 12, files: Int = 8): StoredSpans = {
+    // bootstrap is the documented recovery from a torn advance: clear
+    // any stale fence marker so the rebuilt state is trusted again
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(spansRoot + ".advance_inprogress"))
     val st = build(docs, minTok)
     VersionedTable.create(spark, shinglesRoot,
       st.shingles.repartitionByRange(files, col("doc_id")))
@@ -249,6 +253,16 @@ object IncrementalSpans {
     * swaps atomically and has no such window). */
   def advanceStored(spark: SparkSession, corpusRoot: String, fromV: Long,
       toV: Long, st: StoredSpans, minTok: Int = 12): (Int, Int) = {
+    // a surviving marker means a prior advance died mid-commit: the
+    // stored tables may be torn (this retry would only delete+reappend
+    // docs in ITS OWN window, never repairing the earlier partial
+    // commit) — fail fast; recovery is re-bootstrapStored
+    val marker = java.nio.file.Paths.get(st.spansRoot + ".advance_inprogress")
+    if (java.nio.file.Files.exists(marker))
+      throw new IllegalStateException(
+        s"previous advanceStored aborted mid-commit ($marker: " +
+          s"${java.nio.file.Files.readString(marker)}); stored state may " +
+          "be torn - re-run bootstrapStored from the corpus snapshot")
     val feed =
       VersionedTable.changeFeed(spark, corpusRoot, fromV, toV, Seq("doc_id"))
     if (feed.isEmpty) {
@@ -332,7 +346,6 @@ object IncrementalSpans {
     // lower to table ops: chunked predicate DELETEs + appends — fenced
     // by the in-progress marker (see Scaladoc: readers seeing it must
     // re-bootstrap from the recorded corpus version, not trust state)
-    val marker = java.nio.file.Paths.get(st.spansRoot + ".advance_inprogress")
     java.nio.file.Files.writeString(marker, s"fromV=$fromV toV=$toV")
     val docIds = changedIds.collect().map(_.getLong(0))
     var touched = 0

@@ -1735,17 +1735,26 @@ object Relational {
     * Per-customer revenue is the 2dp-rounded DECIMAL sum (identical
     * doubles feed the interpolated percentile in both engines, the
     * agg_iqr contract); the share divides two DECIMAL-exact sums once.
-    * Scale: one o_custkey aggregate, a bounded percentile, a 1-row
-    * broadcast threshold. */
+    * Round 15: the p99 threshold via [[ExactQuantile.quantiles]]
+    * (bit-identical to percentile() by the replayed interpolation) —
+    * the last data-sized single-buffer percentile() in the suite: the
+    * per-customer revenue relation has ~1 distinct value per customer,
+    * so at a 100× customer dimension the old single-task counts-map
+    * merge was a multi-million-entry buffer. Scale: one o_custkey
+    * aggregate (checkpointed — customer-grain, consumed by the two
+    * bounded ExactQuantile passes and the final fold), threshold as a
+    * literal, one map-combined fold. */
   val aggTop1pctShare: Q = (s, d) => {
     val rev = table(s, d, "orders")
       .groupBy(col("o_custkey"))
       .agg(round(sum(dec2(col("o_totalprice"))).cast(DoubleType), 2).as("rev"))
-    val thr = rev.agg(expr("percentile(rev, 0.99D)").as("thr"))
-    rev.crossJoin(broadcast(thr))
-      .agg(asLong(count(lit(1))).as("n_customers"),
-        asLong(sum(when(col("rev") >= col("thr"), 1L).otherwise(0L))).as("n_top"),
-        round(sum(when(col("rev") >= col("thr"), col("rev").cast(D18_2)))
+      .localCheckpoint(true)
+    val (_, thm) = ExactQuantile.quantiles(rev, col("rev"), None,
+      Seq(0.99), bucketWidth = 64.0)("")
+    val thr = lit(thm(0.99))
+    rev.agg(asLong(count(lit(1))).as("n_customers"),
+        asLong(sum(when(col("rev") >= thr, 1L).otherwise(0L))).as("n_top"),
+        round(sum(when(col("rev") >= thr, col("rev").cast(D18_2)))
           .cast(DoubleType) /
           sum(col("rev").cast(D18_2)).cast(DoubleType), 6).as("top_share"))
   }

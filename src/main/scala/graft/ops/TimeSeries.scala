@@ -2653,13 +2653,19 @@ object TimeSeries {
       .filter(col("nd") === 7).select(col("wk"))
     val f = daily.join(fullWk, Seq("wk"), "left_semi")
       .localCheckpoint(true) // both sides of the in-week self-join
-    val a = f.toDF("wk", "ya", "dow")
+    // explicit rename (round 15): the using-join output order is an
+    // analyzer detail — positional toDF would silently swap columns
+    // if it ever changed
+    val a = f.select(col("wk"), col("y").as("ya"), col("dow"))
     val b = f.select(col("wk"), col("y").as("yb"))
     a.join(b, Seq("wk"))
       .groupBy(col("wk"), col("dow"), col("ya"))
       .agg((lit(2) * sum(when(col("yb") < col("ya"), 1L).otherwise(0L)) +
         sum(when(col("yb") === col("ya"), 1L).otherwise(0L)) + 1).as("r2"))
       .select(col("wk"), col("dow"), col("r2"))
+      // weeks·7 rows; consumed twice per caller (per-dow totals + the
+      // distinct-week count), so the self-join runs once
+      .localCheckpoint(true)
   }
 
   /** Friedman repeated-measures rank test (§2.54): does the day-of-week
@@ -2672,9 +2678,10 @@ object TimeSeries {
     * use average ranks). Scale: date-grain aggregate + the
     * calendar-bounded in-week self-join + a 7-row fold. */
   val tsFriedmanTest: Q = (s, d) => {
-    val byd = weekRanks(s, d).groupBy(col("dow"))
+    val wr = weekRanks(s, d) // one call: checkpointed, read twice
+    val byd = wr.groupBy(col("dow"))
       .agg(sum(col("r2")).as("r2j"))
-    val n1 = weekRanks(s, d).select(col("wk")).distinct()
+    val n1 = wr.select(col("wk")).distinct()
       .agg(count(lit(1)).as("n"))
     byd.agg(sum(col("r2j") * col("r2j")).as("ss"),
         min(col("r2j")).as("r2_min"), max(col("r2j")).as("r2_max"))
@@ -2695,9 +2702,10 @@ object TimeSeries {
     * 1568n/3, one double tree floored q6. Shares weekRanks with
     * ts_friedman_test (the ks/mann-whitney shared-ECDF discipline). */
   val tsPageTrend: Q = (s, d) => {
-    val byd = weekRanks(s, d).groupBy(col("dow"))
+    val wr = weekRanks(s, d) // one call: checkpointed, read twice
+    val byd = wr.groupBy(col("dow"))
       .agg(sum(col("r2")).as("r2j"))
-    val n1 = weekRanks(s, d).select(col("wk")).distinct()
+    val n1 = wr.select(col("wk")).distinct()
       .agg(count(lit(1)).as("n"))
     byd.agg(sum((col("dow") + 1) * col("r2j")).as("l2"))
       .crossJoin(broadcast(n1))

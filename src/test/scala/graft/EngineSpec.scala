@@ -1060,7 +1060,10 @@ class EngineSpec extends AnyFunSuite {
       "trimmed_mean" -> ops.Relational.aggTrimmedMean,
       "mad" -> ops.Relational.aggMad,
       "qq_price_segments" -> ops.Relational.aggQqPriceSegments,
-      "equi_depth_histogram" -> ops.Relational.aggEquiDepthHistogram).foreach {
+      "equi_depth_histogram" -> ops.Relational.aggEquiDepthHistogram,
+      // round 15: the customer-grain p99 threshold (the last data-
+      // sized single-buffer percentile() in the suite) re-shaped too
+      "top1pct_share" -> ops.Relational.aggTop1pctShare).foreach {
       case (n, q) =>
         val p = q(spark, sf0001).queryExecution.executedPlan.toString
         assert(!p.toLowerCase.contains("percentile"),
