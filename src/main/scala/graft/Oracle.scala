@@ -7911,7 +7911,46 @@ x AS (SELECT (SELECT count(*) FROM fw) n,
 SELECT CAST(n AS BIGINT) AS n_weeks, CAST(l2 AS BIGINT) AS l2_x2,
   CAST(floor((l2 - 224.0 * n) / sqrt(1568.0 * n / 3) * 1e6) AS BIGINT)
     AS z_q6
-FROM x"""
+FROM x""",
+
+      // NFKC compatibility census: DuckDB has no NFKC, so the oracle
+      // expands the PLANTED compatibility set by literal replaces
+      // (verified equal to true NFKC on every planted snippet; the
+      // base text is pure ASCII, an NFKC fixed point) - the md5 range
+      // pins the JDK normalizer against hand-derived expansions.
+      "pipeline_nfkc_census" ->
+        s"""WITH dirty AS (SELECT source, doc_id, concat(text,
+    CASE WHEN doc_id % 4 = 0 THEN ' \uFF37\uFF49\uFF44\uFF54\uFF48\uFF0D\uFF15\uFF16\u3000\uFF4F\uFF4B' ELSE '' END,
+    CASE WHEN doc_id % 6 = 0 THEN ' \uFB01ne \uFB02ow o\uFB03ce' ELSE '' END,
+    CASE WHEN doc_id % 9 = 0 THEN ' \u2116\uFF14 \u2122 \u00BD x\u00B2 cafe\u0301' ELSE '' END) t
+  FROM ${T("documents")}),
+n AS (SELECT source, t, replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(t, '\uFF37', 'W'), '\uFF49', 'i'), '\uFF44', 'd'), '\uFF54', 't'), '\uFF48', 'h'), '\uFF0D', '-'), '\uFF15', '5'), '\uFF16', '6'), '\u3000', ' '), '\uFF4F', 'o'), '\uFF4B', 'k'), '\uFB01', 'fi'), '\uFB02', 'fl'), '\uFB03', 'ffi'), '\u2116', 'No'), '\uFF14', '4'), '\u2122', 'TM'), '\u00BD', '1\u20442'), '\u00B2', '2'), 'e\u0301', '\u00E9') nt FROM dirty)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN nt <> t THEN 1 ELSE 0 END) AS BIGINT) AS docs_compat,
+  CAST(sum(length(t)) AS BIGINT) AS chars_raw,
+  CAST(sum(length(nt)) AS BIGINT) AS chars_nfkc,
+  CAST(sum(length(nt)) - sum(length(t)) AS BIGINT) AS chars_delta,
+  min(md5(nt)) AS fp_min, max(md5(nt)) AS fp_max
+FROM n GROUP BY 1 ORDER BY source""",
+
+      // Deterministic shard-pack manifest: md5 global order, running
+      // token sum, integer floor-divide budget rule - content_md5
+      // folds per-doc md5s IN pack order (string_agg ORDER BY), so it
+      // pins the order itself, not just membership.
+      "pipeline_export_manifest" ->
+        s"""WITH t AS (SELECT doc_id, text,
+    md5(concat('shard|', CAST(doc_id AS VARCHAR))) k,
+    CAST(len(string_split(text, ' ')) AS BIGINT) tok
+  FROM ${T("documents")}),
+c AS (SELECT text, k, tok,
+    sum(tok) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+      AND CURRENT ROW) - tok AS cumb FROM t),
+s AS (SELECT text, k, tok, CAST(cumb // 2048 AS BIGINT) shard FROM c)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(tok) AS BIGINT) AS n_tokens,
+  min(k) AS k_min, max(k) AS k_max,
+  md5(string_agg(md5(text), '' ORDER BY k)) AS content_md5
+FROM s GROUP BY 1 ORDER BY shard"""
     )
   }
 }

@@ -1030,20 +1030,30 @@ class Naqed(spark: SparkSession, sfDir: String) {
     * report as a (stage, n_docs) DataFrame in stage order — each row
     * value-equal to running the corresponding Curation stage alone
     * (NaqedSpec pins both). `$min_tokens` / `$max_stop_ratio` tune the
-    * quality gate. Unknown arguments fail analysis naqed-style. */
+    * quality gate. `$action -> "export"` (round 15) runs the clean
+    * pipeline and packs the result into deterministic fixed-budget
+    * training shards (ops.Export): returns the shard MANIFEST; when
+    * `$out -> dir` is supplied the shards are also written as
+    * hive-partitioned parquet (`$budget` tokens per shard, default
+    * 2048 — `$out`/`$budget` are export-only arguments, rejected
+    * otherwise). Unknown arguments fail analysis naqed-style. */
   def crawl(q: Map[String, Any] = Map.empty): DataFrame = {
-    val known = Set("$action", "$min_tokens", "$max_stop_ratio")
+    val known = Set("$action", "$min_tokens", "$max_stop_ratio",
+      "$budget", "$out")
     val unknown = q.keys.filterNot(known.contains)
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"unknown crawl arguments ${unknown.mkString(", ")}; " +
-          "valid: $action, $min_tokens, $max_stop_ratio")
+          "valid: $action, $min_tokens, $max_stop_ratio, $budget, $out")
     val action = q.get("$action") match {
-      case Some(s: String) if Set("clean", "report")(s) => s
+      case Some(s: String) if Set("clean", "report", "export")(s) => s
       case Some(other) => throw new IllegalArgumentException(
-        s"unknown crawl action '$other'; valid: clean, report")
+        s"unknown crawl action '$other'; valid: clean, report, export")
       case None => "clean"
     }
+    if (action != "export" && (q.contains("$budget") || q.contains("$out")))
+      throw new IllegalArgumentException(
+        "$budget/$out only apply to $action -> export")
     val minTok = q.get("$min_tokens") match {
       case Some(n: Number) => n.intValue()
       case Some(other) => throw new IllegalArgumentException(
@@ -1072,6 +1082,25 @@ class Naqed(spark: SparkSession, sfDir: String) {
           ("after_quality", rep.afterQuality),
           ("pii_masked_docs", rep.piiMaskedDocs))
           .toDF("stage", "n_docs")
+      case "export" =>
+        val budget = q.get("$budget") match {
+          case Some(n: Number) if n.longValue() > 0 => n.longValue()
+          case Some(other) => throw new IllegalArgumentException(
+            s"$$budget expects a positive number of tokens, got $other")
+          case None => 2048L
+        }
+        val cleaned = graft.ops.Curation.crawl(
+          graft.Tables(spark, sfDir, "documents"),
+          "text", minTok, maxStop, withReport = false)._1
+        q.get("$out") match {
+          case Some(dir: String) =>
+            graft.ops.Export.exportShards(cleaned, dir, budget)
+          case Some(other) => throw new IllegalArgumentException(
+            s"$$out expects a directory path string, got $other")
+          case None =>
+            graft.ops.Export.manifest(
+              graft.ops.Export.assignShards(cleaned, budget))
+        }
     }
   }
 

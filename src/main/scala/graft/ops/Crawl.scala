@@ -49,6 +49,13 @@ object Crawl {
   /** Unicode NFC normalization (codegen'd NfcNormalize expression). */
   def nfcText(spark: SparkSession, c: Column): Column = NfcNormalize.nfc(spark, c)
 
+  /** Unicode NFKC compatibility normalization (same codegen'd
+    * expression, form="NFKC"): folds fullwidth forms, ligatures and
+    * compatibility signs INTO their plain twins — the normalization
+    * dedup keys and token stats need on multilingual crawl data, where
+    * NFC alone leaves Ａ/A and ﬁ/fi distinct. */
+  def nfkcText(spark: SparkSession, c: Column): Column = NfcNormalize.nfkc(spark, c)
+
   /** Mojibake pairs repaired by [[repairEncoding]]: UTF-8 bytes read
     * back as Latin-1/cp1252 — the classic double-encoding accidents
     * (Ã© = é, â€™ = ’, …). Literal replaces only, so the chain is
@@ -122,6 +129,21 @@ object Crawl {
       lit(" caf\u00e9 d\u00e9j\u00e0 vu")).otherwise(lit("")),
     when(col("doc_id") % 9 === 0, // NFD ring + diaeresis
       lit(" A\u030angstro\u0308m unit")).otherwise(lit("")))
+
+  /** Mixed-compatibility fixture: fullwidth letters/digits + the
+    * ideographic space (%4 — the dominant CJK-crawl twins), Latin
+    * ligatures (%6), and compatibility signs plus one NFD straggler
+    * (%9 — NFKC must also compose what NFC would). All escapes, per
+    * the fixture discipline. */
+  private[graft] def nfkcDirtyText: Column = concat(col("text"),
+    when(col("doc_id") % 4 === 0, // fullwidth Width-56 ok + U+3000
+      lit(" \uFF37\uFF49\uFF44\uFF54\uFF48\uFF0D\uFF15\uFF16\u3000\uFF4F\uFF4B"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 6 === 0, // fi / fl / ffi ligatures
+      lit(" \uFB01ne \uFB02ow o\uFB03ce")).otherwise(lit("")),
+    when(col("doc_id") % 9 === 0, // No4 TM 1/2 x^2 + NFD cafe
+      lit(" \u2116\uFF14 \u2122 \u00BD x\u00B2 cafe\u0301"))
+      .otherwise(lit("")))
 
   /** Mojibake fixture: UTF-8-read-as-Latin-1 accents and cp1252
     * punctuation (printable sequences only). */
@@ -304,6 +326,34 @@ object Crawl {
         asLong(col("symbols")).as("symbols"),
         expr("(letters * 1000000) div n_chars").as("letter_share_q6"),
         expr("(symbols * 1000000) div n_chars").as("symbol_share_q6"))
+      .orderBy("source")
+  }
+
+  /** Unicode NFKC compatibility census (§2.55): per source, docs whose
+    * NFKC form differs from the raw bytes, the signed char delta
+    * (ligatures EXPAND: ﬁ→fi; fullwidth folds are length-neutral) and
+    * min/max md5 of the normalized texts. DuckDB has no NFKC function,
+    * so the oracle expands the planted compatibility set by literal
+    * replaces — the md5 range therefore pins the JDK's NFKC against
+    * hand-derived Unicode expansions (the base text is pure ASCII, a
+    * fixed point of NFKC). Scale: one codegen'd normalize per row,
+    * fused into the scan; one |sources| aggregate. */
+  val pipelineNfkcCensus: Q = (s, d) => {
+    val nt = nfkcText(s, nfkcDirtyText)
+    table(s, d, "documents")
+      .select(col("source"), nfkcDirtyText.as("t"), nt.as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nt") =!= col("t"), 1L).otherwise(0L)).as("docs_compat"),
+        sum(length(col("t")).cast(LongType)).as("chars_raw"),
+        sum(length(col("nt")).cast(LongType)).as("chars_nfkc"),
+        min(md5(col("nt"))).as("fp_min"), max(md5(col("nt"))).as("fp_max"))
+      .select(col("source"), asLong(col("n_docs")).as("n_docs"),
+        asLong(col("docs_compat")).as("docs_compat"),
+        asLong(col("chars_raw")).as("chars_raw"),
+        asLong(col("chars_nfkc")).as("chars_nfkc"),
+        asLong(col("chars_nfkc") - col("chars_raw")).as("chars_delta"),
+        col("fp_min"), col("fp_max"))
       .orderBy("source")
   }
 

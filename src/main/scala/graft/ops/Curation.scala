@@ -279,12 +279,21 @@ object Curation {
   def extractHtml(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn(textCol, Crawl.extractHtmlText(col(textCol)))
 
-  /** Unicode NFC normalization stage (codegen'd NfcNormalize). Run
-    * BEFORE any hashing/shingling stage so NFC/NFD twins collapse
-    * (CurationSpec pins planted NFD twins exact-dedup together).
-    * Idempotent: NFC(NFC(s)) == NFC(s). */
-  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.withColumn(textCol, Crawl.nfcText(docs.sparkSession, col(textCol)))
+  /** Unicode normalization stage (codegen'd NfcNormalize). Run BEFORE
+    * any hashing/shingling stage so normalization twins collapse
+    * (CurationSpec pins planted NFD twins exact-dedup together; with
+    * form="NFKC", planted fullwidth/ligature COMPATIBILITY twins
+    * collapse too — the multilingual-crawl requirement NFC alone
+    * misses). Idempotent for both forms: f(f(s)) == f(s). */
+  def normalizeText(docs: DataFrame, textCol: String = "text",
+      form: String = "NFC"): DataFrame = form match {
+    case "NFC" =>
+      docs.withColumn(textCol, Crawl.nfcText(docs.sparkSession, col(textCol)))
+    case "NFKC" =>
+      docs.withColumn(textCol, Crawl.nfkcText(docs.sparkSession, col(textCol)))
+    case other => throw new IllegalArgumentException(
+      s"unsupported normalization form '$other'; valid: NFC, NFKC")
+  }
 
   /** Encoding (mojibake) repair stage: the ordered literal replace
     * chain of pipeline_encoding_repair. Row-local. */

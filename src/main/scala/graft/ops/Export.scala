@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic training-shard export — the corpus last mile (§2.55):
+  * the curated corpus globally shuffled into a reproducible order and
+  * packed into fixed token-budget shards with a verifiable manifest.
+  * This is the operator every training-data user runs last and checks
+  * first: the same curated input must produce byte-identical shards on
+  * every run, on any cluster layout, or training runs are not
+  * reproducible.
+  *
+  *  - ORDER: md5("shard|" + doc_id) — the engine's seeded-order
+  *    precedent (sampling family): deterministic, engine-portable
+  *    (DuckDB computes the identical hex), uniform (so consecutive
+  *    docs are an unbiased shuffle of the corpus — the reason training
+  *    export shuffles at all), and a TOTAL order (md5 of distinct ids).
+  *  - PACK: shard = floor(tokensBefore / budget) over the global
+  *    running token sum in that order — a pure function of the corpus
+  *    content, independent of partitioning. A shard's token mass lands
+  *    in [budget − maxDocTok + 1, budget + maxDocTok − 1]: the greedy
+  *    sequential rule every shard packer uses, made deterministic.
+  *  - MANIFEST: per shard, doc/token counts, the order-key range, and
+  *    md5 of the concatenated per-doc content md5s IN ORDER — so a
+  *    consumer can verify any shard without re-reading the corpus.
+  *
+  * Scale: the running token sum is [[GlobalRank.withRunningSum]] —
+  * ONE range shuffle + a |partitions|-row offsets collect, never a
+  * single-task window; the manifest groups |docs| rows into |shards|
+  * whose per-shard sorted-md5 fold is budget-bounded (≤ budget/minTok
+  * docs per shard). The shard write is one `partitionBy(shard)` pass.
+  */
+object Export {
+
+  /** docs + (`_k` order key, `tok` whitespace token count, `shard`
+    * BIGINT id): the deterministic pack assignment, as a pure
+    * transform (no writes — the oracle face and the writer share it).
+    */
+  def assignShards(docs: DataFrame, budget: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    val keyed = docs
+      .withColumn("_k", md5(concat(lit("shard|"), col(idCol).cast(StringType))))
+      .withColumn("tok", size(split(col(textCol), " ")).cast(LongType))
+    GlobalRank.withRunningSum(keyed, Seq(col("_k")), "tok", "_cum")
+      .withColumn("shard",
+        floor((col("_cum") - col("tok")) / budget).cast(LongType))
+      .drop("_cum")
+  }
+
+  /** The shard manifest of an [[assignShards]] output: per shard, doc
+    * and token counts, the md5-order key range, and the content
+    * fingerprint (md5 of per-doc text md5s concatenated in shard
+    * order). */
+  def manifest(sharded: DataFrame, textCol: String = "text"): DataFrame =
+    sharded
+      .select(col("shard"), col("_k"), col("tok"),
+        md5(col(textCol)).as("_m"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+        min(col("_k")).as("k_min"), max(col("_k")).as("k_max"),
+        md5(concat_ws("", transform(
+          array_sort(collect_list(struct(col("_k"), col("_m")))),
+          x => x.getField("_m")))).as("content_md5"))
+      .select(col("shard"), asLong(col("n_docs")).as("n_docs"),
+        asLong(col("n_tokens")).as("n_tokens"),
+        col("k_min"), col("k_max"), col("content_md5"))
+      .orderBy("shard")
+
+  /** Write the packed corpus: one hive-partitioned parquet tree
+    * (`shard=N/`, rows sorted by the order key within each shard) plus
+    * `_manifest` parquet beside it. Returns the manifest. */
+  def exportShards(docs: DataFrame, outDir: String, budget: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sharded = assignShards(docs, budget, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val man = manifest(sharded, textCol)
+    sharded
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("_k"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard").parquet(outDir)
+    man.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(outDir + "_manifest")
+    sharded.unpersist(false)
+    man
+  }
+
+  /** Shard-manifest census (§2.55 oracle face): the deterministic pack
+    * of the documents table at a 2048-token budget, manifest-grain.
+    * Exactness: the order key and per-doc md5s are engine-identical
+    * hex strings; token counts are the suite's whitespace convention;
+    * the running sum and the integer floor-divide shard rule are exact
+    * BIGINT arithmetic; content_md5 pins the PACK ORDER itself (DuckDB
+    * folds with string_agg ORDER BY k — same sequence). Scale: one
+    * range shuffle + |partitions| offsets collect (GlobalRank), one
+    * |shards| aggregate. */
+  val pipelineExportManifest: Q = (s, d) =>
+    manifest(assignShards(table(s, d, "documents"), 2048L))
+}

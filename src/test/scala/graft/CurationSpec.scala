@@ -260,6 +260,29 @@ class CurationSpec extends AnyFunSuite {
     assert(n1.exceptAll(n2).count() == 0 && n2.exceptAll(n1).count() == 0)
   }
 
+  test("normalizeText(NFKC) collapses planted compatibility twins NFC leaves distinct") {
+    // fullwidth/ligature twins of the same words: NFC is a no-op on
+    // them (they are canonically distinct), NFKC folds them together
+    val twins = docsWith(i =>
+      if (i % 2 == 0) "the \uFB01ne \uFF35\uFF32\uFF2C list " + (i / 2)
+      else "the fine URL list " + (i / 2))
+    assert(Curation.exactDedup(twins).count() == 40L,
+      "compatibility twins wrongly collapsed without NFKC")
+    assert(Curation.exactDedup(Curation.normalizeText(twins)).count() == 40L,
+      "canonical NFC must NOT fold compatibility characters")
+    val after = Curation.exactDedup(
+      Curation.normalizeText(twins, form = "NFKC")).count()
+    assert(after == 20L,
+      s"NFKC twins should collapse 40 -> 20, got $after")
+    // idempotent, and invalid forms raise
+    val n1 = Curation.normalizeText(twins, form = "NFKC")
+    val n2 = Curation.normalizeText(n1, form = "NFKC")
+    assert(n1.exceptAll(n2).count() == 0 && n2.exceptAll(n1).count() == 0)
+    intercept[IllegalArgumentException] {
+      Curation.normalizeText(twins, form = "NFX")
+    }
+  }
+
   test("repairEncoding fixes mojibake and is idempotent") {
     val moj = docsWith(i => s"doc $i with " +
       "r\u00c3\u00a9sum\u00c3\u00a9 and it\u00e2\u20ac\u2122s fine")
