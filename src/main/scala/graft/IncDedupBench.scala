@@ -163,7 +163,88 @@ object IncDedupBench {
       System.out.flush()
     }
 
+    /** Same sweep for [[graft.ops.IncrementalUrlDedup]] (round 15):
+      * the canonical-URL key state under a URL-bearing corpus (the
+      * §2.52 tracked-URL fixture appended to every doc, so twins and
+      * keyless docs both exist) and a mixed delta whose inserts carry
+      * fresh URLs, updates DROP their URLs (key-leave exercised) and
+      * deletes remove keepers. The state is one (doc_id, ukey)
+      * relation, so the claim is the strongest of the incremental
+      * family: advance touches only |delta| feed rows — no snapshot
+      * scan at all — plus the stored table's file-pruned DELETE. */
+    def measureTierUrl(dir: String, n: Int): Unit = {
+      import spark.implicits._
+      val docs = Tables(spark, dir, "documents")
+        .withColumn("text", graft.ops.Crawl.urlTrackedText)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val nDocs = docs.count()
+      val root = s"$tmpRoot/url_corpus_${nDocs}"
+      VersionedTable.create(spark, root, docs)
+      val v1 = VersionedTable.versions(spark, root).last
+      var state: graft.ops.IncrementalUrlDedup.State = null
+      val tBuild = timed {
+        state = graft.ops.IncrementalUrlDedup.build(
+          VersionedTable.read(spark, root, Some(v1)))
+        state.keys.count(); ()
+      }
+      def urlDelta(salt: Int): (Long, Long) = {
+        val fromV = VersionedTable.versions(spark, root).last
+        val snap = VersionedTable.read(spark, root)
+        val ids = snap.select(col("doc_id"))
+          .orderBy(md5(concat(lit(s"upick$salt|"), col("doc_id").cast("string"))))
+          .limit(n).collect().map(_.getLong(0))
+        val maxId = snap.agg(max("doc_id")).head().getLong(0)
+        val nIns = n / 2; val nUpd = n / 4
+        val insRows = (0 until nIns).map { i =>
+          val text = s"ins${salt}x$i see https://b$salt.example/p${i % 40} ok"
+          (maxId + 1 + i, text, "en", "bench", text.length.toLong)
+        }
+        val updRows = (nIns until nIns + nUpd).map { i =>
+          val text = s"upd${salt}x$i no links any more"
+          (ids(i), text, "en", "bench", text.length.toLong)
+        }
+        val delIds = (nIns + nUpd until n).map(ids(_))
+        VersionedTable.append(spark, root,
+          insRows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+        VersionedTable.merge(spark, root,
+          updRows.toDF("doc_id", "text", "lang", "source", "n_chars"),
+          Seq("doc_id"))
+        VersionedTable.deleteWhere(spark, root,
+          s"doc_id IN (${delIds.mkString(",")})")
+        (fromV, VersionedTable.versions(spark, root).last)
+      }
+      val (fromV, toV) = urlDelta(0)
+      var s2: graft.ops.IncrementalUrlDedup.State = null
+      val tAdv = timed {
+        s2 = graft.ops.IncrementalUrlDedup.advance(spark, root, fromV, toV, state)
+        s2.keys.count(); ()
+      }
+      val tRebuild = timed {
+        graft.ops.IncrementalUrlDedup.build(
+          VersionedTable.read(spark, root, Some(toV))).keys.count(); ()
+      }
+      // stored face on a fresh delta — the daily-loop number
+      val postV = VersionedTable.versions(spark, root).last
+      val stored = graft.ops.IncrementalUrlDedup.bootstrapStored(spark,
+        VersionedTable.read(spark, root, Some(postV)),
+        s"$tmpRoot/url_state_${nDocs}")
+      val (f2, t2) = urlDelta(1)
+      val tAdvStored = timed {
+        graft.ops.IncrementalUrlDedup.advanceStored(spark, root, f2, t2, stored); ()
+      }
+      println(s"""{"family":"inc_url","dir":"$dir","n_docs":$nDocs,"initial_build":${r3(tBuild)},"steps":[{"delta":$n,"advance":${r3(tAdv)},"advance_stored":${r3(tAdvStored)},"full_rebuild":${r3(tRebuild)}}]}""")
+      System.out.flush()
+    }
+
     val mode = sys.env.getOrElse("SPARK_GRAFT_INCDEDUP_MODE", "all")
+    // url-key sweep (round 15): fixed 200-doc delta across the decades
+    if (mode == "all" || mode == "url") {
+      Seq("/root/testdata/sf0.1",
+        new java.io.File("fixtures/sf1_docs").getAbsolutePath,
+        new java.io.File("fixtures/sf10_docs").getAbsolutePath)
+        .filter(d => new java.io.File(s"$d/documents.parquet").exists())
+        .foreach(d => measureTierUrl(d, 200))
+    }
     // spans sweep (round 13): fixed 200-doc delta across three decades
     if (mode == "all" || mode == "spans") {
       Seq("/root/testdata/sf0.1",

@@ -7950,7 +7950,147 @@ SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(tok) AS BIGINT) AS n_tokens,
   min(k) AS k_min, max(k) AS k_max,
   md5(string_agg(md5(text), '' ORDER BY k)) AS content_md5
-FROM s GROUP BY 1 ORDER BY shard"""
+FROM s GROUP BY 1 ORDER BY shard""",
+
+      // ---- round 15 (§2.56): robust shape, rank & goodness-of-fit ----
+      // Bowley/Kelly quantile skewness: quantile_cont == the
+      // interpolated percentile (agg_median_quantile contract); each
+      // coefficient is one double tree over identical doubles.
+      "agg_quantile_skew" ->
+        s"""WITH q AS (SELECT count(*) n,
+    quantile_cont(o_totalprice, 0.10) q10,
+    quantile_cont(o_totalprice, 0.25) q25,
+    quantile_cont(o_totalprice, 0.50) q50,
+    quantile_cont(o_totalprice, 0.75) q75,
+    quantile_cont(o_totalprice, 0.90) q90
+  FROM ${T("orders")})
+SELECT n, floor(q10*100)/100 AS q10, floor(q25*100)/100 AS q25,
+  floor(q50*100)/100 AS q50, floor(q75*100)/100 AS q75,
+  floor(q90*100)/100 AS q90,
+  CAST(floor((q75 + q25 - 2.0*q50) / (q75 - q25) * 1e6) AS BIGINT)
+    AS bowley_q6,
+  CAST(floor((q90 + q10 - 2.0*q50) / (q90 - q10) * 1e6) AS BIGINT)
+    AS kelly_q6
+FROM q""",
+
+      // Grubbs statistics: exact HUGEINT sum/sum-of-squares (operand
+      // promoted before the multiply), integer extrema, one double
+      // tree per statistic.
+      "agg_grubbs_max" ->
+        s"""WITH e AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) v
+  FROM ${T("orders")}),
+t AS (SELECT count(*) n, sum(CAST(v AS HUGEINT)) sv,
+    sum(CAST(v AS HUGEINT) * v) qv, max(v) mx, min(v) mn FROM e)
+SELECT CAST(n AS BIGINT) AS n, CAST(mx AS BIGINT) AS max_cents,
+  CAST(mn AS BIGINT) AS min_cents,
+  CAST(floor((CAST(mx AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+    / sqrt((CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) * 1e6) AS BIGINT)
+    AS g_max_q6,
+  CAST(floor((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) - CAST(mn AS DOUBLE))
+    / sqrt((CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) * 1e6) AS BIGINT)
+    AS g_min_q6
+FROM t""",
+
+      // Kruskal–Wallis: doubled average ranks from the value-grain
+      // pooled cumulative (mann-whitney recipe), HUGEINT rank sums,
+      // tie-corrected H in ONE double tree matching the Spark order.
+      "agg_kruskal_wallis" ->
+        s"""WITH e AS (SELECT o_orderstatus g,
+    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) v
+  FROM ${T("orders")}),
+grain AS (SELECT v, count(*) c,
+    sum(CASE WHEN g = 'F' THEN 1 ELSE 0 END) cf,
+    sum(CASE WHEN g = 'O' THEN 1 ELSE 0 END) co,
+    sum(CASE WHEN g = 'P' THEN 1 ELSE 0 END) cp
+  FROM e GROUP BY 1),
+cum AS (SELECT *, sum(c) OVER (ORDER BY v) - c AS b4 FROM grain),
+t AS (SELECT
+    sum(CAST(cf * (2*b4 + c + 1) AS HUGEINT)) r2f,
+    sum(CAST(co * (2*b4 + c + 1) AS HUGEINT)) r2o,
+    sum(CAST(cp * (2*b4 + c + 1) AS HUGEINT)) r2p,
+    sum(CAST(c*c*c - c AS HUGEINT)) tie3,
+    sum(cf) nf, sum(co) no_, sum(cp) np_ FROM cum),
+x AS (SELECT nf, no_, np_, r2f, r2o, r2p, tie3,
+    CAST(nf + no_ + np_ AS DOUBLE) nd,
+    CAST(r2f AS DOUBLE) * CAST(r2f AS DOUBLE) / (4.0 * CAST(nf AS DOUBLE))
+      + CAST(r2o AS DOUBLE) * CAST(r2o AS DOUBLE) / (4.0 * CAST(no_ AS DOUBLE))
+      + CAST(r2p AS DOUBLE) * CAST(r2p AS DOUBLE) / (4.0 * CAST(np_ AS DOUBLE)) a
+  FROM t)
+SELECT CAST(nf + no_ + np_ AS BIGINT) AS n, CAST(nf AS BIGINT) AS n_f,
+  CAST(no_ AS BIGINT) AS n_o, CAST(np_ AS BIGINT) AS n_p,
+  CAST(r2f AS BIGINT) AS r2_f, CAST(r2o AS BIGINT) AS r2_o,
+  CAST(r2p AS BIGINT) AS r2_p,
+  CAST(floor((12.0 / (nd * (nd + 1.0)) * a - 3.0 * (nd + 1.0))
+    / (1.0 - CAST(tie3 AS DOUBLE) / (nd * nd * nd - nd)) * 1e6) AS BIGINT)
+    AS h_q6
+FROM x""",
+
+      // G-test vs uniform week: epoch-day %% 7 dow, per-cell terms
+      // floor-quantized before the 7-cell sum (chi2 recipe).
+      "agg_g_test_dow" ->
+        s"""WITH c AS (SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 7 dow, count(*) o
+  FROM ${T("orders")} GROUP BY 1),
+tot AS (SELECT sum(o) n FROM c)
+SELECT CAST(n AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k_cells,
+  CAST(min(o) AS BIGINT) AS o_min, CAST(max(o) AS BIGINT) AS o_max,
+  CAST(sum(CAST(floor(2.0 * o * ln(o * 7.0 / CAST(n AS DOUBLE)) * 1e6)
+    AS BIGINT)) AS BIGINT) AS g_q6
+FROM c, tot GROUP BY n""",
+
+      // Kendall's W over the shared week-rank relation: exact integer
+      // S*4, one double division.
+      "ts_kendall_w" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) dt, count(*) y
+  FROM ${T("orders")} GROUP BY 1),
+d AS (SELECT y, (dt - DATE '1970-01-01') // 7 wk,
+    (dt - DATE '1970-01-01') % 7 dow FROM daily),
+fw AS (SELECT wk FROM d GROUP BY wk HAVING count(*) = 7),
+f AS (SELECT d.* FROM d JOIN fw USING (wk)),
+r AS (SELECT a.wk, a.dow,
+    2 * sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END)
+      + sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) + 1 r2
+  FROM f a JOIN f b ON a.wk = b.wk GROUP BY a.wk, a.dow, a.y),
+byd AS (SELECT dow, sum(r2) r2j FROM r GROUP BY 1),
+x AS (SELECT (SELECT count(*) FROM fw) n,
+    sum((r2j - 8 * (SELECT count(*) FROM fw))
+      * (r2j - 8 * (SELECT count(*) FROM fw))) s4 FROM byd)
+SELECT CAST(n AS BIGINT) AS n_weeks, CAST(s4 AS BIGINT) AS s_x4,
+  CAST(floor(CAST(s4 AS DOUBLE)
+    / (112.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+    AS w_q6
+FROM x""",
+
+      // Boilerplate-REMOVAL census: the rewrite itself — kept lines
+      // re-joined in position order (generate_subscripts == posexplode
+      // order), md5 range pins the rebuilt text.
+      "pipeline_boilerplate_removal" ->
+        s"""WITH dirty AS (SELECT source, doc_id, concat(text,
+    CASE WHEN doc_id % 2 = 0 THEN concat(' | Copyright site', doc_id % 20, ' all rights reserved') ELSE '' END,
+    CASE WHEN doc_id % 5 = 0 THEN ' | subscribe to our newsletter today' ELSE '' END,
+    CASE WHEN doc_id % 7 = 0 THEN concat(' | unique footnote ', doc_id) ELSE '' END) t
+  FROM ${T("documents")}),
+ln AS (SELECT source, doc_id,
+    generate_subscripts(string_split(t, ' | '), 1) p,
+    trim(unnest(string_split(t, ' | '))) line FROM dirty),
+df AS (SELECT source, line, count(DISTINCT doc_id) ndocs FROM ln GROUP BY 1, 2),
+nd AS (SELECT source, count(*) n_docs FROM dirty GROUP BY 1),
+reb AS (SELECT l.doc_id,
+    string_agg(l.line, ' | ' ORDER BY l.p) rt
+  FROM ln l JOIN df d ON l.source = d.source AND l.line = d.line
+  JOIN nd n ON l.source = n.source
+  WHERE NOT (d.ndocs >= 2 AND d.ndocs * 10 >= n.n_docs * 3)
+  GROUP BY 1)
+SELECT dirty.source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN coalesce(reb.rt, '') <> dirty.t THEN 1 ELSE 0 END)
+    AS BIGINT) AS docs_changed,
+  CAST(sum(length(dirty.t)) AS BIGINT) AS chars_before,
+  CAST(sum(length(coalesce(reb.rt, ''))) AS BIGINT) AS chars_after,
+  min(md5(coalesce(reb.rt, ''))) AS fp_min,
+  max(md5(coalesce(reb.rt, ''))) AS fp_max
+FROM dirty LEFT JOIN reb ON dirty.doc_id = reb.doc_id
+GROUP BY 1 ORDER BY source"""
     )
   }
 }

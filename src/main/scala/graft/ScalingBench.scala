@@ -95,6 +95,14 @@ object ScalingBench {
           .withColumn("label", org.apache.spark.sql.functions.col("doc_id") % 2),
         "label"))
 
+    // one KN LM per tier (2000-doc capped md5-sample train — bounded
+    // by design, outside every timed region; only the distributed
+    // per-doc SCORING cost is on the curve)
+    val knModels = scala.collection.mutable.HashMap[String, ops.Pipelines.KnLm]()
+    def knModel(dir: String): ops.Pipelines.KnLm =
+      knModels.getOrElseUpdate(dir,
+        ops.Pipelines.knTrainOn(Tables(spark, dir, "documents"), 2000))
+
     val family = sys.env.getOrElse("SPARK_GRAFT_SCALE_FAMILY", "all")
     // optional op filter (comma list) — re-measure a subset quietly
     // without paying for the whole family
@@ -274,7 +282,26 @@ object ScalingBench {
                 .withColumn("text", ops.Crawl.htmlDirtyText))))
               .agg(org.apache.spark.sql.functions.sum(
                 org.apache.spark.sql.functions.length(
-                  org.apache.spark.sql.functions.col("text")))).collect(); () }))
+                  org.apache.spark.sql.functions.col("text")))).collect(); () }),
+        // round-15 (§2.55–§2.56 docs side): nfkc is the §2.51 fused-
+        // chain claim again (codegen'd normalize, regexp floor); the
+        // export manifest's CLAIM is wall << CPU through GlobalRank's
+        // range-partitioned running sum (never a single-task window);
+        // boilerplate REMOVAL is the stage's own |distinct lines| df
+        // + |docs| rebuild plan; the LM doc scoring (capped-sample
+        // model trained OUTSIDE the timed region, the BPE discipline)
+        // is one linear scan + three broadcast joins + doc-grain agg
+        "pipeline_nfkc_census" -> (() =>
+          { ops.Crawl.pipelineNfkcCensus(spark, dir).collect(); () }),
+        "pipeline_export_manifest" -> (() =>
+          { ops.Export.pipelineExportManifest(spark, dir).collect(); () }),
+        "pipeline_boilerplate_removal" -> (() =>
+          { ops.Crawl.pipelineBoilerplateRemoval(spark, dir).collect(); () }),
+        "curation_lm_score" -> (() =>
+          { ops.Pipelines.kneserNeyDocNll(Tables(spark, dir, "documents"),
+              knModel(dir))
+              .agg(org.apache.spark.sql.functions.sum(
+                org.apache.spark.sql.functions.col("kn_sq"))).collect(); () }))
       )
       // run r: clear -> timed shingle build -> each op timed under its
       // own job group; keep min wall and min CPU per op (a cost
@@ -471,7 +498,19 @@ object ScalingBench {
         // round-13 §2.50: dimension-grain census + two day-grain folds
         "agg_k_anonymity" -> (() => { ops.Relational.aggKAnonymity(spark, dir).count(); () }),
         "agg_wilcoxon_signed_rank" -> (() => { ops.Relational.aggWilcoxonSignedRank(spark, dir).count(); () }),
-        "ts_seasonal_naive_skill" -> (() => { ops.TimeSeries.tsSeasonalNaiveSkill(spark, dir).count(); () })))
+        "ts_seasonal_naive_skill" -> (() => { ops.TimeSeries.tsSeasonalNaiveSkill(spark, dir).count(); () }),
+        // round-15 §2.55–§2.56 fact-sized shapes: the customer-grain
+        // p99 re-shape (CLAIM: wall << CPU — bounded two-pass
+        // histograms, never a single-buffer counts-map merge), the
+        // value-grain Kruskal rank sums (one GlobalRank range
+        // shuffle), two single-aggregate statistics, and two
+        // calendar-bounded week-rank folds
+        "agg_top1pct_share" -> (() => { ops.Relational.aggTop1pctShare(spark, dir).collect(); () }),
+        "agg_kruskal_wallis" -> (() => { ops.Relational.aggKruskalWallis(spark, dir).collect(); () }),
+        "agg_quantile_skew" -> (() => { ops.Relational.aggQuantileSkew(spark, dir).collect(); () }),
+        "agg_grubbs_max" -> (() => { ops.Relational.aggGrubbsMax(spark, dir).collect(); () }),
+        "agg_g_test_dow" -> (() => { ops.Relational.aggGTestDow(spark, dir).collect(); () }),
+        "ts_kendall_w" -> (() => { ops.TimeSeries.tsKendallW(spark, dir).collect(); () })))
       val best = scala.collection.mutable.LinkedHashMap[String, Double]()
       val bestCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
       var primeBest = Double.MaxValue

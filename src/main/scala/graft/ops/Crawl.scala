@@ -94,6 +94,15 @@ object Crawl {
       when(length(query) > 0, concat(lit("?"), query)).otherwise(lit("")))
   }
 
+  /** A document's URL-dedup key: the MINIMUM canonicalized URL its
+    * text carries (NULL when it has none) — shared by
+    * [[Curation.urlDedup]] and [[IncrementalUrlDedup]] so the batch
+    * stage and the incremental state can never drift. Row-local. */
+  def urlKeyOf(textCol: Column): Column =
+    array_min(transform(
+      regexp_extract_all(textCol, lit("[A-Za-z]+://[^ ]+"), lit(0)),
+      u => canonicalizeUrl(u)))
+
   // ---------------------------------------------------------------
   // deterministic dirty fixtures (doc_id arithmetic; PII precedent)
   // ---------------------------------------------------------------
@@ -353,6 +362,38 @@ object Crawl {
         asLong(col("chars_raw")).as("chars_raw"),
         asLong(col("chars_nfkc")).as("chars_nfkc"),
         asLong(col("chars_nfkc") - col("chars_raw")).as("chars_delta"),
+        col("fp_min"), col("fp_max"))
+      .orderBy("source")
+  }
+
+  /** Boilerplate-REMOVAL census (§2.56): pipeline_boilerplate_lines
+    * pins the df-rule DETECTION; this pins the REWRITE — the same
+    * fixture run through the actual [[Curation.stripBoilerplate]]
+    * stage (shared code, not a re-derivation), reporting per source
+    * the docs changed, char mass before/after, and the md5 range of
+    * the REBUILT texts (kept lines re-joined in position order).
+    * Exactness: same integer df rule; the rebuild is deterministic
+    * (position-sorted array_join == string_agg ORDER BY subscript).
+    * Scale: the df relation is \|distinct lines\|-sized; the rebuild
+    * groups \|docs\| rows — the stage's own plan, censused. */
+  val pipelineBoilerplateRemoval: Q = (s, d) => {
+    val dirty = table(s, d, "documents")
+      .select(col("source"), col("doc_id"), boilerplateDirtyText.as("text"))
+      .localCheckpoint(true) // read by the stage AND the before-side
+    val rebuilt = Curation.stripBoilerplate(dirty)
+      .select(col("doc_id"), col("text").as("rt"))
+    dirty.join(rebuilt, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rt") =!= col("text"), 1L).otherwise(0L))
+          .as("docs_changed"),
+        sum(length(col("text")).cast(LongType)).as("chars_before"),
+        sum(length(col("rt")).cast(LongType)).as("chars_after"),
+        min(md5(col("rt"))).as("fp_min"), max(md5(col("rt"))).as("fp_max"))
+      .select(col("source"), asLong(col("n_docs")).as("n_docs"),
+        asLong(col("docs_changed")).as("docs_changed"),
+        asLong(col("chars_before")).as("chars_before"),
+        asLong(col("chars_after")).as("chars_after"),
         col("fp_min"), col("fp_max"))
       .orderBy("source")
   }

@@ -224,6 +224,20 @@ object Curation {
       .drop("new_text", "aff_id")
   }
 
+  /** LM-perplexity gate (round 15, VERDICT item 5): drop docs whose
+    * per-doc Kneser–Ney NLL ([[Pipelines.kneserNeyDocNll]] — the SAME
+    * formula/split as the oracle-checked pipeline_kneser_ney_nll, so
+    * gate and readout cannot drift) exceeds `maxNll`. Docs too short
+    * to carry a bigram pass (no evidence either way — the token-count
+    * heuristic owns that call). The LM relations broadcast
+    * (vocab-bounded), so the gate is one linear scan + doc-grain agg. */
+  def lmFilter(docs: DataFrame, lm: Pipelines.KnLm,
+      maxNll: Double): DataFrame = {
+    val bad = Pipelines.kneserNeyDocNll(docs, lm)
+      .filter(col("kn_nll") > maxNll).select(col("doc_id"))
+    docs.join(bad, Seq("doc_id"), "left_anti")
+  }
+
   /** Full pipeline: quality -> exact dedup -> near dedup ->
     * decontaminate -> stratified rebalance -> reproducible split.
     * Returns (train, test, report). */
@@ -232,17 +246,23 @@ object Curation {
       fractions: Map[String, Double] = Map.empty,
       testFraction: Double = 0.1,
       qualityModel: Option[QualityModel.Model] = None,
-      modelThreshold: Double = 0.5): (DataFrame, DataFrame, CurationReport) = {
+      modelThreshold: Double = 0.5,
+      lmMaxNll: Option[Double] = None,
+      lmSampleDocs: Int = 0): (DataFrame, DataFrame, CurationReport) = {
     val docs = table(spark, sfDir, "documents")
     // heuristic gate first (cheap row-local thresholds), then the
     // trained classifier when one is supplied — both fuse into the
     // same scan (the model is pure column arithmetic), so the stage
     // order costs nothing and the report's afterQuality reflects the
-    // full quality stack
+    // full quality stack; the optional LM-perplexity gate last (it is
+    // the only quality stage that needs an aggregate per doc)
     val qh = qualityFilter(docs, minTokens, maxStopRatio)
-    val q = qualityModel
+    val qm = qualityModel
       .map(m => QualityModel.filterByModel(qh, m, modelThreshold))
       .getOrElse(qh)
+    val q = lmMaxNll
+      .map(t => lmFilter(qm, Pipelines.knTrainOn(docs, lmSampleDocs), t))
+      .getOrElse(qm)
     val e = exactDedup(q)
     // persist BOTH checkpoints: afterNearDedup's count re-reads n, and
     // the splits + remaining counts re-read dc — without the n persist
@@ -308,10 +328,7 @@ object Curation {
     * of content hash). One hash shuffle on the bounded key relation.
     */
   def urlDedup(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val keyed = docs.withColumn("_ukey",
-      array_min(transform(
-        regexp_extract_all(col(textCol), lit("[A-Za-z]+://[^ ]+"), lit(0)),
-        u => Crawl.canonicalizeUrl(u))))
+    val keyed = docs.withColumn("_ukey", Crawl.urlKeyOf(col(textCol)))
     val keep = keyed.filter(col("_ukey").isNotNull)
       .groupBy(col("_ukey")).agg(min(col("doc_id")).as("keep_id"))
       .select(col("keep_id"))

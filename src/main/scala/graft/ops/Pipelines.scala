@@ -2413,37 +2413,68 @@ object Pipelines {
     * test scoring is one linear scan with three broadcast joins;
     * per-lang sums map-combine. */
   val pipelineKneserNeyNll: Q = (s, d) => {
-    val toks = table(s, d, "documents")
-      .select(col("doc_id"), col("lang"),
+    val big = knBigrams(table(s, d, "documents"))
+    val lm = knTrain(big.filter(col("is_train")))
+    val test = knScored(big.filter(!col("is_train")), lm)
+    test.groupBy(col("lang"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(!col("kn_seen"), 1L).otherwise(0L)).as("unseen"),
+        sum(col("kn_lq")).as("sq"))
+      .select(col("lang"), asLong(col("m")).as("n_test_bigrams"),
+        (floor(col("unseen").cast(DoubleType) / col("m") * 1e4) / 1e4)
+          .as("unseen_ctx_rate"),
+        (floor(col("sq").cast(DoubleType) / col("m") / 1e2) / 1e4).as("avg_nll"))
+      .orderBy("lang")
+  }
+
+  /** (doc_id, lang, is_train, w1, w2): `docs`'s bigram rows under the
+    * standard md5 80/20 split — the shared front of the KN family
+    * (the oracle op groups them by lang; the curation filter by doc).
+    */
+  private[graft] def knBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
         (Sampling.bucket16(col("doc_id")) % 10 < 8).as("is_train"),
         split(col("text"), " ").as("l"))
-    val big = toks.select(col("lang"), col("is_train"), explode(expr(
+      .select(col("doc_id"), col("lang"), col("is_train"), explode(expr(
         "transform(slice(l, 1, size(l) - 1), (x, i) -> " +
           "struct(x AS w1, element_at(l, i + 2) AS w2))")).as("bg"))
-      .select(col("lang"), col("is_train"),
+      .select(col("doc_id"), col("lang"), col("is_train"),
         col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c12 = big.filter(col("is_train"))
+
+  /** The KN bigram model state: all three relations are vocab-/vocab²-
+    * bounded (Heaps-law sub-linear), so they broadcast at any corpus
+    * size; the c12 base is persisted (three aggregates read it). */
+  private[graft] case class KnLm(c12: DataFrame, c1: DataFrame,
+      nb: DataFrame, tot: DataFrame)
+
+  /** Estimate the LM from (w1, w2) training bigram rows. */
+  private[graft] def knTrain(trainBig: DataFrame): KnLm = {
+    val c12 = trainBig
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c1 = c12.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
     val nb = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
     val tot = c12.agg(count(lit(1)).as("ntypes")).crossJoin(
-      big.filter(col("is_train")).select(col("w1").as("w"))
-        .unionAll(big.filter(col("is_train")).select(col("w2").as("w")))
+      trainBig.select(col("w1").as("w"))
+        .unionAll(trainBig.select(col("w2").as("w")))
         .distinct().agg(count(lit(1)).as("v")))
-    // all three LM relations are vocab-/vocab²-bounded (Heaps-law
-    // sub-linear) — broadcast explicitly so the test scan never
-    // shuffles at any corpus size
-    val test = big.filter(!col("is_train"))
-      .join(broadcast(c12.withColumnRenamed("w1", "a1")
+    KnLm(c12, c1, nb, tot)
+  }
+
+  /** Score bigram rows against the LM: adds `kn_seen` and the exact
+    * rational's floored −ln, `kn_lq` (see the op Scaladoc for the
+    * formula) — one linear scan with three broadcast joins. */
+  private[graft] def knScored(rows: DataFrame, lm: KnLm): DataFrame = {
+    val t = rows
+      .join(broadcast(lm.c12.withColumnRenamed("w1", "a1")
         .withColumnRenamed("w2", "a2")),
         col("w1") === col("a1") && col("w2") === col("a2"), "left")
-      .join(broadcast(c1.withColumnRenamed("w1", "b1")),
+      .join(broadcast(lm.c1.withColumnRenamed("w1", "b1")),
         col("w1") === col("b1"), "left")
-      .join(broadcast(nb.withColumnRenamed("w2", "c2")),
+      .join(broadcast(lm.nb.withColumnRenamed("w2", "c2")),
         col("w2") === col("c2"), "left")
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(lm.tot))
     val contDen = (col("ntypes") + col("v") + 1).cast(LongType)
     val contNum = (coalesce(col("n1b"), lit(0L)) + 1).cast(LongType)
     val seen = col("b1").isNotNull
@@ -2452,18 +2483,52 @@ object Pipelines {
           lit(3L) * col("n1f") * contNum)
       .otherwise(contNum)
     val pDen = when(seen, lit(4L) * col("c1") * contDen).otherwise(contDen)
-    val lq = floor(-log(pNum.cast(DoubleType) / pDen.cast(DoubleType)) * 1e6)
-      .cast(LongType)
-    test.groupBy(col("lang"))
-      .agg(count(lit(1)).as("m"),
-        sum(when(!seen, 1L).otherwise(0L)).as("unseen"),
-        sum(lq).as("sq"))
-      .select(col("lang"), asLong(col("m")).as("n_test_bigrams"),
-        (floor(col("unseen").cast(DoubleType) / col("m") * 1e4) / 1e4)
-          .as("unseen_ctx_rate"),
-        (floor(col("sq").cast(DoubleType) / col("m") / 1e2) / 1e4).as("avg_nll"))
-      .orderBy("lang")
+    t.withColumn("kn_seen", seen)
+      .withColumn("kn_lq",
+        floor(-log(pNum.cast(DoubleType) / pDen.cast(DoubleType)) * 1e6)
+          .cast(LongType))
   }
+
+  /** The LM the curation filter scores with: trained on the SAME md5
+    * train bucket as the oracle op (so filter scores and op readout
+    * cannot drift — CurationSpec pins per-lang equality), optionally
+    * capped to the `sampleDocs` smallest-md5 train docs (the
+    * QualityModel bounded-sample discipline for 100-TB corpora, where
+    * even the 80% bucket is more LM-estimation data than needed;
+    * 0 = no cap). */
+  def knTrainOn(docs: DataFrame, sampleDocs: Int = 0): KnLm = {
+    val big = knBigrams(docs)
+    val trainBig =
+      if (sampleDocs <= 0) big.filter(col("is_train"))
+      else {
+        val sample = docs
+          .select(col("doc_id"),
+            md5(col("doc_id").cast(org.apache.spark.sql.types.StringType))
+              .as("_mk"))
+          .where((Sampling.bucket16(col("doc_id")) % 10 < 8))
+          .orderBy(col("_mk")).limit(sampleDocs).select("doc_id")
+        big.filter(col("is_train"))
+          .join(broadcast(sample), Seq("doc_id"), "left_semi")
+      }
+    knTrain(trainBig)
+  }
+
+  /** Per-doc KN readout over ALL of `docs` (train docs score against
+    * a model that saw them — fine for a FILTER, the held-out op is
+    * the eval): (doc_id, kn_bigrams, kn_unseen, kn_nll) with kn_nll =
+    * Σlq / m / 1e6 (kn_sq kept exact so spec pins against the op's
+    * integer sums); docs with < 2 tokens carry no bigrams and get no
+    * row. */
+  def kneserNeyDocNll(docs: DataFrame, lm: KnLm): DataFrame =
+    knScored(knBigrams(docs), lm)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kn_bigrams"),
+        sum(when(!col("kn_seen"), 1L).otherwise(0L)).as("kn_unseen"),
+        sum(col("kn_lq")).as("kn_sq"))
+      .select(col("doc_id"), col("kn_bigrams"), col("kn_unseen"),
+        col("kn_sq"),
+        (col("kn_sq").cast(DoubleType) / col("kn_bigrams") / 1e6)
+          .as("kn_nll"))
 
   /** Token-budget data mixing (§2.41): the greedy quality-ranked
     * source mixture every LLM pre-training run decides before a single

@@ -4370,4 +4370,136 @@ object Relational {
         (ssb / 2) / (ssw / (nTot.cast(DoubleType) - 3)) * 1e6)).as("f_q6")): _*)
   }
 
+  // ---- §2.56 (round 15) ----
+
+  /** Quantile skewness of order value (§2.56): Bowley's quartile
+    * coefficient (q3+q1−2·med)/(q3−q1) and Kelly's decile widening
+    * (p90+p10−2·med)/(p90−p10) — the robust skewness reads that, unlike
+    * agg_higher_moments' third moment, a single whale order cannot
+    * move. Thresholds via [[ExactQuantile.quantiles]] (bit-identical
+    * to quantile_cont — the agg_median_quantile contract); each
+    * coefficient is ONE driver-side double tree over those identical
+    * doubles, floor-quantized q6; the quantiles themselves floor to
+    * 2dp for display (the winsorized knife-edge rule). Scale: two
+    * bounded ExactQuantile passes — no data-sized percentile buffer,
+    * no shuffle beyond the bucket histogram. */
+  val aggQuantileSkew: Q = (s, d) => {
+    val (n, qm) = ExactQuantile.quantiles(table(s, d, "orders"),
+      col("o_totalprice"), None, Seq(0.10, 0.25, 0.50, 0.75, 0.90),
+      bucketWidth = 64.0)("")
+    val (q10, q25, q50, q75, q90) =
+      (qm(0.10), qm(0.25), qm(0.50), qm(0.75), qm(0.90))
+    val bowley = (q75 + q25 - 2.0 * q50) / (q75 - q25)
+    val kelly = (q90 + q10 - 2.0 * q50) / (q90 - q10)
+    val spark = s
+    import spark.implicits._
+    Seq((n, q10, q25, q50, q75, q90,
+        math.floor(bowley * 1e6).toLong, math.floor(kelly * 1e6).toLong))
+      .toDF("n0", "q10r", "q25r", "q50r", "q75r", "q90r", "b6", "k6")
+      .select(col("n0").as("n"),
+        (floor(col("q10r") * 100) / 100.0).as("q10"),
+        (floor(col("q25r") * 100) / 100.0).as("q25"),
+        (floor(col("q50r") * 100) / 100.0).as("q50"),
+        (floor(col("q75r") * 100) / 100.0).as("q75"),
+        (floor(col("q90r") * 100) / 100.0).as("q90"),
+        col("b6").as("bowley_q6"), col("k6").as("kelly_q6"))
+  }
+
+  /** Grubbs extreme-outlier statistics (§2.56): G = (max−mean)/s and
+    * (mean−min)/s over order-value cents — the single-most-extreme
+    * screen beside agg_iqr_outliers' fence census (Grubbs asks "is THE
+    * maximum an outlier", the fences ask "how many are"). All inputs
+    * exact: BIGINT cents, DECIMAL(38,0) Σ and Σ² (operand promoted
+    * before the multiply, the mood-median overflow rule), integer
+    * max/min; both statistics evaluate in one fixed double tree,
+    * floored q6. Scale: ONE map-combined aggregate, nothing else. */
+  val aggGrubbsMax: Q = (s, d) => {
+    val cents = (dec2(col("o_totalprice")) * 100).cast(LongType)
+    val agg = table(s, d, "orders")
+      .select(cents.as("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(38, 0))).as("sv"),
+        sum(col("v").cast(DecimalType(38, 0)) * col("v")).as("qv"),
+        max(col("v")).as("mx"), min(col("v")).as("mn"))
+    val nd = col("n").cast(DoubleType)
+    val sd0 = sqrt((col("qv").cast(DoubleType) -
+      col("sv").cast(DoubleType) * col("sv").cast(DoubleType) / nd) /
+      (nd - 1.0))
+    val mean = col("sv").cast(DoubleType) / nd
+    agg.select(asLong(col("n")).as("n"),
+      asLong(col("mx")).as("max_cents"), asLong(col("mn")).as("min_cents"),
+      asLong(floor((col("mx").cast(DoubleType) - mean) / sd0 * 1e6))
+        .as("g_max_q6"),
+      asLong(floor((mean - col("mn").cast(DoubleType)) / sd0 * 1e6))
+        .as("g_min_q6"))
+  }
+
+  /** Kruskal–Wallis k-sample rank test (§2.56): does order value
+    * differ across the three order statuses — the k-group extension of
+    * agg_mann_whitney (same doubled-average-rank discipline: for each
+    * distinct cent value, 2·avgrank = 2·pooled-count-below + ties + 1,
+    * so every per-group rank sum R2ⱼ is an exact integer) with the
+    * standard tie-correction divisor 1 − Σ(t³−t)/(N³−N). H evaluates
+    * in ONE fixed double tree over the exact totals (the 3 groups
+    * pivot to one row — brown_forsythe's deterministic-order rule),
+    * floored q6. Scale: one value-grain aggregate; pooled cumulative
+    * counts ride [[GlobalRank.withRunningSum]]'s range-partitioned
+    * two-pass (never a single-task window); the rank-sum fold
+    * map-combines. */
+  val aggKruskalWallis: Q = (s, d) => {
+    val e = table(s, d, "orders").select(col("o_orderstatus").as("g"),
+      (dec2(col("o_totalprice")) * 100).cast(LongType).as("v"))
+    val grain = e.groupBy(col("v")).agg(count(lit(1)).as("c"),
+      sum(when(col("g") === "F", 1L).otherwise(0L)).as("cf"),
+      sum(when(col("g") === "O", 1L).otherwise(0L)).as("co"),
+      sum(when(col("g") === "P", 1L).otherwise(0L)).as("cp"))
+    val cum = GlobalRank.withRunningSum(grain, Seq(col("v")), "c", "cumall")
+    val b4 = col("cumall") - col("c")
+    def r2(cg: String) = sum((col(cg) * (lit(2L) * b4 + col("c") + 1L))
+      .cast(DecimalType(38, 0)))
+    val t = cum.agg(r2("cf").as("r2f"), r2("co").as("r2o"), r2("cp").as("r2p"),
+      sum((col("c") * col("c") * col("c") - col("c"))
+        .cast(DecimalType(38, 0))).as("ties"),
+      sum(col("cf")).as("nf"), sum(col("co")).as("no_"),
+      sum(col("cp")).as("np_"))
+    def dbl(c: String) = col(c).cast(DoubleType)
+    val nd = (col("nf") + col("no_") + col("np_")).cast(DoubleType)
+    val a = dbl("r2f") * dbl("r2f") / (lit(4.0) * dbl("nf")) +
+      dbl("r2o") * dbl("r2o") / (lit(4.0) * dbl("no_")) +
+      dbl("r2p") * dbl("r2p") / (lit(4.0) * dbl("np_"))
+    val h0 = lit(12.0) / (nd * (nd + 1.0)) * a - lit(3.0) * (nd + 1.0)
+    val corr = lit(1.0) - dbl("ties") / (nd * nd * nd - nd)
+    t.select(asLong(col("nf") + col("no_") + col("np_")).as("n"),
+      asLong(col("nf")).as("n_f"), asLong(col("no_")).as("n_o"),
+      asLong(col("np_")).as("n_p"),
+      asLong(col("r2f")).as("r2_f"), asLong(col("r2o")).as("r2_o"),
+      asLong(col("r2p")).as("r2_p"),
+      asLong(floor(h0 / corr * 1e6)).as("h_q6"))
+  }
+
+  /** G-test of daily order counts vs a uniform week (§2.56): the
+    * likelihood-ratio companion to agg_chi2_dow — G = 2·Σ O·ln(O/E)
+    * with E = N/7, the statistic that IS the deviance the chi-squared
+    * approximates. Day-of-week from epoch-day % 7 (engine-identical
+    * integer arithmetic — no DOW convention). Each of the 7 cell terms
+    * floor-quantizes to BIGINT at 1e6 before the sum (the chi2/JSD
+    * accumulation-order rule). Scale: one map-combined 7-cell
+    * aggregate. */
+  val aggGTestDow: Q = (s, d) => {
+    val c = table(s, d, "orders")
+      .groupBy(expr("datediff(o_orderdate, DATE '1970-01-01') % 7").as("dow"))
+      .agg(count(lit(1)).as("o"))
+    val tot = c.agg(sum(col("o")).as("n"))
+    val term = lit(2.0) * col("o").cast(DoubleType) *
+      log(col("o").cast(DoubleType) * 7.0 / col("n").cast(DoubleType))
+    c.crossJoin(broadcast(tot))
+      .select(col("n"), col("o"), floor(term * 1e6).cast(LongType).as("t6"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("k_cells"), min(col("o")).as("o_min"),
+        max(col("o")).as("o_max"), sum(col("t6")).as("g_q6"))
+      .select(asLong(col("n")).as("n"), asLong(col("k_cells")).as("k_cells"),
+        asLong(col("o_min")).as("o_min"), asLong(col("o_max")).as("o_max"),
+        asLong(col("g_q6")).as("g_q6"))
+  }
+
 }

@@ -52,7 +52,7 @@ object Sampling {
     * keys hash like the sentinel string "__null__" so they are
     * sampled/split deterministically instead of silently vanishing
     * from both sides of every filter. */
-  private[ops] def bucket16(key: Column): Column =
+  private[graft] def bucket16(key: Column): Column =
     conv(substring(md5(coalesce(key.cast(StringType), lit("__null__"))), 1, 4), 16, 10)
       .cast(LongType)
 

@@ -2715,6 +2715,29 @@ object TimeSeries {
           sqrt(lit(1568.0) * col("n") / 3) * 1e6)).as("z_q6"))
   }
 
+  /** Kendall's coefficient of concordance W (§2.54/§2.56): HOW STRONG
+    * is the weekday agreement across weeks that ts_friedman_test only
+    * tests for — W ∈ [0,1] normalizes the rank-column dispersion
+    * S = Σⱼ(Rⱼ − n(k+1)/2)². With the shared doubled ranks (Σr2 =
+    * 56/week, mean column total 8n), S·4 = Σ(R2ⱼ − 8n)² is an EXACT
+    * integer and W = S·4 / (112·n²) (k = 7, 12/(4·7·48) = 1/112) is
+    * one double division, floored q6. Shares the weekRanks relation
+    * (one 7-row fold). */
+  val tsKendallW: Q = (s, d) => {
+    val wr = weekRanks(s, d)
+    val byd = wr.groupBy(col("dow")).agg(sum(col("r2")).as("r2j"))
+    val n1 = wr.select(col("wk")).distinct().agg(count(lit(1)).as("n"))
+    byd.crossJoin(broadcast(n1))
+      .agg(first(col("n")).as("n"),
+        sum((col("r2j") - lit(8L) * col("n")) *
+          (col("r2j") - lit(8L) * col("n"))).as("s4"))
+      .select(asLong(col("n")).as("n_weeks"),
+        asLong(col("s4")).as("s_x4"),
+        asLong(floor(col("s4").cast(DoubleType) /
+          (lit(112.0) * col("n").cast(DoubleType) * col("n").cast(DoubleType))
+          * 1e6)).as("w_q6"))
+  }
+
   /** Turning-point randomness census (§2.53): count the daily
     * order-count series' local extrema (strictly above or below both
     * neighbors) and compare against the i.i.d. expectation 2(n−2)/3

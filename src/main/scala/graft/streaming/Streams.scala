@@ -197,6 +197,49 @@ object Streams {
           .as("flagged")): _*)
   }
 
+  /** Live crawl-hygiene monitor (round 15, the piiMonitor shape): per
+    * (tumbling window, source) over a streaming document feed
+    * (ts, source, text) — extraction retention (chars surviving the
+    * shared `Crawl.extractHtmlText` chain), mojibake-doc rate (the
+    * shared repair chain would rewrite the doc), and NFC-denormalized
+    * doc rate (the shared codegen'd normalizer would). The three
+    * crawl-regression signals a feed pipeline must catch the hour a
+    * source's renderer or charset handling breaks — computed with the
+    * IDENTICAL expression chains the §2.51 censuses hash-pin, so live
+    * and batch readouts cannot drift. ONE streaming aggregation with
+    * five counters of per-group state; every detector fuses into the
+    * stream's row path (no extra stateful op, no joins). A window
+    * flags when retention drops below `minRetainedPerMille` or either
+    * dirt rate crosses its per-mille ceiling. Works identically on a
+    * batch frame (watermark skipped) — StreamingSpec pins stream ==
+    * batch twin and that a planted encoding regression flags. */
+  def crawlMonitor(docs: DataFrame, duration: String = "1 hour",
+      minRetainedPerMille: Long = 500, maxMojibakePerMille: Long = 100,
+      maxDenormPerMille: Long = 100): DataFrame = {
+    val spark = docs.sparkSession
+    val raw = col("text")
+    val wm = if (docs.isStreaming) docs.withWatermark("ts", "10 minutes")
+             else docs
+    wm.select(col("ts"), col("source"),
+        length(raw).cast("long").as("cr"),
+        length(graft.ops.Crawl.extractHtmlText(raw)).cast("long").as("ct"),
+        when(graft.ops.Crawl.repairEncoding(raw) =!= raw, 1L)
+          .otherwise(0L).as("moj"),
+        when(graft.ops.Crawl.nfcText(spark, raw) =!= raw, 1L)
+          .otherwise(0L).as("den"))
+      .groupBy(window(col("ts"), duration), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("cr")).as("chars_raw"), sum(col("ct")).as("chars_text"),
+        sum(col("moj")).as("mojibake_docs"), sum(col("den")).as("denorm_docs"))
+      .select(col("window.start").as("w_start"), col("source"),
+        col("n_docs"), col("chars_raw"), col("chars_text"),
+        (col("chars_text") * 1000 < col("chars_raw") * minRetainedPerMille ||
+          col("mojibake_docs") * 1000 > col("n_docs") * maxMojibakePerMille ||
+          col("denorm_docs") * 1000 > col("n_docs") * maxDenormPerMille)
+          .as("flagged"),
+        col("mojibake_docs"), col("denorm_docs"))
+  }
+
   /** The 10-bin fixed-width value histogram `psiDriftPerHour` takes
     * as its reference — run it over the trusted history slice. */
   def valueHistogram(events: DataFrame): DataFrame =

@@ -283,6 +283,60 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("LM gate scores == the oracle-checked KN op on the held-out prefix") {
+    import graft.ops.{Pipelines, Sampling}
+    val docs = Tables(spark, sf0001, "documents")
+    val lm = Pipelines.knTrainOn(docs) // uncapped: the op's exact LM
+    // per-doc scores of the TEST bucket, re-aggregated per lang, must
+    // reproduce the op's integer (m, sq) sums and its floored avg_nll
+    val perDoc = Pipelines.kneserNeyDocNll(
+      docs.filter(Sampling.bucket16(col("doc_id")) % 10 >= 8), lm)
+    val mine = perDoc
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(sum(col("kn_bigrams")).as("m"), sum(col("kn_sq")).as("sq"))
+      .select(col("lang"), col("m"),
+        (floor(col("sq").cast("double") / col("m") / 1e2) / 1e4).as("avg"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val op = Pipelines.pipelineKneserNeyNll(spark, sf0001)
+      .select(col("lang"), col("n_test_bigrams"), col("avg_nll"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mine == op, s"doc-grain KN scores drifted from the op:\n$mine\nvs\n$op")
+  }
+
+  test("LM gate separates planted junk and wires into curate") {
+    import graft.ops.Pipelines
+    // normal docs share a small vocabulary; junk docs are unseen-vocab
+    // gibberish — under a LM trained on the corpus (junk included in
+    // the train bucket but drowned out), junk NLL must dominate
+    val docs = docsWith({ i =>
+      if (i % 5 == 0) (0 until 30).map(j => s"zq${i}g$j").mkString(" ")
+      else (0 until 30).map(j => s"common word w${j % 9} here").mkString(" ")
+    }, n = 100)
+    val lm = Pipelines.knTrainOn(docs)
+    val scored = Pipelines.kneserNeyDocNll(docs, lm)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("kn_nll")).toMap
+    val junkIds = (0L until 100L).filter(_ % 5 == 0)
+    val normIds = (0L until 100L).filterNot(_ % 5 == 0)
+    val worstNorm = normIds.map(scored).max
+    val bestJunk = junkIds.map(scored).min
+    assert(bestJunk > worstNorm,
+      s"junk NLL ($bestJunk) must exceed every normal doc ($worstNorm)")
+    // a threshold between the two populations keeps exactly the normals
+    val thr = (worstNorm + bestJunk) / 2
+    val kept = Curation.lmFilter(docs, lm, thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == normIds.toSet)
+    // curate hookup: the gate tightens afterQuality, everything else
+    // still monotone; bounded-sample training also goes through
+    val (_, _, rNo) = Curation.curate(spark, sf0001)
+    val (_, _, rLm) = Curation.curate(spark, sf0001,
+      lmMaxNll = Some(9.0), lmSampleDocs = 200)
+    assert(rLm.afterQuality <= rNo.afterQuality)
+    assert(rLm.afterQuality > 0)
+    assert(rLm.afterQuality >= rLm.afterExactDedup)
+  }
+
   test("repairEncoding fixes mojibake and is idempotent") {
     val moj = docsWith(i => s"doc $i with " +
       "r\u00c3\u00a9sum\u00c3\u00a9 and it\u00e2\u20ac\u2122s fine")

@@ -1062,14 +1062,45 @@ class EngineSpec extends AnyFunSuite {
       "qq_price_segments" -> ops.Relational.aggQqPriceSegments,
       "equi_depth_histogram" -> ops.Relational.aggEquiDepthHistogram,
       // round 15: the customer-grain p99 threshold (the last data-
-      // sized single-buffer percentile() in the suite) re-shaped too
-      "top1pct_share" -> ops.Relational.aggTop1pctShare).foreach {
+      // sized single-buffer percentile() in the suite) re-shaped too,
+      // and the new quantile-skew rides the same helper from birth
+      "top1pct_share" -> ops.Relational.aggTop1pctShare,
+      "quantile_skew" -> ops.Relational.aggQuantileSkew).foreach {
       case (n, q) =>
         val p = q(spark, sf0001).queryExecution.executedPlan.toString
         assert(!p.toLowerCase.contains("percentile"),
           s"$n still buffers a Percentile aggregate:\n${p.take(1200)}")
         assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
           s"$n grew a shuffled join:\n${p.take(1200)}")
+    }
+  }
+
+  test("round-15 §2.55–§2.56 plans: fused censuses, range-shuffled ranks, bounded folds") {
+    // nfkc census: row-local codegen'd normalize into one |sources|
+    // aggregate — join-free like its §2.51 siblings
+    val nk = ops.Crawl.pipelineNfkcCensus(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!nk.contains("Join"), s"nfkc census grew a join:\n${nk.take(1200)}")
+    // export manifest + kruskal: the global running sum must ride the
+    // GlobalRank range shuffle (never a single-task global window) and
+    // only broadcast the bounded offsets
+    Seq("export_manifest" -> ops.Export.pipelineExportManifest,
+      "kruskal_wallis" -> ops.Relational.aggKruskalWallis).foreach {
+      case (n, q) =>
+        val p = q(spark, sf0001).queryExecution.executedPlan.toString
+        assert(p.contains("rangepartitioning"),
+          s"$n lost the range-partitioned running sum:\n${p.take(1200)}")
+        assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+          s"$n grew a shuffled join:\n${p.take(1200)}")
+        assert(!p.contains("WindowExec: No Partition"),
+          s"$n collapsed to a single-task window:\n${p.take(1200)}")
+    }
+    // grubbs + g-test: one map-combined aggregate, broadcast-only
+    Seq("grubbs" -> ops.Relational.aggGrubbsMax,
+      "g_test_dow" -> ops.Relational.aggGTestDow).foreach { case (n, q) =>
+      val p = q(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$n grew a shuffled join:\n${p.take(1200)}")
     }
   }
 

@@ -352,7 +352,13 @@ class QuerySuiteSpec extends AnyFunSuite {
     "agg_brown_forsythe" -> 1L, "ts_turning_points" -> 1L,
     "pipeline_char_class_profile" -> 20L,
     // round 14 (§2.54)
-    "ts_friedman_test" -> 1L, "ts_page_trend" -> 1L)
+    "ts_friedman_test" -> 1L, "ts_page_trend" -> 1L,
+    // round 15 (§2.55)
+    "pipeline_nfkc_census" -> 20L, "pipeline_export_manifest" -> 14L,
+    // round 15 (§2.56)
+    "agg_quantile_skew" -> 1L, "agg_grubbs_max" -> 1L,
+    "agg_kruskal_wallis" -> 1L, "agg_g_test_dow" -> 1L,
+    "ts_kendall_w" -> 1L, "pipeline_boilerplate_removal" -> 20L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)

@@ -84,6 +84,52 @@ class StreamingSpec extends AnyFunSuite {
       "clean corpus false-flagged")
   }
 
+  test("streaming crawl-hygiene monitor equals batch and flags an encoding regression") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // feed over the markup fixture (3 hour-grain windows) — the same
+    // dirty chain the §2.51 censuses hash-pin
+    val feedRows = Tables(spark, sf0001, "documents")
+      .select((lit(1700000000L) + col("doc_id") % 3 * 3600).as("sec"),
+        col("source"), ops.Crawl.htmlDirtyText.as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val batch = feedRows.toSeq.toDF("sec", "source", "text")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("source"), col("text"))
+    val src = MemoryStream[(Long, String, String)]
+    src.addData(feedRows.toSeq)
+    val mon = Streams.crawlMonitor(src.toDF().toDF("sec", "source", "text")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("source"), col("text")))
+    val q = mon.writeStream.format("memory").queryName("t_crawlmon")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_crawlmon")
+    val want = Streams.crawlMonitor(batch)
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).count() == 0, "stream != batch twin")
+    // markup-only dirt: healthy retention, no mojibake/denorm flags
+    assert(want.filter(col("mojibake_docs") > 0).count() == 0)
+    assert(want.filter(col("flagged")).count() == 0,
+      "clean-extraction feed false-flagged")
+    // retention agrees with the batch census's shared chain
+    val census = ops.Crawl.pipelineHtmlExtract(spark, sf0001)
+      .agg(sum(col("chars_raw")), sum(col("chars_text"))).head()
+    val monAgg = want.agg(sum(col("chars_raw")), sum(col("chars_text"))).head()
+    assert(monAgg.getLong(0) == census.getLong(0) &&
+      monAgg.getLong(1) == census.getLong(1),
+      "monitor char counts drifted from the census chain")
+    // planted regression: one source's charset handling breaks mid-feed
+    // (every doc mojibake'd) — exactly that source's windows flag
+    val broken = Streams.crawlMonitor(batch.withColumn("text",
+      when(col("source") === "src1",
+        concat(col("text"), lit(" r\u00c3\u00a9sum\u00c3\u00a9")))
+        .otherwise(col("text"))))
+    assert(broken.filter(col("source") === "src1" && !col("flagged"))
+      .count() == 0, "broken source window not flagged")
+    assert(broken.filter(col("source") =!= "src1" && col("flagged"))
+      .count() == 0, "healthy sources false-flagged")
+  }
+
   test("streaming sliding window equals batch stream_sliding_1h_30m") {
     val stream = Streams.sliding1h30m(Streams.eventsStream(spark, sf0001))
     val got = Streams.runToBatch(spark, stream, "t_sliding")
