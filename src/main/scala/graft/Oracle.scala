@@ -8090,7 +8090,175 @@ SELECT dirty.source, CAST(count(*) AS BIGINT) AS n_docs,
   min(md5(coalesce(reb.rt, ''))) AS fp_min,
   max(md5(coalesce(reb.rt, ''))) AS fp_max
 FROM dirty LEFT JOIN reb ON dirty.doc_id = reb.doc_id
-GROUP BY 1 ORDER BY source"""
+GROUP BY 1 ORDER BY source""",
+
+      // ---- round 15 (§2.57): k-sample completion ----
+      // Bartlett: exact HUGEINT moment sums pivoted to one row, one
+      // deterministic double tree (chi2 / correction factor).
+      "agg_bartlett" ->
+        s"""WITH e AS (SELECT o_orderstatus g,
+    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) v
+  FROM ${T("orders")}),
+grp AS (SELECT g, count(*) ng, sum(CAST(v AS HUGEINT)) sg,
+    sum(CAST(v AS HUGEINT) * v) qg FROM e GROUP BY 1),
+one AS (SELECT
+    max(CASE WHEN g = 'F' THEN ng END) ng_f,
+    max(CASE WHEN g = 'F' THEN sg END) sg_f,
+    max(CASE WHEN g = 'F' THEN qg END) qg_f,
+    max(CASE WHEN g = 'O' THEN ng END) ng_o,
+    max(CASE WHEN g = 'O' THEN sg END) sg_o,
+    max(CASE WHEN g = 'O' THEN qg END) qg_o,
+    max(CASE WHEN g = 'P' THEN ng END) ng_p,
+    max(CASE WHEN g = 'P' THEN sg END) sg_p,
+    max(CASE WHEN g = 'P' THEN qg END) qg_p
+  FROM grp),
+x AS (SELECT ng_f, ng_o, ng_p,
+    CAST(qg_f AS DOUBLE) - CAST(sg_f AS DOUBLE) * CAST(sg_f AS DOUBLE) / CAST(ng_f AS DOUBLE) a_f,
+    CAST(qg_o AS DOUBLE) - CAST(sg_o AS DOUBLE) * CAST(sg_o AS DOUBLE) / CAST(ng_o AS DOUBLE) a_o,
+    CAST(qg_p AS DOUBLE) - CAST(sg_p AS DOUBLE) * CAST(sg_p AS DOUBLE) / CAST(ng_p AS DOUBLE) a_p,
+    CAST(ng_f + ng_o + ng_p AS DOUBLE) nd
+  FROM one)
+SELECT CAST(ng_f + ng_o + ng_p AS BIGINT) AS n,
+  CAST(ng_f AS BIGINT) AS n_f, CAST(ng_o AS BIGINT) AS n_o,
+  CAST(ng_p AS BIGINT) AS n_p,
+  CAST(floor(((nd - 3.0) * ln((a_f + a_o + a_p) / (nd - 3.0)) -
+    ((CAST(ng_f AS DOUBLE) - 1.0) * ln(a_f / (CAST(ng_f AS DOUBLE) - 1.0)) +
+     (CAST(ng_o AS DOUBLE) - 1.0) * ln(a_o / (CAST(ng_o AS DOUBLE) - 1.0)) +
+     (CAST(ng_p AS DOUBLE) - 1.0) * ln(a_p / (CAST(ng_p AS DOUBLE) - 1.0))))
+    / (1.0 + (1.0 / (CAST(ng_f AS DOUBLE) - 1.0) +
+      1.0 / (CAST(ng_o AS DOUBLE) - 1.0) +
+      1.0 / (CAST(ng_p AS DOUBLE) - 1.0) - 1.0 / (nd - 3.0)) / 6.0)
+    * 1e6) AS BIGINT) AS chi2_q6
+FROM x""",
+
+      // Jonckheere-Terpstra: per-group value-grain cumulatives, three
+      // doubled U folds, untied null moments, one double tree.
+      "agg_jonckheere" ->
+        s"""WITH e AS (SELECT o_orderstatus g,
+    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) v
+  FROM ${T("orders")}),
+grain AS (SELECT v,
+    sum(CASE WHEN g = 'F' THEN 1 ELSE 0 END) cf,
+    sum(CASE WHEN g = 'O' THEN 1 ELSE 0 END) co,
+    sum(CASE WHEN g = 'P' THEN 1 ELSE 0 END) cp
+  FROM e GROUP BY 1),
+cum AS (SELECT v, cf, co, cp,
+    sum(cf) OVER (ORDER BY v) cumf,
+    sum(co) OVER (ORDER BY v) cumo FROM grain),
+t AS (SELECT
+    sum(CAST(co * (2*(cumf - cf) + cf) AS HUGEINT)) u2fo,
+    sum(CAST(cp * (2*(cumf - cf) + cf) AS HUGEINT)) u2fp,
+    sum(CAST(cp * (2*(cumo - co) + co) AS HUGEINT)) u2op,
+    sum(cf) nf, sum(co) no_, sum(cp) np_ FROM cum),
+x AS (SELECT nf, no_, np_, u2fo, u2fp, u2op,
+    CAST(nf + no_ + np_ AS DOUBLE) nd FROM t)
+SELECT CAST(nf + no_ + np_ AS BIGINT) AS n,
+  CAST(nf AS BIGINT) AS n_f, CAST(no_ AS BIGINT) AS n_o,
+  CAST(np_ AS BIGINT) AS n_p,
+  CAST(u2fo + u2fp + u2op AS BIGINT) AS jt_x2,
+  CAST(floor(((CAST(u2fo AS DOUBLE) + CAST(u2fp AS DOUBLE)
+      + CAST(u2op AS DOUBLE)) / 2.0 -
+    (nd * nd - (CAST(nf AS DOUBLE) * CAST(nf AS DOUBLE)
+      + CAST(no_ AS DOUBLE) * CAST(no_ AS DOUBLE)
+      + CAST(np_ AS DOUBLE) * CAST(np_ AS DOUBLE))) / 4.0)
+    / sqrt((nd * nd * (2.0 * nd + 3.0) -
+      (CAST(nf AS DOUBLE) * CAST(nf AS DOUBLE) * (2.0 * CAST(nf AS DOUBLE) + 3.0)
+       + CAST(no_ AS DOUBLE) * CAST(no_ AS DOUBLE) * (2.0 * CAST(no_ AS DOUBLE) + 3.0)
+       + CAST(np_ AS DOUBLE) * CAST(np_ AS DOUBLE) * (2.0 * CAST(np_ AS DOUBLE) + 3.0))) / 72.0)
+    * 1e6) AS BIGINT) AS z_q6
+FROM x""",
+
+      // Cochran's Q: the above-week-median indicator read off the
+      // strict-less count (no interpolated median), integer folds.
+      "ts_cochran_q" ->
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) dt, count(*) y
+  FROM ${T("orders")} GROUP BY 1),
+d AS (SELECT y, (dt - DATE '1970-01-01') // 7 wk,
+    (dt - DATE '1970-01-01') % 7 dow FROM daily),
+fw AS (SELECT wk FROM d GROUP BY wk HAVING count(*) = 7),
+f AS (SELECT d.* FROM d JOIN fw USING (wk)),
+r AS (SELECT a.wk, a.dow,
+    sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) l
+  FROM f a JOIN f b ON a.wk = b.wk GROUP BY a.wk, a.dow, a.y),
+xx AS (SELECT wk, dow, CASE WHEN l >= 4 THEN 1 ELSE 0 END x FROM r),
+rw AS (SELECT wk, sum(x) ri FROM xx GROUP BY 1),
+cl AS (SELECT dow, sum(x) cj FROM xx GROUP BY 1),
+t1 AS (SELECT sum(cj * cj) sc2, sum(cj) nn FROM cl),
+t2 AS (SELECT count(*) n_weeks, sum(ri * ri) sr2 FROM rw)
+SELECT CAST(n_weeks AS BIGINT) AS n_weeks, CAST(nn AS BIGINT) AS n_above,
+  CAST(sc2 AS BIGINT) AS sum_c2, CAST(sr2 AS BIGINT) AS sum_r2,
+  CAST(floor(6.0 * (7.0 * sc2 - CAST(nn AS DOUBLE) * nn)
+    / (7.0 * nn - CAST(sr2 AS DOUBLE)) * 1e6) AS BIGINT) AS q_q6
+FROM t1, t2""",
+
+      // ---- round 15 (§2.58): sentence grain & export balance ----
+      // Sentencified fixture: 1-based list_transform index (DuckDB's
+      // native convention; Spark uses i+1) — md5 range pins alignment.
+      "pipeline_sentence_profile" ->
+        s"""WITH t AS (SELECT source,
+    rtrim(array_to_string(list_transform(string_split(text, ' '),
+      (x, i) -> concat(x, CASE WHEN i % 17 = 0 THEN '! '
+        WHEN i % 7 = 0 THEN '. ' WHEN i % 5 = 0 THEN ', '
+        ELSE ' ' END)), '')) st,
+    CAST(len(string_split(text, ' ')) AS BIGINT) nt
+  FROM ${T("documents")})
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(nt) AS BIGINT) AS n_tokens,
+  CAST(sum(length(st) - length(regexp_replace(st, '[.!]', '', 'g')))
+    AS BIGINT) AS n_sentences,
+  CAST(sum(length(st) - length(replace(st, ',', ''))) AS BIGINT)
+    AS n_commas,
+  CAST((sum(nt) * 1000000)
+    // sum(length(st) - length(regexp_replace(st, '[.!]', '', 'g')))
+    AS BIGINT) AS toks_per_sent_q6,
+  min(md5(st)) AS fp_min, max(md5(st)) AS fp_max
+FROM t GROUP BY 1 ORDER BY source""",
+
+      // Coleman-Liau: char-class counts, one double tree per source.
+      "pipeline_readability" ->
+        s"""WITH t AS (SELECT source,
+    rtrim(array_to_string(list_transform(string_split(text, ' '),
+      (x, i) -> concat(x, CASE WHEN i % 17 = 0 THEN '! '
+        WHEN i % 7 = 0 THEN '. ' WHEN i % 5 = 0 THEN ', '
+        ELSE ' ' END)), '')) st,
+    CAST(len(string_split(text, ' ')) AS BIGINT) w
+  FROM ${T("documents")}),
+agg AS (SELECT source, count(*) n_docs, sum(w) words,
+    sum(length(st) - length(regexp_replace(st, '[A-Za-z]', '', 'g'))) letters,
+    sum(length(st) - length(regexp_replace(st, '[.!]', '', 'g'))) sentences
+  FROM t GROUP BY 1)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(words AS BIGINT) AS words, CAST(letters AS BIGINT) AS letters,
+  CAST(sentences AS BIGINT) AS sentences,
+  CAST(floor((0.0588 * (CAST(letters AS DOUBLE) * 100.0 / words) -
+    0.296 * (CAST(sentences AS DOUBLE) * 100.0 / words) - 15.8) * 1e6)
+    AS BIGINT) AS cli_q6
+FROM agg ORDER BY source""",
+
+      // Shard-balance readout over the deterministic pack's manifest.
+      "pipeline_export_balance" ->
+        s"""WITH t AS (SELECT doc_id, text,
+    md5(concat('shard|', CAST(doc_id AS VARCHAR))) k,
+    CAST(len(string_split(text, ' ')) AS BIGINT) tok
+  FROM ${T("documents")}),
+c AS (SELECT k, tok,
+    sum(tok) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+      AND CURRENT ROW) - tok AS cumb FROM t),
+man AS (SELECT CAST(cumb // 2048 AS BIGINT) shard,
+    count(*) n_docs, sum(tok) n_tokens FROM c GROUP BY 1),
+agg AS (SELECT count(*) n_shards,
+    min(n_tokens) tok_min, max(n_tokens) tok_max,
+    min(n_docs) doc_min, max(n_docs) doc_max,
+    sum(n_tokens) st, sum(n_tokens * n_tokens) qt FROM man)
+SELECT CAST(n_shards AS BIGINT) AS n_shards,
+  CAST(tok_min AS BIGINT) AS tok_min, CAST(tok_max AS BIGINT) AS tok_max,
+  CAST(doc_min AS BIGINT) AS doc_min, CAST(doc_max AS BIGINT) AS doc_max,
+  CAST(((tok_max - tok_min) * 1000000) // 2048 AS BIGINT) AS spread_q6,
+  CAST(floor(sqrt((CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+      / CAST(n_shards AS DOUBLE)) / CAST(n_shards AS DOUBLE))
+    / (CAST(st AS DOUBLE) / CAST(n_shards AS DOUBLE)) * 1e6) AS BIGINT)
+    AS cv_q6
+FROM agg"""
     )
   }
 }

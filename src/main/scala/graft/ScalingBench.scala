@@ -301,7 +301,15 @@ object ScalingBench {
           { ops.Pipelines.kneserNeyDocNll(Tables(spark, dir, "documents"),
               knModel(dir))
               .agg(org.apache.spark.sql.functions.sum(
-                org.apache.spark.sql.functions.col("kn_sq"))).collect(); () }))
+                org.apache.spark.sql.functions.col("kn_sq"))).collect(); () }),
+        // round-15 §2.58: sentence censuses are fused row-local chains
+        // (the regexp floor); export balance folds the bounded manifest
+        "pipeline_sentence_profile" -> (() =>
+          { ops.Crawl.pipelineSentenceProfile(spark, dir).collect(); () }),
+        "pipeline_readability" -> (() =>
+          { ops.Crawl.pipelineReadability(spark, dir).collect(); () }),
+        "pipeline_export_balance" -> (() =>
+          { ops.Export.pipelineExportBalance(spark, dir).collect(); () }))
       )
       // run r: clear -> timed shingle build -> each op timed under its
       // own job group; keep min wall and min CPU per op (a cost
@@ -510,7 +518,14 @@ object ScalingBench {
         "agg_quantile_skew" -> (() => { ops.Relational.aggQuantileSkew(spark, dir).collect(); () }),
         "agg_grubbs_max" -> (() => { ops.Relational.aggGrubbsMax(spark, dir).collect(); () }),
         "agg_g_test_dow" -> (() => { ops.Relational.aggGTestDow(spark, dir).collect(); () }),
-        "ts_kendall_w" -> (() => { ops.TimeSeries.tsKendallW(spark, dir).collect(); () })))
+        "ts_kendall_w" -> (() => { ops.TimeSeries.tsKendallW(spark, dir).collect(); () }),
+        // round-15 §2.57: bartlett is one map-combined moment pass;
+        // jonckheere shares kruskal's value-grain + range-shuffle
+        // shape (three running sums in ONE shuffle); cochran rides
+        // the calendar-bounded week ranks
+        "agg_bartlett" -> (() => { ops.Relational.aggBartlett(spark, dir).collect(); () }),
+        "agg_jonckheere" -> (() => { ops.Relational.aggJonckheere(spark, dir).collect(); () }),
+        "ts_cochran_q" -> (() => { ops.TimeSeries.tsCochranQ(spark, dir).collect(); () })))
       val best = scala.collection.mutable.LinkedHashMap[String, Double]()
       val bestCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
       var primeBest = Double.MaxValue

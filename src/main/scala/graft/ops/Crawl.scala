@@ -186,6 +186,22 @@ object Crawl {
         col("doc_id") % 13, lit("?b="), col("doc_id") % 8,
         lit("&ref=tw&a="), col("doc_id") % 6, lit(" end"))).otherwise(lit("")))
 
+  /** Sentencified fixture (§2.58): the corpus text re-joined with
+    * deterministic index-keyed separators — terminal '!' every 17th
+    * token, '.' every 7th, a comma every 5th, space otherwise — so
+    * sentence-grain ops have real punctuation to read. The 1-BASED
+    * index convention is pinned here: DuckDB's list_transform (x, i)
+    * indexes from 1, Spark's transform from 0, so the Spark side uses
+    * (i + 1) — the md5 range of the fixture itself is part of every
+    * §2.58 census, pinning the alignment. */
+  private[graft] def sentenceDirtyText: Column =
+    rtrim(array_join(transform(split(col("text"), " "), (x, i) =>
+      concat(x,
+        when((i + 1) % 17 === 0, lit("! "))
+          .when((i + 1) % 7 === 0, lit(". "))
+          .when((i + 1) % 5 === 0, lit(", "))
+          .otherwise(lit(" ")))), ""))
+
   /** Boilerplate fixture: ' | '-separated trailer lines — a per-source
     * copyright line on every even doc, a global subscribe line on %5,
     * and a doc-unique footnote on %7 (must NOT be flagged). */
@@ -395,6 +411,66 @@ object Crawl {
         asLong(col("chars_before")).as("chars_before"),
         asLong(col("chars_after")).as("chars_after"),
         col("fp_min"), col("fp_max"))
+      .orderBy("source")
+  }
+
+  /** Sentence-grain profile (§2.58): per source over the sentencified
+    * fixture — token mass, sentence count (TERMINAL-char census via
+    * length-minus-stripped, the char-class recipe: regexp split
+    * semantics differ between engines on trailing empties, counting
+    * terminals does not), comma count, tokens-per-sentence, and the
+    * md5 range of the fixture text (pins the 1-based index alignment
+    * that builds it). Integer divisions only. Scale: fused row-local
+    * chain, one \|sources\| aggregate. */
+  val pipelineSentenceProfile: Q = (s, d) => {
+    val t = sentenceDirtyText
+    def cls(c: Column, p: String) =
+      (length(c) - length(regexp_replace(c, lit(p), lit("")))).cast(LongType)
+    table(s, d, "documents")
+      .select(col("source"), t.as("t"),
+        size(split(col("text"), " ")).cast(LongType).as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(cls(col("t"), "[.!]")).as("n_sentences"),
+        sum(cls(col("t"), ",")).as("n_commas"),
+        min(md5(col("t"))).as("fp_min"), max(md5(col("t"))).as("fp_max"))
+      .select(col("source"), asLong(col("n_docs")).as("n_docs"),
+        asLong(col("n_tokens")).as("n_tokens"),
+        asLong(col("n_sentences")).as("n_sentences"),
+        asLong(col("n_commas")).as("n_commas"),
+        expr("(n_tokens * 1000000) div n_sentences").as("toks_per_sent_q6"),
+        col("fp_min"), col("fp_max"))
+      .orderBy("source")
+  }
+
+  /** Coleman–Liau readability (§2.58): per source, CLI = 0.0588·L −
+    * 0.296·S − 15.8 with L = letters per 100 words and S = sentences
+    * per 100 words — the readability index that needs NO syllable
+    * dictionary (deterministic from char classes), over the
+    * sentencified fixture. Letters/terminals counted via the
+    * length-minus-stripped recipe; L, S and the index are ONE double
+    * tree over exact integers, q6. Scale: fused row-local chain, one
+    * \|sources\| aggregate. */
+  val pipelineReadability: Q = (s, d) => {
+    val t = sentenceDirtyText
+    def cls(c: Column, p: String) =
+      (length(c) - length(regexp_replace(c, lit(p), lit("")))).cast(LongType)
+    table(s, d, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("w"),
+        cls(t, "[A-Za-z]").as("le"), cls(t, "[.!]").as("se"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+        sum(col("le")).as("letters"), sum(col("se")).as("sentences"))
+      .select(col("source"), asLong(col("n_docs")).as("n_docs"),
+        asLong(col("words")).as("words"),
+        asLong(col("letters")).as("letters"),
+        asLong(col("sentences")).as("sentences"),
+        asLong(floor((lit(0.0588) *
+          (col("letters").cast(DoubleType) * 100.0 / col("words")) -
+          lit(0.296) *
+          (col("sentences").cast(DoubleType) * 100.0 / col("words")) -
+          lit(15.8)) * 1e6)).as("cli_q6"))
       .orderBy("source")
   }
 

@@ -99,4 +99,32 @@ object Export {
     * |shards| aggregate. */
   val pipelineExportManifest: Q = (s, d) =>
     manifest(assignShards(table(s, d, "documents"), 2048L))
+
+  /** Shard-balance summary (§2.58): the one-row skew readout a
+    * training run checks before consuming the pack — shard count,
+    * token-load extrema, doc-count extrema, the max-minus-min spread
+    * as a share of the budget, and the coefficient of variation of
+    * shard token loads (exact Σ/Σ² over the \|shards\| relation, one
+    * double tree q6). The deterministic md5 order makes loads
+    * near-uniform BY CONSTRUCTION — this census is what proves it.
+    * Scale: a fold over the bounded manifest. */
+  val pipelineExportBalance: Q = (s, d) => {
+    val man = manifest(assignShards(table(s, d, "documents"), 2048L))
+    val t = man.agg(count(lit(1)).as("n_shards"),
+      min(col("n_tokens")).as("tok_min"), max(col("n_tokens")).as("tok_max"),
+      min(col("n_docs")).as("doc_min"), max(col("n_docs")).as("doc_max"),
+      sum(col("n_tokens")).as("st"),
+      sum(col("n_tokens") * col("n_tokens")).as("qt"))
+    val nd = col("n_shards").cast(DoubleType)
+    val cv = sqrt((col("qt").cast(DoubleType) -
+      col("st").cast(DoubleType) * col("st").cast(DoubleType) / nd) / nd) /
+      (col("st").cast(DoubleType) / nd)
+    t.select(asLong(col("n_shards")).as("n_shards"),
+      asLong(col("tok_min")).as("tok_min"),
+      asLong(col("tok_max")).as("tok_max"),
+      asLong(col("doc_min")).as("doc_min"),
+      asLong(col("doc_max")).as("doc_max"),
+      expr("((tok_max - tok_min) * 1000000) div 2048").as("spread_q6"),
+      asLong(floor(cv * 1e6)).as("cv_q6"))
+  }
 }

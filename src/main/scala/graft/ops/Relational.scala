@@ -4477,6 +4477,96 @@ object Relational {
       asLong(floor(h0 / corr * 1e6)).as("h_q6"))
   }
 
+  /** Bartlett's variance-homogeneity test (§2.57): the PARAMETRIC
+    * member beside agg_brown_forsythe — most powerful under normality,
+    * fragile off it (which is why both ship; BF is the robust screen).
+    * Per-group variances come from exact DECIMAL(38,0) Σ/Σ² (operands
+    * promoted before the multiply); the three groups pivot to ONE row
+    * so χ² = [(N−k)·ln(s²ₚ) − Σ(nᵢ−1)·ln(s²ᵢ)] / C with C = 1 +
+    * [Σ1/(nᵢ−1) − 1/(N−k)] / (3(k−1)) evaluates in one deterministic
+    * double tree, q6. Scale: ONE map-combined aggregate + a 3-row
+    * pivot. */
+  val aggBartlett: Q = (s, d) => {
+    val o = table(s, d, "orders")
+    val cents = (dec2(col("o_totalprice")) * 100).cast(LongType)
+    val grp = o.select(col("o_orderstatus").as("g"), cents.as("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"),
+        sum(col("v").cast(DecimalType(38, 0))).as("sg"),
+        sum(col("v").cast(DecimalType(38, 0)) * col("v")).as("qg"))
+    def pick(g: String, c: String) =
+      max(when(col("g") === g, col(c))).as(c + "_" + g.toLowerCase)
+    val one = grp.agg(
+      pick("F", "ng"), pick("F", "sg"), pick("F", "qg"),
+      pick("O", "ng"), pick("O", "sg"), pick("O", "qg"),
+      pick("P", "ng"), pick("P", "sg"), pick("P", "qg"))
+    def dbl(c: String) = col(c).cast(DoubleType)
+    def a(g: String) =
+      dbl("qg_" + g) - dbl("sg_" + g) * dbl("sg_" + g) / dbl("ng_" + g)
+    def s2(g: String) = a(g) / (dbl("ng_" + g) - 1.0)
+    val nd = (col("ng_f") + col("ng_o") + col("ng_p")).cast(DoubleType)
+    val sp2 = (a("f") + a("o") + a("p")) / (nd - 3.0)
+    val chi0 = (nd - 3.0) * log(sp2) -
+      ((dbl("ng_f") - 1.0) * log(s2("f")) +
+       (dbl("ng_o") - 1.0) * log(s2("o")) +
+       (dbl("ng_p") - 1.0) * log(s2("p")))
+    val cFac = lit(1.0) +
+      (lit(1.0) / (dbl("ng_f") - 1.0) + lit(1.0) / (dbl("ng_o") - 1.0) +
+        lit(1.0) / (dbl("ng_p") - 1.0) - lit(1.0) / (nd - 3.0)) / 6.0
+    one.select(
+      asLong(col("ng_f") + col("ng_o") + col("ng_p")).as("n"),
+      asLong(col("ng_f")).as("n_f"), asLong(col("ng_o")).as("n_o"),
+      asLong(col("ng_p")).as("n_p"),
+      asLong(floor(chi0 / cFac * 1e6)).as("chi2_q6"))
+  }
+
+  /** Jonckheere–Terpstra ordered k-sample trend test (§2.57): the
+    * ORDERED alternative agg_kruskal_wallis can't see (does order
+    * value RISE along the status order F < O < P — statuses ordered
+    * lexicographically, the declared convention). JT = Σ_{j<k} U_jk
+    * over the three ordered pairs; each doubled U (2U = 2·#less +
+    * #ties, the mann-whitney recipe) folds from the value-grain
+    * per-group cumulative counts — ONE range shuffle computes all
+    * three running sums ([[GlobalRank.withRunningSums]]). The z
+    * standardization uses the classical UNTIED null moments
+    * E = (N² − Σnᵢ²)/4, Var = [N²(2N+3) − Σnᵢ²(2nᵢ+3)]/72 (declared
+    * semantics; ties exist in cents data, as in ts_page_trend's
+    * untied moments). Exact integers throughout; one double tree q6.
+    */
+  val aggJonckheere: Q = (s, d) => {
+    val e = table(s, d, "orders").select(col("o_orderstatus").as("g"),
+      (dec2(col("o_totalprice")) * 100).cast(LongType).as("v"))
+    val grain = e.groupBy(col("v")).agg(
+      sum(when(col("g") === "F", 1L).otherwise(0L)).as("cf"),
+      sum(when(col("g") === "O", 1L).otherwise(0L)).as("co"),
+      sum(when(col("g") === "P", 1L).otherwise(0L)).as("cp"))
+    val cum = GlobalRank.withRunningSums(grain, Seq(col("v")),
+      Seq("cf" -> "cumf", "co" -> "cumo", "cp" -> "cump"))
+    def u2(later: String, bCum: String, bCnt: String) =
+      sum((col(later) * (lit(2L) * (col(bCum) - col(bCnt)) + col(bCnt)))
+        .cast(DecimalType(38, 0)))
+    val t = cum.agg(
+      u2("co", "cumf", "cf").as("u2fo"),
+      u2("cp", "cumf", "cf").as("u2fp"),
+      u2("cp", "cumo", "co").as("u2op"),
+      sum(col("cf")).as("nf"), sum(col("co")).as("no_"),
+      sum(col("cp")).as("np_"))
+    def dbl(c: String) = col(c).cast(DoubleType)
+    val nd = (col("nf") + col("no_") + col("np_")).cast(DoubleType)
+    def m(c: String) = dbl(c) * dbl(c) * (lit(2.0) * dbl(c) + 3.0)
+    val jtd = (dbl("u2fo") + dbl("u2fp") + dbl("u2op")) / 2.0
+    val ed = (nd * nd -
+      (dbl("nf") * dbl("nf") + dbl("no_") * dbl("no_") +
+        dbl("np_") * dbl("np_"))) / 4.0
+    val vard = (nd * nd * (lit(2.0) * nd + 3.0) -
+      (m("nf") + m("no_") + m("np_"))) / 72.0
+    t.select(asLong(col("nf") + col("no_") + col("np_")).as("n"),
+      asLong(col("nf")).as("n_f"), asLong(col("no_")).as("n_o"),
+      asLong(col("np_")).as("n_p"),
+      asLong(col("u2fo") + col("u2fp") + col("u2op")).as("jt_x2"),
+      asLong(floor((jtd - ed) / sqrt(vard) * 1e6)).as("z_q6"))
+  }
+
   /** G-test of daily order counts vs a uniform week (§2.56): the
     * likelihood-ratio companion to agg_chi2_dow — G = 2·Σ O·ln(O/E)
     * with E = N/7, the statistic that IS the deviance the chi-squared

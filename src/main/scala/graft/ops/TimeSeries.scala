@@ -2661,8 +2661,11 @@ object TimeSeries {
     a.join(b, Seq("wk"))
       .groupBy(col("wk"), col("dow"), col("ya"))
       .agg((lit(2) * sum(when(col("yb") < col("ya"), 1L).otherwise(0L)) +
-        sum(when(col("yb") === col("ya"), 1L).otherwise(0L)) + 1).as("r2"))
-      .select(col("wk"), col("dow"), col("r2"))
+        sum(when(col("yb") === col("ya"), 1L).otherwise(0L)) + 1).as("r2"),
+        // strict-less count (round 15): ts_cochran_q's above-median
+        // indicator reads it; r2 consumers are unchanged
+        sum(when(col("yb") < col("ya"), 1L).otherwise(0L)).as("lcnt"))
+      .select(col("wk"), col("dow"), col("r2"), col("lcnt"))
       // weeks·7 rows; consumed twice per caller (per-dow totals + the
       // distinct-week count), so the self-join runs once
       .localCheckpoint(true)
@@ -2736,6 +2739,37 @@ object TimeSeries {
         asLong(floor(col("s4").cast(DoubleType) /
           (lit(112.0) * col("n").cast(DoubleType) * col("n").cast(DoubleType))
           * 1e6)).as("w_q6"))
+  }
+
+  /** Cochran's Q over the week × weekday binary design (§2.57): is
+    * "this weekday runs ABOVE its week's median" a day-of-week effect
+    * or noise — the BINARY repeated-measures member beside Friedman's
+    * rank test (Q is literally Friedman on 0/1 responses). The
+    * indicator is exact: a day is above its week's median (the 4th
+    * order statistic of 7) iff its strict-less count ≥ 4 — read
+    * straight off the shared weekRanks relation (lcnt), no value
+    * comparison against an interpolated median anywhere. Q = (k−1)·
+    * [k·ΣCⱼ² − N²] / (k·N − ΣRᵢ²), k = 7, all-integer operands, one
+    * double tree q6. Scale: two folds over the calendar-bounded
+    * week-rank relation. */
+  val tsCochranQ: Q = (s, d) => {
+    val x = weekRanks(s, d).select(col("wk"), col("dow"),
+      when(col("lcnt") >= 4, 1L).otherwise(0L).as("x"))
+    val rows = x.groupBy(col("wk")).agg(sum(col("x")).as("ri"))
+    val byCol = x.groupBy(col("dow")).agg(sum(col("x")).as("cj"))
+    val t1 = byCol.agg(sum(col("cj") * col("cj")).as("sc2"),
+      sum(col("cj")).as("nn"))
+    val t2 = rows.agg(count(lit(1)).as("n_weeks"),
+      sum(col("ri") * col("ri")).as("sr2"))
+    t1.crossJoin(broadcast(t2))
+      .select(asLong(col("n_weeks")).as("n_weeks"),
+        asLong(col("nn")).as("n_above"),
+        asLong(col("sc2")).as("sum_c2"),
+        asLong(col("sr2")).as("sum_r2"),
+        asLong(floor(lit(6.0) *
+          (lit(7.0) * col("sc2") - col("nn").cast(DoubleType) * col("nn")) /
+          (lit(7.0) * col("nn") - col("sr2").cast(DoubleType)) * 1e6))
+          .as("q_q6"))
   }
 
   /** Turning-point randomness census (§2.53): count the daily

@@ -1085,7 +1085,9 @@ class EngineSpec extends AnyFunSuite {
     // GlobalRank range shuffle (never a single-task global window) and
     // only broadcast the bounded offsets
     Seq("export_manifest" -> ops.Export.pipelineExportManifest,
-      "kruskal_wallis" -> ops.Relational.aggKruskalWallis).foreach {
+      "kruskal_wallis" -> ops.Relational.aggKruskalWallis,
+      "jonckheere" -> ops.Relational.aggJonckheere,
+      "export_balance" -> ops.Export.pipelineExportBalance).foreach {
       case (n, q) =>
         val p = q(spark, sf0001).queryExecution.executedPlan.toString
         assert(p.contains("rangepartitioning"),
@@ -1095,9 +1097,19 @@ class EngineSpec extends AnyFunSuite {
         assert(!p.contains("WindowExec: No Partition"),
           s"$n collapsed to a single-task window:\n${p.take(1200)}")
     }
-    // grubbs + g-test: one map-combined aggregate, broadcast-only
+    // sentence censuses: fused row-local chains, join-free
+    Seq("sentence_profile" -> ops.Crawl.pipelineSentenceProfile,
+      "readability" -> ops.Crawl.pipelineReadability).foreach {
+      case (n, q) =>
+        val p = q(spark, sf0001).queryExecution.executedPlan.toString
+        assert(!p.contains("Join"), s"$n grew a join:\n${p.take(1200)}")
+    }
+    // grubbs + g-test + bartlett: one map-combined aggregate,
+    // broadcast-only; cochran rides the calendar-bounded week ranks
     Seq("grubbs" -> ops.Relational.aggGrubbsMax,
-      "g_test_dow" -> ops.Relational.aggGTestDow).foreach { case (n, q) =>
+      "g_test_dow" -> ops.Relational.aggGTestDow,
+      "bartlett" -> ops.Relational.aggBartlett,
+      "cochran_q" -> ops.TimeSeries.tsCochranQ).foreach { case (n, q) =>
       val p = q(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
         s"$n grew a shuffled join:\n${p.take(1200)}")

@@ -358,7 +358,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     // round 15 (§2.56)
     "agg_quantile_skew" -> 1L, "agg_grubbs_max" -> 1L,
     "agg_kruskal_wallis" -> 1L, "agg_g_test_dow" -> 1L,
-    "ts_kendall_w" -> 1L, "pipeline_boilerplate_removal" -> 20L)
+    "ts_kendall_w" -> 1L, "pipeline_boilerplate_removal" -> 20L,
+    // round 15 (§2.57–§2.58)
+    "agg_bartlett" -> 1L, "agg_jonckheere" -> 1L, "ts_cochran_q" -> 1L,
+    "pipeline_sentence_profile" -> 20L, "pipeline_readability" -> 20L,
+    "pipeline_export_balance" -> 1L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
