@@ -236,7 +236,44 @@ object IncDedupBench {
       System.out.flush()
     }
 
+    /** Round-16 sweep for [[graft.ops.Export.advanceShards]]: ship the
+      * corpus minus the n newest docs, then ADVANCE with the full feed
+      * (packs only the n entering docs into new shards) vs a full
+      * re-export of the post-delta corpus. Append-only by
+      * construction — the advance path's fence never fires here. The
+      * claim under test: advance ~ |entering| + one shipped scan;
+      * rebuild ~ |corpus| (range shuffle + full rewrite). */
+    def measureTierExport(dir: String, n: Int): Unit = {
+      val docs = Tables(spark, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val nDocs = docs.count()
+      val budget = 2048L
+      val cut = docs.select(col("doc_id")).orderBy(col("doc_id").desc)
+        .limit(n).agg(min(col("doc_id"))).head().getLong(0)
+      val base = docs.filter(col("doc_id") < cut)
+      val out = s"$tmpRoot/export_${nDocs}"
+      val tBuild = timed {
+        graft.ops.Export.exportShards(base, out, budget).count(); ()
+      }
+      val tAdv = timed {
+        graft.ops.Export.advanceShards(spark, out, docs, budget).count(); ()
+      }
+      val tRebuild = timed {
+        graft.ops.Export.exportShards(docs, s"${out}_rb", budget).count(); ()
+      }
+      println(s"""{"family":"inc_export","dir":"$dir","n_docs":$nDocs,"initial_build":${r3(tBuild)},"steps":[{"delta":$n,"advance":${r3(tAdv)},"full_rebuild":${r3(tRebuild)}}]}""")
+      System.out.flush()
+    }
+
     val mode = sys.env.getOrElse("SPARK_GRAFT_INCDEDUP_MODE", "all")
+    // export-advance sweep (round 16): fixed 200-doc entering slice
+    if (mode == "all" || mode == "export") {
+      Seq("/root/testdata/sf0.1",
+        new java.io.File("fixtures/sf1_docs").getAbsolutePath,
+        new java.io.File("fixtures/sf10_docs").getAbsolutePath)
+        .filter(d => new java.io.File(s"$d/documents.parquet").exists())
+        .foreach(d => measureTierExport(d, 200))
+    }
     // url-key sweep (round 15): fixed 200-doc delta across the decades
     if (mode == "all" || mode == "url") {
       Seq("/root/testdata/sf0.1",

@@ -8258,7 +8258,215 @@ SELECT CAST(n_shards AS BIGINT) AS n_shards,
       / CAST(n_shards AS DOUBLE)) / CAST(n_shards AS DOUBLE))
     / (CAST(st AS DOUBLE) / CAST(n_shards AS DOUBLE)) * 1e6) AS BIGINT)
     AS cv_q6
-FROM agg"""
+FROM agg""",
+
+      // ---- round 16 (§2.59): tokenizer-true export & weighted mix ----
+      // Same deterministic pack as pipeline_export_manifest, budgets in
+      // SUBWORD tokens: the frozen vocab's greedy longest-match pattern
+      // (pipeline_subword_count contract) is engine-identical.
+      "pipeline_export_tokenized" ->
+        s"""WITH t AS (SELECT doc_id, text,
+    md5(concat('shard|', CAST(doc_id AS VARCHAR))) k,
+    CAST(len(regexp_extract_all(text, '${graft.ops.Pipelines.subwordPattern}')) AS BIGINT) tok
+  FROM ${T("documents")}),
+c AS (SELECT text, k, tok,
+    sum(tok) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+      AND CURRENT ROW) - tok AS cumb FROM t),
+s AS (SELECT text, k, tok, CAST(cumb // 2048 AS BIGINT) shard FROM c)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(tok) AS BIGINT) AS n_tokens,
+  min(k) AS k_min, max(k) AS k_max,
+  md5(string_agg(md5(text), '' ORDER BY k)) AS content_md5
+FROM s GROUP BY 1 ORDER BY shard""",
+
+      // Weighted token-budgeted mixture manifest: per-source targets by
+      // integer div of a 30%-of-corpus budget, greedy md5-order cutoff
+      // replayed as a partitioned running-sum window — all BIGINT.
+      "pipeline_mix_manifest" ->
+        s"""WITH t AS (SELECT source, doc_id, text,
+    md5(concat('mix|', CAST(doc_id AS VARCHAR))) mk,
+    CAST(len(string_split(text, ' ')) AS BIGINT) tok
+  FROM ${T("documents")}),
+cum AS (SELECT source, tok,
+    sum(tok) OVER (PARTITION BY source ORDER BY mk
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS cumb
+  FROM t),
+srcw AS (SELECT source, count(*) n_docs, sum(tok) avail,
+    (length(source) % 3) + 1 AS w FROM t GROUP BY source),
+tgt AS (SELECT source, w, n_docs, avail,
+    (((SELECT (sum(tok) * 3) // 10 FROM t) * w)
+      // (SELECT sum(w) FROM srcw)) AS target
+  FROM srcw),
+sel AS (SELECT c.source, c.tok,
+    CASE WHEN c.cumb < g.target THEN 1 ELSE 0 END tk
+  FROM cum c JOIN tgt g USING (source))
+SELECT g.source, CAST(g.w AS BIGINT) AS w,
+  CAST(g.n_docs AS BIGINT) AS n_docs,
+  CAST(g.avail AS BIGINT) AS avail_tokens,
+  CAST(g.target AS BIGINT) AS target_tokens,
+  CAST(sum(s.tk) AS BIGINT) AS docs_taken,
+  CAST(sum(s.tk * s.tok) AS BIGINT) AS achieved_tokens,
+  CAST(CASE WHEN g.target > 0
+    THEN (sum(s.tk * s.tok) * 1000000) // g.target ELSE 0 END AS BIGINT)
+    AS fill_ppm
+FROM sel s JOIN tgt g USING (source)
+GROUP BY g.source, g.w, g.n_docs, g.avail, g.target
+ORDER BY g.source""",
+
+      // Selected-corpus census: membership + cutoff pinned by the md5
+      // range of TAKEN texts and the order-key range.
+      "pipeline_mix_census" ->
+        s"""WITH t AS (SELECT source, doc_id, text,
+    md5(concat('mix|', CAST(doc_id AS VARCHAR))) mk,
+    CAST(len(string_split(text, ' ')) AS BIGINT) tok
+  FROM ${T("documents")}),
+cum AS (SELECT source, doc_id, text, mk, tok,
+    sum(tok) OVER (PARTITION BY source ORDER BY mk
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS cumb
+  FROM t),
+srcw AS (SELECT source, (length(source) % 3) + 1 AS w FROM t GROUP BY source),
+tgt AS (SELECT source, (((SELECT (sum(tok) * 3) // 10 FROM t) * w)
+      // (SELECT sum(w) FROM srcw)) AS target
+  FROM srcw),
+sel AS (SELECT c.* FROM cum c JOIN tgt g USING (source)
+  WHERE c.cumb < g.target)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(tok) AS BIGINT) AS n_tokens,
+  min(md5(text)) AS fp_min, max(md5(text)) AS fp_max,
+  min(mk) AS k_min, max(mk) AS k_max
+FROM sel GROUP BY 1 ORDER BY source""",
+
+      // ---- round 16 (§2.60): sentence dedup, LM tiers, ECDF-L2 ----
+      // Sentence grain: the §2.58 sentencified fixture split on
+      // terminal+space, keys normalized by stripping [.!,], >=3-token
+      // sentences; df-capped [2,20] equal-sentence doc pairs.
+      "dedup_sentence_spans" ->
+        s"""WITH t AS (SELECT doc_id,
+    rtrim(array_to_string(list_transform(string_split(text, ' '),
+      (x, i) -> concat(x, CASE WHEN i % 17 = 0 THEN '! '
+        WHEN i % 7 = 0 THEN '. ' WHEN i % 5 = 0 THEN ', '
+        ELSE ' ' END)), '')) st
+  FROM ${T("documents")}),
+sr AS (SELECT doc_id,
+    trim(regexp_replace(unnest(str_split_regex(st, '[.!] ')),
+      '[.!,]', '', 'g')) sent
+  FROM t),
+sq AS (SELECT doc_id, md5(sent) h,
+    CAST(len(string_split(sent, ' ')) AS BIGINT) tok
+  FROM sr WHERE sent <> '' AND len(string_split(sent, ' ')) >= 3),
+ds AS (SELECT DISTINCT doc_id, h, tok FROM sq),
+keep AS (SELECT h FROM ds GROUP BY h HAVING count(*) BETWEEN 2 AND 20)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+  CAST(count(*) AS BIGINT) AS n_shared,
+  CAST(sum(a.tok) AS BIGINT) AS shared_tokens,
+  min(a.h) AS h_min
+FROM ds a JOIN keep k ON a.h = k.h JOIN ds b ON a.h = b.h
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      // C4-style sentence excision: sentences in >=2 distinct docs
+      // excised everywhere, docs rebuilt in order — fp range pins the
+      // rewrite (string_agg skips the CASE-nulled dup sentences).
+      "pipeline_sentence_excision" ->
+        s"""WITH t AS (SELECT source, doc_id,
+    rtrim(array_to_string(list_transform(string_split(text, ' '),
+      (x, i) -> concat(x, CASE WHEN i % 17 = 0 THEN '! '
+        WHEN i % 7 = 0 THEN '. ' WHEN i % 5 = 0 THEN ', '
+        ELSE ' ' END)), '')) st
+  FROM ${T("documents")}),
+sr AS (SELECT source, doc_id,
+    generate_subscripts(str_split_regex(st, '[.!] '), 1) p,
+    trim(regexp_replace(unnest(str_split_regex(st, '[.!] ')),
+      '[.!,]', '', 'g')) sent
+  FROM t),
+sq AS (SELECT source, doc_id, p, sent, md5(sent) h,
+    CAST(len(string_split(sent, ' ')) AS BIGINT) tok
+  FROM sr WHERE sent <> '' AND len(string_split(sent, ' ')) >= 3),
+dup AS (SELECT h FROM sq GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+fl AS (SELECT sq.*, (dup.h IS NOT NULL) rm
+  FROM sq LEFT JOIN dup ON sq.h = dup.h),
+perdoc AS (SELECT doc_id, source, count(*) s_tot,
+    sum(CASE WHEN rm THEN 1 ELSE 0 END) s_rm,
+    sum(tok) t_tot, sum(CASE WHEN rm THEN tok ELSE 0 END) t_rm,
+    coalesce(string_agg(CASE WHEN NOT rm THEN sent END, '. ' ORDER BY p),
+      '') rt
+  FROM fl GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(s_tot) AS BIGINT) AS sentences,
+  CAST(sum(s_rm) AS BIGINT) AS sentences_removed,
+  CAST(sum(t_tot) AS BIGINT) AS tokens,
+  CAST(sum(t_rm) AS BIGINT) AS tokens_removed,
+  CAST(sum(CASE WHEN s_rm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_changed,
+  min(md5(rt)) AS fp_min, max(md5(rt)) AS fp_max
+FROM perdoc GROUP BY 1 ORDER BY source""",
+
+      // LM-quality tier mix: the kneser_ney rational scored over ALL
+      // docs (the lmFilter semantics), doc-grain integer mean NLL cut
+      // at fixed BIGINT thresholds, tier x source census.
+      "pipeline_ppl_tier_mix" ->
+        s"""WITH toks AS (SELECT doc_id, source,
+    (('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 < 8) is_train,
+    string_split(text, ' ') l
+  FROM ${T("documents")}),
+big AS (SELECT doc_id, source, is_train, l[i] w1, l[i+1] w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) i)),
+c12 AS (SELECT w1, w2, count(*) c12 FROM big WHERE is_train GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12) c1, count(*) n1f FROM c12 GROUP BY 1),
+nb AS (SELECT w2, count(*) n1b FROM c12 GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM c12) ntypes,
+  (SELECT count(DISTINCT w) FROM (SELECT w1 w FROM big WHERE is_train
+    UNION SELECT w2 FROM big WHERE is_train)) v),
+sc AS (SELECT b.doc_id, b.source,
+    CAST(floor(-ln(
+      CAST(CASE WHEN c1.c1 IS NOT NULL
+        THEN greatest(4 * coalesce(c12.c12, 0) - 3, 0)
+          * (tot.ntypes + tot.v + 1)
+          + 3 * c1.n1f * (coalesce(nb.n1b, 0) + 1)
+        ELSE coalesce(nb.n1b, 0) + 1 END AS DOUBLE) /
+      CAST(CASE WHEN c1.c1 IS NOT NULL
+        THEN 4 * c1.c1 * (tot.ntypes + tot.v + 1)
+        ELSE tot.ntypes + tot.v + 1 END AS DOUBLE)) * 1e6) AS BIGINT) lq
+  FROM big b LEFT JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+  LEFT JOIN c1 ON c1.w1 = b.w1
+  LEFT JOIN nb ON nb.w2 = b.w2
+  CROSS JOIN tot),
+docg AS (SELECT doc_id, source, count(*) m, sum(lq) sq
+  FROM sc GROUP BY 1, 2),
+tiered AS (SELECT source,
+    CASE WHEN sq // m < ${graft.ops.Pipelines.PplTierLow} THEN 'low'
+      WHEN sq // m < ${graft.ops.Pipelines.PplTierHigh} THEN 'mid'
+      ELSE 'high' END tier, m, sq
+  FROM docg)
+SELECT source, tier, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(m) AS BIGINT) AS bigrams,
+  CAST(sum(sq) // sum(m) AS BIGINT) AS mean_nll_q6
+FROM tiered GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      // Cramér–von Mises: the L2 ECDF distance on the shared
+      // click-vs-purchase value grain; per-value terms floor-quantized
+      // at 1e9 before the sum, one double tree for T.
+      "agg_cvm_test" ->
+        s"""WITH g AS (SELECT value AS v,
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM ${T("events")}
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+  GROUP BY 1),
+c AS (SELECT v, c1, c2,
+  CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+  CAST(sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+  FROM g),
+t AS (SELECT max(cum1) AS n1, max(cum2) AS n2 FROM c),
+dq AS (SELECT c1, c2,
+  CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2 AS dv FROM c, t),
+s AS (SELECT sum(CAST(floor(CAST(c1 + c2 AS DOUBLE) * dv * dv * 1e9)
+    AS BIGINT)) AS sq FROM dq)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+  CAST(floor(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) /
+    (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)) *
+    (CAST(sq AS DOUBLE) / 1e9) * 1e6) AS BIGINT) AS cvm_q6
+FROM t, s"""
     )
   }
 }

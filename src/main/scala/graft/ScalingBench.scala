@@ -309,7 +309,28 @@ object ScalingBench {
         "pipeline_readability" -> (() =>
           { ops.Crawl.pipelineReadability(spark, dir).collect(); () }),
         "pipeline_export_balance" -> (() =>
-          { ops.Export.pipelineExportBalance(spark, dir).collect(); () }))
+          { ops.Export.pipelineExportBalance(spark, dir).collect(); () })) ++ Seq[(String, () => Unit)](
+        // round-16 §2.59–§2.60: the tokenized pack (CLAIM: same single
+        // range shuffle as the whitespace pack — the subword encode is
+        // one codegen'd regexp in the scan, so the DELTA over
+        // pipeline_export_manifest is the row-local encode term); the
+        // mixture pair (one range shuffle over (source, key) + a
+        // |sources| broadcast); sentence-grain dedup (df-capped [2,20]
+        // pigeonhole pairs — never doc²) and the excision rebuild
+        // (|distinct dup hashes| join + ONE doc-grain aggregate); the
+        // LM tier mix (self-contained like its oracle: the timed op
+        // INCLUDES the vocab²-bounded LM estimation plus the linear
+        // scoring scan + a |sources×3| fold)
+        "pipeline_export_tokenized" -> (() =>
+          { ops.Export.pipelineExportTokenized(spark, dir).collect(); () }),
+        "pipeline_mix_manifest" -> (() =>
+          { ops.Curation.pipelineMixManifest(spark, dir).collect(); () }),
+        "dedup_sentence_spans" -> (() =>
+          { ops.Crawl.dedupSentenceSpans(spark, dir).count(); () }),
+        "pipeline_sentence_excision" -> (() =>
+          { ops.Crawl.pipelineSentenceExcision(spark, dir).collect(); () }),
+        "pipeline_ppl_tier_mix" -> (() =>
+          { ops.Pipelines.pipelinePplTierMix(spark, dir).collect(); () }))
       )
       // run r: clear -> timed shingle build -> each op timed under its
       // own job group; keep min wall and min CPU per op (a cost
@@ -323,6 +344,18 @@ object ScalingBench {
         cpuListener.reset()
         Tables(spark, dir, "documents").count() // table cache outside the curve
         Tables(spark, dir, "embeddings").count()
+        // KN LM re-trained + c12 re-materialized OUTSIDE the timed
+        // region on EVERY repetition (round-16 advice): clearAll()
+        // unpersists the memoized model's c12 cache, which also drops
+        // the RDD's storage level — a bare count() would recompute
+        // without re-caching, so the timed curation_lm_score closure
+        // was paying LM training on every run. Dropping the memo and
+        // re-training keeps the constant (2000-doc capped sample)
+        // cost off the curve — the bpeModel precedent.
+        if (opsList.exists(_._1 == "curation_lm_score")) {
+          knModels.remove(dir)
+          knModel(dir).c12.count()
+        }
         spark.sparkContext.setJobGroup("shingle_prime", "shingle_prime")
         primeBest = math.min(primeBest, timed(ops.Pipelines.primeShingles(spark, dir)))
         for ((name, f) <- opsList) {
@@ -525,7 +558,11 @@ object ScalingBench {
         // the calendar-bounded week ranks
         "agg_bartlett" -> (() => { ops.Relational.aggBartlett(spark, dir).collect(); () }),
         "agg_jonckheere" -> (() => { ops.Relational.aggJonckheere(spark, dir).collect(); () }),
-        "ts_cochran_q" -> (() => { ops.TimeSeries.tsCochranQ(spark, dir).collect(); () })))
+        "ts_cochran_q" -> (() => { ops.TimeSeries.tsCochranQ(spark, dir).collect(); () }),
+        // round-16 §2.60: CvM rides the SHARED click/purchase ECDF
+        // (one value-grain aggregate + one range shuffle, same as
+        // ks/mood/wasserstein) — its marginal is a bounded fold
+        "agg_cvm_test" -> (() => { ops.Relational.aggCvmTest(spark, dir).collect(); () })))
       val best = scala.collection.mutable.LinkedHashMap[String, Double]()
       val bestCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
       var primeBest = Double.MaxValue

@@ -1039,21 +1039,33 @@ class Naqed(spark: SparkSession, sfDir: String) {
     * otherwise). Unknown arguments fail analysis naqed-style. */
   def crawl(q: Map[String, Any] = Map.empty): DataFrame = {
     val known = Set("$action", "$min_tokens", "$max_stop_ratio",
-      "$budget", "$out")
+      "$budget", "$out", "$max_nll", "$weights")
     val unknown = q.keys.filterNot(known.contains)
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"unknown crawl arguments ${unknown.mkString(", ")}; " +
-          "valid: $action, $min_tokens, $max_stop_ratio, $budget, $out")
+          "valid: $action, $min_tokens, $max_stop_ratio, $budget, $out, " +
+          "$max_nll, $weights")
     val action = q.get("$action") match {
-      case Some(s: String) if Set("clean", "report", "export")(s) => s
+      case Some(s: String)
+        if Set("clean", "report", "export", "lm_gate", "mix")(s) => s
       case Some(other) => throw new IllegalArgumentException(
-        s"unknown crawl action '$other'; valid: clean, report, export")
+        s"unknown crawl action '$other'; valid: clean, report, export, " +
+          "lm_gate, mix")
       case None => "clean"
     }
-    if (action != "export" && (q.contains("$budget") || q.contains("$out")))
+    if (!Set("export", "mix")(action) &&
+        (q.contains("$budget") || q.contains("$out")))
       throw new IllegalArgumentException(
-        "$budget/$out only apply to $action -> export")
+        "$budget/$out only apply to $action -> export (or $budget to mix)")
+    if (action == "mix" && q.contains("$out"))
+      throw new IllegalArgumentException("$out only applies to $action -> export")
+    if (action != "lm_gate" && q.contains("$max_nll"))
+      throw new IllegalArgumentException(
+        "$max_nll only applies to $action -> lm_gate")
+    if (action != "mix" && q.contains("$weights"))
+      throw new IllegalArgumentException(
+        "$weights only applies to $action -> mix")
     val minTok = q.get("$min_tokens") match {
       case Some(n: Number) => n.intValue()
       case Some(other) => throw new IllegalArgumentException(
@@ -1094,6 +1106,18 @@ class Naqed(spark: SparkSession, sfDir: String) {
           "text", minTok, maxStop, withReport = false)._1
         q.get("$out") match {
           case Some(dir: String) =>
+            // the query-facing export REFUSES an existing non-empty
+            // target (round-16 advice): a user-supplied path must not
+            // be silently clobbered from the object API; the internal
+            // Export.exportShards keeps Overwrite for callers that
+            // manage their own directories (re-export determinism
+            // tests, ExportSpec)
+            val p = new org.apache.hadoop.fs.Path(dir)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+              throw new IllegalArgumentException(
+                s"$$out path already exists and is non-empty: $dir — " +
+                  "refusing to overwrite; export to a fresh directory")
             graft.ops.Export.exportShards(cleaned, dir, budget)
           case Some(other) => throw new IllegalArgumentException(
             s"$$out expects a directory path string, got $other")
@@ -1101,6 +1125,56 @@ class Naqed(spark: SparkSession, sfDir: String) {
             graft.ops.Export.manifest(
               graft.ops.Export.assignShards(cleaned, budget))
         }
+      case "lm_gate" =>
+        // perplexity gate (round 16): clean, then drop docs whose
+        // mean bigram KN NLL exceeds $max_nll — the SAME train-bucket
+        // LM and doc scoring as pipeline_kneser_ney_nll (one formula,
+        // no drift; Curation.lmFilter)
+        val maxNll = q.get("$max_nll") match {
+          case Some(n: Number) => n.doubleValue()
+          case Some(other) => throw new IllegalArgumentException(
+            s"$$max_nll expects a number (mean NLL in nats), got $other")
+          case None => 3.5
+        }
+        val cleaned = graft.ops.Curation.crawl(
+          graft.Tables(spark, sfDir, "documents"),
+          "text", minTok, maxStop, withReport = false)._1
+        graft.ops.Curation.lmFilter(cleaned,
+          graft.ops.Pipelines.knTrainOn(
+            graft.Tables(spark, sfDir, "documents")), maxNll)
+      case "mix" =>
+        // weighted token-budgeted source mixture (round 16): clean,
+        // then Curation.mixByTokens — $budget (REQUIRED) total tokens,
+        // $weights an optional Map(source -> number) (default weight 1
+        // for unlisted sources); returns the per-source MANIFEST
+        val budget = q.get("$budget") match {
+          case Some(n: Number) if n.longValue() > 0 => n.longValue()
+          case Some(other) => throw new IllegalArgumentException(
+            s"$$budget expects a positive number of tokens, got $other")
+          case None => throw new IllegalArgumentException(
+            "$action -> mix requires $budget (total tokens)")
+        }
+        val weightCol = q.get("$weights") match {
+          case Some(m: Map[_, _]) =>
+            if (m.isEmpty) throw new IllegalArgumentException(
+              "$weights must not be empty")
+            m.foldLeft(org.apache.spark.sql.functions.lit(1L)) {
+              case (acc, (src: String, n: Number)) =>
+                org.apache.spark.sql.functions
+                  .when(org.apache.spark.sql.functions.col("source") === src,
+                    org.apache.spark.sql.functions.lit(n.longValue()))
+                  .otherwise(acc)
+              case (_, (k, v)) => throw new IllegalArgumentException(
+                s"$$weights expects Map(source -> number), got ($k -> $v)")
+            }
+          case Some(other) => throw new IllegalArgumentException(
+            s"$$weights expects Map(source -> number), got $other")
+          case None => org.apache.spark.sql.functions.lit(1L)
+        }
+        val cleaned = graft.ops.Curation.crawl(
+          graft.Tables(spark, sfDir, "documents"),
+          "text", minTok, maxStop, withReport = false)._1
+        graft.ops.Curation.mixByTokens(cleaned, budget, weightCol)._2
     }
   }
 

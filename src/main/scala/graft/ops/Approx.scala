@@ -49,11 +49,20 @@ object Approx {
     (perSource, merged)
   }
 
-  /** approximate quantiles of order totals vs exact percentiles. */
-  def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "orders")
-      .agg(
-        percentile_approx(col("o_totalprice"), array(lit(0.5), lit(0.95)), lit(10000))
-          .as("approx_p"),
-        expr("percentile(o_totalprice, array(0.5D, 0.95D))").as("exact_p"))
+  /** Approximate quantiles of order totals vs exact percentiles.
+    * Round 16: the exact side rides [[ExactQuantile.quantiles]]
+    * (bit-identical to `percentile()` by the replayed interpolation
+    * formula) — o_totalprice has ~1 distinct value per row, so the
+    * old single-buffer `percentile()` was the last data-sized
+    * counts-map merge in `src/main`; comparison semantics unchanged
+    * (same doubles, same array shape). */
+  def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = table(spark, sfDir, "orders")
+    val (_, ex) = ExactQuantile.quantiles(orders, col("o_totalprice"),
+      None, Seq(0.5, 0.95), bucketWidth = 64.0)("")
+    orders.agg(
+      percentile_approx(col("o_totalprice"), array(lit(0.5), lit(0.95)), lit(10000))
+        .as("approx_p"),
+      array(lit(ex(0.5)), lit(ex(0.95))).as("exact_p"))
+  }
 }

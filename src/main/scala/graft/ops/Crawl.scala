@@ -512,4 +512,103 @@ object Crawl {
         expr("(bp_chars * 1000000) div all_chars").as("bp_share_q6"))
       .orderBy("source")
   }
+
+  // ---------------------------------------------------------------
+  // §2.60 — sentence-grain dedup (the C4/RefinedWeb line-level recipe
+  // at sentence grain, over the §2.58 sentencified fixture)
+  // ---------------------------------------------------------------
+
+  /** (doc_id, source, pos, sent, tok, h): the corpus at sentence grain
+    * — the §2.58 sentencified fixture split on terminal+space, each
+    * sentence NORMALIZED for the dedup key (terminal/comma punctuation
+    * stripped; single spaces survive because every separator was
+    * attached to its token), ≥3-token sentences only (the C4 short-
+    * line floor). `pos` is the 0-based sentence index — ORDER-only
+    * (the excision rebuild sorts on it; both engines agree on order,
+    * not origin). One fused row-local chain per doc — the explode is
+    * the only fan-out. */
+  private[graft] def sentenceRows(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        posexplode(split(sentenceDirtyText, "[.!] ")).as(Seq("pos", "raw")))
+      .withColumn("sent", trim(regexp_replace(col("raw"), "[.!,]", "")))
+      .filter(col("sent") =!= "" &&
+        size(split(col("sent"), " ")) >= 3)
+      .withColumn("tok", size(split(col("sent"), " ")).cast(LongType))
+      .withColumn("h", md5(col("sent")))
+      .drop("raw")
+
+  /** Sentence-grain near-dup pairs (§2.60): doc pairs sharing
+    * normalized sentences whose corpus document-frequency is in
+    * [2, 20] — the df-capped pigeonhole rule (dedup_substring_spans'
+    * band-bound at sentence grain): a sentence in >20 docs is
+    * boilerplate, not a dup signal, and capping df bounds the pair
+    * fan-out at C(20,2) per sentence hash BY CONSTRUCTION. Per
+    * surviving pair: shared-sentence count, shared token mass, and the
+    * min sentence hash (pins membership). Exactness: integer counts
+    * over md5-grouped sentences — no floats anywhere. Scale: one
+    * (doc,h)-distinct shuffle, one df aggregate, one equi-join on h
+    * with the [2,20] cap — never doc². */
+  val dedupSentenceSpans: Q = (s, d) => {
+    val ds = sentenceRows(s, d)
+      .select(col("doc_id"), col("h"), col("tok")).distinct()
+    val keep = ds.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c").between(2L, 20L)).select(col("h"))
+    val fk = ds.join(keep, Seq("h"))
+    fk.select(col("h"), col("doc_id").as("d1"), col("tok"))
+      .join(fk.select(col("h"), col("doc_id").as("d2")), Seq("h"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(asLong(count(lit(1))).as("n_shared"),
+        sum(col("tok")).as("shared_tokens"),
+        min(col("h")).as("h_min"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Sentence-excision census (§2.60): the C4-style line-dedup REWRITE
+    * — every normalized sentence appearing in ≥2 DISTINCT docs is
+    * excised from ALL of them (the conservative corpus-wide rule; a
+    * keep-one policy is a filter on top), docs rebuilt from their
+    * surviving sentences in order. Per source: doc count, sentence and
+    * token mass before/removed, docs changed, and the md5 range of
+    * rebuilt texts — pinning the REWRITE itself, not just the counts
+    * (the boilerplate_removal contract). Scale: the dup relation is
+    * \|distinct dup hashes\|-sized (equi-join on h, never doc²); the
+    * rebuild is ONE doc-grain aggregate with a budget-bounded in-row
+    * sort. */
+  val pipelineSentenceExcision: Q = (s, d) => {
+    val rows = sentenceRows(s, d)
+    val dup = rows.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"), lit(true).as("_dup"))
+    val flagged = rows.join(dup, Seq("h"), "left")
+      .withColumn("_rm", coalesce(col("_dup"), lit(false)))
+    val perDoc = flagged.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("s_tot"),
+        sum(when(col("_rm"), 1L).otherwise(0L)).as("s_rm"),
+        sum(col("tok")).as("t_tot"),
+        sum(when(col("_rm"), col("tok")).otherwise(0L)).as("t_rm"),
+        // collect_list drops nulls, so removed sentences vanish from
+        // the rebuild; array_sort on (pos, sent) restores doc order
+        array_join(transform(array_sort(collect_list(
+          when(!col("_rm"), struct(col("pos"), col("sent"))))),
+          x => x.getField("sent")), ". ").as("rt"))
+    perDoc.groupBy(col("source"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        sum(col("s_tot")).as("sentences"),
+        sum(col("s_rm")).as("sentences_removed"),
+        sum(col("t_tot")).as("tokens"),
+        sum(col("t_rm")).as("tokens_removed"),
+        sum(when(col("s_rm") > 0, 1L).otherwise(0L)).as("docs_changed"),
+        min(md5(col("rt"))).as("fp_min"),
+        max(md5(col("rt"))).as("fp_max"))
+      .select(col("source"), col("n_docs"),
+        asLong(col("sentences")).as("sentences"),
+        asLong(col("sentences_removed")).as("sentences_removed"),
+        asLong(col("tokens")).as("tokens"),
+        asLong(col("tokens_removed")).as("tokens_removed"),
+        asLong(col("docs_changed")).as("docs_changed"),
+        col("fp_min"), col("fp_max"))
+      .orderBy("source")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -420,4 +420,113 @@ object Curation {
     bp.unpersist(false)
     (out, Some(report))
   }
+
+  /** Token-budgeted source-mixture composer (§2.59): the decision an
+    * LLM pre-training run makes before a single shard is written —
+    * given per-source WEIGHTS and a global token budget, take from
+    * each source a deterministic token slice proportional to its
+    * weight. Mechanics (the Export pack recipe, per source):
+    *
+    *  - per-source target = (budget · w_s) div Σw — exact BIGINT;
+    *  - docs ordered by md5("mix|" + doc_id) within each source (the
+    *    sampling-family seeded order: deterministic, engine-portable,
+    *    an unbiased shuffle of each source);
+    *  - greedy cutoff: a doc is taken iff the source-local running
+    *    token sum BEFORE it is < target, so achieved mass lands in
+    *    [target − maxDocTok + 1, target + maxDocTok − 1] (or the whole
+    *    source when it is smaller than its target);
+    *  - returns (selected corpus with `_mk`/`_tok` columns retained,
+    *    per-source manifest: weight, availability, target vs achieved
+    *    tokens, fill ppm).
+    *
+    * Scale: the per-source running sum is the GLOBAL
+    * [[GlobalRank.withRunningSum]] over (source, _mk) minus a
+    * per-source base offset (min running-sum-before within source) —
+    * ONE range shuffle + a \|sources\|-bounded broadcast, never a
+    * per-source single-task window; everything after is row-local.
+    *
+    * @param weight  per-source weight as a Column over `srcCol` (≥ 1;
+    *                evaluated at source grain). Target of 0 tokens
+    *                (budget·w < Σw) yields fill_ppm 0.
+    * @param tokCount optional tokenizer-true token counter — the
+    *                [[Export.assignShards]] contract (row-local,
+    *                engine-portable); defaults to whitespace tokens.
+    */
+  def mixByTokens(docs: DataFrame, budgetTokens: Long, weight: Column,
+      srcCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text", tokCount: Option[Column] = None)
+      : (DataFrame, DataFrame) = {
+    require(budgetTokens > 0, s"token budget must be positive: $budgetTokens")
+    val keyed = docs
+      .withColumn("_tok", tokCount
+        .getOrElse(size(split(col(textCol), " "))).cast(LongType))
+      .withColumn("_mk", md5(concat(lit("mix|"), col(idCol).cast(StringType))))
+    val cum = GlobalRank.withRunningSum(keyed,
+      Seq(col(srcCol), col("_mk")), "_tok", "_cum")
+    val srcStats = cum.groupBy(col(srcCol))
+      .agg(min(col("_cum") - col("_tok")).as("_base"),
+        count(lit(1)).as("n_docs"), sum(col("_tok")).as("avail_tokens"))
+      .withColumn("w", weight.cast(LongType))
+    val tot = srcStats.agg(sum(col("w")).as("_tw"))
+    val targets = srcStats.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        expr(s"(${budgetTokens}L * w) div _tw"))
+      .drop("_tw")
+    val flagged = cum.join(
+      broadcast(targets.select(col(srcCol), col("_base"),
+        col("target_tokens"))), Seq(srcCol))
+      .withColumn("_take",
+        col("_cum") - col("_tok") - col("_base") < col("target_tokens"))
+    val selected = flagged.filter(col("_take"))
+      .drop("_base", "target_tokens", "_take", "_cum")
+    val man = flagged.groupBy(col(srcCol))
+      .agg(sum(when(col("_take"), 1L).otherwise(0L)).as("docs_taken"),
+        sum(when(col("_take"), col("_tok")).otherwise(0L)).as("achieved_tokens"))
+      .join(broadcast(targets.drop("_base")), Seq(srcCol))
+      .select(col(srcCol), col("w"), asLong(col("n_docs")).as("n_docs"),
+        col("avail_tokens"), col("target_tokens"),
+        asLong(col("docs_taken")).as("docs_taken"), col("achieved_tokens"),
+        when(col("target_tokens") > 0,
+          expr("(achieved_tokens * 1000000) div target_tokens"))
+          .otherwise(lit(0L)).as("fill_ppm"))
+      .orderBy(srcCol)
+    (selected, man)
+  }
+
+  /** The census weights/budget shared by the two §2.59 mixture faces:
+    * weight = (length(source) % 3) + 1 — deterministic, engine-
+    * portable, non-uniform across the fixture's sources; budget = 30%
+    * of corpus whitespace-token mass, computed as ONE linear scan at
+    * construction (exact BIGINT floor in both engines). */
+  private def mixFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val docs = table(s, d, "documents")
+    val mass = docs
+      .agg(sum(size(split(col("text"), " ")).cast(LongType)))
+      .first().getLong(0)
+    mixByTokens(docs, mass * 3 / 10, length(col("source")) % 3 + 1)
+  }
+
+  /** Source-mixture manifest (§2.59 oracle face): per source — weight,
+    * availability, target vs achieved tokens, docs taken, fill ppm.
+    * Exactness: every column is exact BIGINT arithmetic (targets by
+    * integer div, the greedy cutoff on exact running sums, fill by
+    * integer ppm div); the oracle replays the per-source running sum
+    * as a partitioned window over the identical md5 order. */
+  val pipelineMixManifest: Q = (s, d) => mixFixture(s, d)._2
+
+  /** Selected-corpus census (§2.59 oracle face): per source over the
+    * docs the mixture TOOK — doc/token counts plus the md5 range of
+    * selected texts and the order-key range, pinning MEMBERSHIP and
+    * the cutoff position themselves (the manifest pins the totals;
+    * this pins which docs). */
+  val pipelineMixCensus: Q = (s, d) =>
+    mixFixture(s, d)._1
+      .groupBy(col("source"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        sum(col("_tok")).as("n_tokens"),
+        min(md5(col("text"))).as("fp_min"),
+        max(md5(col("text"))).as("fp_max"),
+        min(col("_mk")).as("k_min"), max(col("_mk")).as("k_max"))
+      .orderBy("source")
 }

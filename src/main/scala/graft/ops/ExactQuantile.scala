@@ -131,8 +131,19 @@ object ExactQuantile {
         throw new IllegalStateException(s"local rank exhausted in bucket $b")
       }
       (g, (n, ranksOf(n).distinct.map(r => (r, valueAt(r))).toMap))
-    }.toMap
+    }.toMap.withDefault(missing)
   }
+
+  /** Self-explaining failure for a group lookup with no rows (round-16
+    * advice): ungrouped callers do `(...)("")` eagerly, so an empty
+    * input relation used to surface as a bare NoSuchElementException.
+    * The replaced `percentile()` would return NULL there; this exact
+    * face documents n > 0 as a precondition instead — the error says
+    * so. */
+  private def missing(g: String): Nothing = throw new IllegalStateException(
+    s"ExactQuantile: no rows for group '$g' — empty input relation " +
+      "(percentile() would return NULL here; this exact face requires " +
+      "n > 0, see the object Scaladoc)")
 
   /** The two 0-indexed order statistics Spark's percentile
     * interpolation reads for probability p at count n. */
@@ -172,6 +183,6 @@ object ExactQuantile {
         }
       }
       (g, (n, ps.map(p => (p, interp(p))).toMap))
-    }
+    }.withDefault(missing) // mapping stats drops valueAtRanks' default
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -34,16 +34,29 @@ import org.apache.spark.sql.types._
   */
 object Export {
 
-  /** docs + (`_k` order key, `tok` whitespace token count, `shard`
-    * BIGINT id): the deterministic pack assignment, as a pure
-    * transform (no writes — the oracle face and the writer share it).
+  /** docs + (`_k` order key, `tok` token count, `shard` BIGINT id):
+    * the deterministic pack assignment, as a pure transform (no
+    * writes — the oracle face and the writer share it).
+    *
+    * @param tokCount optional tokenizer-true token counter (round 16):
+    *        any engine-portable Column over the doc row — e.g. the
+    *        frozen subword vocab's greedy longest-match
+    *        `regexp_extract_all` count ([[pipelineExportTokenized]]),
+    *        so shard budgets are measured in the tokens the training
+    *        run actually consumes, not whitespace words. Defaults to
+    *        the suite's whitespace convention. Must be deterministic
+    *        and row-local (the count feeds the global running sum —
+    *        a row-local expression keeps the encode fused into the
+    *        scan, zero extra shuffles).
     */
   def assignShards(docs: DataFrame, budget: Long,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      tokCount: Option[Column] = None): DataFrame = {
     require(budget > 0, s"token budget must be positive: $budget")
     val keyed = docs
       .withColumn("_k", md5(concat(lit("shard|"), col(idCol).cast(StringType))))
-      .withColumn("tok", size(split(col(textCol), " ")).cast(LongType))
+      .withColumn("tok", tokCount
+        .getOrElse(size(split(col(textCol), " "))).cast(LongType))
     GlobalRank.withRunningSum(keyed, Seq(col("_k")), "tok", "_cum")
       .withColumn("shard",
         floor((col("_cum") - col("tok")) / budget).cast(LongType))
@@ -99,6 +112,97 @@ object Export {
     * |shards| aggregate. */
   val pipelineExportManifest: Q = (s, d) =>
     manifest(assignShards(table(s, d, "documents"), 2048L))
+
+  /** Incremental export advance (round 16, VERDICT item 3): freeze
+    * every shipped shard, pack ONLY the docs that entered since the
+    * last export into NEW shards, and extend the manifest — the
+    * append-only training-feed loop (a nightly crawl adds documents;
+    * re-exporting the whole corpus re-uploads terabytes of unchanged
+    * shards and breaks their byte-identity for consumers that already
+    * pulled them).
+    *
+    * Contract:
+    *  - shipped shards and their manifest rows are FROZEN — this call
+    *    never rewrites an existing `shard=N/` directory (new shards
+    *    append at maxShard+1 with the same md5-order/running-sum rule
+    *    applied among the entering docs);
+    *  - a shipped doc that was DELETED or MUTATED in the feed makes
+    *    the frozen shards unrepresentative of the corpus — the advance
+    *    REFUSES with IllegalStateException (the torn-state fencing
+    *    convention); rebuild with [[exportShards]] instead;
+    *  - an advance with no entering docs is a no-op returning the
+    *    stored manifest.
+    *
+    * Scale: the fence + entering split are two hash joins keyed on the
+    * id (the shipped side reads only id/text-md5/shard columns from
+    * the columnar tree); the pack is [[assignShards]] over |entering|
+    * rows only — the advance costs |entering| + one shipped scan,
+    * never a corpus re-shuffle. The manifest extension is
+    * |shards|-bounded. Returns the extended manifest.
+    */
+  def advanceShards(spark: SparkSession, outDir: String, docs: DataFrame,
+      budget: Long, idCol: String = "doc_id", textCol: String = "text",
+      tokCount: Option[Column] = None): DataFrame = {
+    val shipped = spark.read.parquet(outDir)
+      .select(col(idCol), md5(col(textCol)).as("_sm"),
+        col("shard").cast(LongType).as("_ss"))
+    val cur = docs.select(col(idCol), md5(col(textCol)).as("_cm"))
+    val probe = shipped.join(cur, Seq(idCol), "left")
+      .agg(sum(when(col("_cm").isNull, 1L).otherwise(0L)).as("deleted"),
+        sum(when(col("_cm").isNotNull && col("_cm") =!= col("_sm"), 1L)
+          .otherwise(0L)).as("mutated"),
+        max(col("_ss")).as("maxShard"))
+      .first()
+    val (nDel, nMut) = (probe.getLong(0), probe.getLong(1))
+    if (nDel > 0 || nMut > 0) throw new IllegalStateException(
+      s"shipped docs changed under the export: deleted=$nDel " +
+        s"mutated=$nMut — frozen shards would no longer represent the " +
+        "corpus; re-export from scratch (exportShards) or restore the feed")
+    val manifestPath = outDir + "_manifest"
+    val old = spark.read.parquet(manifestPath)
+      .localCheckpoint(true) // materialize before overwriting its files
+    val entering = docs.join(shipped.select(col(idCol)), Seq(idCol), "left_anti")
+    if (entering.isEmpty) return old.orderBy("shard")
+    val offset = probe.getLong(2) + 1
+    // EAGER checkpoint, not persist: the pack's lineage reads outDir
+    // (entering ← left_anti ← shipped scan), so any recompute AFTER
+    // the append below would re-list the tree, see the just-appended
+    // docs as shipped, and resolve entering to EMPTY. Truncating the
+    // lineage pins the pre-append file listing.
+    val packed = assignShards(entering, budget, idCol, textCol, tokCount)
+      .withColumn("shard", col("shard") + offset)
+      .localCheckpoint(true)
+    val newMan = manifest(packed, textCol).localCheckpoint(true)
+    packed
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("_k"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("shard").parquet(outDir)
+    val man = old.unionByName(newMan).orderBy("shard")
+      .localCheckpoint(true)
+    man.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(manifestPath)
+    man
+  }
+
+  /** Tokenizer-true shard manifest (§2.59): the same deterministic
+    * pack, but budgets measured in SUBWORD tokens — the frozen
+    * committed vocab's greedy longest-match `regexp_extract_all`
+    * count (the pipeline_subword_count contract: alternatives sorted
+    * (length desc, lex) make Java's leftmost-first and DuckDB/RE2's
+    * matching both greedy longest-match, so the token stream is
+    * engine-identical). This is the budget a training run actually
+    * consumes: whitespace words under-count fertility>1 text, so a
+    * whitespace-budgeted shard overruns the context-window math.
+    * Exactness: identical integer token counts feed the same exact
+    * BIGINT running sum / floor-divide rule as pipeline_export_
+    * manifest. Scale: the encode is ONE codegen'd row-local regexp in
+    * the scan projection — the pack adds zero work over the
+    * whitespace path (same single range shuffle). */
+  val pipelineExportTokenized: Q = (s, d) =>
+    manifest(assignShards(table(s, d, "documents"), 2048L,
+      tokCount = Some(size(regexp_extract_all(col("text"),
+        lit(Pipelines.subwordPattern), lit(0))))))
 
   /** Shard-balance summary (§2.58): the one-row skew readout a
     * training run checks before consuming the pack — shard count,

@@ -152,7 +152,10 @@ object IncrementalUrlDedup {
   def readStored(spark: SparkSession, st: StoredState): State = {
     readSync(spark, st).foreach { v =>
       val head = VersionedTable.versions(spark, st.keysRoot).last
-      require(head == v,
+      // IllegalStateException, matching the IncrementalSpans torn-state
+      // fence (round-16 advice): this is corrupted STATE, not a bad
+      // argument
+      if (head != v) throw new IllegalStateException(
         s"torn url-dedup state: sync marker records version $v but head " +
           s"is $head — an advanceStored was interrupted mid-patch; re-run " +
           "it or restore to the marker")

@@ -2497,9 +2497,8 @@ object Pipelines {
     * even the 80% bucket is more LM-estimation data than needed;
     * 0 = no cap). */
   def knTrainOn(docs: DataFrame, sampleDocs: Int = 0): KnLm = {
-    val big = knBigrams(docs)
     val trainBig =
-      if (sampleDocs <= 0) big.filter(col("is_train"))
+      if (sampleDocs <= 0) knBigrams(docs).filter(col("is_train"))
       else {
         val sample = docs
           .select(col("doc_id"),
@@ -2507,8 +2506,15 @@ object Pipelines {
               .as("_mk"))
           .where((Sampling.bucket16(col("doc_id")) % 10 < 8))
           .orderBy(col("_mk")).limit(sampleDocs).select("doc_id")
-        big.filter(col("is_train"))
-          .join(broadcast(sample), Seq("doc_id"), "left_semi")
+        // semi-join the DOCS to the sample BEFORE exploding bigrams
+        // (round-16 advice): the id-only sample scan is cheap, and the
+        // split+explode — the training-compute term — now runs over
+        // the 2000 sampled docs only, never the whole corpus. Bigram
+        // rows are identical to the old explode-then-prune plan
+        // (is_train re-derives from doc_id, and every sampled doc is
+        // in the train bucket by construction).
+        knBigrams(docs.join(broadcast(sample), Seq("doc_id"), "left_semi"))
+          .filter(col("is_train"))
       }
     knTrain(trainBig)
   }
@@ -2529,6 +2535,38 @@ object Pipelines {
         col("kn_sq"),
         (col("kn_sq").cast(DoubleType) / col("kn_bigrams") / 1e6)
           .as("kn_nll"))
+
+  /** LM-quality tier mix (§2.60): the corpus read a perplexity-gated
+    * curation run checks first — per (source, NLL tier), doc count,
+    * bigram mass, and mean NLL, where the tier is the doc's exact
+    * integer mean bigram NLL (kn_sq div kn_bigrams, µnats) cut at
+    * fixed literal thresholds. Rides the SAME train-bucket KN LM and
+    * doc-grain scoring as pipeline_kneser_ney_nll / Curation.lmFilter
+    * (one formula, no drift); docs with <2 tokens carry no bigrams
+    * and are outside the census, matching kneserNeyDocNll. Exactness:
+    * pure BIGINT tier rule and integer-div means over exact lq sums.
+    * Scale: one linear bigram scan with three broadcast joins, a
+    * doc-grain map-combined aggregate, then a \|sources × 3\| fold. */
+  val pipelinePplTierMix: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    val nll = kneserNeyDocNll(docs, knTrainOn(docs))
+    nll.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("nll_q6i", expr("kn_sq div kn_bigrams"))
+      .withColumn("tier",
+        when(col("nll_q6i") < PplTierLow, "low")
+          .when(col("nll_q6i") < PplTierHigh, "mid")
+          .otherwise("high"))
+      .groupBy(col("source"), col("tier"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        sum(col("kn_bigrams")).as("bigrams"),
+        expr("sum(kn_sq) div sum(kn_bigrams)").as("mean_nll_q6"))
+      .orderBy("source", "tier")
+  }
+
+  /** The fixed µnat tier cuts for [[pipelinePplTierMix]] — literals so
+    * both engines apply the identical BIGINT rule. */
+  private[graft] val PplTierLow = 3365000L
+  private[graft] val PplTierHigh = 3415000L
 
   /** Token-budget data mixing (§2.41): the greedy quality-ranked
     * source mixture every LLM pre-training run decides before a single

@@ -2208,6 +2208,37 @@ object Relational {
       round(u, 1).as("u"), round((u - mu) / sig, 6).as("z"))
   }
 
+  /** Two-sample Cramér–von Mises test (§2.60): the L2 member of the
+    * ECDF-distance family — KS reads the sup-norm, Wasserstein the L1
+    * area, CvM the mean SQUARED gap: T = n1·n2/N² · Σ over all N
+    * pooled observations of (F1(z) − F2(z))², computed on the shared
+    * click-vs-purchase ECDF checkpoint. On the value-grain relation
+    * the pooled sum is Σ_v (c1+c2)·dv² with dv the inclusive-ECDF gap
+    * at v — ties well-defined (every occurrence contributes its
+    * value's gap). Exactness: each dv is one integer/integer IEEE
+    * division per side; per-value terms floor-quantized to BIGINT at
+    * 1e9 before the (order-free) sum; ONE double tree finishes T.
+    * Scale: rides the same one value-grain aggregate + GlobalRank
+    * range shuffle as agg_ks_test — the checkpoint is shared, so the
+    * marginal cost is a bounded-relation fold. */
+  val aggCvmTest: Q = (s, d) => {
+    val cum = cpEcdf(s, d)
+    val tot = cum.agg(max(col("cum1")).as("n1"), max(col("cum2")).as("n2"))
+    val dv = col("cum1").cast(DoubleType) / col("n1") -
+      col("cum2").cast(DoubleType) / col("n2")
+    val termQ = floor((col("c1") + col("c2")).cast(DoubleType) *
+      dv * dv * 1e9).cast(LongType)
+    val n1d = col("n1").cast(DoubleType)
+    val n2d = col("n2").cast(DoubleType)
+    val nd = (col("n1") + col("n2")).cast(DoubleType)
+    cum.crossJoin(broadcast(tot))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(termQ).as("sq"))
+      .select(asLong(col("n1")).as("n1"), asLong(col("n2")).as("n2"),
+        asLong(floor(n1d * n2d / (nd * nd) *
+          (col("sq").cast(DoubleType) / 1e9) * 1e6)).as("cvm_q6"))
+  }
+
   /** Mutual information of order priority × status (§2.18e): how much
     * one categorical tells you about the other — the
     * information-theoretic counterpart of agg_chi2_dow's frequency

@@ -1116,6 +1116,45 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("round-16 §2.59–§2.60 plans: range-shuffled packs, broadcast mixes, bounded dedup joins") {
+    // the two packs + the mixture pair: the running sum rides the
+    // GlobalRank range shuffle (never a single-task global window);
+    // the only joins are broadcast (|sources| targets / bounded tot)
+    Seq("export_tokenized" -> ops.Export.pipelineExportTokenized,
+      "mix_manifest" -> ops.Curation.pipelineMixManifest,
+      "mix_census" -> ops.Curation.pipelineMixCensus).foreach {
+      case (n, q) =>
+        val p = q(spark, sf0001).queryExecution.executedPlan.toString
+        assert(p.contains("rangepartitioning"),
+          s"$n lost the range-partitioned running sum:\n${p.take(1200)}")
+        assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+          s"$n grew a shuffled join:\n${p.take(1200)}")
+        assert(!p.contains("WindowExec: No Partition"),
+          s"$n collapsed to a single-task window:\n${p.take(1200)}")
+    }
+    // sentence dedup: equi-joins on the hash only — no pair cartesian
+    Seq("sentence_spans" -> ops.Crawl.dedupSentenceSpans,
+      "sentence_excision" -> ops.Crawl.pipelineSentenceExcision).foreach {
+      case (n, q) =>
+        val p = q(spark, sf0001).queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"$n grew a degenerate join:\n${p.take(1200)}")
+    }
+    // ppl tier mix: the KN chain's 1-row broadcast crossJoin (lm.tot)
+    // legitimately renders as BroadcastNestedLoopJoin — ban only a
+    // true cartesian
+    val tm = ops.Pipelines.pipelinePplTierMix(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!tm.contains("CartesianProduct"),
+      s"ppl_tier_mix grew a cartesian:\n${tm.take(1200)}")
+    // cvm rides the shared range-shuffled ECDF; broadcast-only after
+    val cv = ops.Relational.aggCvmTest(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!cv.contains("SortMergeJoin") && !cv.contains("CartesianProduct"),
+      s"cvm grew a shuffled join:\n${cv.take(1200)}")
+  }
+
   test("round-14 §2.51–§2.53 plans: fused scans, bounded relations, no degenerate joins") {
     // the censuses are row-local chains into one |sources| aggregate:
     // no join of any kind may appear

@@ -126,7 +126,7 @@ class IncrementalUrlDedupSpec extends AnyFunSuite {
     // crash between patch commits — readStored must refuse
     VersionedTable.append(spark, stRoot,
       Seq((9999L, "https://x.example/")).toDF("doc_id", "ukey"))
-    intercept[IllegalArgumentException] {
+    intercept[IllegalStateException] {
       U.readStored(spark, stored)
     }
     // recovery: re-bootstrap from the snapshot

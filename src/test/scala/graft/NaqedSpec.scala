@@ -924,4 +924,52 @@ class NaqedSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { naqed.crawl(Map("$bogus" -> 1)) }
     intercept[IllegalArgumentException] { naqed.crawl(Map("$min_tokens" -> "five")) }
   }
+
+  test("crawl $action -> lm_gate: face == Curation stages run alone, arg validation") {
+    val docs = Tables(spark, sf0001, "documents")
+    val gated = naqed.crawl(Map("$action" -> "lm_gate", "$max_nll" -> 3.41))
+    val cleaned = ops.Curation.crawl(docs, withReport = false)._1
+    val expect = ops.Curation.lmFilter(cleaned,
+      ops.Pipelines.knTrainOn(docs), 3.41)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(gated) == ids(expect))
+    // the gate actually drops something at this threshold, and keeps most
+    assert(gated.count() < cleaned.count())
+    assert(gated.count() > cleaned.count() / 2)
+    intercept[IllegalArgumentException] {
+      naqed.crawl(Map("$action" -> "lm_gate", "$max_nll" -> "high"))
+    }
+    intercept[IllegalArgumentException] {
+      naqed.crawl(Map("$action" -> "clean", "$max_nll" -> 3.5))
+    }
+  }
+
+  test("crawl $action -> mix: manifest == mixByTokens run alone, weights honored") {
+    val docs = Tables(spark, sf0001, "documents")
+    val man = naqed.crawl(Map("$action" -> "mix", "$budget" -> 5000,
+      "$weights" -> Map("src3" -> 4)))
+    assert(man.columns.toSeq == Seq("source", "w", "n_docs", "avail_tokens",
+      "target_tokens", "docs_taken", "achieved_tokens", "fill_ppm"))
+    val cleaned = ops.Curation.crawl(docs, withReport = false)._1
+    val expect = ops.Curation.mixByTokens(cleaned, 5000L,
+      when(col("source") === "src3", lit(4L)).otherwise(lit(1L)))._2
+    assert(man.collect().map(_.toSeq).toSeq ==
+      expect.collect().map(_.toSeq).toSeq)
+    // the weighted source gets ~4x the target of an unweighted one
+    val tgt = man.collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("target_tokens")).toMap
+    assert(tgt("src3") > tgt("src0") * 3)
+    intercept[IllegalArgumentException] { naqed.crawl(Map("$action" -> "mix")) }
+    intercept[IllegalArgumentException] {
+      naqed.crawl(Map("$action" -> "mix", "$budget" -> 5000,
+        "$weights" -> Map("src3" -> "heavy")))
+    }
+    intercept[IllegalArgumentException] {
+      naqed.crawl(Map("$action" -> "clean", "$weights" -> Map("a" -> 1)))
+    }
+    intercept[IllegalArgumentException] {
+      naqed.crawl(Map("$action" -> "mix", "$budget" -> 5000, "$out" -> "/tmp/x"))
+    }
+  }
 }

@@ -362,7 +362,15 @@ class QuerySuiteSpec extends AnyFunSuite {
     // round 15 (§2.57–§2.58)
     "agg_bartlett" -> 1L, "agg_jonckheere" -> 1L, "ts_cochran_q" -> 1L,
     "pipeline_sentence_profile" -> 20L, "pipeline_readability" -> 20L,
-    "pipeline_export_balance" -> 1L)
+    "pipeline_export_balance" -> 1L,
+    // round 16 (§2.59–§2.60)
+    "pipeline_export_tokenized" -> 23L,
+    "pipeline_mix_manifest" -> 20L,
+    "pipeline_mix_census" -> 20L,
+    "dedup_sentence_spans" -> 30L,
+    "pipeline_sentence_excision" -> 20L,
+    "pipeline_ppl_tier_mix" -> 60L,
+    "agg_cvm_test" -> 1L)
 
   test("queries and oracleSql cover the same operator set") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
