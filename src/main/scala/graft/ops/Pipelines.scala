@@ -33,6 +33,7 @@ object Pipelines {
     shingleCache.clear()
     pairCache.clear()
     spanCache.clear()
+    minhashWideCache.clear()
   }
 
   /** Materialize the shared shingle + verified-LSH-pair sets for `d`.
@@ -192,11 +193,13 @@ object Pipelines {
     * lang_margin precedent). Bounded at ≤ (|langs|+1)² rows. */
   private def langConfusion(s: SparkSession, d: String): DataFrame = {
     val docs = table(s, d, "documents")
-    // tk feeds both marker training and voting — persist the one
-    // explode+distinct shuffle instead of running it twice
+    // tk feeds both marker training and voting — persist it instead of
+    // building it twice. round 16: the per-doc dedup is row-local
+    // (array_distinct at doc grain == the old relation-level
+    // .distinct()) so the build pays NO exchange at all.
     val tk = docs
-      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
-      .distinct()
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
       .filter(col("w") =!= "")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = tk.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("df"))
@@ -289,7 +292,10 @@ object Pipelines {
     * so both sides of the join broadcast at any SF. */
   val pipelineVocabOverlap: Q = (s, d) => {
     val lw = table(s, d, "documents")
-      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      // round 16: per-doc array_distinct first — the (lang, w) distinct
+      // exchange then shuffles doc-vocab rows, not raw token positions
+      .select(col("lang"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
       .filter(col("w") =!= "")
       .distinct()
       .localCheckpoint(true)
@@ -336,9 +342,12 @@ object Pipelines {
     * shuffle feeding a broadcast-sized marker table. */
   val pipelineLangMargin: Q = (s, d) => {
     val docs = table(s, d, "documents")
+    // round 16: row-local per-doc dedup (array_distinct == the old
+    // .distinct() at doc grain) — the old relation-level distinct paid
+    // a data-sized exchange TWICE (tk is consumed by freq and votes)
     val tk = docs
-      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
-      .distinct()
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
       .filter(col("w") =!= "")
     val freq = tk.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("df"))
     val wm = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("w"))
@@ -486,8 +495,19 @@ object Pipelines {
     sh.groupBy(col("doc_id"), col("lang")).agg(mins.head, mins.tail: _*)
   }
 
+  // round 16: the doc-grain signature table is consumed by BOTH the LSH
+  // pair build and pipeline_minhash_calibration — the calibration used
+  // to re-run the full 16-min signature aggregate (4 md5/shingle-row,
+  // ~1.9 CPU-s at sf0.1). Checkpoint it once per sfDir like the pair
+  // set (|docs| × 16 8-char strings — KB-to-MB scale at any corpus
+  // size that fits the cluster; freed by the bench's between-run sweep
+  // via clearCache + ContextCleaner).
+  private val minhashWideCache = new graft.SessionCache[String, DataFrame]
+
   private def minhashWide(s: SparkSession, d: String): DataFrame =
-    minhashWideOf(shingles(s, d))
+    minhashWideCache.getOrElseUpdate(s, d) {
+      minhashWideOf(shingles(s, d)).localCheckpoint(true)
+    }
 
   /** 2-band × 8-row LSH banding of a wide signature table:
     * (doc_id, lang, band, bkey) — the join key space for candidate
@@ -924,6 +944,26 @@ object Pipelines {
     * ADVICE.md flags on agg_cov_matrix. Scale: assignment is a
     * broadcast-8 crossJoin + per-vector min; means and inertias are
     * map-combined lane aggregates over a 8×64-key domain. */
+  /** Row-local nearest-centroid fold (round 16): (d2, cid) of the
+    * closest centroid in `cents` (an array of (cid, qc) structs,
+    * broadcast as ONE collected row) — exact integer distances with
+    * the (d2, cid) tie-break replayed in the fold. The old shape
+    * (broadcast-8 crossJoin + per-vector row_number window) shuffled
+    * the whole 8×n relation, every row carrying its 64-lane array,
+    * just to keep one argmin row per vector; this keeps assignment
+    * entirely inside the scan projection — zero exchanges. */
+  private def nearestCentroid(cents: Column, ql: Column): Column =
+    aggregate(cents,
+      struct(lit(Long.MaxValue).as("d2"), lit(Long.MaxValue).as("cid")),
+      (acc, c) => {
+        val dd = aggregate(zip_with(ql, c.getField("qc"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (s2, v) => s2 + v)
+        when(dd < acc.getField("d2") ||
+          (dd === acc.getField("d2") &&
+            c.getField("cid") < acc.getField("cid")),
+          struct(dd.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
+      })
+
   val simKmeansInertia: Q = (s, d) => {
     val d38 = DecimalType(38, 0)
     val qemb = table(s, d, "embeddings").select(col("vec_id"),
@@ -931,13 +971,15 @@ object Pipelines {
         x => floor(x.cast(DoubleType) * 1e7).cast(LongType)).as("ql"))
     val cent = qemb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("ql").as("qc"))
-    val d2 = aggregate(zip_with(col("ql"), col("qc"),
-      (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
-    val wv = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-    val asg = qemb.crossJoin(broadcast(cent))
-      .withColumn("d2", d2)
-      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), col("d2"), col("ql"))
+    val centArr = cent.agg(collect_list(struct(col("cid"), col("qc"))).as("cents"))
+    // checkpoint: three consumers (means lanes, inertia-before,
+    // inertia-after) would otherwise each re-run the interpreted
+    // centroid fold over the corpus (measured +1.9 CPU-s at sf0.1)
+    val asg = qemb.crossJoin(broadcast(centArr))
+      .withColumn("best", nearestCentroid(col("cents"), col("ql")))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        col("best.d2").as("d2"), col("ql"))
+      .localCheckpoint(true)
     val lanes = asg.select(col("cid"),
       posexplode(col("ql")).as(Seq("dim", "q")))
     val means = lanes.groupBy(col("cid"), col("dim"))
@@ -986,32 +1028,32 @@ object Pipelines {
         x => floor(x.cast(DoubleType) * 1e7).cast(LongType)).as("ql"))
     val cent = qemb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("ql").as("qc"))
-    val d2 = aggregate(zip_with(col("ql"), col("qc"),
-      (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
-    val wv = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-    val asg = qemb.crossJoin(broadcast(cent))
-      .withColumn("d2", d2)
-      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), col("ql"))
+    // round 16: both assignment passes are the row-local
+    // nearestCentroid fold over a broadcast collected centroid row —
+    // the old two crossJoin + row_number windows shuffled 2·8·n rows
+    // (each with the 64-lane array); see simKmeansInertia
+    val centArr = cent.agg(collect_list(struct(col("cid"), col("qc"))).as("cents"))
+    // checkpoint: two consumers (means lanes, the re-assignment pass)
+    // share one run of the interpreted centroid fold
+    val asg = qemb.crossJoin(broadcast(centArr))
+      .withColumn("best", nearestCentroid(col("cents"), col("ql")))
+      .select(col("vec_id"), col("best.cid").as("cid"), col("ql"))
+      .localCheckpoint(true)
     val lanes = asg.select(col("cid"),
       posexplode(col("ql")).as(Seq("dim", "q")))
     val means = lanes.groupBy(col("cid"), col("dim"))
       .agg(floor(sum(col("q")).cast(DoubleType) / count(lit(1)))
         .cast(LongType).as("qm"))
     // per-cell mean vectors reassembled as arrays (struct sort keys on
-    // dim first), so the re-assignment pass is the same broadcast-8
-    // zip_with as the seed assignment — no 64x lane-join blowup
+    // dim first), so the re-assignment pass is the same row-local fold
+    // as the seed assignment — no 64x lane-join blowup
     val marr = means.groupBy(col("cid")).agg(
       transform(array_sort(collect_list(struct(col("dim"), col("qm")))),
         x => x.getField("qm")).as("qmv"))
-      .select(col("cid").as("mcid"), col("qmv"))
-    val d2m = aggregate(zip_with(col("ql"), col("qmv"),
-      (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
-    val wn = Window.partitionBy(col("vec_id")).orderBy(col("d2m"), col("mcid"))
+      .agg(collect_list(struct(col("cid"), col("qmv").as("qc"))).as("mcents"))
     val near = asg.crossJoin(broadcast(marr))
-      .withColumn("d2m", d2m)
-      .withColumn("rn2", row_number().over(wn)).filter(col("rn2") === 1)
-      .select(col("vec_id"), col("cid"), col("mcid"))
+      .withColumn("b2", nearestCentroid(col("mcents"), col("ql")))
+      .select(col("vec_id"), col("cid"), col("b2.cid").as("mcid"))
     near.groupBy(col("cid"))
       .agg(count(lit(1)).as("n_assigned"),
         sum(when(col("mcid") =!= col("cid"), 1L).otherwise(0L)).as("n_switch"))
@@ -1279,7 +1321,12 @@ object Pipelines {
     val docs = table(s, d, "documents")
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
-    val df = tok.distinct().groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // round 16: df via row-local per-doc dedup (array_distinct at doc
+    // grain == distinct (doc_id, w)) — drops the data-sized exchange
+    val df = docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val tf = tok.filter(col("doc_id") % 11 === 0)
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
@@ -1650,9 +1697,13 @@ object Pipelines {
     * double tree rounded at 4. Scale: df aggregate + a broadcast
     * top-40 semi-join + a per-doc bounded self-join. */
   val pipelinePmiTop: Q = (s, d) => {
+    // round 16: per-doc dedup is row-local (array_distinct before the
+    // explode — the doc grain is unique, so this IS distinct (doc_id,
+    // w)) — the old relation-level .distinct() paid a data-sized
+    // exchange before the df aggregate, twice (df + the pair side).
     val td = table(s, d, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
     val df = td.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val top = df.orderBy(col("df").desc, col("w")).limit(40)
     val nDocs = table(s, d, "documents").agg(count(lit(1)).as("n_docs"))
@@ -1887,9 +1938,10 @@ object Pipelines {
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .select(col("doc_id"), (col("pos") + 1).as("pos1"), col("col").as("w"))
     val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    // round 16: row-local per-doc dedup (array_distinct at doc grain ==
+    // distinct (doc_id, w)) — drops the data-sized exchange
     val df = table(s, d, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .distinct()
+      .select(explode(array_distinct(split(col("text"), " "))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("df"))
     val top = df.orderBy(col("df").desc, col("w")).limit(10)
     val rel = toks
@@ -1974,22 +2026,25 @@ object Pipelines {
         lead(col("w"), 2).over(wDoc).isNotNull.as("full"))
       .filter(col("full"))
       .select(col("doc_id"), col("pos"), md5(col("g")).as("h"))
-    // persist: three consumers (df counts, both sides of the pair
-    // join) share one build of the fingerprint relation
     val fp = sh
       .withColumn("win", count(lit(1)).over(wMin))
       .withColumn("mh", min(col("h")).over(wMin))
       .filter(col("win") === 4)
       .select(col("doc_id"), col("mh")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = fp.groupBy(col("mh")).agg(count(lit(1)).as("df"))
+    // round 16: ONE groupBy(mh) collects the ≤10 doc ids per retained
+    // fingerprint (the df cap [2,10] bounds every list) and the
+    // C(≤10,2) pair expansion happens in-row — replacing the persisted
+    // fingerprint relation + df-filter + mh-keyed self-join (three
+    // consumers, two extra shuffles). Same exact shared-hash counts.
+    val pairs = fp.groupBy(col("mh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+        count(lit(1)).as("df"))
       .filter(col("df").between(2, 10))
-      .select(col("mh").as("rh"))
-    val f2 = fp.join(rare, col("mh") === col("rh"))
-      .select(col("doc_id"), col("mh"))
-    val pairs = f2.toDF("da", "ha")
-      .join(f2.toDF("db", "hb"), col("ha") === col("hb") && col("da") < col("db"))
-      .groupBy(col("da").as("d1"), col("db").as("d2"))
+      .select(explode(expr(
+        "flatten(transform(ids, x -> transform(filter(ids, y -> y > x), " +
+          "y -> struct(x AS d1, y AS d2))))")).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
     pairs.select(col("d1"), col("d2"), asLong(col("n_shared")).as("n_shared"))

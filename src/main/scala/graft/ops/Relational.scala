@@ -1942,15 +1942,28 @@ object Relational {
     * self-join is per-order bounded (≤25 brands/order); brand totals
     * are a broadcast 25-row relation. */
   val aggBasketPairs: Q = (s, d) => {
-    val ob = table(s, d, "lineitem")
-      .join(table(s, d, "part"), col("l_partkey") === col("p_partkey"))
+    // round 16: the graph_cosupply recipe — ONE fact shuffle total.
+    // collect_set(brand) per order (map-side combined) replaces the old
+    // distinct + two re-shuffles for the self-join; the ≤25-brand pair
+    // expansion happens in-row, and brand/order totals explode the SAME
+    // checkpointed per-order sets (lineitem is scanned exactly once;
+    // 5.5 → ~2.5 CPU-s at sf0.1, identical exact counts).
+    val sets = table(s, d, "lineitem")
+      .join(broadcast(table(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-      .distinct()
-    val n = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
-    val tot = ob.agg(countDistinct(col("o")).as("n_orders"))
-    val a = ob.select(col("o"), col("b").as("b1"))
-    val c = ob.select(col("o"), col("b").as("b2"))
-    a.join(c, Seq("o")).filter(col("b1") < col("b2"))
+      .groupBy(col("o"))
+      .agg(collect_set(col("b")).as("bs"))
+      .localCheckpoint(true) // three consumers: pairs, brand totals, order count
+    val n = sets.select(explode(col("bs")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("nb"))
+    val tot = sets.agg(count(lit(1)).as("n_orders"))
+    sets
+      .select(explode(expr(
+        "flatten(transform(bs, x -> transform(filter(bs, y -> y > x), " +
+          "y -> struct(x AS b1, y AS b2))))")).as("p"))
+      .select(col("p.b1").as("b1"), col("p.b2").as("b2"))
       .groupBy(col("b1"), col("b2"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= 5)
@@ -2704,25 +2717,42 @@ object Relational {
     * by construction. Output divisions are single IEEE ops on exact
     * integers, so no rounding is needed at all. Scale: the pair
     * relation is CALENDAR²-bounded (days², independent of fact rows)
-    * and the global median rank comes from GlobalRank's
-    * range-partitioned two-pass — never a single-task window. */
+    * and the two median order statistics come from ExactQuantile's
+    * bounded two-pass histogram (round 16) — no sort or persist of
+    * the pair relation, never a single-task window. */
   val aggHodgesLehmann: Q = (s, d) => {
+    // round 16: the pair relation is CALENDAR²-bounded but still ~days²/2
+    // rows; ranking ALL of them (range shuffle + persist) to read two
+    // median ranks paid the suite's single largest per-query CPU bill
+    // (7.2 CPU-s at sf0.1). ExactQuantile.valueAtRanks computes the same
+    // two order statistics with two map-combined histogram passes over
+    // the (re-derivable) pair relation — no sort, no persist, shuffle
+    // bounded by the histogram width. The daily aggregate is
+    // checkpointed: four consumers (two ExactQuantile passes × two join
+    // sides, plus the totals row).
     val daily = table(s, d, "orders")
       .groupBy(to_date(col("o_orderdate")).as("dy"))
       .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("c"))
+      .localCheckpoint(true)
     val a = daily.toDF("d1", "c1")
     val b = daily.toDF("d2", "c2")
     val pairs = a.join(broadcast(b), col("d1") <= col("d2"))
-      .select((col("c1") + col("c2")).as("w2"), col("d1"), col("d2"))
-    val (rk, m) = GlobalRank.ranked(pairs,
-      Seq(col("w2"), col("d1"), col("d2")), "rn")
-    val mids = Seq((m + 1) / 2, m / 2 + 1).distinct
+      .select((col("c1") + col("c2")).as("w2"))
+    // histogram width sized from the (bounded) daily relation so the
+    // bucket count stays ~4k at any SF (w2 spans [2·min c, 2·max c])
+    val ext = daily.agg(min(col("c")).as("mn"), max(col("c")).as("mx")).first()
+    val width = math.max(1.0, (ext.getLong(1) - ext.getLong(0)) * 2.0 / 4096.0)
+    // the two 1-based median ranks {(m+1)/2, m/2+1} as 0-indexed ranks
+    def midRanks(m: Long): Seq[Long] = Seq((m + 1) / 2 - 1, m / 2).distinct
+    val (m, atRank) = ExactQuantile.valueAtRanks(
+      pairs, col("w2"), None, midRanks, width)("")
+    val mids = midRanks(m)
+    // sum of the selected w2 values: each is an exact integer-valued
+    // double < 2^53, so the sum matches the old BIGINT-sum path bitwise
+    val hl = mids.map(atRank).sum / (mids.size * 200.0)
     val tot = daily.agg(sum(col("c")).as("sc"), count(lit(1)).as("n"))
-    rk.filter(col("rn").isin(mids: _*))
-      .agg(sum(col("w2")).as("sw"), count(lit(1)).as("k"))
-      .crossJoin(broadcast(tot))
-      .select(asLong(col("n")).as("n_days"), lit(m).as("n_pairs"),
-        (col("sw").cast(DoubleType) / (col("k") * lit(200.0))).as("hl_estimate"),
+    tot.select(asLong(col("n")).as("n_days"), lit(m).as("n_pairs"),
+        lit(hl).as("hl_estimate"),
         (col("sc").cast(DoubleType) / (col("n") * lit(100.0))).as("mean_daily"))
   }
 
@@ -4025,32 +4055,33 @@ object Relational {
     * two segments, this contrasts experiment arms). Exactness: type-1
     * discrete quantiles — the value at per-arm rank ceil(q·n/10) =
     * (q·n+9) div 10, pure integers end to end, zero interpolation.
-    * Scale: per-arm ranks come from ONE GlobalRank range shuffle over
-    * (arm, value, key) with 1-row arm offsets broadcast back — never a
-    * per-arm single-task window (arm cardinality 2 would make
-    * partitionBy(arm) a two-task global sort). */
+    * Scale (round 16): the per-arm order statistics come from
+    * ExactQuantile's bounded two-pass histogram (map-combined, shuffle
+    * bounded by histogram width) — no fact sort, no window, never a
+    * per-arm single-task anything. */
   val aggQuantileTreatmentEffect: Q = (s, d) => {
+    // round 16: the per-arm decile order statistics (the ⌈q·n/10⌉-th
+    // smallest y per arm) come from ExactQuantile.valueAtRanks — two
+    // bounded map-combined histogram passes per the object scaladoc —
+    // instead of the old GlobalRank range shuffle + persist + offsets
+    // collect over the whole fact (1.6 → ~0.5 CPU-s at sf0.1; values
+    // at a rank of the (y, key)-ordered relation ARE the rank-counted
+    // multiset order statistics, so the selected cents are identical).
+    import s.implicits._
     val arms = table(s, d, "orders")
       .select((Sampling.bucket16(col("o_orderkey")) % 2).as("arm"),
-        (dec2(col("o_totalprice")) * 100).cast(LongType).as("y"),
-        col("o_orderkey").as("okey"))
-    val (ranked, _) = GlobalRank.ranked(
-      arms, Seq(col("arm"), col("y"), col("okey")), "rn")
-    val sizes = ranked.groupBy(col("arm")).agg(count(lit(1)).as("na"))
-    val n0 = sizes.agg(max(when(col("arm") === 0, col("na"))).as("n0"))
-    val targets = sizes.crossJoin(
-        s.range(1, 10).select(col("id").as("q")))
-      .select(col("arm").as("t_arm"), col("q"),
-        expr("(q * na + 9) div 10").as("trank"))
-    val picked = ranked.crossJoin(broadcast(n0))
-      .select(col("arm"), col("y"),
-        (col("rn") - when(col("arm") === 1, col("n0")).otherwise(0L))
-          .as("prank"))
-      .join(broadcast(targets),
-        col("arm") === col("t_arm") && col("prank") === col("trank"))
-    picked.groupBy(col("q").as("decile"))
-      .agg(max(when(col("arm") === 0, col("y"))).as("ctrl_cents"),
-        max(when(col("arm") === 1, col("y"))).as("treat_cents"))
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("y"))
+    def deciles(n: Long): Seq[Long] =
+      (1L to 9L).map(q => (q * n + 9) / 10 - 1)
+    val stats = ExactQuantile.valueAtRanks(arms, col("y"),
+      Some(col("arm")), deciles, 65536.0)
+    val (n0, at0) = stats("0")
+    val (n1, at1) = stats("1")
+    (1 to 9).map { q =>
+      (q.toLong,
+        at0((q * n0 + 9) / 10 - 1).toLong,
+        at1((q * n1 + 9) / 10 - 1).toLong)
+    }.toDF("decile", "ctrl_cents", "treat_cents")
       .select(asLong(col("decile")).as("decile"),
         asLong(col("ctrl_cents")).as("ctrl_cents"),
         asLong(col("treat_cents")).as("treat_cents"),

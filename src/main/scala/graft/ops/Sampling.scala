@@ -482,8 +482,8 @@ object Sampling {
     * (rest); the "model" is the per-segment (custkey%4) mean order
     * value fitted on train ONLY — floor-integer cents, so predictions
     * and every residual |y - pred| are exact BIGINTs. */
-  private def conformalBase(s: SparkSession, d: String): DataFrame = {
-    val o = table(s, d, "orders")
+  private def conformalSplit(s: SparkSession, d: String): DataFrame =
+    table(s, d, "orders")
       .select(col("o_orderkey"),
         pmod(col("o_custkey"), lit(4)).cast(LongType).as("seg"),
         (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"),
@@ -491,12 +491,40 @@ object Sampling {
       .withColumn("split",
         when(col("b") < 21845L, "train")
           .when(col("b") < 43690L, "calib").otherwise("test"))
-    val pred = o.filter(col("split") === "train")
+
+  private def conformalPred(o: DataFrame): DataFrame =
+    o.filter(col("split") === "train")
       .groupBy(col("seg"))
       .agg(floor(sum(col("cents")).cast(DoubleType) /
         count(lit(1)).cast(DoubleType)).cast(LongType).as("pred_cents"))
-    o.join(broadcast(pred), Seq("seg"))
+
+  private def conformalBase(s: SparkSession, d: String): DataFrame = {
+    val o = conformalSplit(s, d)
+    o.join(broadcast(conformalPred(o)), Seq("seg"))
       .withColumn("resid", abs(col("cents") - col("pred_cents")))
+  }
+
+  /** The ⌈(n+1)(1−α)⌉ calibration rank at α = 0.1, clamped to n —
+    * shared by the §2.35 conformal pair (1-based within segment). */
+  private def conformalRank(n: Long): Long =
+    math.min((9 * (n + 1) + 9) / 10, n)
+
+  /** Per-segment conformal quantile q (the `conformalRank`-th smallest
+    * calibration residual), computed by [[ExactQuantile.valueAtRanks]]
+    * — two bounded map-combined histogram passes (round 16; the old
+    * GlobalRank route paid a range shuffle + persist + offsets collect
+    * of the whole calibration split to read ONE order statistic per
+    * segment). Returns (seg, n_calib, q_cents) rows, driver-bounded at
+    * 4 segments. */
+  private def conformalQ(s: SparkSession, calib: DataFrame): DataFrame = {
+    import s.implicits._
+    val qm = ExactQuantile.valueAtRanks(calib, col("resid"),
+      Some(col("seg")), n => Seq(conformalRank(n) - 1), 65536.0)
+    qm.toSeq
+      .map { case (g, (n, at)) =>
+        (g.toLong, n, at(conformalRank(n) - 1).toLong) }
+      .sortBy(_._1)
+      .toDF("seg", "n_calib", "q_cents")
   }
 
   /** Split conformal prediction interval (§2.35): the
@@ -505,32 +533,25 @@ object Sampling {
     * calibration residual (α = 0.1), guaranteeing ≥ 90% coverage on
     * exchangeable test rows with NO distributional assumption. The
     * rank index is exact integer arithmetic (⌈9(n+1)/10⌉ clamped to
-    * n); the order statistic is total-order selection on BIGINT
-    * residuals (tiebreak o_orderkey). Scale: the within-segment rank
-    * comes from GlobalRank's two-pass over the composite
-    * (seg, resid, key) order minus broadcast per-segment offsets —
-    * never a no-partition window; 4 output rows. */
+    * n); the order statistic is rank-counted multiset selection on
+    * BIGINT residuals. Scale (round 16): the per-segment order
+    * statistic comes from ExactQuantile's bounded two-pass histogram
+    * ([[conformalQ]]) — no sort or persist of the calibration split;
+    * the 4-row q/pred relations attach back as broadcasts. */
   val sampleConformalInterval: Q = (s, d) => {
+    // checkpoint: both ExactQuantile passes and the per-seg pred read
+    // the materialized calibration split instead of re-deriving the
+    // orders scan + train-mean join per pass (measured +0.6 CPU-s)
     val calib = conformalBase(s, d).filter(col("split") === "calib")
-    val (ranked, _) = GlobalRank.ranked(calib,
-      Seq(col("seg"), col("resid"), col("o_orderkey")), "grn")
-    val segN = calib.groupBy(col("seg"))
-      .agg(count(lit(1)).as("n_calib"))
-    // exclusive prefix offsets over the ≤4-row segment relation: the
-    // global rank within (seg, resid, key) order minus the rows of
-    // earlier segments = the within-segment rank
-    val wSeg = Window.orderBy(col("seg"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = segN
-      .withColumn("off", coalesce(sum(col("n_calib")).over(wSeg), lit(0L)))
-      .withColumn("kq",
-        least(expr("(9 * (n_calib + 1) + 9) div 10"), col("n_calib")))
-    ranked.join(broadcast(offs), Seq("seg"))
-      .filter(col("grn") - col("off") === col("kq"))
+      .localCheckpoint(true)
+    val q = conformalQ(s, calib)
+    val pred = calib.groupBy(col("seg"))
+      .agg(max(col("pred_cents")).as("pred_cents"))
+    q.join(broadcast(pred), Seq("seg"))
       .select(col("seg"), asLong(col("n_calib")).as("n_calib"),
-        col("pred_cents"), col("resid").as("q_cents"),
-        (col("pred_cents") - col("resid")).as("lo_cents"),
-        (col("pred_cents") + col("resid")).as("hi_cents"))
+        col("pred_cents"), col("q_cents"),
+        (col("pred_cents") - col("q_cents")).as("lo_cents"),
+        (col("pred_cents") + col("q_cents")).as("hi_cents"))
       .orderBy("seg")
   }
 
@@ -542,21 +563,12 @@ object Sampling {
     * anywhere. Scale: the interval relation is 4 broadcast rows; the
     * test scan is one map-combined aggregate. */
   val sampleConformalCoverage: Q = (s, d) => {
-    val calib = conformalBase(s, d).filter(col("split") === "calib")
-    val (ranked, _) = GlobalRank.ranked(calib,
-      Seq(col("seg"), col("resid"), col("o_orderkey")), "grn")
-    val segN = calib.groupBy(col("seg"))
-      .agg(count(lit(1)).as("n_calib"))
-    val wSeg = Window.orderBy(col("seg"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = segN
-      .withColumn("off", coalesce(sum(col("n_calib")).over(wSeg), lit(0L)))
-      .withColumn("kq",
-        least(expr("(9 * (n_calib + 1) + 9) div 10"), col("n_calib")))
-    val q = ranked.join(broadcast(offs), Seq("seg"))
-      .filter(col("grn") - col("off") === col("kq"))
-      .select(col("seg"), col("resid").as("q_cents"))
-    conformalBase(s, d).filter(col("split") === "test")
+    // checkpoint: the two ExactQuantile passes AND the test scan all
+    // read one materialization of the split relation
+    val base = conformalBase(s, d).localCheckpoint(true)
+    val q = conformalQ(s, base.filter(col("split") === "calib"))
+      .select(col("seg"), col("q_cents"))
+    base.filter(col("split") === "test")
       .join(broadcast(q), Seq("seg"))
       .groupBy(col("seg"))
       .agg(asLong(count(lit(1))).as("n_test"),

@@ -399,14 +399,15 @@ object Windows {
         .otherwise(0).as("new_sess"))
     val sess = flagged.withColumn("sid",
       sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val ws = Window.partitionBy(col("user_id"), col("sid"))
-      .orderBy(col("ts"), col("event_id"))
-    val capped = sess.withColumn("rn", row_number().over(ws)).filter(col("rn") <= 8)
-    val paths = capped.groupBy(col("user_id"), col("sid"))
-      .agg(array_join(transform(array_sort(collect_list(
-          struct(col("ts"), col("event_id"), col("c")))),
+    // round 16: the 8-event cap moves INTO the aggregate (slice of the
+    // sorted collected array + least(count, 8)) — the old row_number
+    // window pass over (user_id, sid) paid a full extra sort of the
+    // event relation just to drop rows the collect could drop itself
+    val paths = sess.groupBy(col("user_id"), col("sid"))
+      .agg(array_join(transform(slice(array_sort(collect_list(
+          struct(col("ts"), col("event_id"), col("c")))), 1, 8),
           x => x.getField("c")), "").as("path"),
-        count(lit(1)).as("plen"))
+        least(count(lit(1)), lit(8L)).as("plen"))
     val tot = paths.agg(count(lit(1)).as("nt"), sum(col("plen")).as("lt"))
     paths.groupBy(col("path"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("plen")).as("lens"))

@@ -320,12 +320,15 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("round-9 §2.25 plan shapes: range-shuffled median, shared lineages") {
-    // hodges-lehmann: the global median rank must come off GlobalRank's
-    // RANGE shuffle, never a single-partition global window
+    // hodges-lehmann (round 16): the two median order statistics come
+    // from ExactQuantile's bounded two-pass histogram (eager, at
+    // construction) — the returned plan must carry NO sort of the
+    // days² pair relation (no range shuffle, no window; the old
+    // GlobalRank route ranked ~days²/2 rows to read 2 of them)
     val hl = ops.Relational.aggHodgesLehmann(spark, sf0001)
       .queryExecution.executedPlan.toString
-    assert(hl.contains("rangepartitioning"),
-      s"hodges-lehmann lost the GlobalRank range shuffle:\n$hl")
+    assert(!hl.contains("rangepartitioning"),
+      s"hodges-lehmann regrew a pair-relation sort:\n$hl")
     assert(!hl.contains("Window"), s"hodges-lehmann grew a global window:\n$hl")
     // recency decay: dims broadcast; the only shuffle joins are none
     val rd = ops.Relational.aggRecencyDecay(spark, sf0001)
@@ -805,11 +808,13 @@ class EngineSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(pp.contains("rangepartitioning"),
       s"pps lost the GlobalRank range shuffle:\n${pp.take(1200)}")
-    // qte: per-arm ranks off ONE range shuffle; targets/offsets broadcast
+    // qte (round 16): per-arm decile order statistics via ExactQuantile's
+    // bounded two-pass histogram (eager) — no fact-relation sort, no
+    // window, no shuffled join anywhere in the returned plan
     val qt = ops.Relational.aggQuantileTreatmentEffect(spark, sf0001)
       .queryExecution.executedPlan.toString
-    assert(qt.contains("rangepartitioning") && !qt.contains("SortMergeJoin"),
-      s"qte lost the range-shuffle/broadcast shape:\n${qt.take(1200)}")
+    assert(!qt.contains("SortMergeJoin") && !qt.contains("Window"),
+      s"qte degenerated:\n${qt.take(1200)}")
     // dominant period: fold aggregates hash-aggregate; the 29-period
     // fan-out is broadcast, never a shuffled or nested-loop join of facts
     val dp = ops.TimeSeries.tsDominantPeriod(spark, sf0001)
@@ -1031,18 +1036,23 @@ class EngineSpec extends AnyFunSuite {
     assert(!sk.contains("Join"), s"skill grew a join:\n${sk.take(1200)}")
   }
 
-  test("round-13: conformal pair rides the GlobalRank range shuffle (drift watch)") {
-    // the only two >25% CPU risers of rounds 11–12 — pin the intended
-    // shape (range-shuffle rank + broadcast offsets, no shuffled join)
-    // so any future drift is a plan regression, not window variance
+  test("round-13/16: conformal pair — ExactQuantile q, broadcast attach (drift watch)") {
+    // round 16 re-shape: the per-segment conformal quantile comes from
+    // ExactQuantile's bounded two-pass histogram (eager, at
+    // construction); the returned plan must attach the 4-row q/pred
+    // relations as BROADCASTS with no shuffled join and no window over
+    // the calibration split (the old GlobalRank route range-shuffled
+    // and persisted the whole split to read 4 order statistics)
     Seq("interval" -> ops.Sampling.sampleConformalInterval,
       "coverage" -> ops.Sampling.sampleConformalCoverage).foreach {
       case (n, q) =>
         val p = q(spark, sf0001).queryExecution.executedPlan.toString
-        assert(p.contains("rangepartitioning"),
-          s"conformal $n lost the GlobalRank range shuffle:\n${p.take(1200)}")
+        assert(p.contains("BroadcastHashJoin"),
+          s"conformal $n lost the broadcast attach:\n${p.take(1200)}")
         assert(!p.contains("SortMergeJoin"),
           s"conformal $n grew a shuffled join:\n${p.take(1200)}")
+        assert(!p.contains("Window"),
+          s"conformal $n grew a window:\n${p.take(1200)}")
     }
   }
 
@@ -1196,6 +1206,48 @@ class EngineSpec extends AnyFunSuite {
       val p = q(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
         s"$n degenerated:\n${p.take(1200)}")
+    }
+  }
+
+  test("round-16 optimization plan pins: one-shuffle baskets, fused dedups, row-local argmin") {
+    // basket_pairs: ONE fact shuffle (collect_set per order); the pair
+    // expansion is in-row — no second fact shuffle, no shuffled join
+    val bp = ops.Relational.aggBasketPairs(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!bp.contains("SortMergeJoin") && !bp.contains("CartesianProduct"),
+      s"basket_pairs regrew a shuffled join:\n${bp.take(1200)}")
+    // burrows delta: everything folds off the ONE checkpointed
+    // (source, word) count relation (Scan ExistingRDD) — the raw
+    // token-grain explode is not re-scanned by any consumer
+    val bd = ops.TextSim.textBurrowsDelta(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(bd.contains("ExistingRDD"),
+      s"burrows delta lost the shared (source, word) checkpoint:\n${bd.take(1200)}")
+    // kmeans inertia/reassign: centroid assignment is a row-local fold
+    // over the broadcast collected centroid row — no row_number window,
+    // no shuffle of the 8×n crossJoin
+    Seq("inertia" -> ops.Pipelines.simKmeansInertia,
+      "reassign" -> ops.Pipelines.simKmeansReassign).foreach { case (n, q) =>
+      val p = q(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!p.contains("Window"),
+        s"kmeans $n regrew the assignment window:\n${p.take(1200)}")
+    }
+    // session paths: the 8-event cap lives in the aggregate (slice of
+    // the sorted collect_list) — exactly the two user-keyed window
+    // passes remain, not a third row_number pass
+    val sp = ops.Windows.winSessionPathTopk(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!sp.contains("row_number"),
+      s"session paths regrew the rank-cap window:\n${sp.take(1200)}")
+    // pmi / token_positions / tfidf df: per-doc dedup is row-local
+    // (array_distinct in the scan projection) — the df aggregate is
+    // map-combined with NO relation-level distinct exchange before it
+    Seq("pmi_top" -> ops.Pipelines.pipelinePmiTop,
+      "token_positions" -> ops.Pipelines.pipelineTokenPositions).foreach {
+      case (n, q) =>
+        val p = q(spark, sf0001).queryExecution.executedPlan.toString
+        assert(p.contains("array_distinct"),
+          s"$n lost the row-local per-doc dedup:\n${p.take(1200)}")
     }
   }
 }
