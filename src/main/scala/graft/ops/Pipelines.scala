@@ -34,6 +34,7 @@ object Pipelines {
     pairCache.clear()
     spanCache.clear()
     minhashWideCache.clear()
+    simhashFpCache.clear()
   }
 
   /** Materialize the shared shingle + verified-LSH-pair sets for `d`.
@@ -415,6 +416,19 @@ object Pipelines {
       .select(col("doc_id"), col("lang"), fpExpr.as("fp"))
   }
 
+  // round 16: the (doc, lang, fp) fingerprint table is consumed by BOTH
+  // dedup_simhash (the pairing) and pipeline_simhash_bit_balance (the
+  // sketch audit) — the audit used to re-run the whole 32-sum aggregate
+  // over the shingle relation (~2.2 CPU-s at sf0.1). Checkpoint it once
+  // per sfDir like minhashWide (|docs| rows × one BIGINT fp — KB–MB at
+  // any corpus); dropped between bench runs by clearCache.
+  private val simhashFpCache = new graft.SessionCache[String, DataFrame]
+
+  private def simhashFpShared(s: SparkSession, d: String): DataFrame =
+    simhashFpCache.getOrElseUpdate(s, d) {
+      simhashFp(s, d).localCheckpoint(true)
+    }
+
   /** SimHash bit-balance audit (§2.20): the share of fingerprints with
     * each of the 32 bits set. A healthy SimHash has every bit near
     * 0.5 — a skewed bit carries less than one bit of information, so
@@ -428,7 +442,7 @@ object Pipelines {
     val aggs = (0 until 32).map { j =>
       sum(expr(s"shiftright(fp, $j)").bitwiseAND(lit(1L))).as(s"b$j")
     }
-    val one = simhashFp(s, d).agg(count(lit(1)).as("n_docs"), aggs: _*)
+    val one = simhashFpShared(s, d).agg(count(lit(1)).as("n_docs"), aggs: _*)
     val share = col("n_set").cast(DoubleType) / col("n_docs").cast(DoubleType)
     one.select(col("n_docs"),
         posexplode(array((0 until 32).map(j => col(s"b$j")): _*)).as(Seq("bit", "n_set")))
@@ -439,8 +453,9 @@ object Pipelines {
   }
 
   val dedupSimhash: Q = (s, d) => {
-    val fp = simhashFp(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // round 16: the per-query persist became the shared checkpointed
+    // fingerprint table (one materialization for pairing + bit audit)
+    val fp = simhashFpShared(s, d)
     val chunks = Seq((0, 127L), (7, 127L), (14, 63L), (20, 63L), (26, 63L))
     // ONE scan of the cached fingerprint relation per join side: the 5
     // band keys are exploded in-row (round 12 — the old 5-way unionAll
@@ -592,19 +607,41 @@ object Pipelines {
     val sh = shingles(s, d)
     val pairs = dedupMinhashLsh(s, d).select(col("d1"), col("d2"))
     val n = table(s, d, "documents").agg(count(lit(1)).as("nd"))
-    val idf = sh.groupBy(col("g")).agg(count(lit(1)).as("dfc"))
+    // round 16 (guide §3.2 semi-join prefilter): every consumer below
+    // EXCEPT the document-frequency counts only needs shingles of docs
+    // that appear in a verified pair — a near-duplicate-bounded set.
+    // Broadcast-semi-join the cached shingle relation down to pair docs
+    // ONCE (row-local), and count df ONLY for grams of those docs (the
+    // count itself still scans the full corpus, but its shuffle carries
+    // the bounded gram set instead of every distinct gram). The old
+    // shape shuffled the FULL shingle relation by g twice (wdoc build +
+    // pair intersect); now no data-sized shuffle remains anywhere.
+    // Broadcast sizing: pg/idf are |pair docs| × (shingles per doc) —
+    // two orders above the pair set the old code already broadcast,
+    // same regime as the guide's semi-join/Bloom prefilter key sets.
+    val pairDocs = pairs.select(col("d1").as("doc_id"))
+      .unionAll(pairs.select(col("d2").as("doc_id"))).distinct()
+    val shp = sh.join(broadcast(pairDocs), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true) // three consumers: gram set, wdoc, both join sides
+    val pg = shp.select(col("g")).distinct()
+    // checkpoint: idf is consumed by BOTH the wdoc build and the pair
+    // intersect — without it each broadcast re-runs the full-corpus
+    // df scan + aggregate
+    val idf = sh.join(broadcast(pg), Seq("g"), "left_semi")
+      .groupBy(col("g")).agg(count(lit(1)).as("dfc"))
       .crossJoin(broadcast(n))
       .select(col("g"),
         floor(log(col("nd").cast(DoubleType) / col("dfc")) * 1e6)
           .cast(LongType).as("wi"))
-    val wdoc = sh.join(idf, "g").groupBy(col("doc_id"))
+      .localCheckpoint(true)
+    val wdoc = shp.join(broadcast(idf), "g").groupBy(col("doc_id"))
       .agg(sum(col("wi")).as("wd"), count(lit(1)).as("sz"))
-    val sa = sh.select(col("doc_id").as("ia"), col("g"))
-    val sb = sh.select(col("doc_id").as("ib"), col("g").as("gb"))
+    val sa = shp.select(col("doc_id").as("ia"), col("g"))
+    val sb = shp.select(col("doc_id").as("ib"), col("g").as("gb"))
     val inter = broadcast(pairs)
       .join(sa, col("ia") === col("d1"))
       .join(sb, col("ib") === col("d2") && col("gb") === col("g"))
-      .join(idf, "g")
+      .join(broadcast(idf), "g")
       .groupBy(col("d1"), col("d2"))
       .agg(sum(col("wi")).as("wiSum"), count(lit(1)).as("ic"))
     val w1 = wdoc.toDF("j1", "wd1", "sz1")
@@ -1251,10 +1288,25 @@ object Pipelines {
     * the DuckDB oracle keeps the independent quadratic formulation. */
   val dedupContainment: Q = (s, d) => {
     val sh = shingles(s, d)
+    // checkpoint: sizes is consumed FOUR times (twice inside the
+    // candidate build, twice in the verify's s1/s2 joins) — each
+    // occurrence used to re-run the doc-grain aggregate over the full
+    // shingle relation
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val cand = containmentCandidates(sh, sizes)
-    val a = sh.select(col("doc_id").as("ia"), col("g"))
-    val b = sh.select(col("doc_id").as("ib"), col("g").as("gb"))
+      .localCheckpoint(true)
+    // round 16 (guide §3.2): the exact-intersection verify only reads
+    // shingles of docs in a candidate pair (count-filtered to ~dozens),
+    // but its b side used to shuffle the FULL shingle relation by
+    // (d2, g). Checkpoint the tiny candidate set once and broadcast-
+    // semi-join both shingle sides down to candidate docs first — the
+    // verify then runs entirely on near-dup-bounded relations.
+    val cand = containmentCandidates(sh, sizes).localCheckpoint(true)
+    val a = sh.join(broadcast(cand.select(col("d1").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("ia"), col("g"))
+    val b = sh.join(broadcast(cand.select(col("d2").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("ib"), col("g").as("gb"))
     val inter = cand
       .join(a, col("ia") === col("d1"))
       .join(b, col("ib") === col("d2") && col("gb") === col("g"))

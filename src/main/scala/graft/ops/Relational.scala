@@ -1992,9 +1992,13 @@ object Relational {
         count(lit(1)).as("freq"),
         sum(dec2(col("o_totalprice"))).as("mon"))
     val anchor = m.agg(max(col("last_day")).as("anchor"))
+    // round 16: four consumers (three GlobalRank quintile passes + the
+    // final monetary join) each re-ran the orders scan + customer
+    // aggregate — checkpoint the customer-grain relation once
     val b = m.crossJoin(broadcast(anchor))
       .select(col("c"), datediff(col("anchor"), col("last_day")).as("rec_days"),
         col("freq"), col("mon"))
+      .localCheckpoint(true)
     def quintile(order: Seq[org.apache.spark.sql.Column], name: String) = {
       val (r, total) = GlobalRank.ranked(b, order, "rn")
       r.select(col("c"), GlobalRank.ntileOf(col("rn"), total, 5).as(name))

@@ -1302,9 +1302,14 @@ object TimeSeries {
     val dl = table(s, d, "orders")
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg((sum(dec2(col("o_totalprice"))) * 100).cast(LongType).as("cents"))
-    val r = GlobalRank.withRunningSum(dl, Seq(col("day")), "cents", "run")
-    val withK = GlobalRank.ranked(r, Seq(col("day")), "k")._1
-    val tot = r.agg(max(col("run")).as("total"), count(lit(1)).as("nd"))
+      // round 16: the day index k is the running sum of a 1-column in
+      // the same total order, so ONE GlobalRank pass yields run AND k
+      // (the old shape paid a second range shuffle + persist + offsets
+      // collect just to rank the already-ordered day relation)
+      .withColumn("__one", lit(1L))
+    val withK = GlobalRank.withRunningSums(dl, Seq(col("day")),
+      Seq("cents" -> "run", "__one" -> "k"))
+    val tot = withK.agg(max(col("run")).as("total"), count(lit(1)).as("nd"))
     val d19 = DecimalType(19, 0)
     val dev = abs(col("nd").cast(d19) * col("run").cast(d19) -
       col("k").cast(d19) * col("total").cast(d19)).cast(DecimalType(38, 0))

@@ -739,17 +739,18 @@ class EngineSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(rf.contains("TakeOrdered"),
       s"rrf legs lost TakeOrderedAndProject:\n${rf.take(1200)}")
-    // simhash (round-12 rewrite): the banded relation explodes 5 band
-    // keys from ONE scan of the cached fingerprints per join side —
-    // two InMemoryTableScans total, not the old 5-per-side unionAll
+    // simhash (round-12 rewrite; round 16 moved the fingerprints to the
+    // shared checkpointed table): the banded relation explodes 5 band
+    // keys from ONE scan of the fingerprint leaf per join side — two
+    // scans total, not the old 5-per-side unionAll
     val sh = ops.Pipelines.dedupSimhash(spark, sf0001)
       .queryExecution.executedPlan.toString
-    // count scans OF the fingerprint relation (output contains fp#…);
-    // InMemoryRelation also prints its nested cached-build plan, whose
-    // inner InMemoryTableScans are not executed per query
-    val scans = "InMemoryTableScan \\[[^\\]]*fp#".r.findAllIn(sh).length
+    // count scans OF the fingerprint relation (output contains fp#…) —
+    // a checkpointed leaf prints as "Scan ExistingRDD [... fp#N]"
+    val scans = ("InMemoryTableScan \\[[^\\]]*fp#".r.findAllIn(sh).length
+      + "Scan ExistingRDD[^\\n]*fp#".r.findAllIn(sh).length)
     assert(scans <= 2,
-      s"simhash banding rescans the fingerprint cache ($scans scans):\n${sh.take(1200)}")
+      s"simhash banding rescans the fingerprint relation ($scans scans):\n${sh.take(1200)}")
     // §2.40: hill = ONE distributed top-k, never a global sort; the
     // only window runs on the 101 TakeOrdered survivors
     val hl = ops.Relational.aggTailIndexHill(spark, sf0001)
