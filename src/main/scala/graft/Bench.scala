@@ -147,7 +147,13 @@ object Bench {
           // A failed prime chain must be LOUD: its cost would otherwise
           // silently shift into whichever query first touches the cache,
           // corrupting per-query attribution (round-4 ADVICE).
-          def call(): Unit = try c() catch {
+          def call(): Unit = try {
+            val t0 = System.nanoTime()
+            c()
+            // stderr diagnostics only (r16): chain balance read, not
+            // part of the JSON contract
+            System.err.println(f"[bench] prime chain $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          } catch {
             case t: Throwable =>
               System.err.println(s"[bench] prime chain $i FAILED: $t")
           }
@@ -163,6 +169,7 @@ object Bench {
       ops.Pipelines.clearCache()
       ops.TextSim.clearCache()
       ops.Relational.clearCache()
+      ops.TimeSeries.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(
         rdd => try rdd.unpersist(blocking = false) catch { case _: Throwable => () })
       System.gc()

@@ -67,6 +67,7 @@ object ScalingBench {
       // unpersist below destroys checkpoint blocks that a stale cache
       // entry could no longer recompute (lineage truncated)
       ops.Relational.clearCache()
+      ops.TimeSeries.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(
         rdd => try rdd.unpersist(blocking = false) catch { case _: Throwable => () })
       System.gc()

@@ -740,6 +740,13 @@ object GraphOps {
     // suite's largest 100×-tier absolute — one materialization now
     // serves HITS, the degree profile and assortativity
     val edges = Tables.bipartite(s, d)
+    // round-16 A/B, measured NEGATIVE and reverted: localCheckpoint'ing
+    // a1/h1 (a1 has two consumers, so its aggregate re-executes once
+    // per consumer in this shape) measured 3.83 → 4.65 CPU-s / 3.17 →
+    // 5.37 s wall at sf0.1 (QBench min-of-3) — the re-derivations run
+    // over the PERSISTED edge relation and cost less than the two
+    // eager checkpoint actions they would replace. Recorded in
+    // OPTIMIZATION_r16.md.
     val a1 = edges.groupBy(col("sup")).agg(count(lit(1)).as("a1"))
     val h1 = edges.join(a1, Seq("sup"))
       .groupBy(col("c")).agg(sum(col("a1")).as("h1"))

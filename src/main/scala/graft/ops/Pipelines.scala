@@ -35,6 +35,9 @@ object Pipelines {
     spanCache.clear()
     minhashWideCache.clear()
     simhashFpCache.clear()
+    knLmCache.values
+      .foreach(lm => try lm.c12.unpersist() catch { case _: Throwable => () })
+    knLmCache.clear()
   }
 
   /** Materialize the shared shingle + verified-LSH-pair sets for `d`.
@@ -1111,17 +1114,23 @@ object Pipelines {
     * training, finer-grained than the pair-level LSH family (a doc can
     * be 60% duplicated without any single near-dup partner). The
     * decile is a pure integer quotient, so there is no float knife
-    * edge anywhere. Scale: shingle document-frequency is one
-    * map-combined aggregate over the shared persisted shingle
-    * relation; the join-back is g-keyed shuffle; the per-doc and
-    * per-(source, decile) aggregates map-combine. Never all-pairs. */
+    * edge anywhere. Scale (round 16): dup = total − unique, and a
+    * df == 1 shingle belongs to exactly ONE doc — so the per-doc dup
+    * count comes from the df aggregate directly (min(doc_id) of a
+    * 1-row group IS the owner) with NO shingle-grain join-back (the
+    * old sh ⋈ df re-shuffled the whole shingle relation by g); per-doc
+    * totals map-combine off the scan, everything after is doc-grain.
+    * Never all-pairs. */
   val pipelineDupNgramCoverage: Q = (s, d) => {
     val sh = shingles(s, d)
-    val df = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val per = sh.join(df, Seq("g"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("total"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup"))
+    val tot = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("total"))
+    val uni = sh.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("d0"))
+      .filter(col("df") === 1)
+      .groupBy(col("d0").as("doc_id")).agg(count(lit(1)).as("u"))
+    val per = tot.join(uni, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total"),
+        (col("total") - coalesce(col("u"), lit(0L))).as("dup"))
     table(s, d, "documents").select(col("doc_id"), col("source"))
       .join(per, Seq("doc_id"))
       .select(col("source"), expr("(10 * dup) DIV total").as("cov_decile"))
@@ -1397,26 +1406,30 @@ object Pipelines {
     * top-bigram share (what fraction of a doc is its most repeated
     * bigram) and type-token ratio, with the repetitive verdict taken
     * on the ROUNDED scores so the cross-engine contract is exact.
-    * One posexplode + lead window (same codegen'd shape as the
-    * shingle builder), then two per-doc aggregates — linear, one
-    * shuffle on doc_id. */
+    * Scale (round 16): every per-doc statistic is ROW-LOCAL — token
+    * and distinct counts via `size`/`array_distinct`, and the top
+    * bigram count as the longest equal-run of the SORTED in-row
+    * bigram array (one `aggregate` fold; sorting groups equal bigrams
+    * exactly as the old (doc, g) count did). The old shape paid a
+    * token-relation persist + a doc-keyed lead window + two doc-grain
+    * exchanges + a join; zero exchanges remain before the orderBy. */
   val pipelineRepetitionScore: Q = (s, d) => {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val tk = table(s, d, "documents")
+    val perDoc = table(s, d, "documents")
       .filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bigrams = tk
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= 2)
       .select(col("doc_id"),
-        concat_ws(" ", col("w"), lead(col("w"), 1).over(w)).as("g"),
-        lead(col("w"), 1).over(w).isNotNull.as("full"))
-      .filter(col("full"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("total"), max(col("c")).as("top"))
-    val ttr = tk.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tok"), countDistinct(col("w")).as("n_distinct"))
-    bigrams.join(ttr, Seq("doc_id"))
+        size(col("l")).cast(LongType).as("n_tok"),
+        size(array_distinct(col("l"))).cast(LongType).as("n_distinct"),
+        (size(col("l")) - 1).cast(LongType).as("total"),
+        expr("aggregate(array_sort(transform(slice(l, 1, size(l) - 1), " +
+          "(x, i) -> concat(x, ' ', element_at(l, i + 2)))), " +
+          "named_struct('p', cast(null as string), 'r', 0L, 'b', 0L), " +
+          "(a, x) -> named_struct('p', x, " +
+          "'r', if(a.p <=> x, a.r + 1L, 1L), " +
+          "'b', greatest(a.b, if(a.p <=> x, a.r + 1L, 1L))), " +
+          "a -> a.b)").as("top"))
+    perDoc
       .select(col("doc_id"), col("n_tok"),
         round(col("top").cast(DoubleType) / col("total"), 4).as("top_bigram_share"),
         round(col("n_distinct").cast(DoubleType) / col("n_tok"), 4).as("ttr"))
@@ -1610,19 +1623,24 @@ object Pipelines {
     * / contribution-value telemetry curation pipelines rank sources by
     * (a doc whose shingles all recur elsewhere adds nothing; one full
     * of singletons is novel). Reuses the SHARED persisted shingle
-    * relation and its df aggregate; novelty divides two exact
-    * integers. Scale: df is one map-combinable group-by over the
-    * shared relation; the join back is shingle-grain but carries two
-    * small columns and collapses map-side to one row per doc. */
+    * relation; novelty divides two exact integers. Scale (round 16): a
+    * df == 1 shingle belongs to exactly ONE doc, so per-doc unique
+    * counts come straight out of the df aggregate (min(doc_id) of a
+    * 1-row group IS the owner) — no shingle-grain join-back; the old
+    * sh ⋈ df re-shuffled the whole shingle relation by g a second
+    * time. Per-doc totals map-combine off the scan; the doc-grain
+    * join is |docs|-bounded. */
   val pipelineNgramNovelty: Q = (s, d) => {
     val sh = shingles(s, d).select(col("doc_id"), col("g"))
-    val df = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    sh.join(df, Seq("g"))
-      .groupBy(col("doc_id"))
-      .agg(asLong(count(lit(1))).as("n_shingles"),
-        asLong(sum(when(col("df") === 1, 1L).otherwise(0L))).as("n_unique"))
-      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
-        round(col("n_unique").cast(DoubleType) /
+    val tot = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val uni = sh.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("d0"))
+      .filter(col("df") === 1)
+      .groupBy(col("d0").as("doc_id")).agg(count(lit(1)).as("u"))
+    tot.join(uni, Seq("doc_id"), "left")
+      .select(col("doc_id"), asLong(col("n_shingles")).as("n_shingles"),
+        asLong(coalesce(col("u"), lit(0L))).as("n_unique"),
+        round(coalesce(col("u"), lit(0L)).cast(DoubleType) /
           col("n_shingles").cast(DoubleType), 6).as("novelty"))
       .orderBy("doc_id")
   }
@@ -1657,13 +1675,16 @@ object Pipelines {
     * float round ever sits on a bucket boundary (a 4dp round of the
     * rational distinct/tokens can land exactly on a .xxxx5 knife
     * edge, where the two engines' round implementations disagree).
-    * Scale: one doc_id map-combined aggregate + an 11-bucket
-    * reduce. */
+    * Scale (round 16): the per-doc token and distinct-token counts
+    * are ROW-LOCAL (`size(split)` / `size(array_distinct(split))` —
+    * the distinct-after-explode family recipe), so the old token
+    * explode + doc-grain countDistinct exchange is gone; only the
+    * 11-bucket reduce remains. */
   val pipelineTtr: Q = (s, d) =>
     table(s, d, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tok"), countDistinct(col("w")).as("n_distinct"))
+      .select(size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+        size(array_distinct(split(col("text"), " "))).cast(LongType)
+          .as("n_distinct"))
       .groupBy(expr("(10 * n_distinct) div n_tok").as("bucket"))
       .agg(asLong(count(lit(1))).as("n_docs"),
         round(sum(col("n_tok")).cast(DoubleType) / count(lit(1)), 2).as("avg_tokens"))
@@ -2067,22 +2088,23 @@ object Pipelines {
     * df-capped relation — banded-not-all-pairs, the LSH family's
     * audited shape. */
   val dedupWinnowing: Q = (s, d) => {
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val wMin = wDoc.rowsBetween(-3, 0)
-    val sh = table(s, d, "documents")
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .select(col("doc_id"), col("pos"),
-        concat_ws(" ", col("w"), lead(col("w"), 1).over(wDoc),
-          lead(col("w"), 2).over(wDoc)).as("g"),
-        lead(col("w"), 2).over(wDoc).isNotNull.as("full"))
-      .filter(col("full"))
-      .select(col("doc_id"), col("pos"), md5(col("g")).as("h"))
-    val fp = sh
-      .withColumn("win", count(lit(1)).over(wMin))
-      .withColumn("mh", min(col("h")).over(wMin))
-      .filter(col("win") === 4)
-      .select(col("doc_id"), col("mh")).distinct()
+    // round 16: the positioned 3-gram hashes, the rolling 4-window
+    // minima AND the per-doc distinct are all ROW-LOCAL (grams, the
+    // rolling window and the doc-grain distinct never cross docs) —
+    // the in-row transform/array_min/array_distinct chain replaces
+    // posexplode + TWO doc-keyed window passes + a distinct exchange
+    // with zero exchanges before the mh groupBy. `array_min` picks the
+    // same lexicographic string minimum as the old window min; windows
+    // of exactly 4 full shingles ⇔ positions 4..|hs| of the hash array.
+    val fp = table(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= 6) // ≥4 full 3-gram windows ⇒ ≥6 tokens
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, size(l) - 2), " +
+          "q -> md5(concat_ws(' ', slice(l, q, 3))))").as("hs"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(4, size(hs)), " +
+          "p -> array_min(slice(hs, int(p) - 3, 4)))"))).as("mh"))
     // round 16: ONE groupBy(mh) collects the ≤10 doc ids per retained
     // fingerprint (the df cap [2,10] bounds every list) and the
     // C(≤10,2) pair expansion happens in-row — replacing the persisted
@@ -2343,21 +2365,23 @@ object Pipelines {
     * per-sfDir span build below and [[IncrementalSpans]] (which must
     * produce byte-identical shingles for its full-vs-incremental
     * equality to hold — the shingleDocs precedent). */
-  private[ops] def spanShingleDocs(docs: DataFrame): DataFrame = {
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val toks = docs
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos0", "w")))
-      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
-        col("w"))
-    val parts = col("w") +: (1 until 8).map(i => lead(col("w"), i).over(wDoc))
-    toks
-      .select(col("doc_id"), col("pos"),
-        md5(concat_ws(" ", parts: _*)).as("h"),
-        lead(col("w"), 7).over(wDoc).isNotNull.as("fl"))
-      .filter(col("fl"))
-      .select(col("doc_id"), col("pos"), col("h"))
-  }
+  private[ops] def spanShingleDocs(docs: DataFrame): DataFrame =
+    // round 16: in-row 8-gram construction — `transform` over the
+    // split array replaces posexplode + a doc-keyed lead() window,
+    // removing the full token-relation shuffle + sort the window
+    // required (identical (doc_id, pos, h) rows: positions 1..n−7,
+    // md5 over the space-joined 8 tokens). A/B'd at sf0.1 against the
+    // window shape (the r6 3-gram GC note does NOT transfer here:
+    // this relation is consumed once into a df filter, not persisted):
+    // dedup_substring_spans 3.90 → measured-below CPU, QBench min-of-3.
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(l) - 7), " +
+          "p -> struct(bigint(p) AS pos, " +
+          "md5(concat_ws(' ', slice(l, p, 8))) AS h))")).as("sx"))
+      .select(col("doc_id"), col("sx.pos").as("pos"), col("sx.h").as("h"))
 
   private def spanShingles(s: SparkSession, d: String): DataFrame =
     spanShingleDocs(table(s, d, "documents"))
@@ -2521,7 +2545,7 @@ object Pipelines {
     * per-lang sums map-combine. */
   val pipelineKneserNeyNll: Q = (s, d) => {
     val big = knBigrams(table(s, d, "documents"))
-    val lm = knTrain(big.filter(col("is_train")))
+    val lm = knLmShared(s, d) // shared with pipeline_ppl_tier_mix (r16)
     val test = knScored(big.filter(!col("is_train")), lm)
     test.groupBy(col("lang"))
       .agg(count(lit(1)).as("m"),
@@ -2562,12 +2586,32 @@ object Pipelines {
     val c1 = c12.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
     val nb = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    // V = |distinct words over train bigrams| — every train bigram TYPE
+    // is a c12 row, so the distinct over (w1 ∪ w2) of the PERSISTED
+    // vocab²-bounded c12 is the identical value without re-running the
+    // corpus bigram explode twice per tot evaluation (round 16)
     val tot = c12.agg(count(lit(1)).as("ntypes")).crossJoin(
-      trainBig.select(col("w1").as("w"))
-        .unionAll(trainBig.select(col("w2").as("w")))
+      c12.select(col("w1").as("w"))
+        .unionAll(c12.select(col("w2").as("w")))
         .distinct().agg(count(lit(1)).as("v")))
     KnLm(c12, c1, nb, tot)
   }
+
+  /** The full-train-bucket KN bigram LM shared per sfDir (round 16):
+    * pipeline_kneser_ney_nll and pipeline_ppl_tier_mix train the
+    * IDENTICAL model (same md5 train bucket over the same corpus), so
+    * the training pass — the corpus bigram explode + the vocab²
+    * aggregate — materializes once (the minhashWide/simhashFp shared-
+    * build policy; c12 is persisted by knTrain, dropped by
+    * [[clearCache]] so nothing survives a bench run). Curation's
+    * SAMPLE-capped lmFilter model is a different estimate and keeps
+    * its own build. */
+  private[graft] def knLmShared(s: SparkSession, d: String): KnLm =
+    knLmCache.getOrElseUpdate(s, d) {
+      knTrain(knBigrams(table(s, d, "documents")).filter(col("is_train")))
+    }
+
+  private val knLmCache = new graft.SessionCache[String, KnLm]
 
   /** Score bigram rows against the LM: adds `kn_seen` and the exact
     * rational's floored −ln, `kn_lq` (see the op Scaladoc for the
@@ -2656,7 +2700,9 @@ object Pipelines {
     * doc-grain map-combined aggregate, then a \|sources × 3\| fold. */
   val pipelinePplTierMix: Q = (s, d) => {
     val docs = table(s, d, "documents")
-    val nll = kneserNeyDocNll(docs, knTrainOn(docs))
+    // knLmShared == knTrainOn(docs) with no sample cap (the full train
+    // bucket) — shared with pipeline_kneser_ney_nll (r16)
+    val nll = kneserNeyDocNll(docs, knLmShared(s, d))
     nll.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .withColumn("nll_q6i", expr("kn_sq div kn_bigrams"))
       .withColumn("tier",
@@ -2932,23 +2978,25 @@ object Pipelines {
     * length on equal footing, the Covington–McFall fix). Doc MATTRs
     * aggregate as Σdistinct/(50·chunks), so the per-lang number is the
     * chunk-weighted mean. Exactness: distinct-per-chunk counts are
-    * exact integers; ONE integer division per lang, q6. Scale: token
-    * posexplode → (doc, chunk) distinct → two map-combined aggregates;
-    * fully linear, no joins. */
+    * exact integers; ONE integer division per lang, q6. Scale (round
+    * 16): chunks never span docs, so the per-chunk distinct count is
+    * ROW-LOCAL — `array_distinct` over each full 50-token slice (the
+    * distinct-after-explode family recipe) folds per doc in the scan
+    * projection; the old posexplode → (doc, chunk, w) countDistinct
+    * paid a token-grain expand + exchange. One |langs| map-combined
+    * aggregate remains; fully linear, no joins. */
   val pipelineMattr: Q = (s, d) => {
-    val chunks = table(s, d, "documents")
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).as("nt"),
-        posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
-      .filter(expr("p0 div 50") < expr("nt div 50"))
-      .select(col("doc_id"), col("lang"),
-        expr("p0 div 50").as("chunk"), col("w"))
-    val perChunk = chunks
-      .groupBy(col("doc_id"), col("lang"), col("chunk"))
-      .agg(countDistinct(col("w")).as("types"))
-    perChunk.groupBy(col("lang"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_chunks"), sum(col("types")).as("st"))
+    val per = table(s, d, "documents")
+      .select(col("lang"), split(col("text"), " ").as("l"))
+      .select(col("lang"), expr("size(l) div 50").as("nc"), col("l"))
+      .filter(col("nc") > 0)
+      .select(col("lang"), col("nc"), expr(
+        "aggregate(transform(sequence(0, int(nc) - 1), " +
+          "k -> size(array_distinct(slice(l, int(k) * 50 + 1, 50)))), " +
+          "0L, (a, x) -> a + x)").as("st"))
+    per.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chunks"),
+        sum(col("st")).as("st"))
       .select(col("lang"), asLong(col("n_docs")).as("n_docs"),
         asLong(col("n_chunks")).as("n_chunks"),
         expr("(st * 1000000) div (50 * n_chunks)").as("mattr_q6"))

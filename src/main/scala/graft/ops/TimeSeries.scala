@@ -15,6 +15,25 @@ import org.apache.spark.sql.types._
   * generate_series + last_value IGNORE NULLS. */
 object TimeSeries {
 
+  /** Drop the per-sfDir shared builds (bench between-run sweep: the
+    * next run must recompute from parquet). */
+  def clearCache(): Unit = orderCloseCache.clear()
+
+  /** (l_orderkey, close_day): each order's last ship date — the
+    * identical per-order fact aggregate ts_survival_km and
+    * ts_order_backlog both open with, materialized once per sfDir
+    * (round 16, the minhashWide shared-build policy; |orders|-grain,
+    * localCheckpoint truncates the aggregate lineage). */
+  private def orderClose(s: SparkSession, d: String): DataFrame =
+    orderCloseCache.getOrElseUpdate(s, d) {
+      table(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("close_day"))
+        .localCheckpoint(true)
+    }
+
+  private val orderCloseCache = new graft.SessionCache[String, DataFrame]
+
   /** Daily resample of per-user event values (users 0-4), forward-
     * filled across observation gaps; days before a user's first
     * observation stay null. Grid bounds are the corpus-wide min/max
@@ -1042,9 +1061,7 @@ object TimeSeries {
     * Scale: one orderkey fact-fact equi-join + a date-grain
     * map-combined aggregate. */
   val tsOrderBacklog: Q = (s, d) => {
-    val close = table(s, d, "lineitem")
-      .groupBy(col("l_orderkey"))
-      .agg(max(to_date(col("l_shipdate"))).as("close_day"))
+    val close = orderClose(s, d) // shared with ts_survival_km (r16)
     val spans = table(s, d, "orders")
       .select(col("o_orderkey"), to_date(col("o_orderdate")).as("open_day"))
       .join(close, col("o_orderkey") === col("l_orderkey"))
@@ -1078,8 +1095,8 @@ object TimeSeries {
     * exp/product dependency; S = e^log_s for readers). Scale: one
     * orderkey fact-fact join + a bounded-lag-domain reduce. */
   val tsSurvivalKm: Q = (s, d) => {
-    val close = table(s, d, "lineitem")
-      .groupBy(col("l_orderkey")).agg(max(to_date(col("l_shipdate"))).as("ship"))
+    // shared with ts_order_backlog (r16): same per-order last-ship fact
+    val close = orderClose(s, d).withColumnRenamed("close_day", "ship")
     val orders = table(s, d, "orders")
       .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
     val cut = orders.agg(date_sub(max(col("od")), 30).as("cutoff"))
