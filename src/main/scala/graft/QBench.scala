@@ -18,7 +18,15 @@ import org.apache.spark.sql.SparkSession
 object QBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // ADVICE r16: the first arg is ALWAYS consumed as sfDir, so
+    // `runMain graft.QBench q1,q2` would silently benchmark nothing —
+    // fail loudly when it is not an existing data directory
+    require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sfDir)),
+      s"first arg must be an existing sfDir (got '$sfDir'); " +
+        "usage: runMain graft.QBench <sfDir> name[,name...]")
     val names = args.drop(1).flatMap(_.split(",")).filter(_.nonEmpty).toSeq
+    require(names.nonEmpty,
+      "no query names given; usage: runMain graft.QBench <sfDir> name[,name...]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QBENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()

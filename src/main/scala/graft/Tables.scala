@@ -192,6 +192,25 @@ object Tables {
       e
     }
 
+  private val bipartiteDegCache =
+    new SessionCache[String, (DataFrame, DataFrame)]
+
+  /** Shared node-degree aggregates of the bipartite purchase graph
+    * (round 17, the orderClose recipe): customer side (c, dc) and
+    * supplier side (sup, ds), each localCheckpoint'ed once per sfDir.
+    * Before this, the family re-aggregated the persisted edge relation
+    * six times per run — HITS reads the supplier degree twice (a₁
+    * feeds h₁ AND the final join), the degree profile histograms both
+    * sides, assortativity joins both sides. Node-grain relations, so
+    * the checkpoints are small at any SF. */
+  def bipartiteDegrees(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) =
+    bipartiteDegCache.getOrElseUpdate(spark, sfDir) {
+      val e = bipartite(spark, sfDir)
+      (e.groupBy(col("c")).agg(count(lit(1)).as("dc")).localCheckpoint(true),
+        e.groupBy(col("sup")).agg(count(lit(1)).as("ds")).localCheckpoint(true))
+    }
+
   /** Register every base table as a temp view (plus the EDGES views
     * `edges`/`ud`) so the whole surface is reachable from spark.sql —
     * the SQL entry point alongside the DataFrame programs and the
@@ -213,5 +232,6 @@ object Tables {
     tableCache.clear()
     edgeCache.clear()
     bipartiteCache.clear()
+    bipartiteDegCache.clear()
   }
 }

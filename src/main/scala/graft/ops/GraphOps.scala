@@ -386,13 +386,32 @@ object GraphOps {
     * 3 shuffles per k on the node key over the sparse strong graph,
     * exactly kcore3 × 4. */
   val graphCoreDecomposition: Q = (s, d) => {
+    // round 17 (guide §2.4 + §5): (a) the first peel round's degree
+    // aggregate is IDENTICAL for all four k — only the filter threshold
+    // differs — so it is computed ONCE and checkpointed (3 of the 4
+    // full-graph degree aggregates gone); (b) one localCheckpoint after
+    // round 2 of each peel truncates the unrolled 3-round lineage that
+    // had grown the executed plan to ~16,700 lines (planning/codegen
+    // cost, the round-16 verdict hazard). Results are bit-identical:
+    // checkpointing changes no row, and round 1 via deg1 IS the old
+    // round-1 step over the full graph.
+    val ud = Tables.ud(s, d)
+    val deg1 = ud.groupBy(col("s")).agg(count(lit(1)).as("dg"))
+      .localCheckpoint(true)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val summaries = (2 to 5).map { k =>
-      val core = Iterate.fixed(Tables.ud(s, d), 3) { ud =>
-        val keep = ud.groupBy(col("s")).agg(count(lit(1)).as("dg"))
+      def step(g: DataFrame): DataFrame = {
+        val keep = g.groupBy(col("s")).agg(count(lit(1)).as("dg"))
           .filter(col("dg") >= k).select(col("s").as("kk"))
-        ud.join(keep, col("s") === col("kk"), "left_semi")
+        g.join(keep, col("s") === col("kk"), "left_semi")
           .join(keep, col("t") === col("kk"), "left_semi")
       }
+      val keep1 = deg1.filter(col("dg") >= k).select(col("s").as("kk"))
+      val r1 = ud.join(keep1, col("s") === col("kk"), "left_semi")
+        .join(keep1, col("t") === col("kk"), "left_semi")
+        .persist(lvl)
+      val r2 = step(r1).localCheckpoint(true)
+      val core = step(r2).persist(lvl)
       core.groupBy(col("s")).agg(count(lit(1)).as("dg"))
         .agg(coalesce(count(lit(1)), lit(0L)).as("n_nodes"),
           coalesce(sum(col("dg")), lit(0L)).as("deg_sum"),
@@ -740,14 +759,14 @@ object GraphOps {
     // suite's largest 100×-tier absolute — one materialization now
     // serves HITS, the degree profile and assortativity
     val edges = Tables.bipartite(s, d)
-    // round-16 A/B, measured NEGATIVE and reverted: localCheckpoint'ing
-    // a1/h1 (a1 has two consumers, so its aggregate re-executes once
-    // per consumer in this shape) measured 3.83 → 4.65 CPU-s / 3.17 →
-    // 5.37 s wall at sf0.1 (QBench min-of-3) — the re-derivations run
-    // over the PERSISTED edge relation and cost less than the two
-    // eager checkpoint actions they would replace. Recorded in
-    // OPTIMIZATION_r16.md.
-    val a1 = edges.groupBy(col("sup")).agg(count(lit(1)).as("a1"))
+    // round 17: a₁ IS the supplier degree — read from the FAMILY-shared
+    // checkpoint (Tables.bipartiteDegrees) consumed by hits, the degree
+    // profile and assortativity. The round-16 per-QUERY checkpoint A/B
+    // measured negative (3.83 → 4.65 CPU-s: two eager actions amortized
+    // over one query); the family-level build amortizes one action over
+    // six degree-aggregate consumers, A/B'd in OPTIMIZATION_r17.md.
+    val a1 = Tables.bipartiteDegrees(s, d)._2
+      .select(col("sup"), col("ds").as("a1"))
     val h1 = edges.join(a1, Seq("sup"))
       .groupBy(col("c")).agg(sum(col("a1")).as("h1"))
     val a2 = edges.join(h1, Seq("c"))
@@ -770,13 +789,16 @@ object GraphOps {
     * aggregates over the shared persisted edge relation; output is
     * |distinct degrees| rows, bounded by the max degree. */
   val graphBipartiteDegreeProfile: Q = (s, d) => {
-    val e = Tables.bipartite(s, d)
-    def side(key: String, name: String) = e
-      .groupBy(col(key)).agg(count(lit(1)).as("degree"))
-      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+    // round 17: both degree relations come from the family-shared
+    // checkpoint (see graphHitsBipartite) — this query is then two
+    // node-grain histograms, no edge scan at all
+    val (cd, sd) = Tables.bipartiteDegrees(s, d)
+    def side(deg: DataFrame, degCol: String, name: String) = deg
+      .groupBy(col(degCol).as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
       .select(lit(name).as("side"), asLong(col("degree")).as("degree"),
         asLong(col("n_nodes")).as("n_nodes"))
-    side("c", "customer").unionAll(side("sup", "supplier"))
+    side(cd, "dc", "customer").unionAll(side(sd, "ds", "supplier"))
       .orderBy("side", "degree")
   }
 
@@ -793,8 +815,9 @@ object GraphOps {
   val graphBipartiteAssortativity: Q = (s, d) => {
     val dec38 = DecimalType(38, 0)
     val e = Tables.bipartite(s, d)
-    val cd = e.groupBy(col("c")).agg(count(lit(1)).as("dc"))
-    val sd = e.groupBy(col("sup")).agg(count(lit(1)).as("ds"))
+    // round 17: degrees from the family-shared checkpoint (see
+    // graphHitsBipartite) instead of two private edge re-aggregations
+    val (cd, sd) = Tables.bipartiteDegrees(s, d)
     val t = e.join(cd, Seq("c")).join(sd, Seq("sup"))
       .agg(count(lit(1)).as("n"),
         countDistinct(col("c")).as("n_customers"),
@@ -847,8 +870,14 @@ object GraphOps {
       .select(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("co_orders"))
       .filter(col("co_orders") >= 2)
+    // round 17 (guide §1.2 / measured from the plan dump): the
+    // per-supplier order-count aggregate was re-executed for EACH of
+    // the two join sides — two full explodes of the checkpointed sets.
+    // Persisted, it computes once and both (tiny) broadcast builds
+    // read the cache; |suppliers|-grain, so the cache is bounded.
     val n = sets.select(explode(col("ss")).as("l_suppkey"))
       .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_ord"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(n.toDF("k1", "n_orders1"), col("s1") === col("k1"))
       .join(n.toDF("k2", "n_orders2"), col("s2") === col("k2"))

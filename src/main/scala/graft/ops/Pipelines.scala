@@ -33,6 +33,7 @@ object Pipelines {
     shingleCache.clear()
     pairCache.clear()
     spanCache.clear()
+    docShingleStatsCache.clear()
     minhashWideCache.clear()
     simhashFpCache.clear()
     knLmCache.values
@@ -1016,6 +1017,10 @@ object Pipelines {
     // inertia-after) would otherwise each re-run the interpreted
     // centroid fold over the corpus (measured +1.9 CPU-s at sf0.1)
     val asg = qemb.crossJoin(broadcast(centArr))
+      // ADVICE r16: an empty centroid set must degrade to an EMPTY
+      // assignment (the old crossJoin-with-empty-cent shape), never to
+      // the fold's Long.MaxValue init sentinel posing as a cluster
+      .filter(size(col("cents")) > 0)
       .withColumn("best", nearestCentroid(col("cents"), col("ql")))
       .select(col("vec_id"), col("best.cid").as("cid"),
         col("best.d2").as("d2"), col("ql"))
@@ -1076,6 +1081,7 @@ object Pipelines {
     // checkpoint: two consumers (means lanes, the re-assignment pass)
     // share one run of the interpreted centroid fold
     val asg = qemb.crossJoin(broadcast(centArr))
+      .filter(size(col("cents")) > 0) // ADVICE r16: see simKmeansInertia
       .withColumn("best", nearestCentroid(col("cents"), col("ql")))
       .select(col("vec_id"), col("best.cid").as("cid"), col("ql"))
       .localCheckpoint(true)
@@ -1105,6 +1111,30 @@ object Pipelines {
       .orderBy("cid")
   }
 
+  private val docShingleStatsCache = new graft.SessionCache[String, DataFrame]
+
+  /** Per-doc shingle stats (doc_id, total, u): total distinct 3-gram
+    * shingles and how many are corpus-UNIQUE (df == 1 — owned by
+    * exactly this doc, the min(doc_id)-of-a-1-row-group trick).
+    * Round 17: pipeline_dup_ngram_coverage and pipeline_ngram_novelty
+    * derive their readouts from this IDENTICAL relation — one
+    * checkpointed build (two map-combined aggregates over the shared
+    * shingle relation + a doc-grain join) instead of two. Doc-grain,
+    * so the checkpoint is |docs|-bounded at any SF. */
+  private def docShingleStats(s: SparkSession, d: String): DataFrame =
+    docShingleStatsCache.getOrElseUpdate(s, d) {
+      val sh = shingles(s, d).select(col("doc_id"), col("g"))
+      val tot = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("total"))
+      val uni = sh.groupBy(col("g"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("d0"))
+        .filter(col("df") === 1)
+        .groupBy(col("d0").as("doc_id")).agg(count(lit(1)).as("u"))
+      tot.join(uni, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("total"),
+          coalesce(col("u"), lit(0L)).as("u"))
+        .localCheckpoint(true)
+    }
+
   /** Per-doc duplicated-ngram coverage histogram (§2.21): the share of
     * each document's distinct 3-gram shingles that also appear in at
     * least one OTHER document, bucketed into exact integer deciles
@@ -1122,15 +1152,12 @@ object Pipelines {
     * totals map-combine off the scan, everything after is doc-grain.
     * Never all-pairs. */
   val pipelineDupNgramCoverage: Q = (s, d) => {
-    val sh = shingles(s, d)
-    val tot = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("total"))
-    val uni = sh.groupBy(col("g"))
-      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("d0"))
-      .filter(col("df") === 1)
-      .groupBy(col("d0").as("doc_id")).agg(count(lit(1)).as("u"))
-    val per = tot.join(uni, Seq("doc_id"), "left")
+    // round 17: the (total, unique) per-doc relation is IDENTICAL to
+    // pipeline_ngram_novelty's — one shared checkpointed build
+    // (docShingleStats) serves both
+    val per = docShingleStats(s, d)
       .select(col("doc_id"), col("total"),
-        (col("total") - coalesce(col("u"), lit(0L))).as("dup"))
+        (col("total") - col("u")).as("dup"))
     table(s, d, "documents").select(col("doc_id"), col("source"))
       .join(per, Seq("doc_id"))
       .select(col("source"), expr("(10 * dup) DIV total").as("cov_decile"))
@@ -1630,20 +1657,15 @@ object Pipelines {
     * sh ⋈ df re-shuffled the whole shingle relation by g a second
     * time. Per-doc totals map-combine off the scan; the doc-grain
     * join is |docs|-bounded. */
-  val pipelineNgramNovelty: Q = (s, d) => {
-    val sh = shingles(s, d).select(col("doc_id"), col("g"))
-    val tot = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val uni = sh.groupBy(col("g"))
-      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("d0"))
-      .filter(col("df") === 1)
-      .groupBy(col("d0").as("doc_id")).agg(count(lit(1)).as("u"))
-    tot.join(uni, Seq("doc_id"), "left")
-      .select(col("doc_id"), asLong(col("n_shingles")).as("n_shingles"),
-        asLong(coalesce(col("u"), lit(0L))).as("n_unique"),
-        round(coalesce(col("u"), lit(0L)).cast(DoubleType) /
-          col("n_shingles").cast(DoubleType), 6).as("novelty"))
+  val pipelineNgramNovelty: Q = (s, d) =>
+    // round 17: reads the shared per-doc (total, unique) checkpoint —
+    // see docShingleStats / pipeline_dup_ngram_coverage
+    docShingleStats(s, d)
+      .select(col("doc_id"), asLong(col("total")).as("n_shingles"),
+        asLong(col("u")).as("n_unique"),
+        round(col("u").cast(DoubleType) /
+          col("total").cast(DoubleType), 6).as("novelty"))
       .orderBy("doc_id")
-  }
 
   /** Boilerplate n-gram detection (§2.13, r6): the 20 highest
     * document-frequency 3-gram shingles — the template/banner content
@@ -2386,32 +2408,62 @@ object Pipelines {
   private def spanShingles(s: SparkSession, d: String): DataFrame =
     spanShingleDocs(table(s, d, "documents"))
 
+  /** In-row d1 < d2 pair expansion of per-hash occurrence groups
+    * (h, occ: array<struct<d,p>>) → (d1, d2, p1, df) — the winnowing
+    * recipe (round 17): each pair of cross-doc occurrences of one hash
+    * yields exactly one row, the same multiset the old h-keyed
+    * self-join produced, without shuffling the shingle relation twice
+    * more. Fan-out is pigeonhole-bounded by the [2,20] df cap every
+    * caller applies (≤ C(20,2) = 190 pairs/hash at ANY corpus size). */
+  private def spanPairsFromOcc(grouped: DataFrame): DataFrame =
+    grouped
+      .select(explode(expr(
+        "flatten(transform(occ, x -> transform(filter(occ, y -> y.d > x.d), " +
+          "y -> struct(x.d AS d1, y.d AS d2, x.p AS p1, x.p - y.p AS df))))"))
+        .as("pr"))
+      .select(col("pr.d1").as("d1"), col("pr.d2").as("d2"),
+        col("pr.p1").as("p1"), col("pr.df").as("df"))
+
   /** Gram-match pair rows (d1 < d2, p1, pos-diff) from a keep-filtered
     * positioned-shingle relation (doc_id, pos, h) — the df-capped
-    * equi-join at the heart of the span build, shared with
-    * [[IncrementalSpans]]. */
-  private[ops] def spanGramPairs(fk: DataFrame): DataFrame = {
-    val a = fk.select(col("h"), col("doc_id").as("d1"), col("pos").as("p1"))
-    val b = fk.select(col("h").as("h2"), col("doc_id").as("d2"),
-      col("pos").as("p2"))
-    a.join(b, col("h") === col("h2") && col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("p1"), (col("p1") - col("p2")).as("df"))
-  }
+    * pairing at the heart of the span build, shared with
+    * [[IncrementalSpans]]. Round 17: ONE groupBy(h) collect + in-row
+    * expansion replaces the h-keyed self-join (same pair multiset —
+    * every cross-doc occurrence pair of a hash appears exactly once,
+    * oriented d1 < d2). */
+  private[ops] def spanGramPairs(fk: DataFrame): DataFrame =
+    spanPairsFromOcc(fk.groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id").as("d"), col("pos").as("p")))
+        .as("occ")))
 
   /** Gaps-and-islands over gram-match pair rows → maximal spans
     * (d1, d2, s1, s2, tok), ≥ minTok only — the second half of the
-    * span build, shared with [[IncrementalSpans]]. */
-  private[ops] def spansFromPairRows(pairs: DataFrame, minTok: Int): DataFrame = {
-    val wIsl = Window.partitionBy(col("d1"), col("d2"), col("df"))
-      .orderBy(col("p1"))
+    * span build, shared with [[IncrementalSpans]]. Round 17: the
+    * island scan is IN-ROW over the collected, sorted position list
+    * (group size is bounded by doc length — positions of one doc pair
+    * at one alignment), replacing the pair-keyed row_number window +
+    * its re-aggregation: one exchange instead of two. A run of
+    * consecutive positions [ps(i)..ps(j)] is an island ⇔ ps(k+1) =
+    * ps(k)+1 inside it; island length + 7 IS the span token length,
+    * min = the span start — identical rows to the old
+    * window-grp/min/count shape (dup positions cannot occur: p1
+    * determines p2 within a (d1,d2,df) group and (doc,pos) is unique
+    * in the shingle relation). */
+  private[ops] def spansFromPairRows(pairs: DataFrame, minTok: Int): DataFrame =
     pairs
-      .withColumn("grp", col("p1") - row_number().over(wIsl))
-      .groupBy(col("d1"), col("d2"), col("df"), col("grp"))
-      .agg(min(col("p1")).as("s1"), (count(lit(1)) + 7L).as("tok"))
-      .filter(col("tok") >= minTok.toLong)
-      .select(col("d1"), col("d2"), col("s1"),
-        (col("s1") - col("df")).as("s2"), col("tok"))
-  }
+      .groupBy(col("d1"), col("d2"), col("df"))
+      .agg(array_sort(collect_list(col("p1"))).as("ps"))
+      .withColumn("st", expr(
+        "filter(sequence(1, size(ps)), " +
+          "i -> i = 1 OR element_at(ps, i) != element_at(ps, i - 1) + 1)"))
+      .select(col("d1"), col("d2"), col("df"), explode(expr(
+        "filter(transform(sequence(1, size(st)), k -> named_struct(" +
+          "'s1', element_at(ps, element_at(st, k)), " +
+          "'tok', bigint(IF(k < size(st), element_at(st, k + 1), " +
+          "size(ps) + 1) - element_at(st, k) + 7))), " +
+          s"z -> z.tok >= ${minTok}L)")).as("isl"))
+      .select(col("d1"), col("d2"), col("isl.s1").as("s1"),
+        (col("isl.s1") - col("df")).as("s2"), col("isl.tok").as("tok"))
 
   /** Maximal duplicate spans per doc pair and alignment (shared by
     * dedup_substring_spans / pipeline_dup_span_coverage): shingles
@@ -2427,29 +2479,30 @@ object Pipelines {
     * starts), tok (span token length). */
   private[ops] def dupSpans(s: SparkSession, d: String, minTok: Int): DataFrame =
     spanCache.getOrElseUpdate(s, (d, minTok)) {
-      val (spansLazy, sh) = dupSpansBuild(s, d, minTok)
-      // localCheckpoint (eager): two consumers (spans dedup + coverage)
-      // share one build, the checkpoint truncates the window-over-join
-      // lineage (the dedup_minhash_lsh policy), and the shingle scratch
-      // cache is released right after it materializes
-      val spans = spansLazy.localCheckpoint(true)
-      sh.unpersist(false)
-      spans
+      // localCheckpoint (eager): four consumers (spans dedup, coverage,
+      // templates, excision) share one build; the checkpoint truncates
+      // the collect-over-collect lineage (the dedup_minhash_lsh policy)
+      dupSpansBuild(s, d, minTok).localCheckpoint(true)
     }
 
   private val spanCache = new graft.SessionCache[(String, Int), DataFrame]
 
-  /** The LAZY span plan + its persisted shingle scratch (exposed
-    * private[graft] so EngineSpec can pin the pre-checkpoint plan). */
+  /** The LAZY span plan (exposed private[graft] so EngineSpec can pin
+    * the pre-checkpoint shape). Round 17 (guide §2.4): the [2,20] df
+    * cap folds INTO the one groupBy(h) collect — size(occ) over the
+    * per-hash occurrence group IS the old keep-relation's count, so
+    * the count aggregate, the keep join and the pair self-join (and
+    * the shingle persist they forced — the relation is now scanned
+    * exactly once) all collapse into a single shuffle, followed only
+    * by the island groupBy. Two exchanges total, down from five. */
   private[graft] def dupSpansBuild(s: SparkSession, d: String, minTok: Int)
-      : (DataFrame, DataFrame) = {
-    val sh = spanShingles(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keep = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .filter(col("c").between(2L, 20L)).select(col("h"))
-    val fk = sh.join(keep, Seq("h"))
-    val spans = spansFromPairRows(spanGramPairs(fk), minTok)
-    (spans, sh)
+      : DataFrame = {
+    val grouped = spanShingles(s, d)
+      .groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id").as("d"), col("pos").as("p")))
+        .as("occ"))
+      .filter(size(col("occ")).between(2, 20))
+    spansFromPairRows(spanPairsFromOcc(grouped), minTok)
   }
 
   /** Substring-level duplicate-span dedup (§2.39, the round-12
@@ -2469,16 +2522,21 @@ object Pipelines {
     * documents on d1, a key join. */
   val dedupSubstringSpans: Q = (s, d) => {
     val spans = dupSpans(s, d, 12) // shared, checkpointed
+    // round 17 (guide §2.4): the per-pair best span is the MINIMUM of
+    // (−tok, s1, s2) — a lexicographic struct min INSIDE the same
+    // (d1,d2) aggregate that counts spans and sums tokens, replacing
+    // the row_number window over a second scan of the span relation +
+    // the join that re-attached it (same total order: tok desc, then
+    // s1, s2 asc; tok is doc-length-bounded so −tok cannot overflow).
     val agg = spans.groupBy(col("d1"), col("d2"))
       .agg(asLong(count(lit(1))).as("n_spans"),
-        asLong(sum(col("tok"))).as("dup_tokens"))
-    val wBest = Window.partitionBy(col("d1"), col("d2"))
-      .orderBy(col("tok").desc, col("s1"), col("s2"))
-    val best = spans.withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1)
-      .select(col("d1"), col("d2"), asLong(col("tok")).as("span_tokens"),
-        asLong(col("s1")).as("span_start1"), asLong(col("s2")).as("span_start2"))
-    agg.join(best, Seq("d1", "d2"))
+        asLong(sum(col("tok"))).as("dup_tokens"),
+        min(struct((-col("tok")).as("nt"), col("s1"), col("s2"))).as("b"))
+      .select(col("d1"), col("d2"), col("n_spans"), col("dup_tokens"),
+        asLong(-col("b.nt")).as("span_tokens"),
+        asLong(col("b.s1")).as("span_start1"),
+        asLong(col("b.s2")).as("span_start2"))
+    agg
       .join(table(s, d, "documents").select(col("doc_id").as("d1"),
         col("text")), Seq("d1"))
       .select(col("d1"), col("d2"), col("n_spans"), col("dup_tokens"),

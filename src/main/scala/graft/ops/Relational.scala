@@ -1948,16 +1948,25 @@ object Relational {
     // expansion happens in-row, and brand/order totals explode the SAME
     // checkpointed per-order sets (lineitem is scanned exactly once;
     // 5.5 → ~2.5 CPU-s at sf0.1, identical exact counts).
+    // round 17 (ADVICE): no broadcast() hint on part — the part table
+    // scales linearly with SF (20M rows at sf100), so forcing the hint
+    // overrides the planner at exactly the scale where it must not;
+    // the (p_partkey, p_brand) pruning stays and the planner/AQE picks
+    // broadcast whenever the pruned dim actually fits.
     val sets = table(s, d, "lineitem")
-      .join(broadcast(table(s, d, "part")
-        .select(col("p_partkey"), col("p_brand"))),
+      .join(table(s, d, "part")
+        .select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
       .groupBy(col("o"))
       .agg(collect_set(col("b")).as("bs"))
       .localCheckpoint(true) // three consumers: pairs, brand totals, order count
+    // round 17 (plan dump): the brand-total aggregate was re-executed
+    // for EACH of the two broadcast join sides — two full explodes of
+    // the checkpointed sets. Persisted (≤25 rows), it computes once.
     val n = sets.select(explode(col("bs")).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("nb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = sets.agg(count(lit(1)).as("n_orders"))
     sets
       .select(explode(expr(
@@ -2734,6 +2743,14 @@ object Relational {
     // bounded by the histogram width. The daily aggregate is
     // checkpointed: four consumers (two ExactQuantile passes × two join
     // sides, plus the totals row).
+    // Preconditions (ADVICE r16, documented not guarded): (1) orders is
+    // non-empty — the construction-time extremes read below and
+    // ExactQuantile both require ≥1 day (TPC-H orders is never empty at
+    // any SF; an empty input would throw here instead of planning
+    // lazily). (2) Exactness of the histogram path relies on every
+    // daily-cents pair sum w2 = c1+c2 staying below 2^53 (a double
+    // carries such integers exactly): daily revenue < 2^52 cents
+    // ≈ $45 trillion/day — orders of magnitude above any TPC-H SF.
     val daily = table(s, d, "orders")
       .groupBy(to_date(col("o_orderdate")).as("dy"))
       .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("c"))

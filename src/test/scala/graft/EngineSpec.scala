@@ -722,17 +722,18 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("round-12 §2.39 plans: spans hash-banded, rrf take-ordered, simhash one-scan") {
-    // substring spans (pre-checkpoint plan): candidates come from the
-    // df-capped gram EQUI-join — never a product/nested-loop — and the
-    // island window is pair-keyed (partition spec leads with d1)
-    val (spansLazy, shScratch) = ops.Pipelines.dupSpansBuild(spark, sf0001, 12)
+    // substring spans (pre-checkpoint plan, round-17 shape): the
+    // df-capped pairing is ONE groupBy(h) collect + in-row expansion
+    // and the island scan is in-row over the (d1,d2,df) collect — no
+    // join of any kind, no window, exactly two hash exchanges
+    val spansLazy = ops.Pipelines.dupSpansBuild(spark, sf0001, 12)
     val sb = spansLazy.queryExecution.executedPlan.toString
-    shScratch.unpersist(false)
-    assert(!sb.contains("CartesianProduct") &&
-      !sb.contains("BroadcastNestedLoopJoin"),
-      s"span candidates not an equi-join:\n${sb.take(1200)}")
-    assert(sb.contains("windowspecdefinition(d1"),
-      s"island window not pair-keyed:\n${sb.take(1200)}")
+    assert(!sb.contains("Join"),
+      s"span build grew a join back:\n${sb.take(1200)}")
+    assert(!sb.contains("windowspecdefinition("),
+      s"span build grew a window back:\n${sb.take(1200)}")
+    assert("Exchange hashpartitioning".r.findAllIn(sb).size <= 2,
+      s"span build shuffles more than (h) + (d1,d2,df):\n${sb.take(1200)}")
     // rrf: both legs are distributed top-k (TakeOrderedAndProject),
     // the only corpus-sized sorts allowed in the query
     val rf = ops.TextSim.simRrfFusion(spark, sf0001)
@@ -982,15 +983,27 @@ class EngineSpec extends AnyFunSuite {
     // item 5 — the suite's largest 100×-tier build, amortized)
     assert(Tables.bipartite(spark, sf0001) eq Tables.bipartite(spark, sf0001),
       "Tables.bipartite lost its per-sfDir cache")
+    // round 17: the node DEGREES are family-shared too
+    // (Tables.bipartiteDegrees, checkpointed) — edge-scanning consumers
+    // (hits, assortativity) read the cached edge relation, and every
+    // consumer reads the checkpointed degree leaves (Scan ExistingRDD);
+    // the degree profile is PURE node-grain (no edge scan at all)
     Seq("hits" -> ops.GraphOps.graphHitsBipartite,
-      "degree_profile" -> ops.GraphOps.graphBipartiteDegreeProfile,
       "assortativity" -> ops.GraphOps.graphBipartiteAssortativity)
       .foreach { case (n, q) =>
         val p = q(spark, sf0001).queryExecution.executedPlan.toString
         assert(p.contains("InMemoryTableScan"),
           s"$n rebuilt the bipartite edges instead of reading the " +
             s"shared cache:\n${p.take(1200)}")
+        assert(p.contains("Scan ExistingRDD"),
+          s"$n rebuilt the degree aggregate instead of reading the " +
+            s"shared checkpoint:\n${p.take(1200)}")
       }
+    val dpp = ops.GraphOps.graphBipartiteDegreeProfile(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(dpp.contains("Scan ExistingRDD") &&
+      !dpp.contains("InMemoryTableScan"),
+      s"degree profile should read ONLY the degree checkpoints:\n${dpp.take(1200)}")
     // co-supply pairs expand IN-ROW per order (the Tables.edges
     // recipe) — no supplier×supplier product anywhere; top-20 is a
     // distributed TakeOrderedAndProject
