@@ -183,6 +183,7 @@ object Bench {
       ops.TextSim.clearCache()
       ops.Relational.clearCache()
       ops.TimeSeries.clearCache()
+      ops.Sampling.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(
         rdd => try rdd.unpersist(blocking = false) catch { case _: Throwable => () })
       System.gc()

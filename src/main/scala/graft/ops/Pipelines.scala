@@ -1337,12 +1337,21 @@ object Pipelines {
     // semi-join both shingle sides down to candidate docs first — the
     // verify then runs entirely on near-dup-bounded relations.
     val cand = containmentCandidates(sh, sizes).localCheckpoint(true)
-    val a = sh.join(broadcast(cand.select(col("d1").as("doc_id")).distinct()),
-        Seq("doc_id"), "left_semi")
-      .select(col("doc_id").as("ia"), col("g"))
-    val b = sh.join(broadcast(cand.select(col("d2").as("doc_id")).distinct()),
-        Seq("doc_id"), "left_semi")
-      .select(col("doc_id").as("ib"), col("g").as("gb"))
+    // round 17 (re-A/B of the round-16 prefilter, verdict item 8): the
+    // TWO per-side broadcast semi-joins measured 1.4–2× the whole
+    // query's CPU at sf0.1 (alternated QBench: prefilter-off converges
+    // 4.2–4.4 CPU-s / 2.2–2.5 s wall, the two-sided shape 5.8–11.1 /
+    // 3.7–3.8). The scale property they bought (§3.2: the verify never
+    // shuffles the corpus-sized shingle relation) is kept by ONE
+    // union-keyed semi-join whose candidate-doc-bounded result is
+    // checkpointed and read by BOTH verify sides — half the prefilter
+    // scans, same guarantee.
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .unionAll(cand.select(col("d2").as("doc_id"))).distinct()
+    val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val a = shc.select(col("doc_id").as("ia"), col("g"))
+    val b = shc.select(col("doc_id").as("ib"), col("g").as("gb"))
     val inter = cand
       .join(a, col("ia") === col("d1"))
       .join(b, col("ib") === col("d2") && col("gb") === col("g"))
@@ -1363,7 +1372,6 @@ object Pipelines {
     * can property-check sketch-candidates ⊇ qualifying pairs. */
   private[graft] def containmentCandidates(sh: DataFrame, sizes: DataFrame): DataFrame = {
     val gdf = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val wr = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
     // Two exact counting bounds drive this. (1) COVERAGE: the verify
     // admits round(i/|A|, 4) >= 0.5, i.e. i >= 0.49995·|A|, so at most
     // floor(0.50005·|A|) shingles of A are missing from B — any sketch
@@ -1377,13 +1385,26 @@ object Pipelines {
     // pair (ContainmentSpec property-checks this at all three SFs).
     // Measured at sf0.1: 119,630 -> 95 candidates for 79 final pairs,
     // and the verify join shrinks proportionally.
-    val slen = least(floor(col("sz") * 0.7) + 1, col("sz"))
+    // round 17 (guide §2.4, the span-island recipe): the sketch is the
+    // slen rarest (df, g) entries PER DOC — selected in-row from one
+    // groupBy(doc) collect + array_sort + slice, replacing the
+    // doc-keyed row_number window (a full sort of the sh⋈gdf relation)
+    // AND the sizes join (the collected group size IS the doc's
+    // shingle count, since every shingle carries a df row). (df, g) is
+    // a total key within a doc (g is distinct per doc), so the sliced
+    // set is exactly the old rn <= slen set.
     val sketch = sh
       .join(gdf, Seq("g"))
-      .join(sizes, Seq("doc_id"))
-      .withColumn("rn", row_number().over(wr))
-      .filter(col("rn") <= slen)
-      .select(col("doc_id"), col("lang"), col("g"), col("sz"), slen.as("slen"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("a"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          "slice(a, 1, int(least(floor(size(a) * 0.7) + 1, size(a))))"))
+          .as("e"),
+        expr("bigint(size(a))").as("sz"),
+        expr("least(floor(size(a) * 0.7) + 1, bigint(size(a)))").as("slen"))
+      .select(col("doc_id"), col("lang"), col("e.g").as("g"), col("sz"),
+        col("slen"))
     val full = sh.join(sizes, Seq("doc_id"))
       .select(col("doc_id").as("fd"), col("lang").as("flang"),
         col("g").as("fg"), col("sz").as("fsz"))
@@ -2621,14 +2642,20 @@ object Pipelines {
     * (the oracle op groups them by lang; the curation filter by doc).
     */
   private[graft] def knBigrams(docs: DataFrame): DataFrame =
+    // round 17 (guide §4, verdict item 6): arrays_zip of the two
+    // shifted slices replaces the indexed `transform` lambda — a
+    // higher-order function is CodegenFallback (interpreted per row)
+    // while arrays_zip/slice stay inside whole-stage codegen; the
+    // bigram pairs (l[k], l[k+1]), k = 1..size-1, are identical.
     docs.select(col("doc_id"), col("lang"),
         (Sampling.bucket16(col("doc_id")) % 10 < 8).as("is_train"),
         split(col("text"), " ").as("l"))
-      .select(col("doc_id"), col("lang"), col("is_train"), explode(expr(
-        "transform(slice(l, 1, size(l) - 1), (x, i) -> " +
-          "struct(x AS w1, element_at(l, i + 2) AS w2))")).as("bg"))
       .select(col("doc_id"), col("lang"), col("is_train"),
-        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        explode(arrays_zip(
+          slice(col("l"), lit(1), size(col("l")) - 1),
+          slice(col("l"), lit(2), size(col("l")) - 1))).as("bg"))
+      .select(col("doc_id"), col("lang"), col("is_train"),
+        col("bg").getField("0").as("w1"), col("bg").getField("1").as("w2"))
 
   /** The KN bigram model state: all three relations are vocab-/vocab²-
     * bounded (Heaps-law sub-linear), so they broadcast at any corpus

@@ -19,7 +19,7 @@ object Relational {
 
   /** Bench between-run sweep: drop the memoized ECDF relation (its
     * checkpoint RDD is unpersisted by the bench's global RDD sweep). */
-  def clearCache(): Unit = ecdfCache.clear()
+  def clearCache(): Unit = { ecdfCache.clear(); sprtCache.clear() }
 
   // ---- §2.1 scans ----
 
@@ -1575,12 +1575,21 @@ object Relational {
     // n_late_supp = 1 means every late line in the order belongs to
     // ONE supplier — so max(late suppkey) names it and the late-line
     // count can ride in the SAME aggregate. No join-back, no second
-    // fact scan: the whole query is one shuffle on l_orderkey.
-    lo.groupBy(col("l_orderkey"))
-      .agg(count_distinct(col("l_suppkey")).as("n_supp"),
-        count_distinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"),
-        max(when(col("is_late"), col("l_suppkey"))).as("late_supp"),
-        sum(when(col("is_late"), 1).otherwise(0)).as("n_late_lines"))
+    // fact scan. Round 17 (guide §2.3): the two count_distincts made
+    // the planner EXPAND every joined line ×3 before the shuffle; the
+    // same numbers now come from a two-level aggregate — level 1 at
+    // (order, supplier) grain (map-combines on the scan), level 2 a
+    // plain count/sum over the supplier-grain rows. No Expand, 1/3 the
+    // pre-shuffle rows, identical results (per is (o,s)-unique, so
+    // count(1) IS count_distinct(suppkey) and sl marks "any late").
+    lo.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("is_late")).as("sl"),
+        sum(when(col("is_late"), 1).otherwise(0)).as("nl"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("sl"), 1L).otherwise(0L)).as("n_late_supp"),
+        max(when(col("sl"), col("l_suppkey"))).as("late_supp"),
+        sum(col("nl")).as("n_late_lines"))
       .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
       .join(broadcast(table(s, d, "supplier")), col("late_supp") === col("s_suppkey"))
       .groupBy(col("s_name"))
@@ -3541,21 +3550,30 @@ object Relational {
     * log-likelihood factors INLINED as literals in both engines
     * (ln(.35/.25), ln(.65/.75) — the sim_ndcg log-table recipe;
     * identical doubles cannot diverge), floor-quantized at 1e6. */
-  private def sprtCheckpoints(s: SparkSession, d: String): DataFrame = {
-    val o = table(s, d, "orders")
-      .select(col("o_orderkey"),
-        md5(col("o_orderkey").cast(StringType)).as("mk"),
-        when((dec2(col("o_totalprice")) * 100).cast(LongType) > 15000000L, 1L)
-          .otherwise(0L).as("conv"),
-        lit(1L).as("one"))
-    GlobalRank.withRunningSums(o,
-        Seq(col("mk"), col("o_orderkey")), Seq("conv" -> "x", "one" -> "n"))
-      .filter(col("n") % 100 === 0)
-      .select(col("n"), col("x"),
-        floor((col("x").cast(DoubleType) * 0.3364722366212129 +
-          (col("n") - col("x")).cast(DoubleType) * -0.1431008436406733) * 1e6)
-          .cast(LongType).as("llr_q6"))
-  }
+  private val sprtCache = new graft.SessionCache[String, DataFrame]
+
+  private def sprtCheckpoints(s: SparkSession, d: String): DataFrame =
+    // round 17 (the orderClose recipe): agg_sprt_decision and
+    // agg_eprocess_summary each re-ran this GlobalRank range shuffle
+    // (md5 sort key over all orders). The post-filter checkpoint
+    // relation is |orders|/100 rows — built once per sfDir, cleared by
+    // clearCache() in every between-run sweep.
+    sprtCache.getOrElseUpdate(s, d) {
+      val o = table(s, d, "orders")
+        .select(col("o_orderkey"),
+          md5(col("o_orderkey").cast(StringType)).as("mk"),
+          when((dec2(col("o_totalprice")) * 100).cast(LongType) > 15000000L, 1L)
+            .otherwise(0L).as("conv"),
+          lit(1L).as("one"))
+      GlobalRank.withRunningSums(o,
+          Seq(col("mk"), col("o_orderkey")), Seq("conv" -> "x", "one" -> "n"))
+        .filter(col("n") % 100 === 0)
+        .select(col("n"), col("x"),
+          floor((col("x").cast(DoubleType) * 0.3364722366212129 +
+            (col("n") - col("x")).cast(DoubleType) * -0.1431008436406733) * 1e6)
+            .cast(LongType).as("llr_q6"))
+        .localCheckpoint(true)
+    }
 
   /** Wald SPRT over the order stream (§2.35): the SEQUENTIAL
     * hypothesis test beside §2.30's fixed-horizon Welch/McNemar — the

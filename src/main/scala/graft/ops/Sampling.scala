@@ -498,11 +498,23 @@ object Sampling {
       .agg(floor(sum(col("cents")).cast(DoubleType) /
         count(lit(1)).cast(DoubleType)).cast(LongType).as("pred_cents"))
 
-  private def conformalBase(s: SparkSession, d: String): DataFrame = {
-    val o = conformalSplit(s, d)
-    o.join(broadcast(conformalPred(o)), Seq("seg"))
-      .withColumn("resid", abs(col("cents") - col("pred_cents")))
-  }
+  private val conformalCache = new graft.SessionCache[String, DataFrame]
+
+  /** Drop the per-sfDir shared builds (bench between-run sweep). */
+  def clearCache(): Unit = conformalCache.clear()
+
+  private def conformalBase(s: SparkSession, d: String): DataFrame =
+    // round 17 (the orderClose recipe): the conformal PAIR (interval +
+    // coverage) each re-derived this split+prediction relation and
+    // checkpointed its own copy — one shared checkpoint now serves
+    // both (|orders|-grain, same contract as their previous per-query
+    // checkpoints; cleared in every between-run sweep).
+    conformalCache.getOrElseUpdate(s, d) {
+      val o = conformalSplit(s, d)
+      o.join(broadcast(conformalPred(o)), Seq("seg"))
+        .withColumn("resid", abs(col("cents") - col("pred_cents")))
+        .localCheckpoint(true)
+    }
 
   /** The ⌈(n+1)(1−α)⌉ calibration rank at α = 0.1, clamped to n —
     * shared by the §2.35 conformal pair (1-based within segment). */
@@ -539,11 +551,9 @@ object Sampling {
     * ([[conformalQ]]) — no sort or persist of the calibration split;
     * the 4-row q/pred relations attach back as broadcasts. */
   val sampleConformalInterval: Q = (s, d) => {
-    // checkpoint: both ExactQuantile passes and the per-seg pred read
-    // the materialized calibration split instead of re-deriving the
-    // orders scan + train-mean join per pass (measured +0.6 CPU-s)
+    // both ExactQuantile passes and the per-seg pred read the SHARED
+    // checkpointed base (round 17) — no per-query re-materialization
     val calib = conformalBase(s, d).filter(col("split") === "calib")
-      .localCheckpoint(true)
     val q = conformalQ(s, calib)
     val pred = calib.groupBy(col("seg"))
       .agg(max(col("pred_cents")).as("pred_cents"))
@@ -563,9 +573,9 @@ object Sampling {
     * anywhere. Scale: the interval relation is 4 broadcast rows; the
     * test scan is one map-combined aggregate. */
   val sampleConformalCoverage: Q = (s, d) => {
-    // checkpoint: the two ExactQuantile passes AND the test scan all
-    // read one materialization of the split relation
-    val base = conformalBase(s, d).localCheckpoint(true)
+    // the two ExactQuantile passes AND the test scan read the SHARED
+    // checkpointed base (round 17)
+    val base = conformalBase(s, d)
     val q = conformalQ(s, base.filter(col("split") === "calib"))
       .select(col("seg"), col("q_cents"))
     base.filter(col("split") === "test")
